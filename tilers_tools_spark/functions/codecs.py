@@ -1,0 +1,200 @@
+"""Pure-NumPy image codecs (no PIL/GDAL on this machine — SURVEY.md §7 [ENV]).
+
+Plays the role of the reference's PIL/GDAL encode/decode
+(``gdal_tiler.py::Pyramid.write_tile`` tile encoding, windowed ``ReadRaster``
+decode — reference checkout absent, SURVEY.md §0.1; contract per
+BASELINE.json:15: vectorized decode inside Arrow UDFs, decoded pixels exact
+for lossless, PSNR>=40dB for lossy).
+
+Formats (FIXTURES.md §4):
+* ``raw``  — header ``b"RAW1" + pack("<HHB", w, h, nband)`` + C-order bytes.
+* ``png``  — 8-bit RGB/RGBA/gray; encoder emits filter 0 on every scanline,
+  one zlib stream, level 6 → byte-deterministic. Decoder handles all five
+  scanline filters + palette, so foreign PNGs also decode.
+* ``jpeg`` — baseline ITU T.81 (see ``jpegcodec.py``, M7).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# ---------------------------------------------------------------------------
+# RAW
+# ---------------------------------------------------------------------------
+
+
+def encode_raw(arr: np.ndarray) -> bytes:
+    h, w, c = arr.shape
+    return b"RAW1" + struct.pack("<HHB", w, h, c) + arr.astype(np.uint8).tobytes()
+
+
+def decode_raw(data: bytes) -> np.ndarray:
+    if data[:4] != b"RAW1":
+        raise ValueError("not a RAW1 blob")
+    w, h, c = struct.unpack("<HHB", data[4:9])
+    return np.frombuffer(data, dtype=np.uint8, count=w * h * c, offset=9).reshape(h, w, c)
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray, level: int = 6) -> bytes:
+    """uint8 (H,W), (H,W,3) or (H,W,4) -> PNG bytes. Filter 0 everywhere,
+    single IDAT, fixed compression level → byte-deterministic (FIXTURES.md §4).
+    """
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color_type = {1: 0, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    # prepend filter byte 0 to each scanline, vectorized
+    lines = np.zeros((h, 1 + w * c), dtype=np.uint8)
+    lines[:, 1:] = arr.reshape(h, w * c)
+    idat = zlib.compress(lines.tobytes(), level)
+    return PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG scanline filters. raw is (h, 1+stride) uint8 (filter byte + data)."""
+    ftypes = raw[:, 0]
+    data = raw[:, 1:].astype(np.int32)
+    if not ftypes.any():  # common fast path: all filter 0 (our own encoder)
+        return data.astype(np.uint8)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        f = ftypes[r]
+        line = data[r]
+        if f == 0:
+            cur = line
+        elif f == 1:  # Sub
+            cur = line.copy()
+            for i in range(bpp, stride):
+                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif f == 3:  # Average
+            cur = line.copy()
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            cur = line.copy()
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                c_ = prev[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                p = a + b - c_
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c_)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c_)
+                cur[i] = (cur[i] + pr) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[r] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> uint8 (H,W,C). Supports 8-bit gray/RGB/RGBA/palette."""
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    idat = []
+    palette = None
+    trns = None
+    w = h = bitdepth = color_type = None
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, bitdepth, color_type, _comp, _filt, interlace = struct.unpack(">IIBBBBB", payload)
+            if bitdepth != 8 or interlace != 0:
+                raise ValueError("only 8-bit non-interlaced PNG supported")
+        elif tag == b"PLTE":
+            palette = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(payload, dtype=np.uint8)
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    stride = w * nch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    raw = raw.reshape(h, 1 + stride)
+    out = _unfilter(raw, h, stride, nch).reshape(h, w, nch)
+    if color_type == 3:  # palette -> RGB(A) expand (LUT, SURVEY.md §1.3)
+        rgb = palette[out[:, :, 0]]
+        if trns is not None:
+            alpha = np.full(256, 255, np.uint8)
+            alpha[: len(trns)] = trns
+            return np.dstack([rgb, alpha[out[:, :, 0]]])
+        return rgb
+    return out
+
+
+# ---------------------------------------------------------------------------
+# dispatch
+# ---------------------------------------------------------------------------
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    """Decode per fmt to uint8 (H,W,C); C in {1,2,3,4}."""
+    if fmt == "raw":
+        return decode_raw(data)
+    if fmt == "png":
+        return decode_png(data)
+    if fmt == "jpeg":
+        from . import jpegcodec
+
+        return jpegcodec.decode_jpeg(data)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def to_rgba(arr: np.ndarray) -> np.ndarray:
+    """Any decoded (H,W,C) -> RGBA uint8."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    out = np.empty((h, w, 4), dtype=np.uint8)
+    if c == 1:
+        out[:, :, 0] = out[:, :, 1] = out[:, :, 2] = arr[:, :, 0]
+        out[:, :, 3] = 255
+    elif c == 2:
+        out[:, :, 0] = out[:, :, 1] = out[:, :, 2] = arr[:, :, 0]
+        out[:, :, 3] = arr[:, :, 1]
+    elif c == 3:
+        out[:, :, :3] = arr
+        out[:, :, 3] = 255
+    else:
+        out[:] = arr[:, :, :4]
+    return out
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB (BASELINE.json:15 lossy invariant)."""
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(diff * diff))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)

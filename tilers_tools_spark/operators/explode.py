@@ -1,0 +1,110 @@
+"""Planning-stage tile explode — narrow (z,x,y) rows WITHOUT touching bytes
+(SURVEY.md §2.3 row 15a, §4.2 column pruning).
+
+Derives per-image georef + base zoom + covering tile range as pure Column
+expressions plus one Arrow UDF (the splitmix64 derivation needs exact uint64
+wraparound, which ANSI-safe Column math can't give), then
+``sequence + explode`` twice. Used for statistics, skew probes, resume
+planning, and join inputs; the render path does NOT consume this (rendering
+is shuffle-free per image — operators/render.py), so the fat `bytes` column
+never appears downstream of here. Verified via explain() in
+tests/test_plan_asserts.py: the parquet scan for this plan must NOT read
+`bytes` (ReadSchema pruning).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+from ..functions import georef
+from ..functions import tilemath as tm
+
+_GEOREF_SCHEMA = StructType(
+    [
+        StructField("lon_c", DoubleType()),
+        StructField("lat_c", DoubleType()),
+        StructField("gsd", DoubleType()),
+        StructField("mx0", DoubleType()),
+        StructField("my0", DoubleType()),
+        StructField("mx1", DoubleType()),
+        StructField("my1", DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(_GEOREF_SCHEMA)
+def georef_udf(phash: pd.Series, w: pd.Series, h: pd.Series) -> pd.DataFrame:
+    g = georef.derive_georef_np(
+        phash.to_numpy(np.int64).astype(np.uint64), w.to_numpy(np.float64), h.to_numpy(np.float64)
+    )
+    return pd.DataFrame(g)
+
+
+def with_georef(images: DataFrame) -> DataFrame:
+    """Attach the derived georef struct + base zoom (SURVEY.md §1.5, row 14)."""
+    return images.withColumn("georef", georef_udf("phash", "w", "h")).withColumn(
+        "z_base", tm.base_zoom(F.col("georef.gsd")).cast("int")
+    )
+
+
+def explode_cover(images: DataFrame, zoom: Column | int | None = None) -> DataFrame:
+    """Narrow (image_id, z, x, y[, tile center lat/lon]) rows covering each
+    image's extent at `zoom` (default: its base zoom). No bytes involved.
+    """
+    df = with_georef(images.select("image_id", "w", "h", "phash"))
+    z = F.col("z_base") if zoom is None else (F.lit(zoom) if isinstance(zoom, int) else zoom)
+    g = F.col("georef")
+    df = df.select(
+        "image_id",
+        z.alias("z"),
+        tm.clamp_tile(tm.cover_min(g["mx0"], z), z).alias("txmin"),
+        tm.clamp_tile(F.greatest(tm.cover_max(g["mx1"], z), tm.cover_min(g["mx0"], z)), z).alias("txmax"),
+        tm.clamp_tile(tm.cover_min(g["my0"], z), z).alias("tymin"),
+        tm.clamp_tile(F.greatest(tm.cover_max(g["my1"], z), tm.cover_min(g["my0"], z)), z).alias("tymax"),
+    )
+    df = df.select(
+        "image_id",
+        "z",
+        F.explode(F.sequence("txmin", "txmax")).alias("x"),
+        "tymin",
+        "tymax",
+    ).select("image_id", "z", "x", F.explode(F.sequence("tymin", "tymax")).alias("y"))
+    # tile-center lon/lat as Column exprs (native, codegen'd)
+    span = tm.resolution("z") * F.lit(float(tm.TILE))
+    cmx = (F.col("x").cast("double") + F.lit(0.5)) * span - F.lit(tm.ORIGIN)
+    cmy = (F.col("y").cast("double") + F.lit(0.5)) * span - F.lit(tm.ORIGIN)
+    return df.withColumn("lon", tm.inv_merc_lon(cmx)).withColumn("lat", tm.inv_merc_lat(cmy))
+
+
+def skew_probe(tiles_or_cover: DataFrame, key: str = "h3_cell", top: int = 20) -> DataFrame:
+    """Cheap key-frequency probe used to size the salt factor (SURVEY.md §4.3).
+
+    Returns per-key counts of the `top` heaviest keys plus approx distinct.
+    """
+    counts = tiles_or_cover.groupBy(key).count()
+    return counts.orderBy(F.desc("count")).limit(top)
+
+
+def salt_column(key: Column | str, zoom: Column | str, salt_factor: int) -> Column:
+    """Deterministic salt bucket: pmod(xxhash64(key, zoom), salt_factor).
+
+    BASELINE.json:6 'salted repartition on (h3_cell, zoom)': co-locates
+    tiles of one cell/zoom into at most `salt_factor` buckets instead of one
+    hot partition.
+    """
+    return F.pmod(F.xxhash64(key, zoom), F.lit(salt_factor))
+
+
+def salted_repartition(tiles: DataFrame, num_partitions: int, salt_factor: int = 8) -> DataFrame:
+    """Repartition tiles by (zoom, h3_cell, salt) — the explicit-skew-handling
+    shuffle mandated by BASELINE.json:6/14. AQE skew-join remains the backstop.
+    """
+    return tiles.withColumn("salt", salt_column("h3_cell", "z", salt_factor)).repartition(
+        num_partitions, F.col("z"), F.col("h3_cell"), F.col("salt")
+    )

@@ -1,0 +1,261 @@
+"""Tile rendering — the gdal_tiler core re-expressed as one shuffle-free
+``mapInPandas`` pass (SURVEY.md §2.3 rows 14-20, §3.2 E1').
+
+Design for 10^12-image scale (BASELINE.json:14): a tile pyramid is
+*per-image* (the tiles table key is (image_id, z, x, y) — the reference
+processes one map at a time; cross-map merge is a separate operator,
+``operators.convert.merge_tilesets``). Every tile of an image derives from
+that image's bytes alone, so base cut AND all overview levels happen inside
+a single Arrow-batched ``mapInPandas`` over the images scan — **zero
+shuffles, no bytes ever cross the wire**. Shuffles appear only downstream
+(sink clustering by (zoom, salted h3), joins), on narrow tile rows.
+
+Bit-for-tile contract: formulas below are element-for-element identical to
+``oracle/minitiler.py`` (same op order on float64 -> same uint8 bytes); see
+tests/test_pipeline_vs_oracle.py.
+
+Reference parity: gdal_tiler.py::Pyramid base-tile loop + overview recursion
+[R] — /root/reference is empty this session (SURVEY.md §0.1), so citations
+are symbol-level only.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions import codecs, georef, h3lite, s2lite
+from ..functions import tilemath as tm
+
+TILE = tm.TILE
+
+TILES_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("z", IntegerType()),
+        StructField("x", LongType()),
+        StructField("y", LongType()),  # TMS y (canonical; y_xyz = 2^z-1-y)
+        StructField("y_xyz", LongType()),
+        StructField("tile", BinaryType()),  # PNG RGBA 256x256
+        StructField("h3_cell", LongType()),
+        StructField("h3_res", IntegerType()),
+        StructField("s2_cell", LongType()),
+        StructField("lat", DoubleType()),  # tile center
+        StructField("lon", DoubleType()),
+        StructField("caption", StringType()),
+        StructField("part_id", IntegerType()),
+    ]
+)
+
+
+def h3_res_for_zoom(z: int) -> int:
+    """Engine convention (shared with oracle): clamp(z - 2, 0, 12)."""
+    return int(min(12, max(0, z - 2)))
+
+
+def s2_level_for_zoom(z: int) -> int:
+    return int(min(30, max(0, z)))
+
+
+# ---------------------------------------------------------------------------
+# per-image pure-NumPy pyramid (runs inside the UDF; matches oracle bit-exact)
+# ---------------------------------------------------------------------------
+
+
+def _render_tile(rgba, geo, z: int, tx: int, ty: int) -> np.ndarray:
+    """256x256 RGBA via inverse-mapping bilinear; contract of
+    oracle/minitiler.render_tile, vectorized 2-D (same elementwise ops)."""
+    h, w = rgba.shape[:2]
+    res = tm.RES0 / (2.0**z)
+    span = res * TILE
+    tmx0 = tx * span - tm.ORIGIN
+    tmy1 = (ty + 1) * span - tm.ORIGIN
+    cc = np.arange(TILE, dtype=np.float64)
+    mx = tmx0 + (cc + 0.5) * res
+    my = tmy1 - (cc + 0.5) * res  # per-row, row 0 = north
+    vcol = (mx >= geo["mx0"]) & (mx < geo["mx1"])
+    vrow = (my > geo["my0"]) & (my <= geo["my1"])
+    if not (vcol.any() and vrow.any()):
+        return None
+    sc = (mx - geo["mx0"]) / geo["gsd"] - 0.5
+    sr = (geo["my1"] - my) / geo["gsd"] - 0.5
+    c0 = np.floor(sc)
+    fc = sc - c0
+    r0 = np.floor(sr)
+    fr = sr - r0
+    c0 = c0.astype(np.int64)
+    r0 = r0.astype(np.int64)
+    c0c = np.clip(c0, 0, w - 1)
+    c1c = np.clip(c0 + 1, 0, w - 1)
+    r0c = np.clip(r0, 0, h - 1)
+    r1c = np.clip(r0 + 1, 0, h - 1)
+    src = rgba[:, :, :3].astype(np.float64)
+    fc2 = fc[None, :, None]
+    fr2 = fr[:, None, None]
+    top = src[r0c[:, None], c0c[None, :]] * (1.0 - fc2) + src[r0c[:, None], c1c[None, :]] * fc2
+    bot = src[r1c[:, None], c0c[None, :]] * (1.0 - fc2) + src[r1c[:, None], c1c[None, :]] * fc2
+    val = top * (1.0 - fr2) + bot * fr2
+    out = np.zeros((TILE, TILE, 4), dtype=np.uint8)
+    valid = vrow[:, None] & vcol[None, :]
+    rgb = np.clip(val + 0.5, 0.0, 255.0).astype(np.uint8)
+    out[:, :, :3] = np.where(valid[:, :, None], rgb, 0)
+    out[:, :, 3] = np.where(valid, 255, 0)
+    if out[:, :, 3].max() == 0:
+        return None
+    return out
+
+
+def _downsample(quad: np.ndarray, resampling: str) -> np.ndarray:
+    if resampling == "average":
+        m = quad.reshape(TILE, 2, TILE, 2, 4).astype(np.float64).mean(axis=(1, 3))
+        return np.clip(m + 0.5, 0.0, 255.0).astype(np.uint8)
+    if resampling == "nearest":
+        return quad[::2, ::2]
+    if resampling == "antialias":  # separable Lanczos-3 (oracle contract)
+        a = 3
+        src = quad.astype(np.float64)
+        n_src = quad.shape[0]
+        n_dst = n_src // 2
+        d = np.arange(n_dst, dtype=np.float64)
+        s = 2.0 * d + 0.5
+        j0 = np.floor(s - (2 * a - 1)).astype(np.int64)
+        taps = 4 * a
+        jj = j0[:, None] + np.arange(taps)[None, :]
+        x = (jj - s[:, None]) / 2.0
+        wgt = np.sinc(x) * np.sinc(np.clip(x / a, -1, 1)) * (np.abs(x) < a)
+        wgt /= wgt.sum(axis=1, keepdims=True)
+        jc = np.clip(jj, 0, n_src - 1)
+        out1 = np.einsum("dt,dtwc->dwc", wgt, src[jc])
+        out2 = np.einsum("dt,rdtc->rdc", wgt, out1[:, jc])
+        return np.clip(out2 + 0.5, 0.0, 255.0).astype(np.uint8)
+    raise ValueError(f"unknown resampling {resampling!r}")
+
+
+def render_image_pyramid(rec: dict, overview_levels: int = 2, resampling: str = "average", zmin=None, zmax=None):
+    """One image row -> {(z, tx, ty_tms): rgba}. Base cut + overviews."""
+    rgba = codecs.to_rgba(codecs.decode_image(rec["bytes"], rec["fmt"]))
+    ph = np.array([rec["phash"]], dtype=np.uint64)
+    g = georef.derive_georef_np(ph, np.array([rec["w"]]), np.array([rec["h"]]))
+    geo = {k: float(v[0]) for k, v in g.items()}
+    zb = int(tm.base_zoom_np(np.array([geo["gsd"]]))[0]) if zmax is None else int(zmax)
+    zlo = max(0, zb - overview_levels) if zmin is None else int(zmin)
+    txmin, txmax, tymin, tymax = (
+        int(v[0])
+        for v in tm.cover_range_np(
+            np.array([geo["mx0"]]), np.array([geo["my0"]]), np.array([geo["mx1"]]), np.array([geo["my1"]]), np.array([zb])
+        )
+    )
+    level = {}
+    for tx in range(txmin, txmax + 1):
+        for ty in range(tymin, tymax + 1):
+            arr = _render_tile(rgba, geo, zb, tx, ty)
+            if arr is not None:
+                level[(zb, tx, ty)] = arr
+    out = dict(level)
+    z = zb
+    while z > zlo:
+        parents = {}
+        for (cz, cx, cy), arr in level.items():
+            parents.setdefault((cz - 1, cx // 2, cy // 2), []).append((cx, cy, arr))
+        nxt = {}
+        for (pz, px, py), kids in parents.items():
+            quad = np.zeros((2 * TILE, 2 * TILE, 4), dtype=np.uint8)
+            for cx, cy, arr in kids:
+                colofs = (cx - 2 * px) * TILE
+                rowofs = (1 - (cy - 2 * py)) * TILE  # TMS: odd child y = north half
+                quad[rowofs : rowofs + TILE, colofs : colofs + TILE] = arr
+            parr = _downsample(quad, resampling)
+            if parr[:, :, 3].max() != 0:
+                nxt[(pz, px, py)] = parr
+        out.update(nxt)
+        level = nxt
+        z -= 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# the Spark operator
+# ---------------------------------------------------------------------------
+
+
+def render_pyramid(
+    images: DataFrame,
+    overview_levels: int = 2,
+    resampling: str = "average",
+    zmin=None,
+    zmax=None,
+) -> DataFrame:
+    """images DF (BASELINE.json:15 schema) -> tiles DF (TILES_SCHEMA).
+
+    Shuffle-free: one narrow mapInPandas stage; H3/S2 assignment vectorized
+    per output batch. Partition balance comes from the images scan split
+    (`spark.sql.files.maxPartitionBytes`); per-image tile counts are bounded
+    (<= ~(w/256+1)*(h/256+1) + overview tail), so no salting needed here —
+    salting applies at sink/join repartition (plans.tile_pyramid).
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                tiles = render_image_pyramid(rec, overview_levels, resampling, zmin, zmax)
+                for (z, tx, ty), arr in sorted(tiles.items()):
+                    rows.append(
+                        (rec["image_id"], z, tx, ty, rec["caption"], codecs.encode_png(arr))
+                    )
+            if not rows:
+                continue
+            out = pd.DataFrame(rows, columns=["image_id", "z", "x", "y", "caption", "tile"])
+            z = out["z"].to_numpy(np.int64)
+            txa = out["x"].to_numpy(np.int64)
+            tya = out["y"].to_numpy(np.int64)
+            span = tm.RES0 / (2.0**z.astype(np.float64)) * TILE
+            cmx = (txa.astype(np.float64) + 0.5) * span - tm.ORIGIN
+            cmy = (tya.astype(np.float64) + 0.5) * span - tm.ORIGIN
+            lon, lat = tm.inv_merc_np(cmx, cmy)
+            h3 = np.zeros(len(out), dtype=np.int64)
+            s2 = np.zeros(len(out), dtype=np.int64)
+            h3res = np.clip(z - 2, 0, 12).astype(np.int64)
+            s2lvl = np.clip(z, 0, 30).astype(np.int64)
+            for rv in np.unique(h3res):
+                m = h3res == rv
+                h3[m] = h3lite.latlng_to_cell(lat[m], lon[m], int(rv))
+            for lv in np.unique(s2lvl):
+                m = s2lvl == lv
+                s2[m] = s2lite.latlng_to_cell(lat[m], lon[m], int(lv))
+            yield pd.DataFrame(
+                {
+                    "image_id": out["image_id"],
+                    "z": out["z"].astype("int32"),
+                    "x": out["x"],
+                    "y": out["y"],
+                    "y_xyz": (np.int64(1) << z) - 1 - tya,
+                    "tile": out["tile"],
+                    "h3_cell": h3,
+                    "h3_res": h3res.astype("int32"),
+                    "s2_cell": s2,
+                    "lat": lat,
+                    "lon": lon,
+                    "caption": out["caption"],
+                    "part_id": np.full(len(out), pid, dtype=np.int32),
+                }
+            )
+
+    return images.mapInPandas(fn, schema=TILES_SCHEMA)

@@ -1,0 +1,272 @@
+"""Spatial joins — first-class operators mandated by BASELINE.json:14
+(SURVEY.md §2.5): point-in-polygon (broadcast + exact refine), kNN lookup,
+bbox range join, and large cell-cell sort-merge join.
+
+Strategy at 100TB (SURVEY.md §4.2/§4.3):
+* PIP: polygons are small -> `F.broadcast`; coarse prefilter on H3 cover
+  cells (equi-join, prunes 99%+ of tiles before the exact test), exact
+  even-odd ray cast vectorized in a pandas UDF.
+* kNN: iterative tile-grid ring expansion (no theta join, no cross join on
+  the big side): ring r costs an equi-join on packed cell keys; driver loop
+  doubles the radius until every query has k candidates (EDBT'12 kNN-join
+  pattern, PAPERS.md:9). Final exact top-k via window row_number.
+* cell-cell: sort-merge hint on the 64-bit cell key; AQE skew split on.
+* bbox: interval overlap predicates AFTER a cell-key equi prefilter.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, LongType, ArrayType
+
+from ..functions import h3lite
+from ..functions import tilemath as tm
+
+# ---------------------------------------------------------------------------
+# point-in-polygon
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(BooleanType())
+def _pip_refine_udf(lon: pd.Series, lat: pd.Series, ring_lon: pd.Series, ring_lat: pd.Series) -> pd.Series:
+    """Exact even-odd ray cast, vectorized over the candidate batch.
+
+    Each row: one (point, ring) candidate pair from the coarse join. Rings in
+    a batch vary, so vectorize across edges per unique ring-length group.
+    """
+    plon = lon.to_numpy(np.float64)
+    plat = lat.to_numpy(np.float64)
+    out = np.zeros(len(plon), dtype=bool)
+    # group rows by ring length for edge-dimension vectorization
+    lens = ring_lon.map(len).to_numpy()
+    for L in np.unique(lens):
+        idx = np.where(lens == L)[0]
+        rl = np.stack([np.asarray(ring_lon.iloc[i], np.float64) for i in idx])  # (m, L)
+        rt = np.stack([np.asarray(ring_lat.iloc[i], np.float64) for i in idx])
+        x1, y1 = rl, rt
+        x2, y2 = np.roll(rl, -1, axis=1), np.roll(rt, -1, axis=1)
+        py = plat[idx][:, None]
+        px = plon[idx][:, None]
+        crosses = (y1 > py) != (y2 > py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xin = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+        hits = crosses & (xin > px)
+        out[idx] = (hits.sum(axis=1) % 2).astype(bool)
+    return pd.Series(out)
+
+
+def polygon_cover_cells(polygons_pdf: pd.DataFrame, res: int = 5, samples: int = 24) -> pd.DataFrame:
+    """Driver-side (polygons are SMALL by contract — BASELINE.json:6
+    'broadcast of small polygon sets'): approximate H3 cover of each ring by
+    sampling a bbox grid + the ring vertices. Superset-safe for the coarse
+    prefilter because the exact refine follows; sampling density scales with
+    ring bbox vs cell size.
+
+    Returns exploded (poly_id, h3_cell) pandas DataFrame.
+    """
+    rows = []
+    for _, p in polygons_pdf.iterrows():
+        ring = p["ring"]
+        lons = np.array([v["lon"] for v in ring])
+        lats = np.array([v["lat"] for v in ring])
+        gl = np.linspace(lons.min(), lons.max(), samples)
+        gt = np.linspace(lats.min(), lats.max(), samples)
+        gx, gy = np.meshgrid(gl, gt)
+        all_lon = np.concatenate([gx.ravel(), lons])
+        all_lat = np.concatenate([gy.ravel(), lats])
+        cells = np.unique(h3lite.latlng_to_cell(all_lat, all_lon, res))
+        # pad with neighbors-by-sampling: jitter half-cell offsets
+        for dl in (-0.5, 0.5):
+            step_lon = (gl[1] - gl[0]) if len(gl) > 1 else 0.1
+            step_lat = (gt[1] - gt[0]) if len(gt) > 1 else 0.1
+            cells = np.union1d(
+                cells, h3lite.latlng_to_cell(all_lat + dl * step_lat, all_lon + dl * step_lon, res)
+            )
+        rows += [(p["poly_id"], int(c)) for c in np.unique(cells)]
+    return pd.DataFrame(rows, columns=["poly_id", "h3_cell_cover"])
+
+
+def pip_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    res: int = 5,
+    how: str = "inner",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """points (any DF with lon/lat) x polygons (poly_id, ring) -> matches.
+
+    Two-phase (SURVEY.md §2.5 row 27): broadcast coarse H3-cover equi-join,
+    then exact ray-cast refine in a pandas UDF. `how`: inner | left_semi |
+    left_anti (semi/anti evaluated on the refined match set).
+    """
+    spark = points.sparkSession
+    poly_pdf = polygons.select("poly_id", "ring").toPandas()
+    cover = spark.createDataFrame(polygon_cover_cells(poly_pdf, res))
+    ring_flat = polygons.select(
+        "poly_id",
+        F.expr("transform(ring, v -> v.lon)").alias("ring_lon"),
+        F.expr("transform(ring, v -> v.lat)").alias("ring_lat"),
+    )
+    pts = points.withColumn(
+        "_pip_cell",
+        _h3_cell_udf(F.col(lat_col), F.col(lon_col), F.lit(res)),
+    )
+    cand = pts.join(F.broadcast(cover), pts["_pip_cell"] == cover["h3_cell_cover"], "inner").join(
+        F.broadcast(ring_flat), "poly_id", "inner"
+    )
+    refined = cand.withColumn(
+        "_pip_ok", _pip_refine_udf(F.col(lon_col), F.col(lat_col), "ring_lon", "ring_lat")
+    ).filter(F.col("_pip_ok"))
+    matches = refined.drop("_pip_ok", "ring_lon", "ring_lat", "h3_cell_cover", "_pip_cell")
+    if how == "inner":
+        return matches
+    key_cols = [c for c in points.columns]
+    if how == "left_semi":
+        return points.join(matches.select(key_cols).dropDuplicates(key_cols), key_cols, "left_semi")
+    if how == "left_anti":
+        return points.join(matches.select(key_cols).dropDuplicates(key_cols), key_cols, "left_anti")
+    raise ValueError(how)
+
+
+@F.pandas_udf(LongType())
+def _h3_cell_udf(lat: pd.Series, lon: pd.Series, res: pd.Series) -> pd.Series:
+    r = int(res.iloc[0])
+    return pd.Series(h3lite.latlng_to_cell(lat.to_numpy(np.float64), lon.to_numpy(np.float64), r))
+
+
+# ---------------------------------------------------------------------------
+# kNN — iterative grid-ring expansion
+# ---------------------------------------------------------------------------
+
+
+def knn_join(
+    queries: DataFrame,
+    points: DataFrame,
+    k: int = 5,
+    zoom: int = 7,
+    max_rounds: int = 6,
+    query_id: str = "query_id",
+    point_id: str = "point_id",
+) -> DataFrame:
+    """k nearest `points` for each query row, distance = Euclidean in
+    EPSG:3857 meters (SURVEY.md §2.5 row 28).
+
+    Both sides get a tile cell at `zoom`; round r joins queries against
+    points whose cell is within Chebyshev ring radius 2^r - 1 (via truncated
+    cell keys — coarser zoom equi-join, so every round is an EQUI join that
+    AQE can plan; no theta join ever). Queries that reached k results with
+    certainty radius drop out; remaining re-join at a coarser zoom. Exact
+    final top-k by window. Correct (not approximate): a query only stops
+    when its k-th candidate distance <= one guaranteed-searched ring width.
+    """
+    q = queries.withColumn("_qmx", tm.merc_x(F.col("lon"))).withColumn("_qmy", tm.merc_y(F.col("lat")))
+    p = points.withColumn("_pmx", tm.merc_x(F.col("lon"))).withColumn("_pmy", tm.merc_y(F.col("lat")))
+    results = None
+    remaining = q
+    for rnd in range(max_rounds):
+        zz = max(0, zoom - rnd)
+        span = tm.RES0 / (2.0**zz) * tm.TILE
+        qk = remaining.withColumn("_cell", tm.pack_zxy(F.lit(zz), tm.tile_x(F.col("_qmx"), F.lit(zz)), tm.tile_y_tms(F.col("_qmy"), F.lit(zz))))
+        pk = p.withColumn("_cell", tm.pack_zxy(F.lit(zz), tm.tile_x(F.col("_pmx"), F.lit(zz)), tm.tile_y_tms(F.col("_pmy"), F.lit(zz))))
+        # neighbors: query cell + 8 surrounding cells at this zoom
+        qx = tm.tile_x(F.col("_qmx"), F.lit(zz))
+        qy = tm.tile_y_tms(F.col("_qmy"), F.lit(zz))
+        n = tm.n_tiles(F.lit(zz))
+        neigh = qk.select(
+            "*",
+            F.explode(F.array([F.lit(d) for d in range(9)])).alias("_d"),
+        ).withColumn(
+            "_ncell",
+            tm.pack_zxy(
+                F.lit(zz),
+                F.pmod(qx + (F.col("_d") % 3 - 1), n),
+                F.greatest(F.lit(0), F.least(n - F.lit(1), qy + (F.col("_d") / 3).cast("long") - 1)),
+            ),
+        )
+        cand = neigh.join(pk.withColumnRenamed("_cell", "_ncell"), "_ncell", "inner")
+        dist = F.sqrt(
+            (F.col("_qmx") - F.col("_pmx")) * (F.col("_qmx") - F.col("_pmx"))
+            + (F.col("_qmy") - F.col("_pmy")) * (F.col("_qmy") - F.col("_pmy"))
+        )
+        cand = cand.withColumn("_dist", dist)
+        w = Window.partitionBy(query_id).orderBy(F.col("_dist").asc(), F.col(point_id).asc())
+        topk = (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select(query_id, point_id, "_dist", "_rn")
+        )
+        # done iff k-th distance is certainly covered by the searched ring:
+        # searched area guarantees all points within `span` of the query cell
+        kth = topk.groupBy(query_id).agg(F.max("_rn").alias("_nk"), F.max("_dist").alias("_kd"))
+        done_ids = kth.filter((F.col("_nk") >= k) & (F.col("_kd") <= F.lit(span)))
+        done = topk.join(done_ids.select(query_id), query_id, "left_semi")
+        results = done if results is None else results.unionByName(done)
+        remaining = remaining.join(done_ids.select(query_id), query_id, "left_anti")
+        if zz == 0 or remaining.isEmpty():
+            if zz == 0 and not remaining.isEmpty():
+                # zoom 0: single global cell -> brute force leftover
+                leftover = remaining.crossJoin(p).withColumn("_dist", dist)
+                lt = (
+                    leftover.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") <= k)
+                    .select(query_id, point_id, "_dist", "_rn")
+                )
+                results = results.unionByName(lt)
+            break
+    return results.withColumnRenamed("_dist", "dist").withColumnRenamed("_rn", "rank")
+
+
+# ---------------------------------------------------------------------------
+# cell-cell sort-merge join + bbox range join
+# ---------------------------------------------------------------------------
+
+
+def cell_join(left: DataFrame, right: DataFrame, key: str = "h3_cell", how: str = "inner") -> DataFrame:
+    """Large x large equi-join on the 64-bit cell key, sort-merge mandated
+    (BASELINE.json:6 'sort-merge for large cell-cell joins'); AQE handles
+    skew splitting at runtime.
+    """
+    return left.hint("merge").join(right.hint("merge"), key, how)
+
+
+def bbox_join(
+    left: DataFrame,
+    right: DataFrame,
+    zoom: int = 6,
+    lcols=("lmx0", "lmy0", "lmx1", "lmy1"),
+    rcols=("rmx0", "rmy0", "rmx1", "rmy1"),
+) -> DataFrame:
+    """Bbox-overlap join (SURVEY.md §2.5 row 30): each side exploded to its
+    covering tile cells at `zoom` (coarse equi prefilter), then the exact
+    interval predicates. Dedup because a pair can meet in several cells.
+    """
+
+    def cover(df, cols, side):
+        mx0, my0, mx1, my1 = [F.col(c) for c in cols]
+        z = F.lit(zoom)
+        txmin = tm.clamp_tile(tm.cover_min(mx0, z), z)
+        txmax = tm.clamp_tile(F.greatest(tm.cover_max(mx1, z), tm.cover_min(mx0, z)), z)
+        tymin = tm.clamp_tile(tm.cover_min(my0, z), z)
+        tymax = tm.clamp_tile(F.greatest(tm.cover_max(my1, z), tm.cover_min(my0, z)), z)
+        return (
+            df.withColumn("_tx", F.explode(F.sequence(txmin, txmax)))
+            .withColumn("_ty", F.explode(F.sequence(tymin, tymax)))
+            .withColumn(f"_cell_{side}", tm.pack_zxy(z, F.col("_tx"), F.col("_ty")))
+            .drop("_tx", "_ty")
+        )
+
+    lc = cover(left, lcols, "l").withColumnRenamed("_cell_l", "_cell")
+    rc = cover(right, rcols, "r").withColumnRenamed("_cell_r", "_cell")
+    j = lc.join(rc, "_cell", "inner").filter(
+        (F.col(lcols[0]) <= F.col(rcols[2]))
+        & (F.col(lcols[2]) >= F.col(rcols[0]))
+        & (F.col(lcols[1]) <= F.col(rcols[3]))
+        & (F.col(lcols[3]) >= F.col(rcols[1]))
+    )
+    return j.drop("_cell").dropDuplicates()
