@@ -1,38 +1,62 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+Registry lives in ``tilers_tools_spark/plans/queries.py`` — each entry
+exercises an operator family from SURVEY.md §2 (tiling core, tile-set
+transforms, spatial joins, training-data ops); engine-only entries (pandas
+UDF indexers, full render pipeline) have no SQL oracle and get the driver's
+rows-only check — their bit-level correctness is pinned by pytest against
+oracle/minitiler (tests/test_pipeline_vs_oracle.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tilers_tools_spark.plans.queries import QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on /root/testdata/sf0.001: derive event points, assign
+    XYZ tiles at zooms 6/8/10 (native column tile math), index each tile
+    with H3 + S2 (Arrow UDF indexers), aggregate tilemap metadata."""
+    sf_dir = "/root/testdata/sf0.001"
+    from tilers_tools_spark.plans.queries import _merc_pts, _tiles_at
+    from tilers_tools_spark.operators.spatial import _h3_cell_udf
+    from tilers_tools_spark.plans.queries import _s2_cell_udf
+    from tilers_tools_spark.functions import tilemath as tm
+
+    mp = _merc_pts(spark, sf_dir)
+    tiles = _tiles_at(mp, 6).unionByName(_tiles_at(mp, 8)).unionByName(_tiles_at(mp, 10))
+    span = tm.resolution(F.col("z")) * F.lit(float(tm.TILE))
+    tiles = tiles.withColumn("lon", tm.inv_merc_lon((F.col("x").cast("double") + 0.5) * span - F.lit(tm.ORIGIN)))
+    tiles = tiles.withColumn("lat", tm.inv_merc_lat((F.col("y").cast("double") + 0.5) * span - F.lit(tm.ORIGIN)))
+    tiles = tiles.withColumn("h3_cell", _h3_cell_udf(F.col("lat"), F.col("lon"), F.lit(7)))
+    tiles = tiles.withColumn("s2_cell", _s2_cell_udf(F.col("lat"), F.col("lon"), F.lit(12)))
+    return tiles.groupBy("z").agg(
+        F.count("*").alias("n_points"),
+        F.countDistinct("x", "y").alias("n_tiles"),
+        F.countDistinct("h3_cell").alias("n_h3"),
+        F.countDistinct("s2_cell").alias("n_s2"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator family from SURVEY.md §2."""
+    return {name: fn for name, (fn, _sql) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalents (omitted for engine-only ops)."""
+    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}

@@ -1,0 +1,138 @@
+"""Bench harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline = the BASELINE.json:2 metric: tiles/sec over
+decode + reproject + cut + H3/S2 assign on a synthetic images fixture
+(N = $BENCH_IMAGES, default 600 -> ~18k tiles). Also times the
+oracle-gated operator queries at the given sf, and (unless
+BENCH_SCALING=0) re-runs the pipeline at local[8] vs local[32] in fresh
+JVMs to report scaling efficiency eta = T32/(4*T8) (BASELINE.json:14
+evidence protocol — see BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+N_IMAGES = int(os.environ.get("BENCH_IMAGES", "600"))
+
+BENCH_QUERIES = [
+    "tile_assign_z8",
+    "tilemap_metadata",
+    "mbtiles_keys",
+    "base_zoom_hist",
+    "pip_polygons",
+    "knn",
+    "bbox_join",
+    "cell_pairs",
+    "dedup_exact",
+    "minhash_md5",
+    "embedding_topk",
+    "h3_s2_assign",
+]
+
+
+def _fixture_path(n: int) -> str:
+    path = f"/tmp/bench_images_{n}.parquet"
+    if not os.path.exists(path):
+        from fixtures import gen
+
+        gen.write_images_parquet(path, n, fmts=("raw", "png"))
+    return path
+
+
+def run_pipeline(spark, fixture: str) -> tuple[float, int]:
+    """Time the full decode+reproject+cut+index pipeline; returns (sec, tiles)."""
+    from tilers_tools_spark.operators.render import render_pyramid
+
+    images = spark.read.parquet(fixture)
+    t0 = time.time()
+    n_tiles = render_pyramid(images).select("z").count()
+    return time.time() - t0, n_tiles
+
+
+def scaling_probe(fixture: str) -> dict:
+    """Same job at local[8] and local[32] in fresh subprocesses."""
+    out = {}
+    code = (
+        "import sys, time, json; sys.path.insert(0, '/root/repo');"
+        "from tilers_tools_spark.session import get_spark;"
+        "from tilers_tools_spark.operators.render import render_pyramid;"
+        "spark = get_spark(master='local[{m}]', shuffle_partitions={m});"
+        "spark.sparkContext.setLogLevel('ERROR');"
+        "images = spark.read.parquet('{fx}').repartition({p});"
+        "t0 = time.time(); n = render_pyramid(images).select('z').count();"
+        "print(json.dumps({{'sec': time.time() - t0, 'tiles': n}}))"
+    )
+    for m in (8, 32):
+        r = subprocess.run(
+            [sys.executable, "-c", code.format(m=m, fx=fixture, p=4 * m)],
+            capture_output=True, text=True, timeout=1200,
+        )
+        line = [ln for ln in r.stdout.strip().splitlines() if ln.startswith("{")][-1]
+        out[f"local[{m}]"] = json.loads(line)
+    t8, t32 = out["local[8]"]["sec"], out["local[32]"]["sec"]
+    out["eta"] = round(t8 / (4.0 * t32), 3)
+    out["tiles_per_sec_8"] = round(out["local[8]"]["tiles"] / t8, 1)
+    out["tiles_per_sec_32"] = round(out["local[32]"]["tiles"] / t32, 1)
+    return out
+
+
+def main():
+    from tilers_tools_spark.plans.queries import QUERIES
+    from tilers_tools_spark.session import get_spark
+
+    fixture = _fixture_path(N_IMAGES)
+    spark = get_spark(app="bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings = {}
+    pipe_sec, n_tiles = run_pipeline(spark, fixture)
+    timings["tiles_pipeline"] = round(pipe_sec, 3)
+
+    for name in BENCH_QUERIES:
+        fn, _sql = QUERIES[name]
+        t0 = time.time()
+        try:
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        except Exception:
+            try:
+                fn(spark, SF_DIR).count()
+            except Exception as e:
+                timings[name] = f"error: {e}"[:120]
+                continue
+        timings[name] = round(time.time() - t0, 3)
+    spark.stop()
+
+    total = sum(v for v in timings.values() if isinstance(v, (int, float)))
+    result = {
+        "metric": "total headline-query seconds (pipeline + operator queries)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "n_images": N_IMAGES,
+        "n_tiles": n_tiles,
+        "pipeline_sec": round(pipe_sec, 3),
+        "tiles_per_sec": round(n_tiles / pipe_sec, 1),
+    }
+    if os.environ.get("BENCH_SCALING", "1") != "0":
+        try:
+            result["scaling"] = scaling_probe(fixture)
+        except Exception as e:
+            result["scaling"] = f"error: {e}"[:200]
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

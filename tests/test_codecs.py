@@ -1,0 +1,102 @@
+"""T0 — codec roundtrips, byte determinism, foreign-filter decode, PSNR."""
+
+import numpy as np
+import pytest
+
+from tilers_tools_spark.functions import codecs
+
+RNG = np.random.default_rng(3)
+
+
+@pytest.mark.parametrize("shape", [(16, 16, 3), (64, 48, 4), (33, 77, 1)])
+def test_png_roundtrip(shape):
+    arr = RNG.integers(0, 256, shape, dtype=np.uint8)
+    data = codecs.encode_png(arr)
+    back = codecs.decode_png(data)
+    assert np.array_equal(back.reshape(shape), arr)
+
+
+def test_png_deterministic():
+    arr = RNG.integers(0, 256, (256, 256, 4), dtype=np.uint8)
+    assert codecs.encode_png(arr) == codecs.encode_png(arr.copy())
+
+
+def test_raw_roundtrip():
+    arr = RNG.integers(0, 256, (31, 17, 3), dtype=np.uint8)
+    assert np.array_equal(codecs.decode_raw(codecs.encode_raw(arr)), arr)
+
+
+def test_png_foreign_filters():
+    """Decoder must handle Sub/Up/Average/Paeth scanlines (foreign PNGs)."""
+    import struct
+    import zlib
+
+    arr = RNG.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    h, w, c = arr.shape
+    bpp = c
+
+    def paeth(a, b, cc):
+        p = int(a) + int(b) - int(cc)
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int32)
+    filters = [0, 1, 2, 3, 4]
+    for r in range(h):
+        line = arr[r].reshape(-1).astype(np.int32)
+        f = filters[r % 5]
+        raw.append(f)
+        enc = np.zeros_like(line)
+        for i in range(len(line)):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            cc = prev[i - bpp] if i >= bpp else 0
+            if f == 0:
+                enc[i] = line[i]
+            elif f == 1:
+                enc[i] = (line[i] - a) & 0xFF
+            elif f == 2:
+                enc[i] = (line[i] - b) & 0xFF
+            elif f == 3:
+                enc[i] = (line[i] - ((a + b) >> 1)) & 0xFF
+            else:
+                enc[i] = (line[i] - paeth(a, b, cc)) & 0xFF
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (
+        codecs.PNG_SIG
+        + codecs._chunk(b"IHDR", ihdr)
+        + codecs._chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + codecs._chunk(b"IEND", b"")
+    )
+    assert np.array_equal(codecs.decode_png(data), arr)
+
+
+def test_palette_decode():
+    import struct
+    import zlib
+
+    pal = RNG.integers(0, 256, (4, 3), dtype=np.uint8)
+    idx = RNG.integers(0, 4, (6, 6), dtype=np.uint8)
+    ihdr = struct.pack(">IIBBBBB", 6, 6, 8, 3, 0, 0, 0)
+    lines = b"".join(b"\x00" + idx[r].tobytes() for r in range(6))
+    data = (
+        codecs.PNG_SIG
+        + codecs._chunk(b"IHDR", ihdr)
+        + codecs._chunk(b"PLTE", pal.tobytes())
+        + codecs._chunk(b"IDAT", zlib.compress(lines))
+        + codecs._chunk(b"IEND", b"")
+    )
+    out = codecs.decode_png(data)
+    assert np.array_equal(out, pal[idx])
+
+
+def test_to_rgba_and_psnr():
+    g = RNG.integers(0, 256, (8, 8), dtype=np.uint8)
+    rgba = codecs.to_rgba(g)
+    assert rgba.shape == (8, 8, 4) and (rgba[:, :, 3] == 255).all()
+    assert codecs.psnr(rgba, rgba) == float("inf")
+    noisy = rgba.astype(np.int32) + RNG.integers(-2, 3, rgba.shape)
+    assert codecs.psnr(rgba, np.clip(noisy, 0, 255).astype(np.uint8)) > 40.0

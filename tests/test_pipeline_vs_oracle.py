@@ -1,0 +1,71 @@
+"""T1/T2 — distributed pipeline vs minitiler oracle, bit-for-tile
+(BASELINE.json:6): identical (image_id, z, x, y) sets, identical H3/S2 ids,
+byte-identical PNG tiles, captions carried unchanged (BASELINE.json:15).
+"""
+
+import numpy as np
+import pytest
+
+from fixtures import gen
+from oracle import minitiler as mt
+from tilers_tools_spark.functions import codecs, h3lite
+from tilers_tools_spark.operators.render import render_pyramid
+
+
+@pytest.fixture(scope="module")
+def oracle_tiles():
+    out = {}
+    for rec in gen.gen_images(100, fmts=("raw", "png")):
+        for r in mt.tile_image(rec):
+            out[(r["image_id"], r["z"], r["x"], r["y"])] = r
+    return out
+
+
+@pytest.fixture(scope="module")
+def engine_tiles(spark, images_smoke):
+    df = spark.read.parquet(images_smoke)
+    return render_pyramid(df).toPandas()
+
+
+def test_key_sets_bit_for_tile(engine_tiles, oracle_tiles):
+    ekeys = set(zip(engine_tiles.image_id, engine_tiles.z, engine_tiles.x, engine_tiles.y))
+    assert ekeys == set(oracle_tiles.keys())
+    assert len(engine_tiles) == len(ekeys)  # no dup keys
+
+
+def test_xyz_y_and_schema(engine_tiles):
+    z = engine_tiles.z.to_numpy()
+    assert np.array_equal(engine_tiles.y_xyz.to_numpy(), (1 << z.astype(np.int64)) - 1 - engine_tiles.y.to_numpy())
+    assert engine_tiles.h3_res.between(0, 12).all()
+
+
+def test_pixels_byte_identical(engine_tiles, oracle_tiles):
+    sample = engine_tiles.sample(n=min(200, len(engine_tiles)), random_state=1)
+    for _, row in sample.iterrows():
+        o = oracle_tiles[(row.image_id, row.z, row.x, row.y)]
+        arr = codecs.decode_png(bytes(row.tile))
+        assert np.array_equal(arr, o["rgba"]), (row.image_id, row.z, row.x, row.y)
+        # byte-level: engine PNG encoder is deterministic
+        assert bytes(row.tile) == codecs.encode_tile_png(o["rgba"])
+
+
+def test_h3_s2_captions_match_oracle(engine_tiles, oracle_tiles):
+    for _, row in engine_tiles.sample(n=min(300, len(engine_tiles)), random_state=2).iterrows():
+        o = oracle_tiles[(row.image_id, row.z, row.x, row.y)]
+        assert row.s2_cell == o["s2_cell"]
+        assert row.caption == o["caption"]
+        h3_ora = int(h3lite.latlng_to_cell(np.array([o["lat"]]), np.array([o["lon"]]), mt.h3_res_for_zoom(row.z))[0])
+        assert row.h3_cell == h3_ora
+
+
+def test_determinism_across_parallelism(spark, images_smoke):
+    """T3: local partitioning must not affect results (order-insensitive)."""
+    df = spark.read.parquet(images_smoke)
+    a = render_pyramid(df.repartition(2)).drop("part_id").toPandas()
+    b = render_pyramid(df.repartition(13)).drop("part_id").toPandas()
+    key = ["image_id", "z", "x", "y"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a[key].equals(b[key])
+    assert all(bytes(x) == bytes(y) for x, y in zip(a.tile, b.tile))
+    assert (a.h3_cell.to_numpy() == b.h3_cell.to_numpy()).all()

@@ -1,0 +1,74 @@
+"""T4 — physical-plan asserts (SURVEY.md §5.2): column pruning keeps `bytes`
+out of planning scans, zoom predicates push down to parquet, PIP broadcasts
+the polygon side, salted repartition shows a shuffle on the salt keys.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tilers_tools_spark.operators import explode, spatial
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_explode_prunes_bytes(spark, images_smoke):
+    images = spark.read.parquet(images_smoke)
+    cover = explode.explode_cover(images)
+    plan = _plan(cover)
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan" in ln or "ReadSchema" in ln]
+    assert scan_lines, plan
+    for ln in scan_lines:
+        assert "bytes" not in ln, f"planning scan reads the fat column: {ln}"
+
+
+def test_zoom_filter_pushdown(spark, images_smoke, tmp_path):
+    images = spark.read.parquet(images_smoke)
+    from tilers_tools_spark.operators.render import render_pyramid
+
+    out = str(tmp_path / "tiles.parquet")
+    render_pyramid(images).write.partitionBy("z").parquet(out)
+    tiles = spark.read.parquet(out).filter(F.col("z") == 6).select("z", "x", "y")
+    plan = _plan(tiles)
+    assert "PartitionFilters" in plan and "z" in plan.split("PartitionFilters")[1][:80]
+
+
+def test_pip_broadcasts_polygons(spark, images_smoke, polygons_smoke):
+    import pandas as pd
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({"point_id": ["a", "b"], "lon": [139.7, 0.0], "lat": [35.7, 0.0]})
+    )
+    polys = spark.read.parquet(polygons_smoke)
+    j = spatial.pip_join(pts, polys, res=4)
+    assert "BroadcastHashJoin" in _plan(j)
+
+
+def test_whole_stage_codegen_on_tilemath(spark, images_smoke):
+    images = spark.read.parquet(images_smoke)
+    cover = explode.explode_cover(images)
+    plan = _plan(cover)
+    # executedPlan().toString() marks WholeStageCodegen stages with "*(n)"
+    assert "*(" in plan
+    # and the tile-range math must be inside codegen'd projects, not Python
+    assert "FLOOR" in plan and "ArrowEvalPython" in plan
+
+
+def test_explode_cover_latlon_not_null(spark, images_smoke):
+    images = spark.read.parquet(images_smoke)
+    row = explode.explode_cover(images).first()
+    assert row["lon"] is not None and row["lat"] is not None
+    assert -180.0 <= row["lon"] <= 180.0 and -85.06 <= row["lat"] <= 85.06
+
+
+def test_salted_repartition_shuffles_on_salt(spark, images_smoke):
+    images = spark.read.parquet(images_smoke)
+    cover = explode.explode_cover(images).withColumn("h3_cell", F.lit(1).cast("long"))
+    rep = explode.salted_repartition(cover, 8, salt_factor=4)
+    plan = _plan(rep)
+    assert "Exchange hashpartitioning" in plan and "salt" in plan

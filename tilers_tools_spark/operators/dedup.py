@@ -1,0 +1,171 @@
+"""Deduplication operators for large-scale training-data pipelines (task
+brief: exact, MinHash+LSH, SimHash, n-gram Jaccard — each over a documents
+table at 100TB scale).
+
+All hashing is expressed with built-in JVM-side functions where possible
+(md5/xxhash64, shingling via sequence+transform) so the hot path stays in
+whole-stage codegen; only the final small candidate sets touch Python.
+Scale notes per operator in docstrings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash (md5). One shuffle on the 128-bit digest;
+    keeps the min id per group (deterministic winner). At 100TB: hash is
+    computed map-side, shuffle carries (digest, id) only — project the text
+    away BEFORE the shuffle by re-joining winners back if the full row is
+    needed.
+    """
+    h = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+    w = Window.partitionBy("content_hash").orderBy(F.col(id_col).asc())
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .withColumn("group_size", F.count("*").over(Window.partitionBy("content_hash")))
+        .withColumn("is_canonical", F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def _shingles(text_col: str, k: int = 5):
+    """Character k-gram shingles as a native array column (no UDF)."""
+    t = F.lower(F.col(text_col))
+    n = F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
+    return F.transform(F.sequence(F.lit(1), n), lambda i: F.substr(t, i, F.lit(k)))
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 16, k: int = 5
+) -> DataFrame:
+    """MinHash signature per doc: min over shingle xxhash64(seed, shingle)
+    for `num_hashes` seeds. Pure column expressions (codegen; the
+    shingle array is materialized once per row and aggregated map-side —
+    no shuffle at all for signature computation).
+    """
+    sh = _shingles(text_col, k)
+    cols = [
+        F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(i), s))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return docs.select(F.col(id_col), *cols)
+
+
+def minhash_signatures_md5(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 4, k: int = 5
+) -> DataFrame:
+    """Portable MinHash variant: per-seed min of md5(seed || shingle) hex
+    strings (lexicographic min). Slower than the xxhash64 path but exactly
+    reproducible in any engine with md5 — used by the cross-engine
+    correctness oracle (__spark_entry__.oracle_sql).
+    """
+    sh = _shingles(text_col, k)
+    cols = [
+        F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(str(i)), s)))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return docs.select(F.col(id_col), *cols)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 5,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded LSH, verified by shingle-set
+    Jaccard. Scale path: band-key groupBy shuffles only (id, band_key);
+    exact verify joins shingle arrays back for the (tiny) candidate set
+    only. Returns (a, b, jaccard) with a < b.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, text_col, id_col, num_hashes, k)
+    band_cols = [
+        F.xxhash64(F.lit(b), *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+            f"band_{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    melted = banded.select(
+        F.col(id_col),
+        F.explode(F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("key")) for b in range(bands)])).alias(
+            "bk"
+        ),
+    ).select(id_col, "bk.band", "bk.key")
+    l = melted.select(F.col(id_col).alias("a"), "band", "key")
+    r = melted.select(F.col(id_col).alias("b"), "band", "key")
+    cand = (
+        l.join(r, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sh = docs.select(F.col(id_col), F.array_distinct(_shingles(text_col, k)).alias("sh"))
+    j = (
+        cand.join(sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sha")), "a")
+        .join(sh.select(F.col(id_col).alias("b"), F.col("sh").alias("shb")), "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sha", "shb")).cast("double")
+            / F.size(F.array_union("sha", "shb")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("a", "b", "jaccard")
+    )
+    return j
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash over whitespace tokens, fully JVM-side: per-token
+    xxhash64, bit-vote via aggregate over an exploded bit index is avoided —
+    instead sum sign contributions per bit with a fold over 64 bit masks.
+    Narrow (no shuffle).
+    """
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    # vote for each bit: count tokens with bit set minus tokens with bit clear
+    bit_cols = []
+    for b in range(bits):
+        vote = F.aggregate(
+            th,
+            F.lit(0),
+            lambda acc, h: acc + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bit_cols.append(F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(1 << b).cast("long") if b < 63 else F.when(vote > 0, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long")))
+    sim = bit_cols[0]
+    for c in bit_cols[1:]:
+        sim = sim + c
+    return docs.select(F.col(id_col), sim.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5, threshold: float = 0.8, length_band: int = 32
+) -> DataFrame:
+    """All-pairs n-gram Jaccard within length bands (cheap blocking for
+    small/medium corpora; MinHash-LSH is the scale path). Returns
+    (a, b, jaccard) with a < b.
+    """
+    sh = docs.select(
+        F.col(id_col),
+        (F.length(text_col) / length_band).cast("long").alias("_band"),
+        F.array_distinct(_shingles(text_col, k)).alias("sh"),
+    )
+    l = sh.select(F.col(id_col).alias("a"), F.col("_band"), F.col("sh").alias("sha"))
+    r = sh.select(F.col(id_col).alias("b"), F.col("_band").alias("_band_r"), F.col("sh").alias("shb"))
+    cand = l.join(r, (F.col("_band") >= F.col("_band_r") - 1) & (F.col("_band") <= F.col("_band_r") + 1) & (F.col("a") < F.col("b")))
+    return (
+        cand.withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sha", "shb")).cast("double")
+            / F.size(F.array_union("sha", "shb")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )

@@ -1,0 +1,132 @@
+"""Multimodal column operators (task brief): image/audio/video as opaque
+binary columns with typed metadata; decode / feature-extract / resize /
+frame-sample as Arrow-batched UDFs over mapInPandas.
+
+The Spark-side plumbing (schemas, batch shapes, partition behavior, UDF
+signatures) is real and tested; the image path is fully functional via the
+engine's own pure-NumPy codecs. Audio/video decoding needs codec libraries
+that are absent on this box (SURVEY.md §7 [ENV]) — those paths raise
+NotImplementedError behind a capability gate, or produce a documented
+deterministic fake when `deterministic_fake=True` (so downstream plumbing
+is exercised end-to-end in tests).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..functions import codecs
+
+IMAGE_FEATURES_SCHEMA = (
+    "image_id string, w int, h int, n_bands int, mean_r double, mean_g double, "
+    "mean_b double, std_gray double, edge_energy double, phash64 long"
+)
+
+
+def _phash64(gray: np.ndarray) -> int:
+    """DCT-free average-hash variant on an 8x8 downsample (deterministic)."""
+    h, w = gray.shape
+    ys = (np.arange(8) * h // 8).clip(0, h - 1)
+    xs = (np.arange(8) * w // 8).clip(0, w - 1)
+    small = gray[ys][:, xs]
+    bits = (small > small.mean()).astype(np.uint64).ravel()
+    return int(np.int64((bits << np.arange(64, dtype=np.uint64)).sum().astype(np.int64)))
+
+
+def image_features(images: DataFrame) -> DataFrame:
+    """Decode + feature-extract per image (Arrow batches; pure NumPy)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf[["image_id", "bytes", "fmt"]].to_dict("records"):
+                arr = codecs.to_rgba(codecs.decode_image(bytes(rec["bytes"]), rec["fmt"]))
+                rgb = arr[:, :, :3].astype(np.float64)
+                gray = rgb.mean(axis=2)
+                gy, gx = np.gradient(gray)
+                rows.append(
+                    (
+                        rec["image_id"],
+                        arr.shape[1],
+                        arr.shape[0],
+                        int(arr.shape[2]),
+                        float(rgb[:, :, 0].mean()),
+                        float(rgb[:, :, 1].mean()),
+                        float(rgb[:, :, 2].mean()),
+                        float(gray.std()),
+                        float(np.sqrt(gx * gx + gy * gy).mean()),
+                        _phash64(gray),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "w", "h", "n_bands", "mean_r", "mean_g", "mean_b",
+                    "std_gray", "edge_energy", "phash64",
+                ],
+            )
+
+    return images.mapInPandas(fn, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def image_resize(images: DataFrame, out_w: int = 64, out_h: int = 64) -> DataFrame:
+    """Bilinear resize -> PNG thumbnails (same sampling math as the tiler)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, thumbs = [], []
+            for rec in pdf[["image_id", "bytes", "fmt"]].to_dict("records"):
+                arr = codecs.to_rgba(codecs.decode_image(bytes(rec["bytes"]), rec["fmt"])).astype(np.float64)
+                h, w = arr.shape[:2]
+                sy = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+                sx = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+                y0 = np.clip(np.floor(sy).astype(int), 0, h - 1)
+                y1 = np.clip(y0 + 1, 0, h - 1)
+                x0 = np.clip(np.floor(sx).astype(int), 0, w - 1)
+                x1 = np.clip(x0 + 1, 0, w - 1)
+                fy = (sy - np.floor(sy))[:, None, None]
+                fx = (sx - np.floor(sx))[None, :, None]
+                out = (
+                    arr[y0][:, x0] * (1 - fy) * (1 - fx)
+                    + arr[y0][:, x1] * (1 - fy) * fx
+                    + arr[y1][:, x0] * fy * (1 - fx)
+                    + arr[y1][:, x1] * fy * fx
+                )
+                ids.append(rec["image_id"])
+                thumbs.append(codecs.encode_png(np.clip(out + 0.5, 0, 255).astype(np.uint8)))
+            yield pd.DataFrame({"image_id": ids, "thumb": thumbs})
+
+    return images.mapInPandas(fn, schema="image_id string, thumb binary")
+
+
+def audio_frame_sample(
+    media: DataFrame, frames: int = 16, deterministic_fake: bool = False
+) -> DataFrame:
+    """Audio decode + fixed-rate frame sampling. STUB: no audio codec libs
+    offline — with `deterministic_fake`, emits seeded pseudo-frames derived
+    from the payload hash so schema/partitioning/batching is fully
+    exercised; otherwise raises NotImplementedError.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "audio decode requires codec libraries not present offline; "
+                    "run with deterministic_fake=True to exercise the plumbing"
+                )
+            rows = []
+            for rec in pdf[["media_id", "payload"]].to_dict("records"):
+                seed = np.frombuffer(
+                    np.frombuffer(bytes(rec["payload"])[:8].ljust(8, b"\0"), dtype=np.uint8), dtype=np.uint8
+                ).sum()
+                rng = np.random.default_rng(int(seed))
+                for i in range(frames):
+                    rows.append((rec["media_id"], i, float(rng.standard_normal()), float(rng.uniform())))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "rms", "zcr"])
+
+    return media.mapInPandas(fn, schema="media_id string, frame_idx int, rms double, zcr double")

@@ -75,10 +75,13 @@ def s2_level_for_zoom(z: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _render_tile(rgba, geo, z: int, tx: int, ty: int) -> np.ndarray:
+def _render_tile(src, geo, z: int, tx: int, ty: int) -> np.ndarray:
     """256x256 RGBA via inverse-mapping bilinear; contract of
-    oracle/minitiler.render_tile, vectorized 2-D (same elementwise ops)."""
-    h, w = rgba.shape[:2]
+    oracle/minitiler.render_tile, vectorized 2-D (same elementwise ops).
+    `src` is the float64 (H,W,3) RGB plane, converted ONCE per image
+    (uint8->float64 is exact, so convert-then-gather == gather-then-convert).
+    """
+    h, w = src.shape[:2]
     res = tm.RES0 / (2.0**z)
     span = res * TILE
     tmx0 = tx * span - tm.ORIGIN
@@ -102,12 +105,16 @@ def _render_tile(rgba, geo, z: int, tx: int, ty: int) -> np.ndarray:
     c1c = np.clip(c0 + 1, 0, w - 1)
     r0c = np.clip(r0, 0, h - 1)
     r1c = np.clip(r0 + 1, 0, h - 1)
-    src = rgba[:, :, :3].astype(np.float64)
+    # separable: column-lerp the needed source-row band once, then row-lerp.
+    # (a*(1-f)+b*f)[rows] == a[rows]*(1-f)+b[rows]*f elementwise -> identical
+    # float64 results to the direct 4-gather form (oracle contract).
+    rmin = int(r0c.min())
+    rmax = int(r1c.max())
+    sub = src[rmin : rmax + 1]
     fc2 = fc[None, :, None]
+    cols = sub[:, c0c] * (1.0 - fc2) + sub[:, c1c] * fc2
     fr2 = fr[:, None, None]
-    top = src[r0c[:, None], c0c[None, :]] * (1.0 - fc2) + src[r0c[:, None], c1c[None, :]] * fc2
-    bot = src[r1c[:, None], c0c[None, :]] * (1.0 - fc2) + src[r1c[:, None], c1c[None, :]] * fc2
-    val = top * (1.0 - fr2) + bot * fr2
+    val = cols[r0c - rmin] * (1.0 - fr2) + cols[r1c - rmin] * fr2
     out = np.zeros((TILE, TILE, 4), dtype=np.uint8)
     valid = vrow[:, None] & vcol[None, :]
     rgb = np.clip(val + 0.5, 0.0, 255.0).astype(np.uint8)
@@ -120,8 +127,11 @@ def _render_tile(rgba, geo, z: int, tx: int, ty: int) -> np.ndarray:
 
 def _downsample(quad: np.ndarray, resampling: str) -> np.ndarray:
     if resampling == "average":
-        m = quad.reshape(TILE, 2, TILE, 2, 4).astype(np.float64).mean(axis=(1, 3))
-        return np.clip(m + 0.5, 0.0, 255.0).astype(np.uint8)
+        # integer-exact fast path: floor(mean + 0.5) == (sum + 2) >> 2 for
+        # uint8 2x2 blocks — byte-identical to the oracle's float mean
+        q = quad.astype(np.uint16)
+        s = q[0::2, 0::2] + q[0::2, 1::2] + q[1::2, 0::2] + q[1::2, 1::2]
+        return ((s + 2) >> 2).astype(np.uint8)
     if resampling == "nearest":
         return quad[::2, ::2]
     if resampling == "antialias":  # separable Lanczos-3 (oracle contract)
@@ -150,6 +160,7 @@ def render_image_pyramid(rec: dict, overview_levels: int = 2, resampling: str = 
     ph = np.array([rec["phash"]], dtype=np.uint64)
     g = georef.derive_georef_np(ph, np.array([rec["w"]]), np.array([rec["h"]]))
     geo = {k: float(v[0]) for k, v in g.items()}
+    src = rgba[:, :, :3].astype(np.float64)  # convert once per image
     zb = int(tm.base_zoom_np(np.array([geo["gsd"]]))[0]) if zmax is None else int(zmax)
     zlo = max(0, zb - overview_levels) if zmin is None else int(zmin)
     txmin, txmax, tymin, tymax = (
@@ -161,7 +172,7 @@ def render_image_pyramid(rec: dict, overview_levels: int = 2, resampling: str = 
     level = {}
     for tx in range(txmin, txmax + 1):
         for ty in range(tymin, tymax + 1):
-            arr = _render_tile(rgba, geo, zb, tx, ty)
+            arr = _render_tile(src, geo, zb, tx, ty)
             if arr is not None:
                 level[(zb, tx, ty)] = arr
     out = dict(level)
@@ -218,7 +229,7 @@ def render_pyramid(
                 tiles = render_image_pyramid(rec, overview_levels, resampling, zmin, zmax)
                 for (z, tx, ty), arr in sorted(tiles.items()):
                     rows.append(
-                        (rec["image_id"], z, tx, ty, rec["caption"], codecs.encode_png(arr))
+                        (rec["image_id"], z, tx, ty, rec["caption"], codecs.encode_tile_png(arr))
                     )
             if not rows:
                 continue

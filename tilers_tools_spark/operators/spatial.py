@@ -70,22 +70,26 @@ def polygon_cover_cells(polygons_pdf: pd.DataFrame, res: int = 5, samples: int =
     Returns exploded (poly_id, h3_cell) pandas DataFrame.
     """
     rows = []
+    # approx cell linear size in degrees at `res` (face ~63.4° / sqrt(7)^res)
+    cell_deg = 70.0 / (7.0 ** (res / 2.0))
     for _, p in polygons_pdf.iterrows():
         ring = p["ring"]
         lons = np.array([v["lon"] for v in ring])
         lats = np.array([v["lat"] for v in ring])
-        gl = np.linspace(lons.min(), lons.max(), samples)
-        gt = np.linspace(lats.min(), lats.max(), samples)
+        extent = max(lons.max() - lons.min(), lats.max() - lats.min(), 1e-6)
+        n = int(np.clip(4.0 * extent / cell_deg, samples, 160))
+        gl = np.linspace(lons.min(), lons.max(), n)
+        gt = np.linspace(lats.min(), lats.max(), n)
         gx, gy = np.meshgrid(gl, gt)
         all_lon = np.concatenate([gx.ravel(), lons])
         all_lat = np.concatenate([gy.ravel(), lats])
         cells = np.unique(h3lite.latlng_to_cell(all_lat, all_lon, res))
-        # pad with neighbors-by-sampling: jitter half-cell offsets
-        for dl in (-0.5, 0.5):
-            step_lon = (gl[1] - gl[0]) if len(gl) > 1 else 0.1
-            step_lat = (gt[1] - gt[0]) if len(gt) > 1 else 0.1
+        # pad with neighbors-by-sampling: jitter grid-step offsets in 4 dirs
+        step_lon = (gl[1] - gl[0]) if len(gl) > 1 else 0.1
+        step_lat = (gt[1] - gt[0]) if len(gt) > 1 else 0.1
+        for dx, dy in ((-0.6, -0.6), (0.6, 0.6), (-0.6, 0.6), (0.6, -0.6)):
             cells = np.union1d(
-                cells, h3lite.latlng_to_cell(all_lat + dl * step_lat, all_lon + dl * step_lon, res)
+                cells, h3lite.latlng_to_cell(all_lat + dy * step_lat, all_lon + dx * step_lon, res)
             )
         rows += [(p["poly_id"], int(c)) for c in np.unique(cells)]
     return pd.DataFrame(rows, columns=["poly_id", "h3_cell_cover"])

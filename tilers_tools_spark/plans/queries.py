@@ -1,0 +1,574 @@
+"""Driver-contract query registry: every entry pairs a Spark DataFrame
+callable with (where SQL-expressible) a DuckDB oracle SQL string computing
+the same result on the same parquet tables (see __spark_entry__.py).
+
+Cross-engine determinism rules used throughout:
+* all float literals are inlined via repr() from the SAME Python double, so
+  Spark and DuckDB parse identical values;
+* power-of-two scalings are exact in binary FP, so span(z) computed either
+  as RES0/2^z*256 or 2*ORIGIN/2^z is bit-identical;
+* `x * x` is used instead of pow(x, 2) on both sides;
+* casts double->long only where the value is non-negative (Spark truncates,
+  DuckDB CAST rounds — avoided; DuckDB // used where needed);
+* ties in top-k are broken by explicit secondary sort keys on both sides.
+
+Geo columns are derived deterministically from integer keys (events has no
+lon/lat) with overflow-free integer math valid in both engines.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import tilemath as tm
+from ..operators import ann, convert, dedup, spatial, text
+
+O = repr(tm.ORIGIN)  # 20037508.342789244
+K_MERC_X = repr(tm.ORIGIN / 180.0)
+K_MERC_Y = repr(math.pi / 360.0)
+RES0 = repr(tm.RES0)
+TWO_O = repr(2.0 * tm.ORIGIN)
+
+
+def _span(z: int) -> float:
+    return tm.RES0 / (2.0**z) * tm.TILE
+
+
+# ---------------------------------------------------------------------------
+# derived point/box sources (shared by Spark + SQL)
+# ---------------------------------------------------------------------------
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id",
+        (F.col("event_id") * 9973 % 360000 / 1000.0 - 180.0).alias("lon"),
+        (F.col("event_id") * 7919 % 168000 / 1000.0 - 84.0).alias("lat"),
+    )
+
+
+_PTS_SQL = """
+pts AS (
+  SELECT event_id,
+         (event_id*9973) % 360000 / 1e3 - 180e0 AS lon,
+         (event_id*7919) % 168000 / 1e3 - 84e0  AS lat
+  FROM events
+),
+m AS (
+  SELECT event_id, lon, lat,
+         lon * {kx} AS mx,
+         ln(tan((90e0 + lat) * {ky})) * 6378137e0 AS my
+  FROM pts
+)
+""".format(kx=K_MERC_X, ky=K_MERC_Y)
+
+
+def _merc_pts(spark, sf_dir) -> DataFrame:
+    p = _points(spark, sf_dir)
+    return p.select(
+        "event_id", "lon", "lat", tm.merc_x("lon").alias("mx"), tm.merc_y("lat").alias("my")
+    )
+
+
+def _tiles_at(df: DataFrame, z: int) -> DataFrame:
+    zz = F.lit(z)
+    return df.select(
+        "event_id",
+        F.lit(z).cast("long").alias("z"),
+        tm.tile_x(F.col("mx"), zz).alias("x"),
+        tm.tile_y_tms(F.col("my"), zz).alias("y"),
+    )
+
+
+def _tiles_sql(z: int) -> str:
+    n = 2**z - 1
+    span = repr(_span(z))
+    return f"""
+tiles AS (
+  SELECT event_id, CAST({z} AS BIGINT) AS z,
+         GREATEST(0, LEAST({n}, CAST(FLOOR((mx + {O}) / {span}) AS BIGINT))) AS x,
+         GREATEST(0, LEAST({n}, CAST(FLOOR((my + {O}) / {span}) AS BIGINT))) AS y
+  FROM m
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# 1. tiling core (SURVEY.md §2.3 rows 11/14-15, §2.4 rows 21-22, §2.1 rows 4-6)
+# ---------------------------------------------------------------------------
+
+
+def q_tile_assign_z8(spark, sf_dir):
+    t = _tiles_at(_merc_pts(spark, sf_dir), 8)
+    return t.withColumn("y_xyz", tm.tms_to_xyz(F.col("y"), F.col("z"))).groupBy(
+        "z", "x", "y_xyz"
+    ).agg(F.count("*").alias("n"))
+
+
+SQL_TILE_ASSIGN_Z8 = f"""
+WITH {_PTS_SQL}, {_tiles_sql(8)}
+SELECT z, x, 255 - y AS y_xyz, count(*) AS n FROM tiles GROUP BY z, x, y
+"""
+
+
+def q_tilemap_metadata(spark, sf_dir):
+    mp = _merc_pts(spark, sf_dir)
+    parts = [ _tiles_at(mp, z) for z in (6, 8, 10) ]
+    tiles = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return convert.tilemap_metadata(tiles.select("z", "x", "y"))
+
+
+SQL_TILEMAP_METADATA = (
+    "WITH " + _PTS_SQL + ", allt AS ("
+    + " UNION ALL ".join(
+        f"""SELECT CAST({z} AS BIGINT) AS z,
+        GREATEST(0, LEAST({2**z - 1}, CAST(FLOOR((mx + {O}) / {repr(_span(z))}) AS BIGINT))) AS x,
+        GREATEST(0, LEAST({2**z - 1}, CAST(FLOOR((my + {O}) / {repr(_span(z))}) AS BIGINT))) AS y FROM m"""
+        for z in (6, 8, 10)
+    )
+    + ") SELECT z, min(x) AS xmin, max(x) AS xmax, min(y) AS ymin, max(y) AS ymax, count(*) AS n_tiles FROM allt GROUP BY z"
+)
+
+
+def q_scheme_paths(spark, sf_dir):
+    t = _tiles_at(_merc_pts(spark, sf_dir), 7).select("z", "x", "y").distinct()
+    t = t.withColumn("tile", F.lit(b""))
+    t = convert.tile_path(t, "xyz").withColumnRenamed("path", "path_xyz")
+    t = convert.tile_path(t, "tms").withColumnRenamed("path", "path_tms")
+    t = convert.tile_path(t, "zyx").withColumnRenamed("path", "path_zyx")
+    t = convert.sasplanet_path(t).withColumnRenamed("path", "path_sas")
+    t = convert.maemo_mapper_path(t).withColumnRenamed("path", "path_maemo")
+    return t.select("z", "x", "y", "path_xyz", "path_tms", "path_zyx", "path_sas", "path_maemo")
+
+
+SQL_SCHEME_PATHS = f"""
+WITH {_PTS_SQL}, {_tiles_sql(7)}, d AS (SELECT DISTINCT z, x, y FROM tiles)
+SELECT z, x, y,
+  printf('%d/%d/%d.png', z, x, 127 - y) AS path_xyz,
+  printf('%d/%d/%d.png', z, x, y)       AS path_tms,
+  printf('%d/%d/%d.png', z, 127 - y, x) AS path_zyx,
+  printf('z%d/%d/x%d/%d/y%d.png', z + 1, x // 1024, x, (127 - y) // 1024, 127 - y) AS path_sas,
+  printf('%d/%d/%d.png', z + 1, x, 127 - y) AS path_maemo
+FROM d
+"""
+
+
+def q_mbtiles_keys(spark, sf_dir):
+    t = _tiles_at(_merc_pts(spark, sf_dir), 8).withColumn("tile", F.lit(b""))
+    kv = convert.to_mbtiles_keys(t.select(F.col("z").cast("int").alias("z"), "x", "y", "tile"))
+    return kv.groupBy("zoom_level", "tile_column", "tile_row").agg(F.count("*").alias("n"))
+
+
+SQL_MBTILES_KEYS = f"""
+WITH {_PTS_SQL}, {_tiles_sql(8)}
+SELECT CAST(z AS INTEGER) AS zoom_level, x AS tile_column, y AS tile_row, count(*) AS n
+FROM tiles GROUP BY 1, 2, 3
+"""
+
+
+def q_base_zoom_hist(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    gsd = F.lit(16.0) * F.pow(F.lit(2.0), F.col("event_id") % 600 / 100.0)
+    return (
+        ev.select(tm.base_zoom(gsd).alias("z_base"))
+        .groupBy("z_base")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_BASE_ZOOM_HIST = f"""
+SELECT GREATEST(0, LEAST(30, CAST(CEIL(LOG2({RES0} / (16e0 * power(2e0, (event_id % 600) / 1e2)))) AS BIGINT))) AS z_base,
+       count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. spatial joins (SURVEY.md §2.5)
+# ---------------------------------------------------------------------------
+
+_RECTS = {
+    "polyA": (10.0005, -20.0005, 50.0005, 10.0005),
+    "polyB": (-150.0005, 20.0005, -90.0005, 60.0005),
+}
+_TRI = [(60.0005, -30.0005), (120.0005, -30.0005), (90.0005, 30.0005)]  # CCW
+
+
+def q_pip_polygons(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    rows = []
+    for pid, (x0, y0, x1, y1) in _RECTS.items():
+        rows.append((pid, [{"lon": x0, "lat": y0}, {"lon": x1, "lat": y0}, {"lon": x1, "lat": y1}, {"lon": x0, "lat": y1}]))
+    rows.append(("polyC", [{"lon": a, "lat": b} for a, b in _TRI]))
+    polys = spark.createDataFrame(rows, "poly_id string, ring array<struct<lon:double,lat:double>>")
+    j = spatial.pip_join(pts, polys, res=3)
+    return j.select("event_id", "poly_id")
+
+
+def _tri_sql():
+    conds = []
+    n = len(_TRI)
+    for i in range(n):
+        x1, y1 = _TRI[i]
+        x2, y2 = _TRI[(i + 1) % n]
+        conds.append(f"(({x2!r} - {x1!r}) * (lat - {y1!r}) - ({y2!r} - {y1!r}) * (lon - {x1!r})) > 0")
+    return " AND ".join(conds)
+
+
+SQL_PIP_POLYGONS = (
+    "WITH " + _PTS_SQL + " "
+    + " UNION ALL ".join(
+        [
+            f"SELECT event_id, '{pid}' AS poly_id FROM pts WHERE lon > {x0!r} AND lon < {x1!r} AND lat > {y0!r} AND lat < {y1!r}"
+            for pid, (x0, y0, x1, y1) in _RECTS.items()
+        ]
+        + [f"SELECT event_id, 'polyC' AS poly_id FROM pts WHERE {_tri_sql()}"]
+    )
+)
+
+_KNN_QUERIES = [
+    ("q%02d" % i, round(-160.0 + 21.7 * i, 4), round(-60.0 + 8.3 * i, 4)) for i in range(15)
+] + [("q15", 139.75, 35.68)]
+
+
+def q_knn(spark, sf_dir):
+    pts = _points(spark, sf_dir).withColumnRenamed("event_id", "point_id")
+    qdf = spark.createDataFrame(pd.DataFrame(_KNN_QUERIES, columns=["query_id", "lon", "lat"]))
+    res = spatial.knn_join(qdf, pts, k=5, zoom=5)
+    return res.select("query_id", "point_id", F.col("rank").cast("long").alias("rank"))
+
+
+SQL_KNN = (
+    "WITH "
+    + _PTS_SQL
+    + ", q(query_id, qlon, qlat) AS (VALUES "
+    + ", ".join(f"('{qid}', {lon!r}, {lat!r})" for qid, lon, lat in _KNN_QUERIES)
+    + f"""),
+qm AS (SELECT query_id, CAST(qlon AS DOUBLE) * {K_MERC_X} AS qmx,
+              ln(tan((90e0 + CAST(qlat AS DOUBLE)) * {K_MERC_Y})) * 6378137e0 AS qmy FROM q),
+d AS (SELECT qm.query_id, m.event_id AS point_id,
+        sqrt((qm.qmx - m.mx) * (qm.qmx - m.mx) + (qm.qmy - m.my) * (qm.qmy - m.my)) AS dist
+      FROM qm, m)
+SELECT query_id, point_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, point_id ASC) AS BIGINT) AS rank
+FROM d QUALIFY rank <= 5
+"""
+)
+
+
+def _boxes(spark, sf_dir, prefix):
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    cx = (F.col("s_suppkey") * 131 % 10000 - 5000) * 1000.0
+    cy = (F.col("s_suppkey") * 197 % 8000 - 4000) * 1000.0
+    hw = (F.col("s_suppkey") % 37 * 20 + 50) * 1000.0
+    hh = (F.col("s_suppkey") % 41 * 18 + 50) * 1000.0
+    return s.select(
+        F.col("s_suppkey").alias(f"{prefix}id"),
+        (cx - hw).alias(f"{prefix}mx0"),
+        (cy - hh).alias(f"{prefix}my0"),
+        (cx + hw).alias(f"{prefix}mx1"),
+        (cy + hh).alias(f"{prefix}my1"),
+    )
+
+
+def q_bbox_join(spark, sf_dir):
+    l = _boxes(spark, sf_dir, "l")
+    r = _boxes(spark, sf_dir, "r")
+    j = spatial.bbox_join(l, r, zoom=4)
+    return j.filter(F.col("lid") < F.col("rid")).select("lid", "rid")
+
+
+SQL_BBOX_JOIN = """
+WITH b AS (
+  SELECT s_suppkey AS id,
+         ((s_suppkey*131) % 10000 - 5000) * 1e3 - ((s_suppkey % 37) * 20 + 50) * 1e3 AS mx0,
+         ((s_suppkey*197) % 8000 - 4000) * 1e3 - ((s_suppkey % 41) * 18 + 50) * 1e3 AS my0,
+         ((s_suppkey*131) % 10000 - 5000) * 1e3 + ((s_suppkey % 37) * 20 + 50) * 1e3 AS mx1,
+         ((s_suppkey*197) % 8000 - 4000) * 1e3 + ((s_suppkey % 41) * 18 + 50) * 1e3 AS my1
+  FROM supplier)
+SELECT a.id AS lid, c.id AS rid
+FROM b a, b c
+WHERE a.id < c.id AND a.mx0 <= c.mx1 AND a.mx1 >= c.mx0 AND a.my0 <= c.my1 AND a.my1 >= c.my0
+"""
+
+
+def q_cell_pairs(spark, sf_dir):
+    t = _tiles_at(_merc_pts(spark, sf_dir), 9)
+    cells = t.withColumn("cell", tm.pack_zxy(F.col("z"), F.col("x"), F.col("y"))).select(
+        "event_id", "cell"
+    )
+    other = cells.select(F.col("event_id").alias("eid2"), "cell")
+    j = spatial.cell_join(cells, other, key="cell")
+    return j.groupBy("cell").agg(F.count("*").alias("n_pairs"))
+
+
+SQL_CELL_PAIRS = f"""
+WITH {_PTS_SQL}, {_tiles_sql(9)},
+c AS (SELECT z * 288230376151711744 + x * 536870912 + y AS cell, count(*) AS cnt FROM tiles GROUP BY 1)
+SELECT cell, cnt * cnt AS n_pairs FROM c
+"""
+
+
+def q_resume_anti_join(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    planned = ev.withColumn("part_id", (F.col("event_id") % 64).cast("long"))
+    done = spark.range(0, 64, 3).select(F.col("id").alias("part_id"))
+    remaining = planned.join(done, "part_id", "left_anti")
+    return remaining.groupBy("part_id").agg(F.count("*").alias("n"))
+
+
+SQL_RESUME_ANTI = """
+SELECT (event_id % 64) AS part_id, count(*) AS n
+FROM events WHERE (event_id % 64) % 3 <> 0 GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. training-data ops (dedup / text / ANN) over documents + embeddings
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.exact_dedup(docs).select("doc_id", "content_hash", "group_size", "is_canonical")
+
+
+SQL_DEDUP_EXACT = """
+SELECT doc_id, md5(text) AS content_hash,
+       count(*) OVER (PARTITION BY md5(text)) AS group_size,
+       row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) = 1 AS is_canonical
+FROM documents
+"""
+
+
+def q_token_stats(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_out"),
+        text.token_count("text").cast("long").alias("n_tokens"),
+        text.bpe_ish_token_count("text").cast("long").alias("n_subwords"),
+    )
+
+
+SQL_TOKEN_STATS = r"""
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_out,
+  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]{1,8}|\d{1,3}|[^\sA-Za-z0-9]')) AS BIGINT) AS n_subwords
+FROM documents
+"""
+
+
+def q_quality(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.quality_features(docs).select(
+        "doc_id", "punct_ratio", "upper_ratio", "digit_ratio", "stopword_ratio", "mean_word_len", "quality_score"
+    )
+
+
+_STOPLIST_SQL = "[" + ", ".join(f"'{s}'" for s in text._STOPWORDS) + "]"
+
+SQL_QUALITY = rf"""
+WITH f AS (
+  SELECT doc_id,
+    CAST(length(text) AS DOUBLE) AS n,
+    GREATEST(CAST(length(text) AS DOUBLE), 1e0) AS n_safe,
+    CAST(length(regexp_replace(text, '[^!-/:-@\[-`{{-~]', '', 'g')) AS DOUBLE) AS punct,
+    CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) AS upper_c,
+    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS digits,
+    CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS ntok,
+    CAST(len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')), {_STOPLIST_SQL})) AS DOUBLE) AS stop
+  FROM documents)
+SELECT doc_id,
+  punct / n_safe AS punct_ratio,
+  upper_c / n_safe AS upper_ratio,
+  digits / n_safe AS digit_ratio,
+  stop / GREATEST(ntok, 1e0) AS stopword_ratio,
+  n / GREATEST(ntok, 1e0) AS mean_word_len,
+  GREATEST(LEAST(1e0 - LEAST(punct / n_safe * 4e0, 0.5e0) - LEAST(digits / n_safe * 2e0, 0.3e0)
+                 + LEAST(stop / GREATEST(ntok, 1e0) * 2e0, 0.2e0), 1e0), 0e0) AS quality_score
+FROM f
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.lang_id(docs)
+
+
+def _lang_sql():
+    score_exprs = []
+    for lang, markers in text._LANG_MARKERS.items():
+        s = " + ".join(f"CASE WHEN t LIKE '%{m}%' THEN 1 ELSE 0 END" for m in markers)
+        score_exprs.append(f"({s}) AS s_{lang}")
+    langs_desc = sorted(text._LANG_MARKERS, reverse=True)  # lexicographically last wins ties
+    pick = "CASE WHEN mx = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{l} = mx THEN '{l}'" for l in langs_desc
+    ) + " END"
+    return f"""
+WITH t0 AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents),
+s AS (SELECT doc_id, {", ".join(score_exprs)} FROM t0),
+g AS (SELECT doc_id, s_en, s_de, s_fr, s_es, s_it, GREATEST(s_en, s_de, s_fr, s_es, s_it) AS mx FROM s)
+SELECT doc_id, {pick} AS lang_pred, mx AS lang_score FROM g
+"""
+
+
+SQL_LANG_ID = _lang_sql()
+
+
+def q_minhash_md5(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.minhash_signatures_md5(docs, num_hashes=4, k=5)
+
+
+SQL_MINHASH_MD5 = """
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, GREATEST(length(lower(text)) - 4, 1) + 1),
+                               i -> substr(lower(text), i::INT, 5))) AS s
+  FROM documents)
+SELECT doc_id,
+  min(md5('0' || s)) AS mh_0,
+  min(md5('1' || s)) AS mh_1,
+  min(md5('2' || s)) AS mh_2,
+  min(md5('3' || s)) AS mh_3
+FROM sh GROUP BY doc_id
+"""
+
+
+def q_embedding_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 4).select(F.col("vec_id").alias("query_id"), "embedding")
+    res = ann.brute_force_topk(q, emb, k=10)
+    return res.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+
+
+SQL_EMBEDDING_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 4),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (SELECT q.query_id, c.vec_id,
+        list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+      FROM q, c)
+SELECT query_id, vec_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+FROM s QUALIFY rank <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. engine-only queries (no SQL oracle -> driver rows-only check)
+# ---------------------------------------------------------------------------
+
+
+def q_h3_s2_assign(spark, sf_dir):
+    """H3/S2 indexer assignment over event points (indexers are pure-NumPy
+    Arrow UDFs; no SQL equivalent exists in DuckDB offline)."""
+    from ..operators.spatial import _h3_cell_udf
+
+    pts = _points(spark, sf_dir)
+    pts = pts.withColumn("h3_cell", _h3_cell_udf(F.col("lat"), F.col("lon"), F.lit(7)))
+    pts = pts.withColumn("s2_cell", _s2_cell_udf(F.col("lat"), F.col("lon"), F.lit(12)))
+    return pts.groupBy("h3_cell").agg(
+        F.count("*").alias("n"), F.countDistinct("s2_cell").alias("n_s2")
+    )
+
+
+from pyspark.sql.types import LongType
+
+
+@F.pandas_udf(LongType())
+def _s2_cell_udf(lat: pd.Series, lon: pd.Series, level: pd.Series) -> pd.Series:
+    from ..functions import s2lite
+
+    lv = int(level.iloc[0])
+    return pd.Series(s2lite.latlng_to_cell(lat.to_numpy(np.float64), lon.to_numpy(np.float64), lv))
+
+
+def q_pyramid_smoke(spark, sf_dir):
+    """Flagship pipeline on a deterministic in-memory 24-image fixture:
+    decode -> reproject -> cut -> overview -> H3/S2 assign. Rows-only check
+    (pixel/bit-level correctness is pinned by pytest vs oracle/minitiler)."""
+    from fixtures import gen
+    from ..operators.render import render_pyramid
+
+    rows = [
+        (r["image_id"], r["bytes"], r["w"], r["h"], r["fmt"], r["caption"], r["phash"])
+        for r in gen.gen_images(24, fmts=("raw", "png"))
+    ]
+    images = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+    )
+    tiles = render_pyramid(images)
+    return tiles.select(
+        "image_id", "z", "x", "y", "h3_cell", "s2_cell", F.md5(F.col("tile")).alias("tile_md5"), "caption"
+    )
+
+
+def q_simhash(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash(docs)
+
+
+def q_lsh_pairs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4, jaccard_threshold=0.3)
+
+
+def q_image_features(spark, sf_dir):
+    from fixtures import gen
+    from ..operators import multimodal
+
+    rows = [
+        (r["image_id"], r["bytes"], r["w"], r["h"], r["fmt"], r["caption"], r["phash"])
+        for r in gen.gen_images(16, fmts=("raw", "png"))
+    ]
+    images = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+    )
+    return multimodal.image_features(images)
+
+
+def q_ann_lsh(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 4).select(F.col("vec_id").alias("query_id"), "embedding")
+    dim = len(emb.select("embedding").first()["embedding"])
+    return ann.lsh_topk(q, emb, k=10, bits=8, dim=dim)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict = {
+    # tiling core
+    "tile_assign_z8": (q_tile_assign_z8, SQL_TILE_ASSIGN_Z8),
+    "tilemap_metadata": (q_tilemap_metadata, SQL_TILEMAP_METADATA),
+    "scheme_paths": (q_scheme_paths, SQL_SCHEME_PATHS),
+    "mbtiles_keys": (q_mbtiles_keys, SQL_MBTILES_KEYS),
+    "base_zoom_hist": (q_base_zoom_hist, SQL_BASE_ZOOM_HIST),
+    # spatial
+    "pip_polygons": (q_pip_polygons, SQL_PIP_POLYGONS),
+    "knn": (q_knn, SQL_KNN),
+    "bbox_join": (q_bbox_join, SQL_BBOX_JOIN),
+    "cell_pairs": (q_cell_pairs, SQL_CELL_PAIRS),
+    "resume_anti_join": (q_resume_anti_join, SQL_RESUME_ANTI),
+    # training-data ops
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "quality_features": (q_quality, SQL_QUALITY),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "minhash_md5": (q_minhash_md5, SQL_MINHASH_MD5),
+    "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
+    # engine-only (rows-only checks)
+    "h3_s2_assign": (q_h3_s2_assign, None),
+    "pyramid_smoke": (q_pyramid_smoke, None),
+    "simhash": (q_simhash, None),
+    "minhash_lsh_pairs": (q_lsh_pairs, None),
+    "image_features": (q_image_features, None),
+    "ann_lsh": (q_ann_lsh, None),
+}

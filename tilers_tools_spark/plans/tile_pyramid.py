@@ -1,0 +1,109 @@
+"""E1' — the flagship pipeline: images table -> tiles table with lineage +
+idempotent resume (SURVEY.md §3.2, BASELINE.json:6).
+
+Stages:
+  1. plan: split the images scan into part ranges (pmod(xxhash64(image_id), P))
+  2. resume: left-anti join planned parts against checkpoint 'done' rows
+  3. render: shuffle-free mapInPandas pyramid per image (operators/render.py)
+  4. cluster: salted repartition on (zoom, h3_cell) for the sink (BASELINE.json:6)
+  5. sink: atomic append per part batch (Iceberg or manifest-parquet fallback)
+  6. lineage: df.observe counters -> checkpoint rows (rows_in, tiles_out)
+
+Idempotency: a part either commits (tiles batch + 'done' checkpoint row) or
+leaves nothing visible; re-running the same run_id skips done parts
+(left-anti), so a kill-after-zoom-k rerun yields a byte-identical table
+(tested in tests/test_resume.py, T3).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.explode import salt_column
+from ..operators.render import render_pyramid
+from ..sources.catalog import Catalog
+
+TILES_TABLE = "tiles"
+CHECKPOINT_TABLE = "checkpoint"
+
+
+def plan_parts(images: DataFrame, n_parts: int) -> DataFrame:
+    """Deterministic part assignment on image_id (narrow, no shuffle)."""
+    return images.withColumn("part_id", F.pmod(F.xxhash64("image_id"), F.lit(n_parts)).cast("int"))
+
+
+def done_parts(cat: Catalog, run_id: str) -> DataFrame:
+    if not cat.exists(CHECKPOINT_TABLE):
+        return cat.spark.createDataFrame([], "part_id int")
+    cp = cat.read(CHECKPOINT_TABLE)
+    return cp.filter((F.col("run_id") == run_id) & (F.col("status") == "done")).select("part_id").distinct()
+
+
+def run(
+    spark: SparkSession,
+    images: DataFrame,
+    cat: Catalog,
+    run_id: str,
+    n_parts: int = 8,
+    overview_levels: int = 2,
+    resampling: str = "average",
+    salt_factor: int = 8,
+    sink_partitions: int | None = None,
+    max_parts: int | None = None,
+) -> dict:
+    """Execute the pyramid for every not-yet-done part. Returns metrics.
+
+    `max_parts` stops after that many part commits (used by the T3 resume
+    test to simulate a mid-run kill between atomic part batches).
+    """
+    planned = plan_parts(images, n_parts)
+    done = done_parts(cat, run_id)
+    todo_parts = sorted(
+        r["part_id"] for r in planned.select("part_id").distinct().join(done, "part_id", "left_anti").collect()
+    )
+    if max_parts is not None:
+        todo_parts = todo_parts[:max_parts]
+    metrics = {"parts_run": 0, "rows_in": 0, "tiles_out": 0}
+    shuffle_n = sink_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    for part in todo_parts:
+        part_images = planned.filter(F.col("part_id") == part).drop("part_id")
+        obs_in = Observation(f"in_{part}")
+        obs_out = Observation(f"out_{part}")
+        src = part_images.observe(obs_in, F.count(F.lit(1)).alias("rows_in"))
+        t0 = time.time()
+        tiles = render_pyramid(src, overview_levels=overview_levels, resampling=resampling)
+        tiles = tiles.withColumn("part_id", F.lit(part))
+        tiles = tiles.observe(obs_out, F.count(F.lit(1)).alias("tiles_out"))
+        # sink clustering: salted (zoom, h3_cell) repartition [B:6]
+        clustered = tiles.withColumn("salt", salt_column("h3_cell", "z", salt_factor)).repartition(
+            shuffle_n, F.col("z"), F.col("salt")
+        ).drop("salt")
+        cat.append(clustered, TILES_TABLE, partition_by=("z",))
+        rows_in = obs_in.get["rows_in"]
+        tiles_out = obs_out.get["tiles_out"]
+        cp_row = [
+            (
+                run_id,
+                str(part),
+                -1,  # zoom = -1 marks a whole-part commit (all zooms in batch)
+                "done",
+                int(rows_in),
+                int(tiles_out),
+                t0,
+                time.time(),
+            )
+        ]
+        cp_df = spark.createDataFrame(
+            cp_row,
+            "run_id string, part_id string, zoom int, status string, rows_in long, tiles_out long, started_ts double, finished_ts double",
+        ).withColumn("part_id", F.col("part_id").cast("int")).withColumn(
+            "started_ts", F.col("started_ts").cast("timestamp")
+        ).withColumn("finished_ts", F.col("finished_ts").cast("timestamp"))
+        cat.append(cp_df, CHECKPOINT_TABLE)
+        metrics["parts_run"] += 1
+        metrics["rows_in"] += int(rows_in)
+        metrics["tiles_out"] += int(tiles_out)
+    return metrics
