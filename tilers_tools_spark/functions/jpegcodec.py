@@ -1,0 +1,431 @@
+"""Baseline JPEG (ITU T.81) encoder/decoder in NumPy + stdlib — M7
+(SURVEY.md §7): exercises the PSNR>=40dB lossy invariant (BASELINE.json:15)
+with no PIL/libjpeg on the box [ENV].
+
+Encoder: 8-bit 4:4:4 (or grayscale), JFIF YCbCr, Annex-K quant tables
+scaled to quality (libjpeg scaling), standard Huffman tables, single
+interleaved scan, byte-stuffed entropy data. Block DCT/quantization is
+vectorized over all blocks (einsum); only the entropy coding loops are
+Python (documented slow path — tile-sized images are fine).
+
+Decoder: reads DQT/DHT/SOF0/SOS from the stream (so correctness is
+self-contained even against other baseline encoders with embedded tables),
+16-bit-peek Huffman LUTs, vectorized dequant + IDCT, JFIF YCbCr->RGB.
+Supports baseline, non-progressive, 1x1 sampling (what the encoder emits),
+optional restart markers.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# Annex K quantization tables (natural order)
+_QL = np.array(
+    [16,11,10,16,24,40,51,61, 12,12,14,19,26,58,60,55, 14,13,16,24,40,57,69,56,
+     14,17,22,29,51,87,80,62, 18,22,37,56,68,109,103,77, 24,35,55,64,81,104,113,92,
+     49,64,78,87,103,121,120,101, 72,92,95,98,112,100,103,99], dtype=np.int32).reshape(8, 8)
+_QC = np.array(
+    [17,18,24,47,99,99,99,99, 18,21,26,66,99,99,99,99, 24,26,56,99,99,99,99,99,
+     47,66,99,99,99,99,99,99, 99,99,99,99,99,99,99,99, 99,99,99,99,99,99,99,99,
+     99,99,99,99,99,99,99,99, 99,99,99,99,99,99,99,99], dtype=np.int32).reshape(8, 8)
+
+# standard Huffman specs: (bits[1..16], values)
+_DC_L = ([0,1,5,1,1,1,1,1,1,0,0,0,0,0,0,0], list(range(12)))
+_DC_C = ([0,3,1,1,1,1,1,1,1,1,1,0,0,0,0,0], list(range(12)))
+_AC_L = (
+    [0,2,1,3,3,2,4,3,5,5,4,4,0,0,1,125],
+    [0x01,0x02,0x03,0x00,0x04,0x11,0x05,0x12,0x21,0x31,0x41,0x06,0x13,0x51,0x61,0x07,
+     0x22,0x71,0x14,0x32,0x81,0x91,0xA1,0x08,0x23,0x42,0xB1,0xC1,0x15,0x52,0xD1,0xF0,
+     0x24,0x33,0x62,0x72,0x82,0x09,0x0A,0x16,0x17,0x18,0x19,0x1A,0x25,0x26,0x27,0x28,
+     0x29,0x2A,0x34,0x35,0x36,0x37,0x38,0x39,0x3A,0x43,0x44,0x45,0x46,0x47,0x48,0x49,
+     0x4A,0x53,0x54,0x55,0x56,0x57,0x58,0x59,0x5A,0x63,0x64,0x65,0x66,0x67,0x68,0x69,
+     0x6A,0x73,0x74,0x75,0x76,0x77,0x78,0x79,0x7A,0x83,0x84,0x85,0x86,0x87,0x88,0x89,
+     0x8A,0x92,0x93,0x94,0x95,0x96,0x97,0x98,0x99,0x9A,0xA2,0xA3,0xA4,0xA5,0xA6,0xA7,
+     0xA8,0xA9,0xAA,0xB2,0xB3,0xB4,0xB5,0xB6,0xB7,0xB8,0xB9,0xBA,0xC2,0xC3,0xC4,0xC5,
+     0xC6,0xC7,0xC8,0xC9,0xCA,0xD2,0xD3,0xD4,0xD5,0xD6,0xD7,0xD8,0xD9,0xDA,0xE1,0xE2,
+     0xE3,0xE4,0xE5,0xE6,0xE7,0xE8,0xE9,0xEA,0xF1,0xF2,0xF3,0xF4,0xF5,0xF6,0xF7,0xF8,
+     0xF9,0xFA],
+)
+_AC_C = (
+    [0,2,1,2,4,4,3,4,7,5,4,4,0,1,2,119],
+    [0x00,0x01,0x02,0x03,0x11,0x04,0x05,0x21,0x31,0x06,0x12,0x41,0x51,0x07,0x61,0x71,
+     0x13,0x22,0x32,0x81,0x08,0x14,0x42,0x91,0xA1,0xB1,0xC1,0x09,0x23,0x33,0x52,0xF0,
+     0x15,0x62,0x72,0xD1,0x0A,0x16,0x24,0x34,0xE1,0x25,0xF1,0x17,0x18,0x19,0x1A,0x26,
+     0x27,0x28,0x29,0x2A,0x35,0x36,0x37,0x38,0x39,0x3A,0x43,0x44,0x45,0x46,0x47,0x48,
+     0x49,0x4A,0x53,0x54,0x55,0x56,0x57,0x58,0x59,0x5A,0x63,0x64,0x65,0x66,0x67,0x68,
+     0x69,0x6A,0x73,0x74,0x75,0x76,0x77,0x78,0x79,0x7A,0x82,0x83,0x84,0x85,0x86,0x87,
+     0x88,0x89,0x8A,0x92,0x93,0x94,0x95,0x96,0x97,0x98,0x99,0x9A,0xA2,0xA3,0xA4,0xA5,
+     0xA6,0xA7,0xA8,0xA9,0xAA,0xB2,0xB3,0xB4,0xB5,0xB6,0xB7,0xB8,0xB9,0xBA,0xC2,0xC3,
+     0xC4,0xC5,0xC6,0xC7,0xC8,0xC9,0xCA,0xD2,0xD3,0xD4,0xD5,0xD6,0xD7,0xD8,0xD9,0xDA,
+     0xE2,0xE3,0xE4,0xE5,0xE6,0xE7,0xE8,0xE9,0xEA,0xF2,0xF3,0xF4,0xF5,0xF6,0xF7,0xF8,
+     0xF9,0xFA],
+)
+
+_ZIGZAG = np.array(
+    [0,1,8,16,9,2,3,10,17,24,32,25,18,11,4,5,12,19,26,33,40,48,41,34,27,20,13,6,7,14,
+     21,28,35,42,49,56,57,50,43,36,29,22,15,23,30,37,44,51,58,59,52,45,38,31,39,46,53,
+     60,61,54,47,55,62,63], dtype=np.int64)
+
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = (np.sqrt(1 / 8) if _k == 0 else 0.5) * np.cos((2 * _n + 1) * _k * np.pi / 16)
+
+
+def _scale_q(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = max(1, min(100, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+def _canonical_codes(bits, values):
+    codes = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[values[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+def _rgb_to_ycc(rgb: np.ndarray):
+    r = rgb[:, :, 0].astype(np.float64)
+    g = rgb[:, :, 1].astype(np.float64)
+    b = rgb[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+    return y, cb, cr
+
+
+def _blocks(plane: np.ndarray) -> np.ndarray:
+    """(H,W) -> (nb, 8, 8), edge-replicated to multiples of 8, row-major MCUs."""
+    h, w = plane.shape
+    H = (h + 7) // 8 * 8
+    W = (w + 7) // 8 * 8
+    p = np.empty((H, W), dtype=np.float64)
+    p[:h, :w] = plane
+    p[h:, :w] = plane[-1:, :]
+    p[:h, w:] = p[:h, w - 1 : w]
+    p[h:, w:] = p[h - 1, w - 1]
+    return p.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+
+
+def _encode_value(v: int):
+    a = abs(v)
+    n = a.bit_length()
+    return n, (v if v >= 0 else v + (1 << n) - 1)
+
+
+def encode_jpeg(rgb: np.ndarray, quality: int = 90) -> bytes:
+    """uint8 (H,W,3) RGB (or (H,W)/(H,W,1) gray) -> baseline JFIF bytes."""
+    gray = rgb.ndim == 2 or rgb.shape[2] == 1
+    if rgb.ndim == 3 and rgb.shape[2] == 1:
+        rgb = rgb[:, :, 0]
+    h, w = rgb.shape[:2]
+    ql = _scale_q(_QL, quality)
+    qc = _scale_q(_QC, quality)
+    if gray:
+        planes = [(rgb.astype(np.float64), ql, 0)]
+    else:
+        y, cb, cr = _rgb_to_ycc(rgb)
+        planes = [(y, ql, 0), (cb, qc, 1), (cr, qc, 1)]
+    # vectorized DCT + quant per plane
+    quantized = []
+    for plane, q, _tid in planes:
+        blocks = _blocks(plane) - 128.0
+        coeff = np.einsum("kn,bnm,lm->bkl", _C, blocks, _C)
+        qv = np.round(coeff / q).astype(np.int32)
+        quantized.append(qv.reshape(-1, 64)[:, _ZIGZAG])
+    dc_l = _canonical_codes(*_DC_L)
+    ac_l = _canonical_codes(*_AC_L)
+    dc_c = _canonical_codes(*_DC_C)
+    ac_c = _canonical_codes(*_AC_C)
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    nblocks = quantized[0].shape[0]
+    for bi in range(nblocks):
+        for ci, zz in enumerate(quantized):
+            dct, act = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
+            blk = zz[bi]
+            diff = int(blk[0]) - preds[ci]
+            preds[ci] = int(blk[0])
+            n, bitsv = _encode_value(diff)
+            c, ln = dct[n]
+            bw.write(c, ln)
+            if n:
+                bw.write(bitsv, n)
+            run = 0
+            nz = np.nonzero(blk[1:])[0]
+            last = nz[-1] + 1 if len(nz) else 0
+            for k in range(1, last + 1):
+                v = int(blk[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, ln = act[0xF0]
+                    bw.write(c, ln)
+                    run -= 16
+                n, bitsv = _encode_value(v)
+                c, ln = act[(run << 4) | n]
+                bw.write(c, ln)
+                bw.write(bitsv, n)
+                run = 0
+            if last < 63:
+                c, ln = act[0x00]
+                bw.write(c, ln)
+    bw.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(ql.reshape(-1)[_ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += seg(0xDB, bytes([1]) + bytes(qc.reshape(-1)[_ZIGZAG].astype(np.uint8)))
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += seg(0xC0, sof)
+
+    def dht(tclass, tid, spec):
+        bits, vals = spec
+        return seg(0xC4, bytes([tclass << 4 | tid]) + bytes(bits) + bytes(vals))
+
+    out += dht(0, 0, _DC_L) + dht(1, 0, _AC_L)
+    if not gray:
+        out += dht(0, 1, _DC_C) + dht(1, 1, _AC_C)
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+def _build_lut(bits, vals):
+    """16-bit-peek LUT: lut[peek16] = (symbol << 5) | codelen."""
+    lut = np.zeros(1 << 16, dtype=np.int32)
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            lo = code << (16 - ln)
+            hi = (code + 1) << (16 - ln)
+            lut[lo:hi] = (vals[k] << 5) | ln
+            code += 1
+            k += 1
+        code <<= 1
+    return lut
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qt = {}
+    huff = {}
+    comps = []
+    h = w = None
+    restart_interval = 0
+    scan = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        ln = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        payload = data[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:
+            i = 0
+            while i < len(payload):
+                pq, tq = payload[i] >> 4, payload[i] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tab = np.zeros(64, dtype=np.int32)
+                tab[_ZIGZAG] = np.frombuffer(payload[i + 1 : i + 65], dtype=np.uint8)
+                qt[tq] = tab.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(payload):
+                tc, th = payload[i] >> 4, payload[i] & 0xF
+                bits = list(payload[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(payload[i + 17 : i + 17 + nv])
+                huff[(tc, th)] = _build_lut(bits, vals)
+                i += 17 + nv
+            # noqa
+        elif marker in (0xC0, 0xC1):
+            prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit baseline")
+            comps = []
+            for ci in range(nc):
+                cid, samp, tq = payload[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11:
+                    raise ValueError("only 1x1 sampling supported")
+                comps.append({"id": cid, "tq": tq})
+        elif marker in (0xC2, 0xC3) or (0xC5 <= marker <= 0xCF and marker != 0xC8):
+            raise ValueError("non-baseline JPEG unsupported")
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", payload[:2])[0]
+        elif marker == 0xDA:
+            ns = payload[0]
+            for si in range(ns):
+                cid, tt = payload[1 + 2 * si : 3 + 2 * si]
+                for c in comps:
+                    if c["id"] == cid:
+                        c["dc"] = tt >> 4
+                        c["ac"] = tt & 0xF
+            scan = pos
+            break
+    if scan is None or h is None:
+        raise ValueError("truncated JPEG")
+    # unstuff entropy bytes up to EOI / next marker (keeping RST handling)
+    raw = bytearray()
+    rst_positions = []
+    i = scan
+    while i < len(data) - 1:
+        b = data[i]
+        if b == 0xFF:
+            nb = data[i + 1]
+            if nb == 0x00:
+                raw.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nb <= 0xD7:
+                rst_positions.append(len(raw))
+                i += 2
+                continue
+            break
+        raw.append(b)
+        i += 1
+    bitdata = bytes(raw)
+    # big-int bit reader with 16-bit peeks
+    nbytes = len(bitdata)
+    bitlen = nbytes * 8
+    stream = int.from_bytes(bitdata + b"\x00\x00\x00", "big")
+    total_shift = (nbytes + 3) * 8
+
+    state = {"pos": 0}
+
+    def peek16():
+        sh = total_shift - state["pos"] - 16
+        return (stream >> sh) & 0xFFFF
+
+    def get_bits(n):
+        if n == 0:
+            return 0
+        sh = total_shift - state["pos"] - n
+        state["pos"] += n
+        return (stream >> sh) & ((1 << n) - 1)
+
+    def extend(v, n):
+        return v - (1 << n) + 1 if n and v < (1 << (n - 1)) else v
+
+    mbx = (w + 7) // 8
+    mby = (h + 7) // 8
+    nblocks = mbx * mby
+    nc = len(comps)
+    coeffs = [np.zeros((nblocks, 64), dtype=np.int32) for _ in range(nc)]
+    preds = [0] * nc
+    rst_set = set(rst_positions)
+    for bi in range(nblocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            # byte-align and reset DC predictors at restart boundary
+            state["pos"] = (state["pos"] + 7) // 8 * 8
+            preds = [0] * nc
+        for ci, c in enumerate(comps):
+            dlut = huff[(0, c["dc"])]
+            alut = huff[(1, c["ac"])]
+            e = dlut[peek16()]
+            sym, ln = e >> 5, e & 31
+            if ln == 0:
+                raise ValueError("bad Huffman code")
+            state["pos"] += ln
+            diff = extend(get_bits(sym), sym)
+            preds[ci] += diff
+            blk = coeffs[ci][bi]
+            blk[0] = preds[ci]
+            k = 1
+            while k < 64:
+                e = alut[peek16()]
+                sym, ln = e >> 5, e & 31
+                if ln == 0:
+                    raise ValueError("bad Huffman code")
+                state["pos"] += ln
+                if sym == 0x00:
+                    break
+                if sym == 0xF0:
+                    k += 16
+                    continue
+                run, size = sym >> 4, sym & 0xF
+                k += run
+                if k > 63:
+                    break
+                blk[k] = extend(get_bits(size), size)
+                k += 1
+    # dequant + IDCT vectorized
+    planes = []
+    for ci, c in enumerate(comps):
+        q = qt[c["tq"]]
+        zz = np.zeros((nblocks, 64), dtype=np.float64)
+        zz[:, _ZIGZAG] = coeffs[ci]
+        blocks = zz.reshape(-1, 8, 8) * q
+        pix = np.einsum("nk,bkl,ml->bnm", _C.T, blocks, _C.T) + 128.0
+        plane = pix.reshape(mby, mbx, 8, 8).transpose(0, 2, 1, 3).reshape(mby * 8, mbx * 8)
+        planes.append(plane[:h, :w])
+    if nc == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[:, :, None]
+    y, cb, cr = planes
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.dstack([r, g, b])), 0, 255).astype(np.uint8)

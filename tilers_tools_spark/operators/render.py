@@ -170,10 +170,47 @@ def render_image_pyramid(rec: dict, overview_levels: int = 2, resampling: str = 
         )
     )
     level = {}
+    # column-interp depends only on tx -> compute once per tile column and
+    # share across the ty range (identical elementwise float64 ops as
+    # _render_tile, hoisted; bit-identical, property-tested vs oracle)
+    res = tm.RES0 / (2.0**zb)
+    span = res * TILE
+    h_src, w_src = src.shape[:2]
+    cc = np.arange(TILE, dtype=np.float64)
     for tx in range(txmin, txmax + 1):
+        tmx0 = tx * span - tm.ORIGIN
+        mx = tmx0 + (cc + 0.5) * res
+        vcol = (mx >= geo["mx0"]) & (mx < geo["mx1"])
+        if not vcol.any():
+            continue
+        sc = (mx - geo["mx0"]) / geo["gsd"] - 0.5
+        c0 = np.floor(sc)
+        fc = sc - c0
+        c0 = c0.astype(np.int64)
+        c0c = np.clip(c0, 0, w_src - 1)
+        c1c = np.clip(c0 + 1, 0, w_src - 1)
+        fc2 = fc[None, :, None]
+        cols_full = src[:, c0c] * (1.0 - fc2) + src[:, c1c] * fc2  # (H, 256, 3)
         for ty in range(tymin, tymax + 1):
-            arr = _render_tile(src, geo, zb, tx, ty)
-            if arr is not None:
+            tmy1 = (ty + 1) * span - tm.ORIGIN
+            my = tmy1 - (cc + 0.5) * res
+            vrow = (my > geo["my0"]) & (my <= geo["my1"])
+            if not vrow.any():
+                continue
+            sr = (geo["my1"] - my) / geo["gsd"] - 0.5
+            r0 = np.floor(sr)
+            fr = sr - r0
+            r0 = r0.astype(np.int64)
+            r0c = np.clip(r0, 0, h_src - 1)
+            r1c = np.clip(r0 + 1, 0, h_src - 1)
+            fr2 = fr[:, None, None]
+            val = cols_full[r0c] * (1.0 - fr2) + cols_full[r1c] * fr2
+            valid = vrow[:, None] & vcol[None, :]
+            rgb = np.clip(val + 0.5, 0.0, 255.0).astype(np.uint8)
+            arr = np.zeros((TILE, TILE, 4), dtype=np.uint8)
+            arr[:, :, :3] = np.where(valid[:, :, None], rgb, 0)
+            arr[:, :, 3] = np.where(valid, 255, 0)
+            if arr[:, :, 3].max() != 0:
                 level[(zb, tx, ty)] = arr
     out = dict(level)
     z = zb

@@ -22,7 +22,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 def iceberg_available(spark: SparkSession) -> bool:
     try:
-        spark._jvm.org.apache.iceberg.Schema  # noqa: B018
+        # py4j returns a silent JavaPackage for unknown attrs, so probe the
+        # classloader explicitly
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.Schema")
         return True
     except Exception:
         return False
@@ -83,8 +85,19 @@ class Catalog:
         commits = self._commits(table)
         if not commits:
             raise FileNotFoundError(f"table {table} has no commits")
-        paths = [os.path.join(self._tdir(table), c) for c in commits]
-        return self.spark.read.option("basePath", self._tdir(table)).parquet(*paths)
+        from functools import reduce
+
+        from pyspark.sql import DataFrame as _DF
+
+        # each batch dir is its own partition-discovery root (the table dir
+        # mixes batch-* dirs, which confuses a single basePath scan)
+        dfs = [
+            self.spark.read.option("basePath", os.path.join(self._tdir(table), c)).parquet(
+                os.path.join(self._tdir(table), c)
+            )
+            for c in commits
+        ]
+        return reduce(_DF.unionByName, dfs)
 
     def exists(self, table: str) -> bool:
         if self.use_iceberg:
