@@ -55,36 +55,48 @@ def run_pipeline(spark, fixture: str) -> tuple[float, int]:
     """Time the full decode+reproject+cut+index pipeline; returns (sec, tiles)."""
     from tilers_tools_spark.operators.render import render_pyramid
 
-    images = spark.read.parquet(fixture)
+    # fixture is a single parquet file with MB-scale rows: split explicitly
+    # so all cores render (a 100TB table has thousands of files instead)
+    images = spark.read.parquet(fixture).repartition(int(CPUS) * 4)
     t0 = time.time()
     n_tiles = render_pyramid(images).select("z").count()
     return time.time() - t0, n_tiles
 
 
-def scaling_probe(fixture: str) -> dict:
-    """Same job at local[8] and local[32] in fresh subprocesses."""
+_PROBE_CODE = (
+    "import sys, time, json; sys.path.insert(0, '/root/repo');"
+    "from tilers_tools_spark.session import get_spark;"
+    "from tilers_tools_spark.operators.render import render_pyramid;"
+    "spark = get_spark(master='local[{m}]', shuffle_partitions={m});"
+    "spark.sparkContext.setLogLevel('ERROR');"
+    "images = spark.read.parquet('{fx}').repartition({p});"
+    "t0 = time.time(); n = render_pyramid(images, encode='{enc}').select('z').count();"
+    "print(json.dumps({{'sec': time.time() - t0, 'tiles': n}}))"
+)
+
+
+def scaling_probe(fixture: str, cores=(2, 8, 32), encode: str = "png") -> dict:
+    """Same job on the same input at several parallelism levels, each in a
+    fresh JVM. Reports the N->4N efficiency pairs the protocol asks for
+    (BASELINE.md): eta(2->8) and eta(8->32). See BENCH/BASELINE.md for the
+    single-box memory-bandwidth ceiling analysis (~4 GB/s measured on this
+    VM) that bounds eta at high core counts.
+    """
     out = {}
-    code = (
-        "import sys, time, json; sys.path.insert(0, '/root/repo');"
-        "from tilers_tools_spark.session import get_spark;"
-        "from tilers_tools_spark.operators.render import render_pyramid;"
-        "spark = get_spark(master='local[{m}]', shuffle_partitions={m});"
-        "spark.sparkContext.setLogLevel('ERROR');"
-        "images = spark.read.parquet('{fx}').repartition({p});"
-        "t0 = time.time(); n = render_pyramid(images).select('z').count();"
-        "print(json.dumps({{'sec': time.time() - t0, 'tiles': n}}))"
-    )
-    for m in (8, 32):
+    for m in cores:
         r = subprocess.run(
-            [sys.executable, "-c", code.format(m=m, fx=fixture, p=4 * m)],
-            capture_output=True, text=True, timeout=1200,
+            [sys.executable, "-c", _PROBE_CODE.format(m=m, fx=fixture, p=max(4 * m, 16), enc=encode)],
+            capture_output=True, text=True, timeout=1800,
         )
         line = [ln for ln in r.stdout.strip().splitlines() if ln.startswith("{")][-1]
-        out[f"local[{m}]"] = json.loads(line)
-    t8, t32 = out["local[8]"]["sec"], out["local[32]"]["sec"]
-    out["eta"] = round(t8 / (4.0 * t32), 3)
-    out["tiles_per_sec_8"] = round(out["local[8]"]["tiles"] / t8, 1)
-    out["tiles_per_sec_32"] = round(out["local[32]"]["tiles"] / t32, 1)
+        d = json.loads(line)
+        d["tiles_per_sec"] = round(d["tiles"] / d["sec"], 1)
+        out[f"local[{m}]"] = d
+    for lo, hi in zip(cores, cores[1:]):
+        if hi == 4 * lo:
+            out[f"eta_{lo}to{hi}"] = round(
+                out[f"local[{lo}]"]["sec"] / (4.0 * out[f"local[{hi}]"]["sec"]), 3
+            )
     return out
 
 

@@ -123,9 +123,13 @@ def render_tile(rgba_src: np.ndarray, geo: dict, z: int, tx: int, ty_tms: int) -
 
     Contract (engine must match bit-for-bit):
     * dest pixel (r,c) center meters: mx = tmx0 + (c+0.5)*res ; my = tmy1 - (r+0.5)*res
-    * source px coords: sc = (mx - mx0)/gsd - 0.5 ; sr = (my1 - my)/gsd - 0.5
+      (float64 geometry)
+    * source px coords: sc = (mx - mx0)/gsd - 0.5 ; sr = (my1 - my)/gsd - 0.5 (float64)
     * validity in meter space: mx0 <= mx < mx1 and my0 < my <= my1 -> alpha else 0
-    * bilinear on clamped integer neighbors; round half up: uint8(val + 0.5)
+    * 8.8 fixed-point bilinear on clamped integer neighbors, columns lerped
+      before rows: weight wq = floor(frac*256 + 0.5) in [0, 256]; per stage
+      out = (a*(256-wq) + b*wq + 128) >> 8 in uint16 (a*(256-wq)+b*wq <=
+      255*256, no overflow). Quantized bilinear, standard SIMD practice.
     """
     h, w = rgba_src.shape[:2]
     res = res_at(z)
@@ -135,6 +139,7 @@ def render_tile(rgba_src: np.ndarray, geo: dict, z: int, tx: int, ty_tms: int) -
     out = np.zeros((TILE, TILE, 4), dtype=np.uint8)
     cc = np.arange(TILE, dtype=np.float64)
     mx = tmx0 + (cc + 0.5) * res  # per-column meters
+    src16 = rgba_src[:, :, :3].astype(np.uint16)
     for r in range(TILE):
         my = tmy1 - (r + 0.5) * res
         valid = (mx >= geo["mx0"]) & (mx < geo["mx1"]) & (my > geo["my0"]) & (my <= geo["my1"])
@@ -143,17 +148,16 @@ def render_tile(rgba_src: np.ndarray, geo: dict, z: int, tx: int, ty_tms: int) -
         sc = (mx - geo["mx0"]) / geo["gsd"] - 0.5
         sr = (geo["my1"] - my) / geo["gsd"] - 0.5
         c0 = np.floor(sc).astype(np.int64)
-        fc = sc - c0
+        wc = np.floor((sc - c0) * 256.0 + 0.5).astype(np.uint16)[:, None]
         r0 = int(math.floor(sr))
-        fr = sr - r0
+        wr = np.uint16(math.floor((sr - r0) * 256.0 + 0.5))
         c0c = np.clip(c0, 0, w - 1)
         c1c = np.clip(c0 + 1, 0, w - 1)
         r0c = min(max(r0, 0), h - 1)
         r1c = min(max(r0 + 1, 0), h - 1)
-        top = rgba_src[r0c, c0c, :3].astype(np.float64) * (1.0 - fc[:, None]) + rgba_src[r0c, c1c, :3] * fc[:, None]
-        bot = rgba_src[r1c, c0c, :3].astype(np.float64) * (1.0 - fc[:, None]) + rgba_src[r1c, c1c, :3] * fc[:, None]
-        val = top * (1.0 - fr) + bot * fr
-        row = np.clip(val + 0.5, 0.0, 255.0).astype(np.uint8)
+        top = (src16[r0c, c0c] * (256 - wc) + src16[r0c, c1c] * wc + 128) >> 8
+        bot = (src16[r1c, c0c] * (256 - wc) + src16[r1c, c1c] * wc + 128) >> 8
+        row = ((top * (256 - wr) + bot * wr + 128) >> 8).astype(np.uint8)
         out[r, valid, :3] = row[valid]
         out[r, valid, 3] = 255
     return out
@@ -173,7 +177,7 @@ def downsample_lanczos(quad: np.ndarray, a: int = 3) -> np.ndarray:
     normalized to sum 1. Edge handling: clamp (replicate border). Channels
     filtered independently in float64; final round half up, clip 0..255.
     """
-    src = quad.astype(np.float64)
+    src = quad.astype(np.float32)  # filter in f32 (contract with engine)
     n_src = quad.shape[0]
     n_dst = n_src // 2
     d = np.arange(n_dst, dtype=np.float64)
@@ -184,12 +188,13 @@ def downsample_lanczos(quad: np.ndarray, a: int = 3) -> np.ndarray:
     x = (jj - s[:, None]) / 2.0
     wgt = np.sinc(x) * np.sinc(np.clip(x / a, -1, 1)) * (np.abs(x) < a)
     wgt /= wgt.sum(axis=1, keepdims=True)
+    wgt = wgt.astype(np.float32)
     jc = np.clip(jj, 0, n_src - 1)
     # filter rows (axis 0): out1[d, col, ch] = sum_t wgt[d,t]*src[jc[d,t], col, ch]
     out1 = np.einsum("dt,dtwc->dwc", wgt, src[jc])
     # filter cols (axis 1): out2[row, d, ch] = sum_t wgt[d,t]*out1[row, jc[d,t], ch]
     out2 = np.einsum("dt,rdtc->rdc", wgt, out1[:, jc])
-    return np.clip(out2 + 0.5, 0.0, 255.0).astype(np.uint8)
+    return np.clip(out2 + np.float32(0.5), 0.0, 255.0).astype(np.uint8)
 
 
 def downsample_nearest(quad: np.ndarray) -> np.ndarray:

@@ -1,0 +1,79 @@
+"""M8 — chart parsers + GCP affine fit (map2gdal role) on synthetic headers."""
+
+import numpy as np
+
+from tilers_tools_spark.functions import georef_parsers as gp
+from tilers_tools_spark.functions import tilemath as tm
+
+
+def _make_ozi(gcps, border_ll):
+    lines = ["OziExplorer Map Data File Version 2.2", "Test Map", "test.png", "1 ,Map Code,"]
+    for i, (px, py, lon, lat) in enumerate(gcps, 1):
+        lad, lam = int(abs(lat)), (abs(lat) - int(abs(lat))) * 60
+        lod, lom = int(abs(lon)), (abs(lon) - int(abs(lon))) * 60
+        lines.append(
+            f"Point{i:02d},xy, {int(px)}, {int(py)},in, deg, {lad}, {lam:.6f},{'N' if lat >= 0 else 'S'},"
+            f" {lod}, {lom:.6f},{'E' if lon >= 0 else 'W'}, grid, , , ,N"
+        )
+    lines.append(f"MMPNUM,{len(border_ll)}")
+    for i, (lon, lat) in enumerate(border_ll, 1):
+        lines.append(f"MMPXY,{i},{i*10},{i*20}")
+    for i, (lon, lat) in enumerate(border_ll, 1):
+        lines.append(f"MMPLL,{i}, {lon:.6f}, {lat:.6f}")
+    return "\n".join(lines)
+
+
+def test_ozi_parse_and_affine_roundtrip():
+    # synth ground truth: corner-origin affine, gsd 50 m/px at (10E, 45N)
+    gsd = 50.0
+    mx0, my1 = tm.merc_np(np.array([10.0]), np.array([45.0]))
+    mx0, my1 = float(mx0[0]), float(my1[0])
+    pts = [(0, 0), (1000, 0), (0, 800), (1000, 800), (500, 400)]
+    gcps = []
+    for px, py in pts:
+        lon, lat = tm.inv_merc_np(np.array([mx0 + gsd * px]), np.array([my1 - gsd * py]))
+        gcps.append((px, py, float(lon[0]), float(lat[0])))
+    text = _make_ozi(gcps, [(10.0, 45.0), (10.5, 45.0), (10.5, 44.7)])
+    parsed = gp.parse_ozi_map(text)
+    assert len(parsed["gcps"]) == 5 and len(parsed["border_ll"]) == 3
+    A = gp.fit_affine_3857(parsed["gcps"])
+    assert abs(A[0, 0] - gsd) < 1e-3 and abs(-A[1, 1] - gsd) < 1e-3
+    g = gp.affine_to_georef(A, 1000, 800)
+    assert abs(g["mx0"] - mx0) < 1.0 and abs(g["my1"] - my1) < 1.0
+    assert abs(g["gsd"] - gsd) < 1e-3
+
+
+def test_kap_parse():
+    hdr = (
+        b"! BSB chart header\r\n"
+        b"BSB/NA=TEST CHART,NU=123,RA=1000,800\r\n"
+        b"REF/1,0,0,45.0,10.0\r\n"
+        b"REF/2,1000,0,45.0,10.5\r\n"
+        b"REF/3,0,800,44.6,10.0\r\n"
+        b"PLY/1,45.0,10.0\r\n"
+        b"PLY/2,45.0,10.5\r\n"
+        b"PLY/3,44.6,10.5\r\n"
+        b"\x1a\x00binarydatafollows"
+    )
+    parsed = gp.parse_kap_header(hdr)
+    assert parsed["name"] == "TEST CHART"
+    assert len(parsed["gcps"]) == 3 and len(parsed["border_ll"]) == 3
+    assert parsed["gcps"][1][:2] == (1000.0, 0.0)
+    A = gp.fit_affine_3857(parsed["gcps"])
+    assert A[0, 0] > 0 and A[1, 1] < 0
+
+
+def test_parse_udf(spark):
+    gsd = 100.0
+    mx0, my1 = tm.merc_np(np.array([-70.0]), np.array([-30.0]))
+    mx0, my1 = float(mx0[0]), float(my1[0])
+    gcps = []
+    for px, py in [(0, 0), (512, 0), (0, 512), (512, 512)]:
+        lon, lat = tm.inv_merc_np(np.array([mx0 + gsd * px]), np.array([my1 - gsd * py]))
+        gcps.append((px, py, float(lon[0]), float(lat[0])))
+    text = _make_ozi(gcps, [])
+    df = spark.createDataFrame([("c1", text, 512, 512)], "chart_id string, header string, w int, h int")
+    udf = gp.parse_georef_udf("ozi")
+    out = df.select("chart_id", udf("header", "w", "h").alias("g")).select("chart_id", "g.*").first()
+    assert abs(out["gsd"] - gsd) < 1e-3
+    assert abs(out["mx0"] - mx0) < 1.0

@@ -1,0 +1,167 @@
+"""Chart-georeferencing parsers + GCP affine fit — the map2gdal role
+(SURVEY.md §2.1 rows 7-9, §2.2 row 13; M8).
+
+The engine's primary georef is the deterministic §1.5 derivation; these
+parsers exist for parity with the reference's reader backends: given a row
+carrying an OziExplorer `.map` or BSB/KAP header as text/bytes, extract
+GCPs (pixel -> lon/lat) and the border polygon, and fit a least-squares
+affine in EPSG:3857 (the gdal_translate -gcp + gdalwarp role).
+
+Formats are published de-facto standards [R]/[SPEC-adjacent]; the reference
+checkout is absent (SURVEY.md §0.1), so field layouts follow the public
+format docs and are unit-tested on synthetic headers.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+from . import tilemath as tm
+
+# ---------------------------------------------------------------------------
+# OziExplorer .map
+# ---------------------------------------------------------------------------
+
+
+def _dms(deg: str, minutes: str, hemi: str) -> float:
+    v = float(deg) + float(minutes) / 60.0
+    return -v if hemi.strip().upper() in ("S", "W") else v
+
+
+def parse_ozi_map(text: str) -> dict:
+    """Parse Point01.., MMPXY, MMPLL lines -> {gcps, border_xy, border_ll}.
+
+    gcps: list of (px, py, lon, lat). border_xy: pixel-space ring;
+    border_ll: lon/lat ring.
+    """
+    gcps = []
+    border_xy = []
+    border_ll = []
+    for line in text.splitlines():
+        parts = [p.strip() for p in line.split(",")]
+        if not parts:
+            continue
+        if re.match(r"^Point\d+$", parts[0] or "") and len(parts) >= 17:
+            if parts[2] == "" or parts[3] == "" or parts[6] == "":
+                continue  # unused point slot
+            px, py = float(parts[2]), float(parts[3])
+            lat = _dms(parts[6], parts[7], parts[8])
+            lon = _dms(parts[9], parts[10], parts[11])
+            gcps.append((px, py, lon, lat))
+        elif parts[0] == "MMPXY" and len(parts) >= 4:
+            border_xy.append((float(parts[2]), float(parts[3])))
+        elif parts[0] == "MMPLL" and len(parts) >= 4:
+            border_ll.append((float(parts[2]), float(parts[3])))
+    return {"gcps": gcps, "border_xy": border_xy, "border_ll": border_ll}
+
+
+# ---------------------------------------------------------------------------
+# BSB / KAP header
+# ---------------------------------------------------------------------------
+
+
+def parse_kap_header(data: bytes) -> dict:
+    """Parse the text header of a BSB/KAP chart (up to the 0x1A control
+    byte): REF/ GCPs and PLY/ border."""
+    end = data.find(b"\x1a")
+    text = data[: end if end >= 0 else len(data)].decode("ascii", "replace")
+    # join continuation lines (leading whitespace)
+    lines = []
+    for raw in text.splitlines():
+        if raw[:1].isspace() and lines:
+            lines[-1] += raw.strip()
+        else:
+            lines.append(raw.strip())
+    gcps = []
+    border_ll = []
+    name = None
+    for line in lines:
+        if line.startswith("REF/"):
+            f = line[4:].split(",")
+            if len(f) >= 5:
+                # REF/n,px,py,lat,lon
+                gcps.append((float(f[1]), float(f[2]), float(f[4]), float(f[3])))
+        elif line.startswith("PLY/"):
+            f = line[4:].split(",")
+            if len(f) >= 3:
+                border_ll.append((float(f[2]), float(f[1])))  # PLY/n,lat,lon
+        elif line.startswith("BSB/"):
+            m = re.search(r"NA=([^,]+)", line)
+            name = m.group(1) if m else None
+    return {"gcps": gcps, "border_ll": border_ll, "name": name}
+
+
+# ---------------------------------------------------------------------------
+# GCP -> affine least squares (gdal_translate -gcp analog, row 13)
+# ---------------------------------------------------------------------------
+
+
+def fit_affine_3857(gcps) -> np.ndarray:
+    """>=3 GCPs (px, py, lon, lat) -> affine A (2x3) with
+    [mx, my]^T = A @ [px, py, 1]^T in EPSG:3857 meters (np.linalg.lstsq).
+    """
+    g = np.asarray(gcps, dtype=np.float64)
+    if g.shape[0] < 3:
+        raise ValueError("need >= 3 GCPs for an affine fit")
+    mx, my = tm.merc_np(g[:, 2], g[:, 3])
+    X = np.column_stack([g[:, 0], g[:, 1], np.ones(len(g))])
+    ax, *_ = np.linalg.lstsq(X, mx, rcond=None)
+    ay, *_ = np.linalg.lstsq(X, my, rcond=None)
+    return np.vstack([ax, ay])
+
+
+def affine_to_georef(A: np.ndarray, w: int, h: int) -> dict:
+    """North-up affine -> the engine georef dict (SURVEY.md §1.5 shape).
+    Requires negligible rotation terms (|offdiag| << diag)."""
+    gsd_x = A[0, 0]
+    gsd_y = -A[1, 1]
+    if not (abs(A[0, 1]) < 1e-6 * abs(gsd_x) and abs(A[1, 0]) < 1e-6 * abs(gsd_y)):
+        raise ValueError("rotated affine not supported by the north-up render path")
+    # GCPs use corner-based pixel coords (Ozi/KAP convention), so the
+    # affine translation IS the top-left corner in meters
+    mx0 = A[0, 2]
+    my1 = A[1, 2]
+    gsd = (abs(gsd_x) + abs(gsd_y)) / 2.0
+    return {
+        "gsd": gsd,
+        "mx0": mx0,
+        "my1": my1,
+        "mx1": mx0 + gsd * w,
+        "my0": my1 - gsd * h,
+    }
+
+
+def parse_georef_udf(kind: str = "ozi"):
+    """pandas UDF factory: text/bytes column -> georef struct columns.
+    Arrow-batched (BASELINE.json:15), one parse per row inside the batch.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("gsd", DoubleType()),
+            StructField("mx0", DoubleType()),
+            StructField("my0", DoubleType()),
+            StructField("mx1", DoubleType()),
+            StructField("my1", DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def udf(header: pd.Series, w: pd.Series, h: pd.Series) -> pd.DataFrame:
+        rows = []
+        for hd, ww, hh in zip(header, w, h):
+            try:
+                parsed = parse_ozi_map(hd) if kind == "ozi" else parse_kap_header(bytes(hd))
+                A = fit_affine_3857(parsed["gcps"])
+                g = affine_to_georef(A, int(ww), int(hh))
+                rows.append((g["gsd"], g["mx0"], g["my0"], g["mx1"], g["my1"]))
+            except Exception:
+                rows.append((float("nan"),) * 5)
+        return pd.DataFrame(rows, columns=["gsd", "mx0", "my0", "mx1", "my1"])
+
+    return udf

@@ -11,8 +11,12 @@ shuffles, no bytes ever cross the wire**. Shuffles appear only downstream
 (sink clustering by (zoom, salted h3), joins), on narrow tile rows.
 
 Bit-for-tile contract: formulas below are element-for-element identical to
-``oracle/minitiler.py`` (same op order on float64 -> same uint8 bytes); see
-tests/test_pipeline_vs_oracle.py.
+``oracle/minitiler.py`` — float64 geometry, 8.8 fixed-point pixel
+interpolation (uint16), integer 2x2 average — so tiles are byte-identical;
+see tests/test_pipeline_vs_oracle.py. The fixed-point choice is deliberate:
+this box has ~4 GB/s total DRAM bandwidth, and float64 pixel math saturates
+it at 8 cores (measured, BENCH/BASELINE.md); integer u8/u16 math keeps the
+render compute-bound so it scales across executors.
 
 Reference parity: gdal_tiler.py::Pyramid base-tile loop + overview recursion
 [R] — /root/reference is empty this session (SURVEY.md §0.1), so citations
@@ -75,56 +79,6 @@ def s2_level_for_zoom(z: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _render_tile(src, geo, z: int, tx: int, ty: int) -> np.ndarray:
-    """256x256 RGBA via inverse-mapping bilinear; contract of
-    oracle/minitiler.render_tile, vectorized 2-D (same elementwise ops).
-    `src` is the float64 (H,W,3) RGB plane, converted ONCE per image
-    (uint8->float64 is exact, so convert-then-gather == gather-then-convert).
-    """
-    h, w = src.shape[:2]
-    res = tm.RES0 / (2.0**z)
-    span = res * TILE
-    tmx0 = tx * span - tm.ORIGIN
-    tmy1 = (ty + 1) * span - tm.ORIGIN
-    cc = np.arange(TILE, dtype=np.float64)
-    mx = tmx0 + (cc + 0.5) * res
-    my = tmy1 - (cc + 0.5) * res  # per-row, row 0 = north
-    vcol = (mx >= geo["mx0"]) & (mx < geo["mx1"])
-    vrow = (my > geo["my0"]) & (my <= geo["my1"])
-    if not (vcol.any() and vrow.any()):
-        return None
-    sc = (mx - geo["mx0"]) / geo["gsd"] - 0.5
-    sr = (geo["my1"] - my) / geo["gsd"] - 0.5
-    c0 = np.floor(sc)
-    fc = sc - c0
-    r0 = np.floor(sr)
-    fr = sr - r0
-    c0 = c0.astype(np.int64)
-    r0 = r0.astype(np.int64)
-    c0c = np.clip(c0, 0, w - 1)
-    c1c = np.clip(c0 + 1, 0, w - 1)
-    r0c = np.clip(r0, 0, h - 1)
-    r1c = np.clip(r0 + 1, 0, h - 1)
-    # separable: column-lerp the needed source-row band once, then row-lerp.
-    # (a*(1-f)+b*f)[rows] == a[rows]*(1-f)+b[rows]*f elementwise -> identical
-    # float64 results to the direct 4-gather form (oracle contract).
-    rmin = int(r0c.min())
-    rmax = int(r1c.max())
-    sub = src[rmin : rmax + 1]
-    fc2 = fc[None, :, None]
-    cols = sub[:, c0c] * (1.0 - fc2) + sub[:, c1c] * fc2
-    fr2 = fr[:, None, None]
-    val = cols[r0c - rmin] * (1.0 - fr2) + cols[r1c - rmin] * fr2
-    out = np.zeros((TILE, TILE, 4), dtype=np.uint8)
-    valid = vrow[:, None] & vcol[None, :]
-    rgb = np.clip(val + 0.5, 0.0, 255.0).astype(np.uint8)
-    out[:, :, :3] = np.where(valid[:, :, None], rgb, 0)
-    out[:, :, 3] = np.where(valid, 255, 0)
-    if out[:, :, 3].max() == 0:
-        return None
-    return out
-
-
 def _downsample(quad: np.ndarray, resampling: str) -> np.ndarray:
     if resampling == "average":
         # integer-exact fast path: floor(mean + 0.5) == (sum + 2) >> 2 for
@@ -136,7 +90,7 @@ def _downsample(quad: np.ndarray, resampling: str) -> np.ndarray:
         return quad[::2, ::2]
     if resampling == "antialias":  # separable Lanczos-3 (oracle contract)
         a = 3
-        src = quad.astype(np.float64)
+        src = quad.astype(np.float32)
         n_src = quad.shape[0]
         n_dst = n_src // 2
         d = np.arange(n_dst, dtype=np.float64)
@@ -147,20 +101,22 @@ def _downsample(quad: np.ndarray, resampling: str) -> np.ndarray:
         x = (jj - s[:, None]) / 2.0
         wgt = np.sinc(x) * np.sinc(np.clip(x / a, -1, 1)) * (np.abs(x) < a)
         wgt /= wgt.sum(axis=1, keepdims=True)
+        wgt = wgt.astype(np.float32)  # filter in f32 (contract with oracle)
         jc = np.clip(jj, 0, n_src - 1)
         out1 = np.einsum("dt,dtwc->dwc", wgt, src[jc])
         out2 = np.einsum("dt,rdtc->rdc", wgt, out1[:, jc])
-        return np.clip(out2 + 0.5, 0.0, 255.0).astype(np.uint8)
+        return np.clip(out2 + np.float32(0.5), 0.0, 255.0).astype(np.uint8)
     raise ValueError(f"unknown resampling {resampling!r}")
 
 
 def render_image_pyramid(rec: dict, overview_levels: int = 2, resampling: str = "average", zmin=None, zmax=None):
     """One image row -> {(z, tx, ty_tms): rgba}. Base cut + overviews."""
     rgba = codecs.to_rgba(codecs.decode_image(rec["bytes"], rec["fmt"]))
-    ph = np.array([rec["phash"]], dtype=np.uint64)
+    # phash arrives as a (possibly negative) int64; reinterpret as uint64
+    ph = np.array([rec["phash"]], dtype=np.int64).astype(np.uint64)
     g = georef.derive_georef_np(ph, np.array([rec["w"]]), np.array([rec["h"]]))
     geo = {k: float(v[0]) for k, v in g.items()}
-    src = rgba[:, :, :3].astype(np.float64)  # convert once per image
+    src = rgba[:, :, :3].astype(np.uint16)  # convert once per image (8.8 fixed-point contract)
     zb = int(tm.base_zoom_np(np.array([geo["gsd"]]))[0]) if zmax is None else int(zmax)
     zlo = max(0, zb - overview_levels) if zmin is None else int(zmin)
     txmin, txmax, tymin, tymax = (
@@ -189,8 +145,15 @@ def render_image_pyramid(rec: dict, overview_levels: int = 2, resampling: str = 
         c0 = c0.astype(np.int64)
         c0c = np.clip(c0, 0, w_src - 1)
         c1c = np.clip(c0 + 1, 0, w_src - 1)
-        fc2 = fc[None, :, None]
-        cols_full = src[:, c0c] * (1.0 - fc2) + src[:, c1c] * fc2  # (H, 256, 3)
+        # 8.8 fixed-point bilinear (geometry stays float64): weight
+        # wq = floor(frac*256 + 0.5) in [0,256]; per stage
+        # out = (a*(256-wq) + b*wq + 128) >> 8, all uint16 (max 255*256
+        # fits). Quantized bilinear = standard SIMD image-pipeline practice;
+        # ~4x less memory traffic than float64 -> scales across cores.
+        # Oracle mirrors the identical integer ops -> bit-identical tiles.
+        wc = np.floor(fc * 256.0 + 0.5).astype(np.uint16)[None, :, None]
+        # stored u8 (values <= 255) to halve the stage-2 gather traffic
+        cols_full = ((src[:, c0c] * (256 - wc) + src[:, c1c] * wc + 128) >> 8).astype(np.uint8)
         for ty in range(tymin, tymax + 1):
             tmy1 = (ty + 1) * span - tm.ORIGIN
             my = tmy1 - (cc + 0.5) * res
@@ -203,14 +166,13 @@ def render_image_pyramid(rec: dict, overview_levels: int = 2, resampling: str = 
             r0 = r0.astype(np.int64)
             r0c = np.clip(r0, 0, h_src - 1)
             r1c = np.clip(r0 + 1, 0, h_src - 1)
-            fr2 = fr[:, None, None]
-            val = cols_full[r0c] * (1.0 - fr2) + cols_full[r1c] * fr2
+            wr = np.floor(fr * 256.0 + 0.5).astype(np.uint16)[:, None, None]
+            val = (cols_full[r0c] * (256 - wr) + cols_full[r1c] * wr + 128) >> 8
             valid = vrow[:, None] & vcol[None, :]
-            rgb = np.clip(val + 0.5, 0.0, 255.0).astype(np.uint8)
-            arr = np.zeros((TILE, TILE, 4), dtype=np.uint8)
-            arr[:, :, :3] = np.where(valid[:, :, None], rgb, 0)
-            arr[:, :, 3] = np.where(valid, 255, 0)
-            if arr[:, :, 3].max() != 0:
+            arr = np.empty((TILE, TILE, 4), dtype=np.uint8)
+            np.multiply(val, valid[:, :, None], out=arr[:, :, :3], dtype=np.uint8, casting="unsafe")
+            np.multiply(valid, 255, out=arr[:, :, 3], dtype=np.uint8, casting="unsafe")
+            if valid.any():
                 level[(zb, tx, ty)] = arr
     out = dict(level)
     z = zb
@@ -245,6 +207,7 @@ def render_pyramid(
     resampling: str = "average",
     zmin=None,
     zmax=None,
+    encode: str = "png",
 ) -> DataFrame:
     """images DF (BASELINE.json:15 schema) -> tiles DF (TILES_SCHEMA).
 
@@ -253,7 +216,14 @@ def render_pyramid(
     (`spark.sql.files.maxPartitionBytes`); per-image tile counts are bounded
     (<= ~(w/256+1)*(h/256+1) + overview tail), so no salting needed here —
     salting applies at sink/join repartition (plans.tile_pyramid).
+
+    `encode`: 'png' (interop tile blobs, Python-side deflate) or 'raw'
+    (RAW1 header + RGBA bytes — the scale path: columnar sinks compress
+    JVM-side with zstd, so pre-compressing in Python wastes the Python
+    workers; convert to png only at container export, operators/convert.py
+    row 23).
     """
+    enc = codecs.encode_tile_png if encode == "png" else codecs.encode_raw
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -266,7 +236,7 @@ def render_pyramid(
                 tiles = render_image_pyramid(rec, overview_levels, resampling, zmin, zmax)
                 for (z, tx, ty), arr in sorted(tiles.items()):
                     rows.append(
-                        (rec["image_id"], z, tx, ty, rec["caption"], codecs.encode_tile_png(arr))
+                        (rec["image_id"], z, tx, ty, rec["caption"], enc(arr))
                     )
             if not rows:
                 continue
