@@ -36,18 +36,18 @@ BENCH_QUERIES = [
     "bbox_join",
     "cell_pairs",
     "dedup_exact",
-    "minhash_md5",
+    "minhash_xxhash",
     "embedding_topk",
     "h3_s2_assign",
 ]
 
 
 def _fixture_path(n: int) -> str:
-    path = f"/tmp/bench_images_{n}.parquet"
+    path = f"/tmp/bench_images_{n}_sharded"
     if not os.path.exists(path):
         from fixtures import gen
 
-        gen.write_images_parquet(path, n, fmts=("raw", "png"))
+        gen.write_images_sharded(path, n, n_shards=128, fmts=("raw", "png"))
     return path
 
 
@@ -55,12 +55,16 @@ def run_pipeline(spark, fixture: str) -> tuple[float, int]:
     """Time the full decode+reproject+cut+index pipeline; returns (sec, tiles)."""
     from tilers_tools_spark.operators.render import render_pyramid
 
-    # fixture is a single parquet file with MB-scale rows: split explicitly
-    # so all cores render (a 100TB table has thousands of files instead)
-    images = spark.read.parquet(fixture).repartition(int(CPUS) * 4)
+    # sharded fixture: the scan itself parallelizes across files -> no
+    # repartition shuffle, image bytes never cross the wire; small
+    # maxPartitionBytes so one shard = one task
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4194304")
+    images = spark.read.parquet(fixture)
     t0 = time.time()
     n_tiles = render_pyramid(images).select("z").count()
-    return time.time() - t0, n_tiles
+    dt = time.time() - t0
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "268435456")
+    return dt, n_tiles
 
 
 _PROBE_CODE = (
@@ -69,7 +73,9 @@ _PROBE_CODE = (
     "from tilers_tools_spark.operators.render import render_pyramid;"
     "spark = get_spark(master='local[{m}]', shuffle_partitions={m});"
     "spark.sparkContext.setLogLevel('ERROR');"
-    "images = spark.read.parquet('{fx}').repartition({p});"
+    "spark.conf.set('spark.sql.files.maxPartitionBytes', '4194304');"
+    "images = spark.read.parquet('{fx}');"
+    "render_pyramid(images, encode='{enc}').select('z').count();"  # JIT/worker warmup
     "t0 = time.time(); n = render_pyramid(images, encode='{enc}').select('z').count();"
     "print(json.dumps({{'sec': time.time() - t0, 'tiles': n}}))"
 )
@@ -112,8 +118,15 @@ def main():
     pipe_sec, n_tiles = run_pipeline(spark, fixture)
     timings["tiles_pipeline"] = round(pipe_sec, 3)
 
-    for name in BENCH_QUERIES:
-        fn, _sql = QUERIES[name]
+    def q_minhash_xxhash(spark, sf_dir):
+        from tilers_tools_spark.operators import dedup
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return dedup.minhash_signatures(docs, num_hashes=16, mode="word")
+
+    bench_queries = {n: QUERIES[n][0] for n in BENCH_QUERIES if n in QUERIES}
+    bench_queries["minhash_xxhash"] = q_minhash_xxhash
+    for name, fn in bench_queries.items():
         t0 = time.time()
         try:
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()

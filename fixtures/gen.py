@@ -81,6 +81,33 @@ IMAGES_SCHEMA = pa.schema(
 )
 
 
+def write_images_sharded(dir_path: str, n: int, n_shards: int = 64, fmts=("raw", "png", "jpeg"), seed: int = SEED):
+    """Write the images fixture as a directory of n_shards parquet files so
+    a Spark scan parallelizes WITHOUT a repartition shuffle (bytes never
+    cross the wire — matters on bandwidth-limited boxes and mirrors how a
+    100TB table is laid out as many files)."""
+    os.makedirs(dir_path, exist_ok=True)
+    writers = [
+        pq.ParquetWriter(os.path.join(dir_path, f"part-{s:05d}.parquet"), IMAGES_SCHEMA)
+        for s in range(n_shards)
+    ]
+    buf: list[list] = [[] for _ in range(n_shards)]
+    try:
+        for i, rec in enumerate(gen_images(n, fmts, seed)):
+            s = i % n_shards
+            buf[s].append(rec)
+            if len(buf[s]) >= 256:
+                writers[s].write_table(pa.Table.from_pylist(buf[s], IMAGES_SCHEMA))
+                buf[s] = []
+        for s in range(n_shards):
+            if buf[s]:
+                writers[s].write_table(pa.Table.from_pylist(buf[s], IMAGES_SCHEMA))
+    finally:
+        for w in writers:
+            w.close()
+    return dir_path
+
+
 def write_images_parquet(path: str, n: int, fmts=("raw", "png", "jpeg"), seed: int = SEED, rows_per_group: int = 2000):
     rows = []
     writer = pq.ParquetWriter(path, IMAGES_SCHEMA)

@@ -69,6 +69,18 @@ def test_tilemap_metadata(tiles_df):
         assert r["xmin"] <= r["xmax"] and r["ymin"] <= r["ymax"]
 
 
+def test_transcode_roundtrip(tiles_df):
+    from tilers_tools_spark.functions import jpegcodec
+
+    j = convert.transcode(tiles_df.limit(5), "png", "jpeg", quality=95).collect()
+    for r in j:
+        dec = jpegcodec.decode_jpeg(bytes(r["tile"]))
+        assert dec.shape == (8, 8, 3)
+    raw = convert.transcode(tiles_df.limit(5), "png", "raw").collect()
+    for r in raw:
+        assert codecs.decode_raw(bytes(r["tile"])).shape == (8, 8, 4)
+
+
 def test_merge_overlay(spark, tiles_df):
     # overlay == base where overlay fully opaque; keeps disjoint keys
     base = tiles_df.limit(10)

@@ -148,6 +148,40 @@ def mbtiles_metadata_kv(tiles: DataFrame, name: str = "tiles", fmt: str = "png")
 
 
 # ---------------------------------------------------------------------------
+# re-encode on convert (row 23): png <-> jpeg <-> raw transcoding
+# ---------------------------------------------------------------------------
+
+
+def transcode(tiles: DataFrame, src_fmt: str = "png", dst_fmt: str = "jpeg", quality: int = 90) -> DataFrame:
+    """Decode + re-encode every tile blob (Arrow batches, pure NumPy codecs).
+    jpeg drops alpha (opaque tile sets, as the reference does for jpeg
+    output); raw keeps RGBA.
+    """
+    from ..functions import codecs
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import jpegcodec
+
+        for pdf in batches:
+            out = []
+            for blob in pdf["tile"]:
+                arr = codecs.to_rgba(codecs.decode_image(bytes(blob), src_fmt))
+                if dst_fmt == "png":
+                    out.append(codecs.encode_tile_png(arr))
+                elif dst_fmt == "raw":
+                    out.append(codecs.encode_raw(arr))
+                elif dst_fmt == "jpeg":
+                    out.append(jpegcodec.encode_jpeg(arr[:, :, :3], quality=quality))
+                else:
+                    raise ValueError(dst_fmt)
+            res = pdf.copy()
+            res["tile"] = out
+            yield res
+
+    return tiles.mapInPandas(fn, schema=tiles.schema)
+
+
+# ---------------------------------------------------------------------------
 # merge/overlay (row 24): alpha-composite overlay onto base per tile key
 # ---------------------------------------------------------------------------
 

@@ -38,17 +38,43 @@ def _shingles(text_col: str, k: int = 5):
     return F.transform(F.sequence(F.lit(1), n), lambda i: F.substr(t, i, F.lit(k)))
 
 
+def _word_shingles(text_col: str, k: int = 5):
+    """Word k-gram shingles as a native array column (the scale path:
+    ~n_words elements per doc instead of ~n_chars for char shingles)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.concat_ws(" ", F.slice(toks, i, k))
+    )
+
+
+def _shingle_expr(text_col: str, k: int, mode: str):
+    if mode == "char":
+        return _shingles(text_col, k)
+    if mode == "word":
+        return _word_shingles(text_col, k)
+    raise ValueError(mode)
+
+
 def minhash_signatures(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 16, k: int = 5
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    k: int = 5,
+    mode: str = "char",
 ) -> DataFrame:
-    """MinHash signature per doc: min over shingle xxhash64(seed, shingle)
-    for `num_hashes` seeds. Pure column expressions (codegen; the
-    shingle array is materialized once per row and aggregated map-side —
-    no shuffle at all for signature computation).
+    """MinHash signature per doc: min of xxhash64(seed, shingle) per seed.
+
+    The shingle array is hashed ONCE to 64-bit base hashes; each seed then
+    mixes the longs (xxhash64(seed, h)) — cheap integer math instead of
+    re-reading strings num_hashes times. `mode='word'` (k-word grams,
+    ~n_words shingles/doc) is the 100TB path; `mode='char'` suits short
+    docs. Pure column expressions — no shuffle for signatures.
     """
-    sh = _shingles(text_col, k)
+    base = F.transform(_shingle_expr(text_col, k, mode), lambda s: F.xxhash64(s))
     cols = [
-        F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(i), s))).alias(f"mh_{i}")
+        F.array_min(F.transform(base, lambda h: F.xxhash64(F.lit(i), h))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
     return docs.select(F.col(id_col), *cols)
@@ -78,14 +104,16 @@ def minhash_lsh_pairs(
     bands: int = 4,
     k: int = 5,
     jaccard_threshold: float = 0.5,
+    mode: str = "char",
 ) -> DataFrame:
     """Near-dup candidate pairs via banded LSH, verified by shingle-set
-    Jaccard. Scale path: band-key groupBy shuffles only (id, band_key);
-    exact verify joins shingle arrays back for the (tiny) candidate set
-    only. Returns (a, b, jaccard) with a < b.
+    Jaccard (same shingle definition as the signatures). Scale path:
+    band-key joins shuffle only (id, band_key); exact verify joins shingle
+    arrays back for the (tiny) candidate set only. Returns (a, b, jaccard)
+    with a < b.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, text_col, id_col, num_hashes, k)
+    sig = minhash_signatures(docs, text_col, id_col, num_hashes, k, mode)
     band_cols = [
         F.xxhash64(F.lit(b), *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
             f"band_{b}"
@@ -107,7 +135,7 @@ def minhash_lsh_pairs(
         .select("a", "b")
         .distinct()
     )
-    sh = docs.select(F.col(id_col), F.array_distinct(_shingles(text_col, k)).alias("sh"))
+    sh = docs.select(F.col(id_col), F.array_distinct(_shingle_expr(text_col, k, mode)).alias("sh"))
     j = (
         cand.join(sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sha")), "a")
         .join(sh.select(F.col(id_col).alias("b"), F.col("sh").alias("shb")), "b")
