@@ -31,11 +31,44 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def _barrier(df: DataFrame) -> DataFrame:
+    """Prevent CollapseProject from inlining the previous projection into
+    downstream higher-order-function lambdas. Expressions inside
+    transform()/aggregate() lambdas are interpreted per element WITHOUT
+    common-subexpression elimination, so an inlined split()/lower() gets
+    re-evaluated once per array element — O(n^2) per doc. A
+    nondeterministic column is a collapse barrier (measured 27x on
+    sf0.1 documents)."""
+    return df.withColumn("_hof_barrier", F.monotonically_increasing_id())
+
+
 def _shingles(text_col: str, k: int = 5):
-    """Character k-gram shingles as a native array column (no UDF)."""
+    """Character k-gram shingles as a native array column (no UDF).
+    NOTE: evaluate over a MATERIALIZED lowered-text column (see _barrier)."""
     t = F.lower(F.col(text_col))
     n = F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
     return F.transform(F.sequence(F.lit(1), n), lambda i: F.substr(t, i, F.lit(k)))
+
+
+def _hashed_shingles(docs: DataFrame, text_col: str, id_col: str, k: int, mode: str) -> DataFrame:
+    """(id, _sh_hash: array<long>) with staged materialization: lowered
+    text / token array first, then the hashed shingle array — each stage
+    behind a collapse barrier so the lambdas read attributes, not
+    re-evaluated expression trees."""
+    if mode == "char":
+        d1 = _barrier(docs.select(F.col(id_col), F.lower(F.col(text_col)).alias("_t")))
+        n = F.greatest(F.length("_t") - F.lit(k - 1), F.lit(1))
+        sh = F.transform(F.sequence(F.lit(1), n), lambda i: F.xxhash64(F.substr(F.col("_t"), i, F.lit(k))))
+    elif mode == "word":
+        toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        d1 = _barrier(docs.select(F.col(id_col), toks.alias("_toks")))
+        n = F.greatest(F.size("_toks") - F.lit(k - 1), F.lit(1))
+        sh = F.transform(
+            F.sequence(F.lit(1), n), lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("_toks"), i, k)))
+        )
+    else:
+        raise ValueError(mode)
+    return _barrier(d1.select(id_col, sh.alias("_sh_hash")))
 
 
 def _word_shingles(text_col: str, k: int = 5):
@@ -72,12 +105,12 @@ def minhash_signatures(
     ~n_words shingles/doc) is the 100TB path; `mode='char'` suits short
     docs. Pure column expressions — no shuffle for signatures.
     """
-    base = F.transform(_shingle_expr(text_col, k, mode), lambda s: F.xxhash64(s))
+    hashed = _hashed_shingles(docs, text_col, id_col, k, mode)
     cols = [
-        F.array_min(F.transform(base, lambda h: F.xxhash64(F.lit(i), h))).alias(f"mh_{i}")
+        F.array_min(F.transform(F.col("_sh_hash"), lambda h: F.xxhash64(F.lit(i), h))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
-    return docs.select(F.col(id_col), *cols)
+    return hashed.select(F.col(id_col), *cols)
 
 
 def minhash_signatures_md5(
@@ -88,12 +121,15 @@ def minhash_signatures_md5(
     reproducible in any engine with md5 — used by the cross-engine
     correctness oracle (__spark_entry__.oracle_sql).
     """
-    sh = _shingles(text_col, k)
+    d1 = _barrier(docs.select(F.col(id_col), F.lower(F.col(text_col)).alias("_t")))
+    n = F.greatest(F.length("_t") - F.lit(k - 1), F.lit(1))
+    sh = F.transform(F.sequence(F.lit(1), n), lambda i: F.substr(F.col("_t"), i, F.lit(k)))
+    d2 = _barrier(d1.select(id_col, sh.alias("_sh")))
     cols = [
-        F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(str(i)), s)))).alias(f"mh_{i}")
+        F.array_min(F.transform(F.col("_sh"), lambda s: F.md5(F.concat(F.lit(str(i)), s)))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
-    return docs.select(F.col(id_col), *cols)
+    return d2.select(F.col(id_col), *cols)
 
 
 def minhash_lsh_pairs(
@@ -135,7 +171,9 @@ def minhash_lsh_pairs(
         .select("a", "b")
         .distinct()
     )
-    sh = docs.select(F.col(id_col), F.array_distinct(_shingle_expr(text_col, k, mode)).alias("sh"))
+    sh = _hashed_shingles(docs, text_col, id_col, k, mode).select(
+        F.col(id_col), F.array_distinct(F.col("_sh_hash")).alias("sh")
+    )
     j = (
         cand.join(sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sha")), "a")
         .join(sh.select(F.col(id_col).alias("b"), F.col("sh").alias("shb")), "b")
@@ -151,26 +189,30 @@ def minhash_lsh_pairs(
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
-    """64-bit SimHash over whitespace tokens, fully JVM-side: per-token
-    xxhash64, bit-vote via aggregate over an exploded bit index is avoided —
-    instead sum sign contributions per bit with a fold over 64 bit masks.
-    Narrow (no shuffle).
+    """64-bit SimHash over whitespace tokens via explode + codegen'd
+    hash-aggregate: per-token xxhash64 (computed ONCE, JVM-side), then 64
+    sum(sign-of-bit) votes in one hash aggregation. One shuffle of narrow
+    (doc_id, hash) rows with map-side partial aggregation — the relational
+    formulation beats interpreted higher-order-function folds by orders of
+    magnitude and scales with AQE. Empty docs get simhash = 0.
     """
-    toks = F.split(F.lower(F.col(text_col)), r"\s+")
-    th = F.transform(toks, lambda t: F.xxhash64(t))
-    # vote for each bit: count tokens with bit set minus tokens with bit clear
-    bit_cols = []
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("_tok")
+    ).withColumn("_h", F.xxhash64("_tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("_h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_v{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sim = F.lit(0).cast("long")
     for b in range(bits):
-        vote = F.aggregate(
-            th,
-            F.lit(0),
-            lambda acc, h: acc + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        bit_cols.append(F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(1 << b).cast("long") if b < 63 else F.when(vote > 0, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long")))
-    sim = bit_cols[0]
-    for c in bit_cols[1:]:
-        sim = sim + c
-    return docs.select(F.col(id_col), sim.alias("simhash"))
+        bitval = F.lit(-(1 << 63) if b == 63 else (1 << b)).cast("long")
+        sim = sim + F.when(F.col(f"_v{b}") > 0, bitval).otherwise(F.lit(0).cast("long"))
+    out = agg.select(F.col(id_col), sim.alias("simhash"))
+    # left join back so empty/whitespace-only docs are kept with simhash 0
+    return docs.select(id_col).join(out, id_col, "left").fillna({"simhash": 0})
 
 
 def ngram_jaccard_pairs(
@@ -180,11 +222,16 @@ def ngram_jaccard_pairs(
     small/medium corpora; MinHash-LSH is the scale path). Returns
     (a, b, jaccard) with a < b.
     """
-    sh = docs.select(
-        F.col(id_col),
-        (F.length(text_col) / length_band).cast("long").alias("_band"),
-        F.array_distinct(_shingles(text_col, k)).alias("sh"),
+    d1 = _barrier(
+        docs.select(
+            F.col(id_col),
+            (F.length(text_col) / length_band).cast("long").alias("_band"),
+            F.lower(F.col(text_col)).alias("_t"),
+        )
     )
+    n = F.greatest(F.length("_t") - F.lit(k - 1), F.lit(1))
+    grams = F.transform(F.sequence(F.lit(1), n), lambda i: F.xxhash64(F.substr(F.col("_t"), i, F.lit(k))))
+    sh = _barrier(d1.select(id_col, "_band", F.array_distinct(grams).alias("sh")))
     l = sh.select(F.col(id_col).alias("a"), F.col("_band"), F.col("sh").alias("sha"))
     r = sh.select(F.col(id_col).alias("b"), F.col("_band").alias("_band_r"), F.col("sh").alias("shb"))
     cand = l.join(r, (F.col("_band") >= F.col("_band_r") - 1) & (F.col("_band") <= F.col("_band_r") + 1) & (F.col("a") < F.col("b")))

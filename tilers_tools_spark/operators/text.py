@@ -98,13 +98,17 @@ def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", window: int = 8) -> DataFrame:
     """Winnowing-style document fingerprint: min rolling-window hash over
-    character 8-grams (robust to small edits; column-expr only)."""
-    t = F.lower(F.col(text_col))
-    n = F.greatest(F.length(t) - F.lit(window - 1), F.lit(1))
-    grams = F.transform(F.sequence(F.lit(1), n), lambda i: F.xxhash64(F.substr(t, i, F.lit(window))))
-    return docs.select(
+    character 8-grams (robust to small edits; column-expr only). The
+    lowered text is materialized behind a collapse barrier so the gram
+    lambda reads an attribute (see operators.dedup._barrier)."""
+    from .dedup import _barrier
+
+    d1 = _barrier(docs.select(F.col(id_col), F.lower(F.col(text_col)).alias("_t")))
+    n = F.greatest(F.length("_t") - F.lit(window - 1), F.lit(1))
+    grams = F.transform(F.sequence(F.lit(1), n), lambda i: F.xxhash64(F.substr(F.col("_t"), i, F.lit(window))))
+    return d1.select(
         F.col(id_col),
         F.array_min(grams).alias("fp_min"),
         F.array_max(grams).alias("fp_max"),
-        F.md5(t).alias("fp_md5"),
+        F.md5(F.col("_t")).alias("fp_md5"),
     )

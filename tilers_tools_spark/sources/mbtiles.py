@@ -35,6 +35,12 @@ def write_mbtiles(tiles: DataFrame, out_dir: str, metadata: dict | None = None, 
     """Write tiles DF to MBTiles shard(s) under out_dir; returns the path.
 
     `single_file=True` merges shards into out_dir/tiles.mbtiles (driver).
+
+    NOTE: MBTiles keys tiles on (zoom_level, tile_column, tile_row) ONLY
+    [SPEC] — a multi-image tiles DF with colliding (z,x,y) keys gets
+    last-writer-wins per the spec's unique index (the reference resolves
+    this by merging maps first). Composite overlapping sets with
+    ``operators.convert.merge_tilesets`` before export.
     """
     os.makedirs(out_dir, exist_ok=True)
     kv = to_mbtiles_keys(tiles)
