@@ -76,8 +76,12 @@ _PROBE_CODE = (
     "spark.conf.set('spark.sql.files.maxPartitionBytes', '4194304');"
     "images = spark.read.parquet('{fx}');"
     "render_pyramid(images, encode='{enc}').select('z').count();"  # JIT/worker warmup
-    "t0 = time.time(); n = render_pyramid(images, encode='{enc}').select('z').count();"
-    "print(json.dumps({{'sec': time.time() - t0, 'tiles': n}}))"
+    # this VM shows 2-3x run-to-run interference from co-tenants: report the
+    # min of two timed runs (least-interference estimate)
+    "ts = [];\n"
+    "for _ in range(2):\n"
+    "    t0 = time.time(); n = render_pyramid(images, encode='{enc}').select('z').count(); ts.append(time.time() - t0)\n"
+    "print(json.dumps({{'sec': min(ts), 'tiles': n}}))"
 )
 
 

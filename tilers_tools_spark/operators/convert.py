@@ -186,11 +186,28 @@ def transcode(tiles: DataFrame, src_fmt: str = "png", dst_fmt: str = "jpeg", qua
 # ---------------------------------------------------------------------------
 
 
+def composite_over(base_rgba, over_rgba):
+    """src-over alpha composite (over on top of base), float64, round half
+    up — the single composite contract shared by merge_tilesets and the
+    merged-pyramid plan."""
+    import numpy as np
+
+    a = base_rgba.astype(np.float64)
+    o = over_rgba.astype(np.float64)
+    alpha_o = o[:, :, 3:4] / 255.0
+    alpha_b = a[:, :, 3:4] / 255.0
+    out_a = alpha_o + alpha_b * (1.0 - alpha_o)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rgb = (o[:, :, :3] * alpha_o + a[:, :, :3] * alpha_b * (1.0 - alpha_o)) / np.where(
+            out_a > 0, out_a, 1.0
+        )
+    comp = np.dstack([rgb, out_a * 255.0])
+    return np.clip(comp + 0.5, 0, 255).astype(np.uint8)
+
+
 def merge_tilesets(base: DataFrame, overlay: DataFrame, keys=("z", "x", "y")) -> DataFrame:
     """Union of two tile sets; colliding keys -> src-over alpha composite
     (overlay over base), in a pandas UDF over the full-outer join."""
-    import numpy as np
-
     from ..functions import codecs
 
     b = base.select(*keys, F.col("tile").alias("_tile_base"))
@@ -206,17 +223,11 @@ def merge_tilesets(base: DataFrame, overlay: DataFrame, keys=("z", "x", "y")) ->
                 elif tb is None:
                     out_tiles.append(to)
                 else:
-                    a = codecs.to_rgba(codecs.decode_png(bytes(tb))).astype(np.float64)
-                    bgr = codecs.to_rgba(codecs.decode_png(bytes(to))).astype(np.float64)
-                    alpha_o = bgr[:, :, 3:4] / 255.0
-                    alpha_b = a[:, :, 3:4] / 255.0
-                    out_a = alpha_o + alpha_b * (1.0 - alpha_o)
-                    with np.errstate(divide="ignore", invalid="ignore"):
-                        rgb = (
-                            bgr[:, :, :3] * alpha_o + a[:, :, :3] * alpha_b * (1.0 - alpha_o)
-                        ) / np.where(out_a > 0, out_a, 1.0)
-                    comp = np.dstack([rgb, out_a * 255.0])
-                    out_tiles.append(codecs.encode_png(np.clip(comp + 0.5, 0, 255).astype(np.uint8)))
+                    comp = composite_over(
+                        codecs.to_rgba(codecs.decode_png(bytes(tb))),
+                        codecs.to_rgba(codecs.decode_png(bytes(to))),
+                    )
+                    out_tiles.append(codecs.encode_png(comp))
             res = pdf[list(keys)].copy()
             res["tile"] = out_tiles
             yield res
