@@ -272,6 +272,35 @@ def tile_image(rec: dict, zmin: int | None = None, zmax: int | None = None, resa
     return recs
 
 
+def cutline_mask(rings_lonlat, z: int, tx: int, ty_tms: int) -> np.ndarray:
+    """(256,256) bool: pixel center inside ANY ring, even-odd — independent
+    brute-force formulation (per-row edge crossings broadcast against all
+    column centers; no sort/searchsorted)."""
+    res = res_at(z)
+    span = res * TILE
+    tmx0 = tx * span - ORIGIN
+    tmy1 = (ty_tms + 1) * span - ORIGIN
+    cc = np.arange(TILE, dtype=np.float64)
+    mx = tmx0 + (cc + 0.5) * res
+    mask = np.zeros((TILE, TILE), dtype=bool)
+    for ring in rings_lonlat:
+        pts = [merc(v["lon"], v["lat"]) for v in ring]
+        x1 = np.array([p[0] for p in pts])
+        y1 = np.array([p[1] for p in pts])
+        x2 = np.roll(x1, -1)
+        y2 = np.roll(y1, -1)
+        for r in range(TILE):
+            my = tmy1 - (r + 0.5) * res
+            crosses = (y1 > my) != (y2 > my)
+            if not crosses.any():
+                continue
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xint = x1[crosses] + (my - y1[crosses]) * (x2[crosses] - x1[crosses]) / (y2[crosses] - y1[crosses])
+            inside = (xint[None, :] > mx[:, None]).sum(axis=1) % 2 == 1
+            mask[r] |= inside
+    return mask
+
+
 # --------------------------------------------------------------------------
 # PIP / kNN brute force (oracle for spatial joins, SURVEY.md §2.5)
 # --------------------------------------------------------------------------

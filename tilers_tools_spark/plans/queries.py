@@ -533,6 +533,42 @@ def q_image_features(spark, sf_dir):
     return multimodal.image_features(images)
 
 
+def q_cutline_mask(spark, sf_dir):
+    """Raster<->vector cutline masking over a rendered HOT-box tile set
+    (pixel-level op — no SQL equivalent; bit-level parity is pytest-pinned
+    against the oracle in tests/test_cutline.py)."""
+    from fixtures import gen
+    from ..operators import cutline
+    from ..operators.render import render_pyramid
+
+    rows = []
+    for rec in gen.gen_images(120, fmts=("raw",)):
+        if (rec["phash"] % (1 << 64)) % 5 == 0:
+            rows.append((rec["image_id"], rec["bytes"], rec["w"], rec["h"], rec["fmt"], rec["caption"], rec["phash"]))
+        if len(rows) == 8:
+            break
+    images = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+    )
+    tiles = render_pyramid(images, zmin=7)
+    ring = [{"lon": 139.0, "lat": 35.0}, {"lon": 140.6, "lat": 35.2}, {"lon": 139.8, "lat": 36.4}]
+    polys = spark.createDataFrame([("cut0", ring)], "poly_id string, ring array<struct<lon:double,lat:double>>")
+    cut = cutline.apply_cutline(tiles, polys)
+    return cut.select("image_id", "z", "x", "y", F.md5(F.col("tile")).alias("tile_md5"))
+
+
+def q_h3_rollup(spark, sf_dir):
+    """Multi-resolution H3 rollup (native Column bit math) over event
+    points indexed at res 12."""
+    from ..functions import cellcols
+    from ..operators.spatial import _h3_cell_udf
+
+    pts = _points(spark, sf_dir).withColumn(
+        "h3_cell", _h3_cell_udf(F.col("lat"), F.col("lon"), F.lit(12))
+    )
+    return cellcols.h3_rollup_counts(pts, resolutions=(0, 3, 6))
+
+
 def q_ann_lsh(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 4).select(F.col("vec_id").alias("query_id"), "embedding")
@@ -571,4 +607,6 @@ QUERIES: dict = {
     "minhash_lsh_pairs": (q_lsh_pairs, None),
     "image_features": (q_image_features, None),
     "ann_lsh": (q_ann_lsh, None),
+    "cutline_mask": (q_cutline_mask, None),
+    "h3_rollup": (q_h3_rollup, None),
 }
