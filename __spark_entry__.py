@@ -22,15 +22,52 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
 
 from tilers_tools_spark.plans.queries import QUERIES  # noqa: E402
+
+
+def _ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship the engine packages to executor Python workers via addPyFile —
+    the caller's session may have neither our cwd nor PYTHONPATH, and
+    pandas-UDF closures import `tilers_tools_spark` on the worker side."""
+    sc = spark.sparkContext
+    if getattr(sc, "_tilers_pyfiles_added", False):
+        return
+    import zipfile
+
+    zpath = os.path.join("/tmp", "tilers_engine_pyfiles.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+            for pkg in ("tilers_tools_spark", "fixtures", "oracle"):
+                for dirpath, _d, files in os.walk(os.path.join(_REPO, pkg)):
+                    if "__pycache__" in dirpath:
+                        continue
+                    for f in files:
+                        if f.endswith(".py"):
+                            full = os.path.join(dirpath, f)
+                            z.write(full, os.path.relpath(full, _REPO))
+    try:
+        sc.addPyFile(zpath)
+    except Exception:
+        pass  # e.g. re-registration after session restart
+    sc._tilers_pyfiles_added = True
+
+
+def _wrap(fn):
+    def inner(spark: SparkSession, sf_dir: str):
+        _ensure_workers_can_import(spark)
+        return fn(spark, sf_dir)
+
+    return inner
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship on /root/testdata/sf0.001: derive event points, assign
     XYZ tiles at zooms 6/8/10 (native column tile math), index each tile
     with H3 + S2 (Arrow UDF indexers), aggregate tilemap metadata."""
+    _ensure_workers_can_import(spark)
     sf_dir = "/root/testdata/sf0.001"
     from tilers_tools_spark.plans.queries import _merc_pts, _tiles_at
     from tilers_tools_spark.operators.spatial import _h3_cell_udf
@@ -54,7 +91,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator family from SURVEY.md §2."""
-    return {name: fn for name, (fn, _sql) in QUERIES.items()}
+    return {name: _wrap(fn) for name, (fn, _sql) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

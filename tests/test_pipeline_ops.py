@@ -117,6 +117,26 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     assert hits >= 15  # >=60% recall on this tiny corpus
 
 
+def test_embedding_near_dup(spark):
+    rng = np.random.default_rng(8)
+    n, dim = 200, 16
+    vecs = rng.standard_normal((n, dim)).astype(np.float64)
+    # plant near-dups: 5 pairs with tiny perturbations
+    for i in range(5):
+        vecs[n - 1 - i] = vecs[i] + rng.standard_normal(dim) * 0.01
+    pdf = pd.DataFrame({"vec_id": range(n), "embedding": [v.tolist() for v in vecs]})
+    emb = spark.createDataFrame(pdf)
+    pairs = dedup.embedding_near_dup(emb, threshold=0.99, bits=6, dim=dim).toPandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs.a, pairs.b)}
+    want = {(i, n - 1 - i) for i in range(5)}
+    assert want <= got, want - got
+    # no false positives at this threshold beyond planted pairs (cos>=0.99 is tight)
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = vn @ vn.T
+    truth = {(i, j) for i in range(n) for j in range(i + 1, n) if sims[i, j] >= 0.99}
+    assert got <= truth
+
+
 def test_multimodal_features_and_resize(spark):
     from fixtures import gen
 

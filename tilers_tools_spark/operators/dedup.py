@@ -215,6 +215,42 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
     return docs.select(id_col).join(out, id_col, "left").fillna({"simhash": 0})
 
 
+def embedding_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: random-hyperplane LSH buckets
+    (plus 1-bit-flip probes) generate candidates as equi-joins; exact
+    cosine filters at `threshold`. Returns (a, b, cosine) with a < b.
+    The all-pairs cross join never materializes — the scale path for
+    near-dup detection over embedding columns.
+    """
+    import numpy as np
+
+    from .ann import _cosine, hyperplane_bucket
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((bits, dim))
+    e = embeddings.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    b = e.withColumn("_b0", hyperplane_bucket(F.col("_v"), planes))
+    probes = F.array(*([F.col("_b0")] + [F.col("_b0").bitwiseXOR(F.lit(1 << i)) for i in range(bits)]))
+    left = b.withColumn("_bucket", F.explode(probes)).select(
+        F.col(id_col).alias("a"), F.col("_v").alias("_va"), "_bucket"
+    )
+    right = b.select(F.col(id_col).alias("b"), F.col("_v").alias("_vb"), F.col("_b0").alias("_bucket"))
+    cand = left.join(right, "_bucket").filter(F.col("a") < F.col("b")).dropDuplicates(["a", "b"])
+    return (
+        cand.withColumn("cosine", _cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5, threshold: float = 0.8, length_band: int = 32
 ) -> DataFrame:

@@ -533,6 +533,12 @@ def q_image_features(spark, sf_dir):
     return multimodal.image_features(images)
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    return dedup.embedding_near_dup(emb, threshold=0.9, bits=6, dim=dim)
+
+
 def q_cutline_mask(spark, sf_dir):
     """Raster<->vector cutline masking over a rendered HOT-box tile set
     (pixel-level op — no SQL equivalent; bit-level parity is pytest-pinned
@@ -609,4 +615,5 @@ QUERIES: dict = {
     "ann_lsh": (q_ann_lsh, None),
     "cutline_mask": (q_cutline_mask, None),
     "h3_rollup": (q_h3_rollup, None),
+    "embedding_near_dup": (q_embedding_near_dup, None),
 }
