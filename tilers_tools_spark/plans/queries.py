@@ -534,9 +534,23 @@ def q_image_features(spark, sf_dir):
 
 
 def q_embedding_near_dup(spark, sf_dir):
+    """Random embeddings contain no true near-dups, so plant perturbed
+    copies of the first 4 vectors (ids 1000000+i) — the operator must
+    recover exactly those pairs (deterministic non-empty result)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    dim = len(emb.select("embedding").first()["embedding"])
-    return dedup.embedding_near_dup(emb, threshold=0.9, bits=6, dim=dim)
+    first = emb.orderBy("vec_id").limit(4).collect()
+    dim = len(first[0]["embedding"])
+    planted = spark.createDataFrame(
+        [
+            (1000000 + i, [float(x) + 0.001 * ((i + j) % 3) for j, x in enumerate(r["embedding"])], -1)
+            for i, r in enumerate(first)
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    allv = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")).unionByName(
+        planted.select("vec_id", "embedding")
+    )
+    return dedup.embedding_near_dup(allv, threshold=0.98, bits=6, dim=dim)
 
 
 def q_cutline_mask(spark, sf_dir):
