@@ -22,7 +22,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import BooleanType, LongType, ArrayType
+from pyspark.sql.types import LongType
 
 from ..functions import h3lite
 from ..functions import tilemath as tm
@@ -30,34 +30,6 @@ from ..functions import tilemath as tm
 # ---------------------------------------------------------------------------
 # point-in-polygon
 # ---------------------------------------------------------------------------
-
-
-@F.pandas_udf(BooleanType())
-def _pip_refine_udf(lon: pd.Series, lat: pd.Series, ring_lon: pd.Series, ring_lat: pd.Series) -> pd.Series:
-    """Exact even-odd ray cast, vectorized over the candidate batch.
-
-    Each row: one (point, ring) candidate pair from the coarse join. Rings in
-    a batch vary, so vectorize across edges per unique ring-length group.
-    """
-    plon = lon.to_numpy(np.float64)
-    plat = lat.to_numpy(np.float64)
-    out = np.zeros(len(plon), dtype=bool)
-    # group rows by ring length for edge-dimension vectorization
-    lens = ring_lon.map(len).to_numpy()
-    for L in np.unique(lens):
-        idx = np.where(lens == L)[0]
-        rl = np.stack([np.asarray(ring_lon.iloc[i], np.float64) for i in idx])  # (m, L)
-        rt = np.stack([np.asarray(ring_lat.iloc[i], np.float64) for i in idx])
-        x1, y1 = rl, rt
-        x2, y2 = np.roll(rl, -1, axis=1), np.roll(rt, -1, axis=1)
-        py = plat[idx][:, None]
-        px = plon[idx][:, None]
-        crosses = (y1 > py) != (y2 > py)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            xin = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
-        hits = crosses & (xin > px)
-        out[idx] = (hits.sum(axis=1) % 2).astype(bool)
-    return pd.Series(out)
 
 
 def polygon_cover_cells(polygons_pdf: pd.DataFrame, res: int = 5, samples: int = 24) -> pd.DataFrame:
@@ -112,22 +84,44 @@ def pip_join(
     spark = points.sparkSession
     poly_pdf = polygons.select("poly_id", "ring").toPandas()
     cover = spark.createDataFrame(polygon_cover_cells(poly_pdf, res))
-    ring_flat = polygons.select(
-        "poly_id",
-        F.expr("transform(ring, v -> v.lon)").alias("ring_lon"),
-        F.expr("transform(ring, v -> v.lat)").alias("ring_lat"),
-    )
+    # polygons are small by contract -> capture rings in the refine UDF's
+    # closure instead of joining ring arrays onto every candidate row
+    # (avoids shipping two float arrays per candidate through the shuffle)
+    ring_map = {
+        p["poly_id"]: (
+            np.array([v["lon"] for v in p["ring"]], dtype=np.float64),
+            np.array([v["lat"] for v in p["ring"]], dtype=np.float64),
+        )
+        for _, p in poly_pdf.iterrows()
+    }
     pts = points.withColumn(
         "_pip_cell",
         _h3_cell_udf(F.col(lat_col), F.col(lon_col), F.lit(res)),
     )
-    cand = pts.join(F.broadcast(cover), pts["_pip_cell"] == cover["h3_cell_cover"], "inner").join(
-        F.broadcast(ring_flat), "poly_id", "inner"
-    )
-    refined = cand.withColumn(
-        "_pip_ok", _pip_refine_udf(F.col(lon_col), F.col(lat_col), "ring_lon", "ring_lat")
-    ).filter(F.col("_pip_ok"))
-    matches = refined.drop("_pip_ok", "ring_lon", "ring_lat", "h3_cell_cover", "_pip_cell")
+    cand = pts.join(F.broadcast(cover), pts["_pip_cell"] == cover["h3_cell_cover"], "inner")
+
+    def refine(batches):
+        for pdf in batches:
+            plon = pdf[lon_col].to_numpy(np.float64)
+            plat = pdf[lat_col].to_numpy(np.float64)
+            keep = np.zeros(len(pdf), dtype=bool)
+            pids = pdf["poly_id"].to_numpy()
+            for pid, (rl, rt) in ring_map.items():
+                idx = np.where(pids == pid)[0]
+                if len(idx) == 0:
+                    continue
+                x1, y1 = rl, rt
+                x2, y2 = np.roll(rl, -1), np.roll(rt, -1)
+                py = plat[idx][:, None]
+                px = plon[idx][:, None]
+                crosses = (y1 > py) != (y2 > py)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    xin = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+                keep[idx] = ((crosses & (xin > px)).sum(axis=1) % 2).astype(bool)
+            yield pdf[keep]
+
+    refined = cand.mapInPandas(refine, schema=cand.schema)
+    matches = refined.drop("h3_cell_cover", "_pip_cell")
     if how == "inner":
         return matches
     key_cols = [c for c in points.columns]
