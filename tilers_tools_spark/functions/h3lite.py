@@ -179,7 +179,10 @@ def latlng_to_cell(lat_deg, lng_deg, res: int):
         pi, pj = _up_ap7(i, j)
         ci, cj = _down_ap7(pi, pj)
         di, dj = i - ci, j - cj
-        digits[rr - 1] = _DIGIT_LUT[np.clip(di + 2, 0, 4), np.clip(dj + 2, 0, 4)]
+        d = _DIGIT_LUT[np.clip(di + 2, 0, 4), np.clip(dj + 2, 0, 4)]
+        if (d < 0).any():  # guard: a non-unit offset would corrupt the id
+            raise AssertionError("aperture-7 digit outside unit neighborhood")
+        digits[rr - 1] = d
         i, j = pi, pj
     # base cell = face id (one res-0 cell per face by construction)
     cell = (
