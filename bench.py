@@ -60,11 +60,13 @@ def run_pipeline(spark, fixture: str) -> tuple[float, int]:
     # maxPartitionBytes so one shard = one task
     spark.conf.set("spark.sql.files.maxPartitionBytes", "4194304")
     images = spark.read.parquet(fixture)
-    t0 = time.time()
-    n_tiles = render_pyramid(images).select("z").count()
-    dt = time.time() - t0
+    ts = []
+    for _ in range(2):  # first run pays JIT/worker spawn; report the min
+        t0 = time.time()
+        n_tiles = render_pyramid(images).select("z").count()
+        ts.append(time.time() - t0)
     spark.conf.set("spark.sql.files.maxPartitionBytes", "268435456")
-    return dt, n_tiles
+    return min(ts), n_tiles
 
 
 _PROBE_CODE = (

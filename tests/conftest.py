@@ -18,11 +18,12 @@ def spark():
 
 @pytest.fixture(scope="session")
 def images_smoke(tmp_path_factory):
-    """100-row sf-smoke fixture (FIXTURES.md §1), raw+png (jpeg from M7 on)."""
+    """100-row sf-smoke fixture, full spec format cycle raw/png/jpeg
+    (FIXTURES.md §1; jpeg via the M7 codec)."""
     from fixtures import gen
 
     p = str(tmp_path_factory.mktemp("fix") / "images_smoke.parquet")
-    gen.write_images_parquet(p, 100, fmts=("raw", "png"))
+    gen.write_images_parquet(p, 100, fmts=("raw", "png", "jpeg"))
     return p
 
 

@@ -15,7 +15,7 @@ from tilers_tools_spark.operators.render import render_pyramid
 @pytest.fixture(scope="module")
 def oracle_tiles():
     out = {}
-    for rec in gen.gen_images(100, fmts=("raw", "png")):
+    for rec in gen.gen_images(100, fmts=("raw", "png", "jpeg")):
         for r in mt.tile_image(rec):
             out[(r["image_id"], r["z"], r["x"], r["y"])] = r
     return out

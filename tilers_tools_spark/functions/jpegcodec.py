@@ -383,7 +383,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         for ci, c in enumerate(comps):
             dlut = huff[(0, c["dc"])]
             alut = huff[(1, c["ac"])]
-            e = dlut[peek16()]
+            e = int(dlut[peek16()])
             sym, ln = e >> 5, e & 31
             if ln == 0:
                 raise ValueError("bad Huffman code")
@@ -394,7 +394,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             blk[0] = preds[ci]
             k = 1
             while k < 64:
-                e = alut[peek16()]
+                e = int(alut[peek16()])
                 sym, ln = e >> 5, e & 31
                 if ln == 0:
                     raise ValueError("bad Huffman code")

@@ -24,7 +24,7 @@ def main():
     os.makedirs(os.path.join(OUT, "tiles"), exist_ok=True)
     rows = []
     spot = []
-    for rec in gen.gen_images(100, fmts=("raw", "png")):
+    for rec in gen.gen_images(100, fmts=("raw", "png", "jpeg")):
         for r in mt.tile_image(rec):
             h3 = int(h3lite.latlng_to_cell(np.array([r["lat"]]), np.array([r["lon"]]), mt.h3_res_for_zoom(r["z"]))[0])
             rows.append((r["image_id"], r["z"], r["x"], r["y"], r["y_xyz"], h3, r["s2_cell"]))
