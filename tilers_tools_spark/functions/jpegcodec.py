@@ -345,25 +345,23 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             break
         raw.append(b)
         i += 1
-    bitdata = bytes(raw)
-    # big-int bit reader with 16-bit peeks
-    nbytes = len(bitdata)
-    bitlen = nbytes * 8
-    stream = int.from_bytes(bitdata + b"\x00\x00\x00", "big")
-    total_shift = (nbytes + 3) * 8
-
+    bitdata = bytes(raw) + b"\x00\x00\x00\x00"
+    # windowed bit reader: O(1) per op (a single big-int stream would cost
+    # O(stream) per shift -> O(n^2) decode)
     state = {"pos": 0}
 
     def peek16():
-        sh = total_shift - state["pos"] - 16
-        return (stream >> sh) & 0xFFFF
+        p = state["pos"]
+        chunk = int.from_bytes(bitdata[p >> 3 : (p >> 3) + 4], "big")
+        return (chunk >> (16 - (p & 7))) & 0xFFFF
 
     def get_bits(n):
         if n == 0:
             return 0
-        sh = total_shift - state["pos"] - n
-        state["pos"] += n
-        return (stream >> sh) & ((1 << n) - 1)
+        p = state["pos"]
+        state["pos"] = p + n
+        chunk = int.from_bytes(bitdata[p >> 3 : (p >> 3) + 4], "big")
+        return (chunk >> (32 - (p & 7) - n)) & ((1 << n) - 1)
 
     def extend(v, n):
         return v - (1 << n) + 1 if n and v < (1 << (n - 1)) else v
