@@ -159,7 +159,9 @@ def main():
     }
     if os.environ.get("BENCH_SCALING", "1") != "0":
         try:
-            result["scaling"] = scaling_probe(fixture)
+            # smaller fixture for the probe: 3 JVMs x (warmup + 2 timed runs)
+            # must fit the driver's bench budget; eta is size-independent
+            result["scaling"] = scaling_probe(_fixture_path(max(200, N_IMAGES // 3)))
         except Exception as e:
             result["scaling"] = f"error: {e}"[:200]
     print(json.dumps(result))
