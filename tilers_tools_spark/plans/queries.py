@@ -200,6 +200,24 @@ _RECTS = {
 _TRI = [(60.0005, -30.0005), (120.0005, -30.0005), (90.0005, 30.0005)]  # CCW
 
 
+def q_tilemap_rollup(spark, sf_dir):
+    """GROUP BY ROLLUP over (z, x-bucket): the zoom/format stats surface
+    noted free in SURVEY §2.6 (hash-agg with grouping sets)."""
+    mp = _merc_pts(spark, sf_dir)
+    t = _tiles_at(mp, 8).withColumn("x_bucket", (F.col("x") / 32).cast("long"))
+    return (
+        t.rollup("z", "x_bucket")
+        .agg(F.count("*").alias("n"), F.countDistinct("y").alias("n_y"))
+    )
+
+
+SQL_TILEMAP_ROLLUP = f"""
+WITH {_PTS_SQL}, {_tiles_sql(8)}
+SELECT z, x // 32 AS x_bucket, count(*) AS n, count(DISTINCT y) AS n_y
+FROM tiles GROUP BY ROLLUP (z, x_bucket)
+"""
+
+
 def q_pip_polygons(spark, sf_dir):
     pts = _points(spark, sf_dir)
     rows = []
@@ -607,6 +625,7 @@ QUERIES: dict = {
     "scheme_paths": (q_scheme_paths, SQL_SCHEME_PATHS),
     "mbtiles_keys": (q_mbtiles_keys, SQL_MBTILES_KEYS),
     "base_zoom_hist": (q_base_zoom_hist, SQL_BASE_ZOOM_HIST),
+    "tilemap_rollup": (q_tilemap_rollup, SQL_TILEMAP_ROLLUP),
     # spatial
     "pip_polygons": (q_pip_polygons, SQL_PIP_POLYGONS),
     "knn": (q_knn, SQL_KNN),
