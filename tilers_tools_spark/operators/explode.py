@@ -91,20 +91,27 @@ def skew_probe(tiles_or_cover: DataFrame, key: str = "h3_cell", top: int = 20) -
     return counts.orderBy(F.desc("count")).limit(top)
 
 
-def salt_column(key: Column | str, zoom: Column | str, salt_factor: int) -> Column:
-    """Deterministic salt bucket: pmod(xxhash64(key, zoom), salt_factor).
+def salt_column(salt_factor: int, *row_cols) -> Column:
+    """Deterministic per-ROW salt bucket: pmod(xxhash64(row identity), S).
 
-    BASELINE.json:6 'salted repartition on (h3_cell, zoom)': co-locates
-    tiles of one cell/zoom into at most `salt_factor` buckets instead of one
-    hot partition.
+    The salt must vary WITHIN a hot (h3_cell, zoom) key, so it hashes
+    row-identity columns (e.g. image_id, x, y) — NOT the key itself (a
+    key-derived salt adds no distinct partition values and splits nothing).
     """
-    return F.pmod(F.xxhash64(key, zoom), F.lit(salt_factor))
+    return F.pmod(F.xxhash64(*row_cols), F.lit(salt_factor))
 
 
-def salted_repartition(tiles: DataFrame, num_partitions: int, salt_factor: int = 8) -> DataFrame:
-    """Repartition tiles by (zoom, h3_cell, salt) — the explicit-skew-handling
-    shuffle mandated by BASELINE.json:6/14. AQE skew-join remains the backstop.
+def salted_repartition(
+    tiles: DataFrame,
+    num_partitions: int,
+    salt_factor: int = 8,
+    row_cols: tuple[str, ...] = ("image_id", "x", "y"),
+) -> DataFrame:
+    """Repartition tiles by (zoom, h3_cell, salt) — the explicit
+    skew-handling shuffle of BASELINE.json:6/14: a hot cell spreads over up
+    to `salt_factor` partitions while staying zoom/cell-clustered for the
+    sink; AQE skew-join remains the backstop for joins.
     """
-    return tiles.withColumn("salt", salt_column("h3_cell", "z", salt_factor)).repartition(
+    return tiles.withColumn("salt", salt_column(salt_factor, *row_cols)).repartition(
         num_partitions, F.col("z"), F.col("h3_cell"), F.col("salt")
     )

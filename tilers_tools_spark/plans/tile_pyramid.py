@@ -79,9 +79,9 @@ def run(
         tiles = tiles.withColumn("part_id", F.lit(part))
         tiles = tiles.observe(obs_out, F.count(F.lit(1)).alias("tiles_out"))
         # sink clustering: salted (zoom, h3_cell) repartition [B:6]
-        clustered = tiles.withColumn("salt", salt_column("h3_cell", "z", salt_factor)).repartition(
-            shuffle_n, F.col("z"), F.col("salt")
-        ).drop("salt")
+        clustered = tiles.withColumn(
+            "salt", salt_column(salt_factor, "image_id", "x", "y")
+        ).repartition(shuffle_n, F.col("z"), F.col("h3_cell"), F.col("salt")).drop("salt")
         cat.append(clustered, TILES_TABLE, partition_by=("z",))
         rows_in = obs_in.get["rows_in"]
         tiles_out = obs_out.get["tiles_out"]
