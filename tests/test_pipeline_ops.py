@@ -76,6 +76,41 @@ def test_simhash_near_dup_close(docs):
     assert hamming(out.loc[0, "simhash"], out.loc[2, "simhash"]) > 12
 
 
+def test_minhash_lsh_bucket_cap(spark):
+    """Degenerate corpus: 1k identical docs collide in one band bucket per
+    band -> O(n^2) pairs without the cap. With the cap the bucket is
+    skipped (bounded time), the skip is reported, and small buckets (the
+    genuine near-dup pair) still produce their pair."""
+    rows = [(i, "boilerplate header repeated verbatim everywhere") for i in range(1000)]
+    rows += [(2000, "the quick brown fox jumps over the lazy dog"),
+             (2001, "the quick brown fox jumped over the lazy dog")]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=16, bands=8, jaccard_threshold=0.5, max_bucket=100
+    ).toPandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs.a, pairs.b)}
+    assert (2000, 2001) in got
+    assert not any(a < 1000 and b < 1000 for a, b in got)  # degenerate bucket skipped
+    skipped = dedup.lsh_skipped_buckets(
+        docs, num_hashes=16, bands=8, max_bucket=100
+    ).toPandas()
+    assert len(skipped) >= 1 and (skipped.n == 1000).all()
+
+
+def test_embedding_near_dup_narrow_candidate_plan(spark):
+    """The multiprobe explode amplifies the corpus x(bits+1): the pair-dedup
+    aggregate must run on narrow (a, b) rows — no dense vector column may
+    appear at or below it in the optimized plan."""
+    pdf = pd.DataFrame({"vec_id": range(8), "embedding": [[float(i), 1.0] for i in range(8)]})
+    emb = spark.createDataFrame(pdf)
+    out = dedup.embedding_near_dup(emb, threshold=0.9, bits=2, dim=2)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    agg_lines = [ln for ln in plan.splitlines() if "Aggregate" in ln]
+    assert agg_lines, plan
+    for ln in agg_lines:
+        assert "_va" not in ln and "_vb" not in ln and "_v#" not in ln, ln
+
+
 def test_text_ops(docs):
     q = text.quality_features(docs).toPandas().set_index("doc_id")
     assert q.loc[6, "n_tokens"] == 0

@@ -83,6 +83,43 @@ def test_knn_vs_bruteforce(spark, points_df):
     assert (res.groupby("query_id").size() == k).all()
 
 
+def test_knn_no_duplicate_ranks_and_max_rounds_fallback(spark, points_df):
+    """At coarse zooms the 9 neighbor cells collapse (pmod wrap / edge
+    clamp): ranks must still be unique per point, and queries that can't
+    certify within max_rounds must fall back to brute force, not vanish."""
+    df, pdf = points_df
+    qpdf = pd.DataFrame({"query_id": ["qa", "qb"], "lon": [0.0, 139.5], "lat": [84.9, 35.5]})
+    qdf = spark.createDataFrame(qpdf)
+    k = 5
+    # zoom=1, max_rounds=1: zz=1 grid is 2x2 -> every neighbor cell wraps,
+    # and a single round almost never certifies -> exercises the fallback
+    res = spatial.knn_join(qdf, df, k=k, zoom=1, max_rounds=1).toPandas()
+    assert (res.groupby("query_id").size() == k).all(), res
+    assert res.groupby(["query_id", "point_id"]).size().max() == 1
+    idx = mt.knn_bruteforce(list(zip(qpdf.lon, qpdf.lat)), list(zip(pdf.lon, pdf.lat)), k)
+    for qi, qid in enumerate(qpdf.query_id):
+        got = set(res[res.query_id == qid].point_id)
+        want = {pdf.point_id.iloc[j] for j in idx[qi]}
+        assert got == want, (qid, sorted(got), sorted(want))
+
+
+def test_polygon_cover_scales_with_extent():
+    """A continental-scale ring at res 5 needs a grid finer than one cell
+    width; the cover must include interior cells far from any vertex."""
+    ring = [{"lon": -60.0, "lat": -30.0}, {"lon": 60.0, "lat": -30.0},
+            {"lon": 60.0, "lat": 30.0}, {"lon": -60.0, "lat": 30.0}]
+    pdf = pd.DataFrame({"poly_id": ["big"], "ring": [ring]})
+    cover = spatial.polygon_cover_cells(pdf, res=5)
+    cells = set(cover.h3_cell_cover)
+    from tilers_tools_spark.functions import h3lite
+    # 100 random interior points must all land in covered cells
+    lon = RNG.uniform(-59, 59, 100)
+    lat = RNG.uniform(-29, 29, 100)
+    pt_cells = h3lite.latlng_to_cell(lat, lon, 5)
+    missing = [i for i, c in enumerate(pt_cells) if int(c) not in cells]
+    assert not missing, (len(missing), lon[missing][:3], lat[missing][:3])
+
+
 def test_bbox_join_vs_bruteforce(spark):
     n = 120
     def boxes(prefix):
@@ -104,7 +141,7 @@ def test_bbox_join_vs_bruteforce(spark):
     ldf, rdf = spark.createDataFrame(lp), spark.createDataFrame(rp)
     got = {
         (r["lid"], r["rid"])
-        for r in spatial.bbox_join(ldf, rdf, zoom=4).select("lid", "rid").collect()
+        for r in spatial.bbox_join(ldf, rdf, zoom=4, keys=("lid", "rid")).select("lid", "rid").collect()
     }
     want = set()
     for _, a in lp.iterrows():

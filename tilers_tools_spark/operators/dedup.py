@@ -132,22 +132,11 @@ def minhash_signatures_md5(
     return d2.select(F.col(id_col), *cols)
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 16,
-    bands: int = 4,
-    k: int = 5,
-    jaccard_threshold: float = 0.5,
-    mode: str = "char",
+def _lsh_banded(
+    docs: DataFrame, text_col: str, id_col: str, num_hashes: int, bands: int, k: int, mode: str
 ) -> DataFrame:
-    """Near-dup candidate pairs via banded LSH, verified by shingle-set
-    Jaccard (same shingle definition as the signatures). Scale path:
-    band-key joins shuffle only (id, band_key); exact verify joins shingle
-    arrays back for the (tiny) candidate set only. Returns (a, b, jaccard)
-    with a < b.
-    """
+    """(id, band, key) rows — one per (doc, band) — shared by the pair join
+    and the bucket-size diagnostics."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, text_col, id_col, num_hashes, k, mode)
     band_cols = [
@@ -157,12 +146,63 @@ def minhash_lsh_pairs(
         for b in range(bands)
     ]
     banded = sig.select(F.col(id_col), *band_cols)
-    melted = banded.select(
+    return banded.select(
         F.col(id_col),
         F.explode(F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("key")) for b in range(bands)])).alias(
             "bk"
         ),
     ).select(id_col, "bk.band", "bk.key")
+
+
+def lsh_skipped_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 5,
+    mode: str = "char",
+    max_bucket: int = 500,
+) -> DataFrame:
+    """Buckets the pair join would SKIP under `max_bucket` (band, key, n).
+    The scale contract: minhash_lsh_pairs drops degenerate buckets silently
+    for boundedness; this companion reports exactly what was dropped so the
+    pipeline can log it (no silent truncation)."""
+    melted = _lsh_banded(docs, text_col, id_col, num_hashes, bands, k, mode)
+    return (
+        melted.groupBy("band", "key").agg(F.count("*").alias("n")).filter(F.col("n") > max_bucket)
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 5,
+    jaccard_threshold: float = 0.5,
+    mode: str = "char",
+    max_bucket: int | None = 500,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded LSH, verified by shingle-set
+    Jaccard (same shingle definition as the signatures). Scale path:
+    band-key joins shuffle only (id, band_key); exact verify joins shingle
+    arrays back for the (tiny) candidate set only. Returns (a, b, jaccard)
+    with a < b.
+
+    `max_bucket` bounds the band self-join: a bucket of n identical
+    signatures costs O(n^2) pairs, so buckets with > max_bucket members
+    (empty docs, boilerplate — EXACT dups belong in exact_dedup, which is
+    O(n)) are skipped. Use `lsh_skipped_buckets` with the same parameters
+    to enumerate what was dropped (log it — no silent truncation at 100TB).
+    """
+    melted = _lsh_banded(docs, text_col, id_col, num_hashes, bands, k, mode)
+    if max_bucket is not None:
+        sizes = melted.groupBy("band", "key").agg(F.count("*").alias("_bn"))
+        melted = (
+            melted.join(sizes, ["band", "key"]).filter(F.col("_bn") <= max_bucket).drop("_bn")
+        )
     l = melted.select(F.col(id_col).alias("a"), "band", "key")
     r = melted.select(F.col(id_col).alias("b"), "band", "key")
     cand = (
@@ -229,6 +269,12 @@ def embedding_near_dup(
     cosine filters at `threshold`. Returns (a, b, cosine) with a < b.
     The all-pairs cross join never materializes — the scale path for
     near-dup detection over embedding columns.
+
+    Shuffle discipline (the 100TB path, same shape as minhash_lsh_pairs):
+    candidate generation explodes and joins NARROW (id, bucket) rows only —
+    the multiprobe explode amplifies the corpus x(bits+1), so carrying the
+    dense vector there would shuffle ~9x the corpus bytes. Vectors are
+    re-joined only for the surviving deduped candidate pairs.
     """
     import numpy as np
 
@@ -237,15 +283,17 @@ def embedding_near_dup(
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((bits, dim))
     e = embeddings.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
-    b = e.withColumn("_b0", hyperplane_bucket(F.col("_v"), planes))
+    b = e.withColumn("_b0", hyperplane_bucket(F.col("_v"), planes)).select(F.col(id_col), "_b0")
     probes = F.array(*([F.col("_b0")] + [F.col("_b0").bitwiseXOR(F.lit(1 << i)) for i in range(bits)]))
-    left = b.withColumn("_bucket", F.explode(probes)).select(
-        F.col(id_col).alias("a"), F.col("_v").alias("_va"), "_bucket"
-    )
-    right = b.select(F.col(id_col).alias("b"), F.col("_v").alias("_vb"), F.col("_b0").alias("_bucket"))
-    cand = left.join(right, "_bucket").filter(F.col("a") < F.col("b")).dropDuplicates(["a", "b"])
+    left = b.withColumn("_bucket", F.explode(probes)).select(F.col(id_col).alias("a"), "_bucket")
+    right = b.select(F.col(id_col).alias("b"), F.col("_b0").alias("_bucket"))
+    cand = left.join(right, "_bucket").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+    va = e.select(F.col(id_col).alias("a"), F.col("_v").alias("_va"))
+    vb = e.select(F.col(id_col).alias("b"), F.col("_v").alias("_vb"))
     return (
-        cand.withColumn("cosine", _cosine(F.col("_va"), F.col("_vb")))
+        cand.join(va, "a")
+        .join(vb, "b")
+        .withColumn("cosine", _cosine(F.col("_va"), F.col("_vb")))
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )

@@ -49,21 +49,30 @@ def polygon_cover_cells(polygons_pdf: pd.DataFrame, res: int = 5, samples: int =
         lons = np.array([v["lon"] for v in ring])
         lats = np.array([v["lat"] for v in ring])
         extent = max(lons.max() - lons.min(), lats.max() - lats.min(), 1e-6)
-        n = int(np.clip(4.0 * extent / cell_deg, samples, 160))
+        # grid spacing must stay below one cell width or interior cells of
+        # large polygons get skipped (false negatives the exact refine never
+        # sees): n scales with extent/cell_deg, NOT capped at a constant
+        n = max(samples, int(np.ceil(4.0 * extent / cell_deg)) + 1)
         gl = np.linspace(lons.min(), lons.max(), n)
         gt = np.linspace(lats.min(), lats.max(), n)
-        gx, gy = np.meshgrid(gl, gt)
-        all_lon = np.concatenate([gx.ravel(), lons])
-        all_lat = np.concatenate([gy.ravel(), lats])
-        cells = np.unique(h3lite.latlng_to_cell(all_lat, all_lon, res))
-        # pad with neighbors-by-sampling: jitter grid-step offsets in 4 dirs
         step_lon = (gl[1] - gl[0]) if len(gl) > 1 else 0.1
         step_lat = (gt[1] - gt[0]) if len(gt) > 1 else 0.1
-        for dx, dy in ((-0.6, -0.6), (0.6, 0.6), (-0.6, 0.6), (0.6, -0.6)):
-            cells = np.union1d(
-                cells, h3lite.latlng_to_cell(all_lat + dy * step_lat, all_lon + dx * step_lon, res)
-            )
-        rows += [(p["poly_id"], int(c)) for c in np.unique(cells)]
+        assert max(step_lon, step_lat) < cell_deg, "cover grid spacing must be < one cell"
+        cells_set = set()
+        # chunk grid rows so memory stays bounded for very large polygons
+        chunk = max(1, (1 << 22) // max(n, 1))
+        for r0 in range(0, n, chunk):
+            gx, gy = np.meshgrid(gl, gt[r0 : r0 + chunk])
+            all_lon = np.concatenate([gx.ravel(), lons])
+            all_lat = np.concatenate([gy.ravel(), lats])
+            cells = np.unique(h3lite.latlng_to_cell(all_lat, all_lon, res))
+            # pad with neighbors-by-sampling: jitter grid-step offsets in 4 dirs
+            for dx, dy in ((-0.6, -0.6), (0.6, 0.6), (-0.6, 0.6), (0.6, -0.6)):
+                cells = np.union1d(
+                    cells, h3lite.latlng_to_cell(all_lat + dy * step_lat, all_lon + dx * step_lon, res)
+                )
+            cells_set.update(int(c) for c in cells)
+        rows += [(p["poly_id"], c) for c in sorted(cells_set)]
     return pd.DataFrame(rows, columns=["poly_id", "h3_cell_cover"])
 
 
@@ -187,7 +196,14 @@ def knn_join(
                 F.greatest(F.lit(0), F.least(n - F.lit(1), qy + (F.col("_d") / 3).cast("long") - 1)),
             ),
         )
-        cand = neigh.join(pk.withColumnRenamed("_cell", "_ncell"), "_ncell", "inner")
+        # dedupe candidates on the id pair: the 9 neighbor cells collapse to
+        # duplicate cells at coarse zooms (x wrap via pmod when n < 3, y
+        # clamp at the grid edge), and duplicate candidates would occupy
+        # several row_number ranks
+        cand = (
+            neigh.join(pk.withColumnRenamed("_cell", "_ncell"), "_ncell", "inner")
+            .dropDuplicates([query_id, point_id])
+        )
         dist = F.sqrt(
             (F.col("_qmx") - F.col("_pmx")) * (F.col("_qmx") - F.col("_pmx"))
             + (F.col("_qmy") - F.col("_pmy")) * (F.col("_qmy") - F.col("_pmy"))
@@ -207,16 +223,23 @@ def knn_join(
         results = done if results is None else results.unionByName(done)
         remaining = remaining.join(done_ids.select(query_id), query_id, "left_anti")
         if zz == 0 or remaining.isEmpty():
-            if zz == 0 and not remaining.isEmpty():
-                # zoom 0: single global cell -> brute force leftover
-                leftover = remaining.crossJoin(p).withColumn("_dist", dist)
-                lt = (
-                    leftover.withColumn("_rn", F.row_number().over(w))
-                    .filter(F.col("_rn") <= k)
-                    .select(query_id, point_id, "_dist", "_rn")
-                )
-                results = results.unionByName(lt)
             break
+    # any query still unresolved (max_rounds expired before zz reached 0, or
+    # the single global cell at zz==0 could not certify) gets an exact
+    # brute-force pass — never silently dropped
+    if not remaining.isEmpty():
+        dist = F.sqrt(
+            (F.col("_qmx") - F.col("_pmx")) * (F.col("_qmx") - F.col("_pmx"))
+            + (F.col("_qmy") - F.col("_pmy")) * (F.col("_qmy") - F.col("_pmy"))
+        )
+        w = Window.partitionBy(query_id).orderBy(F.col("_dist").asc(), F.col(point_id).asc())
+        leftover = remaining.crossJoin(p).withColumn("_dist", dist)
+        lt = (
+            leftover.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select(query_id, point_id, "_dist", "_rn")
+        )
+        results = lt if results is None else results.unionByName(lt)
     return results.withColumnRenamed("_dist", "dist").withColumnRenamed("_rn", "rank")
 
 
@@ -239,10 +262,16 @@ def bbox_join(
     zoom: int = 6,
     lcols=("lmx0", "lmy0", "lmx1", "lmy1"),
     rcols=("rmx0", "rmy0", "rmx1", "rmy1"),
+    keys: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Bbox-overlap join (SURVEY.md §2.5 row 30): each side exploded to its
     covering tile cells at `zoom` (coarse equi prefilter), then the exact
     interval predicates. Dedup because a pair can meet in several cells.
+
+    `keys`: the pair-identity columns to dedup on (e.g. the two id
+    columns). Pass them whenever ids exist — deduping on the id pair
+    shuffles narrow rows instead of full rows with double payloads, and is
+    robust to extra payload columns. Default (None) dedups on all columns.
     """
 
     def cover(df, cols, side):
@@ -267,4 +296,4 @@ def bbox_join(
         & (F.col(lcols[1]) <= F.col(rcols[3]))
         & (F.col(lcols[3]) >= F.col(rcols[1]))
     )
-    return j.drop("_cell").dropDuplicates()
+    return j.drop("_cell").dropDuplicates(list(keys) if keys else None)

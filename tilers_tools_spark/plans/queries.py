@@ -297,7 +297,7 @@ def _boxes(spark, sf_dir, prefix):
 def q_bbox_join(spark, sf_dir):
     l = _boxes(spark, sf_dir, "l")
     r = _boxes(spark, sf_dir, "r")
-    j = spatial.bbox_join(l, r, zoom=4)
+    j = spatial.bbox_join(l, r, zoom=4, keys=("lid", "rid"))
     return j.filter(F.col("lid") < F.col("rid")).select("lid", "rid")
 
 
