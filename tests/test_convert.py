@@ -42,6 +42,12 @@ def test_paths(tiles_df):
     assert zz == p["z"] and xx == p["x"] and yy == 2 ** p["z"] - 1 - p["y"]
     assert convert.sasplanet_path(tiles_df).first()["path"].startswith("z")
     assert convert.maemo_mapper_path(tiles_df).first()["path"]
+    p = convert.ozi_path(tiles_df).first()
+    zz, xx, yy = (int(v) for v in p["path"][:-4].split("-"))
+    assert zz == p["z"] and xx == p["x"] and yy == 2 ** p["z"] - 1 - p["y"]
+    p = convert.mapnav_path(tiles_df).first()
+    zz, yy, xx = (int(v) for v in p["path"][:-4].split("/"))
+    assert (zz, xx, yy) == (p["z"], p["x"], p["y"])  # TMS y, row-major
 
 
 def test_mbtiles_roundtrip(tiles_df, spark, tmp_path):

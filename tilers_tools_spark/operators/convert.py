@@ -79,6 +79,30 @@ def maemo_mapper_path(tiles: DataFrame, ext: str = "png") -> DataFrame:
     ).drop("sx", "sy")
 
 
+def ozi_path(tiles: DataFrame, ext: str = "png") -> DataFrame:
+    """Ozi tile-cache layout (named by BASELINE.json:6 'MBTiles/Ozi/MapNav
+    tile-set transforms'): flat one-directory naming `{z}-{x}-{y}.{ext}`
+    with XYZ y — OziExplorer keeps map files flat in a single folder, so
+    the key triple is encoded in the file name. Engine convention flagged
+    [R]-low-confidence (reference checkout absent, SURVEY.md §0.1);
+    isolated here for one-line re-pinning when the exact reference layout
+    can be verified."""
+    t = with_scheme(tiles, "xyz")
+    return t.withColumn(
+        "path", F.format_string(f"%d-%d-%d.{ext}", F.col("z"), F.col("sx"), F.col("sy"))
+    ).drop("sx", "sy")
+
+
+def mapnav_path(tiles: DataFrame, ext: str = "png") -> DataFrame:
+    """MapNav tile-cache layout (BASELINE.json:6): row-major tree
+    `{z}/{y}/{x}.{ext}` with TMS y (distinct from zyx, which uses XYZ y).
+    Engine convention flagged [R]-low-confidence like ozi_path."""
+    t = with_scheme(tiles, "tms")
+    return t.withColumn(
+        "path", F.format_string(f"%d/%d/%d.{ext}", F.col("z"), F.col("sy"), F.col("sx"))
+    ).drop("sx", "sy")
+
+
 # ---------------------------------------------------------------------------
 # MBTiles (row 5): pure projection to the MBTiles 1.x key scheme [SPEC]
 # ---------------------------------------------------------------------------

@@ -144,7 +144,12 @@ def q_scheme_paths(spark, sf_dir):
     t = convert.tile_path(t, "zyx").withColumnRenamed("path", "path_zyx")
     t = convert.sasplanet_path(t).withColumnRenamed("path", "path_sas")
     t = convert.maemo_mapper_path(t).withColumnRenamed("path", "path_maemo")
-    return t.select("z", "x", "y", "path_xyz", "path_tms", "path_zyx", "path_sas", "path_maemo")
+    t = convert.ozi_path(t).withColumnRenamed("path", "path_ozi")
+    t = convert.mapnav_path(t).withColumnRenamed("path", "path_mapnav")
+    return t.select(
+        "z", "x", "y", "path_xyz", "path_tms", "path_zyx", "path_sas", "path_maemo",
+        "path_ozi", "path_mapnav",
+    )
 
 
 SQL_SCHEME_PATHS = f"""
@@ -154,7 +159,9 @@ SELECT z, x, y,
   printf('%d/%d/%d.png', z, x, y)       AS path_tms,
   printf('%d/%d/%d.png', z, 127 - y, x) AS path_zyx,
   printf('z%d/%d/x%d/%d/y%d.png', z + 1, x // 1024, x, (127 - y) // 1024, 127 - y) AS path_sas,
-  printf('%d/%d/%d.png', z + 1, x, 127 - y) AS path_maemo
+  printf('%d/%d/%d.png', z + 1, x, 127 - y) AS path_maemo,
+  printf('%d-%d-%d.png', z, x, 127 - y) AS path_ozi,
+  printf('%d/%d/%d.png', z, y, x) AS path_mapnav
 FROM d
 """
 
