@@ -111,6 +111,18 @@ def test_embedding_near_dup_narrow_candidate_plan(spark):
         assert "_va" not in ln and "_vb" not in ln and "_v#" not in ln, ln
 
 
+def test_simhash_md5_portable_twin(docs):
+    out = dedup.simhash_md5_32(docs).toPandas().set_index("doc_id")
+
+    def hamming(a, b):
+        return bin((int(a) ^ int(b)) & 0xFFFFFFFF).count("1")
+
+    assert hamming(out.loc[0, "simhash32"], out.loc[7, "simhash32"]) == 0  # exact dup
+    assert hamming(out.loc[0, "simhash32"], out.loc[1, "simhash32"]) <= 8  # near dup
+    assert hamming(out.loc[0, "simhash32"], out.loc[2, "simhash32"]) > 8
+    assert int(out.loc[6, "simhash32"]) >= 0  # empty doc defined
+
+
 def test_text_ops(docs):
     q = text.quality_features(docs).toPandas().set_index("doc_id")
     assert q.loc[6, "n_tokens"] == 0

@@ -255,6 +255,33 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
     return docs.select(id_col).join(out, id_col, "left").fillna({"simhash": 0})
 
 
+def simhash_md5_32(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Portable 32-bit SimHash twin of `simhash` for cross-engine
+    verification: the per-token hash is defined POSITIONALLY on the first 8
+    hex chars of md5(token) — bit b (0..31) is bit (b % 4) of the value of
+    hex digit (b // 4) — so any engine with md5/substr reproduces it exactly
+    (the production path `simhash` uses xxhash64, which only Spark has).
+    Same explode + codegen'd hash-agg vote shape as `simhash`.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("_tok")
+    )
+    md5c = F.md5("_tok")
+    nib = [F.conv(F.substring(md5c, i + 1, 1), 16, 10).cast("int") for i in range(8)]
+    votes = [
+        F.sum(
+            F.when(F.shiftright(nib[b // 4], b % 4).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_v{b}")
+        for b in range(32)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sim = F.lit(0).cast("long")
+    for b in range(32):
+        sim = sim + F.when(F.col(f"_v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    out = agg.select(F.col(id_col), sim.alias("simhash32"))
+    return docs.select(id_col).join(out, id_col, "left").fillna({"simhash32": 0})
+
+
 def embedding_near_dup(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -560,22 +560,88 @@ def q_image_features(spark, sf_dir):
 
 def q_embedding_near_dup(spark, sf_dir):
     """Random embeddings contain no true near-dups, so plant perturbed
-    copies of the first 4 vectors (ids 1000000+i) — the operator must
-    recover exactly those pairs (deterministic non-empty result)."""
+    copies of the first 4 vectors (vec_id + 1000000, every component
+    + 0.001) — a derivation both engines express identically, so the
+    DuckDB oracle can verify the result against exact all-pairs cosine
+    (cross-engine bit-exact: both fold the dot product left-to-right in
+    float64)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    first = emb.orderBy("vec_id").limit(4).collect()
-    dim = len(first[0]["embedding"])
-    planted = spark.createDataFrame(
-        [
-            (1000000 + i, [float(x) + 0.001 * ((i + j) % 3) for j, x in enumerate(r["embedding"])], -1)
-            for i, r in enumerate(first)
-        ],
-        "vec_id long, embedding array<double>, label int",
+    dim = len(emb.select("embedding").first()["embedding"])
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    planted = (
+        base.orderBy("vec_id")
+        .limit(4)
+        .select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.transform("embedding", lambda x: x + F.lit(0.001)).alias("embedding"),
+        )
     )
-    allv = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")).unionByName(
-        planted.select("vec_id", "embedding")
-    )
+    allv = base.unionByName(planted)
     return dedup.embedding_near_dup(allv, threshold=0.98, bits=6, dim=dim)
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT vec_id + 1000000 AS vec_id, list_transform(v, x -> x + 0.001) AS v
+      FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT 4)),
+allv AS (SELECT * FROM base UNION ALL SELECT * FROM p),
+pr AS (SELECT l.vec_id AS a, r.vec_id AS b,
+         list_dot_product(l.v, r.v)
+           / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))) AS cosine
+       FROM allv l, allv r WHERE l.vec_id < r.vec_id)
+SELECT a, b, cosine FROM pr WHERE cosine >= 0.98
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard pairs within length bands — the LSH verify
+    stage's ground truth, fully SQL-expressible (band blocking + distinct
+    5-gram set intersect/union are identical relational ops in DuckDB;
+    Jaccard is a ratio of exact ints, so the hash matches bit-for-bit)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.ngram_jaccard_pairs(docs, k=5, threshold=0.8, length_band=32)
+
+
+SQL_NGRAM_JACCARD = """
+WITH g AS (
+  SELECT doc_id, length(text) // 32 AS band,
+         list_distinct(list_transform(range(1, GREATEST(length(lower(text)) - 4, 1) + 1),
+                       i -> substr(lower(text), i::INT, 5))) AS sh
+  FROM documents)
+SELECT a, b, jaccard FROM (
+  SELECT l.doc_id AS a, r.doc_id AS b,
+         len(list_intersect(l.sh, r.sh))::DOUBLE
+           / len(list_distinct(list_concat(l.sh, r.sh)))::DOUBLE AS jaccard
+  FROM g l, g r
+  WHERE l.doc_id < r.doc_id AND abs(l.band - r.band) <= 1)
+WHERE jaccard >= 0.8
+"""
+
+
+def q_simhash_md5(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash_md5_32(docs)
+
+
+def _simhash_md5_sql() -> str:
+    nibs = ", ".join(
+        f"(strpos('0123456789abcdef', substr(m, {i + 1}, 1)) - 1) AS n{i}" for i in range(8)
+    )
+    votes = ", ".join(
+        f"SUM(CASE WHEN (n{b // 4} >> {b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(32)
+    )
+    bits = " + ".join(f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(32))
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok FROM documents),
+n AS (SELECT doc_id, {nibs} FROM (SELECT doc_id, md5(tok) AS m FROM toks)),
+v AS (SELECT doc_id, {votes} FROM n GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(CAST({bits} AS BIGINT), 0) AS simhash32
+FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id
+"""
+
+
+SQL_SIMHASH_MD5 = _simhash_md5_sql()
 
 
 def q_cutline_mask(spark, sf_dir):
@@ -646,6 +712,9 @@ QUERIES: dict = {
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "minhash_md5": (q_minhash_md5, SQL_MINHASH_MD5),
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
+    "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "simhash_md5": (q_simhash_md5, SQL_SIMHASH_MD5),
     # engine-only (rows-only checks)
     "h3_s2_assign": (q_h3_s2_assign, None),
     "pyramid_smoke": (q_pyramid_smoke, None),
@@ -655,5 +724,4 @@ QUERIES: dict = {
     "ann_lsh": (q_ann_lsh, None),
     "cutline_mask": (q_cutline_mask, None),
     "h3_rollup": (q_h3_rollup, None),
-    "embedding_near_dup": (q_embedding_near_dup, None),
 }
