@@ -35,19 +35,28 @@ def _ensure_workers_can_import(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, "_tilers_pyfiles_added", False):
         return
+    import hashlib
     import zipfile
 
-    zpath = os.path.join("/tmp", "tilers_engine_pyfiles.zip")
+    # key the zip name on a content hash of the package sources so a stale
+    # zip from a previous source version is never shipped to workers
+    srcs = []
+    for pkg in ("tilers_tools_spark", "fixtures", "oracle"):
+        for dirpath, _d, files in os.walk(os.path.join(_REPO, pkg)):
+            if "__pycache__" in dirpath:
+                continue
+            srcs += [os.path.join(dirpath, f) for f in files if f.endswith(".py")]
+    srcs.sort()
+    h = hashlib.md5()
+    for full in srcs:
+        h.update(full.encode())
+        with open(full, "rb") as f:
+            h.update(f.read())
+    zpath = os.path.join("/tmp", f"tilers_engine_pyfiles-{h.hexdigest()[:12]}.zip")
     if not os.path.exists(zpath):
         with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
-            for pkg in ("tilers_tools_spark", "fixtures", "oracle"):
-                for dirpath, _d, files in os.walk(os.path.join(_REPO, pkg)):
-                    if "__pycache__" in dirpath:
-                        continue
-                    for f in files:
-                        if f.endswith(".py"):
-                            full = os.path.join(dirpath, f)
-                            z.write(full, os.path.relpath(full, _REPO))
+            for full in srcs:
+                z.write(full, os.path.relpath(full, _REPO))
     try:
         sc.addPyFile(zpath)
     except Exception:

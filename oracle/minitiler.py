@@ -118,18 +118,37 @@ def georef_of(phash: int, w: int, h: int):
 # --------------------------------------------------------------------------
 
 
-def render_tile(rgba_src: np.ndarray, geo: dict, z: int, tx: int, ty_tms: int) -> np.ndarray:
-    """Render one 256x256 RGBA dest tile by inverse-mapping bilinear sampling.
+def _cubic_wq(f: float):
+    """Quantized 8.8 Catmull-Rom taps at offsets -1..+2 (scalar transcription
+    of the shared contract): floor(w*256 + 0.5) per tap, residue to tap 1 so
+    the taps sum to exactly 256."""
+    w0 = ((-0.5 * f + 1.0) * f - 0.5) * f
+    w1 = (1.5 * f - 2.5) * f * f + 1.0
+    w2 = ((-1.5 * f + 2.0) * f + 0.5) * f
+    w3 = (0.5 * f - 0.5) * f * f
+    wq = [int(math.floor(w * 256.0 + 0.5)) for w in (w0, w1, w2, w3)]
+    wq[1] += 256 - sum(wq)
+    return wq
+
+
+def render_tile(
+    rgba_src: np.ndarray, geo: dict, z: int, tx: int, ty_tms: int, base_resampling: str = "bilinear"
+) -> np.ndarray:
+    """Render one 256x256 RGBA dest tile by inverse-mapping resampling.
 
     Contract (engine must match bit-for-bit):
     * dest pixel (r,c) center meters: mx = tmx0 + (c+0.5)*res ; my = tmy1 - (r+0.5)*res
       (float64 geometry)
     * source px coords: sc = (mx - mx0)/gsd - 0.5 ; sr = (my1 - my)/gsd - 0.5 (float64)
     * validity in meter space: mx0 <= mx < mx1 and my0 < my <= my1 -> alpha else 0
-    * 8.8 fixed-point bilinear on clamped integer neighbors, columns lerped
+    * bilinear: 8.8 fixed-point on clamped integer neighbors, columns lerped
       before rows: weight wq = floor(frac*256 + 0.5) in [0, 256]; per stage
       out = (a*(256-wq) + b*wq + 128) >> 8 in uint16 (a*(256-wq)+b*wq <=
       255*256, no overflow). Quantized bilinear, standard SIMD practice.
+    * cubic (Catmull-Rom): 4 clamped taps at floor(s)-1..+2, quantized 8.8
+      weights per _cubic_wq (residue on tap 1, sum exactly 256), int32
+      accumulate, (acc + 128) >> 8 arithmetic shift, clip 0..255 per stage;
+      columns before rows, u8 intermediate — identical ops in the engine.
     """
     h, w = rgba_src.shape[:2]
     res = res_at(z)
@@ -148,16 +167,35 @@ def render_tile(rgba_src: np.ndarray, geo: dict, z: int, tx: int, ty_tms: int) -
         sc = (mx - geo["mx0"]) / geo["gsd"] - 0.5
         sr = (geo["my1"] - my) / geo["gsd"] - 0.5
         c0 = np.floor(sc).astype(np.int64)
-        wc = np.floor((sc - c0) * 256.0 + 0.5).astype(np.uint16)[:, None]
         r0 = int(math.floor(sr))
-        wr = np.uint16(math.floor((sr - r0) * 256.0 + 0.5))
-        c0c = np.clip(c0, 0, w - 1)
-        c1c = np.clip(c0 + 1, 0, w - 1)
-        r0c = min(max(r0, 0), h - 1)
-        r1c = min(max(r0 + 1, 0), h - 1)
-        top = (src16[r0c, c0c] * (256 - wc) + src16[r0c, c1c] * wc + 128) >> 8
-        bot = (src16[r1c, c0c] * (256 - wc) + src16[r1c, c1c] * wc + 128) >> 8
-        row = ((top * (256 - wr) + bot * wr + 128) >> 8).astype(np.uint8)
+        if base_resampling == "bilinear":
+            wc = np.floor((sc - c0) * 256.0 + 0.5).astype(np.uint16)[:, None]
+            wr = np.uint16(math.floor((sr - r0) * 256.0 + 0.5))
+            c0c = np.clip(c0, 0, w - 1)
+            c1c = np.clip(c0 + 1, 0, w - 1)
+            r0c = min(max(r0, 0), h - 1)
+            r1c = min(max(r0 + 1, 0), h - 1)
+            top = (src16[r0c, c0c] * (256 - wc) + src16[r0c, c1c] * wc + 128) >> 8
+            bot = (src16[r1c, c0c] * (256 - wc) + src16[r1c, c1c] * wc + 128) >> 8
+            row = ((top * (256 - wr) + bot * wr + 128) >> 8).astype(np.uint8)
+        elif base_resampling == "cubic":
+            fc = sc - c0
+            cq = np.stack([np.array(_cubic_wq(f), dtype=np.int32) for f in fc])  # (256, 4)
+            rq = _cubic_wq(sr - r0)
+            cols = []  # horizontal pass on each of the 4 clamped source rows
+            for j in range(4):
+                rj = min(max(r0 + (j - 1), 0), h - 1)
+                acc = np.zeros((TILE, 3), dtype=np.int64)
+                for k in range(4):
+                    ckc = np.clip(c0 + (k - 1), 0, w - 1)
+                    acc += src16[rj, ckc].astype(np.int64) * cq[:, k][:, None]
+                cols.append(np.clip((acc + 128) >> 8, 0, 255))
+            racc = np.zeros((TILE, 3), dtype=np.int64)
+            for j in range(4):
+                racc += cols[j] * rq[j]
+            row = np.clip((racc + 128) >> 8, 0, 255).astype(np.uint8)
+        else:
+            raise ValueError(base_resampling)
         out[r, valid, :3] = row[valid]
         out[r, valid, 3] = 255
     return out
@@ -206,7 +244,13 @@ def downsample_nearest(quad: np.ndarray) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 
-def tile_image(rec: dict, zmin: int | None = None, zmax: int | None = None, resampling: str = "average"):
+def tile_image(
+    rec: dict,
+    zmin: int | None = None,
+    zmax: int | None = None,
+    resampling: str = "average",
+    base_resampling: str = "bilinear",
+):
     """One image row -> dict {(z, x_tms_is_not, y...)}: list of tile records.
 
     Returns list of dicts: z, x, y (TMS), xyz_y, rgba, h3_res, s2_cell.
@@ -221,7 +265,7 @@ def tile_image(rec: dict, zmin: int | None = None, zmax: int | None = None, resa
     txmin, txmax, tymin, tymax = cover(geo["mx0"], geo["my0"], geo["mx1"], geo["my1"], zb)
     for tx in range(txmin, txmax + 1):
         for ty in range(tymin, tymax + 1):
-            arr = render_tile(rgba, geo, zb, tx, ty)
+            arr = render_tile(rgba, geo, zb, tx, ty, base_resampling)
             if arr[:, :, 3].max() == 0:
                 continue  # empty-tile elision
             tiles[(zb, tx, ty)] = arr

@@ -100,3 +100,28 @@ def test_to_rgba_and_psnr():
     assert codecs.psnr(rgba, rgba) == float("inf")
     noisy = rgba.astype(np.int32) + RNG.integers(-2, 3, rgba.shape)
     assert codecs.psnr(rgba, np.clip(noisy, 0, 255).astype(np.uint8)) > 40.0
+
+
+def test_paletted_encode_roundtrip():
+    rng = np.random.default_rng(9)
+    # 7-color RGBA image (<=256 colors -> paletted path)
+    pal = rng.integers(0, 256, (7, 4), dtype=np.uint8)
+    pal[0, 3] = 0  # one transparent entry
+    idx = rng.integers(0, 7, (32, 32))
+    arr = pal[idx]
+    blob = codecs.encode_png_paletted(arr)
+    # really paletted: PLTE chunk present, smaller than RGBA encode
+    assert b"PLTE" in blob and b"tRNS" in blob
+    back = codecs.to_rgba(codecs.decode_png(blob))
+    assert np.array_equal(back, arr)
+    # deterministic bytes
+    assert blob == codecs.encode_png_paletted(arr)
+    # opaque RGB -> PLTE without tRNS, roundtrips as RGB
+    rgb = pal[idx][:, :, :3]
+    blob3 = codecs.encode_png_paletted(rgb)
+    assert b"PLTE" in blob3 and b"tRNS" not in blob3
+    assert np.array_equal(codecs.decode_png(blob3), rgb)
+    # >256 colors falls back to truecolor (no PLTE)
+    big = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    assert b"PLTE" not in codecs.encode_png_paletted(big)
+    assert np.array_equal(codecs.decode_png(codecs.encode_png_paletted(big)), big)

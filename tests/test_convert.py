@@ -60,6 +60,21 @@ def test_mbtiles_roundtrip(tiles_df, spark, tmp_path):
     assert mbt.read_mbtiles_metadata(path)["name"] == "t"
 
 
+def test_mbtiles_parallel_shard_read(tiles_df, spark, tmp_path):
+    """Multi-shard dir reads via executors (distributed MapInPandas scan,
+    not a driver createDataFrame of all rows) and matches the write input."""
+    out = str(tmp_path / "mbshards")
+    mbt.write_mbtiles(tiles_df.repartition(6), out, metadata={"name": "t"})
+    import glob as _g
+    assert len(_g.glob(out + "/part-*.mbtiles")) > 1
+    back = mbt.read_mbtiles(spark, out)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan
+    a = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in tiles_df.select("z", "x", "y", "tile").collect()}
+    b = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in back.collect()}
+    assert a == b
+
+
 def test_mbtiles_tms_row_convention(tiles_df):
     kv = convert.to_mbtiles_keys(tiles_df).first()
     # canonical y IS TMS; spec stores TMS row directly

@@ -77,3 +77,50 @@ def test_parse_udf(spark):
     out = df.select("chart_id", udf("header", "w", "h").alias("g")).select("chart_id", "g.*").first()
     assert abs(out["gsd"] - gsd) < 1e-3
     assert abs(out["mx0"] - mx0) < 1.0
+
+
+def test_geo_nos_parse_and_affine():
+    gsd = 25.0
+    mx0, my1 = tm.merc_np(np.array([-122.5]), np.array([37.8]))
+    mx0, my1 = float(mx0[0]), float(my1[0])
+    lines = ["Bitmap=chart.nos", "Name=TEST NOS"]
+    pts = [(0, 0), (800, 0), (0, 600), (800, 600)]
+    for i, (px, py) in enumerate(pts, 1):
+        lon, lat = tm.inv_merc_np(np.array([mx0 + gsd * px]), np.array([my1 - gsd * py]))
+        lines.append(f"Point{i:02d}={px},{py},{float(lat[0]):.8f},{float(lon[0]):.8f}")
+    lines += ["Vertex01=37.8,-122.5", "Vertex02=37.8,-122.3", "Vertex03=37.6,-122.3"]
+    parsed = gp.parse_geo_nos("\n".join(lines))
+    assert parsed["name"] == "TEST NOS" and parsed["bitmap"] == "chart.nos"
+    assert len(parsed["gcps"]) == 4 and len(parsed["border_ll"]) == 3
+    assert parsed["border_ll"][0] == (-122.5, 37.8)  # (lon, lat)
+    A = gp.fit_affine_3857(parsed["gcps"])
+    g = gp.affine_to_georef(A, 800, 600)
+    assert abs(g["gsd"] - gsd) < 1e-3 and abs(g["mx0"] - mx0) < 1.0
+
+
+def test_kml_overlay_parse_and_georef():
+    import math
+    # square-pixel box: pick north/south so meter heights match meter width
+    mx0, my1 = tm.merc_np(np.array([10.0]), np.array([45.0]))
+    w, h, gsd = 1000, 800, 40.0
+    mx1 = float(mx0[0]) + gsd * w
+    my0 = float(my1[0]) - gsd * h
+    lon1, lat0 = tm.inv_merc_np(np.array([mx1]), np.array([my0]))
+    kml = f"""<?xml version="1.0" encoding="UTF-8"?>
+<kml xmlns="http://www.opengis.net/kml/2.2"><Document>
+<GroundOverlay><name>ov</name><Icon><href>tiles/ov.png</href></Icon>
+<LatLonBox><north>45.0</north><south>{float(lat0[0]):.10f}</south>
+<east>{float(lon1[0]):.10f}</east><west>10.0</west><rotation>0</rotation></LatLonBox>
+</GroundOverlay></Document></kml>"""
+    d = gp.parse_kml_overlay(kml)
+    assert d["name"] == "ov" and d["href"] == "tiles/ov.png"
+    g = gp.kml_overlay_to_georef(d, w, h)
+    assert abs(g["gsd"] - gsd) < 1e-6
+    assert abs(g["mx0"] - float(mx0[0])) < 1e-6 and abs(g["my1"] - float(my1[0])) < 1e-6
+    # rotated overlays rejected (north-up contract)
+    d2 = dict(d, rotation=5.0)
+    try:
+        gp.kml_overlay_to_georef(d2, w, h)
+        assert False, "rotation must raise"
+    except ValueError:
+        pass

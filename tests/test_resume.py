@@ -53,3 +53,47 @@ def test_resume_idempotent(spark, images, tmp_path):
         F.sum("rows_in").alias("ri"), F.sum("tiles_out").alias("to")
     ).collect()[0]
     assert agg["ri"] == 100 and agg["to"] == n_full
+
+
+def test_crash_between_tiles_and_checkpoint_commits(spark, images, tmp_path, monkeypatch):
+    """Kill INSIDE the part commit: tiles batch committed, checkpoint row
+    not. The rerun must reconcile the orphan batch (rollback) and produce a
+    table identical to a clean run — no duplicate (image_id,z,x,y)."""
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    real_append = Catalog.append
+
+    # crash AFTER the tiles append, BEFORE the checkpoint append commits
+    def crash_before_checkpoint(self, df, table, partition_by=(), tag=None):
+        if table == tp.CHECKPOINT_TABLE:
+            raise RuntimeError("simulated crash between tiles and checkpoint commits")
+        real_append(self, df, table, partition_by=partition_by, tag=tag)
+
+    monkeypatch.setattr(Catalog, "append", crash_before_checkpoint)
+    with pytest.raises(RuntimeError):
+        tp.run(spark, images, cat, run_id="r1", n_parts=4)
+    monkeypatch.setattr(Catalog, "append", real_append)
+    # orphan tiles batch is visible pre-reconcile
+    assert cat.read(tp.TILES_TABLE).count() > 0
+    m = tp.run(spark, images, cat, run_id="r1", n_parts=4)
+    assert m["orphans_rolled_back"] >= 1 and m["parts_run"] == 4
+    tiles = cat.read(tp.TILES_TABLE)
+    n = tiles.count()
+    assert tiles.select("image_id", "z", "x", "y").distinct().count() == n
+
+    clean = Catalog(spark, str(tmp_path / "clean"))
+    tp.run(spark, images, clean, run_id="full", n_parts=4)
+    assert _tiles_key_hash(tiles) == _tiles_key_hash(clean.read(tp.TILES_TABLE))
+
+
+def test_staged_part_scan_is_partition_pruned(spark, images, tmp_path):
+    """stage_input writes the planned input partitioned by part_id once;
+    each part job's parquet scan must then carry a part_id partition filter
+    (pruned directories) instead of re-scanning the full input."""
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    planned = tp.plan_parts(images, 4)
+    cat.append(planned, "_staged_images_x", partition_by=("part_id",))
+    staged = cat.read("_staged_images_x")
+    one = staged.filter(F.col("part_id") == 2).drop("part_id")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "part_id" in plan.split("PartitionFilters")[1][:200], plan
+    assert one.count() == planned.filter("part_id = 2").count()

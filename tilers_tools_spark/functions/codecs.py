@@ -71,6 +71,36 @@ def encode_png(arr: np.ndarray, level: int = 6) -> bytes:
     return PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
+def encode_png_paletted(arr: np.ndarray, level: int = 6, max_colors: int = 256) -> bytes:
+    """uint8 (H,W,3)/(H,W,4) -> paletted PNG (color type 3, PLTE [+ tRNS])
+    when the image has <= max_colors distinct colors; falls back to
+    encode_png otherwise. Palette order = sorted packed RGBA -> byte-
+    deterministic. Decoder side: decode_png already expands palettes
+    (SURVEY.md §2.3 row 20 paletted output; roundtrips via to_rgba).
+    """
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] not in (3, 4):
+        return encode_png(arr, level)
+    h, w, c = arr.shape
+    rgba = arr if c == 4 else np.dstack([arr, np.full((h, w), 255, np.uint8)])
+    packed = rgba.reshape(-1, 4).view(np.uint32).ravel()
+    colors, inverse = np.unique(packed, return_inverse=True)
+    if len(colors) > max_colors:
+        return encode_png(arr, level)
+    pal_rgba = colors.view(np.uint32)[:, None].view(np.uint8).reshape(-1, 4)
+    idx = inverse.astype(np.uint8).reshape(h, w)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    plte = pal_rgba[:, :3].tobytes()
+    lines = np.zeros((h, 1 + w), dtype=np.uint8)
+    lines[:, 1:] = idx
+    idat = zlib.compress(lines.tobytes(), level)
+    out = PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", plte)
+    alpha = pal_rgba[:, 3]
+    if (alpha != 255).any() or c == 4:
+        out += _chunk(b"tRNS", alpha.tobytes())
+    return out + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
 # tile blobs use a faster deflate level than the fixture spec's level 6;
 # any fixed level is byte-deterministic — engine and oracle share this one
 # (throughput/storage tradeoff: level 1 deflates ~2.5x faster, ~15% larger).

@@ -95,6 +95,93 @@ def parse_kap_header(data: bytes) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# GEO/NOS sidecar (.geo text header for NOS charts) — SURVEY.md §2.1 row 9
+# ---------------------------------------------------------------------------
+
+
+def parse_geo_nos(text: str) -> dict:
+    """Parse a Maptech/SoftChart `.geo` sidecar (the GEO/NOS pair):
+    `PointNN=px,py,lat,lon` GCP lines, `VertexNN=lat,lon` border lines,
+    `Name=`/`Bitmap=` metadata. Field order follows the public de-facto
+    format docs; flagged [R]-low-confidence like the Ozi/KAP layouts
+    (reference checkout absent — SURVEY.md §0.1)."""
+    gcps = []
+    border_ll = []
+    name = None
+    bitmap = None
+    for line in text.splitlines():
+        if "=" not in line:
+            continue
+        key, _, val = line.partition("=")
+        key = key.strip()
+        parts = [p.strip() for p in val.split(",")]
+        if re.match(r"^Point\d+$", key) and len(parts) >= 4:
+            px, py, lat, lon = (float(p) for p in parts[:4])
+            gcps.append((px, py, lon, lat))
+        elif re.match(r"^Vertex\d+$", key) and len(parts) >= 2:
+            border_ll.append((float(parts[1]), float(parts[0])))  # -> (lon, lat)
+        elif key == "Name":
+            name = val.strip()
+        elif key == "Bitmap":
+            bitmap = val.strip()
+    return {"gcps": gcps, "border_ll": border_ll, "name": name, "bitmap": bitmap}
+
+
+# ---------------------------------------------------------------------------
+# KML GroundOverlay (SURVEY.md §2.1 row 9) — published OGC KML [SPEC]
+# ---------------------------------------------------------------------------
+
+
+def parse_kml_overlay(text: str) -> dict:
+    """Parse the first <GroundOverlay> of a KML document: LatLonBox
+    north/south/east/west (+ optional rotation, must be ~0 for the
+    north-up render path), Icon href, name."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(text)
+
+    def local(tag):
+        return tag.rsplit("}", 1)[-1]
+
+    overlay = None
+    for el in root.iter():
+        if local(el.tag) == "GroundOverlay":
+            overlay = el
+            break
+    if overlay is None:
+        raise ValueError("no GroundOverlay element")
+    out = {"name": None, "href": None, "rotation": 0.0}
+    for el in overlay.iter():
+        t = local(el.tag)
+        if t == "name":
+            out["name"] = (el.text or "").strip()
+        elif t == "href":
+            out["href"] = (el.text or "").strip()
+        elif t in ("north", "south", "east", "west", "rotation"):
+            out[t] = float((el.text or "0").strip())
+    for side in ("north", "south", "east", "west"):
+        if side not in out:
+            raise ValueError(f"LatLonBox missing {side}")
+    return out
+
+
+def kml_overlay_to_georef(d: dict, w: int, h: int, tol: float = 0.01) -> dict:
+    """LatLonBox -> engine georef dict (SURVEY.md §1.5 shape). The render
+    path assumes square pixels and north-up: rotation must be ~0 and the
+    per-axis gsds within `tol` relative difference."""
+    if abs(d.get("rotation", 0.0)) > 1e-9:
+        raise ValueError("rotated GroundOverlay not supported by the north-up render path")
+    mx0, my1 = (float(v[0]) for v in tm.merc_np(np.array([d["west"]]), np.array([d["north"]])))
+    mx1, my0 = (float(v[0]) for v in tm.merc_np(np.array([d["east"]]), np.array([d["south"]])))
+    gsd_x = (mx1 - mx0) / w
+    gsd_y = (my1 - my0) / h
+    if abs(gsd_x - gsd_y) > tol * max(abs(gsd_x), abs(gsd_y)):
+        raise ValueError(f"non-square pixels: gsd_x={gsd_x:.3f} gsd_y={gsd_y:.3f}")
+    gsd = (gsd_x + gsd_y) / 2.0
+    return {"gsd": gsd, "mx0": mx0, "my1": my1, "mx1": mx0 + gsd * w, "my0": my1 - gsd * h}
+
+
+# ---------------------------------------------------------------------------
 # GCP -> affine least squares (gdal_translate -gcp analog, row 13)
 # ---------------------------------------------------------------------------
 
@@ -156,9 +243,17 @@ def parse_georef_udf(kind: str = "ozi"):
         rows = []
         for hd, ww, hh in zip(header, w, h):
             try:
-                parsed = parse_ozi_map(hd) if kind == "ozi" else parse_kap_header(bytes(hd))
-                A = fit_affine_3857(parsed["gcps"])
-                g = affine_to_georef(A, int(ww), int(hh))
+                if kind == "kml":
+                    g = kml_overlay_to_georef(parse_kml_overlay(hd), int(ww), int(hh))
+                else:
+                    if kind == "ozi":
+                        parsed = parse_ozi_map(hd)
+                    elif kind == "geo":
+                        parsed = parse_geo_nos(hd)
+                    else:
+                        parsed = parse_kap_header(bytes(hd))
+                    A = fit_affine_3857(parsed["gcps"])
+                    g = affine_to_georef(A, int(ww), int(hh))
                 rows.append((g["gsd"], g["mx0"], g["my0"], g["mx1"], g["my1"]))
             except Exception:
                 rows.append((float("nan"),) * 5)

@@ -79,6 +79,21 @@ def s2_level_for_zoom(z: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _cubic_weights_q(f: np.ndarray) -> np.ndarray:
+    """Quantized 8.8 fixed-point Catmull-Rom weights (engine+oracle
+    contract): 4 taps at offsets -1..+2 from floor(s); each tap
+    floor(w*256 + 0.5), residue (sum must be exactly 256 to preserve flat
+    fields) folded into tap 1. Returns int32 (taps can be negative)."""
+    f = np.asarray(f, dtype=np.float64)
+    w0 = ((-0.5 * f + 1.0) * f - 0.5) * f
+    w1 = (1.5 * f - 2.5) * f * f + 1.0
+    w2 = ((-1.5 * f + 2.0) * f + 0.5) * f
+    w3 = (0.5 * f - 0.5) * f * f
+    wq = np.floor(np.stack([w0, w1, w2, w3], axis=-1) * 256.0 + 0.5).astype(np.int32)
+    wq[..., 1] += 256 - wq.sum(axis=-1)
+    return wq
+
+
 def _downsample(quad: np.ndarray, resampling: str) -> np.ndarray:
     if resampling == "average":
         # integer-exact fast path: floor(mean + 0.5) == (sum + 2) >> 2 for
@@ -109,8 +124,20 @@ def _downsample(quad: np.ndarray, resampling: str) -> np.ndarray:
     raise ValueError(f"unknown resampling {resampling!r}")
 
 
-def render_image_pyramid(rec: dict, overview_levels: int = 2, resampling: str = "average", zmin=None, zmax=None):
-    """One image row -> {(z, tx, ty_tms): rgba}. Base cut + overviews."""
+def render_image_pyramid(
+    rec: dict,
+    overview_levels: int = 2,
+    resampling: str = "average",
+    zmin=None,
+    zmax=None,
+    base_resampling: str = "bilinear",
+):
+    """One image row -> {(z, tx, ty_tms): rgba}. Base cut + overviews.
+
+    `base_resampling`: 'bilinear' (default) or 'cubic' (Catmull-Rom; the
+    gdalwarp-set kernel users commonly pick for base cut — SURVEY.md §2.3
+    row 17). Both are 8.8 fixed-point, columns interpolated before rows,
+    intermediates clipped to u8 — bit-identical to oracle/minitiler."""
     rgba = codecs.to_rgba(codecs.decode_image(rec["bytes"], rec["fmt"]))
     # phash arrives as a (possibly negative) int64; reinterpret as uint64
     ph = np.array([rec["phash"]], dtype=np.int64).astype(np.uint64)
@@ -143,17 +170,29 @@ def render_image_pyramid(rec: dict, overview_levels: int = 2, resampling: str = 
         c0 = np.floor(sc)
         fc = sc - c0
         c0 = c0.astype(np.int64)
-        c0c = np.clip(c0, 0, w_src - 1)
-        c1c = np.clip(c0 + 1, 0, w_src - 1)
-        # 8.8 fixed-point bilinear (geometry stays float64): weight
-        # wq = floor(frac*256 + 0.5) in [0,256]; per stage
-        # out = (a*(256-wq) + b*wq + 128) >> 8, all uint16 (max 255*256
-        # fits). Quantized bilinear = standard SIMD image-pipeline practice;
-        # ~4x less memory traffic than float64 -> scales across cores.
-        # Oracle mirrors the identical integer ops -> bit-identical tiles.
-        wc = np.floor(fc * 256.0 + 0.5).astype(np.uint16)[None, :, None]
-        # stored u8 (values <= 255) to halve the stage-2 gather traffic
-        cols_full = ((src[:, c0c] * (256 - wc) + src[:, c1c] * wc + 128) >> 8).astype(np.uint8)
+        if base_resampling == "bilinear":
+            c0c = np.clip(c0, 0, w_src - 1)
+            c1c = np.clip(c0 + 1, 0, w_src - 1)
+            # 8.8 fixed-point bilinear (geometry stays float64): weight
+            # wq = floor(frac*256 + 0.5) in [0,256]; per stage
+            # out = (a*(256-wq) + b*wq + 128) >> 8, all uint16 (max 255*256
+            # fits). Quantized bilinear = standard SIMD image-pipeline practice;
+            # ~4x less memory traffic than float64 -> scales across cores.
+            # Oracle mirrors the identical integer ops -> bit-identical tiles.
+            wc = np.floor(fc * 256.0 + 0.5).astype(np.uint16)[None, :, None]
+            # stored u8 (values <= 255) to halve the stage-2 gather traffic
+            cols_full = ((src[:, c0c] * (256 - wc) + src[:, c1c] * wc + 128) >> 8).astype(np.uint8)
+        elif base_resampling == "cubic":
+            # 4-tap Catmull-Rom, int32 accumulate (taps can be negative),
+            # (acc + 128) >> 8 arithmetic shift, clip to u8 per stage
+            cq = _cubic_weights_q(fc)
+            acc = np.zeros((h_src, TILE, 3), dtype=np.int32)
+            for k in range(4):
+                ck = np.clip(c0 + (k - 1), 0, w_src - 1)
+                acc += src[:, ck].astype(np.int32) * cq[:, k][None, :, None]
+            cols_full = np.clip((acc + 128) >> 8, 0, 255).astype(np.uint8)
+        else:
+            raise ValueError(f"unknown base_resampling {base_resampling!r}")
         for ty in range(tymin, tymax + 1):
             tmy1 = (ty + 1) * span - tm.ORIGIN
             my = tmy1 - (cc + 0.5) * res
@@ -164,10 +203,18 @@ def render_image_pyramid(rec: dict, overview_levels: int = 2, resampling: str = 
             r0 = np.floor(sr)
             fr = sr - r0
             r0 = r0.astype(np.int64)
-            r0c = np.clip(r0, 0, h_src - 1)
-            r1c = np.clip(r0 + 1, 0, h_src - 1)
-            wr = np.floor(fr * 256.0 + 0.5).astype(np.uint16)[:, None, None]
-            val = (cols_full[r0c] * (256 - wr) + cols_full[r1c] * wr + 128) >> 8
+            if base_resampling == "bilinear":
+                r0c = np.clip(r0, 0, h_src - 1)
+                r1c = np.clip(r0 + 1, 0, h_src - 1)
+                wr = np.floor(fr * 256.0 + 0.5).astype(np.uint16)[:, None, None]
+                val = (cols_full[r0c] * (256 - wr) + cols_full[r1c] * wr + 128) >> 8
+            else:
+                rq = _cubic_weights_q(fr)
+                racc = np.zeros((TILE, TILE, 3), dtype=np.int32)
+                for k in range(4):
+                    rk = np.clip(r0 + (k - 1), 0, h_src - 1)
+                    racc += cols_full[rk].astype(np.int32) * rq[:, k][:, None, None]
+                val = np.clip((racc + 128) >> 8, 0, 255)
             valid = vrow[:, None] & vcol[None, :]
             arr = np.empty((TILE, TILE, 4), dtype=np.uint8)
             np.multiply(val, valid[:, :, None], out=arr[:, :, :3], dtype=np.uint8, casting="unsafe")
@@ -208,6 +255,7 @@ def render_pyramid(
     zmin=None,
     zmax=None,
     encode: str = "png",
+    base_resampling: str = "bilinear",
 ) -> DataFrame:
     """images DF (BASELINE.json:15 schema) -> tiles DF (TILES_SCHEMA).
 
@@ -233,7 +281,7 @@ def render_pyramid(
         for pdf in batches:
             rows = []
             for rec in pdf.to_dict("records"):
-                tiles = render_image_pyramid(rec, overview_levels, resampling, zmin, zmax)
+                tiles = render_image_pyramid(rec, overview_levels, resampling, zmin, zmax, base_resampling)
                 for (z, tx, ty), arr in sorted(tiles.items()):
                     rows.append(
                         (rec["image_id"], z, tx, ty, rec["caption"], enc(arr))

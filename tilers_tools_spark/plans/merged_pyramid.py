@@ -23,7 +23,7 @@ import time
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import codecs
@@ -84,14 +84,24 @@ def run(
                 (F.col("run_id") == run_id) & (F.col("status") == "done") & (F.col("zoom") >= 0)
             ).select("zoom").collect()
         }
-    metrics = {"stage1": m1, "zooms_run": 0, "merged_tiles": 0}
+    # reconcile orphan merged batches (crash between merged append and its
+    # checkpoint row — same window as tile_pyramid parts, same fix)
+    orphans = cat.rollback_where(
+        MERGED_TABLE, lambda t: t.get("run_id") == run_id and t.get("zoom") not in done
+    )
+    metrics = {"stage1": m1, "zooms_run": 0, "merged_tiles": 0, "orphans_rolled_back": orphans}
     for z in zooms:
         if z in done:
             continue
         t0 = time.time()
-        merged = composite_zoom(tiles.filter(F.col("z") == z))
-        n = merged.count()
-        cat.append(merged, MERGED_TABLE, partition_by=("z",))
+        obs = Observation(f"mz_{z}")
+        merged = composite_zoom(tiles.filter(F.col("z") == z)).observe(
+            obs, F.count(F.lit(1)).alias("n")
+        )
+        # single pass: the composite is expensive — observe the count on the
+        # write instead of a separate count() action recomputing it
+        cat.append(merged, MERGED_TABLE, partition_by=("z",), tag={"run_id": run_id, "zoom": int(z)})
+        n = int(obs.get["n"])
         cp_df = spark.createDataFrame(
             [(run_id, f"z{z}", int(z), "done", n, n, t0, time.time())],
             "run_id string, part_id string, zoom int, status string, rows_in long, tiles_out long, started_ts double, finished_ts double",

@@ -13,6 +13,19 @@ Idempotency: a part either commits (tiles batch + 'done' checkpoint row) or
 leaves nothing visible; re-running the same run_id skips done parts
 (left-anti), so a kill-after-zoom-k rerun yields a byte-identical table
 (tested in tests/test_resume.py, T3).
+
+Crash window between the two appends (tiles committed, checkpoint row not):
+every tiles batch is tagged (run_id, part_id); on (re)start, run() rolls
+back orphan batches — tagged for this run but not marked done — before
+re-rendering, so the rerun cannot duplicate (image_id,z,x,y) rows. On the
+Iceberg path the equivalent is a snapshot rollback / single-transaction
+multi-table commit (snapshot summary props carry the tag).
+
+Input scanning: with `stage_input` (default) the planned input is written
+ONCE partitioned by part_id; each part's job then reads only its partition
+directory (partition pruning) instead of re-scanning the full images input
+P times — at 10^12 rows, P full scans is the difference between one pass
+and hundreds.
 """
 
 from __future__ import annotations
@@ -54,21 +67,34 @@ def run(
     salt_factor: int = 8,
     sink_partitions: int | None = None,
     max_parts: int | None = None,
+    stage_input: bool = True,
 ) -> dict:
     """Execute the pyramid for every not-yet-done part. Returns metrics.
 
     `max_parts` stops after that many part commits (used by the T3 resume
     test to simulate a mid-run kill between atomic part batches).
+    `stage_input=False` skips the partitioned staging write (single-part
+    runs or inputs already partitioned by part).
     """
     planned = plan_parts(images, n_parts)
-    done = done_parts(cat, run_id)
-    todo_parts = sorted(
-        r["part_id"] for r in planned.select("part_id").distinct().join(done, "part_id", "left_anti").collect()
+    all_parts = sorted(r["part_id"] for r in planned.select("part_id").distinct().collect())
+    done_ids = {r["part_id"] for r in done_parts(cat, run_id).collect()}
+    # reconcile: roll back orphan tiles batches (committed tiles whose part
+    # never reached 'done' — crash between the data and checkpoint appends)
+    orphans = cat.rollback_where(
+        TILES_TABLE, lambda t: t.get("run_id") == run_id and t.get("part_id") not in done_ids
     )
+    todo_parts = [p for p in all_parts if p not in done_ids]
     if max_parts is not None:
         todo_parts = todo_parts[:max_parts]
-    metrics = {"parts_run": 0, "rows_in": 0, "tiles_out": 0}
+    metrics = {"parts_run": 0, "rows_in": 0, "tiles_out": 0, "orphans_rolled_back": orphans}
     shuffle_n = sink_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    staging_table = None
+    if stage_input and len(todo_parts) > 1:
+        staging_table = f"_staged_images_{run_id}"
+        if not cat.exists(staging_table):
+            cat.append(planned, staging_table, partition_by=("part_id",))
+        planned = cat.read(staging_table)
     for part in todo_parts:
         part_images = planned.filter(F.col("part_id") == part).drop("part_id")
         obs_in = Observation(f"in_{part}")
@@ -82,7 +108,7 @@ def run(
         clustered = tiles.withColumn(
             "salt", salt_column(salt_factor, "image_id", "x", "y")
         ).repartition(shuffle_n, F.col("z"), F.col("h3_cell"), F.col("salt")).drop("salt")
-        cat.append(clustered, TILES_TABLE, partition_by=("z",))
+        cat.append(clustered, TILES_TABLE, partition_by=("z",), tag={"run_id": run_id, "part_id": int(part)})
         rows_in = obs_in.get["rows_in"]
         tiles_out = obs_out.get["tiles_out"]
         cp_row = [
@@ -107,4 +133,8 @@ def run(
         metrics["parts_run"] += 1
         metrics["rows_in"] += int(rows_in)
         metrics["tiles_out"] += int(tiles_out)
+    if staging_table is not None:
+        done_after = {r["part_id"] for r in done_parts(cat, run_id).collect()}
+        if set(all_parts) <= done_after:  # run complete -> staging no longer needed
+            cat.drop(staging_table)
     return metrics

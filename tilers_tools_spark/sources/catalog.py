@@ -45,27 +45,44 @@ class Catalog:
     def _manifest(self, table: str) -> str:
         return os.path.join(self._tdir(table), "_manifest.json")
 
-    def _commits(self, table: str) -> list[str]:
+    def _entries(self, table: str) -> list[dict]:
+        """Manifest entries [{dir, tag}]; plain-string commits (v1 format)
+        are upgraded on read for backward compatibility."""
         mf = self._manifest(table)
         if not os.path.exists(mf):
             return []
         with open(mf) as f:
-            return json.load(f)["commits"]
+            raw = json.load(f)["commits"]
+        return [e if isinstance(e, dict) else {"dir": e, "tag": None} for e in raw]
 
-    def _commit(self, table: str, batch_dir: str):
+    def _commits(self, table: str) -> list[str]:
+        return [e["dir"] for e in self._entries(table)]
+
+    def _write_manifest(self, table: str, entries: list[dict]) -> None:
         mf = self._manifest(table)
-        commits = self._commits(table)
-        commits.append(batch_dir)
         tmp = mf + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            json.dump({"commits": commits}, f)
+            json.dump({"commits": entries}, f)
         os.replace(tmp, mf)  # atomic on POSIX
 
+    def _commit(self, table: str, batch_dir: str, tag: dict | None = None):
+        entries = self._entries(table)
+        entries.append({"dir": batch_dir, "tag": tag})
+        self._write_manifest(table, entries)
+
     # -- public API ----------------------------------------------------
-    def append(self, df: DataFrame, table: str, partition_by: tuple[str, ...] = ()) -> None:
+    def append(self, df: DataFrame, table: str, partition_by: tuple[str, ...] = (), tag: dict | None = None) -> None:
+        """Atomic batch append. `tag` (fallback path): a small JSON dict
+        recorded with the commit — used by plans for crash reconciliation
+        (e.g. {"run_id":..., "part_id":...}); Iceberg path would carry it
+        as snapshot summary properties."""
         if self.use_iceberg:
-            w = df.writeTo(table)
-            w.append()
+            try:
+                df.writeTo(table).append()
+            except Exception:
+                # first write: table does not exist yet (unlike the parquet
+                # fallback, Iceberg append() requires an existing table)
+                df.writeTo(table).create()
             return
         tdir = self._tdir(table)
         os.makedirs(tdir, exist_ok=True)
@@ -77,7 +94,31 @@ class Catalog:
         writer.parquet(staging)
         final = os.path.join(tdir, batch)
         os.replace(staging, final)
-        self._commit(table, batch)
+        self._commit(table, batch, tag)
+
+    def rollback_where(self, table: str, pred) -> int:
+        """Remove committed batches whose tag satisfies `pred(tag) -> bool`
+        (tags of None are never matched). Returns the number of batches
+        rolled back. Used to reconcile orphan batches — data committed but
+        the paired checkpoint row missing after a crash — before re-running
+        a part/zoom (plans.tile_pyramid / plans.merged_pyramid).
+
+        Iceberg path: no-op here; production reconciles via snapshot
+        rollback on the snapshot-summary tag (or avoids the window with a
+        single multi-table transaction)."""
+        if self.use_iceberg:
+            return 0
+        if not os.path.exists(self._manifest(table)):
+            return 0
+        entries = self._entries(table)
+        keep, drop = [], []
+        for e in entries:
+            (drop if (e["tag"] is not None and pred(e["tag"])) else keep).append(e)
+        if drop:
+            self._write_manifest(table, keep)
+            for e in drop:
+                shutil.rmtree(os.path.join(self._tdir(table), e["dir"]), ignore_errors=True)
+        return len(drop)
 
     def read(self, table: str) -> DataFrame:
         if self.use_iceberg:

@@ -93,19 +93,51 @@ def _write_metadata(paths, metadata: dict | None):
         con.close()
 
 
-def read_mbtiles(spark: SparkSession, path: str) -> DataFrame:
-    """MBTiles file or shard dir -> canonical tiles DF (z, x TMS, y, tile)."""
+_MBT_SCHEMA = "zoom_level int, tile_column long, tile_row long, tile_data binary"
+
+
+def read_mbtiles(spark: SparkSession, path: str, parallel: bool | None = None) -> DataFrame:
+    """MBTiles file or shard dir -> canonical tiles DF (z, x TMS, y, tile).
+
+    Scale path (default for shard dirs): the file list is distributed and
+    each executor partition opens its own shard(s) with per-partition
+    sqlite3 inside ``mapInPandas`` — a distributed scan mirroring the
+    sharded write path, not a driver-side createDataFrame of all rows.
+    `parallel=False` forces the small-set driver path (single file default).
+    """
     files = [path] if os.path.isfile(path) else sorted(glob.glob(os.path.join(path, "*.mbtiles")))
-    rows = []
-    for f in files:
-        con = sqlite3.connect(f)
-        rows += [
-            (int(z), int(x), int(y), bytes(b))
-            for z, x, y, b in con.execute("SELECT zoom_level, tile_column, tile_row, tile_data FROM tiles")
-        ]
-        con.close()
-    df = spark.createDataFrame(rows, "zoom_level int, tile_column long, tile_row long, tile_data binary")
-    return from_mbtiles_keys(df)
+    if not files:
+        raise FileNotFoundError(f"no .mbtiles under {path}")
+    if parallel is None:
+        parallel = len(files) > 1
+    if not parallel:
+        rows = []
+        for f in files:
+            con = sqlite3.connect(f)
+            rows += [
+                (int(z), int(x), int(y), bytes(b))
+                for z, x, y, b in con.execute("SELECT zoom_level, tile_column, tile_row, tile_data FROM tiles")
+            ]
+            con.close()
+        return from_mbtiles_keys(spark.createDataFrame(rows, _MBT_SCHEMA))
+
+    def read_shards(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for f in pdf["path"]:
+                con = sqlite3.connect(f)
+                rows = con.execute(
+                    "SELECT zoom_level, tile_column, tile_row, tile_data FROM tiles"
+                ).fetchall()
+                con.close()
+                if rows:
+                    yield pd.DataFrame(
+                        rows, columns=["zoom_level", "tile_column", "tile_row", "tile_data"]
+                    )
+
+    fdf = spark.createDataFrame([(f,) for f in files], "path string").repartition(len(files), "path")
+    return from_mbtiles_keys(fdf.mapInPandas(read_shards, _MBT_SCHEMA))
 
 
 def read_mbtiles_metadata(path: str) -> dict:
