@@ -105,3 +105,18 @@ class TestH3Lite:
     def test_res0_is_20_faces(self):
         c = h3lite.latlng_to_cell(LAT, LON, 0)
         assert len(np.unique(c)) == 20
+
+    def test_engine_local_ids_documented_not_canonical(self):
+        """Explicit conformance statement (README 'H3 conformance note'):
+        h3lite ids use the H3 bit LAYOUT but an engine-defined orientation
+        with 20 base cells — canonical H3 of the same point differs. Pin
+        one canonical KAT vector to prove the deviation is real and
+        documented, not an accident: canonical h3.latlng_to_cell(37.7740,
+        -122.4190, 9) == 0x8928308280fffff, and our id must NOT equal it
+        while still carrying mode=1/res=9 in the same bit positions."""
+        ours = int(h3lite.latlng_to_cell(np.array([37.7740]), np.array([-122.4190]), 9)[0])
+        canonical = 0x8928308280FFFFF
+        assert ours != canonical
+        for cell in (ours, canonical):
+            assert (cell >> 59) & 0xF == 1  # mode
+            assert (cell >> 52) & 0xF == 9  # resolution

@@ -214,13 +214,15 @@ def minhash_lsh_pairs(
     sh = _hashed_shingles(docs, text_col, id_col, k, mode).select(
         F.col(id_col), F.array_distinct(F.col("_sh_hash")).alias("sh")
     )
+    # |A∪B| = |A| + |B| - |A∩B| : one set op per pair instead of two
     j = (
         cand.join(sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sha")), "a")
         .join(sh.select(F.col(id_col).alias("b"), F.col("sh").alias("shb")), "b")
+        .withColumn("_inter", F.size(F.array_intersect("sha", "shb")))
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sha", "shb")).cast("double")
-            / F.size(F.array_union("sha", "shb")).cast("double"),
+            F.col("_inter").cast("double")
+            / (F.size("sha") + F.size("shb") - F.col("_inter")).cast("double"),
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("a", "b", "jaccard")
@@ -346,11 +348,13 @@ def ngram_jaccard_pairs(
     l = sh.select(F.col(id_col).alias("a"), F.col("_band"), F.col("sh").alias("sha"))
     r = sh.select(F.col(id_col).alias("b"), F.col("_band").alias("_band_r"), F.col("sh").alias("shb"))
     cand = l.join(r, (F.col("_band") >= F.col("_band_r") - 1) & (F.col("_band") <= F.col("_band_r") + 1) & (F.col("a") < F.col("b")))
+    # |A∪B| = |A| + |B| - |A∩B| : one set op per pair instead of two
     return (
-        cand.withColumn(
+        cand.withColumn("_inter", F.size(F.array_intersect("sha", "shb")))
+        .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sha", "shb")).cast("double")
-            / F.size(F.array_union("sha", "shb")).cast("double"),
+            F.col("_inter").cast("double")
+            / (F.size("sha") + F.size("shb") - F.col("_inter")).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
