@@ -164,6 +164,28 @@ def test_ann_lsh_recall_vs_bruteforce(spark):
     assert hits >= 15  # >=60% recall on this tiny corpus
 
 
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    rng = np.random.default_rng(11)
+    n, dim = 300, 16
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(n), "embedding": [v.tolist() for v in vecs]})
+    emb = spark.createDataFrame(pdf).cache()
+    q = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = ann.brute_force_topk(q, emb, k=5).toPandas()
+    approx = ann.ivf_topk(q, emb, k=5, n_lists=8, n_probe=3).toPandas()
+    hits = 0
+    for qi in range(5):
+        e = set(exact[exact.query_id == qi].vec_id)
+        a = set(approx[approx.query_id == qi].vec_id)
+        hits += len(e & a)
+    assert hits >= 15  # >=60% recall probing 3/8 lists
+    # determinism: same seed -> identical result
+    again = ann.ivf_topk(q, emb, k=5, n_lists=8, n_probe=3).toPandas()
+    assert approx.sort_values(["query_id", "rank"]).reset_index(drop=True).equals(
+        again.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+
+
 def test_embedding_near_dup(spark):
     rng = np.random.default_rng(8)
     n, dim = 200, 16

@@ -11,6 +11,7 @@ all-pairs cross join; recall is tunable via bits/probes.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -55,6 +56,84 @@ def hyperplane_bucket(vec_col, planes: np.ndarray):
         )
         key = key + F.when(dot >= 0, F.lit(1 << bi).cast("long")).otherwise(F.lit(0).cast("long"))
     return key
+
+
+def _kmeans_np(sample: np.ndarray, n_lists: int, iters: int, seed: int) -> np.ndarray:
+    """Small deterministic Lloyd k-means on L2-normalized vectors (driver
+    side, bounded sample) -> unit-norm centroids (n_lists, dim)."""
+    rng = np.random.default_rng(seed)
+    x = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    cent = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
+    if len(cent) < n_lists:  # tiny corpus: pad with jittered copies
+        extra = cent[rng.integers(0, len(cent), n_lists - len(cent))]
+        cent = np.vstack([cent, extra + rng.standard_normal(extra.shape) * 1e-3])
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(n_lists):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 1e-12:
+                    cent[c] = v / n
+    return cent
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_lists: int = 64,
+    n_probe: int = 8,
+    seed: int = 42,
+    sample_size: int = 100_000,
+    iters: int = 10,
+    q_id: str = "query_id",
+    c_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF coarse quantizer (the second
+    scale path next to lsh_topk): k-means centroids trained driver-side on
+    a bounded sample (centroids are tiny and broadcast inside the Arrow
+    UDF closures), every corpus vector assigned to its nearest-centroid
+    list (one vectorized pandas UDF, no shuffle), each query probes its
+    `n_probe` nearest lists — candidate generation is an equi-join on the
+    list id, so at 10^12 rows the join shuffles (id, list) keys instead of
+    an all-pairs cross join. Exact cosine rank within candidates.
+    """
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    sample = np.array(
+        [r[0] for r in corpus.select(F.col(c_vec).cast("array<double>")).limit(sample_size).collect()],
+        dtype=np.float64,
+    )
+    cent = _kmeans_np(sample, n_lists, iters, seed)
+
+    @F.pandas_udf(IntegerType())
+    def assign_list(v: pd.Series) -> pd.Series:
+        x = np.stack(v.to_numpy())
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return pd.Series((x @ cent.T).argmax(axis=1).astype(np.int32))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe_lists(v: pd.Series) -> pd.Series:
+        x = np.stack(v.to_numpy())
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        top = np.argsort(-(x @ cent.T), axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype(np.int32).tolist() for row in top])
+
+    c = corpus.select(F.col(c_id), F.col(c_vec).cast("array<double>").alias("_cv"))
+    cb = c.withColumn("_list", assign_list(F.col("_cv")))
+    q = queries.select(F.col(q_id), F.col(q_vec).cast("array<double>").alias("_qv"))
+    qb = q.withColumn("_list", F.explode(probe_lists(F.col("_qv"))))
+    cand = qb.join(cb, "_list").withColumn("cosine", _cosine(F.col("_qv"), F.col("_cv")))
+    w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, "cosine", "rank")
+    )
 
 
 def lsh_topk(

@@ -687,6 +687,15 @@ def q_ann_lsh(spark, sf_dir):
     return ann.lsh_topk(q, emb, k=10, bits=8, dim=dim)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-bucketed ANN (coarse k-means quantizer; the second scale path
+    next to hyperplane LSH). Driver-side k-means is engine-only -> rows-only
+    check; recall vs brute force is pytest-pinned."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 4).select(F.col("vec_id").alias("query_id"), "embedding")
+    return ann.ivf_topk(q, emb, k=10, n_lists=16, n_probe=4)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -722,6 +731,7 @@ QUERIES: dict = {
     "minhash_lsh_pairs": (q_lsh_pairs, None),
     "image_features": (q_image_features, None),
     "ann_lsh": (q_ann_lsh, None),
+    "ann_ivf": (q_ann_ivf, None),
     "cutline_mask": (q_cutline_mask, None),
     "h3_rollup": (q_h3_rollup, None),
 }
