@@ -121,3 +121,25 @@ def test_merge_overlay(spark, tiles_df):
         mg = codecs.decode_png(bytes(r["tile"]))
         if (ov[:, :, 3] == 255).all():
             assert np.array_equal(mg[:, :, :3], ov[:, :, :3])
+
+
+def test_tilemap_xml(tiles_df, tmp_path):
+    import xml.etree.ElementTree as ET
+    from tilers_tools_spark.sources.tileset import write_tilemap_xml
+    from tilers_tools_spark.functions import tilemath as tm
+
+    out = write_tilemap_xml(tiles_df, str(tmp_path), title="t")
+    root = ET.parse(out).getroot()
+    assert root.tag == "TileMap" and root.get("version") == "1.0.0"
+    assert root.find("SRS").text == "EPSG:900913"
+    zs = sorted(int(r["z"]) for r in tiles_df.select("z").distinct().collect())
+    ts = root.find("TileSets").findall("TileSet")
+    assert [int(t.get("href")) for t in ts] == zs
+    for t in ts:
+        assert abs(float(t.get("units-per-pixel")) - tm.RES0 / 2 ** int(t.get("href"))) < 1e-9
+    bb = root.find("BoundingBox")
+    assert float(bb.get("minx")) < float(bb.get("maxx"))
+    # deterministic bytes
+    a = open(out).read()
+    write_tilemap_xml(tiles_df, str(tmp_path), title="t")
+    assert open(out).read() == a

@@ -32,6 +32,50 @@ def write_tileset_dir(tiles: DataFrame, dest: str, scheme: str = "xyz", ext: str
     return dest
 
 
+def write_tilemap_xml(tiles: DataFrame, dest: str, title: str = "tiles", ext: str = "png") -> str:
+    """Write the OSGeo TMS `tilemapresource.xml` next to the tile tree —
+    the reference's tilemap metadata writer (SURVEY.md §2.1 row 4; format
+    per the public TMS spec [SPEC], as gdal2tiles/gdal_tiler emit it).
+    Bounds come from the deepest zoom's tile range (TMS y); one driver-side
+    write of a tiny aggregate. Deterministic output text."""
+    from ..functions import tilemath as tm
+    from ..operators.convert import tilemap_metadata
+
+    rows = tilemap_metadata(tiles).collect()
+    if not rows:
+        raise ValueError("empty tile set")
+    deepest = max(rows, key=lambda r: r["z"])
+    z = int(deepest["z"])
+    span = tm.RES0 / (2.0**z) * 256.0
+    minx = deepest["xmin"] * span - tm.ORIGIN
+    maxx = (deepest["xmax"] + 1) * span - tm.ORIGIN
+    miny = deepest["ymin"] * span - tm.ORIGIN
+    maxy = (deepest["ymax"] + 1) * span - tm.ORIGIN
+    mime = {"png": "image/png", "jpeg": "image/jpeg", "jpg": "image/jpeg"}.get(ext, f"image/{ext}")
+    tilesets = "\n".join(
+        f'    <TileSet href="{int(r["z"])}" units-per-pixel="{tm.RES0 / (2.0 ** int(r["z"])):.17g}" order="{int(r["z"])}"/>'
+        for r in sorted(rows, key=lambda r: r["z"])
+    )
+    xml = f"""<?xml version="1.0" encoding="utf-8"?>
+<TileMap version="1.0.0" tilemapservice="http://tms.osgeo.org/1.0.0">
+  <Title>{title}</Title>
+  <Abstract></Abstract>
+  <SRS>EPSG:900913</SRS>
+  <BoundingBox minx="{minx:.17g}" miny="{miny:.17g}" maxx="{maxx:.17g}" maxy="{maxy:.17g}"/>
+  <Origin x="{-tm.ORIGIN:.17g}" y="{-tm.ORIGIN:.17g}"/>
+  <TileFormat width="256" height="256" mime-type="{mime}" extension="{ext}"/>
+  <TileSets profile="mercator">
+{tilesets}
+  </TileSets>
+</TileMap>
+"""
+    os.makedirs(dest, exist_ok=True)
+    out = os.path.join(dest, "tilemapresource.xml")
+    with open(out, "w") as f:
+        f.write(xml)
+    return out
+
+
 def read_tileset_dir(spark, src: str, scheme: str = "xyz"):
     """Walk a tile tree back into a canonical tiles DF (row 10: the tile-set
     walk IS a scan). Uses Spark's binaryFile source for a parallel read."""
