@@ -234,3 +234,24 @@ def test_multimodal_audio_stub(spark):
     assert len(fake) == 8 and set(fake.columns) == {"media_id", "frame_idx", "rms", "zcr"}
     with pytest.raises(Exception):
         multimodal.audio_frame_sample(media, frames=4).toPandas()
+
+
+def test_multimodal_video_stub(spark):
+    rows = [(f"v{i}", bytes([i] * 64)) for i in range(6)]
+    media = spark.createDataFrame(rows, "media_id string, payload binary")
+    out = multimodal.video_frame_sample(media, frames=4, deterministic_fake=True).toPandas()
+    assert len(out) == 24 and set(out.columns) == {"media_id", "frame_idx", "rel_ts", "thumb"}
+    assert out.groupby("media_id").frame_idx.nunique().eq(4).all()
+    from tilers_tools_spark.functions import codecs as _c
+    arr = _c.decode_png(bytes(out.thumb.iloc[0]))
+    assert arr.shape == (32, 32, 3)
+    # deterministic across runs
+    again = multimodal.video_frame_sample(media, frames=4, deterministic_fake=True).toPandas()
+    key = ["media_id", "frame_idx"]
+    a = out.sort_values(key).reset_index(drop=True)
+    b = again.sort_values(key).reset_index(drop=True)
+    assert all(bytes(x) == bytes(y) for x, y in zip(a.thumb, b.thumb))
+    # gated path raises
+    import pytest as _pt
+    with _pt.raises(Exception):
+        multimodal.video_frame_sample(media, frames=2).toPandas()

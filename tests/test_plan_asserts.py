@@ -72,3 +72,32 @@ def test_salted_repartition_shuffles_on_salt(spark, images_smoke):
     rep = explode.salted_repartition(cover, 8, salt_factor=4)
     plan = _plan(rep)
     assert "Exchange hashpartitioning" in plan and "salt" in plan
+
+
+def test_explode_bbox_pushdown_equals_filter_after(spark, images_smoke):
+    """Tile-range predicate pushed through the explode (SURVEY §4.3):
+    clamping cover ranges before sequence+explode must equal generating
+    the full cover and filtering after, while generating fewer rows."""
+    from tilers_tools_spark.functions import tilemath as tm
+
+    images = spark.read.parquet(images_smoke)
+    z = 9
+    # a window around the HOT box (139.7E, 35.7N)
+    bx0, by1 = (float(v[0]) for v in tm.merc_np(__import__("numpy").array([137.0]), __import__("numpy").array([38.0])))
+    bx1, by0 = (float(v[0]) for v in tm.merc_np(__import__("numpy").array([142.0]), __import__("numpy").array([33.0])))
+    bbox = (bx0, by0, bx1, by1)
+    pushed = explode.explode_cover(images, zoom=z, bbox=bbox)
+    full = explode.explode_cover(images, zoom=z)
+    span = tm.RES0 / 2.0**z * 256.0
+    import math
+    n = 2**z - 1
+    txmin = max(0, min(n, math.floor((bx0 + tm.ORIGIN) / span)))
+    txmax = max(0, min(n, max(txmin, math.ceil((bx1 + tm.ORIGIN) / span) - 1)))
+    tymin = max(0, min(n, math.floor((by0 + tm.ORIGIN) / span)))
+    tymax = max(0, min(n, max(tymin, math.ceil((by1 + tm.ORIGIN) / span) - 1)))
+    filtered = full.filter(
+        (F.col("x") >= txmin) & (F.col("x") <= txmax) & (F.col("y") >= tymin) & (F.col("y") <= tymax)
+    )
+    a = {(r["image_id"], r["z"], r["x"], r["y"]) for r in pushed.collect()}
+    b = {(r["image_id"], r["z"], r["x"], r["y"]) for r in filtered.collect()}
+    assert a == b and 0 < len(a) < full.count()

@@ -53,21 +53,44 @@ def with_georef(images: DataFrame) -> DataFrame:
     )
 
 
-def explode_cover(images: DataFrame, zoom: Column | int | None = None) -> DataFrame:
+def explode_cover(
+    images: DataFrame, zoom: Column | int | None = None, bbox: tuple[float, float, float, float] | None = None
+) -> DataFrame:
     """Narrow (image_id, z, x, y[, tile center lat/lon]) rows covering each
     image's extent at `zoom` (default: its base zoom). No bytes involved.
+
+    `bbox` = (mx0, my0, mx1, my1) mercator-meter window: a tile-range
+    predicate PUSHED THROUGH the explode (SURVEY.md §4.3) — per-image cover
+    ranges are intersected with the window's tile range BEFORE sequence+
+    explode, so out-of-window tiles are never generated (vs. generating the
+    full cover and filtering after). Result set is identical to
+    filter-after-explode on the window's tile range (tested).
     """
     df = with_georef(images.select("image_id", "w", "h", "phash"))
     z = F.col("z_base") if zoom is None else (F.lit(zoom) if isinstance(zoom, int) else zoom)
     g = F.col("georef")
+    txmin = tm.clamp_tile(tm.cover_min(g["mx0"], z), z)
+    txmax = tm.clamp_tile(F.greatest(tm.cover_max(g["mx1"], z), tm.cover_min(g["mx0"], z)), z)
+    tymin = tm.clamp_tile(tm.cover_min(g["my0"], z), z)
+    tymax = tm.clamp_tile(F.greatest(tm.cover_max(g["my1"], z), tm.cover_min(g["my0"], z)), z)
+    if bbox is not None:
+        bx0, by0, bx1, by1 = (F.lit(float(v)) for v in bbox)
+        txmin = F.greatest(txmin, tm.clamp_tile(tm.cover_min(bx0, z), z))
+        txmax = F.least(txmax, tm.clamp_tile(F.greatest(tm.cover_max(bx1, z), tm.cover_min(bx0, z)), z))
+        tymin = F.greatest(tymin, tm.clamp_tile(tm.cover_min(by0, z), z))
+        tymax = F.least(tymax, tm.clamp_tile(F.greatest(tm.cover_max(by1, z), tm.cover_min(by0, z)), z))
     df = df.select(
         "image_id",
         z.alias("z"),
-        tm.clamp_tile(tm.cover_min(g["mx0"], z), z).alias("txmin"),
-        tm.clamp_tile(F.greatest(tm.cover_max(g["mx1"], z), tm.cover_min(g["mx0"], z)), z).alias("txmax"),
-        tm.clamp_tile(tm.cover_min(g["my0"], z), z).alias("tymin"),
-        tm.clamp_tile(F.greatest(tm.cover_max(g["my1"], z), tm.cover_min(g["my0"], z)), z).alias("tymax"),
+        txmin.alias("txmin"),
+        txmax.alias("txmax"),
+        tymin.alias("tymin"),
+        tymax.alias("tymax"),
     )
+    if bbox is not None:
+        # images whose cover misses the window entirely produce empty
+        # sequences -> drop them before the explode
+        df = df.filter((F.col("txmin") <= F.col("txmax")) & (F.col("tymin") <= F.col("tymax")))
     df = df.select(
         "image_id",
         "z",

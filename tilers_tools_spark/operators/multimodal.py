@@ -130,3 +130,35 @@ def audio_frame_sample(
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "rms", "zcr"])
 
     return media.mapInPandas(fn, schema="media_id string, frame_idx int, rms double, zcr double")
+
+
+def video_frame_sample(
+    media: DataFrame, frames: int = 4, out_w: int = 32, out_h: int = 32, deterministic_fake: bool = False
+) -> DataFrame:
+    """Video decode + uniform frame sampling -> one row per sampled frame
+    with a PNG thumbnail. STUB decode (no video codec libs offline —
+    SURVEY.md §7 [ENV]): with `deterministic_fake`, frames are seeded
+    pseudo-images derived from the payload hash, then run through the REAL
+    resize+PNG-encode path so the Spark plumbing (explode-shaped output,
+    schema, Arrow batching, per-frame blobs) is exercised end-to-end;
+    otherwise raises NotImplementedError.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "video decode requires codec libraries not present offline; "
+                    "run with deterministic_fake=True to exercise the plumbing"
+                )
+            rows = []
+            for rec in pdf[["media_id", "payload"]].to_dict("records"):
+                seed = int(np.frombuffer(bytes(rec["payload"])[:8].ljust(8, b"\0"), dtype=np.uint64)[0])
+                rng = np.random.default_rng(seed & 0x7FFFFFFF)
+                for i in range(frames):
+                    frame = rng.integers(0, 256, (out_h, out_w, 3), dtype=np.uint8)
+                    ts = i / max(frames - 1, 1)
+                    rows.append((rec["media_id"], i, float(ts), codecs.encode_png(frame)))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "rel_ts", "thumb"])
+
+    return media.mapInPandas(fn, schema="media_id string, frame_idx int, rel_ts double, thumb binary")
