@@ -347,7 +347,22 @@ def ngram_jaccard_pairs(
     sh = _barrier(d1.select(id_col, "_band", F.array_distinct(grams).alias("sh")))
     l = sh.select(F.col(id_col).alias("a"), F.col("_band"), F.col("sh").alias("sha"))
     r = sh.select(F.col(id_col).alias("b"), F.col("_band").alias("_band_r"), F.col("sh").alias("shb"))
-    cand = l.join(r, (F.col("_band") >= F.col("_band_r") - 1) & (F.col("_band") <= F.col("_band_r") + 1) & (F.col("a") < F.col("b")))
+    # band blocking as an EQUI join (not a |l-r|<=1 theta join, which Spark
+    # plans as a single-partition nested loop): the left side probes bands
+    # {b-1, b, b+1}; band_r is unique per row so no duplicate pairs arise.
+    # Size-ratio prefilter (exact): jaccard >= t requires
+    # min(|A|,|B|) >= t * max(|A|,|B|) — a cheap long comparison that prunes
+    # most band pairs before the expensive array_intersect.
+    l = l.withColumn("_na", F.size("sha")).withColumn(
+        "_band_j", F.explode(F.array(F.col("_band") - 1, F.col("_band"), F.col("_band") + 1))
+    )
+    r = r.withColumn("_nb", F.size("shb"))
+    cand = l.join(
+        r,
+        (F.col("_band_j") == F.col("_band_r"))
+        & (F.col("a") < F.col("b"))
+        & (F.least("_na", "_nb").cast("double") >= F.lit(threshold) * F.greatest("_na", "_nb").cast("double")),
+    )
     # |A∪B| = |A| + |B| - |A∩B| : one set op per pair instead of two
     return (
         cand.withColumn("_inter", F.size(F.array_intersect("sha", "shb")))
