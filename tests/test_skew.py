@@ -56,3 +56,16 @@ def test_salting_flattens_partitions(spark, skewed_cover):
     # salting must cut the hottest partition's share substantially
     assert f_sa < f_un * 0.7, (f_un, f_sa)
     assert f_sa < 2.5 / n_parts  # near-uniform after salting
+
+
+def test_auto_salt_factor(spark, skewed_cover):
+    """Skewed keys -> salt > 1 sized from the probe; uniform keys -> 1."""
+    s = explode.auto_salt_factor(skewed_cover, "h3_cell", num_partitions=16)
+    assert s > 1
+    uniform = spark.range(10000).select(F.col("id").alias("h3_cell"))
+    assert explode.auto_salt_factor(uniform, "h3_cell", num_partitions=16) == 1
+    # sizing sanity: with the probe's own numbers, the hottest key spread
+    # over s buckets fits in ~an average partition's load
+    top = explode.skew_probe(skewed_cover, "h3_cell", top=1).collect()[0]["count"]
+    total = skewed_cover.count()
+    assert top / s <= total / 16 * 1.001

@@ -114,6 +114,29 @@ def skew_probe(tiles_or_cover: DataFrame, key: str = "h3_cell", top: int = 20) -
     return counts.orderBy(F.desc("count")).limit(top)
 
 
+def auto_salt_factor(
+    tiles_or_cover: DataFrame, key: str = "h3_cell", num_partitions: int = 32, max_salt: int = 64
+) -> int:
+    """Pick the salt factor from the skew probe (SURVEY.md §4.3): the
+    hottest key must spread over enough salt buckets that its largest
+    shard is no bigger than an average partition's load. One cheap
+    aggregate over narrow rows (run it on the planning cover, not the
+    rendered tiles).
+
+    salt = clamp(ceil(hottest / (total / num_partitions)), 1, max_salt)
+    """
+    agg = tiles_or_cover.groupBy(key).count().agg(
+        F.max("count").alias("hot"), F.sum("count").alias("total")
+    ).collect()[0]
+    hot, total = int(agg["hot"] or 0), int(agg["total"] or 0)
+    if total == 0:
+        return 1
+    mean_load = max(1.0, total / float(num_partitions))
+    import math
+
+    return int(min(max_salt, max(1, math.ceil(hot / mean_load))))
+
+
 def salt_column(salt_factor: int, *row_cols) -> Column:
     """Deterministic per-ROW salt bucket: pmod(xxhash64(row identity), S).
 
