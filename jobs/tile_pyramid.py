@@ -21,7 +21,10 @@ def main():
     ap.add_argument("--run-id", default="run1")
     ap.add_argument("--parts", type=int, default=16)
     ap.add_argument("--overviews", type=int, default=2)
-    ap.add_argument("--resampling", default="average")
+    ap.add_argument("--resampling", default="average", choices=("average", "antialias", "nearest"))
+    ap.add_argument("--base-resampling", default="bilinear", choices=("bilinear", "cubic"))
+    ap.add_argument("--no-stage-input", action="store_true",
+                    help="skip the partitioned staging write (input already partitioned by part)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -40,6 +43,8 @@ def main():
         n_parts=args.parts,
         overview_levels=args.overviews,
         resampling=args.resampling,
+        base_resampling=args.base_resampling,
+        stage_input=not args.no_stage_input,
     )
     print(json.dumps(metrics))
     spark.stop()

@@ -63,6 +63,7 @@ def run(
     n_parts: int = 8,
     overview_levels: int = 2,
     resampling: str = "average",
+    base_resampling: str = "bilinear",
     zmin: int | None = None,
     salt_factor: int = 8,
     sink_partitions: int | None = None,
@@ -101,7 +102,10 @@ def run(
         obs_out = Observation(f"out_{part}")
         src = part_images.observe(obs_in, F.count(F.lit(1)).alias("rows_in"))
         t0 = time.time()
-        tiles = render_pyramid(src, overview_levels=overview_levels, resampling=resampling, zmin=zmin)
+        tiles = render_pyramid(
+            src, overview_levels=overview_levels, resampling=resampling, zmin=zmin,
+            base_resampling=base_resampling,
+        )
         tiles = tiles.withColumn("part_id", F.lit(part))
         tiles = tiles.observe(obs_out, F.count(F.lit(1)).alias("tiles_out"))
         # sink clustering: salted (zoom, h3_cell) repartition [B:6]
