@@ -51,7 +51,7 @@ def _fixture_path(n: int) -> str:
     return path
 
 
-def run_pipeline(spark, fixture: str) -> tuple[float, int]:
+def run_pipeline(spark, fixture: str, encode: str = "png") -> tuple[float, int]:
     """Time the full decode+reproject+cut+index pipeline; returns (sec, tiles)."""
     from tilers_tools_spark.operators.render import render_pyramid
 
@@ -63,7 +63,7 @@ def run_pipeline(spark, fixture: str) -> tuple[float, int]:
     ts = []
     for _ in range(2):  # first run pays JIT/worker spawn; report the min
         t0 = time.time()
-        n_tiles = render_pyramid(images).select("z").count()
+        n_tiles = render_pyramid(images, encode=encode).select("z").count()
         ts.append(time.time() - t0)
     spark.conf.set("spark.sql.files.maxPartitionBytes", "268435456")
     return min(ts), n_tiles
@@ -144,6 +144,10 @@ def main():
     timings = {}
     pipe_sec, n_tiles = run_pipeline(spark, fixture)
     timings["tiles_pipeline"] = round(pipe_sec, 3)
+    # the BASELINE.json:2 metric job (decode+reproject+cut+index) on the
+    # scale path: raw tile blobs, deflate deferred to the columnar sink
+    raw_sec, _ = run_pipeline(spark, fixture, encode="raw")
+    timings["tiles_pipeline_raw"] = round(raw_sec, 3)
 
     def q_minhash_xxhash(spark, sf_dir):
         from tilers_tools_spark.operators import dedup
@@ -177,6 +181,7 @@ def main():
         "n_tiles": n_tiles,
         "pipeline_sec": round(pipe_sec, 3),
         "tiles_per_sec": round(n_tiles / pipe_sec, 1),
+        "tiles_per_sec_raw": round(n_tiles / raw_sec, 1),
     }
     if os.environ.get("BENCH_SCALING", "1") != "0":
         try:
