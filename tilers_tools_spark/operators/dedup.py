@@ -230,6 +230,55 @@ def minhash_lsh_pairs(
     return j
 
 
+def minhash_lsh_pairs_md5(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    k: int = 5,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Portable banded-LSH near-dup pairs: md5 minhash signatures
+    (minhash_signatures_md5), band key = concatenated per-band minima,
+    exact char-k-gram Jaccard verify — every step reproducible in any
+    engine with md5 (used by the cross-engine oracle; the xxhash64
+    `minhash_lsh_pairs` is the throughput path). Returns (a, b, jaccard),
+    a < b.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures_md5(docs, text_col, id_col, num_hashes, k)
+    band_cols = [
+        F.concat(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    melted = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("key")) for b in range(bands)])
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.key")
+    l = melted.select(F.col(id_col).alias("a"), "band", "key")
+    r = melted.select(F.col(id_col).alias("b"), "band", "key")
+    cand = l.join(r, ["band", "key"]).filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+    sh = _hashed_shingles(docs, text_col, id_col, k, "char").select(
+        F.col(id_col), F.array_distinct(F.col("_sh_hash")).alias("sh")
+    )
+    return (
+        cand.join(sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sha")), "a")
+        .join(sh.select(F.col(id_col).alias("b"), F.col("sh").alias("shb")), "b")
+        .withColumn("_inter", F.size(F.array_intersect("sha", "shb")))
+        .withColumn(
+            "jaccard",
+            F.col("_inter").cast("double")
+            / (F.size("sha") + F.size("shb") - F.col("_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
     """64-bit SimHash over whitespace tokens via explode + codegen'd
     hash-aggregate: per-token xxhash64 (computed ONCE, JVM-side), then 64

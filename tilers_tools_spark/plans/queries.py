@@ -618,6 +618,48 @@ WHERE jaccard >= 0.8
 """
 
 
+def q_lsh_pairs_md5(spark, sf_dir):
+    """Portable banded MinHash-LSH near-dup pairs (md5 signatures, exact
+    char-5-gram Jaccard verify) — the LSH family's cross-engine gate."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.minhash_lsh_pairs_md5(docs, num_hashes=8, bands=4, jaccard_threshold=0.5)
+
+
+def _lsh_md5_sql(num_hashes: int = 8, bands: int = 4, t: float = 0.5) -> str:
+    rows = num_hashes // bands
+    mins = ", ".join(f"min(md5('{i}' || s)) AS m{i}" for i in range(num_hashes))
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
+            b=b, key=" || ".join(f"m{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, GREATEST(length(lower(text)) - 4, 1) + 1),
+                               i -> substr(lower(text), i::INT, 5))) AS s
+  FROM documents),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({band_rows}),
+cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+g AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, GREATEST(length(lower(text)) - 4, 1) + 1),
+                           i -> substr(lower(text), i::INT, 5))) AS gr
+      FROM documents)
+SELECT a, b, jaccard FROM (
+  SELECT cand.a, cand.b,
+         len(list_intersect(ga.gr, gb.gr))::DOUBLE
+           / (len(ga.gr) + len(gb.gr) - len(list_intersect(ga.gr, gb.gr)))::DOUBLE AS jaccard
+  FROM cand JOIN g ga ON ga.doc_id = cand.a JOIN g gb ON gb.doc_id = cand.b)
+WHERE jaccard >= {t!r}
+"""
+
+
+SQL_LSH_PAIRS_MD5 = _lsh_md5_sql()
+
+
 def q_simhash_md5(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dedup.simhash_md5_32(docs)
@@ -724,6 +766,7 @@ QUERIES: dict = {
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "simhash_md5": (q_simhash_md5, SQL_SIMHASH_MD5),
+    "minhash_lsh_md5": (q_lsh_pairs_md5, SQL_LSH_PAIRS_MD5),
     # engine-only (rows-only checks)
     "h3_s2_assign": (q_h3_s2_assign, None),
     "pyramid_smoke": (q_pyramid_smoke, None),
