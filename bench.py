@@ -99,18 +99,17 @@ def scaling_probe(fixture: str, cores=(2, 8, 32), encode: str = "raw", reps=None
     Probe job uses encode='raw' (the scale path: PNG deflate deferred to
     the columnar sink) and min-of-`reps` timing per JVM for robustness to
     co-tenant interference (this VM shares a host; identical runs vary up
-    to 2.5x). Reps are per-level: interference that slows the HIGH-core
-    probe deflates eta, so the cheap high-core levels get more runs —
-    min-of-k converges to the clean time.
+    to 2.5x). The SAME rep count applies to every level — asymmetric reps
+    would bias the eta ratio (more chances to hit a clean window in the
+    denominator than the numerator).
     """
-    reps = reps or {2: 3, 8: 6, 32: 6}
+    reps = reps or 5
     out = {"protocol": "same job/input, fresh JVM per parallelism level, "
-                       f"min-of-k timed runs after warmup (k={reps}), encode={encode}",
+                       f"min-of-{reps} timed runs after warmup at EVERY level, encode={encode}",
            "n_to_4n": {"n_cores": 2, "4n_cores": 8}}
     for m in cores:
-        k = reps.get(m, 3) if isinstance(reps, dict) else reps
         r = subprocess.run(
-            [sys.executable, "-c", _PROBE_CODE.format(m=m, fx=fixture, enc=encode, reps=k)],
+            [sys.executable, "-c", _PROBE_CODE.format(m=m, fx=fixture, enc=encode, reps=reps)],
             capture_output=True, text=True, timeout=1800,
         )
         line = [ln for ln in r.stdout.strip().splitlines() if ln.startswith("{")][-1]

@@ -79,8 +79,9 @@ def test_simhash_near_dup_close(docs):
 def test_minhash_lsh_bucket_cap(spark):
     """Degenerate corpus: 1k identical docs collide in one band bucket per
     band -> O(n^2) pairs without the cap. With the cap the bucket is
-    skipped (bounded time), the skip is reported, and small buckets (the
-    genuine near-dup pair) still produce their pair."""
+    STAR-COLLAPSED to its min-id representative (n-1 pairs, bounded time,
+    still one connected component); the collapse is reported, and small
+    buckets (the genuine near-dup pair) still produce their pair."""
     rows = [(i, "boilerplate header repeated verbatim everywhere") for i in range(1000)]
     rows += [(2000, "the quick brown fox jumps over the lazy dog"),
              (2001, "the quick brown fox jumped over the lazy dog")]
@@ -90,7 +91,9 @@ def test_minhash_lsh_bucket_cap(spark):
     ).toPandas()
     got = {tuple(sorted((a, b))) for a, b in zip(pairs.a, pairs.b)}
     assert (2000, 2001) in got
-    assert not any(a < 1000 and b < 1000 for a, b in got)  # degenerate bucket skipped
+    intra = [(a, b) for a, b in got if a < 1000 and b < 1000]
+    assert len(intra) == 999  # linear star, not ~500k all-pairs
+    assert all(a == 0 for a, _ in intra)  # min-id representative
     skipped = dedup.lsh_skipped_buckets(
         docs, num_hashes=16, bands=8, max_bucket=100
     ).toPandas()

@@ -83,11 +83,16 @@ def encode_png_paletted(arr: np.ndarray, level: int = 6, max_colors: int = 256) 
         return encode_png(arr, level)
     h, w, c = arr.shape
     rgba = arr if c == 4 else np.dstack([arr, np.full((h, w), 255, np.uint8)])
-    packed = rgba.reshape(-1, 4).view(np.uint32).ravel()
+    # pack RGBA arithmetically (R<<24|G<<16|B<<8|A) — endianness-independent,
+    # so palette order (and thus the encoded bytes) match across hosts
+    q = rgba.reshape(-1, 4).astype(np.uint32)
+    packed = (q[:, 0] << 24) | (q[:, 1] << 16) | (q[:, 2] << 8) | q[:, 3]
     colors, inverse = np.unique(packed, return_inverse=True)
     if len(colors) > max_colors:
         return encode_png(arr, level)
-    pal_rgba = colors.view(np.uint32)[:, None].view(np.uint8).reshape(-1, 4)
+    pal_rgba = np.stack(
+        [(colors >> 24) & 255, (colors >> 16) & 255, (colors >> 8) & 255, colors & 255], axis=1
+    ).astype(np.uint8)
     idx = inverse.astype(np.uint8).reshape(h, w)
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
     plte = pal_rgba[:, :3].tobytes()

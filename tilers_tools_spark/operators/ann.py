@@ -104,10 +104,19 @@ def ivf_topk(
     """
     from pyspark.sql.types import ArrayType, IntegerType
 
-    sample = np.array(
-        [r[0] for r in corpus.select(F.col(c_vec).cast("array<double>")).limit(sample_size).collect()],
-        dtype=np.float64,
+    # deterministic uniform sample: order by a hash of the id, not a
+    # partition prefix (limit() alone returns the first partitions, which
+    # for source-clustered corpora covers one region of the space and
+    # collapses the quantizer); orderBy+limit = per-partition top-k merge
+    sample_rows = (
+        corpus.select(F.col(c_id).alias("_sid"), F.col(c_vec).cast("array<double>").alias("_sv"))
+        .orderBy(F.xxhash64(F.col("_sid").cast("string"), F.lit(seed)))
+        .limit(sample_size)
+        .collect()
     )
+    if not sample_rows:
+        raise ValueError("ivf_topk: empty corpus")
+    sample = np.array([r["_sv"] for r in sample_rows], dtype=np.float64)
     cent = _kmeans_np(sample, n_lists, iters, seed)
 
     @F.pandas_udf(IntegerType())

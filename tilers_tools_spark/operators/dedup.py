@@ -164,9 +164,10 @@ def lsh_skipped_buckets(
     mode: str = "char",
     max_bucket: int = 500,
 ) -> DataFrame:
-    """Buckets the pair join would SKIP under `max_bucket` (band, key, n).
-    The scale contract: minhash_lsh_pairs drops degenerate buckets silently
-    for boundedness; this companion reports exactly what was dropped so the
+    """Buckets the pair join STAR-COLLAPSES under `max_bucket` (band, key,
+    n). minhash_lsh_pairs keeps those buckets' members linked to the
+    bucket's min-id representative (n-1 pairs) instead of all n^2 pairs;
+    this companion reports exactly which buckets were collapsed so the
     pipeline can log it (no silent truncation)."""
     melted = _lsh_banded(docs, text_col, id_col, num_hashes, bands, k, mode)
     return (
@@ -193,24 +194,34 @@ def minhash_lsh_pairs(
 
     `max_bucket` bounds the band self-join: a bucket of n identical
     signatures costs O(n^2) pairs, so buckets with > max_bucket members
-    (empty docs, boilerplate — EXACT dups belong in exact_dedup, which is
-    O(n)) are skipped. Use `lsh_skipped_buckets` with the same parameters
-    to enumerate what was dropped (log it — no silent truncation at 100TB).
+    (empty docs, boilerplate) are STAR-COLLAPSED — every member pairs with
+    the bucket's min-id representative only (n-1 pairs, linear), which
+    preserves the bucket as one connected component for downstream
+    clustering instead of dropping it. Use `lsh_skipped_buckets` with the
+    same parameters to enumerate the collapsed buckets (log it — no silent
+    truncation at 100TB). `max_bucket=None` disables the cap.
     """
     melted = _lsh_banded(docs, text_col, id_col, num_hashes, bands, k, mode)
     if max_bucket is not None:
-        sizes = melted.groupBy("band", "key").agg(F.count("*").alias("_bn"))
-        melted = (
-            melted.join(sizes, ["band", "key"]).filter(F.col("_bn") <= max_bucket).drop("_bn")
+        w = Window.partitionBy("band", "key")
+        melted = melted.withColumn("_bn", F.count("*").over(w)).withColumn(
+            "_rep", F.min(id_col).over(w)
         )
-    l = melted.select(F.col(id_col).alias("a"), "band", "key")
-    r = melted.select(F.col(id_col).alias("b"), "band", "key")
-    cand = (
-        l.join(r, ["band", "key"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
+        small = melted.filter(F.col("_bn") <= max_bucket)
+        # degenerate buckets: representative star (rep is the min id, so
+        # rep < member always; n-1 pairs instead of n^2)
+        star = (
+            melted.filter((F.col("_bn") > max_bucket) & (F.col(id_col) != F.col("_rep")))
+            .select(F.col("_rep").alias("a"), F.col(id_col).alias("b"))
+        )
+    else:
+        small, star = melted, None
+    l = small.select(F.col(id_col).alias("a"), "band", "key")
+    r = small.select(F.col(id_col).alias("b"), "band", "key")
+    cand = l.join(r, ["band", "key"]).filter(F.col("a") < F.col("b")).select("a", "b")
+    if star is not None:
+        cand = cand.unionByName(star)
+    cand = cand.distinct()
     sh = _hashed_shingles(docs, text_col, id_col, k, mode).select(
         F.col(id_col), F.array_distinct(F.col("_sh_hash")).alias("sh")
     )
@@ -394,27 +405,31 @@ def ngram_jaccard_pairs(
     n = F.greatest(F.length("_t") - F.lit(k - 1), F.lit(1))
     grams = F.transform(F.sequence(F.lit(1), n), lambda i: F.xxhash64(F.substr(F.col("_t"), i, F.lit(k))))
     sh = _barrier(d1.select(id_col, "_band", F.array_distinct(grams).alias("sh")))
-    l = sh.select(F.col(id_col).alias("a"), F.col("_band"), F.col("sh").alias("sha"))
-    r = sh.select(F.col(id_col).alias("b"), F.col("_band").alias("_band_r"), F.col("sh").alias("shb"))
     # band blocking as an EQUI join (not a |l-r|<=1 theta join, which Spark
-    # plans as a single-partition nested loop): the left side probes bands
-    # {b-1, b, b+1}; band_r is unique per row so no duplicate pairs arise.
-    # Size-ratio prefilter (exact): jaccard >= t requires
-    # min(|A|,|B|) >= t * max(|A|,|B|) — a cheap long comparison that prunes
-    # most band pairs before the expensive array_intersect.
-    l = l.withColumn("_na", F.size("sha")).withColumn(
-        "_band_j", F.explode(F.array(F.col("_band") - 1, F.col("_band"), F.col("_band") + 1))
+    # plans as a single-partition nested loop): the probe side explodes to
+    # bands {b-1, b, b+1}; band_r is unique per row so no duplicate pairs
+    # arise. The explode and join carry NARROW (id, band, size) rows only —
+    # the gram arrays are re-joined just for surviving candidates (same
+    # discipline as minhash_lsh_pairs / embedding_near_dup). Size-ratio
+    # prefilter (exact): jaccard >= t requires min(|A|,|B|) >= t*max(|A|,|B|).
+    narrow = sh.select(id_col, "_band", F.size("sh").alias("_n"))
+    l = narrow.select(
+        F.col(id_col).alias("a"),
+        F.col("_n").alias("_na"),
+        F.explode(F.array(F.col("_band") - 1, F.col("_band"), F.col("_band") + 1)).alias("_band_j"),
     )
-    r = r.withColumn("_nb", F.size("shb"))
+    r = narrow.select(F.col(id_col).alias("b"), F.col("_n").alias("_nb"), F.col("_band").alias("_band_r"))
     cand = l.join(
         r,
         (F.col("_band_j") == F.col("_band_r"))
         & (F.col("a") < F.col("b"))
         & (F.least("_na", "_nb").cast("double") >= F.lit(threshold) * F.greatest("_na", "_nb").cast("double")),
-    )
+    ).select("a", "b")
     # |A∪B| = |A| + |B| - |A∩B| : one set op per pair instead of two
     return (
-        cand.withColumn("_inter", F.size(F.array_intersect("sha", "shb")))
+        cand.join(sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sha")), "a")
+        .join(sh.select(F.col(id_col).alias("b"), F.col("sh").alias("shb")), "b")
+        .withColumn("_inter", F.size(F.array_intersect("sha", "shb")))
         .withColumn(
             "jaccard",
             F.col("_inter").cast("double")

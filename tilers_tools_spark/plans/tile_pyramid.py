@@ -17,9 +17,11 @@ leaves nothing visible; re-running the same run_id skips done parts
 Crash window between the two appends (tiles committed, checkpoint row not):
 every tiles batch is tagged (run_id, part_id); on (re)start, run() rolls
 back orphan batches — tagged for this run but not marked done — before
-re-rendering, so the rerun cannot duplicate (image_id,z,x,y) rows. On the
-Iceberg path the equivalent is a snapshot rollback / single-transaction
-multi-table commit (snapshot summary props carry the tag).
+re-rendering, so on the manifest-parquet path the rerun cannot duplicate
+(image_id,z,x,y) rows. The Iceberg path does NOT reconcile here
+(Catalog.rollback_where warns and returns 0): that deployment must roll
+back orphan snapshots via the snapshot-summary tag, or close the window
+with a single multi-table transaction.
 
 Input scanning: with `stage_input` (default) the planned input is written
 ONCE partitioned by part_id; each part's job then reads only its partition
@@ -90,12 +92,17 @@ def run(
         todo_parts = todo_parts[:max_parts]
     metrics = {"parts_run": 0, "rows_in": 0, "tiles_out": 0, "orphans_rolled_back": orphans}
     shuffle_n = sink_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    staging_table = None
-    if stage_input and len(todo_parts) > 1:
-        staging_table = f"_staged_images_{run_id}"
+    staging_table = f"_staged_images_{run_id}" if stage_input else None
+    # use staging when several parts remain (one write, P pruned reads) OR
+    # when a previous attempt already staged (a resumed run with one part
+    # left must still read its pruned slice — and the table must still get
+    # dropped on completion)
+    if staging_table is not None and (len(todo_parts) > 1 or cat.exists(staging_table)):
         if not cat.exists(staging_table):
             cat.append(planned, staging_table, partition_by=("part_id",))
         planned = cat.read(staging_table)
+    elif staging_table is not None:
+        staging_table = None
     for part in todo_parts:
         part_images = planned.filter(F.col("part_id") == part).drop("part_id")
         obs_in = Observation(f"in_{part}")

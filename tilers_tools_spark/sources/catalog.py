@@ -77,11 +77,14 @@ class Catalog:
         (e.g. {"run_id":..., "part_id":...}); Iceberg path would carry it
         as snapshot summary properties."""
         if self.use_iceberg:
-            try:
+            # Iceberg append() requires an existing table (unlike the
+            # parquet fallback); probe existence explicitly rather than
+            # catching append()'s exception, which would mask real failures
+            # (schema drift, commit conflicts) behind a confusing
+            # 'table already exists' from create()
+            if self.spark.catalog.tableExists(table):
                 df.writeTo(table).append()
-            except Exception:
-                # first write: table does not exist yet (unlike the parquet
-                # fallback, Iceberg append() requires an existing table)
+            else:
                 df.writeTo(table).create()
             return
         tdir = self._tdir(table)
@@ -103,10 +106,22 @@ class Catalog:
         the paired checkpoint row missing after a crash — before re-running
         a part/zoom (plans.tile_pyramid / plans.merged_pyramid).
 
-        Iceberg path: no-op here; production reconciles via snapshot
-        rollback on the snapshot-summary tag (or avoids the window with a
-        single multi-table transaction)."""
+        Iceberg path: NOT implemented (no Iceberg runtime on this box to
+        develop/test against) — warns loudly instead of silently skipping,
+        because the crash-window duplicate-prevention invariant then
+        depends on the deployment reconciling via snapshot rollback on the
+        snapshot-summary tag (or avoiding the window with a single
+        multi-table transaction)."""
         if self.use_iceberg:
+            import warnings
+
+            warnings.warn(
+                "Catalog.rollback_where is not implemented for the Iceberg path: "
+                "orphan batches from a crash between data and checkpoint commits "
+                "are NOT reconciled here — use Iceberg snapshot rollback on the "
+                "snapshot-summary tag before resuming.",
+                stacklevel=2,
+            )
             return 0
         if not os.path.exists(self._manifest(table)):
             return 0

@@ -51,7 +51,11 @@ def write_tilemap_xml(tiles: DataFrame, dest: str, title: str = "tiles", ext: st
     maxx = (deepest["xmax"] + 1) * span - tm.ORIGIN
     miny = deepest["ymin"] * span - tm.ORIGIN
     maxy = (deepest["ymax"] + 1) * span - tm.ORIGIN
-    mime = {"png": "image/png", "jpeg": "image/jpeg", "jpg": "image/jpeg"}.get(ext, f"image/{ext}")
+    from xml.sax.saxutils import escape
+
+    title = escape(title)
+    ext = escape(ext)
+    mime = escape({"png": "image/png", "jpeg": "image/jpeg", "jpg": "image/jpeg"}.get(ext, f"image/{ext}"))
     tilesets = "\n".join(
         f'    <TileSet href="{int(r["z"])}" units-per-pixel="{tm.RES0 / (2.0 ** int(r["z"])):.17g}" order="{int(r["z"])}"/>'
         for r in sorted(rows, key=lambda r: r["z"])
