@@ -69,53 +69,75 @@ def run_pipeline(spark, fixture: str, encode: str = "png") -> tuple[float, int]:
     return min(ts), n_tiles
 
 
-_PROBE_CODE = (
-    "import sys, time, json; sys.path.insert(0, '/root/repo');"
-    "from tilers_tools_spark.session import get_spark;"
-    "from tilers_tools_spark.operators.render import render_pyramid;"
-    "spark = get_spark(master='local[{m}]', shuffle_partitions={m});"
-    "spark.sparkContext.setLogLevel('ERROR');"
-    "spark.conf.set('spark.sql.files.maxPartitionBytes', '4194304');"
-    "images = spark.read.parquet('{fx}');"
-    "render_pyramid(images, encode='{enc}').select('z').count();"  # JIT/worker warmup
-    # this VM shows 2-3x run-to-run interference from co-tenants: report the
-    # min of three timed runs (least-interference estimate)
-    "ts = [];\n"
-    "for _ in range({reps}):\n"
-    "    t0 = time.time(); n = render_pyramid(images, encode='{enc}').select('z').count(); ts.append(time.time() - t0)\n"
-    "print(json.dumps({{'sec': min(ts), 'tiles': n, 'runs': ts}}))"
-)
+_PROBE_CODE = r"""
+import sys, time, json
+sys.path.insert(0, '/root/repo')
+from tilers_tools_spark.session import get_spark
+from tilers_tools_spark.operators.render import render_pyramid
+
+CORES = {cores}
+ROUNDS = {rounds}
+FX = {fx!r}
+ENC = {enc!r}
+
+def one_run(m):
+    spark = get_spark(master=f'local[{{m}}]', shuffle_partitions=m)
+    spark.sparkContext.setLogLevel('ERROR')
+    spark.conf.set('spark.sql.files.maxPartitionBytes', '4194304')
+    images = spark.read.parquet(FX)
+    t0 = time.time()
+    n = render_pyramid(images, encode=ENC).select('z').count()
+    sec = time.time() - t0
+    spark.stop()
+    return sec, n
+
+# warmup pass (JIT + python worker spawn), untimed
+for m in CORES:
+    one_run(m)
+runs = {{m: [] for m in CORES}}
+tiles = None
+for _ in range(ROUNDS):
+    for m in CORES:  # interleaved: every level sees the same noise climate
+        sec, tiles = one_run(m)
+        runs[m].append(sec)
+print(json.dumps({{'tiles': tiles, 'runs': {{str(m): r for m, r in runs.items()}}}}))
+"""
 
 
-def scaling_probe(fixture: str, cores=(2, 8, 32), encode: str = "raw", reps=None) -> dict:
+def scaling_probe(fixture: str, cores=(2, 8, 32), encode: str = "raw", rounds: int = 5) -> dict:
     """N->4N scaling evidence (BASELINE.json:2/14 criterion, sandbox
-    protocol: same job, same input, two parallelism levels in fresh JVMs).
+    protocol: same job, same input at several parallelism levels).
 
     Headline pair = N=2 -> 4N=8 cores: on this shared 32-vCPU VM the box's
     ~4 GB/s total DRAM bandwidth saturates around 8 processes (measured,
     BENCH/BASELINE.md), so 8->32 measures the box's memory system rather
     than the job's scalability; a real 4N-executor cluster brings 4x
     aggregate DRAM/NICs. The 8->32 pair is still measured and reported.
-    Probe job uses encode='raw' (the scale path: PNG deflate deferred to
-    the columnar sink) and min-of-`reps` timing per JVM for robustness to
-    co-tenant interference (this VM shares a host; identical runs vary up
-    to 2.5x). The SAME rep count applies to every level — asymmetric reps
-    would bias the eta ratio (more chances to hit a clean window in the
-    denominator than the numerator).
+
+    Noise handling (this VM shares a host; identical runs vary up to 2.5x):
+    the levels are run INTERLEAVED in `rounds` rounds inside one probe
+    process (fresh SparkContext per run, one untimed warmup per level), so
+    every level faces the same interference climate and gets the SAME
+    number of timed runs — min over rounds per level estimates the clean
+    time without biasing the eta ratio. Probe job uses encode='raw' (the
+    scale path: PNG deflate deferred to the columnar sink).
     """
-    reps = reps or 5
-    out = {"protocol": "same job/input, fresh JVM per parallelism level, "
-                       f"min-of-{reps} timed runs after warmup at EVERY level, encode={encode}",
+    code = _PROBE_CODE.format(cores=list(cores), rounds=rounds, fx=fixture, enc=encode)
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, timeout=3000)
+    line = [ln for ln in r.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    d = json.loads(line)
+    out = {"protocol": f"interleaved rounds x{rounds}, fresh SparkContext per run, one warm JVM, "
+                       f"min over rounds per level, encode={encode}",
            "n_to_4n": {"n_cores": 2, "4n_cores": 8}}
     for m in cores:
-        r = subprocess.run(
-            [sys.executable, "-c", _PROBE_CODE.format(m=m, fx=fixture, enc=encode, reps=reps)],
-            capture_output=True, text=True, timeout=1800,
-        )
-        line = [ln for ln in r.stdout.strip().splitlines() if ln.startswith("{")][-1]
-        d = json.loads(line)
-        d["tiles_per_sec"] = round(d["tiles"] / d["sec"], 1)
-        out[f"local[{m}]"] = d
+        runs = d["runs"][str(m)]
+        sec = min(runs)
+        out[f"local[{m}]"] = {
+            "sec": sec,
+            "tiles": d["tiles"],
+            "runs": [round(x, 3) for x in runs],
+            "tiles_per_sec": round(d["tiles"] / sec, 1),
+        }
     for lo, hi in zip(cores, cores[1:]):
         if hi == 4 * lo:
             out[f"eta_{lo}to{hi}"] = round(
