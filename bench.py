@@ -208,7 +208,10 @@ def main():
         try:
             # smaller fixture for the probe: 3 JVMs x (warmup + 2 timed runs)
             # must fit the driver's bench budget; eta is size-independent
-            result["scaling"] = scaling_probe(_fixture_path(max(200, N_IMAGES // 3)))
+            result["scaling"] = scaling_probe(
+                _fixture_path(max(200, N_IMAGES // 3)),
+                rounds=int(os.environ.get("BENCH_ROUNDS", "5")),
+            )
         except Exception as e:
             result["scaling"] = f"error: {e}"[:200]
     print(json.dumps(result))
