@@ -1,0 +1,67 @@
+"""spark-submit entry point — the map2gdal role (SURVEY.md §2.1 rows 7-9):
+parse chart georeferencing headers (OziExplorer .map, BSB/KAP, GEO/NOS
+sidecar, KML GroundOverlay) into a georef table, distributed via Spark's
+binaryFile source + the Arrow parser UDFs in functions/georef_parsers.py.
+
+    spark-submit --py-files dist/engine.zip jobs/map2gdal.py \
+        --charts '/data/charts' --out /data/georef.parquet
+
+Output schema: (path, kind, w, h, gsd, mx0, my0, mx1, my1) — the engine
+georef box (SURVEY.md §1.5 shape); rows whose header fails to parse carry
+NaN georef (kept, so failures are auditable).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+_KIND_OF_EXT = {"map": "ozi", "kap": "kap", "geo": "geo", "kml": "kml"}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--charts", required=True, help="directory of .map/.kap/.geo/.kml files")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--width", type=int, default=1024, help="raster width when no sidecar dimensions exist")
+    ap.add_argument("--height", type=int, default=1024)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from tilers_tools_spark.functions.georef_parsers import parse_georef_udf
+    from tilers_tools_spark.session import get_spark
+
+    spark = get_spark(app="map2gdal", master=args.master)
+    out = None
+    for ext, kind in _KIND_OF_EXT.items():
+        df = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", f"*.{ext}")
+            .option("recursiveFileLookup", "true")
+            .load(args.charts)
+        )
+        if df.isEmpty():
+            continue
+        header = F.col("content") if kind == "kap" else F.col("content").cast("string")
+        g = df.select(
+            "path",
+            F.lit(kind).alias("kind"),
+            F.lit(args.width).alias("w"),
+            F.lit(args.height).alias("h"),
+            parse_georef_udf(kind)(header, F.lit(args.width), F.lit(args.height)).alias("georef"),
+        ).select("path", "kind", "w", "h", "georef.*")
+        out = g if out is None else out.unionByName(g)
+    if out is None:
+        print(json.dumps({"charts": 0, "out": args.out}))
+        spark.stop()
+        return
+    out.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"charts": n, "out": args.out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

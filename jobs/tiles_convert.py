@@ -1,0 +1,64 @@
+"""spark-submit entry point — the tiles_convert role (SURVEY.md §2.4,
+reference CLI parity: `tiles_convert.py --from=<fmt> --to=<fmt> src dst`):
+
+    spark-submit --py-files dist/engine.zip jobs/tiles_convert.py \
+        --src <dir|.mbtiles|catalog_root> --src-format dir|mbtiles|table \
+        --src-scheme xyz --dst <path> --dst-format dir|mbtiles \
+        --dst-scheme tms [--transcode jpeg] [--single-file]
+
+Container conversion never touches pixel bytes unless --transcode is set
+(SURVEY.md §3.2 E2': one narrow projection stage).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", required=True)
+    ap.add_argument("--src-format", default="dir", choices=("dir", "mbtiles", "table"))
+    ap.add_argument("--src-scheme", default="xyz", choices=("xyz", "tms", "zyx"))
+    ap.add_argument("--dst", required=True)
+    ap.add_argument("--dst-format", default="mbtiles", choices=("dir", "mbtiles"))
+    ap.add_argument("--dst-scheme", default="xyz", choices=("xyz", "tms", "zyx"))
+    ap.add_argument("--transcode", default=None, choices=(None, "png", "jpeg", "raw"))
+    ap.add_argument("--src-fmt-blob", default="png", help="blob codec of the source tiles (for --transcode)")
+    ap.add_argument("--single-file", action="store_true", help="merge MBTiles shards into one file")
+    ap.add_argument("--name", default="tiles")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from tilers_tools_spark.operators import convert
+    from tilers_tools_spark.session import get_spark
+    from tilers_tools_spark.sources import mbtiles as mbt
+    from tilers_tools_spark.sources import tileset
+    from tilers_tools_spark.sources.catalog import Catalog
+
+    spark = get_spark(app="tiles_convert", master=args.master)
+    if args.src_format == "dir":
+        tiles = tileset.read_tileset_dir(spark, args.src, scheme=args.src_scheme)
+    elif args.src_format == "mbtiles":
+        tiles = mbt.read_mbtiles(spark, args.src)
+    else:
+        tiles = Catalog(spark, args.src).read("tiles").select("z", "x", "y", "tile")
+    if args.transcode:
+        tiles = convert.transcode(tiles, src_fmt=args.src_fmt_blob, dst_fmt=args.transcode)
+    ext = {"jpeg": "jpg", "raw": "raw"}.get(args.transcode or "png", "png")
+    if args.dst_format == "dir":
+        tileset.write_tileset_dir(tiles, args.dst, scheme=args.dst_scheme, ext=ext)
+        tileset.write_tilemap_xml(tiles, args.dst, title=args.name, ext=ext)
+        out = args.dst
+    else:
+        out = mbt.write_mbtiles(
+            tiles, args.dst, metadata={"name": args.name, "format": ext}, single_file=args.single_file
+        )
+    n = tiles.count()
+    print(json.dumps({"tiles": n, "out": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

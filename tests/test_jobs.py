@@ -1,0 +1,110 @@
+"""Reference CLI-surface parity: the three remaining tilers-tools entry
+points as spark-submit jobs (gdal_tiler == jobs/tile_pyramid.py, covered by
+test_resume + the verify recipe). Each main() runs against the shared test
+session (get_spark patched; stop() suppressed)."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from tilers_tools_spark.functions import codecs
+
+
+@pytest.fixture()
+def run_job(spark, monkeypatch, capsys):
+    """Invoke a job module's main() with argv, shared session, no stop()."""
+    import tilers_tools_spark.session as sess
+
+    monkeypatch.setattr(sess, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+
+    def run(mod_name, argv):
+        import importlib
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+        mod = importlib.import_module(mod_name)
+        monkeypatch.setattr(sys, "argv", [mod_name] + argv)
+        mod.main()
+        out = capsys.readouterr().out.strip().splitlines()
+        return json.loads([ln for ln in out if ln.startswith("{")][-1])
+
+    return run
+
+
+@pytest.fixture()
+def tile_dir(spark, tmp_path):
+    from tilers_tools_spark.sources import tileset
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(24):
+        z = int(rng.integers(3, 6))
+        arr = rng.integers(0, 256, (8, 8, 4), dtype=np.uint8)
+        rows.append((z, int(rng.integers(0, 2**z)), int(rng.integers(0, 2**z)), codecs.encode_png(arr)))
+    df = spark.createDataFrame(rows, "z int, x long, y long, tile binary").dropDuplicates(["z", "x", "y"])
+    d = str(tmp_path / "tiles_xyz")
+    tileset.write_tileset_dir(df, d, scheme="xyz")
+    return d, df
+
+
+def test_tiles_convert_job(run_job, tile_dir, tmp_path, spark):
+    src, df = tile_dir
+    out = str(tmp_path / "mb")
+    res = run_job("tiles_convert", [
+        "--src", src, "--src-format", "dir", "--src-scheme", "xyz",
+        "--dst", out, "--dst-format", "mbtiles", "--single-file",
+    ])
+    assert res["tiles"] == df.count()
+    from tilers_tools_spark.sources import mbtiles as mbt
+
+    back = mbt.read_mbtiles(spark, res["out"])
+    a = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in df.collect()}
+    b = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in back.collect()}
+    assert a == b
+    # and back out to a TMS dir tree with tilemap metadata
+    out2 = str(tmp_path / "tms")
+    res2 = run_job("tiles_convert", [
+        "--src", res["out"], "--src-format", "mbtiles",
+        "--dst", out2, "--dst-format", "dir", "--dst-scheme", "tms",
+    ])
+    assert res2["tiles"] == df.count()
+    assert os.path.exists(os.path.join(out2, "tilemapresource.xml"))
+
+
+def test_tiles_merge_job(run_job, tile_dir, tmp_path, spark):
+    src, df = tile_dir
+    out = str(tmp_path / "merged")
+    res = run_job("tiles_merge", ["--base", src, "--overlay", src, "--out", out])
+    assert res["tiles"] == df.count()  # identical sets -> same key count
+    from tilers_tools_spark.sources import tileset
+
+    back = tileset.read_tileset_dir(spark, out, scheme="xyz")
+    assert back.count() == df.count()
+
+
+def test_map2gdal_job(run_job, tmp_path, spark):
+    charts = tmp_path / "charts"
+    charts.mkdir()
+    # a GEO/NOS sidecar with 4 exact GCPs (same construction as the parser test)
+    from tilers_tools_spark.functions import tilemath as tm
+
+    gsd = 25.0
+    mx0, my1 = tm.merc_np(np.array([-122.5]), np.array([37.8]))
+    mx0, my1 = float(mx0[0]), float(my1[0])
+    lines = ["Bitmap=chart.nos", "Name=TEST NOS"]
+    for i, (px, py) in enumerate([(0, 0), (1024, 0), (0, 1024), (1024, 1024)], 1):
+        lon, lat = tm.inv_merc_np(np.array([mx0 + gsd * px]), np.array([my1 - gsd * py]))
+        lines.append(f"Point{i:02d}={px},{py},{float(lat[0]):.8f},{float(lon[0]):.8f}")
+    (charts / "a.geo").write_text("\n".join(lines))
+    (charts / "bad.geo").write_text("Name=NO GCPS HERE")
+    out = str(tmp_path / "georef.parquet")
+    res = run_job("map2gdal", ["--charts", str(charts), "--out", out])
+    assert res["charts"] == 2
+    pdf = spark.read.parquet(out).toPandas().set_index("path")
+    good = pdf[pdf.index.str.endswith("a.geo")].iloc[0]
+    assert abs(good["gsd"] - gsd) < 1e-3 and abs(good["mx0"] - mx0) < 1.0
+    bad = pdf[pdf.index.str.endswith("bad.geo")].iloc[0]
+    assert np.isnan(bad["gsd"])  # parse failure kept, auditable
