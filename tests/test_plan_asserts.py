@@ -101,3 +101,18 @@ def test_explode_bbox_pushdown_equals_filter_after(spark, images_smoke):
     a = {(r["image_id"], r["z"], r["x"], r["y"]) for r in pushed.collect()}
     b = {(r["image_id"], r["z"], r["x"], r["y"]) for r in filtered.collect()}
     assert a == b and 0 < len(a) < full.count()
+
+
+def test_merged_zoom_scan_is_partition_pruned(spark, images_smoke, tmp_path):
+    """merged_pyramid stage 2 reads one zoom at a time: the tiles-table
+    scan must prune to that zoom's partition directories."""
+    from tilers_tools_spark.plans import tile_pyramid as tp
+    from tilers_tools_spark.sources.catalog import Catalog
+    from tilers_tools_spark.operators.render import render_pyramid
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    tiles = render_pyramid(spark.read.parquet(images_smoke).limit(8))
+    cat.append(tiles, tp.TILES_TABLE, partition_by=("z",))
+    one_zoom = cat.read(tp.TILES_TABLE).filter(F.col("z") == 8)
+    plan = _plan(one_zoom)
+    assert "PartitionFilters" in plan and "z" in plan.split("PartitionFilters")[1][:80], plan
