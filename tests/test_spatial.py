@@ -60,6 +60,44 @@ def test_pip_semi_anti(points_df, polygons_df):
     assert semi + anti == n and semi > 0
 
 
+def test_pip_multiring_holes(spark):
+    """Even-odd over a polygon's rings: a square with a square hole —
+    points in the hole are NOT matches; an independent poly is unaffected."""
+    lon_g, lat_g = np.meshgrid(np.linspace(-30, 125, 32), np.linspace(-30, 30, 13))
+    pdf = pd.DataFrame(
+        {"point_id": [f"g{i:04d}" for i in range(lon_g.size)],
+         "lon": lon_g.ravel() + 0.123, "lat": lat_g.ravel() + 0.077}
+    )
+    df = spark.createDataFrame(pdf)
+    outer = [{"lon": -20.0, "lat": -20.0}, {"lon": 20.0, "lat": -20.0},
+             {"lon": 20.0, "lat": 20.0}, {"lon": -20.0, "lat": 20.0}]
+    hole = [{"lon": -8.0, "lat": -8.0}, {"lon": 8.0, "lat": -8.0},
+            {"lon": 8.0, "lat": 8.0}, {"lon": -8.0, "lat": 8.0}]
+    other = [{"lon": 100.0, "lat": 0.0}, {"lon": 120.0, "lat": 0.0}, {"lon": 110.0, "lat": 15.0}]
+    polys = spark.createDataFrame(
+        [("donut", outer), ("donut", hole), ("tri", other)],
+        "poly_id string, ring array<struct<lon:double,lat:double>>",
+    )
+    got = {
+        (r["point_id"], r["poly_id"])
+        for r in spatial.pip_join(df, polys, res=3).select("point_id", "poly_id").collect()
+    }
+    want = set()
+    for _, p in pdf.iterrows():
+        in_outer = mt.point_in_ring(p["lon"], p["lat"], outer)
+        in_hole = mt.point_in_ring(p["lon"], p["lat"], hole)
+        if in_outer != in_hole:  # even-odd
+            want.add((p["point_id"], "donut"))
+        if mt.point_in_ring(p["lon"], p["lat"], other):
+            want.add((p["point_id"], "tri"))
+    assert got == want
+    # sanity: the fixture actually exercises both regions
+    donut_pts = {pid for pid, poly in want if poly == "donut"}
+    hole_pts = {p["point_id"] for _, p in pdf.iterrows()
+                if mt.point_in_ring(p["lon"], p["lat"], hole)}
+    assert donut_pts and hole_pts and not (hole_pts & donut_pts)
+
+
 def test_knn_vs_bruteforce(spark, points_df):
     df, pdf = points_df
     nq = 16

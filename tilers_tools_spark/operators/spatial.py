@@ -73,7 +73,14 @@ def polygon_cover_cells(polygons_pdf: pd.DataFrame, res: int = 5, samples: int =
                 )
             cells_set.update(int(c) for c in cells)
         rows += [(p["poly_id"], c) for c in sorted(cells_set)]
-    return pd.DataFrame(rows, columns=["poly_id", "h3_cell_cover"])
+    # a poly_id may span several rows (multi-ring polygons with holes):
+    # dedupe (poly_id, cell) so the coarse join yields one candidate per
+    # (point, polygon)
+    return (
+        pd.DataFrame(rows, columns=["poly_id", "h3_cell_cover"])
+        .drop_duplicates()
+        .reset_index(drop=True)
+    )
 
 
 def pip_join(
@@ -89,6 +96,10 @@ def pip_join(
     Two-phase (SURVEY.md §2.5 row 27): broadcast coarse H3-cover equi-join,
     then exact ray-cast refine in a pandas UDF. `how`: inner | left_semi |
     left_anti (semi/anti evaluated on the refined match set).
+
+    Multi-ring polygons (holes): several rows may share a poly_id, one ring
+    per row; containment is even-odd over ALL of the polygon's rings (a
+    point inside an outer ring and a hole ring has 2 crossings -> outside).
     """
     spark = points.sparkSession
     poly_pdf = polygons.select("poly_id", "ring").toPandas()
@@ -96,13 +107,14 @@ def pip_join(
     # polygons are small by contract -> capture rings in the refine UDF's
     # closure instead of joining ring arrays onto every candidate row
     # (avoids shipping two float arrays per candidate through the shuffle)
-    ring_map = {
-        p["poly_id"]: (
-            np.array([v["lon"] for v in p["ring"]], dtype=np.float64),
-            np.array([v["lat"] for v in p["ring"]], dtype=np.float64),
+    ring_map: dict = {}
+    for _, p in poly_pdf.iterrows():
+        ring_map.setdefault(p["poly_id"], []).append(
+            (
+                np.array([v["lon"] for v in p["ring"]], dtype=np.float64),
+                np.array([v["lat"] for v in p["ring"]], dtype=np.float64),
+            )
         )
-        for _, p in poly_pdf.iterrows()
-    }
     pts = points.withColumn(
         "_pip_cell",
         _h3_cell_udf(F.col(lat_col), F.col(lon_col), F.lit(res)),
@@ -115,18 +127,21 @@ def pip_join(
             plat = pdf[lat_col].to_numpy(np.float64)
             keep = np.zeros(len(pdf), dtype=bool)
             pids = pdf["poly_id"].to_numpy()
-            for pid, (rl, rt) in ring_map.items():
+            for pid, rings in ring_map.items():
                 idx = np.where(pids == pid)[0]
                 if len(idx) == 0:
                     continue
-                x1, y1 = rl, rt
-                x2, y2 = np.roll(rl, -1), np.roll(rt, -1)
                 py = plat[idx][:, None]
                 px = plon[idx][:, None]
-                crosses = (y1 > py) != (y2 > py)
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    xin = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
-                keep[idx] = ((crosses & (xin > px)).sum(axis=1) % 2).astype(bool)
+                n_cross = np.zeros(len(idx), dtype=np.int64)
+                for rl, rt in rings:
+                    x1, y1 = rl, rt
+                    x2, y2 = np.roll(rl, -1), np.roll(rt, -1)
+                    crosses = (y1 > py) != (y2 > py)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        xin = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+                    n_cross += (crosses & (xin > px)).sum(axis=1)
+                keep[idx] = (n_cross % 2).astype(bool)
             yield pdf[keep]
 
     refined = cand.mapInPandas(refine, schema=cand.schema)
