@@ -124,3 +124,27 @@ def test_kml_overlay_parse_and_georef():
         assert False, "rotation must raise"
     except ValueError:
         pass
+
+
+def test_poly2_fit_roundtrip():
+    """Order-2 polynomial GCP fit recovers a synthetic quadratic warp
+    exactly (it's in the model class), and beats the affine fit on it."""
+    rng = np.random.default_rng(3)
+    P_true = np.array(
+        [[1.11e6, 48.0, 1.5, 2e-3, -1e-3, 5e-4],
+         [5.66e6, -2.0, -52.0, 8e-4, 2e-3, -1.2e-3]]
+    )
+    px = rng.uniform(0, 2000, 24)
+    py = rng.uniform(0, 1500, 24)
+    mx, my = gp.apply_poly2(P_true, px, py)
+    lon, lat = tm.inv_merc_np(mx, my)
+    gcps = list(zip(px, py, lon, lat))
+    P = gp.fit_poly2_3857(gcps)
+    rx, ry = gp.apply_poly2(P, px, py)
+    assert np.abs(rx - mx).max() < 1e-3 and np.abs(ry - my).max() < 1e-3  # meters
+    A = gp.fit_affine_3857(gcps)
+    ax = A[0, 0] * px + A[0, 1] * py + A[0, 2]
+    assert np.abs(ax - mx).max() > 1.0  # quadratic warp not affine-expressible
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        gp.fit_poly2_3857(gcps[:5])

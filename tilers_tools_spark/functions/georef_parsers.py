@@ -200,6 +200,29 @@ def fit_affine_3857(gcps) -> np.ndarray:
     return np.vstack([ax, ay])
 
 
+def fit_poly2_3857(gcps) -> np.ndarray:
+    """>=6 GCPs (px, py, lon, lat) -> order-2 polynomial P (2x6) with
+    [mx, my]^T = P @ [1, px, py, px^2, px*py, py^2]^T in EPSG:3857 meters
+    (the gdal_translate/gdalwarp `-order 2` analog; least squares)."""
+    g = np.asarray(gcps, dtype=np.float64)
+    if g.shape[0] < 6:
+        raise ValueError("need >= 6 GCPs for an order-2 polynomial fit")
+    mx, my = tm.merc_np(g[:, 2], g[:, 3])
+    px, py = g[:, 0], g[:, 1]
+    X = np.column_stack([np.ones(len(g)), px, py, px * px, px * py, py * py])
+    cx, *_ = np.linalg.lstsq(X, mx, rcond=None)
+    cy, *_ = np.linalg.lstsq(X, my, rcond=None)
+    return np.vstack([cx, cy])
+
+
+def apply_poly2(P: np.ndarray, px, py):
+    """Evaluate the order-2 polynomial at pixel coords (vectorized)."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    X = np.stack([np.ones_like(px), px, py, px * px, px * py, py * py])
+    return P[0] @ X, P[1] @ X
+
+
 def affine_to_georef(A: np.ndarray, w: int, h: int) -> dict:
     """North-up affine -> the engine georef dict (SURVEY.md §1.5 shape).
     Requires negligible rotation terms (|offdiag| << diag)."""
