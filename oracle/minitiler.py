@@ -201,6 +201,56 @@ def render_tile(
     return out
 
 
+def warp_tile(rgba_src: np.ndarray, A, z: int, tx: int, ty_tms: int) -> np.ndarray:
+    """General-affine (rotation/shear) inverse-mapping bilinear render —
+    independent per-row transcription of the engine's warp contract
+    (operators/render.py::warp_tile): GDAL-style corner-based geotransform
+    [mx,my]^T = A @ [px,py,1]^T, validity 0<=px<w and 0<=py<h, 8.8
+    fixed-point bilinear on clamped neighbors, columns and rows weighted
+    per pixel. Bit-identical by elementwise-identical float64/int ops."""
+    import numpy as _np
+
+    h, w = rgba_src.shape[:2]
+    src16 = rgba_src[:, :, :3].astype(_np.uint16)
+    a, b, c0_ = float(A[0][0]), float(A[0][1]), float(A[0][2])
+    d, e, f0_ = float(A[1][0]), float(A[1][1]), float(A[1][2])
+    det = a * e - b * d
+    res = res_at(z)
+    span = res * TILE
+    tmx0 = tx * span - ORIGIN
+    tmy1 = (ty_tms + 1) * span - ORIGIN
+    out = _np.zeros((TILE, TILE, 4), dtype=_np.uint8)
+    cc = _np.arange(TILE, dtype=_np.float64)
+    mx = tmx0 + (cc + 0.5) * res
+    for r in range(TILE):
+        my = tmy1 - (r + 0.5) * res
+        dx = mx - c0_
+        dy = my - f0_
+        px = (e * dx - b * dy) / det
+        py = (a * dy - d * dx) / det
+        valid = (px >= 0.0) & (px < w) & (py >= 0.0) & (py < h)
+        if not valid.any():
+            continue
+        sc = px - 0.5
+        sr = py - 0.5
+        cf = _np.floor(sc)
+        rf = _np.floor(sr)
+        wc = _np.floor((sc - cf) * 256.0 + 0.5).astype(_np.uint16)[:, None]
+        wr = _np.floor((sr - rf) * 256.0 + 0.5).astype(_np.uint16)[:, None]
+        ci = cf.astype(_np.int64)
+        ri = rf.astype(_np.int64)
+        c0c = _np.clip(ci, 0, w - 1)
+        c1c = _np.clip(ci + 1, 0, w - 1)
+        r0c = _np.clip(ri, 0, h - 1)
+        r1c = _np.clip(ri + 1, 0, h - 1)
+        top = (src16[r0c, c0c] * (256 - wc) + src16[r0c, c1c] * wc + 128) >> 8
+        bot = (src16[r1c, c0c] * (256 - wc) + src16[r1c, c1c] * wc + 128) >> 8
+        row = ((top * (256 - wr) + bot * wr + 128) >> 8).astype(_np.uint8)
+        out[r, valid, :3] = row[valid]
+        out[r, valid, 3] = 255
+    return out
+
+
 def downsample_average(quad: np.ndarray) -> np.ndarray:
     """512x512x4 -> 256x256x4: unweighted 2x2 channel mean, round half up."""
     m = quad.reshape(TILE, 2, TILE, 2, 4).astype(np.float64).mean(axis=(1, 3))

@@ -243,6 +243,100 @@ def render_image_pyramid(
     return out
 
 
+def warp_tile(rgba_src: np.ndarray, A: np.ndarray, z: int, tx: int, ty_tms: int) -> np.ndarray:
+    """Render one 256x256 RGBA tile from a GENERAL affine georeference
+    (rotation/shear allowed) — the gdalwarp role beyond the north-up fast
+    path. A is the GDAL-style geotransform (2x3, corner-based):
+    [mx, my]^T = A @ [px, py, 1]^T. Inverse-mapping bilinear with the SAME
+    8.8 fixed-point contract as render_image_pyramid; elementwise formulas
+    mirrored in oracle/minitiler.warp_tile -> bit-identical (tested).
+
+    No column hoisting here: rotation breaks the separability that the
+    north-up path exploits, so this is the slower general kernel — the
+    pipeline uses it only for rows whose affine has off-diagonal terms.
+    """
+    h_src, w_src = rgba_src.shape[:2]
+    src = rgba_src[:, :, :3].astype(np.uint16)
+    a, b, c0_ = float(A[0, 0]), float(A[0, 1]), float(A[0, 2])
+    d, e, f0_ = float(A[1, 0]), float(A[1, 1]), float(A[1, 2])
+    det = a * e - b * d
+    if det == 0.0:
+        raise ValueError("degenerate affine")
+    res = tm.RES0 / (2.0**z)
+    span = res * TILE
+    tmx0 = tx * span - tm.ORIGIN
+    tmy1 = (ty_tms + 1) * span - tm.ORIGIN
+    cc = np.arange(TILE, dtype=np.float64)
+    mx = tmx0 + (cc + 0.5) * res  # (256,) per-column meters
+    my = tmy1 - (cc + 0.5) * res  # (256,) per-row meters
+    dx = mx[None, :] - c0_  # (256,256) broadcast: rows x cols
+    dy = my[:, None] - f0_
+    px = (e * dx - b * dy) / det  # corner-based source pixel coords
+    py = (a * dy - d * dx) / det
+    valid = (px >= 0.0) & (px < w_src) & (py >= 0.0) & (py < h_src)
+    sc = px - 0.5
+    sr = py - 0.5
+    cf = np.floor(sc)
+    rf = np.floor(sr)
+    wc = np.floor((sc - cf) * 256.0 + 0.5).astype(np.uint16)[:, :, None]
+    wr = np.floor((sr - rf) * 256.0 + 0.5).astype(np.uint16)[:, :, None]
+    ci = cf.astype(np.int64)
+    ri = rf.astype(np.int64)
+    c0c = np.clip(ci, 0, w_src - 1)
+    c1c = np.clip(ci + 1, 0, w_src - 1)
+    r0c = np.clip(ri, 0, h_src - 1)
+    r1c = np.clip(ri + 1, 0, h_src - 1)
+    top = (src[r0c, c0c] * (256 - wc) + src[r0c, c1c] * wc + 128) >> 8
+    bot = (src[r1c, c0c] * (256 - wc) + src[r1c, c1c] * wc + 128) >> 8
+    val = (top * (256 - wr) + bot * wr + 128) >> 8
+    out = np.empty((TILE, TILE, 4), dtype=np.uint8)
+    np.multiply(val, valid[:, :, None], out=out[:, :, :3], dtype=np.uint8, casting="unsafe")
+    np.multiply(valid, 255, out=out[:, :, 3], dtype=np.uint8, casting="unsafe")
+    return out
+
+
+def affine_cover(A: np.ndarray, w: int, h: int, z: int):
+    """Inclusive TMS tile range covering the affine image's quad at z
+    (bbox of the four warped corners, same half-open cover rule)."""
+    corners_px = np.array([[0, 0], [w, 0], [0, h], [w, h]], dtype=np.float64)
+    mx = A[0, 0] * corners_px[:, 0] + A[0, 1] * corners_px[:, 1] + A[0, 2]
+    my = A[1, 0] * corners_px[:, 0] + A[1, 1] * corners_px[:, 1] + A[1, 2]
+    r = tm.cover_range_np(
+        np.array([mx.min()]), np.array([my.min()]), np.array([mx.max()]), np.array([my.max()]), np.array([z])
+    )
+    return tuple(int(v[0]) for v in r)
+
+
+def render_warped(images: DataFrame, zoom: int, affine_cols=("a00", "a01", "a02", "a10", "a11", "a12")) -> DataFrame:
+    """images DF carrying per-row affine geotransform columns (e.g. from
+    the GCP fit, functions/georef_parsers.fit_affine_3857) -> warped tiles
+    at `zoom`. Same shuffle-free mapInPandas shape as render_pyramid;
+    rotated/sheared charts supported (empty tiles elided)."""
+    from typing import Iterator as _It
+
+    def fn(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                rgba = codecs.to_rgba(codecs.decode_image(rec["bytes"], rec["fmt"]))
+                A = np.array(
+                    [[rec[affine_cols[0]], rec[affine_cols[1]], rec[affine_cols[2]]],
+                     [rec[affine_cols[3]], rec[affine_cols[4]], rec[affine_cols[5]]]],
+                    dtype=np.float64,
+                )
+                txmin, txmax, tymin, tymax = affine_cover(A, rgba.shape[1], rgba.shape[0], zoom)
+                for tx in range(txmin, txmax + 1):
+                    for ty in range(tymin, tymax + 1):
+                        arr = warp_tile(rgba, A, zoom, tx, ty)
+                        if arr[:, :, 3].max() == 0:
+                            continue
+                        rows.append((rec["image_id"], zoom, tx, ty, codecs.encode_tile_png(arr)))
+            if rows:
+                yield pd.DataFrame(rows, columns=["image_id", "z", "x", "y", "tile"])
+
+    return images.mapInPandas(fn, schema="image_id string, z int, x long, y long, tile binary")
+
+
 # ---------------------------------------------------------------------------
 # the Spark operator
 # ---------------------------------------------------------------------------
