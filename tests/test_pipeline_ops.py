@@ -114,6 +114,32 @@ def test_embedding_near_dup_narrow_candidate_plan(spark):
         assert "_va" not in ln and "_vb" not in ln and "_v#" not in ln, ln
 
 
+def test_simhash_pairs_exact_vs_bruteforce(spark):
+    """Banded pigeonhole + exact hamming filter == brute-force all pairs
+    with hamming <= max_hamming (pigeonhole guarantees candidate recall)."""
+    rng = np.random.default_rng(17)
+    n = 200
+    base = rng.integers(0, 1 << 32, n, dtype=np.uint64)
+    # plant close pairs: flip <=3 random bits of the first 12 values
+    for i in range(12):
+        v = int(base[i])
+        for b in rng.choice(32, size=int(rng.integers(0, 4)), replace=False):
+            v ^= 1 << int(b)
+        base[n - 1 - i] = v
+    pdf = pd.DataFrame({"doc_id": range(n), "simhash32": base.astype(np.int64)})
+    sims = spark.createDataFrame(pdf)
+    got = dedup.simhash_pairs(sims, sim_col="simhash32", bits=32, bands=4, max_hamming=3).toPandas()
+    gotset = {(a, b) for a, b in zip(got.a, got.b)}
+    want = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            if bin(int(base[i]) ^ int(base[j])).count("1") <= 3:
+                want.add((i, j))
+    assert gotset == want and len(want) >= 10
+    with pytest.raises(ValueError):
+        dedup.simhash_pairs(sims, sim_col="simhash32", bits=32, bands=4, max_hamming=5)
+
+
 def test_simhash_md5_portable_twin(docs):
     out = dedup.simhash_md5_32(docs).toPandas().set_index("doc_id")
 

@@ -344,6 +344,56 @@ def simhash_md5_32(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     return docs.select(id_col).join(out, id_col, "left").fillna({"simhash32": 0})
 
 
+def simhash_pairs(
+    sims: DataFrame,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs from a simhash column: EXACTLY the pairs with
+    hamming distance <= max_hamming, found without an all-pairs join.
+
+    Pigeonhole banding: the `bits` are split into `bands` disjoint bands;
+    any pair differing in <= bands-1 bits matches exactly on at least one
+    band, so equi-joining per-band values yields a candidate superset,
+    then bit_count(a XOR b) filters exactly. Requires
+    max_hamming <= bands - 1 (raises otherwise). Narrow (id, band, value)
+    shuffle only; simhash values re-joined for surviving candidates.
+    Returns (a, b, hamming) with a < b.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError(f"pigeonhole needs max_hamming <= bands-1, got {max_hamming} > {bands - 1}")
+    width = bits // bands
+    mask = (1 << width) - 1
+    s = sims.select(F.col(id_col), F.col(sim_col).cast("long").alias("_s"))
+    melted = s.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned("_s", b * width).bitwiseAND(F.lit(mask)).alias("val"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.val")
+    l = melted.select(F.col(id_col).alias("a"), "band", "val")
+    r = melted.select(F.col(id_col).alias("b"), "band", "val")
+    cand = l.join(r, ["band", "val"]).filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+    sa = s.select(F.col(id_col).alias("a"), F.col("_s").alias("_sa"))
+    sb = s.select(F.col(id_col).alias("b"), F.col("_s").alias("_sb"))
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", F.col("hamming").cast("long").alias("hamming"))
+    )
+
+
 def embedding_near_dup(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -686,6 +686,25 @@ FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id
 SQL_SIMHASH_MD5 = _simhash_md5_sql()
 
 
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: banded pigeonhole candidates + exact
+    hamming <= 3 over the portable 32-bit simhash (cross-engine gate:
+    DuckDB verifies against brute-force all-pairs bit_count(xor))."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sims = dedup.simhash_md5_32(docs)
+    return dedup.simhash_pairs(sims, sim_col="simhash32", bits=32, bands=4, max_hamming=3)
+
+
+SQL_SIMHASH_PAIRS = f"""
+WITH simt AS ({_simhash_md5_sql()})
+SELECT a, b, hamming FROM (
+  SELECT l.doc_id AS a, r.doc_id AS b,
+         CAST(bit_count(xor(l.simhash32, r.simhash32)) AS BIGINT) AS hamming
+  FROM simt l, simt r WHERE l.doc_id < r.doc_id)
+WHERE hamming <= 3
+"""
+
+
 def q_cutline_mask(spark, sf_dir):
     """Raster<->vector cutline masking over a rendered HOT-box tile set
     (pixel-level op — no SQL equivalent; bit-level parity is pytest-pinned
@@ -708,6 +727,40 @@ def q_cutline_mask(spark, sf_dir):
     polys = spark.createDataFrame([("cut0", ring)], "poly_id string, ring array<struct<lon:double,lat:double>>")
     cut = cutline.apply_cutline(tiles, polys)
     return cut.select("image_id", "z", "x", "y", F.md5(F.col("tile")).alias("tile_md5"))
+
+
+def q_warped_smoke(spark, sf_dir):
+    """General-affine (rotated) warp render over deterministic synthetic
+    charts — pixel op, rows-only check (bit-level parity is pytest-pinned
+    vs oracle/minitiler.warp_tile)."""
+    import math
+
+    from fixtures import gen
+    from ..functions import codecs
+    from ..operators.render import render_warped
+
+    rows = []
+    for i, rec in enumerate(gen.gen_images(6, fmts=("raw",))):
+        theta = math.radians(10.0 + 7.0 * i)
+        gsd = 30.0 + 5.0 * i
+        mx_c = -2.0e6 + 9.0e5 * i
+        my_c = 1.0e6 + 3.0e5 * i
+        rows.append(
+            {
+                "image_id": rec["image_id"],
+                "bytes": rec["bytes"],
+                "fmt": rec["fmt"],
+                "a00": gsd * math.cos(theta),
+                "a01": gsd * math.sin(theta),
+                "a02": mx_c,
+                "a10": gsd * math.sin(theta),
+                "a11": -gsd * math.cos(theta),
+                "a12": my_c,
+            }
+        )
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    tiles = render_warped(df, zoom=12)
+    return tiles.select("image_id", "z", "x", "y", F.md5(F.col("tile")).alias("tile_md5"))
 
 
 def q_h3_rollup(spark, sf_dir):
@@ -766,10 +819,12 @@ QUERIES: dict = {
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "simhash_md5": (q_simhash_md5, SQL_SIMHASH_MD5),
+    "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "minhash_lsh_md5": (q_lsh_pairs_md5, SQL_LSH_PAIRS_MD5),
     # engine-only (rows-only checks)
     "h3_s2_assign": (q_h3_s2_assign, None),
     "pyramid_smoke": (q_pyramid_smoke, None),
+    "warped_smoke": (q_warped_smoke, None),
     "simhash": (q_simhash, None),
     "minhash_lsh_pairs": (q_lsh_pairs, None),
     "image_features": (q_image_features, None),
