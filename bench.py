@@ -224,7 +224,7 @@ def main():
             # must fit the driver's bench budget; eta is size-independent
             result["scaling"] = scaling_probe(
                 _fixture_path(max(200, N_IMAGES // 3)),
-                rounds=int(os.environ.get("BENCH_ROUNDS", "5")),
+                rounds=int(os.environ.get("BENCH_ROUNDS", "7")),
             )
         except Exception as e:
             result["scaling"] = f"error: {e}"[:200]
