@@ -74,3 +74,33 @@ def test_bbox_prefilter_prunes(spark, hot_tiles, hot_polygon):
         "poly_id string, ring array<struct<lon:double,lat:double>>",
     )
     assert cutline.apply_cutline(hot_tiles, far).count() == 0
+
+
+def test_apply_cutline_raw_tiles_bit_identical(spark, hot_polygon):
+    """apply_cutline must accept the engine's scale path (RAW1 tile blobs
+    from render_pyramid(encode='raw')) via container sniff, and produce
+    pixel-identical masks to the PNG path — re-encoded in the same
+    container."""
+    polys, _ = hot_polygon
+    rows = []
+    for rec in gen.gen_images(120, fmts=("raw",)):
+        if (rec["phash"] % (1 << 64)) % 5 == 0:
+            rows.append((rec["image_id"], rec["bytes"], rec["w"], rec["h"], rec["fmt"], rec["caption"], rec["phash"]))
+        if len(rows) == 4:
+            break
+    images = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+    )
+    png_tiles = render_pyramid(images, zmin=7, encode="png")
+    raw_tiles = render_pyramid(images, zmin=7, encode="raw")
+    cut_png = {
+        (r["image_id"], r["z"], r["x"], r["y"]): codecs.to_rgba(codecs.decode_png(bytes(r["tile"])))
+        for r in cutline.apply_cutline(png_tiles, polys).collect()
+    }
+    cut_raw = {
+        (r["image_id"], r["z"], r["x"], r["y"]): codecs.to_rgba(codecs.decode_raw(bytes(r["tile"])))
+        for r in cutline.apply_cutline(raw_tiles, polys).collect()
+    }
+    assert cut_png.keys() == cut_raw.keys() and len(cut_png) > 0
+    for k, arr in cut_png.items():
+        assert np.array_equal(arr, cut_raw[k]), k

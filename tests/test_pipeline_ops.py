@@ -140,6 +140,35 @@ def test_simhash_pairs_exact_vs_bruteforce(spark):
         dedup.simhash_pairs(sims, sim_col="simhash32", bits=32, bands=4, max_hamming=5)
 
 
+def test_simhash_pairs_bucket_cap(spark):
+    """Degenerate corpus: thousands of empty/whitespace docs share simhash 0,
+    so every band bucket holds all of them -> O(n^2) candidates without a
+    cap. With the cap the hot bucket STAR-COLLAPSES to its min-id
+    representative (n-1 pairs, all hamming 0, still one connected
+    component); the collapse is reported; pairs outside the hot bucket are
+    unaffected."""
+    n = 5000
+    # hot value + a genuine close pair whose band values are nonzero in
+    # every band (so it never lands in the collapsed bucket)
+    vals = [0] * n + [0x11111111, 0x11111110]
+    pdf = pd.DataFrame({"doc_id": range(len(vals)), "simhash32": vals})
+    sims = spark.createDataFrame(pdf)
+    got = dedup.simhash_pairs(
+        sims, sim_col="simhash32", bits=32, bands=4, max_hamming=3, max_bucket=100
+    ).toPandas()
+    pairs = {(a, b) for a, b in zip(got.a, got.b)}
+    assert (n, n + 1) in pairs  # the real near-dup survives
+    intra = [(a, b) for a, b in pairs if a < n and b < n]
+    assert len(intra) == n - 1  # linear star, not ~12.5M all-pairs
+    assert all(a == 0 for a, _ in intra)  # min-id representative
+    # hamming filter still applies to star pairs (all-zero bucket -> 0)
+    assert (got.hamming <= 3).all()
+    skipped = dedup.simhash_skipped_buckets(
+        sims, sim_col="simhash32", bits=32, bands=4, max_bucket=100
+    ).toPandas()
+    assert len(skipped) == 4 and (skipped.n == n).all()  # one hot bucket/band
+
+
 def test_simhash_md5_portable_twin(docs):
     out = dedup.simhash_md5_32(docs).toPandas().set_index("doc_id")
 

@@ -203,6 +203,19 @@ def decode_png(data: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def sniff_fmt(data: bytes) -> str:
+    """Container sniff by magic bytes: 'png' | 'raw' | 'jpeg'. Lets tile
+    operators (cutline, re-encode) accept tile sets from any render path
+    (render_pyramid(encode='raw') emits RAW1 blobs, the interop path PNG)."""
+    if data[:8] == PNG_SIG:
+        return "png"
+    if data[:4] == b"RAW1":
+        return "raw"
+    if data[:2] == b"\xff\xd8":
+        return "jpeg"
+    raise ValueError("unknown tile container (no PNG/RAW1/JPEG magic)")
+
+
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
     """Decode per fmt to uint8 (H,W,C); C in {1,2,3,4}."""
     if fmt == "raw":

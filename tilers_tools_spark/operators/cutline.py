@@ -97,7 +97,13 @@ def apply_cutline(tiles: DataFrame, polygons: DataFrame, drop_empty: bool = True
             keep = []
             new_tiles = []
             for rec in pdf.to_dict("records"):
-                arr = codecs.to_rgba(codecs.decode_png(bytes(rec["tile"])))
+                blob = bytes(rec["tile"])
+                # container sniff: the engine's scale path renders RAW1
+                # blobs (render_pyramid(encode='raw')), interop sets PNG —
+                # decode whichever arrived, re-encode in the same container
+                # (jpeg has no alpha channel, so masked jpeg re-encodes PNG)
+                fmt = codecs.sniff_fmt(blob)
+                arr = codecs.to_rgba(codecs.decode_image(blob, fmt))
                 m = tile_mask(rings_m, int(rec["z"]), int(rec["x"]), int(rec["y"]))
                 alpha = arr[:, :, 3] * m
                 if drop_empty and not alpha.any():
@@ -108,7 +114,7 @@ def apply_cutline(tiles: DataFrame, polygons: DataFrame, drop_empty: bool = True
                 out[:, :, 3] = alpha
                 out[:, :, :3] *= m[:, :, None]
                 keep.append(True)
-                new_tiles.append(codecs.encode_tile_png(out))
+                new_tiles.append(codecs.encode_raw(out) if fmt == "raw" else codecs.encode_tile_png(out))
             res = pdf[np.array(keep, dtype=bool)].copy()
             res["tile"] = [t for t in new_tiles if t is not None]
             yield res

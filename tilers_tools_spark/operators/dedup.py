@@ -344,31 +344,13 @@ def simhash_md5_32(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     return docs.select(id_col).join(out, id_col, "left").fillna({"simhash32": 0})
 
 
-def simhash_pairs(
-    sims: DataFrame,
-    id_col: str = "doc_id",
-    sim_col: str = "simhash",
-    bits: int = 64,
-    bands: int = 4,
-    max_hamming: int = 3,
-) -> DataFrame:
-    """Near-dup pairs from a simhash column: EXACTLY the pairs with
-    hamming distance <= max_hamming, found without an all-pairs join.
-
-    Pigeonhole banding: the `bits` are split into `bands` disjoint bands;
-    any pair differing in <= bands-1 bits matches exactly on at least one
-    band, so equi-joining per-band values yields a candidate superset,
-    then bit_count(a XOR b) filters exactly. Requires
-    max_hamming <= bands - 1 (raises otherwise). Narrow (id, band, value)
-    shuffle only; simhash values re-joined for surviving candidates.
-    Returns (a, b, hamming) with a < b.
-    """
-    if max_hamming > bands - 1:
-        raise ValueError(f"pigeonhole needs max_hamming <= bands-1, got {max_hamming} > {bands - 1}")
+def _simhash_banded(sims: DataFrame, id_col: str, sim_col: str, bits: int, bands: int) -> DataFrame:
+    """(id, band, val) rows — one per (doc, band) — shared by the pair join
+    and the bucket-size diagnostics."""
     width = bits // bands
     mask = (1 << width) - 1
     s = sims.select(F.col(id_col), F.col(sim_col).cast("long").alias("_s"))
-    melted = s.select(
+    return s.select(
         F.col(id_col),
         F.explode(
             F.array(*[
@@ -380,9 +362,75 @@ def simhash_pairs(
             ])
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.val")
-    l = melted.select(F.col(id_col).alias("a"), "band", "val")
-    r = melted.select(F.col(id_col).alias("b"), "band", "val")
-    cand = l.join(r, ["band", "val"]).filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+
+
+def simhash_skipped_buckets(
+    sims: DataFrame,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+    bits: int = 64,
+    bands: int = 4,
+    max_bucket: int = 500,
+) -> DataFrame:
+    """Band buckets simhash_pairs STAR-COLLAPSES under `max_bucket`:
+    (band, val, n). Same no-silent-truncation companion as
+    lsh_skipped_buckets — log it at scale."""
+    melted = _simhash_banded(sims, id_col, sim_col, bits, bands)
+    return melted.groupBy("band", "val").agg(F.count("*").alias("n")).filter(F.col("n") > max_bucket)
+
+
+def simhash_pairs(
+    sims: DataFrame,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int | None = 500,
+) -> DataFrame:
+    """Near-dup pairs from a simhash column: EXACTLY the pairs with
+    hamming distance <= max_hamming, found without an all-pairs join.
+
+    Pigeonhole banding: the `bits` are split into `bands` disjoint bands;
+    any pair differing in <= bands-1 bits matches exactly on at least one
+    band, so equi-joining per-band values yields a candidate superset,
+    then bit_count(a XOR b) filters exactly. Requires
+    max_hamming <= bands - 1 (raises otherwise). Narrow (id, band, value)
+    shuffle only; simhash values re-joined for surviving candidates.
+    Returns (a, b, hamming) with a < b.
+
+    `max_bucket` bounds the band self-join against degenerate hot values
+    (simhash 0 from empty/whitespace docs makes a band bucket of n cost
+    O(n^2) pairs): buckets with > max_bucket members are STAR-COLLAPSED —
+    every member pairs with the bucket's min-id representative only (n-1
+    candidates, linear), which keeps the bucket one connected component for
+    downstream clustering; the hamming filter still applies to those pairs.
+    `simhash_skipped_buckets` with the same parameters enumerates collapsed
+    buckets (log it — no silent truncation at 100TB). `max_bucket=None`
+    disables the cap.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError(f"pigeonhole needs max_hamming <= bands-1, got {max_hamming} > {bands - 1}")
+    s = sims.select(F.col(id_col), F.col(sim_col).cast("long").alias("_s"))
+    melted = _simhash_banded(sims, id_col, sim_col, bits, bands)
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "val")
+        melted = melted.withColumn("_bn", F.count("*").over(w)).withColumn(
+            "_rep", F.min(id_col).over(w)
+        )
+        small = melted.filter(F.col("_bn") <= max_bucket)
+        star = (
+            melted.filter((F.col("_bn") > max_bucket) & (F.col(id_col) != F.col("_rep")))
+            .select(F.col("_rep").alias("a"), F.col(id_col).alias("b"))
+        )
+    else:
+        small, star = melted, None
+    l = small.select(F.col(id_col).alias("a"), "band", "val")
+    r = small.select(F.col(id_col).alias("b"), "band", "val")
+    cand = l.join(r, ["band", "val"]).filter(F.col("a") < F.col("b")).select("a", "b")
+    if star is not None:
+        cand = cand.unionByName(star)
+    cand = cand.distinct()
     sa = s.select(F.col(id_col).alias("a"), F.col("_s").alias("_sa"))
     sb = s.select(F.col(id_col).alias("b"), F.col("_s").alias("_sb"))
     return (
@@ -473,7 +521,11 @@ def ngram_jaccard_pairs(
         r,
         (F.col("_band_j") == F.col("_band_r"))
         & (F.col("a") < F.col("b"))
-        & (F.least("_na", "_nb").cast("double") >= F.lit(threshold) * F.greatest("_na", "_nb").cast("double")),
+        # same division shape as the final jaccard filter so a pair whose
+        # exact jaccard equals the threshold is never dropped by float
+        # rounding of threshold*max (least >= t*greatest can round the
+        # wrong way when equality holds)
+        & (F.least("_na", "_nb").cast("double") / F.greatest("_na", "_nb").cast("double") >= F.lit(threshold)),
     ).select("a", "b")
     # |A∪B| = |A| + |B| - |A∩B| : one set op per pair instead of two
     return (

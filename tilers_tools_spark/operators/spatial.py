@@ -127,10 +127,17 @@ def pip_join(
             plat = pdf[lat_col].to_numpy(np.float64)
             keep = np.zeros(len(pdf), dtype=bool)
             pids = pdf["poly_id"].to_numpy()
-            for pid, rings in ring_map.items():
-                idx = np.where(pids == pid)[0]
-                if len(idx) == 0:
+            # iterate only the polygons PRESENT in this batch (np.unique +
+            # argsort grouping), not all of ring_map — removes the
+            # O(|batch| x |polygons|) scan for polygon sets in the thousands
+            order = np.argsort(pids, kind="stable")
+            uniq, starts = np.unique(pids[order], return_index=True)
+            bounds = np.append(starts, len(order))
+            for ui, pid in enumerate(uniq):
+                rings = ring_map.get(pid)
+                if rings is None:
                     continue
+                idx = order[bounds[ui] : bounds[ui + 1]]
                 py = plat[idx][:, None]
                 px = plon[idx][:, None]
                 n_cross = np.zeros(len(idx), dtype=np.int64)
@@ -225,23 +232,30 @@ def knn_join(
         )
         cand = cand.withColumn("_dist", dist)
         w = Window.partitionBy(query_id).orderBy(F.col("_dist").asc(), F.col(point_id).asc())
+        # localCheckpoint: topk is small (<= k rows/query, narrow columns)
+        # and every later consumer — the done/remaining derivation THIS
+        # round, the final caller action — would otherwise recompute the
+        # whole candidate join per round (the driver loop's isEmpty() plus
+        # the final action tripled the join cost). One eager job per round
+        # computes it once; lineage is truncated so nothing replays.
         topk = (
             cand.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k)
             .select(query_id, point_id, "_dist", "_rn")
-        )
+        ).localCheckpoint()
         # done iff k-th distance is certainly covered by the searched ring:
         # searched area guarantees all points within `span` of the query cell
         kth = topk.groupBy(query_id).agg(F.max("_rn").alias("_nk"), F.max("_dist").alias("_kd"))
         done_ids = kth.filter((F.col("_nk") >= k) & (F.col("_kd") <= F.lit(span)))
         done = topk.join(done_ids.select(query_id), query_id, "left_semi")
         results = done if results is None else results.unionByName(done)
-        remaining = remaining.join(done_ids.select(query_id), query_id, "left_anti")
+        remaining = remaining.join(done_ids.select(query_id), query_id, "left_anti").localCheckpoint()
         if zz == 0 or remaining.isEmpty():
             break
     # any query still unresolved (max_rounds expired before zz reached 0, or
     # the single global cell at zz==0 could not certify) gets an exact
-    # brute-force pass — never silently dropped
+    # brute-force pass — never silently dropped (isEmpty is cheap: remaining
+    # is checkpointed above)
     if not remaining.isEmpty():
         dist = F.sqrt(
             (F.col("_qmx") - F.col("_pmx")) * (F.col("_qmx") - F.col("_pmx"))

@@ -27,9 +27,14 @@ def get_spark(app: str = "tilers-tools-spark", master: str | None = None, shuffl
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.fallback.enabled", "false")
-        # image rows carry multi-MB binary payloads: keep Arrow batches small
-        # so a batch stays ~tens of MB (SURVEY.md §7 M6)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        # Arrow batch sizing (SURVEY.md §7 M6): the BYTES cap is what bounds
+        # image rows (multi-MB binary payloads -> ~10 rows/batch at 32MB);
+        # the RECORDS cap stays at the 10k default so narrow-row UDF stages
+        # (h3/s2 assign, PIP refine) aren't shredded into thousands of tiny
+        # kernel calls (a global 64-record cap cost ~3s per 100k-row UDF
+        # stage in per-call overhead alone)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", "33554432")
         # engine does uint64-style bit math on longs in a few column exprs
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
