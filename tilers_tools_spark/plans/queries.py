@@ -776,24 +776,31 @@ def q_h3_rollup(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
+    """Hyperplane-LSH ANN; output = (query_id, vec_id, rank) — ids + rank
+    only, so the golden-VALUES oracle compares exact integers (the cosine
+    double stays internal to the ranking)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 4).select(F.col("vec_id").alias("query_id"), "embedding")
     dim = len(emb.select("embedding").first()["embedding"])
-    return ann.lsh_topk(q, emb, k=10, bits=8, dim=dim)
+    res = ann.lsh_topk(q, emb, k=10, bits=8, dim=dim)
+    return res.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
 
 
 def q_ann_ivf(spark, sf_dir):
     """IVF-bucketed ANN (coarse k-means quantizer; the second scale path
-    next to hyperplane LSH). Driver-side k-means is engine-only -> rows-only
-    check; recall vs brute force is pytest-pinned."""
+    next to hyperplane LSH). Output ids + rank only (see q_ann_lsh);
+    recall vs brute force is pytest-pinned."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 4).select(F.col("vec_id").alias("query_id"), "embedding")
-    return ann.ivf_topk(q, emb, k=10, n_lists=16, n_probe=4)
+    res = ann.ivf_topk(q, emb, k=10, n_lists=16, n_probe=4)
+    return res.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
 
 
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
+
+from .golden_sql import golden_values_sql as _golden  # noqa: E402
 
 QUERIES: dict = {
     # tiling core
@@ -821,15 +828,19 @@ QUERIES: dict = {
     "simhash_md5": (q_simhash_md5, SQL_SIMHASH_MD5),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "minhash_lsh_md5": (q_lsh_pairs_md5, SQL_LSH_PAIRS_MD5),
-    # engine-only (rows-only checks)
-    "h3_s2_assign": (q_h3_s2_assign, None),
-    "pyramid_smoke": (q_pyramid_smoke, None),
-    "warped_smoke": (q_warped_smoke, None),
-    "simhash": (q_simhash, None),
-    "minhash_lsh_pairs": (q_lsh_pairs, None),
-    "image_features": (q_image_features, None),
-    "ann_lsh": (q_ann_lsh, None),
-    "ann_ivf": (q_ann_ivf, None),
-    "cutline_mask": (q_cutline_mask, None),
-    "h3_rollup": (q_h3_rollup, None),
+    # engine-only queries: golden-VALUES oracles precomputed WITHOUT Spark
+    # by tools/make_golden_sql.py (minitiler pixels, NumPy indexers,
+    # sparkhash XXH64 twin, plain-Python LSH/IVF logic) — see
+    # plans/golden_sql.py; falls back to the driver's rows-only check if a
+    # golden file is absent
+    "h3_s2_assign": (q_h3_s2_assign, _golden("h3_s2_assign")),
+    "pyramid_smoke": (q_pyramid_smoke, _golden("pyramid_smoke")),
+    "warped_smoke": (q_warped_smoke, _golden("warped_smoke")),
+    "simhash": (q_simhash, _golden("simhash")),
+    "minhash_lsh_pairs": (q_lsh_pairs, _golden("minhash_lsh_pairs")),
+    "image_features": (q_image_features, _golden("image_features")),
+    "ann_lsh": (q_ann_lsh, _golden("ann_lsh")),
+    "ann_ivf": (q_ann_ivf, _golden("ann_ivf")),
+    "cutline_mask": (q_cutline_mask, _golden("cutline_mask")),
+    "h3_rollup": (q_h3_rollup, _golden("h3_rollup")),
 }

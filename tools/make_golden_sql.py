@@ -1,0 +1,394 @@
+"""Generate golden-VALUES oracle result sets for the engine-only queries
+(the driver's rows-only checks), so EVERY queries() entry gets a DuckDB
+oracle (CORRECTNESS gate green across the board).
+
+Everything here is computed WITHOUT the Spark engine:
+
+* tile pixels via ``oracle/minitiler`` (single-process loop oracle,
+  independently derived tile math);
+* H3/S2 ids via the pure-NumPy kernels (``h3lite``/``s2lite`` — the same
+  public-algorithm kernels the pytest suite pins with KATs/invariants);
+* Spark hash semantics via ``oracle/sparkhash`` (pure-Python XXH64,
+  bit-verified against Spark in tests/test_sparkhash.py);
+* banding / LSH / IVF pipeline logic as plain Python loops and sets.
+
+Queries that read driver tables are pinned to sf0.01 (the driver's
+CORRECTNESS scale); fixture-driven queries (pyramid/warp/cutline/image
+features) are sf-independent.
+
+Run: python tools/make_golden_sql.py   -> writes tests/golden/values/*.json
+Each JSON carries {columns, types, rows}; the SQL VALUES table is built at
+query-registry import time by tilers_tools_spark/plans/golden_sql.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import os
+import re
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from fixtures import gen  # noqa: E402
+from oracle import minitiler as mt  # noqa: E402
+from oracle import sparkhash as sh  # noqa: E402
+from tilers_tools_spark.functions import codecs, h3lite, s2lite  # noqa: E402
+from tilers_tools_spark.functions import tilemath as tm  # noqa: E402
+
+SF = os.environ.get("GOLDEN_SF_DIR", "/root/testdata/sf0.01")
+OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "golden", "values")
+
+# Java \s (ASCII) — the exact char class Spark's split(lower(trim(text)),
+# '\s+') applies; documents are all-ASCII (verified), so lower() matches too
+_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _docs():
+    t = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    return list(zip(t.doc_id.astype(int), t.text.astype(str)))
+
+
+def _events_lonlat():
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    e = ev.event_id.to_numpy(np.int64)
+    lon = (e * 9973 % 360000) / 1000.0 - 180.0
+    lat = (e * 7919 % 168000) / 1000.0 - 84.0
+    return e, lon, lat
+
+
+def _embeddings():
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    ids = t.vec_id.astype(int).tolist()
+    # engine casts array<float> -> array<double> element-wise (exact)
+    vecs = [np.asarray(v, dtype=np.float32).astype(np.float64) for v in t.embedding]
+    return ids, vecs
+
+
+def _fold_dot(a, b) -> float:
+    """Left-to-right float64 fold — F.aggregate(zip_with(...)) semantics."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def _fold_cosine(a, b) -> float:
+    na = math.sqrt(_fold_dot(a, a))
+    nb = math.sqrt(_fold_dot(b, b))
+    return _fold_dot(a, b) / (na * nb)
+
+
+def save(name: str, columns, types, rows):
+    os.makedirs(OUT, exist_ok=True)
+    with open(os.path.join(OUT, f"{name}.json"), "w") as f:
+        json.dump({"columns": list(columns), "types": list(types), "rows": rows}, f)
+    print(f"{name}: {len(rows)} rows")
+
+
+# ---------------------------------------------------------------------------
+# indexer queries over events (sf-pinned)
+# ---------------------------------------------------------------------------
+
+
+def g_h3_s2_assign():
+    _, lon, lat = _events_lonlat()
+    h3 = h3lite.latlng_to_cell(lat, lon, 7)
+    s2 = s2lite.latlng_to_cell(lat, lon, 12)
+    df = pd.DataFrame({"h3_cell": h3, "s2": s2})
+    g = df.groupby("h3_cell").agg(n=("s2", "size"), n_s2=("s2", "nunique")).reset_index()
+    rows = [[int(r.h3_cell), int(r.n), int(r.n_s2)] for r in g.itertuples()]
+    save("h3_s2_assign", ["h3_cell", "n", "n_s2"], ["int64", "int64", "int64"], rows)
+
+
+def g_h3_rollup():
+    _, lon, lat = _events_lonlat()
+    h12 = h3lite.latlng_to_cell(lat, lon, 12)
+    rows = []
+    for r in (0, 3, 6):
+        par = h3lite.cell_to_parent(h12, r)
+        cells, counts = np.unique(par, return_counts=True)
+        rows += [[int(r), int(c), int(n)] for c, n in zip(cells, counts)]
+    save("h3_rollup", ["res", "cell", "n"], ["int32", "int64", "int64"], rows)
+
+
+# ---------------------------------------------------------------------------
+# xxhash64-based dedup queries over documents (sf-pinned)
+# ---------------------------------------------------------------------------
+
+
+def g_simhash(bits: int = 64):
+    rows = []
+    for doc_id, text in _docs():
+        toks = _WS.split(text.lower().strip(" "))
+        votes = [0] * bits
+        for tok in toks:
+            h = sh.xxhash64(("str", tok))
+            for b in range(bits):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        sim = 0
+        for b in range(bits):
+            if votes[b] > 0:
+                sim += -(1 << 63) if b == 63 else (1 << b)
+        rows.append([int(doc_id), int(sim)])
+    save("simhash", ["doc_id", "simhash"], ["int64", "int64"], rows)
+
+
+def _char_shingle_hashes(text: str, k: int = 5):
+    t = text.lower()
+    n = max(len(t) - (k - 1), 1)
+    return [sh.xxhash64(("str", t[i : i + k])) for i in range(n)]
+
+
+def g_minhash_lsh_pairs(num_hashes=16, bands=4, k=5, threshold=0.3):
+    docs = _docs()
+    sigs = {}
+    shingles = {}
+    for doc_id, text in docs:
+        hs = _char_shingle_hashes(text, k)
+        shingles[doc_id] = set(hs)
+        sigs[doc_id] = [
+            min(sh.xxhash64(("int", i), ("long", h)) for h in hs) for i in range(num_hashes)
+        ]
+    rpb = num_hashes // bands
+    buckets: dict = {}
+    for doc_id, mh in sigs.items():
+        for b in range(bands):
+            vals = [("int", b)] + [("long", mh[b * rpb + r]) for r in range(rpb)]
+            key = sh.xxhash64(*vals)
+            buckets.setdefault((b, key), []).append(doc_id)
+    cand = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cand.add((ids[i], ids[j]))
+    rows = []
+    for a, b in sorted(cand):
+        inter = len(shingles[a] & shingles[b])
+        jac = inter / (len(shingles[a]) + len(shingles[b]) - inter)
+        if jac >= threshold:
+            rows.append([int(a), int(b), float(jac)])
+    save("minhash_lsh_pairs", ["a", "b", "jaccard"], ["int64", "int64", "float64"], rows)
+
+
+# ---------------------------------------------------------------------------
+# pixel-pipeline queries over deterministic fixtures (sf-independent)
+# ---------------------------------------------------------------------------
+
+
+def g_pyramid_smoke():
+    rows = []
+    for rec in gen.gen_images(24, fmts=("raw", "png")):
+        for r in mt.tile_image(rec):
+            h3 = int(
+                h3lite.latlng_to_cell(
+                    np.array([r["lat"]]), np.array([r["lon"]]), mt.h3_res_for_zoom(r["z"])
+                )[0]
+            )
+            md5 = hashlib.md5(codecs.encode_tile_png(r["rgba"])).hexdigest()
+            rows.append([rec["image_id"], int(r["z"]), int(r["x"]), int(r["y"]), h3, int(r["s2_cell"]), md5, rec["caption"]])
+    save(
+        "pyramid_smoke",
+        ["image_id", "z", "x", "y", "h3_cell", "s2_cell", "tile_md5", "caption"],
+        ["str", "int32", "int64", "int64", "int64", "int64", "str", "str"],
+        rows,
+    )
+
+
+def g_warped_smoke(zoom: int = 12):
+    rows = []
+    for i, rec in enumerate(gen.gen_images(6, fmts=("raw",))):
+        theta = math.radians(10.0 + 7.0 * i)
+        gsd = 30.0 + 5.0 * i
+        A = np.array(
+            [
+                [gsd * math.cos(theta), gsd * math.sin(theta), -2.0e6 + 9.0e5 * i],
+                [gsd * math.sin(theta), -gsd * math.cos(theta), 1.0e6 + 3.0e5 * i],
+            ],
+            dtype=np.float64,
+        )
+        rgba = codecs.to_rgba(codecs.decode_image(rec["bytes"], rec["fmt"]))
+        h, w = rgba.shape[:2]
+        corners = np.array([[0, 0], [w, 0], [0, h], [w, h]], dtype=np.float64)
+        mx = A[0, 0] * corners[:, 0] + A[0, 1] * corners[:, 1] + A[0, 2]
+        my = A[1, 0] * corners[:, 0] + A[1, 1] * corners[:, 1] + A[1, 2]
+        txmin, txmax, tymin, tymax = mt.cover(mx.min(), my.min(), mx.max(), my.max(), zoom)
+        for tx in range(txmin, txmax + 1):
+            for ty in range(tymin, tymax + 1):
+                arr = mt.warp_tile(rgba, A, zoom, tx, ty)
+                if arr[:, :, 3].max() == 0:
+                    continue
+                md5 = hashlib.md5(codecs.encode_tile_png(arr)).hexdigest()
+                rows.append([rec["image_id"], zoom, int(tx), int(ty), md5])
+    save(
+        "warped_smoke",
+        ["image_id", "z", "x", "y", "tile_md5"],
+        ["str", "int32", "int64", "int64", "str"],
+        rows,
+    )
+
+
+def g_cutline_mask():
+    ring = [{"lon": 139.0, "lat": 35.0}, {"lon": 140.6, "lat": 35.2}, {"lon": 139.8, "lat": 36.4}]
+    pts = [mt.merc(v["lon"], v["lat"]) for v in ring]
+    bx0, bx1 = min(p[0] for p in pts), max(p[0] for p in pts)
+    by0, by1 = min(p[1] for p in pts), max(p[1] for p in pts)
+    recs = []
+    for rec in gen.gen_images(120, fmts=("raw",)):
+        if (rec["phash"] % (1 << 64)) % 5 == 0:
+            recs.append(rec)
+        if len(recs) == 8:
+            break
+    rows = []
+    for rec in recs:
+        for r in mt.tile_image(rec, zmin=7):
+            z, tx, ty = r["z"], r["x"], r["y"]
+            span = tm.RES0 / (2.0**z) * tm.TILE
+            tmx0 = tx * span - tm.ORIGIN
+            tmy0 = ty * span - tm.ORIGIN
+            if not (tmx0 <= bx1 and tmx0 + span >= bx0 and tmy0 <= by1 and tmy0 + span >= by0):
+                continue  # bbox prefilter drops non-candidates entirely
+            m = mt.cutline_mask([ring], z, tx, ty)
+            arr = r["rgba"]
+            alpha = arr[:, :, 3] * m
+            if not alpha.any():
+                continue  # fully-masked tiles elided
+            out = arr.copy()
+            out[:, :, 3] = alpha
+            out[:, :, :3] *= m[:, :, None]
+            md5 = hashlib.md5(codecs.encode_tile_png(out)).hexdigest()
+            rows.append([rec["image_id"], int(z), int(tx), int(ty), md5])
+    save(
+        "cutline_mask",
+        ["image_id", "z", "x", "y", "tile_md5"],
+        ["str", "int32", "int64", "int64", "str"],
+        rows,
+    )
+
+
+def g_image_features():
+    rows = []
+    for rec in gen.gen_images(16, fmts=("raw", "png")):
+        arr = codecs.to_rgba(codecs.decode_image(rec["bytes"], rec["fmt"]))
+        rgb = arr[:, :, :3].astype(np.float64)
+        gray = rgb.mean(axis=2)
+        gy, gx = np.gradient(gray)
+        # phash64: average-hash on an 8x8 downsample (same published recipe
+        # the operator documents; recomputed here from the decoded pixels)
+        h, w = gray.shape
+        ys = (np.arange(8) * h // 8).clip(0, h - 1)
+        xs = (np.arange(8) * w // 8).clip(0, w - 1)
+        small = gray[ys][:, xs]
+        bits = (small > small.mean()).astype(np.uint64).ravel()
+        ph = int(np.int64((bits << np.arange(64, dtype=np.uint64)).sum().astype(np.int64)))
+        rows.append(
+            [
+                rec["image_id"], int(arr.shape[1]), int(arr.shape[0]), int(arr.shape[2]),
+                float(rgb[:, :, 0].mean()), float(rgb[:, :, 1].mean()), float(rgb[:, :, 2].mean()),
+                float(gray.std()), float(np.sqrt(gx * gx + gy * gy).mean()), ph,
+            ]
+        )
+    save(
+        "image_features",
+        ["image_id", "w", "h", "n_bands", "mean_r", "mean_g", "mean_b", "std_gray", "edge_energy", "phash64"],
+        ["str", "int32", "int32", "int32", "float64", "float64", "float64", "float64", "float64", "int64"],
+        rows,
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN queries over embeddings (sf-pinned)
+# ---------------------------------------------------------------------------
+
+
+def _rank_topk(cands_by_q, vecs_by_id, qvecs, k=10):
+    rows = []
+    for qid in sorted(cands_by_q):
+        scored = [(_fold_cosine(qvecs[qid], vecs_by_id[c]), c) for c in sorted(cands_by_q[qid])]
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (_cos, c) in enumerate(scored[:k], start=1):
+            rows.append([int(qid), int(c), int(rank)])
+    return rows
+
+
+def g_ann_lsh(k=10, bits=8, dim=64, seed=42):
+    ids, vecs = _embeddings()
+    vecs_by_id = dict(zip(ids, vecs))
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((bits, dim))
+
+    def bucket(v):
+        key = 0
+        for bi in range(bits):
+            if _fold_dot(v, planes[bi]) >= 0:
+                key += 1 << bi
+        return key
+
+    cbuckets = {i: bucket(vecs_by_id[i]) for i in ids}
+    qids = [i for i in ids if i < 4]
+    qvecs = {i: vecs_by_id[i] for i in qids}
+    cands = {}
+    for qid in qids:
+        b0 = bucket(qvecs[qid])
+        probes = {b0} | {b0 ^ (1 << i) for i in range(bits)}
+        cands[qid] = {c for c, cb in cbuckets.items() if cb in probes}
+    rows = _rank_topk(cands, vecs_by_id, qvecs, k)
+    save("ann_lsh", ["query_id", "vec_id", "rank"], ["int64", "int64", "int64"], rows)
+
+
+def g_ann_ivf(k=10, n_lists=16, n_probe=4, seed=42, iters=10):
+    from tilers_tools_spark.operators.ann import _kmeans_np  # driver-side NumPy, no Spark
+
+    ids, vecs = _embeddings()
+    vecs_by_id = dict(zip(ids, vecs))
+    # sample order = orderBy xxhash64(cast(vec_id as string), lit(seed))
+    order = sorted(ids, key=lambda i: sh.xxhash64(("str", str(i)), ("int", seed)))
+    sample = np.array([vecs_by_id[i] for i in order], dtype=np.float64)
+    cent = _kmeans_np(sample, n_lists, iters, seed)
+    x = np.array([vecs_by_id[i] for i in ids], dtype=np.float64)
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    assign = (xn @ cent.T).argmax(axis=1)
+    lists = {}
+    for i, a in zip(ids, assign):
+        lists.setdefault(int(a), []).append(i)
+    qids = [i for i in ids if i < 4]
+    q = np.array([vecs_by_id[i] for i in qids], dtype=np.float64)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    top = np.argsort(-(qn @ cent.T), axis=1, kind="stable")[:, :n_probe]
+    cands = {
+        qid: {c for l in top[qi] for c in lists.get(int(l), [])} for qi, qid in enumerate(qids)
+    }
+    qvecs = {i: vecs_by_id[i] for i in qids}
+    rows = _rank_topk(cands, vecs_by_id, qvecs, k)
+    save("ann_ivf", ["query_id", "vec_id", "rank"], ["int64", "int64", "int64"], rows)
+
+
+GENERATORS = {
+    "h3_s2_assign": g_h3_s2_assign,
+    "h3_rollup": g_h3_rollup,
+    "simhash": g_simhash,
+    "minhash_lsh_pairs": g_minhash_lsh_pairs,
+    "pyramid_smoke": g_pyramid_smoke,
+    "warped_smoke": g_warped_smoke,
+    "cutline_mask": g_cutline_mask,
+    "image_features": g_image_features,
+    "ann_lsh": g_ann_lsh,
+    "ann_ivf": g_ann_ivf,
+}
+
+
+def main():
+    only = sys.argv[1:] or list(GENERATORS)
+    for name in only:
+        GENERATORS[name]()
+
+
+if __name__ == "__main__":
+    main()
