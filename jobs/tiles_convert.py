@@ -46,7 +46,10 @@ def main():
         tiles = Catalog(spark, args.src).read("tiles").select("z", "x", "y", "tile")
     if args.transcode:
         tiles = convert.transcode(tiles, src_fmt=args.src_fmt_blob, dst_fmt=args.transcode)
-    ext = {"jpeg": "jpg", "raw": "raw"}.get(args.transcode or "png", "png")
+    # blob format of the OUTPUT: transcode target if set, else the source
+    # blobs pass through untouched — ext/metadata must label what's inside
+    out_fmt = args.transcode or args.src_fmt_blob
+    ext = {"jpeg": "jpg", "raw": "raw"}.get(out_fmt, "png")
     if args.dst_format == "dir":
         tileset.write_tileset_dir(tiles, args.dst, scheme=args.dst_scheme, ext=ext)
         tileset.write_tilemap_xml(tiles, args.dst, title=args.name, ext=ext)

@@ -313,3 +313,23 @@ def test_multimodal_video_stub(spark):
     import pytest as _pt
     with _pt.raises(Exception):
         multimodal.video_frame_sample(media, frames=2).toPandas()
+
+
+def test_near_dup_oracle_planted_pairs_within_multiprobe():
+    """Guard for the embedding_near_dup driver gate (see queries.py note):
+    the gate compares approximate LSH (bits=6, 1-bit multiprobe) against an
+    EXACT all-pairs oracle, which is only valid while every planted pair
+    (vec, vec + 0.001) differs in at most ONE bucket bit. Pin that property
+    for the sf0.01 fixture so a fixture/seed change fails here first."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.01/embeddings.parquet").to_pandas()
+    t = t.sort_values("vec_id").head(4)
+    dim = len(t.embedding.iloc[0])
+    planes = np.random.default_rng(42).standard_normal((6, dim))
+    for v in t.embedding:
+        base = np.asarray(v, dtype=np.float32).astype(np.float64)
+        pert = base + 0.001
+        b0 = sum((1 << i) for i in range(6) if planes[i] @ base >= 0)
+        b1 = sum((1 << i) for i in range(6) if planes[i] @ pert >= 0)
+        assert bin(b0 ^ b1).count("1") <= 1, (b0, b1)

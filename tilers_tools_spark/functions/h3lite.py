@@ -18,6 +18,16 @@ face/sqrt(7)^r); H3-valid bit layout. NOT guaranteed: numeric equality with
 canonical H3 ids — swapping in the canonical orientation + base-cell table
 when online is a drop-in change (only `_FACES` + base-cell numbering).
 
+DECISION (final for the offline build, round 3): the canonical 122-entry
+base-cell table and icosahedron orientation are published DATA, not
+derivable formulas; reconstructing them from memory risks silently-wrong
+ids, which is strictly worse than a documented engine-local id space. The
+deviation is therefore spec'd (here + README "H3 conformance note"), pinned
+by tests/test_indexers.py::test_engine_local_ids_documented_not_canonical
+(a canonical KAT vector that must NOT match), and `s2_cell` — an exact
+implementation of the published S2 algorithm — is the designated interop
+key for joins against external datasets.
+
 All functions are NumPy-vectorized and run inside Arrow/pandas UDFs only
 (BASELINE.json:15 — no per-row Python).
 """

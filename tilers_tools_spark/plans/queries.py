@@ -564,7 +564,15 @@ def q_embedding_near_dup(spark, sf_dir):
     + 0.001) — a derivation both engines express identically, so the
     DuckDB oracle can verify the result against exact all-pairs cosine
     (cross-engine bit-exact: both fold the dot product left-to-right in
-    float64)."""
+    float64).
+
+    FRAGILITY NOTE: the engine side is approximate LSH (bits=6, 1-bit
+    multiprobe) gated against an EXACT all-pairs oracle — valid only while
+    every planted pair lands within one bucket-bit flip. That property is
+    fixture/seed dependent; tests/test_pipeline_ops.py::
+    test_near_dup_oracle_planted_pairs_within_multiprobe pins it for the
+    sf0.01 fixture, so a fixture or seed change fails the pytest suite
+    BEFORE it can false-fail the driver gate."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     dim = len(emb.select("embedding").first()["embedding"])
     base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))

@@ -92,7 +92,11 @@ def run(
         todo_parts = todo_parts[:max_parts]
     metrics = {"parts_run": 0, "rows_in": 0, "tiles_out": 0, "orphans_rolled_back": orphans}
     shuffle_n = sink_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    staging_table = f"_staged_images_{run_id}" if stage_input else None
+    # key the staging table by n_parts as well as run_id: resuming the same
+    # run_id with a different n_parts must NOT reuse part_id assignments
+    # computed under the old pmod modulus (parts would silently render the
+    # wrong image subsets and still commit 'done')
+    staging_table = f"_staged_images_{run_id}_p{n_parts}" if stage_input else None
     # use staging when several parts remain (one write, P pruned reads) OR
     # when a previous attempt already staged (a resumed run with one part
     # left must still read its pruned slice — and the table must still get
