@@ -22,7 +22,9 @@ def main():
     ap.add_argument("--parts", type=int, default=16)
     ap.add_argument("--overviews", type=int, default=2)
     ap.add_argument("--resampling", default="average", choices=("average", "antialias", "nearest"))
-    ap.add_argument("--base-resampling", default="bilinear", choices=("bilinear", "cubic"))
+    ap.add_argument(
+        "--base-resampling", default="bilinear", choices=("bilinear", "cubic", "lanczos", "nearest")
+    )
     ap.add_argument("--no-stage-input", action="store_true",
                     help="skip the partitioned staging write (input already partitioned by part)")
     ap.add_argument("--master", default=None)

@@ -131,6 +131,24 @@ def _cubic_wq(f: float):
     return wq
 
 
+def _lanczos_wq(f: float, a: int = 3):
+    """Quantized 8.8 Lanczos-3 taps at offsets -2..+3 (scalar transcription
+    of the shared contract): w = sinc(x)*sinc(x/a) for |x| < a else 0;
+    floor(w*256 + 0.5) per tap, residue to the center tap (index 2)."""
+    ws = []
+    for k in range(6):
+        x = (k - 2) - f
+        if abs(x) >= a:
+            ws.append(0.0)
+        elif x == 0.0:
+            ws.append(1.0)
+        else:
+            ws.append((math.sin(math.pi * x) / (math.pi * x)) * (math.sin(math.pi * (x / a)) / (math.pi * (x / a))))
+    wq = [int(math.floor(w * 256.0 + 0.5)) for w in ws]
+    wq[2] += 256 - sum(wq)
+    return wq
+
+
 def render_tile(
     rgba_src: np.ndarray, geo: dict, z: int, tx: int, ty_tms: int, base_resampling: str = "bilinear"
 ) -> np.ndarray:
@@ -178,20 +196,26 @@ def render_tile(
             top = (src16[r0c, c0c] * (256 - wc) + src16[r0c, c1c] * wc + 128) >> 8
             bot = (src16[r1c, c0c] * (256 - wc) + src16[r1c, c1c] * wc + 128) >> 8
             row = ((top * (256 - wr) + bot * wr + 128) >> 8).astype(np.uint8)
-        elif base_resampling == "cubic":
+        elif base_resampling == "nearest":
+            # gdalwarp 'near': round(s) = floor(s + 0.5), clamped
+            cn = np.clip(np.floor(sc + 0.5).astype(np.int64), 0, w - 1)
+            rn = min(max(int(math.floor(sr + 0.5)), 0), h - 1)
+            row = rgba_src[rn, cn, :3].astype(np.uint8)
+        elif base_resampling in ("cubic", "lanczos"):
+            taps, off, wq_fn = (4, 1, _cubic_wq) if base_resampling == "cubic" else (6, 2, _lanczos_wq)
             fc = sc - c0
-            cq = np.stack([np.array(_cubic_wq(f), dtype=np.int32) for f in fc])  # (256, 4)
-            rq = _cubic_wq(sr - r0)
-            cols = []  # horizontal pass on each of the 4 clamped source rows
-            for j in range(4):
-                rj = min(max(r0 + (j - 1), 0), h - 1)
+            cq = np.stack([np.array(wq_fn(f), dtype=np.int32) for f in fc])  # (256, taps)
+            rq = wq_fn(sr - r0)
+            cols = []  # horizontal pass on each of the clamped source rows
+            for j in range(taps):
+                rj = min(max(r0 + (j - off), 0), h - 1)
                 acc = np.zeros((TILE, 3), dtype=np.int64)
-                for k in range(4):
-                    ckc = np.clip(c0 + (k - 1), 0, w - 1)
+                for k in range(taps):
+                    ckc = np.clip(c0 + (k - off), 0, w - 1)
                     acc += src16[rj, ckc].astype(np.int64) * cq[:, k][:, None]
                 cols.append(np.clip((acc + 128) >> 8, 0, 255))
             racc = np.zeros((TILE, 3), dtype=np.int64)
-            for j in range(4):
+            for j in range(taps):
                 racc += cols[j] * rq[j]
             row = np.clip((racc + 128) >> 8, 0, 255).astype(np.uint8)
         else:

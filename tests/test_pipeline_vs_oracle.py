@@ -58,23 +58,24 @@ def test_h3_s2_captions_match_oracle(engine_tiles, oracle_tiles):
         assert row.h3_cell == h3_ora
 
 
-def test_cubic_base_resampling_bit_identical(spark, images_smoke):
-    """Catmull-Rom base cut (gdalwarp-set kernel, SURVEY §2.3 row 17) —
-    engine vs oracle byte-identical, same shared 8.8 fixed-point contract
-    as bilinear."""
+@pytest.mark.parametrize("kernel", ["cubic", "lanczos", "nearest"])
+def test_base_resampling_kernels_bit_identical(spark, images_smoke, kernel):
+    """gdalwarp-set base-cut kernels beyond bilinear (SURVEY §2.3 row 17:
+    near, bilinear, cubic, lanczos) — engine vs oracle byte-identical,
+    same shared 8.8 fixed-point contract (nearest is gather-only)."""
     df = spark.read.parquet(images_smoke).limit(12)
-    eng = render_pyramid(df, base_resampling="cubic").toPandas()
+    eng = render_pyramid(df, base_resampling=kernel).toPandas()
     ids = set(eng.image_id)
     ora = {}
     for rec in gen.gen_images(100, fmts=("raw", "png", "jpeg")):
         if rec["image_id"] in ids:
-            for r in mt.tile_image(rec, base_resampling="cubic"):
+            for r in mt.tile_image(rec, base_resampling=kernel):
                 ora[(r["image_id"], r["z"], r["x"], r["y"])] = r
     assert set(zip(eng.image_id, eng.z, eng.x, eng.y)) == set(ora.keys())
     for _, row in eng.sample(n=min(120, len(eng)), random_state=3).iterrows():
         o = ora[(row.image_id, row.z, row.x, row.y)]
         assert bytes(row.tile) == codecs.encode_tile_png(o["rgba"]), (row.image_id, row.z, row.x, row.y)
-    # cubic differs from bilinear on real content (kernel actually engaged)
+    # the kernel differs from bilinear on real content (actually engaged)
     bil = render_pyramid(df, base_resampling="bilinear").toPandas()
     key = ["image_id", "z", "x", "y"]
     merged = eng.merge(bil, on=key, suffixes=("_c", "_b"))

@@ -94,6 +94,23 @@ def _cubic_weights_q(f: np.ndarray) -> np.ndarray:
     return wq
 
 
+def _lanczos_weights_q(f: np.ndarray, a: int = 3) -> np.ndarray:
+    """Quantized 8.8 fixed-point Lanczos-3 taps (engine+oracle contract):
+    6 taps at offsets -2..+3 from floor(s); w = sinc(x)*sinc(x/a) masked to
+    |x| < a; each tap floor(w*256 + 0.5), residue folded into the center
+    tap (index 2) so the taps sum to exactly 256. Returns int32."""
+    f = np.asarray(f, dtype=np.float64)
+    x = np.arange(6, dtype=np.float64)[None, :] - 2.0 - f[..., None]
+    w = np.sinc(x) * np.sinc(x / a) * (np.abs(x) < a)
+    wq = np.floor(w * 256.0 + 0.5).astype(np.int32)
+    wq[..., 2] += 256 - wq.sum(axis=-1)
+    return wq
+
+
+# multi-tap separable base kernels: (taps, left offset from floor(s), wq fn)
+_BASE_KERNELS = {"cubic": (4, 1, _cubic_weights_q), "lanczos": (6, 2, _lanczos_weights_q)}
+
+
 def _downsample(quad: np.ndarray, resampling: str) -> np.ndarray:
     if resampling == "average":
         # integer-exact fast path: floor(mean + 0.5) == (sum + 2) >> 2 for
@@ -134,10 +151,11 @@ def render_image_pyramid(
 ):
     """One image row -> {(z, tx, ty_tms): rgba}. Base cut + overviews.
 
-    `base_resampling`: 'bilinear' (default) or 'cubic' (Catmull-Rom; the
-    gdalwarp-set kernel users commonly pick for base cut — SURVEY.md §2.3
-    row 17). Both are 8.8 fixed-point, columns interpolated before rows,
-    intermediates clipped to u8 — bit-identical to oracle/minitiler."""
+    `base_resampling`: 'bilinear' (default), 'cubic' (Catmull-Rom),
+    'lanczos' (Lanczos-3) or 'nearest' — the gdalwarp kernel set
+    (SURVEY.md §2.3 row 17). Interpolating kernels are 8.8 fixed-point,
+    columns before rows, intermediates clipped to u8 — bit-identical to
+    oracle/minitiler; 'nearest' is a pure gather (round(s), clamped)."""
     rgba = codecs.to_rgba(codecs.decode_image(rec["bytes"], rec["fmt"]))
     # phash arrives as a (possibly negative) int64; reinterpret as uint64
     ph = np.array([rec["phash"]], dtype=np.int64).astype(np.uint64)
@@ -182,13 +200,20 @@ def render_image_pyramid(
             wc = np.floor(fc * 256.0 + 0.5).astype(np.uint16)[None, :, None]
             # stored u8 (values <= 255) to halve the stage-2 gather traffic
             cols_full = ((src[:, c0c] * (256 - wc) + src[:, c1c] * wc + 128) >> 8).astype(np.uint8)
-        elif base_resampling == "cubic":
-            # 4-tap Catmull-Rom, int32 accumulate (taps can be negative),
-            # (acc + 128) >> 8 arithmetic shift, clip to u8 per stage
-            cq = _cubic_weights_q(fc)
+        elif base_resampling == "nearest":
+            # gdalwarp 'near': the source pixel whose center is closest to
+            # the dest sample point — round(s) = floor(s + 0.5), clamped
+            cn = np.clip(np.floor(sc + 0.5).astype(np.int64), 0, w_src - 1)
+            cols_full = src[:, cn].astype(np.uint8)
+        elif base_resampling in _BASE_KERNELS:
+            # multi-tap kernel (Catmull-Rom cubic / Lanczos-3), int32
+            # accumulate (taps can be negative), (acc + 128) >> 8
+            # arithmetic shift, clip to u8 per stage
+            taps, off, wfn = _BASE_KERNELS[base_resampling]
+            cq = wfn(fc)
             acc = np.zeros((h_src, TILE, 3), dtype=np.int32)
-            for k in range(4):
-                ck = np.clip(c0 + (k - 1), 0, w_src - 1)
+            for k in range(taps):
+                ck = np.clip(c0 + (k - off), 0, w_src - 1)
                 acc += src[:, ck].astype(np.int32) * cq[:, k][None, :, None]
             cols_full = np.clip((acc + 128) >> 8, 0, 255).astype(np.uint8)
         else:
@@ -208,11 +233,15 @@ def render_image_pyramid(
                 r1c = np.clip(r0 + 1, 0, h_src - 1)
                 wr = np.floor(fr * 256.0 + 0.5).astype(np.uint16)[:, None, None]
                 val = (cols_full[r0c] * (256 - wr) + cols_full[r1c] * wr + 128) >> 8
+            elif base_resampling == "nearest":
+                rn = np.clip(np.floor(sr + 0.5).astype(np.int64), 0, h_src - 1)
+                val = cols_full[rn]
             else:
-                rq = _cubic_weights_q(fr)
+                taps, off, wfn = _BASE_KERNELS[base_resampling]
+                rq = wfn(fr)
                 racc = np.zeros((TILE, TILE, 3), dtype=np.int32)
-                for k in range(4):
-                    rk = np.clip(r0 + (k - 1), 0, h_src - 1)
+                for k in range(taps):
+                    rk = np.clip(r0 + (k - off), 0, h_src - 1)
                     racc += cols_full[rk].astype(np.int32) * rq[:, k][:, None, None]
                 val = np.clip((racc + 128) >> 8, 0, 255)
             valid = vrow[:, None] & vcol[None, :]
