@@ -333,3 +333,43 @@ def test_near_dup_oracle_planted_pairs_within_multiprobe():
         b0 = sum((1 << i) for i in range(6) if planes[i] @ base >= 0)
         b1 = sum((1 << i) for i in range(6) if planes[i] @ pert >= 0)
         assert bin(b0 ^ b1).count("1") <= 1, (b0, b1)
+
+
+def test_connected_components_vs_union_find(spark):
+    """Min-label propagation == brute-force union-find on a random graph
+    with mixed component shapes (chains exercise multi-round propagation;
+    singletons keep their own label)."""
+    rng = np.random.default_rng(11)
+    n = 300
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, n, (150, 2)) if a != b]
+    edges += [(i, i + 1) for i in range(200, 220)]  # a 21-node chain
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(n)}
+    nodes = spark.createDataFrame(pd.DataFrame({"doc_id": range(n)}))
+    epdf = spark.createDataFrame(pd.DataFrame(edges, columns=["a", "b"]))
+    got = dedup.connected_components(epdf, nodes).toPandas()
+    assert dict(zip(got.id, got.comp)) == want
+
+
+def test_dedup_clusters_end_to_end(docs):
+    out = dedup.dedup_clusters(docs, num_hashes=8, bands=4, jaccard_threshold=0.5).toPandas()
+    by_id = out.set_index("doc_id")
+    # docs 0, 1 (near-dup) and 7 (exact dup of 0) cluster together
+    assert by_id.loc[0, "comp"] == by_id.loc[1, "comp"] == by_id.loc[7, "comp"] == 0
+    assert by_id.loc[0, "group_size"] == 3
+    assert bool(by_id.loc[0, "is_canonical"]) and not bool(by_id.loc[7, "is_canonical"])
+    # unrelated docs stay singletons with themselves as canonical
+    assert by_id.loc[2, "group_size"] == 1 and bool(by_id.loc[2, "is_canonical"])
+    # every doc present exactly once
+    assert len(out) == 8 and out.doc_id.nunique() == 8

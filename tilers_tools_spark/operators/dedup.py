@@ -540,3 +540,80 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph -> (id, comp) with
+    comp = the component's minimum node id. The step that turns pairwise
+    LSH/simhash/ngram candidates into DEDUP GROUPS (pick one canonical doc
+    per component) — the standard tail of a 100TB dedup pipeline.
+
+    Min-label propagation as iterated DataFrame joins: each round every
+    node takes the min of its own label and its neighbors' labels; rounds
+    are driver-looped with localCheckpoint (labels are narrow (id, comp)
+    rows; checkpointing truncates the O(iters)-deep lineage so round k
+    costs one join + one agg, not a replay). Converges in O(component
+    diameter) rounds — near-dup graphs built from star-collapsed buckets
+    (minhash_lsh_pairs/simhash_pairs max_bucket) have star-shaped hot
+    components, so 2-4 rounds is typical. For adversarial long-path graphs
+    the large-star/small-star variant (alternation halves diameter per
+    round) is the known upgrade; not needed for dedup-shaped graphs.
+
+    `nodes` = one row per id (singletons keep comp = own id). Shuffles
+    carry only (id, comp) longs — never document payloads.
+    """
+    und = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).unionByName(
+        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("comp")).localCheckpoint()
+    for _ in range(max_iters):
+        msgs = und.join(labels, und["src"] == labels["id"], "inner").select(
+            F.col("dst").alias("id"), F.col("comp")
+        )
+        new = (
+            labels.unionByName(msgs).groupBy("id").agg(F.min("comp").alias("comp"))
+        ).localCheckpoint()
+        changed = (
+            new.alias("n")
+            .join(labels.alias("l"), "id")
+            .filter(F.col("n.comp") != F.col("l.comp"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    k: int = 5,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end near-dup GROUP assignment: portable md5 MinHash-LSH pairs
+    -> connected components -> (doc_id, comp, group_size, is_canonical).
+    Keep rows where is_canonical to deduplicate the corpus; group_size > 1
+    marks members of a duplicate cluster. Fully relational (verified
+    against a DuckDB recursive-CTE oracle end-to-end)."""
+    pairs = minhash_lsh_pairs_md5(
+        docs, text_col, id_col, num_hashes=num_hashes, bands=bands, k=k,
+        jaccard_threshold=jaccard_threshold,
+    )
+    comp = connected_components(pairs, docs.select(id_col), id_col=id_col)
+    w = Window.partitionBy("comp")
+    return (
+        comp.withColumn("group_size", F.count("*").over(w))
+        .withColumn("is_canonical", F.col("id") == F.col("comp"))
+        .select(F.col("id").alias(id_col), "comp", "group_size", "is_canonical")
+    )

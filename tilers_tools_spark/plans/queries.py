@@ -485,6 +485,19 @@ FROM s QUALIFY rank <= 10
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """End-to-end near-dup group assignment: portable md5 MinHash-LSH pairs
+    -> connected components (min-label propagation) -> canonical doc per
+    duplicate cluster. The DuckDB oracle recomputes the same pipeline
+    relationally, components via a recursive CTE (reachability closure +
+    min node id per component)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.dedup_clusters(docs, num_hashes=8, bands=4, jaccard_threshold=0.5)
+
+
+# (SQL_DEDUP_CLUSTERS is defined after _lsh_md5_sql below)
+
+
 # ---------------------------------------------------------------------------
 # 4. engine-only queries (no SQL oracle -> driver rows-only check)
 # ---------------------------------------------------------------------------
@@ -667,6 +680,21 @@ WHERE jaccard >= {t!r}
 
 SQL_LSH_PAIRS_MD5 = _lsh_md5_sql()
 
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({_lsh_md5_sql(8, 4, 0.5)}),
+edges AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b AS src, a AS dst FROM pairs),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT edges.dst, reach.r FROM reach JOIN edges ON reach.id = edges.src
+),
+comp AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id)
+SELECT doc_id, comp,
+       count(*) OVER (PARTITION BY comp) AS group_size,
+       (doc_id = comp) AS is_canonical
+FROM comp
+"""
+
 
 def q_simhash_md5(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -836,6 +864,7 @@ QUERIES: dict = {
     "simhash_md5": (q_simhash_md5, SQL_SIMHASH_MD5),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "minhash_lsh_md5": (q_lsh_pairs_md5, SQL_LSH_PAIRS_MD5),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     # engine-only queries: golden-VALUES oracles precomputed WITHOUT Spark
     # by tools/make_golden_sql.py (minitiler pixels, NumPy indexers,
     # sparkhash XXH64 twin, plain-Python LSH/IVF logic) — see
