@@ -44,3 +44,86 @@ def test_ingest_available_now_incremental(spark, tmp_path):
     # no duplicates for the first batch's tiles
     assert t2.select("image_id", "z", "x", "y").distinct().count() == t2.count()
     assert t2.count() > n1
+
+
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _write_docs(dirpath, rows, name):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(dirpath, exist_ok=True)
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    pq.write_table(pa.Table.from_pandas(pdf), os.path.join(dirpath, name))
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    """Cross-micro-batch stateful dedup: a duplicate arriving in a LATER
+    batch is dropped (state store persists across availableNow restarts)."""
+    from tilers_tools_spark.streaming import stateful
+
+    src = str(tmp_path / "docs_in")
+    out = str(tmp_path / "docs_out")
+    ck = str(tmp_path / "docs_ck")
+    _write_docs(src, [(0, "alpha beta", "en", "web", 10), (1, "gamma", "en", "web", 5)], "b0.parquet")
+
+    def run_once():
+        stream = spark.readStream.schema(DOCS_SCHEMA).format("parquet").load(src)
+        deduped = stateful.streaming_exact_dedup(stream)
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    got1 = spark.read.parquet(out).toPandas()
+    assert set(got1.doc_id) == {0, 1}
+    # batch 2: one true new doc, one exact dup of doc 0 (different doc_id)
+    _write_docs(src, [(2, "alpha beta", "en", "mirror", 10), (3, "delta", "en", "web", 5)], "b1.parquet")
+    run_once()
+    got2 = spark.read.parquet(out).toPandas()
+    assert set(got2.doc_id) == {0, 1, 3}  # dup content of doc 0 dropped
+
+
+def test_running_source_stats_stateful(spark, tmp_path):
+    """applyInPandasWithState custom stateful operator: running per-source
+    totals accumulate ACROSS micro-batches via GroupState."""
+    from tilers_tools_spark.streaming import stateful
+
+    src = str(tmp_path / "stats_in")
+    ck = str(tmp_path / "stats_ck")
+    _write_docs(src, [(0, "a b c", "en", "web", 5), (1, "d e", "en", "books", 3)], "b0.parquet")
+
+    def run_once(qname):
+        stream = spark.readStream.schema(DOCS_SCHEMA).format("parquet").load(src)
+        stats = stateful.running_source_stats(stream)
+        got = []
+
+        def collect(batch_df, _bid):
+            got.append(batch_df.toPandas())
+
+        q = (
+            stats.writeStream.foreachBatch(collect)
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        import pandas as _pd
+
+        return _pd.concat(got, ignore_index=True)
+
+    s1 = run_once("stats1").set_index("source")
+    assert s1.loc["web", "n_docs"] == 1 and s1.loc["web", "n_tokens"] == 3
+    assert s1.loc["books", "n_tokens"] == 2
+    _write_docs(src, [(2, "f g h i", "en", "web", 7)], "b1.parquet")
+    s2 = run_once("stats2").set_index("source")
+    # state carried across the restart: web totals ACCUMULATE
+    assert s2.loc["web", "n_docs"] == 2 and s2.loc["web", "n_tokens"] == 7

@@ -1,0 +1,75 @@
+"""Stateful Structured Streaming operators (task brief: watermarks +
+windowed aggs for late data; `applyInPandasWithState` for custom stateful
+operators).
+
+The batch engine's dedup/statistics operators get streaming twins here for
+continuous-arrival corpora:
+
+* ``streaming_exact_dedup`` — cross-micro-batch exact dedup: the first
+  document with a given content hash is emitted, later arrivals (same or
+  later batches) are dropped. State = the hash set, kept in the stream's
+  state store (checkpointed, survives restarts). At 100TB arrival rates
+  pass ``event_time_col`` + ``watermark`` to bound state with
+  ``dropDuplicatesWithinWatermark`` (hashes older than the watermark are
+  evicted — exact within the window, the standard unbounded-stream
+  tradeoff).
+* ``running_source_stats`` — custom stateful operator via
+  ``applyInPandasWithState``: per `source`, a running (n_docs, n_tokens)
+  total updated every micro-batch, emitted in update mode. The state is
+  two longs per key — the GroupState analog of a streaming hypertable
+  rollup row.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    event_time_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """content-hash dedup across micro-batches. Unbounded state by default
+    (exact forever); with ``event_time_col`` + ``watermark`` (e.g. "1 hour")
+    state is bounded to the watermark window."""
+    h = stream.withColumn("content_hash", F.md5(F.col(text_col)))
+    if event_time_col is not None and watermark is not None:
+        h = h.withWatermark(event_time_col, watermark)
+        return h.dropDuplicatesWithinWatermark(["content_hash"])
+    return h.dropDuplicates(["content_hash"])
+
+
+_STATS_OUT = "source string, n_docs long, n_tokens long"
+_STATS_STATE = "n_docs long, n_tokens long"
+
+
+def _stats_fn(
+    key: Tuple[str], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n_docs, n_tokens = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n_docs += len(pdf)
+        # whitespace token count, same convention as operators/text.py
+        n_tokens += int(pdf["text"].str.split().str.len().fillna(0).sum())
+    state.update((n_docs, n_tokens))
+    yield pd.DataFrame({"source": [key[0]], "n_docs": [n_docs], "n_tokens": [n_tokens]})
+
+
+def running_source_stats(stream: DataFrame, source_col: str = "source") -> DataFrame:
+    """Per-source running totals as a custom stateful operator
+    (applyInPandasWithState, update mode). Emits one row per (source,
+    micro-batch) carrying the running totals; state is O(#sources)."""
+    return stream.groupBy(source_col).applyInPandasWithState(
+        _stats_fn,
+        outputStructType=_STATS_OUT,
+        stateStructType=_STATS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
