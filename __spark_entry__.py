@@ -7,10 +7,13 @@ value-hash -> CORRECTNESS_r{N}.json).
 
 Registry lives in ``tilers_tools_spark/plans/queries.py`` — each entry
 exercises an operator family from SURVEY.md §2 (tiling core, tile-set
-transforms, spatial joins, training-data ops); engine-only entries (pandas
-UDF indexers, full render pipeline) have no SQL oracle and get the driver's
-rows-only check — their bit-level correctness is pinned by pytest against
-oracle/minitiler (tests/test_pipeline_vs_oracle.py).
+transforms, spatial joins, training-data ops). EVERY entry carries a DuckDB
+oracle: relational SQL where expressible, otherwise a golden-VALUES result
+set precomputed WITHOUT the Spark engine (tools/make_golden_sql.py —
+oracle/minitiler pixels, NumPy indexers, oracle/sparkhash XXH64 twin;
+rendered by plans/golden_sql.py). Bit-level pixel correctness is further
+pinned by pytest against oracle/minitiler
+(tests/test_pipeline_vs_oracle.py).
 """
 
 from __future__ import annotations

@@ -495,6 +495,46 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup.dedup_clusters(docs, num_hashes=8, bands=4, jaccard_threshold=0.5)
 
 
+def q_phash_near_dup(spark, sf_dir):
+    """Image near-duplicate pairs by perceptual hash (the images table's
+    phash column, BASELINE.json:15): banded pigeonhole candidates + exact
+    hamming <= 3 — simhash_pairs machinery applied to the image modality.
+    Deterministic 48-image fixture + planted 1-bit-flip twins; the DuckDB
+    oracle brute-forces all pairs from the same inlined input."""
+    from fixtures import gen
+
+    rows = [(r["image_id"], r["phash"]) for r in gen.gen_images(48, fmts=("raw",))]
+    ids = spark.createDataFrame(rows, "doc_id string, phash long")
+    planted = ids.select(
+        F.concat(F.col("doc_id"), F.lit("_dup")).alias("doc_id"),
+        F.col("phash").bitwiseXOR(F.lit(1)).alias("phash"),
+    )
+    allv = ids.unionByName(planted)
+    return dedup.simhash_pairs(allv, sim_col="phash", bits=64, bands=4, max_hamming=3)
+
+
+def _phash_near_dup_sql() -> str:
+    from fixtures import gen
+
+    # gen's phash is already a signed int64 python int — inline verbatim
+    vals = ", ".join(
+        f"('{r['image_id']}', {r['phash']})" for r in gen.gen_images(48, fmts=("raw",))
+    )
+    return f"""
+WITH base(doc_id, phash) AS (VALUES {vals}),
+allv AS (SELECT doc_id, CAST(phash AS BIGINT) AS phash FROM base
+         UNION ALL SELECT doc_id || '_dup', xor(CAST(phash AS BIGINT), 1) FROM base)
+SELECT a, b, hamming FROM (
+  SELECT l.doc_id AS a, r.doc_id AS b,
+         CAST(bit_count(xor(l.phash, r.phash)) AS BIGINT) AS hamming
+  FROM allv l, allv r WHERE l.doc_id < r.doc_id)
+WHERE hamming <= 3
+"""
+
+
+SQL_PHASH_NEAR_DUP = _phash_near_dup_sql()
+
+
 # (SQL_DEDUP_CLUSTERS is defined after _lsh_md5_sql below)
 
 
@@ -865,6 +905,7 @@ QUERIES: dict = {
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "minhash_lsh_md5": (q_lsh_pairs_md5, SQL_LSH_PAIRS_MD5),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "phash_near_dup": (q_phash_near_dup, SQL_PHASH_NEAR_DUP),
     # engine-only queries: golden-VALUES oracles precomputed WITHOUT Spark
     # by tools/make_golden_sql.py (minitiler pixels, NumPy indexers,
     # sparkhash XXH64 twin, plain-Python LSH/IVF logic) — see
