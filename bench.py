@@ -184,10 +184,13 @@ def scaling_probe(
             # to the unfiltered median if fewer than 2 rounds survive.
             lmin, hmin = min(rl), min(rh)
             clean = [a / (4.0 * b) for a, b in zip(rl, rh) if a <= 1.5 * lmin and b <= 1.5 * hmin]
-            src = clean if len(clean) >= 2 else [a / (4.0 * b) for a, b in zip(rl, rh)]
+            filtered = len(clean) >= 2
+            src = clean if filtered else [a / (4.0 * b) for a, b in zip(rl, rh)]
             out[f"eta_{lo}to{hi}"] = round(_median(src), 3)
             out[f"eta_{lo}to{hi}_per_round"] = per_round
             out[f"eta_{lo}to{hi}_rounds_used"] = len(src)
+            # which pre-declared rule actually produced the headline number
+            out[f"eta_{lo}to{hi}_filter"] = "burst-clean" if filtered else "unfiltered-fallback"
             out[f"eta_{lo}to{hi}_minmin"] = round(
                 out[f"local[{lo}]"]["sec"] / (4.0 * out[f"local[{hi}]"]["sec"]), 3
             )

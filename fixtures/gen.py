@@ -38,6 +38,15 @@ def make_pixels(i: int, phash: int, w: int, h: int) -> np.ndarray:
     return np.dstack(np.broadcast_arrays(r, g, b)).astype(np.uint8)
 
 
+def image_keys(n: int, seed: int = SEED) -> list[tuple[str, int]]:
+    """(image_id, phash) pairs of gen_images(n, seed=seed) WITHOUT
+    synthesizing pixel data — for consumers that only need the keys
+    (e.g. the phash_near_dup oracle): ~1000x cheaper than gen_images."""
+    idx = np.arange(n, dtype=np.uint64)
+    phash = georef.splitmix64(_U64(seed) ^ idx)
+    return [(f"img{i:08d}", int(np.int64(phash[i].astype(np.int64)))) for i in range(n)]
+
+
 def gen_images(n: int, fmts=("raw", "png", "jpeg"), seed: int = SEED):
     """Yield dicts matching the binding schema (BASELINE.json:15)."""
     idx = np.arange(n, dtype=np.uint64)

@@ -373,3 +373,29 @@ def test_dedup_clusters_end_to_end(docs):
     assert by_id.loc[2, "group_size"] == 1 and bool(by_id.loc[2, "is_canonical"])
     # every doc present exactly once
     assert len(out) == 8 and out.doc_id.nunique() == 8
+
+
+def test_kmeans_np_invariants():
+    """_kmeans_np is reused by the ann_ivf golden oracle (which therefore
+    cannot catch its defects) — pin its invariants independently here:
+    deterministic, unit-norm centroids, and a sane quantizer (same-cluster
+    points are closer to their centroid than to most others)."""
+    from tilers_tools_spark.operators.ann import _kmeans_np
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((8, 16)) * 3
+    x = np.vstack([c + rng.standard_normal((50, 16)) * 0.05 for c in centers])
+    c1 = _kmeans_np(x, 8, 10, 42)
+    c2 = _kmeans_np(x, 8, 10, 42)
+    assert np.array_equal(c1, c2)  # deterministic
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-9)  # unit-norm
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    assign = (xn @ c1.T).argmax(axis=1)
+    # the 8 planted blobs should map onto several distinct lists with
+    # mostly-consistent within-blob assignment (nearby blobs can share a
+    # list under cosine k-means; a DEGENERATE quantizer collapses to 1-2
+    # lists with ~1/8 agreement)
+    blob = np.repeat(np.arange(8), 50)
+    per_blob = [np.bincount(assign[blob == b]).argmax() for b in range(8)]
+    agree = sum((assign[blob == b] == per_blob[b]).mean() for b in range(8)) / 8
+    assert len(set(per_blob)) >= 5 and agree > 0.85, (per_blob, agree)

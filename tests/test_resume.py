@@ -97,3 +97,20 @@ def test_staged_part_scan_is_partition_pruned(spark, images, tmp_path):
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "part_id" in plan.split("PartitionFilters")[1][:200], plan
     assert one.count() == planned.filter("part_id = 2").count()
+
+
+def test_resume_with_different_n_parts_refused(spark, images, tmp_path):
+    """'done' markers are only valid under the pmod modulus that wrote
+    them: resuming a partially-done run_id with a different n_parts must
+    be refused loudly (silently reusing them renders wrong/duplicate image
+    subsets), and a completed run stays guarded too."""
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    tp.run(spark, images, cat, run_id="r1", n_parts=4, max_parts=2)  # partial
+    with pytest.raises(ValueError, match="n_parts=4"):
+        tp.run(spark, images, cat, run_id="r1", n_parts=8)
+    # same modulus resumes fine and completes
+    m = tp.run(spark, images, cat, run_id="r1", n_parts=4)
+    assert m["parts_run"] == 2
+    # completed run: a LARGER n_parts would re-render phantom parts -> still refused
+    with pytest.raises(ValueError, match="n_parts=4"):
+        tp.run(spark, images, cat, run_id="r1", n_parts=16)

@@ -195,11 +195,16 @@ def minhash_lsh_pairs(
     `max_bucket` bounds the band self-join: a bucket of n identical
     signatures costs O(n^2) pairs, so buckets with > max_bucket members
     (empty docs, boilerplate) are STAR-COLLAPSED — every member pairs with
-    the bucket's min-id representative only (n-1 pairs, linear), which
-    preserves the bucket as one connected component for downstream
-    clustering instead of dropping it. Use `lsh_skipped_buckets` with the
-    same parameters to enumerate the collapsed buckets (log it — no silent
-    truncation at 100TB). `max_bucket=None` disables the cap.
+    the bucket's min-id representative only (n-1 candidates, linear).
+    PRECISION is unaffected (star candidates still pass the exact jaccard
+    verify); RECALL inside a collapsed bucket is via the representative:
+    member-member pairs are found only when both members verify against
+    the rep (always true for the identical/near-identical content the cap
+    targets) or share another, small bucket — a heterogeneous hash-
+    collision bucket can lose intra-bucket pairs. That loss is bounded and
+    REPORTED: `lsh_skipped_buckets` with the same parameters enumerates
+    the collapsed buckets (log it — no silent truncation at 100TB).
+    `max_bucket=None` disables the cap (exact recall, quadratic risk).
     """
     melted = _lsh_banded(docs, text_col, id_col, num_hashes, bands, k, mode)
     if max_bucket is not None:
@@ -388,8 +393,10 @@ def simhash_pairs(
     max_hamming: int = 3,
     max_bucket: int | None = 500,
 ) -> DataFrame:
-    """Near-dup pairs from a simhash column: EXACTLY the pairs with
-    hamming distance <= max_hamming, found without an all-pairs join.
+    """Near-dup pairs from a simhash column: the pairs with hamming
+    distance <= max_hamming, found without an all-pairs join — EXACT when
+    `max_bucket=None`, and exact outside collapsed buckets otherwise (see
+    below).
 
     Pigeonhole banding: the `bits` are split into `bands` disjoint bands;
     any pair differing in <= bands-1 bits matches exactly on at least one
@@ -403,11 +410,15 @@ def simhash_pairs(
     (simhash 0 from empty/whitespace docs makes a band bucket of n cost
     O(n^2) pairs): buckets with > max_bucket members are STAR-COLLAPSED —
     every member pairs with the bucket's min-id representative only (n-1
-    candidates, linear), which keeps the bucket one connected component for
-    downstream clustering; the hamming filter still applies to those pairs.
+    candidates, linear). The hamming filter still applies to star pairs,
+    so PRECISION is exact; inside a collapsed bucket, member-member pairs
+    are recalled only when both members are within max_hamming of the rep
+    (always true for the identical-value hot buckets the cap targets) or
+    share another, small band bucket — a heterogeneous >max_bucket bucket
+    can lose intra-bucket pairs. Bounded and REPORTED:
     `simhash_skipped_buckets` with the same parameters enumerates collapsed
     buckets (log it — no silent truncation at 100TB). `max_bucket=None`
-    disables the cap.
+    disables the cap (exact, quadratic risk).
     """
     if max_hamming > bands - 1:
         raise ValueError(f"pigeonhole needs max_hamming <= bands-1, got {max_hamming} > {bands - 1}")
@@ -573,6 +584,7 @@ def connected_components(
         edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     )
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("comp")).localCheckpoint()
+    changed = None
     for _ in range(max_iters):
         msgs = und.join(labels, und["src"] == labels["id"], "inner").select(
             F.col("dst").alias("id"), F.col("comp")
@@ -586,9 +598,20 @@ def connected_components(
             .filter(F.col("n.comp") != F.col("l.comp"))
             .count()
         )
+        # drop the python reference so the superseded checkpoint's blocks
+        # are GC-reclaimable (ContextCleaner) instead of pinned for the run
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        # unconverged labels are WRONG labels (a component silently split):
+        # refuse rather than return them — raise max_iters for graphs with
+        # diameter > max_iters (dedup graphs from capped buckets are
+        # star-shaped; deep chains indicate a different graph shape)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} iterations "
+            f"({changed} labels still changing); raise max_iters"
+        )
     return labels
 
 

@@ -45,10 +45,18 @@ def golden_values_sql(name: str) -> str | None:
     with open(path) as f:
         d = json.load(f)
     cols, types = d["columns"], d["types"]
+    sel = ", ".join(f"CAST({c} AS {_DUCK_TYPES[t]}) AS {c}" for c, t in zip(cols, types))
+    if not d["rows"]:
+        # an empty expected set is a valid oracle — VALUES () is not SQL,
+        # so emit a correctly-typed zero-row relation instead
+        nulls = ", ".join(f"NULL AS {c}" for c in cols)
+        return (
+            f"-- golden oracle precomputed by tools/make_golden_sql.py (engine-independent)\n"
+            f"SELECT {sel} FROM (SELECT {nulls}) AS t({', '.join(cols)}) WHERE FALSE"
+        )
     rows = ", ".join(
         "(" + ", ".join(_lit(v, t) for v, t in zip(row, types)) + ")" for row in d["rows"]
     )
-    sel = ", ".join(f"CAST({c} AS {_DUCK_TYPES[t]}) AS {c}" for c, t in zip(cols, types))
     return (
         f"-- golden oracle precomputed by tools/make_golden_sql.py (engine-independent)\n"
         f"SELECT {sel} FROM (VALUES {rows}) AS t({', '.join(cols)})"

@@ -503,8 +503,7 @@ def q_phash_near_dup(spark, sf_dir):
     oracle brute-forces all pairs from the same inlined input."""
     from fixtures import gen
 
-    rows = [(r["image_id"], r["phash"]) for r in gen.gen_images(48, fmts=("raw",))]
-    ids = spark.createDataFrame(rows, "doc_id string, phash long")
+    ids = spark.createDataFrame(gen.image_keys(48), "doc_id string, phash long")
     planted = ids.select(
         F.concat(F.col("doc_id"), F.lit("_dup")).alias("doc_id"),
         F.col("phash").bitwiseXOR(F.lit(1)).alias("phash"),
@@ -516,10 +515,9 @@ def q_phash_near_dup(spark, sf_dir):
 def _phash_near_dup_sql() -> str:
     from fixtures import gen
 
-    # gen's phash is already a signed int64 python int — inline verbatim
-    vals = ", ".join(
-        f"('{r['image_id']}', {r['phash']})" for r in gen.gen_images(48, fmts=("raw",))
-    )
+    # keys only — no pixel synthesis at import time (gen.image_keys);
+    # phash is already a signed int64 python int, inlined verbatim
+    vals = ", ".join(f"('{iid}', {ph})" for iid, ph in gen.image_keys(48))
     return f"""
 WITH base(doc_id, phash) AS (VALUES {vals}),
 allv AS (SELECT doc_id, CAST(phash AS BIGINT) AS phash FROM base

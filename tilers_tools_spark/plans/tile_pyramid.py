@@ -79,6 +79,24 @@ def run(
     `stage_input=False` skips the partitioned staging write (single-part
     runs or inputs already partitioned by part).
     """
+    # plan guard: 'done' checkpoint markers are keyed (run_id, part_id) and
+    # only valid under the pmod modulus they were written with. A one-row
+    # plan table pins n_parts per run_id forever (kept after completion:
+    # re-running a finished run with a LARGER n_parts would otherwise
+    # re-render phantom parts and duplicate tiles). Mismatched resume is
+    # refused loudly instead of silently rendering wrong subsets.
+    plan_tbl = f"_run_plan_{run_id}"
+    if cat.exists(plan_tbl):
+        prev = int(cat.read(plan_tbl).first()["n_parts"])
+        if prev != n_parts:
+            raise ValueError(
+                f"run_id {run_id!r} was started with n_parts={prev}; resuming with "
+                f"n_parts={n_parts} would reuse 'done' markers from a different partition "
+                f"modulus (wrong/duplicate image subsets). Resume with n_parts={prev} or "
+                f"use a new run_id."
+            )
+    else:
+        cat.append(spark.createDataFrame([(n_parts,)], "n_parts int"), plan_tbl)
     planned = plan_parts(images, n_parts)
     all_parts = sorted(r["part_id"] for r in planned.select("part_id").distinct().collect())
     done_ids = {r["part_id"] for r in done_parts(cat, run_id).collect()}

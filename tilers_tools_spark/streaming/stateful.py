@@ -50,24 +50,26 @@ _STATS_OUT = "source string, n_docs long, n_tokens long"
 _STATS_STATE = "n_docs long, n_tokens long"
 
 
-def _stats_fn(
-    key: Tuple[str], pdfs: Iterable[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    n_docs, n_tokens = state.get if state.exists else (0, 0)
-    for pdf in pdfs:
-        n_docs += len(pdf)
-        # whitespace token count, same convention as operators/text.py
-        n_tokens += int(pdf["text"].str.split().str.len().fillna(0).sum())
-    state.update((n_docs, n_tokens))
-    yield pd.DataFrame({"source": [key[0]], "n_docs": [n_docs], "n_tokens": [n_tokens]})
-
-
-def running_source_stats(stream: DataFrame, source_col: str = "source") -> DataFrame:
+def running_source_stats(
+    stream: DataFrame, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
     """Per-source running totals as a custom stateful operator
     (applyInPandasWithState, update mode). Emits one row per (source,
     micro-batch) carrying the running totals; state is O(#sources)."""
+
+    def stats_fn(
+        key: Tuple[str], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n_docs, n_tokens = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n_docs += len(pdf)
+            # whitespace token count, same convention as operators/text.py
+            n_tokens += int(pdf[text_col].str.split().str.len().fillna(0).sum())
+        state.update((n_docs, n_tokens))
+        yield pd.DataFrame({"source": [key[0]], "n_docs": [n_docs], "n_tokens": [n_tokens]})
+
     return stream.groupBy(source_col).applyInPandasWithState(
-        _stats_fn,
+        stats_fn,
         outputStructType=_STATS_OUT,
         stateStructType=_STATS_STATE,
         outputMode="update",

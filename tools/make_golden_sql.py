@@ -344,6 +344,13 @@ def g_ann_lsh(k=10, bits=8, dim=64, seed=42):
 
 
 def g_ann_ivf(k=10, n_lists=16, n_probe=4, seed=42, iters=10):
+    # SCOPE NOTE: this golden reuses the engine's driver-side _kmeans_np
+    # (like the h3lite/s2lite kernel reuse above), so the gate verifies the
+    # SPARK side end-to-end — sample ordering, list assignment, probe
+    # selection, candidate join, exact ranking — but cannot catch a defect
+    # inside the k-means kernel itself. _kmeans_np's own invariants
+    # (determinism, unit-norm centroids, assignment quality) are pinned
+    # separately in tests/test_pipeline_ops.py.
     from tilers_tools_spark.operators.ann import _kmeans_np  # driver-side NumPy, no Spark
 
     ids, vecs = _embeddings()
