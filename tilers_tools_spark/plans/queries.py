@@ -837,6 +837,42 @@ def q_warped_smoke(spark, sf_dir):
     return tiles.select("image_id", "z", "x", "y", F.md5(F.col("tile")).alias("tile_md5"))
 
 
+def q_fingerprint(spark, sf_dir):
+    """Winnowing-style document fingerprints (min/max rolling 8-gram
+    xxhash64 + md5) — golden oracle recomputed via the sparkhash twin."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.fingerprint(docs)
+
+
+def _media_fixture(spark):
+    """Deterministic media rows: payload = the fixture images' encoded
+    bytes (only the payload bytes matter to the fake decoders)."""
+    from fixtures import gen
+
+    rows = [(r["image_id"], r["bytes"]) for r in gen.gen_images(6, fmts=("raw",))]
+    return spark.createDataFrame(rows, "media_id string, payload binary")
+
+
+def q_video_frames(spark, sf_dir):
+    """Video frame-sample PLUMBING (deterministic fake decode; real
+    resize/PNG/explode-shaped output) — the multimodal video path under
+    the driver gate via a golden oracle."""
+    from ..operators import multimodal
+
+    frames = multimodal.video_frame_sample(_media_fixture(spark), frames=4, deterministic_fake=True)
+    return frames.select(
+        "media_id", "frame_idx", "rel_ts", F.md5(F.col("thumb")).alias("thumb_md5")
+    )
+
+
+def q_audio_frames(spark, sf_dir):
+    """Audio frame-sample PLUMBING (deterministic fake decode) under the
+    driver gate via a golden oracle."""
+    from ..operators import multimodal
+
+    return multimodal.audio_frame_sample(_media_fixture(spark), frames=8, deterministic_fake=True)
+
+
 def q_h3_rollup(spark, sf_dir):
     """Multi-resolution H3 rollup (native Column bit math) over event
     points indexed at res 12."""
@@ -919,4 +955,7 @@ QUERIES: dict = {
     "ann_ivf": (q_ann_ivf, _golden("ann_ivf")),
     "cutline_mask": (q_cutline_mask, _golden("cutline_mask")),
     "h3_rollup": (q_h3_rollup, _golden("h3_rollup")),
+    "fingerprint": (q_fingerprint, _golden("fingerprint")),
+    "video_frames": (q_video_frames, _golden("video_frames")),
+    "audio_frames": (q_audio_frames, _golden("audio_frames")),
 }

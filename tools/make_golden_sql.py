@@ -397,5 +397,70 @@ def main():
         GENERATORS[name]()
 
 
+
+
+def g_fingerprint(window: int = 8):
+    rows = []
+    for doc_id, t in _docs():
+        tl = t.lower()
+        n = max(len(tl) - (window - 1), 1)
+        hs = [sh.xxhash64(("str", tl[i : i + window])) for i in range(n)]
+        rows.append([int(doc_id), min(hs), max(hs), hashlib.md5(tl.encode("utf-8")).hexdigest()])
+    save(
+        "fingerprint",
+        ["doc_id", "fp_min", "fp_max", "fp_md5"],
+        ["int64", "int64", "int64", "str"],
+        rows,
+    )
+
+
+def _media_payloads():
+    return [(r["image_id"], r["bytes"]) for r in gen.gen_images(6, fmts=("raw",))]
+
+
+def g_video_frames(frames: int = 4, out_w: int = 32, out_h: int = 32):
+    """Replicates multimodal.video_frame_sample's documented fake-decode
+    derivation (seed from payload head, seeded rng frames) + the REAL
+    PNG-encode path — gates the Spark plumbing (explode shape, batching,
+    per-frame blobs)."""
+    rows = []
+    for media_id, payload in _media_payloads():
+        seed = int(np.frombuffer(bytes(payload)[:8].ljust(8, b"\0"), dtype=np.uint64)[0])
+        rng = np.random.default_rng(seed & 0x7FFFFFFF)
+        for i in range(frames):
+            frame = rng.integers(0, 256, (out_h, out_w, 3), dtype=np.uint8)
+            ts = i / max(frames - 1, 1)
+            md5 = hashlib.md5(codecs.encode_png(frame)).hexdigest()
+            rows.append([media_id, i, float(ts), md5])
+    save(
+        "video_frames",
+        ["media_id", "frame_idx", "rel_ts", "thumb_md5"],
+        ["str", "int32", "float64", "str"],
+        rows,
+    )
+
+
+def g_audio_frames(frames: int = 8):
+    rows = []
+    for media_id, payload in _media_payloads():
+        seed = np.frombuffer(
+            np.frombuffer(bytes(payload)[:8].ljust(8, b"\0"), dtype=np.uint8), dtype=np.uint8
+        ).sum()
+        rng = np.random.default_rng(int(seed))
+        for i in range(frames):
+            rows.append([media_id, i, float(rng.standard_normal()), float(rng.uniform())])
+    save(
+        "audio_frames",
+        ["media_id", "frame_idx", "rms", "zcr"],
+        ["str", "int32", "float64", "float64"],
+        rows,
+    )
+
+
+GENERATORS.update(
+    {"fingerprint": g_fingerprint, "video_frames": g_video_frames, "audio_frames": g_audio_frames}
+)
+
+
 if __name__ == "__main__":
     main()
