@@ -579,9 +579,20 @@ def connected_components(
 
     `nodes` = one row per id (singletons keep comp = own id). Shuffles
     carry only (id, comp) longs — never document payloads.
+
+    Deployment note: localCheckpoint blocks live on executors and are lost
+    with one (fine on local[N]); on a multi-executor cluster set a
+    reliable `spark.sparkContext.setCheckpointDir` and swap
+    localCheckpoint() -> checkpoint() for fault-tolerant lineage cuts.
     """
-    und = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).unionByName(
-        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    # materialize the (possibly expensive) edge pipeline ONCE: every
+    # iteration joins against `und`, and without the checkpoint each round
+    # would replay the full upstream plan (e.g. the LSH pair job) — the
+    # edge list itself is narrow (two longs per pair)
+    und = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .localCheckpoint()
     )
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("comp")).localCheckpoint()
     changed = None

@@ -238,6 +238,9 @@ def knn_join(
         # whole candidate join per round (the driver loop's isEmpty() plus
         # the final action tripled the join cost). One eager job per round
         # computes it once; lineage is truncated so nothing replays.
+        # (Cluster note: swap for checkpoint() + setCheckpointDir when
+        # executor loss must be survivable — localCheckpoint blocks are
+        # executor-local.)
         topk = (
             cand.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k)
