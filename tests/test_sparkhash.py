@@ -63,3 +63,10 @@ def test_full_registry_is_oracle_gated():
 
     missing = [name for name, (_fn, sql) in QUERIES.items() if sql is None]
     assert missing == [], missing
+
+
+def test_xxh64_published_vectors():
+    """Known-answer vectors from the published XXH64 spec (seed 0) — pins
+    the byte-path against the ALGORITHM itself, independent of Spark."""
+    assert sh.hash_bytes(b"", 0) == 0xEF46DB3751D8E999
+    assert sh.hash_bytes(b"abc", 0) == 0x44BC2CF5AD770999
