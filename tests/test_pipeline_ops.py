@@ -399,3 +399,21 @@ def test_kmeans_np_invariants():
     per_blob = [np.bincount(assign[blob == b]).argmax() for b in range(8)]
     agree = sum((assign[blob == b] == per_blob[b]).mean() for b in range(8)) / 8
     assert len(set(per_blob)) >= 5 and agree > 0.85, (per_blob, agree)
+
+
+def test_dedup_clusters_parallelism_invariant(spark):
+    """T3 for the iterative component op: partitioning must not affect the
+    assigned components (min-label is order-insensitive by construction —
+    pin it)."""
+    base = [
+        "alpha beta gamma delta epsilon zeta",
+        "alpha beta gamma delta epsilon zetb",
+        "unrelated text about something else entirely",
+        "alpha beta gamma delta epsilon zeta",
+    ] * 3
+    pdf = pd.DataFrame({"doc_id": range(len(base)), "text": base})
+    a = dedup.dedup_clusters(spark.createDataFrame(pdf).repartition(2)).toPandas()
+    b = dedup.dedup_clusters(spark.createDataFrame(pdf).repartition(7)).toPandas()
+    key = a.sort_values("doc_id").reset_index(drop=True)
+    other = b.sort_values("doc_id").reset_index(drop=True)
+    assert key.equals(other)

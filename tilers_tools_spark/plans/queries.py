@@ -447,6 +447,36 @@ SELECT doc_id, {pick} AS lang_pred, mx AS lang_score FROM g
 SQL_LANG_ID = _lang_sql()
 
 
+def q_corpus_clean(spark, sf_dir):
+    """Composed corpus-cleaning pipeline — the end-to-end shape a training
+    corpus actually runs: predicted-language filter (engine lang_id) ->
+    quality-score gate -> exact-dedup canonical winners only. All three
+    stages are individually gated ops; this query gates their COMPOSITION
+    (filters push through, window dedup after filters)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lang = text.lang_id(docs).select("doc_id", "lang_pred")
+    qual = text.quality_features(docs).select("doc_id", "quality_score")
+    d = docs.join(lang, "doc_id").join(qual, "doc_id")
+    d = d.filter((F.col("lang_pred") == "en") & (F.col("quality_score") >= 0.5))
+    deduped = dedup.exact_dedup(d).filter(F.col("is_canonical"))
+    return deduped.select("doc_id", "content_hash")
+
+
+SQL_CORPUS_CLEAN = f"""
+WITH lang AS ({_lang_sql()}),
+qual AS ({SQL_QUALITY}),
+kept AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN lang ON lang.doc_id = d.doc_id
+  JOIN qual ON qual.doc_id = d.doc_id
+  WHERE lang.lang_pred = 'en' AND qual.quality_score >= 0.5e0),
+h AS (SELECT doc_id, md5(text) AS content_hash,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+      FROM kept)
+SELECT doc_id, content_hash FROM h WHERE rn = 1
+"""
+
+
 def q_minhash_md5(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dedup.minhash_signatures_md5(docs, num_hashes=4, k=5)
@@ -932,6 +962,7 @@ QUERIES: dict = {
     "quality_features": (q_quality, SQL_QUALITY),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "minhash_md5": (q_minhash_md5, SQL_MINHASH_MD5),
+    "corpus_clean": (q_corpus_clean, SQL_CORPUS_CLEAN),
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
