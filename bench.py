@@ -118,10 +118,7 @@ print(json.dumps({{'tiles': tiles, 'runs': {{str(m): r for m, r in runs.items()}
 """
 
 
-def _median(xs: list[float]) -> float:
-    s = sorted(xs)
-    n = len(s)
-    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
+from statistics import median as _median  # noqa: E402
 
 
 def scaling_probe(

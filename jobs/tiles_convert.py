@@ -46,9 +46,14 @@ def main():
         tiles = Catalog(spark, args.src).read("tiles").select("z", "x", "y", "tile")
     if args.transcode:
         tiles = convert.transcode(tiles, src_fmt=args.src_fmt_blob, dst_fmt=args.transcode)
-    # blob format of the OUTPUT: transcode target if set, else the source
-    # blobs pass through untouched — ext/metadata must label what's inside
-    out_fmt = args.transcode or args.src_fmt_blob
+        out_fmt = args.transcode
+    else:
+        # pass-through: label what is ACTUALLY inside the blobs (magic-byte
+        # sniff of one tile) rather than trusting a flag default
+        from tilers_tools_spark.functions import codecs
+
+        first = tiles.select("tile").first()
+        out_fmt = codecs.sniff_fmt(bytes(first["tile"])) if first else args.src_fmt_blob
     ext = {"jpeg": "jpg", "raw": "raw"}.get(out_fmt, "png")
     if args.dst_format == "dir":
         tileset.write_tileset_dir(tiles, args.dst, scheme=args.dst_scheme, ext=ext)

@@ -114,3 +114,16 @@ def test_resume_with_different_n_parts_refused(spark, images, tmp_path):
     # completed run: a LARGER n_parts would re-render phantom parts -> still refused
     with pytest.raises(ValueError, match="n_parts=4"):
         tp.run(spark, images, cat, run_id="r1", n_parts=16)
+
+
+def test_resume_without_plan_record_refused(spark, images, tmp_path):
+    """Done markers WITHOUT a plan record (run predates the guard): the
+    original modulus is unknowable, so ANY resume must be refused rather
+    than backfilling the plan from the current call's n_parts."""
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    tp.run(spark, images, cat, run_id="r1", n_parts=4, max_parts=2)
+    cat.drop("_run_plan_r1")  # simulate a pre-guard catalog
+    with pytest.raises(ValueError, match="no plan record"):
+        tp.run(spark, images, cat, run_id="r1", n_parts=8)
+    with pytest.raises(ValueError, match="no plan record"):
+        tp.run(spark, images, cat, run_id="r1", n_parts=4)  # even same value: unverifiable

@@ -391,12 +391,22 @@ def simhash_pairs(
     bits: int = 64,
     bands: int = 4,
     max_hamming: int = 3,
-    max_bucket: int | None = 500,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs from a simhash column: the pairs with hamming
     distance <= max_hamming, found without an all-pairs join — EXACT when
-    `max_bucket=None`, and exact outside collapsed buckets otherwise (see
-    below).
+    `max_bucket=None` (the default), and exact outside collapsed buckets
+    otherwise (see below).
+
+    Choosing `max_bucket`: the band-value space is 2^(bits/bands), so
+    ORDINARY buckets hold ~corpus/2^(bits/bands) members — the cap must sit
+    well above that or normal buckets get collapsed and true pairs lost
+    (measured: a flat cap of 500 on a 32-bit/4-band corpus of 5000 docs
+    loses 42% of true pairs). With the 64-bit/4-band production shape the
+    band space is 2^16, so e.g. max_bucket=500 only triggers on genuinely
+    degenerate hot values (simhash 0 from empty docs); with narrow bands
+    (32-bit/4-band = 2^8 values) leave it None or size it to
+    >> corpus/2^(bits/bands).
 
     Pigeonhole banding: the `bits` are split into `bands` disjoint bands;
     any pair differing in <= bands-1 bits matches exactly on at least one
@@ -595,6 +605,19 @@ def connected_components(
         .localCheckpoint()
     )
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("comp")).localCheckpoint()
+    # precondition check (cheap: distinct endpoint ids anti-joined against
+    # nodes): an edge endpoint missing from `nodes` has no label row, which
+    # corrupts BOTH the convergence check (absorbed ids aren't compared)
+    # and the result (labels appear for ids the caller never supplied) —
+    # e.g. pairs built from a different document snapshot. Fail loudly.
+    n_stray = (
+        und.select(F.col("src").alias("id")).distinct().join(labels.select("id"), "id", "left_anti").count()
+    )
+    if n_stray:
+        raise ValueError(
+            f"connected_components: {n_stray} edge endpoint id(s) are not present in "
+            f"`nodes` — edges and nodes must come from the same snapshot"
+        )
     changed = None
     for _ in range(max_iters):
         msgs = und.join(labels, und["src"] == labels["id"], "inner").select(

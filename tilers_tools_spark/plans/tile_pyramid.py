@@ -85,6 +85,9 @@ def run(
     # re-running a finished run with a LARGER n_parts would otherwise
     # re-render phantom parts and duplicate tiles). Mismatched resume is
     # refused loudly instead of silently rendering wrong subsets.
+    # (Single-driver assumption per run_id — concurrent first calls racing
+    # the plan append are out of scope, like concurrent part renders.)
+    done_ids = {r["part_id"] for r in done_parts(cat, run_id).collect()}
     plan_tbl = f"_run_plan_{run_id}"
     if cat.exists(plan_tbl):
         prev = int(cat.read(plan_tbl).first()["n_parts"])
@@ -95,11 +98,20 @@ def run(
                 f"modulus (wrong/duplicate image subsets). Resume with n_parts={prev} or "
                 f"use a new run_id."
             )
+    elif done_ids:
+        # done markers WITHOUT a plan record (run started before the guard
+        # existed): the original modulus is unknowable, so backfilling from
+        # the current call would legitimize exactly the mismatch the guard
+        # exists to refuse
+        raise ValueError(
+            f"run_id {run_id!r} has 'done' checkpoint markers but no plan record; "
+            f"its original n_parts cannot be verified. Use a new run_id (or create "
+            f"{plan_tbl} with the original n_parts manually)."
+        )
     else:
         cat.append(spark.createDataFrame([(n_parts,)], "n_parts int"), plan_tbl)
     planned = plan_parts(images, n_parts)
     all_parts = sorted(r["part_id"] for r in planned.select("part_id").distinct().collect())
-    done_ids = {r["part_id"] for r in done_parts(cat, run_id).collect()}
     # reconcile: roll back orphan tiles batches (committed tiles whose part
     # never reached 'done' — crash between the data and checkpoint appends)
     orphans = cat.rollback_where(

@@ -377,28 +377,6 @@ def g_ann_ivf(k=10, n_lists=16, n_probe=4, seed=42, iters=10):
     save("ann_ivf", ["query_id", "vec_id", "rank"], ["int64", "int64", "int64"], rows)
 
 
-GENERATORS = {
-    "h3_s2_assign": g_h3_s2_assign,
-    "h3_rollup": g_h3_rollup,
-    "simhash": g_simhash,
-    "minhash_lsh_pairs": g_minhash_lsh_pairs,
-    "pyramid_smoke": g_pyramid_smoke,
-    "warped_smoke": g_warped_smoke,
-    "cutline_mask": g_cutline_mask,
-    "image_features": g_image_features,
-    "ann_lsh": g_ann_lsh,
-    "ann_ivf": g_ann_ivf,
-}
-
-
-def main():
-    only = sys.argv[1:] or list(GENERATORS)
-    for name in only:
-        GENERATORS[name]()
-
-
-
-
 def g_fingerprint(window: int = 8):
     rows = []
     for doc_id, t in _docs():
@@ -457,9 +435,29 @@ def g_audio_frames(frames: int = 8):
     )
 
 
-GENERATORS.update(
-    {"fingerprint": g_fingerprint, "video_frames": g_video_frames, "audio_frames": g_audio_frames}
-)
+GENERATORS = {
+    "h3_s2_assign": g_h3_s2_assign,
+    "h3_rollup": g_h3_rollup,
+    "simhash": g_simhash,
+    "minhash_lsh_pairs": g_minhash_lsh_pairs,
+    "pyramid_smoke": g_pyramid_smoke,
+    "warped_smoke": g_warped_smoke,
+    "cutline_mask": g_cutline_mask,
+    "image_features": g_image_features,
+    "ann_lsh": g_ann_lsh,
+    "ann_ivf": g_ann_ivf,
+    "fingerprint": g_fingerprint,
+    "video_frames": g_video_frames,
+    "audio_frames": g_audio_frames,
+}
+
+
+def main():
+    only = sys.argv[1:] or list(GENERATORS)
+    for name in only:
+        if name not in GENERATORS:
+            raise SystemExit(f"unknown query {name!r}; choose from: {', '.join(sorted(GENERATORS))}")
+        GENERATORS[name]()
 
 
 if __name__ == "__main__":
