@@ -5,7 +5,10 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Headline = the BASELINE.json:2 metric: tiles/sec over
 decode + reproject + cut + H3/S2 assign on a synthetic images fixture
-(N = $BENCH_IMAGES, default 600 -> ~18k tiles). Also times the
+(N = $BENCH_IMAGES, default 600 -> ~18k tiles). Every reported wall is a
+MEDIAN of $BENCH_QUERY_RUNS (default 3) runs with the per-run spread in
+`query_runs` (n=1 walls on this shared box carry 15-30% co-tenant noise —
+the round-3 'regression' was exactly that). Also times the
 oracle-gated operator queries at the given sf, and (unless
 BENCH_SCALING=0) re-runs the pipeline at local[2]/local[8]/local[32] in
 interleaved rounds with fresh SparkContexts to report N->4N scaling
@@ -26,6 +29,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 N_IMAGES = int(os.environ.get("BENCH_IMAGES", "600"))
+# median-of-N per query/pipeline (n=1 walls on this shared box are 15-30%
+# noise — medians make round-over-round deltas interpretable)
+QUERY_RUNS = int(os.environ.get("BENCH_QUERY_RUNS", "3"))
+PIPELINE_RUNS = int(os.environ.get("BENCH_PIPELINE_RUNS", "3"))
 
 BENCH_QUERIES = [
     "tile_assign_z8",
@@ -52,8 +59,14 @@ def _fixture_path(n: int) -> str:
     return path
 
 
-def run_pipeline(spark, fixture: str, encode: str = "png") -> tuple[float, int]:
-    """Time the full decode+reproject+cut+index pipeline; returns (sec, tiles)."""
+def run_pipeline(spark, fixture: str, encode: str = "png") -> tuple[float, int, list[float]]:
+    """Time the full decode+reproject+cut+index pipeline.
+
+    One untimed warm run (worker spawn + JIT + scan listing), then
+    PIPELINE_RUNS timed runs; returns (median_sec, tiles, runs). n=1 walls
+    on this shared-host VM vary 15-30% between rounds (the round-3 artifact
+    'regression' was exactly that), so the headline is a median with the
+    per-run spread recorded alongside."""
     from tilers_tools_spark.operators.render import render_pyramid
 
     # sharded fixture: the scan itself parallelizes across files -> no
@@ -61,13 +74,14 @@ def run_pipeline(spark, fixture: str, encode: str = "png") -> tuple[float, int]:
     # maxPartitionBytes so one shard = one task
     spark.conf.set("spark.sql.files.maxPartitionBytes", "4194304")
     images = spark.read.parquet(fixture)
+    n_tiles = render_pyramid(images, encode=encode).select("z").count()  # warm
     ts = []
-    for _ in range(2):  # first run pays JIT/worker spawn; report the min
+    for _ in range(PIPELINE_RUNS):
         t0 = time.time()
         n_tiles = render_pyramid(images, encode=encode).select("z").count()
-        ts.append(time.time() - t0)
+        ts.append(round(time.time() - t0, 3))
     spark.conf.set("spark.sql.files.maxPartitionBytes", "268435456")
-    return min(ts), n_tiles
+    return _median(ts), n_tiles, ts
 
 
 _PROBE_CODE = r"""
@@ -213,12 +227,15 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     timings = {}
-    pipe_sec, n_tiles = run_pipeline(spark, fixture)
+    runs_detail = {}
+    pipe_sec, n_tiles, pipe_runs = run_pipeline(spark, fixture)
     timings["tiles_pipeline"] = round(pipe_sec, 3)
+    runs_detail["tiles_pipeline"] = pipe_runs
     # the BASELINE.json:2 metric job (decode+reproject+cut+index) on the
     # scale path: raw tile blobs, deflate deferred to the columnar sink
-    raw_sec, _ = run_pipeline(spark, fixture, encode="raw")
+    raw_sec, _, raw_runs = run_pipeline(spark, fixture, encode="raw")
     timings["tiles_pipeline_raw"] = round(raw_sec, 3)
+    runs_detail["tiles_pipeline_raw"] = raw_runs
 
     def q_minhash_xxhash(spark, sf_dir):
         from tilers_tools_spark.operators import dedup
@@ -229,16 +246,26 @@ def main():
     bench_queries = {n: QUERIES[n][0] for n in BENCH_QUERIES if n in QUERIES}
     bench_queries["minhash_xxhash"] = q_minhash_xxhash
     for name, fn in bench_queries.items():
-        t0 = time.time()
-        try:
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        except Exception:
+        qruns = []
+        err = None
+        for _ in range(QUERY_RUNS):
+            t0 = time.time()
             try:
-                fn(spark, SF_DIR).count()
-            except Exception as e:
-                timings[name] = f"error: {e}"[:120]
-                continue
-        timings[name] = round(time.time() - t0, 3)
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            except Exception:
+                try:
+                    fn(spark, SF_DIR).count()
+                except Exception as e:
+                    err = f"error: {e}"[:120]
+                    break
+            qruns.append(round(time.time() - t0, 3))
+        if err and not qruns:
+            timings[name] = err
+            continue
+        # run 1 is cold (plan compile, UDF pickling) — with n>=2 the median
+        # reflects steady state while runs_detail keeps the cold wall visible
+        timings[name] = round(_median(qruns), 3)
+        runs_detail[name] = qruns
     spark.stop()
 
     total = sum(v for v in timings.values() if isinstance(v, (int, float)))
@@ -247,6 +274,12 @@ def main():
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "query_runs": runs_detail,
+        "timing_protocol": (
+            f"per entry: median of {QUERY_RUNS} runs (pipeline: 1 untimed warm + "
+            f"{PIPELINE_RUNS} timed); per-run walls in query_runs — n=1 walls on "
+            "this shared-host box carry 15-30% co-tenant noise"
+        ),
         "sf": SF_DIR,
         "n_images": N_IMAGES,
         "n_tiles": n_tiles,

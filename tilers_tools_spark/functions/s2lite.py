@@ -70,7 +70,10 @@ def face_uv_from_xyz(x, y, z):
     comp = np.choose(face, [x, y, z])
     face = np.where(comp < 0, face + 3, face)
     # per-face u,v (S2 ValidFaceXYZToUV)
-    with np.errstate(divide="ignore", invalid="ignore"):
+    # np.choose evaluates all six branches, so the non-selected faces can
+    # divide by near-zero components — overflow/divide/invalid are all
+    # expected and masked by the select; silence them wholesale.
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         u = np.choose(face, [y / x, -x / y, -x / z, z / x, z / y, -y / z])
         v = np.choose(face, [z / x, z / y, -y / z, y / x, -x / y, -x / z])
     return face.astype(np.int64), u, v

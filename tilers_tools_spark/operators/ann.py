@@ -87,6 +87,7 @@ def ivf_topk(
     n_probe: int = 8,
     seed: int = 42,
     sample_size: int = 100_000,
+    max_sample_bytes: int = 256 << 20,
     iters: int = 10,
     q_id: str = "query_id",
     c_id: str = "vec_id",
@@ -101,8 +102,22 @@ def ivf_topk(
     `n_probe` nearest lists — candidate generation is an equi-join on the
     list id, so at 10^12 rows the join shuffles (id, list) keys instead of
     an all-pairs cross join. Exact cosine rank within candidates.
+
+    Driver-memory contract: the k-means training sample is bounded in
+    BYTES, not just rows — the effective sample is
+    ``min(sample_size, max_sample_bytes // (dim * 8))`` rows (dim probed
+    with one cheap head(1) job), so a dim=4096 corpus can't balloon the
+    default 100k-row sample to multiple GB on the driver. The default
+    256 MB cap keeps the collected float64 sample comfortably inside a
+    normal driver heap; lower it for small drivers.
     """
     from pyspark.sql.types import ArrayType, IntegerType
+
+    head = corpus.select(F.size(F.col(c_vec).cast("array<double>")).alias("_d")).head(1)
+    if not head:
+        raise ValueError("ivf_topk: empty corpus")
+    dim = int(head[0]["_d"])
+    eff_sample = max(n_lists, min(sample_size, max_sample_bytes // max(dim * 8, 1)))
 
     # deterministic uniform sample: order by a hash of the id, not a
     # partition prefix (limit() alone returns the first partitions, which
@@ -111,7 +126,7 @@ def ivf_topk(
     sample_rows = (
         corpus.select(F.col(c_id).alias("_sid"), F.col(c_vec).cast("array<double>").alias("_sv"))
         .orderBy(F.xxhash64(F.col("_sid").cast("string"), F.lit(seed)))
-        .limit(sample_size)
+        .limit(eff_sample)
         .collect()
     )
     if not sample_rows:

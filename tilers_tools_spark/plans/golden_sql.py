@@ -33,7 +33,16 @@ def _lit(v, t: str) -> str:
     if t == "str":
         return "'" + str(v).replace("'", "''") + "'"
     if t == "float64":
-        return repr(float(v))  # shortest round-trip decimal -> exact double
+        f = float(v)
+        # bare nan/inf tokens are invalid SQL numeric literals inside a
+        # VALUES list — render non-finite doubles via a typed CAST instead
+        if f != f:
+            return "CAST('nan' AS DOUBLE)"
+        if f == float("inf"):
+            return "CAST('infinity' AS DOUBLE)"
+        if f == float("-inf"):
+            return "CAST('-infinity' AS DOUBLE)"
+        return repr(f)  # shortest round-trip decimal -> exact double
     return str(int(v))
 
 

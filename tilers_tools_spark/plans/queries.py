@@ -19,6 +19,7 @@ lon/lat) with overflow-free integer math valid in both engines.
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import pandas as pd
@@ -936,6 +937,97 @@ def q_ann_ivf(spark, sf_dir):
     return res.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Structured-Streaming surface under the driver gate: availableNow
+    micro-batch ingest + cross-batch stateful exact dedup
+    (streaming/stateful.py `streaming_exact_dedup`), run over a two-batch
+    fixture derived deterministically from the documents table.
+
+    Batch 0 = docs 0..39 (texts made unique with a ' #<doc_id>' suffix so
+    within-batch survivor choice can't be nondeterministic); the stream is
+    STOPPED (availableNow) and restarted for batch 1 = 20 exact duplicates
+    of docs 0..19 under new ids (1000+d) + 20 new docs (1000+40..1000+59).
+    The dedup state store must survive the restart via the checkpoint, so
+    the expected survivors are exactly batch 0 plus the 20 new docs — a
+    relational oracle over `documents`. The result is materialized to a
+    local DataFrame (120 rows max) so the temp dirs can be removed before
+    returning."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..streaming import stateful
+
+    base = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 60)
+        .select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" #"), F.col("doc_id").cast("string")).alias("text"),
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    work = tempfile.mkdtemp(prefix="tilers_streaming_dedup_")
+    src = os.path.join(work, "in")
+    out = os.path.join(work, "out")
+    ck = os.path.join(work, "ck")
+    os.makedirs(src)
+
+    def write_batch(name, pdf):
+        pq.write_table(
+            pa.Table.from_pandas(pdf[["doc_id", "text"]], preserve_index=False),
+            os.path.join(src, name),
+        )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id long, text string").format("parquet").load(src)
+        )
+        q = (
+            stateful.streaming_exact_dedup(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        b0 = base[base.doc_id < 40]
+        write_batch("b0.parquet", b0)
+        run_once()
+        dups = base[base.doc_id < 20].assign(doc_id=lambda d: d.doc_id + 1000)
+        new = base[base.doc_id >= 40].assign(doc_id=lambda d: d.doc_id + 1000)
+        write_batch("b1.parquet", pd.concat([dups, new]))
+        run_once()
+        got = (
+            spark.read.parquet(out)
+            .select("doc_id", "content_hash")
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(got[["doc_id", "content_hash"]])
+
+
+SQL_STREAMING_DEDUP = """
+SELECT doc_id, md5(text || ' #' || CAST(doc_id AS VARCHAR)) AS content_hash
+FROM documents WHERE doc_id < 40
+UNION ALL
+SELECT doc_id + 1000 AS doc_id,
+       md5(text || ' #' || CAST(doc_id AS VARCHAR)) AS content_hash
+FROM documents WHERE doc_id >= 40 AND doc_id < 60
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -971,6 +1063,8 @@ QUERIES: dict = {
     "minhash_lsh_md5": (q_lsh_pairs_md5, SQL_LSH_PAIRS_MD5),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "phash_near_dup": (q_phash_near_dup, SQL_PHASH_NEAR_DUP),
+    # streaming surface: availableNow ingest + cross-restart stateful dedup
+    "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
     # engine-only queries: golden-VALUES oracles precomputed WITHOUT Spark
     # by tools/make_golden_sql.py (minitiler pixels, NumPy indexers,
     # sparkhash XXH64 twin, plain-Python LSH/IVF logic) — see

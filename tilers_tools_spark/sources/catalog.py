@@ -30,13 +30,23 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
-class Catalog:
-    """Minimal write/read/append facade over Iceberg-or-Parquet."""
+# write-option prefix Iceberg's Spark integration maps into snapshot
+# summary properties (public Iceberg docs, spark-writes: snapshot-property.*)
+_SNAP_PROP_PREFIX = "snapshot-property."
+_TAG_PROP = "tilers.tag"
 
-    def __init__(self, spark: SparkSession, root: str):
+
+class Catalog:
+    """Minimal write/read/append facade over Iceberg-or-Parquet.
+
+    `use_iceberg=None` probes the JVM classpath; tests inject True/False
+    explicitly (the Iceberg path is developed against mocked writers — no
+    iceberg-spark-runtime jar on this box, SURVEY.md §7 [ENV])."""
+
+    def __init__(self, spark: SparkSession, root: str, use_iceberg: bool | None = None):
         self.spark = spark
         self.root = root
-        self.use_iceberg = iceberg_available(spark)
+        self.use_iceberg = iceberg_available(spark) if use_iceberg is None else use_iceberg
 
     # -- fallback manifest helpers ------------------------------------
     def _tdir(self, table: str) -> str:
@@ -72,20 +82,25 @@ class Catalog:
 
     # -- public API ----------------------------------------------------
     def append(self, df: DataFrame, table: str, partition_by: tuple[str, ...] = (), tag: dict | None = None) -> None:
-        """Atomic batch append. `tag` (fallback path): a small JSON dict
-        recorded with the commit — used by plans for crash reconciliation
-        (e.g. {"run_id":..., "part_id":...}); Iceberg path would carry it
-        as snapshot summary properties."""
+        """Atomic batch append. `tag`: a small JSON dict recorded with the
+        commit — used by plans for crash reconciliation (e.g.
+        {"run_id":..., "part_id":...}). Fallback path: stored in the
+        manifest entry. Iceberg path: carried as the `tilers.tag` snapshot
+        summary property via the public `snapshot-property.*` write option,
+        so `rollback_where` can identify orphan snapshots after a crash."""
         if self.use_iceberg:
             # Iceberg append() requires an existing table (unlike the
             # parquet fallback); probe existence explicitly rather than
             # catching append()'s exception, which would mask real failures
             # (schema drift, commit conflicts) behind a confusing
             # 'table already exists' from create()
+            w = df.writeTo(table)
+            if tag is not None:
+                w = w.option(_SNAP_PROP_PREFIX + _TAG_PROP, json.dumps(tag, sort_keys=True))
             if self.spark.catalog.tableExists(table):
-                df.writeTo(table).append()
+                w.append()
             else:
-                df.writeTo(table).create()
+                w.create()
             return
         tdir = self._tdir(table)
         os.makedirs(tdir, exist_ok=True)
@@ -106,23 +121,25 @@ class Catalog:
         the paired checkpoint row missing after a crash — before re-running
         a part/zoom (plans.tile_pyramid / plans.merged_pyramid).
 
-        Iceberg path: NOT implemented (no Iceberg runtime on this box to
-        develop/test against) — warns loudly instead of silently skipping,
-        because the crash-window duplicate-prevention invariant then
-        depends on the deployment reconciling via snapshot rollback on the
-        snapshot-summary tag (or avoiding the window with a single
-        multi-table transaction)."""
+        Iceberg path: scans the table's current-ancestor snapshot chain
+        (`<table>.history` joined to `<table>.snapshots` summaries),
+        matches `pred` against the JSON `tilers.tag` summary property that
+        `append` wrote, and rolls the table back past the matching TIP
+        SUFFIX with one `system.rollback_to_snapshot` procedure call.
+        Orphans are always a contiguous tip suffix under the engine's crash
+        model (plans append a part's data, then its checkpoint row, in a
+        driver loop — a crash strands only the most recent appends), so a
+        matching snapshot found BELOW a non-matching one means the caller's
+        predicate is wrong or the table was written outside the engine:
+        that raises rather than silently rewriting history. Rolling back to
+        before the first snapshot (every ancestor matches) also raises —
+        Iceberg cannot roll back to an empty table; drop and re-create
+        instead. Developed against mocked SQL/writer surfaces (no Iceberg
+        jar offline, tests/test_iceberg_path.py); the parquet-fallback
+        crash-injection test (tests/test_resume.py) is the behavioral spec.
+        """
         if self.use_iceberg:
-            import warnings
-
-            warnings.warn(
-                "Catalog.rollback_where is not implemented for the Iceberg path: "
-                "orphan batches from a crash between data and checkpoint commits "
-                "are NOT reconciled here — use Iceberg snapshot rollback on the "
-                "snapshot-summary tag before resuming.",
-                stacklevel=2,
-            )
-            return 0
+            return self._rollback_where_iceberg(table, pred)
         if not os.path.exists(self._manifest(table)):
             return 0
         entries = self._entries(table)
@@ -134,6 +151,58 @@ class Catalog:
             for e in drop:
                 shutil.rmtree(os.path.join(self._tdir(table), e["dir"]), ignore_errors=True)
         return len(drop)
+
+    def _rollback_where_iceberg(self, table: str, pred) -> int:
+        """Tip-suffix snapshot rollback on the `tilers.tag` summary
+        property (see rollback_where docstring). Uses only public Spark SQL
+        surfaces — metadata tables + the rollback_to_snapshot procedure —
+        so it is exercisable under a mocked `spark.sql` offline."""
+        # newest-first chain of snapshots that are ancestors of the current
+        # table state (abandoned branches from earlier rollbacks excluded)
+        chain = self.spark.sql(
+            f"SELECT h.snapshot_id, s.summary FROM {table}.history h "
+            f"JOIN {table}.snapshots s ON h.snapshot_id = s.snapshot_id "
+            f"WHERE h.is_current_ancestor ORDER BY h.made_current_at DESC"
+        ).collect()
+        n_drop = 0
+        keep_target = None  # newest non-matching ancestor
+        for row in chain:
+            summary = row["summary"] or {}
+            raw = summary.get(_TAG_PROP)
+            tag = json.loads(raw) if raw is not None else None
+            if keep_target is None and tag is not None and pred(tag):
+                n_drop += 1
+                continue
+            if keep_target is None:
+                # newest non-matching ancestor = the rollback target; keep
+                # scanning older snapshots only for the non-tip guard below
+                keep_target = row["snapshot_id"]
+            if tag is not None and pred(tag):
+                raise RuntimeError(
+                    f"rollback_where({table}): snapshot {row['snapshot_id']} matches the "
+                    "predicate but is not part of the tip suffix — orphans must be "
+                    "contiguous at the tip under the engine's crash model; refusing to "
+                    "rewrite non-tip history (reconcile manually)."
+                )
+        if n_drop == 0:
+            return 0
+        if keep_target is None:
+            raise RuntimeError(
+                f"rollback_where({table}): every snapshot in the current history matches "
+                "the predicate — Iceberg cannot roll back to an empty table; "
+                "drop() and re-create instead."
+            )
+        # 3-part identifier carries its catalog; procedures live under
+        # <catalog>.system and take a catalog-relative table identifier
+        parts = table.split(".")
+        if len(parts) >= 3:
+            proc_catalog, proc_table = parts[0], ".".join(parts[1:])
+        else:
+            proc_catalog, proc_table = self.spark.catalog.currentCatalog(), table
+        self.spark.sql(
+            f"CALL {proc_catalog}.system.rollback_to_snapshot('{proc_table}', {keep_target})"
+        )
+        return n_drop
 
     def read(self, table: str) -> DataFrame:
         if self.use_iceberg:

@@ -19,6 +19,39 @@ features) are sf-independent.
 Run: python tools/make_golden_sql.py   -> writes tests/golden/values/*.json
 Each JSON carries {columns, types, rows}; the SQL VALUES table is built at
 query-registry import time by tilers_tools_spark/plans/golden_sql.py.
+
+INDEPENDENCE SCOPE (read before trusting "oracle-gated" for these): some
+goldens reuse engine kernels (single-process NumPy, no Spark). For those,
+the DuckDB gate pins *distributed-execution ≡ local-kernel* equivalence
+and regression, NOT independent algorithmic truth; truth rests on the
+spec-derived pytest KAT listed per golden below. A kernel bug cannot hide:
+it would have to fool both the spec KAT and the gate simultaneously.
+
+  golden query        kernel reused      independent spec test pinning it
+  ------------------  -----------------  ----------------------------------
+  h3_s2_assign,       h3lite, s2lite     S2: published KAT vectors
+  h3_rollup                              (tests/test_indexers.py); H3:
+                                         documented deviation pinned by the
+                                         canonical-KAT divergence test
+                                         (test_indexers.py) + invariants
+  pyramid_smoke,      codecs (png/jpeg   PNG: byte-exact decode/encode
+  warped_smoke,       encode for         roundtrip; JPEG: PSNR>=40 + spec
+  cutline_mask,       tile_md5),         Annex-K tables
+  image_features      tilemath           (tests/test_codecs.py); tile math:
+                                         T0 property twins + minitiler is
+                                         an independent derivation
+  fingerprint,        oracle/sparkhash   XXH64 published spec vectors
+  minhash_lsh_pairs,  (XXH64 twin)       (tests/test_sparkhash.py) + pinned
+  simhash                                bit-for-bit vs Spark's F.xxhash64
+  ann_ivf             ann._kmeans_np     _kmeans_np invariants
+                                         (tests/test_pipeline_ops.py); see
+                                         SCOPE NOTE at g_ann_ivf
+  video_frames,       multimodal fake-   the fake decode IS the documented
+  audio_frames        decode replica     contract (no codec libs offline);
+                                         gate verifies plumbing end-to-end
+
+Everything else (relational queries, minitiler-pixel goldens, plain-Python
+banding/LSH loops) is an independent derivation.
 """
 
 from __future__ import annotations
