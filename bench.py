@@ -84,52 +84,54 @@ def run_pipeline(spark, fixture: str, encode: str = "png") -> tuple[float, int, 
     return _median(ts), n_tiles, ts
 
 
-_PROBE_CODE = r"""
+# One probe RUN per subprocess (fresh JVM): creating the Nth SparkContext
+# inside one long-lived JVM intermittently stalls for minutes — the py4j
+# gateway thread spins in a Class.forName/classpath-scan storm while the
+# driver blocks in send_command (reproduced on this box with faulthandler:
+# the warm count() on a freshly cycled context hung 90+s while 11 identical
+# cycles took ~1s each). A fresh JVM per run sidesteps the multi-context
+# trigger entirely, and the per-run subprocess timeout turns a residual
+# hang into one dropped-and-retried run instead of a blown probe budget.
+# JVM spawn + warm job stay OUTSIDE the timed region (the in-context warm
+# job per run already re-JITs the hot path before timing).
+_RUN_CODE = r"""
 import sys, time, json
 sys.path.insert(0, '/root/repo')
 from tilers_tools_spark.session import get_spark
 from tilers_tools_spark.operators.render import render_pyramid
 
-CORES = {cores}
-ROUNDS = {rounds}
+M = {m}
 FX = {fx!r}
 ENC = {enc!r}
-BUDGET = {budget}
-
-def one_run(m):
-    spark = get_spark(master=f'local[{{m}}]', shuffle_partitions=m)
-    spark.sparkContext.setLogLevel('ERROR')
-    spark.conf.set('spark.sql.files.maxPartitionBytes', '4194304')
-    images = spark.read.parquet(FX)
-    # in-context warm job BEFORE the timed region: repartition(m) schedules
-    # one task per slot so all m python workers spawn and the hot path JITs
-    # now. Without this, ~2-3s of fixed worker-spawn/plan cost lands inside
-    # the timed wall, inflating the short high-core run relatively more
-    # than the long low-core run — structurally depressing measured eta.
-    render_pyramid(images.limit(4 * m).repartition(m), encode=ENC).select('z').count()
-    t0 = time.time()
-    n = render_pyramid(images, encode=ENC).select('z').count()
-    sec = time.time() - t0
-    spark.stop()
-    return sec, n
-
-t_start = time.time()
-runs = {{m: [] for m in CORES}}
-tiles = None
-round_walls = []
-for rnd in range(ROUNDS):
-    r0 = time.time()
-    for m in CORES:  # interleaved: every level sees the same noise climate
-        sec, tiles = one_run(m)
-        runs[m].append(sec)
-    round_walls.append(time.time() - r0)
-    # budget guard: never start a round that (at the worst observed round
-    # wall) would overrun the probe budget; >=3 rounds keeps the median
-    # meaningful
-    if rnd + 1 >= 3 and (time.time() - t_start) + max(round_walls) > BUDGET:
-        break
-print(json.dumps({{'tiles': tiles, 'runs': {{str(m): r for m, r in runs.items()}}}}))
+spark = get_spark(master=f'local[{{M}}]', shuffle_partitions=M)
+spark.sparkContext.setLogLevel('ERROR')
+spark.conf.set('spark.sql.files.maxPartitionBytes', '4194304')
+images = spark.read.parquet(FX)
+# in-context warm job BEFORE the timed region: repartition(M) schedules
+# one task per slot so all M python workers spawn and the hot path JITs
+# now. Without this, ~2-3s of fixed worker-spawn/plan cost lands inside
+# the timed wall, inflating the short high-core run relatively more
+# than the long low-core run — structurally depressing measured eta.
+render_pyramid(images.limit(4 * M).repartition(M), encode=ENC).select('z').count()
+t0 = time.time()
+n = render_pyramid(images, encode=ENC).select('z').count()
+print(json.dumps({{'sec': time.time() - t0, 'tiles': n}}))
 """
+
+
+def _probe_run(m: int, fixture: str, encode: str, timeout: int = 240) -> tuple[float, int] | None:
+    """One timed run at local[m] in its own subprocess; None on hang/error
+    (caller retries once, then records the drop)."""
+    code = _RUN_CODE.format(m=m, fx=fixture, enc=encode)
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True, timeout=timeout
+        )
+        line = [ln for ln in r.stdout.strip().splitlines() if ln.startswith("{")][-1]
+        d = json.loads(line)
+        return float(d["sec"]), int(d["tiles"])
+    except (subprocess.TimeoutExpired, IndexError, ValueError, KeyError):
+        return None
 
 
 from statistics import median as _median  # noqa: E402
@@ -148,9 +150,10 @@ def scaling_probe(
     aggregate DRAM/NICs. The 8->32 pair is still measured and reported.
 
     Noise handling (this VM shares a host; identical runs vary up to 2.5x):
-    the levels are run INTERLEAVED in `rounds` rounds inside one probe
-    process (fresh SparkContext per run, in-context warm job per run, one
-    warm JVM). The headline eta is the MEDIAN of per-round PAIRED ratios
+    the levels are run INTERLEAVED in `rounds` rounds, one SUBPROCESS
+    (fresh JVM) per run with an in-context warm job before the timed
+    region and a per-run timeout+retry (see _RUN_CODE for why not one
+    shared JVM). The headline eta is the MEDIAN of per-round PAIRED ratios
     T_2/(4*T_8) — temporally adjacent runs share a noise climate, so the
     paired ratio is unbiased per round and the median is robust to bursts;
     min-over-rounds per level is also reported (eta_minmin) for
@@ -159,15 +162,38 @@ def scaling_probe(
     encode='raw' (the scale path: PNG deflate deferred to the columnar
     sink).
     """
-    code = _PROBE_CODE.format(cores=list(cores), rounds=rounds, fx=fixture, enc=encode, budget=budget)
-    r = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, timeout=3300)
-    line = [ln for ln in r.stdout.strip().splitlines() if ln.startswith("{")][-1]
-    d = json.loads(line)
-    rounds_done = len(d["runs"][str(cores[0])])
+    t_start = time.time()
+    runs: dict = {m: [] for m in cores}
+    tiles = None
+    dropped = 0
+    round_walls: list[float] = []
+    for rnd in range(rounds):
+        r0 = time.time()
+        this_round: dict = {}
+        for m in cores:  # interleaved: every level sees the same noise climate
+            got = _probe_run(m, fixture, encode) or _probe_run(m, fixture, encode)
+            if got is None:
+                dropped += 1
+                break  # round incomplete: discard it whole (pairing needs all levels)
+            this_round[m], tiles = got
+        if len(this_round) == len(cores):
+            for m in cores:
+                runs[m].append(this_round[m])
+        round_walls.append(time.time() - r0)
+        # budget guard: never start a round that (at the worst observed
+        # round wall) would overrun the probe budget; >=3 rounds keeps the
+        # median meaningful
+        if len(runs[cores[0]]) >= 3 and (time.time() - t_start) + max(round_walls) > budget:
+            break
+    rounds_done = len(runs[cores[0]])
+    if rounds_done == 0:
+        raise RuntimeError(f"scaling probe: no complete rounds ({dropped} runs dropped)")
+    d = {"tiles": tiles, "runs": {str(m): runs[m] for m in cores}}
     out = {"protocol": f"interleaved rounds x{rounds_done} (requested {rounds}, budget {budget}s), "
-                       f"fresh SparkContext per run, in-context warm job per run, one warm JVM, "
-                       f"headline eta = median of per-round paired ratios over burst-clean rounds "
-                       f"(walls <= 1.5x level min), encode={encode}",
+                       f"one subprocess (fresh JVM) per run with 240s timeout+retry, in-context "
+                       f"warm job per run, headline eta = median of per-round paired ratios over "
+                       f"burst-clean rounds (walls <= 1.5x level min), encode={encode}",
+           "runs_dropped": dropped,
            "n_to_4n": {"n_cores": 2, "4n_cores": 8}}
     for m in cores:
         runs = d["runs"][str(m)]
