@@ -244,6 +244,93 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     )
 
 
+def test_hash_split_deterministic_and_stable(spark):
+    """Split proportions ~ weights; assignment is a pure function of
+    (id, seed): re-running and adding rows never reassigns existing ids;
+    the xxhash64 fast path is also deterministic."""
+    from tilers_tools_spark.operators import sampling
+
+    n = 4000
+    df = spark.range(n).withColumnRenamed("id", "doc_id")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = sampling.hash_split(df, weights=w, seed=7).groupBy("split").count().collect()
+    counts = {r["split"]: r["count"] for r in got}
+    assert abs(counts["train"] / n - 0.8) < 0.03
+    assert abs(counts["val"] / n - 0.1) < 0.02
+    assert abs(counts["test"] / n - 0.1) < 0.02
+    # stability under growth: the first 1000 ids keep their assignment
+    small = sampling.hash_split(
+        spark.range(1000).withColumnRenamed("id", "doc_id"), weights=w, seed=7
+    ).toPandas().set_index("doc_id")["split"]
+    big = (
+        sampling.hash_split(df, weights=w, seed=7)
+        .filter(F.col("doc_id") < 1000)
+        .toPandas()
+        .set_index("doc_id")["split"]
+    )
+    assert small.sort_index().equals(big.sort_index())
+    # fast path: deterministic + roughly proportional
+    fast = sampling.hash_split(df, weights=w, seed=7, portable=False)
+    c1 = {r["split"]: r["count"] for r in fast.groupBy("split").count().collect()}
+    c2 = {r["split"]: r["count"] for r in fast.groupBy("split").count().collect()}
+    assert c1 == c2 and abs(c1["train"] / n - 0.8) < 0.03
+
+
+def test_stratified_sample_per_stratum(spark):
+    """~fraction kept WITHIN each stratum even when strata sizes differ
+    by 20x; idempotent (same rows on re-run)."""
+    from tilers_tools_spark.operators import sampling
+
+    import pandas as _pd
+
+    pdf = _pd.DataFrame(
+        {
+            "doc_id": range(4200),
+            "lang": ["en"] * 4000 + ["de"] * 200,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    s = sampling.stratified_sample(df, "lang", 0.25, seed=11)
+    got = s.groupBy("lang").count().collect()
+    counts = {r["lang"]: r["count"] for r in got}
+    assert abs(counts["en"] / 4000 - 0.25) < 0.03
+    assert abs(counts["de"] / 200 - 0.25) < 0.10  # small stratum, wider noise
+    assert sorted(r["doc_id"] for r in s.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in s.select("doc_id").collect()
+    )
+
+
+def test_incremental_exact_dedup(spark):
+    """Survivors = first-in-batch AND not-in-corpus, vs a pandas brute
+    force; the precomputed-hash-column corpus path gives identical
+    results (the 100TB shape: corpus text never re-read)."""
+    import pandas as _pd
+
+    corpus_pdf = _pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": ["alpha", "beta", "gamma"]}
+    )
+    new_pdf = _pd.DataFrame(
+        {
+            "doc_id": [10, 11, 12, 13, 14],
+            # 10 dups corpus; 12/13 dup each other; 11,14 new
+            "text": ["alpha", "delta", "epsilon", "epsilon", "zeta"],
+        }
+    )
+    corpus = spark.createDataFrame(corpus_pdf)
+    new = spark.createDataFrame(new_pdf)
+    got = dedup.incremental_exact_dedup(new, corpus).toPandas().sort_values("doc_id")
+    assert list(got.doc_id) == [11, 12, 14]
+    # corpus as a precomputed hash column (no text re-hash)
+    ch = corpus.select(F.md5(F.col("text")).alias("h"))
+    got2 = (
+        dedup.incremental_exact_dedup(new, ch, corpus_hash_col="h")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    assert list(got2.doc_id) == [11, 12, 14]
+    assert list(got.content_hash) == list(got2.content_hash)
+
+
 def test_ann_ivf_sample_byte_cap(spark):
     """The k-means driver sample is bounded in BYTES: with a large dim and
     a tiny max_sample_bytes the effective sample shrinks below sample_size

@@ -31,6 +31,38 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    corpus_hash_col: str | None = None,
+) -> DataFrame:
+    """Delta dedup — the continuous-ingest twin of `exact_dedup`: keep the
+    rows of a NEW batch that are (a) first arrival within the batch (min id
+    per content hash) and (b) not already present in an EXISTING corpus.
+    Returns (id, content_hash) of survivors — the rows safe to append.
+
+    The standard shape for a growing 100 TB corpus: the corpus side ships
+    ONLY its distinct content hashes (16 bytes/doc — pass
+    `corpus_hash_col` to read a precomputed hash column and skip re-hashing
+    the historical text entirely), the new batch shuffles (hash, id), and
+    the membership test is a LEFT ANTI join — no payload ever moves. The
+    streaming twin with in-flight state is
+    streaming/stateful.streaming_exact_dedup; this operator is the batch
+    path that needs no state store, only the corpus itself (or its hash
+    projection, which Iceberg/parquet can serve column-pruned).
+    """
+    nh = new_docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+    if corpus_hash_col is not None:
+        ch = corpus.select(F.col(corpus_hash_col).alias("content_hash")).distinct()
+    else:
+        ch = corpus.select(F.md5(F.col(text_col)).alias("content_hash")).distinct()
+    w = Window.partitionBy("content_hash").orderBy(F.col(id_col).asc())
+    first = nh.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    return first.join(ch, "content_hash", "left_anti").select(id_col, "content_hash")
+
+
 def _barrier(df: DataFrame) -> DataFrame:
     """Prevent CollapseProject from inlining the previous projection into
     downstream higher-order-function lambdas. Expressions inside

@@ -1,0 +1,103 @@
+"""Deterministic dataset splitting & sampling for training-data pipelines
+(task brief: operations a large-scale training pipeline needs).
+
+Both operators assign each row to the unit interval via a seeded content
+hash and compare against precomputed thresholds — fully deterministic,
+re-runnable, and JOIN-FREE (pure map-side column expressions: at 100 TB
+a split is one narrow projection over the scan, no shuffle, no sampled
+state to persist). Two hash flavors:
+
+* ``portable=True`` (default): the first 8 hex chars of
+  ``md5(key || ':' || seed)`` compared LEXICOGRAPHICALLY against a hex
+  threshold string. Lowercase-hex ordering equals numeric ordering
+  (ASCII digits < 'a'..'f'), and md5 renders identically in every engine,
+  so the exact same rows land in the exact same split in Spark, DuckDB,
+  or any warehouse — the property that makes a train/test split auditable
+  across systems (and lets the driver's oracle gate verify it).
+* ``portable=False``: ``xxhash64`` bucket — cheaper per row (no hex
+  string), engine-local. Use when cross-engine reproducibility isn't
+  required.
+
+Threshold precision: thresholds are 32-bit (8 hex chars), so split
+fractions are quantized to ~2.3e-10 — negligible against sampling noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SCALE = 1 << 32
+
+
+def _hex_threshold(cum: float) -> str:
+    """floor(cum * 2^32) as an 8-char lowercase hex string (clamped)."""
+    v = min(max(int(cum * _SCALE), 0), _SCALE - 1)
+    return format(v, "08x")
+
+
+def _bucket_hex(key: Column, seed: int) -> Column:
+    return F.substring(F.md5(F.concat(key.cast("string"), F.lit(f":{seed}"))), 1, 8)
+
+
+def split_column(
+    key: Column, weights: dict[str, float], seed: int = 42, portable: bool = True
+) -> Column:
+    """A Column assigning each row a split label from `weights`
+    (label -> fraction, summing to ~1; iteration order fixes the interval
+    layout, so pass an ordered dict). Rows land by seeded hash of `key` —
+    adding rows later never reassigns existing ones."""
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    labels = list(weights)
+    # cumulative interval edges for all but the last label (tail fallthrough)
+    cum = 0.0
+    edges = []
+    for lab in labels[:-1]:
+        cum += weights[lab]
+        edges.append((lab, cum))
+    if portable:
+        b = _bucket_hex(key, seed)
+        conds = [(lab, F.lit(_hex_threshold(c))) for lab, c in edges]
+    else:
+        # fast path: xxhash64 bucket in [0, 2^32)
+        b = F.pmod(F.xxhash64(key.cast("string"), F.lit(seed)), F.lit(_SCALE))
+        conds = [(lab, F.lit(int(c * _SCALE))) for lab, c in edges]
+    expr = F.lit(labels[-1])
+    for lab, thr in reversed(conds):
+        expr = F.when(b < thr, F.lit(lab)).otherwise(expr)
+    return expr
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    seed: int = 42,
+    portable: bool = True,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment as an added column."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    return df.withColumn(out_col, split_column(F.col(id_col), weights, seed, portable))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fraction: float,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-stratum sample: keeps ~`fraction` of rows WITHIN
+    each stratum (the hash is seeded by the stratum value, so one giant
+    stratum can't starve small ones the way a global-hash sample can).
+    Exactly reproducible cross-engine (portable md5 mechanism). Pure
+    filter — no shuffle, no state."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    key = F.concat(
+        F.col(strata_col).cast("string"), F.lit("|"), F.col(id_col).cast("string")
+    )
+    return df.filter(_bucket_hex(key, seed) < F.lit(_hex_threshold(fraction)))

@@ -1028,6 +1028,74 @@ FROM documents WHERE doc_id >= 40 AND doc_id < 60
 """
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic cross-engine train/val/test split (portable md5-hex
+    mechanism, operators/sampling.py) — 80/10/10 over documents."""
+    from ..operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = sampling.hash_split(
+        docs, weights={"train": 0.8, "val": 0.1, "test": 0.1}, seed=7
+    )
+    return out.select("doc_id", "split")
+
+
+# thresholds = floor(cum * 2^32) as 8-char lowercase hex; lowercase-hex
+# lexicographic order == numeric order, and md5 renders identically in
+# Spark and DuckDB, so the comparison is engine-exact (0.8 -> cccccccc,
+# 0.9 -> e6666666)
+SQL_HASH_SPLIT = """
+SELECT doc_id,
+       CASE WHEN b < 'cccccccc' THEN 'train'
+            WHEN b < 'e6666666' THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             substring(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8) AS b
+      FROM documents)
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum (language) 25% sample — the stratum seeds
+    the hash so a dominant stratum can't starve small ones."""
+    from ..operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sampling.stratified_sample(docs, "lang", 0.25, seed=11).select("doc_id", "lang")
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang FROM documents
+WHERE substring(md5(lang || '|' || CAST(doc_id AS VARCHAR) || ':11'), 1, 8)
+      < '40000000'
+"""
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """Delta dedup of a new batch against an existing corpus (corpus ships
+    only distinct content hashes; survivors = first-in-batch AND not in
+    corpus). Corpus = doc_id < 250, new batch = doc_id >= 250."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    return dedup.incremental_exact_dedup(new, corpus)
+
+
+SQL_INCREMENTAL_DEDUP = """
+WITH corpus AS (
+  SELECT DISTINCT md5(text) AS content_hash FROM documents WHERE doc_id < 250
+), new_first AS (
+  SELECT doc_id, content_hash FROM (
+    SELECT doc_id, md5(text) AS content_hash,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents WHERE doc_id >= 250
+  ) WHERE rn = 1
+)
+SELECT doc_id, content_hash FROM new_first
+WHERE content_hash NOT IN (SELECT content_hash FROM corpus)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1065,6 +1133,10 @@ QUERIES: dict = {
     "phash_near_dup": (q_phash_near_dup, SQL_PHASH_NEAR_DUP),
     # streaming surface: availableNow ingest + cross-restart stateful dedup
     "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
+    # dataset splitting/sampling + delta dedup (training-data pipeline ops)
+    "hash_split": (q_hash_split, SQL_HASH_SPLIT),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     # engine-only queries: golden-VALUES oracles precomputed WITHOUT Spark
     # by tools/make_golden_sql.py (minitiler pixels, NumPy indexers,
     # sparkhash XXH64 twin, plain-Python LSH/IVF logic) — see
