@@ -143,3 +143,70 @@ def test_tilemap_xml(tiles_df, tmp_path):
     a = open(out).read()
     write_tilemap_xml(tiles_df, str(tmp_path), title="t")
     assert open(out).read() == a
+
+
+def test_quadkey_published_kat_and_roundtrip(spark):
+    """Bing tile-system KAT (published docs): level-3 tile x=3, y_xyz=5 ->
+    quadkey '213'; plus full roundtrip via from_quadkey at mixed zooms."""
+    import pandas as _pd
+    from tilers_tools_spark.operators import convert as cv
+
+    # y in TMS: y_tms = 2^z - 1 - y_xyz
+    rows = _pd.DataFrame(
+        {
+            "z": [3, 1, 1, 2, 8],
+            "x": [3, 0, 1, 3, 137],
+            # y is TMS: y_tms = 2^z - 1 - y_xyz; KAT y_xyz = [5, 0, 0, 3, 201]
+            "y": [2 ** 3 - 1 - 5, 1 - 0, 1 - 0, 3 - 3, 2 ** 8 - 1 - 201],
+        }
+    )
+    t = cv.quadkey(spark.createDataFrame(rows))
+    got = {(r["z"], r["x"]): r["quadkey"] for r in t.collect()}
+    assert got[(3, 3)] == "213"  # published example
+    assert got[(1, 0)] == "0" and got[(1, 1)] == "1"
+    assert got[(2, 3)] == "33"
+    back = cv.from_quadkey(t.select("quadkey"), "quadkey").toPandas()
+    merged = t.toPandas().merge(back, on="quadkey", suffixes=("", "_rt"))
+    assert (merged.z == merged.z_rt).all()
+    assert (merged.x == merged.x_rt).all()
+    assert (merged.y == merged.y_rt).all()
+
+
+def test_tiles_in_bbox_pushdown(spark, tmp_path):
+    """The viewport filter is literal range predicates: against a
+    z-partitioned parquet tile table the z predicate partition-prunes and
+    x/y reach PushedFilters (row-group pruning) — and the result matches
+    a brute-force filter."""
+    import numpy as np
+    import pandas as _pd
+    from tilers_tools_spark.operators import convert as cv
+
+    rng = np.random.default_rng(3)
+    rows = _pd.DataFrame(
+        {
+            "z": np.repeat([7, 8], 500),
+            "x": rng.integers(0, 256, 1000),
+            "y": rng.integers(0, 256, 1000),
+        }
+    )
+    rows.loc[rows.z == 7, ["x", "y"]] %= 128
+    path = str(tmp_path / "tiles")
+    spark.createDataFrame(rows).write.partitionBy("z").parquet(path)
+    t = spark.read.parquet(path)
+    hits = cv.tiles_in_bbox(t, 8, -60.0, -30.0, 45.0, 40.0)
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(x" in plan
+    # partition pruning: only the z=8 directory is read
+    assert "PartitionFilters" in plan
+    got = {(r["x"], r["y"]) for r in hits.collect()}
+    from tilers_tools_spark.functions import tilemath as tmn
+
+    mx0, my0 = tmn.merc_np(np.array([-60.0]), np.array([-30.0]))
+    mx1, my1 = tmn.merc_np(np.array([45.0]), np.array([40.0]))
+    x0, x1, y0, y1 = (int(v[0]) for v in tmn.cover_range_np(mx0, my0, mx1, my1, np.array([8])))
+    want = {
+        (int(r.x), int(r.y))
+        for _, r in rows[rows.z == 8].iterrows()
+        if x0 <= r.x <= x1 and y0 <= r.y <= y1
+    }
+    assert got == want

@@ -44,6 +44,89 @@ def with_scheme(tiles: DataFrame, scheme: str) -> DataFrame:
     raise ValueError(scheme)
 
 
+def quadkey(tiles: DataFrame, out_col: str = "quadkey") -> DataFrame:
+    """Add the Bing-maps quadkey string (published scheme: one base-4
+    digit per zoom level, MSB-first, digit = x-bit + 2*y-bit with XYZ
+    top-down y). Variable zoom per row — built as a pure Column expression
+    (sequence + transform + concat_ws, zero Python), so at 100 TB it's one
+    narrow projection. z=0 yields the empty string (the scheme's root).
+
+    Bit extraction uses exact power-of-two double division
+    (floor(v / 2^k) % 2): x,y < 2^30 and 2^k are both exact doubles, so
+    the truncating cast is bit-exact — avoids shiftright(), whose PySpark
+    wrapper only takes a literal shift count.
+    """
+    zc, xc = F.col("z"), F.col("x")
+    y_xyz = tm.tms_to_xyz(F.col("y"), zc)
+
+    def bit(v, k):
+        return (v / F.pow(F.lit(2.0), k.cast("double"))).cast("bigint") % 2
+
+    def digit(i):
+        k = zc - i
+        return (bit(xc, k) + 2 * bit(y_xyz, k) + 1).cast("int")
+
+    chars = F.array(*[F.lit(c) for c in "0123"])
+    qk = F.when(zc == 0, F.lit("")).otherwise(
+        F.concat_ws(
+            "",
+            F.transform(F.sequence(F.lit(1), zc.cast("int")), lambda i: F.element_at(chars, digit(i))),
+        )
+    )
+    return tiles.withColumn(out_col, qk)
+
+
+def tiles_in_bbox(
+    tiles: DataFrame, z: int, lon0: float, lat0: float, lon1: float, lat1: float
+) -> DataFrame:
+    """Serving-path tile lookup: all tiles of `tiles` at zoom `z` inside
+    the lon/lat bbox. The covering (x, y_tms) ranges are computed
+    DRIVER-SIDE with the NumPy tile-math twins and applied as literal
+    range predicates — so against a z-partitioned tile table the z filter
+    prunes partitions and the x/y range pushes into parquet row-group
+    stats (min/max), reading only the touched stripe. This is the query a
+    tile server issues per viewport; no shuffle, no UDF."""
+    import numpy as np
+
+    from ..functions import tilemath as tmn
+
+    mx0, my0 = tmn.merc_np(np.array([min(lon0, lon1)]), np.array([min(lat0, lat1)]))
+    mx1, my1 = tmn.merc_np(np.array([max(lon0, lon1)]), np.array([max(lat0, lat1)]))
+    txmin, txmax, tymin, tymax = (
+        int(v[0]) for v in tmn.cover_range_np(mx0, my0, mx1, my1, np.array([z]))
+    )
+    return tiles.filter(
+        (F.col("z") == z)
+        & F.col("x").between(txmin, txmax)
+        & F.col("y").between(tymin, tymax)
+    )
+
+
+def from_quadkey(df: DataFrame, qk_col: str = "quadkey") -> DataFrame:
+    """Inverse: quadkey string -> (z, x, y TMS). Pure column expressions
+    (aggregate over the digit positions)."""
+    q = F.col(qk_col)
+    z = F.length(q).cast("bigint")
+    digits = F.transform(
+        F.split(q, ""), lambda c: F.when(c == "", F.lit(0)).otherwise(c.cast("int"))
+    )
+    # split('') yields a trailing empty token; positions 1..z carry digits.
+    # x = sum over i of x-bit(i) << (z-i); same for y, then flip to TMS.
+    def acc(sel):
+        return F.aggregate(
+            F.sequence(F.lit(1), z.cast("int")),
+            F.lit(0).cast("bigint"),
+            lambda a, i: a
+            + sel(F.element_at(digits, i)).cast("bigint")
+            * F.pow(F.lit(2.0), (z - i).cast("double")).cast("bigint"),
+        )
+    x = acc(lambda d: d % 2)
+    y_xyz = acc(lambda d: (d / 2).cast("int"))
+    return df.withColumn("z", z).withColumn("x", x).withColumn(
+        "y", tm.tms_to_xyz(y_xyz, z)  # involution: XYZ -> TMS
+    )
+
+
 def tile_path(tiles: DataFrame, scheme: str = "xyz", ext: str = "png") -> DataFrame:
     """Add the container-relative `path` column for directory layouts."""
     t = with_scheme(tiles, scheme)

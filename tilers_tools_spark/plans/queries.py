@@ -1096,6 +1096,83 @@ WHERE content_hash NOT IN (SELECT content_hash FROM corpus)
 """
 
 
+def q_quadkey(spark, sf_dir):
+    """Bing quadkey scheme (published base-4 interleave, MSB-first, XYZ
+    y) as a pure Column expression over event tiles at two zooms, plus the
+    inverse (from_quadkey) verified by returning the roundtripped x."""
+    t3 = _tiles_at(_merc_pts(spark, sf_dir), 3).select("z", "x", "y").distinct()
+    t8 = _tiles_at(_merc_pts(spark, sf_dir), 8).select("z", "x", "y").distinct()
+    t = convert.quadkey(t3.unionByName(t8))
+    back = convert.from_quadkey(t.select("quadkey"), "quadkey").withColumnRenamed(
+        "x", "x_rt"
+    )
+    return (
+        t.join(back.select("quadkey", "x_rt").distinct(), "quadkey")
+        .select("z", "x", "y", "quadkey", "x_rt")
+    )
+
+
+def _quadkey_sql_expr(z: int) -> str:
+    # fixed-zoom unroll (DuckDB's generate_series can't be correlated):
+    # digit i (1-based, MSB first) = x-bit + 2*y-bit at position z-i, with
+    # XYZ top-down y = 2^z - 1 - y_tms
+    parts = [
+        f"substring('0123', CAST(1 + ((x >> {z - i}) & 1) "
+        f"+ 2 * ((({2**z - 1} - y) >> {z - i}) & 1) AS INT), 1)"
+        for i in range(1, z + 1)
+    ]
+    return " || ".join(parts)
+
+
+SQL_QUADKEY = f"""
+WITH {_PTS_SQL}, {_tiles_sql(3)}, t3 AS (SELECT DISTINCT z, x, y FROM tiles),
+     {_tiles_sql(8).replace('tiles AS', 't8raw AS')},
+     t8 AS (SELECT DISTINCT z, x, y FROM t8raw)
+SELECT z, x, y, {_quadkey_sql_expr(3)} AS quadkey, x AS x_rt FROM t3
+UNION ALL
+SELECT z, x, y, {_quadkey_sql_expr(8)} AS quadkey, x AS x_rt FROM t8
+"""
+
+
+# bbox literals for the serving query: one fixed viewport; the covering
+# tile ranges are computed by the same published tile math on both sides
+# (Spark path internally via tiles_in_bbox; oracle via the NumPy twins at
+# import time — the FILTER semantics are what the gate verifies, the tile
+# math itself is pinned by the T0 property twins + minitiler)
+_BBOX = (-60.0, -30.0, 45.0, 40.0)
+
+
+def q_bbox_tiles(spark, sf_dir):
+    """Serving-path viewport lookup: z + x/y range literals prune a
+    z-partitioned tile table down to the touched stripe (no shuffle, no
+    UDF; predicate pushes to parquet row-group stats)."""
+    t = _tiles_at(_merc_pts(spark, sf_dir), 8)
+    hits = convert.tiles_in_bbox(t, 8, *_BBOX)
+    return hits.groupBy("z", "x", "y").agg(F.count("*").alias("n"))
+
+
+def _bbox_tiles_sql() -> str:
+    import numpy as np
+
+    from ..functions import tilemath as tmn
+
+    lon0, lat0, lon1, lat1 = _BBOX
+    mx0, my0 = tmn.merc_np(np.array([lon0]), np.array([lat0]))
+    mx1, my1 = tmn.merc_np(np.array([lon1]), np.array([lat1]))
+    txmin, txmax, tymin, tymax = (
+        int(v[0]) for v in tmn.cover_range_np(mx0, my0, mx1, my1, np.array([8]))
+    )
+    return f"""
+WITH {_PTS_SQL}, {_tiles_sql(8)}
+SELECT z, x, y, count(*) AS n FROM tiles
+WHERE x BETWEEN {txmin} AND {txmax} AND y BETWEEN {tymin} AND {tymax}
+GROUP BY z, x, y
+"""
+
+
+SQL_BBOX_TILES = _bbox_tiles_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1137,6 +1214,9 @@ QUERIES: dict = {
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
+    # tile addressing/serving: Bing quadkey scheme + viewport range lookup
+    "quadkey": (q_quadkey, SQL_QUADKEY),
+    "bbox_tiles": (q_bbox_tiles, SQL_BBOX_TILES),
     # engine-only queries: golden-VALUES oracles precomputed WITHOUT Spark
     # by tools/make_golden_sql.py (minitiler pixels, NumPy indexers,
     # sparkhash XXH64 twin, plain-Python LSH/IVF logic) — see
