@@ -331,6 +331,50 @@ def test_incremental_exact_dedup(spark):
     assert list(got.content_hash) == list(got2.content_hash)
 
 
+def test_incremental_lsh_dedup(spark):
+    """Near-dup delta dedup: new docs matching corpus content (exactly or
+    nearly) are matched/dropped; genuinely new text survives; the
+    corpus-bucket star collapse still decides is-dup via the
+    representative."""
+    import pandas as _pd
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus_pdf = _pd.DataFrame(
+        {
+            "doc_id": range(3),
+            "text": [base, "completely different corpus text here", "third corpus doc content"],
+        }
+    )
+    new_pdf = _pd.DataFrame(
+        {
+            "doc_id": [100, 101, 102],
+            "text": [
+                base.replace("today", "tonight"),  # near-dup of corpus 0
+                "entirely novel new-batch document text",  # survivor
+                base,  # exact dup of corpus 0
+            ],
+        }
+    )
+    corpus = spark.createDataFrame(corpus_pdf)
+    new = spark.createDataFrame(new_pdf)
+    m = dedup.lsh_match_corpus_md5(new, corpus, jaccard_threshold=0.5).toPandas()
+    assert set(zip(m.new_id, m.corpus_id)) == {(100, 0), (102, 0)}
+    surv = dedup.incremental_lsh_dedup_md5(new, corpus, jaccard_threshold=0.5).toPandas()
+    assert sorted(surv.doc_id) == [101]
+    # hot-corpus star collapse: 40 identical corpus docs, cap 5 -> the new
+    # dup still matches (via the min-id representative at least)
+    hot = _pd.DataFrame({"doc_id": range(40), "text": [base] * 40})
+    m2 = dedup.lsh_match_corpus_md5(
+        new, spark.createDataFrame(hot), jaccard_threshold=0.5, max_corpus_bucket=5
+    ).toPandas()
+    assert 0 in set(m2[m2.new_id == 102].corpus_id)
+    assert sorted(
+        dedup.incremental_lsh_dedup_md5(
+            new, spark.createDataFrame(hot), jaccard_threshold=0.5, max_corpus_bucket=5
+        ).toPandas().doc_id
+    ) == [101]
+
+
 def test_ann_ivf_sample_byte_cap(spark):
     """The k-means driver sample is bounded in BYTES: with a large dim and
     a tiny max_sample_bytes the effective sample shrinks below sample_size

@@ -327,6 +327,112 @@ def minhash_lsh_pairs_md5(
     )
 
 
+def _banded_md5(docs: DataFrame, text_col: str, id_col: str, num_hashes: int, bands: int, k: int) -> DataFrame:
+    """(id, band, key) rows from md5 minhash signatures (portable twin of
+    _lsh_banded; band key = concatenated per-band minima)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures_md5(docs, text_col, id_col, num_hashes, k)
+    band_cols = [
+        F.concat(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    return banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("key")) for b in range(bands)])
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.key")
+
+
+def lsh_match_corpus_md5(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    k: int = 5,
+    jaccard_threshold: float = 0.5,
+    max_corpus_bucket: int | None = None,
+) -> DataFrame:
+    """NEAR-dup matches of a new batch against an existing corpus — the
+    delta twin of `minhash_lsh_pairs_md5` (incremental_exact_dedup handles
+    byte-identical content; this catches boilerplate/near-copies). Returns
+    (new_id, corpus_id, jaccard) for every verified match.
+
+    Shape at 100 TB: both sides band to narrow (id, band, key) rows — the
+    corpus side can be PRECOMPUTED once and stored (signatures are tiny) —
+    candidates come from a band-key equi-join (never all-pairs), and
+    shingle arrays re-join for the surviving candidates only.
+    `max_corpus_bucket` star-collapses degenerate CORPUS buckets to their
+    min-id representative: a new doc probing a hot bucket (10k identical
+    boilerplate docs) verifies against one representative instead of 10k
+    members — enough to decide is-dup, and the candidate count stays
+    linear in the new batch. New-side buckets need no cap: each new doc
+    contributes at most `bands` probe rows.
+    """
+    nb = _banded_md5(new_docs, text_col, id_col, num_hashes, bands, k)
+    cb = _banded_md5(corpus, text_col, id_col, num_hashes, bands, k)
+    if max_corpus_bucket is not None:
+        w = Window.partitionBy("band", "key")
+        cb = (
+            cb.withColumn("_bn", F.count("*").over(w))
+            .withColumn("_rep", F.min(id_col).over(w))
+            .filter((F.col("_bn") <= max_corpus_bucket) | (F.col(id_col) == F.col("_rep")))
+            .drop("_bn", "_rep")
+        )
+    cand = (
+        nb.select(F.col(id_col).alias("new_id"), "band", "key")
+        .join(cb.select(F.col(id_col).alias("corpus_id"), "band", "key"), ["band", "key"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    def sh(docs):
+        return _hashed_shingles(docs, text_col, id_col, k, "char").select(
+            F.col(id_col), F.array_distinct(F.col("_sh_hash")).alias("sh")
+        )
+    return (
+        cand.join(sh(new_docs).select(F.col(id_col).alias("new_id"), F.col("sh").alias("sha")), "new_id")
+        .join(sh(corpus).select(F.col(id_col).alias("corpus_id"), F.col("sh").alias("shb")), "corpus_id")
+        .withColumn("_inter", F.size(F.array_intersect("sha", "shb")))
+        .withColumn(
+            "jaccard",
+            F.col("_inter").cast("double")
+            / (F.size("sha") + F.size("shb") - F.col("_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )
+
+
+def incremental_lsh_dedup_md5(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    k: int = 5,
+    jaccard_threshold: float = 0.5,
+    max_corpus_bucket: int | None = None,
+) -> DataFrame:
+    """Ids of new-batch docs with NO verified near-dup in the corpus (the
+    rows safe to append, near-dup-wise). Compose with
+    `minhash_lsh_pairs`/`dedup_clusters` over the survivors for
+    within-batch near-dups, and `incremental_exact_dedup` for exact ones.
+    """
+    matches = lsh_match_corpus_md5(
+        new_docs, corpus, text_col, id_col, num_hashes, bands, k, jaccard_threshold,
+        max_corpus_bucket,
+    )
+    return (
+        new_docs.select(id_col)
+        .distinct()
+        .join(matches.select(F.col("new_id").alias(id_col)).distinct(), id_col, "left_anti")
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
     """64-bit SimHash over whitespace tokens via explode + codegen'd
     hash-aggregate: per-token xxhash64 (computed ONCE, JVM-side), then 64

@@ -1096,6 +1096,55 @@ WHERE content_hash NOT IN (SELECT content_hash FROM corpus)
 """
 
 
+def q_incremental_lsh(spark, sf_dir):
+    """Near-dup delta dedup: verified LSH matches of a new batch
+    (doc_id >= 250) against the existing corpus (doc_id < 250) — the
+    incremental twin of minhash_lsh_pairs_md5 (portable md5 signatures,
+    exact char-5-gram jaccard verify)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    return dedup.lsh_match_corpus_md5(
+        new, corpus, num_hashes=8, bands=4, jaccard_threshold=0.5
+    )
+
+
+def _lsh_md5_incremental_sql(num_hashes: int = 8, bands: int = 4, t: float = 0.5, split: int = 250) -> str:
+    rows = num_hashes // bands
+    mins = ", ".join(f"min(md5('{i}' || s)) AS m{i}" for i in range(num_hashes))
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
+            b=b, key=" || ".join(f"m{b * rows + r}" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, GREATEST(length(lower(text)) - 4, 1) + 1),
+                               i -> substr(lower(text), i::INT, 5))) AS s
+  FROM documents),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({band_rows}),
+cand AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+         FROM bands n JOIN bands c ON n.band = c.band AND n.key = c.key
+         WHERE n.doc_id >= {split} AND c.doc_id < {split}),
+g AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, GREATEST(length(lower(text)) - 4, 1) + 1),
+                           i -> substr(lower(text), i::INT, 5))) AS gr
+      FROM documents)
+SELECT new_id, corpus_id, jaccard FROM (
+  SELECT cand.new_id, cand.corpus_id,
+         len(list_intersect(gn.gr, gc.gr))::DOUBLE
+           / (len(gn.gr) + len(gc.gr) - len(list_intersect(gn.gr, gc.gr)))::DOUBLE AS jaccard
+  FROM cand JOIN g gn ON gn.doc_id = cand.new_id JOIN g gc ON gc.doc_id = cand.corpus_id)
+WHERE jaccard >= {t!r}
+"""
+
+
+SQL_INCREMENTAL_LSH = _lsh_md5_incremental_sql()
+
+
 def q_quadkey(spark, sf_dir):
     """Bing quadkey scheme (published base-4 interleave, MSB-first, XYZ
     y) as a pure Column expression over event tiles at two zooms, plus the
@@ -1214,6 +1263,7 @@ QUERIES: dict = {
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
+    "incremental_lsh": (q_incremental_lsh, SQL_INCREMENTAL_LSH),
     # tile addressing/serving: Bing quadkey scheme + viewport range lookup
     "quadkey": (q_quadkey, SQL_QUADKEY),
     "bbox_tiles": (q_bbox_tiles, SQL_BBOX_TILES),
