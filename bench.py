@@ -167,7 +167,14 @@ def scaling_probe(
     tiles = None
     dropped = 0
     round_walls: list[float] = []
+    # hard wall: even with zero complete rounds (every run hanging into its
+    # 240s timeout + retry), the probe must terminate in bounded time — the
+    # soft guard below only fires after 3 complete rounds, which a
+    # persistent hang would never reach
+    hard_wall = 3 * budget
     for rnd in range(rounds):
+        if time.time() - t_start > hard_wall:
+            break
         r0 = time.time()
         this_round: dict = {}
         for m in cores:  # interleaved: every level sees the same noise climate
@@ -274,7 +281,7 @@ def main():
     for name, fn in bench_queries.items():
         qruns = []
         err = None
-        for _ in range(QUERY_RUNS):
+        for _ in range(max(1, QUERY_RUNS)):
             t0 = time.time()
             try:
                 fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -285,13 +292,15 @@ def main():
                     err = f"error: {e}"[:120]
                     break
             qruns.append(round(time.time() - t0, 3))
-        if err and not qruns:
+        if not qruns:
             timings[name] = err
             continue
         # run 1 is cold (plan compile, UDF pickling) — with n>=2 the median
         # reflects steady state while runs_detail keeps the cold wall visible
         timings[name] = round(_median(qruns), 3)
-        runs_detail[name] = qruns
+        # a mid-sequence failure must stay visible: the median is then over
+        # fewer runs than the declared protocol
+        runs_detail[name] = qruns if err is None else qruns + [err]
     spark.stop()
 
     total = sum(v for v in timings.values() if isinstance(v, (int, float)))

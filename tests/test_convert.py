@@ -154,10 +154,10 @@ def test_quadkey_published_kat_and_roundtrip(spark):
     # y in TMS: y_tms = 2^z - 1 - y_xyz
     rows = _pd.DataFrame(
         {
-            "z": [3, 1, 1, 2, 8],
-            "x": [3, 0, 1, 3, 137],
-            # y is TMS: y_tms = 2^z - 1 - y_xyz; KAT y_xyz = [5, 0, 0, 3, 201]
-            "y": [2 ** 3 - 1 - 5, 1 - 0, 1 - 0, 3 - 3, 2 ** 8 - 1 - 201],
+            "z": [3, 1, 1, 2, 8, 0],
+            "x": [3, 0, 1, 3, 137, 0],
+            # y is TMS: y_tms = 2^z - 1 - y_xyz; KAT y_xyz = [5, 0, 0, 3, 201, 0]
+            "y": [2 ** 3 - 1 - 5, 1 - 0, 1 - 0, 3 - 3, 2 ** 8 - 1 - 201, 0],
         }
     )
     t = cv.quadkey(spark.createDataFrame(rows))
@@ -165,6 +165,7 @@ def test_quadkey_published_kat_and_roundtrip(spark):
     assert got[(3, 3)] == "213"  # published example
     assert got[(1, 0)] == "0" and got[(1, 1)] == "1"
     assert got[(2, 3)] == "33"
+    assert got[(0, 0)] == ""  # root tile: empty quadkey, roundtrips below
     back = cv.from_quadkey(t.select("quadkey"), "quadkey").toPandas()
     merged = t.toPandas().merge(back, on="quadkey", suffixes=("", "_rt"))
     assert (merged.z == merged.z_rt).all()

@@ -90,11 +90,12 @@ class FakeSpark:
         return FakeResult([])
 
 
-def snap(sid, tag):
-    """A fake joined history×snapshots row (newest-first order is the
-    query's job; the fakes return rows exactly as given)."""
+def snap(sid, tag, parent=None):
+    """A fake joined history×snapshots row. The implementation walks the
+    parent chain itself (made_current_at is not a reliable order key), so
+    the fakes carry parent_id and may be given in any order."""
     summary = {} if tag is None else {_TAG_PROP: json.dumps(tag, sort_keys=True)}
-    return {"snapshot_id": sid, "summary": summary}
+    return {"snapshot_id": sid, "parent_id": parent, "summary": summary}
 
 
 # ---------------------------------------------------------------- append
@@ -128,10 +129,10 @@ def test_rollback_tip_suffix_single_call(tmp_path):
     # chain newest-first: two orphans from run r9 at the tip, then good ones
     spark = FakeSpark(
         [
-            snap(40, {"run_id": "r9", "part_id": 2}),
-            snap(30, {"run_id": "r9", "part_id": 1}),
-            snap(20, {"run_id": "r1", "part_id": 1}),
+            snap(30, {"run_id": "r9", "part_id": 1}, parent=20),
+            snap(40, {"run_id": "r9", "part_id": 2}, parent=30),
             snap(10, None),
+            snap(20, {"run_id": "r1", "part_id": 1}, parent=10),
         ]
     )
     cat = Catalog(spark, str(tmp_path), use_iceberg=True)
@@ -142,7 +143,7 @@ def test_rollback_tip_suffix_single_call(tmp_path):
 
 
 def test_rollback_explicit_catalog_identifier(tmp_path):
-    spark = FakeSpark([snap(2, {"run_id": "x"}), snap(1, None)])
+    spark = FakeSpark([snap(2, {"run_id": "x"}, parent=1), snap(1, None)])
     cat = Catalog(spark, str(tmp_path), use_iceberg=True)
     n = cat.rollback_where("prod.db.tiles", lambda t: True)
     assert n == 1
@@ -153,11 +154,11 @@ def test_rollback_explicit_catalog_identifier(tmp_path):
     # and the metadata scan hit the history/snapshots tables of the table
     sel = [s for kind, s in spark.statements if kind == "select"][0]
     assert "prod.db.tiles.history" in sel and "prod.db.tiles.snapshots" in sel
-    assert "is_current_ancestor" in sel and "DESC" in sel
+    assert "is_current_ancestor" in sel and "parent_id" in sel
 
 
 def test_rollback_no_match_is_noop(tmp_path):
-    spark = FakeSpark([snap(2, {"run_id": "r1"}), snap(1, None)])
+    spark = FakeSpark([snap(2, {"run_id": "r1"}, parent=1), snap(1, None)])
     cat = Catalog(spark, str(tmp_path), use_iceberg=True)
     assert cat.rollback_where("db.tiles", lambda t: t.get("run_id") == "nope") == 0
     assert [s for kind, s in spark.statements if kind == "other"] == []
@@ -168,8 +169,8 @@ def test_rollback_non_tip_match_raises(tmp_path):
     # crash model can't produce this — refuse to rewrite non-tip history
     spark = FakeSpark(
         [
-            snap(30, {"run_id": "good"}),
-            snap(20, {"run_id": "orphan"}),
+            snap(30, {"run_id": "good"}, parent=20),
+            snap(20, {"run_id": "orphan"}, parent=10),
             snap(10, None),
         ]
     )
@@ -180,7 +181,7 @@ def test_rollback_non_tip_match_raises(tmp_path):
 
 
 def test_rollback_entire_history_matching_raises(tmp_path):
-    spark = FakeSpark([snap(2, {"run_id": "r"}), snap(1, {"run_id": "r"})])
+    spark = FakeSpark([snap(2, {"run_id": "r"}, parent=1), snap(1, {"run_id": "r"})])
     cat = Catalog(spark, str(tmp_path), use_iceberg=True)
     with pytest.raises(RuntimeError, match="empty table"):
         cat.rollback_where("db.tiles", lambda t: True)
@@ -192,11 +193,36 @@ def test_rollback_untagged_tip_blocks_suffix(tmp_path):
     # are NOT a tip suffix -> the non-tip guard must trip, not roll back
     spark = FakeSpark(
         [
-            snap(30, None),
-            snap(20, {"run_id": "orphan"}),
+            snap(30, None, parent=20),
+            snap(20, {"run_id": "orphan"}, parent=10),
             snap(10, None),
         ]
     )
     cat = Catalog(spark, str(tmp_path), use_iceberg=True)
     with pytest.raises(RuntimeError, match="not part of the tip suffix"):
         cat.rollback_where("db.tiles", lambda t: t.get("run_id") == "orphan")
+
+
+def test_rollback_duplicate_history_rows_and_ties(tmp_path):
+    """A snapshot re-made-current by a prior rollback appears TWICE in
+    <table>.history; the parent-chain walk must dedupe and still find the
+    tip suffix (timestamp ordering would misorder/duplicate these)."""
+    spark = FakeSpark(
+        [
+            snap(20, {"run_id": "orphan"}, parent=10),
+            snap(10, None),
+            snap(10, None),  # duplicate history row for the same snapshot
+        ]
+    )
+    cat = Catalog(spark, str(tmp_path), use_iceberg=True)
+    assert cat.rollback_where("db.tiles", lambda t: t.get("run_id") == "orphan") == 1
+    calls = [s for kind, s in spark.statements if kind == "other"]
+    assert calls == ["CALL spark_catalog.system.rollback_to_snapshot('db.tiles', 10)"]
+
+
+def test_rollback_broken_chain_raises(tmp_path):
+    """Two tip candidates (disconnected chain) must refuse, not guess."""
+    spark = FakeSpark([snap(2, {"run_id": "r"}), snap(1, None)])  # no parent links
+    cat = Catalog(spark, str(tmp_path), use_iceberg=True)
+    with pytest.raises(RuntimeError, match="unique tip"):
+        cat.rollback_where("db.tiles", lambda t: True)

@@ -127,3 +127,64 @@ def test_resume_without_plan_record_refused(spark, images, tmp_path):
         tp.run(spark, images, cat, run_id="r1", n_parts=8)
     with pytest.raises(ValueError, match="no plan record"):
         tp.run(spark, images, cat, run_id="r1", n_parts=4)  # even same value: unverifiable
+
+
+def test_catalog_compact(spark, tmp_path):
+    """Many small appends -> one compacted batch: identical rows, single
+    manifest entry, folded dirs removed, appends continue to work after."""
+    import os
+
+    import pandas as _pd
+    from pyspark.sql import functions as F
+
+    from tilers_tools_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    for i in range(6):
+        df = spark.createDataFrame(_pd.DataFrame({"k": range(i * 10, i * 10 + 10), "b": [i] * 10}))
+        cat.append(df, "t", tag={"run_id": "r", "part_id": i})
+    before = cat.read("t").orderBy("k").toPandas()
+    assert len(cat._entries("t")) == 6
+    assert cat.compact("t") == 6
+    entries = cat._entries("t")
+    assert len(entries) == 1 and entries[0]["tag"] is None
+    after = cat.read("t").orderBy("k").toPandas()
+    assert before.equals(after)
+    # folded dirs physically gone; only the compacted batch + manifest remain
+    tdir = str(tmp_path / "cat" / "t")
+    assert sorted(d for d in os.listdir(tdir) if not d.startswith("_")) == [entries[0]["dir"]]
+    # appends after compaction still read correctly
+    cat.append(spark.createDataFrame(_pd.DataFrame({"k": [999], "b": [9]})), "t")
+    assert cat.read("t").filter(F.col("k") == 999).count() == 1
+    assert cat.compact("t") == 2  # compacting again folds the new pair
+    assert cat.compact("t") == 0  # idempotent no-op on a single batch
+
+
+def test_catalog_compact_preserves_partition_layout(spark, tmp_path):
+    """compact() without arguments reuses the partition layout recorded at
+    append time (a z-partitioned tile table must stay partition-prunable);
+    mixed recorded layouts refuse."""
+    import os
+
+    import pandas as _pd
+
+    from tilers_tools_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    for i in range(3):
+        df = spark.createDataFrame(_pd.DataFrame({"k": range(i * 5, i * 5 + 5), "z": [i, i, i, 7, 7]}))
+        cat.append(df, "t", partition_by=("z",))
+    assert cat.compact("t") == 3
+    entry = cat._entries("t")[0]
+    assert entry["partition_by"] == ["z"]
+    batch_dir = os.path.join(str(tmp_path / "cat" / "t"), entry["dir"])
+    assert any(d.startswith("z=") for d in os.listdir(batch_dir))
+    assert cat.read("t").count() == 15
+    # mixed layouts -> explicit choice required
+    cat.append(spark.createDataFrame(_pd.DataFrame({"k": [99], "z": [1]})), "t", partition_by=("k",))
+    cat.append(spark.createDataFrame(_pd.DataFrame({"k": [98], "z": [1]})), "t", partition_by=("z",))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mixed partition layouts"):
+        cat.compact("t")
+    assert cat.compact("t", partition_by=("z",)) == 3

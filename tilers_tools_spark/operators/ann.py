@@ -113,9 +113,16 @@ def ivf_topk(
     """
     from pyspark.sql.types import ArrayType, IntegerType
 
-    head = corpus.select(F.size(F.col(c_vec).cast("array<double>")).alias("_d")).head(1)
+    # dim probe must skip NULL/empty vectors: with ANSI off, size(NULL) is
+    # -1, which would zero out the byte cap and re-enable the unbounded
+    # 100k-row collect this guard exists to prevent
+    head = (
+        corpus.select(F.size(F.col(c_vec).cast("array<double>")).alias("_d"))
+        .filter(F.col("_d") > 0)
+        .head(1)
+    )
     if not head:
-        raise ValueError("ivf_topk: empty corpus")
+        raise ValueError("ivf_topk: empty corpus (no non-null embedding rows)")
     dim = int(head[0]["_d"])
     eff_sample = max(n_lists, min(sample_size, max_sample_bytes // max(dim * 8, 1)))
 

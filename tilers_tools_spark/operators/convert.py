@@ -113,12 +113,17 @@ def from_quadkey(df: DataFrame, qk_col: str = "quadkey") -> DataFrame:
     # split('') yields a trailing empty token; positions 1..z carry digits.
     # x = sum over i of x-bit(i) << (z-i); same for y, then flip to TMS.
     def acc(sel):
-        return F.aggregate(
-            F.sequence(F.lit(1), z.cast("int")),
-            F.lit(0).cast("bigint"),
-            lambda a, i: a
-            + sel(F.element_at(digits, i)).cast("bigint")
-            * F.pow(F.lit(2.0), (z - i).cast("double")).cast("bigint"),
+        # z=0 (root tile, empty quadkey): sequence(1, 0) would count DOWN
+        # ([1, 0] — Spark infers step -1) and index element_at(digits, 0),
+        # which throws; the root decodes to (0, 0) directly
+        return F.when(z == 0, F.lit(0).cast("bigint")).otherwise(
+            F.aggregate(
+                F.sequence(F.lit(1), z.cast("int")),
+                F.lit(0).cast("bigint"),
+                lambda a, i: a
+                + sel(F.element_at(digits, i)).cast("bigint")
+                * F.pow(F.lit(2.0), (z - i).cast("double")).cast("bigint"),
+            )
         )
     x = acc(lambda d: d % 2)
     y_xyz = acc(lambda d: (d / 2).cast("int"))

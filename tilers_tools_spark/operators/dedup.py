@@ -294,19 +294,7 @@ def minhash_lsh_pairs_md5(
     `minhash_lsh_pairs` is the throughput path). Returns (a, b, jaccard),
     a < b.
     """
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures_md5(docs, text_col, id_col, num_hashes, k)
-    band_cols = [
-        F.concat(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select(F.col(id_col), *band_cols)
-    melted = banded.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("key")) for b in range(bands)])
-        ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.key")
+    melted = _banded_md5(docs, text_col, id_col, num_hashes, bands, k)
     l = melted.select(F.col(id_col).alias("a"), "band", "key")
     r = melted.select(F.col(id_col).alias("b"), "band", "key")
     cand = l.join(r, ["band", "key"]).filter(F.col("a") < F.col("b")).select("a", "b").distinct()

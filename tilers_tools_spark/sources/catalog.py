@@ -56,14 +56,20 @@ class Catalog:
         return os.path.join(self._tdir(table), "_manifest.json")
 
     def _entries(self, table: str) -> list[dict]:
-        """Manifest entries [{dir, tag}]; plain-string commits (v1 format)
-        are upgraded on read for backward compatibility."""
+        """Manifest entries [{dir, tag, partition_by}]; plain-string
+        commits (v1) and tag-only dicts (v2) are upgraded on read."""
         mf = self._manifest(table)
         if not os.path.exists(mf):
             return []
         with open(mf) as f:
             raw = json.load(f)["commits"]
-        return [e if isinstance(e, dict) else {"dir": e, "tag": None} for e in raw]
+        out = []
+        for e in raw:
+            if not isinstance(e, dict):
+                e = {"dir": e, "tag": None}
+            e.setdefault("partition_by", [])
+            out.append(e)
+        return out
 
     def _commits(self, table: str) -> list[str]:
         return [e["dir"] for e in self._entries(table)]
@@ -75,9 +81,12 @@ class Catalog:
             json.dump({"commits": entries}, f)
         os.replace(tmp, mf)  # atomic on POSIX
 
-    def _commit(self, table: str, batch_dir: str, tag: dict | None = None):
+    def _commit(
+        self, table: str, batch_dir: str, tag: dict | None = None,
+        partition_by: tuple[str, ...] = (),
+    ):
         entries = self._entries(table)
-        entries.append({"dir": batch_dir, "tag": tag})
+        entries.append({"dir": batch_dir, "tag": tag, "partition_by": list(partition_by)})
         self._write_manifest(table, entries)
 
     # -- public API ----------------------------------------------------
@@ -112,7 +121,7 @@ class Catalog:
         writer.parquet(staging)
         final = os.path.join(tdir, batch)
         os.replace(staging, final)
-        self._commit(table, batch, tag)
+        self._commit(table, batch, tag, partition_by)
 
     def rollback_where(self, table: str, pred) -> int:
         """Remove committed batches whose tag satisfies `pred(tag) -> bool`
@@ -157,13 +166,31 @@ class Catalog:
         property (see rollback_where docstring). Uses only public Spark SQL
         surfaces — metadata tables + the rollback_to_snapshot procedure —
         so it is exercisable under a mocked `spark.sql` offline."""
-        # newest-first chain of snapshots that are ancestors of the current
-        # table state (abandoned branches from earlier rollbacks excluded)
-        chain = self.spark.sql(
-            f"SELECT h.snapshot_id, s.summary FROM {table}.history h "
+        # snapshots that are ancestors of the current table state (abandoned
+        # branches from earlier rollbacks excluded). NOT ordered by
+        # made_current_at — same-millisecond commits tie, and a snapshot
+        # re-made-current by a prior rollback appears TWICE in history —
+        # instead dedupe by snapshot_id and walk the parent chain from the
+        # tip (the unique ancestor that is no other ancestor's parent).
+        rows = self.spark.sql(
+            f"SELECT h.snapshot_id, s.parent_id, s.summary FROM {table}.history h "
             f"JOIN {table}.snapshots s ON h.snapshot_id = s.snapshot_id "
-            f"WHERE h.is_current_ancestor ORDER BY h.made_current_at DESC"
+            f"WHERE h.is_current_ancestor"
         ).collect()
+        by_id = {row["snapshot_id"]: row for row in rows}
+        parents = {row["parent_id"] for row in by_id.values() if row["parent_id"] is not None}
+        tips = [sid for sid in by_id if sid not in parents]
+        if len(tips) != 1:
+            raise RuntimeError(
+                f"rollback_where({table}): cannot identify a unique tip in the "
+                f"current-ancestor chain ({len(tips)} candidates of {len(by_id)} "
+                "snapshots) — metadata inconsistency, refusing to roll back."
+            )
+        chain = []
+        sid = tips[0]
+        while sid is not None and sid in by_id:
+            chain.append(by_id[sid])
+            sid = by_id[sid]["parent_id"]
         n_drop = 0
         keep_target = None  # newest non-matching ancestor
         for row in chain:
@@ -223,6 +250,61 @@ class Catalog:
             for c in commits
         ]
         return reduce(_DF.unionByName, dfs)
+
+    def compact(self, table: str, partition_by: tuple[str, ...] = ()) -> int:
+        """Fallback-path manifest compaction: rewrite all committed batch
+        dirs into ONE batch and atomically swap the manifest. A
+        thousand-commit table otherwise makes read() build a
+        thousand-relation unionByName plan — compaction restores a
+        single-scan read. Returns the number of batches folded (0 = nothing
+        to do). Iceberg path: no-op returning 0 (use the engine's own
+        rewrite_data_files maintenance there).
+
+        Run AFTER a pipeline run completes: the per-commit crash-
+        reconciliation tags are intentionally dropped (they only matter for
+        batches whose paired checkpoint row may be missing — a completed
+        run has none), and the single writer assumption of the fallback
+        applies (no concurrent appends during compaction).
+
+        Partition layout is PRESERVED: appends record their partition_by
+        in the manifest, and compaction reuses that layout when the caller
+        doesn't pass one (mixed recorded layouts raise — the caller must
+        choose). Without this, compacting a z-partitioned tile table would
+        silently flatten it and lose the partition pruning the serving
+        path relies on.
+        """
+        if self.use_iceberg:
+            return 0
+        entries = self._entries(table)
+        if len(entries) <= 1:
+            return 0
+        if not partition_by:
+            layouts = {tuple(e["partition_by"]) for e in entries}
+            layouts.discard(())
+            if len(layouts) > 1:
+                raise ValueError(
+                    f"compact({table}): batches carry mixed partition layouts "
+                    f"{sorted(layouts)} — pass partition_by explicitly"
+                )
+            partition_by = layouts.pop() if layouts else ()
+        df = self.read(table)
+        tdir = self._tdir(table)
+        batch = f"batch-{uuid.uuid4().hex}"
+        staging = os.path.join(tdir, f"_tmp-{batch}")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staging)
+        os.replace(staging, os.path.join(tdir, batch))
+        # manifest swap first (atomic cutover to the compacted batch), then
+        # remove the folded dirs — a crash between the two leaves orphan
+        # dirs that no manifest references (invisible to readers, safe to gc)
+        self._write_manifest(
+            table, [{"dir": batch, "tag": None, "partition_by": list(partition_by)}]
+        )
+        for e in entries:
+            shutil.rmtree(os.path.join(tdir, e["dir"]), ignore_errors=True)
+        return len(entries)
 
     def exists(self, table: str) -> bool:
         if self.use_iceberg:
