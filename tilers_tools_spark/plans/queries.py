@@ -1028,6 +1028,116 @@ FROM documents WHERE doc_id >= 40 AND doc_id < 60
 """
 
 
+_STREAM_BASE = 1_767_225_600  # 2026-01-01 00:00:00 UTC
+
+
+def q_streaming_window(spark, sf_dir):
+    """Watermarked event-time windowed aggregation under the driver gate
+    (streaming/stateful.windowed_doc_counts): 10-minute tumbling windows
+    over doc arrivals, append mode, across availableNow RESTARTS.
+
+    Three-run protocol, built on the real semantics: the watermark
+    accepts data for any still-OPEN window (even if the event time is
+    behind the watermark) and drops rows only for FINALIZED windows; each
+    availableNow run ends with a no-data batch that advances the
+    watermark and flushes newly-finalized windows.
+      run 1 — docs 0..19 arrive on time (minute = doc_id); nothing
+              finalizes (watermark 00:09 < first window end 00:10);
+      run 2 — an advancer at minute 31 pushes the watermark to 00:21:
+              windows [00:00,00:10) and [00:10,00:20) finalize and emit;
+      run 3 — a LATE row at minute 5: its window end (00:10) is behind
+              the 00:21 watermark -> DROPPED. If the drop failed, Spark
+              would re-open the window and the flush would emit a 21st
+              row — the row-count discriminates. The advancer's own
+              window (end 00:40 > 00:21) stays open, never emitted.
+    Expected output = exactly docs 0..19 grouped per (10-min bucket,
+    source) — a pure relational oracle over documents. Window bounds are
+    emitted as epoch seconds (timezone-free cross-engine comparison)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..streaming import stateful
+
+    base = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 20)
+        .select("doc_id", "text", "source")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    base["event_secs"] = _STREAM_BASE + base.doc_id * 60
+    work = tempfile.mkdtemp(prefix="tilers_streaming_window_")
+    src = os.path.join(work, "in")
+    out = os.path.join(work, "out")
+    ck = os.path.join(work, "ck")
+    os.makedirs(src)
+    cols = ["doc_id", "text", "source", "event_secs"]
+
+    def write_batch(name, pdf):
+        pq.write_table(pa.Table.from_pandas(pdf[cols], preserve_index=False), os.path.join(src, name))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id long, text string, source string, event_secs long")
+            .format("parquet")
+            .load(src)
+            .withColumn("event_time", F.timestamp_seconds(F.col("event_secs")))
+        )
+        q = (
+            stateful.windowed_doc_counts(stream)
+            .select(
+                F.col("window_start").cast("long").alias("w_start"),
+                F.col("window_end").cast("long").alias("w_end"),
+                "source",
+                "n_docs",
+                "n_tokens",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def extra(doc_id, minute, text_, source):
+        return pd.DataFrame(
+            {"doc_id": [doc_id], "text": [text_], "source": [source],
+             "event_secs": [_STREAM_BASE + minute * 60]}
+        )
+
+    try:
+        write_batch("b0.parquet", base)
+        run_once()
+        write_batch("b1.parquet", extra(901, 31, "watermark advancer", "web"))
+        run_once()
+        write_batch("b2.parquet", extra(900, 5, "late arrival must be dropped", "web"))
+        run_once()
+        got = spark.read.parquet(out).toPandas()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(got[["w_start", "w_end", "source", "n_docs", "n_tokens"]])
+
+
+SQL_STREAMING_WINDOW = rf"""
+SELECT {_STREAM_BASE} + (doc_id // 10) * 600 AS w_start,
+       {_STREAM_BASE} + (doc_id // 10 + 1) * 600 AS w_end,
+       source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT)
+         AS n_tokens
+FROM documents WHERE doc_id < 20
+GROUP BY doc_id // 10, source
+"""
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic cross-engine train/val/test split (portable md5-hex
     mechanism, operators/sampling.py) — 80/10/10 over documents."""
@@ -1259,6 +1369,7 @@ QUERIES: dict = {
     "phash_near_dup": (q_phash_near_dup, SQL_PHASH_NEAR_DUP),
     # streaming surface: availableNow ingest + cross-restart stateful dedup
     "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
+    "streaming_window": (q_streaming_window, SQL_STREAMING_WINDOW),
     # dataset splitting/sampling + delta dedup (training-data pipeline ops)
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),

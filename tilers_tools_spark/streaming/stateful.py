@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..operators import text as _text
+
 
 def streaming_exact_dedup(
     stream: DataFrame,
@@ -44,6 +46,44 @@ def streaming_exact_dedup(
         h = h.withWatermark(event_time_col, watermark)
         return h.dropDuplicatesWithinWatermark(["content_hash"])
     return h.dropDuplicates(["content_hash"])
+
+
+def windowed_doc_counts(
+    stream: DataFrame,
+    event_time_col: str = "event_time",
+    watermark: str = "10 minutes",
+    window_len: str = "10 minutes",
+    source_col: str = "source",
+) -> DataFrame:
+    """Event-time windowed arrival counts with late-data handling — the
+    task brief's 'watermarks + windowed aggs for late data' as a concrete
+    operator: per (source, tumbling event-time window), count + token sum.
+    Rows later than `watermark` behind the max observed event time are
+    DROPPED (never re-open a finalized window); in append output mode a
+    window emits once, when the watermark passes its end. State is one
+    small row per open (source, window) — bounded by the watermark horizon
+    regardless of stream length, the standard unbounded-stream contract.
+
+    Returns window_start/window_end as timestamps plus (source, n_docs,
+    n_tokens); downstream rollups (e.g. tilemap_rollup over tile arrival
+    streams) compose relationally on the emitted rows."""
+    w = stream.withWatermark(event_time_col, watermark)
+    return (
+        w.groupBy(
+            F.window(F.col(event_time_col), window_len).alias("win"), F.col(source_col)
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(_text.token_count("text")).alias("n_tokens"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            source_col,
+            "n_docs",
+            "n_tokens",
+        )
+    )
 
 
 _STATS_OUT = "source string, n_docs long, n_tokens long"
