@@ -188,3 +188,25 @@ def test_catalog_compact_preserves_partition_layout(spark, tmp_path):
     with _pytest.raises(ValueError, match="mixed partition layouts"):
         cat.compact("t")
     assert cat.compact("t", partition_by=("z",)) == 3
+
+
+def test_catalog_gc_orphans(spark, tmp_path):
+    """gc() removes batch/staging dirs the manifest doesn't reference
+    (crash debris) and never touches live batches."""
+    import os
+
+    import pandas as _pd
+
+    from tilers_tools_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.append(spark.createDataFrame(_pd.DataFrame({"k": [1, 2]})), "t")
+    tdir = str(tmp_path / "cat" / "t")
+    os.makedirs(os.path.join(tdir, "batch-deadbeef"))
+    os.makedirs(os.path.join(tdir, "_tmp-crashed"))
+    os.makedirs(os.path.join(tdir, "unrelated-dir"))  # not engine debris: kept
+    assert cat.gc("t") == 2
+    assert cat.read("t").count() == 2
+    left = sorted(d for d in os.listdir(tdir) if os.path.isdir(os.path.join(tdir, d)))
+    assert "unrelated-dir" in left and "batch-deadbeef" not in left
+    assert cat.gc("t") == 0

@@ -201,3 +201,34 @@ def test_cell_join_is_sort_merge(spark, points_df):
     assert "SortMergeJoin" in plan
     # sanity: self-join contains the diagonal
     assert j.filter(F.col("point_id") == F.col("pid2")).count() == df.count()
+
+
+def test_wkt_polygons_pip_equivalence(spark):
+    """WKT-parsed polygons produce identical PIP results to directly-built
+    rings (incl. a donut hole), and the published closing-vertex
+    convention is normalized away."""
+    import pandas as _pd
+
+    from tilers_tools_spark.operators import spatial as sp
+
+    wkt = "POLYGON ((0 0, 30 0, 30 30, 0 30, 0 0), (10 10, 20 10, 20 20, 10 20, 10 10))"
+    direct_rows = [
+        ("p", [{"lon": float(x), "lat": float(y)} for x, y in [(0, 0), (30, 0), (30, 30), (0, 30)]]),
+        ("p", [{"lon": float(x), "lat": float(y)} for x, y in [(10, 10), (20, 10), (20, 20), (10, 20)]]),
+    ]
+    polys_wkt = sp.wkt_polygons_df(spark, [("p", wkt)])
+    polys_direct = spark.createDataFrame(
+        direct_rows, "poly_id string, ring array<struct<lon:double,lat:double>>"
+    )
+    pts = spark.createDataFrame(
+        _pd.DataFrame(
+            {
+                "event_id": [0, 1, 2, 3],
+                "lon": [5.0, 15.0, 25.0, 40.0],   # in, in-hole, in, out
+                "lat": [5.0, 15.0, 25.0, 40.0],
+            }
+        )
+    )
+    a = sp.pip_join(pts, polys_wkt).select("event_id").toPandas()
+    b = sp.pip_join(pts, polys_direct).select("event_id").toPandas()
+    assert sorted(a.event_id) == sorted(b.event_id) == [0, 2]

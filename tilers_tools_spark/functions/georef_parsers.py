@@ -283,3 +283,40 @@ def parse_georef_udf(kind: str = "ozi"):
         return pd.DataFrame(rows, columns=["gsd", "mx0", "my0", "mx1", "my1"])
 
     return udf
+
+
+# ---------------------------------------------------------------------------
+# WKT polygons (published OGC Simple Features well-known text [SPEC]) —
+# input-format widening for the PIP/cutline polygon side
+# ---------------------------------------------------------------------------
+
+_WKT_RING = re.compile(r"\(([^()]+)\)")
+
+
+def parse_wkt_polygon(wkt: str) -> list[list[tuple[float, float]]]:
+    """POLYGON/MULTIPOLYGON WKT -> list of rings, each an OPEN vertex list
+    of (x, y) i.e. (lon, lat) tuples (the WKT-mandated closing vertex —
+    first == last — is dropped to match the engine's open-ring
+    convention; spatial.pip_join treats extra rings of one poly_id as
+    holes via even-odd). MULTIPOLYGON rings are flattened: even-odd
+    containment over the flattened set equals per-part containment for
+    disjoint parts."""
+    head = wkt.strip().upper()
+    if not (head.startswith("POLYGON") or head.startswith("MULTIPOLYGON")):
+        raise ValueError(f"not a POLYGON/MULTIPOLYGON WKT: {wkt[:40]!r}")
+    rings = []
+    for body in _WKT_RING.findall(wkt):
+        verts = []
+        for pair in body.split(","):
+            parts = pair.split()
+            if len(parts) < 2:
+                raise ValueError(f"bad WKT coordinate {pair!r}")
+            verts.append((float(parts[0]), float(parts[1])))
+        if len(verts) >= 2 and verts[0] == verts[-1]:
+            verts = verts[:-1]
+        if len(verts) < 3:
+            raise ValueError("WKT ring with fewer than 3 distinct vertices")
+        rings.append(verts)
+    if not rings:
+        raise ValueError("WKT polygon with no rings")
+    return rings

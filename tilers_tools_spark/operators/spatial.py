@@ -329,3 +329,20 @@ def bbox_join(
         & (F.col(lcols[3]) >= F.col(rcols[1]))
     )
     return j.drop("_cell").dropDuplicates(list(keys) if keys else None)
+
+
+def wkt_polygons_df(spark, rows):
+    """[(poly_id, wkt_string)] -> the (poly_id, ring) DataFrame shape
+    pip_join/apply_cutline consume (one row per ring; holes = extra rows
+    of the same poly_id, even-odd). Parsing is driver-side — polygon sets
+    are small by the engine's broadcast contract (BASELINE.json:6), the
+    parsed rings are what gets broadcast."""
+    from ..functions.georef_parsers import parse_wkt_polygon
+
+    out = []
+    for pid, wkt in rows:
+        for ring in parse_wkt_polygon(wkt):
+            out.append((pid, [{"lon": x, "lat": y} for x, y in ring]))
+    return spark.createDataFrame(
+        out, "poly_id string, ring array<struct<lon:double,lat:double>>"
+    )

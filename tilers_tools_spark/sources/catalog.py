@@ -306,6 +306,29 @@ class Catalog:
             shutil.rmtree(os.path.join(tdir, e["dir"]), ignore_errors=True)
         return len(entries)
 
+    def gc(self, table: str) -> int:
+        """Fallback-path orphan sweep: delete batch/staging dirs the
+        manifest does not reference — debris from a crash between a
+        staged write and its commit, or between compact()'s manifest swap
+        and its rmtree pass. Orphans are invisible to readers (read()
+        lists the manifest first), so gc is safe any time the single-
+        writer assumption holds. Returns the number of dirs removed."""
+        if self.use_iceberg:
+            return 0
+        tdir = self._tdir(table)
+        if not os.path.isdir(tdir):
+            return 0
+        live = {e["dir"] for e in self._entries(table)}
+        n = 0
+        for d in os.listdir(tdir):
+            full = os.path.join(tdir, d)
+            if not os.path.isdir(full) or d in live:
+                continue
+            if d.startswith("batch-") or d.startswith("_tmp-"):
+                shutil.rmtree(full, ignore_errors=True)
+                n += 1
+        return n
+
     def exists(self, table: str) -> bool:
         if self.use_iceberg:
             return self.spark.catalog.tableExists(table)
