@@ -47,6 +47,10 @@ BENCH_QUERIES = [
     "minhash_xxhash",
     "embedding_topk",
     "h3_s2_assign",
+    # round-4 additions (cheap, showcase the new op families)
+    "hash_split",
+    "incremental_dedup",
+    "quadkey",
 ]
 
 
