@@ -16,7 +16,15 @@ from __future__ import annotations
 import argparse
 import json
 
-_KIND_OF_EXT = {"map": "ozi", "kap": "kap", "geo": "geo", "kml": "kml"}
+_KIND_OF_EXT = {
+    "map": "ozi",
+    "kap": "kap",
+    "geo": "geo",
+    "kml": "kml",
+    # GeoTIFF georef comes from the raster's own tags (functions/tiffcodec)
+    "tif": "geotiff",
+    "tiff": "geotiff",
+}
 
 
 def main():
@@ -44,7 +52,9 @@ def main():
         )
         if df.isEmpty():
             continue
-        header = F.col("content") if kind == "kap" else F.col("content").cast("string")
+        header = (
+            F.col("content") if kind in ("kap", "geotiff") else F.col("content").cast("string")
+        )
         g = df.select(
             "path",
             F.lit(kind).alias("kind"),

@@ -237,7 +237,9 @@ def sniff_fmt(data: bytes) -> str:
         return "raw"
     if data[:2] == b"\xff\xd8":
         return "jpeg"
-    raise ValueError("unknown tile container (no PNG/RAW1/JPEG magic)")
+    if data[:2] in (b"II", b"MM") and len(data) >= 4 and data[2:4] in (b"*\x00", b"\x00*"):
+        return "tiff"
+    raise ValueError("unknown tile container (no PNG/RAW1/JPEG/TIFF magic)")
 
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
@@ -250,6 +252,10 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         from . import jpegcodec
 
         return jpegcodec.decode_jpeg(data)
+    if fmt == "tiff":
+        from . import tiffcodec
+
+        return tiffcodec.decode_tiff(data)[0]
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

@@ -268,6 +268,12 @@ def parse_georef_udf(kind: str = "ozi"):
             try:
                 if kind == "kml":
                     g = kml_overlay_to_georef(parse_kml_overlay(hd), int(ww), int(hh))
+                elif kind == "geotiff":
+                    from . import tiffcodec
+
+                    _arr, g = tiffcodec.decode_tiff(bytes(hd))
+                    if g is None:
+                        raise ValueError("TIFF without GeoTIFF tags")
                 else:
                     if kind == "ozi":
                         parsed = parse_ozi_map(hd)

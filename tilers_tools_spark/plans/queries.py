@@ -1206,6 +1206,47 @@ WHERE content_hash NOT IN (SELECT content_hash FROM corpus)
 """
 
 
+_GEOTIFF_SPECS = [
+    # (image_id, gsd, mx0, my1, w, h) — deterministic synthetic GeoTIFFs
+    (f"gt{i}", 10.0 + i, -1.0e6 + 12345.0 * i, 2.0e6 + 777.0 * i, 48 + 8 * i, 32 + 8 * i)
+    for i in range(4)
+]
+
+
+def q_geotiff_georef(spark, sf_dir):
+    """GeoTIFF ingestion (pure-NumPy TIFF 6.0/GeoTIFF 1.1 reader,
+    functions/tiffcodec.py — the reference's primary raster input format):
+    per-image georef extracted Arrow-batched from the rasters' own
+    ModelPixelScale/ModelTiepoint tags. The oracle is ANALYTIC — the
+    expected box is plain arithmetic on the constructed tag values
+    (mx1 = mx0 + w*gsd, my0 = my1 - h*gsd), no engine code involved;
+    pixel/byte-level decode correctness is pytest-pinned against
+    handcrafted spec bytes (tests/test_tiffcodec.py)."""
+    import numpy as np
+
+    from ..functions import tiffcodec
+    from ..functions.georef_parsers import parse_georef_udf
+
+    rows = []
+    for image_id, gsd, mx0, my1, w, h in _GEOTIFF_SPECS:
+        arr = np.full((h, w, 3), int(image_id[2:]) * 40, np.uint8)
+        blob = tiffcodec.encode_tiff(arr, geo={"gsd": gsd, "mx0": mx0, "my1": my1, "epsg": 3857})
+        rows.append((image_id, blob, w, h))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int")
+    u = parse_georef_udf("geotiff")
+    return df.withColumn("g", u(F.col("bytes"), F.col("w"), F.col("h"))).select(
+        "image_id", "g.gsd", "g.mx0", "g.my0", "g.mx1", "g.my1"
+    )
+
+
+SQL_GEOTIFF_GEOREF = "SELECT * FROM (VALUES " + ", ".join(
+    f"('{iid}', CAST({gsd!r} AS DOUBLE), CAST({mx0!r} AS DOUBLE), "
+    f"CAST({my1 - h * gsd!r} AS DOUBLE), CAST({mx0 + w * gsd!r} AS DOUBLE), "
+    f"CAST({my1!r} AS DOUBLE))"
+    for iid, gsd, mx0, my1, w, h in _GEOTIFF_SPECS
+) + ") AS t(image_id, gsd, mx0, my0, mx1, my1)"
+
+
 def q_incremental_lsh(spark, sf_dir):
     """Near-dup delta dedup: verified LSH matches of a new batch
     (doc_id >= 250) against the existing corpus (doc_id < 250) — the
@@ -1375,6 +1416,8 @@ QUERIES: dict = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "incremental_lsh": (q_incremental_lsh, SQL_INCREMENTAL_LSH),
+    # GeoTIFF ingestion (analytic oracle; decode pinned vs handcrafted bytes)
+    "geotiff_georef": (q_geotiff_georef, SQL_GEOTIFF_GEOREF),
     # tile addressing/serving: Bing quadkey scheme + viewport range lookup
     "quadkey": (q_quadkey, SQL_QUADKEY),
     "bbox_tiles": (q_bbox_tiles, SQL_BBOX_TILES),
