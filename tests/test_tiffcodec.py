@@ -42,7 +42,8 @@ def _handcraft(bo: str, w: int, h: int, strips: list[bytes], rows_per_strip: int
     ifd_off = 8
     entries_end = ifd_off + 2 + 12 * n_tags + 4
     strip_offsets = []
-    pos = entries_end + 8 * len(strips)  # leave room for offset/count arrays
+    # out-of-line offset/count arrays exist only in the multi-strip case
+    pos = entries_end + (8 * len(strips) if len(strips) > 1 else 0)
     counts_off = entries_end
     offsets_off = entries_end + 4 * len(strips)
     for s in strips:
@@ -106,14 +107,14 @@ def test_sniff_and_decode_image_integration():
 def test_unsupported_features_raise_loudly():
     a = np.zeros((4, 4), np.uint8)
     blob = bytearray(tiffcodec.encode_tiff(a))
-    # flip Compression (tag 259) value to 5 (LZW): find its entry
+    # flip Compression (tag 259) value to 7 (JPEG-in-TIFF, unsupported)
     n = struct.unpack("<H", blob[8:10])[0]
     for i in range(n):
         off = 10 + 12 * i
         tag = struct.unpack("<H", blob[off : off + 2])[0]
         if tag == 259:
-            blob[off + 8 : off + 10] = struct.pack("<H", 5)
-    with pytest.raises(NotImplementedError, match="compression 5"):
+            blob[off + 8 : off + 10] = struct.pack("<H", 7)
+    with pytest.raises(NotImplementedError, match="compression 7"):
         tiffcodec.decode_tiff(bytes(blob))
     with pytest.raises(ValueError, match="byte-order"):
         tiffcodec.decode_tiff(b"XX\x00\x2a" + b"\0" * 16)
@@ -182,3 +183,140 @@ def test_geotiff_to_tiles_end_to_end(spark):
     a = t1.sort_values(["x", "y"]).reset_index(drop=True)
     b = t2.sort_values(["x", "y"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_packbits_spec_example():
+    """The TIFF 6.0 spec's own PackBits worked example (§9)."""
+    packed = bytes.fromhex("FEAA0280002AFDAA0380002A22F7AA")
+    want = bytes.fromhex("AAAAAA80002AAAAAAAAA80002A22AAAAAAAAAAAAAAAAAAAA")
+    assert tiffcodec._unpackbits(packed) == want
+
+
+def test_deflate_roundtrip_with_geo():
+    rng = np.random.default_rng(6)
+    a = rng.integers(0, 256, (33, 21, 3), dtype=np.uint8)
+    geo = {"gsd": 5.5, "mx0": 10.0, "my1": 20.0}
+    blob = tiffcodec.encode_tiff(a, geo=geo, compression="deflate")
+    arr, g = tiffcodec.decode_tiff(blob)
+    assert np.array_equal(arr, a) and g["gsd"] == 5.5
+    assert len(blob) != len(tiffcodec.encode_tiff(a, geo=geo))  # actually compressed
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Test-side TIFF-LZW compressor written independently from the
+    decoder (spec §13): MSB-first packing, CLEAR=256/EOI=257, early
+    width change when the NEXT code would not fit."""
+    out = bytearray()
+    bitbuf, bitcnt = 0, 0
+
+    def emit(code, width):
+        nonlocal bitbuf, bitcnt
+        bitbuf = (bitbuf << width) | code
+        bitcnt += width
+        while bitcnt >= 8:
+            out.append((bitbuf >> (bitcnt - 8)) & 0xFF)
+            bitcnt -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    emit(256, width)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code >= 4094:
+            emit(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        w = bytes([ch])
+    if w:
+        emit(table[w], width)
+    emit(257, width)
+    if bitcnt:
+        out.append((bitbuf << (8 - bitcnt)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_decode_vs_independent_encoder():
+    rng = np.random.default_rng(12)
+    for data in [
+        b"",
+        b"A",
+        b"TOBEORNOTTOBEORTOBEORNOT",
+        bytes(rng.integers(0, 4, 5000, dtype=np.uint8)),  # forces width growth
+        bytes(rng.integers(0, 256, 20000, dtype=np.uint8)),  # forces table reset
+    ]:
+        assert tiffcodec._unlzw(_lzw_encode(data)) == data, len(data)
+
+
+def test_lzw_tiff_end_to_end():
+    """An LZW strip inside a handcrafted TIFF decodes through the full
+    reader path (with predictor 1)."""
+    rng = np.random.default_rng(13)
+    img = bytes(rng.integers(0, 8, 64, dtype=np.uint8))
+    strip = _lzw_encode(img)
+    data = _handcraft("<", 8, 8, [strip], 8)
+    # patch Compression (tag 259) from 1 -> 5
+    blob = bytearray(data)
+    n = struct.unpack("<H", blob[8:10])[0]
+    for i in range(n):
+        off = 10 + 12 * i
+        if struct.unpack("<H", blob[off : off + 2])[0] == 259:
+            blob[off + 8 : off + 10] = struct.pack("<H", 5)
+    arr, _ = tiffcodec.decode_tiff(bytes(blob))
+    assert arr.tobytes() == img
+
+
+def test_predictor2_horizontal_differencing():
+    """Predictor 2 (deltas vs the same channel one pixel left) is undone
+    by per-channel wraparound cumsum; verified against a manually
+    differenced RGB image in a handcrafted deflate TIFF."""
+    import zlib
+
+    rng = np.random.default_rng(14)
+    img = rng.integers(0, 256, (4, 6, 3), dtype=np.uint8)
+    diff = img.copy()
+    diff[:, 1:, :] = img[:, 1:, :] - img[:, :-1, :]  # uint8 wrap
+    strip = zlib.compress(diff.tobytes(), 6)
+    # handcraft an RGB TIFF with predictor + deflate
+    bo = "<"
+    tags = [
+        (256, 4, [6]), (257, 4, [4]), (258, 3, [8, 8, 8]), (259, 3, [8]),
+        (262, 3, [2]), (273, 4, None), (277, 3, [3]), (278, 4, [4]),
+        (279, 4, [len(strip)]), (317, 3, [2]),
+    ]
+    n = len(tags)
+    entries_end = 8 + 2 + 12 * n + 4
+    extra = b""
+    ents = b""
+    strip_patch_pos = None
+    for i, (tag, ftype, values) in enumerate(tags):
+        fmt = {3: "H", 4: "I"}[ftype]
+        size = {3: 2, 4: 4}[ftype]
+        if values is None:  # strip offset placeholder
+            strip_patch_pos = 8 + 2 + 12 * i + 8
+            raw = struct.pack(bo + "I", 0)
+            count = 1
+        else:
+            count = len(values)
+            packed = struct.pack(bo + fmt * count, *values)
+            if size * count <= 4:
+                raw = packed.ljust(4, b"\0")
+            else:
+                raw = struct.pack(bo + "I", entries_end + len(extra))
+                extra += packed
+        ents += struct.pack(bo + "HHI", tag, ftype, count) + raw
+    blob = bytearray(
+        struct.pack(bo + "2sHI", b"II", 42, 8)
+        + struct.pack(bo + "H", n) + ents + struct.pack(bo + "I", 0) + extra + strip
+    )
+    blob[strip_patch_pos : strip_patch_pos + 4] = struct.pack(bo + "I", entries_end + len(extra))
+    arr, _ = tiffcodec.decode_tiff(bytes(blob))
+    assert np.array_equal(arr, img)

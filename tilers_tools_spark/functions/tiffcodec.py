@@ -4,18 +4,21 @@ The reference's primary raster input is GeoTIFF (gdal_tiler reads it via
 GDAL; SURVEY.md §2.3 row 1-2). No imaging libs exist offline, so this
 implements the published subset the tiling pipeline needs:
 
-* reader: both byte orders, baseline uint8 gray/RGB/RGBA, Compression=1
-  (none), strip-organized (any RowsPerStrip), PlanarConfiguration=1;
-  GeoTIFF georef via ModelPixelScaleTag (33550) + ModelTiepointTag
-  (33922) + GeoKeyDirectoryTag (34735: model type + projected CRS key).
-* writer: little-endian, single-strip uncompressed, optional GeoTIFF
-  tags — used by fixtures/tests; the reader is also pinned against
-  HANDCRAFTED tag bytes (tests/test_tiffcodec.py) so a shared
-  writer/reader bug cannot hide.
+* reader: both byte orders, baseline uint8 gray/RGB/RGBA,
+  strip-organized (any RowsPerStrip), PlanarConfiguration=1;
+  compression none(1)/LZW(5)/Deflate(8, 32946)/PackBits(32773) with
+  horizontal Predictor(317)=2 — the combinations GDAL-written GeoTIFFs
+  actually use; GeoTIFF georef via ModelPixelScaleTag (33550) +
+  ModelTiepointTag (33922) + GeoKeyDirectoryTag (34735: model type +
+  projected CRS key).
+* writer: little-endian, single-strip, compression none or deflate,
+  optional GeoTIFF tags — used by fixtures/tests; the reader is also
+  pinned against HANDCRAFTED tag bytes (tests/test_tiffcodec.py) so a
+  shared writer/reader bug cannot hide.
 
-Out of scope (documented, like WebP): LZW/Deflate/JPEG-in-TIFF
-compression, tiled organization, BigTIFF, >8-bit samples — all raise
-with explicit messages rather than mis-decoding.
+Out of scope (documented, like WebP): JPEG-in-TIFF, tiled organization,
+BigTIFF, >8-bit samples, floating predictor — all raise with explicit
+messages rather than mis-decoding.
 """
 
 from __future__ import annotations
@@ -44,6 +47,99 @@ TAG_GEO_KEYS = 34735
 _GT_MODEL_TYPE = 1024  # 1 = projected, 2 = geographic
 _PROJECTED_CS = 3072  # EPSG code of the projected CRS
 _GEOGRAPHIC_CS = 2048
+
+
+TAG_PREDICTOR = 317
+
+
+def _unpackbits(src: bytes) -> bytes:
+    """Apple PackBits RLE (TIFF spec §9): n in 0..127 -> copy n+1 literal
+    bytes; n in -127..-1 -> repeat next byte 1-n times; -128 no-op."""
+    out = bytearray()
+    i, n = 0, len(src)
+    while i < n:
+        c = src[i]
+        i += 1
+        if c < 128:
+            out += src[i : i + c + 1]
+            i += c + 1
+        elif c > 128:
+            out += src[i : i + 1] * (257 - c)
+            i += 1
+        # c == 128: no-op
+    return bytes(out)
+
+
+def _unlzw(src: bytes) -> bytes:
+    """TIFF-variant LZW decode (TIFF spec §13): MSB-first bit packing,
+    9->12-bit codes, ClearCode=256, EOI=257, table grows at entry
+    4094 ('early change')."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+    bitbuf = 0
+    bitcnt = 0
+    width = 9
+    prev: bytes | None = None
+    pos = 0
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    n = len(src)
+    while True:
+        while bitcnt < width:
+            if pos >= n:
+                return bytes(out)  # truncated stream: return what we have
+            bitbuf = (bitbuf << 8) | src[pos]
+            pos += 1
+            bitcnt += 8
+        code = (bitbuf >> (bitcnt - width)) & ((1 << width) - 1)
+        bitcnt -= width
+        if code == CLEAR:
+            reset()
+            continue
+        if code == EOI:
+            return bytes(out)
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code} beyond table {len(table)}")
+        out += entry
+        prev = entry
+        # 'early change' (TIFF spec §13): the encoder inserts its table
+        # entry IMMEDIATELY after emitting, so its table runs one entry
+        # ahead of ours — widen when OUR table is one short of the limit,
+        # i.e. one code earlier than generic LZW
+        if len(table) >= (1 << width) - 2 and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def _decompress_strip(raw: bytes, comp: int) -> bytes:
+    if comp == 1:
+        return raw
+    if comp in (8, 32946):  # Deflate (Adobe) / Deflate (old code)
+        import zlib
+
+        return zlib.decompress(raw)
+    if comp == 32773:
+        return _unpackbits(raw)
+    if comp == 5:
+        return _unlzw(raw)
+    raise NotImplementedError(
+        f"TIFF compression {comp} not supported (1=none, 5=LZW, 8/32946=deflate, 32773=packbits)"
+    )
 
 
 def _read_values(data: bytes, bo: str, ftype: int, count: int, raw: bytes):
@@ -88,23 +184,27 @@ def decode_tiff(data: bytes):
     w = int(tags[TAG_WIDTH][0])
     h = int(tags[TAG_LENGTH][0])
     comp = int(tags.get(TAG_COMPRESSION, [1])[0])
-    if comp != 1:
-        raise NotImplementedError(f"TIFF compression {comp} not supported (only 1=none)")
     spp = int(tags.get(TAG_SPP, [1])[0])
     bits = tags.get(TAG_BITS, [8] * spp)
     if any(int(b) != 8 for b in bits):
         raise NotImplementedError(f"only 8-bit samples supported, got {bits}")
     if int(tags.get(TAG_PLANAR, [1])[0]) != 1:
         raise NotImplementedError("planar (separated) TIFF not supported")
+    predictor = int(tags.get(TAG_PREDICTOR, [1])[0])
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor} not supported (1 or 2)")
     offsets = [int(v) for v in tags[TAG_STRIP_OFFSETS]]
     counts = [int(v) for v in tags[TAG_STRIP_COUNTS]]
-    raw = b"".join(data[o : o + c] for o, c in zip(offsets, counts))
+    raw = b"".join(_decompress_strip(data[o : o + c], comp) for o, c in zip(offsets, counts))
     need = w * h * spp
     if len(raw) < need:
         raise ValueError(f"TIFF strips truncated: {len(raw)} < {need}")
-    arr = np.frombuffer(raw, dtype=np.uint8, count=need).reshape(
-        (h, w) if spp == 1 else (h, w, spp)
-    )
+    arr = np.frombuffer(raw, dtype=np.uint8, count=need).reshape(h, w, spp).copy()
+    if predictor == 2:
+        # horizontal differencing: each sample stored as delta from the
+        # same sample one pixel left — undo with a wrap-around cumsum
+        arr = np.cumsum(arr, axis=1, dtype=np.uint8)
+    arr = arr.reshape((h, w) if spp == 1 else (h, w, spp))
 
     geo = None
     if TAG_MODEL_PIXEL_SCALE in tags and TAG_MODEL_TIEPOINT in tags:
@@ -134,11 +234,12 @@ def decode_tiff(data: bytes):
     return arr, geo
 
 
-def encode_tiff(arr: np.ndarray, geo: dict | None = None) -> bytes:
-    """uint8 (H,W)/(H,W,3)/(H,W,4) -> little-endian single-strip
-    uncompressed TIFF; `geo` = {"gsd", "mx0", "my1", ["epsg"]} adds
-    GeoTIFF tags (pixel-scale, top-left tiepoint, projected-CRS geokey).
-    Deterministic bytes (fixed tag order/layout)."""
+def encode_tiff(arr: np.ndarray, geo: dict | None = None, compression: str = "none") -> bytes:
+    """uint8 (H,W)/(H,W,3)/(H,W,4) -> little-endian single-strip TIFF;
+    `compression` = 'none' | 'deflate'; `geo` = {"gsd", "mx0", "my1",
+    ["epsg"]} adds GeoTIFF tags (pixel-scale, top-left tiepoint,
+    projected-CRS geokey). Deterministic bytes (fixed tag order/layout,
+    fixed zlib level)."""
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
@@ -147,6 +248,14 @@ def encode_tiff(arr: np.ndarray, geo: dict | None = None) -> bytes:
         raise ValueError(f"unsupported band count {c}")
     photometric = 1 if c == 1 else 2
     pixels = arr.tobytes()
+    comp_code = 1
+    if compression == "deflate":
+        import zlib
+
+        pixels = zlib.compress(pixels, 6)
+        comp_code = 8
+    elif compression != "none":
+        raise ValueError(f"writer supports 'none' | 'deflate', got {compression!r}")
 
     entries = []  # (tag, type, count, values)
     extra = b""  # out-of-line values, appended after the IFD
@@ -158,7 +267,7 @@ def encode_tiff(arr: np.ndarray, geo: dict | None = None) -> bytes:
     add(TAG_WIDTH, 4, [w])
     add(TAG_LENGTH, 4, [h])
     add(TAG_BITS, 3, [8] * c)
-    add(TAG_COMPRESSION, 3, [1])
+    add(TAG_COMPRESSION, 3, [comp_code])
     add(TAG_PHOTOMETRIC, 3, [photometric])
     add(TAG_STRIP_OFFSETS, 4, [0])  # patched below
     add(TAG_SPP, 3, [c])
