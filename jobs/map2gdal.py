@@ -55,12 +55,21 @@ def main():
         header = (
             F.col("content") if kind in ("kap", "geotiff") else F.col("content").cast("string")
         )
+        if kind == "geotiff":
+            # the raster carries its own dimensions — emit the real w/h
+            # (a tags-only parse; --width/--height are sidecar defaults)
+            from tilers_tools_spark.functions.georef_parsers import tiff_dims_udf
+
+            df = df.withColumn("dims", tiff_dims_udf()(F.col("content")))
+            wcol, hcol = F.col("dims.w"), F.col("dims.h")
+        else:
+            wcol, hcol = F.lit(args.width), F.lit(args.height)
         g = df.select(
             "path",
             F.lit(kind).alias("kind"),
-            F.lit(args.width).alias("w"),
-            F.lit(args.height).alias("h"),
-            parse_georef_udf(kind)(header, F.lit(args.width), F.lit(args.height)).alias("georef"),
+            wcol.alias("w"),
+            hcol.alias("h"),
+            parse_georef_udf(kind)(header, wcol, hcol).alias("georef"),
         ).select("path", "kind", "w", "h", "georef.*")
         out = g if out is None else out.unionByName(g)
     if out is None:

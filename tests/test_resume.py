@@ -150,9 +150,13 @@ def test_catalog_compact(spark, tmp_path):
     assert len(entries) == 1 and entries[0]["tag"] is None
     after = cat.read("t").orderBy("k").toPandas()
     assert before.equals(after)
-    # folded dirs physically gone; only the compacted batch + manifest remain
     tdir = str(tmp_path / "cat" / "t")
+    # folded dirs are RETAINED (concurrent readers may still scan them) as
+    # unreferenced orphans; gc() reclaims them once readers drain
+    assert len([d for d in os.listdir(tdir) if d.startswith("batch-")]) == 7
+    assert cat.gc("t") == 6
     assert sorted(d for d in os.listdir(tdir) if not d.startswith("_")) == [entries[0]["dir"]]
+    assert cat.read("t").orderBy("k").toPandas().equals(before)
     # appends after compaction still read correctly
     cat.append(spark.createDataFrame(_pd.DataFrame({"k": [999], "b": [9]})), "t")
     assert cat.read("t").filter(F.col("k") == 999).count() == 1

@@ -320,3 +320,107 @@ def test_predictor2_horizontal_differencing():
     blob[strip_patch_pos : strip_patch_pos + 4] = struct.pack(bo + "I", entries_end + len(extra))
     arr, _ = tiffcodec.decode_tiff(bytes(blob))
     assert np.array_equal(arr, img)
+
+
+def _handcraft_tags(tags, strip: bytes, bo="<") -> bytes:
+    """Generic handcrafted single-strip TIFF from a (tag, type, values)
+    list; values None on tag 273 marks the strip-offset placeholder."""
+    n = len(tags)
+    entries_end = 8 + 2 + 12 * n + 4
+    extra = b""
+    ents = b""
+    patch_pos = None
+    for i, (tag, ftype, values) in enumerate(tags):
+        fmt = {3: "H", 4: "I", 12: "d"}[ftype]
+        size = {3: 2, 4: 4, 12: 8}[ftype]
+        if values is None:
+            patch_pos = 8 + 2 + 12 * i + 8
+            raw = struct.pack(bo + "I", 0)
+            count = 1
+        else:
+            count = len(values)
+            packed = struct.pack(bo + fmt * count, *values)
+            raw = packed.ljust(4, b"\0") if size * count <= 4 else struct.pack(
+                bo + "I", entries_end + len(extra)
+            )
+            if size * count > 4:
+                extra += packed
+        ents += struct.pack(bo + "HHI", tag, ftype, count) + raw
+    blob = bytearray(
+        struct.pack(bo + "2sHI", b"II", 42, 8)
+        + struct.pack(bo + "H", n) + ents + struct.pack(bo + "I", 0) + extra + strip
+    )
+    blob[patch_pos : patch_pos + 4] = struct.pack(bo + "I", entries_end + len(extra))
+    return bytes(blob)
+
+
+def test_palette_tiff_expands_colormap():
+    """Photometric 3: indices expand through the 16-bit ColorMap (>>8),
+    like scanned-chart DRG GeoTIFFs."""
+    idx = np.array([[0, 1], [2, 1]], np.uint8)
+    # palette: 3 colors, 16-bit entries (value<<8 => exact 8-bit scale)
+    reds, greens, blues = [10, 20, 30], [40, 50, 60], [70, 80, 90]
+    # full map = 3 * 2^bits entries (all reds, all greens, all blues)
+    full = [v << 8 for v in reds] + [0] * 253 + [v << 8 for v in greens] + [0] * 253 + [v << 8 for v in blues] + [0] * 253
+    tags = [
+        (256, 4, [2]), (257, 4, [2]), (258, 3, [8]), (259, 3, [1]),
+        (262, 3, [3]), (273, 4, None), (277, 3, [1]), (278, 4, [2]),
+        (279, 4, [4]), (320, 3, full),
+    ]
+    arr, geo = tiffcodec.decode_tiff(_handcraft_tags(tags, idx.tobytes()))
+    assert geo is None and arr.shape == (2, 2, 3)
+    assert list(arr[0, 0]) == [10, 40, 70]
+    assert list(arr[0, 1]) == [20, 50, 80]
+    assert list(arr[1, 0]) == [30, 60, 90]
+
+
+def test_white_is_zero_inverts():
+    img = np.array([[0, 255], [100, 200]], np.uint8)
+    tags = [
+        (256, 4, [2]), (257, 4, [2]), (258, 3, [8]), (259, 3, [1]),
+        (262, 3, [0]), (273, 4, None), (277, 3, [1]), (278, 4, [2]),
+        (279, 4, [4]),
+    ]
+    arr, _ = tiffcodec.decode_tiff(_handcraft_tags(tags, img.tobytes()))
+    assert np.array_equal(arr, 255 - img)
+
+
+def test_cmyk_raises():
+    img = bytes(16)
+    tags = [
+        (256, 4, [2]), (257, 4, [2]), (258, 3, [8, 8, 8, 8]), (259, 3, [1]),
+        (262, 3, [5]), (273, 4, None), (277, 3, [4]), (278, 4, [2]),
+        (279, 4, [16]),
+    ]
+    with pytest.raises(NotImplementedError, match="photometric 5"):
+        tiffcodec.decode_tiff(_handcraft_tags(tags, img))
+
+
+def test_read_tiff_tags_skips_strips():
+    """Tags-only parse returns dims+georef even when the strip bytes are
+    garbage for the declared compression — proof it never touches them."""
+    a = np.zeros((6, 9, 3), np.uint8)
+    blob = bytearray(tiffcodec.encode_tiff(a, geo={"gsd": 2.0, "mx0": 1.0, "my1": 9.0}))
+    blob[-10:] = b"\xff" * 10  # corrupt pixel data
+    t = tiffcodec.read_tiff_tags(bytes(blob))
+    assert (t["w"], t["h"]) == (9, 6) and t["geo"]["gsd"] == 2.0
+
+
+def test_tiff_dims_udf(spark):
+    from pyspark.sql import functions as F
+
+    from tilers_tools_spark.functions.georef_parsers import tiff_dims_udf
+
+    rows = [
+        ("a", tiffcodec.encode_tiff(np.zeros((5, 7), np.uint8))),
+        ("b", b"not a tiff"),
+    ]
+    df = spark.createDataFrame(rows, "k string, content binary")
+    out = (
+        df.withColumn("d", tiff_dims_udf()(F.col("content")))
+        .select("k", "d.w", "d.h")
+        .toPandas()
+        .set_index("k")
+    )
+    assert (out.loc["a", "w"], out.loc["a", "h"]) == (7, 5)
+    assert (out.loc["b", "w"], out.loc["b", "h"]) == (-1, -1)

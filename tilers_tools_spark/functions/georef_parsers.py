@@ -271,7 +271,10 @@ def parse_georef_udf(kind: str = "ozi"):
                 elif kind == "geotiff":
                     from . import tiffcodec
 
-                    _arr, g = tiffcodec.decode_tiff(bytes(hd))
+                    # tags-only parse: never decompress pixel strips just
+                    # to read four georef tags (a multi-hundred-MB LZW
+                    # chart would cost minutes per row otherwise)
+                    g = tiffcodec.read_tiff_tags(bytes(hd))["geo"]
                     if g is None:
                         raise ValueError("TIFF without GeoTIFF tags")
                 else:
@@ -287,6 +290,31 @@ def parse_georef_udf(kind: str = "ozi"):
             except Exception:
                 rows.append((float("nan"),) * 5)
         return pd.DataFrame(rows, columns=["gsd", "mx0", "my0", "mx1", "my1"])
+
+    return udf
+
+
+def tiff_dims_udf():
+    """pandas UDF factory: TIFF bytes -> (w, h) ints from a tags-only
+    parse (no strip decode); (-1, -1) for unparseable rows so failures
+    stay auditable like the NaN-georef convention."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType([StructField("w", IntegerType()), StructField("h", IntegerType())])
+
+    @F.pandas_udf(schema)
+    def udf(blobs: pd.Series) -> pd.DataFrame:
+        from . import tiffcodec
+
+        rows = []
+        for b in blobs:
+            try:
+                t = tiffcodec.read_tiff_tags(bytes(b))
+                rows.append((int(t["w"]), int(t["h"])))
+            except Exception:
+                rows.append((-1, -1))
+        return pd.DataFrame(rows, columns=["w", "h"])
 
     return udf
 

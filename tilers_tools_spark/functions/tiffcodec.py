@@ -4,8 +4,10 @@ The reference's primary raster input is GeoTIFF (gdal_tiler reads it via
 GDAL; SURVEY.md §2.3 row 1-2). No imaging libs exist offline, so this
 implements the published subset the tiling pipeline needs:
 
-* reader: both byte orders, baseline uint8 gray/RGB/RGBA,
-  strip-organized (any RowsPerStrip), PlanarConfiguration=1;
+* reader: both byte orders, baseline uint8 gray (BlackIsZero AND
+  WhiteIsZero), RGB, RGBA, palette (ColorMap expanded to RGB like the
+  PNG PLTE path), strip-organized (any RowsPerStrip),
+  PlanarConfiguration=1;
   compression none(1)/LZW(5)/Deflate(8, 32946)/PackBits(32773) with
   horizontal Predictor(317)=2 — the combinations GDAL-written GeoTIFFs
   actually use; GeoTIFF georef via ModelPixelScaleTag (33550) +
@@ -40,6 +42,7 @@ TAG_SPP = 277
 TAG_ROWS_PER_STRIP = 278
 TAG_STRIP_COUNTS = 279
 TAG_PLANAR = 284
+TAG_COLOR_MAP = 320
 TAG_MODEL_PIXEL_SCALE = 33550
 TAG_MODEL_TIEPOINT = 33922
 TAG_GEO_KEYS = 34735
@@ -153,13 +156,9 @@ def _read_values(data: bytes, bo: str, ftype: int, count: int, raw: bytes):
     return list(struct.unpack(bo + fmt * count, buf))
 
 
-def decode_tiff(data: bytes):
-    """TIFF bytes -> (uint8 array (H,W) or (H,W,C), georef dict | None).
-
-    georef (when GeoTIFF tags are present): {"gsd", "mx0", "my0", "mx1",
-    "my1", "epsg"} — the north-up affine of the engine's render contract
-    (tiepoint maps raster (0,0) to the model-space TOP-left; my0 < my1).
-    """
+def _parse_ifd(data: bytes) -> tuple[dict[int, list], str]:
+    """Header + first IFD -> ({tag: values}, byte-order char). Cheap:
+    touches only the directory and out-of-line tag values, never strips."""
     if len(data) < 8:
         raise ValueError("not a TIFF: too short")
     if data[:2] == b"II":
@@ -180,7 +179,58 @@ def decode_tiff(data: bytes):
         tag, ftype, count = struct.unpack(bo + "HHI", e[:8])
         if ftype in _TYPES:
             tags[tag] = _read_values(data, bo, ftype, count, e[8:12])
+    return tags, bo
 
+
+def _georef_from_tags(tags: dict[int, list], h: int) -> dict | None:
+    if TAG_MODEL_PIXEL_SCALE not in tags or TAG_MODEL_TIEPOINT not in tags:
+        return None
+    sx, sy = float(tags[TAG_MODEL_PIXEL_SCALE][0]), float(tags[TAG_MODEL_PIXEL_SCALE][1])
+    tp = tags[TAG_MODEL_TIEPOINT]
+    # (i, j, k, x, y, z): raster (i,j) -> model (x,y); top-left anchor
+    i0, j0, _k, x0, y0 = (float(v) for v in tp[:5])
+    mx0 = x0 - i0 * sx
+    my1 = y0 + j0 * sy  # model y of the raster TOP edge
+    epsg = None
+    if TAG_GEO_KEYS in tags:
+        gk = [int(v) for v in tags[TAG_GEO_KEYS]]
+        # directory: (version, rev, minor, nkeys) then nkeys * (key,
+        # location, count, value) with location 0 = inline value
+        for k in range(4, len(gk) - 3, 4):
+            key, loc, _cnt, val = gk[k : k + 4]
+            if key in (_PROJECTED_CS, _GEOGRAPHIC_CS) and loc == 0:
+                epsg = val
+    w = int(tags[TAG_WIDTH][0])
+    return {
+        "gsd": sx,
+        "mx0": mx0,
+        "my0": my1 - h * sy,
+        "mx1": mx0 + w * sx,
+        "my1": my1,
+        "epsg": epsg,
+    }
+
+
+def read_tiff_tags(data: bytes) -> dict:
+    """Tags-only parse: {"w", "h", "geo": georef-dict-or-None} WITHOUT
+    touching (or decompressing) any pixel strip — the right call for
+    georef/dimension extraction over large charts (map2gdal), where
+    decoding a multi-hundred-MB LZW raster just to read four tags would
+    waste minutes per file."""
+    tags, _bo = _parse_ifd(data)
+    w = int(tags[TAG_WIDTH][0])
+    h = int(tags[TAG_LENGTH][0])
+    return {"w": w, "h": h, "geo": _georef_from_tags(tags, h)}
+
+
+def decode_tiff(data: bytes):
+    """TIFF bytes -> (uint8 array (H,W) or (H,W,C), georef dict | None).
+
+    georef (when GeoTIFF tags are present): {"gsd", "mx0", "my0", "mx1",
+    "my1", "epsg"} — the north-up affine of the engine's render contract
+    (tiepoint maps raster (0,0) to the model-space TOP-left; my0 < my1).
+    """
+    tags, _bo = _parse_ifd(data)
     w = int(tags[TAG_WIDTH][0])
     h = int(tags[TAG_LENGTH][0])
     comp = int(tags.get(TAG_COMPRESSION, [1])[0])
@@ -190,6 +240,12 @@ def decode_tiff(data: bytes):
         raise NotImplementedError(f"only 8-bit samples supported, got {bits}")
     if int(tags.get(TAG_PLANAR, [1])[0]) != 1:
         raise NotImplementedError("planar (separated) TIFF not supported")
+    photometric = int(tags.get(TAG_PHOTOMETRIC, [1])[0])
+    if photometric not in (0, 1, 2, 3):
+        # 5=CMYK, 6=YCbCr, ... — mis-decoding as gray/RGB would be silent
+        raise NotImplementedError(f"TIFF photometric {photometric} not supported (0/1/2/3)")
+    if photometric == 3 and spp != 1:
+        raise NotImplementedError("palette TIFF must have 1 sample per pixel")
     predictor = int(tags.get(TAG_PREDICTOR, [1])[0])
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor} not supported (1 or 2)")
@@ -204,34 +260,26 @@ def decode_tiff(data: bytes):
         # horizontal differencing: each sample stored as delta from the
         # same sample one pixel left — undo with a wrap-around cumsum
         arr = np.cumsum(arr, axis=1, dtype=np.uint8)
+    if photometric == 0:
+        # WhiteIsZero: invert to the engine's BlackIsZero convention
+        arr = (255 - arr).astype(np.uint8)
+    elif photometric == 3:
+        # palette: ColorMap (tag 320) holds 3 * 2^bits 16-bit values
+        # (all reds, then greens, then blues); expand indices -> RGB,
+        # scaling 16-bit palette entries to 8-bit like the PNG PLTE path
+        if TAG_COLOR_MAP not in tags:
+            raise ValueError("palette TIFF without ColorMap tag")
+        cm = np.asarray(tags[TAG_COLOR_MAP], dtype=np.uint32)
+        if cm.size % 3:
+            raise ValueError(f"ColorMap length {cm.size} not divisible by 3")
+        n_pal = cm.size // 3
+        pal = (cm.reshape(3, n_pal).T >> 8).astype(np.uint8)  # (n_pal, 3)
+        idx = arr.reshape(h, w)
+        if int(idx.max(initial=0)) >= n_pal:
+            raise ValueError("palette index out of ColorMap range")
+        return pal[idx], _georef_from_tags(tags, h)
     arr = arr.reshape((h, w) if spp == 1 else (h, w, spp))
-
-    geo = None
-    if TAG_MODEL_PIXEL_SCALE in tags and TAG_MODEL_TIEPOINT in tags:
-        sx, sy = float(tags[TAG_MODEL_PIXEL_SCALE][0]), float(tags[TAG_MODEL_PIXEL_SCALE][1])
-        tp = tags[TAG_MODEL_TIEPOINT]
-        # (i, j, k, x, y, z): raster (i,j) -> model (x,y); top-left anchor
-        i0, j0, _k, x0, y0 = (float(v) for v in tp[:5])
-        mx0 = x0 - i0 * sx
-        my1 = y0 + j0 * sy  # model y of the raster TOP edge
-        epsg = None
-        if TAG_GEO_KEYS in tags:
-            gk = [int(v) for v in tags[TAG_GEO_KEYS]]
-            # directory: (version, rev, minor, nkeys) then nkeys * (key,
-            # location, count, value) with location 0 = inline value
-            for k in range(4, len(gk) - 3, 4):
-                key, loc, _cnt, val = gk[k : k + 4]
-                if key in (_PROJECTED_CS, _GEOGRAPHIC_CS) and loc == 0:
-                    epsg = val
-        geo = {
-            "gsd": sx,
-            "mx0": mx0,
-            "my0": my1 - h * sy,
-            "mx1": mx0 + w * sx,
-            "my1": my1,
-            "epsg": epsg,
-        }
-    return arr, geo
+    return arr, _georef_from_tags(tags, h)
 
 
 def encode_tiff(arr: np.ndarray, geo: dict | None = None, compression: str = "none") -> bytes:

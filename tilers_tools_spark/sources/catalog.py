@@ -67,7 +67,10 @@ class Catalog:
         for e in raw:
             if not isinstance(e, dict):
                 e = {"dir": e, "tag": None}
-            e.setdefault("partition_by", [])
+            # None = layout UNKNOWN (manifest predates the field) —
+            # distinct from [] = recorded-unpartitioned; compact() treats
+            # unknown conservatively (directory sniff / explicit arg)
+            e.setdefault("partition_by", None)
             out.append(e)
         return out
 
@@ -178,6 +181,8 @@ class Catalog:
             f"WHERE h.is_current_ancestor"
         ).collect()
         by_id = {row["snapshot_id"]: row for row in rows}
+        if not by_id:
+            return 0  # table exists but has no snapshots yet: nothing to reconcile
         parents = {row["parent_id"] for row in by_id.values() if row["parent_id"] is not None}
         tips = [sid for sid in by_id if sid not in parents]
         if len(tips) != 1:
@@ -268,10 +273,19 @@ class Catalog:
 
         Partition layout is PRESERVED: appends record their partition_by
         in the manifest, and compaction reuses that layout when the caller
-        doesn't pass one (mixed recorded layouts raise — the caller must
-        choose). Without this, compacting a z-partitioned tile table would
-        silently flatten it and lose the partition pruning the serving
-        path relies on.
+        doesn't pass one. Mixed recorded layouts raise; batches whose
+        manifest PREDATES the layout field (layout unknown) are sniffed
+        from their directory structure — a `col=value` subdir means
+        partitioned, and without an explicit partition_by that also
+        raises rather than silently flattening. Without this, compacting
+        a z-partitioned tile table would lose the partition pruning the
+        serving path relies on.
+
+        The folded batch dirs are NOT deleted here: a concurrent reader
+        may have planned against the old manifest (the snapshot-read
+        contract), and deleting under its lazy scan would fail it
+        mid-query. They become unreferenced orphans — run `gc(table)`
+        after in-flight readers have drained to reclaim the space.
         """
         if self.use_iceberg:
             return 0
@@ -279,14 +293,24 @@ class Catalog:
         if len(entries) <= 1:
             return 0
         if not partition_by:
-            layouts = {tuple(e["partition_by"]) for e in entries}
-            layouts.discard(())
-            if len(layouts) > 1:
+            known = {tuple(e["partition_by"]) for e in entries if e["partition_by"] is not None}
+            if len(known) > 1:
                 raise ValueError(
                     f"compact({table}): batches carry mixed partition layouts "
-                    f"{sorted(layouts)} — pass partition_by explicitly"
+                    f"{sorted(known)} — pass partition_by explicitly"
                 )
-            partition_by = layouts.pop() if layouts else ()
+            unknown = [e for e in entries if e["partition_by"] is None]
+            for e in unknown:
+                bdir = os.path.join(self._tdir(table), e["dir"])
+                if os.path.isdir(bdir) and any(
+                    "=" in d and os.path.isdir(os.path.join(bdir, d)) for d in os.listdir(bdir)
+                ):
+                    raise ValueError(
+                        f"compact({table}): batch {e['dir']} looks partitioned but its "
+                        "manifest entry predates layout recording — pass partition_by "
+                        "explicitly to avoid silently flattening the table"
+                    )
+            partition_by = known.pop() if known else ()
         df = self.read(table)
         tdir = self._tdir(table)
         batch = f"batch-{uuid.uuid4().hex}"
@@ -296,14 +320,11 @@ class Catalog:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(staging)
         os.replace(staging, os.path.join(tdir, batch))
-        # manifest swap first (atomic cutover to the compacted batch), then
-        # remove the folded dirs — a crash between the two leaves orphan
-        # dirs that no manifest references (invisible to readers, safe to gc)
+        # atomic manifest swap; the folded dirs stay on disk as
+        # unreferenced orphans for gc() (see docstring re concurrent readers)
         self._write_manifest(
             table, [{"dir": batch, "tag": None, "partition_by": list(partition_by)}]
         )
-        for e in entries:
-            shutil.rmtree(os.path.join(tdir, e["dir"]), ignore_errors=True)
         return len(entries)
 
     def gc(self, table: str) -> int:

@@ -54,6 +54,7 @@ def windowed_doc_counts(
     watermark: str = "10 minutes",
     window_len: str = "10 minutes",
     source_col: str = "source",
+    text_col: str | None = "text",
 ) -> DataFrame:
     """Event-time windowed arrival counts with late-data handling — the
     task brief's 'watermarks + windowed aggs for late data' as a concrete
@@ -64,24 +65,26 @@ def windowed_doc_counts(
     small row per open (source, window) — bounded by the watermark horizon
     regardless of stream length, the standard unbounded-stream contract.
 
-    Returns window_start/window_end as timestamps plus (source, n_docs,
-    n_tokens); downstream rollups (e.g. tilemap_rollup over tile arrival
-    streams) compose relationally on the emitted rows."""
+    Returns window_start/window_end as timestamps plus (source, n_docs[,
+    n_tokens]); `text_col=None` skips the token sum for streams without a
+    text column (e.g. tile-arrival events), so downstream rollups
+    (tilemap_rollup-style) compose relationally on the emitted rows."""
     w = stream.withWatermark(event_time_col, watermark)
+    aggs = [F.count("*").alias("n_docs")]
+    cols = ["n_docs"]
+    if text_col is not None:
+        aggs.append(F.sum(_text.token_count(text_col)).alias("n_tokens"))
+        cols.append("n_tokens")
     return (
         w.groupBy(
             F.window(F.col(event_time_col), window_len).alias("win"), F.col(source_col)
         )
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum(_text.token_count("text")).alias("n_tokens"),
-        )
+        .agg(*aggs)
         .select(
             F.col("win.start").alias("window_start"),
             F.col("win.end").alias("window_end"),
             source_col,
-            "n_docs",
-            "n_tokens",
+            *cols,
         )
     )
 
