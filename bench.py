@@ -10,10 +10,16 @@ MEDIAN of $BENCH_QUERY_RUNS (default 3) runs with the per-run spread in
 `query_runs` (n=1 walls on this shared box carry 15-30% co-tenant noise —
 the round-3 'regression' was exactly that). Also times the
 oracle-gated operator queries at the given sf, and (unless
-BENCH_SCALING=0) re-runs the pipeline at local[2]/local[8]/local[32] in
-interleaved rounds with fresh SparkContexts to report N->4N scaling
-efficiency (headline eta = median per-round paired T_2/(4*T_8);
-BASELINE.json:14 evidence protocol — see BENCH/BASELINE.md).
+BENCH_SCALING=0) re-runs the pipeline at local[2]/local[8] in >= 4
+interleaved rounds with fresh JVMs to report N->4N scaling efficiency
+(headline eta = median per-round paired T_2/(4*T_8), clamped to 1.0;
+BASELINE.json:14 evidence protocol — see BENCH/BASELINE.md), plus a
+shorter separate 8->32 probe (DRAM-ceiling diagnostics).
+
+Artifact contract: the FINAL stdout line is a COMPACT medians-only JSON
+(the driver records a bounded tail of stdout — round 4's fat line was
+head-truncated and unparseable); per-run walls and per-round probe data
+go to BENCH/detail_r{N}.json (`detail_file` in the JSON).
 """
 
 from __future__ import annotations
@@ -142,7 +148,8 @@ from statistics import median as _median  # noqa: E402
 
 
 def scaling_probe(
-    fixture: str, cores=(2, 8, 32), encode: str = "raw", rounds: int = 5, budget: int = 600
+    fixture: str, cores=(2, 8), encode: str = "raw", rounds: int = 6, budget: int = 480,
+    min_rounds: int = 4,
 ) -> dict:
     """N->4N scaling evidence (BASELINE.json:2/14 criterion, sandbox
     protocol: same job, same input at several parallelism levels).
@@ -151,7 +158,10 @@ def scaling_probe(
     ~4 GB/s total DRAM bandwidth saturates around 8 processes (measured,
     BENCH/BASELINE.md), so 8->32 measures the box's memory system rather
     than the job's scalability; a real 4N-executor cluster brings 4x
-    aggregate DRAM/NICs. The 8->32 pair is still measured and reported.
+    aggregate DRAM/NICs. The 8->32 pair is measured in a SEPARATE shorter
+    probe (see main()) so the headline {2,8} interleave fits >= `min_rounds`
+    complete rounds inside `budget` — interleaving local[32] into every
+    round cost ~40% of the round wall and capped round 4 at 3 rounds.
 
     Noise handling (this VM shares a host; identical runs vary up to 2.5x):
     the levels are run INTERLEAVED in `rounds` rounds, one SUBPROCESS
@@ -192,9 +202,10 @@ def scaling_probe(
                 runs[m].append(this_round[m])
         round_walls.append(time.time() - r0)
         # budget guard: never start a round that (at the worst observed
-        # round wall) would overrun the probe budget; >=3 rounds keeps the
-        # median meaningful
-        if len(runs[cores[0]]) >= 3 and (time.time() - t_start) + max(round_walls) > budget:
+        # round wall) would overrun the probe budget; >= min_rounds keeps
+        # the burst-clean median meaningful (round-5 bar: >= 4 complete
+        # rounds in the artifact of record)
+        if len(runs[cores[0]]) >= min_rounds and (time.time() - t_start) + max(round_walls) > budget:
             break
     rounds_done = len(runs[cores[0]])
     if rounds_done == 0:
@@ -205,7 +216,7 @@ def scaling_probe(
                        f"warm job per run, headline eta = median of per-round paired ratios over "
                        f"burst-clean rounds (walls <= 1.5x level min), encode={encode}",
            "runs_dropped": dropped,
-           "n_to_4n": {"n_cores": 2, "4n_cores": 8}}
+           "n_to_4n": {"n_cores": cores[0], "4n_cores": cores[1]}}
     for m in cores:
         runs = d["runs"][str(m)]
         sec = min(runs)
@@ -234,7 +245,13 @@ def scaling_probe(
             clean = [a / (4.0 * b) for a, b in zip(rl, rh) if a <= 1.5 * lmin and b <= 1.5 * hmin]
             filtered = len(clean) >= 2
             src = clean if filtered else [a / (4.0 * b) for a, b in zip(rl, rh)]
-            out[f"eta_{lo}to{hi}"] = round(_median(src), 3)
+            # perfect scaling is eta = 1.0 by definition; a paired median
+            # above 1.0 is residual co-tenant noise (the low-core run
+            # caught a burst the high-core run missed), not super-linear
+            # speedup — clamp the headline and keep the raw median visible
+            raw_med = _median(src)
+            out[f"eta_{lo}to{hi}"] = round(min(raw_med, 1.0), 3)
+            out[f"eta_{lo}to{hi}_median_raw"] = round(raw_med, 3)
             out[f"eta_{lo}to{hi}_per_round"] = per_round
             out[f"eta_{lo}to{hi}_rounds_used"] = len(src)
             # which pre-declared rule actually produced the headline number
@@ -242,11 +259,13 @@ def scaling_probe(
             out[f"eta_{lo}to{hi}_minmin"] = round(
                 out[f"local[{lo}]"]["sec"] / (4.0 * out[f"local[{hi}]"]["sec"]), 3
             )
-    if "eta_2to8" in out:
-        out["n_to_4n"]["eta"] = out["eta_2to8"]
-        out["n_to_4n"]["passes_0.8_bar"] = bool(out["eta_2to8"] >= 0.8)
-        out["n_to_4n"]["eta_per_round"] = out["eta_2to8_per_round"]
-        out["n_to_4n"]["eta_minmin"] = out["eta_2to8_minmin"]
+    pair = f"eta_{cores[0]}to{cores[1]}"
+    if pair in out:
+        out["n_to_4n"]["eta"] = out[pair]
+        out["n_to_4n"]["eta_median_raw"] = out[f"{pair}_median_raw"]
+        out["n_to_4n"]["passes_0.8_bar"] = bool(out[pair] >= 0.8)
+        out["n_to_4n"]["eta_per_round"] = out[f"{pair}_per_round"]
+        out["n_to_4n"]["eta_minmin"] = out[f"{pair}_minmin"]
     if "eta_8to32" in out:
         out["note_8to32"] = (
             "bounded by the single box's ~4 GB/s DRAM ceiling (saturates at "
@@ -308,40 +327,98 @@ def main():
     spark.stop()
 
     total = sum(v for v in timings.values() if isinstance(v, (int, float)))
+    # the artifact of record is the FINAL stdout line and the driver keeps
+    # only a bounded tail of stdout — round 4's single fat line (full
+    # query_runs + per-round probe walls inline) was head-truncated past
+    # the capture window and recorded as parsed=null. So: compact
+    # medians-only final line; everything per-run goes to detail_file.
+    detail = {
+        "query_runs": runs_detail,
+        "timing_protocol": (
+            f"per entry: median of {QUERY_RUNS} runs (pipeline: 1 untimed warm + "
+            f"{PIPELINE_RUNS} timed); n=1 walls on this shared-host box carry "
+            "15-30% co-tenant noise"
+        ),
+    }
     result = {
         "metric": "total headline-query seconds (pipeline + operator queries)",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
-        "query_runs": runs_detail,
-        "timing_protocol": (
-            f"per entry: median of {QUERY_RUNS} runs (pipeline: 1 untimed warm + "
-            f"{PIPELINE_RUNS} timed); per-run walls in query_runs — n=1 walls on "
-            "this shared-host box carry 15-30% co-tenant noise"
-        ),
         "sf": SF_DIR,
         "n_images": N_IMAGES,
         "n_tiles": n_tiles,
         "pipeline_sec": round(pipe_sec, 3),
         "tiles_per_sec": round(n_tiles / pipe_sec, 1),
         "tiles_per_sec_raw": round(n_tiles / raw_sec, 1),
+        "detail_file": None,  # filled below
     }
     if os.environ.get("BENCH_SCALING", "1") != "0":
+        probe_fixture = _fixture_path(int(os.environ.get("BENCH_PROBE_IMAGES", "600")))
         try:
-            # probe fixture sized so the local[8] wall is >= ~30s: residual
-            # fixed per-job overhead (scheduling, Arrow setup) then costs
-            # <2% of the wall instead of ~25%, which was structurally
-            # depressing measured eta at the higher core count
-            result["scaling"] = scaling_probe(
-                _fixture_path(int(os.environ.get("BENCH_PROBE_IMAGES", "600"))),
-                rounds=int(os.environ.get("BENCH_ROUNDS", "5")),
-                # budget sized so the whole bench (queries ~3 min + one-time
-                # fixture gen ~2 min + probe) stays under ~14 min even on a
-                # noisy box: 5 rounds at the measured ~100 s/round
-                budget=int(os.environ.get("BENCH_PROBE_BUDGET", "600")),
+            # headline probe: {2,8} only — dropping local[32] from the
+            # interleave (~40% of each round-4 round wall) is what fits
+            # >= 4-6 complete paired rounds inside the budget
+            sc = scaling_probe(
+                probe_fixture,
+                cores=(2, 8),
+                rounds=int(os.environ.get("BENCH_ROUNDS", "6")),
+                budget=int(os.environ.get("BENCH_PROBE_BUDGET", "480")),
             )
         except Exception as e:
+            sc = None
             result["scaling"] = f"error: {e}"[:200]
+        try:
+            # secondary probe: 8->32 (DRAM-ceiling diagnostics, not the
+            # headline pair) — 2 rounds is enough for the paired median
+            # of two short walls
+            sc32 = scaling_probe(
+                probe_fixture,
+                cores=(8, 32),
+                rounds=int(os.environ.get("BENCH_ROUNDS_8TO32", "2")),
+                budget=int(os.environ.get("BENCH_PROBE_BUDGET_8TO32", "150")),
+                min_rounds=2,
+            )
+        except Exception as e:
+            sc32 = {"error": f"{e}"[:200]}
+        if sc is not None:
+            detail["scaling_2to8"] = sc
+            detail["scaling_8to32"] = sc32
+            compact = {
+                "n_to_4n": sc["n_to_4n"],
+                "rounds": sc["eta_2to8_rounds_used"],
+                "filter": sc["eta_2to8_filter"],
+                "runs_dropped": sc["runs_dropped"],
+                "l2_sec": round(sc["local[2]"]["sec"], 2),
+                "l8_sec": round(sc["local[8]"]["sec"], 2),
+                "l8_tps": sc["local[8]"]["tiles_per_sec"],
+            }
+            compact["n_to_4n"].pop("eta_per_round", None)  # detail_file keeps it
+            if isinstance(sc32, dict) and "eta_8to32" in sc32:
+                compact["eta_8to32"] = sc32["eta_8to32"]
+                compact["l32_sec"] = round(sc32["local[32]"]["sec"], 2)
+                compact["l32_tps"] = sc32["local[32]"]["tiles_per_sec"]
+                compact["note_8to32"] = "DRAM-ceiling bounded, see BENCH/BASELINE.md"
+            result["scaling"] = compact
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        import glob
+        import re
+
+        rounds_seen = [
+            int(m.group(1))
+            for f in glob.glob(os.path.join(here, "BENCH_r*.json"))
+            for m in [re.search(r"BENCH_r(\d+)\.json$", f)]
+            if m
+        ]
+        n_round = (max(rounds_seen) + 1) if rounds_seen else 0
+        detail_path = os.path.join(here, "BENCH", f"detail_r{n_round:02d}.json")
+        os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1)
+        result["detail_file"] = os.path.relpath(detail_path, here)
+    except OSError:
+        result["detail_file"] = None
     print(json.dumps(result))
 
 
