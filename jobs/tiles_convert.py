@@ -68,7 +68,9 @@ def main():
             out_fmt = fmts.pop()
         else:
             out_fmt = args.src_fmt_blob
-    ext = {"jpeg": "jpg", "raw": "raw"}.get(out_fmt, "png")
+    # sniff_fmt can return png/jpeg/raw/tiff — name files for what the
+    # blobs actually are (a TIFF blob in a *.png file breaks consumers)
+    ext = {"jpeg": "jpg", "raw": "raw", "tiff": "tif"}.get(out_fmt, "png")
     if args.dst_format == "dir":
         tileset.write_tileset_dir(tiles, args.dst, scheme=args.dst_scheme, ext=ext)
         tileset.write_tilemap_xml(tiles, args.dst, title=args.name, ext=ext)

@@ -108,3 +108,53 @@ def test_map2gdal_job(run_job, tmp_path, spark):
     assert abs(good["gsd"] - gsd) < 1e-3 and abs(good["mx0"] - mx0) < 1.0
     bad = pdf[pdf.index.str.endswith("bad.geo")].iloc[0]
     assert np.isnan(bad["gsd"])  # parse failure kept, auditable
+
+
+def test_tiles_convert_mixed_containers_fail_loudly(run_job, tmp_path, spark):
+    """Pass-through convert validates the single-container assumption
+    over a sampled prefix and aborts on a mixed PNG+TIFF set instead of
+    mislabeling every file's extension (ADVICE r4)."""
+    from tilers_tools_spark.functions import tiffcodec
+    from tilers_tools_spark.sources import tileset
+
+    rng = np.random.default_rng(8)
+    rows = []
+    for i in range(8):
+        arr = rng.integers(0, 256, (8, 8, 4), dtype=np.uint8)
+        blob = codecs.encode_png(arr) if i % 2 == 0 else tiffcodec.encode_tiff(arr)
+        rows.append((3, i, i, blob))
+    df = spark.createDataFrame(rows, "z int, x long, y long, tile binary")
+    src = str(tmp_path / "mixed_xyz")
+    tileset.write_tileset_dir(df, src, scheme="xyz")
+    with pytest.raises(SystemExit, match="mixed tile containers"):
+        run_job("tiles_convert", [
+            "--src", src, "--src-format", "dir",
+            "--dst", str(tmp_path / "out"), "--dst-format", "mbtiles",
+        ])
+
+
+def test_tiles_convert_tiff_passthrough_ext(run_job, tmp_path, spark):
+    """A uniform TIFF tile set passes through with *.tif filenames (the
+    sniffed container, not the png fallback — ADVICE r4 ext-map fix)."""
+    import glob
+
+    from tilers_tools_spark.functions import tiffcodec
+    from tilers_tools_spark.sources import tileset
+
+    rng = np.random.default_rng(9)
+    rows = [
+        (3, i, i, tiffcodec.encode_tiff(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)))
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "z int, x long, y long, tile binary")
+    src = str(tmp_path / "tiff_xyz")
+    tileset.write_tileset_dir(df, src, scheme="xyz", ext="tif")
+    out = str(tmp_path / "tiff_out")
+    res = run_job("tiles_convert", [
+        "--src", src, "--src-format", "dir",
+        "--dst", out, "--dst-format", "dir",
+    ])
+    assert res["tiles"] == 4
+    found = glob.glob(os.path.join(out, "**", "*.tif"), recursive=True)
+    assert len(found) == 4
+    assert not glob.glob(os.path.join(out, "**", "*.png", ), recursive=True)

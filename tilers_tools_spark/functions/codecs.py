@@ -237,7 +237,10 @@ def sniff_fmt(data: bytes) -> str:
         return "raw"
     if data[:2] == b"\xff\xd8":
         return "jpeg"
-    if data[:2] in (b"II", b"MM") and len(data) >= 4 and data[2:4] in (b"*\x00", b"\x00*"):
+    if data[:2] in (b"II", b"MM") and len(data) >= 4 and data[2:4] in (
+        b"*\x00", b"\x00*",  # classic TIFF (magic 42)
+        b"+\x00", b"\x00+",  # BigTIFF (magic 43)
+    ):
         return "tiff"
     raise ValueError("unknown tile container (no PNG/RAW1/JPEG/TIFF magic)")
 

@@ -277,6 +277,18 @@ def parse_georef_udf(kind: str = "ozi"):
                     g = tiffcodec.read_tiff_tags(bytes(hd))["geo"]
                     if g is None:
                         raise ValueError("TIFF without GeoTIFF tags")
+                    # CRS gate: the engine's north-up render contract
+                    # takes model coordinates as EPSG:3857 METERS. A
+                    # GeoTIFF in EPSG:4326 (degrees) or UTM (zone meters)
+                    # — both common GDAL outputs — would otherwise be
+                    # silently mis-tiled; reprojection is out of scope
+                    # (gdalwarp upstream), so any other / missing CRS key
+                    # becomes an auditable NaN row, same as a parse fail.
+                    if g.get("epsg") != 3857:
+                        raise ValueError(
+                            f"GeoTIFF CRS EPSG:{g.get('epsg')} is not EPSG:3857; "
+                            "reproject upstream (out of engine scope)"
+                        )
                 else:
                     if kind == "ozi":
                         parsed = parse_ozi_map(hd)
@@ -354,3 +366,43 @@ def parse_wkt_polygon(wkt: str) -> list[list[tuple[float, float]]]:
     if not rings:
         raise ValueError("WKT polygon with no rings")
     return rings
+
+
+def tiff_decode_stats_udf():
+    """pandas UDF factory: TIFF bytes -> full-decode stats (w, h, bands,
+    pix_sum = sum of every uint8 sample AFTER decode — tiled or strip
+    organization, 16-bit inputs through the documented round(v/257)
+    scaling). Unlike tiff_dims_udf this DOES decompress pixel data; it is
+    the driver-gate probe for the tiled/16-bit decode paths
+    (a wrong tile seam, predictor restart, or scaling rule moves the
+    sum). (-1, -1, -1, -1) for unparseable rows (NaN-row convention)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("w", IntegerType()),
+            StructField("h", IntegerType()),
+            StructField("bands", IntegerType()),
+            StructField("pix_sum", LongType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def udf(blobs: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        from . import tiffcodec
+
+        rows = []
+        for b in blobs:
+            try:
+                arr, _geo = tiffcodec.decode_tiff(bytes(b))
+                h, w = arr.shape[:2]
+                bands = 1 if arr.ndim == 2 else arr.shape[2]
+                rows.append((int(w), int(h), int(bands), int(np.sum(arr, dtype=np.int64))))
+            except Exception:
+                rows.append((-1, -1, -1, -1))
+        return pd.DataFrame(rows, columns=["w", "h", "bands", "pix_sum"])
+
+    return udf

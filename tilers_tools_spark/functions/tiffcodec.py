@@ -4,23 +4,31 @@ The reference's primary raster input is GeoTIFF (gdal_tiler reads it via
 GDAL; SURVEY.md §2.3 row 1-2). No imaging libs exist offline, so this
 implements the published subset the tiling pipeline needs:
 
-* reader: both byte orders, baseline uint8 gray (BlackIsZero AND
-  WhiteIsZero), RGB, RGBA, palette (ColorMap expanded to RGB like the
-  PNG PLTE path), strip-organized (any RowsPerStrip),
+* reader: both byte orders, classic TIFF AND BigTIFF headers (magic
+  42/43 — GDAL BIGTIFF=YES; u8 offsets, LONG8 types, 20-byte IFD
+  entries), gray (BlackIsZero AND WhiteIsZero), RGB,
+  RGBA, palette (ColorMap expanded to RGB like the PNG PLTE path);
+  8-bit and 16-bit samples (16-bit scaled to the engine's uint8
+  contract — see decode_tiff for the documented rounding rule);
+  BOTH pixel organizations: strip (tags 273/278/279, any RowsPerStrip)
+  and tiled (tags 322/323/324/325 — GDAL writes large rasters with
+  TILED=YES, so real-world GeoTIFF archives hit this path first);
   PlanarConfiguration=1;
   compression none(1)/LZW(5)/Deflate(8, 32946)/PackBits(32773) with
-  horizontal Predictor(317)=2 — the combinations GDAL-written GeoTIFFs
-  actually use; GeoTIFF georef via ModelPixelScaleTag (33550) +
-  ModelTiepointTag (33922) + GeoKeyDirectoryTag (34735: model type +
-  projected CRS key).
-* writer: little-endian, single-strip, compression none or deflate,
-  optional GeoTIFF tags — used by fixtures/tests; the reader is also
-  pinned against HANDCRAFTED tag bytes (tests/test_tiffcodec.py) so a
-  shared writer/reader bug cannot hide.
+  horizontal Predictor(317)=2 (undone per strip row / per TILE row —
+  differencing restarts at each tile's left edge) — the combinations
+  GDAL-written GeoTIFFs actually use; GeoTIFF georef via
+  ModelPixelScaleTag (33550) + ModelTiepointTag (33922) +
+  GeoKeyDirectoryTag (34735: model type + projected CRS key).
+* writer: little-endian, single-strip OR tiled, 8- or 16-bit,
+  compression none or deflate, optional GeoTIFF tags — used by
+  fixtures/tests; the reader is also pinned against HANDCRAFTED tag
+  bytes (tests/test_tiffcodec.py) so a shared writer/reader bug cannot
+  hide.
 
-Out of scope (documented, like WebP): JPEG-in-TIFF, tiled organization,
-BigTIFF, >8-bit samples, floating predictor — all raise with explicit
-messages rather than mis-decoding.
+Out of scope (documented, like WebP): JPEG-in-TIFF, >16-bit and float
+samples, floating predictor, planar (separated) organization — all
+raise with explicit messages rather than mis-decoding.
 """
 
 from __future__ import annotations
@@ -29,8 +37,9 @@ import struct
 
 import numpy as np
 
-# TIFF field types -> (struct fmt char, byte size)
-_TYPES = {1: ("B", 1), 3: ("H", 2), 4: ("I", 4), 12: ("d", 8)}
+# TIFF field types -> (struct fmt char, byte size); 16/17 are the
+# BigTIFF LONG8/SLONG8 additions
+_TYPES = {1: ("B", 1), 3: ("H", 2), 4: ("I", 4), 12: ("d", 8), 16: ("Q", 8), 17: ("q", 8)}
 
 TAG_WIDTH = 256
 TAG_LENGTH = 257
@@ -43,6 +52,10 @@ TAG_ROWS_PER_STRIP = 278
 TAG_STRIP_COUNTS = 279
 TAG_PLANAR = 284
 TAG_COLOR_MAP = 320
+TAG_TILE_WIDTH = 322
+TAG_TILE_LENGTH = 323
+TAG_TILE_OFFSETS = 324
+TAG_TILE_COUNTS = 325
 TAG_MODEL_PIXEL_SCALE = 33550
 TAG_MODEL_TIEPOINT = 33922
 TAG_GEO_KEYS = 34735
@@ -145,20 +158,27 @@ def _decompress_strip(raw: bytes, comp: int) -> bytes:
     )
 
 
-def _read_values(data: bytes, bo: str, ftype: int, count: int, raw: bytes):
+def _read_values(data: bytes, bo: str, ftype: int, count: int, raw: bytes, inline_max: int = 4):
     fmt, size = _TYPES[ftype]
     total = size * count
-    if total <= 4:
+    if total <= inline_max:
         buf = raw[:total]
     else:
-        (off,) = struct.unpack(bo + "I", raw)
+        (off,) = struct.unpack(bo + ("I" if inline_max == 4 else "Q"), raw[:inline_max])
         buf = data[off : off + total]
     return list(struct.unpack(bo + fmt * count, buf))
 
 
 def _parse_ifd(data: bytes) -> tuple[dict[int, list], str]:
     """Header + first IFD -> ({tag: values}, byte-order char). Cheap:
-    touches only the directory and out-of-line tag values, never strips."""
+    touches only the directory and out-of-line tag values, never strips.
+
+    Handles classic TIFF (magic 42: 12-byte entries, u4 counts/offsets,
+    4-byte inline values) AND BigTIFF (magic 43, the GDAL BIGTIFF=YES
+    variant: 20-byte entries, u8 counts/offsets, 8-byte inline values,
+    extra LONG8/SLONG8/IFD8 field types). A Spark binary cell caps a
+    blob at 2 GiB so >4 GiB archives arrive windowed anyway, but GDAL
+    also emits small BigTIFFs when BIGTIFF is forced or estimated."""
     if len(data) < 8:
         raise ValueError("not a TIFF: too short")
     if data[:2] == b"II":
@@ -167,13 +187,25 @@ def _parse_ifd(data: bytes) -> tuple[dict[int, list], str]:
         bo = ">"
     else:
         raise ValueError("not a TIFF: bad byte-order mark")
-    magic, ifd_off = struct.unpack(bo + "HI", data[2:8])
-    if magic == 43:
-        raise NotImplementedError("BigTIFF not supported")
+    (magic,) = struct.unpack(bo + "H", data[2:4])
+    tags: dict[int, list] = {}
+    if magic == 43:  # BigTIFF ([SPEC] BigTIFF design, libtiff 4.x)
+        offsize, reserved = struct.unpack(bo + "HH", data[4:8])
+        if offsize != 8 or reserved != 0:
+            raise ValueError(f"bad BigTIFF header (offset size {offsize}, reserved {reserved})")
+        (ifd_off,) = struct.unpack(bo + "Q", data[8:16])
+        (n_entries,) = struct.unpack(bo + "Q", data[ifd_off : ifd_off + 8])
+        for i in range(n_entries):
+            e = data[ifd_off + 8 + 20 * i : ifd_off + 8 + 20 * (i + 1)]
+            tag, ftype = struct.unpack(bo + "HH", e[:4])
+            (count,) = struct.unpack(bo + "Q", e[4:12])
+            if ftype in _TYPES:
+                tags[tag] = _read_values(data, bo, ftype, count, e[12:20], inline_max=8)
+        return tags, bo
     if magic != 42:
         raise ValueError("not a TIFF: bad magic")
+    (ifd_off,) = struct.unpack(bo + "I", data[4:8])
     (n_entries,) = struct.unpack(bo + "H", data[ifd_off : ifd_off + 2])
-    tags: dict[int, list] = {}
     for i in range(n_entries):
         e = data[ifd_off + 2 + 12 * i : ifd_off + 2 + 12 * (i + 1)]
         tag, ftype, count = struct.unpack(bo + "HHI", e[:8])
@@ -223,47 +255,120 @@ def read_tiff_tags(data: bytes) -> dict:
     return {"w": w, "h": h, "geo": _georef_from_tags(tags, h)}
 
 
-def decode_tiff(data: bytes):
+def _assemble_strips(data: bytes, tags: dict, dtype, w: int, h: int, spp: int,
+                     comp: int, predictor: int) -> np.ndarray:
+    offsets = [int(v) for v in tags[TAG_STRIP_OFFSETS]]
+    counts = [int(v) for v in tags[TAG_STRIP_COUNTS]]
+    raw = b"".join(_decompress_strip(data[o : o + c], comp) for o, c in zip(offsets, counts))
+    need = w * h * spp
+    if len(raw) < need * dtype.itemsize:
+        raise ValueError(f"TIFF strips truncated: {len(raw)} < {need * dtype.itemsize}")
+    arr = np.frombuffer(raw, dtype=dtype, count=need).reshape(h, w, spp).copy()
+    if predictor == 2:
+        # horizontal differencing: each sample stored as delta from the
+        # same sample one pixel left — undo with a wrap-around cumsum
+        # (strip boundaries split ROWS, so the full-image per-row cumsum
+        # is identical to per-strip)
+        arr = np.cumsum(arr, axis=1, dtype=dtype)
+    return arr
+
+
+def _assemble_tiles(data: bytes, tags: dict, dtype, w: int, h: int, spp: int,
+                    comp: int, predictor: int) -> np.ndarray:
+    """Tiled organization (TIFF 6.0 §15, tags 322-325): the raster is a
+    grid of tw x tl tiles, left-to-right then top-to-bottom, each tile
+    compressed independently and PADDED to full tile size at the right
+    and bottom edges. Predictor 2 differencing restarts at each tile's
+    left edge, so it is undone per tile BEFORE assembly (a full-image
+    cumsum would bleed deltas across vertical tile seams)."""
+    tw = int(tags[TAG_TILE_WIDTH][0])
+    tl = int(tags[TAG_TILE_LENGTH][0])
+    if tw <= 0 or tl <= 0:
+        raise ValueError(f"bad TIFF tile size {tw}x{tl}")
+    offsets = [int(v) for v in tags[TAG_TILE_OFFSETS]]
+    counts = [int(v) for v in tags[TAG_TILE_COUNTS]]
+    across = (w + tw - 1) // tw
+    down = (h + tl - 1) // tl
+    if len(offsets) != across * down or len(counts) != len(offsets):
+        raise ValueError(
+            f"TIFF tile count mismatch: {len(offsets)} offsets for {across}x{down} grid"
+        )
+    out = np.zeros((down * tl, across * tw, spp), dtype=dtype)
+    per_tile = tw * tl * spp
+    for i, (o, c) in enumerate(zip(offsets, counts)):
+        raw = _decompress_strip(data[o : o + c], comp)
+        if len(raw) < per_tile * dtype.itemsize:
+            raise ValueError(f"TIFF tile {i} truncated: {len(raw)} < {per_tile * dtype.itemsize}")
+        tile = np.frombuffer(raw, dtype=dtype, count=per_tile).reshape(tl, tw, spp)
+        if predictor == 2:
+            tile = np.cumsum(tile, axis=1, dtype=dtype)
+        r, col = divmod(i, across)
+        out[r * tl : (r + 1) * tl, col * tw : (col + 1) * tw] = tile
+    return np.ascontiguousarray(out[:h, :w])  # crop edge-tile padding
+
+
+def scale_16bit_to_8bit(arr: np.ndarray) -> np.ndarray:
+    """uint16 -> uint8 with the documented rule: linear 0..65535 ->
+    0..255, round half up — floor(v * 255 / 65535 + 0.5) = round(v/257),
+    the GDAL ``gdal_translate -ot Byte -scale 0 65535 0 255`` mapping.
+    Exact at the endpoints (0 -> 0, 65535 -> 255) and monotone; NOT the
+    truncating ``v >> 8`` (which maps 129 -> 0 where this rounds to 1,
+    and reaches 255 only at 65280 instead of 65407)."""
+    a = arr.astype(np.uint32)
+    return ((a * 255 + 32767) // 65535).astype(np.uint8)
+
+
+def decode_tiff(data: bytes, scale_16bit: bool = True):
     """TIFF bytes -> (uint8 array (H,W) or (H,W,C), georef dict | None).
 
     georef (when GeoTIFF tags are present): {"gsd", "mx0", "my0", "mx1",
     "my1", "epsg"} — the north-up affine of the engine's render contract
     (tiepoint maps raster (0,0) to the model-space TOP-left; my0 < my1).
+
+    Handles both strip and tiled pixel organization (GDAL TILED=YES).
+    16-bit rasters (DEM/chart sources) are scaled to the engine's uint8
+    contract via ``scale_16bit_to_8bit`` (linear round-half-up — the
+    GDAL ``-ot Byte -scale 0 65535 0 255`` equivalent); pass
+    ``scale_16bit=False`` for the raw uint16 samples.
     """
-    tags, _bo = _parse_ifd(data)
+    tags, bo = _parse_ifd(data)
     w = int(tags[TAG_WIDTH][0])
     h = int(tags[TAG_LENGTH][0])
     comp = int(tags.get(TAG_COMPRESSION, [1])[0])
     spp = int(tags.get(TAG_SPP, [1])[0])
-    bits = tags.get(TAG_BITS, [8] * spp)
-    if any(int(b) != 8 for b in bits):
-        raise NotImplementedError(f"only 8-bit samples supported, got {bits}")
+    bits = [int(b) for b in tags.get(TAG_BITS, [8] * spp)]
+    if all(b == 8 for b in bits):
+        dtype = np.dtype(np.uint8)
+    elif all(b == 16 for b in bits):
+        # decompressed sample bytes follow the FILE byte order
+        dtype = np.dtype(bo + "u2")
+    else:
+        raise NotImplementedError(f"only uniform 8- or 16-bit samples supported, got {bits}")
     if int(tags.get(TAG_PLANAR, [1])[0]) != 1:
         raise NotImplementedError("planar (separated) TIFF not supported")
     photometric = int(tags.get(TAG_PHOTOMETRIC, [1])[0])
     if photometric not in (0, 1, 2, 3):
         # 5=CMYK, 6=YCbCr, ... — mis-decoding as gray/RGB would be silent
         raise NotImplementedError(f"TIFF photometric {photometric} not supported (0/1/2/3)")
-    if photometric == 3 and spp != 1:
-        raise NotImplementedError("palette TIFF must have 1 sample per pixel")
+    if photometric == 3 and (spp != 1 or dtype.itemsize != 1):
+        raise NotImplementedError("palette TIFF must have 1 sample per pixel, 8-bit")
     predictor = int(tags.get(TAG_PREDICTOR, [1])[0])
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor} not supported (1 or 2)")
-    offsets = [int(v) for v in tags[TAG_STRIP_OFFSETS]]
-    counts = [int(v) for v in tags[TAG_STRIP_COUNTS]]
-    raw = b"".join(_decompress_strip(data[o : o + c], comp) for o, c in zip(offsets, counts))
-    need = w * h * spp
-    if len(raw) < need:
-        raise ValueError(f"TIFF strips truncated: {len(raw)} < {need}")
-    arr = np.frombuffer(raw, dtype=np.uint8, count=need).reshape(h, w, spp).copy()
-    if predictor == 2:
-        # horizontal differencing: each sample stored as delta from the
-        # same sample one pixel left — undo with a wrap-around cumsum
-        arr = np.cumsum(arr, axis=1, dtype=np.uint8)
+    tiled = TAG_TILE_WIDTH in tags or TAG_TILE_OFFSETS in tags
+    if tiled and TAG_STRIP_OFFSETS in tags:
+        raise ValueError("TIFF with both strip and tile offsets")
+    if tiled:
+        arr = _assemble_tiles(data, tags, dtype, w, h, spp, comp, predictor)
+    else:
+        arr = _assemble_strips(data, tags, dtype, w, h, spp, comp, predictor)
     if photometric == 0:
         # WhiteIsZero: invert to the engine's BlackIsZero convention
-        arr = (255 - arr).astype(np.uint8)
-    elif photometric == 3:
+        maxv = 255 if dtype.itemsize == 1 else 65535
+        arr = (maxv - arr).astype(dtype)
+    if dtype.itemsize == 2 and scale_16bit:
+        arr = scale_16bit_to_8bit(arr)
+    if photometric == 3:
         # palette: ColorMap (tag 320) holds 3 * 2^bits 16-bit values
         # (all reds, then greens, then blues); expand indices -> RGB,
         # scaling 16-bit palette entries to 8-bit like the PNG PLTE path
@@ -282,46 +387,77 @@ def decode_tiff(data: bytes):
     return arr, _georef_from_tags(tags, h)
 
 
-def encode_tiff(arr: np.ndarray, geo: dict | None = None, compression: str = "none") -> bytes:
-    """uint8 (H,W)/(H,W,3)/(H,W,4) -> little-endian single-strip TIFF;
-    `compression` = 'none' | 'deflate'; `geo` = {"gsd", "mx0", "my1",
+def encode_tiff(
+    arr: np.ndarray,
+    geo: dict | None = None,
+    compression: str = "none",
+    tile: int | tuple[int, int] | None = None,
+) -> bytes:
+    """uint8 or uint16 (H,W)/(H,W,3)/(H,W,4) -> little-endian TIFF;
+    `compression` = 'none' | 'deflate'; `tile` = None (single-strip) or a
+    tile size (int or (tw, tl)) for tiled organization (tags 322-325,
+    edge tiles zero-padded per spec §15); `geo` = {"gsd", "mx0", "my1",
     ["epsg"]} adds GeoTIFF tags (pixel-scale, top-left tiepoint,
-    projected-CRS geokey). Deterministic bytes (fixed tag order/layout,
-    fixed zlib level)."""
-    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    projected-CRS geokey). uint16 input writes BitsPerSample=16.
+    Deterministic bytes (fixed tag order/layout, fixed zlib level)."""
+    a = np.asarray(arr)
+    sample_dtype = np.dtype("<u2") if a.dtype == np.uint16 else np.dtype(np.uint8)
+    bits = 16 if sample_dtype.itemsize == 2 else 8
+    arr = np.ascontiguousarray(a, dtype=sample_dtype)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, c = arr.shape
     if c not in (1, 3, 4):
         raise ValueError(f"unsupported band count {c}")
     photometric = 1 if c == 1 else 2
-    pixels = arr.tobytes()
-    comp_code = 1
-    if compression == "deflate":
-        import zlib
 
-        pixels = zlib.compress(pixels, 6)
-        comp_code = 8
-    elif compression != "none":
-        raise ValueError(f"writer supports 'none' | 'deflate', got {compression!r}")
+    def _compress(raw: bytes) -> bytes:
+        if compression == "deflate":
+            import zlib
 
-    entries = []  # (tag, type, count, values)
-    extra = b""  # out-of-line values, appended after the IFD
-    bo = "<"
+            return zlib.compress(raw, 6)
+        if compression != "none":
+            raise ValueError(f"writer supports 'none' | 'deflate', got {compression!r}")
+        return raw
+
+    comp_code = 8 if compression == "deflate" else 1
+    if tile is not None:
+        tw, tl = (tile, tile) if isinstance(tile, int) else (int(tile[0]), int(tile[1]))
+        if tw <= 0 or tl <= 0:
+            raise ValueError(f"bad tile size {tw}x{tl}")
+        across = (w + tw - 1) // tw
+        down = (h + tl - 1) // tl
+        padded = np.zeros((down * tl, across * tw, c), dtype=sample_dtype)
+        padded[:h, :w] = arr
+        chunks = [
+            _compress(padded[r * tl : (r + 1) * tl, col * tw : (col + 1) * tw].tobytes())
+            for r in range(down)
+            for col in range(across)
+        ]
+    else:
+        chunks = [_compress(arr.tobytes())]
+
+    entries = []  # (tag, type, values); values None = offsets placeholder
 
     def add(tag, ftype, values):
         entries.append((tag, ftype, values))
 
     add(TAG_WIDTH, 4, [w])
     add(TAG_LENGTH, 4, [h])
-    add(TAG_BITS, 3, [8] * c)
+    add(TAG_BITS, 3, [bits] * c)
     add(TAG_COMPRESSION, 3, [comp_code])
     add(TAG_PHOTOMETRIC, 3, [photometric])
-    add(TAG_STRIP_OFFSETS, 4, [0])  # patched below
     add(TAG_SPP, 3, [c])
-    add(TAG_ROWS_PER_STRIP, 4, [h])
-    add(TAG_STRIP_COUNTS, 4, [len(pixels)])
     add(TAG_PLANAR, 3, [1])
+    if tile is not None:
+        add(TAG_TILE_WIDTH, 4, [tw])
+        add(TAG_TILE_LENGTH, 4, [tl])
+        add(TAG_TILE_OFFSETS, 4, None)
+        add(TAG_TILE_COUNTS, 4, [len(ch) for ch in chunks])
+    else:
+        add(TAG_STRIP_OFFSETS, 4, None)
+        add(TAG_ROWS_PER_STRIP, 4, [h])
+        add(TAG_STRIP_COUNTS, 4, [len(chunks[0])])
     if geo is not None:
         add(TAG_MODEL_PIXEL_SCALE, 12, [float(geo["gsd"]), float(geo["gsd"]), 0.0])
         add(TAG_MODEL_TIEPOINT, 12, [0.0, 0.0, 0.0, float(geo["mx0"]), float(geo["my1"]), 0.0])
@@ -329,15 +465,34 @@ def encode_tiff(arr: np.ndarray, geo: dict | None = None, compression: str = "no
         add(TAG_GEO_KEYS, 3, [1, 1, 0, 2, _GT_MODEL_TYPE, 0, 1, 1, _PROJECTED_CS, 0, 1, epsg])
 
     entries.sort(key=lambda e: e[0])  # spec: ascending tag order
+    n_off = len(chunks)
     n = len(entries)
     ifd_off = 8
-    data_off = ifd_off + 2 + 12 * n + 4  # extra values start here
-    out_entries = b""
+    bo = "<"
+    data_off = ifd_off + 2 + 12 * n + 4  # out-of-line tag values start here
+    # pass 1: extra-area size is fully determined by counts (offsets array
+    # included), so chunk positions — and therefore the offsets values —
+    # can be computed before packing
+    extra_size = 0
     for tag, ftype, values in entries:
+        count = n_off if values is None else len(values)
+        total = _TYPES[ftype][1] * count
+        if total > 4:
+            extra_size += total
+    chunk_start = data_off + extra_size
+    offsets = []
+    pos = chunk_start
+    for ch in chunks:
+        offsets.append(pos)
+        pos += len(ch)
+    # pass 2: pack with the real offsets in place
+    out_entries = b""
+    extra = b""
+    for tag, ftype, values in entries:
+        if values is None:
+            values = offsets
         fmt, size = _TYPES[ftype]
         total = size * len(values)
-        if tag == TAG_STRIP_OFFSETS:
-            values = [0xDEADBEEF]  # placeholder, patched after layout
         packed = struct.pack(bo + fmt * len(values), *values)
         if total <= 4:
             raw = packed.ljust(4, b"\0")
@@ -345,18 +500,11 @@ def encode_tiff(arr: np.ndarray, geo: dict | None = None, compression: str = "no
             raw = struct.pack(bo + "I", data_off + len(extra))
             extra += packed
         out_entries += struct.pack(bo + "HHI", tag, ftype, len(values)) + raw
-    strip_off = data_off + len(extra)
-    # patch StripOffsets (find its entry position by tag order)
-    buf = bytearray(
+    return (
         struct.pack(bo + "2sHI", b"II", 42, ifd_off)
         + struct.pack(bo + "H", n)
         + out_entries
         + struct.pack(bo + "I", 0)
         + extra
-        + pixels
+        + b"".join(chunks)
     )
-    for i, (tag, ftype, values) in enumerate(entries):
-        if tag == TAG_STRIP_OFFSETS:
-            pos = ifd_off + 2 + 12 * i + 8
-            buf[pos : pos + 4] = struct.pack(bo + "I", strip_off)
-    return bytes(buf)

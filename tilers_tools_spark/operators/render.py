@@ -79,33 +79,12 @@ def s2_level_for_zoom(z: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _cubic_weights_q(f: np.ndarray) -> np.ndarray:
-    """Quantized 8.8 fixed-point Catmull-Rom weights (engine+oracle
-    contract): 4 taps at offsets -1..+2 from floor(s); each tap
-    floor(w*256 + 0.5), residue (sum must be exactly 256 to preserve flat
-    fields) folded into tap 1. Returns int32 (taps can be negative)."""
-    f = np.asarray(f, dtype=np.float64)
-    w0 = ((-0.5 * f + 1.0) * f - 0.5) * f
-    w1 = (1.5 * f - 2.5) * f * f + 1.0
-    w2 = ((-1.5 * f + 2.0) * f + 0.5) * f
-    w3 = (0.5 * f - 0.5) * f * f
-    wq = np.floor(np.stack([w0, w1, w2, w3], axis=-1) * 256.0 + 0.5).astype(np.int32)
-    wq[..., 1] += 256 - wq.sum(axis=-1)
-    return wq
-
-
-def _lanczos_weights_q(f: np.ndarray, a: int = 3) -> np.ndarray:
-    """Quantized 8.8 fixed-point Lanczos-3 taps (engine+oracle contract):
-    6 taps at offsets -2..+3 from floor(s); w = sinc(x)*sinc(x/a) masked to
-    |x| < a; each tap floor(w*256 + 0.5), residue folded into the center
-    tap (index 2) so the taps sum to exactly 256. Returns int32."""
-    f = np.asarray(f, dtype=np.float64)
-    x = np.arange(6, dtype=np.float64)[None, :] - 2.0 - f[..., None]
-    w = np.sinc(x) * np.sinc(x / a) * (np.abs(x) < a)
-    wq = np.floor(w * 256.0 + 0.5).astype(np.int32)
-    wq[..., 2] += 256 - wq.sum(axis=-1)
-    return wq
-
+# quantized 8.8 multi-tap kernel weights: ONE shared implementation
+# (functions/kernels.py) imported by BOTH this engine path and
+# oracle/minitiler — bit-identity by construction; the shared formula
+# itself is anchored to hand-pinned spec taps in tests/test_kernels_spec.py
+from ..functions.kernels import cubic_weights_q as _cubic_weights_q  # noqa: E402
+from ..functions.kernels import lanczos_weights_q as _lanczos_weights_q  # noqa: E402
 
 # multi-tap separable base kernels: (taps, left offset from floor(s), wq fn)
 _BASE_KERNELS = {"cubic": (4, 1, _cubic_weights_q), "lanczos": (6, 2, _lanczos_weights_q)}

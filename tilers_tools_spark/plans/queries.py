@@ -1247,6 +1247,78 @@ SQL_GEOTIFF_GEOREF = "SELECT * FROM (VALUES " + ", ".join(
 ) + ") AS t(image_id, gsd, mx0, my0, mx1, my1)"
 
 
+# (image_id, w, h, bands, bits, tile, compression) — sizes deliberately NOT
+# multiples of the tile size so edge-tile padding/cropping is exercised
+_GEOTIFF_TILED_SPECS = [
+    ("tg0", 40, 28, 3, 8, 16, "deflate"),
+    ("tg1", 37, 22, 1, 8, 16, "none"),
+    ("tg2", 33, 21, 1, 16, 16, "deflate"),
+]
+
+
+def _geotiff_tiled_pattern(w, h, bands, bits):
+    """Deterministic pixel gradient, chosen to be expressible as plain
+    integer arithmetic in DuckDB SQL (the oracle recomputes every sample
+    with generate-series arithmetic — no engine code, no goldens):
+    8-bit: v = (r*7 + c*13 + b*29) % 256; 16-bit: v = (r*997 + c*131)
+    % 65536 (decoded through the documented round(v/257) scaling)."""
+    import numpy as np
+
+    r = np.arange(h)[:, None, None]
+    c = np.arange(w)[None, :, None]
+    b = np.arange(bands)[None, None, :]
+    if bits == 8:
+        return ((r * 7 + c * 13 + b * 29) % 256).astype(np.uint8)
+    return ((r * 997 + c * 131 + b) % 65536).astype(np.uint16)
+
+
+def q_geotiff_tiled_decode(spark, sf_dir):
+    """Tiled-organization GeoTIFF decode (TIFF 6.0 §15 tags 322-325,
+    functions/tiffcodec.py — GDAL writes large rasters TILED=YES, so real
+    archives hit this path before strips) incl. a 16-bit raster through
+    the documented round(v/257) 8-bit scaling. The probe statistic is the
+    full-pixel sum after decode: a wrong tile seam, missed edge-padding
+    crop, per-tile predictor restart, or scaling rule all move it. The
+    oracle recomputes every sample analytically in SQL."""
+    from ..functions import tiffcodec
+    from ..functions.georef_parsers import tiff_decode_stats_udf
+
+    rows = []
+    for image_id, w, h, bands, bits, tile, comp in _GEOTIFF_TILED_SPECS:
+        arr = _geotiff_tiled_pattern(w, h, bands, bits).squeeze()
+        blob = tiffcodec.encode_tiff(
+            arr, geo={"gsd": 2.0, "mx0": 0.0, "my1": 1.0e6, "epsg": 3857},
+            compression=comp, tile=tile,
+        )
+        rows.append((image_id, blob))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    u = tiff_decode_stats_udf()
+    return df.withColumn("s", u(F.col("bytes"))).select(
+        "image_id", "s.w", "s.h", "s.bands", "s.pix_sum"
+    )
+
+
+def _geotiff_tiled_sql():
+    parts = []
+    for image_id, w, h, bands, bits, _tile, _comp in _GEOTIFF_TILED_SPECS:
+        if bits == 8:
+            expr = "(r*7 + c*13 + b*29) % 256"
+        else:
+            # documented 16->8 rule: floor(v*255/65535 + 0.5) via integer
+            # arithmetic — the oracle re-derives the scaling independently
+            expr = "(((r*997 + c*131 + b) % 65536) * 255 + 32767) // 65535"
+        parts.append(
+            f"SELECT '{image_id}' AS image_id, CAST({w} AS INTEGER) AS w, "
+            f"CAST({h} AS INTEGER) AS h, CAST({bands} AS INTEGER) AS bands, "
+            f"CAST((SELECT SUM({expr}) FROM range(0,{h}) t1(r), range(0,{w}) t2(c), "
+            f"range(0,{bands}) t3(b)) AS BIGINT) AS pix_sum"
+        )
+    return " UNION ALL ".join(parts)
+
+
+SQL_GEOTIFF_TILED = _geotiff_tiled_sql()
+
+
 def q_incremental_lsh(spark, sf_dir):
     """Near-dup delta dedup: verified LSH matches of a new batch
     (doc_id >= 250) against the existing corpus (doc_id < 250) — the
@@ -1418,6 +1490,7 @@ QUERIES: dict = {
     "incremental_lsh": (q_incremental_lsh, SQL_INCREMENTAL_LSH),
     # GeoTIFF ingestion (analytic oracle; decode pinned vs handcrafted bytes)
     "geotiff_georef": (q_geotiff_georef, SQL_GEOTIFF_GEOREF),
+    "geotiff_tiled_decode": (q_geotiff_tiled_decode, SQL_GEOTIFF_TILED),
     # tile addressing/serving: Bing quadkey scheme + viewport range lookup
     "quadkey": (q_quadkey, SQL_QUADKEY),
     "bbox_tiles": (q_bbox_tiles, SQL_BBOX_TILES),

@@ -82,13 +82,24 @@ def write_tilemap_xml(tiles: DataFrame, dest: str, title: str = "tiles", ext: st
 
 def read_tileset_dir(spark, src: str, scheme: str = "xyz"):
     """Walk a tile tree back into a canonical tiles DF (row 10: the tile-set
-    walk IS a scan). Uses Spark's binaryFile source for a parallel read."""
+    walk IS a scan). Uses Spark's binaryFile source for a parallel read.
+    Matches every container extension the engine writes (png/jpg/tif/raw)
+    — the blob codec is sniffed downstream from magic bytes, not from the
+    filename."""
     from pyspark.sql import functions as F
 
     from ..functions import tilemath as tm
 
-    df = spark.read.format("binaryFile").option("pathGlobFilter", "*.png").option("recursiveFileLookup", "true").load(src)
-    parts = F.split(F.regexp_replace(F.col("path"), r"^.*?(\d+)/(\d+)/(\d+)\.png$", "$1/$2/$3"), "/")
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.{png,jpg,tif,raw}")
+        .option("recursiveFileLookup", "true")
+        .load(src)
+    )
+    parts = F.split(
+        F.regexp_replace(F.col("path"), r"^.*?(\d+)/(\d+)/(\d+)\.(?:png|jpg|tif|raw)$", "$1/$2/$3"),
+        "/",
+    )
     df = df.select(
         parts.getItem(0).cast("int").alias("z"),
         parts.getItem(1).cast("long").alias("a"),

@@ -119,6 +119,17 @@ def _fold_cosine(a, b) -> float:
 
 
 def save(name: str, columns, types, rows):
+    # generation-time guard (VERDICT r4 ask #4): a non-finite float in a
+    # golden means the ORACLE COMPUTATION went wrong (every pinned
+    # statistic is finite by construction) — fail here, loudly, rather
+    # than depending on the renderer's CAST('nan') escape hatch
+    for i, row in enumerate(rows):
+        for c, (v, t) in enumerate(zip(row, types)):
+            if t == "float64" and v is not None and not math.isfinite(float(v)):
+                raise ValueError(
+                    f"golden {name}: non-finite {v!r} at row {i} col {columns[c]!r} — "
+                    "oracle computation bug, refusing to write"
+                )
     os.makedirs(OUT, exist_ok=True)
     with open(os.path.join(OUT, f"{name}.json"), "w") as f:
         json.dump({"columns": list(columns), "types": list(types), "rows": rows}, f)
