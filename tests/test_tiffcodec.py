@@ -820,3 +820,83 @@ def test_bigtiff_bad_offset_size_raises():
     blob = struct.pack("<2sHHHQ", b"II", 43, 4, 0, 16) + bytes(16)
     with pytest.raises(ValueError, match="BigTIFF"):
         tiffcodec.decode_tiff(blob)
+
+
+# --------------------------------------------------------------------------
+# multi-IFD chain (GDAL internal overviews)
+# --------------------------------------------------------------------------
+
+
+def test_multi_ifd_overview_chain():
+    """decode_tiff(ifd=k) reads the k-th internal overview directly (the
+    gdaladdo layout: reduced levels as chained IFDs, georef on IFD 0
+    only); read_tiff_tags reports the whole chain without touching pixel
+    data."""
+    rng = np.random.default_rng(51)
+    full = rng.integers(0, 256, (32, 48, 3), np.uint8)
+    ov1, ov2 = full[::2, ::2], full[::4, ::4]
+    blob = tiffcodec.encode_tiff(
+        full, geo={"gsd": 4.0, "mx0": 0.0, "my1": 128.0}, tile=16,
+        compression="deflate", overviews=[ov1, ov2],
+    )
+    t = tiffcodec.read_tiff_tags(blob)
+    assert t["n_ifds"] == 3
+    assert t["ifds"] == [{"w": 48, "h": 32}, {"w": 24, "h": 16}, {"w": 12, "h": 8}]
+    a0, g0 = tiffcodec.decode_tiff(blob)
+    a1, g1 = tiffcodec.decode_tiff(blob, ifd=1)
+    a2, g2 = tiffcodec.decode_tiff(blob, ifd=2)
+    assert np.array_equal(a0, full) and np.array_equal(a1, ov1) and np.array_equal(a2, ov2)
+    assert g0["gsd"] == 4.0 and g1 is None and g2 is None
+    with pytest.raises(ValueError, match="3 IFD"):
+        tiffcodec.decode_tiff(blob, ifd=3)
+
+
+def test_handcrafted_two_ifd_chain():
+    """Handcrafted two-IFD chain, independent of the writer: the second
+    IFD is appended after the first segment's data and linked via the
+    next-IFD pointer."""
+    bo = "<"
+    img0 = np.arange(24, dtype=np.uint8).reshape(4, 6)
+    img1 = np.arange(6, dtype=np.uint8).reshape(2, 3) * 10
+
+    def seg(img, base, nxt):
+        h, w = img.shape
+        strip = img.tobytes()
+        tags = [
+            (256, 4, [w]), (257, 4, [h]), (258, 3, [8]), (259, 3, [1]),
+            (262, 3, [1]), (273, 4, None), (277, 3, [1]), (278, 4, [h]),
+            (279, 4, [len(strip)]),
+        ]
+        n = len(tags)
+        strip_off = base + 2 + 12 * n + 4
+        ents = b""
+        for tag, ftype, values in tags:
+            if values is None:
+                values = [strip_off]
+            fmt = {3: "H", 4: "I"}[ftype]
+            packed = struct.pack(bo + fmt * len(values), *values).ljust(4, b"\0")
+            ents += struct.pack(bo + "HHI", tag, ftype, len(values)) + packed
+        return struct.pack(bo + "H", n) + ents + struct.pack(bo + "I", nxt) + strip, strip_off + len(strip)
+
+    base0 = 8
+    s0, end0 = seg(img0, base0, 0)  # next patched below
+    base1 = end0
+    s0, _ = seg(img0, base0, base1)
+    s1, _ = seg(img1, base1, 0)
+    blob = struct.pack(bo + "2sHI", b"II", 42, base0) + s0 + s1
+    t = tiffcodec.read_tiff_tags(blob)
+    assert t["n_ifds"] == 2 and t["ifds"][1] == {"w": 3, "h": 2}
+    assert np.array_equal(tiffcodec.decode_tiff(blob, ifd=1)[0], img1)
+
+
+def test_ifd_cycle_guard():
+    """An IFD whose next pointer loops back to itself terminates the
+    chain walk instead of hanging."""
+    img = np.zeros((2, 2), np.uint8)
+    blob = bytearray(tiffcodec.encode_tiff(img))
+    # single IFD: next pointer sits right after the 2 + 12n entry bytes
+    n = struct.unpack("<H", blob[8:10])[0]
+    nxt_pos = 8 + 2 + 12 * n
+    blob[nxt_pos : nxt_pos + 4] = struct.pack("<I", 8)  # point back at IFD 0
+    t = tiffcodec.read_tiff_tags(bytes(blob))
+    assert t["n_ifds"] == 1  # cycle detected, chain truncated

@@ -13,7 +13,8 @@ implements the published subset the tiling pipeline needs:
   BOTH pixel organizations: strip (tags 273/278/279, any RowsPerStrip)
   and tiled (tags 322/323/324/325 — GDAL writes large rasters with
   TILED=YES, so real-world GeoTIFF archives hit this path first);
-  PlanarConfiguration=1;
+  the FULL IFD chain (GDAL internal overviews — decode_tiff(ifd=k)
+  reads the k-th reduced level directly); PlanarConfiguration=1;
   compression none(1)/LZW(5)/Deflate(8, 32946)/PackBits(32773) with
   horizontal Predictor(317)=2 (undone per strip row / per TILE row —
   differencing restarts at each tile's left edge) — the combinations
@@ -21,10 +22,10 @@ implements the published subset the tiling pipeline needs:
   ModelPixelScaleTag (33550) + ModelTiepointTag (33922) +
   GeoKeyDirectoryTag (34735: model type + projected CRS key).
 * writer: little-endian, single-strip OR tiled, 8- or 16-bit,
-  compression none or deflate, optional GeoTIFF tags — used by
-  fixtures/tests; the reader is also pinned against HANDCRAFTED tag
-  bytes (tests/test_tiffcodec.py) so a shared writer/reader bug cannot
-  hide.
+  compression none or deflate, optional GeoTIFF tags, optional chained
+  overview IFDs — used by fixtures/tests; the reader is also pinned
+  against HANDCRAFTED tag bytes (tests/test_tiffcodec.py) so a shared
+  writer/reader bug cannot hide.
 
 Out of scope (documented, like WebP): JPEG-in-TIFF, >16-bit and float
 samples, floating predictor, planar (separated) organization — all
@@ -169,16 +170,22 @@ def _read_values(data: bytes, bo: str, ftype: int, count: int, raw: bytes, inlin
     return list(struct.unpack(bo + fmt * count, buf))
 
 
-def _parse_ifd(data: bytes) -> tuple[dict[int, list], str]:
-    """Header + first IFD -> ({tag: values}, byte-order char). Cheap:
-    touches only the directory and out-of-line tag values, never strips.
+def _parse_ifds(data: bytes, max_ifds: int = 64) -> tuple[list[dict[int, list]], str]:
+    """Header + the FULL IFD chain -> ([{tag: values}, ...], byte-order
+    char). Cheap: touches only directories and out-of-line tag values,
+    never pixel strips/tiles. IFDs past the first are how GDAL stores
+    internal overviews (gdaladdo without -ro), so a chain-aware parse is
+    what lets decode_tiff(ifd=k) pick a pre-reduced level instead of
+    decoding the full raster to downsample it.
 
     Handles classic TIFF (magic 42: 12-byte entries, u4 counts/offsets,
-    4-byte inline values) AND BigTIFF (magic 43, the GDAL BIGTIFF=YES
-    variant: 20-byte entries, u8 counts/offsets, 8-byte inline values,
-    extra LONG8/SLONG8/IFD8 field types). A Spark binary cell caps a
-    blob at 2 GiB so >4 GiB archives arrive windowed anyway, but GDAL
-    also emits small BigTIFFs when BIGTIFF is forced or estimated."""
+    4-byte inline values, u4 next-IFD pointer) AND BigTIFF (magic 43,
+    the GDAL BIGTIFF=YES variant: 20-byte entries, u8 counts/offsets,
+    8-byte inline values, u8 next pointer, extra LONG8/SLONG8 types).
+    A Spark binary cell caps a blob at 2 GiB so >4 GiB archives arrive
+    windowed anyway, but GDAL also emits small BigTIFFs when BIGTIFF is
+    forced or estimated. Chain walk stops at offset 0, any out-of-range
+    or already-seen offset (cycle guard), or max_ifds."""
     if len(data) < 8:
         raise ValueError("not a TIFF: too short")
     if data[:2] == b"II":
@@ -188,30 +195,54 @@ def _parse_ifd(data: bytes) -> tuple[dict[int, list], str]:
     else:
         raise ValueError("not a TIFF: bad byte-order mark")
     (magic,) = struct.unpack(bo + "H", data[2:4])
-    tags: dict[int, list] = {}
-    if magic == 43:  # BigTIFF ([SPEC] BigTIFF design, libtiff 4.x)
+    big = magic == 43
+    if big:  # BigTIFF ([SPEC] BigTIFF design, libtiff 4.x)
         offsize, reserved = struct.unpack(bo + "HH", data[4:8])
         if offsize != 8 or reserved != 0:
             raise ValueError(f"bad BigTIFF header (offset size {offsize}, reserved {reserved})")
         (ifd_off,) = struct.unpack(bo + "Q", data[8:16])
-        (n_entries,) = struct.unpack(bo + "Q", data[ifd_off : ifd_off + 8])
-        for i in range(n_entries):
-            e = data[ifd_off + 8 + 20 * i : ifd_off + 8 + 20 * (i + 1)]
-            tag, ftype = struct.unpack(bo + "HH", e[:4])
-            (count,) = struct.unpack(bo + "Q", e[4:12])
-            if ftype in _TYPES:
-                tags[tag] = _read_values(data, bo, ftype, count, e[12:20], inline_max=8)
-        return tags, bo
-    if magic != 42:
+    elif magic == 42:
+        (ifd_off,) = struct.unpack(bo + "I", data[4:8])
+    else:
         raise ValueError("not a TIFF: bad magic")
-    (ifd_off,) = struct.unpack(bo + "I", data[4:8])
-    (n_entries,) = struct.unpack(bo + "H", data[ifd_off : ifd_off + 2])
-    for i in range(n_entries):
-        e = data[ifd_off + 2 + 12 * i : ifd_off + 2 + 12 * (i + 1)]
-        tag, ftype, count = struct.unpack(bo + "HHI", e[:8])
-        if ftype in _TYPES:
-            tags[tag] = _read_values(data, bo, ftype, count, e[8:12])
-    return tags, bo
+    ifds: list[dict[int, list]] = []
+    seen: set[int] = set()
+    while ifd_off and ifd_off not in seen and len(ifds) < max_ifds:
+        seen.add(ifd_off)
+        if ifd_off + (8 if big else 2) > len(data):
+            break  # truncated chain: keep what parsed
+        tags: dict[int, list] = {}
+        if big:
+            (n_entries,) = struct.unpack(bo + "Q", data[ifd_off : ifd_off + 8])
+            base = ifd_off + 8
+            for i in range(n_entries):
+                e = data[base + 20 * i : base + 20 * (i + 1)]
+                tag, ftype = struct.unpack(bo + "HH", e[:4])
+                (count,) = struct.unpack(bo + "Q", e[4:12])
+                if ftype in _TYPES:
+                    tags[tag] = _read_values(data, bo, ftype, count, e[12:20], inline_max=8)
+            nxt_pos = base + 20 * n_entries
+            (ifd_off,) = struct.unpack(bo + "Q", data[nxt_pos : nxt_pos + 8]) if nxt_pos + 8 <= len(data) else (0,)
+        else:
+            (n_entries,) = struct.unpack(bo + "H", data[ifd_off : ifd_off + 2])
+            base = ifd_off + 2
+            for i in range(n_entries):
+                e = data[base + 12 * i : base + 12 * (i + 1)]
+                tag, ftype, count = struct.unpack(bo + "HHI", e[:8])
+                if ftype in _TYPES:
+                    tags[tag] = _read_values(data, bo, ftype, count, e[8:12])
+            nxt_pos = base + 12 * n_entries
+            (ifd_off,) = struct.unpack(bo + "I", data[nxt_pos : nxt_pos + 4]) if nxt_pos + 4 <= len(data) else (0,)
+        ifds.append(tags)
+    if not ifds:
+        raise ValueError("TIFF with no parseable IFD")
+    return ifds, bo
+
+
+def _parse_ifd(data: bytes) -> tuple[dict[int, list], str]:
+    """First IFD only (the full-resolution image)."""
+    ifds, bo = _parse_ifds(data, max_ifds=1)
+    return ifds[0], bo
 
 
 def _georef_from_tags(tags: dict[int, list], h: int) -> dict | None:
@@ -244,15 +275,25 @@ def _georef_from_tags(tags: dict[int, list], h: int) -> dict | None:
 
 
 def read_tiff_tags(data: bytes) -> dict:
-    """Tags-only parse: {"w", "h", "geo": georef-dict-or-None} WITHOUT
-    touching (or decompressing) any pixel strip — the right call for
-    georef/dimension extraction over large charts (map2gdal), where
-    decoding a multi-hundred-MB LZW raster just to read four tags would
-    waste minutes per file."""
-    tags, _bo = _parse_ifd(data)
+    """Tags-only parse: {"w", "h", "geo": georef-dict-or-None, "n_ifds",
+    "ifds": [{"w", "h"}, ...]} WITHOUT touching (or decompressing) any
+    pixel strip — the right call for georef/dimension extraction over
+    large charts (map2gdal), where decoding a multi-hundred-MB LZW raster
+    just to read four tags would waste minutes per file. IFDs past the
+    first are GDAL internal overviews; pick the closest pre-reduced level
+    with ``decode_tiff(data, ifd=k)`` instead of decoding and
+    downsampling the full raster."""
+    ifds, _bo = _parse_ifds(data)
+    tags = ifds[0]
     w = int(tags[TAG_WIDTH][0])
     h = int(tags[TAG_LENGTH][0])
-    return {"w": w, "h": h, "geo": _georef_from_tags(tags, h)}
+    dims = []
+    for t in ifds:
+        try:
+            dims.append({"w": int(t[TAG_WIDTH][0]), "h": int(t[TAG_LENGTH][0])})
+        except KeyError:
+            dims.append({"w": -1, "h": -1})  # malformed overview IFD stays visible
+    return {"w": w, "h": h, "geo": _georef_from_tags(tags, h), "n_ifds": len(ifds), "ifds": dims}
 
 
 def _assemble_strips(data: bytes, tags: dict, dtype, w: int, h: int, spp: int,
@@ -318,7 +359,7 @@ def scale_16bit_to_8bit(arr: np.ndarray) -> np.ndarray:
     return ((a * 255 + 32767) // 65535).astype(np.uint8)
 
 
-def decode_tiff(data: bytes, scale_16bit: bool = True):
+def decode_tiff(data: bytes, scale_16bit: bool = True, ifd: int = 0):
     """TIFF bytes -> (uint8 array (H,W) or (H,W,C), georef dict | None).
 
     georef (when GeoTIFF tags are present): {"gsd", "mx0", "my0", "mx1",
@@ -330,8 +371,16 @@ def decode_tiff(data: bytes, scale_16bit: bool = True):
     contract via ``scale_16bit_to_8bit`` (linear round-half-up — the
     GDAL ``-ot Byte -scale 0 65535 0 255`` equivalent); pass
     ``scale_16bit=False`` for the raw uint16 samples.
+
+    ``ifd`` selects an image from the IFD chain: 0 (default) is the full
+    raster, k >= 1 the k-th GDAL internal overview (gdaladdo). Overview
+    IFDs usually carry no georef tags — compose the level's geotransform
+    from IFD 0's georef scaled by the dimension ratio.
     """
-    tags, bo = _parse_ifd(data)
+    ifds, bo = _parse_ifds(data)
+    if not 0 <= ifd < len(ifds):
+        raise ValueError(f"TIFF has {len(ifds)} IFD(s), requested ifd={ifd}")
+    tags = ifds[ifd]
     w = int(tags[TAG_WIDTH][0])
     h = int(tags[TAG_LENGTH][0])
     comp = int(tags.get(TAG_COMPRESSION, [1])[0])
@@ -387,19 +436,12 @@ def decode_tiff(data: bytes, scale_16bit: bool = True):
     return arr, _georef_from_tags(tags, h)
 
 
-def encode_tiff(
-    arr: np.ndarray,
-    geo: dict | None = None,
-    compression: str = "none",
-    tile: int | tuple[int, int] | None = None,
-) -> bytes:
-    """uint8 or uint16 (H,W)/(H,W,3)/(H,W,4) -> little-endian TIFF;
-    `compression` = 'none' | 'deflate'; `tile` = None (single-strip) or a
-    tile size (int or (tw, tl)) for tiled organization (tags 322-325,
-    edge tiles zero-padded per spec §15); `geo` = {"gsd", "mx0", "my1",
-    ["epsg"]} adds GeoTIFF tags (pixel-scale, top-left tiepoint,
-    projected-CRS geokey). uint16 input writes BitsPerSample=16.
-    Deterministic bytes (fixed tag order/layout, fixed zlib level)."""
+def _prep_image(arr: np.ndarray, geo: dict | None, compression: str,
+                tile: int | tuple[int, int] | None):
+    """First pass of the writer for ONE image: normalize the array,
+    compress chunks, build the (tag, type, values) entry list (offsets
+    entry marked with values=None) and compute the deterministic sizes
+    the layout pass needs."""
     a = np.asarray(arr)
     sample_dtype = np.dtype("<u2") if a.dtype == np.uint16 else np.dtype(np.uint8)
     bits = 16 if sample_dtype.itemsize == 2 else 8
@@ -465,27 +507,30 @@ def encode_tiff(
         add(TAG_GEO_KEYS, 3, [1, 1, 0, 2, _GT_MODEL_TYPE, 0, 1, 1, _PROJECTED_CS, 0, 1, epsg])
 
     entries.sort(key=lambda e: e[0])  # spec: ascending tag order
-    n_off = len(chunks)
-    n = len(entries)
-    ifd_off = 8
-    bo = "<"
-    data_off = ifd_off + 2 + 12 * n + 4  # out-of-line tag values start here
-    # pass 1: extra-area size is fully determined by counts (offsets array
-    # included), so chunk positions — and therefore the offsets values —
-    # can be computed before packing
     extra_size = 0
     for tag, ftype, values in entries:
-        count = n_off if values is None else len(values)
+        count = len(chunks) if values is None else len(values)
         total = _TYPES[ftype][1] * count
         if total > 4:
             extra_size += total
+    # segment = entry count (2) + entries (12n) + next-IFD ptr (4)
+    #         + out-of-line values + chunk data
+    seg_len = 2 + 12 * len(entries) + 4 + extra_size + sum(len(ch) for ch in chunks)
+    return entries, chunks, extra_size, seg_len
+
+
+def _pack_ifd_segment(entries, chunks, extra_size, base_off: int, next_off: int) -> bytes:
+    """Second pass: pack one IFD segment at absolute offset `base_off`,
+    with the next-IFD pointer set to `next_off` (0 terminates the chain)."""
+    bo = "<"
+    n = len(entries)
+    data_off = base_off + 2 + 12 * n + 4  # out-of-line tag values start here
     chunk_start = data_off + extra_size
     offsets = []
     pos = chunk_start
     for ch in chunks:
         offsets.append(pos)
         pos += len(ch)
-    # pass 2: pack with the real offsets in place
     out_entries = b""
     extra = b""
     for tag, ftype, values in entries:
@@ -501,10 +546,40 @@ def encode_tiff(
             extra += packed
         out_entries += struct.pack(bo + "HHI", tag, ftype, len(values)) + raw
     return (
-        struct.pack(bo + "2sHI", b"II", 42, ifd_off)
-        + struct.pack(bo + "H", n)
+        struct.pack(bo + "H", n)
         + out_entries
-        + struct.pack(bo + "I", 0)
+        + struct.pack(bo + "I", next_off)
         + extra
         + b"".join(chunks)
     )
+
+
+def encode_tiff(
+    arr: np.ndarray,
+    geo: dict | None = None,
+    compression: str = "none",
+    tile: int | tuple[int, int] | None = None,
+    overviews: list[np.ndarray] | None = None,
+) -> bytes:
+    """uint8 or uint16 (H,W)/(H,W,3)/(H,W,4) -> little-endian TIFF;
+    `compression` = 'none' | 'deflate'; `tile` = None (single-strip) or a
+    tile size (int or (tw, tl)) for tiled organization (tags 322-325,
+    edge tiles zero-padded per spec §15); `geo` = {"gsd", "mx0", "my1",
+    ["epsg"]} adds GeoTIFF tags to IFD 0 (pixel-scale, top-left tiepoint,
+    projected-CRS geokey); `overviews` = reduced-resolution arrays
+    appended as chained IFDs (the GDAL internal-overview layout — no
+    georef tags on overview IFDs, like gdaladdo). uint16 input writes
+    BitsPerSample=16. Deterministic bytes (fixed tag order/layout, fixed
+    zlib level)."""
+    images = [(arr, geo)] + [(ov, None) for ov in (overviews or [])]
+    preps = [_prep_image(a, g, compression, tile) for a, g in images]
+    base = 8
+    bases = []
+    for _entries, _chunks, _extra, seg_len in preps:
+        bases.append(base)
+        base += seg_len
+    out = [struct.pack("<2sHI", b"II", 42, bases[0])]
+    for i, (entries, chunks, extra_size, _seg_len) in enumerate(preps):
+        next_off = bases[i + 1] if i + 1 < len(bases) else 0
+        out.append(_pack_ifd_segment(entries, chunks, extra_size, bases[i], next_off))
+    return b"".join(out)
