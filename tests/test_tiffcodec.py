@@ -107,14 +107,16 @@ def test_sniff_and_decode_image_integration():
 def test_unsupported_features_raise_loudly():
     a = np.zeros((4, 4), np.uint8)
     blob = bytearray(tiffcodec.encode_tiff(a))
-    # flip Compression (tag 259) value to 7 (JPEG-in-TIFF, unsupported)
+    # flip Compression (tag 259) value to 6 (old-style JPEG, deprecated
+    # by TIFF TechNote 2 and genuinely unsupported; new-style 7 IS
+    # supported via the engine's jpegcodec)
     n = struct.unpack("<H", blob[8:10])[0]
     for i in range(n):
         off = 10 + 12 * i
         tag = struct.unpack("<H", blob[off : off + 2])[0]
         if tag == 259:
-            blob[off + 8 : off + 10] = struct.pack("<H", 7)
-    with pytest.raises(NotImplementedError, match="compression 7"):
+            blob[off + 8 : off + 10] = struct.pack("<H", 6)
+    with pytest.raises(NotImplementedError, match="compression 6"):
         tiffcodec.decode_tiff(bytes(blob))
     with pytest.raises(ValueError, match="byte-order"):
         tiffcodec.decode_tiff(b"XX\x00\x2a" + b"\0" * 16)
@@ -440,8 +442,8 @@ def _handcraft_chunked(tags, chunks, offsets_tag, bo="<"):
     are known before packing."""
     n = len(tags)
     entries_end = 8 + 2 + 12 * n + 4
-    sizes = {3: 2, 4: 4, 12: 8}
-    fmts = {3: "H", 4: "I", 12: "d"}
+    sizes = {3: 2, 4: 4, 7: 1, 12: 8}
+    fmts = {3: "H", 4: "I", 7: "B", 12: "d"}
     extra_size = 0
     for tag, ftype, values in tags:
         count = len(chunks) if values is None else len(values)
@@ -900,3 +902,127 @@ def test_ifd_cycle_guard():
     blob[nxt_pos : nxt_pos + 4] = struct.pack("<I", 8)  # point back at IFD 0
     t = tiffcodec.read_tiff_tags(bytes(blob))
     assert t["n_ifds"] == 1  # cycle detected, chain truncated
+
+
+# --------------------------------------------------------------------------
+# JPEG-in-TIFF (compression 7, TIFF/EP — GDAL COMPRESS=JPEG)
+# --------------------------------------------------------------------------
+
+
+def _smooth_rgb(h, w):
+    r = np.arange(h)[:, None] + np.zeros((1, w), np.int64)
+    c = np.arange(w)[None, :] + np.zeros((h, 1), np.int64)
+    return np.stack([(r * 2 + c) % 256, (r + c * 2) % 256, (r * 3) % 256], axis=-1).astype(
+        np.uint8
+    )
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255**2 / mse)
+
+
+def test_jpeg_in_tiff_roundtrip_strip_and_tiled():
+    """Compression 7 decodes through the engine's own baseline JPEG
+    codec for both organizations, gray and RGB, with georef intact."""
+    img = _smooth_rgb(48, 64)
+    for kwargs in ({}, {"tile": 16}):
+        blob = tiffcodec.encode_tiff(
+            img, compression="jpeg", geo={"gsd": 2.0, "mx0": 0.0, "my1": 96.0}, **kwargs
+        )
+        arr, g = tiffcodec.decode_tiff(blob)
+        assert arr.shape == img.shape and g["gsd"] == 2.0
+        assert _psnr(arr, img) >= 35, kwargs
+    gray = ((np.arange(48)[:, None] * 5 + np.arange(64)[None, :] * 3) % 256).astype(np.uint8)
+    arr, _ = tiffcodec.decode_tiff(tiffcodec.encode_tiff(gray, compression="jpeg", tile=32))
+    assert arr.shape == (48, 64) and _psnr(arr, gray) >= 35
+
+
+def _split_jpeg_tables(stream: bytes):
+    """Factor a standalone baseline JPEG into (abbreviated tables stream,
+    abbreviated image stream) per the TIFF/EP JPEGTables convention:
+    DQT/DHT segments move to the tables stream (SOI [tables] EOI); the
+    image stream keeps everything else."""
+    pos = 2
+    tables = b""
+    body = b"\xff\xd8"
+    while pos < len(stream):
+        assert stream[pos] == 0xFF, hex(stream[pos])
+        marker = stream[pos + 1]
+        if marker in (0xD9, 0xDA):  # EOI / SOS: entropy data follows SOS
+            body += stream[pos:]
+            break
+        ln = int.from_bytes(stream[pos + 2 : pos + 4], "big")
+        seg = stream[pos : pos + 2 + ln]
+        if marker in (0xDB, 0xC4):
+            tables += seg
+        else:
+            body += seg
+        pos += 2 + ln
+    return b"\xff\xd8" + tables + b"\xff\xd9", body
+
+
+def test_jpeg_in_tiff_with_jpegtables_tag():
+    """The JPEGTables (347) form: shared DQT/DHT in the tag, per-tile
+    abbreviated streams without them — the layout libtiff/GDAL write by
+    default. Decoded pixels must be IDENTICAL to the self-contained
+    form (same entropy data, same tables, only the packaging differs)."""
+    from tilers_tools_spark.functions.jpegcodec import encode_jpeg
+
+    img = _smooth_rgb(32, 48)
+    tw = tl = 16
+    full_streams = []
+    for r0 in range(0, 32, tl):
+        for c0 in range(0, 48, tw):
+            full_streams.append(encode_jpeg(img[r0 : r0 + tl, c0 : c0 + tw]))
+    tables, _ = _split_jpeg_tables(full_streams[0])
+    bodies = [_split_jpeg_tables(s)[1] for s in full_streams]
+    tags = [
+        (256, 4, [48]), (257, 4, [32]), (258, 3, [8, 8, 8]), (259, 3, [7]),
+        (262, 3, [6]), (277, 3, [3]),
+        (322, 4, [tw]), (323, 4, [tl]), (324, 4, None),
+        (325, 4, [len(b) for b in bodies]),
+        (347, 7, list(tables)),
+    ]
+    arr, _ = tiffcodec.decode_tiff(_handcraft_chunked(tags, bodies, 324))
+    # reference: the same streams decoded self-contained
+    ref = np.zeros_like(img)
+    from tilers_tools_spark.functions.jpegcodec import decode_jpeg
+
+    i = 0
+    for r0 in range(0, 32, tl):
+        for c0 in range(0, 48, tw):
+            ref[r0 : r0 + tl, c0 : c0 + tw] = decode_jpeg(full_streams[i])
+            i += 1
+    assert np.array_equal(arr, ref)
+    assert _psnr(arr, img) >= 35
+
+
+def test_jpeg_in_tiff_strip_form_with_tables():
+    """Strip-organized compression 7 with RowsPerStrip < h and
+    JPEGTables — each strip is a full-width abbreviated image."""
+    from tilers_tools_spark.functions.jpegcodec import encode_jpeg
+
+    img = _smooth_rgb(32, 40)
+    rps = 16
+    full = [encode_jpeg(img[r0 : r0 + rps]) for r0 in range(0, 32, rps)]
+    tables, _ = _split_jpeg_tables(full[0])
+    bodies = [_split_jpeg_tables(s)[1] for s in full]
+    tags = [
+        (256, 4, [40]), (257, 4, [32]), (258, 3, [8, 8, 8]), (259, 3, [7]),
+        (262, 3, [6]), (273, 4, None), (277, 3, [3]), (278, 4, [rps]),
+        (279, 4, [len(b) for b in bodies]),
+        (347, 7, list(tables)),
+    ]
+    arr, _ = tiffcodec.decode_tiff(_handcraft_chunked(tags, bodies, 273))
+    assert _psnr(arr, img) >= 35
+
+
+def test_jpeg_in_tiff_16bit_raises():
+    tags = [
+        (256, 4, [2]), (257, 4, [2]), (258, 3, [16]), (259, 3, [7]),
+        (262, 3, [1]), (273, 4, None), (277, 3, [1]), (278, 4, [2]),
+        (279, 4, [4]),
+    ]
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        tiffcodec.decode_tiff(_handcraft_chunked(tags, [bytes(4)], 273))

@@ -15,21 +15,25 @@ implements the published subset the tiling pipeline needs:
   TILED=YES, so real-world GeoTIFF archives hit this path first);
   the FULL IFD chain (GDAL internal overviews — decode_tiff(ifd=k)
   reads the k-th reduced level directly); PlanarConfiguration=1;
-  compression none(1)/LZW(5)/Deflate(8, 32946)/PackBits(32773) with
-  horizontal Predictor(317)=2 (undone per strip row / per TILE row —
-  differencing restarts at each tile's left edge) — the combinations
-  GDAL-written GeoTIFFs actually use; GeoTIFF georef via
+  compression none(1)/LZW(5)/new-style JPEG(7, via the engine's own
+  baseline jpegcodec incl. the shared JPEGTables tag 347)/Deflate(8,
+  32946)/PackBits(32773) with horizontal Predictor(317)=2 (undone per
+  strip row / per TILE row — differencing restarts at each tile's left
+  edge) — the combinations GDAL-written GeoTIFFs actually use
+  (COMPRESS=JPEG is the standard aerial-imagery layout); GeoTIFF
+  georef via
   ModelPixelScaleTag (33550) + ModelTiepointTag (33922) +
   GeoKeyDirectoryTag (34735: model type + projected CRS key).
 * writer: little-endian, single-strip OR tiled, 8- or 16-bit,
-  compression none or deflate, optional GeoTIFF tags, optional chained
+  compression none, deflate or jpeg, optional GeoTIFF tags, optional chained
   overview IFDs — used by fixtures/tests; the reader is also pinned
   against HANDCRAFTED tag bytes (tests/test_tiffcodec.py) so a shared
   writer/reader bug cannot hide.
 
-Out of scope (documented, like WebP): JPEG-in-TIFF, >16-bit and float
-samples, floating predictor, planar (separated) organization — all
-raise with explicit messages rather than mis-decoding.
+Out of scope (documented, like WebP): old-style JPEG (compression 6,
+deprecated by TIFF TechNote 2), >16-bit and float samples, floating
+predictor, planar (separated) organization — all raise with explicit
+messages rather than mis-decoding.
 """
 
 from __future__ import annotations
@@ -38,9 +42,10 @@ import struct
 
 import numpy as np
 
-# TIFF field types -> (struct fmt char, byte size); 16/17 are the
-# BigTIFF LONG8/SLONG8 additions
-_TYPES = {1: ("B", 1), 3: ("H", 2), 4: ("I", 4), 12: ("d", 8), 16: ("Q", 8), 17: ("q", 8)}
+# TIFF field types -> (struct fmt char, byte size); 7 = UNDEFINED (raw
+# bytes, used by JPEGTables); 16/17 are the BigTIFF LONG8/SLONG8 additions
+_TYPES = {1: ("B", 1), 3: ("H", 2), 4: ("I", 4), 7: ("B", 1), 12: ("d", 8),
+          16: ("Q", 8), 17: ("q", 8)}
 
 TAG_WIDTH = 256
 TAG_LENGTH = 257
@@ -57,6 +62,7 @@ TAG_TILE_WIDTH = 322
 TAG_TILE_LENGTH = 323
 TAG_TILE_OFFSETS = 324
 TAG_TILE_COUNTS = 325
+TAG_JPEG_TABLES = 347
 TAG_MODEL_PIXEL_SCALE = 33550
 TAG_MODEL_TIEPOINT = 33922
 TAG_GEO_KEYS = 34735
@@ -348,6 +354,72 @@ def _assemble_tiles(data: bytes, tags: dict, dtype, w: int, h: int, spp: int,
     return np.ascontiguousarray(out[:h, :w])  # crop edge-tile padding
 
 
+def _assemble_jpeg(data: bytes, tags: dict, w: int, h: int, spp: int) -> np.ndarray:
+    """New-style JPEG-in-TIFF (compression 7, TIFF/EP — the standard
+    GDAL COMPRESS=JPEG aerial-imagery layout): every strip/tile is an
+    independent baseline JPEG stream decoded with the engine's own
+    jpegcodec; a JPEGTables tag (347) holds an abbreviated tables-only
+    stream (SOI [DQT/DHT...] EOI) shared by all chunks, spliced in after
+    each chunk's SOI (libtiff's merge rule — in-stream tables appearing
+    later simply override, which a sequential segment parser honors).
+    Strip chunks are full-width images RowsPerStrip tall; tile chunks
+    are TileWidth x TileLength; both may be MCU-padded at the edges, so
+    each decoded chunk is clipped to the region it covers."""
+    from .jpegcodec import decode_jpeg
+
+    tables = b""
+    if TAG_JPEG_TABLES in tags:
+        tb = bytes(bytearray(int(v) & 0xFF for v in tags[TAG_JPEG_TABLES]))
+        if len(tb) >= 4 and tb[:2] == b"\xff\xd8" and tb[-2:] == b"\xff\xd9":
+            tables = tb[2:-2]  # strip SOI/EOI, keep the table segments
+
+    def _decode(chunk: bytes) -> np.ndarray:
+        if chunk[:2] != b"\xff\xd8":
+            raise ValueError("JPEG-in-TIFF chunk without SOI marker")
+        arr = decode_jpeg(b"\xff\xd8" + tables + chunk[2:] if tables else chunk)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        if arr.shape[2] != spp:
+            raise ValueError(f"JPEG chunk has {arr.shape[2]} bands, SamplesPerPixel={spp}")
+        return arr
+
+    out = np.zeros((h, w, spp), dtype=np.uint8)
+    tiled = TAG_TILE_WIDTH in tags or TAG_TILE_OFFSETS in tags
+    if tiled:
+        tw = int(tags[TAG_TILE_WIDTH][0])
+        tl = int(tags[TAG_TILE_LENGTH][0])
+        offsets = [int(v) for v in tags[TAG_TILE_OFFSETS]]
+        counts = [int(v) for v in tags[TAG_TILE_COUNTS]]
+        across = (w + tw - 1) // tw
+        down = (h + tl - 1) // tl
+        if len(offsets) != across * down:
+            raise ValueError(
+                f"TIFF tile count mismatch: {len(offsets)} offsets for {across}x{down} grid"
+            )
+        for i, (o, c) in enumerate(zip(offsets, counts)):
+            dec = _decode(data[o : o + c])
+            r, col = divmod(i, across)
+            r0, c0 = r * tl, col * tw
+            hh, ww = min(tl, h - r0), min(tw, w - c0)
+            if dec.shape[0] < hh or dec.shape[1] < ww:
+                raise ValueError(f"JPEG tile {i} smaller than its grid cell")
+            out[r0 : r0 + hh, c0 : c0 + ww] = dec[:hh, :ww]
+    else:
+        offsets = [int(v) for v in tags[TAG_STRIP_OFFSETS]]
+        counts = [int(v) for v in tags[TAG_STRIP_COUNTS]]
+        rps = int(tags.get(TAG_ROWS_PER_STRIP, [h])[0])
+        for i, (o, c) in enumerate(zip(offsets, counts)):
+            dec = _decode(data[o : o + c])
+            r0 = i * rps
+            hh = min(rps, h - r0)
+            if hh <= 0:
+                break
+            if dec.shape[0] < hh or dec.shape[1] < w:
+                raise ValueError(f"JPEG strip {i} smaller than its row band")
+            out[r0 : r0 + hh] = dec[:hh, :w]
+    return out
+
+
 def scale_16bit_to_8bit(arr: np.ndarray) -> np.ndarray:
     """uint16 -> uint8 with the documented rule: linear 0..65535 ->
     0..255, round half up — floor(v * 255 / 65535 + 0.5) = round(v/257),
@@ -396,8 +468,22 @@ def decode_tiff(data: bytes, scale_16bit: bool = True, ifd: int = 0):
     if int(tags.get(TAG_PLANAR, [1])[0]) != 1:
         raise NotImplementedError("planar (separated) TIFF not supported")
     photometric = int(tags.get(TAG_PHOTOMETRIC, [1])[0])
+    if comp == 7:
+        # new-style JPEG-in-TIFF: chunks are JPEG streams, not sample
+        # bytes; photometric 6 (YCbCr) is the normal GDAL COMPRESS=JPEG
+        # color form and the codec hands back RGB
+        if dtype.itemsize != 1:
+            raise NotImplementedError("JPEG-in-TIFF requires 8-bit samples")
+        if photometric not in (1, 2, 6):
+            raise NotImplementedError(
+                f"JPEG-in-TIFF photometric {photometric} not supported (1/2/6)"
+            )
+        arr = _assemble_jpeg(data, tags, w, h, spp)
+        arr = arr.reshape((h, w) if spp == 1 else (h, w, spp))
+        return arr, _georef_from_tags(tags, h)
     if photometric not in (0, 1, 2, 3):
-        # 5=CMYK, 6=YCbCr, ... — mis-decoding as gray/RGB would be silent
+        # 5=CMYK, 6=YCbCr (outside comp 7), ... — mis-decoding as
+        # gray/RGB would be silent
         raise NotImplementedError(f"TIFF photometric {photometric} not supported (0/1/2/3)")
     if photometric == 3 and (spp != 1 or dtype.itemsize != 1):
         raise NotImplementedError("palette TIFF must have 1 sample per pixel, 8-bit")
@@ -452,17 +538,29 @@ def _prep_image(arr: np.ndarray, geo: dict | None, compression: str,
     if c not in (1, 3, 4):
         raise ValueError(f"unsupported band count {c}")
     photometric = 1 if c == 1 else 2
+    jpeg = compression == "jpeg"
+    if jpeg:
+        if bits != 8 or c == 4:
+            raise ValueError("jpeg compression supports 8-bit gray/RGB only")
+        photometric = 1 if c == 1 else 6  # YCbCr (the GDAL COMPRESS=JPEG form)
 
-    def _compress(raw: bytes) -> bytes:
+    def _compress(block: np.ndarray) -> bytes:
+        if jpeg:
+            from .jpegcodec import encode_jpeg
+
+            return encode_jpeg(block.squeeze() if c == 1 else block)
+        raw = block.tobytes()
         if compression == "deflate":
             import zlib
 
             return zlib.compress(raw, 6)
         if compression != "none":
-            raise ValueError(f"writer supports 'none' | 'deflate', got {compression!r}")
+            raise ValueError(
+                f"writer supports 'none' | 'deflate' | 'jpeg', got {compression!r}"
+            )
         return raw
 
-    comp_code = 8 if compression == "deflate" else 1
+    comp_code = {"deflate": 8, "jpeg": 7}.get(compression, 1)
     if tile is not None:
         tw, tl = (tile, tile) if isinstance(tile, int) else (int(tile[0]), int(tile[1]))
         if tw <= 0 or tl <= 0:
@@ -472,12 +570,12 @@ def _prep_image(arr: np.ndarray, geo: dict | None, compression: str,
         padded = np.zeros((down * tl, across * tw, c), dtype=sample_dtype)
         padded[:h, :w] = arr
         chunks = [
-            _compress(padded[r * tl : (r + 1) * tl, col * tw : (col + 1) * tw].tobytes())
+            _compress(padded[r * tl : (r + 1) * tl, col * tw : (col + 1) * tw])
             for r in range(down)
             for col in range(across)
         ]
     else:
-        chunks = [_compress(arr.tobytes())]
+        chunks = [_compress(arr)]
 
     entries = []  # (tag, type, values); values None = offsets placeholder
 
