@@ -575,3 +575,101 @@ def test_dedup_clusters_parallelism_invariant(spark):
     key = a.sort_values("doc_id").reset_index(drop=True)
     other = b.sort_values("doc_id").reset_index(drop=True)
     assert key.equals(other)
+
+
+def test_contamination_pairs_planted_and_broadcast(spark):
+    """contamination_pairs finds exactly the train docs containing bench
+    n-grams (planted: one exact copy, one embedded span, one clean), with
+    correct distinct-gram counts, and the bench side joins BROADCAST (the
+    100 TB-train scale shape: no train-side shuffle)."""
+    from pyspark.sql import functions as F
+
+    from tilers_tools_spark.operators import text as tx
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six"),
+            (3, "Alpha, beta; GAMMA delta!! epsilon filler filler"),  # same 5 tokens, punct/case
+            (4, "totally unrelated words here nothing shared"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")],  # 5 tokens -> 2 distinct 4-grams
+        "doc_id long, text string",
+    )
+    out = tx.contamination_pairs(train, bench, n=4)
+    rows = {(r["train_id"], r["bench_id"]): r for r in out.collect()}
+    assert set(rows) == {(1, 100), (3, 100)}
+    for k in rows:
+        assert rows[k]["bench_ngrams"] == 2
+    assert rows[(1, 100)]["n_matched"] == 2 and rows[(1, 100)]["overlap_frac"] == 1.0
+    assert rows[(3, 100)]["n_matched"] == 2  # tokenization collapses case/punct
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # bench side never shuffles the train corpus
+
+
+def test_contamination_short_doc_and_empty(spark):
+    """Docs shorter than n tokens produce no grams (the sequence(1,0)
+    descending-range footgun is guarded); empty result is well-formed."""
+    from tilers_tools_spark.operators import text as tx
+
+    train = spark.createDataFrame([(1, "only three words")], "doc_id long, text string")
+    bench = spark.createDataFrame([(9, "x y")], "doc_id long, text string")
+    out = tx.contamination_pairs(train, bench, n=4)
+    assert out.count() == 0
+    assert out.columns == ["train_id", "bench_id", "n_matched", "bench_ngrams", "overlap_frac"]
+
+
+def test_pack_sequences_placement(spark):
+    """Concat-and-split packing: known token counts -> exact offsets,
+    sequence ids, and boundary-crossing flags (max_tokens=10); empty doc
+    occupies zero tokens and never 'crosses'."""
+    from tilers_tools_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # 4 toks: [0,4)  seq 0
+            (2, "e f g h i"),      # 5 toks: [4,9)  seq 0
+            (3, "j k l"),          # 3 toks: [9,12) crosses 0->1
+            (4, ""),               # 0 toks at 12: seq 1, no cross
+            (5, " ".join("x" * 1 for _ in range(11))),  # 11 toks: [12,23) crosses 1->2
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in sampling.pack_sequences(docs, max_tokens=10).collect()}
+    assert (out[1]["start_tok"], out[1]["end_tok"], out[1]["seq_first"], out[1]["seq_last"], out[1]["crosses"]) == (0, 4, 0, 0, 0)
+    assert (out[2]["start_tok"], out[2]["end_tok"]) == (4, 9) and out[2]["crosses"] == 0
+    assert (out[3]["start_tok"], out[3]["end_tok"], out[3]["seq_first"], out[3]["seq_last"], out[3]["crosses"]) == (9, 12, 0, 1, 1)
+    assert out[4]["n_tokens"] == 0 and out[4]["crosses"] == 0
+    assert (out[5]["seq_first"], out[5]["seq_last"], out[5]["crosses"]) == (1, 2, 1)
+    # total stream length = sum of token counts
+    assert max(r["end_tok"] for r in out.values()) == 4 + 5 + 3 + 0 + 11
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    from tilers_tools_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jo.smith+x@sub.example.org or admin@test.io thanks"),
+            (2, "server at 10.0.0.1 and 192.168.255.254 up"),
+            (3, "call +1 555-123-4567 today"),
+            (4, "clean text with no identifiers at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.pii_scrub(docs).collect()}
+    assert (out[1]["n_emails"], out[1]["n_ipv4"], out[1]["n_phones"]) == (2, 0, 0)
+    assert (out[2]["n_emails"], out[2]["n_ipv4"]) == (0, 2)
+    assert out[3]["n_phones"] == 1
+    assert (out[4]["n_emails"], out[4]["n_ipv4"], out[4]["n_phones"]) == (0, 0, 0)
+    # exact redaction bytes (md5 is over this string)
+    import hashlib
+
+    expected = "mail me at <EMAIL> or <EMAIL> thanks"
+    assert out[1]["redacted_md5"] == hashlib.md5(expected.encode()).hexdigest()
+    assert out[1]["redacted_len"] == len(expected)
+    expected3 = "call <PHONE> today"
+    assert out[3]["redacted_md5"] == hashlib.md5(expected3.encode()).hexdigest()

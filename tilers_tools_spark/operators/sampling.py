@@ -101,3 +101,53 @@ def stratified_sample(
         F.col(strata_col).cast("string"), F.lit("|"), F.col(id_col).cast("string")
     )
     return df.filter(_bucket_hex(key, seed) < F.lit(_hex_threshold(fraction)))
+
+
+def pack_sequences(
+    docs,
+    max_tokens: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Concat-and-split sequence packing — the standard LLM pretraining
+    batch layout: documents are laid end-to-end in deterministic id
+    order and the token stream is cut every `max_tokens`. Returns one
+    row per document with its placement in the packed stream:
+
+      (id, n_tokens, start_tok, end_tok [exclusive], seq_first,
+       seq_last, crosses)
+
+    where seq_k = tok_offset // max_tokens and `crosses` marks documents
+    split across a sequence boundary (what an attention-mask builder or
+    a no-split repacker needs to know). Token counts use the engine's
+    whitespace tokenizer (operators.text.token_count), matching the
+    token_stats oracle.
+
+    Scale: ONE global sort (window cumulative sum over id order) — the
+    same shape as any ORDER BY at 100 TB, range-partitioned by Spark;
+    the payload carried through the sort is (id, n_tokens) only, never
+    text. For sharded packing (per-worker streams), pre-split with
+    hash_split and pack each split independently.
+    """
+    from pyspark.sql import Window
+
+    from .text import token_count
+
+    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    narrow = docs.select(F.col(id_col), token_count(text_col).cast("long").alias("n_tokens"))
+    cum = narrow.withColumn("end_tok", F.sum("n_tokens").over(w))
+    return cum.select(
+        id_col,
+        "n_tokens",
+        (F.col("end_tok") - F.col("n_tokens")).alias("start_tok"),
+        "end_tok",
+        ((F.col("end_tok") - F.col("n_tokens")) / max_tokens).cast("long").alias("seq_first"),
+        # last token of the doc lives at end_tok - 1; empty docs occupy no
+        # tokens and get seq_last = seq_first (degenerate but well-defined)
+        F.when(F.col("n_tokens") > 0, ((F.col("end_tok") - 1) / max_tokens).cast("long"))
+        .otherwise((F.col("end_tok") / max_tokens).cast("long"))
+        .alias("seq_last"),
+    ).withColumn(
+        "crosses",
+        (F.col("seq_last") > F.col("seq_first")).cast("int"),
+    )

@@ -112,3 +112,107 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         F.array_max(grams).alias("fp_max"),
         F.md5(F.col("_t")).alias("fp_md5"),
     )
+
+
+def contamination_pairs(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_matched: int = 1,
+) -> DataFrame:
+    """Benchmark-contamination detection: which training documents
+    contain word n-grams from an evaluation/benchmark set (the standard
+    decontamination primitive for LLM training corpora — e.g. "flag any
+    train doc sharing a 13-gram with the eval set", here parameterized
+    by n).
+
+    Tokenization (shared with the DuckDB oracle): lowercase, every
+    non-[a-z0-9] run collapses to one separator, empty tokens dropped;
+    an n-gram is n consecutive tokens joined by single spaces. Per-doc
+    n-gram sets are DISTINCT, so `n_matched` counts distinct shared
+    n-grams and `overlap_frac` = n_matched / |bench doc's n-gram set|
+    (a ratio of exact ints — bit-stable cross-engine).
+
+    Scale design (100 TB train corpus, KB-scale benchmark): the bench
+    side is exploded to (bench_id, gram) and BROADCAST — benchmarks are
+    tiny by construction — so the train corpus streams through ONE
+    narrow map-side hash join on the gram string; no shuffle of train
+    data, no all-pairs. Returns (train_id, bench_id, n_matched,
+    bench_ngrams, overlap_frac) for pairs with n_matched >= min_matched.
+    """
+    from .dedup import _barrier
+
+    def gram_rows(df: DataFrame, out_id: str) -> DataFrame:
+        d1 = _barrier(
+            df.select(
+                F.col(id_col).alias(out_id),
+                F.filter(
+                    F.split(
+                        F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " "), " "
+                    ),
+                    lambda w: w != "",
+                ).alias("_w"),
+            )
+        )
+        cnt = F.size("_w") - F.lit(n - 1)
+        # sequence(1, 0) would yield a DESCENDING [1, 0] — guard short docs
+        grams = F.when(
+            cnt >= 1,
+            F.transform(
+                F.sequence(F.lit(1), cnt), lambda i: F.concat_ws(" ", F.slice("_w", i, n))
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return d1.select(out_id, F.explode(F.array_distinct(grams)).alias("gram"))
+
+    bench_grams = gram_rows(bench, "bench_id")
+    bench_sizes = bench_grams.groupBy("bench_id").agg(F.count("*").alias("bench_ngrams"))
+    train_grams = gram_rows(train, "train_id")
+    matched = (
+        train_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count("*").alias("n_matched"))
+        .filter(F.col("n_matched") >= min_matched)
+    )
+    return matched.join(F.broadcast(bench_sizes), "bench_id").select(
+        "train_id",
+        "bench_id",
+        "n_matched",
+        "bench_ngrams",
+        (F.col("n_matched").cast("double") / F.col("bench_ngrams").cast("double")).alias(
+            "overlap_frac"
+        ),
+    )
+
+
+# PII patterns (shared literal with the DuckDB oracle SQL) — deliberately
+# restricted to constructs Java regex and RE2 interpret identically
+# (char classes, bounded quantifiers, \b; no alternation ambiguity, no
+# lookaround, no backrefs)
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+?\d[\d -]{7,}\d"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII detection + redaction (the Common-Crawl-pipeline staple):
+    emails, IPv4 addresses and phone-like digit runs counted on the
+    ORIGINAL text, then redacted sequentially (emails -> IPs -> phones)
+    to <EMAIL>/<IP>/<PHONE> placeholders. Returns
+    (id, n_emails, n_ipv4, n_phones, redacted_len, redacted_md5) —
+    the md5 pins the exact redacted bytes cross-engine without moving
+    the text through the compare. Pure Column exprs (JVM regex, no UDF);
+    linear scan per row, no shuffle."""
+    t = F.col(text_col)
+    red = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IPV4_RE, "<IP>")
+    red = F.regexp_replace(red, PII_PHONE_RE, "<PHONE>")
+    return docs.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_IPV4_RE), F.lit(0))).alias("n_ipv4"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE_RE), F.lit(0))).alias("n_phones"),
+        F.length(red).cast("long").alias("redacted_len"),
+        F.md5(red).alias("redacted_md5"),
+    )

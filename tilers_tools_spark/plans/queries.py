@@ -1319,6 +1319,134 @@ def _geotiff_tiled_sql():
 SQL_GEOTIFF_TILED = _geotiff_tiled_sql()
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII detect + redact (operators/text.py pii_scrub). The fixture
+    corpus carries no PII, so both engines plant identical synthetic PII
+    derived from doc_id (email, IPv4, phone appended to each text) and
+    the oracle re-runs the same shared regex literals in DuckDB; the
+    redacted md5 pins exact replacement bytes."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 200)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 192.168."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 call +1 555-000-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" now"),
+        ).alias("text"),
+    )
+    return text.pii_scrub(planted)
+
+
+SQL_PII_SCRUB = r"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 192.168.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.1 call +1 555-000-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' AS text
+  FROM documents WHERE doc_id < 200),
+red AS (
+  SELECT doc_id, text,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           '\+?\d[\d -]{7,}\d', '<PHONE>', 'g') AS r
+  FROM planted)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ipv4,
+  CAST(len(regexp_extract_all(text, '\+?\d[\d -]{7,}\d')) AS INTEGER) AS n_phones,
+  CAST(length(r) AS BIGINT) AS redacted_len,
+  md5(r) AS redacted_md5
+FROM red
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-split sequence packing (operators/sampling.py
+    pack_sequences): per-doc placement in the max_tokens=512 packed
+    token stream — cumulative window sum in id order, (id, n_tokens)
+    only through the sort, text never moves. The oracle is the same
+    window sum relationally in DuckDB (integer arithmetic throughout,
+    bit-stable)."""
+    from ..operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sampling.pack_sequences(docs, max_tokens=512)
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (SELECT doc_id, n_tokens,
+             -- DuckDB SUM(BIGINT) widens to HUGEINT; pin the compare dtype
+             CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_tok
+      FROM t)
+SELECT doc_id, n_tokens, end_tok - n_tokens AS start_tok, end_tok,
+  (end_tok - n_tokens) // 512 AS seq_first,
+  CASE WHEN n_tokens > 0 THEN (end_tok - 1) // 512 ELSE end_tok // 512 END AS seq_last,
+  CAST(CASE WHEN (CASE WHEN n_tokens > 0 THEN (end_tok - 1) // 512
+                       ELSE end_tok // 512 END) > (end_tok - n_tokens) // 512
+            THEN 1 ELSE 0 END AS INTEGER) AS crosses
+FROM c
+"""
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination detection (operators/text.py
+    contamination_pairs): train docs sharing word 8-grams with an eval
+    set built from two planted exact copies (doc_id 7/42 re-keyed
+    +100000) plus the natural tail docs (>= 480, whose planted
+    near-dups live in the train range); n=4 at this fixture's ~60-word
+    docs so near-dup tail pairs surface too (19 rows), not just the
+    exact plants. Bench side exploded + BROADCAST
+    (benchmarks are tiny); the train corpus streams through one narrow
+    map-side join — no all-pairs, no train-side shuffle. Oracle
+    recomputes the same tokenization relationally in DuckDB."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train = docs.filter(F.col("doc_id") < 400).select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id").isin(7, 42)).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    tail = docs.filter(F.col("doc_id") >= 480).select("doc_id", "text")
+    return text.contamination_pairs(train, planted.unionByName(tail), n=4)
+
+
+_CONTAM_GRAMS = """
+  SELECT {out} AS {out_name}, unnest(grams) AS gram FROM (
+    SELECT doc_id, list_distinct(
+      CASE WHEN len(w) >= {n} THEN list_transform(range(1, len(w) - {n} + 2),
+        i -> array_to_string(list_slice(w, i, i + {n} - 1), ' '))
+      ELSE []::VARCHAR[] END) AS grams
+    FROM (SELECT doc_id,
+          list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                      x -> x <> '') AS w
+          FROM {src}))
+"""
+
+SQL_CONTAMINATION = (
+    "WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id < 400), "
+    "bench AS (SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id IN (7, 42) "
+    "UNION ALL SELECT doc_id, text FROM documents WHERE doc_id >= 480), "
+    "tg AS (" + _CONTAM_GRAMS.format(out="doc_id", out_name="train_id", n=4, src="train") + "), "
+    "bg AS (" + _CONTAM_GRAMS.format(out="doc_id", out_name="bench_id", n=4, src="bench") + "), "
+    "bs AS (SELECT bench_id, COUNT(*) AS bench_ngrams FROM bg GROUP BY bench_id), "
+    "m AS (SELECT tg.train_id, bg.bench_id, COUNT(*) AS n_matched "
+    "FROM tg JOIN bg ON tg.gram = bg.gram GROUP BY 1, 2) "
+    "SELECT m.train_id, m.bench_id, m.n_matched, bs.bench_ngrams, "
+    "m.n_matched::DOUBLE / bs.bench_ngrams::DOUBLE AS overlap_frac "
+    "FROM m JOIN bs USING (bench_id) WHERE m.n_matched >= 1"
+)
+
+
 def q_incremental_lsh(spark, sf_dir):
     """Near-dup delta dedup: verified LSH matches of a new batch
     (doc_id >= 250) against the existing corpus (doc_id < 250) — the
@@ -1491,6 +1619,9 @@ QUERIES: dict = {
     # GeoTIFF ingestion (analytic oracle; decode pinned vs handcrafted bytes)
     "geotiff_georef": (q_geotiff_georef, SQL_GEOTIFF_GEOREF),
     "geotiff_tiled_decode": (q_geotiff_tiled_decode, SQL_GEOTIFF_TILED),
+    "contamination": (q_contamination, SQL_CONTAMINATION),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     # tile addressing/serving: Bing quadkey scheme + viewport range lookup
     "quadkey": (q_quadkey, SQL_QUADKEY),
     "bbox_tiles": (q_bbox_tiles, SQL_BBOX_TILES),
