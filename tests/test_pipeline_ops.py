@@ -673,3 +673,24 @@ def test_pii_scrub_counts_and_redaction(spark):
     assert out[1]["redacted_len"] == len(expected)
     expected3 = "call <PHONE> today"
     assert out[3]["redacted_md5"] == hashlib.md5(expected3.encode()).hexdigest()
+
+
+def test_pack_sequences_parallelism_invariant(spark):
+    """The two-phase distributed prefix sum gives the SAME placement for
+    any partition count (it is a pure function of id order) — and never
+    plans the single-partition global window (the 100 TB killer)."""
+    from tilers_tools_spark.operators import sampling
+
+    rows = [(i, " ".join(["w"] * (1 + i % 13))) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    outs = []
+    for nr in (1, 3, 17):
+        df = sampling.pack_sequences(docs, max_tokens=64, num_ranges=nr)
+        outs.append(sorted(tuple(r) for r in df.collect()))
+    assert outs[0] == outs[1] == outs[2]
+    # exact stream total
+    assert max(t[3] for t in outs[0]) == sum(1 + i % 13 for i in range(200))
+    plan = sampling.pack_sequences(docs, max_tokens=64)._jdf.queryExecution().executedPlan().toString()
+    # window spec must be partitioned (no 'Window [...]' over a single
+    # SinglePartition exchange)
+    assert "SinglePartition" not in plan

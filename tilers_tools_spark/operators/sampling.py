@@ -108,6 +108,7 @@ def pack_sequences(
     max_tokens: int = 2048,
     text_col: str = "text",
     id_col: str = "doc_id",
+    num_ranges: int | None = None,
 ):
     """Concat-and-split sequence packing — the standard LLM pretraining
     batch layout: documents are laid end-to-end in deterministic id
@@ -123,19 +124,51 @@ def pack_sequences(
     whitespace tokenizer (operators.text.token_count), matching the
     token_stats oracle.
 
-    Scale: ONE global sort (window cumulative sum over id order) — the
-    same shape as any ORDER BY at 100 TB, range-partitioned by Spark;
-    the payload carried through the sort is (id, n_tokens) only, never
-    text. For sharded packing (per-worker streams), pre-split with
-    hash_split and pack each split independently.
+    Scale: a naive global window (Window.orderBy with no partition spec)
+    collapses to ONE partition in Spark — a 100 TB non-starter. This is
+    the classic two-phase distributed prefix sum instead:
+      1. range-repartition the NARROW (id, n_tokens) projection by id
+         (text never moves) and cumsum WITHIN each range partition
+         (window partitioned by partition id — parallel);
+      2. per-partition totals (tiny: one row per partition) come to the
+         driver, their exclusive prefix sums go back as a broadcast map,
+         and each row adds its partition's base offset.
+    Result is independent of the partition count (pure function of the
+    id order), so tests pin equality across parallelism levels.
     """
     from pyspark.sql import Window
 
     from .text import token_count
 
-    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     narrow = docs.select(F.col(id_col), token_count(text_col).cast("long").alias("n_tokens"))
-    cum = narrow.withColumn("end_tok", F.sum("n_tokens").over(w))
+    if num_ranges is None:
+        num_ranges = narrow.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    ranged = narrow.repartitionByRange(int(num_ranges), F.col(id_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # rows stay where repartitionByRange put them; the window below is
+    # partition-local (no second shuffle: _pid IS the physical partition)
+    w = Window.partitionBy("_pid").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = ranged.withColumn("_local_end", F.sum("n_tokens").over(w))
+    local = local.localCheckpoint(eager=False)  # totals + rows read one lineage
+    totals = (
+        local.groupBy("_pid").agg(F.max("_local_end").alias("_tot")).orderBy("_pid").collect()
+    )
+    base = {}
+    run = 0
+    for r in totals:
+        base[r["_pid"]] = run
+        run += int(r["_tot"] or 0)
+    # partition count is O(thousands) at most — a literal MAP expression
+    # beats a join and broadcasts with the plan
+    base_expr = F.create_map(
+        *[F.lit(x) for kv in sorted(base.items()) for x in kv]
+    ) if base else F.create_map()
+    cum = local.withColumn("end_tok", F.col("_local_end") + F.coalesce(
+        base_expr.getItem(F.col("_pid")), F.lit(0)
+    ))
     return cum.select(
         id_col,
         "n_tokens",
@@ -145,7 +178,7 @@ def pack_sequences(
         # last token of the doc lives at end_tok - 1; empty docs occupy no
         # tokens and get seq_last = seq_first (degenerate but well-defined)
         F.when(F.col("n_tokens") > 0, ((F.col("end_tok") - 1) / max_tokens).cast("long"))
-        .otherwise((F.col("end_tok") / max_tokens).cast("long"))
+        .otherwise(((F.col("end_tok") - F.col("n_tokens")) / max_tokens).cast("long"))
         .alias("seq_last"),
     ).withColumn(
         "crosses",
