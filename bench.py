@@ -57,6 +57,13 @@ BENCH_QUERIES = [
     "hash_split",
     "incremental_dedup",
     "quadkey",
+    # round-5 additions: tiled/16-bit GeoTIFF decode + the new
+    # training-pipeline family (contamination / packing / PII / repetition)
+    "geotiff_tiled_decode",
+    "contamination",
+    "pack_sequences",
+    "pii_scrub",
+    "repetition",
 ]
 
 

@@ -694,3 +694,23 @@ def test_pack_sequences_parallelism_invariant(spark):
     # window spec must be partitioned (no 'Window [...]' over a single
     # SinglePartition exchange)
     assert "SinglePartition" not in plan
+
+
+def test_repetition_features_known_values(spark):
+    from tilers_tools_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),            # 4 words, 1 distinct; bigram 'spam spam' x3/3
+            (2, "all words here are unique ok"),   # 6 distinct
+            (3, "a"),                              # 1 word, no bigrams
+            (4, ""),                               # empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.repetition_features(docs).collect()}
+    assert out[1]["n_words"] == 4 and abs(out[1]["dup_word_frac"] - 0.75) < 1e-12
+    assert out[1]["top_bigram_count"] == 3 and out[1]["top_bigram_frac"] == 1.0
+    assert out[2]["dup_word_frac"] == 0.0 and out[2]["top_bigram_count"] == 1
+    assert out[3]["n_words"] == 1 and out[3]["top_bigram_count"] == 0
+    assert out[4]["n_words"] == 0 and out[4]["dup_word_frac"] == 0.0

@@ -1319,6 +1319,43 @@ def _geotiff_tiled_sql():
 SQL_GEOTIFF_TILED = _geotiff_tiled_sql()
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition filters (operators/text.py
+    repetition_features): dup-word fraction + top-bigram dominance per
+    doc. Oracle recomputes both relationally in DuckDB (distinct-count
+    and bigram mode via list ops + unnest; ratios of exact ints)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.repetition_features(docs)
+
+
+SQL_REPETITION = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                     x -> x <> '') AS words
+  FROM documents),
+base AS (
+  SELECT doc_id, len(words) AS n_words, len(list_distinct(words)) AS n_distinct,
+         CASE WHEN len(words) >= 2 THEN
+           list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i + 1])
+         ELSE []::VARCHAR[] END AS bg
+  FROM w),
+bgc AS (
+  SELECT doc_id, MAX(c) AS top_bigram_count, CAST(SUM(c) AS BIGINT) AS n_bigrams FROM (
+    SELECT doc_id, g, COUNT(*) AS c FROM (SELECT doc_id, unnest(bg) AS g FROM base)
+    GROUP BY doc_id, g)
+  GROUP BY doc_id)
+SELECT base.doc_id,
+  CAST(base.n_words AS BIGINT) AS n_words,
+  CASE WHEN base.n_words > 0
+       THEN 1.0 - base.n_distinct::DOUBLE / base.n_words::DOUBLE ELSE 0.0 END AS dup_word_frac,
+  CAST(COALESCE(bgc.top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+  CASE WHEN COALESCE(bgc.n_bigrams, 0) > 0
+       THEN bgc.top_bigram_count::DOUBLE / bgc.n_bigrams::DOUBLE ELSE 0.0 END AS top_bigram_frac
+FROM base LEFT JOIN bgc USING (doc_id)
+"""
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII detect + redact (operators/text.py pii_scrub). The fixture
     corpus carries no PII, so both engines plant identical synthetic PII
@@ -1622,6 +1659,7 @@ QUERIES: dict = {
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "repetition": (q_repetition, SQL_REPETITION),
     # tile addressing/serving: Bing quadkey scheme + viewport range lookup
     "quadkey": (q_quadkey, SQL_QUADKEY),
     "bbox_tiles": (q_bbox_tiles, SQL_BBOX_TILES),
