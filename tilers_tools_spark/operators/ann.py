@@ -205,3 +205,160 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select(q_id, c_id, "cosine", "rank")
     )
+
+
+def _kmeans_plain(sample: np.ndarray, ks: int, iters: int, seed: int) -> np.ndarray:
+    """Small deterministic Lloyd k-means WITHOUT normalization (PQ
+    sub-codebooks live in raw subvector space, unlike the unit-norm IVF
+    coarse quantizer). Empty clusters keep their previous centroid."""
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=min(ks, len(sample)), replace=False)].copy()
+    if len(cent) < ks:
+        extra = cent[rng.integers(0, len(cent), ks - len(cent))]
+        cent = np.vstack([cent, extra + rng.standard_normal(extra.shape) * 1e-3])
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(ks):
+            m = assign == c
+            if m.any():
+                cent[c] = sample[m].mean(axis=0)
+    return cent
+
+
+def _pq_train(sample: np.ndarray, n_sub: int, ks: int, iters: int, seed: int) -> np.ndarray:
+    """Per-subspace codebooks over L2-NORMALIZED full vectors ->
+    (n_sub, ks, d_sub). dim must divide evenly into n_sub subspaces."""
+    n, dim = sample.shape
+    if dim % n_sub:
+        raise ValueError(f"pq: dim {dim} not divisible by n_sub {n_sub}")
+    d_sub = dim // n_sub
+    x = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    return np.stack(
+        [_kmeans_plain(x[:, j * d_sub : (j + 1) * d_sub], ks, iters, seed + j) for j in range(n_sub)]
+    )
+
+
+def _pq_encode(x: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """L2-normalize rows, then per subspace the nearest codebook entry
+    (L2, first-minimum tie rule) -> int32 codes (n, n_sub)."""
+    n_sub, ks, d_sub = cents.shape
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    codes = np.empty((len(x), n_sub), dtype=np.int32)
+    for j in range(n_sub):
+        sub = xn[:, j * d_sub : (j + 1) * d_sub]
+        d2 = ((sub[:, None, :] - cents[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = d2.argmin(axis=1)
+    return codes
+
+
+def _pq_luts(q: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Per-query ADC lookup tables: lut[j][c] = <q_j, cent_jc> over the
+    L2-normalized query -> float64 (nq, n_sub, ks). The approximate dot
+    product of a query with a coded vector is sum_j lut[j][code_j]."""
+    n_sub, ks, d_sub = cents.shape
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    return np.stack(
+        [qn[:, j * d_sub : (j + 1) * d_sub] @ cents[j].T for j in range(n_sub)], axis=1
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_sub: int = 8,
+    ks: int = 16,
+    seed: int = 42,
+    sample_size: int = 100_000,
+    max_sample_bytes: int = 256 << 20,
+    iters: int = 10,
+    rerank: int = 0,
+    q_id: str = "query_id",
+    c_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN (the third scale path, next to lsh_topk
+    and ivf_topk): asymmetric-distance (ADC) scoring over compressed
+    codes.
+
+    * codebooks: per-subspace plain-L2 k-means trained driver-side on the
+      same byte-bounded deterministic sample discipline as ivf_topk;
+      tiny (n_sub * ks * d_sub doubles), shipped inside UDF closures.
+    * corpus: encoded ONCE to an array<int> of n_sub codes — n_sub bytes
+      of information per vector instead of dim*8 (32x at dim=64/n_sub=8);
+      at 10^12 rows the scan reads codes, never embeddings.
+    * scoring: per query an ADC lookup table lut[j][c] = <q_j, c_jc>;
+      approx dot = sum_j lut[j][code_j] computed JVM-SIDE as
+      aggregate(zip_with(lut, codes, element_at)) over the broadcast
+      query side — n_sub array lookups per pair instead of dim multiplies,
+      no Python in the scan, no shuffle (linear scan + per-query top-k).
+    * optional exact rerank: top `rerank` ADC candidates re-scored with
+      exact cosine (recall recovery at small extra cost); rerank=0 ranks
+      by ADC score directly (deterministic: score desc, id asc).
+
+    PQ accelerates and compresses the scan but does not prune it — for
+    pruning AND compression compose with ivf_topk's list assignment
+    (IVF-PQ), both building blocks being here.
+
+    Returns (query_id, vec_id, rank).
+    """
+    from pyspark.sql.types import ArrayType, DoubleType, IntegerType
+
+    head = (
+        corpus.select(F.size(F.col(c_vec).cast("array<double>")).alias("_d"))
+        .filter(F.col("_d") > 0)
+        .head(1)
+    )
+    if not head:
+        raise ValueError("pq_topk: empty corpus (no non-null embedding rows)")
+    dim = int(head[0]["_d"])
+    if dim % n_sub:
+        raise ValueError(f"pq_topk: dim {dim} not divisible by n_sub {n_sub}")
+    eff_sample = max(ks, min(sample_size, max_sample_bytes // max(dim * 8, 1)))
+    sample_rows = (
+        corpus.select(F.col(c_id).alias("_sid"), F.col(c_vec).cast("array<double>").alias("_sv"))
+        .orderBy(F.xxhash64(F.col("_sid").cast("string"), F.lit(seed)))
+        .limit(eff_sample)
+        .collect()
+    )
+    sample = np.array([r["_sv"] for r in sample_rows], dtype=np.float64)
+    cents = _pq_train(sample, n_sub, ks, iters, seed)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def encode(v: pd.Series) -> pd.Series:
+        x = np.stack(v.to_numpy()).astype(np.float64)
+        return pd.Series([row.tolist() for row in _pq_encode(x, cents)])
+
+    @F.pandas_udf(ArrayType(ArrayType(DoubleType())))
+    def luts(v: pd.Series) -> pd.Series:
+        x = np.stack(v.to_numpy()).astype(np.float64)
+        return pd.Series([[r.tolist() for r in lut] for lut in _pq_luts(x, cents)])
+
+    c = corpus.select(F.col(c_id), F.col(c_vec).cast("array<double>").alias("_cv"))
+    coded = c.select(c_id, "_cv", encode(F.col("_cv")).alias("_codes"))
+    q = queries.select(F.col(q_id), F.col(q_vec).cast("array<double>").alias("_qv"))
+    qb = q.select(q_id, "_qv", luts(F.col("_qv")).alias("_lut"))
+    # ADC score: left-to-right double fold over subspaces (JVM, codegen)
+    score = F.aggregate(
+        F.zip_with("_lut", "_codes", lambda l, cc: F.element_at(l, cc + F.lit(1))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cand = coded.crossJoin(F.broadcast(qb)).withColumn("_score", score)
+    w = Window.partitionBy(q_id).orderBy(F.col("_score").desc(), F.col(c_id).asc())
+    if rerank and rerank > k:
+        pool = cand.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") <= rerank)
+        pool = pool.withColumn("cosine", _cosine(F.col("_qv"), F.col("_cv")))
+        w2 = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id).asc())
+        return (
+            pool.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select(q_id, c_id, "rank")
+        )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, "rank")
+    )

@@ -937,6 +937,17 @@ def q_ann_ivf(spark, sf_dir):
     return res.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
 
 
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (third scale path: ADC scoring over
+    compressed codes, JVM-side lookup fold — operators/ann.py pq_topk).
+    Output ids + rank only (see q_ann_lsh); recall vs brute force and
+    kernel invariants are pytest-pinned."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 4).select(F.col("vec_id").alias("query_id"), "embedding")
+    res = ann.pq_topk(q, emb, k=10, n_sub=8, ks=16)
+    return res.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+
+
 def q_streaming_dedup(spark, sf_dir):
     """Structured-Streaming surface under the driver gate: availableNow
     micro-batch ingest + cross-batch stateful exact dedup
@@ -1676,6 +1687,7 @@ QUERIES: dict = {
     "image_features": (q_image_features, _golden("image_features")),
     "ann_lsh": (q_ann_lsh, _golden("ann_lsh")),
     "ann_ivf": (q_ann_ivf, _golden("ann_ivf")),
+    "ann_pq": (q_ann_pq, _golden("ann_pq")),
     "cutline_mask": (q_cutline_mask, _golden("cutline_mask")),
     "h3_rollup": (q_h3_rollup, _golden("h3_rollup")),
     "fingerprint": (q_fingerprint, _golden("fingerprint")),

@@ -46,6 +46,10 @@ it would have to fool both the spec KAT and the gate simultaneously.
   ann_ivf             ann._kmeans_np     _kmeans_np invariants
                                          (tests/test_pipeline_ops.py); see
                                          SCOPE NOTE at g_ann_ivf
+  ann_pq              ann._pq_train/     recall-vs-brute bound + code-range/
+                      _pq_encode/_pq_luts  determinism invariants
+                                         (tests/test_pipeline_ops.py); see
+                                         SCOPE NOTE at g_ann_pq
   video_frames,       multimodal fake-   the fake decode IS the documented
   audio_frames        decode replica     contract (no codec libs offline);
                                          gate verifies plumbing end-to-end
@@ -421,6 +425,42 @@ def g_ann_ivf(k=10, n_lists=16, n_probe=4, seed=42, iters=10):
     save("ann_ivf", ["query_id", "vec_id", "rank"], ["int64", "int64", "int64"], rows)
 
 
+def g_ann_pq(k=10, n_sub=8, ks=16, seed=42, iters=10):
+    # SCOPE NOTE: like g_ann_ivf, this golden reuses the engine's
+    # driver-side PQ kernels (_pq_train/_pq_encode/_pq_luts — pure NumPy,
+    # no Spark), so the gate verifies the SPARK side end-to-end — sample
+    # ordering, the code/LUT columns surviving Arrow, the JVM
+    # aggregate(zip_with(element_at)) ADC fold, ranking — but cannot catch
+    # a defect inside the kernels themselves; those are pinned separately
+    # (recall bound + code-range/determinism invariants in
+    # tests/test_pipeline_ops.py). The ADC score here is accumulated
+    # left-to-right in float64, matching F.aggregate's fold exactly.
+    from tilers_tools_spark.operators.ann import _pq_encode, _pq_luts, _pq_train
+
+    ids, vecs = _embeddings()
+    vecs_by_id = dict(zip(ids, vecs))
+    order = sorted(ids, key=lambda i: sh.xxhash64(("str", str(i)), ("int", seed)))
+    sample = np.array([vecs_by_id[i] for i in order], dtype=np.float64)
+    cents = _pq_train(sample, n_sub, ks, iters, seed)
+    x = np.array([vecs_by_id[i] for i in ids], dtype=np.float64)
+    codes = _pq_encode(x, cents)
+    qids = [i for i in ids if i < 4]
+    q = np.array([vecs_by_id[i] for i in qids], dtype=np.float64)
+    luts = _pq_luts(q, cents)
+    rows = []
+    for qi, qid in enumerate(qids):
+        scored = []
+        for ci, cid in enumerate(ids):
+            acc = 0.0
+            for j in range(n_sub):
+                acc = acc + float(luts[qi][j][codes[ci][j]])
+            scored.append((acc, cid))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (_s, cid) in enumerate(scored[:k], start=1):
+            rows.append([int(qid), int(cid), int(rank)])
+    save("ann_pq", ["query_id", "vec_id", "rank"], ["int64", "int64", "int64"], rows)
+
+
 def g_fingerprint(window: int = 8):
     rows = []
     for doc_id, t in _docs():
@@ -490,6 +530,7 @@ GENERATORS = {
     "image_features": g_image_features,
     "ann_lsh": g_ann_lsh,
     "ann_ivf": g_ann_ivf,
+    "ann_pq": g_ann_pq,
     "fingerprint": g_fingerprint,
     "video_frames": g_video_frames,
     "audio_frames": g_audio_frames,
