@@ -761,3 +761,42 @@ def test_pq_topk_recall_and_invariants(spark):
     assert codes.min() >= 0 and codes.max() < 16 and codes.shape == (50, 8)
     luts = ann._pq_luts(rng.standard_normal((3, 64)), c1)
     assert luts.shape == (3, 8, 16) and np.isfinite(luts).all()
+
+
+def test_ivfpq_topk_recall_and_build_search_split(spark):
+    """IVF-PQ: recall with rerank on the adversarial uniform-random
+    embeddings, and the build/search split — pq_encode_corpus output is
+    a persistable codes table (id, _cv, _codes, _list) whose re-use
+    reproduces the same candidates."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from tilers_tools_spark.operators import ann
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("query_id"), "embedding")
+    bset = {}
+    for r in ann.brute_force_topk(q, emb, k=10).collect():
+        bset.setdefault(r["query_id"], set()).add(r["vec_id"])
+    pset = {}
+    for r in ann.ivfpq_topk(q, emb, k=10, n_lists=16, n_probe=8, n_sub=8, ks=16,
+                            rerank=100).collect():
+        pset.setdefault(r["query_id"], set()).add(r["vec_id"])
+    rec = sum(len(bset[k2] & pset.get(k2, set())) for k2 in bset) / sum(
+        len(v) for v in bset.values()
+    )
+    assert rec >= 0.5, rec  # probe-pruned + PQ on random vectors, reranked
+    # build/search split: encoding the corpus with explicit codebooks is
+    # deterministic and schema-stable
+    rng = np.random.default_rng(5)
+    sample = rng.standard_normal((200, 64))
+    cents = ann._pq_train(sample, 8, 16, iters=5, seed=2)
+    coarse = ann._kmeans_np(sample, 16, iters=5, seed=2)
+    coded = ann.pq_encode_corpus(emb.limit(50), cents, coarse=coarse)
+    assert set(coded.columns) == {"vec_id", "_cv", "_codes", "_list"}
+    a = sorted((r["vec_id"], tuple(r["_codes"]), r["_list"]) for r in coded.collect())
+    b = sorted((r["vec_id"], tuple(r["_codes"]), r["_list"]) for r in
+               ann.pq_encode_corpus(emb.limit(50), cents, coarse=coarse).collect())
+    assert a == b
+    assert all(0 <= c < 16 for _id, codes, _l in a for c in codes)
+    assert all(0 <= l < 16 for _id, _c, l in a)

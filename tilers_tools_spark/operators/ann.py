@@ -326,27 +326,155 @@ def pq_topk(
     sample = np.array([r["_sv"] for r in sample_rows], dtype=np.float64)
     cents = _pq_train(sample, n_sub, ks, iters, seed)
 
-    @F.pandas_udf(ArrayType(IntegerType()))
-    def encode(v: pd.Series) -> pd.Series:
+    @F.pandas_udf(ArrayType(ArrayType(DoubleType())))
+    def luts(v: pd.Series) -> pd.Series:
         x = np.stack(v.to_numpy()).astype(np.float64)
-        return pd.Series([row.tolist() for row in _pq_encode(x, cents)])
+        return pd.Series([[r.tolist() for r in lut] for lut in _pq_luts(x, cents)])
+
+    coded = pq_encode_corpus(corpus, cents, c_id=c_id, c_vec=c_vec)
+    q = queries.select(F.col(q_id), F.col(q_vec).cast("array<double>").alias("_qv"))
+    qb = q.select(q_id, "_qv", luts(F.col("_qv")).alias("_lut"))
+    cand = coded.crossJoin(F.broadcast(qb)).withColumn("_score", _adc_score())
+    w = Window.partitionBy(q_id).orderBy(F.col("_score").desc(), F.col(c_id).asc())
+    if rerank and rerank > k:
+        pool = cand.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") <= rerank)
+        pool = pool.withColumn("cosine", _cosine(F.col("_qv"), F.col("_cv")))
+        w2 = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id).asc())
+        return (
+            pool.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select(q_id, c_id, "rank")
+        )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, "rank")
+    )
+
+
+def pq_encode_corpus(
+    corpus: DataFrame,
+    cents: np.ndarray,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    coarse: np.ndarray | None = None,
+) -> DataFrame:
+    """Index-BUILD half of the PQ/IVF-PQ pipeline: encode the corpus
+    once to (id, [_list,] codes) and PERSIST the result — at 10^12 rows
+    the codes table (n_sub small ints + optional list id per vector) is
+    what searches scan; embeddings are only re-read by an exact rerank.
+    `cents` from _pq_train; `coarse` (optional) are unit-norm IVF
+    centroids from _kmeans_np — when given, each vector also gets its
+    nearest-centroid `_list` for probe pruning (IVF-PQ, non-residual:
+    codes quantize the normalized vector itself, not the residual —
+    simpler, slightly coarser, documented)."""
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    out_fields = [StructField("_codes", ArrayType(IntegerType()))]
+    if coarse is not None:
+        out_fields.append(StructField("_list", IntegerType()))
+
+    @F.pandas_udf(StructType(out_fields))
+    def enc(v: pd.Series) -> pd.DataFrame:
+        x = np.stack(v.to_numpy()).astype(np.float64)
+        codes = [row.tolist() for row in _pq_encode(x, cents)]
+        if coarse is None:
+            return pd.DataFrame({"_codes": codes})
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        lists = (xn @ coarse.T).argmax(axis=1).astype(np.int32)
+        return pd.DataFrame({"_codes": codes, "_list": lists})
+
+    c = corpus.select(F.col(c_id), F.col(c_vec).cast("array<double>").alias("_cv"))
+    enc_col = enc(F.col("_cv"))
+    cols = [F.col(c_id), F.col("_cv"), enc_col.getField("_codes").alias("_codes")]
+    if coarse is not None:
+        cols.append(enc_col.getField("_list").alias("_list"))
+    return c.select(*cols)
+
+
+def _adc_score():
+    """ADC score Column: left-to-right JVM double fold of per-subspace
+    lookups — n_sub array indexings per pair instead of dim multiplies."""
+    return F.aggregate(
+        F.zip_with("_lut", "_codes", lambda l, cc: F.element_at(l, cc + F.lit(1))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    n_sub: int = 8,
+    ks: int = 16,
+    seed: int = 42,
+    sample_size: int = 100_000,
+    max_sample_bytes: int = 256 << 20,
+    iters: int = 10,
+    rerank: int = 0,
+    q_id: str = "query_id",
+    c_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: coarse-quantizer list PRUNING (ivf_topk's shape — the
+    candidate join is an equi-join on the list id, so at 10^12 rows only
+    n_probe/n_lists of the corpus is touched per query) COMPOSED with
+    PQ/ADC COMPRESSION (pq_topk's scoring — candidates are scored from
+    n_sub-int codes with JVM table lookups, embeddings untouched unless
+    reranking). Non-residual variant: PQ codes quantize the normalized
+    vector itself (one shared codebook set), trading a little accuracy
+    for one codebook train + one encode pass; the residual refinement is
+    a documented extension point, not a silent gap.
+
+    Training sample discipline, determinism and tie rules are identical
+    to ivf_topk/pq_topk. Returns (query_id, vec_id, rank)."""
+    from pyspark.sql.types import ArrayType, DoubleType, IntegerType
+
+    head = (
+        corpus.select(F.size(F.col(c_vec).cast("array<double>")).alias("_d"))
+        .filter(F.col("_d") > 0)
+        .head(1)
+    )
+    if not head:
+        raise ValueError("ivfpq_topk: empty corpus (no non-null embedding rows)")
+    dim = int(head[0]["_d"])
+    if dim % n_sub:
+        raise ValueError(f"ivfpq_topk: dim {dim} not divisible by n_sub {n_sub}")
+    eff_sample = max(max(ks, n_lists), min(sample_size, max_sample_bytes // max(dim * 8, 1)))
+    sample_rows = (
+        corpus.select(F.col(c_id).alias("_sid"), F.col(c_vec).cast("array<double>").alias("_sv"))
+        .orderBy(F.xxhash64(F.col("_sid").cast("string"), F.lit(seed)))
+        .limit(eff_sample)
+        .collect()
+    )
+    sample = np.array([r["_sv"] for r in sample_rows], dtype=np.float64)
+    coarse = _kmeans_np(sample, n_lists, iters, seed)
+    cents = _pq_train(sample, n_sub, ks, iters, seed)
+
+    coded = pq_encode_corpus(corpus, cents, c_id=c_id, c_vec=c_vec, coarse=coarse)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe_lists(v: pd.Series) -> pd.Series:
+        x = np.stack(v.to_numpy()).astype(np.float64)
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        top = np.argsort(-(xn @ coarse.T), axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype(np.int32).tolist() for row in top])
 
     @F.pandas_udf(ArrayType(ArrayType(DoubleType())))
     def luts(v: pd.Series) -> pd.Series:
         x = np.stack(v.to_numpy()).astype(np.float64)
         return pd.Series([[r.tolist() for r in lut] for lut in _pq_luts(x, cents)])
 
-    c = corpus.select(F.col(c_id), F.col(c_vec).cast("array<double>").alias("_cv"))
-    coded = c.select(c_id, "_cv", encode(F.col("_cv")).alias("_codes"))
     q = queries.select(F.col(q_id), F.col(q_vec).cast("array<double>").alias("_qv"))
-    qb = q.select(q_id, "_qv", luts(F.col("_qv")).alias("_lut"))
-    # ADC score: left-to-right double fold over subspaces (JVM, codegen)
-    score = F.aggregate(
-        F.zip_with("_lut", "_codes", lambda l, cc: F.element_at(l, cc + F.lit(1))),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    qb = q.select(
+        q_id, "_qv", luts(F.col("_qv")).alias("_lut"),
+        F.explode(probe_lists(F.col("_qv"))).alias("_list"),
     )
-    cand = coded.crossJoin(F.broadcast(qb)).withColumn("_score", score)
+    cand = qb.join(coded, "_list").withColumn("_score", _adc_score())
     w = Window.partitionBy(q_id).orderBy(F.col("_score").desc(), F.col(c_id).asc())
     if rerank and rerank > k:
         pool = cand.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") <= rerank)

@@ -948,6 +948,16 @@ def q_ann_pq(spark, sf_dir):
     return res.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
 
 
+def q_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ ANN (coarse-list pruning composed with PQ/ADC compressed
+    scoring — operators/ann.py ivfpq_topk). Output ids + rank only;
+    recall and the build/search split are pytest-pinned."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 4).select(F.col("vec_id").alias("query_id"), "embedding")
+    res = ann.ivfpq_topk(q, emb, k=10, n_lists=16, n_probe=4, n_sub=8, ks=16)
+    return res.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+
+
 def q_streaming_dedup(spark, sf_dir):
     """Structured-Streaming surface under the driver gate: availableNow
     micro-batch ingest + cross-batch stateful exact dedup
@@ -1688,6 +1698,7 @@ QUERIES: dict = {
     "ann_lsh": (q_ann_lsh, _golden("ann_lsh")),
     "ann_ivf": (q_ann_ivf, _golden("ann_ivf")),
     "ann_pq": (q_ann_pq, _golden("ann_pq")),
+    "ann_ivfpq": (q_ann_ivfpq, _golden("ann_ivfpq")),
     "cutline_mask": (q_cutline_mask, _golden("cutline_mask")),
     "h3_rollup": (q_h3_rollup, _golden("h3_rollup")),
     "fingerprint": (q_fingerprint, _golden("fingerprint")),

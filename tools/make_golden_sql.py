@@ -461,6 +461,51 @@ def g_ann_pq(k=10, n_sub=8, ks=16, seed=42, iters=10):
     save("ann_pq", ["query_id", "vec_id", "rank"], ["int64", "int64", "int64"], rows)
 
 
+def g_ann_ivfpq(k=10, n_lists=16, n_probe=4, n_sub=8, ks=16, seed=42, iters=10):
+    # SCOPE NOTE: composition of g_ann_ivf and g_ann_pq — same engine
+    # kernel reuse and the same left-to-right ADC fold; verifies the Spark
+    # side of the COMPOSED pipeline (list pruning feeding coded-candidate
+    # ADC scoring through the equi-join).
+    from tilers_tools_spark.operators.ann import (
+        _kmeans_np,
+        _pq_encode,
+        _pq_luts,
+        _pq_train,
+    )
+
+    ids, vecs = _embeddings()
+    vecs_by_id = dict(zip(ids, vecs))
+    order = sorted(ids, key=lambda i: sh.xxhash64(("str", str(i)), ("int", seed)))
+    sample = np.array([vecs_by_id[i] for i in order], dtype=np.float64)
+    coarse = _kmeans_np(sample, n_lists, iters, seed)
+    cents = _pq_train(sample, n_sub, ks, iters, seed)
+    x = np.array([vecs_by_id[i] for i in ids], dtype=np.float64)
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    assign = (xn @ coarse.T).argmax(axis=1)
+    codes = _pq_encode(x, cents)
+    lists = {}
+    for idx, a in enumerate(assign):
+        lists.setdefault(int(a), []).append(idx)
+    qids = [i for i in ids if i < 4]
+    q = np.array([vecs_by_id[i] for i in qids], dtype=np.float64)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    probes = np.argsort(-(qn @ coarse.T), axis=1, kind="stable")[:, :n_probe]
+    luts = _pq_luts(q, cents)
+    rows = []
+    for qi, qid in enumerate(qids):
+        cand_idx = sorted({ci for l in probes[qi] for ci in lists.get(int(l), [])})
+        scored = []
+        for ci in cand_idx:
+            acc = 0.0
+            for j in range(n_sub):
+                acc = acc + float(luts[qi][j][codes[ci][j]])
+            scored.append((acc, ids[ci]))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (_s, cid) in enumerate(scored[:k], start=1):
+            rows.append([int(qid), int(cid), int(rank)])
+    save("ann_ivfpq", ["query_id", "vec_id", "rank"], ["int64", "int64", "int64"], rows)
+
+
 def g_fingerprint(window: int = 8):
     rows = []
     for doc_id, t in _docs():
@@ -531,6 +576,7 @@ GENERATORS = {
     "ann_lsh": g_ann_lsh,
     "ann_ivf": g_ann_ivf,
     "ann_pq": g_ann_pq,
+    "ann_ivfpq": g_ann_ivfpq,
     "fingerprint": g_fingerprint,
     "video_frames": g_video_frames,
     "audio_frames": g_audio_frames,
