@@ -96,7 +96,15 @@ def _unpackbits(src: bytes) -> bytes:
 def _unlzw(src: bytes) -> bytes:
     """TIFF-variant LZW decode (TIFF spec §13): MSB-first bit packing,
     9->12-bit codes, ClearCode=256, EOI=257, table grows at entry
-    4094 ('early change')."""
+    4094 ('early change').
+
+    FIXTURE DEBT (ADVICE r4, not closable offline): the early-change
+    widening boundary is verified against this repo's independently
+    written test encoder and a derivation of libtiff's rule, but no
+    checked-in fixture from an EXTERNAL encoder exists (no libtiff/GDAL/
+    Pillow in this container). First online action: commit an LZW strip
+    from gdal_translate crossing the 510-entry boundary and pin its
+    decoded pixels."""
     CLEAR, EOI = 256, 257
     out = bytearray()
     table: list[bytes] = []

@@ -958,6 +958,65 @@ def q_ann_ivfpq(spark, sf_dir):
     return res.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
 
 
+def q_streaming_tiles(spark, sf_dir):
+    """Streaming IMAGE ingest -> TILES under the driver gate: the
+    availableNow foreachBatch path (streaming/ingest.py) runs the SAME
+    batch render per micro-batch. Two separate stream runs against one
+    checkpoint: batch 0 = images 0..7 present before the first start;
+    batch 1 = images 8..15 dropped in afterwards — the second run must
+    pick up ONLY the new file via the stream checkpoint (re-processing
+    old files would double the row count and fail the gate). Expected =
+    the golden-VALUES minitiler render of all 16 images, so the gate
+    pins streaming-vs-batch render EQUIVALENCE down to tile md5s."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fixtures import gen
+
+    from ..streaming.ingest import ingest_available_now
+
+    imgs = list(gen.gen_images(16, fmts=("raw", "png")))
+    schema = (
+        "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+    )
+
+    def _tbl(recs):
+        return pa.table(
+            {
+                "image_id": [r["image_id"] for r in recs],
+                "bytes": pa.array([r["bytes"] for r in recs], type=pa.binary()),
+                "w": pa.array([r["w"] for r in recs], type=pa.int32()),
+                "h": pa.array([r["h"] for r in recs], type=pa.int32()),
+                "fmt": [r["fmt"] for r in recs],
+                "caption": [r["caption"] for r in recs],
+                "phash": pa.array([r["phash"] for r in recs], type=pa.int64()),
+            }
+        )
+
+    tmp = tempfile.mkdtemp(prefix="stream_tiles_")
+    try:
+        src = os.path.join(tmp, "in")
+        os.makedirs(src)
+        out = os.path.join(tmp, "out")
+        ckpt = os.path.join(tmp, "ckpt")
+        pq.write_table(_tbl(imgs[:8]), os.path.join(src, "batch0.parquet"))
+        ingest_available_now(spark, src, schema, out, ckpt)
+        pq.write_table(_tbl(imgs[8:]), os.path.join(src, "batch1.parquet"))
+        ingest_available_now(spark, src, schema, out, ckpt)
+        pdf = (
+            spark.read.parquet(out)
+            .select("image_id", "z", "x", "y", F.md5(F.col("tile")).alias("tile_md5"))
+            .toPandas()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(pdf, "image_id string, z int, x long, y long, tile_md5 string")
+
+
 def q_streaming_dedup(spark, sf_dir):
     """Structured-Streaming surface under the driver gate: availableNow
     micro-batch ingest + cross-batch stateful exact dedup
@@ -1699,6 +1758,7 @@ QUERIES: dict = {
     "ann_ivf": (q_ann_ivf, _golden("ann_ivf")),
     "ann_pq": (q_ann_pq, _golden("ann_pq")),
     "ann_ivfpq": (q_ann_ivfpq, _golden("ann_ivfpq")),
+    "streaming_tiles": (q_streaming_tiles, _golden("streaming_tiles")),
     "cutline_mask": (q_cutline_mask, _golden("cutline_mask")),
     "h3_rollup": (q_h3_rollup, _golden("h3_rollup")),
     "fingerprint": (q_fingerprint, _golden("fingerprint")),

@@ -250,6 +250,23 @@ def g_pyramid_smoke():
     )
 
 
+def g_streaming_tiles():
+    # minitiler render of the 16-image streaming fixture (the streaming
+    # path must equal the batch render bit-for-tile; same kernel scope as
+    # g_pyramid_smoke)
+    rows = []
+    for rec in gen.gen_images(16, fmts=("raw", "png")):
+        for r in mt.tile_image(rec):
+            md5 = hashlib.md5(codecs.encode_tile_png(r["rgba"])).hexdigest()
+            rows.append([rec["image_id"], int(r["z"]), int(r["x"]), int(r["y"]), md5])
+    save(
+        "streaming_tiles",
+        ["image_id", "z", "x", "y", "tile_md5"],
+        ["str", "int32", "int64", "int64", "str"],
+        rows,
+    )
+
+
 def g_warped_smoke(zoom: int = 12):
     rows = []
     for i, rec in enumerate(gen.gen_images(6, fmts=("raw",))):
@@ -577,6 +594,7 @@ GENERATORS = {
     "ann_ivf": g_ann_ivf,
     "ann_pq": g_ann_pq,
     "ann_ivfpq": g_ann_ivfpq,
+    "streaming_tiles": g_streaming_tiles,
     "fingerprint": g_fingerprint,
     "video_frames": g_video_frames,
     "audio_frames": g_audio_frames,
