@@ -116,3 +116,25 @@ def test_merged_zoom_scan_is_partition_pruned(spark, images_smoke, tmp_path):
     one_zoom = cat.read(tp.TILES_TABLE).filter(F.col("z") == 8)
     plan = _plan(one_zoom)
     assert "PartitionFilters" in plan and "z" in plan.split("PartitionFilters")[1][:80], plan
+
+
+def test_pq_ann_join_shapes(spark):
+    """PQ scan: broadcast-nested-loop with the QUERY side built (linear
+    corpus scan, no shuffle). IVF-PQ: broadcast-HASH join on the list id
+    with the query side built — at sf0.01 AQE would happily build the
+    corpus side instead (a 10^12-row broadcast OOM at scale), so the
+    build side is forced and asserted here."""
+    from pyspark.sql import functions as F
+
+    from tilers_tools_spark.operators import ann
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 4).select(F.col("vec_id").alias("query_id"), "embedding")
+    plan = ann.pq_topk(q, emb, k=5, n_sub=8, ks=16)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin BuildRight" in plan
+    plan2 = ann.ivfpq_topk(q, emb, k=5)._jdf.queryExecution().executedPlan().toString()
+    join_lines = [l for l in plan2.splitlines() if "BroadcastHashJoin" in l]
+    assert join_lines and "BuildRight" in join_lines[0]
+    # the corpus (coded) side is the STREAMED left side: its scan must not
+    # sit under a BroadcastExchange
+    assert "SortMergeJoin" not in plan2

@@ -1026,3 +1026,54 @@ def test_jpeg_in_tiff_16bit_raises():
     ]
     with pytest.raises(NotImplementedError, match="8-bit"):
         tiffcodec.decode_tiff(_handcraft_chunked(tags, [bytes(4)], 273))
+
+
+# --------------------------------------------------------------------------
+# property-based roundtrip (hypothesis)
+# --------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+
+if _HYP:
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        bands=st.sampled_from([1, 3, 4]),
+        bits=st.sampled_from([8, 16]),
+        comp=st.sampled_from(["none", "deflate"]),
+        tile=st.sampled_from([None, 8, (16, 4)]),
+        n_ovr=st.integers(0, 2),
+        data=st.integers(0, 2**32 - 1),
+    )
+    def test_roundtrip_property(h, w, bands, bits, comp, tile, n_ovr, data):
+        """Any (shape, dtype, organization, compression, overview-chain)
+        combination the writer accepts must decode back to the exact
+        samples, with the tags-only parse agreeing on dimensions."""
+        rng = np.random.default_rng(data)
+        dt = np.uint8 if bits == 8 else np.uint16
+        shape = (h, w) if bands == 1 else (h, w, bands)
+        arr = rng.integers(0, np.iinfo(dt).max + 1, shape, dtype=dt)
+        ovrs = []
+        cur = arr
+        for _ in range(n_ovr):
+            cur = cur[::2, ::2]  # keeps ndim; size-1 dims stay size 1
+            ovrs.append(cur)
+        blob = tiffcodec.encode_tiff(arr, compression=comp, tile=tile, overviews=ovrs or None)
+        dec, geo = tiffcodec.decode_tiff(blob, scale_16bit=False)
+        assert geo is None
+        assert np.array_equal(np.asarray(dec, dtype=dt), arr)
+        t = tiffcodec.read_tiff_tags(blob)
+        assert (t["w"], t["h"]) == (w, h)
+        assert t["n_ifds"] == 1 + len(ovrs)
+        for i, ov in enumerate(ovrs, start=1):
+            d2, _ = tiffcodec.decode_tiff(blob, ifd=i, scale_16bit=False)
+            assert np.array_equal(np.asarray(d2, dtype=dt), ov)

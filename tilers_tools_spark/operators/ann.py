@@ -474,7 +474,10 @@ def ivfpq_topk(
         q_id, "_qv", luts(F.col("_qv")).alias("_lut"),
         F.explode(probe_lists(F.col("_qv"))).alias("_list"),
     )
-    cand = qb.join(coded, "_list").withColumn("_score", _adc_score())
+    # build side MUST be the (tiny) query side: at sf0.01 AQE happily
+    # builds the corpus side instead, which at 10^12 coded rows is a
+    # broadcast OOM — force it
+    cand = coded.join(F.broadcast(qb), "_list").withColumn("_score", _adc_score())
     w = Window.partitionBy(q_id).orderBy(F.col("_score").desc(), F.col(c_id).asc())
     if rerank and rerank > k:
         pool = cand.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") <= rerank)
