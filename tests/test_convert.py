@@ -211,3 +211,25 @@ def test_tiles_in_bbox_pushdown(spark, tmp_path):
         if x0 <= r.x <= x1 and y0 <= r.y <= y1
     }
     assert got == want
+
+
+def test_transcode_to_tiff_roundtrip(spark):
+    """tiff joins png/jpeg/raw as a transcode target: RGBA survives a
+    png -> tiff -> raw double transcode byte-exactly (deflate TIFF is
+    lossless), closing container symmetry with the sniffing reader."""
+    import numpy as np
+
+    from tilers_tools_spark.functions import codecs
+    from tilers_tools_spark.operators import convert
+
+    rng = np.random.default_rng(17)
+    arrs = [rng.integers(0, 256, (8, 8, 4), dtype=np.uint8) for _ in range(3)]
+    rows = [(3, i, i, codecs.encode_png(a)) for i, a in enumerate(arrs)]
+    df = spark.createDataFrame(rows, "z int, x long, y long, tile binary")
+    as_tiff = convert.transcode(df, src_fmt="png", dst_fmt="tiff")
+    blobs = {r["x"]: bytes(r["tile"]) for r in as_tiff.collect()}
+    assert all(codecs.sniff_fmt(b) == "tiff" for b in blobs.values())
+    back = convert.transcode(as_tiff, src_fmt="tiff", dst_fmt="raw")
+    out = {r["x"]: codecs.decode_raw(bytes(r["tile"])) for r in back.collect()}
+    for i, a in enumerate(arrs):
+        assert np.array_equal(out[i], a)

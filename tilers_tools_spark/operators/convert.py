@@ -267,7 +267,8 @@ def mbtiles_metadata_kv(tiles: DataFrame, name: str = "tiles", fmt: str = "png")
 def transcode(tiles: DataFrame, src_fmt: str = "png", dst_fmt: str = "jpeg", quality: int = 90) -> DataFrame:
     """Decode + re-encode every tile blob (Arrow batches, pure NumPy codecs).
     jpeg drops alpha (opaque tile sets, as the reference does for jpeg
-    output); raw keeps RGBA.
+    output); raw keeps RGBA; tiff writes deflate-compressed RGBA (full
+    container symmetry with the sniffing reader).
     """
     from ..functions import codecs
 
@@ -284,6 +285,10 @@ def transcode(tiles: DataFrame, src_fmt: str = "png", dst_fmt: str = "jpeg", qua
                     out.append(codecs.encode_raw(arr))
                 elif dst_fmt == "jpeg":
                     out.append(jpegcodec.encode_jpeg(arr[:, :, :3], quality=quality))
+                elif dst_fmt == "tiff":
+                    from ..functions import tiffcodec
+
+                    out.append(tiffcodec.encode_tiff(arr, compression="deflate"))
                 else:
                     raise ValueError(dst_fmt)
             res = pdf.copy()
