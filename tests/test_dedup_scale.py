@@ -111,3 +111,71 @@ def test_dedup_family_scale_rehearsal(spark, adversarial_docs):
         f"dedup scale rehearsal took {elapsed:.1f}s (> {BUDGET_SEC}s) — the "
         "star-collapse path may have stopped engaging (quadratic blowup)"
     )
+
+
+def test_contamination_scale_rehearsal(spark):
+    """Contamination at size: a 20k-doc synthetic train corpus vs a
+    50-doc benchmark (25 planted spans copied from train docs, 25 clean)
+    — planted spans are all found, clean docs produce no pairs, and the
+    wall stays bounded (the broadcast n-gram join is linear in the train
+    corpus; an accidental all-pairs or train-side shuffle would blow
+    this budget)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from tilers_tools_spark.operators import text as tx
+
+    # deterministic synthetic corpus, generated IN Spark (no driver loop):
+    # doc i = 30 words w<(i*k+j) % 9973> — word ids vary per doc
+    n_train = 20_000
+    train = (
+        spark.range(n_train)
+        .withColumn(
+            "text",
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(29)),
+                    lambda j: F.concat(F.lit("w"), ((F.col("id") * 31 + j) % 9973).cast("string")),
+                ),
+            ),
+        )
+        .select(F.col("id").alias("doc_id"), "text")
+    )
+    # bench: 25 planted = words 5..20 of train docs 100,300,...; 25 clean
+    planted = (
+        train.filter((F.col("doc_id") % 200 == 100) & (F.col("doc_id") < 5000))
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat_ws(" ", F.slice(F.split("text", " "), 5, 16)).alias("text"),
+        )
+    )
+    clean = (
+        spark.range(25)
+        .select(
+            (F.col("id") + 2_000_000).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(15)),
+                    lambda j: F.concat(F.lit("z"), (F.col("id") * 17 + j).cast("string")),
+                ),
+            ).alias("text"),
+        )
+    )
+    bench = planted.unionByName(clean)
+    t0 = time.time()
+    out = tx.contamination_pairs(train, bench, n=8).collect()
+    wall = time.time() - t0
+    pairs = {(r["train_id"], r["bench_id"]) for r in out}
+    # every planted span must be found against its source doc
+    expected = {(d, d + 1_000_000) for d in range(100, 5000, 200)}
+    assert expected <= pairs, expected - pairs
+    # clean bench docs share no 8-grams with anything
+    assert not any(b >= 2_000_000 for _t, b in pairs)
+    # full-overlap fraction for the planted source pairs
+    by_pair = {(r["train_id"], r["bench_id"]): r for r in out}
+    for key in expected:
+        assert by_pair[key]["overlap_frac"] == 1.0
+    assert wall < 120, wall  # generous; measured far lower on an idle box
