@@ -1077,3 +1077,67 @@ if _HYP:
         for i, ov in enumerate(ovrs, start=1):
             d2, _ = tiffcodec.decode_tiff(blob, ifd=i, scale_16bit=False)
             assert np.array_equal(np.asarray(d2, dtype=dt), ov)
+
+
+# --------------------------------------------------------------------------
+# PlanarConfiguration=2 (separated planes, GDAL INTERLEAVE=BAND)
+# --------------------------------------------------------------------------
+
+
+def test_planar_strip_rgb_deflate_predictor():
+    """Separated RGB strips: plane-major chunk order (all R strips, all G,
+    all B), per-plane predictor differencing, deflate — handcrafted."""
+    import zlib
+
+    rng = np.random.default_rng(71)
+    w, h, rps = 6, 4, 2
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    chunks = []
+    for band in range(3):
+        plane = img[:, :, band]
+        for r0 in range(0, h, rps):
+            seg = plane[r0 : r0 + rps].copy()
+            diff = seg.copy()
+            diff[:, 1:] = seg[:, 1:] - seg[:, :-1]
+            chunks.append(zlib.compress(diff.tobytes(), 6))
+    tags = [
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [8, 8, 8]), (259, 3, [8]),
+        (262, 3, [2]), (273, 4, None), (277, 3, [3]), (278, 4, [rps]),
+        (279, 4, [len(c) for c in chunks]), (284, 3, [2]), (317, 3, [2]),
+    ]
+    arr, _ = tiffcodec.decode_tiff(_handcraft_chunked(tags, chunks, 273))
+    assert np.array_equal(arr, img)
+
+
+def test_planar_tiled_16bit():
+    """Separated TILED 16-bit: per-plane tile grids in plane-major order,
+    raw samples surfaced with scale_16bit=False."""
+    rng = np.random.default_rng(72)
+    w, h, tw, tl = 5, 3, 4, 4
+    img = rng.integers(0, 65536, (h, w, 3), dtype=np.uint16)
+    chunks = []
+    for band in range(3):
+        for c0 in range(0, w, tw):
+            tile = np.zeros((tl, tw), np.uint16)
+            block = img[:, c0 : c0 + tw, band]
+            tile[: block.shape[0], : block.shape[1]] = block
+            chunks.append(tile.astype("<u2").tobytes())
+    tags = [
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [16, 16, 16]), (259, 3, [1]),
+        (262, 3, [2]), (277, 3, [3]), (284, 3, [2]),
+        (322, 4, [tw]), (323, 4, [tl]), (324, 4, None),
+        (325, 4, [len(c) for c in chunks]),
+    ]
+    raw, _ = tiffcodec.decode_tiff(_handcraft_chunked(tags, chunks, 324), scale_16bit=False)
+    assert np.array_equal(raw.astype(np.uint16), img)
+
+
+def test_planar_bad_chunk_count_raises():
+    tags = [
+        (256, 4, [4]), (257, 4, [2]), (258, 3, [8, 8, 8]), (259, 3, [1]),
+        (262, 3, [2]), (273, 4, None), (277, 3, [3]), (278, 4, [2]),
+        (279, 4, [8]), (284, 3, [2]),
+    ]
+    # 1 chunk for 3 planes: not divisible
+    with pytest.raises(ValueError, match="not divisible"):
+        tiffcodec.decode_tiff(_handcraft_chunked(tags, [bytes(8)], 273))

@@ -14,7 +14,9 @@ implements the published subset the tiling pipeline needs:
   and tiled (tags 322/323/324/325 — GDAL writes large rasters with
   TILED=YES, so real-world GeoTIFF archives hit this path first);
   the FULL IFD chain (GDAL internal overviews — decode_tiff(ifd=k)
-  reads the k-th reduced level directly); PlanarConfiguration=1;
+  reads the k-th reduced level directly); PlanarConfiguration 1 AND 2
+  (chunky and separated/INTERLEAVE=BAND — planes decoded independently
+  and stacked);
   compression none(1)/LZW(5)/new-style JPEG(7, via the engine's own
   baseline jpegcodec incl. the shared JPEGTables tag 347)/Deflate(8,
   32946)/PackBits(32773) with horizontal Predictor(317)=2 (undone per
@@ -32,8 +34,8 @@ implements the published subset the tiling pipeline needs:
 
 Out of scope (documented, like WebP): old-style JPEG (compression 6,
 deprecated by TIFF TechNote 2), >16-bit and float samples, floating
-predictor, planar (separated) organization — all raise with explicit
-messages rather than mis-decoding.
+predictor, planar JPEG — all raise with explicit messages rather than
+mis-decoding.
 """
 
 from __future__ import annotations
@@ -362,6 +364,26 @@ def _assemble_tiles(data: bytes, tags: dict, dtype, w: int, h: int, spp: int,
     return np.ascontiguousarray(out[:h, :w])  # crop edge-tile padding
 
 
+def _planar_subtags(tags: dict, spp: int, off_tag: int, cnt_tag: int):
+    """PlanarConfiguration=2 (GDAL INTERLEAVE=BAND): chunk offsets/counts
+    are PLANE-MAJOR — all chunks of sample 0, then sample 1, ... Yield a
+    per-plane tags view whose offsets/counts cover one plane, so each
+    plane decodes through the ordinary spp=1 assembly path (predictor
+    differencing is per sample plane by construction)."""
+    offs = tags[off_tag]
+    cnts = tags[cnt_tag]
+    if len(offs) % spp or len(cnts) != len(offs):
+        raise ValueError(
+            f"planar TIFF chunk count {len(offs)} not divisible by SamplesPerPixel {spp}"
+        )
+    per = len(offs) // spp
+    for sidx in range(spp):
+        sub = dict(tags)
+        sub[off_tag] = offs[sidx * per : (sidx + 1) * per]
+        sub[cnt_tag] = cnts[sidx * per : (sidx + 1) * per]
+        yield sub
+
+
 def _assemble_jpeg(data: bytes, tags: dict, w: int, h: int, spp: int) -> np.ndarray:
     """New-style JPEG-in-TIFF (compression 7, TIFF/EP — the standard
     GDAL COMPRESS=JPEG aerial-imagery layout): every strip/tile is an
@@ -473,8 +495,9 @@ def decode_tiff(data: bytes, scale_16bit: bool = True, ifd: int = 0):
         dtype = np.dtype(bo + "u2")
     else:
         raise NotImplementedError(f"only uniform 8- or 16-bit samples supported, got {bits}")
-    if int(tags.get(TAG_PLANAR, [1])[0]) != 1:
-        raise NotImplementedError("planar (separated) TIFF not supported")
+    planar = int(tags.get(TAG_PLANAR, [1])[0])
+    if planar not in (1, 2):
+        raise NotImplementedError(f"TIFF planar configuration {planar} not supported (1 or 2)")
     photometric = int(tags.get(TAG_PHOTOMETRIC, [1])[0])
     if comp == 7:
         # new-style JPEG-in-TIFF: chunks are JPEG streams, not sample
@@ -482,6 +505,8 @@ def decode_tiff(data: bytes, scale_16bit: bool = True, ifd: int = 0):
         # color form and the codec hands back RGB
         if dtype.itemsize != 1:
             raise NotImplementedError("JPEG-in-TIFF requires 8-bit samples")
+        if int(tags.get(TAG_PLANAR, [1])[0]) != 1:
+            raise NotImplementedError("JPEG-in-TIFF with planar configuration 2 not supported")
         if photometric not in (1, 2, 6):
             raise NotImplementedError(
                 f"JPEG-in-TIFF photometric {photometric} not supported (1/2/6)"
@@ -501,10 +526,21 @@ def decode_tiff(data: bytes, scale_16bit: bool = True, ifd: int = 0):
     tiled = TAG_TILE_WIDTH in tags or TAG_TILE_OFFSETS in tags
     if tiled and TAG_STRIP_OFFSETS in tags:
         raise ValueError("TIFF with both strip and tile offsets")
-    if tiled:
-        arr = _assemble_tiles(data, tags, dtype, w, h, spp, comp, predictor)
+    assemble = _assemble_tiles if tiled else _assemble_strips
+    if planar == 2 and spp > 1:
+        # separated planes (GDAL INTERLEAVE=BAND): decode each plane via
+        # the ordinary spp=1 path over its plane-major chunk slice, then
+        # stack — predictor/compression semantics are per plane
+        off_tag, cnt_tag = (
+            (TAG_TILE_OFFSETS, TAG_TILE_COUNTS) if tiled else (TAG_STRIP_OFFSETS, TAG_STRIP_COUNTS)
+        )
+        planes = [
+            assemble(data, sub, dtype, w, h, 1, comp, predictor)
+            for sub in _planar_subtags(tags, spp, off_tag, cnt_tag)
+        ]
+        arr = np.concatenate(planes, axis=2)
     else:
-        arr = _assemble_strips(data, tags, dtype, w, h, spp, comp, predictor)
+        arr = assemble(data, tags, dtype, w, h, spp, comp, predictor)
     if photometric == 0:
         # WhiteIsZero: invert to the engine's BlackIsZero convention
         maxv = 255 if dtype.itemsize == 1 else 65535
