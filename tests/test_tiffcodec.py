@@ -628,7 +628,7 @@ def test_mixed_bit_depth_raises():
         (262, 3, [2]), (273, 4, None), (277, 3, [3]), (278, 4, [2]),
         (279, 4, [12]),
     ]
-    with pytest.raises(NotImplementedError, match="8- or 16-bit"):
+    with pytest.raises(NotImplementedError, match="mixed sample layouts"):
         tiffcodec.decode_tiff(_handcraft_chunked(tags, [img], 273))
 
 
@@ -1141,3 +1141,62 @@ def test_planar_bad_chunk_count_raises():
     # 1 chunk for 3 planes: not divisible
     with pytest.raises(ValueError, match="not divisible"):
         tiffcodec.decode_tiff(_handcraft_chunked(tags, [bytes(8)], 273))
+
+
+# --------------------------------------------------------------------------
+# SampleFormat (tag 339): Int16 / Float32 DEM-style rasters
+# --------------------------------------------------------------------------
+
+
+def test_float32_dem_raw_and_scaled():
+    """Float32 gray (the gdaldem/SRTM form): raw samples with
+    scale_16bit=False; explicit float_range scales clip+linear+half-up;
+    no range -> loud ValueError (no silent default)."""
+    dem = np.array([[-10.0, 0.0], [250.0, 1000.0]], dtype=np.float32)
+    strip = dem.astype("<f4").tobytes()
+    tags = [
+        (256, 4, [2]), (257, 4, [2]), (258, 3, [32]), (259, 3, [1]),
+        (262, 3, [1]), (273, 4, None), (277, 3, [1]), (278, 4, [2]),
+        (279, 4, [len(strip)]), (339, 3, [3]),
+    ]
+    blob = _handcraft_chunked(tags, [strip], 273)
+    raw, _ = tiffcodec.decode_tiff(blob, scale_16bit=False)
+    assert raw.dtype.kind == "f" and np.array_equal(raw.astype(np.float32), dem)
+    with pytest.raises(ValueError, match="float_range"):
+        tiffcodec.decode_tiff(blob)
+    scaled, _ = tiffcodec.decode_tiff(blob, float_range=(0.0, 1000.0))
+    # -10 clips to 0; 250/1000 -> 63.75+0.5 -> 64; 1000 -> 255
+    assert scaled.tolist() == [[0, 0], [64, 255]]
+
+
+def test_int16_dem_tiled_bigendian():
+    """Int16 DEM, big-endian, tiled: raw signed samples survive."""
+    dem = np.array([[-32768, -1, 0], [1, 2, 32767]], dtype=np.int16)
+    tw = tl = 4
+    tile = np.zeros((tl, tw), np.int16)
+    tile[:2, :3] = dem
+    tags = [
+        (256, 4, [3]), (257, 4, [2]), (258, 3, [16]), (259, 3, [1]),
+        (262, 3, [1]), (277, 3, [1]),
+        (322, 4, [tw]), (323, 4, [tl]), (324, 4, None),
+        (325, 4, [tl * tw * 2]), (339, 3, [2]),
+    ]
+    blob = _handcraft_chunked(tags, [tile.astype(">i2").tobytes()], 324, bo=">")
+    raw, _ = tiffcodec.decode_tiff(blob, scale_16bit=False)
+    assert raw.dtype.kind == "i" and np.array_equal(raw.astype(np.int16), dem)
+    scaled, _ = tiffcodec.decode_tiff(blob, float_range=(-32768, 32767))
+    assert scaled[0][0] == 0 and scaled[1][2] == 255
+
+
+def test_float_predictor2_raises():
+    tags = [
+        (256, 4, [2]), (257, 4, [1]), (258, 3, [32]), (259, 3, [8]),
+        (262, 3, [1]), (273, 4, None), (277, 3, [1]), (278, 4, [1]),
+        (279, 4, [8]), (317, 3, [2]), (339, 3, [3]),
+    ]
+    import zlib
+
+    strip = zlib.compress(bytes(8))
+    tags[8] = (279, 4, [len(strip)])
+    with pytest.raises(NotImplementedError, match="float"):
+        tiffcodec.decode_tiff(_handcraft_chunked(tags, [strip], 273))

@@ -8,8 +8,10 @@ implements the published subset the tiling pipeline needs:
   42/43 — GDAL BIGTIFF=YES; u8 offsets, LONG8 types, 20-byte IFD
   entries), gray (BlackIsZero AND WhiteIsZero), RGB,
   RGBA, palette (ColorMap expanded to RGB like the PNG PLTE path);
-  8-bit and 16-bit samples (16-bit scaled to the engine's uint8
-  contract — see decode_tiff for the documented rounding rule);
+  sample layouts uint8/uint16/Int16/Int32/Float32/Float64 via the
+  SampleFormat tag (uint16 scales to the engine's uint8 contract with
+  the documented round(v/257) rule; signed/float DEM rasters scale only
+  through an EXPLICIT float_range, or surface raw — see decode_tiff);
   BOTH pixel organizations: strip (tags 273/278/279, any RowsPerStrip)
   and tiled (tags 322/323/324/325 — GDAL writes large rasters with
   TILED=YES, so real-world GeoTIFF archives hit this path first);
@@ -33,9 +35,9 @@ implements the published subset the tiling pipeline needs:
   writer/reader bug cannot hide.
 
 Out of scope (documented, like WebP): old-style JPEG (compression 6,
-deprecated by TIFF TechNote 2), >16-bit and float samples, floating
-predictor, planar JPEG — all raise with explicit messages rather than
-mis-decoding.
+deprecated by TIFF TechNote 2), floating predictor (code 3; predictor 2
+on float samples also raises), planar JPEG — all raise with explicit
+messages rather than mis-decoding.
 """
 
 from __future__ import annotations
@@ -65,6 +67,7 @@ TAG_TILE_LENGTH = 323
 TAG_TILE_OFFSETS = 324
 TAG_TILE_COUNTS = 325
 TAG_JPEG_TABLES = 347
+TAG_SAMPLE_FORMAT = 339  # 1=unsigned int, 2=signed int, 3=IEEE float
 TAG_MODEL_PIXEL_SCALE = 33550
 TAG_MODEL_TIEPOINT = 33922
 TAG_GEO_KEYS = 34735
@@ -450,6 +453,18 @@ def _assemble_jpeg(data: bytes, tags: dict, w: int, h: int, spp: int) -> np.ndar
     return out
 
 
+def scale_range_to_8bit(arr: np.ndarray, vmin: float, vmax: float) -> np.ndarray:
+    """Signed-int/float raster -> uint8 via an EXPLICIT linear range (the
+    GDAL ``-ot Byte -scale <vmin> <vmax> 0 255`` mapping): clip to
+    [vmin, vmax], scale linearly, round half up. DEM-style rasters have
+    no universal range, so the caller must supply one — there is no
+    silent default."""
+    if not (vmax > vmin):
+        raise ValueError(f"scale range must satisfy vmax > vmin, got ({vmin}, {vmax})")
+    x = np.clip(arr.astype(np.float64), vmin, vmax)
+    return np.floor((x - vmin) * (255.0 / (vmax - vmin)) + 0.5).astype(np.uint8)
+
+
 def scale_16bit_to_8bit(arr: np.ndarray) -> np.ndarray:
     """uint16 -> uint8 with the documented rule: linear 0..65535 ->
     0..255, round half up — floor(v * 255 / 65535 + 0.5) = round(v/257),
@@ -461,18 +476,28 @@ def scale_16bit_to_8bit(arr: np.ndarray) -> np.ndarray:
     return ((a * 255 + 32767) // 65535).astype(np.uint8)
 
 
-def decode_tiff(data: bytes, scale_16bit: bool = True, ifd: int = 0):
+def decode_tiff(
+    data: bytes,
+    scale_16bit: bool = True,
+    ifd: int = 0,
+    float_range: tuple[float, float] | None = None,
+):
     """TIFF bytes -> (uint8 array (H,W) or (H,W,C), georef dict | None).
 
     georef (when GeoTIFF tags are present): {"gsd", "mx0", "my0", "mx1",
     "my1", "epsg"} — the north-up affine of the engine's render contract
     (tiepoint maps raster (0,0) to the model-space TOP-left; my0 < my1).
 
-    Handles both strip and tiled pixel organization (GDAL TILED=YES).
-    16-bit rasters (DEM/chart sources) are scaled to the engine's uint8
-    contract via ``scale_16bit_to_8bit`` (linear round-half-up — the
-    GDAL ``-ot Byte -scale 0 65535 0 255`` equivalent); pass
-    ``scale_16bit=False`` for the raw uint16 samples.
+    Handles both strip and tiled pixel organization (GDAL TILED=YES) and
+    chunky/separated planes. Sample layouts beyond uint8 (SampleFormat
+    tag 339): uint16 scales to the engine's uint8 contract via
+    ``scale_16bit_to_8bit`` (round(v/257) — the GDAL ``-ot Byte -scale 0
+    65535 0 255`` equivalent); Int16/Int32/Float32/Float64 DEM-style
+    rasters have NO universal range, so scaling them requires an
+    explicit ``float_range=(vmin, vmax)`` (``scale_range_to_8bit``,
+    clip + linear + round half up) — without one the call raises rather
+    than guessing. ``scale_16bit=False`` returns the RAW samples in the
+    file's dtype for ANY >8-bit layout (what a DEM consumer wants).
 
     ``ifd`` selects an image from the IFD chain: 0 (default) is the full
     raster, k >= 1 the k-th GDAL internal overview (gdaladdo). Overview
@@ -488,13 +513,26 @@ def decode_tiff(data: bytes, scale_16bit: bool = True, ifd: int = 0):
     comp = int(tags.get(TAG_COMPRESSION, [1])[0])
     spp = int(tags.get(TAG_SPP, [1])[0])
     bits = [int(b) for b in tags.get(TAG_BITS, [8] * spp)]
-    if all(b == 8 for b in bits):
-        dtype = np.dtype(np.uint8)
-    elif all(b == 16 for b in bits):
-        # decompressed sample bytes follow the FILE byte order
-        dtype = np.dtype(bo + "u2")
-    else:
-        raise NotImplementedError(f"only uniform 8- or 16-bit samples supported, got {bits}")
+    sfmt = [int(v) for v in tags.get(TAG_SAMPLE_FORMAT, [1] * spp)]
+    if len(set(bits)) != 1 or len(set(sfmt)) != 1:
+        raise NotImplementedError(f"mixed sample layouts unsupported: bits={bits} fmt={sfmt}")
+    # (BitsPerSample, SampleFormat) -> numpy dtype; decompressed sample
+    # bytes follow the FILE byte order
+    _DTYPES = {
+        (8, 1): "u1",
+        (16, 1): "u2",
+        (16, 2): "i2",  # Int16 DEM (GDAL gdal_translate -ot Int16)
+        (32, 2): "i4",
+        (32, 3): "f4",  # Float32 DEM — the common gdaldem/SRTM form
+        (64, 3): "f8",
+    }
+    key = (bits[0], sfmt[0])
+    if key not in _DTYPES:
+        raise NotImplementedError(
+            f"unsupported sample layout bits={bits[0]} format={sfmt[0]} "
+            f"(supported: {sorted(_DTYPES)})"
+        )
+    dtype = np.dtype(bo + _DTYPES[key]) if bits[0] > 8 else np.dtype(np.uint8)
     planar = int(tags.get(TAG_PLANAR, [1])[0])
     if planar not in (1, 2):
         raise NotImplementedError(f"TIFF planar configuration {planar} not supported (1 or 2)")
@@ -523,6 +561,11 @@ def decode_tiff(data: bytes, scale_16bit: bool = True, ifd: int = 0):
     predictor = int(tags.get(TAG_PREDICTOR, [1])[0])
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor} not supported (1 or 2)")
+    if predictor == 2 and dtype.kind == "f":
+        # spec: horizontal differencing is integer-only (floating
+        # predictor is code 3, unsupported) — wraparound cumsum on float
+        # bytes would silently corrupt
+        raise NotImplementedError("predictor 2 on float samples is invalid (float predictor 3 unsupported)")
     tiled = TAG_TILE_WIDTH in tags or TAG_TILE_OFFSETS in tags
     if tiled and TAG_STRIP_OFFSETS in tags:
         raise ValueError("TIFF with both strip and tile offsets")
@@ -542,11 +585,22 @@ def decode_tiff(data: bytes, scale_16bit: bool = True, ifd: int = 0):
     else:
         arr = assemble(data, tags, dtype, w, h, spp, comp, predictor)
     if photometric == 0:
-        # WhiteIsZero: invert to the engine's BlackIsZero convention
-        maxv = 255 if dtype.itemsize == 1 else 65535
+        # WhiteIsZero: invert to the engine's BlackIsZero convention —
+        # well-defined only for unsigned samples
+        if dtype.kind != "u":
+            raise NotImplementedError("WhiteIsZero with signed/float samples not supported")
+        maxv = (1 << (8 * dtype.itemsize)) - 1
         arr = (maxv - arr).astype(dtype)
-    if dtype.itemsize == 2 and scale_16bit:
-        arr = scale_16bit_to_8bit(arr)
+    if dtype.itemsize > 1 and scale_16bit:
+        if dtype.kind == "u" and dtype.itemsize == 2:
+            arr = scale_16bit_to_8bit(arr)
+        elif float_range is not None:
+            arr = scale_range_to_8bit(arr, float_range[0], float_range[1])
+        else:
+            raise ValueError(
+                f"{dtype} raster has no universal 8-bit mapping: pass "
+                "float_range=(vmin, vmax) to scale, or scale_16bit=False for raw samples"
+            )
     if photometric == 3:
         # palette: ColorMap (tag 320) holds 3 * 2^bits 16-bit values
         # (all reds, then greens, then blues); expand indices -> RGB,
