@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     "pii_scrub",
     "repetition",
+    "dem_hillshade",
 ]
 
 

@@ -1,0 +1,95 @@
+"""Terrain derivatives (operators/terrain.py) — hand-derived pins on
+analytic surfaces, plus the Spark DEM operator end-to-end over real
+Float32 GeoTIFF blobs.
+
+Hand derivations (kept for auditability; the formula is the module
+docstring's first-principles Horn form):
+  flat plane, alt=45:  shade = round(255 * sin(45°)) = round(180.312) = 180
+  uniform ramp |grad| = 2, light aligned with the downhill direction,
+  alt=45: n·l = 3·(√2/2) / √5 = 0.9486832980...; round(255·x) = 242
+  light opposed (az + 180): n·l = -(√2/2)/√5 < 0 -> clipped to 0
+  slope = atan(2) = 63.4349488...°
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tilers_tools_spark.operators import terrain
+
+
+def test_flat_plane_uniform_shade():
+    dem = np.full((9, 11), 42.0)
+    sh = terrain.hillshade_np(dem, gsd=3.0, azimuth=315.0, altitude=45.0)
+    assert sh.dtype == np.uint8 and sh.shape == (9, 11)
+    assert (sh == 180).all()  # round(255 * sin(45 deg))
+    assert (terrain.slope_np(dem, 3.0) == 0.0).all()
+    assert np.isnan(terrain.aspect_np(dem, 3.0)).all()
+
+
+def test_east_ramp_lit_from_east():
+    """z = -2x (east-facing, |grad| = 2): interior cells pin to the
+    hand-derived 242 under eastern light, 0 under western; aspect 90."""
+    c = np.arange(12)[None, :] + np.zeros((8, 1))
+    dem = -2.0 * c  # gsd = 1
+    east = terrain.hillshade_np(dem, 1.0, azimuth=90.0, altitude=45.0)
+    west = terrain.hillshade_np(dem, 1.0, azimuth=270.0, altitude=45.0)
+    # edge replication flattens the border gradient — pin the interior
+    assert (east[1:-1, 1:-1] == 242).all()
+    assert (west[1:-1, 1:-1] == 0).all()
+    a = terrain.aspect_np(dem, 1.0)
+    assert np.allclose(a[1:-1, 1:-1], 90.0)
+    s = terrain.slope_np(dem, 1.0)
+    assert np.allclose(s[1:-1, 1:-1], np.degrees(np.arctan(2.0)))
+
+
+def test_north_ramp_lit_from_north():
+    """z = +2·row (row grows southward -> surface faces north)."""
+    r = np.arange(10)[:, None] + np.zeros((1, 7))
+    dem = 2.0 * r
+    north = terrain.hillshade_np(dem, 1.0, azimuth=0.0, altitude=45.0)
+    south = terrain.hillshade_np(dem, 1.0, azimuth=180.0, altitude=45.0)
+    assert (north[1:-1, 1:-1] == 242).all()
+    assert (south[1:-1, 1:-1] == 0).all()
+    a = terrain.aspect_np(dem, 1.0)
+    assert np.allclose(a[1:-1, 1:-1], 0.0)
+
+
+def test_gsd_and_z_factor_scale_gradients():
+    """Doubling gsd halves the gradient; z_factor multiplies it back."""
+    c = np.arange(12)[None, :] + np.zeros((8, 1))
+    dem = -2.0 * c
+    half = terrain.slope_np(dem, gsd=2.0)
+    assert np.allclose(half[1:-1, 1:-1], np.degrees(np.arctan(1.0)))
+    rescaled = terrain.hillshade_np(dem, gsd=2.0, azimuth=90.0, altitude=45.0, z_factor=2.0)
+    assert (rescaled[1:-1, 1:-1] == 242).all()
+
+
+def test_dem_hillshade_operator_end_to_end(spark):
+    """The Spark operator decodes Float32 tiled GeoTIFF DEMs and matches
+    the local kernel exactly (md5 of the shaded bytes); broken rows
+    surface as the auditable NaN row."""
+    import hashlib
+
+    from tilers_tools_spark.functions import tiffcodec
+
+    r = np.arange(20)[:, None] + np.zeros((1, 30))
+    c = np.arange(30)[None, :] + np.zeros((20, 1))
+    dems = {
+        "plane": (3.0 * r - 2.0 * c).astype(np.float32),
+        "wave": (50.0 * np.sin(r / 3.0) + 30.0 * np.cos(c / 5.0)).astype(np.float32),
+    }
+    rows = [
+        (name, tiffcodec.encode_tiff(d, geo={"gsd": 2.0, "mx0": 0.0, "my1": 40.0},
+                                     compression="deflate", tile=16))
+        for name, d in dems.items()
+    ] + [("broken", b"not a tiff")]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    out = {r2["image_id"]: r2 for r2 in terrain.dem_hillshade(df).collect()}
+    for name, d in dems.items():
+        sh = terrain.hillshade_np(d.astype(np.float64), 2.0)
+        assert out[name]["shade_md5"] == hashlib.md5(sh.tobytes()).hexdigest()
+        assert out[name]["shade_sum"] == int(sh.sum(dtype=np.int64))
+        assert (out[name]["w"], out[name]["h"]) == (30, 20)
+    assert out["broken"]["w"] == -1 and out["broken"]["shade_md5"] == ""

@@ -627,8 +627,22 @@ def _prep_image(arr: np.ndarray, geo: dict | None, compression: str,
     entry marked with values=None) and compute the deterministic sizes
     the layout pass needs."""
     a = np.asarray(arr)
-    sample_dtype = np.dtype("<u2") if a.dtype == np.uint16 else np.dtype(np.uint8)
-    bits = 16 if sample_dtype.itemsize == 2 else 8
+    # recognized sample dtypes pass through (little-endian on disk, with
+    # a SampleFormat tag when signed/float); anything else keeps the
+    # legacy behavior of casting to uint8
+    _WRITE_DTYPES = {
+        np.dtype(np.uint16): ("<u2", 1),
+        np.dtype(np.int16): ("<i2", 2),
+        np.dtype(np.int32): ("<i4", 2),
+        np.dtype(np.float32): ("<f4", 3),
+        np.dtype(np.float64): ("<f8", 3),
+    }
+    if a.dtype in _WRITE_DTYPES:
+        code, sfmt = _WRITE_DTYPES[a.dtype]
+        sample_dtype = np.dtype(code)
+    else:
+        sample_dtype, sfmt = np.dtype(np.uint8), 1
+    bits = 8 * sample_dtype.itemsize
     arr = np.ascontiguousarray(a, dtype=sample_dtype)
     if arr.ndim == 2:
         arr = arr[:, :, None]
@@ -687,6 +701,8 @@ def _prep_image(arr: np.ndarray, geo: dict | None, compression: str,
     add(TAG_PHOTOMETRIC, 3, [photometric])
     add(TAG_SPP, 3, [c])
     add(TAG_PLANAR, 3, [1])
+    if sfmt != 1:
+        add(TAG_SAMPLE_FORMAT, 3, [sfmt] * c)
     if tile is not None:
         add(TAG_TILE_WIDTH, 4, [tw])
         add(TAG_TILE_LENGTH, 4, [tl])

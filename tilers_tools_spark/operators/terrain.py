@@ -1,0 +1,157 @@
+"""Terrain derivatives over DEM rasters — gdaldem-family parity
+(hillshade / slope / aspect), pure NumPy kernels + an Arrow-batched
+DataFrame operator.
+
+The reference toolchain tiles charts; its sibling workflow shades DEMs
+(gdaldem hillshade) before tiling. With Float32/Int16 GeoTIFF ingestion
+in functions/tiffcodec.py this engine can run that step distributed: one
+mapInPandas-style pass per DEM blob, no shuffle (every raster is
+independent), shaded uint8 output feeding the ordinary tile pipeline.
+
+Math (documented first-principles form of Horn's method; equivalent to
+the gdaldem formulation):
+
+* gradients by Horn's 3x3 weighted differences with edge replication,
+  `p = dz/dx` toward EAST, `qn = dz/dy` toward NORTH (row index grows
+  southward, so the north gradient is top-minus-bottom), both divided
+  by 8 * gsd;
+* surface normal n ∝ (-p, -qn, 1); light unit vector from azimuth
+  (degrees clockwise from north) and altitude (degrees above horizon)
+  l = (sin(az)cos(alt), cos(az)cos(alt), sin(alt));
+* hillshade = clip(round(255 * max(0, n·l)), 0, 255) as uint8
+  (round half up);
+* slope = atan(z_factor * hypot(p, qn)) in DEGREES (float64);
+* aspect = degrees(atan2(-p, -qn)) mod 360 — the compass direction the
+  slope FACES (downhill): 0 = north, 90 = east; flat cells -> NaN.
+
+Correctness: hand-derived integer pins on analytic surfaces (flat
+plane, uniform east/north ramps) in tests/test_terrain.py; the driver
+gate (dem_hillshade query) recomputes the analytic DEM surface directly
+— independent of the TIFF codec — and reuses this kernel per the
+documented golden scope (tools/make_golden_sql.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _horn_gradients(dem: np.ndarray, gsd: float) -> tuple[np.ndarray, np.ndarray]:
+    """Horn 3x3 weighted gradients with edge replication ->
+    (p = dz/dx eastward, qn = dz/dy northward), float64."""
+    z = np.pad(np.asarray(dem, dtype=np.float64), 1, mode="edge")
+    # z[r, c]: r grows southward, c grows eastward
+    left = z[:-2, :-2] + 2.0 * z[1:-1, :-2] + z[2:, :-2]
+    right = z[:-2, 2:] + 2.0 * z[1:-1, 2:] + z[2:, 2:]
+    top = z[:-2, :-2] + 2.0 * z[:-2, 1:-1] + z[:-2, 2:]
+    bottom = z[2:, :-2] + 2.0 * z[2:, 1:-1] + z[2:, 2:]
+    p = (right - left) / (8.0 * gsd)
+    qn = (top - bottom) / (8.0 * gsd)
+    return p, qn
+
+
+def hillshade_np(
+    dem: np.ndarray,
+    gsd: float,
+    azimuth: float = 315.0,
+    altitude: float = 45.0,
+    z_factor: float = 1.0,
+) -> np.ndarray:
+    """Horn hillshade -> uint8 (H, W). See module docstring for the
+    exact documented formula (shared verbatim with the golden oracle)."""
+    p, qn = _horn_gradients(dem, gsd)
+    p = p * z_factor
+    qn = qn * z_factor
+    az = np.deg2rad(azimuth)
+    alt = np.deg2rad(altitude)
+    lx = np.sin(az) * np.cos(alt)
+    ly = np.cos(az) * np.cos(alt)
+    lz = np.sin(alt)
+    ndotl = (-p * lx - qn * ly + lz) / np.sqrt(1.0 + p * p + qn * qn)
+    shade = np.maximum(ndotl, 0.0)
+    return np.clip(np.floor(255.0 * shade + 0.5), 0.0, 255.0).astype(np.uint8)
+
+
+def slope_np(dem: np.ndarray, gsd: float, z_factor: float = 1.0) -> np.ndarray:
+    """Slope in degrees, float64 (gdaldem slope equivalent)."""
+    p, qn = _horn_gradients(dem, gsd)
+    return np.degrees(np.arctan(z_factor * np.hypot(p, qn)))
+
+
+def aspect_np(dem: np.ndarray, gsd: float, flat_eps: float = 1e-12) -> np.ndarray:
+    """Downhill compass direction in degrees (0 = north, 90 = east),
+    NaN on flat cells (gradient magnitude < flat_eps)."""
+    p, qn = _horn_gradients(dem, gsd)
+    a = np.degrees(np.arctan2(-p, -qn)) % 360.0
+    a[np.hypot(p, qn) < flat_eps] = np.nan
+    return a
+
+
+def dem_hillshade(
+    dems: DataFrame,
+    azimuth: float = 315.0,
+    altitude: float = 45.0,
+    z_factor: float = 1.0,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Distributed gdaldem-hillshade: each row's blob is a GeoTIFF DEM
+    (any layout tiffcodec reads — Float32/Int16, tiled/strip/planar);
+    emits (id, w, h, gsd, shade_sum, shade_md5) per raster. One
+    Arrow-batched projection, no shuffle (rasters are independent) —
+    the 100 TB shape is identical to the image-decode path. Unreadable
+    or georef-less rows surface as (-1, -1, NaN, -1, '') (the auditable
+    NaN-row convention)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("w", IntegerType()),
+            StructField("h", IntegerType()),
+            StructField("gsd", DoubleType()),
+            StructField("shade_sum", LongType()),
+            StructField("shade_md5", StringType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def udf(blobs: pd.Series) -> pd.DataFrame:
+        import hashlib
+
+        from ..functions import tiffcodec
+
+        rows = []
+        for b in blobs:
+            try:
+                dem, geo = tiffcodec.decode_tiff(bytes(b), scale_16bit=False)
+                if geo is None:
+                    raise ValueError("DEM without GeoTIFF georef")
+                if dem.ndim != 2:
+                    raise ValueError("DEM must be single-band")
+                sh = hillshade_np(dem, float(geo["gsd"]), azimuth, altitude, z_factor)
+                rows.append(
+                    (
+                        int(sh.shape[1]),
+                        int(sh.shape[0]),
+                        float(geo["gsd"]),
+                        int(np.sum(sh, dtype=np.int64)),
+                        hashlib.md5(sh.tobytes()).hexdigest(),
+                    )
+                )
+            except Exception:
+                rows.append((-1, -1, float("nan"), -1, ""))
+        return pd.DataFrame(rows, columns=["w", "h", "gsd", "shade_sum", "shade_md5"])
+
+    return dems.withColumn("s", udf(F.col(bytes_col))).select(
+        id_col, "s.w", "s.h", "s.gsd", "s.shade_sum", "s.shade_md5"
+    )

@@ -958,6 +958,50 @@ def q_ann_ivfpq(spark, sf_dir):
     return res.select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
 
 
+def _dem_surface(name, h, w):
+    """Analytic synthetic DEM surfaces — written out the same way in the
+    golden generator, which recomputes them DIRECTLY (no TIFF decode), so
+    the gate cross-checks the Float32 GeoTIFF decode path end-to-end."""
+    import numpy as np
+
+    r = np.arange(h)[:, None] + np.zeros((1, w))
+    c = np.arange(w)[None, :] + np.zeros((h, 1))
+    if name == "plane":
+        return (3.0 * r - 2.0 * c).astype(np.float32)
+    if name == "wave":
+        return (50.0 * np.sin(r / 3.0) + 30.0 * np.cos(c / 5.0)).astype(np.float32)
+    return np.full((h, w), 123.0, dtype=np.float32)  # flat
+
+
+_DEM_SPECS = [("plane", 24, 40, 2.0), ("wave", 32, 28, 5.0), ("flat", 16, 16, 1.0)]
+
+
+def q_dem_hillshade(spark, sf_dir):
+    """gdaldem-family terrain derivative under the gate
+    (operators/terrain.py): Float32 tiled GeoTIFF DEMs -> Horn hillshade
+    stats (per-raster shade sum + md5 of the shaded bytes). The oracle
+    recomputes the analytic DEM surfaces directly — it never touches
+    TIFF bytes — so a decode defect (tile seam, SampleFormat dtype,
+    byte order) moves the md5 and fails the gate."""
+    from ..functions import tiffcodec
+    from ..operators import terrain
+
+    rows = [
+        (
+            name,
+            tiffcodec.encode_tiff(
+                _dem_surface(name, h, w),
+                geo={"gsd": gsd, "mx0": 0.0, "my1": 1.0e5, "epsg": 3857},
+                compression="deflate",
+                tile=16,
+            ),
+        )
+        for name, h, w, gsd in _DEM_SPECS
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    return terrain.dem_hillshade(df)
+
+
 def q_streaming_tiles(spark, sf_dir):
     """Streaming IMAGE ingest -> TILES under the driver gate: the
     availableNow foreachBatch path (streaming/ingest.py) runs the SAME
@@ -1759,6 +1803,7 @@ QUERIES: dict = {
     "ann_pq": (q_ann_pq, _golden("ann_pq")),
     "ann_ivfpq": (q_ann_ivfpq, _golden("ann_ivfpq")),
     "streaming_tiles": (q_streaming_tiles, _golden("streaming_tiles")),
+    "dem_hillshade": (q_dem_hillshade, _golden("dem_hillshade")),
     "cutline_mask": (q_cutline_mask, _golden("cutline_mask")),
     "h3_rollup": (q_h3_rollup, _golden("h3_rollup")),
     "fingerprint": (q_fingerprint, _golden("fingerprint")),

@@ -250,6 +250,32 @@ def g_pyramid_smoke():
     )
 
 
+def g_dem_hillshade():
+    # SCOPE NOTE: reuses terrain.hillshade_np (pure NumPy), whose math is
+    # anchored independently by the hand-derived integer pins in
+    # tests/test_terrain.py (flat=180, aligned-ramp=242, opposed=0). The
+    # DEM surfaces are recomputed DIRECTLY from the analytic formulas —
+    # this golden never reads TIFF bytes, so the gate cross-checks the
+    # engine's Float32 tiled GeoTIFF decode path end-to-end.
+    from tilers_tools_spark.operators.terrain import hillshade_np
+    from tilers_tools_spark.plans.queries import _DEM_SPECS, _dem_surface
+
+    rows = []
+    for name, h, w, gsd in _DEM_SPECS:
+        dem = _dem_surface(name, h, w)
+        sh = hillshade_np(dem, gsd)
+        rows.append(
+            [name, int(w), int(h), float(gsd), int(sh.sum(dtype=np.int64)),
+             hashlib.md5(sh.tobytes()).hexdigest()]
+        )
+    save(
+        "dem_hillshade",
+        ["image_id", "w", "h", "gsd", "shade_sum", "shade_md5"],
+        ["str", "int32", "int32", "float64", "int64", "str"],
+        rows,
+    )
+
+
 def g_streaming_tiles():
     # minitiler render of the 16-image streaming fixture (the streaming
     # path must equal the batch render bit-for-tile; same kernel scope as
@@ -595,6 +621,7 @@ GENERATORS = {
     "ann_pq": g_ann_pq,
     "ann_ivfpq": g_ann_ivfpq,
     "streaming_tiles": g_streaming_tiles,
+    "dem_hillshade": g_dem_hillshade,
     "fingerprint": g_fingerprint,
     "video_frames": g_video_frames,
     "audio_frames": g_audio_frames,
