@@ -93,3 +93,38 @@ def test_dem_hillshade_operator_end_to_end(spark):
         assert out[name]["shade_sum"] == int(sh.sum(dtype=np.int64))
         assert (out[name]["w"], out[name]["h"]) == (30, 20)
     assert out["broken"]["w"] == -1 and out["broken"]["shade_md5"] == ""
+
+
+def test_hillshade_feeds_tile_pipeline(spark):
+    """Terrain output plugs straight into the ordinary tile pipeline: a
+    Float32 DEM is shaded, wrapped as a gray raster with the DEM's own
+    georef, and rendered through render_warped — tiles come out non-empty
+    and deterministic (same DEM twice -> identical tile md5s)."""
+    from pyspark.sql import functions as F
+
+    from tilers_tools_spark.functions import codecs
+    from tilers_tools_spark.operators.render import render_warped
+
+    r = np.arange(256)[:, None] + np.zeros((1, 384))
+    c = np.arange(384)[None, :] + np.zeros((256, 1))
+    dem = (40.0 * np.sin(r / 9.0) + 25.0 * np.cos(c / 13.0)).astype(np.float32)
+    gsd, mx0, my1 = 76.4, -3.0e6, 4.0e6
+    shade = terrain.hillshade_np(dem, gsd)
+    blob = codecs.encode_png(np.repeat(shade[:, :, None], 3, axis=2))
+    ddl = ("image_id string, bytes binary, fmt string, a00 double, a01 double, "
+           "a02 double, a10 double, a11 double, a12 double")
+    frames = []
+    for _ in range(2):
+        df = spark.createDataFrame(
+            [("dem0", blob, "png", gsd, 0.0, mx0, 0.0, -gsd, my1)], ddl
+        )
+        t = (
+            render_warped(df, zoom=7)
+            .select("z", "x", "y", F.md5("tile").alias("m"))
+            .toPandas()
+            .sort_values(["x", "y"])
+            .reset_index(drop=True)
+        )
+        frames.append(t)
+    assert len(frames[0]) > 0
+    assert frames[0].equals(frames[1])
