@@ -128,30 +128,48 @@ def pack_sequences(
     collapses to ONE partition in Spark — a 100 TB non-starter. This is
     the classic two-phase distributed prefix sum instead:
       1. range-repartition the NARROW (id, n_tokens) projection by id
-         (text never moves) and cumsum WITHIN each range partition
-         (window partitioned by partition id — parallel);
+         (text never moves), sort within partitions, and cumsum inside
+         each partition with mapInPandas — a NARROW stage over the range
+         partitioning (a Window.partitionBy(_pid) here would re-shuffle
+         by hash(_pid), silently adding the exchange this design avoids);
       2. per-partition totals (tiny: one row per partition) come to the
          driver, their exclusive prefix sums go back as a broadcast map,
          and each row adds its partition's base offset.
     Result is independent of the partition count (pure function of the
     id order), so tests pin equality across parallelism levels.
     """
-    from pyspark.sql import Window
-
     from .text import token_count
 
     narrow = docs.select(F.col(id_col), token_count(text_col).cast("long").alias("n_tokens"))
     if num_ranges is None:
         num_ranges = narrow.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    ranged = narrow.repartitionByRange(int(num_ranges), F.col(id_col)).withColumn(
-        "_pid", F.spark_partition_id()
+    ranged = narrow.repartitionByRange(int(num_ranges), F.col(id_col)).sortWithinPartitions(
+        id_col
     )
-    # rows stay where repartitionByRange put them; the window below is
-    # partition-local (no second shuffle: _pid IS the physical partition)
-    w = Window.partitionBy("_pid").orderBy(id_col).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+
+    def _local_cumsum(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        acc = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            end = pdf["n_tokens"].cumsum() + acc
+            acc = int(end.iloc[-1])
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_tokens": pdf["n_tokens"],
+                    "_pid": pid,
+                    "_local_end": end.astype("int64"),
+                }
+            )
+
+    local = ranged.mapInPandas(
+        _local_cumsum, f"{id_col} long, n_tokens long, _pid int, _local_end long"
     )
-    local = ranged.withColumn("_local_end", F.sum("n_tokens").over(w))
     local = local.localCheckpoint(eager=False)  # totals + rows read one lineage
     totals = (
         local.groupBy("_pid").agg(F.max("_local_end").alias("_tot")).orderBy("_pid").collect()
