@@ -128,3 +128,22 @@ def test_hillshade_feeds_tile_pipeline(spark):
         frames.append(t)
     assert len(frames[0]) > 0
     assert frames[0].equals(frames[1])
+
+
+def test_color_relief_ramp():
+    """Piecewise-linear ramp: exact midpoints, clamping below/above the ramp,
+    and round-half-up quantization — hand-derived pins."""
+    ramp = [(0.0, 0, 0, 255), (100.0, 0, 255, 0), (200.0, 255, 0, 0)]
+    dem = np.array([[-50.0, 0.0, 50.0], [100.0, 150.0, 500.0]])
+    out = terrain.color_relief_np(dem, ramp)
+    assert out.shape == (2, 3, 3)
+    assert out[0, 0].tolist() == [0, 0, 255]      # clamped below
+    assert out[0, 1].tolist() == [0, 0, 255]      # first stop
+    assert out[0, 2].tolist() == [0, 128, 128]    # midpoint: 127.5 rounds half-up
+    assert out[1, 0].tolist() == [0, 255, 0]      # exact stop
+    assert out[1, 1].tolist() == [128, 128, 0]    # midpoint of upper segment
+    assert out[1, 2].tolist() == [255, 0, 0]      # clamped above
+    with pytest.raises(ValueError, match="2 stops"):
+        terrain.color_relief_np(dem, [(0.0, 1, 2, 3)])
+    with pytest.raises(ValueError, match="distinct"):
+        terrain.color_relief_np(dem, [(0.0, 1, 2, 3), (0.0, 4, 5, 6)])

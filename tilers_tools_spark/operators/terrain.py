@@ -155,3 +155,27 @@ def dem_hillshade(
     return dems.withColumn("s", udf(F.col(bytes_col))).select(
         id_col, "s.w", "s.h", "s.gsd", "s.shade_sum", "s.shade_md5"
     )
+
+
+def color_relief_np(dem: np.ndarray, ramp: list[tuple[float, int, int, int]]) -> np.ndarray:
+    """gdaldem color-relief: elevation -> RGB through a piecewise-LINEAR
+    color ramp (the default gdaldem interpolation). `ramp` is a list of
+    (elevation, r, g, b) stops sorted ascending; elevations below the
+    first stop clamp to it, above the last clamp to that, and between
+    stops each channel interpolates linearly with round-half-up
+    quantization. Returns uint8 (H, W, 3)."""
+    stops = sorted(ramp)
+    if len(stops) < 2:
+        raise ValueError("color ramp needs at least 2 stops")
+    elev = np.array([s[0] for s in stops], dtype=np.float64)
+    if len(np.unique(elev)) != len(elev):
+        raise ValueError("color ramp stops must have distinct elevations")
+    rgb = np.array([s[1:] for s in stops], dtype=np.float64)  # (n, 3)
+    z = np.asarray(dem, dtype=np.float64)
+    # idx of the UPPER stop for each cell, clamped to [1, n-1]
+    hi = np.clip(np.searchsorted(elev, z, side="right"), 1, len(elev) - 1)
+    lo = hi - 1
+    z0, z1 = elev[lo], elev[hi]
+    t = np.clip((z - z0) / (z1 - z0), 0.0, 1.0)[..., None]
+    out = rgb[lo] + t * (rgb[hi] - rgb[lo])
+    return np.clip(np.floor(out + 0.5), 0.0, 255.0).astype(np.uint8)
