@@ -130,6 +130,79 @@ def test_hillshade_feeds_tile_pipeline(spark):
     assert frames[0].equals(frames[1])
 
 
+def test_tri_tpi_roughness_hand_pins():
+    """Hand derivations (edge replication):
+    flat: all three metrics identically 0.
+    east ramp z = c, interior cell: neighbor diffs {-1,-1,-1,0,0,1,1,1}
+      -> TRI riley = sqrt(6), wilson = 6/8, TPI = 0, roughness = 2;
+    left-edge cell (replicated left column): diffs {0,0,1,0,1,0,0,1}
+      -> riley = sqrt(3), wilson = 3/8, TPI = -3/8, roughness = 1.
+    isolated peak (3x3 zeros, center 5): center diffs all -5
+      -> riley = sqrt(200), wilson = 5, TPI = +5, roughness = 5."""
+    flat = np.full((6, 7), 9.5)
+    assert (terrain.tri_np(flat, "riley") == 0).all()
+    assert (terrain.tri_np(flat, "wilson") == 0).all()
+    assert (terrain.tpi_np(flat) == 0).all()
+    assert (terrain.roughness_np(flat) == 0).all()
+
+    c = np.arange(9)[None, :] + np.zeros((5, 1))
+    ramp = 1.0 * c
+    riley, wilson = terrain.tri_np(ramp, "riley"), terrain.tri_np(ramp, "wilson")
+    tpi, rough = terrain.tpi_np(ramp), terrain.roughness_np(ramp)
+    assert np.allclose(riley[1:-1, 1:-1], np.sqrt(6.0))
+    assert np.allclose(wilson[1:-1, 1:-1], 0.75)
+    assert np.allclose(tpi[1:-1, 1:-1], 0.0)
+    assert np.allclose(rough[1:-1, 1:-1], 2.0)
+    assert np.allclose(riley[2, 0], np.sqrt(3.0))
+    assert np.allclose(wilson[2, 0], 3.0 / 8.0)
+    assert np.allclose(tpi[2, 0], -3.0 / 8.0)
+    assert np.allclose(rough[2, 0], 1.0)
+
+    peak = np.zeros((3, 3))
+    peak[1, 1] = 5.0
+    assert np.allclose(terrain.tri_np(peak, "riley")[1, 1], np.sqrt(200.0))
+    assert np.allclose(terrain.tri_np(peak, "wilson")[1, 1], 5.0)
+    assert np.allclose(terrain.tpi_np(peak)[1, 1], 5.0)
+    assert np.allclose(terrain.roughness_np(peak)[1, 1], 5.0)
+    with pytest.raises(ValueError, match="riley"):
+        terrain.tri_np(peak, "nope")
+
+
+def test_dem_terrain_metrics_operator(spark):
+    """Spark TRI/TPI/roughness operator matches the local kernels exactly
+    (rounded sums + md5 over the four metric rasters); unreadable rows
+    surface as the auditable NaN row."""
+    import hashlib
+
+    from tilers_tools_spark.functions import tiffcodec
+
+    r = np.arange(18)[:, None] + np.zeros((1, 25))
+    c = np.arange(25)[None, :] + np.zeros((18, 1))
+    dems = {
+        "plane": (3.0 * r - 2.0 * c).astype(np.float32),
+        "wave": (50.0 * np.sin(r / 3.0) + 30.0 * np.cos(c / 5.0)).astype(np.float32),
+    }
+    rows = [
+        (name, tiffcodec.encode_tiff(d)) for name, d in dems.items()
+    ] + [("broken", b"\x00\x01junk")]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    out = {r2["image_id"]: r2 for r2 in terrain.dem_terrain_metrics(df).collect()}
+    for name, d in dems.items():
+        d64 = d.astype(np.float64)
+        riley, wilson = terrain.tri_np(d64, "riley"), terrain.tri_np(d64, "wilson")
+        tpi, rough = terrain.tpi_np(d64), terrain.roughness_np(d64)
+        assert out[name]["tri_riley_sum"] == round(float(riley.sum()), 6)
+        assert out[name]["tri_wilson_sum"] == round(float(wilson.sum()), 6)
+        assert out[name]["tpi_abs_sum"] == round(float(np.abs(tpi).sum()), 6)
+        assert out[name]["rough_sum"] == round(float(rough.sum()), 6)
+        want = hashlib.md5(
+            riley.tobytes() + wilson.tobytes() + tpi.tobytes() + rough.tobytes()
+        ).hexdigest()
+        assert out[name]["metrics_md5"] == want
+        assert (out[name]["w"], out[name]["h"]) == (25, 18)
+    assert out["broken"]["w"] == -1 and out["broken"]["metrics_md5"] == ""
+
+
 def test_color_relief_ramp():
     """Piecewise-linear ramp: exact midpoints, clamping below/above the ramp,
     and round-half-up quantization — hand-derived pins."""

@@ -90,6 +90,45 @@ def aspect_np(dem: np.ndarray, gsd: float, flat_eps: float = 1e-12) -> np.ndarra
     return a
 
 
+def _neighbor_diffs(dem: np.ndarray) -> np.ndarray:
+    """(8, H, W) float64 of z_neighbor - z_center for the 8-connected
+    neighborhood, edge-replicated (replicated neighbors contribute 0)."""
+    z = np.pad(np.asarray(dem, dtype=np.float64), 1, mode="edge")
+    h, w = z.shape[0] - 2, z.shape[1] - 2
+    c = z[1:-1, 1:-1]
+    offs = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+    return np.stack([z[1 + dr : 1 + dr + h, 1 + dc : 1 + dc + w] - c for dr, dc in offs])
+
+
+def tri_np(dem: np.ndarray, algorithm: str = "riley") -> np.ndarray:
+    """Terrain Ruggedness Index (gdaldem TRI equivalents, float64):
+    'riley' (Riley et al. 1999, the gdaldem default) = sqrt of the sum of
+    squared center-to-neighbor elevation differences; 'wilson' (Wilson
+    et al. 2007) = mean absolute center-to-neighbor difference. Elevation
+    units; gsd-independent by definition."""
+    d = _neighbor_diffs(dem)
+    if algorithm == "riley":
+        return np.sqrt(np.sum(d * d, axis=0))
+    if algorithm == "wilson":
+        return np.sum(np.abs(d), axis=0) / 8.0
+    raise ValueError(f"unknown TRI algorithm {algorithm!r} (riley|wilson)")
+
+
+def tpi_np(dem: np.ndarray) -> np.ndarray:
+    """Topographic Position Index (gdaldem TPI): z_center minus the mean
+    of the 8 neighbors — positive on ridges, negative in valleys,
+    float64. Equals -mean(neighbor - center)."""
+    return -np.mean(_neighbor_diffs(dem), axis=0)
+
+
+def roughness_np(dem: np.ndarray) -> np.ndarray:
+    """Roughness (gdaldem roughness): max - min over the 3x3 window
+    INCLUDING the center cell, float64."""
+    d = _neighbor_diffs(dem)
+    # window extrema relative to center: max(0, max d) - min(0, min d)
+    return np.maximum(d.max(axis=0), 0.0) - np.minimum(d.min(axis=0), 0.0)
+
+
 def dem_hillshade(
     dems: DataFrame,
     azimuth: float = 315.0,
@@ -154,6 +193,86 @@ def dem_hillshade(
 
     return dems.withColumn("s", udf(F.col(bytes_col))).select(
         id_col, "s.w", "s.h", "s.gsd", "s.shade_sum", "s.shade_md5"
+    )
+
+
+def dem_terrain_metrics(
+    dems: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Distributed gdaldem TRI/TPI/roughness over GeoTIFF DEM blobs —
+    the remaining three gdaldem modes, same shuffle-free shape as
+    dem_hillshade: one Arrow-batched projection, rasters independent.
+    Emits per raster (id, w, h, tri_riley_sum, tri_wilson_sum,
+    tpi_abs_sum, rough_sum, metrics_md5) where the sums are float64
+    rounded to 6 decimals and metrics_md5 is the md5 of the four metric
+    rasters' concatenated float64 bytes (riley | wilson | tpi |
+    roughness). Unreadable rows surface as (-1, -1, nan x4, '')."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("w", IntegerType()),
+            StructField("h", IntegerType()),
+            StructField("tri_riley_sum", DoubleType()),
+            StructField("tri_wilson_sum", DoubleType()),
+            StructField("tpi_abs_sum", DoubleType()),
+            StructField("rough_sum", DoubleType()),
+            StructField("metrics_md5", StringType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def udf(blobs: pd.Series) -> pd.DataFrame:
+        import hashlib
+
+        from ..functions import tiffcodec
+
+        nan = float("nan")
+        rows = []
+        for b in blobs:
+            try:
+                dem, _geo = tiffcodec.decode_tiff(bytes(b), scale_16bit=False)
+                if dem.ndim != 2:
+                    raise ValueError("DEM must be single-band")
+                riley = tri_np(dem, "riley")
+                wilson = tri_np(dem, "wilson")
+                tpi = tpi_np(dem)
+                rough = roughness_np(dem)
+                md5 = hashlib.md5(
+                    riley.tobytes() + wilson.tobytes() + tpi.tobytes() + rough.tobytes()
+                ).hexdigest()
+                rows.append(
+                    (
+                        int(dem.shape[1]),
+                        int(dem.shape[0]),
+                        round(float(riley.sum()), 6),
+                        round(float(wilson.sum()), 6),
+                        round(float(np.abs(tpi).sum()), 6),
+                        round(float(rough.sum()), 6),
+                        md5,
+                    )
+                )
+            except Exception:
+                rows.append((-1, -1, nan, nan, nan, nan, ""))
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "w", "h", "tri_riley_sum", "tri_wilson_sum",
+                "tpi_abs_sum", "rough_sum", "metrics_md5",
+            ],
+        )
+
+    return dems.withColumn("s", udf(F.col(bytes_col))).select(
+        id_col, "s.w", "s.h", "s.tri_riley_sum", "s.tri_wilson_sum",
+        "s.tpi_abs_sum", "s.rough_sum", "s.metrics_md5",
     )
 
 

@@ -1002,6 +1002,25 @@ def q_dem_hillshade(spark, sf_dir):
     return terrain.dem_hillshade(df)
 
 
+def q_dem_terrain(spark, sf_dir):
+    """Remaining gdaldem modes under the gate (operators/terrain.py):
+    TRI (Riley + Wilson), TPI and roughness over untiled uncompressed
+    Float32 TIFF DEMs (no georef — these metrics are gsd-independent, and
+    the layout deliberately differs from dem_hillshade's deflate+tiled
+    GeoTIFFs so the two queries pin different decode paths). The oracle
+    recomputes the analytic surfaces directly — it never touches TIFF
+    bytes."""
+    from ..functions import tiffcodec
+    from ..operators import terrain
+
+    rows = [
+        (name, tiffcodec.encode_tiff(_dem_surface(name, h, w)))
+        for name, h, w, _gsd in _DEM_SPECS
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    return terrain.dem_terrain_metrics(df)
+
+
 def q_streaming_tiles(spark, sf_dir):
     """Streaming IMAGE ingest -> TILES under the driver gate: the
     availableNow foreachBatch path (streaming/ingest.py) runs the SAME
@@ -1804,6 +1823,7 @@ QUERIES: dict = {
     "ann_ivfpq": (q_ann_ivfpq, _golden("ann_ivfpq")),
     "streaming_tiles": (q_streaming_tiles, _golden("streaming_tiles")),
     "dem_hillshade": (q_dem_hillshade, _golden("dem_hillshade")),
+    "dem_terrain": (q_dem_terrain, _golden("dem_terrain")),
     "cutline_mask": (q_cutline_mask, _golden("cutline_mask")),
     "h3_rollup": (q_h3_rollup, _golden("h3_rollup")),
     "fingerprint": (q_fingerprint, _golden("fingerprint")),

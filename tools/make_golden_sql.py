@@ -276,6 +276,41 @@ def g_dem_hillshade():
     )
 
 
+def g_dem_terrain():
+    # SCOPE NOTE: reuses terrain.tri_np/tpi_np/roughness_np (pure NumPy),
+    # anchored independently by the hand-derived pins in
+    # tests/test_terrain.py (flat=0; east-ramp interior riley=sqrt(6),
+    # wilson=3/4, tpi=0, rough=2; left-edge riley=sqrt(3), tpi=-3/8;
+    # isolated peak riley=sqrt(200), tpi=+5). The DEM surfaces are
+    # recomputed DIRECTLY from the analytic formulas — this golden never
+    # reads TIFF bytes, so the gate cross-checks the engine's untiled
+    # uncompressed Float32 TIFF decode path end-to-end.
+    from tilers_tools_spark.operators.terrain import roughness_np, tpi_np, tri_np
+    from tilers_tools_spark.plans.queries import _DEM_SPECS, _dem_surface
+
+    rows = []
+    for name, h, w, _gsd in _DEM_SPECS:
+        dem = _dem_surface(name, h, w).astype(np.float64)
+        riley, wilson = tri_np(dem, "riley"), tri_np(dem, "wilson")
+        tpi, rough = tpi_np(dem), roughness_np(dem)
+        md5 = hashlib.md5(
+            riley.tobytes() + wilson.tobytes() + tpi.tobytes() + rough.tobytes()
+        ).hexdigest()
+        rows.append(
+            [name, int(w), int(h),
+             round(float(riley.sum()), 6), round(float(wilson.sum()), 6),
+             round(float(np.abs(tpi).sum()), 6), round(float(rough.sum()), 6),
+             md5]
+        )
+    save(
+        "dem_terrain",
+        ["image_id", "w", "h", "tri_riley_sum", "tri_wilson_sum",
+         "tpi_abs_sum", "rough_sum", "metrics_md5"],
+        ["str", "int32", "int32", "float64", "float64", "float64", "float64", "str"],
+        rows,
+    )
+
+
 def g_streaming_tiles():
     # minitiler render of the 16-image streaming fixture (the streaming
     # path must equal the batch render bit-for-tile; same kernel scope as
@@ -622,6 +657,7 @@ GENERATORS = {
     "ann_ivfpq": g_ann_ivfpq,
     "streaming_tiles": g_streaming_tiles,
     "dem_hillshade": g_dem_hillshade,
+    "dem_terrain": g_dem_terrain,
     "fingerprint": g_fingerprint,
     "video_frames": g_video_frames,
     "audio_frames": g_audio_frames,
