@@ -203,6 +203,107 @@ def test_dem_terrain_metrics_operator(spark):
     assert out["broken"]["w"] == -1 and out["broken"]["metrics_md5"] == ""
 
 
+def test_contour_hand_pins():
+    """Marching-squares hand derivations:
+    flat: no segments.
+    east ramp z = c, level 2.5: a vertical line x = 2.5 — one unit
+      segment per cell row, H-1 segments, total length H-1.
+    isolated peak (3x3 zeros, center 5), level 2.5: a diamond of 4
+      segments, each sqrt(2)/2, total 2*sqrt(2); vertices at edge
+      midpoints (1, 0.5), (0.5, 1), (1.5, 1), (1, 1.5).
+    saddle [[1,0],[0,1]]: level 0.5 -> center avg 0.5 NOT > level ->
+      corners disconnect: (0.5,0)-(0,0.5) and (0.5,1)-(1,0.5);
+      level 0.4 -> center inside -> the other pairing, still 2 segs."""
+    flat = np.full((6, 7), 123.0)
+    assert terrain.contour_segments_np(flat, 50.0).shape == (0, 4)
+    n, tot, _ = terrain.contour_stats_np(flat, 50.0)
+    assert (n, tot) == (0, 0.0)
+
+    c = np.arange(9)[None, :] + np.zeros((5, 1))
+    segs = terrain.contour_segments_np(1.0 * c, 2.5)
+    assert len(segs) == 4
+    assert np.allclose(segs[:, [0, 2]], 2.5)
+    n, tot, _ = terrain.contour_stats_np(1.0 * c, 2.5)
+    assert (n, tot) == (4, 4.0)
+    # gsd scales lengths into georef units
+    assert terrain.contour_stats_np(1.0 * c, 2.5, gsd=2.0)[1] == 8.0
+
+    peak = np.zeros((3, 3))
+    peak[1, 1] = 5.0
+    segs = terrain.contour_segments_np(peak, 2.5)
+    n, tot, _ = terrain.contour_stats_np(peak, 2.5)
+    assert n == 4 and np.isclose(tot, 2.0 * np.sqrt(2.0))
+    pts = {tuple(p) for s in segs for p in (s[:2], s[2:])}
+    assert pts == {(1.0, 0.5), (0.5, 1.0), (1.5, 1.0), (1.0, 1.5)}
+
+    saddle = np.array([[1.0, 0.0], [0.0, 1.0]])
+    segs = sorted(map(tuple, terrain.contour_segments_np(saddle, 0.5)))
+    assert len(segs) == 2
+    got = {frozenset([(s[0], s[1]), (s[2], s[3])]) for s in segs}
+    assert got == {
+        frozenset([(0.5, 0.0), (0.0, 0.5)]),
+        frozenset([(0.5, 1.0), (1.0, 0.5)]),
+    }
+    segs = terrain.contour_segments_np(saddle, 0.4)
+    got = {frozenset([(s[0], s[1]), (s[2], s[3])]) for s in map(tuple, segs)}
+    assert got == {
+        frozenset([(0.6, 0.0), (1.0, 0.4)]),
+        frozenset([(0.0, 0.6), (0.4, 1.0)]),
+    }
+
+
+def test_contour_topology_on_wave():
+    """Contour lines are closed or border-terminated: every vertex NOT on
+    the raster border must be shared by exactly two segments."""
+    r = np.arange(32)[:, None] + np.zeros((1, 28))
+    c = np.arange(28)[None, :] + np.zeros((32, 1))
+    dem = 50.0 * np.sin(r / 3.0) + 30.0 * np.cos(c / 5.0)
+    for level in (-20.5, 0.25, 33.75):
+        segs = terrain.contour_segments_np(dem, level)
+        assert len(segs) > 0
+        from collections import Counter
+
+        deg = Counter()
+        for s in segs:
+            deg[(round(s[0], 9), round(s[1], 9))] += 1
+            deg[(round(s[2], 9), round(s[3], 9))] += 1
+        h, w = dem.shape
+        for (x, y), d in deg.items():
+            on_border = x in (0.0, w - 1.0) or y in (0.0, h - 1.0)
+            if not on_border:
+                assert d == 2, f"dangling interior vertex {(x, y)} deg={d} at {level}"
+
+
+def test_dem_contour_operator(spark):
+    """Spark contour operator matches the local kernel exactly per
+    (raster, level), applies the GeoTIFF gsd to lengths, and surfaces
+    unreadable rows once per level."""
+    from tilers_tools_spark.functions import tiffcodec
+
+    r = np.arange(20)[:, None] + np.zeros((1, 30))
+    c = np.arange(30)[None, :] + np.zeros((20, 1))
+    dems = {
+        "plane": (3.0 * r - 2.0 * c).astype(np.float32),
+        "wave": (50.0 * np.sin(r / 3.0) + 30.0 * np.cos(c / 5.0)).astype(np.float32),
+    }
+    levels = [-10.25, 5.5, 20.75]
+    rows = [
+        (name, tiffcodec.encode_tiff(d, geo={"gsd": 2.0, "mx0": 0.0, "my1": 40.0},
+                                     compression="deflate"))
+        for name, d in dems.items()
+    ] + [("broken", b"nope")]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    out = terrain.dem_contour(df, levels).collect()
+    assert len(out) == 9
+    got = {(r2["image_id"], r2["level"]): r2 for r2 in out}
+    for name, d in dems.items():
+        for lv in levels:
+            n, tot, md5 = terrain.contour_stats_np(d.astype(np.float64), lv, gsd=2.0)
+            g = got[(name, lv)]
+            assert (g["n_segments"], g["total_len"], g["seg_md5"]) == (n, tot, md5)
+    assert got[("broken", 5.5)]["n_segments"] == -1
+
+
 def test_color_relief_ramp():
     """Piecewise-linear ramp: exact midpoints, clamping below/above the ramp,
     and round-half-up quantization — hand-derived pins."""

@@ -276,6 +276,172 @@ def dem_terrain_metrics(
     )
 
 
+# ---------------------------------------------------------------------------
+# gdal_contour parity — marching squares
+# ---------------------------------------------------------------------------
+
+# case index bits (corner ABOVE level): TL=8, TR=4, BR=2, BL=1.
+# Each entry lists the (edge, edge) pairs a cell contributes; T/B/L/R are
+# the cell's top/bottom/left/right edges. Saddles (5, 10) are resolved by
+# the standard center-average rule and handled separately below.
+_MS_CASES: dict[int, list[tuple[str, str]]] = {
+    1: [("L", "B")], 14: [("L", "B")],
+    2: [("B", "R")], 13: [("B", "R")],
+    4: [("T", "R")], 11: [("T", "R")],
+    8: [("T", "L")], 7: [("T", "L")],
+    3: [("L", "R")], 12: [("L", "R")],
+    6: [("T", "B")], 9: [("T", "B")],
+}
+
+
+def contour_segments_np(dem: np.ndarray, level: float) -> np.ndarray:
+    """Marching-squares contour of `dem` at `level` -> (N, 4) float64
+    segments (x0, y0, x1, y1) in PIXEL coordinates (x = column, y = row;
+    grid nodes at integer coords). First-principles form of the
+    algorithm gdal_contour implements:
+
+    * a corner is inside iff z > level (strict, so levels off the grid
+      values are unambiguous);
+    * crossing points interpolate linearly along cell edges,
+      t = (level - z0) / (z1 - z0);
+    * the 16-case table connects crossings (see _MS_CASES); the two
+      saddle cases (5 = TR+BL, 10 = TL+BR) disambiguate on the cell's
+      center average: center inside joins the two inside corners.
+
+    Fully vectorized: one boolean classification + one gather per case,
+    no Python loop over cells."""
+    z = np.asarray(dem, dtype=np.float64)
+    if z.ndim != 2 or z.shape[0] < 2 or z.shape[1] < 2:
+        return np.zeros((0, 4), dtype=np.float64)
+    zt0, zt1 = z[:-1, :-1], z[:-1, 1:]
+    zb0, zb1 = z[1:, :-1], z[1:, 1:]
+    b = z > level
+    idx = (
+        (b[:-1, :-1].astype(np.int8) << 3)
+        | (b[:-1, 1:].astype(np.int8) << 2)
+        | (b[1:, 1:].astype(np.int8) << 1)
+        | b[1:, :-1].astype(np.int8)
+    )
+    h, w = idx.shape
+    jj, ii = np.meshgrid(np.arange(w, dtype=np.float64), np.arange(h, dtype=np.float64))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pts = {
+            "T": (jj + (level - zt0) / (zt1 - zt0), ii),
+            "B": (jj + (level - zb0) / (zb1 - zb0), ii + 1.0),
+            "L": (jj, ii + (level - zt0) / (zb0 - zt0)),
+            "R": (jj + 1.0, ii + (level - zt1) / (zb1 - zt1)),
+        }
+    segs = []
+
+    def gather(mask: np.ndarray, pairs: list[tuple[str, str]]) -> None:
+        if not mask.any():
+            return
+        for ea, eb in pairs:
+            xa, ya = pts[ea]
+            xb, yb = pts[eb]
+            segs.append(
+                np.column_stack((xa[mask], ya[mask], xb[mask], yb[mask]))
+            )
+
+    for case, pairs in _MS_CASES.items():
+        gather(idx == case, pairs)
+    center_in = (zt0 + zt1 + zb0 + zb1) / 4.0 > level
+    # 5 = TR+BL inside: center in -> (T,L)+(B,R); out -> (T,R)+(L,B)
+    gather((idx == 5) & center_in, [("T", "L"), ("B", "R")])
+    gather((idx == 5) & ~center_in, [("T", "R"), ("L", "B")])
+    # 10 = TL+BR inside: center in -> (T,R)+(L,B); out -> (T,L)+(B,R)
+    gather((idx == 10) & center_in, [("T", "R"), ("L", "B")])
+    gather((idx == 10) & ~center_in, [("T", "L"), ("B", "R")])
+    if not segs:
+        return np.zeros((0, 4), dtype=np.float64)
+    return np.concatenate(segs, axis=0)
+
+
+def contour_stats_np(dem: np.ndarray, level: float, gsd: float = 1.0) -> tuple[int, float, str]:
+    """(n_segments, total_len, seg_md5) for one raster/level — the
+    summary the distributed operator and the golden both emit.
+    total_len is in georef units (pixel length x gsd), rounded to 6
+    decimals; seg_md5 hashes the canonical segment list (each segment
+    oriented so its lexicographically smaller endpoint comes first, rows
+    sorted, coords formatted %.9f) so it is order- and
+    partitioning-independent."""
+    import hashlib
+
+    segs = contour_segments_np(dem, level)
+    if len(segs):
+        a, bpt = segs[:, :2], segs[:, 2:]
+        flip = (a[:, 0] > bpt[:, 0]) | ((a[:, 0] == bpt[:, 0]) & (a[:, 1] > bpt[:, 1]))
+        canon = np.where(flip[:, None], np.column_stack((bpt, a)), segs)
+        order = np.lexsort((canon[:, 3], canon[:, 2], canon[:, 1], canon[:, 0]))
+        canon = canon[order]
+        total = float(np.hypot(canon[:, 2] - canon[:, 0], canon[:, 3] - canon[:, 1]).sum() * gsd)
+        txt = ";".join("%.9f,%.9f,%.9f,%.9f" % tuple(row) for row in canon)
+    else:
+        canon, total, txt = segs, 0.0, ""
+    return int(len(segs)), round(total, 6), hashlib.md5(txt.encode()).hexdigest()
+
+
+def dem_contour(
+    dems: DataFrame,
+    levels: list[float],
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Distributed gdal_contour: each row's blob is a GeoTIFF DEM; emits
+    one row per (raster, level) — (id, level, n_segments, total_len,
+    seg_md5). Same shuffle-free shape as the other terrain ops: rasters
+    are independent, one Arrow-batched projection, the per-level fanout
+    is a cheap in-UDF loop (levels is a small driver-side literal).
+    Lengths are in georef units when the TIFF carries a GeoTIFF gsd,
+    pixel units otherwise. Unreadable rows surface once per level as
+    (-1, nan, '')."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    lv = [float(x) for x in levels]
+    schema = ArrayType(
+        StructType(
+            [
+                StructField("level", DoubleType()),
+                StructField("n_segments", IntegerType()),
+                StructField("total_len", DoubleType()),
+                StructField("seg_md5", StringType()),
+            ]
+        )
+    )
+
+    @F.pandas_udf(schema)
+    def udf(blobs: pd.Series) -> pd.Series:
+        from ..functions import tiffcodec
+
+        out = []
+        for b in blobs:
+            try:
+                dem, geo = tiffcodec.decode_tiff(bytes(b), scale_16bit=False)
+                if dem.ndim != 2:
+                    raise ValueError("DEM must be single-band")
+                gsd = float(geo["gsd"]) if geo else 1.0
+                out.append(
+                    [(x, *contour_stats_np(dem, x, gsd)) for x in lv]
+                )
+            except Exception:
+                out.append([(x, -1, float("nan"), "") for x in lv])
+        return pd.Series(out)
+
+    return (
+        dems.withColumn("c", F.explode(udf(F.col(bytes_col))))
+        .select(
+            id_col, "c.level", "c.n_segments", "c.total_len", "c.seg_md5"
+        )
+    )
+
+
 def color_relief_np(dem: np.ndarray, ramp: list[tuple[float, int, int, int]]) -> np.ndarray:
     """gdaldem color-relief: elevation -> RGB through a piecewise-LINEAR
     color ramp (the default gdaldem interpolation). `ramp` is a list of

@@ -1021,6 +1021,35 @@ def q_dem_terrain(spark, sf_dir):
     return terrain.dem_terrain_metrics(df)
 
 
+_CONTOUR_LEVELS = [-15.25, 0.5, 30.75]
+
+
+def q_dem_contour(spark, sf_dir):
+    """gdal_contour under the gate (operators/terrain.py): marching-
+    squares contour extraction at three levels over the analytic GeoTIFF
+    DEMs (deflate strips, WITH georef — lengths come out in georef
+    units). Emits (id, level, n_segments, total_len, seg_md5); the
+    canonical segment-list md5 is partitioning-independent. The oracle
+    recomputes the analytic surfaces directly — never reads TIFF
+    bytes."""
+    from ..functions import tiffcodec
+    from ..operators import terrain
+
+    rows = [
+        (
+            name,
+            tiffcodec.encode_tiff(
+                _dem_surface(name, h, w),
+                geo={"gsd": gsd, "mx0": 0.0, "my1": 1.0e5, "epsg": 3857},
+                compression="deflate",
+            ),
+        )
+        for name, h, w, gsd in _DEM_SPECS
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    return terrain.dem_contour(df, _CONTOUR_LEVELS)
+
+
 def q_streaming_tiles(spark, sf_dir):
     """Streaming IMAGE ingest -> TILES under the driver gate: the
     availableNow foreachBatch path (streaming/ingest.py) runs the SAME
@@ -1824,6 +1853,7 @@ QUERIES: dict = {
     "streaming_tiles": (q_streaming_tiles, _golden("streaming_tiles")),
     "dem_hillshade": (q_dem_hillshade, _golden("dem_hillshade")),
     "dem_terrain": (q_dem_terrain, _golden("dem_terrain")),
+    "dem_contour": (q_dem_contour, _golden("dem_contour")),
     "cutline_mask": (q_cutline_mask, _golden("cutline_mask")),
     "h3_rollup": (q_h3_rollup, _golden("h3_rollup")),
     "fingerprint": (q_fingerprint, _golden("fingerprint")),

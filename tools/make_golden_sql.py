@@ -311,6 +311,35 @@ def g_dem_terrain():
     )
 
 
+def g_dem_contour():
+    # SCOPE NOTE: reuses terrain.contour_segments_np/contour_stats_np
+    # (pure NumPy marching squares), anchored independently by the
+    # hand-derived pins in tests/test_terrain.py (ramp -> vertical line
+    # of H-1 unit segments; isolated peak -> the 4-segment diamond with
+    # pinned edge-midpoint vertices; both saddle pairings at levels
+    # 0.5/0.4; wave closed/border-terminated topology invariant). The
+    # DEM surfaces are recomputed DIRECTLY from the analytic formulas.
+    from tilers_tools_spark.operators.terrain import contour_stats_np
+    from tilers_tools_spark.plans.queries import (
+        _CONTOUR_LEVELS,
+        _DEM_SPECS,
+        _dem_surface,
+    )
+
+    rows = []
+    for name, h, w, gsd in _DEM_SPECS:
+        dem = _dem_surface(name, h, w).astype(np.float64)
+        for lv in _CONTOUR_LEVELS:
+            n, tot, md5 = contour_stats_np(dem, lv, gsd=gsd)
+            rows.append([name, float(lv), int(n), float(tot), md5])
+    save(
+        "dem_contour",
+        ["image_id", "level", "n_segments", "total_len", "seg_md5"],
+        ["str", "float64", "int32", "float64", "str"],
+        rows,
+    )
+
+
 def g_streaming_tiles():
     # minitiler render of the 16-image streaming fixture (the streaming
     # path must equal the batch render bit-for-tile; same kernel scope as
@@ -658,6 +687,7 @@ GENERATORS = {
     "streaming_tiles": g_streaming_tiles,
     "dem_hillshade": g_dem_hillshade,
     "dem_terrain": g_dem_terrain,
+    "dem_contour": g_dem_contour,
     "fingerprint": g_fingerprint,
     "video_frames": g_video_frames,
     "audio_frames": g_audio_frames,
