@@ -304,6 +304,35 @@ def test_dem_contour_operator(spark):
     assert got[("broken", 5.5)]["n_segments"] == -1
 
 
+def test_dem_derivatives_operator(spark):
+    """Combined slope/aspect/color-relief operator matches the local
+    kernels; a georef-LESS TIFF (slope needs gsd) and an unreadable blob
+    both surface as the auditable NaN row."""
+    import hashlib
+
+    from tilers_tools_spark.functions import tiffcodec
+
+    r = np.arange(12)[:, None] + np.zeros((1, 16))
+    dem = (4.0 * r - 10.0).astype(np.float32)
+    ramp = [(-10.0, 0, 0, 255), (40.0, 255, 0, 0)]
+    rows = [
+        ("ok", tiffcodec.encode_tiff(dem, geo={"gsd": 2.0, "mx0": 0.0, "my1": 24.0})),
+        ("nogeo", tiffcodec.encode_tiff(dem)),
+        ("broken", b"x"),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    out = {x["image_id"]: x for x in terrain.dem_derivatives(df, ramp).collect()}
+    sl = terrain.slope_np(dem.astype(np.float64), 2.0)
+    asp = terrain.aspect_np(dem.astype(np.float64), 2.0)
+    rel = terrain.color_relief_np(dem.astype(np.float64), ramp)
+    assert out["ok"]["slope_sum"] == round(float(sl.sum()), 6)
+    assert out["ok"]["slope_md5"] == hashlib.md5(sl.tobytes()).hexdigest()
+    assert out["ok"]["aspect_flat_n"] == int(np.isnan(asp).sum())
+    assert out["ok"]["aspect_md5"] == hashlib.md5(asp.tobytes()).hexdigest()
+    assert out["ok"]["relief_md5"] == hashlib.md5(rel.tobytes()).hexdigest()
+    assert out["nogeo"]["w"] == -1 and out["broken"]["slope_md5"] == ""
+
+
 def test_color_relief_ramp():
     """Piecewise-linear ramp: exact midpoints, clamping below/above the ramp,
     and round-half-up quantization — hand-derived pins."""

@@ -276,6 +276,87 @@ def dem_terrain_metrics(
     )
 
 
+def dem_derivatives(
+    dems: DataFrame,
+    ramp: list[tuple[float, int, int, int]],
+    z_factor: float = 1.0,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Distributed gdaldem slope + aspect + color-relief in one
+    shuffle-free Arrow pass (rasters independent). Emits per raster
+    (id, w, h, slope_sum, slope_md5, aspect_flat_n, aspect_md5,
+    relief_md5): slope_sum is the float64 degree sum rounded to 6
+    decimals; the md5s hash the float64 slope raster, the float64
+    aspect raster (flat cells are NaN — the quiet-NaN payload np.nan
+    produces is deterministic), and the uint8 RGB color-relief raster
+    for the given ramp. Needs the GeoTIFF gsd (slope/aspect are
+    gradient-based); georef-less or unreadable rows surface as
+    (-1, -1, nan, '', -1, '', '')."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ramp_lit = [(float(e), int(r), int(g), int(b)) for e, r, g, b in ramp]
+    schema = StructType(
+        [
+            StructField("w", IntegerType()),
+            StructField("h", IntegerType()),
+            StructField("slope_sum", DoubleType()),
+            StructField("slope_md5", StringType()),
+            StructField("aspect_flat_n", IntegerType()),
+            StructField("aspect_md5", StringType()),
+            StructField("relief_md5", StringType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def udf(blobs: pd.Series) -> pd.DataFrame:
+        import hashlib
+
+        from ..functions import tiffcodec
+
+        rows = []
+        for b in blobs:
+            try:
+                dem, geo = tiffcodec.decode_tiff(bytes(b), scale_16bit=False)
+                if geo is None:
+                    raise ValueError("DEM without GeoTIFF georef")
+                if dem.ndim != 2:
+                    raise ValueError("DEM must be single-band")
+                gsd = float(geo["gsd"])
+                sl = slope_np(dem, gsd, z_factor)
+                asp = aspect_np(dem, gsd)
+                rel = color_relief_np(dem, ramp_lit)
+                rows.append(
+                    (
+                        int(dem.shape[1]),
+                        int(dem.shape[0]),
+                        round(float(sl.sum()), 6),
+                        hashlib.md5(sl.tobytes()).hexdigest(),
+                        int(np.isnan(asp).sum()),
+                        hashlib.md5(asp.tobytes()).hexdigest(),
+                        hashlib.md5(rel.tobytes()).hexdigest(),
+                    )
+                )
+            except Exception:
+                rows.append((-1, -1, float("nan"), "", -1, "", ""))
+        return pd.DataFrame(
+            rows,
+            columns=["w", "h", "slope_sum", "slope_md5",
+                     "aspect_flat_n", "aspect_md5", "relief_md5"],
+        )
+
+    return dems.withColumn("s", udf(F.col(bytes_col))).select(
+        id_col, "s.w", "s.h", "s.slope_sum", "s.slope_md5",
+        "s.aspect_flat_n", "s.aspect_md5", "s.relief_md5",
+    )
+
+
 # ---------------------------------------------------------------------------
 # gdal_contour parity — marching squares
 # ---------------------------------------------------------------------------

@@ -1022,6 +1022,32 @@ def q_dem_terrain(spark, sf_dir):
 
 
 _CONTOUR_LEVELS = [-15.25, 0.5, 30.75]
+_RELIEF_RAMP = [(-60.0, 0, 0, 255), (0.0, 0, 255, 0), (80.0, 255, 255, 0), (130.0, 255, 0, 0)]
+
+
+def q_dem_derivatives(spark, sf_dir):
+    """gdaldem slope + aspect + color-relief under the gate in one
+    Arrow pass (operators/terrain.py::dem_derivatives) over the analytic
+    GeoTIFF DEMs (tiled+deflate, with georef). The flat DEM pins the
+    aspect NaN convention (every cell flat -> aspect_flat_n = w*h); the
+    oracle recomputes the analytic surfaces directly."""
+    from ..functions import tiffcodec
+    from ..operators import terrain
+
+    rows = [
+        (
+            name,
+            tiffcodec.encode_tiff(
+                _dem_surface(name, h, w),
+                geo={"gsd": gsd, "mx0": 0.0, "my1": 1.0e5, "epsg": 3857},
+                compression="deflate",
+                tile=16,
+            ),
+        )
+        for name, h, w, gsd in _DEM_SPECS
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    return terrain.dem_derivatives(df, _RELIEF_RAMP)
 
 
 def q_dem_contour(spark, sf_dir):
@@ -1854,6 +1880,7 @@ QUERIES: dict = {
     "dem_hillshade": (q_dem_hillshade, _golden("dem_hillshade")),
     "dem_terrain": (q_dem_terrain, _golden("dem_terrain")),
     "dem_contour": (q_dem_contour, _golden("dem_contour")),
+    "dem_derivatives": (q_dem_derivatives, _golden("dem_derivatives")),
     "cutline_mask": (q_cutline_mask, _golden("cutline_mask")),
     "h3_rollup": (q_h3_rollup, _golden("h3_rollup")),
     "fingerprint": (q_fingerprint, _golden("fingerprint")),

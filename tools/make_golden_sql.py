@@ -311,6 +311,47 @@ def g_dem_terrain():
     )
 
 
+def g_dem_derivatives():
+    # SCOPE NOTE: reuses terrain.slope_np/aspect_np/color_relief_np,
+    # anchored independently by the hand-derived pins in
+    # tests/test_terrain.py (slope atan(2) on the |grad|=2 ramp, aspect
+    # 90/0 on east/north ramps + all-NaN on flat, color-relief exact
+    # midpoint/clamp/round-half-up pins). Surfaces recomputed DIRECTLY
+    # from the analytic formulas — never reads TIFF bytes.
+    from tilers_tools_spark.operators.terrain import (
+        aspect_np,
+        color_relief_np,
+        slope_np,
+    )
+    from tilers_tools_spark.plans.queries import (
+        _DEM_SPECS,
+        _RELIEF_RAMP,
+        _dem_surface,
+    )
+
+    rows = []
+    for name, h, w, gsd in _DEM_SPECS:
+        dem = _dem_surface(name, h, w).astype(np.float64)
+        sl = slope_np(dem, gsd)
+        asp = aspect_np(dem, gsd)
+        rel = color_relief_np(dem, _RELIEF_RAMP)
+        rows.append(
+            [name, int(w), int(h),
+             round(float(sl.sum()), 6),
+             hashlib.md5(sl.tobytes()).hexdigest(),
+             int(np.isnan(asp).sum()),
+             hashlib.md5(asp.tobytes()).hexdigest(),
+             hashlib.md5(rel.tobytes()).hexdigest()]
+        )
+    save(
+        "dem_derivatives",
+        ["image_id", "w", "h", "slope_sum", "slope_md5",
+         "aspect_flat_n", "aspect_md5", "relief_md5"],
+        ["str", "int32", "int32", "float64", "str", "int32", "str", "str"],
+        rows,
+    )
+
+
 def g_dem_contour():
     # SCOPE NOTE: reuses terrain.contour_segments_np/contour_stats_np
     # (pure NumPy marching squares), anchored independently by the
@@ -688,6 +729,7 @@ GENERATORS = {
     "dem_hillshade": g_dem_hillshade,
     "dem_terrain": g_dem_terrain,
     "dem_contour": g_dem_contour,
+    "dem_derivatives": g_dem_derivatives,
     "fingerprint": g_fingerprint,
     "video_frames": g_video_frames,
     "audio_frames": g_audio_frames,
