@@ -351,3 +351,114 @@ def merge_tilesets(base: DataFrame, overlay: DataFrame, keys=("z", "x", "y")) ->
 
     schema = "z int, x long, y long, tile binary"
     return j.mapInPandas(composite, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# KML SuperOverlay (the reference toolchain's Google-Earth output mode)
+# ---------------------------------------------------------------------------
+
+_KML_REGION = (
+    "<Region><LatLonAltBox>"
+    "<north>%.9f</north><south>%.9f</south>"
+    "<east>%.9f</east><west>%.9f</west>"
+    "</LatLonAltBox><Lod><minLodPixels>%d</minLodPixels>"
+    "<maxLodPixels>-1</maxLodPixels></Lod></Region>"
+)
+
+
+def _tile_deg_bounds(z, x, y):
+    """(north, south, east, west) degree Columns of TMS tile (z, x, y)."""
+    span = tm.resolution(z) * F.lit(float(tm.TILE))
+    mx0 = x.cast("double") * span - F.lit(tm.ORIGIN)
+    my0 = y.cast("double") * span - F.lit(tm.ORIGIN)
+    return (
+        tm.inv_merc_lat(my0 + span),
+        tm.inv_merc_lat(my0),
+        tm.inv_merc_lon(mx0 + span),
+        tm.inv_merc_lon(mx0),
+    )
+
+
+def kml_superoverlay(tiles: DataFrame, ext: str = "png", min_lod: int = 128) -> DataFrame:
+    """Region-based KML SuperOverlay over a tiles table — per tile one
+    KML document: a Region+Lod gate, a GroundOverlay referencing the
+    sibling tile image, and one NetworkLink (onRegion) per EXISTING
+    child at z+1. Documents live next to the images in the xyz layout
+    (`z/x/y.kml`), so `doc_path`/`img_href` are relative.
+
+    Spark-first shape: bounds, paths and the XML itself are pure Column
+    exprs (format_string/transform/array_join — whole-stage codegen, no
+    UDF); which children exist comes from ONE key-only aggregate+join
+    over (z, x, y) planning metadata — tile bytes are never read, so at
+    100 TB this shuffles a few dozen bytes per tile, and AQE is free to
+    pick a broadcast for the child map's upper zooms.
+
+    Returns the input keys + (n_children, children_csv, doc_path,
+    img_href, kml)."""
+    t = tiles.select("z", "x", "y")
+    kids = t.select(
+        (F.col("z") - 1).alias("z"),
+        F.shiftright(F.col("x"), 1).alias("x"),
+        F.shiftright(F.col("y"), 1).alias("y"),
+        F.struct(
+            F.col("x").cast("long").alias("cx"), F.col("y").cast("long").alias("cy")
+        ).alias("c"),
+    )
+    kidagg = kids.groupBy("z", "x", "y").agg(
+        F.sort_array(F.collect_list("c")).alias("children")
+    )
+    out = t.join(kidagg, ["z", "x", "y"], "left").withColumn(
+        "children",
+        F.coalesce(
+            F.col("children"),
+            F.array().cast("array<struct<cx:bigint,cy:bigint>>"),
+        ),
+    )
+
+    z, x, y = F.col("z"), F.col("x"), F.col("y")
+    north, south, east, west = _tile_deg_bounds(z, x, y)
+    y_xyz = tm.tms_to_xyz(y, z)
+    doc_path = F.format_string("%d/%d/%d.kml", z, x, y_xyz)
+    img_href = F.format_string(f"%d.{ext}", y_xyz)
+    region = F.format_string(_KML_REGION, north, south, east, west, F.lit(min_lod))
+
+    def link(c):
+        cz = z + F.lit(1)
+        cn, cs, ce, cw = _tile_deg_bounds(cz, c["cx"], c["cy"])
+        return F.format_string(
+            "<NetworkLink><name>%d/%d/%d</name>"
+            + _KML_REGION
+            + "<Link><href>../../%d/%d/%d.kml</href>"
+            "<viewRefreshMode>onRegion</viewRefreshMode></Link></NetworkLink>",
+            cz, c["cx"], c["cy"],
+            cn, cs, ce, cw, F.lit(min_lod),
+            cz, c["cx"], tm.tms_to_xyz(c["cy"], cz),
+        )
+
+    kml = F.concat(
+        F.lit('<?xml version="1.0" encoding="UTF-8"?>'),
+        F.lit('<kml xmlns="http://www.opengis.net/kml/2.2"><Document>'),
+        region,
+        F.format_string(
+            "<GroundOverlay><drawOrder>%d</drawOrder><Icon><href>%s</href></Icon>"
+            "<LatLonBox><north>%.9f</north><south>%.9f</south>"
+            "<east>%.9f</east><west>%.9f</west></LatLonBox></GroundOverlay>",
+            z, img_href, north, south, east, west,
+        ),
+        F.array_join(F.transform(F.col("children"), link), ""),
+        F.lit("</Document></kml>"),
+    )
+    return out.select(
+        "z", "x", "y",
+        F.size("children").alias("n_children"),
+        F.array_join(
+            F.transform(
+                F.col("children"),
+                lambda c: F.concat_ws(":", c["cx"].cast("string"), c["cy"].cast("string")),
+            ),
+            ",",
+        ).alias("children_csv"),
+        doc_path.alias("doc_path"),
+        img_href.alias("img_href"),
+        kml.alias("kml"),
+    )

@@ -1021,6 +1021,61 @@ def q_dem_terrain(spark, sf_dir):
     return terrain.dem_terrain_metrics(df)
 
 
+def q_kml_superoverlay(spark, sf_dir):
+    """KML SuperOverlay columns (operators/convert.py::kml_superoverlay)
+    over a 2-level tile pyramid derived from events (z=5 parents, z=6
+    children — holes are natural since the points are sparse at z=6).
+    Gate pins the DISTRIBUTED parts — which children each parent links
+    (one key-only aggregate+join), the xyz-flipped document/image paths —
+    as exact ints/strings; the float LatLonBox XML is pytest-pinned
+    against the NumPy tile math (tests/test_kml.py), keeping the oracle
+    free of cross-engine transcendental rounding."""
+    mp = _merc_pts(spark, sf_dir)
+    t = (
+        _tiles_at(mp, 5)
+        .unionByName(_tiles_at(mp, 6))
+        .select("z", "x", "y")
+        .distinct()
+    )
+    out = convert.kml_superoverlay(t)
+    return out.select(
+        "z", "x", "y",
+        F.col("n_children").cast("long").alias("n_children"),
+        "children_csv", "doc_path", "img_href",
+    )
+
+
+SQL_KML_SUPEROVERLAY = (
+    "WITH "
+    + _PTS_SQL
+    + ", allt AS ("
+    + " UNION ".join(
+        f"""SELECT DISTINCT CAST({z} AS BIGINT) AS z,
+        GREATEST(0, LEAST({2**z - 1}, CAST(FLOOR((mx + {O}) / {repr(_span(z))}) AS BIGINT))) AS x,
+        GREATEST(0, LEAST({2**z - 1}, CAST(FLOOR((my + {O}) / {repr(_span(z))}) AS BIGINT))) AS y FROM m"""
+        for z in (5, 6)
+    )
+    + """),
+kids AS (
+  SELECT z - 1 AS z, x // 2 AS x, y // 2 AS y, x AS cx, y AS cy
+  FROM allt WHERE z = 6
+),
+agg AS (
+  SELECT z, x, y, COUNT(*) AS n_children,
+         string_agg(CAST(cx AS VARCHAR) || ':' || CAST(cy AS VARCHAR), ','
+                    ORDER BY cx, cy) AS children_csv
+  FROM kids GROUP BY z, x, y
+)
+SELECT t.z, t.x, t.y,
+       COALESCE(a.n_children, 0) AS n_children,
+       COALESCE(a.children_csv, '') AS children_csv,
+       CAST(t.z AS VARCHAR) || '/' || CAST(t.x AS VARCHAR) || '/'
+         || CAST((1 << t.z) - 1 - t.y AS VARCHAR) || '.kml' AS doc_path,
+       CAST((1 << t.z) - 1 - t.y AS VARCHAR) || '.png' AS img_href
+FROM allt t LEFT JOIN agg a ON t.z = a.z AND t.x = a.x AND t.y = a.y"""
+)
+
+
 _CONTOUR_LEVELS = [-15.25, 0.5, 30.75]
 _RELIEF_RAMP = [(-60.0, 0, 0, 255), (0.0, 0, 255, 0), (80.0, 255, 255, 0), (130.0, 255, 0, 0)]
 
@@ -1881,6 +1936,7 @@ QUERIES: dict = {
     "dem_terrain": (q_dem_terrain, _golden("dem_terrain")),
     "dem_contour": (q_dem_contour, _golden("dem_contour")),
     "dem_derivatives": (q_dem_derivatives, _golden("dem_derivatives")),
+    "kml_superoverlay": (q_kml_superoverlay, SQL_KML_SUPEROVERLAY),
     "cutline_mask": (q_cutline_mask, _golden("cutline_mask")),
     "h3_rollup": (q_h3_rollup, _golden("h3_rollup")),
     "fingerprint": (q_fingerprint, _golden("fingerprint")),

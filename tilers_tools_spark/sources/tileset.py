@@ -113,3 +113,51 @@ def read_tileset_dir(spark, src: str, scheme: str = "xyz"):
     if scheme == "zyx":
         return df.select("z", F.col("b").alias("x"), tm.tms_to_xyz(F.col("a"), F.col("z")).alias("y"), "tile")
     raise ValueError(scheme)
+
+
+def write_superoverlay_kml(
+    tiles: DataFrame, dest: str, ext: str = "png", min_lod: int = 128, name: str = "tiles"
+) -> str:
+    """Materialize a Google-Earth SuperOverlay next to an xyz tile tree:
+    one `z/x/y.kml` per tile (Region + GroundOverlay + per-existing-child
+    onRegion NetworkLinks, from operators.convert.kml_superoverlay) plus
+    a driver-written `doc.kml` root linking the top zoom's tiles (the top
+    level of a pyramid is a handful of rows — safe to collect). Write the
+    images with write_tileset_dir(scheme='xyz') alongside."""
+    from xml.sax.saxutils import escape
+
+    from ..operators.convert import kml_superoverlay
+
+    df = kml_superoverlay(tiles, ext=ext, min_lod=min_lod).select("z", "doc_path", "kml")
+    df = df.persist()
+    try:
+
+        def write_part(rows):
+            for r in rows:
+                p = os.path.join(dest, r["doc_path"])
+                os.makedirs(os.path.dirname(p), exist_ok=True)
+                tmp = p + ".tmp"
+                with open(tmp, "w", encoding="utf-8") as f:
+                    f.write(r["kml"])
+                os.replace(tmp, p)
+
+        df.foreachPartition(write_part)
+        zmin = df.agg({"z": "min"}).collect()[0][0]
+        if zmin is None:
+            raise ValueError("empty tile set")
+        top = sorted(r["doc_path"] for r in df.where(df["z"] == zmin).collect())
+        links = "".join(
+            f"<NetworkLink><name>{escape(p)}</name><Link><href>{escape(p)}</href>"
+            "</Link></NetworkLink>"
+            for p in top
+        )
+        root = (
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            '<kml xmlns="http://www.opengis.net/kml/2.2"><Document>'
+            f"<name>{escape(name)}</name>{links}</Document></kml>"
+        )
+        with open(os.path.join(dest, "doc.kml"), "w", encoding="utf-8") as f:
+            f.write(root)
+    finally:
+        df.unpersist()
+    return dest
