@@ -22,7 +22,7 @@ def main():
     ap.add_argument("--src-format", default="dir", choices=("dir", "mbtiles", "table"))
     ap.add_argument("--src-scheme", default="xyz", choices=("xyz", "tms", "zyx"))
     ap.add_argument("--dst", required=True)
-    ap.add_argument("--dst-format", default="mbtiles", choices=("dir", "mbtiles"))
+    ap.add_argument("--dst-format", default="mbtiles", choices=("dir", "mbtiles", "kml"))
     ap.add_argument("--dst-scheme", default="xyz", choices=("xyz", "tms", "zyx"))
     ap.add_argument("--transcode", default=None, choices=(None, "png", "jpeg", "raw", "tiff"))
     ap.add_argument("--src-fmt-blob", default="png", help="blob codec of the source tiles (for --transcode)")
@@ -74,6 +74,12 @@ def main():
     if args.dst_format == "dir":
         tileset.write_tileset_dir(tiles, args.dst, scheme=args.dst_scheme, ext=ext)
         tileset.write_tilemap_xml(tiles, args.dst, title=args.name, ext=ext)
+        out = args.dst
+    elif args.dst_format == "kml":
+        # Google-Earth SuperOverlay: xyz image tree + per-tile KML docs +
+        # root doc.kml (the reference toolchain's KML output mode)
+        tileset.write_tileset_dir(tiles, args.dst, scheme="xyz", ext=ext)
+        tileset.write_superoverlay_kml(tiles, args.dst, ext=ext, name=args.name)
         out = args.dst
     else:
         out = mbt.write_mbtiles(

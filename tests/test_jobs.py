@@ -158,3 +158,29 @@ def test_tiles_convert_tiff_passthrough_ext(run_job, tmp_path, spark):
     found = glob.glob(os.path.join(out, "**", "*.tif"), recursive=True)
     assert len(found) == 4
     assert not glob.glob(os.path.join(out, "**", "*.png", ), recursive=True)
+
+
+def test_tiles_convert_kml_superoverlay(run_job, tile_dir, tmp_path, spark):
+    """--dst-format kml writes the xyz image tree + per-tile KML docs +
+    a root doc.kml whose links resolve on disk."""
+    import xml.etree.ElementTree as ET
+
+    src, df = tile_dir
+    out = str(tmp_path / "kml")
+    res = run_job("tiles_convert", [
+        "--src", src, "--src-format", "dir", "--src-scheme", "xyz",
+        "--dst", out, "--dst-format", "kml", "--name", "demo",
+    ])
+    assert res["tiles"] == df.count()
+    ns = {"k": "http://www.opengis.net/kml/2.2"}
+    root = ET.parse(os.path.join(out, "doc.kml")).getroot().find("k:Document", ns)
+    assert root.find("k:name", ns).text == "demo"
+    links = [ln.find("k:Link/k:href", ns).text for ln in root.findall("k:NetworkLink", ns)]
+    assert links
+    for href in links:
+        assert os.path.exists(os.path.join(out, href))
+        # the KML doc's image sibling exists too
+        img = ET.parse(os.path.join(out, href)).getroot().find(
+            "k:Document/k:GroundOverlay/k:Icon/k:href", ns
+        ).text
+        assert os.path.exists(os.path.join(out, os.path.dirname(href), img))
