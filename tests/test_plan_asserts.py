@@ -138,3 +138,25 @@ def test_pq_ann_join_shapes(spark):
     # the corpus (coded) side is the STREAMED left side: its scan must not
     # sit under a BroadcastExchange
     assert "SortMergeJoin" not in plan2
+
+
+def test_kml_superoverlay_shuffles_keys_only(spark):
+    """The child-discovery aggregate+join in kml_superoverlay must move
+    (z, x, y) planning metadata only — a tiles table with a binary
+    `tile` column must never see its bytes enter the shuffle (the
+    operator prunes to keys at the source)."""
+    from tilers_tools_spark.operators.convert import kml_superoverlay
+
+    rows = [(3, 2, 5, b"\x89PNG123"), (4, 4, 10, b"\x89PNG456")]
+    t = spark.createDataFrame(rows, "z long, x long, y long, tile binary")
+    out = kml_superoverlay(t)
+    plan = _plan(out)
+    assert "Exchange hashpartitioning" in plan  # the key-only aggregate
+    # bytes may appear in the leaf scans (an in-memory ExistingRDD scan
+    # cannot column-prune its display), but every operator above —
+    # including both exchanges — must be tile-free
+    for line in plan.splitlines():
+        if "tile#" in line:
+            assert "Scan ExistingRDD" in line, f"tile bytes above the scan: {line.strip()[:120]}"
+        if "Exchange" in line:
+            assert "tile#" not in line
