@@ -300,6 +300,46 @@ def test_stratified_sample_per_stratum(spark):
     )
 
 
+def test_mixture_resample_composition(spark):
+    """Output composition tracks the target weights; the binding domain
+    (smallest n/w) is kept ~whole; unnamed domains drop; absent named
+    domains raise; deterministic on re-run."""
+    import pandas as _pd
+    import pytest as _pytest
+
+    from tilers_tools_spark.operators import sampling
+
+    pdf = _pd.DataFrame(
+        {
+            "doc_id": range(10_000),
+            "lang": ["en"] * 8000 + ["de"] * 1500 + ["fr"] * 400 + ["xx"] * 100,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    w = {"en": 0.6, "de": 0.3, "fr": 0.1}
+    out = sampling.mixture_resample(df, "lang", w, seed=3)
+    counts = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert "xx" not in counts  # unnamed domain dropped
+    # binding domain: fr has n/w = 400/0.1 = 4000 = T; kept fraction ~1.0
+    assert counts["fr"] / 400 > 0.97
+    total = sum(counts.values())
+    for d, wd in w.items():
+        assert abs(counts[d] / total - wd) < 0.03, (d, counts)
+    # deterministic: exact same id set on re-run
+    ids1 = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in sampling.mixture_resample(df, "lang", w, seed=3)
+        .select("doc_id")
+        .collect()
+    )
+    assert ids1 == ids2
+    with _pytest.raises(ValueError, match="absent"):
+        sampling.mixture_resample(df, "lang", {"en": 0.5, "ja": 0.5}).count()
+    with _pytest.raises(ValueError, match="sum to 1"):
+        sampling.mixture_resample(df, "lang", {"en": 0.5})
+
+
 def test_incremental_exact_dedup(spark):
     """Survivors = first-in-batch AND not-in-corpus, vs a pandas brute
     force; the precomputed-hash-column corpus path gives identical

@@ -202,3 +202,46 @@ def pack_sequences(
         "crosses",
         (F.col("seq_last") > F.col("seq_first")).cast("int"),
     )
+
+
+def mixture_resample(
+    df: DataFrame,
+    domain_col: str,
+    target_weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic DOWNSAMPLING to a target domain mixture (the static
+    data-mixing step of a training pipeline: given per-domain weights,
+    emit the largest subset whose composition matches them — never
+    duplicating a row).
+
+    Mechanics: one tiny aggregate collects per-domain counts n_d (one
+    row per domain — driver-safe at any scale); the largest feasible
+    output size is T = min_d(n_d / w_d); each domain keeps fraction
+    f_d = w_d * T / n_d of its rows via the portable md5-threshold
+    filter (seeded per domain, same mechanism as stratified_sample), so
+    the pass over the data itself is ONE narrow map-side filter — no
+    shuffle, no sampled state, re-runnable, and reproducible
+    cross-engine (the DuckDB oracle recomputes the same thresholds).
+    Domains not named in `target_weights` are dropped; a named domain
+    absent from the data is an error (the mixture is infeasible)."""
+    w = {str(k): float(v) for k, v in target_weights.items()}
+    total = sum(w.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"mixture weights must sum to 1, got {total}")
+    if any(v <= 0 for v in w.values()):
+        raise ValueError("mixture weights must be positive")
+    counts = {r[0]: r[1] for r in df.groupBy(domain_col).count().collect()}
+    missing = sorted(set(w) - set(counts))
+    if missing:
+        raise ValueError(f"target domains absent from data: {missing}")
+    t_max = min(counts[d] / wd for d, wd in w.items())
+    thr = F.lit(None).cast("string")
+    for d in sorted(w):
+        frac = w[d] * t_max / counts[d]
+        thr = F.when(F.col(domain_col) == d, F.lit(_hex_threshold(frac))).otherwise(thr)
+    key = F.concat(
+        F.col(domain_col).cast("string"), F.lit("|"), F.col(id_col).cast("string")
+    )
+    return df.filter(thr.isNotNull() & (_bucket_hex(key, seed) < thr))

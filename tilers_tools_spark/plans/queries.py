@@ -1021,6 +1021,38 @@ def q_dem_terrain(spark, sf_dir):
     return terrain.dem_terrain_metrics(df)
 
 
+_MIX_WEIGHTS = {"en": 0.5, "zh": 0.2, "es": 0.15, "de": 0.1, "fr": 0.05}
+
+
+def q_mixture_resample(spark, sf_dir):
+    """Domain-mixture downsampling (operators/sampling.py::
+    mixture_resample): largest subset of documents matching the target
+    lang mixture, per-domain portable md5-threshold filter. The oracle
+    recomputes counts -> T = min(n/w) -> per-domain hex thresholds with
+    the SAME float expression order, so the exact kept doc_id set must
+    agree cross-engine."""
+    from ..operators import sampling
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = sampling.mixture_resample(docs, "lang", _MIX_WEIGHTS)
+    return out.select("doc_id", "lang")
+
+
+SQL_MIXTURE_RESAMPLE = (
+    "WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),\n"
+    "w(lang, wt) AS (VALUES "
+    + ", ".join(f"('{d}', {repr(v)}::DOUBLE)" for d, v in _MIX_WEIGHTS.items())
+    + "),\n"
+    "t AS (SELECT MIN(n / wt) AS tmax FROM counts JOIN w USING (lang)),\n"
+    "thr AS (SELECT lang,\n"
+    "  printf('%08x', LEAST(CAST(FLOOR(wt * tmax / n * 4294967296e0) AS BIGINT),\n"
+    "                       4294967295)) AS h\n"
+    "  FROM counts JOIN w USING (lang) CROSS JOIN t)\n"
+    "SELECT d.doc_id, d.lang FROM documents d JOIN thr ON d.lang = thr.lang\n"
+    "WHERE substr(md5(d.lang || '|' || CAST(d.doc_id AS VARCHAR) || ':42'), 1, 8) < thr.h"
+)
+
+
 def q_kml_superoverlay(spark, sf_dir):
     """KML SuperOverlay columns (operators/convert.py::kml_superoverlay)
     over a 2-level tile pyramid derived from events (z=5 parents, z=6
@@ -1937,6 +1969,7 @@ QUERIES: dict = {
     "dem_contour": (q_dem_contour, _golden("dem_contour")),
     "dem_derivatives": (q_dem_derivatives, _golden("dem_derivatives")),
     "kml_superoverlay": (q_kml_superoverlay, SQL_KML_SUPEROVERLAY),
+    "mixture_resample": (q_mixture_resample, SQL_MIXTURE_RESAMPLE),
     "cutline_mask": (q_cutline_mask, _golden("cutline_mask")),
     "h3_rollup": (q_h3_rollup, _golden("h3_rollup")),
     "fingerprint": (q_fingerprint, _golden("fingerprint")),
