@@ -300,6 +300,52 @@ def test_stratified_sample_per_stratum(spark):
     )
 
 
+def test_leakage_safe_split_cluster_atomicity(spark):
+    """Planted near-duplicates always land in the SAME split (the
+    decontamination property); a per-document hash_split demonstrably
+    violates it on the same fixture; split sizes track the weights."""
+    import pandas as _pd
+
+    from tilers_tools_spark.operators import sampling
+
+    import hashlib as _hl
+
+    # per-doc pseudo-random vocabulary: cross-doc 5-gram Jaccard ~ 0,
+    # twin-vs-base Jaccard ~ 1 — clusters are exactly the twin pairs
+    base = [
+        " ".join(
+            _hl.md5(f"{i}:{j}".encode()).hexdigest()[:8] for j in range(12)
+        )
+        for i in range(120)
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((2 * i, t))
+        rows.append((2 * i + 1, t + " extra"))  # near-dup twin
+    df = spark.createDataFrame(_pd.DataFrame(rows, columns=["doc_id", "text"]))
+    w = {"train": 0.6, "val": 0.2, "test": 0.2}
+    out = sampling.leakage_safe_split(
+        df, weights=w, seed=5, num_hashes=8, bands=4, jaccard_threshold=0.5
+    )
+    pdf = out.toPandas()
+    by_doc = dict(zip(pdf["doc_id"], pdf["split"]))
+    comp_of = dict(zip(pdf["doc_id"], pdf["comp"]))
+    clustered = 0
+    for i in range(120):
+        a, b = 2 * i, 2 * i + 1
+        if comp_of[a] == comp_of[b]:  # LSH found the twin (most pairs)
+            clustered += 1
+            assert by_doc[a] == by_doc[b], (a, b)
+    assert clustered > 100  # twins are trivially similar; LSH catches nearly all
+    # contrast: the doc-keyed split separates at least one twin pair
+    naive = sampling.hash_split(df, weights=w, seed=5).toPandas()
+    nd = dict(zip(naive["doc_id"], naive["split"]))
+    assert any(nd[2 * i] != nd[2 * i + 1] for i in range(120))
+    # distribution tracks weights at cluster granularity
+    counts = pdf["split"].value_counts()
+    assert abs(counts.get("train", 0) / len(pdf) - 0.6) < 0.15
+
+
 def test_mixture_resample_composition(spark):
     """Output composition tracks the target weights; the binding domain
     (smallest n/w) is kept ~whole; unnamed domains drop; absent named

@@ -204,6 +204,38 @@ def pack_sequences(
     )
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    portable: bool = True,
+    out_col: str = "split",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Near-dup-aware train/val/test assignment: documents are first
+    grouped into near-duplicate clusters (portable MinHash-LSH ->
+    connected components, operators.dedup.dedup_clusters) and the split
+    is keyed by the CLUSTER representative, not the document — so two
+    near-duplicates can never straddle train and test (the
+    decontamination property a per-document hash_split lacks; splitting
+    before deduplicating is the classic benchmark-leakage bug).
+
+    Returns (id, comp, group_size, is_canonical, split). Singletons are
+    their own cluster, so the assignment remains ~weights-distributed;
+    whole clusters move between splits atomically. Deterministic and
+    cross-engine reproducible (same portable md5 interval mechanism as
+    hash_split, keyed on the cluster id)."""
+    from .dedup import dedup_clusters
+
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    clusters = dedup_clusters(docs, text_col=text_col, id_col=id_col, **lsh_kwargs)
+    return clusters.withColumn(
+        out_col, split_column(F.col("comp"), weights, seed, portable)
+    )
+
+
 def mixture_resample(
     df: DataFrame,
     domain_col: str,

@@ -1053,6 +1053,48 @@ SQL_MIXTURE_RESAMPLE = (
 )
 
 
+def q_leakage_split(spark, sf_dir):
+    """Near-dup-aware split (operators/sampling.py::leakage_safe_split):
+    split keyed by the LSH-cluster representative so near-duplicates
+    never straddle train/test. Oracle = the dedup_clusters recursive-CTE
+    pipeline + the same md5-threshold CASE on the cluster id (0.8 ->
+    cccccccc, 0.9 -> e6666666), so both the clustering AND the interval
+    assignment are cross-engine exact."""
+    from ..operators import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = sampling.leakage_safe_split(
+        docs,
+        weights={"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=7,
+        num_hashes=8,
+        bands=4,
+        jaccard_threshold=0.5,
+    )
+    return out.select("doc_id", "comp", "split")
+
+
+# comp is a BIGINT doc id; the split hash is md5(CAST(comp) || ':7') —
+# identical rendering in Spark and DuckDB (see SQL_HASH_SPLIT)
+SQL_LEAKAGE_SPLIT = f"""
+WITH RECURSIVE pairs AS ({_lsh_md5_sql(8, 4, 0.5)}),
+edges AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b AS src, a AS dst FROM pairs),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT edges.dst, reach.r FROM reach JOIN edges ON reach.id = edges.src
+),
+comp AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id)
+SELECT doc_id, comp,
+       CASE WHEN b < 'cccccccc' THEN 'train'
+            WHEN b < 'e6666666' THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, comp,
+             substring(md5(CAST(comp AS VARCHAR) || ':7'), 1, 8) AS b
+      FROM comp)
+"""
+
+
 def q_kml_superoverlay(spark, sf_dir):
     """KML SuperOverlay columns (operators/convert.py::kml_superoverlay)
     over a 2-level tile pyramid derived from events (z=5 parents, z=6
@@ -1970,6 +2012,7 @@ QUERIES: dict = {
     "dem_derivatives": (q_dem_derivatives, _golden("dem_derivatives")),
     "kml_superoverlay": (q_kml_superoverlay, SQL_KML_SUPEROVERLAY),
     "mixture_resample": (q_mixture_resample, SQL_MIXTURE_RESAMPLE),
+    "leakage_split": (q_leakage_split, SQL_LEAKAGE_SPLIT),
     "cutline_mask": (q_cutline_mask, _golden("cutline_mask")),
     "h3_rollup": (q_h3_rollup, _golden("h3_rollup")),
     "fingerprint": (q_fingerprint, _golden("fingerprint")),
