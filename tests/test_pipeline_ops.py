@@ -300,6 +300,36 @@ def test_stratified_sample_per_stratum(spark):
     )
 
 
+def test_mixture_upsample_epochs(spark):
+    """Output composition tracks the weights; the binding domain is seen
+    ~once (no loss), under-weighted domains repeat; per-doc epochs are a
+    contiguous 0..n-1 range; deterministic on re-run."""
+    import pandas as _pd
+
+    from tilers_tools_spark.operators import sampling
+
+    pdf = _pd.DataFrame(
+        {
+            "doc_id": range(5000),
+            "lang": ["en"] * 4000 + ["de"] * 800 + ["fr"] * 200,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    w = {"en": 0.5, "de": 0.3, "fr": 0.2}
+    out = sampling.mixture_upsample(df, "lang", w, seed=9).toPandas()
+    counts = out["lang"].value_counts()
+    total = len(out)
+    # T = max(n/w) = 4000/0.5 = 8000 -> en x1, de x3, fr x8
+    assert counts["en"] >= 3999  # binding domain kept whole (float guard)
+    for d, wd in w.items():
+        assert abs(counts[d] / total - wd) < 0.02, (d, counts)
+    per_doc = out.groupby("doc_id")["epoch"].agg(["min", "max", "count"])
+    assert (per_doc["min"] == 0).all()
+    assert (per_doc["max"] == per_doc["count"] - 1).all()  # contiguous
+    again = sampling.mixture_upsample(df, "lang", w, seed=9).toPandas()
+    assert len(again) == total
+
+
 def test_leakage_safe_split_cluster_atomicity(spark):
     """Planted near-duplicates always land in the SAME split (the
     decontamination property); a per-document hash_split demonstrably

@@ -204,6 +204,64 @@ def pack_sequences(
     )
 
 
+def mixture_upsample(
+    df: DataFrame,
+    domain_col: str,
+    target_weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 42,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Deterministic UPSAMPLING to a target domain mixture — the
+    epoch-replication flavor of data mixing (complement of
+    mixture_resample): T = max_d(n_d / w_d), so every domain's repeat
+    factor r_d = w_d * T / n_d is >= 1 (the binding domain is seen
+    ~once, under-weighted domains repeat). Each row emits
+    floor(r_d) full epochs plus one more iff its portable md5 hash
+    clears the frac(r_d) threshold, so the expected output composition
+    matches the weights exactly. One tiny counts aggregate fixes the
+    factors; the data pass is a single narrow projection + explode of a
+    per-row bounded sequence — no shuffle, no state, reproducible
+    cross-engine (oracle recomputes the identical thresholds). Output
+    keeps all columns plus `epoch` (0-based repeat index); rows whose
+    fractional epoch misses are dropped only when floor(r_d) == 0
+    (possible for the binding domain through float round-down)."""
+    import math
+
+    w = {str(k): float(v) for k, v in target_weights.items()}
+    total = sum(w.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"mixture weights must sum to 1, got {total}")
+    if any(v <= 0 for v in w.values()):
+        raise ValueError("mixture weights must be positive")
+    counts = {r[0]: r[1] for r in df.groupBy(domain_col).count().collect()}
+    missing = sorted(set(w) - set(counts))
+    if missing:
+        raise ValueError(f"target domains absent from data: {missing}")
+    t_max = max(counts[d] / wd for d, wd in w.items())
+    base_e = F.lit(None).cast("long")
+    thr_e = F.lit(None).cast("string")
+    for d in sorted(w):
+        r = w[d] * t_max / counts[d]
+        b = math.floor(r)
+        base_e = F.when(F.col(domain_col) == d, F.lit(int(b)).cast("long")).otherwise(base_e)
+        thr_e = F.when(F.col(domain_col) == d, F.lit(_hex_threshold(r - b))).otherwise(thr_e)
+    key = F.concat(
+        F.col(domain_col).cast("string"), F.lit("|"), F.col(id_col).cast("string")
+    )
+    n_epochs = base_e + (_bucket_hex(key, seed) < thr_e).cast("long")
+    return (
+        df.filter(base_e.isNotNull())
+        .withColumn("_n_epochs", n_epochs)
+        .filter(F.col("_n_epochs") > 0)
+        .withColumn(
+            epoch_col,
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("_n_epochs") - 1)),
+        )
+        .drop("_n_epochs")
+    )
+
+
 def leakage_safe_split(
     docs: DataFrame,
     weights: dict[str, float] | None = None,

@@ -1053,6 +1053,39 @@ SQL_MIXTURE_RESAMPLE = (
 )
 
 
+def q_mixture_upsample(spark, sf_dir):
+    """Epoch-replication data mixing (operators/sampling.py::
+    mixture_upsample): T = max(n/w), per-domain repeat factor
+    w*T/n >= 1, floor = full epochs, frac = md5-threshold extra epoch.
+    Oracle recomputes factors with the SAME float expression order and
+    expands epochs via range(0, n) unnest, so the exact (doc, epoch)
+    multiset must agree cross-engine."""
+    from ..operators import sampling
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = sampling.mixture_upsample(docs, "lang", _MIX_WEIGHTS)
+    return out.select("doc_id", "lang", "epoch")
+
+
+SQL_MIXTURE_UPSAMPLE = (
+    "WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),\n"
+    "w(lang, wt) AS (VALUES "
+    + ", ".join(f"('{d}', {repr(v)}::DOUBLE)" for d, v in _MIX_WEIGHTS.items())
+    + "),\n"
+    "t AS (SELECT MAX(n / wt) AS tmax FROM counts JOIN w USING (lang)),\n"
+    "f AS (SELECT lang, wt * tmax / n AS r FROM counts JOIN w USING (lang) CROSS JOIN t),\n"
+    "thr AS (SELECT lang, CAST(FLOOR(r) AS BIGINT) AS base,\n"
+    "  printf('%08x', LEAST(GREATEST(CAST(FLOOR((r - FLOOR(r)) * 4294967296e0) AS BIGINT),\n"
+    "                                0), 4294967295)) AS h\n"
+    "  FROM f)\n"
+    "SELECT doc_id, lang, CAST(unnest(range(0, n_epochs)) AS BIGINT) AS epoch FROM (\n"
+    "  SELECT d.doc_id, d.lang,\n"
+    "    base + CASE WHEN substr(md5(d.lang || '|' || CAST(d.doc_id AS VARCHAR) || ':42'), 1, 8)\n"
+    "                     < h THEN 1 ELSE 0 END AS n_epochs\n"
+    "  FROM documents d JOIN thr ON d.lang = thr.lang)"
+)
+
+
 def q_leakage_split(spark, sf_dir):
     """Near-dup-aware split (operators/sampling.py::leakage_safe_split):
     split keyed by the LSH-cluster representative so near-duplicates
@@ -2013,6 +2046,7 @@ QUERIES: dict = {
     "kml_superoverlay": (q_kml_superoverlay, SQL_KML_SUPEROVERLAY),
     "mixture_resample": (q_mixture_resample, SQL_MIXTURE_RESAMPLE),
     "leakage_split": (q_leakage_split, SQL_LEAKAGE_SPLIT),
+    "mixture_upsample": (q_mixture_upsample, SQL_MIXTURE_UPSAMPLE),
     "cutline_mask": (q_cutline_mask, _golden("cutline_mask")),
     "h3_rollup": (q_h3_rollup, _golden("h3_rollup")),
     "fingerprint": (q_fingerprint, _golden("fingerprint")),
