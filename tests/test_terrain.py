@@ -350,3 +350,73 @@ def test_color_relief_ramp():
         terrain.color_relief_np(dem, [(0.0, 1, 2, 3)])
     with pytest.raises(ValueError, match="distinct"):
         terrain.color_relief_np(dem, [(0.0, 1, 2, 3), (0.0, 4, 5, 6)])
+
+
+def test_zonal_stats_hand_pins(spark):
+    """Rectangle zone over a ramp DEM with hand-computable membership:
+    expected values derived by a direct rectangle-bounds check on pixel
+    centers (NOT a polygon test), plus multi-raster aggregation and the
+    georef-less skip path."""
+    import math
+
+    from tilers_tools_spark.functions import tiffcodec
+    from tilers_tools_spark.operators import zonal
+
+    ORIGIN = 20037508.342789244
+    R = 6378137.0
+
+    def inv(mx, my):
+        return mx / ORIGIN * 180.0, math.degrees(
+            2.0 * math.atan(math.exp(my / R)) - math.pi / 2.0
+        )
+
+    # DEM: 8x8, gsd=1, top-left (0, 1000); value = 10*r + c
+    dem = (10.0 * np.arange(8)[:, None] + np.arange(8)[None, :]).astype(np.float32)
+    blob = tiffcodec.encode_tiff(dem, geo={"gsd": 1.0, "mx0": 0.0, "my1": 1000.0, "epsg": 3857})
+    # zone rect meters x in (1.8, 4.2), y in (1000-4.2, 1000-1.8):
+    # pixel centers inside: cols {2,3} (x=2.5,3.5), rows {2,3} (y=997.5,996.5)
+    box = [(1.8, 1000 - 4.2), (4.2, 1000 - 4.2), (4.2, 1000 - 1.8), (1.8, 1000 - 1.8)]
+    ring = [{"lon": lo, "lat": la} for lo, la in (inv(*p) for p in box)]
+    expected = [dem[r, c] for r in (2, 3) for c in (2, 3)]  # 22,23,32,33
+    images = spark.createDataFrame(
+        [("a", blob), ("b", blob), ("nogeo", tiffcodec.encode_tiff(dem))],
+        "image_id string, bytes binary",
+    )
+    zones = spark.createDataFrame(
+        [("z0", ring)], "poly_id string, ring array<struct<lon:double,lat:double>>"
+    )
+    out = zonal.zonal_stats(images, zones).collect()
+    assert len(out) == 1
+    row = out[0]
+    # two georeferenced copies contribute; the georef-less raster skips
+    assert row["n_pixels"] == 2 * len(expected) == 8
+    assert row["min_elev"] == 22.0 and row["max_elev"] == 33.0
+    assert row["sum_elev"] == 2 * sum(expected) == 220.0
+    assert row["mean_elev"] == pytest.approx(27.5)
+
+
+def test_zonal_stats_disjoint_zone_absent(spark):
+    """A zone whose bbox misses every raster is rejected before any mask
+    work and is absent from the output."""
+    import math
+
+    from tilers_tools_spark.functions import tiffcodec
+    from tilers_tools_spark.operators import zonal
+
+    ORIGIN = 20037508.342789244
+    R = 6378137.0
+
+    def inv(mx, my):
+        return mx / ORIGIN * 180.0, math.degrees(
+            2.0 * math.atan(math.exp(my / R)) - math.pi / 2.0
+        )
+
+    dem = np.full((4, 4), 5.0, dtype=np.float32)
+    blob = tiffcodec.encode_tiff(dem, geo={"gsd": 1.0, "mx0": 0.0, "my1": 100.0, "epsg": 3857})
+    far = [(5000.0, 5000.0), (5010.0, 5000.0), (5010.0, 5010.0)]
+    ring = [{"lon": lo, "lat": la} for lo, la in (inv(*p) for p in far)]
+    images = spark.createDataFrame([("a", blob)], "image_id string, bytes binary")
+    zones = spark.createDataFrame(
+        [("faraway", ring)], "poly_id string, ring array<struct<lon:double,lat:double>>"
+    )
+    assert zonal.zonal_stats(images, zones).collect() == []

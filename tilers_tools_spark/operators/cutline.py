@@ -38,22 +38,23 @@ def ring_to_merc(ring) -> np.ndarray:
     return np.column_stack([mx, my])
 
 
-def tile_mask(rings_m: list[np.ndarray], z: int, tx: int, ty_tms: int) -> np.ndarray:
-    """(256, 256) bool — pixel center inside ANY ring (even-odd), TMS tile."""
-    res = tm.RES0 / (2.0**z)
-    span = res * TILE
-    tmx0 = tx * span - tm.ORIGIN
-    tmy1 = (ty_tms + 1) * span - tm.ORIGIN
-    cc = np.arange(TILE, dtype=np.float64)
-    mx = tmx0 + (cc + 0.5) * res
-    mask = np.zeros((TILE, TILE), dtype=bool)
+def grid_mask(
+    rings_m: list[np.ndarray], gx0: float, gy1: float, res: float, h: int, w: int
+) -> np.ndarray:
+    """(h, w) bool — pixel center inside ANY ring (even-odd parity per
+    ring, union across rings) for a north-up grid whose TOP-left model
+    corner is (gx0, gy1) at `res` meters/pixel. The general form of the
+    per-tile mask; also the raster side of zonal statistics."""
+    cc = np.arange(w, dtype=np.float64)
+    mx = gx0 + (cc + 0.5) * res
+    mask = np.zeros((h, w), dtype=bool)
     for ring in rings_m:
         x1 = ring[:, 0]
         y1 = ring[:, 1]
         x2 = np.roll(x1, -1)
         y2 = np.roll(y1, -1)
-        for r in range(TILE):
-            my = tmy1 - (r + 0.5) * res
+        for r in range(h):
+            my = gy1 - (r + 0.5) * res
             crosses = (y1 > my) != (y2 > my)
             if not crosses.any():
                 continue
@@ -66,6 +67,15 @@ def tile_mask(rings_m: list[np.ndarray], z: int, tx: int, ty_tms: int) -> np.nda
             n_right = len(xint) - np.searchsorted(xint, mx, side="right")
             mask[r] |= (n_right % 2).astype(bool)
     return mask
+
+
+def tile_mask(rings_m: list[np.ndarray], z: int, tx: int, ty_tms: int) -> np.ndarray:
+    """(256, 256) bool — pixel center inside ANY ring (even-odd), TMS tile."""
+    res = tm.RES0 / (2.0**z)
+    span = res * TILE
+    tmx0 = tx * span - tm.ORIGIN
+    tmy1 = (ty_tms + 1) * span - tm.ORIGIN
+    return grid_mask(rings_m, tmx0, tmy1, res, TILE, TILE)
 
 
 def apply_cutline(tiles: DataFrame, polygons: DataFrame, drop_empty: bool = True) -> DataFrame:

@@ -1021,6 +1021,63 @@ def q_dem_terrain(spark, sf_dir):
     return terrain.dem_terrain_metrics(df)
 
 
+# zone polygons in lon/lat over the _DEM_SPECS shared extent (all three
+# DEMs anchor at model (0, 1e5)): zoneA spans all three rasters, zoneB
+# (triangle) reaches only the wave raster, zoneC sits in the flat/plane/
+# wave overlap near the origin. Edges are >= 0.2 m from every pixel
+# center so cross-engine mercator ulps cannot flip membership.
+_ZONE_RINGS = {
+    "zoneA": [
+        (9.162815898019118e-05, 0.8979434523819114),
+        (0.0005722268359841351, 0.8979434523819114),
+        (0.0005722268359841351, 0.8982236923208832),
+        (9.162815898019118e-05, 0.8982236923208832),
+    ],
+    "zoneB": [
+        (0.0008111787015599277, 0.8969293788334782),
+        (0.001171403130491856, 0.8980961472231161),
+        (0.0008542978351976648, 0.8981823748953462),
+    ],
+    "zoneC": [
+        (2.066125153474899e-05, 0.8981554287479843),
+        (7.995006028663741e-05, 0.8981554287479843),
+        (7.995006028663741e-05, 0.8982587223117439),
+        (2.066125153474899e-05, 0.8982587223117439),
+    ],
+}
+
+
+def q_zonal_stats(spark, sf_dir):
+    """Zonal statistics (operators/zonal.py): per-polygon count/min/max/
+    sum/mean of DEM pixels whose center falls inside the zone, aggregated
+    across the three overlapping _DEM_SPECS GeoTIFFs (mixed layouts:
+    tiled+deflate, strip uncompressed — both georeferenced). The golden
+    recomputes everything independently: analytic surfaces (no TIFF
+    bytes), minitiler's scalar mercator, and a scalar crossing-number
+    PIP (different algorithm from the engine's vectorized scanline)."""
+    from ..functions import tiffcodec
+    from ..operators import zonal
+
+    rows = [
+        (
+            name,
+            tiffcodec.encode_tiff(
+                _dem_surface(name, h, w),
+                geo={"gsd": gsd, "mx0": 0.0, "my1": 1.0e5, "epsg": 3857},
+                compression="deflate" if name == "plane" else "none",
+                tile=16 if name == "plane" else None,
+            ),
+        )
+        for name, h, w, gsd in _DEM_SPECS
+    ]
+    images = spark.createDataFrame(rows, "image_id string, bytes binary")
+    zones = spark.createDataFrame(
+        [(pid, [{"lon": lon, "lat": lat} for lon, lat in ring]) for pid, ring in _ZONE_RINGS.items()],
+        "poly_id string, ring array<struct<lon:double,lat:double>>",
+    )
+    return zonal.zonal_stats(images, zones)
+
+
 _MIX_WEIGHTS = {"en": 0.5, "zh": 0.2, "es": 0.15, "de": 0.1, "fr": 0.05}
 
 
@@ -2043,6 +2100,7 @@ QUERIES: dict = {
     "dem_terrain": (q_dem_terrain, _golden("dem_terrain")),
     "dem_contour": (q_dem_contour, _golden("dem_contour")),
     "dem_derivatives": (q_dem_derivatives, _golden("dem_derivatives")),
+    "zonal_stats": (q_zonal_stats, _golden("zonal_stats")),
     "kml_superoverlay": (q_kml_superoverlay, SQL_KML_SUPEROVERLAY),
     "mixture_resample": (q_mixture_resample, SQL_MIXTURE_RESAMPLE),
     "leakage_split": (q_leakage_split, SQL_LEAKAGE_SPLIT),

@@ -276,6 +276,60 @@ def g_dem_hillshade():
     )
 
 
+def g_zonal_stats():
+    # FULLY INDEPENDENT: analytic DEM surfaces (no TIFF bytes), the
+    # minitiler's scalar mercator (independent transcription), and a
+    # SCALAR crossing-number point-in-polygon written here — a different
+    # algorithm from the engine's vectorized scanline fill
+    # (cutline.grid_mask), same strictly-right-of-center boundary rule.
+    from oracle.minitiler import merc
+    from tilers_tools_spark.plans.queries import _DEM_SPECS, _ZONE_RINGS, _dem_surface
+
+    def pip(pts, x, y):
+        inside = False
+        n = len(pts)
+        for i in range(n):
+            x1, y1 = pts[i]
+            x2, y2 = pts[(i + 1) % n]
+            if (y1 > y) != (y2 > y):
+                xint = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+                if xint > x:
+                    inside = not inside
+        return inside
+
+    zones = {pid: [merc(lon, lat) for lon, lat in ring] for pid, ring in _ZONE_RINGS.items()}
+    acc: dict[str, list] = {}
+    for name, h, w, gsd in _DEM_SPECS:
+        dem = _dem_surface(name, h, w).astype(np.float64)
+        for pid, pts in zones.items():
+            vals = []
+            for rr in range(h):
+                my = 1.0e5 - (rr + 0.5) * gsd
+                for cc in range(w):
+                    if pip(pts, (cc + 0.5) * gsd, my):
+                        vals.append(dem[rr, cc])
+            if not vals:
+                continue
+            a = np.array(vals, dtype=np.float64)
+            # per-image partial via np.sum (mirrors the engine's per-image
+            # reduction order exactly); cross-image merge is 3 doubles —
+            # any addition order agrees within the gate's round-to-9
+            cur = acc.setdefault(pid, [0, None, None, 0.0])
+            cur[0] += int(a.size)
+            cur[1] = float(a.min()) if cur[1] is None else min(cur[1], float(a.min()))
+            cur[2] = float(a.max()) if cur[2] is None else max(cur[2], float(a.max()))
+            cur[3] += float(np.sum(a))
+    rows = [
+        [pid, n, mn, mx, s, s / n] for pid, (n, mn, mx, s) in sorted(acc.items())
+    ]
+    save(
+        "zonal_stats",
+        ["poly_id", "n_pixels", "min_elev", "max_elev", "sum_elev", "mean_elev"],
+        ["str", "int64", "float64", "float64", "float64", "float64"],
+        rows,
+    )
+
+
 def g_dem_terrain():
     # SCOPE NOTE: reuses terrain.tri_np/tpi_np/roughness_np (pure NumPy),
     # anchored independently by the hand-derived pins in
@@ -727,6 +781,7 @@ GENERATORS = {
     "ann_ivfpq": g_ann_ivfpq,
     "streaming_tiles": g_streaming_tiles,
     "dem_hillshade": g_dem_hillshade,
+    "zonal_stats": g_zonal_stats,
     "dem_terrain": g_dem_terrain,
     "dem_contour": g_dem_contour,
     "dem_derivatives": g_dem_derivatives,
