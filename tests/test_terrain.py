@@ -395,6 +395,56 @@ def test_zonal_stats_hand_pins(spark):
     assert row["mean_elev"] == pytest.approx(27.5)
 
 
+def test_point_sample_hand_pins(spark):
+    """Nearest/bilinear point sampling over a ramp DEM with hand-derived
+    values: pixel-center point (exact), half-offset interpolation
+    (37.5 by hand lerp), edge-replicate clamp at the corner, an outside
+    point absent, and multi-raster fan-out (two covering rasters -> two
+    rows per point)."""
+    import math
+
+    from tilers_tools_spark.functions import tiffcodec
+    from tilers_tools_spark.operators import zonal
+
+    ORIGIN = 20037508.342789244
+    R = 6378137.0
+
+    def inv(mx, my):
+        return mx / ORIGIN * 180.0, math.degrees(
+            2.0 * math.atan(math.exp(my / R)) - math.pi / 2.0
+        )
+
+    # DEM: 8x8, gsd=1, top-left (0, 1000); value = 10*r + c
+    dem = (10.0 * np.arange(8)[:, None] + np.arange(8)[None, :]).astype(np.float32)
+    blob = tiffcodec.encode_tiff(dem, geo={"gsd": 1.0, "mx0": 0.0, "my1": 1000.0, "epsg": 3857})
+    pts_m = [
+        (0, 2.5, 997.5),  # pixel center (2,2): nearest 22, bilinear 22
+        (1, 3.0, 996.0),  # between (3..4, 2..3): nearest 43, bilinear 37.5
+        (2, 0.2, 999.8),  # corner clamp: nearest 0, bilinear 0
+        (3, 9.5, 997.5),  # outside [0,8): absent
+    ]
+    points = spark.createDataFrame(
+        [(pid, *inv(mx, my)) for pid, mx, my in pts_m],
+        "point_id long, lon double, lat double",
+    )
+    images = spark.createDataFrame(
+        [("a", blob), ("b", blob), ("nogeo", tiffcodec.encode_tiff(dem))],
+        "image_id string, bytes binary",
+    )
+    out = zonal.point_sample(images, points).collect()
+    got = {(r["point_id"], r["image_id"]): r for r in out}
+    # each in-bounds point appears once per georeferenced raster, never
+    # for the georef-less one; the outside point is absent entirely
+    assert set(got) == {(p, i) for p in (0, 1, 2) for i in ("a", "b")}
+    for img in ("a", "b"):
+        assert got[(0, img)]["value_nearest"] == 22.0
+        assert got[(0, img)]["value_bilinear"] == pytest.approx(22.0, abs=1e-6)
+        assert got[(1, img)]["value_nearest"] == 43.0
+        assert got[(1, img)]["value_bilinear"] == pytest.approx(37.5, abs=1e-6)
+        assert got[(2, img)]["value_nearest"] == 0.0
+        assert got[(2, img)]["value_bilinear"] == pytest.approx(0.0, abs=1e-6)
+
+
 def test_zonal_stats_disjoint_zone_absent(spark):
     """A zone whose bbox misses every raster is rejected before any mask
     work and is absent from the output."""

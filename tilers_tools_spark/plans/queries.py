@@ -1047,6 +1047,71 @@ _ZONE_RINGS = {
 }
 
 
+# sample points in lon/lat over the _DEM_SPECS extents: pixel fractions
+# 0.3/0.7 keep every point >= 0.2 px from nearest-neighbor boundaries
+# (cross-engine mercator ulps cannot flip the floor); last two points
+# fall outside every raster (must be absent from the output)
+_SAMPLE_POINTS = [
+    (0, 5.389891704717129e-06, 0.8982659079508631),
+    (1, 9.522142011666927e-05, 0.8982120156571951),
+    (2, 0.00022098555989340227, 0.8981401592643994),
+    (3, 0.0005982779792236012, 0.8979066259780681),
+    (4, 0.0007060758133179437, 0.8978527336791077),
+    (5, 0.0003108170883053544, 0.8980683028701916),
+    (6, 0.00014912033716384056, 0.898229979755165),
+    (7, 0.00045454753376447784, 0.8979784823754439),
+    (8, 7.635679915015932e-05, 0.8982200995012918),
+    (9, 0.00048059867700394395, 0.8980404585170634),
+    (10, 0.0009297563190637047, 0.8971422534634959),
+    (11, 0.0012441666685055373, 0.8968727919044207),
+    (12, 0.0006602617338278482, 0.8976362662702478),
+    (13, 0.0003009356201800397, 0.8969626124263176),
+    (14, 0.001019587847475657, 0.8978608175240058),
+    (15, 2.6949458523585644e-06, 0.8981410574693132),
+    (16, 6.557701574072506e-05, 0.8982129138620961),
+    (17, 0.00013744223847028677, 0.8982757882046093),
+    (18, 2.96444043759442e-05, 0.898168003616777),
+    (19, 0.004497864627586444, 0.8955811725559079),
+    (20, -0.0004518525879121192, 0.898187764124778),
+]
+
+
+def q_point_sample(spark, sf_dir):
+    """Raster point sampling (operators/zonal.py::point_sample —
+    gdallocationinfo parity): nearest + bilinear values for every
+    (point, covering raster) pair over the three overlapping _DEM_SPECS
+    GeoTIFFs. Values rounded to 6 decimals on BOTH sides so the
+    cross-engine mercator/interp ulps (~1e-8) cannot move the hash; the
+    golden recomputes everything independently (analytic surfaces,
+    minitiler scalar mercator, scalar sampling formulas)."""
+    from ..functions import tiffcodec
+    from ..operators import zonal
+
+    rows = [
+        (
+            name,
+            tiffcodec.encode_tiff(
+                _dem_surface(name, h, w),
+                geo={"gsd": gsd, "mx0": 0.0, "my1": 1.0e5, "epsg": 3857},
+                compression="deflate" if name == "wave" else "none",
+                tile=16 if name == "wave" else None,
+            ),
+        )
+        for name, h, w, gsd in _DEM_SPECS
+    ]
+    images = spark.createDataFrame(rows, "image_id string, bytes binary")
+    points = spark.createDataFrame(
+        _SAMPLE_POINTS, "point_id long, lon double, lat double"
+    )
+    out = zonal.point_sample(images, points)
+    return out.select(
+        "point_id",
+        "image_id",
+        F.round("value_nearest", 6).alias("value_nearest"),
+        F.round("value_bilinear", 6).alias("value_bilinear"),
+    )
+
+
 def q_zonal_stats(spark, sf_dir):
     """Zonal statistics (operators/zonal.py): per-polygon count/min/max/
     sum/mean of DEM pixels whose center falls inside the zone, aggregated
@@ -2101,6 +2166,7 @@ QUERIES: dict = {
     "dem_contour": (q_dem_contour, _golden("dem_contour")),
     "dem_derivatives": (q_dem_derivatives, _golden("dem_derivatives")),
     "zonal_stats": (q_zonal_stats, _golden("zonal_stats")),
+    "point_sample": (q_point_sample, _golden("point_sample")),
     "kml_superoverlay": (q_kml_superoverlay, SQL_KML_SUPEROVERLAY),
     "mixture_resample": (q_mixture_resample, SQL_MIXTURE_RESAMPLE),
     "leakage_split": (q_leakage_split, SQL_LEAKAGE_SPLIT),

@@ -330,6 +330,51 @@ def g_zonal_stats():
     )
 
 
+def g_point_sample():
+    # FULLY INDEPENDENT: analytic DEM surfaces (no TIFF bytes), the
+    # minitiler's scalar mercator, and scalar nearest/bilinear sampling
+    # written here (floor + edge-clamp lerp, GDAL pixel-center
+    # convention). Both sides round to 6 decimals — cross-engine ulps
+    # (~1e-8 from merc transcendentals) cannot move the rounded value.
+    from oracle.minitiler import merc
+    from tilers_tools_spark.plans.queries import (
+        _DEM_SPECS,
+        _SAMPLE_POINTS,
+        _dem_surface,
+    )
+
+    rows = []
+    for pid, lon, lat in _SAMPLE_POINTS:
+        mx, my = merc(lon, lat)
+        for name, h, w, gsd in _DEM_SPECS:
+            gx0, gy1 = 0.0, 1.0e5
+            gx1, gy0 = gx0 + w * gsd, gy1 - h * gsd
+            # half-open containment [mx0, mx1) x (my0, my1]
+            if not (gx0 <= mx < gx1 and gy0 < my <= gy1):
+                continue
+            dem = _dem_surface(name, h, w).astype(np.float64)
+            px = (mx - gx0) / gsd
+            py = (gy1 - my) / gsd
+            cn = min(max(int(math.floor(px)), 0), w - 1)
+            rn = min(max(int(math.floor(py)), 0), h - 1)
+            u, v = px - 0.5, py - 0.5
+            c0, r0 = math.floor(u), math.floor(v)
+            fc, fr = u - c0, v - r0
+            cl = lambda i, n: min(max(i, 0), n - 1)
+            top = dem[cl(r0, h), cl(c0, w)] * (1.0 - fc) + dem[cl(r0, h), cl(c0 + 1, w)] * fc
+            bot = dem[cl(r0 + 1, h), cl(c0, w)] * (1.0 - fc) + dem[cl(r0 + 1, h), cl(c0 + 1, w)] * fc
+            bil = top * (1.0 - fr) + bot * fr
+            rows.append(
+                [int(pid), name, round(float(dem[rn, cn]), 6), round(float(bil), 6)]
+            )
+    save(
+        "point_sample",
+        ["point_id", "image_id", "value_nearest", "value_bilinear"],
+        ["int64", "str", "float64", "float64"],
+        rows,
+    )
+
+
 def g_dem_terrain():
     # SCOPE NOTE: reuses terrain.tri_np/tpi_np/roughness_np (pure NumPy),
     # anchored independently by the hand-derived pins in
@@ -782,6 +827,7 @@ GENERATORS = {
     "streaming_tiles": g_streaming_tiles,
     "dem_hillshade": g_dem_hillshade,
     "zonal_stats": g_zonal_stats,
+    "point_sample": g_point_sample,
     "dem_terrain": g_dem_terrain,
     "dem_contour": g_dem_contour,
     "dem_derivatives": g_dem_derivatives,
