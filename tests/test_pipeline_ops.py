@@ -812,6 +812,46 @@ def test_pack_sequences_parallelism_invariant(spark):
     assert "SinglePartition" not in plan
 
 
+def test_boilerplate_lines_hand_pins(spark):
+    """Line-level boilerplate removal with a fully hand-derived corpus:
+    'shared footer' appears (modulo trim) in 3 of 4 docs -> removed at
+    min_docs=3; per-doc unique lines and the empty line survive; a doc
+    that is ALL boilerplate cleans to the empty string; line order is
+    preserved in the reassembled text."""
+    import hashlib
+
+    from tilers_tools_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha one\nshared footer\nbeta one"),
+            (2, "alpha two\n  shared footer  \n\ngamma two"),
+            (3, "shared footer"),
+            (4, "delta four\nepsilon four"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.boilerplate_lines(docs, min_docs=3).collect()}
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert (out[1]["n_lines"], out[1]["n_removed"]) == (3, 1)
+    assert out[1]["cleaned_md5"] == md5("alpha one\nbeta one")
+    # trim-variant footer removed; empty line kept
+    assert (out[2]["n_lines"], out[2]["n_removed"]) == (4, 1)
+    assert out[2]["cleaned_md5"] == md5("alpha two\n\ngamma two")
+    # all-boilerplate doc still present, cleaned to ''
+    assert (out[3]["n_removed"], out[3]["cleaned_len"]) == (1, 0)
+    assert out[3]["cleaned_md5"] == md5("")
+    # untouched doc byte-identical
+    assert out[4]["n_removed"] == 0
+    assert out[4]["cleaned_md5"] == md5("delta four\nepsilon four")
+    # below threshold nothing is boilerplate
+    out4 = {r["doc_id"]: r for r in tx.boilerplate_lines(docs, min_docs=4).collect()}
+    assert all(r["n_removed"] == 0 for r in out4.values())
+
+
 def test_repetition_features_known_values(spark):
     from tilers_tools_spark.operators import text as tx
 

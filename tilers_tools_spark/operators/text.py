@@ -231,6 +231,66 @@ def pii_scrub(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def boilerplate_lines(
+    docs: DataFrame,
+    min_docs: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-frequency line dedup (the CCNet / RefinedWeb boilerplate
+    pass): a line whose trimmed form appears in >= `min_docs` DISTINCT
+    documents (nav bars, cookie banners, footers) is removed from every
+    document; surviving lines are re-joined in original order. Empty
+    lines are never counted as boilerplate (trim(line) = '' is exempt).
+    Returns (id, n_lines, n_removed, cleaned_len, cleaned_md5) — the md5
+    pins the exact cleaned bytes cross-engine without moving the text
+    through the compare.
+
+    Scale shape: lines key by fixed-width md5(trim(line)) so the
+    boilerplate census shuffles (key, doc_id) only — never line text;
+    Spark's distinct-count partial-aggregates map-side. The census
+    output (lines repeated across >= min_docs docs) is tiny by
+    construction, so AQE broadcasts the anti-join; line text shuffles
+    exactly once, keyed by doc_id, to reassemble. No all-pairs stage
+    anywhere — linear in corpus size at any scale.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\n", -1)).alias("_pos", "_line"),
+    ).withColumn("_key", F.md5(F.trim(F.col("_line"))))
+    boiler = (
+        lines.filter(F.trim(F.col("_line")) != "")
+        .groupBy("_key")
+        .agg(F.count_distinct(F.col(id_col)).alias("_d"))
+        .filter(F.col("_d") >= int(min_docs))
+        .select("_key")
+    )
+    kept = lines.join(boiler, "_key", "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.count("*").alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("_cleaned"),
+    )
+    n_lines = F.size(F.split(F.col(text_col), r"\n", -1)).cast("long")
+    cleaned = F.coalesce(F.col("_cleaned"), F.lit(""))
+    return (
+        docs.select(id_col, text_col)
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            n_lines.alias("n_lines"),
+            (n_lines - F.coalesce(F.col("_n_kept"), F.lit(0))).cast("long").alias("n_removed"),
+            F.length(cleaned).cast("long").alias("cleaned_len"),
+            F.md5(cleaned).alias("cleaned_md5"),
+        )
+    )
+
+
 def repetition_features(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1886,6 +1886,66 @@ FROM red
 """
 
 
+def q_boilerplate_lines(spark, sf_dir):
+    """Corpus-frequency line dedup (operators/text.py boilerplate_lines
+    — the CCNet/RefinedWeb boilerplate pass). The fixture corpus is
+    single-line, so both engines synthesize the same multi-line docs
+    relationally: original text, a 7-way shared footer (boilerplate at
+    min_docs=10), an EMPTY line (exempt by rule), a 1-in-3 'subscribe'
+    banner (boilerplate) vs a per-doc unique line (kept), and a
+    'trim me' line under doc-varying leading spaces (trimmed census ->
+    boilerplate everywhere). The oracle recomputes census + removal +
+    reassembly in DuckDB; cleaned_md5 pins exact cleaned bytes."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    multi = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nfooter "),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("\n\n"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("subscribe to our newsletter")
+            ).otherwise(F.concat(F.lit("unique line "), F.col("doc_id").cast("string"))),
+            F.lit("\n"),
+            F.repeat(F.lit(" "), (F.col("doc_id") % 3).cast("int")),
+            F.lit("trim me"),
+        ).alias("text"),
+    )
+    return text.boilerplate_lines(multi, min_docs=10)
+
+
+SQL_BOILERPLATE_LINES = r"""
+WITH multi AS (
+  SELECT doc_id,
+         text || chr(10) || 'footer ' || CAST(doc_id % 7 AS VARCHAR)
+              || chr(10) || chr(10)
+              || CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter'
+                      ELSE 'unique line ' || CAST(doc_id AS VARCHAR) END
+              || chr(10) || repeat(' ', CAST(doc_id % 3 AS INTEGER)) || 'trim me' AS text
+  FROM documents),
+l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM multi),
+lines AS (
+  SELECT doc_id, unnest(ls) AS line, unnest(range(1, len(ls) + 1)) AS pos FROM l),
+boiler AS (
+  SELECT md5(trim(line)) AS k FROM lines WHERE trim(line) <> ''
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 10),
+kept AS (
+  SELECT doc_id, pos, line FROM lines
+  WHERE md5(trim(line)) NOT IN (SELECT k FROM boiler)),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS cleaned
+  FROM kept GROUP BY doc_id)
+SELECT m.doc_id,
+  CAST(len(string_split(m.text, chr(10))) AS BIGINT) AS n_lines,
+  CAST(len(string_split(m.text, chr(10))) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+  CAST(COALESCE(length(a.cleaned), 0) AS BIGINT) AS cleaned_len,
+  md5(COALESCE(a.cleaned, '')) AS cleaned_md5
+FROM multi m LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_pack_sequences(spark, sf_dir):
     """Concat-and-split sequence packing (operators/sampling.py
     pack_sequences): per-doc placement in the max_tokens=512 packed
@@ -2141,6 +2201,7 @@ QUERIES: dict = {
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "boilerplate_lines": (q_boilerplate_lines, SQL_BOILERPLATE_LINES),
     "repetition": (q_repetition, SQL_REPETITION),
     # tile addressing/serving: Bing quadkey scheme + viewport range lookup
     "quadkey": (q_quadkey, SQL_QUADKEY),
