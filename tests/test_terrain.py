@@ -445,6 +445,48 @@ def test_point_sample_hand_pins(spark):
         assert got[(2, img)]["value_bilinear"] == pytest.approx(0.0, abs=1e-6)
 
 
+def test_label_regions_hand_pins():
+    """4-connected labeling against hand-enumerable rasters: constant
+    (one region), checkerboard (every pixel its own), a ring around a
+    hole (ring connects around the corner), diagonal pixels NOT
+    connected, and canonical ids = min_row*w + min_col."""
+    from tilers_tools_spark.operators.zonal import label_regions_np
+
+    assert (label_regions_np(np.full((3, 4), 5.0)) == 0).all()
+    board = np.indices((4, 4)).sum(0) % 2
+    assert (label_regions_np(board) == np.arange(16).reshape(4, 4)).all()
+    ring = np.array([[1, 1, 1], [1, 0, 1], [1, 1, 1]])
+    lab = label_regions_np(ring)
+    assert lab[0, 0] == 0 and lab[1, 1] == 4 and lab[2, 2] == 0
+    assert len(np.unique(lab)) == 2
+    diag = np.array([[1, 0], [0, 1]])
+    assert len(np.unique(label_regions_np(diag))) == 4
+
+
+def test_polygonize_hand_pins(spark):
+    """Region table over a hand-drawn raster: a 3x4 field of 7s with a
+    single 9 at (1,2). Field: 11 px, perimeter 2*(3+4)+4-2... derived by
+    edge count = 18 (boundary 14 + 4 island edges); island: 1 px,
+    perimeter 4; bboxes by eye."""
+    from tilers_tools_spark.functions import tiffcodec
+    from tilers_tools_spark.operators import zonal
+
+    a = np.full((3, 4), 7.0, dtype=np.float32)
+    a[1, 2] = 9.0
+    images = spark.createDataFrame(
+        [("r", tiffcodec.encode_tiff(a))], "image_id string, bytes binary"
+    )
+    out = {r["region_id"]: r for r in zonal.polygonize(images).collect()}
+    assert set(out) == {0, 6}  # canonical ids: (0,0) and (1,2)
+    field, island = out[0], out[6]
+    assert (field["value"], field["n_pixels"]) == (7.0, 11)
+    assert (field["min_row"], field["min_col"], field["max_row"], field["max_col"]) == (0, 0, 2, 3)
+    # perimeter: raster boundary 2*(3+4)=14 plus the 4 edges facing the island
+    assert field["perimeter"] == 18
+    assert (island["value"], island["n_pixels"], island["perimeter"]) == (9.0, 1, 4)
+    assert (island["min_row"], island["min_col"], island["max_row"], island["max_col"]) == (1, 2, 1, 2)
+
+
 def test_zonal_stats_disjoint_zone_absent(spark):
     """A zone whose bbox misses every raster is rejected before any mask
     work and is absent from the output."""

@@ -235,3 +235,151 @@ def zonal_stats(
         )
         .withColumn("mean_elev", F.col("sum_elev") / F.col("n_pixels"))
     )
+
+
+def label_regions_np(a: np.ndarray) -> np.ndarray:
+    """4-connected equal-value region labeling (the `gdal_polygonize`
+    grouping rule). Returns an int64 label image where every pixel of a
+    region carries the region's canonical id = ``min_row * w + min_col``
+    of its first pixel in scan order — deterministic and independent of
+    traversal, so two engines labeling the same raster agree exactly.
+
+    Runs-based two-pass union-find: each row is cut into equal-value
+    runs (vectorized); overlapping equal-value runs of adjacent rows
+    union. Union always points the larger run id at the smaller, so a
+    region's root is its scan-order-first run and the canonical id falls
+    out without a second normalization pass.
+    """
+    if a.ndim != 2:
+        raise ValueError("label_regions_np expects a single-band 2-D array")
+    h, w = a.shape
+    run_img = np.empty((h, w), np.int64)
+    run_start: list[int] = []  # per run: row * w + start col
+    parent = np.empty(0, np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    prev: list[tuple[int, int, int]] = []
+    for r in range(h):
+        row = a[r]
+        chg = np.flatnonzero(row[1:] != row[:-1]) + 1
+        starts = np.concatenate(([0], chg))
+        ends = np.concatenate((chg, [w]))
+        base = len(run_start)
+        cur = []
+        for s, e in zip(starts, ends):
+            rid = len(run_start)
+            run_start.append(r * w + int(s))
+            run_img[r, s:e] = rid
+            cur.append((int(s), int(e), rid))
+        parent = np.concatenate([parent, np.arange(base, len(run_start))])
+        if r:
+            i = j = 0
+            up = a[r - 1]
+            while i < len(prev) and j < len(cur):
+                ps, pe, pr = prev[i]
+                cs, ce, cr = cur[j]
+                o = max(ps, cs)
+                if o < min(pe, ce) and up[o] == row[o]:
+                    rp, rc = find(pr), find(cr)
+                    if rp != rc:
+                        if rp < rc:
+                            parent[rc] = rp
+                        else:
+                            parent[rp] = rc
+                if pe <= ce:
+                    i += 1
+                else:
+                    j += 1
+        prev = cur
+    roots = np.arange(len(run_start), dtype=np.int64)
+    for x in range(len(run_start)):
+        roots[x] = find(x)
+    canon = np.asarray(run_start, np.int64)[roots]
+    return canon[run_img]
+
+
+def polygonize(
+    images: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """`gdal_polygonize` parity as a region-summary table: group
+    4-connected pixels of equal value into regions and emit one row per
+    region — (image_id, region_id, value, n_pixels, min_row, min_col,
+    max_row, max_col, perimeter). ``region_id`` is the canonical
+    ``min_row * w + min_col`` pixel of the region (deterministic across
+    engines); ``perimeter`` counts pixel edges bordering a
+    different-value pixel or the raster boundary (4-connected edge
+    count, so a lone pixel is 4 and an HxW constant raster is 2*(H+W)).
+
+    Documented deviation from the GDAL utility: emits the region table,
+    not WKT rings — ring tracing is the contour module's territory; the
+    grouping rule (4-connectivity, exact value equality) is identical.
+
+    Scale shape: one Arrow-batched mapInPandas pass; each raster labels
+    independently (regions never span rasters, matching per-file
+    gdal_polygonize), output rows are narrow summaries — pixels never
+    shuffle. A blob that fails decode contributes no rows but is counted
+    in no silent path (decode raises propagate — polygonize inputs are
+    engine-produced rasters, not wild archives).
+    """
+    from ..functions import tiffcodec
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                id_col: [], "region_id": [], "value": [], "n_pixels": [],
+                "min_row": [], "min_col": [], "max_row": [], "max_col": [],
+                "perimeter": [],
+            }
+            for iid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                a, _geo = tiffcodec.decode_tiff(bytes(blob), scale_16bit=False)
+                if a.ndim != 2:
+                    raise ValueError("polygonize expects single-band rasters")
+                h, w = a.shape
+                lab = label_regions_np(a)
+                ids, dense = np.unique(lab, return_inverse=True)
+                dense = dense.reshape(h, w)
+                n = len(ids)
+                npix = np.bincount(dense.ravel(), minlength=n)
+                rows_idx = np.repeat(np.arange(h), w)
+                cols_idx = np.tile(np.arange(w), h)
+                flat = dense.ravel()
+                inf = np.iinfo(np.int64).max
+                minr = np.full(n, inf); minc = np.full(n, inf)
+                maxr = np.full(n, -1); maxc = np.full(n, -1)
+                np.minimum.at(minr, flat, rows_idx)
+                np.minimum.at(minc, flat, cols_idx)
+                np.maximum.at(maxr, flat, rows_idx)
+                np.maximum.at(maxc, flat, cols_idx)
+                # perimeter: 4 per pixel minus 2 per same-region internal edge
+                perim = 4 * npix.astype(np.int64)
+                same_h = dense[:, 1:] == dense[:, :-1]
+                same_v = dense[1:, :] == dense[:-1, :]
+                perim -= 2 * np.bincount(dense[:, 1:][same_h].ravel(), minlength=n)
+                perim -= 2 * np.bincount(dense[1:, :][same_v].ravel(), minlength=n)
+                # value per region: read the canonical pixel directly
+                vals = a[ids // w, ids % w]
+                out[id_col].extend([iid] * n)
+                out["region_id"].extend(ids.tolist())
+                out["value"].extend(np.asarray(vals, np.float64).tolist())
+                out["n_pixels"].extend(npix.tolist())
+                out["min_row"].extend(minr.tolist())
+                out["min_col"].extend(minc.tolist())
+                out["max_row"].extend(maxr.tolist())
+                out["max_col"].extend(maxc.tolist())
+                out["perimeter"].extend(perim.tolist())
+            yield pd.DataFrame(out)
+
+    return images.select(id_col, bytes_col).mapInPandas(
+        fn,
+        schema=f"{id_col} string, region_id long, value double, n_pixels long, "
+        "min_row long, min_col long, max_row long, max_col long, perimeter long",
+    )

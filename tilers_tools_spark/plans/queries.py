@@ -1112,6 +1112,45 @@ def q_point_sample(spark, sf_dir):
     )
 
 
+# (name, quantization step) — the quantized surfaces give a handful of
+# equal-value blobs per raster (diagonal bands on plane, wave blobs, one
+# region on flat); steps divide the float32 surface in float64 on BOTH
+# engines, so the floor is bit-identical cross-engine
+_POLY_STEPS = {"plane": 25.0, "wave": 40.0, "flat": 10.0}
+
+
+def q_polygonize(spark, sf_dir):
+    """Raster region extraction (operators/zonal.py::polygonize —
+    gdal_polygonize grouping parity): 4-connected equal-value regions of
+    quantized DEM rasters as a region-summary table (canonical id,
+    value, pixel count, bbox, 4-connected perimeter). Each _DEM_SPECS
+    surface is quantized (floor(v/step)) BEFORE encoding, each under a
+    different TIFF layout, so the gate crosses the decode path; the
+    golden relabels the same quantized surfaces with an independent
+    scalar BFS flood fill (no union-find, no TIFF bytes)."""
+    from ..functions import tiffcodec
+    from ..operators import zonal
+
+    rows = []
+    for name, h, w, gsd in _DEM_SPECS:
+        q = np.floor(
+            _dem_surface(name, h, w).astype(np.float64) / _POLY_STEPS[name]
+        ).astype(np.float32)
+        rows.append(
+            (
+                name,
+                tiffcodec.encode_tiff(
+                    q,
+                    geo={"gsd": gsd, "mx0": 0.0, "my1": 1.0e5, "epsg": 3857},
+                    compression="deflate" if name == "plane" else "none",
+                    tile=16 if name == "wave" else None,
+                ),
+            )
+        )
+    images = spark.createDataFrame(rows, "image_id string, bytes binary")
+    return zonal.polygonize(images)
+
+
 def q_zonal_stats(spark, sf_dir):
     """Zonal statistics (operators/zonal.py): per-polygon count/min/max/
     sum/mean of DEM pixels whose center falls inside the zone, aggregated
@@ -2227,6 +2266,7 @@ QUERIES: dict = {
     "dem_contour": (q_dem_contour, _golden("dem_contour")),
     "dem_derivatives": (q_dem_derivatives, _golden("dem_derivatives")),
     "zonal_stats": (q_zonal_stats, _golden("zonal_stats")),
+    "polygonize": (q_polygonize, _golden("polygonize")),
     "point_sample": (q_point_sample, _golden("point_sample")),
     "kml_superoverlay": (q_kml_superoverlay, SQL_KML_SUPEROVERLAY),
     "mixture_resample": (q_mixture_resample, SQL_MIXTURE_RESAMPLE),

@@ -375,6 +375,67 @@ def g_point_sample():
     )
 
 
+def g_polygonize():
+    # FULLY INDEPENDENT: recomputes the quantized analytic surfaces (no
+    # TIFF bytes) and labels them with a scalar BFS flood fill — a
+    # different algorithm family than the engine's runs-based union-find
+    # (label_regions_np). Canonical region id, bbox, pixel count and the
+    # 4-connected perimeter (edges facing a different value or the
+    # raster boundary) are all recomputed from first principles here.
+    from tilers_tools_spark.plans.queries import (
+        _DEM_SPECS,
+        _POLY_STEPS,
+        _dem_surface,
+    )
+
+    rows = []
+    for name, h, w, _gsd in _DEM_SPECS:
+        q = np.floor(
+            _dem_surface(name, h, w).astype(np.float64) / _POLY_STEPS[name]
+        ).astype(np.float32)
+        seen = [[False] * w for _ in range(h)]
+        for r0 in range(h):
+            for c0 in range(w):
+                if seen[r0][c0]:
+                    continue
+                # BFS from the scan-order-first pixel = canonical id
+                v = q[r0, c0]
+                stack = [(r0, c0)]
+                seen[r0][c0] = True
+                pix = []
+                while stack:
+                    r, c = stack.pop()
+                    pix.append((r, c))
+                    for rr, cc in ((r - 1, c), (r + 1, c), (r, c - 1), (r, c + 1)):
+                        if 0 <= rr < h and 0 <= cc < w and not seen[rr][cc] and q[rr, cc] == v:
+                            seen[rr][cc] = True
+                            stack.append((rr, cc))
+                perim = 0
+                for r, c in pix:
+                    for rr, cc in ((r - 1, c), (r + 1, c), (r, c - 1), (r, c + 1)):
+                        if not (0 <= rr < h and 0 <= cc < w) or q[rr, cc] != v:
+                            perim += 1
+                rows.append(
+                    [
+                        name,
+                        r0 * w + c0,
+                        float(v),
+                        len(pix),
+                        min(r for r, _ in pix),
+                        min(c for _, c in pix),
+                        max(r for r, _ in pix),
+                        max(c for _, c in pix),
+                        perim,
+                    ]
+                )
+    save(
+        "polygonize",
+        ["image_id", "region_id", "value", "n_pixels", "min_row", "min_col", "max_row", "max_col", "perimeter"],
+        ["str", "int64", "float64", "int64", "int64", "int64", "int64", "int64", "int64"],
+        rows,
+    )
+
+
 def g_dem_terrain():
     # SCOPE NOTE: reuses terrain.tri_np/tpi_np/roughness_np (pure NumPy),
     # anchored independently by the hand-derived pins in
@@ -828,6 +889,7 @@ GENERATORS = {
     "dem_hillshade": g_dem_hillshade,
     "zonal_stats": g_zonal_stats,
     "point_sample": g_point_sample,
+    "polygonize": g_polygonize,
     "dem_terrain": g_dem_terrain,
     "dem_contour": g_dem_contour,
     "dem_derivatives": g_dem_derivatives,
