@@ -73,6 +73,57 @@ def image_features(images: DataFrame) -> DataFrame:
     return images.mapInPandas(fn, schema=IMAGE_FEATURES_SCHEMA)
 
 
+def quantize_colors(images: DataFrame, max_colors: int = 256) -> DataFrame:
+    """`rgb2pct` parity: per image, an optimal pseudo-color table via the
+    deterministic integer median cut (functions/quantize.py spec) and the
+    nearest-entry remap. Emits (image_id, n_colors, n_distinct,
+    palette_md5, index_md5, sse) — the two md5s pin the exact palette and
+    index-image bytes cross-engine, sse is the integer total squared
+    error (floats never appear, so no rounding convention is needed).
+
+    Scale shape: one Arrow-batched mapInPandas pass, each image quantized
+    independently (per-file rgb2pct semantics) into narrow summary rows;
+    pixels never shuffle. The sequential cut loop is bounded by
+    max_colors-1 splits over distinct colors (<= 2^24), not pixels.
+    """
+    import hashlib
+
+    from ..functions import quantize
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf[["image_id", "bytes", "fmt"]].to_dict("records"):
+                arr = codecs.decode_image(bytes(rec["bytes"]), rec["fmt"])
+                pal, idx, sse = quantize.quantize_image(arr, max_colors)
+                packed = (
+                    arr.reshape(-1, arr.shape[2])[:, :3].astype(np.int64)
+                    if arr.ndim == 3
+                    else np.repeat(arr.reshape(-1, 1), 3, axis=1).astype(np.int64)
+                )
+                n_distinct = len(np.unique(packed[:, 0] * 65536 + packed[:, 1] * 256 + packed[:, 2]))
+                rows.append(
+                    (
+                        rec["image_id"],
+                        int(len(pal)),
+                        int(n_distinct),
+                        hashlib.md5(pal.tobytes()).hexdigest(),
+                        hashlib.md5(idx.tobytes()).hexdigest(),
+                        int(sse),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "n_colors", "n_distinct", "palette_md5", "index_md5", "sse"],
+            )
+
+    return images.mapInPandas(
+        fn,
+        schema="image_id string, n_colors int, n_distinct int, "
+        "palette_md5 string, index_md5 string, sse long",
+    )
+
+
 def image_resize(images: DataFrame, out_w: int = 64, out_h: int = 64) -> DataFrame:
     """Bilinear resize -> PNG thumbnails (same sampling math as the tiler)."""
 

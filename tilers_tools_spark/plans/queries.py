@@ -640,6 +640,27 @@ def q_image_features(spark, sf_dir):
     return multimodal.image_features(images)
 
 
+def q_quantize_colors(spark, sf_dir):
+    """rgb2pct parity (operators/multimodal.py quantize_colors): optimal
+    16-color pseudo-color table + nearest remap per fixture image, under
+    the integer-exact median-cut spec (functions/quantize.py). Lossless
+    formats only (raw/png) so the golden can rebuild identical pixels
+    from fixtures.gen.make_pixels without decoding; the golden's cut is
+    an independent SCALAR implementation of the spec (pure-Python lists,
+    no NumPy vector ops), so palette_md5/index_md5/sse agreeing means
+    two algorithmically separate codings of the published rule match
+    byte-for-byte."""
+    from fixtures import gen
+    from ..operators import multimodal
+
+    rows = [
+        (r["image_id"], r["bytes"], r["fmt"])
+        for r in gen.gen_images(12, fmts=("raw", "png"))
+    ]
+    images = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    return multimodal.quantize_colors(images, max_colors=16)
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Random embeddings contain no true near-dups, so plant perturbed
     copies of the first 4 vectors (vec_id + 1000000, every component
@@ -2267,6 +2288,7 @@ QUERIES: dict = {
     "dem_derivatives": (q_dem_derivatives, _golden("dem_derivatives")),
     "zonal_stats": (q_zonal_stats, _golden("zonal_stats")),
     "polygonize": (q_polygonize, _golden("polygonize")),
+    "quantize_colors": (q_quantize_colors, _golden("quantize_colors")),
     "point_sample": (q_point_sample, _golden("point_sample")),
     "kml_superoverlay": (q_kml_superoverlay, SQL_KML_SUPEROVERLAY),
     "mixture_resample": (q_mixture_resample, SQL_MIXTURE_RESAMPLE),

@@ -436,6 +436,111 @@ def g_polygonize():
     )
 
 
+def g_quantize_colors():
+    # INDEPENDENT ALGORITHM CODING: the engine's median cut is vectorized
+    # NumPy (functions/quantize.py); this golden re-implements the same
+    # integer spec with scalar Python lists/sorted/Counter — no shared
+    # code, no NumPy vector ops in the cut/remap. Pixels come straight
+    # from fixtures.gen.make_pixels (lossless raw/png fixture only), so
+    # codec bytes are never decoded here; fixture reuse is infrastructure,
+    # not the kernel under test.
+    import hashlib
+    from collections import Counter
+
+    from fixtures import gen
+    from tilers_tools_spark.functions import georef
+
+    MAXC = 16
+    n = 12
+    idx = np.arange(n, dtype=np.uint64)
+    phash = georef.splitmix64(np.uint64(gen.SEED) ^ idx)
+    w, h = georef.derive_size_np(phash)
+
+    def scalar_quantize(pix):
+        cntr = Counter()
+        for row in pix.reshape(-1, 3).tolist():
+            cntr[tuple(row)] += 1
+        colors = sorted(cntr)  # lexicographic == packed ascending
+        counts = [cntr[c] for c in colors]
+        boxes = [list(range(len(colors)))]
+        while len(boxes) < MAXC:
+            best, bkey = -1, None
+            for bid, bx in enumerate(boxes):
+                if len(bx) < 2:
+                    continue
+                rng = max(
+                    max(colors[i][c] for i in bx) - min(colors[i][c] for i in bx)
+                    for c in range(3)
+                )
+                key = (rng, sum(counts[i] for i in bx), -bid)
+                if bkey is None or key > bkey:
+                    best, bkey = bid, key
+            if best < 0:
+                break
+            bx = boxes[best]
+            rngs = [
+                max(colors[i][c] for i in bx) - min(colors[i][c] for i in bx)
+                for c in range(3)
+            ]
+            ch = rngs.index(max(rngs))
+            bx = sorted(
+                bx,
+                key=lambda i: (
+                    colors[i][ch],
+                    colors[i][0] * 65536 + colors[i][1] * 256 + colors[i][2],
+                ),
+            )
+            tot = sum(counts[i] for i in bx)
+            cum, m = 0, len(bx) - 2
+            for j, i in enumerate(bx):
+                cum += counts[i]
+                if 2 * cum >= tot:
+                    m = min(j, len(bx) - 2)
+                    break
+            boxes[best] = bx[: m + 1]
+            boxes.append(bx[m + 1 :])
+        pal = []
+        for bx in boxes:
+            tot = sum(counts[i] for i in bx)
+            pal.append(
+                tuple(
+                    (2 * sum(colors[i][c] * counts[i] for i in bx) + tot) // (2 * tot)
+                    for c in range(3)
+                )
+            )
+        near = {}
+        sse = 0
+        for ci, col in enumerate(colors):
+            bd, bk = None, -1
+            for k, p in enumerate(pal):
+                d = sum((col[c] - p[c]) ** 2 for c in range(3))
+                if bd is None or d < bd:  # strict < keeps the first index
+                    bd, bk = d, k
+            near[col] = bk
+            sse += bd * cntr[col]
+        idx_bytes = bytes(near[tuple(px)] for px in pix.reshape(-1, 3).tolist())
+        pal_bytes = bytes(v for p in pal for v in p)
+        return (
+            len(pal),
+            len(colors),
+            hashlib.md5(pal_bytes).hexdigest(),
+            hashlib.md5(idx_bytes).hexdigest(),
+            sse,
+        )
+
+    rows = []
+    for i in range(n):
+        pix = gen.make_pixels(i, int(phash[i]), int(w[i]), int(h[i]))
+        nc, nd, pmd5, imd5, sse = scalar_quantize(pix)
+        rows.append([f"img{i:08d}", nc, nd, pmd5, imd5, sse])
+    save(
+        "quantize_colors",
+        ["image_id", "n_colors", "n_distinct", "palette_md5", "index_md5", "sse"],
+        ["str", "int32", "int32", "str", "str", "int64"],
+        rows,
+    )
+
+
 def g_dem_terrain():
     # SCOPE NOTE: reuses terrain.tri_np/tpi_np/roughness_np (pure NumPy),
     # anchored independently by the hand-derived pins in
@@ -890,6 +995,7 @@ GENERATORS = {
     "zonal_stats": g_zonal_stats,
     "point_sample": g_point_sample,
     "polygonize": g_polygonize,
+    "quantize_colors": g_quantize_colors,
     "dem_terrain": g_dem_terrain,
     "dem_contour": g_dem_contour,
     "dem_derivatives": g_dem_derivatives,
