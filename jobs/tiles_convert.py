@@ -24,7 +24,7 @@ def main():
     ap.add_argument("--dst", required=True)
     ap.add_argument("--dst-format", default="mbtiles", choices=("dir", "mbtiles", "kml"))
     ap.add_argument("--dst-scheme", default="xyz", choices=("xyz", "tms", "zyx"))
-    ap.add_argument("--transcode", default=None, choices=(None, "png", "jpeg", "raw", "tiff"))
+    ap.add_argument("--transcode", default=None, choices=(None, "png", "jpeg", "raw", "tiff", "webp"))
     ap.add_argument("--src-fmt-blob", default="png", help="blob codec of the source tiles (for --transcode)")
     ap.add_argument("--single-file", action="store_true", help="merge MBTiles shards into one file")
     ap.add_argument("--name", default="tiles")
@@ -68,9 +68,9 @@ def main():
             out_fmt = fmts.pop()
         else:
             out_fmt = args.src_fmt_blob
-    # sniff_fmt can return png/jpeg/raw/tiff — name files for what the
+    # sniff_fmt can return png/jpeg/raw/tiff/webp — name files for what the
     # blobs actually are (a TIFF blob in a *.png file breaks consumers)
-    ext = {"jpeg": "jpg", "raw": "raw", "tiff": "tif"}.get(out_fmt, "png")
+    ext = {"jpeg": "jpg", "raw": "raw", "tiff": "tif", "webp": "webp"}.get(out_fmt, "png")
     if args.dst_format == "dir":
         tileset.write_tileset_dir(tiles, args.dst, scheme=args.dst_scheme, ext=ext)
         tileset.write_tilemap_xml(tiles, args.dst, title=args.name, ext=ext)

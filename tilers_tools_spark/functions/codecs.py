@@ -242,7 +242,9 @@ def sniff_fmt(data: bytes) -> str:
         b"+\x00", b"\x00+",  # BigTIFF (magic 43)
     ):
         return "tiff"
-    raise ValueError("unknown tile container (no PNG/RAW1/JPEG/TIFF magic)")
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return "webp"
+    raise ValueError("unknown tile container (no PNG/RAW1/JPEG/TIFF/WEBP magic)")
 
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
@@ -259,6 +261,10 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         from . import tiffcodec
 
         return tiffcodec.decode_tiff(data)[0]
+    if fmt == "webp":
+        from . import webpcodec
+
+        return webpcodec.decode_webp(data)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

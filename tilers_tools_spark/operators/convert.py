@@ -289,6 +289,10 @@ def transcode(tiles: DataFrame, src_fmt: str = "png", dst_fmt: str = "jpeg", qua
                     from ..functions import tiffcodec
 
                     out.append(tiffcodec.encode_tiff(arr, compression="deflate"))
+                elif dst_fmt == "webp":
+                    from ..functions import webpcodec
+
+                    out.append(webpcodec.encode_webp(arr))
                 else:
                     raise ValueError(dst_fmt)
             res = pdf.copy()

@@ -124,6 +124,66 @@ def quantize_colors(images: DataFrame, max_colors: int = 256) -> DataFrame:
     )
 
 
+def codec_roundtrip(images: DataFrame, codec: str = "webp") -> DataFrame:
+    """Corpus codec validation: decode each image, re-encode through a
+    LOSSLESS engine codec (webp/png/raw/tiff), sniff the container magic,
+    decode again, and report whether the pixel bytes survived bit-exact.
+    Emits (image_id, w, h, px_md5, rt_md5, container, roundtrip_ok) —
+    ``px_md5`` hashes the source RGBA, ``rt_md5`` the roundtripped RGBA,
+    so a correct lossless codec yields rt_md5 == px_md5.
+
+    The production use at 100 TB: ingest-time validation / normalization
+    of an image corpus into one container format. One Arrow-batched
+    mapInPandas pass per image; narrow summary rows out; bytes never
+    shuffle.
+    """
+    import hashlib
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import tiffcodec, webpcodec
+
+        enc = {
+            "webp": webpcodec.encode_webp,
+            "png": lambda a: codecs.encode_png(codecs.to_rgba(a)),
+            "raw": lambda a: codecs.encode_raw(codecs.to_rgba(a)),
+            "tiff": lambda a: tiffcodec.encode_tiff(
+                codecs.to_rgba(a), compression="deflate"
+            ),
+        }[codec]
+        for pdf in batches:
+            rows = []
+            for rec in pdf[["image_id", "bytes", "fmt"]].to_dict("records"):
+                rgba = codecs.to_rgba(
+                    codecs.decode_image(bytes(rec["bytes"]), rec["fmt"])
+                )
+                blob = enc(rgba)
+                container = codecs.sniff_fmt(blob)
+                rt = codecs.to_rgba(codecs.decode_image(blob, container))
+                rows.append(
+                    (
+                        rec["image_id"],
+                        int(rgba.shape[1]),
+                        int(rgba.shape[0]),
+                        hashlib.md5(rgba.tobytes()).hexdigest(),
+                        hashlib.md5(rt.tobytes()).hexdigest(),
+                        container,
+                        bool((rt == rgba).all()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "w", "h", "px_md5", "rt_md5", "container", "roundtrip_ok",
+                ],
+            )
+
+    return images.mapInPandas(
+        fn,
+        schema="image_id string, w int, h int, px_md5 string, rt_md5 string, "
+        "container string, roundtrip_ok boolean",
+    )
+
+
 def image_resize(images: DataFrame, out_w: int = 64, out_h: int = 64) -> DataFrame:
     """Bilinear resize -> PNG thumbnails (same sampling math as the tiler)."""
 

@@ -24,12 +24,20 @@ _GOLDEN_DIR = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "..", "..", "tests", "golden", "values"
 )
 
-_DUCK_TYPES = {"int32": "INTEGER", "int64": "BIGINT", "float64": "DOUBLE", "str": "VARCHAR"}
+_DUCK_TYPES = {
+    "int32": "INTEGER",
+    "int64": "BIGINT",
+    "float64": "DOUBLE",
+    "str": "VARCHAR",
+    "bool": "BOOLEAN",
+}
 
 
 def _lit(v, t: str) -> str:
     if v is None:
         return "NULL"
+    if t == "bool":
+        return "TRUE" if v else "FALSE"
     if t == "str":
         return "'" + str(v).replace("'", "''") + "'"
     if t == "float64":

@@ -661,6 +661,27 @@ def q_quantize_colors(spark, sf_dir):
     return multimodal.quantize_colors(images, max_colors=16)
 
 
+def q_webp_roundtrip(spark, sf_dir):
+    """Lossless WebP (VP8L) interop gate (functions/webpcodec.py +
+    operators/multimodal.codec_roundtrip): decode fixture images, encode
+    to VP8L, sniff the RIFF/WEBP magic, decode back, compare RGBA bytes.
+    The golden recomputes px_md5/w/h straight from fixtures.gen.make_pixels
+    (no codec code in the expected box) and pins rt_md5 == px_md5 and
+    container == 'webp' — so the gate proves the engine's fixture decode
+    matches the published generator AND that decode∘encode is the
+    identity. The VP8L bitstream itself is anchored separately by the
+    handcrafted spec bytes in tests/test_webpcodec.py."""
+    from fixtures import gen
+    from ..operators import multimodal
+
+    rows = [
+        (r["image_id"], r["bytes"], r["fmt"])
+        for r in gen.gen_images(10, fmts=("raw", "png"))
+    ]
+    images = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    return multimodal.codec_roundtrip(images, codec="webp")
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Random embeddings contain no true near-dups, so plant perturbed
     copies of the first 4 vectors (vec_id + 1000000, every component
@@ -2289,6 +2310,7 @@ QUERIES: dict = {
     "zonal_stats": (q_zonal_stats, _golden("zonal_stats")),
     "polygonize": (q_polygonize, _golden("polygonize")),
     "quantize_colors": (q_quantize_colors, _golden("quantize_colors")),
+    "webp_roundtrip": (q_webp_roundtrip, _golden("webp_roundtrip")),
     "point_sample": (q_point_sample, _golden("point_sample")),
     "kml_superoverlay": (q_kml_superoverlay, SQL_KML_SUPEROVERLAY),
     "mixture_resample": (q_mixture_resample, SQL_MIXTURE_RESAMPLE),

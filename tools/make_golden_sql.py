@@ -541,6 +541,35 @@ def g_quantize_colors():
     )
 
 
+def g_webp_roundtrip():
+    # INDEPENDENCE: expected px_md5/w/h come straight from the published
+    # fixture generator (gen.make_pixels + alpha=255), never through any
+    # engine codec; rt_md5 is pinned EQUAL to px_md5 (lossless contract)
+    # and container to the literal 'webp'. The VP8L bitstream format is
+    # anchored by handcrafted spec bytes in tests/test_webpcodec.py.
+    import hashlib
+
+    from fixtures import gen
+    from tilers_tools_spark.functions import georef
+
+    n = 10
+    idx = np.arange(n, dtype=np.uint64)
+    phash = georef.splitmix64(np.uint64(gen.SEED) ^ idx)
+    w, h = georef.derive_size_np(phash)
+    rows = []
+    for i in range(n):
+        pix = gen.make_pixels(i, int(phash[i]), int(w[i]), int(h[i]))
+        rgba = np.dstack([pix, np.full(pix.shape[:2], 255, np.uint8)])
+        md5 = hashlib.md5(rgba.tobytes()).hexdigest()
+        rows.append([f"img{i:08d}", int(w[i]), int(h[i]), md5, md5, "webp", True])
+    save(
+        "webp_roundtrip",
+        ["image_id", "w", "h", "px_md5", "rt_md5", "container", "roundtrip_ok"],
+        ["str", "int32", "int32", "str", "str", "str", "bool"],
+        rows,
+    )
+
+
 def g_dem_terrain():
     # SCOPE NOTE: reuses terrain.tri_np/tpi_np/roughness_np (pure NumPy),
     # anchored independently by the hand-derived pins in
@@ -996,6 +1025,7 @@ GENERATORS = {
     "point_sample": g_point_sample,
     "polygonize": g_polygonize,
     "quantize_colors": g_quantize_colors,
+    "webp_roundtrip": g_webp_roundtrip,
     "dem_terrain": g_dem_terrain,
     "dem_contour": g_dem_contour,
     "dem_derivatives": g_dem_derivatives,
