@@ -512,3 +512,86 @@ def test_zonal_stats_disjoint_zone_absent(spark):
         [("faraway", ring)], "poly_id string, ring array<struct<lon:double,lat:double>>"
     )
     assert zonal.zonal_stats(images, zones).collect() == []
+
+
+def test_edt_hand_pins():
+    """Hand-derived exact squared-distance pins."""
+    from tilers_tools_spark.operators import zonal
+
+    m = np.zeros((3, 4), bool)
+    m[1, 1] = True
+    d = zonal.edt_np(m)
+    # distances from the single target at (1,1), squared, by hand
+    exp = np.array(
+        [[2, 1, 2, 5],
+         [1, 0, 1, 4],
+         [2, 1, 2, 5]], np.int64)
+    assert (d == exp).all()
+    # two targets: nearest wins
+    m2 = np.zeros((1, 5), bool)
+    m2[0, 0] = m2[0, 4] = True
+    assert zonal.edt_np(m2)[0].tolist() == [0, 1, 4, 1, 0]
+    # no targets -> all -1
+    assert (zonal.edt_np(np.zeros((2, 2), bool)) == -1).all()
+    # all targets -> all 0
+    assert (zonal.edt_np(np.ones((2, 3), bool)) == 0).all()
+
+
+def test_edt_matches_brute_force():
+    from tilers_tools_spark.operators import zonal
+
+    rng = np.random.default_rng(5)
+    for _ in range(5):
+        m = rng.random((rng.integers(3, 20), rng.integers(3, 20))) < 0.08
+        d = zonal.edt_np(m)
+        ys, xs = np.nonzero(m)
+        if len(ys) == 0:
+            assert (d == -1).all()
+            continue
+        for y in range(m.shape[0]):
+            for x in range(m.shape[1]):
+                assert d[y, x] == ((ys - y) ** 2 + (xs - x) ** 2).min()
+
+
+def test_sieve_hand_pins():
+    """Hand-worked sieve cases for the documented spec."""
+    from tilers_tools_spark.operators import zonal
+
+    # single speck in a field: repainted with the background
+    a = np.zeros((4, 4), np.float32)
+    a[1, 2] = 9.0
+    out, nb, na, changed = zonal.sieve_np(a, threshold=2)
+    assert (out == 0).all() and nb == 2 and na == 1 and changed == 1
+
+    # threshold 1 never repaints (size >= 1 always)
+    out, nb, na, changed = zonal.sieve_np(a, threshold=1)
+    assert changed == 0 and (out == a).all() and nb == na == 2
+
+    # two neighbors: larger one wins. Layout (w=5):
+    #   1 1 9 2 2     small {9} at (0,2) touches region 1 (size 4 incl
+    #   1 1 9 2 2     (1,2)? no — 9s are their own region of size 2)
+    # regions: 1s size 4, 9s size 2, 2s size 4 -> 9-region (size 2 < 3)
+    # neighbors are 1s (size 4, id 0) and 2s (size 4, id 3):
+    # tie on size -> smaller canonical id -> value 1.
+    a = np.array([[1, 1, 9, 2, 2], [1, 1, 9, 2, 2]], np.float32)
+    out, nb, na, changed = zonal.sieve_np(a, threshold=3)
+    assert out[0, 2] == 1.0 and out[1, 2] == 1.0
+    # after repaint the grid is 1 1 1 2 2 / 1 1 1 2 2 -> regions of size
+    # 6 and 4, both >= 3 -> fixpoint with two regions
+    assert nb == 3 and na == 2 and changed == 2
+
+
+def test_sieve_iterates_to_fixpoint():
+    from tilers_tools_spark.operators import zonal
+
+    # chain: small region merges into small region, combined survives
+    a = np.array([[5, 5, 5, 5, 7, 8, 8]], np.float32)
+    out, nb, na, changed = zonal.sieve_np(a, threshold=3)
+    # sweep 1: {7} (size1) and {8,8} (size2) both small.
+    #  {7}: neighbors {5..} (size4) and {8,8} (size2) -> 5 wins -> 7->5
+    #  {8,8}: neighbor {7} (size1) only -> largest is {7}? neighbors of
+    #  the 8-region: only the 7 pixel -> repaint 8s with 7.
+    # grid now: 5 5 5 5 5 7 7 -> sweep 2: {7,7} small, neighbor 5s -> 5.
+    # fixpoint: all 5s.
+    assert (out == 5.0).all()
+    assert nb == 3 and na == 1 and changed == 3

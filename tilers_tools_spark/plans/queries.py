@@ -1193,6 +1193,71 @@ def q_polygonize(spark, sf_dir):
     return zonal.polygonize(images)
 
 
+def q_proximity(spark, sf_dir):
+    """`gdal_proximity` parity (operators/zonal.py::proximity): exact
+    squared Euclidean distance from every pixel to the nearest
+    target-valued pixel, summarized per raster (n_target, max/sum of
+    squared distance, md5 of the full int64 grid). Rasters are the
+    quantized _DEM_SPECS surfaces (mixed TIFF layouts, so the gate
+    crosses the decode path); target band 0.0 is empty on the flat
+    raster, exercising the all--1 no-target convention. The golden
+    recomputes every distance by scalar brute force over the target
+    pixel list — no EDT, no separable passes, no TIFF bytes."""
+    from ..functions import tiffcodec
+    from ..operators import zonal
+
+    rows = []
+    for name, h, w, gsd in _DEM_SPECS:
+        q = np.floor(
+            _dem_surface(name, h, w).astype(np.float64) / _POLY_STEPS[name]
+        ).astype(np.float32)
+        rows.append(
+            (
+                name,
+                tiffcodec.encode_tiff(
+                    q,
+                    geo={"gsd": gsd, "mx0": 0.0, "my1": 1.0e5, "epsg": 3857},
+                    compression="deflate" if name == "wave" else "none",
+                    tile=16 if name == "plane" else None,
+                ),
+            )
+        )
+    images = spark.createDataFrame(rows, "image_id string, bytes binary")
+    return zonal.proximity(images, target=0.0)
+
+
+def q_sieve(spark, sf_dir):
+    """`gdal_sieve` parity (operators/zonal.py::sieve): 4-connected
+    regions smaller than 12 pixels repainted with their dominant
+    neighbor under the deterministic spec in sieve_np's docstring
+    (largest neighbor, ties to smallest canonical id, simultaneous
+    sweeps until fixpoint). The golden re-runs the same spec with an
+    independent scalar BFS coding (no union-find, no vectorized
+    adjacency) and pins region counts, changed-pixel counts and the md5
+    of the sieved float32 grid."""
+    from ..functions import tiffcodec
+    from ..operators import zonal
+
+    rows = []
+    for name, h, w, gsd in _DEM_SPECS:
+        q = np.floor(
+            _dem_surface(name, h, w).astype(np.float64) / _POLY_STEPS[name]
+        ).astype(np.float32)
+        rows.append(
+            (
+                name,
+                tiffcodec.encode_tiff(
+                    q,
+                    geo={"gsd": gsd, "mx0": 0.0, "my1": 1.0e5, "epsg": 3857},
+                    compression="deflate" if name == "flat" else "none",
+                    tile=16 if name == "wave" else None,
+                ),
+            )
+        )
+    images = spark.createDataFrame(rows, "image_id string, bytes binary")
+    return zonal.sieve(images, threshold=12)
+
+
 def q_zonal_stats(spark, sf_dir):
     """Zonal statistics (operators/zonal.py): per-polygon count/min/max/
     sum/mean of DEM pixels whose center falls inside the zone, aggregated
@@ -2309,6 +2374,8 @@ QUERIES: dict = {
     "dem_derivatives": (q_dem_derivatives, _golden("dem_derivatives")),
     "zonal_stats": (q_zonal_stats, _golden("zonal_stats")),
     "polygonize": (q_polygonize, _golden("polygonize")),
+    "proximity": (q_proximity, _golden("proximity")),
+    "sieve": (q_sieve, _golden("sieve")),
     "quantize_colors": (q_quantize_colors, _golden("quantize_colors")),
     "webp_roundtrip": (q_webp_roundtrip, _golden("webp_roundtrip")),
     "point_sample": (q_point_sample, _golden("point_sample")),

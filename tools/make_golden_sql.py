@@ -541,6 +541,126 @@ def g_quantize_colors():
     )
 
 
+def g_proximity():
+    # FULLY INDEPENDENT: squared distances by scalar brute force over the
+    # target pixel list (O(n_pixels * n_targets)) on the recomputed
+    # analytic surfaces — no EDT, no separable passes, no TIFF bytes.
+    import hashlib
+
+    from tilers_tools_spark.plans.queries import _DEM_SPECS, _POLY_STEPS, _dem_surface
+
+    rows = []
+    for name, h, w, _gsd in _DEM_SPECS:
+        q = np.floor(
+            _dem_surface(name, h, w).astype(np.float64) / _POLY_STEPS[name]
+        )
+        targets = [(r, c) for r in range(h) for c in range(w) if q[r, c] == 0.0]
+        grid = []
+        for r in range(h):
+            for c in range(w):
+                if not targets:
+                    grid.append(-1)
+                else:
+                    grid.append(min((r - tr) ** 2 + (c - tc) ** 2 for tr, tc in targets))
+        arr = np.array(grid, np.int64).reshape(h, w)
+        rows.append(
+            [
+                name,
+                len(targets),
+                int(max(grid)),
+                int(sum(grid)),
+                hashlib.md5(arr.tobytes()).hexdigest(),
+            ]
+        )
+    save(
+        "proximity",
+        ["image_id", "n_target", "max_sqdist", "sum_sqdist", "sqdist_md5"],
+        ["str", "int64", "int64", "int64", "str"],
+        rows,
+    )
+
+
+def g_sieve():
+    # INDEPENDENT ALGORITHM CODING: scalar BFS labeling + the sieve_np
+    # docstring spec (small regions repainted with the (largest, then
+    # smallest-canonical-id) 4-neighbor, simultaneous sweeps to
+    # fixpoint). No union-find, no vectorized adjacency, no TIFF bytes.
+    import hashlib
+
+    from tilers_tools_spark.plans.queries import _DEM_SPECS, _POLY_STEPS, _dem_surface
+
+    THRESHOLD = 12
+
+    def label(a, h, w):
+        lab = [[-1] * w for _ in range(h)]
+        regions = {}
+        for r0 in range(h):
+            for c0 in range(w):
+                if lab[r0][c0] != -1:
+                    continue
+                rid = r0 * w + c0
+                v = a[r0][c0]
+                stack = [(r0, c0)]
+                lab[r0][c0] = rid
+                pix = []
+                while stack:
+                    r, c = stack.pop()
+                    pix.append((r, c))
+                    for rr, cc in ((r - 1, c), (r + 1, c), (r, c - 1), (r, c + 1)):
+                        if 0 <= rr < h and 0 <= cc < w and lab[rr][cc] == -1 and a[rr][cc] == v:
+                            lab[rr][cc] = rid
+                            stack.append((rr, cc))
+                regions[rid] = pix
+        return lab, regions
+
+    rows = []
+    for name, h, w, _gsd in _DEM_SPECS:
+        q32 = np.floor(
+            _dem_surface(name, h, w).astype(np.float64) / _POLY_STEPS[name]
+        ).astype(np.float32)
+        a = [row[:] for row in q32.tolist()]
+        orig = [row[:] for row in a]
+        _, reg0 = label(a, h, w)
+        n_before = len(reg0)
+        while True:
+            lab, regions = label(a, h, w)
+            n_after = len(regions)
+            if n_after <= 1:
+                break
+            small = [rid for rid, pix in regions.items() if len(pix) < THRESHOLD]
+            if not small:
+                break
+            vals = {rid: a[rid // w][rid % w] for rid in regions}
+            repaint = {}
+            for rid in small:
+                best = None
+                for r, c in regions[rid]:
+                    for rr, cc in ((r - 1, c), (r + 1, c), (r, c - 1), (r, c + 1)):
+                        if 0 <= rr < h and 0 <= cc < w and lab[rr][cc] != rid:
+                            nbr = lab[rr][cc]
+                            key = (len(regions[nbr]), -nbr)
+                            if best is None or key > best[0]:
+                                best = (key, nbr)
+                if best is not None:
+                    repaint[rid] = vals[best[1]]
+            for rid, v in repaint.items():
+                for r, c in regions[rid]:
+                    a[r][c] = v
+        changed = sum(
+            1 for r in range(h) for c in range(w) if a[r][c] != orig[r][c]
+        )
+        out32 = np.array(a, np.float32)
+        rows.append(
+            [name, n_before, n_after, changed, hashlib.md5(out32.tobytes()).hexdigest()]
+        )
+    save(
+        "sieve",
+        ["image_id", "n_regions_before", "n_regions_after", "n_changed", "out_md5"],
+        ["str", "int64", "int64", "int64", "str"],
+        rows,
+    )
+
+
 def g_webp_roundtrip():
     # INDEPENDENCE: expected px_md5/w/h come straight from the published
     # fixture generator (gen.make_pixels + alpha=255), never through any
@@ -1026,6 +1146,8 @@ GENERATORS = {
     "polygonize": g_polygonize,
     "quantize_colors": g_quantize_colors,
     "webp_roundtrip": g_webp_roundtrip,
+    "proximity": g_proximity,
+    "sieve": g_sieve,
     "dem_terrain": g_dem_terrain,
     "dem_contour": g_dem_contour,
     "dem_derivatives": g_dem_derivatives,
