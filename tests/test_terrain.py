@@ -595,3 +595,58 @@ def test_sieve_iterates_to_fixpoint():
     # fixpoint: all 5s.
     assert (out == 5.0).all()
     assert nb == 3 and na == 1 and changed == 3
+
+
+def test_idw_hand_pins():
+    from tilers_tools_spark.operators import zonal
+
+    # single point: IDW of one point is exactly z everywhere
+    pts = np.array([[10.0, 10.0, 42.5]])
+    mx = np.array([0.0, 100.0])
+    my = np.array([0.0, -50.0])
+    assert zonal.idw_np(mx, my, pts).tolist() == [42.5, 42.5]
+    # exact hit takes the coincident point's value
+    pts = np.array([[5.0, 5.0, 7.0], [6.0, 5.0, 100.0]])
+    assert zonal.idw_np(np.array([5.0]), np.array([5.0]), pts)[0] == 7.0
+    # two symmetric points -> arithmetic mean (equal weights, exact)
+    pts = np.array([[0.0, 0.0, 10.0], [4.0, 0.0, 20.0]])
+    assert zonal.idw_np(np.array([2.0]), np.array([0.0]), pts)[0] == 15.0
+
+
+def test_rasterize_overwrite_order(spark):
+    import math
+
+    from tilers_tools_spark.operators import zonal
+
+    R = 6378137.0
+
+    def inv(x, y):
+        lon = math.degrees(x / R)
+        lat = math.degrees(2.0 * math.atan(math.exp(y / R)) - math.pi / 2.0)
+        return lon, lat
+
+    # 4x4 grid, gsd 1000 m: pixel centers at x = 500..3500, y = my1-500..
+    my1 = 1.0e5
+    grid = {"w": 4, "h": 4, "gsd": 1000.0, "mx0": 0.0, "my1": my1}
+
+    def rect(x0, x1, y0, y1):
+        return [
+            {"lon": lon, "lat": lat}
+            for lon, lat in [inv(x0, y0), inv(x1, y0), inv(x1, y1), inv(x0, y1)]
+        ]
+
+    zones = spark.createDataFrame(
+        [
+            ("a", rect(-100.0, 1600.0, my1 - 4100.0, my1 + 100.0)),  # cols 0-1
+            ("b", rect(900.0, 1600.0, my1 - 4100.0, my1 + 100.0)),  # col 1 only
+        ],
+        "poly_id string, ring array<struct<lon:double,lat:double>>",
+    )
+    out = zonal.rasterize(zones, grid, {"a": 1.0, "b": 2.0}, n_bands=2).toPandas()
+    for band in (0, 1):
+        sub = out[out["band"] == band].set_index("poly_id")
+        # b burns after a (ascending id) and owns column 1
+        assert sub.loc["a", "n_pixels"] == 2
+        assert sub.loc["b", "n_pixels"] == 2
+        assert sub.loc["__bg__", "n_pixels"] == 4
+    assert out[out["poly_id"] == "b"]["burn_value"].unique().tolist() == [2.0]

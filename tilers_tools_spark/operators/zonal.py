@@ -589,3 +589,167 @@ def sieve(
         schema=f"{id_col} string, n_regions_before long, n_regions_after long, "
         "n_changed long, out_md5 string",
     )
+
+
+# ---------------------------------------------------------------------------
+# gdal_rasterize parity: burn polygons into a banded grid
+# ---------------------------------------------------------------------------
+
+
+def rasterize(
+    zones: DataFrame,
+    grid: dict,
+    burn: dict,
+    n_bands: int = 4,
+) -> DataFrame:
+    """`gdal_rasterize` parity: burn polygon values into a north-up
+    EPSG:3857 grid. Pixel-center containment uses the SAME even-odd
+    scanline kernel as the cutline mask (`cutline.grid_mask`); polygons
+    burn in ascending poly_id order, later ids overwriting earlier
+    (gdal_rasterize's feature-order rule made deterministic).
+
+    ``grid`` = {w, h, gsd, mx0, my1} (meters, top-left corner);
+    ``burn`` maps poly_id -> float burn value; background is 0.0.
+
+    Scale shape: the grid is split into ``n_bands`` horizontal bands,
+    one task each (this is how a 10^6x10^6 rasterization distributes:
+    bands/tiles x broadcast geometry). Zones are contract-small (cutline
+    convention) and ship in the closure; each band emits narrow count
+    rows per final value — (band, y0, band_h, poly_id, burn_value,
+    n_pixels, band_md5) — where band_md5 pins the band's float32 pixels
+    and poly_id '__bg__' carries the background count.
+    """
+    import hashlib
+
+    spark = zones.sparkSession
+    polys = sorted(
+        (r["poly_id"], ring_to_merc(r["ring"]))
+        for r in zones.select("poly_id", "ring").collect()
+    )
+    w, h, gsd = int(grid["w"]), int(grid["h"]), float(grid["gsd"])
+    mx0, my1 = float(grid["mx0"]), float(grid["my1"])
+    band_h = (h + n_bands - 1) // n_bands
+    bands = [(b, b * band_h, min(band_h, h - b * band_h)) for b in range(n_bands)]
+    bands = [b for b in bands if b[2] > 0]
+    bdf = spark.createDataFrame(bands, "band int, y0 int, band_h int")
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for band, y0, bh in pdf[["band", "y0", "band_h"]].itertuples(index=False):
+                g = np.zeros((bh, w), np.float32)
+                owner = np.full((bh, w), "", object)
+                top = my1 - y0 * gsd
+                for pid, ring_m in polys:
+                    m = grid_mask([ring_m], mx0, top, gsd, bh, w)
+                    g[m] = np.float32(burn[pid])
+                    owner[m] = pid
+                md5 = hashlib.md5(g.tobytes()).hexdigest()
+                ids, counts = np.unique(owner, return_counts=True)
+                for pid, cnt in zip(ids, counts):
+                    rows.append(
+                        (
+                            int(band), int(y0), int(bh),
+                            pid if pid else "__bg__",
+                            float(burn.get(pid, 0.0)),
+                            int(cnt),
+                            md5,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["band", "y0", "band_h", "poly_id", "burn_value", "n_pixels", "band_md5"],
+            )
+
+    return bdf.mapInPandas(
+        fn,
+        schema="band int, y0 int, band_h int, poly_id string, "
+        "burn_value double, n_pixels long, band_md5 string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# gdal_grid (invdist) parity: IDW interpolation onto a banded grid
+# ---------------------------------------------------------------------------
+
+
+def idw_np(
+    mx: np.ndarray, my: np.ndarray, pts: np.ndarray, power: int = 2
+) -> np.ndarray:
+    """Inverse-distance weighting at pixel centers: value =
+    sum(z_i / d_i^power) / sum(1 / d_i^power); an exact hit (d^2 <
+    1e-12 m^2) takes the coincident point's value (smallest point index
+    on ties). pts = (N, 3) [x, y, z]. Vectorized over one band."""
+    d2 = (mx[:, None] - pts[None, :, 0]) ** 2 + (my[:, None] - pts[None, :, 1]) ** 2
+    hit = d2 < 1e-12
+    with np.errstate(divide="ignore"):
+        wgt = 1.0 / np.where(hit, 1.0, d2) ** (power / 2)
+    val = (wgt * pts[None, :, 2]).sum(axis=1) / wgt.sum(axis=1)
+    any_hit = hit.any(axis=1)
+    first_hit = np.argmax(hit, axis=1)
+    return np.where(any_hit, pts[first_hit, 2], val)
+
+
+def grid_idw(
+    points: DataFrame,
+    grid: dict,
+    power: int = 2,
+    n_bands: int = 4,
+    quant: float = 1e-3,
+) -> DataFrame:
+    """`gdal_grid -a invdist` parity: scattered (x, y, z) points ->
+    north-up grid by inverse-distance-squared weighting at pixel
+    centers. Points are broadcast (scatter sets are small relative to
+    the grid in the gdal_grid use case); the grid distributes as
+    horizontal bands, one task per band, like `rasterize`.
+
+    Per band emits (band, y0, band_h, n_cells, q_sum, q_min, q_max,
+    band_md5) where q_* and the md5 are over the band's values
+    QUANTIZED to ``quant`` units (int64 round-half-even): quantization
+    makes the contract integer-exact, absorbing summation-order ULP
+    differences between implementations.
+    """
+    import hashlib
+
+    spark = points.sparkSession
+    pts = np.array(
+        sorted(
+            (float(r["x"]), float(r["y"]), float(r["z"]))
+            for r in points.select("x", "y", "z").collect()
+        ),
+        np.float64,
+    )
+    w, h, gsd = int(grid["w"]), int(grid["h"]), float(grid["gsd"])
+    mx0, my1 = float(grid["mx0"]), float(grid["my1"])
+    band_h = (h + n_bands - 1) // n_bands
+    bands = [(b, b * band_h, min(band_h, h - b * band_h)) for b in range(n_bands)]
+    bands = [b for b in bands if b[2] > 0]
+    bdf = spark.createDataFrame(bands, "band int, y0 int, band_h int")
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for band, y0, bh in pdf[["band", "y0", "band_h"]].itertuples(index=False):
+                cc = np.tile(np.arange(w, dtype=np.float64), bh)
+                rr = np.repeat(np.arange(bh, dtype=np.float64), w)
+                mx = mx0 + (cc + 0.5) * gsd
+                my = (my1 - y0 * gsd) - (rr + 0.5) * gsd
+                v = idw_np(mx, my, pts, power)
+                q = np.round(v / quant).astype(np.int64)
+                rows.append(
+                    (
+                        int(band), int(y0), int(bh), int(q.size),
+                        int(q.sum()), int(q.min()), int(q.max()),
+                        hashlib.md5(q.tobytes()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["band", "y0", "band_h", "n_cells", "q_sum", "q_min", "q_max", "band_md5"],
+            )
+
+    return bdf.mapInPandas(
+        fn,
+        schema="band int, y0 int, band_h int, n_cells long, "
+        "q_sum long, q_min long, q_max long, band_md5 string",
+    )

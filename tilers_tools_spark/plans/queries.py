@@ -1289,6 +1289,59 @@ def q_zonal_stats(spark, sf_dir):
     return zonal.zonal_stats(images, zones)
 
 
+_BURN_VALUES = {"zoneA": 10.0, "zoneB": 20.0, "zoneC": 30.0}
+_RAST_GRID = {"w": 40, "h": 24, "gsd": 2.0, "mx0": 0.0, "my1": 1.0e5}
+
+
+def _idw_points():
+    """Analytic scatter points (exact closed forms — both engine and
+    golden rebuild identical float64s). Point 12 sits exactly on a pixel
+    center of _RAST_GRID, exercising the exact-hit rule."""
+    pts = [
+        (
+            i,
+            float((i * 37) % 80) + 0.25,
+            1.0e5 - float((i * 53) % 48) - 0.25,
+            float((i * i * 7) % 97) + 0.5,
+        )
+        for i in range(12)
+    ]
+    pts.append((12, 21.0, 1.0e5 - 13.0, 55.5))
+    return pts
+
+
+def q_rasterize(spark, sf_dir):
+    """`gdal_rasterize` parity (operators/zonal.py::rasterize): burn the
+    _ZONE_RINGS polygons into a banded north-up grid (ascending poly_id,
+    later overwrites). The golden recomputes ownership with the scalar
+    crossing-number PIP (different algorithm family from the engine's
+    vectorized scanline fill) and pins per-band per-owner pixel counts
+    plus the md5 of each band's float32 pixels."""
+    from ..operators import zonal
+
+    zones = spark.createDataFrame(
+        [
+            (pid, [{"lon": lon, "lat": lat} for lon, lat in ring])
+            for pid, ring in _ZONE_RINGS.items()
+        ],
+        "poly_id string, ring array<struct<lon:double,lat:double>>",
+    )
+    return zonal.rasterize(zones, _RAST_GRID, _BURN_VALUES, n_bands=4)
+
+
+def q_grid_idw(spark, sf_dir):
+    """`gdal_grid -a invdist` parity (operators/zonal.py::grid_idw):
+    inverse-distance-squared interpolation of the analytic scatter onto
+    a banded grid, with values quantized to 1e-3 so the contract is
+    integer-exact (ULP-order differences between the engine's vectorized
+    fold and the golden's scalar loop cannot move the hash). The golden
+    recomputes every cell with scalar Python arithmetic."""
+    from ..operators import zonal
+
+    pts = spark.createDataFrame(_idw_points(), "pt_id int, x double, y double, z double")
+    return zonal.grid_idw(pts, _RAST_GRID, power=2, n_bands=4)
+
+
 _MIX_WEIGHTS = {"en": 0.5, "zh": 0.2, "es": 0.15, "de": 0.1, "fr": 0.05}
 
 
@@ -2376,6 +2429,8 @@ QUERIES: dict = {
     "polygonize": (q_polygonize, _golden("polygonize")),
     "proximity": (q_proximity, _golden("proximity")),
     "sieve": (q_sieve, _golden("sieve")),
+    "rasterize": (q_rasterize, _golden("rasterize")),
+    "grid_idw": (q_grid_idw, _golden("grid_idw")),
     "quantize_colors": (q_quantize_colors, _golden("quantize_colors")),
     "webp_roundtrip": (q_webp_roundtrip, _golden("webp_roundtrip")),
     "point_sample": (q_point_sample, _golden("point_sample")),

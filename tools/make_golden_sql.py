@@ -661,6 +661,121 @@ def g_sieve():
     )
 
 
+def g_rasterize():
+    # FULLY INDEPENDENT: scalar crossing-number PIP (the g_zonal_stats
+    # algorithm family) + minitiler's scalar mercator; the engine uses
+    # the vectorized scanline fill. Burn order: ascending poly_id,
+    # later overwrites — recomputed here pixel by pixel.
+    import hashlib
+
+    from oracle.minitiler import merc
+    from tilers_tools_spark.plans.queries import _BURN_VALUES, _RAST_GRID, _ZONE_RINGS
+
+    def pip(pts, x, y):
+        inside = False
+        n = len(pts)
+        for i in range(n):
+            x1, y1 = pts[i]
+            x2, y2 = pts[(i + 1) % n]
+            if (y1 > y) != (y2 > y):
+                xint = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+                if xint > x:
+                    inside = not inside
+        return inside
+
+    zones = sorted(
+        (pid, [merc(lon, lat) for lon, lat in ring]) for pid, ring in _ZONE_RINGS.items()
+    )
+    w, h, gsd = _RAST_GRID["w"], _RAST_GRID["h"], _RAST_GRID["gsd"]
+    mx0, my1 = _RAST_GRID["mx0"], _RAST_GRID["my1"]
+    n_bands = 4
+    band_h = (h + n_bands - 1) // n_bands
+    rows = []
+    for band in range(n_bands):
+        y0 = band * band_h
+        bh = min(band_h, h - y0)
+        if bh <= 0:
+            continue
+        g = [[0.0] * w for _ in range(bh)]
+        owner = [["__bg__"] * w for _ in range(bh)]
+        for rr in range(bh):
+            my = my1 - (y0 + rr + 0.5) * gsd
+            for cc in range(w):
+                mx = mx0 + (cc + 0.5) * gsd
+                for pid, pts in zones:  # ascending id; later overwrites
+                    if pip(pts, mx, my):
+                        g[rr][cc] = _BURN_VALUES[pid]
+                        owner[rr][cc] = pid
+        md5 = hashlib.md5(np.array(g, np.float32).tobytes()).hexdigest()
+        counts: dict[str, int] = {}
+        for rr in range(bh):
+            for cc in range(w):
+                counts[owner[rr][cc]] = counts.get(owner[rr][cc], 0) + 1
+        for pid in sorted(counts):
+            rows.append(
+                [band, y0, bh, pid, _BURN_VALUES.get(pid, 0.0), counts[pid], md5]
+            )
+    save(
+        "rasterize",
+        ["band", "y0", "band_h", "poly_id", "burn_value", "n_pixels", "band_md5"],
+        ["int32", "int32", "int32", "str", "float64", "int64", "str"],
+        rows,
+    )
+
+
+def g_grid_idw():
+    # INDEPENDENT ALGORITHM CODING: scalar per-pixel IDW loop (sequential
+    # accumulation in sorted-point order) vs the engine's vectorized
+    # broadcast fold; the shared 1e-3 quantization absorbs ULP-order
+    # summation differences, making the md5 contract integer-exact.
+    import hashlib
+
+    from tilers_tools_spark.plans.queries import _RAST_GRID, _idw_points
+
+    pts = sorted((x, y, z) for _i, x, y, z in _idw_points())
+    w, h, gsd = _RAST_GRID["w"], _RAST_GRID["h"], _RAST_GRID["gsd"]
+    mx0, my1 = _RAST_GRID["mx0"], _RAST_GRID["my1"]
+    power = 2
+    quant = 1e-3
+    n_bands = 4
+    band_h = (h + n_bands - 1) // n_bands
+    rows = []
+    for band in range(n_bands):
+        y0 = band * band_h
+        bh = min(band_h, h - y0)
+        if bh <= 0:
+            continue
+        q = []
+        for rr in range(bh):
+            my = (my1 - y0 * gsd) - (rr + 0.5) * gsd
+            for cc in range(w):
+                mx = mx0 + (cc + 0.5) * gsd
+                num = den = 0.0
+                val = None
+                for x, y, z in pts:
+                    d2 = (mx - x) ** 2 + (my - y) ** 2
+                    if d2 < 1e-12:
+                        val = z  # first hit in sorted-point order
+                        break
+                    wgt = 1.0 / d2 ** (power / 2)
+                    num += wgt * z
+                    den += wgt
+                q.append(float(np.round((val if val is not None else num / den) / quant)))
+        qa = np.array(q, np.int64)
+        rows.append(
+            [
+                band, y0, bh, int(qa.size), int(qa.sum()), int(qa.min()),
+                int(qa.max()), hashlib.md5(qa.tobytes()).hexdigest(),
+            ]
+        )
+    save(
+        "grid_idw",
+        ["band", "y0", "band_h", "n_cells", "q_sum", "q_min", "q_max", "band_md5"],
+        ["int32", "int32", "int32", "int64", "int64", "int64", "int64", "str"],
+        rows,
+    )
+
+
 def g_webp_roundtrip():
     # INDEPENDENCE: expected px_md5/w/h come straight from the published
     # fixture generator (gen.make_pixels + alpha=255), never through any
@@ -1148,6 +1263,8 @@ GENERATORS = {
     "webp_roundtrip": g_webp_roundtrip,
     "proximity": g_proximity,
     "sieve": g_sieve,
+    "rasterize": g_rasterize,
+    "grid_idw": g_grid_idw,
     "dem_terrain": g_dem_terrain,
     "dem_contour": g_dem_contour,
     "dem_derivatives": g_dem_derivatives,
