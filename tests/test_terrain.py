@@ -650,3 +650,80 @@ def test_rasterize_overwrite_order(spark):
         assert sub.loc["b", "n_pixels"] == 2
         assert sub.loc["__bg__", "n_pixels"] == 4
     assert out[out["poly_id"] == "b"]["burn_value"].unique().tolist() == [2.0]
+
+
+def test_fillnodata_np_hand_pins():
+    """Hand-computed fills: center of a 3x3 ring — axial neighbors weight
+    1, diagonals 1/2 -> (2+4+6+8)*1 + (1+3+7+9)*0.5 = 30 over den 6 = 5.0."""
+    from tilers_tools_spark.operators.zonal import fillnodata_np
+
+    a = np.array([[1, 2, 3], [4, np.nan, 6], [7, 8, 9]], np.float64)
+    out, filled = fillnodata_np(a, ~np.isnan(a), max_dist=4)
+    assert filled.sum() == 1 and filled[1, 1]
+    assert out[1, 1] == 5.0
+    # valid pixels pass through untouched
+    assert out[0, 0] == 1.0 and out[2, 2] == 9.0
+
+
+def test_fillnodata_np_first_hit_and_clip():
+    """Rays take the FIRST valid pixel only (nodata does not block), are
+    clipped at borders, and respect max_dist."""
+    from tilers_tools_spark.operators.zonal import fillnodata_np
+
+    a = np.array([[np.nan, np.nan, 5.0]])
+    out, filled = fillnodata_np(a, ~np.isnan(a), max_dist=4)
+    # both holes see only the single valid pixel -> fill value 5.0
+    assert filled.tolist() == [[True, True, False]]
+    assert out[0, 0] == 5.0 and out[0, 1] == 5.0
+
+    out1, filled1 = fillnodata_np(a, ~np.isnan(a), max_dist=1)
+    # with max_dist=1 the far hole is out of reach and stays NaN
+    assert filled1.tolist() == [[False, True, False]]
+    assert np.isnan(out1[0, 0])
+
+
+def test_fillnodata_np_all_nodata():
+    from tilers_tools_spark.operators.zonal import fillnodata_np
+
+    a = np.full((3, 3), np.nan)
+    out, filled = fillnodata_np(a, np.zeros((3, 3), bool), max_dist=2)
+    assert not filled.any() and np.isnan(out).all()
+
+
+def test_fillnodata_operator_end_to_end(spark):
+    """Operator over mixed-layout Float32 GeoTIFFs: counts reconcile and
+    the out-of-reach wave blob core stays nodata (n_unfilled > 0)."""
+    from tilers_tools_spark.functions import tiffcodec
+    from tilers_tools_spark.operators import zonal
+    from tilers_tools_spark.plans.queries import (
+        _DEM_SPECS,
+        _dem_surface,
+        _fillnodata_mask,
+    )
+
+    rows = []
+    for name, h, w, gsd in _DEM_SPECS:
+        a = _dem_surface(name, h, w).copy()
+        a[_fillnodata_mask(name, h, w)] = np.nan
+        rows.append(
+            (
+                name,
+                tiffcodec.encode_tiff(
+                    a,
+                    geo={"gsd": gsd, "mx0": 0.0, "my1": 1.0e5, "epsg": 3857},
+                    compression="deflate" if name == "plane" else "none",
+                    tile=16 if name == "wave" else None,
+                ),
+            )
+        )
+    images = spark.createDataFrame(rows, "image_id string, bytes binary")
+    out = zonal.fillnodata(images, max_dist=4).toPandas().set_index("image_id")
+    for name, h, w, _gsd in _DEM_SPECS:
+        m = _fillnodata_mask(name, h, w)
+        row = out.loc[name]
+        assert row["n_nodata"] == int(np.asarray(m).sum())
+        assert row["n_filled"] + row["n_unfilled"] == row["n_nodata"]
+    # scattered holes always reachable within 4 steps
+    assert out.loc["plane", "n_unfilled"] == 0
+    # 13x13 blob core is beyond every 4-step ray
+    assert out.loc["wave", "n_unfilled"] > 0

@@ -753,3 +753,109 @@ def grid_idw(
         schema="band int, y0 int, band_h int, n_cells long, "
         "q_sum long, q_min long, q_max long, band_md5 string",
     )
+
+
+# ---------------------------------------------------------------------------
+# gdal_fillnodata parity: directional-raycast inverse-distance fill
+# ---------------------------------------------------------------------------
+
+
+def fillnodata_np(
+    a: np.ndarray, valid: np.ndarray, max_dist: int = 16
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fill nodata pixels from the FIRST valid pixel along each of the 8
+    compass rays (within ``max_dist`` steps), weighted by inverse squared
+    pixel distance — d^2 = steps^2 axially, 2*steps^2 diagonally, an
+    integer, so the weight set is implementation-independent (documented
+    deviation from gdal_fillnodata's 1/d weighting: squared keeps the
+    contract exact). Pixels no ray reaches stay nodata.
+
+    Returns (filled float64 array, filled_mask). Vectorized as 8
+    directional sweeps x max_dist shifted-mask steps (each step is an
+    O(h*w) NumPy op — max_dist is a small constant, never image-sized).
+    """
+    h, w = a.shape
+    af = np.where(valid, a.astype(np.float64), 0.0)
+    num = np.zeros((h, w))
+    den = np.zeros((h, w))
+    for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0), (1, 1), (1, -1), (-1, 1), (-1, -1)):
+        found = np.zeros((h, w), bool)
+        for step in range(1, max_dist + 1):
+            sy, sx = dy * step, dx * step
+            # source pixel (r - sy, c - sx) seen from each target pixel
+            src_v = np.zeros((h, w))
+            src_ok = np.zeros((h, w), bool)
+            ty0, ty1 = max(0, sy), min(h, h + sy)
+            tx0, tx1 = max(0, sx), min(w, w + sx)
+            if ty1 <= ty0 or tx1 <= tx0:
+                break  # shift exceeds the raster; farther steps too
+            src_v[ty0:ty1, tx0:tx1] = af[ty0 - sy : ty1 - sy, tx0 - sx : tx1 - sx]
+            src_ok[ty0:ty1, tx0:tx1] = valid[ty0 - sy : ty1 - sy, tx0 - sx : tx1 - sx]
+            hit = src_ok & ~found
+            if hit.any():
+                wgt = 1.0 / ((dy * dy + dx * dx) * step * step)
+                num += np.where(hit, wgt * src_v, 0.0)
+                den += np.where(hit, wgt, 0.0)
+            found |= src_ok
+    fill_mask = ~valid & (den > 0)
+    out = np.where(valid, a.astype(np.float64), np.where(fill_mask, num / np.where(den > 0, den, 1.0), np.nan))
+    return out, fill_mask
+
+
+def fillnodata(
+    images: DataFrame,
+    max_dist: int = 16,
+    quant: float = 1e-3,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """`gdal_fillnodata` parity: NaN pixels of each single-band raster
+    filled per fillnodata_np's spec. Emits one summary row per raster —
+    (image_id, n_nodata, n_filled, n_unfilled, q_sum, grid_md5) — where
+    the grid md5 covers the output QUANTIZED to ``quant`` units (int64,
+    unfillable pixels as the sentinel -2^60), making the whole contract
+    integer-exact across implementations.
+
+    Scale shape: per-raster independent Arrow pass (the gdal utility is
+    per-file too); narrow rows out, pixels never shuffle.
+    """
+    import hashlib
+
+    from ..functions import tiffcodec
+
+    SENT = -(2**60)
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for iid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                a, _ = tiffcodec.decode_tiff(bytes(blob), scale_16bit=False)
+                if a.ndim != 2:
+                    raise ValueError("fillnodata expects single-band rasters")
+                a = a.astype(np.float64)
+                valid = ~np.isnan(a)
+                out, filled = fillnodata_np(a, valid, max_dist)
+                q = np.where(
+                    np.isnan(out), SENT, np.round(out / quant)
+                ).astype(np.int64)
+                n_nodata = int((~valid).sum())
+                rows.append(
+                    (
+                        iid,
+                        n_nodata,
+                        int(filled.sum()),
+                        n_nodata - int(filled.sum()),
+                        int(q[filled].sum()),
+                        hashlib.md5(np.ascontiguousarray(q).tobytes()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "n_nodata", "n_filled", "n_unfilled", "q_sum", "grid_md5"],
+            )
+
+    return images.select(id_col, bytes_col).mapInPandas(
+        fn,
+        schema=f"{id_col} string, n_nodata long, n_filled long, n_unfilled long, "
+        "q_sum long, grid_md5 string",
+    )

@@ -1342,6 +1342,54 @@ def q_grid_idw(spark, sf_dir):
     return zonal.grid_idw(pts, _RAST_GRID, power=2, n_bands=4)
 
 
+def _fillnodata_mask(name, h, w):
+    """Deterministic nodata hole masks for the fillnodata gate (shared
+    fixture spec — the golden recomputes the same masks; the ALGORITHM
+    under test is independent). `wave` gets a 13x13 blob whose core is
+    out of reach of max_dist=4 rays (exercises the stays-nodata path);
+    `flat` adds border holes (ray clipping at edges); all three carry a
+    scattered modular pattern."""
+    r = np.arange(h)[:, None] + np.zeros((1, w), dtype=np.int64)
+    c = np.arange(w)[None, :] + np.zeros((h, 1), dtype=np.int64)
+    scatter = ((3 * r + 5 * c) % 11) == 7
+    if name == "wave":
+        return scatter | ((r >= 8) & (r < 21) & (c >= 8) & (c < 21))
+    if name == "flat":
+        return scatter | (r == 0) | (c == w - 1)
+    return scatter
+
+
+def q_fillnodata(spark, sf_dir):
+    """`gdal_fillnodata` parity (operators/zonal.py::fillnodata): NaN
+    holes punched into the Float32 GeoTIFF DEMs are filled from the
+    first valid pixel along each of the 8 compass rays (max_dist=4),
+    inverse-squared-distance weighted; blob cores no ray reaches stay
+    nodata. Mixed TIFF layouts (deflate strip / uncompressed tiled)
+    cross the decode path. The golden walks every ray with scalar
+    Python arithmetic in the same direction order, so the float64
+    accumulation is bit-identical and the quantized md5 must match."""
+    from ..functions import tiffcodec
+    from ..operators import zonal
+
+    rows = []
+    for name, h, w, gsd in _DEM_SPECS:
+        a = _dem_surface(name, h, w).copy()
+        a[_fillnodata_mask(name, h, w)] = np.nan
+        rows.append(
+            (
+                name,
+                tiffcodec.encode_tiff(
+                    a,
+                    geo={"gsd": gsd, "mx0": 0.0, "my1": 1.0e5, "epsg": 3857},
+                    compression="deflate" if name == "plane" else "none",
+                    tile=16 if name == "wave" else None,
+                ),
+            )
+        )
+    images = spark.createDataFrame(rows, "image_id string, bytes binary")
+    return zonal.fillnodata(images, max_dist=4)
+
+
 _MIX_WEIGHTS = {"en": 0.5, "zh": 0.2, "es": 0.15, "de": 0.1, "fr": 0.05}
 
 
@@ -2431,6 +2479,7 @@ QUERIES: dict = {
     "sieve": (q_sieve, _golden("sieve")),
     "rasterize": (q_rasterize, _golden("rasterize")),
     "grid_idw": (q_grid_idw, _golden("grid_idw")),
+    "fillnodata": (q_fillnodata, _golden("fillnodata")),
     "quantize_colors": (q_quantize_colors, _golden("quantize_colors")),
     "webp_roundtrip": (q_webp_roundtrip, _golden("webp_roundtrip")),
     "point_sample": (q_point_sample, _golden("point_sample")),

@@ -776,6 +776,75 @@ def g_grid_idw():
     )
 
 
+def g_fillnodata(max_dist=4, quant=1e-3):
+    # INDEPENDENT ALGORITHM CODING: scalar per-pixel 8-ray walk (no
+    # shifted-mask sweeps, no vectorized adjacency, no TIFF bytes) on the
+    # recomputed analytic surfaces + the shared hole-mask fixture spec.
+    # Direction order matches fillnodata_np's docstring contract, so the
+    # float64 accumulation (one first-hit term per ray) is bit-identical
+    # by IEEE determinism; quantization to 1e-3 then pins the md5.
+    import hashlib
+
+    from tilers_tools_spark.plans.queries import (
+        _DEM_SPECS,
+        _dem_surface,
+        _fillnodata_mask,
+    )
+
+    SENT = -(2**60)
+    DIRS = ((0, 1), (0, -1), (1, 0), (-1, 0), (1, 1), (1, -1), (-1, 1), (-1, -1))
+    rows = []
+    for name, h, w, _gsd in _DEM_SPECS:
+        a = _dem_surface(name, h, w).copy()
+        mask = np.asarray(_fillnodata_mask(name, h, w))
+        a[mask] = np.nan
+        af = a.astype(np.float64)
+        q = np.empty((h, w), np.int64)
+        n_filled = 0
+        q_sum = 0
+        for r in range(h):
+            for c in range(w):
+                if not mask[r, c]:
+                    q[r, c] = int(np.round(af[r, c] / quant))
+                    continue
+                num = 0.0
+                den = 0.0
+                for dy, dx in DIRS:
+                    for step in range(1, max_dist + 1):
+                        sr, sc = r - dy * step, c - dx * step
+                        if not (0 <= sr < h and 0 <= sc < w):
+                            continue  # ray clipped; farther steps also out
+                        if mask[sr, sc]:
+                            continue  # nodata does not block the ray
+                        num = num + 1.0 / ((dy * dy + dx * dx) * step * step) * af[sr, sc]
+                        den = den + 1.0 / ((dy * dy + dx * dx) * step * step)
+                        break  # first valid pixel along this ray only
+                if den > 0.0:
+                    qv = int(np.round((num / den) / quant))
+                    q[r, c] = qv
+                    n_filled += 1
+                    q_sum += qv
+                else:
+                    q[r, c] = SENT
+        n_nodata = int(mask.sum())
+        rows.append(
+            [
+                name,
+                n_nodata,
+                n_filled,
+                n_nodata - n_filled,
+                q_sum,
+                hashlib.md5(q.tobytes()).hexdigest(),
+            ]
+        )
+    save(
+        "fillnodata",
+        ["image_id", "n_nodata", "n_filled", "n_unfilled", "q_sum", "grid_md5"],
+        ["str", "int64", "int64", "int64", "int64", "str"],
+        rows,
+    )
+
+
 def g_webp_roundtrip():
     # INDEPENDENCE: expected px_md5/w/h come straight from the published
     # fixture generator (gen.make_pixels + alpha=255), never through any
@@ -1265,6 +1334,7 @@ GENERATORS = {
     "sieve": g_sieve,
     "rasterize": g_rasterize,
     "grid_idw": g_grid_idw,
+    "fillnodata": g_fillnodata,
     "dem_terrain": g_dem_terrain,
     "dem_contour": g_dem_contour,
     "dem_derivatives": g_dem_derivatives,
