@@ -727,3 +727,47 @@ def test_fillnodata_operator_end_to_end(spark):
     assert out.loc["plane", "n_unfilled"] == 0
     # 13x13 blob core is beyond every 4-step ray
     assert out.loc["wave", "n_unfilled"] > 0
+
+
+def test_raster_stats_np_hand_pins():
+    """values {1,2,2,3} @ quant 1e-3 -> q {1000,2000,2000,3000}: sums by
+    hand; 4-bucket histogram over span 2001 -> buckets [1,2,0,1]."""
+    from tilers_tools_spark.operators.zonal import raster_stats_np
+
+    a = np.array([[1.0, 2.0], [2.0, 3.0]])
+    base, counts = raster_stats_np(a, n_bins=4)
+    assert base["n_valid"] == 4 and base["n_nodata"] == 0
+    assert base["q_min"] == 1000 and base["q_max"] == 3000
+    assert base["q_sum"] == 8000 and base["q_sumsq"] == 18_000_000
+    assert counts == [1, 2, 0, 1]
+
+    base2, counts2 = raster_stats_np(np.full((2, 2), np.nan), n_bins=4)
+    assert base2["n_valid"] == 0 and base2["n_nodata"] == 4 and counts2 == []
+
+    # constant raster: span 1, everything lands in bucket 0
+    base3, counts3 = raster_stats_np(np.full((2, 3), 7.0), n_bins=4)
+    assert base3["q_min"] == base3["q_max"] == 7000
+    assert counts3 == [6, 0, 0, 0]
+
+
+def test_raster_stats_operator(spark):
+    """Operator end-to-end: bucket counts reconcile with n_valid, the
+    all-NaN raster emits exactly one bucket=-1 row."""
+    from tilers_tools_spark.functions import tiffcodec
+    from tilers_tools_spark.operators import zonal
+
+    a = np.array([[1.0, 2.0], [np.nan, 3.0]], np.float32)
+    images = spark.createDataFrame(
+        [
+            ("tiny", tiffcodec.encode_tiff(a)),
+            ("void", tiffcodec.encode_tiff(np.full((3, 3), np.nan, np.float32))),
+        ],
+        "image_id string, bytes binary",
+    )
+    out = zonal.raster_stats(images, n_bins=4).toPandas()
+    tiny = out[out["image_id"] == "tiny"]
+    assert len(tiny) == 4 and tiny["bucket_count"].sum() == 3
+    assert tiny["n_nodata"].unique().tolist() == [1]
+    void = out[out["image_id"] == "void"]
+    assert len(void) == 1 and void.iloc[0]["bucket"] == -1
+    assert void.iloc[0]["n_valid"] == 0

@@ -859,3 +859,99 @@ def fillnodata(
         schema=f"{id_col} string, n_nodata long, n_filled long, n_unfilled long, "
         "q_sum long, grid_md5 string",
     )
+
+
+# ---------------------------------------------------------------------------
+# gdalinfo -stats / -hist parity: integer-exact raster statistics
+# ---------------------------------------------------------------------------
+
+
+def raster_stats_np(
+    a: np.ndarray, n_bins: int = 16, quant: float = 1e-3
+) -> tuple[dict, list[int]]:
+    """Per-raster statistics under an INTEGER-EXACT contract: pixels are
+    quantized to ``quant`` units (qv = round(v/quant), int64) and every
+    statistic is computed on the ints — q_min/q_max/q_sum/q_sumsq are
+    exact, so mean/stddev are derivable by the caller without any
+    cross-engine float-summation ambiguity (gdalinfo -stats reports
+    float mean/std; the quantized sums carry the same information).
+
+    Histogram (gdalinfo -hist analogue, documented integer rule): the
+    quantized span [q_min, q_max] is cut into ``n_bins`` buckets,
+    bucket(qv) = (qv - q_min) * n_bins // (q_max - q_min + 1) — pure
+    integer floor division, implementation-independent. Empty buckets
+    are reported with count 0. An all-nodata raster gets stats zeros
+    and NO histogram (n_valid = 0 marks it).
+    """
+    h, w = a.shape
+    valid = ~np.isnan(a)
+    n_valid = int(valid.sum())
+    base = {"w": w, "h": h, "n_valid": n_valid, "n_nodata": h * w - n_valid}
+    if n_valid == 0:
+        base.update(q_min=0, q_max=0, q_sum=0, q_sumsq=0)
+        return base, []
+    qv = np.round(a[valid].astype(np.float64) / quant).astype(np.int64)
+    qmin, qmax = int(qv.min()), int(qv.max())
+    base.update(
+        q_min=qmin,
+        q_max=qmax,
+        q_sum=int(qv.sum()),
+        q_sumsq=int((qv * qv).sum()),
+    )
+    span = qmax - qmin + 1
+    idx = (qv - qmin) * n_bins // span
+    counts = np.bincount(idx, minlength=n_bins)
+    return base, [int(c) for c in counts]
+
+
+def raster_stats(
+    images: DataFrame,
+    n_bins: int = 16,
+    quant: float = 1e-3,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """`gdalinfo -stats -hist` parity over single-band rasters: one row
+    per (raster, histogram bucket) carrying the per-raster integer-exact
+    stats (see raster_stats_np) plus that bucket's count; an all-nodata
+    raster emits a single bucket=-1 row with count 0 so it stays visible
+    in the output.
+
+    Scale shape: per-raster independent Arrow pass (map-side reduction
+    of every pixel to n_bins + 6 ints); pixels never shuffle.
+    """
+    from ..functions import tiffcodec
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for iid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                a, _ = tiffcodec.decode_tiff(bytes(blob), scale_16bit=False)
+                if a.ndim != 2:
+                    raise ValueError("raster_stats expects single-band rasters")
+                base, counts = raster_stats_np(
+                    a.astype(np.float64), n_bins=n_bins, quant=quant
+                )
+                common = (
+                    iid, base["w"], base["h"], base["n_valid"], base["n_nodata"],
+                    base["q_min"], base["q_max"], base["q_sum"], base["q_sumsq"],
+                )
+                if not counts:
+                    rows.append(common + (-1, 0))
+                else:
+                    for b, cnt in enumerate(counts):
+                        rows.append(common + (b, cnt))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "w", "h", "n_valid", "n_nodata", "q_min", "q_max",
+                    "q_sum", "q_sumsq", "bucket", "bucket_count",
+                ],
+            )
+
+    return images.select(id_col, bytes_col).mapInPandas(
+        fn,
+        schema=f"{id_col} string, w int, h int, n_valid long, n_nodata long, "
+        "q_min long, q_max long, q_sum long, q_sumsq long, "
+        "bucket int, bucket_count long",
+    )

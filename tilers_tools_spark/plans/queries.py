@@ -1390,6 +1390,41 @@ def q_fillnodata(spark, sf_dir):
     return zonal.fillnodata(images, max_dist=4)
 
 
+def q_raster_stats(spark, sf_dir):
+    """`gdalinfo -stats -hist` parity (operators/zonal.py::raster_stats):
+    integer-exact per-raster statistics + 16-bucket histogram over the
+    NaN-holed Float32 GeoTIFF DEMs (same hole fixture as fillnodata),
+    plus an all-NaN raster exercising the no-histogram bucket=-1 row.
+    Stats are computed on values quantized to 1e-3 (int64 min/max/sum/
+    sumsq) and buckets use pure integer floor division, so every number
+    is implementation-independent. The golden recomputes each statistic
+    with scalar Python loops over the analytic surfaces — no NumPy
+    reductions, no bincount, no TIFF bytes."""
+    from ..functions import tiffcodec
+    from ..operators import zonal
+
+    rows = []
+    for name, h, w, gsd in _DEM_SPECS:
+        a = _dem_surface(name, h, w).copy()
+        a[_fillnodata_mask(name, h, w)] = np.nan
+        rows.append(
+            (
+                name,
+                tiffcodec.encode_tiff(
+                    a,
+                    geo={"gsd": gsd, "mx0": 0.0, "my1": 1.0e5, "epsg": 3857},
+                    compression="deflate" if name == "wave" else "none",
+                    tile=16 if name == "plane" else None,
+                ),
+            )
+        )
+    rows.append(
+        ("empty", tiffcodec.encode_tiff(np.full((8, 8), np.nan, np.float32)))
+    )
+    images = spark.createDataFrame(rows, "image_id string, bytes binary")
+    return zonal.raster_stats(images, n_bins=16)
+
+
 _MIX_WEIGHTS = {"en": 0.5, "zh": 0.2, "es": 0.15, "de": 0.1, "fr": 0.05}
 
 
@@ -2480,6 +2515,7 @@ QUERIES: dict = {
     "rasterize": (q_rasterize, _golden("rasterize")),
     "grid_idw": (q_grid_idw, _golden("grid_idw")),
     "fillnodata": (q_fillnodata, _golden("fillnodata")),
+    "raster_stats": (q_raster_stats, _golden("raster_stats")),
     "quantize_colors": (q_quantize_colors, _golden("quantize_colors")),
     "webp_roundtrip": (q_webp_roundtrip, _golden("webp_roundtrip")),
     "point_sample": (q_point_sample, _golden("point_sample")),

@@ -845,6 +845,64 @@ def g_fillnodata(max_dist=4, quant=1e-3):
     )
 
 
+def g_raster_stats(n_bins=16, quant=1e-3):
+    # INDEPENDENT ALGORITHM CODING: scalar Python loops over the
+    # recomputed analytic surfaces — min/max/sum/sumsq accumulated as
+    # Python ints over int(np.round(v/quant)) per pixel, bucket counts
+    # via a plain dict, no NumPy reductions, no bincount, no TIFF bytes.
+    from tilers_tools_spark.plans.queries import (
+        _DEM_SPECS,
+        _dem_surface,
+        _fillnodata_mask,
+    )
+
+    rows = []
+    specs = [(name, h, w) for name, h, w, _g in _DEM_SPECS] + [("empty", 8, 8)]
+    for name, h, w in specs:
+        if name == "empty":
+            vals = []
+            n_nodata = h * w
+        else:
+            a = _dem_surface(name, h, w)
+            mask = np.asarray(_fillnodata_mask(name, h, w))
+            vals = [
+                int(np.round(float(np.float64(a[r, c])) / quant))
+                for r in range(h)
+                for c in range(w)
+                if not mask[r, c]
+            ]
+            n_nodata = int(mask.sum())
+        if not vals:
+            rows.append([name, w, h, 0, n_nodata, 0, 0, 0, 0, -1, 0])
+            continue
+        qmin = qmax = vals[0]
+        qsum = qsumsq = 0
+        counts: dict[int, int] = {}
+        for v in vals:
+            qmin = v if v < qmin else qmin
+            qmax = v if v > qmax else qmax
+            qsum += v
+            qsumsq += v * v
+        span = qmax - qmin + 1
+        for v in vals:
+            b = (v - qmin) * n_bins // span
+            counts[b] = counts.get(b, 0) + 1
+        for b in range(n_bins):
+            rows.append(
+                [name, w, h, len(vals), n_nodata, qmin, qmax, qsum, qsumsq, b, counts.get(b, 0)]
+            )
+    save(
+        "raster_stats",
+        [
+            "image_id", "w", "h", "n_valid", "n_nodata", "q_min", "q_max",
+            "q_sum", "q_sumsq", "bucket", "bucket_count",
+        ],
+        ["str", "int32", "int32", "int64", "int64", "int64", "int64",
+         "int64", "int64", "int32", "int64"],
+        rows,
+    )
+
+
 def g_webp_roundtrip():
     # INDEPENDENCE: expected px_md5/w/h come straight from the published
     # fixture generator (gen.make_pixels + alpha=255), never through any
@@ -1335,6 +1393,7 @@ GENERATORS = {
     "rasterize": g_rasterize,
     "grid_idw": g_grid_idw,
     "fillnodata": g_fillnodata,
+    "raster_stats": g_raster_stats,
     "dem_terrain": g_dem_terrain,
     "dem_contour": g_dem_contour,
     "dem_derivatives": g_dem_derivatives,
