@@ -771,3 +771,30 @@ def test_raster_stats_operator(spark):
     void = out[out["image_id"] == "void"]
     assert len(void) == 1 and void.iloc[0]["bucket"] == -1
     assert void.iloc[0]["n_valid"] == 0
+
+
+def test_grid_stat_hand_pins(spark):
+    """2x1 grid, centers (1,1) and (3,1); points (0,1,z=10), (3,1,z=20).
+    nearest: 10, 20. average r=2 (inclusive): (10+20)/2=15, 20.
+    average r=0.5: cell 0 empty (sentinel + n_empty=1), cell 1 -> 20."""
+    from tilers_tools_spark.operators import zonal
+
+    grid = {"w": 2, "h": 1, "gsd": 2.0, "mx0": 0.0, "my1": 2.0}
+    pts = spark.createDataFrame(
+        [(0, 0.0, 1.0, 10.0), (1, 3.0, 1.0, 20.0)],
+        "pt_id int, x double, y double, z double",
+    )
+    near = zonal.grid_stat(pts, grid, "nearest", n_bands=1).toPandas().iloc[0]
+    assert near["q_min"] == 10_000 and near["q_max"] == 20_000
+    assert near["q_sum"] == 30_000 and near["n_empty"] == 0
+
+    avg = zonal.grid_stat(pts, grid, "average", radius=2.0, n_bands=1).toPandas().iloc[0]
+    assert avg["q_sum"] == 35_000 and avg["q_min"] == 15_000 and avg["q_max"] == 20_000
+
+    tight = zonal.grid_stat(pts, grid, "average", radius=0.5, n_bands=1).toPandas().iloc[0]
+    assert tight["n_empty"] == 1 and tight["q_sum"] == 20_000
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        zonal.grid_stat(pts, grid, "cubicspline")

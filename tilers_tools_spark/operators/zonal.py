@@ -955,3 +955,113 @@ def raster_stats(
         "q_min long, q_max long, q_sum long, q_sumsq long, "
         "bucket int, bucket_count long",
     )
+
+
+# ---------------------------------------------------------------------------
+# gdal_grid -a average / -a nearest parity: banded scatter-to-grid stats
+# ---------------------------------------------------------------------------
+
+GRID_SENT = -(2**60)
+
+
+def grid_average_np(
+    mx: np.ndarray, my: np.ndarray, pts: np.ndarray, radius: float
+) -> np.ndarray:
+    """`gdal_grid -a average:radius` analogue: plain mean of the z of
+    every point with d^2 <= radius^2 (INCLUSIVE boundary) of each pixel
+    center; cells with no point in range get NaN. Vectorized over one
+    band; the z sums are dyadic-safe for half-unit fixture values, and
+    the gate quantizes, so the contract is implementation-independent."""
+    d2 = (mx[:, None] - pts[None, :, 0]) ** 2 + (my[:, None] - pts[None, :, 1]) ** 2
+    inr = d2 <= radius * radius
+    cnt = inr.sum(axis=1)
+    s = np.where(inr, pts[None, :, 2], 0.0).sum(axis=1)
+    with np.errstate(invalid="ignore"):
+        return np.where(cnt > 0, s / np.maximum(cnt, 1), np.nan)
+
+
+def grid_nearest_np(mx: np.ndarray, my: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    """`gdal_grid -a nearest` analogue: z of the point with the smallest
+    d^2 to the pixel center; ties break to the SMALLEST index in the
+    canonical sorted-points order (np.argmin first-match rule — the
+    golden replays it with a scalar strict-< scan)."""
+    d2 = (mx[:, None] - pts[None, :, 0]) ** 2 + (my[:, None] - pts[None, :, 1]) ** 2
+    return pts[np.argmin(d2, axis=1), 2]
+
+
+def grid_stat(
+    points: DataFrame,
+    grid: dict,
+    algorithm: str = "average",
+    radius: float = 10.0,
+    n_bands: int = 4,
+    quant: float = 1e-3,
+) -> DataFrame:
+    """`gdal_grid -a average|nearest` parity, same banded scale shape as
+    grid_idw (points broadcast in the closure — small by the gdal_grid
+    contract; one task per horizontal band; pixels never shuffle).
+
+    Per band emits (alg, band, y0, band_h, n_cells, n_empty, q_sum,
+    q_min, q_max, band_md5): q_* cover NON-empty cells quantized to
+    ``quant`` (int64, all-zero when every cell is empty); the md5 covers
+    the full quantized band with empty cells as the GRID_SENT sentinel.
+    """
+    import hashlib
+
+    if algorithm not in ("average", "nearest"):
+        raise ValueError(f"unknown gdal_grid algorithm {algorithm!r}")
+    spark = points.sparkSession
+    pts = np.array(
+        sorted(
+            (float(r["x"]), float(r["y"]), float(r["z"]))
+            for r in points.select("x", "y", "z").collect()
+        ),
+        np.float64,
+    )
+    w, h, gsd = int(grid["w"]), int(grid["h"]), float(grid["gsd"])
+    mx0, my1 = float(grid["mx0"]), float(grid["my1"])
+    band_h = (h + n_bands - 1) // n_bands
+    bands = [(b, b * band_h, min(band_h, h - b * band_h)) for b in range(n_bands)]
+    bands = [b for b in bands if b[2] > 0]
+    bdf = spark.createDataFrame(bands, "band int, y0 int, band_h int")
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for band, y0, bh in pdf[["band", "y0", "band_h"]].itertuples(index=False):
+                cc = np.tile(np.arange(w, dtype=np.float64), bh)
+                rr = np.repeat(np.arange(bh, dtype=np.float64), w)
+                mx = mx0 + (cc + 0.5) * gsd
+                my = (my1 - y0 * gsd) - (rr + 0.5) * gsd
+                if algorithm == "average":
+                    v = grid_average_np(mx, my, pts, radius)
+                else:
+                    v = grid_nearest_np(mx, my, pts)
+                empty = np.isnan(v)
+                q = np.where(
+                    empty, GRID_SENT, np.round(np.where(empty, 0.0, v) / quant)
+                ).astype(np.int64)
+                nz = q[~empty]
+                rows.append(
+                    (
+                        algorithm, int(band), int(y0), int(bh), int(q.size),
+                        int(empty.sum()),
+                        int(nz.sum()) if nz.size else 0,
+                        int(nz.min()) if nz.size else 0,
+                        int(nz.max()) if nz.size else 0,
+                        hashlib.md5(q.tobytes()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "alg", "band", "y0", "band_h", "n_cells", "n_empty",
+                    "q_sum", "q_min", "q_max", "band_md5",
+                ],
+            )
+
+    return bdf.mapInPandas(
+        fn,
+        schema="alg string, band int, y0 int, band_h int, n_cells long, "
+        "n_empty long, q_sum long, q_min long, q_max long, band_md5 string",
+    )

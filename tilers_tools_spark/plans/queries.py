@@ -1342,6 +1342,23 @@ def q_grid_idw(spark, sf_dir):
     return zonal.grid_idw(pts, _RAST_GRID, power=2, n_bands=4)
 
 
+def q_grid_stats(spark, sf_dir):
+    """`gdal_grid -a average` + `-a nearest` parity (operators/zonal.py::
+    grid_stat): the analytic scatter onto the banded grid under both
+    algorithms, unioned with an `alg` column. radius=6 m leaves most
+    cells empty (GRID_SENT sentinel in the md5, n_empty > 0); the
+    half-unit z fixture makes every average a sum of exact dyadic
+    float64s, so pairwise-vs-sequential summation cannot diverge. The
+    golden recomputes every cell with scalar Python loops (strict-<
+    nearest scan, left-to-right in-radius fold)."""
+    from ..operators import zonal
+
+    pts = spark.createDataFrame(_idw_points(), "pt_id int, x double, y double, z double")
+    avg = zonal.grid_stat(pts, _RAST_GRID, "average", radius=6.0, n_bands=4)
+    near = zonal.grid_stat(pts, _RAST_GRID, "nearest", n_bands=4)
+    return avg.unionByName(near)
+
+
 def _fillnodata_mask(name, h, w):
     """Deterministic nodata hole masks for the fillnodata gate (shared
     fixture spec — the golden recomputes the same masks; the ALGORITHM
@@ -2516,6 +2533,7 @@ QUERIES: dict = {
     "grid_idw": (q_grid_idw, _golden("grid_idw")),
     "fillnodata": (q_fillnodata, _golden("fillnodata")),
     "raster_stats": (q_raster_stats, _golden("raster_stats")),
+    "grid_stats": (q_grid_stats, _golden("grid_stats")),
     "quantize_colors": (q_quantize_colors, _golden("quantize_colors")),
     "webp_roundtrip": (q_webp_roundtrip, _golden("webp_roundtrip")),
     "point_sample": (q_point_sample, _golden("point_sample")),

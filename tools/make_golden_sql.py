@@ -776,6 +776,75 @@ def g_grid_idw():
     )
 
 
+def g_grid_stats(radius=6.0, quant=1e-3, n_bands=4):
+    # INDEPENDENT ALGORITHM CODING: scalar per-pixel loops — nearest via
+    # a strict-< scan in sorted-point order (replaying argmin's
+    # first-match tie rule), average via a left-to-right in-radius fold
+    # (the half-unit fixture z's make all partial sums exact dyadic
+    # float64s, so pairwise-vs-sequential order cannot diverge).
+    import hashlib
+
+    from tilers_tools_spark.plans.queries import _RAST_GRID, _idw_points
+
+    SENT = -(2**60)
+    pts = sorted((x, y, z) for _i, x, y, z in _idw_points())
+    w, h, gsd = _RAST_GRID["w"], _RAST_GRID["h"], _RAST_GRID["gsd"]
+    mx0, my1 = _RAST_GRID["mx0"], _RAST_GRID["my1"]
+    band_h = (h + n_bands - 1) // n_bands
+    rows = []
+    for alg in ("average", "nearest"):
+        for band in range(n_bands):
+            y0 = band * band_h
+            bh = min(band_h, h - y0)
+            if bh <= 0:
+                continue
+            q = []
+            n_empty = 0
+            for rr in range(bh):
+                my = (my1 - y0 * gsd) - (rr + 0.5) * gsd
+                for cc in range(w):
+                    mx = mx0 + (cc + 0.5) * gsd
+                    if alg == "nearest":
+                        best_d2 = None
+                        best_z = None
+                        for x, y, z in pts:
+                            d2 = (mx - x) ** 2 + (my - y) ** 2
+                            if best_d2 is None or d2 < best_d2:
+                                best_d2, best_z = d2, z
+                        q.append(int(np.round(best_z / quant)))
+                    else:
+                        s = 0.0
+                        cnt = 0
+                        for x, y, z in pts:
+                            if (mx - x) ** 2 + (my - y) ** 2 <= radius * radius:
+                                s += z
+                                cnt += 1
+                        if cnt == 0:
+                            q.append(SENT)
+                            n_empty += 1
+                        else:
+                            q.append(int(np.round((s / cnt) / quant)))
+            qa = np.array(q, np.int64)
+            nz = qa[qa != SENT]
+            rows.append(
+                [
+                    alg, band, y0, bh, int(qa.size), n_empty,
+                    int(nz.sum()) if nz.size else 0,
+                    int(nz.min()) if nz.size else 0,
+                    int(nz.max()) if nz.size else 0,
+                    hashlib.md5(qa.tobytes()).hexdigest(),
+                ]
+            )
+    save(
+        "grid_stats",
+        ["alg", "band", "y0", "band_h", "n_cells", "n_empty",
+         "q_sum", "q_min", "q_max", "band_md5"],
+        ["str", "int32", "int32", "int32", "int64", "int64",
+         "int64", "int64", "int64", "str"],
+        rows,
+    )
+
+
 def g_fillnodata(max_dist=4, quant=1e-3):
     # INDEPENDENT ALGORITHM CODING: scalar per-pixel 8-ray walk (no
     # shifted-mask sweeps, no vectorized adjacency, no TIFF bytes) on the
@@ -1394,6 +1463,7 @@ GENERATORS = {
     "grid_idw": g_grid_idw,
     "fillnodata": g_fillnodata,
     "raster_stats": g_raster_stats,
+    "grid_stats": g_grid_stats,
     "dem_terrain": g_dem_terrain,
     "dem_contour": g_dem_contour,
     "dem_derivatives": g_dem_derivatives,
