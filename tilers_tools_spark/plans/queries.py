@@ -1442,6 +1442,50 @@ def q_raster_stats(spark, sf_dir):
     return zonal.raster_stats(images, n_bins=16)
 
 
+_CALC_EXPR = (
+    "where(A > 40, A - B, A + B) * 0.5 + minimum(A, B) "
+    "- abs(B - 50.0) + sqrt(abs(B)) + (A * 0.1) ** 2.0"
+)
+
+
+def _calc_surface_b(h, w):
+    """Second analytic band for the raster_calc gate (recomputed directly
+    by the golden — no TIFF decode on the expected side)."""
+    r = np.arange(h)[:, None] + np.zeros((1, w))
+    c = np.arange(w)[None, :] + np.zeros((h, 1))
+    return (2.0 * r + 3.0 * c - 10.0).astype(np.float32)
+
+
+def q_raster_calc(spark, sf_dir):
+    """`gdal_calc` parity (operators/rastercalc.py): per image_id group,
+    bands A (the NaN-holed DEM surface) and B (an analytic ramp) under
+    _CALC_EXPR — exercises where/comparison/minimum/abs/sqrt/power and
+    NaN propagation into the GRID_SENT sentinel. Everything elementwise
+    IEEE float64, so the golden's SCALAR per-pixel re-evaluation of the
+    hand-transcribed expression is bit-identical; the 1e-3-quantized md5
+    pins the whole grid. Mixed TIFF layouts cross the decode path."""
+    from ..functions import tiffcodec
+    from ..operators import rastercalc
+
+    rows = []
+    for name, h, w, gsd in _DEM_SPECS:
+        a = _dem_surface(name, h, w).copy()
+        a[_fillnodata_mask(name, h, w)] = np.nan
+        geo = {"gsd": gsd, "mx0": 0.0, "my1": 1.0e5, "epsg": 3857}
+        rows.append(
+            (name, "A", tiffcodec.encode_tiff(a, geo=geo, compression="deflate"))
+        )
+        rows.append(
+            (
+                name,
+                "B",
+                tiffcodec.encode_tiff(_calc_surface_b(h, w), geo=geo, tile=16),
+            )
+        )
+    images = spark.createDataFrame(rows, "image_id string, name string, bytes binary")
+    return rastercalc.raster_calc(images, _CALC_EXPR)
+
+
 _MIX_WEIGHTS = {"en": 0.5, "zh": 0.2, "es": 0.15, "de": 0.1, "fr": 0.05}
 
 
@@ -2534,6 +2578,7 @@ QUERIES: dict = {
     "fillnodata": (q_fillnodata, _golden("fillnodata")),
     "raster_stats": (q_raster_stats, _golden("raster_stats")),
     "grid_stats": (q_grid_stats, _golden("grid_stats")),
+    "raster_calc": (q_raster_calc, _golden("raster_calc")),
     "quantize_colors": (q_quantize_colors, _golden("quantize_colors")),
     "webp_roundtrip": (q_webp_roundtrip, _golden("webp_roundtrip")),
     "point_sample": (q_point_sample, _golden("point_sample")),

@@ -776,6 +776,70 @@ def g_grid_idw():
     )
 
 
+def g_raster_calc(quant=1e-3):
+    # INDEPENDENT ALGORITHM CODING: the gate expression is transcribed
+    # BY HAND into scalar Python (math.sqrt, branch-if, min) and applied
+    # per pixel to the recomputed analytic surfaces — no ast machinery,
+    # no NumPy elementwise ops, no TIFF bytes. NaN in any input band
+    # short-circuits to the sentinel (every term of the expression
+    # touches A or B, so engine-side NaN propagation reaches the total).
+    import hashlib
+    import math
+
+    from tilers_tools_spark.plans.queries import (
+        _DEM_SPECS,
+        _calc_surface_b,
+        _dem_surface,
+        _fillnodata_mask,
+    )
+
+    SENT = -(2**60)
+    rows = []
+    for name, h, w, _gsd in _DEM_SPECS:
+        a = _dem_surface(name, h, w)
+        b = _calc_surface_b(h, w)
+        mask = np.asarray(_fillnodata_mask(name, h, w))
+        q = np.empty((h, w), np.int64)
+        n_nan = 0
+        vals = []
+        for r in range(h):
+            for c in range(w):
+                if mask[r, c]:
+                    q[r, c] = SENT
+                    n_nan += 1
+                    continue
+                A = float(np.float64(a[r, c]))
+                B = float(np.float64(b[r, c]))
+                t = (A - B) if A > 40 else (A + B)
+                v = (
+                    t * 0.5
+                    + (A if A < B else B)
+                    - abs(B - 50.0)
+                    + math.sqrt(abs(B))
+                    + (A * 0.1) ** 2.0
+                )
+                qv = int(np.round(v / quant))
+                q[r, c] = qv
+                vals.append(qv)
+        rows.append(
+            [
+                name,
+                h * w,
+                n_nan,
+                sum(vals),
+                min(vals),
+                max(vals),
+                hashlib.md5(q.tobytes()).hexdigest(),
+            ]
+        )
+    save(
+        "raster_calc",
+        ["image_id", "n_pixels", "n_nan", "q_sum", "q_min", "q_max", "grid_md5"],
+        ["str", "int64", "int64", "int64", "int64", "int64", "str"],
+        rows,
+    )
+
+
 def g_grid_stats(radius=6.0, quant=1e-3, n_bands=4):
     # INDEPENDENT ALGORITHM CODING: scalar per-pixel loops — nearest via
     # a strict-< scan in sorted-point order (replaying argmin's
@@ -1464,6 +1528,7 @@ GENERATORS = {
     "fillnodata": g_fillnodata,
     "raster_stats": g_raster_stats,
     "grid_stats": g_grid_stats,
+    "raster_calc": g_raster_calc,
     "dem_terrain": g_dem_terrain,
     "dem_contour": g_dem_contour,
     "dem_derivatives": g_dem_derivatives,
