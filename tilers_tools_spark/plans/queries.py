@@ -1486,6 +1486,47 @@ def q_raster_calc(spark, sf_dir):
     return rastercalc.raster_calc(images, _CALC_EXPR)
 
 
+# (name, origin mx0, origin my1) on one gsd=2 lattice — overlapping, so
+# later seq overwrites earlier and NaN holes stay transparent
+_MOSAIC_LAYOUT = [
+    ("plane", 0.0, 1.0e5),
+    ("wave", 40.0, 1.0e5 - 16.0),
+    ("flat", 30.0, 1.0e5 - 30.0),
+]
+
+
+def q_mosaic(spark, sf_dir):
+    """`gdal_merge` parity (operators/mosaic.py): three NaN-holed DEM
+    rasters on one gsd=2 lattice composited into the union-extent grid
+    (48x40), ascending seq overwriting valid pixels, banded output with
+    quantized per-band stats + md5. Mixed TIFF layouts cross the decode
+    path; the golden replays placement with scalar Python loops over the
+    recomputed analytic surfaces (no banding, no vectorized masking) and
+    slices its one full grid into the same 4 bands."""
+    from ..functions import tiffcodec
+    from ..operators import mosaic as mo
+
+    rows = []
+    for seq, (name, ox, oy) in enumerate(_MOSAIC_LAYOUT):
+        h, w = next((hh, ww) for n, hh, ww, _g in _DEM_SPECS if n == name)
+        a = _dem_surface(name, h, w).copy()
+        a[_fillnodata_mask(name, h, w)] = np.nan
+        rows.append(
+            (
+                name,
+                seq,
+                tiffcodec.encode_tiff(
+                    a,
+                    geo={"gsd": 2.0, "mx0": ox, "my1": oy, "epsg": 3857},
+                    compression="deflate" if name == "plane" else "none",
+                    tile=16 if name == "flat" else None,
+                ),
+            )
+        )
+    images = spark.createDataFrame(rows, "image_id string, seq int, bytes binary")
+    return mo.mosaic(images, n_bands=4)
+
+
 _MIX_WEIGHTS = {"en": 0.5, "zh": 0.2, "es": 0.15, "de": 0.1, "fr": 0.05}
 
 
@@ -2579,6 +2620,7 @@ QUERIES: dict = {
     "raster_stats": (q_raster_stats, _golden("raster_stats")),
     "grid_stats": (q_grid_stats, _golden("grid_stats")),
     "raster_calc": (q_raster_calc, _golden("raster_calc")),
+    "mosaic": (q_mosaic, _golden("mosaic")),
     "quantize_colors": (q_quantize_colors, _golden("quantize_colors")),
     "webp_roundtrip": (q_webp_roundtrip, _golden("webp_roundtrip")),
     "point_sample": (q_point_sample, _golden("point_sample")),

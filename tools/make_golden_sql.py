@@ -776,6 +776,84 @@ def g_grid_idw():
     )
 
 
+def g_mosaic(quant=1e-3, n_bands=4):
+    # INDEPENDENT ALGORITHM CODING: one full-grid scalar placement pass
+    # (python-loop pixel copies in seq order over the recomputed analytic
+    # surfaces — no banding, no vectorized masking, no TIFF bytes), then
+    # the grid is sliced into the engine's 4 bands for the summary rows.
+    import hashlib
+
+    from tilers_tools_spark.plans.queries import (
+        _DEM_SPECS,
+        _MOSAIC_LAYOUT,
+        _dem_surface,
+        _fillnodata_mask,
+    )
+
+    SENT = -(2**60)
+    gsd = 2.0
+    dims = {n: (h, w) for n, h, w, _g in _DEM_SPECS}
+    mx0 = min(ox for _n, ox, _oy in _MOSAIC_LAYOUT)
+    my1 = max(oy for _n, _ox, oy in _MOSAIC_LAYOUT)
+    mx1 = max(ox + dims[n][1] * gsd for n, ox, _oy in _MOSAIC_LAYOUT)
+    my0 = min(oy - dims[n][0] * gsd for n, _ox, oy in _MOSAIC_LAYOUT)
+    out_w = int(round((mx1 - mx0) / gsd))
+    out_h = int(round((my1 - my0) / gsd))
+    grid = [[None] * out_w for _ in range(out_h)]
+    for name, ox, oy in _MOSAIC_LAYOUT:  # list order IS seq order
+        h, w = dims[name]
+        a = _dem_surface(name, h, w)
+        mask = np.asarray(_fillnodata_mask(name, h, w))
+        row0 = int(round((my1 - oy) / gsd))
+        col0 = int(round((ox - mx0) / gsd))
+        for r in range(h):
+            for c in range(w):
+                if not mask[r, c]:
+                    grid[row0 + r][col0 + c] = float(np.float64(a[r, c]))
+    band_h = (out_h + n_bands - 1) // n_bands
+    rows = []
+    for band in range(n_bands):
+        y0 = band * band_h
+        bh = min(band_h, out_h - y0)
+        if bh <= 0:
+            continue
+        q = np.empty((bh, out_w), np.int64)
+        vals = []
+        for r in range(bh):
+            for c in range(out_w):
+                v = grid[y0 + r][c]
+                if v is None:
+                    q[r, c] = SENT
+                else:
+                    qv = int(np.round(v / quant))
+                    q[r, c] = qv
+                    vals.append(qv)
+        n_r = sum(
+            1
+            for name, ox, oy in _MOSAIC_LAYOUT
+            if int(round((my1 - oy) / gsd)) < y0 + bh
+            and int(round((my1 - oy) / gsd)) + dims[name][0] > y0
+        )
+        rows.append(
+            [
+                band, y0, bh, out_w, out_h, n_r, len(vals),
+                bh * out_w - len(vals),
+                sum(vals) if vals else 0,
+                min(vals) if vals else 0,
+                max(vals) if vals else 0,
+                hashlib.md5(q.tobytes()).hexdigest(),
+            ]
+        )
+    save(
+        "mosaic",
+        ["band", "y0", "band_h", "out_w", "out_h", "n_rasters",
+         "n_valid", "n_nodata", "q_sum", "q_min", "q_max", "band_md5"],
+        ["int32", "int32", "int32", "int32", "int32", "int32",
+         "int64", "int64", "int64", "int64", "int64", "str"],
+        rows,
+    )
+
+
 def g_raster_calc(quant=1e-3):
     # INDEPENDENT ALGORITHM CODING: the gate expression is transcribed
     # BY HAND into scalar Python (math.sqrt, branch-if, min) and applied
@@ -1529,6 +1607,7 @@ GENERATORS = {
     "raster_stats": g_raster_stats,
     "grid_stats": g_grid_stats,
     "raster_calc": g_raster_calc,
+    "mosaic": g_mosaic,
     "dem_terrain": g_dem_terrain,
     "dem_contour": g_dem_contour,
     "dem_derivatives": g_dem_derivatives,
