@@ -798,3 +798,58 @@ def test_grid_stat_hand_pins(spark):
 
     with _pytest.raises(ValueError):
         zonal.grid_stat(pts, grid, "cubicspline")
+
+
+def test_viewshed_np_hand_pins():
+    """1x5 wall DEM [0,0,10,0,0], observer at (0,0), h=0: the wall top is
+    visible (grazing <=), everything behind it hidden; with the observer
+    raised to 30 the far cells clear the wall again."""
+    from tilers_tools_spark.operators.terrain import (
+        VIS_HIDDEN,
+        VIS_NODATA,
+        VIS_VISIBLE,
+        viewshed_np,
+    )
+
+    wall = np.array([[0.0, 0.0, 10.0, 0.0, 0.0]])
+    v = viewshed_np(wall, (0, 0))
+    assert v.tolist() == [[255, 255, 255, 0, 0]]
+    v30 = viewshed_np(wall, (0, 0), obs_height=30.0)
+    assert v30.tolist() == [[255, 255, 255, 255, 255]]
+
+    flat = np.zeros((5, 5))
+    assert (viewshed_np(flat, (2, 2)) == VIS_VISIBLE).all()
+
+    blocked = np.array([[0.0, np.nan, 0.0]])
+    vb = viewshed_np(blocked, (0, 0))
+    assert vb.tolist() == [[VIS_VISIBLE, VIS_NODATA, VIS_HIDDEN]]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="nodata"):
+        viewshed_np(blocked, (0, 1))
+    with _pytest.raises(ValueError, match="outside"):
+        viewshed_np(flat, (9, 0))
+
+
+def test_viewshed_operator(spark):
+    """Operator end-to-end equals the NumPy kernel on the same DEM."""
+    import hashlib
+
+    from tilers_tools_spark.functions import tiffcodec
+    from tilers_tools_spark.operators import terrain
+
+    a = (50.0 * np.sin(np.arange(12)[:, None] / 2.0) + np.arange(10)[None, :]).astype(
+        np.float32
+    )
+    img = spark.createDataFrame(
+        [("d", tiffcodec.encode_tiff(a))], "image_id string, bytes binary"
+    )
+    obs = spark.createDataFrame(
+        [("d", 5, 5)], "image_id string, obs_row int, obs_col int"
+    )
+    out = terrain.viewshed(img, obs, obs_height=1.5).toPandas().iloc[0]
+    vis = terrain.viewshed_np(a.astype(np.float64), (5, 5), 1.5)
+    assert out["vis_md5"] == hashlib.md5(vis.tobytes()).hexdigest()
+    assert out["n_visible"] == int((vis == 255).sum())
+    assert out["n_visible"] + out["n_hidden"] + out["n_nodata"] == a.size

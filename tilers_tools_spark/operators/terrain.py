@@ -545,3 +545,144 @@ def color_relief_np(dem: np.ndarray, ramp: list[tuple[float, int, int, int]]) ->
     t = np.clip((z - z0) / (z1 - z0), 0.0, 1.0)[..., None]
     out = rgb[lo] + t * (rgb[hi] - rgb[lo])
     return np.clip(np.floor(out + 0.5), 0.0, 255.0).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# gdal_viewshed parity: ring-stepped line-of-sight visibility
+# ---------------------------------------------------------------------------
+
+VIS_VISIBLE = 255
+VIS_HIDDEN = 0
+VIS_NODATA = 1
+
+
+def viewshed_np(
+    dem: np.ndarray, obs_rc: tuple[int, int], obs_height: float = 0.0
+) -> np.ndarray:
+    """Line-of-sight viewshed under an EXACT documented rule (deviation
+    from gdal_viewshed's edge-interpolating Wang et al. algorithm —
+    interpolation-free sampling keeps the contract cross-implementation
+    reproducible):
+
+    * the sight line from observer cell (r0,c0) to target (r,c) is
+      sampled at K-1 steps, K = chebyshev(dr,dc): at step k the sample
+      cell is (floor(r0 + k*dr/K + 0.5), floor(c0 + k*dc/K + 0.5));
+      samples that round to the observer or the target cell are skipped;
+    * slope to a cell = (z - z_obs) / d, d = sqrt of the cell's SQUARED
+      integer pixel distance (uniform gsd cancels in comparisons);
+      z_obs = dem[r0,c0] + obs_height;
+    * target visible iff EVERY sample slope <= the target slope
+      (non-strict, so grazing flat terrain stays visible — the
+      gdal_viewshed convention); a NaN sample (nodata) blocks the ray;
+      a NaN target is VIS_NODATA; the observer is visible by definition.
+
+    Vectorized as one masked pass per step index over all pixels
+    simultaneously (running max of sample slopes); every operation is
+    elementwise IEEE float64, so a scalar per-pixel replay of the same
+    formulas is bit-identical.
+    """
+    h, w = dem.shape
+    r0, c0 = int(obs_rc[0]), int(obs_rc[1])
+    if not (0 <= r0 < h and 0 <= c0 < w):
+        raise ValueError(f"observer {obs_rc} outside raster {dem.shape}")
+    z = dem.astype(np.float64)
+    z0 = float(z[r0, c0])
+    if np.isnan(z0):
+        raise ValueError("observer cell is nodata")
+    z0 = z0 + float(obs_height)
+    rr = np.arange(h, dtype=np.int64)[:, None] + np.zeros((1, w), np.int64)
+    cc = np.arange(w, dtype=np.int64)[None, :] + np.zeros((h, 1), np.int64)
+    dr = rr - r0
+    dc = cc - c0
+    K = np.maximum(np.abs(dr), np.abs(dc))
+    d_t = np.sqrt((dr * dr + dc * dc).astype(np.float64))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        slope_t = (z - z0) / np.where(K > 0, d_t, 1.0)
+    max_s = np.full((h, w), -np.inf)
+    for k in range(1, int(K.max())):
+        act = K > k  # pixels with sample index k strictly inside
+        if not act.any():
+            break
+        with np.errstate(invalid="ignore", divide="ignore"):
+            fr = r0 + (k * dr) / np.where(act, K, 1)
+            fc = c0 + (k * dc) / np.where(act, K, 1)
+        ri = np.floor(fr + 0.5).astype(np.int64)
+        ci = np.floor(fc + 0.5).astype(np.int64)
+        skip = ((ri == r0) & (ci == c0)) | ((ri == rr) & (ci == cc))
+        d2 = (ri - r0) ** 2 + (ci - c0) ** 2
+        zi = z[np.clip(ri, 0, h - 1), np.clip(ci, 0, w - 1)]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            s = (zi - z0) / np.sqrt(np.where(d2 > 0, d2, 1).astype(np.float64))
+        s = np.where(act & ~skip, s, -np.inf)
+        max_s = np.maximum(max_s, s)  # NaN sample propagates -> blocks
+    vis = np.where(
+        np.isnan(z),
+        VIS_NODATA,
+        np.where(
+            (K == 0) | (~np.isnan(max_s) & (max_s <= slope_t)),
+            VIS_VISIBLE,
+            VIS_HIDDEN,
+        ),
+    ).astype(np.uint8)
+    return vis
+
+
+def viewshed(
+    images: DataFrame,
+    observers: DataFrame,
+    obs_height: float = 0.0,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """`gdal_viewshed` parity over a table of (raster, observer) pairs:
+    `observers` carries (image_id, obs_row, obs_col); each pair yields
+    one summary row (image_id, obs_row, obs_col, n_visible, n_hidden,
+    n_nodata, vis_md5) where the md5 covers the uint8 visibility grid
+    (255 visible / 0 hidden / 1 nodata).
+
+    Scale shape: observers broadcast-join to their raster, each (raster,
+    observer) is an independent Arrow-batched task; pixels never
+    shuffle. Many observers against one raster decode it once per batch
+    row (DEM bytes ship once per observer — acceptable while observer
+    lists are small; the gdal_viewshed CLI is one-observer-per-run).
+    """
+    import hashlib
+
+    joined = images.select(id_col, bytes_col).join(
+        F.broadcast(observers.select(id_col, "obs_row", "obs_col")), id_col
+    )
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import tiffcodec
+
+        for pdf in it:
+            rows = []
+            for iid, blob, orow, ocol in zip(
+                pdf[id_col], pdf[bytes_col], pdf["obs_row"], pdf["obs_col"]
+            ):
+                a, _ = tiffcodec.decode_tiff(bytes(blob), scale_16bit=False)
+                if a.ndim != 2:
+                    raise ValueError("viewshed expects single-band rasters")
+                vis = viewshed_np(a.astype(np.float64), (int(orow), int(ocol)), obs_height)
+                rows.append(
+                    (
+                        iid, int(orow), int(ocol),
+                        int((vis == VIS_VISIBLE).sum()),
+                        int((vis == VIS_HIDDEN).sum()),
+                        int((vis == VIS_NODATA).sum()),
+                        hashlib.md5(np.ascontiguousarray(vis).tobytes()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "obs_row", "obs_col", "n_visible", "n_hidden",
+                    "n_nodata", "vis_md5",
+                ],
+            )
+
+    return joined.mapInPandas(
+        fn,
+        schema=f"{id_col} string, obs_row int, obs_col int, n_visible long, "
+        "n_hidden long, n_nodata long, vis_md5 string",
+    )

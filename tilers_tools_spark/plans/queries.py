@@ -1486,6 +1486,53 @@ def q_raster_calc(spark, sf_dir):
     return rastercalc.raster_calc(images, _CALC_EXPR)
 
 
+# (raster, observer row/col, height-above-ground) for the viewshed gate
+_VIEWSHED_OBS = {"plane": (12, 20, 5.0), "wave": (16, 14, 2.0), "flat": (8, 8, 0.0)}
+
+
+def q_viewshed(spark, sf_dir):
+    """`gdal_viewshed` parity (operators/terrain.py::viewshed): line-of-
+    sight visibility grids under the documented ring-sampled rule —
+    plane carries NaN holes (nodata cells block rays and land in
+    n_nodata), the wave hills occlude (n_hidden > 0), flat is grazing-
+    visible everywhere (non-strict comparison). obs_height varies per
+    raster via three single-raster calls unioned (the operator takes one
+    height per call, like the CLI). The golden replays every ray with
+    scalar Python loops — same formulas, per-pixel — and pins the uint8
+    grid md5s."""
+    from ..functions import tiffcodec
+    from ..operators import terrain
+
+    outs = []
+    for name, h, w, gsd in _DEM_SPECS:
+        a = _dem_surface(name, h, w).copy()
+        if name == "plane":
+            a[_fillnodata_mask(name, h, w)] = np.nan
+        img = spark.createDataFrame(
+            [
+                (
+                    name,
+                    tiffcodec.encode_tiff(
+                        a,
+                        geo={"gsd": gsd, "mx0": 0.0, "my1": 1.0e5, "epsg": 3857},
+                        compression="deflate" if name == "wave" else "none",
+                        tile=16 if name == "plane" else None,
+                    ),
+                )
+            ],
+            "image_id string, bytes binary",
+        )
+        orow, ocol, oh = _VIEWSHED_OBS[name]
+        obs = spark.createDataFrame(
+            [(name, orow, ocol)], "image_id string, obs_row int, obs_col int"
+        )
+        outs.append(terrain.viewshed(img, obs, obs_height=oh))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 # (name, origin mx0, origin my1) on one gsd=2 lattice — overlapping, so
 # later seq overwrites earlier and NaN holes stay transparent
 _MOSAIC_LAYOUT = [
@@ -2621,6 +2668,7 @@ QUERIES: dict = {
     "grid_stats": (q_grid_stats, _golden("grid_stats")),
     "raster_calc": (q_raster_calc, _golden("raster_calc")),
     "mosaic": (q_mosaic, _golden("mosaic")),
+    "viewshed": (q_viewshed, _golden("viewshed")),
     "quantize_colors": (q_quantize_colors, _golden("quantize_colors")),
     "webp_roundtrip": (q_webp_roundtrip, _golden("webp_roundtrip")),
     "point_sample": (q_point_sample, _golden("point_sample")),

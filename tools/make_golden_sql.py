@@ -776,6 +776,73 @@ def g_grid_idw():
     )
 
 
+def g_viewshed():
+    # INDEPENDENT ALGORITHM CODING: scalar per-target ray walk (python
+    # loops, math.sqrt/math.floor, early-exit on a blocking sample) vs
+    # the engine's masked per-step vectorized pass. Same documented
+    # sampling rule and elementwise float64 formulas -> identical grids.
+    import hashlib
+    import math
+
+    from tilers_tools_spark.plans.queries import (
+        _DEM_SPECS,
+        _VIEWSHED_OBS,
+        _dem_surface,
+        _fillnodata_mask,
+    )
+
+    rows = []
+    for name, h, w, _gsd in _DEM_SPECS:
+        a = _dem_surface(name, h, w).astype(np.float64)
+        if name == "plane":
+            a[np.asarray(_fillnodata_mask(name, h, w))] = np.nan
+        r0, c0, oh = _VIEWSHED_OBS[name]
+        z0 = float(a[r0, c0]) + oh
+        vis = np.empty((h, w), np.uint8)
+        for r in range(h):
+            for c in range(w):
+                zt = float(a[r, c])
+                if math.isnan(zt):
+                    vis[r, c] = 1
+                    continue
+                dr, dc = r - r0, c - c0
+                K = max(abs(dr), abs(dc))
+                if K == 0:
+                    vis[r, c] = 255
+                    continue
+                st = (zt - z0) / math.sqrt(float(dr * dr + dc * dc))
+                ok = True
+                for k in range(1, K):
+                    ri = math.floor(r0 + (k * dr) / K + 0.5)
+                    ci = math.floor(c0 + (k * dc) / K + 0.5)
+                    if (ri == r0 and ci == c0) or (ri == r and ci == c):
+                        continue
+                    zi = float(a[ri, ci])
+                    if math.isnan(zi):
+                        ok = False
+                        break
+                    d2 = (ri - r0) ** 2 + (ci - c0) ** 2
+                    if not ((zi - z0) / math.sqrt(float(d2)) <= st):
+                        ok = False
+                        break
+                vis[r, c] = 255 if ok else 0
+        rows.append(
+            [
+                name, r0, c0,
+                int((vis == 255).sum()),
+                int((vis == 0).sum()),
+                int((vis == 1).sum()),
+                hashlib.md5(vis.tobytes()).hexdigest(),
+            ]
+        )
+    save(
+        "viewshed",
+        ["image_id", "obs_row", "obs_col", "n_visible", "n_hidden", "n_nodata", "vis_md5"],
+        ["str", "int32", "int32", "int64", "int64", "int64", "str"],
+        rows,
+    )
+
+
 def g_mosaic(quant=1e-3, n_bands=4):
     # INDEPENDENT ALGORITHM CODING: one full-grid scalar placement pass
     # (python-loop pixel copies in seq order over the recomputed analytic
@@ -1608,6 +1675,7 @@ GENERATORS = {
     "grid_stats": g_grid_stats,
     "raster_calc": g_raster_calc,
     "mosaic": g_mosaic,
+    "viewshed": g_viewshed,
     "dem_terrain": g_dem_terrain,
     "dem_contour": g_dem_contour,
     "dem_derivatives": g_dem_derivatives,
