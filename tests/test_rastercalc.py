@@ -70,3 +70,58 @@ def test_raster_calc_operator(spark):
     )
     with pytest.raises(Exception, match="shape"):
         raster_calc(bad, "A + B").toPandas()
+
+
+def test_pansharpen_np_hand_pins():
+    """ms pixel (10,20,30), equal weights -> pseudo=20; pan [[40,20],[10,0]]
+    gives ratios [2,1,.5,0]; band0 = 10*ratio."""
+    from tilers_tools_spark.operators.rastercalc import pansharpen_np
+
+    ms = np.array([[[10.0, 20.0, 30.0]]])
+    pan = np.array([[40.0, 20.0], [10.0, 0.0]])
+    out = pansharpen_np(pan, ms, (1.0 / 3, 1.0 / 3, 1.0 / 3))
+    assert out[:, :, 0].tolist() == [[20.0, 10.0], [5.0, 0.0]]
+    assert out[:, :, 2].tolist() == [[60.0, 30.0], [15.0, 0.0]]
+
+    # all-zero ms pixel -> pseudo 0 -> NaN out
+    z = pansharpen_np(pan, np.zeros((1, 1, 3)), (1.0, 1.0, 1.0))
+    assert np.isnan(z).all()
+
+    with pytest.raises(ValueError, match="exactly 2x"):
+        pansharpen_np(np.zeros((3, 2)), ms, (1.0, 1.0, 1.0))
+    with pytest.raises(ValueError, match="weights"):
+        pansharpen_np(pan, ms, (1.0, 1.0))
+
+
+def test_pansharpen_operator(spark):
+    import hashlib
+
+    from tilers_tools_spark.functions import tiffcodec
+    from tilers_tools_spark.operators.rastercalc import pansharpen, pansharpen_np
+
+    pan = np.arange(1.0, 17.0).reshape(4, 4).astype(np.float32)
+    ms = (np.arange(12).reshape(2, 2, 3) * 10 + 5).astype(np.uint8)
+    images = spark.createDataFrame(
+        [
+            ("s", "pan", tiffcodec.encode_tiff(pan)),
+            ("s", "ms", tiffcodec.encode_tiff(ms)),
+        ],
+        "image_id string, role string, bytes binary",
+    )
+    out = pansharpen(images).toPandas().sort_values("band")
+    ref = pansharpen_np(
+        pan.astype(np.float64), ms.astype(np.float64), (1.0 / 3, 1.0 / 3, 1.0 / 3)
+    )
+    assert len(out) == 3
+    for b in range(3):
+        band = ref[:, :, b]
+        q = np.round(band / 1e-3).astype(np.int64)
+        assert out.iloc[b]["band_md5"] == hashlib.md5(q.tobytes()).hexdigest()
+        assert out.iloc[b]["n_nan"] == 0
+
+    missing = spark.createDataFrame(
+        [("s", "pan", tiffcodec.encode_tiff(pan))],
+        "image_id string, role string, bytes binary",
+    )
+    with pytest.raises(Exception, match="roles"):
+        pansharpen(missing).toPandas()

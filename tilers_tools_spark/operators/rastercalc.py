@@ -180,3 +180,103 @@ def raster_calc(
             "q_sum long, q_min long, q_max long, grid_md5 string",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# gdal_pansharpen parity: weighted-Brovey fusion
+# ---------------------------------------------------------------------------
+
+
+def pansharpen_np(
+    pan: np.ndarray, ms: np.ndarray, weights: tuple[float, ...]
+) -> np.ndarray:
+    """Weighted-Brovey pansharpening (the gdal_pansharpen default):
+    pseudo_pan = sum(w_i * ms_i) / sum(w); out_i = ms_i * pan /
+    pseudo_pan. The multispectral cube must be exactly half the pan
+    resolution (H = 2*h, W = 2*w) and is upsampled NEAREST (each ms
+    pixel covers its 2x2 pan block) — the one documented resampling
+    (gdal_pansharpen bilinearly upsamples by default; nearest keeps the
+    contract exact). Cells where pseudo_pan == 0 or any input is NaN
+    come out NaN. Everything elementwise IEEE float64 — a scalar replay
+    is bit-identical."""
+    H, W = pan.shape
+    h, w, nb = ms.shape
+    if (H, W) != (2 * h, 2 * w):
+        raise ValueError(f"pan {pan.shape} must be exactly 2x the ms {(h, w)}")
+    if len(weights) != nb:
+        raise ValueError(f"{nb} ms bands need {nb} weights, got {len(weights)}")
+    up = np.repeat(np.repeat(ms.astype(np.float64), 2, axis=0), 2, axis=1)
+    wsum = 0.0
+    pseudo = np.zeros((H, W))
+    for i, wi in enumerate(weights):  # fixed band order -> exact dyadic-free
+        pseudo = pseudo + float(wi) * up[:, :, i]
+        wsum = wsum + float(wi)
+    pseudo = pseudo / wsum
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = np.where(pseudo != 0.0, pan.astype(np.float64) / pseudo, np.nan)
+    return up * ratio[:, :, None]
+
+
+def pansharpen(
+    images: DataFrame,
+    weights: tuple[float, ...] = (1.0 / 3, 1.0 / 3, 1.0 / 3),
+    quant: float = 1e-3,
+    id_col: str = "image_id",
+    role_col: str = "role",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """`gdal_pansharpen` parity: rows (image_id, role in {'pan','ms'},
+    bytes) — per image_id, the single-band pan raster sharpens the
+    3-band ms cube (see pansharpen_np). One summary row per output band:
+    (image_id, band, n_pixels, n_nan, q_sum, q_min, q_max, band_md5),
+    quantized like the rest of the zonal family (non-finite -> GRID_SENT
+    sentinel inside the md5, counted in n_nan).
+
+    Scale shape: one applyInPandas group per image_id (pan+ms bytes meet
+    once; pixels never shuffle) — the gdal_pansharpen unit of work is
+    per scene, embarrassingly parallel across scenes."""
+    import hashlib
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..functions import tiffcodec
+
+        iid = pdf[id_col].iloc[0]
+        by_role = {}
+        for role, blob in zip(pdf[role_col], pdf[bytes_col]):
+            a, _ = tiffcodec.decode_tiff(bytes(blob), scale_16bit=False)
+            by_role[str(role)] = a
+        if set(by_role) != {"pan", "ms"}:
+            raise ValueError(f"pansharpen {iid!r}: need exactly roles pan+ms, got {sorted(by_role)}")
+        pan, ms = by_role["pan"], by_role["ms"]
+        if pan.ndim != 2 or ms.ndim != 3:
+            raise ValueError(f"pansharpen {iid!r}: pan must be 2-D, ms 3-D")
+        out = pansharpen_np(pan.astype(np.float64), ms.astype(np.float64), weights)
+        rows = []
+        for b in range(out.shape[2]):
+            band = out[:, :, b]
+            bad = ~np.isfinite(band)
+            q = np.where(bad, GRID_SENT, np.round(np.where(bad, 0.0, band) / quant)).astype(np.int64)
+            ok = q[~bad]
+            rows.append(
+                (
+                    iid, b, int(q.size), int(bad.sum()),
+                    int(ok.sum()) if ok.size else 0,
+                    int(ok.min()) if ok.size else 0,
+                    int(ok.max()) if ok.size else 0,
+                    hashlib.md5(np.ascontiguousarray(q).tobytes()).hexdigest(),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[id_col, "band", "n_pixels", "n_nan", "q_sum", "q_min", "q_max", "band_md5"],
+        )
+
+    return (
+        images.select(id_col, role_col, bytes_col)
+        .groupBy(id_col)
+        .applyInPandas(
+            fn,
+            schema=f"{id_col} string, band int, n_pixels long, n_nan long, "
+            "q_sum long, q_min long, q_max long, band_md5 string",
+        )
+    )

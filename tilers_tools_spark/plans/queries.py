@@ -1533,6 +1533,49 @@ def q_viewshed(spark, sf_dir):
     return out
 
 
+def _pan_fixture(scene):
+    """Analytic pan (2h x 2w float32) + ms (h x w x 3 uint8) pair for the
+    pansharpen gate; scene 's2' zeroes one ms pixel across all bands to
+    exercise the pseudo-pan==0 sentinel. Recomputed directly by the
+    golden (no TIFF bytes on the expected side)."""
+    h, w = (16, 20) if scene == "s1" else (12, 14)
+    r = np.arange(2 * h)[:, None] + np.zeros((1, 2 * w))
+    c = np.arange(2 * w)[None, :] + np.zeros((2 * h, 1))
+    pan = (80.0 + 40.0 * np.sin(r / 4.0) + 0.5 * c).astype(np.float32)
+    rr = np.arange(h)[:, None] + np.zeros((1, w))
+    cc = np.arange(w)[None, :] + np.zeros((h, 1))
+    ms = np.stack(
+        [
+            ((3 * rr + 5 * cc) % 200 + 10),
+            ((7 * rr + 2 * cc) % 180 + 20),
+            ((rr * cc) % 150 + 30),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    if scene == "s2":
+        ms[3, 4, :] = 0
+    return pan, ms
+
+
+def q_pansharpen(spark, sf_dir):
+    """`gdal_pansharpen` parity (operators/rastercalc.py::pansharpen):
+    weighted-Brovey fusion of a float32 pan band with a half-resolution
+    uint8 ms cube, two scenes (one with a zeroed ms pixel -> sentinel
+    band cells, n_nan=4 per band there). All math is elementwise float64
+    in a fixed accumulation order, so the golden's scalar per-pixel
+    replay is bit-identical; 1e-3 quantization pins the md5s."""
+    from ..functions import tiffcodec
+    from ..operators import rastercalc
+
+    rows = []
+    for scene in ("s1", "s2"):
+        pan, ms = _pan_fixture(scene)
+        rows.append((scene, "pan", tiffcodec.encode_tiff(pan, compression="deflate")))
+        rows.append((scene, "ms", tiffcodec.encode_tiff(ms)))
+    images = spark.createDataFrame(rows, "image_id string, role string, bytes binary")
+    return rastercalc.pansharpen(images)
+
+
 # (name, origin mx0, origin my1) on one gsd=2 lattice — overlapping, so
 # later seq overwrites earlier and NaN holes stay transparent
 _MOSAIC_LAYOUT = [
@@ -2669,6 +2712,7 @@ QUERIES: dict = {
     "raster_calc": (q_raster_calc, _golden("raster_calc")),
     "mosaic": (q_mosaic, _golden("mosaic")),
     "viewshed": (q_viewshed, _golden("viewshed")),
+    "pansharpen": (q_pansharpen, _golden("pansharpen")),
     "quantize_colors": (q_quantize_colors, _golden("quantize_colors")),
     "webp_roundtrip": (q_webp_roundtrip, _golden("webp_roundtrip")),
     "point_sample": (q_point_sample, _golden("point_sample")),

@@ -776,6 +776,61 @@ def g_grid_idw():
     )
 
 
+def g_pansharpen(quant=1e-3):
+    # INDEPENDENT ALGORITHM CODING: scalar per-pixel Brovey replay
+    # (python floats, nearest upsample via integer //2 indexing, same
+    # fixed accumulation order w0*b0 + w1*b1 + w2*b2) — no NumPy
+    # elementwise ops, no TIFF bytes.
+    import hashlib
+
+    from tilers_tools_spark.plans.queries import _pan_fixture
+
+    SENT = -(2**60)
+    W = (1.0 / 3, 1.0 / 3, 1.0 / 3)
+    rows = []
+    for scene in ("s1", "s2"):
+        pan, ms = _pan_fixture(scene)
+        H, Wd = pan.shape
+        wsum = 0.0
+        for wi in W:
+            wsum = wsum + wi
+        for b in range(3):
+            q = np.empty((H, Wd), np.int64)
+            n_nan = 0
+            vals = []
+            for r in range(H):
+                for c in range(Wd):
+                    bands = [float(np.float64(ms[r // 2, c // 2, i])) for i in range(3)]
+                    s = 0.0
+                    for wi, bi in zip(W, bands):
+                        s = s + wi * bi
+                    pseudo = s / wsum
+                    if pseudo == 0.0:
+                        q[r, c] = SENT
+                        n_nan += 1
+                        continue
+                    ratio = float(np.float64(pan[r, c])) / pseudo
+                    v = bands[b] * ratio
+                    qv = int(np.round(v / quant))
+                    q[r, c] = qv
+                    vals.append(qv)
+            rows.append(
+                [
+                    scene, b, H * Wd, n_nan,
+                    sum(vals) if vals else 0,
+                    min(vals) if vals else 0,
+                    max(vals) if vals else 0,
+                    hashlib.md5(q.tobytes()).hexdigest(),
+                ]
+            )
+    save(
+        "pansharpen",
+        ["image_id", "band", "n_pixels", "n_nan", "q_sum", "q_min", "q_max", "band_md5"],
+        ["str", "int32", "int64", "int64", "int64", "int64", "int64", "str"],
+        rows,
+    )
+
+
 def g_viewshed():
     # INDEPENDENT ALGORITHM CODING: scalar per-target ray walk (python
     # loops, math.sqrt/math.floor, early-exit on a blocking sample) vs
@@ -1676,6 +1731,7 @@ GENERATORS = {
     "raster_calc": g_raster_calc,
     "mosaic": g_mosaic,
     "viewshed": g_viewshed,
+    "pansharpen": g_pansharpen,
     "dem_terrain": g_dem_terrain,
     "dem_contour": g_dem_contour,
     "dem_derivatives": g_dem_derivatives,
