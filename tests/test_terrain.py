@@ -853,3 +853,40 @@ def test_viewshed_operator(spark):
     assert out["vis_md5"] == hashlib.md5(vis.tobytes()).hexdigest()
     assert out["n_visible"] == int((vis == 255).sum())
     assert out["n_visible"] + out["n_hidden"] + out["n_nodata"] == a.size
+
+
+def test_raster_to_xyz_hand_pins(spark):
+    """2x2 raster, gsd 10 at (100, 5000): centers (105,4995),(115,4995),
+    (105,4985),(115,4985); NaN pixel skipped; stride honored."""
+    from tilers_tools_spark.functions import tiffcodec
+    from tilers_tools_spark.operators import zonal
+
+    a = np.array([[1.5, np.nan], [3.0, 4.0]], np.float32)
+    img = spark.createDataFrame(
+        [
+            (
+                "t",
+                tiffcodec.encode_tiff(
+                    a, geo={"gsd": 10.0, "mx0": 100.0, "my1": 5000.0, "epsg": 3857}
+                ),
+            )
+        ],
+        "image_id string, bytes binary",
+    )
+    out = zonal.raster_to_xyz(img).toPandas().sort_values(["row", "col"])
+    assert len(out) == 3
+    assert out.iloc[0][["mx", "my", "q_value"]].tolist() == [105.0, 4995.0, 1500]
+    assert out.iloc[1][["mx", "my", "q_value"]].tolist() == [105.0, 4985.0, 3000]
+    assert out.iloc[2][["mx", "my", "q_value"]].tolist() == [115.0, 4985.0, 4000]
+
+    strided = zonal.raster_to_xyz(img, stride=2).toPandas()
+    assert len(strided) == 1 and strided.iloc[0]["q_value"] == 1500
+
+    import pytest as _pytest
+
+    no_geo = spark.createDataFrame(
+        [("n", tiffcodec.encode_tiff(np.ones((1, 1), np.float32)))],
+        "image_id string, bytes binary",
+    )
+    with _pytest.raises(Exception, match="georef"):
+        zonal.raster_to_xyz(no_geo).toPandas()

@@ -1065,3 +1065,71 @@ def grid_stat(
         schema="alg string, band int, y0 int, band_h int, n_cells long, "
         "n_empty long, q_sum long, q_min long, q_max long, band_md5 string",
     )
+
+
+# ---------------------------------------------------------------------------
+# gdal2xyz parity: raster -> relational (x, y, value) table
+# ---------------------------------------------------------------------------
+
+
+def raster_to_xyz(
+    images: DataFrame,
+    stride: int = 1,
+    quant: float = 1e-3,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """`gdal2xyz -skipnodata` parity: one row per valid pixel (row/col
+    stepped by ``stride``) carrying the pixel-center EPSG:3857 coords
+    and the value quantized to ``quant`` units (mx/my rounded to 1e-3 m
+    so the relational contract is exact cross-engine). NaN pixels are
+    skipped — gdal2xyz's skip-nodata mode; rasters without a georef
+    raise (fail-loud, NaN-row convention does not fit a coordinate
+    table).
+
+    This is the raster->table bridge: its output joins relationally
+    (DuckDB/Spark SQL) against any other table — deliberately row-per-
+    pixel, the caller chooses stride to bound the blow-up. Scale shape:
+    per-raster independent Arrow pass; rows stream out of the scan with
+    no shuffle.
+    """
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import tiffcodec
+
+        for pdf in it:
+            out = []
+            for iid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                a, geo = tiffcodec.decode_tiff(bytes(blob), scale_16bit=False)
+                if a.ndim != 2:
+                    raise ValueError("raster_to_xyz expects single-band rasters")
+                if geo is None:
+                    raise ValueError(f"raster_to_xyz: {iid!r} has no georef")
+                h, w = a.shape
+                gsd = float(geo["gsd"])
+                mx0, my1 = float(geo["mx0"]), float(geo["my1"])
+                sub = a[::stride, ::stride].astype(np.float64)
+                rr, cc = np.nonzero(~np.isnan(sub))
+                r = rr * stride
+                c = cc * stride
+                v = sub[rr, cc]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            id_col: iid,
+                            "row": r.astype(np.int32),
+                            "col": c.astype(np.int32),
+                            "mx": np.round((mx0 + (c + 0.5) * gsd) / 1e-3) * 1e-3,
+                            "my": np.round((my1 - (r + 0.5) * gsd) / 1e-3) * 1e-3,
+                            "q_value": np.round(v / quant).astype(np.int64),
+                        }
+                    )
+                )
+            yield pd.concat(out) if out else pd.DataFrame(
+                columns=[id_col, "row", "col", "mx", "my", "q_value"]
+            )
+
+    return images.select(id_col, bytes_col).mapInPandas(
+        fn,
+        schema=f"{id_col} string, row int, col int, mx double, my double, q_value long",
+    )

@@ -1533,6 +1533,35 @@ def q_viewshed(spark, sf_dir):
     return out
 
 
+def q_raster_xyz(spark, sf_dir):
+    """`gdal2xyz -skipnodata` parity (operators/zonal.py::raster_to_xyz):
+    the NaN-holed DEM GeoTIFFs to a relational (row, col, mx, my,
+    q_value) table at stride 2 — pixel-center mercator coords rounded to
+    1e-3 m, values quantized to 1e-3. The golden recomputes every row
+    with scalar Python loops over the analytic surfaces + the same
+    georef arithmetic (no TIFF bytes)."""
+    from ..functions import tiffcodec
+    from ..operators import zonal
+
+    rows = []
+    for name, h, w, gsd in _DEM_SPECS:
+        a = _dem_surface(name, h, w).copy()
+        a[_fillnodata_mask(name, h, w)] = np.nan
+        rows.append(
+            (
+                name,
+                tiffcodec.encode_tiff(
+                    a,
+                    geo={"gsd": gsd, "mx0": 0.0, "my1": 1.0e5, "epsg": 3857},
+                    compression="deflate" if name == "flat" else "none",
+                    tile=16 if name == "wave" else None,
+                ),
+            )
+        )
+    images = spark.createDataFrame(rows, "image_id string, bytes binary")
+    return zonal.raster_to_xyz(images, stride=2)
+
+
 def _pan_fixture(scene):
     """Analytic pan (2h x 2w float32) + ms (h x w x 3 uint8) pair for the
     pansharpen gate; scene 's2' zeroes one ms pixel across all bands to
@@ -2713,6 +2742,7 @@ QUERIES: dict = {
     "mosaic": (q_mosaic, _golden("mosaic")),
     "viewshed": (q_viewshed, _golden("viewshed")),
     "pansharpen": (q_pansharpen, _golden("pansharpen")),
+    "raster_xyz": (q_raster_xyz, _golden("raster_xyz")),
     "quantize_colors": (q_quantize_colors, _golden("quantize_colors")),
     "webp_roundtrip": (q_webp_roundtrip, _golden("webp_roundtrip")),
     "point_sample": (q_point_sample, _golden("point_sample")),

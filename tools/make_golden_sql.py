@@ -776,6 +776,41 @@ def g_grid_idw():
     )
 
 
+def g_raster_xyz(stride=2, quant=1e-3):
+    # INDEPENDENT ALGORITHM CODING: scalar per-pixel loops over the
+    # recomputed analytic surfaces + hole masks; same georef arithmetic
+    # (identical float64 expressions -> identical doubles), no TIFF.
+    from tilers_tools_spark.plans.queries import (
+        _DEM_SPECS,
+        _dem_surface,
+        _fillnodata_mask,
+    )
+
+    rows = []
+    for name, h, w, gsd in _DEM_SPECS:
+        a = _dem_surface(name, h, w)
+        mask = np.asarray(_fillnodata_mask(name, h, w))
+        mx0, my1 = 0.0, 1.0e5
+        for r in range(0, h, stride):
+            for c in range(0, w, stride):
+                if mask[r, c]:
+                    continue
+                rows.append(
+                    [
+                        name, r, c,
+                        float(np.round((mx0 + (c + 0.5) * gsd) / 1e-3) * 1e-3),
+                        float(np.round((my1 - (r + 0.5) * gsd) / 1e-3) * 1e-3),
+                        int(np.round(float(np.float64(a[r, c])) / quant)),
+                    ]
+                )
+    save(
+        "raster_xyz",
+        ["image_id", "row", "col", "mx", "my", "q_value"],
+        ["str", "int32", "int32", "float64", "float64", "int64"],
+        rows,
+    )
+
+
 def g_pansharpen(quant=1e-3):
     # INDEPENDENT ALGORITHM CODING: scalar per-pixel Brovey replay
     # (python floats, nearest upsample via integer //2 indexing, same
@@ -1732,6 +1767,7 @@ GENERATORS = {
     "mosaic": g_mosaic,
     "viewshed": g_viewshed,
     "pansharpen": g_pansharpen,
+    "raster_xyz": g_raster_xyz,
     "dem_terrain": g_dem_terrain,
     "dem_contour": g_dem_contour,
     "dem_derivatives": g_dem_derivatives,
