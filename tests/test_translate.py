@@ -1,0 +1,78 @@
+"""gdal_translate parity — crop/resize/rescale hand pins."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tilers_tools_spark.operators.translate import translate_np
+
+
+def test_srcwin_crop():
+    a = np.arange(20.0).reshape(4, 5)
+    out = translate_np(a, srcwin=(1, 2, 3, 2))
+    assert out.tolist() == [[11.0, 12.0, 13.0], [16.0, 17.0, 18.0]]
+    with pytest.raises(ValueError, match="srcwin"):
+        translate_np(a, srcwin=(3, 0, 3, 2))
+    with pytest.raises(ValueError, match="srcwin"):
+        translate_np(a, srcwin=(-1, 0, 2, 2))
+
+
+def test_outsize_nearest_hand_pins():
+    """4->2 downsize: dst 0 -> xs=(0.5)*2=1.0 -> floor 1; dst 1 -> 3."""
+    a = np.array([[10.0, 20.0, 30.0, 40.0]])
+    out = translate_np(a, outsize=(2, 1), resample="nearest")
+    assert out.tolist() == [[20.0, 40.0]]
+    # 2->4 upsize: xs = (xd+0.5)/2 -> floor = 0,0,1,1
+    b = np.array([[1.0, 2.0]])
+    up = translate_np(b, outsize=(4, 1), resample="nearest")
+    assert up.tolist() == [[1.0, 1.0, 2.0, 2.0]]
+
+
+def test_outsize_bilinear_hand_pins():
+    """2->3 upsize of [0, 6]: xs = {1/3, 1, 5/3}; sample at xs-0.5 with
+    clamp -> values 0 (clamped), 3 (midpoint), 6 (clamped)."""
+    a = np.array([[0.0, 6.0]])
+    out = translate_np(a, outsize=(3, 1), resample="bilinear")
+    assert out[0, 1] == 3.0 and out[0, 0] == 0.0 and out[0, 2] == 6.0
+    # NaN neighbor poisons the stencil
+    n = translate_np(np.array([[0.0, np.nan]]), outsize=(3, 1), resample="bilinear")
+    assert np.isnan(n[0, 1]) and n[0, 0] == 0.0
+
+    with pytest.raises(ValueError, match="resample"):
+        translate_np(a, outsize=(2, 1), resample="cubicspline")
+
+
+def test_scale_and_clamp():
+    a = np.array([[0.0, 50.0, 100.0, 200.0, np.nan]])
+    out = translate_np(a, scale=(0.0, 100.0, 0.0, 255.0))
+    # exact replay of the documented expression (100*2.55 rounds below 255)
+    assert out[0, :4].tolist() == [0.0, 50.0 * 2.55, 100.0 * 2.55, 255.0]
+    assert np.isnan(out[0, 4])  # NaN passes through the clamp
+    # inverted destination range still clamps correctly
+    inv = translate_np(np.array([[0.0, 100.0]]), scale=(0.0, 100.0, 255.0, 0.0))
+    assert inv[0, 0] == 255.0 and abs(inv[0, 1]) < 1e-12
+    with pytest.raises(ValueError, match="src_min"):
+        translate_np(a, scale=(5.0, 5.0, 0.0, 1.0))
+
+
+def test_raster_translate_operator(spark):
+    import hashlib
+
+    from tilers_tools_spark.functions import tiffcodec
+    from tilers_tools_spark.operators.translate import raster_translate
+
+    a = (np.arange(48.0).reshape(6, 8) * 3.5).astype(np.float32)
+    img = spark.createDataFrame(
+        [("t", tiffcodec.encode_tiff(a))], "image_id string, bytes binary"
+    )
+    out = raster_translate(
+        img, srcwin=(1, 1, 6, 4), outsize=(3, 2), resample="bilinear",
+        scale=(0.0, 160.0, 0.0, 255.0),
+    ).toPandas().iloc[0]
+    ref = translate_np(
+        a.astype(np.float64), (1, 1, 6, 4), (3, 2), "bilinear", (0.0, 160.0, 0.0, 255.0)
+    )
+    q = np.round(ref / 1e-3).astype(np.int64)
+    assert out["grid_md5"] == hashlib.md5(q.tobytes()).hexdigest()
+    assert (out["out_w"], out["out_h"]) == (3, 2)

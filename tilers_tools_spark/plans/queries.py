@@ -1562,6 +1562,49 @@ def q_raster_xyz(spark, sf_dir):
     return zonal.raster_to_xyz(images, stride=2)
 
 
+# (variant, srcwin, outsize, resample, scale) — applied to ALL rasters
+_TRANSLATE_VARIANTS = [
+    ("crop_near_byte", (2, 2, 12, 12), (7, 5), "nearest", (0.0, 100.0, 0.0, 255.0)),
+    ("bilinear_up", None, (20, 18), "bilinear", None),
+    ("crop_only", (1, 1, 10, 9), None, "nearest", None),
+]
+
+
+def q_raster_translate(spark, sf_dir):
+    """`gdal_translate` parity (operators/translate.py): three flag
+    combinations (srcwin crop + nearest downsize + byte scale, bilinear
+    upsize, pure crop) over the NaN-holed DEM GeoTIFFs — NaN holes
+    propagate through nearest picks and bilinear stencils into the
+    sentinel (n_nan > 0). The golden replays every destination pixel
+    with scalar Python loops of the same documented mapping formulas."""
+    from ..functions import tiffcodec
+    from ..operators import translate as tr
+
+    rows = []
+    for name, h, w, gsd in _DEM_SPECS:
+        a = _dem_surface(name, h, w).copy()
+        a[_fillnodata_mask(name, h, w)] = np.nan
+        rows.append(
+            (
+                name,
+                tiffcodec.encode_tiff(
+                    a,
+                    geo={"gsd": gsd, "mx0": 0.0, "my1": 1.0e5, "epsg": 3857},
+                    compression="deflate" if name == "plane" else "none",
+                    tile=16 if name == "flat" else None,
+                ),
+            )
+        )
+    images = spark.createDataFrame(rows, "image_id string, bytes binary")
+    out = None
+    for variant, srcwin, outsize, resample, scale in _TRANSLATE_VARIANTS:
+        o = tr.raster_translate(
+            images, srcwin=srcwin, outsize=outsize, resample=resample, scale=scale
+        ).withColumn("variant", F.lit(variant))
+        out = o if out is None else out.unionByName(o)
+    return out
+
+
 def _pan_fixture(scene):
     """Analytic pan (2h x 2w float32) + ms (h x w x 3 uint8) pair for the
     pansharpen gate; scene 's2' zeroes one ms pixel across all bands to
@@ -2743,6 +2786,7 @@ QUERIES: dict = {
     "viewshed": (q_viewshed, _golden("viewshed")),
     "pansharpen": (q_pansharpen, _golden("pansharpen")),
     "raster_xyz": (q_raster_xyz, _golden("raster_xyz")),
+    "raster_translate": (q_raster_translate, _golden("raster_translate")),
     "quantize_colors": (q_quantize_colors, _golden("quantize_colors")),
     "webp_roundtrip": (q_webp_roundtrip, _golden("webp_roundtrip")),
     "point_sample": (q_point_sample, _golden("point_sample")),

@@ -811,6 +811,106 @@ def g_raster_xyz(stride=2, quant=1e-3):
     )
 
 
+def g_raster_translate(quant=1e-3):
+    # INDEPENDENT ALGORITHM CODING: scalar per-destination-pixel replay
+    # of the documented crop/resize/rescale mapping formulas (python
+    # floats, math.floor, explicit NaN short-circuit for the clamp) —
+    # no NumPy grids, no TIFF bytes.
+    import hashlib
+    import math
+
+    from tilers_tools_spark.plans.queries import (
+        _DEM_SPECS,
+        _TRANSLATE_VARIANTS,
+        _dem_surface,
+        _fillnodata_mask,
+    )
+
+    SENT = -(2**60)
+    rows = []
+    for variant, srcwin, outsize, resample, scale in _TRANSLATE_VARIANTS:
+        for name, H, W, _gsd in _DEM_SPECS:
+            surf = _dem_surface(name, H, W)
+            mask = np.asarray(_fillnodata_mask(name, H, W))
+            a = [
+                [
+                    float("nan") if mask[r, c] else float(np.float64(surf[r, c]))
+                    for c in range(W)
+                ]
+                for r in range(H)
+            ]
+            h, w = H, W
+            if srcwin is not None:
+                xoff, yoff, xsize, ysize = srcwin
+                a = [row[xoff : xoff + xsize] for row in a[yoff : yoff + ysize]]
+                h, w = ysize, xsize
+            if outsize is not None:
+                out_w, out_h = outsize
+                b = []
+                for yd in range(out_h):
+                    ys = (yd + 0.5) * h / out_h
+                    rowv = []
+                    for xd in range(out_w):
+                        xs = (xd + 0.5) * w / out_w
+                        if resample == "nearest":
+                            ri = min(h - 1, math.floor(ys))
+                            ci = min(w - 1, math.floor(xs))
+                            rowv.append(a[ri][ci])
+                        else:  # bilinear
+                            uu, vv = xs - 0.5, ys - 0.5
+                            c0, r0 = math.floor(uu), math.floor(vv)
+                            fc, fr = uu - c0, vv - r0
+                            c0c = min(max(c0, 0), w - 1)
+                            c1c = min(max(c0 + 1, 0), w - 1)
+                            r0c = min(max(r0, 0), h - 1)
+                            r1c = min(max(r0 + 1, 0), h - 1)
+                            top = a[r0c][c0c] * (1.0 - fc) + a[r0c][c1c] * fc
+                            bot = a[r1c][c0c] * (1.0 - fc) + a[r1c][c1c] * fc
+                            rowv.append(top * (1.0 - fr) + bot * fr)
+                    b.append(rowv)
+                a, h, w = b, out_h, out_w
+            if scale is not None:
+                smin, smax, dmin, dmax = scale
+                factor = (dmax - dmin) / (smax - smin)
+                lo, hi = (dmin, dmax) if dmax >= dmin else (dmax, dmin)
+                a = [
+                    [
+                        v if math.isnan(v) else min(max(dmin + (v - smin) * factor, lo), hi)
+                        for v in row
+                    ]
+                    for row in a
+                ]
+            q = np.empty((h, w), np.int64)
+            n_nan = 0
+            vals = []
+            for r in range(h):
+                for c in range(w):
+                    v = a[r][c]
+                    if math.isnan(v) or math.isinf(v):
+                        q[r, c] = SENT
+                        n_nan += 1
+                    else:
+                        qv = int(np.round(v / quant))
+                        q[r, c] = qv
+                        vals.append(qv)
+            rows.append(
+                [
+                    name, w, h, n_nan,
+                    sum(vals) if vals else 0,
+                    min(vals) if vals else 0,
+                    max(vals) if vals else 0,
+                    hashlib.md5(q.tobytes()).hexdigest(),
+                    variant,
+                ]
+            )
+    save(
+        "raster_translate",
+        ["image_id", "out_w", "out_h", "n_nan", "q_sum", "q_min", "q_max", "grid_md5", "variant"],
+        ["str", "int32", "int32", "int64", "int64", "int64", "int64", "str", "str"],
+        rows,
+    )
+
+
 def g_pansharpen(quant=1e-3):
     # INDEPENDENT ALGORITHM CODING: scalar per-pixel Brovey replay
     # (python floats, nearest upsample via integer //2 indexing, same
@@ -1768,6 +1868,7 @@ GENERATORS = {
     "viewshed": g_viewshed,
     "pansharpen": g_pansharpen,
     "raster_xyz": g_raster_xyz,
+    "raster_translate": g_raster_translate,
     "dem_terrain": g_dem_terrain,
     "dem_contour": g_dem_contour,
     "dem_derivatives": g_dem_derivatives,
