@@ -65,6 +65,9 @@ BENCH_QUERIES = [
     "pii_scrub",
     "repetition",
     "dem_hillshade",
+    # round-5 GDAL-utility family additions (fixture-driven)
+    "mosaic",
+    "viewshed",
 ]
 
 

@@ -76,3 +76,78 @@ def test_raster_translate_operator(spark):
     q = np.round(ref / 1e-3).astype(np.int64)
     assert out["grid_md5"] == hashlib.md5(q.tobytes()).hexdigest()
     assert (out["out_w"], out["out_h"]) == (3, 2)
+
+
+def test_geographic_geokey_roundtrip():
+    from tilers_tools_spark.functions import tiffcodec
+
+    blob = tiffcodec.encode_tiff(
+        np.ones((4, 6), np.float32),
+        geo={"gsd": 0.01, "mx0": 10.0, "my1": 50.0, "epsg": 4326},
+    )
+    tags = tiffcodec.read_tiff_tags(blob)
+    assert tags["geo"]["epsg"] == 4326
+    assert tags["geo"]["mx0"] == 10.0 and tags["geo"]["my1"] == 50.0
+
+
+def test_reproject_4326_invariants():
+    """Constant raster stays constant under any resampling; output grid
+    covers the projected bbox at the default equator-scale gsd."""
+    import math
+
+    from tilers_tools_spark.operators.translate import _R, reproject_4326_np
+
+    a = np.full((10, 14), 7.0, np.float32)
+    for resample in ("nearest", "bilinear"):
+        out, geo = reproject_4326_np(a, 10.0, 48.0, 0.01, resample=resample)
+        assert np.allclose(out, 7.0)
+        assert geo["epsg"] == 3857
+        assert geo["gsd"] == _R * math.radians(0.01)
+        # at lat 48 the y span shrinks per mercator stretching: out_h > h
+        assert out.shape[0] > 10 and out.shape[1] == 14
+
+    with pytest.raises(ValueError, match="mercator band"):
+        reproject_4326_np(a, 0.0, 89.9, 0.01)
+    with pytest.raises(ValueError, match="resample"):
+        reproject_4326_np(a, 0.0, 10.0, 0.01, resample="cubic")
+
+
+def test_reproject_4326_operator(spark):
+    import hashlib
+
+    from tilers_tools_spark.functions import tiffcodec
+    from tilers_tools_spark.operators.translate import reproject_4326, reproject_4326_np
+
+    a = (np.arange(120.0).reshape(10, 12) * 2.5).astype(np.float32)
+    img = spark.createDataFrame(
+        [
+            (
+                "g",
+                tiffcodec.encode_tiff(
+                    a, geo={"gsd": 0.02, "mx0": -3.0, "my1": 40.0, "epsg": 4326}
+                ),
+            )
+        ],
+        "image_id string, bytes binary",
+    )
+    out = reproject_4326(img, resample="bilinear").toPandas().iloc[0]
+    ref, _geo = reproject_4326_np(a, -3.0, 40.0, 0.02, resample="bilinear")
+    q = np.round(ref / 1e-3).astype(np.int64)
+    assert out["grid_md5"] == hashlib.md5(q.tobytes()).hexdigest()
+    assert (out["out_w"], out["out_h"]) == (ref.shape[1], ref.shape[0])
+
+    import pytest as _pytest
+
+    not4326 = spark.createDataFrame(
+        [
+            (
+                "m",
+                tiffcodec.encode_tiff(
+                    a, geo={"gsd": 2.0, "mx0": 0.0, "my1": 1.0e5, "epsg": 3857}
+                ),
+            )
+        ],
+        "image_id string, bytes binary",
+    )
+    with _pytest.raises(Exception, match="4326"):
+        reproject_4326(not4326).toPandas()

@@ -716,7 +716,13 @@ def _prep_image(arr: np.ndarray, geo: dict | None, compression: str,
         add(TAG_MODEL_PIXEL_SCALE, 12, [float(geo["gsd"]), float(geo["gsd"]), 0.0])
         add(TAG_MODEL_TIEPOINT, 12, [0.0, 0.0, 0.0, float(geo["mx0"]), float(geo["my1"]), 0.0])
         epsg = int(geo.get("epsg") or 3857)
-        add(TAG_GEO_KEYS, 3, [1, 1, 0, 2, _GT_MODEL_TYPE, 0, 1, 1, _PROJECTED_CS, 0, 1, epsg])
+        # EPSG:4326 is a geographic CRS: model type 2 + GeographicTypeGeoKey
+        # (GDAL writes the same pair for lon/lat rasters); everything else
+        # stays projected model type 1 + ProjectedCSTypeGeoKey
+        if epsg == 4326:
+            add(TAG_GEO_KEYS, 3, [1, 1, 0, 2, _GT_MODEL_TYPE, 0, 1, 2, _GEOGRAPHIC_CS, 0, 1, epsg])
+        else:
+            add(TAG_GEO_KEYS, 3, [1, 1, 0, 2, _GT_MODEL_TYPE, 0, 1, 1, _PROJECTED_CS, 0, 1, epsg])
 
     entries.sort(key=lambda e: e[0])  # spec: ascending tag order
     extra_size = 0

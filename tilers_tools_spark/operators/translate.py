@@ -139,3 +139,160 @@ def raster_translate(
         schema=f"{id_col} string, out_w int, out_h int, n_nan long, "
         "q_sum long, q_min long, q_max long, grid_md5 string",
     )
+
+
+# ---------------------------------------------------------------------------
+# gdalwarp EPSG:4326 -> EPSG:3857 parity (north-up lon/lat reprojection)
+# ---------------------------------------------------------------------------
+
+_R = 6378137.0
+
+
+def reproject_4326_np(
+    a: np.ndarray,
+    lon0: float,
+    lat1: float,
+    gsd_deg: float,
+    out_gsd: float | None = None,
+    resample: str = "bilinear",
+) -> tuple[np.ndarray, dict]:
+    """Reproject a north-up EPSG:4326 raster (top-left corner lon0/lat1,
+    square pixel size ``gsd_deg`` degrees) onto a north-up EPSG:3857
+    grid — the gdalwarp -t_srs EPSG:3857 case the render contract used
+    to exclude.
+
+    Determinism design: the x mapping (merc x <-> lon <-> source col) is
+    fully AFFINE; the only transcendental — dest row center -> latitude,
+    lat = degrees(2*atan(exp(my/R)) - pi/2) — is evaluated with scalar
+    ``math`` calls in a per-ROW python loop (out_h values), so a scalar
+    golden replays the identical libm bits; the remaining sampling is
+    elementwise float64. Source sampling uses the raster_translate
+    conventions: continuous src coords sx = (lon - lon0)/gsd_deg, sy =
+    (lat1 - lat)/gsd_deg; nearest = clamped floor; bilinear at
+    (s - 0.5) with edge-replicate clamp (NaN poisons its stencil).
+
+    ``out_gsd`` defaults to the equator-scale of the source pixel,
+    R * radians(gsd_deg) — gdalwarp's default-resolution analogue.
+    Returns (float64 grid, target georef dict).
+    """
+    import math
+
+    h, w = a.shape
+    lon1 = lon0 + w * gsd_deg
+    lat0 = lat1 - h * gsd_deg
+    if not (-85.06 < lat0 and lat1 < 85.06):
+        raise ValueError(f"latitude range [{lat0}, {lat1}] outside web-mercator band")
+    if out_gsd is None:
+        out_gsd = _R * math.radians(gsd_deg)
+    x0 = _R * math.radians(lon0)
+    x1 = _R * math.radians(lon1)
+    y1 = _R * math.log(math.tan(math.pi / 4.0 + math.radians(lat1) / 2.0))
+    y0 = _R * math.log(math.tan(math.pi / 4.0 + math.radians(lat0) / 2.0))
+    out_w = max(1, int(math.ceil((x1 - x0) / out_gsd - 1e-9)))
+    out_h = max(1, int(math.ceil((y1 - y0) / out_gsd - 1e-9)))
+    # per-row latitude via scalar math (the one transcendental; see above)
+    sy = np.array(
+        [
+            (lat1 - math.degrees(2.0 * math.atan(math.exp((y1 - (r + 0.5) * out_gsd) / _R)) - math.pi / 2.0))
+            / gsd_deg
+            for r in range(out_h)
+        ],
+        np.float64,
+    )
+    # per-col source x: affine end to end
+    sx = np.array(
+        [
+            (math.degrees((x0 + (c + 0.5) * out_gsd) / _R) - lon0) / gsd_deg
+            for c in range(out_w)
+        ],
+        np.float64,
+    )
+    af = a.astype(np.float64)
+    if resample == "nearest":
+        ri = np.clip(np.floor(sy).astype(np.int64), 0, h - 1)
+        ci = np.clip(np.floor(sx).astype(np.int64), 0, w - 1)
+        out = af[ri[:, None], ci[None, :]]
+    elif resample == "bilinear":
+        uu = sx - 0.5
+        vv = sy - 0.5
+        c0 = np.floor(uu).astype(np.int64)
+        r0 = np.floor(vv).astype(np.int64)
+        fc = (uu - c0)[None, :]
+        fr = (vv - r0)[:, None]
+        c0c = np.clip(c0, 0, w - 1)[None, :]
+        c1c = np.clip(c0 + 1, 0, w - 1)[None, :]
+        r0c = np.clip(r0, 0, h - 1)[:, None]
+        r1c = np.clip(r0 + 1, 0, h - 1)[:, None]
+        top = af[r0c, c0c] * (1.0 - fc) + af[r0c, c1c] * fc
+        bot = af[r1c, c0c] * (1.0 - fc) + af[r1c, c1c] * fc
+        out = top * (1.0 - fr) + bot * fr
+    else:
+        raise ValueError(f"unknown resample {resample!r} (nearest|bilinear)")
+    return out, {"gsd": out_gsd, "mx0": x0, "my1": y1, "epsg": 3857}
+
+
+def reproject_4326(
+    images: DataFrame,
+    out_gsd: float | None = None,
+    resample: str = "bilinear",
+    quant: float = 1e-3,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """`gdalwarp -s_srs EPSG:4326 -t_srs EPSG:3857` parity over a table
+    of lon/lat GeoTIFFs (GeoKey must say 4326 — anything else raises,
+    fail-loud): one summary row per raster (image_id, out_w, out_h,
+    mx0, my1, out_gsd, n_nan, q_sum, q_min, q_max, grid_md5), quantized
+    like the zonal family (mx0/my1 rounded to 1e-3 m). Scale shape:
+    per-raster independent Arrow pass; pixels never shuffle."""
+    import hashlib
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import tiffcodec
+
+        for pdf in it:
+            rows = []
+            for iid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                a, geo = tiffcodec.decode_tiff(bytes(blob), scale_16bit=False)
+                if a.ndim != 2:
+                    raise ValueError("reproject_4326 expects single-band rasters")
+                if geo is None or geo.get("epsg") != 4326:
+                    raise ValueError(
+                        f"reproject_4326: {iid!r} georef is not EPSG:4326 "
+                        f"(got {None if geo is None else geo.get('epsg')})"
+                    )
+                out, tgeo = reproject_4326_np(
+                    a, float(geo["mx0"]), float(geo["my1"]), float(geo["gsd"]),
+                    out_gsd=out_gsd, resample=resample,
+                )
+                bad = ~np.isfinite(out)
+                q = np.where(
+                    bad, GRID_SENT, np.round(np.where(bad, 0.0, out) / quant)
+                ).astype(np.int64)
+                ok = q[~bad]
+                rows.append(
+                    (
+                        iid, out.shape[1], out.shape[0],
+                        float(np.round(tgeo["mx0"] / 1e-3) * 1e-3),
+                        float(np.round(tgeo["my1"] / 1e-3) * 1e-3),
+                        float(np.round(tgeo["gsd"] / 1e-6) * 1e-6),
+                        int(bad.sum()),
+                        int(ok.sum()) if ok.size else 0,
+                        int(ok.min()) if ok.size else 0,
+                        int(ok.max()) if ok.size else 0,
+                        hashlib.md5(np.ascontiguousarray(q).tobytes()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "out_w", "out_h", "mx0", "my1", "out_gsd",
+                    "n_nan", "q_sum", "q_min", "q_max", "grid_md5",
+                ],
+            )
+
+    return images.select(id_col, bytes_col).mapInPandas(
+        fn,
+        schema=f"{id_col} string, out_w int, out_h int, mx0 double, my1 double, "
+        "out_gsd double, n_nan long, q_sum long, q_min long, q_max long, grid_md5 string",
+    )

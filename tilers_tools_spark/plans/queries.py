@@ -1605,6 +1605,59 @@ def q_raster_translate(spark, sf_dir):
     return out
 
 
+# (image_id, lon0, lat1, gsd_deg, h, w) — lon/lat fixtures for the warp gate
+_WARP4326_SPECS = [
+    ("alps", 10.0, 47.0, 0.01, 30, 40),
+    ("fjord", 6.5, 61.0, 0.02, 24, 20),
+]
+
+
+def _warp4326_surface(name, h, w):
+    """Analytic lon/lat DEM (recomputed directly by the golden)."""
+    r = np.arange(h)[:, None] + np.zeros((1, w))
+    c = np.arange(w)[None, :] + np.zeros((h, 1))
+    if name == "alps":
+        return (500.0 + 120.0 * np.sin(r / 4.0) + 7.0 * c).astype(np.float32)
+    return (100.0 + 5.0 * r + 90.0 * np.cos(c / 3.0)).astype(np.float32)
+
+
+def q_warp4326(spark, sf_dir):
+    """`gdalwarp -s_srs EPSG:4326 -t_srs EPSG:3857` parity (operators/
+    translate.py::reproject_4326): two lon/lat GeoTIFFs (geographic
+    GeoKey model, NaN holes on 'alps') warped to north-up mercator grids
+    under both resamplings, unioned with a variant column. The per-row
+    latitude inverse is scalar math on BOTH engines (the design that
+    makes the warp bit-identical); the golden replays every dest pixel
+    with python loops."""
+    from ..functions import tiffcodec
+    from ..operators import translate as tr
+
+    rows = []
+    for name, lon0, lat1, gsd, h, w in _WARP4326_SPECS:
+        a = _warp4326_surface(name, h, w).copy()
+        if name == "alps":
+            a[_fillnodata_mask("plane", h, w)] = np.nan
+        rows.append(
+            (
+                name,
+                tiffcodec.encode_tiff(
+                    a,
+                    geo={"gsd": gsd, "mx0": lon0, "my1": lat1, "epsg": 4326},
+                    compression="deflate" if name == "alps" else "none",
+                    tile=16 if name == "fjord" else None,
+                ),
+            )
+        )
+    images = spark.createDataFrame(rows, "image_id string, bytes binary")
+    out = None
+    for resample in ("bilinear", "nearest"):
+        o = tr.reproject_4326(images, resample=resample).withColumn(
+            "variant", F.lit(resample)
+        )
+        out = o if out is None else out.unionByName(o)
+    return out
+
+
 def _pan_fixture(scene):
     """Analytic pan (2h x 2w float32) + ms (h x w x 3 uint8) pair for the
     pansharpen gate; scene 's2' zeroes one ms pixel across all bands to
@@ -2787,6 +2840,7 @@ QUERIES: dict = {
     "pansharpen": (q_pansharpen, _golden("pansharpen")),
     "raster_xyz": (q_raster_xyz, _golden("raster_xyz")),
     "raster_translate": (q_raster_translate, _golden("raster_translate")),
+    "warp_4326": (q_warp4326, _golden("warp_4326")),
     "quantize_colors": (q_quantize_colors, _golden("quantize_colors")),
     "webp_roundtrip": (q_webp_roundtrip, _golden("webp_roundtrip")),
     "point_sample": (q_point_sample, _golden("point_sample")),

@@ -811,6 +811,100 @@ def g_raster_xyz(stride=2, quant=1e-3):
     )
 
 
+def g_warp4326(quant=1e-3):
+    # INDEPENDENT ALGORITHM CODING: scalar per-destination-pixel replay
+    # of the documented 4326->3857 mapping (math.* transcendentals —
+    # identical libm calls to the engine's per-row scalar loop — then
+    # plain python bilinear/nearest), over the recomputed analytic
+    # lon/lat surfaces. No NumPy grids, no TIFF bytes.
+    import hashlib
+    import math
+
+    from tilers_tools_spark.plans.queries import (
+        _WARP4326_SPECS,
+        _fillnodata_mask,
+        _warp4326_surface,
+    )
+
+    SENT = -(2**60)
+    R = 6378137.0
+    rows = []
+    for resample in ("bilinear", "nearest"):
+        for name, lon0, lat1, gsd, h, w in _WARP4326_SPECS:
+            surf = _warp4326_surface(name, h, w)
+            mask = np.asarray(_fillnodata_mask("plane", h, w)) if name == "alps" else np.zeros((h, w), bool)
+            a = [
+                [
+                    float("nan") if mask[r, c] else float(np.float64(surf[r, c]))
+                    for c in range(w)
+                ]
+                for r in range(h)
+            ]
+            lon1 = lon0 + w * gsd
+            lat0 = lat1 - h * gsd
+            out_gsd = R * math.radians(gsd)
+            x0 = R * math.radians(lon0)
+            x1 = R * math.radians(lon1)
+            y1 = R * math.log(math.tan(math.pi / 4.0 + math.radians(lat1) / 2.0))
+            y0 = R * math.log(math.tan(math.pi / 4.0 + math.radians(lat0) / 2.0))
+            out_w = max(1, int(math.ceil((x1 - x0) / out_gsd - 1e-9)))
+            out_h = max(1, int(math.ceil((y1 - y0) / out_gsd - 1e-9)))
+            q = np.empty((out_h, out_w), np.int64)
+            n_nan = 0
+            vals = []
+            for rr in range(out_h):
+                lat = math.degrees(
+                    2.0 * math.atan(math.exp((y1 - (rr + 0.5) * out_gsd) / R)) - math.pi / 2.0
+                )
+                sy = (lat1 - lat) / gsd
+                for cc in range(out_w):
+                    sx = (math.degrees((x0 + (cc + 0.5) * out_gsd) / R) - lon0) / gsd
+                    if resample == "nearest":
+                        ri = min(max(math.floor(sy), 0), h - 1)
+                        ci = min(max(math.floor(sx), 0), w - 1)
+                        v = a[ri][ci]
+                    else:
+                        uu, vv = sx - 0.5, sy - 0.5
+                        c0, r0 = math.floor(uu), math.floor(vv)
+                        fc, fr = uu - c0, vv - r0
+                        c0c = min(max(c0, 0), w - 1)
+                        c1c = min(max(c0 + 1, 0), w - 1)
+                        r0c = min(max(r0, 0), h - 1)
+                        r1c = min(max(r0 + 1, 0), h - 1)
+                        top = a[r0c][c0c] * (1.0 - fc) + a[r0c][c1c] * fc
+                        bot = a[r1c][c0c] * (1.0 - fc) + a[r1c][c1c] * fc
+                        v = top * (1.0 - fr) + bot * fr
+                    if math.isnan(v) or math.isinf(v):
+                        q[rr, cc] = SENT
+                        n_nan += 1
+                    else:
+                        qv = int(np.round(v / quant))
+                        q[rr, cc] = qv
+                        vals.append(qv)
+            rows.append(
+                [
+                    name, out_w, out_h,
+                    float(np.round(x0 / 1e-3) * 1e-3),
+                    float(np.round(y1 / 1e-3) * 1e-3),
+                    float(np.round(out_gsd / 1e-6) * 1e-6),
+                    n_nan,
+                    sum(vals) if vals else 0,
+                    min(vals) if vals else 0,
+                    max(vals) if vals else 0,
+                    hashlib.md5(q.tobytes()).hexdigest(),
+                    resample,
+                ]
+            )
+    save(
+        "warp_4326",
+        ["image_id", "out_w", "out_h", "mx0", "my1", "out_gsd",
+         "n_nan", "q_sum", "q_min", "q_max", "grid_md5", "variant"],
+        ["str", "int32", "int32", "float64", "float64", "float64",
+         "int64", "int64", "int64", "int64", "str", "str"],
+        rows,
+    )
+
+
 def g_raster_translate(quant=1e-3):
     # INDEPENDENT ALGORITHM CODING: scalar per-destination-pixel replay
     # of the documented crop/resize/rescale mapping formulas (python
@@ -1869,6 +1963,7 @@ GENERATORS = {
     "pansharpen": g_pansharpen,
     "raster_xyz": g_raster_xyz,
     "raster_translate": g_raster_translate,
+    "warp_4326": g_warp4326,
     "dem_terrain": g_dem_terrain,
     "dem_contour": g_dem_contour,
     "dem_derivatives": g_dem_derivatives,
