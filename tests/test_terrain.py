@@ -890,3 +890,67 @@ def test_raster_to_xyz_hand_pins(spark):
     )
     with _pytest.raises(Exception, match="georef"):
         zonal.raster_to_xyz(no_geo).toPandas()
+
+
+def test_nearblack_np_hand_pins():
+    """5x6 hand grid: border-connected near-zero collar strips (including
+    a serpentine arm reaching inward), an interior near-zero lake that is
+    NOT border-connected survives, and a NaN cell touching the collar
+    extends it."""
+    from tilers_tools_spark.operators import zonal
+
+    N = np.nan
+    a = np.array(
+        [
+            [0.0, 9.0, 9.0, 9.0, 9.0, 1.0],
+            [1.0, 9.0, 9.0, 9.0, 9.0, 2.0],
+            [9.0, 9.0, 1.0, 9.0, 9.0, N],
+            [9.0, 9.0, 1.0, 9.0, 9.0, 9.0],
+            [9.0, 9.0, 9.0, 9.0, 9.0, 9.0],
+        ],
+        np.float64,
+    )
+    out, collar = zonal.nearblack_np(a, target=0.0, tol=2.0)
+    # border-connected: (0,0),(1,0) left edge; (0,5),(1,5) right edge;
+    # (2,5) is NaN on the edge -> collar too
+    expect = {(0, 0), (1, 0), (0, 5), (1, 5), (2, 5)}
+    assert {tuple(p) for p in np.argwhere(collar)} == expect
+    # interior lake (2,2),(3,2) survives (4-connected flood cannot reach)
+    assert out[2, 2] == 1.0 and out[3, 2] == 1.0
+    assert np.isnan(out[0, 0]) and np.isnan(out[2, 5])
+    # non-collar values untouched
+    assert out[4, 4] == 9.0
+
+    # diagonal-only contact must NOT flood (4-connectivity): near cell at
+    # (1,1) touching collar corner (0,0) only diagonally
+    b = np.full((3, 3), 9.0)
+    b[0, 0] = 0.0
+    b[1, 1] = 0.5
+    _, col2 = zonal.nearblack_np(b, 0.0, 2.0)
+    assert col2[0, 0] and not col2[1, 1]
+
+
+def test_nearblack_spark_summary(spark):
+    """End-to-end over TIFF bytes: collar count, kept count, and q_sum
+    match the NumPy kernel on the same surface."""
+    import hashlib
+
+    from tilers_tools_spark.functions import tiffcodec
+    from tilers_tools_spark.operators import zonal
+
+    rng = np.random.default_rng(7)
+    a = (rng.random((20, 30)) * 100.0 + 10.0).astype(np.float32)
+    a[:3, :] = 0.0
+    a[9:11, 14:16] = 1.0  # interior lake
+    out, collar = zonal.nearblack_np(a.astype(np.float64), 0.0, 2.0)
+    img = spark.createDataFrame(
+        [("x", tiffcodec.encode_tiff(a, geo={"gsd": 1.0, "mx0": 0.0, "my1": 20.0, "epsg": 3857}))],
+        "image_id string, bytes binary",
+    )
+    row = zonal.nearblack(img).toPandas().iloc[0]
+    assert row["n_collar"] == int(collar.sum()) == 90
+    assert row["n_kept"] == 20 * 30 - 90  # lake survives
+    bad = np.isnan(out)
+    q = np.where(bad, zonal.GRID_SENT, np.round(np.where(bad, 0.0, out) / 1e-3)).astype(np.int64)
+    assert row["q_sum"] == int(q[~bad].sum())
+    assert row["grid_md5"] == hashlib.md5(np.ascontiguousarray(q).tobytes()).hexdigest()

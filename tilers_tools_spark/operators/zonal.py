@@ -1133,3 +1133,92 @@ def raster_to_xyz(
         fn,
         schema=f"{id_col} string, row int, col int, mx double, my double, q_value long",
     )
+
+
+# ---------------------------------------------------------------------------
+# nearblack parity: border-connected collar removal
+# ---------------------------------------------------------------------------
+
+
+def nearblack_np(
+    a: np.ndarray, target: float = 0.0, tol: float = 2.0
+) -> tuple[np.ndarray, np.ndarray]:
+    """`nearblack` parity: mark the border-connected collar of pixels
+    with |v - target| <= tol (4-connected flood from every edge pixel —
+    interior lakes of near-target pixels are NOT collar, exactly
+    nearblack's edge-inward behavior) and return (filled array with
+    collar as NaN, collar mask). NaN input pixels count as near-target
+    (they extend the collar but were already nodata).
+
+    Vectorized as an iterative dilation flood: each pass ORs the
+    4-neighbor shifts of the current collar against the near-target
+    mask; iterations <= h+w (worst-case serpentine), each an O(h*w)
+    NumPy op."""
+    h, w = a.shape
+    near = np.isnan(a) | (np.abs(a - target) <= tol)
+    collar = np.zeros((h, w), bool)
+    collar[0, :] = near[0, :]
+    collar[-1, :] = near[-1, :]
+    collar[:, 0] |= near[:, 0]
+    collar[:, -1] |= near[:, -1]
+    while True:
+        grown = collar.copy()
+        grown[1:, :] |= collar[:-1, :]
+        grown[:-1, :] |= collar[1:, :]
+        grown[:, 1:] |= collar[:, :-1]
+        grown[:, :-1] |= collar[:, 1:]
+        grown &= near
+        if (grown == collar).all():
+            break
+        collar = grown
+    out = np.where(collar, np.nan, a.astype(np.float64))
+    return out, collar
+
+
+def nearblack(
+    images: DataFrame,
+    target: float = 0.0,
+    tol: float = 2.0,
+    quant: float = 1e-3,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """`nearblack` parity over a raster table: one summary row per raster
+    (image_id, n_collar, n_kept, q_sum, grid_md5) — the md5 covers the
+    collar-stripped grid quantized to ``quant`` with collar/nodata cells
+    as the GRID_SENT sentinel; q_sum over kept cells. Scale shape:
+    per-raster independent Arrow pass; pixels never shuffle."""
+    import hashlib
+
+    from ..functions import tiffcodec
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for iid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                a, _ = tiffcodec.decode_tiff(bytes(blob), scale_16bit=False)
+                if a.ndim != 2:
+                    raise ValueError("nearblack expects single-band rasters")
+                out, collar = nearblack_np(a.astype(np.float64), target, tol)
+                bad = np.isnan(out)
+                q = np.where(
+                    bad, GRID_SENT, np.round(np.where(bad, 0.0, out) / quant)
+                ).astype(np.int64)
+                ok = q[~bad]
+                rows.append(
+                    (
+                        iid,
+                        int(collar.sum()),
+                        int((~bad).sum()),
+                        int(ok.sum()) if ok.size else 0,
+                        hashlib.md5(np.ascontiguousarray(q).tobytes()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "n_collar", "n_kept", "q_sum", "grid_md5"]
+            )
+
+    return images.select(id_col, bytes_col).mapInPandas(
+        fn,
+        schema=f"{id_col} string, n_collar long, n_kept long, q_sum long, grid_md5 string",
+    )

@@ -1658,6 +1658,51 @@ def q_warp4326(spark, sf_dir):
     return out
 
 
+def _nearblack_surface(name, h, w):
+    """DEM surface + 50 (clear of the tol=2 band), a zero collar frame of
+    uneven thickness, an interior near-zero lake (must survive — only
+    border-connected collar strips), and the usual NaN scatter on
+    'plane' (NaN counts as near-target). Shared fixture spec; the golden
+    replays the rule with an independent scalar BFS."""
+    a = _dem_surface(name, h, w).astype(np.float64) + 50.0
+    a[:2, :] = 0.0
+    a[:, -3:] = 1.5  # within tol, attached to the frame via the corner
+    a[-1, :4] = 0.0
+    a[h // 2 : h // 2 + 3, w // 2 : w // 2 + 2] = 1.0  # interior lake
+    if name == "plane":
+        a[np.asarray(_fillnodata_mask(name, h, w))] = np.nan
+    return a
+
+
+def q_nearblack(spark, sf_dir):
+    """`nearblack` parity (operators/zonal.py::nearblack): border-
+    connected collar removal (|v| <= 2 flood from the edges) over the
+    fixture rasters — the interior near-zero lake must SURVIVE, the
+    uneven frame (including a tolerance-band strip and a bottom bite)
+    must strip, and NaN scatter extends the collar where it touches.
+    The golden replays the rule with a scalar deque BFS (no iterative
+    dilation, no NumPy masks, no TIFF bytes)."""
+    from ..functions import tiffcodec
+    from ..operators import zonal
+
+    rows = []
+    for name, h, w, gsd in _DEM_SPECS:
+        a = _nearblack_surface(name, h, w).astype(np.float32)
+        rows.append(
+            (
+                name,
+                tiffcodec.encode_tiff(
+                    a,
+                    geo={"gsd": gsd, "mx0": 0.0, "my1": 1.0e5, "epsg": 3857},
+                    compression="deflate" if name == "wave" else "none",
+                    tile=16 if name == "plane" else None,
+                ),
+            )
+        )
+    images = spark.createDataFrame(rows, "image_id string, bytes binary")
+    return zonal.nearblack(images, target=0.0, tol=2.0)
+
+
 def _pan_fixture(scene):
     """Analytic pan (2h x 2w float32) + ms (h x w x 3 uint8) pair for the
     pansharpen gate; scene 's2' zeroes one ms pixel across all bands to
@@ -2841,6 +2886,7 @@ QUERIES: dict = {
     "raster_xyz": (q_raster_xyz, _golden("raster_xyz")),
     "raster_translate": (q_raster_translate, _golden("raster_translate")),
     "warp_4326": (q_warp4326, _golden("warp_4326")),
+    "nearblack": (q_nearblack, _golden("nearblack")),
     "quantize_colors": (q_quantize_colors, _golden("quantize_colors")),
     "webp_roundtrip": (q_webp_roundtrip, _golden("webp_roundtrip")),
     "point_sample": (q_point_sample, _golden("point_sample")),

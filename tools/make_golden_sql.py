@@ -1005,6 +1005,70 @@ def g_raster_translate(quant=1e-3):
     )
 
 
+def g_nearblack(quant=1e-3):
+    # INDEPENDENT ALGORITHM CODING: scalar deque BFS flood from the
+    # border (python floats, explicit 4-neighbor queue, set-of-tuples
+    # collar) — no iterative NumPy dilation, no masks, no TIFF bytes.
+    # The fixture surface spec (_nearblack_surface) is shared; the
+    # ALGORITHM under test (border-connected near-target collar) is
+    # replayed independently.
+    import hashlib
+    from collections import deque
+
+    from tilers_tools_spark.plans.queries import _DEM_SPECS, _nearblack_surface
+
+    SENT = -(2**60)
+    target, tol = 0.0, 2.0
+    rows = []
+    for name, h, w, _gsd in _DEM_SPECS:
+        a32 = _nearblack_surface(name, h, w).astype(np.float32)
+        a = [[float(np.float64(a32[r, c])) for c in range(w)] for r in range(h)]
+
+        def near(v):
+            return math.isnan(v) or abs(v - target) <= tol
+
+        collar = set()
+        dq = deque()
+        for r in range(h):
+            for c in (0, w - 1):
+                if near(a[r][c]) and (r, c) not in collar:
+                    collar.add((r, c))
+                    dq.append((r, c))
+        for c in range(w):
+            for r in (0, h - 1):
+                if near(a[r][c]) and (r, c) not in collar:
+                    collar.add((r, c))
+                    dq.append((r, c))
+        while dq:
+            r, c = dq.popleft()
+            for rr, cc in ((r - 1, c), (r + 1, c), (r, c - 1), (r, c + 1)):
+                if 0 <= rr < h and 0 <= cc < w and (rr, cc) not in collar and near(a[rr][cc]):
+                    collar.add((rr, cc))
+                    dq.append((rr, cc))
+        q = np.empty((h, w), np.int64)
+        n_kept = 0
+        q_sum = 0
+        for r in range(h):
+            for c in range(w):
+                v = a[r][c]
+                if (r, c) in collar or math.isnan(v):
+                    q[r, c] = SENT
+                else:
+                    qv = int(np.round(v / quant))
+                    q[r, c] = qv
+                    n_kept += 1
+                    q_sum += qv
+        rows.append(
+            [name, len(collar), n_kept, q_sum, hashlib.md5(q.tobytes()).hexdigest()]
+        )
+    save(
+        "nearblack",
+        ["image_id", "n_collar", "n_kept", "q_sum", "grid_md5"],
+        ["str", "int64", "int64", "int64", "str"],
+        rows,
+    )
+
+
 def g_pansharpen(quant=1e-3):
     # INDEPENDENT ALGORITHM CODING: scalar per-pixel Brovey replay
     # (python floats, nearest upsample via integer //2 indexing, same
@@ -1964,6 +2028,7 @@ GENERATORS = {
     "raster_xyz": g_raster_xyz,
     "raster_translate": g_raster_translate,
     "warp_4326": g_warp4326,
+    "nearblack": g_nearblack,
     "dem_terrain": g_dem_terrain,
     "dem_contour": g_dem_contour,
     "dem_derivatives": g_dem_derivatives,
