@@ -1,0 +1,154 @@
+"""gdalinfo / gdaltindex / gdalcompare / gdal_edit parity units
+(operators/info.py + tiffcodec.rewrite_georef). The gate queries pin the
+happy paths cross-engine; these tests pin the edge paths: BigTIFF and
+big-endian splices, byte-identity outside the spliced windows, fail-loud
+guards, the non-georeferenced audit/skip behavior, and the compare
+shape-mismatch path."""
+
+from __future__ import annotations
+
+import os
+import struct
+import sys
+
+import numpy as np
+import pytest
+
+from tilers_tools_spark.functions import tiffcodec
+from tilers_tools_spark.operators import info
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+
+def _geo_img(a=None, gsd=2.0, mx0=100.0, my1=5000.0, **enc):
+    if a is None:
+        a = np.arange(20, dtype=np.float32).reshape(4, 5)
+    return a, tiffcodec.encode_tiff(
+        a, geo={"gsd": gsd, "mx0": mx0, "my1": my1, "epsg": 3857}, **enc
+    )
+
+
+def test_rewrite_georef_shift_and_byte_identity():
+    """dx/dy translation: pixels bit-identical, and the edited blob
+    differs from the original ONLY inside the two spliced double blocks
+    (24B scale + 48B tiepoint) — the gdal_edit 'metadata only' contract
+    at the byte level."""
+    a, blob = _geo_img(compression="deflate", tile=None)
+    out = tiffcodec.rewrite_georef(blob, dx=10.5, dy=-3.25)
+    assert len(out) == len(blob)
+    n_diff = sum(x != y for x, y in zip(blob, out))
+    assert 0 < n_diff <= 24 + 48
+    b, g = tiffcodec.decode_tiff(out, scale_16bit=False)
+    assert np.array_equal(b, a)
+    assert g["mx0"] == 100.0 + 10.5 and g["my1"] == 5000.0 - 3.25
+    assert g["gsd"] == 2.0 and g["epsg"] == 3857
+
+
+def test_rewrite_georef_absolute_ullr_and_gsd():
+    a, blob = _geo_img()
+    out = tiffcodec.rewrite_georef(blob, gsd=8.0, mx0=-200.0, my1=999.0)
+    _, g = tiffcodec.decode_tiff(out, scale_16bit=False)
+    assert (g["gsd"], g["mx0"], g["my1"]) == (8.0, -200.0, 999.0)
+    # mx1/my0 follow the new gsd
+    assert g["mx1"] == -200.0 + 5 * 8.0 and g["my0"] == 999.0 - 4 * 8.0
+
+
+def test_rewrite_georef_tiled_with_overviews():
+    """Splice must not disturb tiled chunk offsets or the overview IFD
+    chain."""
+    a = np.arange(24 * 40, dtype=np.float32).reshape(24, 40)
+    blob = tiffcodec.encode_tiff(
+        a, geo={"gsd": 1.0, "mx0": 0.0, "my1": 24.0, "epsg": 3857},
+        compression="deflate", tile=16, overviews=[a[::2, ::2]],
+    )
+    out = tiffcodec.rewrite_georef(blob, dx=7.0)
+    t = tiffcodec.read_tiff_tags(out)
+    assert t["n_ifds"] == 2 and t["geo"]["mx0"] == 7.0
+    b, _ = tiffcodec.decode_tiff(out, scale_16bit=False)
+    assert np.array_equal(b, a)
+    ov, _ = tiffcodec.decode_tiff(out, scale_16bit=False, ifd=1)
+    assert np.array_equal(ov, a[::2, ::2])
+
+
+@pytest.mark.parametrize("bo", ["<", ">"])
+def test_rewrite_georef_bigtiff_both_byte_orders(bo):
+    """BigTIFF (20-byte entries, LONG8 offsets): splice through the
+    8-byte-inline-threshold layout, both byte orders."""
+    from test_tiffcodec import _handcraft_bigtiff
+
+    img = np.arange(30, dtype=np.uint8).reshape(5, 6)
+    strip = img.tobytes()
+    tags = [
+        (256, 4, [6]), (257, 4, [5]), (258, 3, [8]), (259, 3, [1]),
+        (262, 3, [1]), (273, 16, None), (277, 3, [1]), (278, 4, [5]),
+        (279, 16, [len(strip)]),
+        (33550, 12, [3.0, 3.0, 0.0]),
+        (33922, 12, [0.0, 0.0, 0.0, 60.0, 90.0, 0.0]),
+    ]
+    blob = _handcraft_bigtiff(tags, [strip], 273, bo=bo)
+    out = tiffcodec.rewrite_georef(blob, dx=-60.0, dy=10.0, gsd=1.5)
+    arr, g = tiffcodec.decode_tiff(out)
+    assert np.array_equal(arr, img)
+    assert (g["gsd"], g["mx0"], g["my1"]) == (1.5, 0.0, 100.0)
+
+
+def test_rewrite_georef_guards():
+    a = np.ones((2, 2), np.float32)
+    plain = tiffcodec.encode_tiff(a)  # no georef
+    with pytest.raises(ValueError, match="no ModelPixelScale"):
+        tiffcodec.rewrite_georef(plain, dx=1.0)
+    # non-(0,0)-anchored tiepoint: absolute edit refuses, translation ok
+    _, blob = _geo_img()
+    anchored = bytearray(blob)
+    t = tiffcodec._parse_ifd(blob)[0]  # sanity: parses
+    assert t is not None
+    # find the tiepoint block and set i0=1.0
+    idx = blob.find(struct.pack("<6d", 0.0, 0.0, 0.0, 100.0, 5000.0, 0.0))
+    assert idx > 0
+    anchored[idx : idx + 8] = struct.pack("<d", 1.0)
+    with pytest.raises(ValueError, match="anchored"):
+        tiffcodec.rewrite_georef(bytes(anchored), mx0=0.0)
+    out = tiffcodec.rewrite_georef(bytes(anchored), dx=5.0)
+    _, g = tiffcodec.decode_tiff(out, scale_16bit=False)
+    # translation applies to the raw tiepoint x: mx0 = (x+dx) - i0*gsd
+    assert g["mx0"] == (100.0 + 5.0) - 1.0 * 2.0
+
+
+def test_raster_info_and_tindex_non_geo(spark):
+    """gdalinfo reports a non-georeferenced raster with NaN geo columns
+    and epsg -1 (auditable); gdaltindex skips it (warn-and-skip)."""
+    a, geo_blob = _geo_img()
+    plain = tiffcodec.encode_tiff(np.ones((3, 4), np.uint8))
+    df = spark.createDataFrame(
+        [("g", geo_blob), ("p", plain)], "image_id string, bytes binary"
+    )
+    inf = {r["image_id"]: r for r in info.raster_info(df).collect()}
+    gsd_p = inf["p"]["gsd"]
+    assert inf["p"]["epsg"] == -1 and (gsd_p is None or np.isnan(gsd_p))
+    assert inf["p"]["width"] == 4 and inf["p"]["bands"] == 1
+    assert inf["g"]["epsg"] == 3857 and inf["g"]["mx1"] == 100.0 + 5 * 2.0
+    tix = info.raster_tindex(df).collect()
+    assert [r["image_id"] for r in tix] == ["g"]
+    assert tix[0]["wkt"].startswith("POLYGON ((100.000 4992.000, 110.000 4992.000")
+
+
+def test_raster_compare_shape_mismatch(spark):
+    a1, b1 = _geo_img(np.ones((4, 5), np.float32))
+    a2, b2 = _geo_img(np.ones((5, 4), np.float32))
+    out = info.raster_compare(
+        spark.createDataFrame([("x", b1)], "image_id string, bytes binary"),
+        spark.createDataFrame([("x", b2)], "image_id string, bytes binary"),
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert not r["identical"] and r["n_diff"] == 20 and r["max_qdiff"] == -1
+
+
+def test_georef_edit_operator_roundtrip(spark):
+    a, blob = _geo_img(compression="deflate")
+    df = spark.createDataFrame([("x", blob)], "image_id string, bytes binary")
+    row = info.georef_edit(df, dx=100.0, dy=200.0).collect()[0]
+    assert row["pixels_unchanged"] and row["mx0"] == 200.0 and row["my1"] == 5200.0
+    # the edited blob in the output column is itself a valid GeoTIFF
+    b, g = tiffcodec.decode_tiff(bytes(row["bytes"]), scale_16bit=False)
+    assert np.array_equal(b, a) and g["mx0"] == 200.0

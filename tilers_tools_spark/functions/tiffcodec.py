@@ -312,7 +312,89 @@ def read_tiff_tags(data: bytes) -> dict:
             dims.append({"w": int(t[TAG_WIDTH][0]), "h": int(t[TAG_LENGTH][0])})
         except KeyError:
             dims.append({"w": -1, "h": -1})  # malformed overview IFD stays visible
-    return {"w": w, "h": h, "geo": _georef_from_tags(tags, h), "n_ifds": len(ifds), "ifds": dims}
+    comp = int(tags.get(TAG_COMPRESSION, [1])[0])
+    return {
+        "w": w,
+        "h": h,
+        "geo": _georef_from_tags(tags, h),
+        "n_ifds": len(ifds),
+        "ifds": dims,
+        # gdalinfo-report fields (all from the directory; pixel strips
+        # stay untouched)
+        "bands": int(tags.get(TAG_SPP, [1])[0]),
+        "bits": int(tags.get(TAG_BITS, [1])[0]),
+        "sample_format": int(tags.get(TAG_SAMPLE_FORMAT, [1])[0]),
+        "compression": _COMP_NAMES.get(comp, str(comp)),
+        "organization": "tiled" if TAG_TILE_OFFSETS in tags else "strip",
+        "photometric": int(tags.get(TAG_PHOTOMETRIC, [1])[0]),
+    }
+
+
+_COMP_NAMES = {1: "none", 5: "lzw", 7: "jpeg", 8: "deflate", 32773: "packbits"}
+
+
+def rewrite_georef(
+    data: bytes,
+    gsd: float | None = None,
+    mx0: float | None = None,
+    my1: float | None = None,
+    dx: float = 0.0,
+    dy: float = 0.0,
+) -> bytes:
+    """`gdal_edit.py -a_ullr` / `gdalmove` parity: rewrite the GeoTIFF
+    georeferencing IN PLACE — pixel strips/tiles are never touched, so
+    the output is byte-identical to the input outside the two 8-byte-
+    double tag value blocks (the whole point of gdal_edit vs a
+    re-encode). ``gsd``/``mx0``/``my1`` set absolute values (requires a
+    (0,0)-anchored tiepoint, the layout GDAL and this engine write);
+    ``dx``/``dy`` translate the model anchor (gdalmove), valid for any
+    anchor. Classic and BigTIFF, both byte orders. Raises if the file
+    carries no ModelPixelScale/ModelTiepoint pair."""
+    if len(data) < 8:
+        raise ValueError("not a TIFF: too short")
+    bo = "<" if data[:2] == b"II" else ">"
+    (magic,) = struct.unpack(bo + "H", data[2:4])
+    big = magic == 43
+    out = bytearray(data)
+    ifd_off = struct.unpack(bo + ("Q" if big else "I"), data[8:16] if big else data[4:8])[0]
+    esz, hdr = (20, 8) if big else (12, 2)
+    n_entries = struct.unpack(bo + ("Q" if big else "H"), data[ifd_off : ifd_off + hdr])[0]
+    found = {}
+    for i in range(n_entries):
+        e0 = ifd_off + hdr + esz * i
+        tag, ftype = struct.unpack(bo + "HH", data[e0 : e0 + 4])
+        if tag in (TAG_MODEL_PIXEL_SCALE, TAG_MODEL_TIEPOINT):
+            if ftype != 12:
+                raise ValueError(f"georef tag {tag} is not DOUBLE")
+            count = struct.unpack(bo + ("Q" if big else "I"), data[e0 + 4 : e0 + (12 if big else 8)])[0]
+            # count*8 bytes always exceeds the inline slot -> value offset
+            voff = struct.unpack(
+                bo + ("Q" if big else "I"),
+                data[e0 + (12 if big else 8) : e0 + (20 if big else 12)],
+            )[0]
+            found[tag] = (int(voff), int(count))
+    if TAG_MODEL_PIXEL_SCALE not in found or TAG_MODEL_TIEPOINT not in found:
+        raise ValueError("TIFF has no ModelPixelScale/ModelTiepoint georef to edit")
+    soff, scount = found[TAG_MODEL_PIXEL_SCALE]
+    toff, tcount = found[TAG_MODEL_TIEPOINT]
+    scale = list(struct.unpack(bo + f"{scount}d", data[soff : soff + 8 * scount]))
+    tp = list(struct.unpack(bo + f"{tcount}d", data[toff : toff + 8 * tcount]))
+    if gsd is not None:
+        scale[0] = scale[1] = float(gsd)
+    if mx0 is not None or my1 is not None:
+        if tp[0] != 0.0 or tp[1] != 0.0:
+            raise ValueError(
+                "absolute ullr edit needs a (0,0)-anchored tiepoint; use dx/dy translation"
+            )
+        if mx0 is not None:
+            tp[3] = float(mx0)
+        if my1 is not None:
+            tp[4] = float(my1)
+    tp[3] += float(dx)
+    tp[4] += float(dy)
+    out[soff : soff + 8 * scount] = struct.pack(bo + f"{scount}d", *scale)
+    out[toff : toff + 8 * tcount] = struct.pack(bo + f"{tcount}d", *tp)
+    return bytes(out)
 
 
 def _assemble_strips(data: bytes, tags: dict, dtype, w: int, h: int, spp: int,

@@ -1,0 +1,303 @@
+"""Raster catalog utilities — gdalinfo / gdaltindex / gdalcompare /
+gdal_edit parity (reference checkout absent, SURVEY.md §0.1 — the
+capability set follows the GDAL-utility mandate, BASELINE.json:6).
+
+* ``raster_info``  — `gdalinfo` report: per-raster structural metadata
+  (dims, bands, dtype, compression, organization, overview count) and
+  georef corners, from a TAGS-ONLY parse — pixel strips are never
+  decompressed, so a multi-hundred-MB LZW chart costs microseconds.
+* ``raster_tindex`` — `gdaltindex`: a footprint index table (bbox +
+  WKT polygon per georeferenced raster; non-georeferenced rasters are
+  skipped, exactly gdaltindex's warn-and-skip).
+* ``raster_compare`` — `gdalcompare.py`: pairwise pixel comparison of
+  two raster tables keyed by id. TWO-PHASE by design: each side first
+  reduces map-side to a narrow (id, md5-of-quantized-grid) summary —
+  raster bytes do NOT shuffle for identical pairs (the common
+  regression-check case); only pairs whose digests differ enter the
+  blob join that computes per-pixel diff stats.
+* ``georef_edit`` — `gdal_edit.py -a_ullr` / `gdalmove`: rewrite the
+  georef tags via in-place byte splice (``tiffcodec.rewrite_georef``);
+  pixel bytes are untouched and the op verifies that by digest.
+
+Scale shape: every op is a per-raster-independent Arrow pass
+(`mapInPandas`); the only shuffle anywhere is ``raster_compare``'s
+narrow digest join plus a blob join restricted to differing ids.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+GRID_SENT = -(2**60)  # shared non-finite sentinel (see operators/zonal.py)
+
+
+def _qgrid(a: np.ndarray, quant: float) -> np.ndarray:
+    """float64 grid -> int64 quantized grid with GRID_SENT for non-finite."""
+    bad = ~np.isfinite(a)
+    return np.where(bad, GRID_SENT, np.round(np.where(bad, 0.0, a) / quant)).astype(np.int64)
+
+
+def raster_info(
+    images: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """`gdalinfo` parity: one metadata row per raster. Columns:
+    width/height/bands/bits/sample_format/compression/organization/
+    n_overviews plus georef (gsd, mx0, my1, mx1, my0 — corner coords)
+    and epsg; non-georeferenced rasters keep NaN geo columns (auditable,
+    not dropped). Tags-only: never touches pixel strips."""
+    from ..functions import tiffcodec
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for iid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                t = tiffcodec.read_tiff_tags(bytes(blob))
+                g = t["geo"] or {}
+                nan = float("nan")
+                rows.append(
+                    (
+                        iid,
+                        t["w"],
+                        t["h"],
+                        t["bands"],
+                        t["bits"],
+                        t["sample_format"],
+                        t["compression"],
+                        t["organization"],
+                        t["n_ifds"] - 1,
+                        float(g.get("gsd", nan)),
+                        float(g.get("mx0", nan)),
+                        float(g.get("my1", nan)),
+                        float(g.get("mx1", nan)),
+                        float(g.get("my0", nan)),
+                        int(g["epsg"]) if g.get("epsg") is not None else -1,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "width", "height", "bands", "bits", "sample_format",
+                    "compression", "organization", "n_overviews",
+                    "gsd", "mx0", "my1", "mx1", "my0", "epsg",
+                ],
+            )
+
+    return images.select(id_col, bytes_col).mapInPandas(
+        fn,
+        schema=(
+            f"{id_col} string, width int, height int, bands int, bits int, "
+            "sample_format int, compression string, organization string, "
+            "n_overviews int, gsd double, mx0 double, my1 double, "
+            "mx1 double, my0 double, epsg int"
+        ),
+    )
+
+
+def raster_tindex(
+    images: DataFrame,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """`gdaltindex` parity: footprint index over a raster table — one
+    (id, mx0, my0, mx1, my1, wkt) row per GEOREFERENCED raster; rasters
+    without georef are skipped (gdaltindex warns and skips them — the
+    skip is visible as a missing id, and ``raster_info`` reports every
+    raster for auditing). WKT ring is counter-clockwise from the
+    lower-left corner, coordinates fixed to 3 decimals (stable
+    cross-engine text)."""
+    from ..functions import tiffcodec
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for iid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                g = tiffcodec.read_tiff_tags(bytes(blob))["geo"]
+                if g is None:
+                    continue
+                x0, y0, x1, y1 = g["mx0"], g["my0"], g["mx1"], g["my1"]
+                wkt = (
+                    f"POLYGON (({x0:.3f} {y0:.3f}, {x1:.3f} {y0:.3f}, "
+                    f"{x1:.3f} {y1:.3f}, {x0:.3f} {y1:.3f}, {x0:.3f} {y0:.3f}))"
+                )
+                rows.append((iid, float(x0), float(y0), float(x1), float(y1), wkt))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "mx0", "my0", "mx1", "my1", "wkt"]
+            )
+
+    return images.select(id_col, bytes_col).mapInPandas(
+        fn,
+        schema=f"{id_col} string, mx0 double, my0 double, mx1 double, my1 double, wkt string",
+    )
+
+
+def _grid_digest(images: DataFrame, id_col: str, bytes_col: str, quant: float) -> DataFrame:
+    """Narrow per-raster summary (id, w, h, md5 of the quantized grid) —
+    the map-side reduction that lets identical pairs skip the blob join."""
+    from ..functions import tiffcodec
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for iid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                a, _ = tiffcodec.decode_tiff(bytes(blob), scale_16bit=False)
+                q = _qgrid(a.astype(np.float64), quant)
+                # shape is part of the digest: a 4x5 and a 5x4 raster with
+                # the same raveled cells must NOT compare identical
+                h = hashlib.md5(repr(a.shape).encode())
+                h.update(np.ascontiguousarray(q).tobytes())
+                rows.append((iid, int(a.size), h.hexdigest()))
+            yield pd.DataFrame(rows, columns=[id_col, "n_px", "digest"])
+
+    return images.select(id_col, bytes_col).mapInPandas(
+        fn, schema=f"{id_col} string, n_px long, digest string"
+    )
+
+
+def raster_compare(
+    golden: DataFrame,
+    new: DataFrame,
+    quant: float = 1e-3,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """`gdalcompare.py` parity: per shared id report
+    (identical, n_px, n_diff, max_qdiff, sum_qdiff) where diffs are over
+    the quantized grids (non-finite cells compare as the sentinel — a
+    NaN-vs-value cell IS a diff; NaN-vs-NaN is not, matching
+    gdalcompare's checksum-then-pixels behavior). Ids present on only
+    one side surface as n_px = -1 rows (gdalcompare errors on them;
+    an auditable row keeps the op total).
+
+    Scale shape: phase 1 digests both sides map-side (bytes stay put);
+    phase 2 joins ONLY the narrow summaries; phase 3 re-joins blobs for
+    the (typically tiny) differing-id set, broadcast-filtered."""
+    ga = _grid_digest(golden, id_col, bytes_col, quant).alias("ga")
+    gb = _grid_digest(new, id_col, bytes_col, quant).alias("gb")
+    summary = ga.join(gb, on=id_col, how="full")
+    both = summary.where(F.col("ga.digest").isNotNull() & F.col("gb.digest").isNotNull())
+    same = both.where(F.col("ga.digest") == F.col("gb.digest")).select(
+        F.col(id_col),
+        F.lit(True).alias("identical"),
+        F.col("ga.n_px").cast("long").alias("n_px"),
+        F.lit(0).cast("long").alias("n_diff"),
+        F.lit(0).cast("long").alias("max_qdiff"),
+        F.lit(0).cast("long").alias("sum_qdiff"),
+    )
+    one_sided = summary.where(
+        F.col("ga.digest").isNull() | F.col("gb.digest").isNull()
+    ).select(
+        F.col(id_col),
+        F.lit(False).alias("identical"),
+        F.lit(-1).cast("long").alias("n_px"),
+        F.lit(-1).cast("long").alias("n_diff"),
+        F.lit(-1).cast("long").alias("max_qdiff"),
+        F.lit(-1).cast("long").alias("sum_qdiff"),
+    )
+    diff_ids = both.where(F.col("ga.digest") != F.col("gb.digest")).select(id_col)
+    pairs = (
+        golden.select(F.col(id_col), F.col(bytes_col).alias("bytes_a"))
+        .join(F.broadcast(diff_ids), on=id_col, how="semi")
+        .join(
+            new.select(F.col(id_col), F.col(bytes_col).alias("bytes_b")).join(
+                F.broadcast(diff_ids), on=id_col, how="semi"
+            ),
+            on=id_col,
+        )
+    )
+    from ..functions import tiffcodec
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for iid, ba, bb in zip(pdf[id_col], pdf["bytes_a"], pdf["bytes_b"]):
+                a, _ = tiffcodec.decode_tiff(bytes(ba), scale_16bit=False)
+                b, _ = tiffcodec.decode_tiff(bytes(bb), scale_16bit=False)
+                if a.shape != b.shape:
+                    # dimension mismatch: gdalcompare reports and stops
+                    # pixel checks; every pixel counts as different
+                    rows.append((iid, False, int(a.size), int(a.size), -1, -1))
+                    continue
+                qa = _qgrid(a.astype(np.float64), quant)
+                qb = _qgrid(b.astype(np.float64), quant)
+                d = qa != qb
+                ad = np.abs(qa - qb)[d]
+                rows.append(
+                    (iid, False, int(a.size), int(d.sum()),
+                     int(ad.max()) if ad.size else 0,
+                     int(ad.sum()) if ad.size else 0)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "identical", "n_px", "n_diff", "max_qdiff", "sum_qdiff"],
+            )
+
+    diff = pairs.mapInPandas(
+        fn,
+        schema=(
+            f"{id_col} string, identical boolean, n_px long, n_diff long, "
+            "max_qdiff long, sum_qdiff long"
+        ),
+    )
+    return same.unionByName(diff).unionByName(one_sided)
+
+
+def georef_edit(
+    images: DataFrame,
+    gsd: float | None = None,
+    mx0: float | None = None,
+    my1: float | None = None,
+    dx: float = 0.0,
+    dy: float = 0.0,
+    quant: float = 1e-3,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """`gdal_edit.py -a_ullr` / `gdalmove` parity: splice new georef
+    into each raster's tags (pixels untouched) and return an audit row
+    per raster — the NEW georef read back from the edited bytes plus
+    ``pixels_unchanged`` (md5 of the quantized decoded grid before ==
+    after; the gdal_edit contract is precisely "metadata only").
+    The edited blob itself is in the ``bytes`` column for sinking."""
+    from ..functions import tiffcodec
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for iid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                raw = bytes(blob)
+                a0, _ = tiffcodec.decode_tiff(raw, scale_16bit=False)
+                edited = tiffcodec.rewrite_georef(
+                    raw, gsd=gsd, mx0=mx0, my1=my1, dx=dx, dy=dy
+                )
+                a1, g1 = tiffcodec.decode_tiff(edited, scale_16bit=False)
+                h0 = hashlib.md5(
+                    np.ascontiguousarray(_qgrid(a0.astype(np.float64), quant)).tobytes()
+                ).hexdigest()
+                h1 = hashlib.md5(
+                    np.ascontiguousarray(_qgrid(a1.astype(np.float64), quant)).tobytes()
+                ).hexdigest()
+                rows.append(
+                    (iid, edited, float(g1["gsd"]), float(g1["mx0"]),
+                     float(g1["my1"]), h0 == h1, h1)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "bytes", "gsd", "mx0", "my1",
+                         "pixels_unchanged", "grid_md5"],
+            )
+
+    return images.select(id_col, bytes_col).mapInPandas(
+        fn,
+        schema=(
+            f"{id_col} string, bytes binary, gsd double, mx0 double, "
+            "my1 double, pixels_unchanged boolean, grid_md5 string"
+        ),
+    )

@@ -1703,6 +1703,125 @@ def q_nearblack(spark, sf_dir):
     return zonal.nearblack(images, target=0.0, tol=2.0)
 
 
+def _info_fixture_rows(spark=None):
+    """Structurally-varied GeoTIFF fixture for the gdalinfo/gdaltindex/
+    gdal_edit gates (shared fixture SPEC — the goldens restate the
+    structural facts and recompute the geo corners scalar-side; the
+    ALGORITHM under test is the tags-only parse / footprint / splice):
+    'plane' = float32 tiled-16 deflate + 1 internal overview;
+    'wave' = float32 strip uncompressed, geographic CRS (epsg 4326);
+    'flat' = uint8 3-band RGB strip deflate."""
+    from ..functions import tiffcodec
+
+    rows = []
+    for name, h, w, gsd in _DEM_SPECS:
+        a = _dem_surface(name, h, w)
+        if name == "flat":
+            a = np.stack(
+                [np.full((h, w), v, np.uint8) for v in (10, 120, 250)], axis=-1
+            )
+        geo = {
+            "gsd": gsd,
+            "mx0": 1000.0 * (1 + len(rows)),
+            "my1": 2.0e5,
+            "epsg": 4326 if name == "wave" else 3857,
+        }
+        rows.append(
+            (
+                name,
+                tiffcodec.encode_tiff(
+                    a,
+                    geo=geo,
+                    compression="none" if name == "wave" else "deflate",
+                    tile=16 if name == "plane" else None,
+                    overviews=[a[::2, ::2]] if name == "plane" else None,
+                ),
+            )
+        )
+    return rows
+
+
+def q_raster_info(spark, sf_dir):
+    """`gdalinfo` parity (operators/info.py::raster_info): structural
+    metadata + georef corners per raster from a tags-only parse (pixel
+    strips never decompressed). The golden restates the fixture's
+    structural facts and computes corners with scalar arithmetic."""
+    from ..operators import info
+
+    images = spark.createDataFrame(
+        _info_fixture_rows(), "image_id string, bytes binary"
+    )
+    return info.raster_info(images)
+
+
+def q_raster_tindex(spark, sf_dir):
+    """`gdaltindex` parity (operators/info.py::raster_tindex): footprint
+    bbox + WKT polygon per georeferenced raster. Golden recomputes the
+    corners and formats the same fixed-3-decimal WKT scalar-side."""
+    from ..operators import info
+
+    images = spark.createDataFrame(
+        _info_fixture_rows(), "image_id string, bytes binary"
+    )
+    return info.raster_tindex(images)
+
+
+def q_raster_compare(spark, sf_dir):
+    """`gdalcompare.py` parity (operators/info.py::raster_compare):
+    golden-vs-new raster tables — 'flat' byte-identical (digest fast
+    path: its blobs never enter the pair join), 'wave' perturbed in 3
+    pixels (one +5.0, one value->NaN, one NaN-equivalent left alone),
+    'plane' only in golden, 'extra' only in new (one-sided -1 audit
+    rows). The golden replays the quantized-diff rule with scalar
+    loops."""
+    from ..functions import tiffcodec
+    from ..operators import info
+
+    def enc(a, gsd):
+        return tiffcodec.encode_tiff(
+            a.astype(np.float32), geo={"gsd": gsd, "mx0": 0.0, "my1": 1.0e5, "epsg": 3857}
+        )
+
+    ga, gb = [], []
+    for name, h, w, gsd in _DEM_SPECS:
+        a = _dem_surface(name, h, w).astype(np.float64)
+        if name == "plane":
+            ga.append((name, enc(a, gsd)))  # golden-only
+            continue
+        ga.append((name, enc(a, gsd)))
+        if name == "wave":
+            b = a.copy()
+            b[3, 4] += 5.0
+            b[10, 11] = np.nan
+            gb.append((name, enc(b, gsd)))
+        else:  # flat: identical bytes
+            gb.append((name, enc(a, gsd)))
+    extra = np.full((8, 9), 7.0)
+    gb.append(("extra", enc(extra, 1.0)))
+    golden = spark.createDataFrame(ga, "image_id string, bytes binary")
+    new = spark.createDataFrame(gb, "image_id string, bytes binary")
+    return info.raster_compare(golden, new)
+
+
+def q_georef_edit(spark, sf_dir):
+    """`gdal_edit.py`/`gdalmove` parity (operators/info.py::georef_edit
+    + functions/tiffcodec.rewrite_georef): translate every fixture
+    raster's model anchor by (dx, dy) via in-place tag splice; audit
+    columns pin the NEW georef read back from the edited bytes and that
+    the pixel grid is bit-unchanged (quantized-grid md5). Golden
+    recomputes the md5 from the analytic surfaces (never sees TIFF
+    bytes) and the shifted anchor with scalar arithmetic."""
+    from ..operators import info
+
+    images = spark.createDataFrame(
+        _info_fixture_rows(), "image_id string, bytes binary"
+    )
+    out = info.georef_edit(images, dx=1234.5, dy=-789.25)
+    return out.select(
+        "image_id", "gsd", "mx0", "my1", "pixels_unchanged", "grid_md5"
+    )
+
+
 def _pan_fixture(scene):
     """Analytic pan (2h x 2w float32) + ms (h x w x 3 uint8) pair for the
     pansharpen gate; scene 's2' zeroes one ms pixel across all bands to
@@ -2887,6 +3006,10 @@ QUERIES: dict = {
     "raster_translate": (q_raster_translate, _golden("raster_translate")),
     "warp_4326": (q_warp4326, _golden("warp_4326")),
     "nearblack": (q_nearblack, _golden("nearblack")),
+    "raster_info": (q_raster_info, _golden("raster_info")),
+    "raster_tindex": (q_raster_tindex, _golden("raster_tindex")),
+    "raster_compare": (q_raster_compare, _golden("raster_compare")),
+    "georef_edit": (q_georef_edit, _golden("georef_edit")),
     "quantize_colors": (q_quantize_colors, _golden("quantize_colors")),
     "webp_roundtrip": (q_webp_roundtrip, _golden("webp_roundtrip")),
     "point_sample": (q_point_sample, _golden("point_sample")),

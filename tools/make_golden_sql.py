@@ -1069,6 +1069,142 @@ def g_nearblack(quant=1e-3):
     )
 
 
+_INFO_SPEC = [
+    # (name, h, w, gsd, mx0, bands, bits, sfmt, comp, org, n_ov, epsg)
+    # — scalar restatement of queries._info_fixture_rows's fixture SPEC
+    ("plane", 24, 40, 2.0, 1000.0, 1, 32, 3, "deflate", "tiled", 1, 3857),
+    ("wave", 32, 28, 5.0, 2000.0, 1, 32, 3, "none", "strip", 0, 4326),
+    ("flat", 16, 16, 1.0, 3000.0, 3, 8, 1, "deflate", "strip", 0, 3857),
+]
+_INFO_MY1 = 2.0e5
+
+
+def g_raster_info():
+    # Fixture-spec restatement + scalar corner arithmetic: the gate pins
+    # that the tags-only parse reports exactly what the writer was asked
+    # to write (a decode-path regression gate like geotiff_tiled_decode).
+    rows = []
+    for name, h, w, gsd, mx0, bands, bits, sfmt, comp, org, n_ov, epsg in _INFO_SPEC:
+        rows.append(
+            [name, w, h, bands, bits, sfmt, comp, org, n_ov,
+             gsd, mx0, _INFO_MY1, mx0 + w * gsd, _INFO_MY1 - h * gsd, epsg]
+        )
+    save(
+        "raster_info",
+        ["image_id", "width", "height", "bands", "bits", "sample_format",
+         "compression", "organization", "n_overviews",
+         "gsd", "mx0", "my1", "mx1", "my0", "epsg"],
+        ["str", "int32", "int32", "int32", "int32", "int32", "str", "str",
+         "int32", "float64", "float64", "float64", "float64", "float64", "int32"],
+        rows,
+    )
+
+
+def g_raster_tindex():
+    # Scalar corner arithmetic + the same fixed-3-decimal WKT contract.
+    rows = []
+    for name, h, w, gsd, mx0, *_rest in _INFO_SPEC:
+        x0, y1 = mx0, _INFO_MY1
+        x1, y0 = mx0 + w * gsd, _INFO_MY1 - h * gsd
+        wkt = (
+            f"POLYGON (({x0:.3f} {y0:.3f}, {x1:.3f} {y0:.3f}, "
+            f"{x1:.3f} {y1:.3f}, {x0:.3f} {y1:.3f}, {x0:.3f} {y0:.3f}))"
+        )
+        rows.append([name, x0, y0, x1, y1, wkt])
+    save(
+        "raster_tindex",
+        ["image_id", "mx0", "my0", "mx1", "my1", "wkt"],
+        ["str", "float64", "float64", "float64", "float64", "str"],
+        rows,
+    )
+
+
+def g_raster_compare(quant=1e-3):
+    # INDEPENDENT ALGORITHM CODING: scalar per-pixel quantized diff
+    # (python floats through explicit np.float32 casts matching the
+    # fixture encode, NaN -> sentinel, abs-diff accumulation in python
+    # ints) — no engine code, no TIFF bytes.
+    from tilers_tools_spark.plans.queries import _DEM_SPECS, _dem_surface
+
+    SENT = -(2**60)
+
+    def q(v):
+        v = float(np.float64(np.float32(v)))
+        return SENT if (math.isnan(v) or math.isinf(v)) else int(np.round(v / quant))
+
+    rows = []
+    for name, h, w, _gsd in _DEM_SPECS:
+        surf = _dem_surface(name, h, w).astype(np.float64)
+        if name == "plane":
+            rows.append([name, False, -1, -1, -1, -1])  # golden-only id
+            continue
+        if name == "flat":
+            rows.append([name, True, h * w, 0, 0, 0])  # byte-identical
+            continue
+        # wave: (3,4) += 5.0 ; (10,11) -> NaN
+        n_diff = 0
+        max_d = 0
+        sum_d = 0
+        for r in range(h):
+            for c in range(w):
+                va = q(surf[r, c])
+                if (r, c) == (3, 4):
+                    vb = q(surf[r, c] + 5.0)
+                elif (r, c) == (10, 11):
+                    vb = SENT
+                else:
+                    vb = va
+                if va != vb:
+                    n_diff += 1
+                    d = abs(va - vb)
+                    max_d = max(max_d, d)
+                    sum_d += d
+        rows.append([name, False, h * w, n_diff, max_d, sum_d])
+    rows.append(["extra", False, -1, -1, -1, -1])  # new-only id
+    save(
+        "raster_compare",
+        ["image_id", "identical", "n_px", "n_diff", "max_qdiff", "sum_qdiff"],
+        ["bool" if c == "identical" else ("str" if c == "image_id" else "int64")
+         for c in ["image_id", "identical", "n_px", "n_diff", "max_qdiff", "sum_qdiff"]],
+        rows,
+    )
+
+
+def g_georef_edit(quant=1e-3):
+    # INDEPENDENT ALGORITHM CODING: the shifted anchor is scalar
+    # arithmetic; the pixel digest is recomputed from the ANALYTIC
+    # surfaces (float32 casts matching the fixture encode; uint8 RGB for
+    # 'flat') — the golden never sees TIFF bytes, so the gate pins both
+    # "splice moved the anchor" and "splice left every pixel alone".
+    from tilers_tools_spark.plans.queries import _dem_surface
+
+    SENT = -(2**60)
+    dx, dy = 1234.5, -789.25
+    rows = []
+    for name, h, w, gsd, mx0, bands, _bits, _sf, _c, _o, _n, _e in _INFO_SPEC:
+        if name == "flat":
+            q = np.empty((h, w, 3), np.int64)
+            for r in range(h):
+                for c in range(w):
+                    for k, v in enumerate((10, 120, 250)):
+                        q[r, c, k] = int(np.round(float(v) / quant))
+        else:
+            surf = _dem_surface(name, h, w)
+            q = np.empty((h, w), np.int64)
+            for r in range(h):
+                for c in range(w):
+                    v = float(np.float64(np.float32(surf[r, c])))
+                    q[r, c] = SENT if math.isnan(v) else int(np.round(v / quant))
+        md5 = hashlib.md5(q.tobytes()).hexdigest()
+        rows.append([name, gsd, mx0 + dx, _INFO_MY1 + dy, True, md5])
+    save(
+        "georef_edit",
+        ["image_id", "gsd", "mx0", "my1", "pixels_unchanged", "grid_md5"],
+        ["str", "float64", "float64", "float64", "bool", "str"],
+        rows,
+    )
+
+
 def g_pansharpen(quant=1e-3):
     # INDEPENDENT ALGORITHM CODING: scalar per-pixel Brovey replay
     # (python floats, nearest upsample via integer //2 indexing, same
@@ -2029,6 +2165,10 @@ GENERATORS = {
     "raster_translate": g_raster_translate,
     "warp_4326": g_warp4326,
     "nearblack": g_nearblack,
+    "raster_info": g_raster_info,
+    "raster_tindex": g_raster_tindex,
+    "raster_compare": g_raster_compare,
+    "georef_edit": g_georef_edit,
     "dem_terrain": g_dem_terrain,
     "dem_contour": g_dem_contour,
     "dem_derivatives": g_dem_derivatives,
