@@ -152,3 +152,39 @@ def test_georef_edit_operator_roundtrip(spark):
     # the edited blob in the output column is itself a valid GeoTIFF
     b, g = tiffcodec.decode_tiff(bytes(row["bytes"]), scale_16bit=False)
     assert np.array_equal(b, a) and g["mx0"] == 200.0
+
+
+def test_pct2rgb_palette_tiff_and_guards(spark):
+    """pct2rgb accepts palette TIFF (photometric 3, ColorMap LUT) as well
+    as paletted PNG, and raises loudly on grayscale input."""
+    from test_tiffcodec import _handcraft_tags
+
+    from tilers_tools_spark.operators import multimodal
+
+    idx = np.array([[0, 1], [2, 1]], np.uint8)
+    reds, greens, blues = [10, 20, 30], [40, 50, 60], [70, 80, 90]
+    full = (
+        [v << 8 for v in reds] + [0] * 253
+        + [v << 8 for v in greens] + [0] * 253
+        + [v << 8 for v in blues] + [0] * 253
+    )
+    tags = [
+        (256, 4, [2]), (257, 4, [2]), (258, 3, [8]), (259, 3, [1]),
+        (262, 3, [3]), (273, 4, None), (277, 3, [1]), (278, 4, [2]),
+        (279, 4, [4]), (320, 3, full),
+    ]
+    blob = _handcraft_tags(tags, idx.tobytes())
+    df = spark.createDataFrame([("t", blob)], "image_id string, bytes binary")
+    row = multimodal.pct2rgb(df).collect()[0]
+    assert (row["w"], row["h"], row["n_colors"]) == (2, 2, 3)
+    assert row["r_sum"] == 10 + 20 + 30 + 20 and row["b_sum"] == 70 + 80 + 90 + 80
+    # expanded blob decodes back to the same RGB
+    from tilers_tools_spark.functions import codecs
+
+    rgb = codecs.decode_image(bytes(row["bytes"]), "png")
+    assert list(rgb[0, 0]) == [10, 40, 70]
+
+    gray = codecs.encode_png(np.ones((3, 3), np.uint8) * 7)
+    gdf = spark.createDataFrame([("g", gray)], "image_id string, bytes binary")
+    with pytest.raises(Exception, match="grayscale"):
+        multimodal.pct2rgb(gdf).collect()

@@ -124,6 +124,59 @@ def quantize_colors(images: DataFrame, max_colors: int = 256) -> DataFrame:
     )
 
 
+def pct2rgb(images: DataFrame) -> DataFrame:
+    """`pct2rgb` parity (the inverse of ``quantize_colors``/rgb2pct):
+    expand indexed-color blobs (paletted PNG color type 3 — incl. tRNS —
+    or palette TIFF photometric 3; both decoders expand the LUT) to RGB
+    and emit an audit row per image: (image_id, w, h, n_colors — distinct
+    expanded colors, i.e. live palette entries —, rgb_md5, r_sum, g_sum,
+    b_sum) plus the re-encoded RGB PNG in ``bytes`` for sinking.
+
+    Scale shape: one Arrow-batched mapInPandas pass, per-image
+    independent (per-file pct2rgb semantics); pixels never shuffle."""
+    import hashlib
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf[["image_id", "bytes"]].to_dict("records"):
+                blob = bytes(rec["bytes"])
+                arr = codecs.decode_image(blob, codecs.sniff_fmt(blob))
+                if arr.ndim != 3 or arr.shape[2] < 3:
+                    raise ValueError("pct2rgb expects indexed color, got grayscale")
+                rgb = arr[:, :, :3]
+                h, w = rgb.shape[:2]
+                packed = (
+                    rgb[:, :, 0].astype(np.int64) * 65536
+                    + rgb[:, :, 1].astype(np.int64) * 256
+                    + rgb[:, :, 2].astype(np.int64)
+                )
+                rows.append(
+                    (
+                        rec["image_id"],
+                        w,
+                        h,
+                        int(len(np.unique(packed))),
+                        hashlib.md5(np.ascontiguousarray(rgb).tobytes()).hexdigest(),
+                        int(rgb[:, :, 0].sum(dtype=np.int64)),
+                        int(rgb[:, :, 1].sum(dtype=np.int64)),
+                        int(rgb[:, :, 2].sum(dtype=np.int64)),
+                        codecs.encode_png(rgb),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "w", "h", "n_colors", "rgb_md5",
+                         "r_sum", "g_sum", "b_sum", "bytes"],
+            )
+
+    return images.select("image_id", "bytes").mapInPandas(
+        fn,
+        schema="image_id string, w int, h int, n_colors int, rgb_md5 string, "
+        "r_sum long, g_sum long, b_sum long, bytes binary",
+    )
+
+
 def codec_roundtrip(images: DataFrame, codec: str = "webp") -> DataFrame:
     """Corpus codec validation: decode each image, re-encode through a
     LOSSLESS engine codec (webp/png/raw/tiff), sniff the container magic,

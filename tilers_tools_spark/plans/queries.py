@@ -1822,6 +1822,45 @@ def q_georef_edit(spark, sf_dir):
     )
 
 
+_PCT_SPECS = [("pa", 17, 23, 16), ("pb", 9, 31, 5), ("pc", 12, 12, 200)]
+
+
+def _pct_rgb(name, h, w, k):
+    """Indexed-color fixture (shared SPEC, golden replays scalar-side):
+    palette entry i = ((37i+11)%256, (255-13i)%256, (i^2+7)%256); index
+    image (r*7 + c*3 + r*c) % k; 'pb' adds a tRNS alpha channel
+    (alpha = (idx*29)%256) to exercise the paletted-RGBA path."""
+    r = np.arange(h)[:, None] + np.zeros((1, w), np.int64)
+    c = np.arange(w)[None, :] + np.zeros((h, 1), np.int64)
+    idx = (r * 7 + c * 3 + r * c) % k
+    i = idx.astype(np.int64)
+    rgb = np.stack(
+        [(37 * i + 11) % 256, (255 - 13 * i) % 256, (i * i + 7) % 256], axis=-1
+    ).astype(np.uint8)
+    if name == "pb":
+        rgb = np.concatenate([rgb, ((i * 29) % 256)[..., None].astype(np.uint8)], axis=-1)
+    return rgb
+
+
+def q_pct2rgb(spark, sf_dir):
+    """`pct2rgb` parity (operators/multimodal.py::pct2rgb): paletted-PNG
+    fixtures (incl. one with a tRNS alpha) expand back to RGB; the audit
+    row pins the expanded pixel bytes (rgb_md5), channel sums, and the
+    live-palette-entry count. The golden computes everything from the
+    index/palette FORMULAS with scalar loops — no codec, so the gate
+    spans the entire paletted encode -> decode -> LUT-expand path."""
+    from ..functions import codecs
+    from ..operators import multimodal
+
+    rows = []
+    for name, h, w, k in _PCT_SPECS:
+        rows.append((name, codecs.encode_png_paletted(_pct_rgb(name, h, w, k))))
+    images = spark.createDataFrame(rows, "image_id string, bytes binary")
+    return multimodal.pct2rgb(images).select(
+        "image_id", "w", "h", "n_colors", "rgb_md5", "r_sum", "g_sum", "b_sum"
+    )
+
+
 def _pan_fixture(scene):
     """Analytic pan (2h x 2w float32) + ms (h x w x 3 uint8) pair for the
     pansharpen gate; scene 's2' zeroes one ms pixel across all bands to
@@ -3010,6 +3049,7 @@ QUERIES: dict = {
     "raster_tindex": (q_raster_tindex, _golden("raster_tindex")),
     "raster_compare": (q_raster_compare, _golden("raster_compare")),
     "georef_edit": (q_georef_edit, _golden("georef_edit")),
+    "pct2rgb": (q_pct2rgb, _golden("pct2rgb")),
     "quantize_colors": (q_quantize_colors, _golden("quantize_colors")),
     "webp_roundtrip": (q_webp_roundtrip, _golden("webp_roundtrip")),
     "point_sample": (q_point_sample, _golden("point_sample")),

@@ -1205,6 +1205,39 @@ def g_georef_edit(quant=1e-3):
     )
 
 
+def g_pct2rgb():
+    # INDEPENDENT ALGORITHM CODING: scalar per-pixel palette/index
+    # FORMULA replay (python ints, set for distinct colors, md5 over
+    # bytes assembled row-major) — no codec, no NumPy grids; the gate
+    # therefore spans the engine's full paletted-PNG encode -> decode ->
+    # LUT-expand path end-to-end.
+    from tilers_tools_spark.plans.queries import _PCT_SPECS
+
+    rows = []
+    for name, h, w, k in _PCT_SPECS:
+        buf = bytearray()
+        seen = set()
+        rs = gs = bs = 0
+        for r in range(h):
+            for c in range(w):
+                i = (r * 7 + c * 3 + r * c) % k
+                rr, gg, bb = (37 * i + 11) % 256, (255 - 13 * i) % 256, (i * i + 7) % 256
+                buf += bytes((rr, gg, bb))
+                seen.add((rr, gg, bb))
+                rs += rr
+                gs += gg
+                bs += bb
+        rows.append(
+            [name, w, h, len(seen), hashlib.md5(bytes(buf)).hexdigest(), rs, gs, bs]
+        )
+    save(
+        "pct2rgb",
+        ["image_id", "w", "h", "n_colors", "rgb_md5", "r_sum", "g_sum", "b_sum"],
+        ["str", "int32", "int32", "int32", "str", "int64", "int64", "int64"],
+        rows,
+    )
+
+
 def g_pansharpen(quant=1e-3):
     # INDEPENDENT ALGORITHM CODING: scalar per-pixel Brovey replay
     # (python floats, nearest upsample via integer //2 indexing, same
@@ -2169,6 +2202,7 @@ GENERATORS = {
     "raster_tindex": g_raster_tindex,
     "raster_compare": g_raster_compare,
     "georef_edit": g_georef_edit,
+    "pct2rgb": g_pct2rgb,
     "dem_terrain": g_dem_terrain,
     "dem_contour": g_dem_contour,
     "dem_derivatives": g_dem_derivatives,
