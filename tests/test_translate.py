@@ -151,3 +151,59 @@ def test_reproject_4326_operator(spark):
     )
     with _pytest.raises(Exception, match="4326"):
         reproject_4326(not4326).toPandas()
+
+
+def test_raster_retile_roundtrip_and_mosaic_identity(spark):
+    """Chunk blobs are valid GeoTIFFs that reassemble exactly: decode
+    every chunk, place it by its re-anchored georef, and the recomposed
+    grid equals the source (incl. NaN holes); mosaic() over the chunk
+    rows agrees with mosaic() over the single source raster."""
+    from tilers_tools_spark.functions import tiffcodec
+    from tilers_tools_spark.operators import mosaic as mz
+    from tilers_tools_spark.operators import translate as tr
+
+    rng = np.random.default_rng(11)
+    a = (rng.random((23, 31)) * 50.0).astype(np.float32)
+    a[4:7, 9:12] = np.nan
+    gsd, mx0, my1 = 2.5, 100.0, 9000.0
+    blob = tiffcodec.encode_tiff(
+        a, geo={"gsd": gsd, "mx0": mx0, "my1": my1, "epsg": 3857},
+        compression="deflate",
+    )
+    src = spark.createDataFrame([("s", blob)], "image_id string, bytes binary")
+    chunks = tr.raster_retile(src, tile_w=8, tile_h=7).collect()
+    assert len(chunks) == 4 * 4  # ceil(23/7) x ceil(31/8)
+    recomposed = np.full_like(a, np.nan)
+    for r in chunks:
+        ch, g = tiffcodec.decode_tiff(bytes(r["bytes"]), scale_16bit=False)
+        c0 = round((g["mx0"] - mx0) / gsd)
+        r0 = round((my1 - g["my1"]) / gsd)
+        assert (c0, r0) == (r["tile_col"] * 8, r["tile_row"] * 7)
+        recomposed[r0 : r0 + ch.shape[0], c0 : c0 + ch.shape[1]] = ch
+    assert np.array_equal(recomposed, a, equal_nan=True)
+
+    # mosaic over the chunk table == mosaic over the source raster
+    chunk_imgs = spark.createDataFrame(
+        [(f"c{r['tile_row']}_{r['tile_col']}", i, bytes(r["bytes"]))
+         for i, r in enumerate(chunks)],
+        "image_id string, seq int, bytes binary",
+    )
+    src_seq = src.selectExpr("image_id", "0 as seq", "bytes")
+    m1 = {r["band"]: r for r in mz.mosaic(chunk_imgs, n_bands=1).collect()}
+    m0 = {r["band"]: r for r in mz.mosaic(src_seq, n_bands=1).collect()}
+    assert m0.keys() == m1.keys()
+    for b in m0:
+        assert m0[b]["band_md5"] == m1[b]["band_md5"]
+        assert m0[b]["q_sum"] == m1[b]["q_sum"]
+
+
+def test_raster_retile_guards(spark):
+    from tilers_tools_spark.functions import tiffcodec
+    from tilers_tools_spark.operators import translate as tr
+
+    with pytest.raises(ValueError, match="bad retile size"):
+        tr.raster_retile(None, tile_w=0)
+    plain = tiffcodec.encode_tiff(np.ones((4, 4), np.float32))
+    df = spark.createDataFrame([("p", plain)], "image_id string, bytes binary")
+    with pytest.raises(Exception, match="georef"):
+        tr.raster_retile(df).collect()

@@ -1861,6 +1861,39 @@ def q_pct2rgb(spark, sf_dir):
     )
 
 
+def q_raster_retile(spark, sf_dir):
+    """`gdal_retile.py` parity (operators/translate.py::raster_retile):
+    12x10 regular-grid chunking of the NaN-holed DEM GeoTIFFs — edge
+    chunks crop to the remainder (plane 24x40 -> 3x4 grid with 10/12
+    then 4/4-row / 4-col remainders), every chunk re-anchored. Golden
+    replays the slicing + quantization with scalar loops (no TIFF
+    bytes). The gate reads the audit columns; the per-chunk GeoTIFF
+    blobs round-trip under pytest (mosaic(retile(x)) == x)."""
+    from ..functions import tiffcodec
+    from ..operators import translate as tr
+
+    rows = []
+    for name, h, w, gsd in _DEM_SPECS:
+        a = _dem_surface(name, h, w).copy()
+        a[_fillnodata_mask(name, h, w)] = np.nan
+        rows.append(
+            (
+                name,
+                tiffcodec.encode_tiff(
+                    a,
+                    geo={"gsd": gsd, "mx0": 0.0, "my1": 1.0e5, "epsg": 3857},
+                    compression="deflate" if name == "wave" else "none",
+                    tile=16 if name == "plane" else None,
+                ),
+            )
+        )
+    images = spark.createDataFrame(rows, "image_id string, bytes binary")
+    return tr.raster_retile(images, tile_w=12, tile_h=10, emit_bytes=False).select(
+        "image_id", "tile_row", "tile_col", "w", "h", "mx0", "my1",
+        "n_nan", "q_sum", "grid_md5"
+    )
+
+
 def _pan_fixture(scene):
     """Analytic pan (2h x 2w float32) + ms (h x w x 3 uint8) pair for the
     pansharpen gate; scene 's2' zeroes one ms pixel across all bands to
@@ -3050,6 +3083,7 @@ QUERIES: dict = {
     "raster_compare": (q_raster_compare, _golden("raster_compare")),
     "georef_edit": (q_georef_edit, _golden("georef_edit")),
     "pct2rgb": (q_pct2rgb, _golden("pct2rgb")),
+    "raster_retile": (q_raster_retile, _golden("raster_retile")),
     "quantize_colors": (q_quantize_colors, _golden("quantize_colors")),
     "webp_roundtrip": (q_webp_roundtrip, _golden("webp_roundtrip")),
     "point_sample": (q_point_sample, _golden("point_sample")),

@@ -1205,6 +1205,61 @@ def g_georef_edit(quant=1e-3):
     )
 
 
+def g_raster_retile(quant=1e-3):
+    # INDEPENDENT ALGORITHM CODING: scalar chunk-slicing replay (python
+    # loops over explicit row/col ranges, per-cell NaN short-circuit,
+    # scalar anchor arithmetic) — no NumPy slicing, no TIFF bytes.
+    from tilers_tools_spark.plans.queries import (
+        _DEM_SPECS,
+        _dem_surface,
+        _fillnodata_mask,
+    )
+
+    SENT = -(2**60)
+    TW, TH = 12, 10
+    rows = []
+    for name, H, W, gsd in _DEM_SPECS:
+        surf = _dem_surface(name, H, W)
+        mask = np.asarray(_fillnodata_mask(name, H, W))
+        a = [
+            [
+                float("nan") if mask[r, c] else float(np.float64(surf[r, c]))
+                for c in range(W)
+            ]
+            for r in range(H)
+        ]
+        for tr in range((H + TH - 1) // TH):
+            for tc in range((W + TW - 1) // TW):
+                r0, r1 = tr * TH, min((tr + 1) * TH, H)
+                c0, c1 = tc * TW, min((tc + 1) * TW, W)
+                q = np.empty((r1 - r0, c1 - c0), np.int64)
+                n_nan = 0
+                q_sum = 0
+                for r in range(r0, r1):
+                    for c in range(c0, c1):
+                        v = a[r][c]
+                        if math.isnan(v) or math.isinf(v):
+                            q[r - r0, c - c0] = SENT
+                            n_nan += 1
+                        else:
+                            qv = int(np.round(v / quant))
+                            q[r - r0, c - c0] = qv
+                            q_sum += qv
+                rows.append(
+                    [name, tr, tc, c1 - c0, r1 - r0,
+                     0.0 + tc * TW * gsd, 1.0e5 - tr * TH * gsd,
+                     n_nan, q_sum, hashlib.md5(q.tobytes()).hexdigest()]
+                )
+    save(
+        "raster_retile",
+        ["image_id", "tile_row", "tile_col", "w", "h", "mx0", "my1",
+         "n_nan", "q_sum", "grid_md5"],
+        ["str", "int32", "int32", "int32", "int32", "float64", "float64",
+         "int64", "int64", "str"],
+        rows,
+    )
+
+
 def g_pct2rgb():
     # INDEPENDENT ALGORITHM CODING: scalar per-pixel palette/index
     # FORMULA replay (python ints, set for distinct colors, md5 over
@@ -2203,6 +2258,7 @@ GENERATORS = {
     "raster_compare": g_raster_compare,
     "georef_edit": g_georef_edit,
     "pct2rgb": g_pct2rgb,
+    "raster_retile": g_raster_retile,
     "dem_terrain": g_dem_terrain,
     "dem_contour": g_dem_contour,
     "dem_derivatives": g_dem_derivatives,
