@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     # round-5 GDAL-utility family additions (fixture-driven)
     "mosaic",
     "viewshed",
+    "raster_retile",
 ]
 
 

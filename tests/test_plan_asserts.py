@@ -3,6 +3,7 @@ out of planning scans, zoom predicates push down to parquet, PIP broadcasts
 the polygon side, salted repartition shows a shuffle on the salt keys.
 """
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -160,3 +161,25 @@ def test_kml_superoverlay_shuffles_keys_only(spark):
             assert "Scan ExistingRDD" in line, f"tile bytes above the scan: {line.strip()[:120]}"
         if "Exchange" in line:
             assert "tile#" not in line
+
+
+def test_raster_compare_digest_join_is_narrow_and_broadcast(spark):
+    """raster_compare's phase-2 digest join must shuffle only the narrow
+    (id, n_px, digest) summaries — never raster bytes — and the phase-3
+    differing-id restriction must be a BROADCAST semi join on both blob
+    sides (at 100 TB the id list of changed rasters is tiny; the blob
+    re-join must not hash-partition the full tables to discover it)."""
+    from tilers_tools_spark.functions import tiffcodec
+    from tilers_tools_spark.operators import info
+
+    a = np.arange(12, dtype=np.float32).reshape(3, 4)
+    blob = tiffcodec.encode_tiff(
+        a, geo={"gsd": 1.0, "mx0": 0.0, "my1": 3.0, "epsg": 3857}
+    )
+    df = spark.createDataFrame([("x", blob)], "image_id string, bytes binary")
+    out = info.raster_compare(df, df)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "bytes#" not in line, f"raster bytes in a shuffle: {line.strip()[:120]}"
