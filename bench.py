@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "mosaic",
     "viewshed",
     "raster_retile",
+    "warp_utm",
 ]
 
 

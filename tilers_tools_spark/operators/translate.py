@@ -386,3 +386,177 @@ def raster_retile(
         schema=f"{id_col} string, tile_row int, tile_col int, w int, h int, "
         "mx0 double, my1 double, n_nan long, q_sum long, grid_md5 string, bytes binary",
     )
+
+
+# ---------------------------------------------------------------------------
+# gdalwarp UTM (EPSG:326xx/327xx) -> EPSG:3857 parity
+# ---------------------------------------------------------------------------
+
+
+def utm_dest_grid(
+    h: int,
+    w: int,
+    e0: float,
+    n1: float,
+    gsd: float,
+    epsg: int,
+    out_gsd: float | None = None,
+) -> dict:
+    """Destination-grid geometry + source-coordinate maps for a UTM raster
+    warped onto a north-up EPSG:3857 grid.
+
+    SHARED between the engine (`reproject_utm`) and the warp_utm golden
+    generator — by-construction bit-identity, the same pattern as the
+    quantized Lanczos taps. Independence for the transverse-Mercator
+    math itself is anchored by tests/test_utm.py (closed-form anchors +
+    an independently coded Snyder-series cross-check to < 1 mm).
+
+    Geometry: the source boundary ring (every edge pixel corner) is
+    inverse-projected to lon/lat and forward-mapped to web mercator;
+    the dest bbox is its min/max (the TM->3857 image of a rectangle is
+    not a rectangle, so corners alone under-cover). ``out_gsd`` defaults
+    to gsd / cos(lat_center) — web mercator's 1/cos(lat) stretch of the
+    ~true-scale UTM pixel, gdalwarp's suggested-resolution analogue —
+    computed with scalar math.
+
+    Returns {x0, y1, out_w, out_h, out_gsd, sx, sy} where sx/sy are
+    (out_h, out_w) float64 continuous source pixel coordinates.
+    """
+    import math
+
+    from ..functions import utm as _utm
+
+    lon0, fn = _utm.utm_zone_params(epsg)
+    # boundary ring of the source rectangle in UTM metres
+    cols = np.arange(w + 1, dtype=np.float64)
+    rows_ = np.arange(h + 1, dtype=np.float64)
+    be = np.concatenate([cols, cols, np.zeros(h + 1), np.full(h + 1, float(w))])
+    bn = np.concatenate([np.zeros(w + 1), np.full(w + 1, float(h)), rows_, rows_])
+    lat_b, lon_b = _utm.tm_inverse(e0 + be * gsd, n1 - bn * gsd, lon0, false_northing=fn)
+    if not (np.all(lat_b > -85.06) and np.all(lat_b < 85.06)):
+        raise ValueError("raster extent outside the web-mercator band")
+    mx_b = _R * np.deg2rad(lon_b)
+    my_b = _R * np.log(np.tan(np.pi / 4.0 + np.deg2rad(lat_b) / 2.0))
+    x0, x1 = float(mx_b.min()), float(mx_b.max())
+    y0, y1 = float(my_b.min()), float(my_b.max())
+    if out_gsd is None:
+        lat_c, _ = _utm.tm_inverse(
+            e0 + (w / 2.0) * gsd, n1 - (h / 2.0) * gsd, lon0, false_northing=fn
+        )
+        out_gsd = gsd / math.cos(math.radians(float(lat_c)))
+    out_w = max(1, int(math.ceil((x1 - x0) / out_gsd - 1e-9)))
+    out_h = max(1, int(math.ceil((y1 - y0) / out_gsd - 1e-9)))
+    # dest pixel centers -> lon/lat: lon affine per column, lat scalar per
+    # row (same one-transcendental-per-row design as reproject_4326)
+    lon_c = np.array(
+        [math.degrees((x0 + (c + 0.5) * out_gsd) / _R) for c in range(out_w)],
+        np.float64,
+    )[None, :]
+    lat_r = np.array(
+        [
+            math.degrees(2.0 * math.atan(math.exp((y1 - (r + 0.5) * out_gsd) / _R)) - math.pi / 2.0)
+            for r in range(out_h)
+        ],
+        np.float64,
+    )[:, None]
+    # broadcast through the shared vectorized Krueger forward
+    E, N = _utm.tm_forward(lat_r, lon_c, lon0)
+    sx = (E - e0) / gsd
+    sy = (n1 - (N + fn)) / gsd
+    return {
+        "x0": x0, "y1": y1, "out_w": out_w, "out_h": out_h,
+        "out_gsd": float(out_gsd), "sx": sx, "sy": sy,
+    }
+
+
+def _sample_grid(af: np.ndarray, sx: np.ndarray, sy: np.ndarray, resample: str) -> np.ndarray:
+    """Sample float64 raster `af` at 2-D continuous coords (same nearest/
+    bilinear conventions as reproject_4326_np, edge-replicate clamp)."""
+    h, w = af.shape
+    if resample == "nearest":
+        ri = np.clip(np.floor(sy).astype(np.int64), 0, h - 1)
+        ci = np.clip(np.floor(sx).astype(np.int64), 0, w - 1)
+        return af[ri, ci]
+    if resample != "bilinear":
+        raise ValueError(f"unknown resample {resample!r} (nearest|bilinear)")
+    uu = sx - 0.5
+    vv = sy - 0.5
+    c0 = np.floor(uu).astype(np.int64)
+    r0 = np.floor(vv).astype(np.int64)
+    fc = uu - c0
+    fr = vv - r0
+    c0c = np.clip(c0, 0, w - 1)
+    c1c = np.clip(c0 + 1, 0, w - 1)
+    r0c = np.clip(r0, 0, h - 1)
+    r1c = np.clip(r0 + 1, 0, h - 1)
+    top = af[r0c, c0c] * (1.0 - fc) + af[r0c, c1c] * fc
+    bot = af[r1c, c0c] * (1.0 - fc) + af[r1c, c1c] * fc
+    return top * (1.0 - fr) + bot * fr
+
+
+def reproject_utm(
+    images: DataFrame,
+    out_gsd: float | None = None,
+    resample: str = "bilinear",
+    quant: float = 1e-3,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """`gdalwarp -s_srs EPSG:326xx|327xx -t_srs EPSG:3857` parity over a
+    table of UTM GeoTIFFs (GeoKey must carry a UTM EPSG code — anything
+    else raises, fail-loud). Output schema matches reproject_4326: one
+    1e-3-quantized summary row per raster. Scale shape: per-raster
+    independent Arrow pass; pixels never shuffle; the TM math is
+    elementwise float64 over the dest grid (no python-per-pixel loop)."""
+    import hashlib
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import tiffcodec
+
+        for pdf in it:
+            rows = []
+            for iid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                a, geo = tiffcodec.decode_tiff(bytes(blob), scale_16bit=False)
+                if a.ndim != 2:
+                    raise ValueError("reproject_utm expects single-band rasters")
+                epsg = None if geo is None else geo.get("epsg")
+                if epsg is None or not (32601 <= epsg <= 32660 or 32701 <= epsg <= 32760):
+                    raise ValueError(
+                        f"reproject_utm: {iid!r} georef is not a UTM CRS (got {epsg})"
+                    )
+                g = utm_dest_grid(
+                    a.shape[0], a.shape[1], float(geo["mx0"]), float(geo["my1"]),
+                    float(geo["gsd"]), int(epsg), out_gsd=out_gsd,
+                )
+                out = _sample_grid(a.astype(np.float64), g["sx"], g["sy"], resample)
+                bad = ~np.isfinite(out)
+                q = np.where(
+                    bad, GRID_SENT, np.round(np.where(bad, 0.0, out) / quant)
+                ).astype(np.int64)
+                ok = q[~bad]
+                rows.append(
+                    (
+                        iid, g["out_w"], g["out_h"],
+                        float(np.round(g["x0"] / 1e-3) * 1e-3),
+                        float(np.round(g["y1"] / 1e-3) * 1e-3),
+                        float(np.round(g["out_gsd"] / 1e-6) * 1e-6),
+                        int(bad.sum()),
+                        int(ok.sum()) if ok.size else 0,
+                        int(ok.min()) if ok.size else 0,
+                        int(ok.max()) if ok.size else 0,
+                        hashlib.md5(np.ascontiguousarray(q).tobytes()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "out_w", "out_h", "mx0", "my1", "out_gsd",
+                    "n_nan", "q_sum", "q_min", "q_max", "grid_md5",
+                ],
+            )
+
+    return images.select(id_col, bytes_col).mapInPandas(
+        fn,
+        schema=f"{id_col} string, out_w int, out_h int, mx0 double, my1 double, "
+        "out_gsd double, n_nan long, q_sum long, q_min long, q_max long, grid_md5 string",
+    )

@@ -1658,6 +1658,52 @@ def q_warp4326(spark, sf_dir):
     return out
 
 
+# (name, epsg, E0, N1, gsd_m, h, w) — zone 32N Norway-ish and zone 18N
+# NYC-ish windows, both far off the central meridian so eta != 0
+_WARPUTM_SPECS = [
+    ("oslo", 32632, 255000.0, 6660000.0, 30.0, 30, 40),
+    ("hudson", 32618, 580000.0, 4510000.0, 25.0, 24, 20),
+]
+
+
+def q_warputm(spark, sf_dir):
+    """`gdalwarp -s_srs EPSG:326xx -t_srs EPSG:3857` parity (operators/
+    translate.py::reproject_utm over functions/utm.py Krueger kernels):
+    two UTM GeoTIFFs (projected GeoKey, NaN holes on 'oslo') warped to
+    north-up mercator grids under both resamplings, unioned with a
+    variant column. The dest-grid source-coordinate map is SHARED with
+    the golden (utm_dest_grid — independence anchored by the Snyder
+    cross-check in tests/test_utm.py); the golden's sampling/quantize/
+    aggregate replay is independent python."""
+    from ..functions import tiffcodec
+    from ..operators import translate as tr
+
+    rows = []
+    for name, epsg, e0, n1, gsd, h, w in _WARPUTM_SPECS:
+        a = _warp4326_surface(name if name == "alps" else "fjord", h, w).copy()
+        if name == "oslo":
+            a[_fillnodata_mask("plane", h, w)] = np.nan
+        rows.append(
+            (
+                name,
+                tiffcodec.encode_tiff(
+                    a,
+                    geo={"gsd": gsd, "mx0": e0, "my1": n1, "epsg": epsg},
+                    compression="deflate" if name == "oslo" else "none",
+                    tile=16 if name == "hudson" else None,
+                ),
+            )
+        )
+    images = spark.createDataFrame(rows, "image_id string, bytes binary")
+    out = None
+    for resample in ("bilinear", "nearest"):
+        o = tr.reproject_utm(images, resample=resample).withColumn(
+            "variant", F.lit(resample)
+        )
+        out = o if out is None else out.unionByName(o)
+    return out
+
+
 def _nearblack_surface(name, h, w):
     """DEM surface + 50 (clear of the tol=2 band), a zero collar frame of
     uneven thickness, an interior near-zero lake (must survive — only
@@ -3077,6 +3123,7 @@ QUERIES: dict = {
     "raster_xyz": (q_raster_xyz, _golden("raster_xyz")),
     "raster_translate": (q_raster_translate, _golden("raster_translate")),
     "warp_4326": (q_warp4326, _golden("warp_4326")),
+    "warp_utm": (q_warputm, _golden("warp_utm")),
     "nearblack": (q_nearblack, _golden("nearblack")),
     "raster_info": (q_raster_info, _golden("raster_info")),
     "raster_tindex": (q_raster_tindex, _golden("raster_tindex")),

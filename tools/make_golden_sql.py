@@ -905,6 +905,98 @@ def g_warp4326(quant=1e-3):
     )
 
 
+def g_warputm(quant=1e-3):
+    # Sampling / quantize / aggregate replayed with scalar python loops
+    # (independent of the engine's vectorized _sample_grid). The dest
+    # grid geometry + continuous source coords come from the SHARED
+    # utm_dest_grid helper — by-construction bit-identity for the
+    # transverse-Mercator transcendentals, whose independence is
+    # anchored by tests/test_utm.py (closed-form anchors + an
+    # independently coded Snyder-series cross-check to < 1 mm). Scalar
+    # +-*/ replay of the bilinear stencil is exact (IEEE ops round
+    # identically scalar vs vector).
+    import hashlib
+    import math
+
+    from tilers_tools_spark.operators.translate import utm_dest_grid
+    from tilers_tools_spark.plans.queries import (
+        _WARPUTM_SPECS,
+        _fillnodata_mask,
+        _warp4326_surface,
+    )
+
+    SENT = -(2**60)
+    rows = []
+    for resample in ("bilinear", "nearest"):
+        for name, epsg, e0, n1, gsd, h, w in _WARPUTM_SPECS:
+            surf = _warp4326_surface(name if name == "alps" else "fjord", h, w)
+            mask = (
+                np.asarray(_fillnodata_mask("plane", h, w))
+                if name == "oslo"
+                else np.zeros((h, w), bool)
+            )
+            a = [
+                [
+                    float("nan") if mask[r, c] else float(surf[r, c])
+                    for c in range(w)
+                ]
+                for r in range(h)
+            ]
+            g = utm_dest_grid(h, w, e0, n1, gsd, epsg)
+            out_w, out_h = g["out_w"], g["out_h"]
+            q = np.empty((out_h, out_w), np.int64)
+            n_nan = 0
+            vals = []
+            for rr in range(out_h):
+                for cc in range(out_w):
+                    sx = float(g["sx"][rr, cc])
+                    sy = float(g["sy"][rr, cc])
+                    if resample == "nearest":
+                        ri = min(max(math.floor(sy), 0), h - 1)
+                        ci = min(max(math.floor(sx), 0), w - 1)
+                        v = a[ri][ci]
+                    else:
+                        uu, vv = sx - 0.5, sy - 0.5
+                        c0, r0 = math.floor(uu), math.floor(vv)
+                        fc, fr = uu - c0, vv - r0
+                        c0c = min(max(c0, 0), w - 1)
+                        c1c = min(max(c0 + 1, 0), w - 1)
+                        r0c = min(max(r0, 0), h - 1)
+                        r1c = min(max(r0 + 1, 0), h - 1)
+                        top = a[r0c][c0c] * (1.0 - fc) + a[r0c][c1c] * fc
+                        bot = a[r1c][c0c] * (1.0 - fc) + a[r1c][c1c] * fc
+                        v = top * (1.0 - fr) + bot * fr
+                    if math.isnan(v) or math.isinf(v):
+                        q[rr, cc] = SENT
+                        n_nan += 1
+                    else:
+                        qv = int(np.round(v / quant))
+                        q[rr, cc] = qv
+                        vals.append(qv)
+            rows.append(
+                [
+                    name, out_w, out_h,
+                    float(np.round(g["x0"] / 1e-3) * 1e-3),
+                    float(np.round(g["y1"] / 1e-3) * 1e-3),
+                    float(np.round(g["out_gsd"] / 1e-6) * 1e-6),
+                    n_nan,
+                    sum(vals) if vals else 0,
+                    min(vals) if vals else 0,
+                    max(vals) if vals else 0,
+                    hashlib.md5(q.tobytes()).hexdigest(),
+                    resample,
+                ]
+            )
+    save(
+        "warp_utm",
+        ["image_id", "out_w", "out_h", "mx0", "my1", "out_gsd",
+         "n_nan", "q_sum", "q_min", "q_max", "grid_md5", "variant"],
+        ["str", "int32", "int32", "float64", "float64", "float64",
+         "int64", "int64", "int64", "int64", "str", "str"],
+        rows,
+    )
+
+
 def g_raster_translate(quant=1e-3):
     # INDEPENDENT ALGORITHM CODING: scalar per-destination-pixel replay
     # of the documented crop/resize/rescale mapping formulas (python
@@ -2252,6 +2344,7 @@ GENERATORS = {
     "raster_xyz": g_raster_xyz,
     "raster_translate": g_raster_translate,
     "warp_4326": g_warp4326,
+    "warp_utm": g_warputm,
     "nearblack": g_nearblack,
     "raster_info": g_raster_info,
     "raster_tindex": g_raster_tindex,
