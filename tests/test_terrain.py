@@ -954,3 +954,62 @@ def test_nearblack_spark_summary(spark):
     q = np.where(bad, zonal.GRID_SENT, np.round(np.where(bad, 0.0, out) / 1e-3)).astype(np.int64)
     assert row["q_sum"] == int(q[~bad].sum())
     assert row["grid_md5"] == hashlib.md5(np.ascontiguousarray(q).tobytes()).hexdigest()
+
+
+def test_combined_and_multidirectional_hand_pins():
+    """gdaldem -combined / -multidirectional analogue modes, pinned by
+    an independent SCALAR transcription of the documented formulas
+    (math module — the engine path is vectorized NumPy).
+
+    Flat plane closed forms: combined -> acos(sin 45)*atan(0) term = 0
+    -> shade 1 -> 255; multidirectional -> every directional shade is
+    sin(alt) and the four sin^2 weights sum to 2 -> 180 (the standard
+    flat value)."""
+    import math
+
+    flat = np.full((6, 8), 7.0)
+    assert (terrain.hillshade_np(flat, 1.0, mode="combined") == 255).all()
+    assert (terrain.hillshade_np(flat, 1.0, mode="multidirectional") == 180).all()
+
+    # uniform east ramp z = 5x at gsd=1: interior Horn gradients are
+    # exactly p=5, qn=0
+    c = np.arange(9)[None, :] + np.zeros((7, 1))
+    dem = 5.0 * c
+    p, qn = 5.0, 0.0
+    alt = math.radians(45.0)
+
+    def ndotl(az_deg):
+        az = math.radians(az_deg)
+        return (
+            -p * math.sin(az) * math.cos(alt)
+            - qn * math.cos(az) * math.cos(alt)
+            + math.sin(alt)
+        ) / math.sqrt(1.0 + p * p + qn * qn)
+
+    def u8(x):
+        return int(min(max(math.floor(255.0 * x + 0.5), 0.0), 255.0))
+
+    # combined, lit from the east (azimuth 90)
+    nd = min(max(ndotl(90.0), -1.0), 1.0)
+    want_c = u8(
+        min(max(1.0 - math.acos(nd) * math.atan(math.hypot(p, qn))
+                / ((math.pi / 2.0) ** 2), 0.0), 1.0)
+    )
+    got_c = terrain.hillshade_np(dem, 1.0, azimuth=90.0, mode="combined")
+    assert (got_c[1:-1, 1:-1] == want_c).all()
+
+    # multidirectional: aspect = atan2(-p, -qn); weights sin^2(aspect-az)
+    aspect = math.atan2(-p, -qn)
+    acc = 0.0
+    for az_deg in (225.0, 270.0, 315.0, 360.0):
+        wgt = math.sin(aspect - math.radians(az_deg)) ** 2
+        acc += wgt * max(ndotl(az_deg), 0.0)
+    want_m = u8(acc / 2.0)
+    got_m = terrain.hillshade_np(dem, 1.0, mode="multidirectional")
+    assert (got_m[1:-1, 1:-1] == want_m).all()
+    # the mode flag must actually change the picture on sloped ground
+    std = terrain.hillshade_np(dem, 1.0)
+    assert want_m != std[3, 3] and want_c != std[3, 3]
+
+    with pytest.raises(ValueError, match="hillshade mode"):
+        terrain.hillshade_np(dem, 1.0, mode="igor")

@@ -20,6 +20,18 @@ the gdaldem formulation):
   l = (sin(az)cos(alt), cos(az)cos(alt), sin(alt));
 * hillshade = clip(round(255 * max(0, n·l)), 0, 255) as uint8
   (round half up);
+* hillshade -combined (gdaldem -combined analogue, documented engine
+  form): shade = clip(1 - acos(clip(n·l, -1, 1)) * atan(hypot(p, qn))
+  / (pi/2)^2, 0, 1) — oblique shading damped by slope steepness — then
+  the same 255 scaling. (gdaldem remaps non-positive shade to gray 1;
+  this engine keeps the plain clip — deliberate documented deviation.)
+* hillshade -multidirectional (Mark 1992, USGS OFR 92-422 analogue):
+  azimuths {225, 270, 315, 360} at the given altitude, weighted by
+  w_i = sin^2(aspect_rad - az_i_rad); since the four azimuths are 45
+  degrees apart, sum(w_i) = 2 identically, so
+  shade = sum(w_i * max(0, n·l_i)) / 2 (flat cells: every shade equals
+  sin(alt) and the weights still sum to 2, so the output is the flat
+  standard value — no special case);
 * slope = atan(z_factor * hypot(p, qn)) in DEGREES (float64);
 * aspect = degrees(atan2(-p, -qn)) mod 360 — the compass direction the
   slope FACES (downhill): 0 = north, 90 = east; flat cells -> NaN.
@@ -59,19 +71,44 @@ def hillshade_np(
     azimuth: float = 315.0,
     altitude: float = 45.0,
     z_factor: float = 1.0,
+    mode: str = "standard",
 ) -> np.ndarray:
     """Horn hillshade -> uint8 (H, W). See module docstring for the
-    exact documented formula (shared verbatim with the golden oracle)."""
+    exact documented formulas (shared verbatim with the golden oracle).
+    `mode`: standard | combined | multidirectional (the gdaldem trio;
+    multidirectional ignores `azimuth` per the Mark 1992 method)."""
     p, qn = _horn_gradients(dem, gsd)
     p = p * z_factor
     qn = qn * z_factor
-    az = np.deg2rad(azimuth)
     alt = np.deg2rad(altitude)
-    lx = np.sin(az) * np.cos(alt)
-    ly = np.cos(az) * np.cos(alt)
-    lz = np.sin(alt)
-    ndotl = (-p * lx - qn * ly + lz) / np.sqrt(1.0 + p * p + qn * qn)
-    shade = np.maximum(ndotl, 0.0)
+    norm = np.sqrt(1.0 + p * p + qn * qn)
+
+    def ndotl(az_deg: float) -> np.ndarray:
+        az = np.deg2rad(az_deg)
+        lx = np.sin(az) * np.cos(alt)
+        ly = np.cos(az) * np.cos(alt)
+        lz = np.sin(alt)
+        return (-p * lx - qn * ly + lz) / norm
+
+    if mode == "standard":
+        shade = np.maximum(ndotl(azimuth), 0.0)
+    elif mode == "combined":
+        nd = np.clip(ndotl(azimuth), -1.0, 1.0)
+        shade = 1.0 - np.arccos(nd) * np.arctan(np.hypot(p, qn)) / (
+            (np.pi / 2.0) ** 2
+        )
+        shade = np.clip(shade, 0.0, 1.0)
+    elif mode == "multidirectional":
+        aspect = np.arctan2(-p, -qn)
+        acc = np.zeros_like(p)
+        for az_deg in (225.0, 270.0, 315.0, 360.0):
+            wgt = np.sin(aspect - np.deg2rad(az_deg)) ** 2
+            acc = acc + wgt * np.maximum(ndotl(az_deg), 0.0)
+        shade = acc / 2.0  # sum of the four sin^2 weights is exactly 2
+    else:
+        raise ValueError(
+            f"unknown hillshade mode {mode!r} (standard|combined|multidirectional)"
+        )
     return np.clip(np.floor(255.0 * shade + 0.5), 0.0, 255.0).astype(np.uint8)
 
 
@@ -134,6 +171,7 @@ def dem_hillshade(
     azimuth: float = 315.0,
     altitude: float = 45.0,
     z_factor: float = 1.0,
+    mode: str = "standard",
     id_col: str = "image_id",
     bytes_col: str = "bytes",
 ) -> DataFrame:
@@ -177,7 +215,9 @@ def dem_hillshade(
                     raise ValueError("DEM without GeoTIFF georef")
                 if dem.ndim != 2:
                     raise ValueError("DEM must be single-band")
-                sh = hillshade_np(dem, float(geo["gsd"]), azimuth, altitude, z_factor)
+                sh = hillshade_np(
+                    dem, float(geo["gsd"]), azimuth, altitude, z_factor, mode
+                )
                 rows.append(
                     (
                         int(sh.shape[1]),

@@ -1024,7 +1024,9 @@ def q_dem_hillshade(spark, sf_dir):
     stats (per-raster shade sum + md5 of the shaded bytes). The oracle
     recomputes the analytic DEM surfaces directly — it never touches
     TIFF bytes — so a decode defect (tile seam, SampleFormat dtype,
-    byte order) moves the md5 and fails the gate."""
+    byte order) moves the md5 and fails the gate. Covers all three
+    gdaldem shading modes (standard / combined / multidirectional) as a
+    variant column."""
     from ..functions import tiffcodec
     from ..operators import terrain
 
@@ -1041,7 +1043,11 @@ def q_dem_hillshade(spark, sf_dir):
         for name, h, w, gsd in _DEM_SPECS
     ]
     df = spark.createDataFrame(rows, "image_id string, bytes binary")
-    return terrain.dem_hillshade(df)
+    out = None
+    for mode in ("standard", "combined", "multidirectional"):
+        o = terrain.dem_hillshade(df, mode=mode).withColumn("variant", F.lit(mode))
+        out = o if out is None else out.unionByName(o)
+    return out
 
 
 def q_dem_terrain(spark, sf_dir):

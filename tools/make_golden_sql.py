@@ -253,7 +253,9 @@ def g_pyramid_smoke():
 def g_dem_hillshade():
     # SCOPE NOTE: reuses terrain.hillshade_np (pure NumPy), whose math is
     # anchored independently by the hand-derived integer pins in
-    # tests/test_terrain.py (flat=180, aligned-ramp=242, opposed=0). The
+    # tests/test_terrain.py (flat=180, aligned-ramp=242, opposed=0;
+    # combined/multidirectional: flat closed forms 255/180 + scalar
+    # formula transcription pins). The
     # DEM surfaces are recomputed DIRECTLY from the analytic formulas —
     # this golden never reads TIFF bytes, so the gate cross-checks the
     # engine's Float32 tiled GeoTIFF decode path end-to-end.
@@ -261,17 +263,18 @@ def g_dem_hillshade():
     from tilers_tools_spark.plans.queries import _DEM_SPECS, _dem_surface
 
     rows = []
-    for name, h, w, gsd in _DEM_SPECS:
-        dem = _dem_surface(name, h, w)
-        sh = hillshade_np(dem, gsd)
-        rows.append(
-            [name, int(w), int(h), float(gsd), int(sh.sum(dtype=np.int64)),
-             hashlib.md5(sh.tobytes()).hexdigest()]
-        )
+    for mode in ("standard", "combined", "multidirectional"):
+        for name, h, w, gsd in _DEM_SPECS:
+            dem = _dem_surface(name, h, w)
+            sh = hillshade_np(dem, gsd, mode=mode)
+            rows.append(
+                [name, int(w), int(h), float(gsd), int(sh.sum(dtype=np.int64)),
+                 hashlib.md5(sh.tobytes()).hexdigest(), mode]
+            )
     save(
         "dem_hillshade",
-        ["image_id", "w", "h", "gsd", "shade_sum", "shade_md5"],
-        ["str", "int32", "int32", "float64", "int64", "str"],
+        ["image_id", "w", "h", "gsd", "shade_sum", "shade_md5", "variant"],
+        ["str", "int32", "int32", "float64", "int64", "str", "str"],
         rows,
     )
 
