@@ -1013,3 +1013,38 @@ def test_combined_and_multidirectional_hand_pins():
 
     with pytest.raises(ValueError, match="hillshade mode"):
         terrain.hillshade_np(dem, 1.0, mode="igor")
+
+
+def test_grid_metrics_hand_pins(spark):
+    """Data-metrics family on the same 2x1 grid / two-point fixture
+    (centers (1,1) and (3,1); points (0,1,z=10) d=1&2.236.., (3,1,z=20)
+    d=2&0). radius=2 inclusive: cell0 sees both points (d=1, 2), cell1
+    sees only (3,1) (d=2.236 > 2 for the far point? no: center (3,1) to
+    (0,1) is d=3 — out; to (3,1) is d=0 — in).
+
+    minimum: 10, 20. maximum: 20, 20. range: 10, 0. count: 2, 1.
+    average_distance: (1+2)/2 = 1.5, 0."""
+    from tilers_tools_spark.operators import zonal
+
+    grid = {"w": 2, "h": 1, "gsd": 2.0, "mx0": 0.0, "my1": 2.0}
+    pts = spark.createDataFrame(
+        [(0, 0.0, 1.0, 10.0), (1, 3.0, 1.0, 20.0)],
+        "pt_id int, x double, y double, z double",
+    )
+
+    def run(alg, radius=2.0):
+        return zonal.grid_stat(pts, grid, alg, radius=radius, n_bands=1).toPandas().iloc[0]
+
+    mn = run("minimum")
+    assert (mn["q_min"], mn["q_max"], mn["q_sum"]) == (10_000, 20_000, 30_000)
+    mx = run("maximum")
+    assert (mx["q_min"], mx["q_max"], mx["q_sum"]) == (20_000, 20_000, 40_000)
+    rg = run("range")
+    assert (rg["q_min"], rg["q_max"], rg["q_sum"]) == (0, 10_000, 10_000)
+    ct = run("count")
+    assert (ct["q_min"], ct["q_max"], ct["q_sum"]) == (1_000, 2_000, 3_000)
+    ad = run("average_distance")
+    assert (ad["q_min"], ad["q_max"], ad["q_sum"]) == (0, 1_500, 1_500)
+    # empty cells surface as sentinel, not zero
+    tight = run("count", radius=0.5)
+    assert tight["n_empty"] == 1 and tight["q_sum"] == 1_000

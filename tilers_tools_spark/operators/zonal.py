@@ -980,6 +980,49 @@ def grid_average_np(
         return np.where(cnt > 0, s / np.maximum(cnt, 1), np.nan)
 
 
+def grid_metric_np(
+    mx: np.ndarray, my: np.ndarray, pts: np.ndarray, radius: float, metric: str
+) -> np.ndarray:
+    """`gdal_grid` data-metrics analogues over the inclusive-boundary
+    radius neighborhood: minimum | maximum | range | count |
+    average_distance. Cells with no point in range get NaN (GDAL's
+    nodata). Accumulation is a LEFT-TO-RIGHT fold over the canonical
+    sorted-points order (vectorized across pixels, python loop over the
+    few broadcast points) so a scalar per-pixel replay is bit-identical:
+    +, /, sqrt, min, max are all exactly-rounded IEEE ops."""
+    n = pts.shape[0]
+    cnt = np.zeros(mx.shape[0], np.int64)
+    s = np.zeros(mx.shape[0], np.float64)
+    mn = np.full(mx.shape[0], np.inf)
+    mx_v = np.full(mx.shape[0], -np.inf)
+    r2 = radius * radius
+    for i in range(n):
+        d2 = (mx - pts[i, 0]) ** 2 + (my - pts[i, 1]) ** 2
+        inr = d2 <= r2
+        cnt += inr
+        if metric == "average_distance":
+            s = s + np.where(inr, np.sqrt(d2), 0.0)
+        else:
+            z = pts[i, 2]
+            mn = np.where(inr, np.minimum(mn, z), mn)
+            mx_v = np.where(inr, np.maximum(mx_v, z), mx_v)
+    empty = cnt == 0
+    if metric == "minimum":
+        v = mn
+    elif metric == "maximum":
+        v = mx_v
+    elif metric == "range":
+        v = mx_v - mn
+    elif metric == "count":
+        v = cnt.astype(np.float64)
+    elif metric == "average_distance":
+        with np.errstate(invalid="ignore"):
+            v = s / np.maximum(cnt, 1)
+    else:
+        raise ValueError(f"unknown gdal_grid metric {metric!r}")
+    return np.where(empty, np.nan, v)
+
+
 def grid_nearest_np(mx: np.ndarray, my: np.ndarray, pts: np.ndarray) -> np.ndarray:
     """`gdal_grid -a nearest` analogue: z of the point with the smallest
     d^2 to the pixel center; ties break to the SMALLEST index in the
@@ -997,9 +1040,10 @@ def grid_stat(
     n_bands: int = 4,
     quant: float = 1e-3,
 ) -> DataFrame:
-    """`gdal_grid -a average|nearest` parity, same banded scale shape as
-    grid_idw (points broadcast in the closure — small by the gdal_grid
-    contract; one task per horizontal band; pixels never shuffle).
+    """`gdal_grid -a average|nearest|minimum|maximum|range|count|
+    average_distance` parity, same banded scale shape as grid_idw
+    (points broadcast in the closure — small by the gdal_grid contract;
+    one task per horizontal band; pixels never shuffle).
 
     Per band emits (alg, band, y0, band_h, n_cells, n_empty, q_sum,
     q_min, q_max, band_md5): q_* cover NON-empty cells quantized to
@@ -1008,7 +1052,8 @@ def grid_stat(
     """
     import hashlib
 
-    if algorithm not in ("average", "nearest"):
+    metrics = ("minimum", "maximum", "range", "count", "average_distance")
+    if algorithm not in ("average", "nearest") + metrics:
         raise ValueError(f"unknown gdal_grid algorithm {algorithm!r}")
     spark = points.sparkSession
     pts = np.array(
@@ -1035,8 +1080,10 @@ def grid_stat(
                 my = (my1 - y0 * gsd) - (rr + 0.5) * gsd
                 if algorithm == "average":
                     v = grid_average_np(mx, my, pts, radius)
-                else:
+                elif algorithm == "nearest":
                     v = grid_nearest_np(mx, my, pts)
+                else:
+                    v = grid_metric_np(mx, my, pts, radius, algorithm)
                 empty = np.isnan(v)
                 q = np.where(
                     empty, GRID_SENT, np.round(np.where(empty, 0.0, v) / quant)

@@ -1349,9 +1349,10 @@ def q_grid_idw(spark, sf_dir):
 
 
 def q_grid_stats(spark, sf_dir):
-    """`gdal_grid -a average` + `-a nearest` parity (operators/zonal.py::
-    grid_stat): the analytic scatter onto the banded grid under both
-    algorithms, unioned with an `alg` column. radius=6 m leaves most
+    """`gdal_grid -a average` + `-a nearest` + the data-metrics family
+    (`minimum|maximum|range|count|average_distance`) parity (operators/
+    zonal.py::grid_stat): the analytic scatter onto the banded grid
+    under every algorithm, unioned with an `alg` column. radius=6 m leaves most
     cells empty (GRID_SENT sentinel in the md5, n_empty > 0); the
     half-unit z fixture makes every average a sum of exact dyadic
     float64s, so pairwise-vs-sequential summation cannot diverge. The
@@ -1360,9 +1361,11 @@ def q_grid_stats(spark, sf_dir):
     from ..operators import zonal
 
     pts = spark.createDataFrame(_idw_points(), "pt_id int, x double, y double, z double")
-    avg = zonal.grid_stat(pts, _RAST_GRID, "average", radius=6.0, n_bands=4)
-    near = zonal.grid_stat(pts, _RAST_GRID, "nearest", n_bands=4)
-    return avg.unionByName(near)
+    out = zonal.grid_stat(pts, _RAST_GRID, "average", radius=6.0, n_bands=4)
+    for alg in ("nearest", "minimum", "maximum", "range", "count", "average_distance"):
+        o = zonal.grid_stat(pts, _RAST_GRID, alg, radius=6.0, n_bands=4)
+        out = out.unionByName(o)
+    return out
 
 
 def _fillnodata_mask(name, h, w):

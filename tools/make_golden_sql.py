@@ -1667,8 +1667,11 @@ def g_grid_stats(radius=6.0, quant=1e-3, n_bands=4):
     w, h, gsd = _RAST_GRID["w"], _RAST_GRID["h"], _RAST_GRID["gsd"]
     mx0, my1 = _RAST_GRID["mx0"], _RAST_GRID["my1"]
     band_h = (h + n_bands - 1) // n_bands
+    import math
+
     rows = []
-    for alg in ("average", "nearest"):
+    for alg in ("average", "nearest", "minimum", "maximum", "range", "count",
+                "average_distance"):
         for band in range(n_bands):
             y0 = band * band_h
             bh = min(band_h, h - y0)
@@ -1689,17 +1692,35 @@ def g_grid_stats(radius=6.0, quant=1e-3, n_bands=4):
                                 best_d2, best_z = d2, z
                         q.append(int(np.round(best_z / quant)))
                     else:
+                        # left-to-right in-radius fold in sorted-point
+                        # order (replays the engine's point-loop fold;
+                        # +, /, sqrt, min, max are exactly-rounded IEEE)
                         s = 0.0
                         cnt = 0
+                        zmin = zmax = None
                         for x, y, z in pts:
-                            if (mx - x) ** 2 + (my - y) ** 2 <= radius * radius:
-                                s += z
+                            d2 = (mx - x) ** 2 + (my - y) ** 2
+                            if d2 <= radius * radius:
                                 cnt += 1
+                                if alg == "average_distance":
+                                    s += math.sqrt(d2)
+                                else:
+                                    s += z
+                                zmin = z if zmin is None else min(zmin, z)
+                                zmax = z if zmax is None else max(zmax, z)
                         if cnt == 0:
                             q.append(SENT)
                             n_empty += 1
-                        else:
+                        elif alg == "average" or alg == "average_distance":
                             q.append(int(np.round((s / cnt) / quant)))
+                        elif alg == "minimum":
+                            q.append(int(np.round(zmin / quant)))
+                        elif alg == "maximum":
+                            q.append(int(np.round(zmax / quant)))
+                        elif alg == "range":
+                            q.append(int(np.round((zmax - zmin) / quant)))
+                        else:  # count
+                            q.append(int(np.round(float(cnt) / quant)))
             qa = np.array(q, np.int64)
             nz = qa[qa != SENT]
             rows.append(
