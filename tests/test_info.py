@@ -188,3 +188,54 @@ def test_pct2rgb_palette_tiff_and_guards(spark):
     gdf = spark.createDataFrame([("g", gray)], "image_id string, bytes binary")
     with pytest.raises(Exception, match="grayscale"):
         multimodal.pct2rgb(gdf).collect()
+
+
+def test_vrt_build_hand_pins(spark):
+    """gdalbuildvrt analogue: hand-computed placement on a 2-source
+    mosaic (gsd 2 and 4, average res 3): union extent 0..24 x 0..20,
+    vrt 8x7 (24/3=8, 20/3=6.67->7); src0 20x16 @ (0,0) -> dst
+    7x5 @ (0,0) ... all from scalar arithmetic. highest/lowest swap
+    the res rule; georef-less rasters are skipped; mixed SRS yields
+    -1 offsets."""
+    from tilers_tools_spark.functions import tiffcodec
+    from tilers_tools_spark.operators import info
+
+    px = np.zeros((8, 10), np.uint8)
+    rows = [
+        ("m", "s0", tiffcodec.encode_tiff(px, geo={"gsd": 2.0, "mx0": 0.0, "my1": 20.0, "epsg": 3857})),
+        ("m", "s1", tiffcodec.encode_tiff(px, geo={"gsd": 4.0, "mx0": 4.0, "my1": 16.0, "epsg": 3857})),
+        ("m", "nogeo", tiffcodec.encode_tiff(px)),
+    ]
+    df = spark.createDataFrame(rows, "vrt_group string, image_id string, bytes binary")
+    out = {r["image_id"]: r for r in info.vrt_build(df).collect()}
+    assert "nogeo" not in out and len(out) == 2
+    # s0: 10x8 @ gsd2 -> extent 0..20 x 4..20; s1: 10x8 @ gsd4 -> 4..44 x -16..16
+    # union: 0..44 x -16..20; res avg = 3 -> vrt_w = floor(44/3+.5)=15,
+    # vrt_h = floor(36/3+.5)=12
+    r0 = out["s0"]
+    assert (r0["vrt_w"], r0["vrt_h"], r0["n_sources"], r0["n_srs"]) == (15, 12, 2, 1)
+    assert r0["res"] == 3.0 and r0["vmx0"] == 0.0 and r0["vmy1"] == 20.0
+    assert (r0["dst_xoff"], r0["dst_yoff"]) == (0, 0)
+    # dst sizes: 10*2/3 = 6.67 -> 7; 8*2/3 = 5.33 -> 5
+    assert (r0["dst_xsize"], r0["dst_ysize"]) == (7, 5)
+    r1 = out["s1"]
+    # xoff 4/3=1.33->1; yoff (20-16)/3=1.33->1; sizes 40/3->13, 32/3->11
+    assert (r1["dst_xoff"], r1["dst_yoff"], r1["dst_xsize"], r1["dst_ysize"]) == (1, 1, 13, 11)
+
+    hi = {r["image_id"]: r for r in info.vrt_build(df, resolution="highest").collect()}
+    assert hi["s0"]["res"] == 2.0 and hi["s0"]["vrt_w"] == 22
+    lo = {r["image_id"]: r for r in info.vrt_build(df, resolution="lowest").collect()}
+    assert lo["s0"]["res"] == 4.0 and lo["s0"]["vrt_w"] == 11
+
+    mixed = spark.createDataFrame(
+        [
+            ("x", "u0", tiffcodec.encode_tiff(px, geo={"gsd": 2.0, "mx0": 0.0, "my1": 16.0, "epsg": 3857})),
+            ("x", "u1", tiffcodec.encode_tiff(px, geo={"gsd": 2.0, "mx0": 0.0, "my1": 16.0, "epsg": 32601})),
+        ],
+        "vrt_group string, image_id string, bytes binary",
+    )
+    m = info.vrt_build(mixed).collect()
+    assert all(r["n_srs"] == 2 and r["dst_xoff"] == -1 and r["dst_ysize"] == -1 for r in m)
+
+    with pytest.raises(ValueError, match="resolution"):
+        info.vrt_build(df, resolution="user")

@@ -183,3 +183,25 @@ def test_raster_compare_digest_join_is_narrow_and_broadcast(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "bytes#" not in line, f"raster bytes in a shuffle: {line.strip()[:120]}"
+
+
+def test_vrt_build_group_join_is_broadcast_and_bytes_free(spark):
+    """vrt_build's source<->group-geometry join must BROADCAST the tiny
+    per-group aggregate (groups are few even at 100 TB), and no raster
+    bytes may enter any exchange — the only shuffle is the narrow
+    tags-summary aggregation on the group key."""
+    from tilers_tools_spark.functions import tiffcodec
+    from tilers_tools_spark.operators import info
+
+    blob = tiffcodec.encode_tiff(
+        np.zeros((4, 5), np.uint8),
+        geo={"gsd": 1.0, "mx0": 0.0, "my1": 4.0, "epsg": 3857},
+    )
+    df = spark.createDataFrame(
+        [("g", "i", blob)], "vrt_group string, image_id string, bytes binary"
+    )
+    plan = _plan(info.vrt_build(df))
+    assert "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "bytes#" not in line, f"raster bytes in a shuffle: {line.strip()[:120]}"

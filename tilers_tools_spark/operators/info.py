@@ -18,6 +18,10 @@ capability set follows the GDAL-utility mandate, BASELINE.json:6).
 * ``georef_edit`` — `gdal_edit.py -a_ullr` / `gdalmove`: rewrite the
   georef tags via in-place byte splice (``tiffcodec.rewrite_georef``);
   pixel bytes are untouched and the op verifies that by digest.
+* ``vrt_build`` — `gdalbuildvrt`: per-group virtual-mosaic geometry
+  (union extent, average/highest/lowest resolution rule) and the
+  per-source placement offsets a VRT <SimpleSource> would carry;
+  tags-only parse, one narrow group aggregation, broadcast join.
 
 Scale shape: every op is a per-raster-independent Arrow pass
 (`mapInPandas`); the only shuffle anywhere is ``raster_compare``'s
@@ -300,4 +304,110 @@ def georef_edit(
             f"{id_col} string, bytes binary, gsd double, mx0 double, "
             "my1 double, pixels_unchanged boolean, grid_md5 string"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# gdalbuildvrt parity: virtual-mosaic placement index
+# ---------------------------------------------------------------------------
+
+
+def vrt_build(
+    images: DataFrame,
+    group_col: str = "vrt_group",
+    resolution: str = "average",
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """`gdalbuildvrt` parity: per-group virtual-mosaic geometry + the
+    per-source placement every <SimpleSource> would carry, as a table.
+
+    Semantics (documented, gdalbuildvrt equivalents):
+    * VRT extent = union of source bboxes (min mx0 / max mx1 / min my0
+      / max my1 per group);
+    * ``resolution``: average (gdalbuildvrt default) | highest (finest
+      = MIN gsd) | lowest (coarsest = MAX gsd);
+    * sizes/offsets by gdalbuildvrt's round-half-up rule
+      floor(x/res + 0.5): vrt_w/h from the union extent, dst_xoff /
+      dst_yoff from the source's offset to the VRT top-left, dst_xsize
+      / dst_ysize from the source's ground span;
+    * mixed-SRS groups: gdalbuildvrt refuses to mix projections — every
+      row of such a group keeps its identity but carries dst offsets
+      -1 (auditable skip, NaN-row convention; n_srs > 1 flags it);
+      rasters without georef are skipped entirely (gdaltindex's
+      warn-and-skip rule).
+
+    Scale shape: one narrow tags-only Arrow parse (pixels never read),
+    one aggregation shuffle on the group key, and a broadcast join of
+    the tiny per-group geometry back onto sources. Placement math is
+    pure Column arithmetic (JVM-side, exactly-rounded IEEE doubles —
+    the relational oracle replays it in SQL verbatim).
+    """
+    from ..functions import tiffcodec
+
+    if resolution not in ("average", "highest", "lowest"):
+        raise ValueError(f"unknown resolution rule {resolution!r}")
+
+    def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for grp, iid, blob in zip(pdf[group_col], pdf[id_col], pdf[bytes_col]):
+                g = tiffcodec.read_tiff_tags(bytes(blob))
+                geo = g["geo"]
+                if geo is None:
+                    continue
+                rows.append(
+                    (
+                        grp, iid, int(g["w"]), int(g["h"]), float(geo["gsd"]),
+                        float(geo["mx0"]), float(geo["my0"]),
+                        float(geo["mx1"]), float(geo["my1"]),
+                        int(geo["epsg"]) if geo.get("epsg") is not None else -1,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[group_col, id_col, "w", "h", "gsd",
+                         "mx0", "my0", "mx1", "my1", "epsg"],
+            )
+
+    info = images.select(group_col, id_col, bytes_col).mapInPandas(
+        parse,
+        schema=f"{group_col} string, {id_col} string, w int, h int, gsd double, "
+        "mx0 double, my0 double, mx1 double, my1 double, epsg int",
+    )
+    res_agg = {
+        "average": F.avg("gsd"),
+        "highest": F.min("gsd"),
+        "lowest": F.max("gsd"),
+    }[resolution]
+    grp = info.groupBy(group_col).agg(
+        F.min("mx0").alias("vmx0"),
+        F.max("mx1").alias("vmx1"),
+        F.min("my0").alias("vmy0"),
+        F.max("my1").alias("vmy1"),
+        res_agg.alias("res"),
+        F.countDistinct("epsg").alias("n_srs"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    j = info.join(F.broadcast(grp), group_col)
+    rhu = lambda c: F.floor(c + F.lit(0.5)).cast("int")  # noqa: E731
+    clean = F.col("n_srs") == 1
+    return j.select(
+        group_col,
+        id_col,
+        "n_sources",
+        "n_srs",
+        "res",
+        rhu((F.col("vmx1") - F.col("vmx0")) / F.col("res")).alias("vrt_w"),
+        rhu((F.col("vmy1") - F.col("vmy0")) / F.col("res")).alias("vrt_h"),
+        F.col("vmx0"),
+        F.col("vmy1"),
+        F.when(clean, rhu((F.col("mx0") - F.col("vmx0")) / F.col("res")))
+        .otherwise(F.lit(-1)).alias("dst_xoff"),
+        F.when(clean, rhu((F.col("vmy1") - F.col("my1")) / F.col("res")))
+        .otherwise(F.lit(-1)).alias("dst_yoff"),
+        F.when(clean, rhu(F.col("w") * F.col("gsd") / F.col("res")))
+        .otherwise(F.lit(-1)).alias("dst_xsize"),
+        F.when(clean, rhu(F.col("h") * F.col("gsd") / F.col("res")))
+        .otherwise(F.lit(-1)).alias("dst_ysize"),
     )

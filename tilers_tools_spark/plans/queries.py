@@ -1809,6 +1809,83 @@ def q_raster_info(spark, sf_dir):
     return info.raster_info(images)
 
 
+# (group, image_id, w, h, gsd, mx0, my1, epsg) — group 'a' is a clean
+# 3-source 3857 mosaic with DYADIC gsds (2+4+8 sums exactly, so the
+# average-resolution rule is bit-identical cross-engine); group 'b'
+# mixes 3857 with a UTM zone (gdalbuildvrt refuses mixed projections ->
+# dst offsets -1)
+_VRT_SPECS = [
+    ("a", "a0", 40, 30, 2.0, 100.0, 500.0, 3857),
+    ("a", "a1", 20, 25, 4.0, 180.0, 470.0, 3857),
+    ("a", "a2", 16, 10, 8.0, 60.0, 380.0, 3857),
+    ("b", "b0", 12, 12, 2.0, 0.0, 24.0, 3857),
+    ("b", "b1", 10, 8, 2.0, 30.0, 20.0, 32632),
+]
+
+
+def q_vrt_build(spark, sf_dir):
+    """`gdalbuildvrt` parity (operators/info.py::vrt_build): per-source
+    placement index over two mosaic groups (one clean, one mixed-SRS;
+    plus a georef-less raster that is warn-and-skipped). The oracle is
+    FULLY RELATIONAL — plain SQL over a VALUES table of the fixture
+    specs recomputing extents/average-resolution/round-half-up
+    placement itself (no goldens, no engine code)."""
+    from ..functions import tiffcodec
+    from ..operators import info
+
+    rows = [
+        (
+            grp,
+            iid,
+            tiffcodec.encode_tiff(
+                ((np.arange(h)[:, None] * 3 + np.arange(w)[None, :]) % 251).astype(
+                    np.uint8
+                ),
+                geo={"gsd": gsd, "mx0": mx0, "my1": my1, "epsg": epsg},
+            ),
+        )
+        for grp, iid, w, h, gsd, mx0, my1, epsg in _VRT_SPECS
+    ]
+    rows.append(
+        ("a", "nogeo", tiffcodec.encode_tiff(np.zeros((4, 5), np.uint8)))
+    )
+    images = spark.createDataFrame(
+        rows, "vrt_group string, image_id string, bytes binary"
+    )
+    return info.vrt_build(images)
+
+
+SQL_VRT_BUILD = (
+    "WITH src(vrt_group, image_id, w, h, gsd, mx0, my1) AS (VALUES "
+    + ", ".join(
+        f"('{grp}', '{iid}', {w}, {h}, CAST({gsd!r} AS DOUBLE), "
+        f"CAST({mx0!r} AS DOUBLE), CAST({my1!r} AS DOUBLE))"
+        for grp, iid, w, h, gsd, mx0, my1, _epsg in _VRT_SPECS
+    )
+    + "), srs(vrt_group, image_id, epsg) AS (VALUES "
+    + ", ".join(
+        f"('{grp}', '{iid}', {epsg})"
+        for grp, iid, _w, _h, _gsd, _mx0, _my1, epsg in _VRT_SPECS
+    )
+    + "), s AS (SELECT src.*, src.mx0 + src.w * src.gsd AS mx1, "
+    "src.my1 - src.h * src.gsd AS my0, srs.epsg FROM src "
+    "JOIN srs USING (vrt_group, image_id)), "
+    "g AS (SELECT vrt_group, MIN(mx0) AS vmx0, MAX(mx1) AS vmx1, "
+    "MIN(my0) AS vmy0, MAX(my1) AS vmy1, AVG(gsd) AS res, "
+    "COUNT(DISTINCT epsg) AS n_srs, COUNT(*) AS n_sources "
+    "FROM s GROUP BY vrt_group) "
+    "SELECT s.vrt_group, s.image_id, g.n_sources, g.n_srs, g.res, "
+    "CAST(FLOOR((g.vmx1 - g.vmx0) / g.res + 0.5) AS INTEGER) AS vrt_w, "
+    "CAST(FLOOR((g.vmy1 - g.vmy0) / g.res + 0.5) AS INTEGER) AS vrt_h, "
+    "g.vmx0 AS vmx0, g.vmy1 AS vmy1, "
+    "CASE WHEN g.n_srs = 1 THEN CAST(FLOOR((s.mx0 - g.vmx0) / g.res + 0.5) AS INTEGER) ELSE -1 END AS dst_xoff, "
+    "CASE WHEN g.n_srs = 1 THEN CAST(FLOOR((g.vmy1 - s.my1) / g.res + 0.5) AS INTEGER) ELSE -1 END AS dst_yoff, "
+    "CASE WHEN g.n_srs = 1 THEN CAST(FLOOR(s.w * s.gsd / g.res + 0.5) AS INTEGER) ELSE -1 END AS dst_xsize, "
+    "CASE WHEN g.n_srs = 1 THEN CAST(FLOOR(s.h * s.gsd / g.res + 0.5) AS INTEGER) ELSE -1 END AS dst_ysize "
+    "FROM s JOIN g USING (vrt_group)"
+)
+
+
 def q_raster_tindex(spark, sf_dir):
     """`gdaltindex` parity (operators/info.py::raster_tindex): footprint
     bbox + WKT polygon per georeferenced raster. Golden recomputes the
@@ -3136,6 +3213,7 @@ QUERIES: dict = {
     "nearblack": (q_nearblack, _golden("nearblack")),
     "raster_info": (q_raster_info, _golden("raster_info")),
     "raster_tindex": (q_raster_tindex, _golden("raster_tindex")),
+    "vrt_build": (q_vrt_build, SQL_VRT_BUILD),
     "raster_compare": (q_raster_compare, _golden("raster_compare")),
     "georef_edit": (q_georef_edit, _golden("georef_edit")),
     "pct2rgb": (q_pct2rgb, _golden("pct2rgb")),
