@@ -207,3 +207,26 @@ def test_raster_retile_guards(spark):
     df = spark.createDataFrame([("p", plain)], "image_id string, bytes binary")
     with pytest.raises(Exception, match="georef"):
         tr.raster_retile(df).collect()
+
+
+def test_overview_np_hand_pins():
+    """gdaladdo kernels: nearest = top-left subsample; average =
+    integer round-half-up block mean incl. partial edge blocks."""
+    from tilers_tools_spark.operators.translate import overview_np
+
+    a = np.array([[0, 10, 20], [30, 40, 50]], np.uint8)
+    near = overview_np(a, 2, "nearest")
+    assert near.tolist() == [[0, 20]]
+    avg = overview_np(a, 2, "average")
+    # full block mean (0+10+30+40)/4 = 20; edge block (20+50)/2 = 35
+    assert avg.tolist() == [[20, 35]]
+    # round-half-up: (1+2)/2 = 1.5 -> 2
+    b = np.array([[1, 2]], np.uint8)
+    assert overview_np(b, 2, "average").tolist() == [[2]]
+
+    with pytest.raises(ValueError, match="level"):
+        overview_np(a, 1)
+    with pytest.raises(ValueError, match="resample"):
+        overview_np(a, 2, "cubic")
+    with pytest.raises(ValueError, match="integer"):
+        overview_np(a.astype(np.float32), 2, "average")

@@ -1809,6 +1809,75 @@ def q_raster_info(spark, sf_dir):
     return info.raster_info(images)
 
 
+# (image_id, w, h, bands) — odd dims so partial edge blocks exercise the
+# integer round-half-up average; v = (r*5 + c*11 + band*17) % 256
+_ADDO_SPECS = [
+    ("ga", 37, 23, 1),
+    ("gc", 30, 19, 3),
+]
+
+
+def _addo_surface(w, h, bands):
+    r = np.arange(h)[:, None, None]
+    c = np.arange(w)[None, :, None]
+    b = np.arange(bands)[None, None, :]
+    v = ((r * 5 + c * 11 + b * 17) % 256).astype(np.uint8)
+    return v[:, :, 0] if bands == 1 else v
+
+
+def q_overviews_addo(spark, sf_dir):
+    """`gdaladdo` parity (operators/translate.py::build_overviews):
+    uint8 gray + RGB rasters get levels (2, 4) integer-exact average
+    overviews appended as chained IFDs; the query then READS BACK every
+    IFD through decode_tiff(ifd=k) and reports per-level dims + pixel
+    sum + md5 — so the gate covers the block-average math AND the
+    overview-chain encode/decode roundtrip. The golden replays the
+    block means with scalar integer loops ((2s+n)//(2n) — no floats
+    exist on either side)."""
+    from ..functions import tiffcodec
+    from ..operators import translate as tr
+
+    rows = [
+        (
+            name,
+            tiffcodec.encode_tiff(
+                _addo_surface(w, h, bands),
+                geo={"gsd": 4.0, "mx0": 0.0, "my1": float(h) * 4.0, "epsg": 3857},
+            ),
+        )
+        for name, w, h, bands in _ADDO_SPECS
+    ]
+    images = spark.createDataFrame(rows, "image_id string, bytes binary")
+    built = tr.build_overviews(images, levels=(2, 4), resample="average")
+
+    def readback(it):
+        import hashlib
+
+        from ..functions import tiffcodec as tc
+
+        for pdf in it:
+            out = []
+            for iid, blob in zip(pdf["image_id"], pdf["bytes"]):
+                n = tc.read_tiff_tags(bytes(blob))["n_ifds"]
+                for k in range(n):
+                    a, _geo = tc.decode_tiff(bytes(blob), ifd=k)
+                    out.append(
+                        (
+                            iid, k, a.shape[1], a.shape[0],
+                            int(a.astype(np.int64).sum()),
+                            hashlib.md5(np.ascontiguousarray(a).tobytes()).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=["image_id", "ifd", "w", "h", "px_sum", "grid_md5"]
+            )
+
+    return built.mapInPandas(
+        readback,
+        schema="image_id string, ifd int, w int, h int, px_sum long, grid_md5 string",
+    )
+
+
 # (group, image_id, w, h, gsd, mx0, my1, epsg) — group 'a' is a clean
 # 3-source 3857 mosaic with DYADIC gsds (2+4+8 sums exactly, so the
 # average-resolution rule is bit-identical cross-engine); group 'b'
@@ -3214,6 +3283,7 @@ QUERIES: dict = {
     "raster_info": (q_raster_info, _golden("raster_info")),
     "raster_tindex": (q_raster_tindex, _golden("raster_tindex")),
     "vrt_build": (q_vrt_build, SQL_VRT_BUILD),
+    "overviews_addo": (q_overviews_addo, _golden("overviews_addo")),
     "raster_compare": (q_raster_compare, _golden("raster_compare")),
     "georef_edit": (q_georef_edit, _golden("georef_edit")),
     "pct2rgb": (q_pct2rgb, _golden("pct2rgb")),

@@ -908,6 +908,59 @@ def g_warp4326(quant=1e-3):
     )
 
 
+def g_overviews_addo():
+    # FULLY INDEPENDENT: the analytic fixture surface is recomputed from
+    # its formula (no TIFF bytes, no engine kernels) and every overview
+    # level is built with SCALAR integer loops — round-half-up mean as
+    # (2s+n)//(2n), the documented no-floats contract. IFD 0 pins the
+    # untouched base raster through the deflate roundtrip.
+    import hashlib
+
+    from tilers_tools_spark.plans.queries import _ADDO_SPECS, _addo_surface
+
+    rows = []
+    for name, w, h, bands in _ADDO_SPECS:
+        base = np.asarray(_addo_surface(w, h, bands), np.int64)
+        grids = [(0, base)]
+        for k, level in ((1, 2), (2, 4)):
+            oh, ow = (h + level - 1) // level, (w + level - 1) // level
+            if bands == 1:
+                ov = np.empty((oh, ow), np.int64)
+            else:
+                ov = np.empty((oh, ow, bands), np.int64)
+            for rr in range(oh):
+                for cc in range(ow):
+                    blk = base[
+                        rr * level : min((rr + 1) * level, h),
+                        cc * level : min((cc + 1) * level, w),
+                    ]
+                    if bands == 1:
+                        s = int(blk.sum())
+                        n = blk.size
+                        ov[rr, cc] = (2 * s + n) // (2 * n)
+                    else:
+                        n = blk.shape[0] * blk.shape[1]
+                        for bb in range(bands):
+                            s = int(blk[:, :, bb].sum())
+                            ov[rr, cc, bb] = (2 * s + n) // (2 * n)
+            grids.append((k, ov))
+        for k, g in grids:
+            u8 = g.astype(np.uint8)
+            rows.append(
+                [
+                    name, k, int(u8.shape[1]), int(u8.shape[0]),
+                    int(u8.astype(np.int64).sum()),
+                    hashlib.md5(np.ascontiguousarray(u8).tobytes()).hexdigest(),
+                ]
+            )
+    save(
+        "overviews_addo",
+        ["image_id", "ifd", "w", "h", "px_sum", "grid_md5"],
+        ["str", "int32", "int32", "int32", "int64", "str"],
+        rows,
+    )
+
+
 def g_warputm(quant=1e-3):
     # Sampling / quantize / aggregate replayed with scalar python loops
     # (independent of the engine's vectorized _sample_grid). The dest
@@ -2369,6 +2422,7 @@ GENERATORS = {
     "raster_translate": g_raster_translate,
     "warp_4326": g_warp4326,
     "warp_utm": g_warputm,
+    "overviews_addo": g_overviews_addo,
     "nearblack": g_nearblack,
     "raster_info": g_raster_info,
     "raster_tindex": g_raster_tindex,
