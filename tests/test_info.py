@@ -239,3 +239,36 @@ def test_vrt_build_hand_pins(spark):
 
     with pytest.raises(ValueError, match="resolution"):
         info.vrt_build(df, resolution="user")
+
+
+def test_cog_check_and_addo_cog_pipeline(spark):
+    """build_overviews(tile=16, cog_layout=True) output passes every
+    cog_check box; the same content main-data-first fails exactly the
+    data-order box; decode of every IFD is identical across layouts."""
+    from tilers_tools_spark.functions import tiffcodec
+    from tilers_tools_spark.operators import info, translate as tr
+
+    a = ((np.arange(40)[:, None] * 3 + np.arange(36)[None, :]) % 199).astype(np.uint8)
+    geo = {"gsd": 1.0, "mx0": 0.0, "my1": 40.0, "epsg": 3857}
+    src = spark.createDataFrame(
+        [("r", tiffcodec.encode_tiff(a, geo=geo))], "image_id string, bytes binary"
+    )
+    cog = tr.build_overviews(src, levels=(2, 4), tile=16, cog_layout=True)
+    chk = info.cog_check(cog).collect()[0]
+    assert chk["cog_ok"] and chk["n_overviews"] == 2
+
+    plain = tr.build_overviews(src, levels=(2, 4), tile=16)
+    chk2 = info.cog_check(plain).collect()[0]
+    assert not chk2["cog_ok"] and chk2["tiled_ok"] and chk2["overviews_ok"]
+    assert chk2["decreasing_ok"] and not chk2["data_order_cog"]
+
+    # both layouts decode identically at every IFD, georef survives
+    b_cog = bytes(cog.collect()[0]["bytes"])
+    b_pln = bytes(plain.collect()[0]["bytes"])
+    for k in range(3):
+        d1, g1 = tiffcodec.decode_tiff(b_cog, ifd=k)
+        d2, _ = tiffcodec.decode_tiff(b_pln, ifd=k)
+        assert (d1 == d2).all()
+    assert g1 is not None or k > 0
+    g0 = tiffcodec.decode_tiff(b_cog)[1]
+    assert g0["epsg"] == 3857 and g0["gsd"] == 1.0

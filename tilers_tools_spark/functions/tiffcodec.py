@@ -309,9 +309,16 @@ def read_tiff_tags(data: bytes) -> dict:
     dims = []
     for t in ifds:
         try:
-            dims.append({"w": int(t[TAG_WIDTH][0]), "h": int(t[TAG_LENGTH][0])})
+            d = {"w": int(t[TAG_WIDTH][0]), "h": int(t[TAG_LENGTH][0])}
         except KeyError:
-            dims.append({"w": -1, "h": -1})  # malformed overview IFD stays visible
+            d = {"w": -1, "h": -1}  # malformed overview IFD stays visible
+        # structural facts the COG-layout checker needs (still tags-only)
+        d["tiled"] = TAG_TILE_OFFSETS in t
+        offs = t.get(TAG_TILE_OFFSETS) or t.get(TAG_STRIP_OFFSETS) or []
+        d["data0"] = min((int(v) for v in offs), default=-1)
+        d["tile_w"] = int(t[TAG_TILE_WIDTH][0]) if TAG_TILE_WIDTH in t else -1
+        d["tile_h"] = int(t[TAG_TILE_LENGTH][0]) if TAG_TILE_LENGTH in t else -1
+        dims.append(d)
     comp = int(tags.get(TAG_COMPRESSION, [1])[0])
     return {
         "w": w,
@@ -860,6 +867,7 @@ def encode_tiff(
     compression: str = "none",
     tile: int | tuple[int, int] | None = None,
     overviews: list[np.ndarray] | None = None,
+    cog_layout: bool = False,
 ) -> bytes:
     """uint8 or uint16 (H,W)/(H,W,3)/(H,W,4) -> little-endian TIFF;
     `compression` = 'none' | 'deflate'; `tile` = None (single-strip) or a
@@ -873,13 +881,21 @@ def encode_tiff(
     zlib level)."""
     images = [(arr, geo)] + [(ov, None) for ov in (overviews or [])]
     preps = [_prep_image(a, g, compression, tile) for a, g in images]
+    n = len(preps)
+    # physical segment order: normal = IFD-chain order (main first);
+    # cog_layout = REVERSED (smallest overview's data first, full-res
+    # last — the cloud-optimized streaming layout; the IFD chain still
+    # reads main -> ov1 -> ov2 via absolute next-IFD pointers, which the
+    # TIFF spec allows anywhere in the file)
+    phys = list(range(n))[::-1] if cog_layout else list(range(n))
     base = 8
-    bases = []
-    for _entries, _chunks, _extra, seg_len in preps:
-        bases.append(base)
-        base += seg_len
+    bases: list[int] = [0] * n
+    for idx in phys:
+        bases[idx] = base
+        base += preps[idx][3]
     out = [struct.pack("<2sHI", b"II", 42, bases[0])]
-    for i, (entries, chunks, extra_size, _seg_len) in enumerate(preps):
-        next_off = bases[i + 1] if i + 1 < len(bases) else 0
-        out.append(_pack_ifd_segment(entries, chunks, extra_size, bases[i], next_off))
+    for idx in phys:
+        entries, chunks, extra_size, _seg_len = preps[idx]
+        next_off = bases[idx + 1] if idx + 1 < n else 0
+        out.append(_pack_ifd_segment(entries, chunks, extra_size, bases[idx], next_off))
     return b"".join(out)

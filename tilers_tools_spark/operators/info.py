@@ -411,3 +411,78 @@ def vrt_build(
         F.when(clean, rhu(F.col("h") * F.col("gsd") / F.col("res")))
         .otherwise(F.lit(-1)).alias("dst_ysize"),
     )
+
+
+# ---------------------------------------------------------------------------
+# COG layout validation (validate_cloud_optimized_geotiff parity)
+# ---------------------------------------------------------------------------
+
+
+def cog_check(
+    images: DataFrame,
+    overview_threshold: int = 512,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Cloud-Optimized-GeoTIFF layout validation — the checks GDAL's
+    `validate_cloud_optimized_geotiff.py` applies, as a table operator
+    over a raster catalog (tags-only parse, pixel data never read):
+
+    * ``tiled_ok``    — every IFD uses tiled organization with tile
+      dims that are multiples of 16 (TIFF 6.0 §15 requirement);
+    * ``overviews_ok`` — rasters larger than ``overview_threshold`` in
+      either dimension carry at least one internal overview IFD;
+    * ``decreasing_ok`` — the IFD chain is strictly decreasing in both
+      dimensions (main -> coarser overviews);
+    * ``data_order_cog`` — pixel data is laid out smallest-overview
+      first and full-resolution last (the streaming-read property that
+      makes a COG a COG; offsets compared, bytes untouched);
+    * ``cog_ok`` — conjunction of the four.
+
+    Unreadable blobs surface as the auditable (-1, False...) row.
+    Scale shape: per-raster independent Arrow pass, no shuffle."""
+    from ..functions import tiffcodec
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for iid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    t = tiffcodec.read_tiff_tags(bytes(blob))
+                except Exception:
+                    rows.append((iid, -1, -1, 0, False, False, False, False, False))
+                    continue
+                ifds = t["ifds"]
+                tiled_ok = all(
+                    d["tiled"] and d["tile_w"] % 16 == 0 and d["tile_h"] % 16 == 0
+                    for d in ifds
+                )
+                needs_ov = max(t["w"], t["h"]) > overview_threshold
+                overviews_ok = (not needs_ov) or len(ifds) > 1
+                decreasing_ok = all(
+                    ifds[k]["w"] > ifds[k + 1]["w"] and ifds[k]["h"] > ifds[k + 1]["h"]
+                    for k in range(len(ifds) - 1)
+                )
+                offs = [d["data0"] for d in ifds]
+                data_order_cog = all(o >= 0 for o in offs) and all(
+                    offs[k] > offs[k + 1] for k in range(len(offs) - 1)
+                )
+                rows.append(
+                    (
+                        iid, t["w"], t["h"], len(ifds) - 1,
+                        tiled_ok, overviews_ok, decreasing_ok, data_order_cog,
+                        tiled_ok and overviews_ok and decreasing_ok and data_order_cog,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "w", "h", "n_overviews", "tiled_ok",
+                         "overviews_ok", "decreasing_ok", "data_order_cog", "cog_ok"],
+            )
+
+    return images.select(id_col, bytes_col).mapInPandas(
+        fn,
+        schema=f"{id_col} string, w int, h int, n_overviews int, tiled_ok boolean, "
+        "overviews_ok boolean, decreasing_ok boolean, data_order_cog boolean, "
+        "cog_ok boolean",
+    )

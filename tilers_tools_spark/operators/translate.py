@@ -610,6 +610,8 @@ def build_overviews(
     images: DataFrame,
     levels: tuple[int, ...] = (2, 4),
     resample: str = "average",
+    cog_layout: bool = False,
+    tile: int | None = None,
     id_col: str = "image_id",
     bytes_col: str = "bytes",
 ) -> DataFrame:
@@ -617,9 +619,11 @@ def build_overviews(
     overview levels (integer-exact average or nearest subsample) and
     re-encode with the overviews appended as chained IFDs — the GDAL
     internal-overview layout the reader's `decode_tiff(ifd=k)` already
-    serves. Emits (id, bytes, n_overviews). Scale shape: per-raster
-    independent Arrow pass; pixels never shuffle (the gdaladdo unit of
-    work is one file)."""
+    serves. Emits (id, bytes, n_overviews). ``tile=256`` +
+    ``cog_layout=True`` produces output that passes ``info.cog_check``
+    (tiled 16-multiple organization, smallest-overview-data-first).
+    Scale shape: per-raster independent Arrow pass; pixels never
+    shuffle (the gdaladdo unit of work is one file)."""
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions import tiffcodec
@@ -630,7 +634,8 @@ def build_overviews(
                 a, geo = tiffcodec.decode_tiff(bytes(blob), scale_16bit=False)
                 ovs = [overview_np(a, lv, resample) for lv in sorted(levels)]
                 out = tiffcodec.encode_tiff(
-                    a, geo=geo, compression="deflate", overviews=ovs
+                    a, geo=geo, compression="deflate", overviews=ovs,
+                    tile=tile, cog_layout=cog_layout,
                 )
                 rows.append((iid, out, len(ovs)))
             yield pd.DataFrame(rows, columns=[id_col, "bytes", "n_overviews"])

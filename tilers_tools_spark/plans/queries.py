@@ -1878,6 +1878,39 @@ def q_overviews_addo(spark, sf_dir):
     )
 
 
+def q_cog_validate(spark, sf_dir):
+    """COG layout validation (operators/info.py::cog_check,
+    validate_cloud_optimized_geotiff.py parity): six structurally
+    different blobs — a true COG (tiled 16, overviews, smallest-data-
+    first layout), the same content main-data-first (data-order
+    violation), a strip-organized raster, an over-threshold raster with
+    no overviews, a non-multiple-of-16 tile size, and a non-TIFF blob
+    (auditable error row). The golden restates the BY-HAND expected
+    booleans for each construction — no engine code in the expected
+    box."""
+    from ..functions import tiffcodec
+    from ..operators import info, translate as tr
+
+    a = ((np.arange(40)[:, None] * 7 + np.arange(36)[None, :] * 3) % 211).astype(
+        np.uint8
+    )
+    geo = {"gsd": 1.0, "mx0": 0.0, "my1": 40.0, "epsg": 3857}
+    ovs = [tr.overview_np(a, 2), tr.overview_np(a, 4)]
+    big = np.zeros((24, 600), np.uint8)
+    rows = [
+        ("cogok", tiffcodec.encode_tiff(a, geo=geo, compression="deflate",
+                                        tile=16, overviews=ovs, cog_layout=True)),
+        ("mainfirst", tiffcodec.encode_tiff(a, geo=geo, compression="deflate",
+                                            tile=16, overviews=ovs)),
+        ("strip", tiffcodec.encode_tiff(a, geo=geo, compression="deflate")),
+        ("big_noov", tiffcodec.encode_tiff(big, geo=geo, tile=16)),
+        ("badtile", tiffcodec.encode_tiff(a, geo=geo, tile=(24, 16))),
+        ("junk", b"not a tiff"),
+    ]
+    images = spark.createDataFrame(rows, "image_id string, bytes binary")
+    return info.cog_check(images, overview_threshold=512)
+
+
 # (group, image_id, w, h, gsd, mx0, my1, epsg) — group 'a' is a clean
 # 3-source 3857 mosaic with DYADIC gsds (2+4+8 sums exactly, so the
 # average-resolution rule is bit-identical cross-engine); group 'b'
@@ -3284,6 +3317,7 @@ QUERIES: dict = {
     "raster_tindex": (q_raster_tindex, _golden("raster_tindex")),
     "vrt_build": (q_vrt_build, SQL_VRT_BUILD),
     "overviews_addo": (q_overviews_addo, _golden("overviews_addo")),
+    "cog_validate": (q_cog_validate, _golden("cog_validate")),
     "raster_compare": (q_raster_compare, _golden("raster_compare")),
     "georef_edit": (q_georef_edit, _golden("georef_edit")),
     "pct2rgb": (q_pct2rgb, _golden("pct2rgb")),

@@ -908,6 +908,30 @@ def g_warp4326(quant=1e-3):
     )
 
 
+def g_cog_validate():
+    # FULLY INDEPENDENT: the expected booleans are derived BY HAND from
+    # each fixture's documented construction (tiled-16? overviews
+    # present vs the 512 threshold? strictly-decreasing chain?
+    # smallest-data-first layout?) — no bytes are parsed here.
+    rows = [
+        # id, w, h, n_ov, tiled_ok, overviews_ok, decreasing_ok,
+        # data_order_cog, cog_ok
+        ["cogok", 36, 40, 2, True, True, True, True, True],
+        ["mainfirst", 36, 40, 2, True, True, True, False, False],
+        ["strip", 36, 40, 0, False, True, True, True, False],
+        ["big_noov", 600, 24, 0, True, False, True, True, False],
+        ["badtile", 36, 40, 0, False, True, True, True, False],
+        ["junk", -1, -1, 0, False, False, False, False, False],
+    ]
+    save(
+        "cog_validate",
+        ["image_id", "w", "h", "n_overviews", "tiled_ok", "overviews_ok",
+         "decreasing_ok", "data_order_cog", "cog_ok"],
+        ["str", "int32", "int32", "int32", "bool", "bool", "bool", "bool", "bool"],
+        rows,
+    )
+
+
 def g_overviews_addo():
     # FULLY INDEPENDENT: the analytic fixture surface is recomputed from
     # its formula (no TIFF bytes, no engine kernels) and every overview
@@ -2423,6 +2447,7 @@ GENERATORS = {
     "warp_4326": g_warp4326,
     "warp_utm": g_warputm,
     "overviews_addo": g_overviews_addo,
+    "cog_validate": g_cog_validate,
     "nearblack": g_nearblack,
     "raster_info": g_raster_info,
     "raster_tindex": g_raster_tindex,
