@@ -1048,3 +1048,55 @@ def test_grid_metrics_hand_pins(spark):
     # empty cells surface as sentinel, not zero
     tight = run("count", radius=0.5)
     assert tight["n_empty"] == 1 and tight["q_sum"] == 1_000
+
+
+def test_label_regions_8connected_vs_bruteforce():
+    """8-connected labeling (gdal_polygonize -8) vs an independent BFS
+    flood fill on randomized rasters — includes the checkerboard, which
+    is 16 regions 4-connected but collapses to 2 under 8-connectivity,
+    and the diagonal-run sweep edge case (runs that touch only at a
+    shared endpoint column)."""
+    from tilers_tools_spark.operators.zonal import label_regions_np
+
+    board = (np.add.outer(np.arange(4), np.arange(4)) % 2).astype(np.uint8)
+    lab8 = label_regions_np(board, connect8=True)
+    # two interleaved diagonal regions, canonical ids 0 and 1
+    assert sorted(np.unique(lab8).tolist()) == [0, 1]
+    assert (label_regions_np(board) == np.arange(16).reshape(4, 4)).all()
+
+    # the sweep lookahead case: prev run [0,2) of value v, cur runs
+    # [0,2) of other value then [2,..) of v — diagonal touch at the
+    # shared endpoint
+    tricky = np.array([[1, 1, 0], [0, 0, 1]], np.uint8)
+    l8 = label_regions_np(tricky, connect8=True)
+    assert l8[0, 0] == l8[1, 2]  # the two 1-runs join diagonally
+    assert l8[0, 2] == l8[1, 0]  # and so do the two 0-runs
+
+    def bfs(a, conn8):
+        h, w = a.shape
+        lab = -np.ones((h, w), np.int64)
+        nbrs = [(-1, 0), (1, 0), (0, -1), (0, 1)] + (
+            [(-1, -1), (-1, 1), (1, -1), (1, 1)] if conn8 else []
+        )
+        for r0 in range(h):
+            for c0 in range(w):
+                if lab[r0, c0] >= 0:
+                    continue
+                cid = r0 * w + c0
+                st = [(r0, c0)]
+                lab[r0, c0] = cid
+                while st:
+                    r, c = st.pop()
+                    for dr, dc in nbrs:
+                        rr, cc = r + dr, c + dc
+                        if 0 <= rr < h and 0 <= cc < w and lab[rr, cc] < 0 and a[rr, cc] == a[r, c]:
+                            lab[rr, cc] = cid
+                            st.append((rr, cc))
+        return lab
+
+    rng = np.random.RandomState(11)
+    for _ in range(40):
+        h, w = rng.randint(1, 11), rng.randint(1, 11)
+        a = rng.randint(0, 3, (h, w)).astype(np.uint8)
+        for conn8 in (False, True):
+            assert (label_regions_np(a, connect8=conn8) == bfs(a, conn8)).all()

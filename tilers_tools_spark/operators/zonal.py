@@ -237,10 +237,11 @@ def zonal_stats(
     )
 
 
-def label_regions_np(a: np.ndarray) -> np.ndarray:
-    """4-connected equal-value region labeling (the `gdal_polygonize`
-    grouping rule). Returns an int64 label image where every pixel of a
-    region carries the region's canonical id = ``min_row * w + min_col``
+def label_regions_np(a: np.ndarray, connect8: bool = False) -> np.ndarray:
+    """4-connected (default) or 8-connected equal-value region labeling
+    (the `gdal_polygonize` / `-8connected` grouping rules). Returns an
+    int64 label image where every pixel of a region carries the
+    region's canonical id = ``min_row * w + min_col``
     of its first pixel in scan order — deterministic and independent of
     traversal, so two engines labeling the same raster agree exactly.
 
@@ -285,8 +286,15 @@ def label_regions_np(a: np.ndarray) -> np.ndarray:
             while i < len(prev) and j < len(cur):
                 ps, pe, pr = prev[i]
                 cs, ce, cr = cur[j]
-                o = max(ps, cs)
-                if o < min(pe, ce) and up[o] == row[o]:
+                if connect8:
+                    # runs are 8-adjacent when they overlap OR touch
+                    # diagonally: ps <= ce-1+1 and cs <= pe-1+1; the
+                    # runs' values are constant, so compare endpoints
+                    touch = ps <= ce and cs <= pe and up[ps] == row[cs]
+                else:
+                    o = max(ps, cs)
+                    touch = o < min(pe, ce) and up[o] == row[o]
+                if touch:
                     rp, rc = find(pr), find(cr)
                     if rp != rc:
                         if rp < rc:
@@ -294,6 +302,19 @@ def label_regions_np(a: np.ndarray) -> np.ndarray:
                         else:
                             parent[rp] = rc
                 if pe <= ce:
+                    # 8-conn lookahead: when this prev run ends exactly
+                    # where cur_j ends (pe == ce), the NEXT cur run
+                    # starts at pe and still touches prev diagonally —
+                    # the sweep would otherwise skip that pair
+                    if connect8 and pe == ce and j + 1 < len(cur):
+                        ns, _ne, nr = cur[j + 1]
+                        if ns == pe and up[ps] == row[ns]:
+                            rp, rc = find(pr), find(nr)
+                            if rp != rc:
+                                if rp < rc:
+                                    parent[rc] = rp
+                                else:
+                                    parent[rp] = rc
                     i += 1
                 else:
                     j += 1
@@ -307,11 +328,14 @@ def label_regions_np(a: np.ndarray) -> np.ndarray:
 
 def polygonize(
     images: DataFrame,
+    connect8: bool = False,
     id_col: str = "image_id",
     bytes_col: str = "bytes",
 ) -> DataFrame:
     """`gdal_polygonize` parity as a region-summary table: group
-    4-connected pixels of equal value into regions and emit one row per
+    4-connected (or 8-connected with ``connect8=True`` — the utility's
+    `-8` flag; perimeter stays the 4-edge different-VALUE count in both
+    modes) pixels of equal value into regions and emit one row per
     region — (image_id, region_id, value, n_pixels, min_row, min_col,
     max_row, max_col, perimeter). ``region_id`` is the canonical
     ``min_row * w + min_col`` pixel of the region (deterministic across
@@ -344,7 +368,7 @@ def polygonize(
                 if a.ndim != 2:
                     raise ValueError("polygonize expects single-band rasters")
                 h, w = a.shape
-                lab = label_regions_np(a)
+                lab = label_regions_np(a, connect8=connect8)
                 ids, dense = np.unique(lab, return_inverse=True)
                 dense = dense.reshape(h, w)
                 n = len(ids)
@@ -359,7 +383,10 @@ def polygonize(
                 np.minimum.at(minc, flat, cols_idx)
                 np.maximum.at(maxr, flat, rows_idx)
                 np.maximum.at(maxc, flat, cols_idx)
-                # perimeter: 4 per pixel minus 2 per same-region internal edge
+                # perimeter: 4 per pixel minus 2 per same-VALUE internal
+                # edge (4-adjacent same-value pixels share a region in
+                # both connectivities, so dense-equality is value-equality
+                # here)
                 perim = 4 * npix.astype(np.int64)
                 same_h = dense[:, 1:] == dense[:, :-1]
                 same_v = dense[1:, :] == dense[:-1, :]

@@ -1169,9 +1169,11 @@ _POLY_STEPS = {"plane": 25.0, "wave": 40.0, "flat": 10.0}
 
 def q_polygonize(spark, sf_dir):
     """Raster region extraction (operators/zonal.py::polygonize —
-    gdal_polygonize grouping parity): 4-connected equal-value regions of
+    gdal_polygonize grouping parity incl. the `-8` flag): 4- AND
+    8-connected equal-value regions of
     quantized DEM rasters as a region-summary table (canonical id,
-    value, pixel count, bbox, 4-connected perimeter). Each _DEM_SPECS
+    value, pixel count, bbox, 4-edge perimeter), unioned with a `conn`
+    column. Each _DEM_SPECS
     surface is quantized (floor(v/step)) BEFORE encoding, each under a
     different TIFF layout, so the gate crosses the decode path; the
     golden relabels the same quantized surfaces with an independent
@@ -1196,7 +1198,9 @@ def q_polygonize(spark, sf_dir):
             )
         )
     images = spark.createDataFrame(rows, "image_id string, bytes binary")
-    return zonal.polygonize(images)
+    out4 = zonal.polygonize(images).withColumn("conn", F.lit(4))
+    out8 = zonal.polygonize(images, connect8=True).withColumn("conn", F.lit(8))
+    return out4.unionByName(out8)
 
 
 def q_proximity(spark, sf_dir):

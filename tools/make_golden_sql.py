@@ -392,49 +392,57 @@ def g_polygonize():
     )
 
     rows = []
-    for name, h, w, _gsd in _DEM_SPECS:
-        q = np.floor(
-            _dem_surface(name, h, w).astype(np.float64) / _POLY_STEPS[name]
-        ).astype(np.float32)
-        seen = [[False] * w for _ in range(h)]
-        for r0 in range(h):
-            for c0 in range(w):
-                if seen[r0][c0]:
-                    continue
-                # BFS from the scan-order-first pixel = canonical id
-                v = q[r0, c0]
-                stack = [(r0, c0)]
-                seen[r0][c0] = True
-                pix = []
-                while stack:
-                    r, c = stack.pop()
-                    pix.append((r, c))
-                    for rr, cc in ((r - 1, c), (r + 1, c), (r, c - 1), (r, c + 1)):
-                        if 0 <= rr < h and 0 <= cc < w and not seen[rr][cc] and q[rr, cc] == v:
-                            seen[rr][cc] = True
-                            stack.append((rr, cc))
-                perim = 0
-                for r, c in pix:
-                    for rr, cc in ((r - 1, c), (r + 1, c), (r, c - 1), (r, c + 1)):
-                        if not (0 <= rr < h and 0 <= cc < w) or q[rr, cc] != v:
-                            perim += 1
-                rows.append(
-                    [
-                        name,
-                        r0 * w + c0,
-                        float(v),
-                        len(pix),
-                        min(r for r, _ in pix),
-                        min(c for _, c in pix),
-                        max(r for r, _ in pix),
-                        max(c for _, c in pix),
-                        perim,
-                    ]
-                )
+    for conn in (4, 8):
+        nbrs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+        if conn == 8:
+            nbrs += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+        for name, h, w, _gsd in _DEM_SPECS:
+            q = np.floor(
+                _dem_surface(name, h, w).astype(np.float64) / _POLY_STEPS[name]
+            ).astype(np.float32)
+            seen = [[False] * w for _ in range(h)]
+            for r0 in range(h):
+                for c0 in range(w):
+                    if seen[r0][c0]:
+                        continue
+                    # BFS from the scan-order-first pixel = canonical id
+                    v = q[r0, c0]
+                    stack = [(r0, c0)]
+                    seen[r0][c0] = True
+                    pix = []
+                    while stack:
+                        r, c = stack.pop()
+                        pix.append((r, c))
+                        for dr, dc in nbrs:
+                            rr, cc = r + dr, c + dc
+                            if 0 <= rr < h and 0 <= cc < w and not seen[rr][cc] and q[rr, cc] == v:
+                                seen[rr][cc] = True
+                                stack.append((rr, cc))
+                    # perimeter stays the 4-edge different-value count in
+                    # BOTH connectivities (the documented contract)
+                    perim = 0
+                    for r, c in pix:
+                        for rr, cc in ((r - 1, c), (r + 1, c), (r, c - 1), (r, c + 1)):
+                            if not (0 <= rr < h and 0 <= cc < w) or q[rr, cc] != v:
+                                perim += 1
+                    rows.append(
+                        [
+                            name,
+                            r0 * w + c0,
+                            float(v),
+                            len(pix),
+                            min(r for r, _ in pix),
+                            min(c for _, c in pix),
+                            max(r for r, _ in pix),
+                            max(c for _, c in pix),
+                            perim,
+                            conn,
+                        ]
+                    )
     save(
         "polygonize",
-        ["image_id", "region_id", "value", "n_pixels", "min_row", "min_col", "max_row", "max_col", "perimeter"],
-        ["str", "int64", "float64", "int64", "int64", "int64", "int64", "int64", "int64"],
+        ["image_id", "region_id", "value", "n_pixels", "min_row", "min_col", "max_row", "max_col", "perimeter", "conn"],
+        ["str", "int64", "float64", "int64", "int64", "int64", "int64", "int64", "int64", "int32"],
         rows,
     )
 
