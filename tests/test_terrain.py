@@ -1100,3 +1100,29 @@ def test_label_regions_8connected_vs_bruteforce():
         a = rng.randint(0, 3, (h, w)).astype(np.uint8)
         for conn8 in (False, True):
             assert (label_regions_np(a, connect8=conn8) == bfs(a, conn8)).all()
+
+
+def test_contour_bands_hand_pins(spark):
+    """gdal_contour -p analogue: a 2x4 ramp [0,10,20,30] with levels
+    (5, 25) splits into bands 0|1|1|2 per row -> three regions of 2, 4,
+    2 pixels; a NaN cell gets band -1 as its own region."""
+    from tilers_tools_spark.functions import tiffcodec
+
+    a = np.array([[0.0, 10.0, 20.0, 30.0], [0.0, 10.0, 20.0, np.nan]], np.float32)
+    blob = tiffcodec.encode_tiff(a, geo={"gsd": 1.0, "mx0": 0.0, "my1": 2.0, "epsg": 3857})
+    df = spark.createDataFrame([("r", blob)], "image_id string, bytes binary")
+    rows = {r["region_id"]: r for r in terrain.contour_bands(df, (5.0, 25.0)).collect()}
+    assert len(rows) == 4
+    assert rows[0]["band"] == 0 and rows[0]["n_pixels"] == 2
+    assert rows[1]["band"] == 1 and rows[1]["n_pixels"] == 4
+    assert rows[3]["band"] == 2 and rows[3]["n_pixels"] == 1
+    assert rows[7]["band"] == -1 and rows[7]["n_pixels"] == 1
+    # boundary rule: v == level counts as the upper band (levels <= v)
+    b = np.array([[5.0, 25.0]], np.float32)
+    blob2 = tiffcodec.encode_tiff(b, geo={"gsd": 1.0, "mx0": 0.0, "my1": 1.0, "epsg": 3857})
+    df2 = spark.createDataFrame([("e", blob2)], "image_id string, bytes binary")
+    got = sorted(r["band"] for r in terrain.contour_bands(df2, (5.0, 25.0)).collect())
+    assert got == [1, 2]
+
+    with pytest.raises(ValueError, match="level"):
+        terrain.contour_bands(df, ())

@@ -726,3 +726,66 @@ def viewshed(
         schema=f"{id_col} string, obs_row int, obs_col int, n_visible long, "
         "n_hidden long, n_nodata long, vis_md5 string",
     )
+
+
+def contour_bands(
+    dems: DataFrame,
+    levels: tuple[float, ...],
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """`gdal_contour -p` (polygon/band output) parity as a region table:
+    classify every DEM cell into elevation bands — band k = number of
+    ``levels`` <= value (so band 0 is below the first level, band
+    len(levels) above the last; non-finite cells get band -1, auditable
+    not dropped) — then extract 4-connected equal-band regions with the
+    shared region kernel (zonal.region_summary_np). One row per region:
+    (image_id, region_id, band, n_pixels, bbox, perimeter) — the same
+    deterministic canonical-id / 4-edge-perimeter contract as
+    polygonize, with `band` standing in for the utility's
+    (min_level, max_level] polygon attributes.
+
+    Scale shape: per-raster independent Arrow pass, narrow rows out,
+    pixels never shuffle."""
+    lv = sorted(float(x) for x in levels)
+    if not lv:
+        raise ValueError("contour_bands needs at least one level")
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import tiffcodec
+        from .zonal import region_summary_np
+
+        for pdf in it:
+            out: dict[str, list] = {
+                id_col: [], "region_id": [], "band": [], "n_pixels": [],
+                "min_row": [], "min_col": [], "max_row": [], "max_col": [],
+                "perimeter": [],
+            }
+            for iid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                dem, _geo = tiffcodec.decode_tiff(bytes(blob), scale_16bit=False)
+                if dem.ndim != 2:
+                    raise ValueError("contour_bands expects single-band DEMs")
+                d = dem.astype(np.float64)
+                finite = np.isfinite(d)
+                band = np.full(d.shape, -1, np.int64)
+                # band = count of levels <= v (right-continuous bins)
+                band[finite] = np.searchsorted(
+                    np.asarray(lv, np.float64), d[finite], side="right"
+                )
+                ids, vals, npix, minr, minc, maxr, maxc, perim = region_summary_np(band)
+                out[id_col].extend([iid] * len(ids))
+                out["region_id"].extend(ids.tolist())
+                out["band"].extend(np.asarray(vals, np.int64).tolist())
+                out["n_pixels"].extend(npix.tolist())
+                out["min_row"].extend(minr.tolist())
+                out["min_col"].extend(minc.tolist())
+                out["max_row"].extend(maxr.tolist())
+                out["max_col"].extend(maxc.tolist())
+                out["perimeter"].extend(perim.tolist())
+            yield pd.DataFrame(out)
+
+    return dems.select(id_col, bytes_col).mapInPandas(
+        fn,
+        schema=f"{id_col} string, region_id long, band long, n_pixels long, "
+        "min_row long, min_col long, max_row long, max_col long, perimeter long",
+    )

@@ -326,6 +326,37 @@ def label_regions_np(a: np.ndarray, connect8: bool = False) -> np.ndarray:
     return canon[run_img]
 
 
+def region_summary_np(a: np.ndarray, connect8: bool = False):
+    """Shared region-table kernel (polygonize + contour_bands): label
+    equal-value regions and reduce to per-region (ids, values, n_pixels,
+    bbox, 4-edge perimeter) arrays. Perimeter = 4 per pixel minus 2 per
+    same-value internal edge (4-adjacent same-value pixels share a
+    region in both connectivities, so dense-equality is value-equality)."""
+    h, w = a.shape
+    lab = label_regions_np(a, connect8=connect8)
+    ids, dense = np.unique(lab, return_inverse=True)
+    dense = dense.reshape(h, w)
+    n = len(ids)
+    npix = np.bincount(dense.ravel(), minlength=n)
+    rows_idx = np.repeat(np.arange(h), w)
+    cols_idx = np.tile(np.arange(w), h)
+    flat = dense.ravel()
+    inf = np.iinfo(np.int64).max
+    minr = np.full(n, inf); minc = np.full(n, inf)
+    maxr = np.full(n, -1); maxc = np.full(n, -1)
+    np.minimum.at(minr, flat, rows_idx)
+    np.minimum.at(minc, flat, cols_idx)
+    np.maximum.at(maxr, flat, rows_idx)
+    np.maximum.at(maxc, flat, cols_idx)
+    perim = 4 * npix.astype(np.int64)
+    same_h = dense[:, 1:] == dense[:, :-1]
+    same_v = dense[1:, :] == dense[:-1, :]
+    perim -= 2 * np.bincount(dense[:, 1:][same_h].ravel(), minlength=n)
+    perim -= 2 * np.bincount(dense[1:, :][same_v].ravel(), minlength=n)
+    vals = a[ids // w, ids % w]  # canonical pixel carries the value
+    return ids, vals, npix, minr, minc, maxr, maxc, perim
+
+
 def polygonize(
     images: DataFrame,
     connect8: bool = False,
@@ -367,34 +398,10 @@ def polygonize(
                 a, _geo = tiffcodec.decode_tiff(bytes(blob), scale_16bit=False)
                 if a.ndim != 2:
                     raise ValueError("polygonize expects single-band rasters")
-                h, w = a.shape
-                lab = label_regions_np(a, connect8=connect8)
-                ids, dense = np.unique(lab, return_inverse=True)
-                dense = dense.reshape(h, w)
-                n = len(ids)
-                npix = np.bincount(dense.ravel(), minlength=n)
-                rows_idx = np.repeat(np.arange(h), w)
-                cols_idx = np.tile(np.arange(w), h)
-                flat = dense.ravel()
-                inf = np.iinfo(np.int64).max
-                minr = np.full(n, inf); minc = np.full(n, inf)
-                maxr = np.full(n, -1); maxc = np.full(n, -1)
-                np.minimum.at(minr, flat, rows_idx)
-                np.minimum.at(minc, flat, cols_idx)
-                np.maximum.at(maxr, flat, rows_idx)
-                np.maximum.at(maxc, flat, cols_idx)
-                # perimeter: 4 per pixel minus 2 per same-VALUE internal
-                # edge (4-adjacent same-value pixels share a region in
-                # both connectivities, so dense-equality is value-equality
-                # here)
-                perim = 4 * npix.astype(np.int64)
-                same_h = dense[:, 1:] == dense[:, :-1]
-                same_v = dense[1:, :] == dense[:-1, :]
-                perim -= 2 * np.bincount(dense[:, 1:][same_h].ravel(), minlength=n)
-                perim -= 2 * np.bincount(dense[1:, :][same_v].ravel(), minlength=n)
-                # value per region: read the canonical pixel directly
-                vals = a[ids // w, ids % w]
-                out[id_col].extend([iid] * n)
+                ids, vals, npix, minr, minc, maxr, maxc, perim = region_summary_np(
+                    a, connect8=connect8
+                )
+                out[id_col].extend([iid] * len(ids))
                 out["region_id"].extend(ids.tolist())
                 out["value"].extend(np.asarray(vals, np.float64).tolist())
                 out["n_pixels"].extend(npix.tolist())

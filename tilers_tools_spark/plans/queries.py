@@ -2433,6 +2433,37 @@ def q_dem_contour(spark, sf_dir):
     return terrain.dem_contour(df, _CONTOUR_LEVELS)
 
 
+def q_contour_bands(spark, sf_dir):
+    """`gdal_contour -p` (polygon bands) parity (operators/terrain.py::
+    contour_bands): the analytic DEMs classified into elevation bands at
+    _CONTOUR_LEVELS and extracted as equal-band regions (shared
+    region_summary_np kernel; NaN cells band -1, exercised via the
+    fillnodata hole mask on 'wave'). The golden classifies every cell by
+    a scalar level count and relabels with the independent BFS flood
+    fill."""
+    from ..functions import tiffcodec
+    from ..operators import terrain
+
+    rows = []
+    for name, h, w, gsd in _DEM_SPECS:
+        a = _dem_surface(name, h, w).astype(np.float32)
+        if name == "wave":
+            a[_fillnodata_mask("wave", h, w)] = np.nan
+        rows.append(
+            (
+                name,
+                tiffcodec.encode_tiff(
+                    a,
+                    geo={"gsd": gsd, "mx0": 0.0, "my1": 1.0e5, "epsg": 3857},
+                    compression="deflate" if name == "wave" else "none",
+                    tile=16 if name == "plane" else None,
+                ),
+            )
+        )
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    return terrain.contour_bands(df, tuple(_CONTOUR_LEVELS))
+
+
 def q_streaming_tiles(spark, sf_dir):
     """Streaming IMAGE ingest -> TILES under the driver gate: the
     availableNow foreachBatch path (streaming/ingest.py) runs the SAME
@@ -3322,6 +3353,7 @@ QUERIES: dict = {
     "vrt_build": (q_vrt_build, SQL_VRT_BUILD),
     "overviews_addo": (q_overviews_addo, _golden("overviews_addo")),
     "cog_validate": (q_cog_validate, _golden("cog_validate")),
+    "contour_bands": (q_contour_bands, _golden("contour_bands")),
     "raster_compare": (q_raster_compare, _golden("raster_compare")),
     "georef_edit": (q_georef_edit, _golden("georef_edit")),
     "pct2rgb": (q_pct2rgb, _golden("pct2rgb")),

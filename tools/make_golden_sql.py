@@ -916,6 +916,68 @@ def g_warp4326(quant=1e-3):
     )
 
 
+def g_contour_bands():
+    # FULLY INDEPENDENT: recompute the float32 analytic surfaces (with
+    # the wave nodata holes), classify each cell with a SCALAR count of
+    # levels <= v (NaN -> band -1), and relabel with the scalar BFS
+    # flood fill — a different algorithm family than the engine's
+    # runs-based union-find. 4-edge perimeter recomputed per pixel.
+    from tilers_tools_spark.plans.queries import (
+        _CONTOUR_LEVELS,
+        _DEM_SPECS,
+        _dem_surface,
+        _fillnodata_mask,
+    )
+
+    rows = []
+    for name, h, w, _gsd in _DEM_SPECS:
+        surf = _dem_surface(name, h, w).astype(np.float32)
+        if name == "wave":
+            surf[np.asarray(_fillnodata_mask("wave", h, w))] = np.nan
+        band = [[-1] * w for _ in range(h)]
+        for r in range(h):
+            for c in range(w):
+                v = float(surf[r, c])
+                if v == v:  # finite (fixture has no inf)
+                    band[r][c] = sum(1 for lv in _CONTOUR_LEVELS if lv <= v)
+        seen = [[False] * w for _ in range(h)]
+        for r0 in range(h):
+            for c0 in range(w):
+                if seen[r0][c0]:
+                    continue
+                v = band[r0][c0]
+                stack = [(r0, c0)]
+                seen[r0][c0] = True
+                pix = []
+                while stack:
+                    r, c = stack.pop()
+                    pix.append((r, c))
+                    for rr, cc in ((r - 1, c), (r + 1, c), (r, c - 1), (r, c + 1)):
+                        if 0 <= rr < h and 0 <= cc < w and not seen[rr][cc] and band[rr][cc] == v:
+                            seen[rr][cc] = True
+                            stack.append((rr, cc))
+                perim = 0
+                for r, c in pix:
+                    for rr, cc in ((r - 1, c), (r + 1, c), (r, c - 1), (r, c + 1)):
+                        if not (0 <= rr < h and 0 <= cc < w) or band[rr][cc] != v:
+                            perim += 1
+                rows.append(
+                    [
+                        name, r0 * w + c0, v, len(pix),
+                        min(r for r, _ in pix), min(c for _, c in pix),
+                        max(r for r, _ in pix), max(c for _, c in pix),
+                        perim,
+                    ]
+                )
+    save(
+        "contour_bands",
+        ["image_id", "region_id", "band", "n_pixels", "min_row", "min_col",
+         "max_row", "max_col", "perimeter"],
+        ["str", "int64", "int64", "int64", "int64", "int64", "int64", "int64", "int64"],
+        rows,
+    )
+
+
 def g_cog_validate():
     # FULLY INDEPENDENT: the expected booleans are derived BY HAND from
     # each fixture's documented construction (tiled-16? overviews
@@ -2456,6 +2518,7 @@ GENERATORS = {
     "warp_utm": g_warputm,
     "overviews_addo": g_overviews_addo,
     "cog_validate": g_cog_validate,
+    "contour_bands": g_contour_bands,
     "nearblack": g_nearblack,
     "raster_info": g_raster_info,
     "raster_tindex": g_raster_tindex,
