@@ -1126,3 +1126,18 @@ def test_contour_bands_hand_pins(spark):
 
     with pytest.raises(ValueError, match="level"):
         terrain.contour_bands(df, ())
+
+
+def test_sieve_8connected_hand_pin():
+    """-8 flag: a 2-pixel diagonal pair is ONE region under 8-conn
+    (survives threshold=2), but two 1-pixel regions under 4-conn (both
+    repainted)."""
+    from tilers_tools_spark.operators import zonal
+
+    a = np.array(
+        [[5.0, 0.0, 0.0], [0.0, 5.0, 0.0], [0.0, 0.0, 0.0]], np.float32
+    )
+    out4, nb4, na4, ch4 = zonal.sieve_np(a, threshold=2)
+    assert ch4 == 2 and (out4 == 0.0).all() and nb4 == 3 and na4 == 1
+    out8, nb8, na8, ch8 = zonal.sieve_np(a, threshold=2, connect8=True)
+    assert nb8 == 2 and ch8 == 0 and (out8 == a).all()

@@ -520,11 +520,15 @@ def proximity(
 # ---------------------------------------------------------------------------
 
 
-def sieve_np(a: np.ndarray, threshold: int) -> tuple[np.ndarray, int, int, int]:
+def sieve_np(
+    a: np.ndarray, threshold: int, connect8: bool = False
+) -> tuple[np.ndarray, int, int, int]:
     """`gdal_sieve` semantics under a deterministic spec (binding for
     engine AND the golden's independent scalar recoding):
 
-    1. Label 4-connected equal-value regions (canonical id =
+    1. Label 4-connected (or 8-connected with ``connect8`` — the
+       utility's `-8` flag; the neighbor search in step 3 uses the SAME
+       connectivity) equal-value regions (canonical id =
        ``min_row * w + min_col``, as label_regions_np).
     2. A region is *small* if its pixel count < threshold. If there are
        no small regions, or only one region exists, stop.
@@ -540,9 +544,9 @@ def sieve_np(a: np.ndarray, threshold: int) -> tuple[np.ndarray, int, int, int]:
     """
     cur = a.copy()
     h, w = a.shape
-    n_before = n_after = len(np.unique(label_regions_np(cur)))
+    n_before = n_after = len(np.unique(label_regions_np(cur, connect8=connect8)))
     while True:
-        lab = label_regions_np(cur)
+        lab = label_regions_np(cur, connect8=connect8)
         ids, dense = np.unique(lab, return_inverse=True)
         dense = dense.reshape(h, w)
         n = len(ids)
@@ -561,6 +565,13 @@ def sieve_np(a: np.ndarray, threshold: int) -> tuple[np.ndarray, int, int, int]:
         dv = dense[1:, :] != dense[:-1, :]
         pairs.append((dense[1:, :][dv], dense[:-1, :][dv]))
         pairs.append((dense[:-1, :][dv], dense[1:, :][dv]))
+        if connect8:
+            d1 = dense[1:, 1:] != dense[:-1, :-1]  # down-right diagonal
+            pairs.append((dense[1:, 1:][d1], dense[:-1, :-1][d1]))
+            pairs.append((dense[:-1, :-1][d1], dense[1:, 1:][d1]))
+            d2 = dense[1:, :-1] != dense[:-1, 1:]  # down-left diagonal
+            pairs.append((dense[1:, :-1][d2], dense[:-1, 1:][d2]))
+            pairs.append((dense[:-1, 1:][d2], dense[1:, :-1][d2]))
         pa = np.concatenate([p[0] for p in pairs])
         pb = np.concatenate([p[1] for p in pairs])
         # per region, best neighbor by (size desc, canonical id asc):
@@ -582,10 +593,12 @@ def sieve(
     images: DataFrame,
     threshold: int,
     quant_step: float | None = None,
+    connect8: bool = False,
     id_col: str = "image_id",
     bytes_col: str = "bytes",
 ) -> DataFrame:
-    """`gdal_sieve` parity: drop 4-connected regions smaller than
+    """`gdal_sieve` parity: drop 4-connected (or 8-connected, the `-8`
+    flag) regions smaller than
     ``threshold`` pixels, repainting them with their dominant neighbor
     (deterministic rule in sieve_np). One summary row per raster:
     (image_id, n_regions_before, n_regions_after, n_changed, out_md5) —
@@ -606,7 +619,7 @@ def sieve(
                     raise ValueError("sieve expects single-band rasters")
                 if quant_step:
                     a = np.floor(a.astype(np.float64) / quant_step).astype(np.float32)
-                out, nb, na, changed = sieve_np(a, threshold)
+                out, nb, na, changed = sieve_np(a, threshold, connect8=connect8)
                 rows.append(
                     (
                         iid, nb, na, changed,

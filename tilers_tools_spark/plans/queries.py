@@ -1237,7 +1237,8 @@ def q_proximity(spark, sf_dir):
 
 
 def q_sieve(spark, sf_dir):
-    """`gdal_sieve` parity (operators/zonal.py::sieve): 4-connected
+    """`gdal_sieve` parity incl. the `-8` flag (operators/zonal.py::
+    sieve): 4- and 8-connected
     regions smaller than 12 pixels repainted with their dominant
     neighbor under the deterministic spec in sieve_np's docstring
     (largest neighbor, ties to smallest canonical id, simultaneous
@@ -1265,7 +1266,9 @@ def q_sieve(spark, sf_dir):
             )
         )
     images = spark.createDataFrame(rows, "image_id string, bytes binary")
-    return zonal.sieve(images, threshold=12)
+    s4 = zonal.sieve(images, threshold=12).withColumn("conn", F.lit(4))
+    s8 = zonal.sieve(images, threshold=12, connect8=True).withColumn("conn", F.lit(8))
+    return s4.unionByName(s8)
 
 
 def q_zonal_stats(spark, sf_dir):

@@ -602,7 +602,7 @@ def g_sieve():
 
     THRESHOLD = 12
 
-    def label(a, h, w):
+    def label(a, h, w, nbrs):
         lab = [[-1] * w for _ in range(h)]
         regions = {}
         for r0 in range(h):
@@ -617,7 +617,8 @@ def g_sieve():
                 while stack:
                     r, c = stack.pop()
                     pix.append((r, c))
-                    for rr, cc in ((r - 1, c), (r + 1, c), (r, c - 1), (r, c + 1)):
+                    for dr, dc in nbrs:
+                        rr, cc = r + dr, c + dc
                         if 0 <= rr < h and 0 <= cc < w and lab[rr][cc] == -1 and a[rr][cc] == v:
                             lab[rr][cc] = rid
                             stack.append((rr, cc))
@@ -625,49 +626,55 @@ def g_sieve():
         return lab, regions
 
     rows = []
-    for name, h, w, _gsd in _DEM_SPECS:
-        q32 = np.floor(
-            _dem_surface(name, h, w).astype(np.float64) / _POLY_STEPS[name]
-        ).astype(np.float32)
-        a = [row[:] for row in q32.tolist()]
-        orig = [row[:] for row in a]
-        _, reg0 = label(a, h, w)
-        n_before = len(reg0)
-        while True:
-            lab, regions = label(a, h, w)
-            n_after = len(regions)
-            if n_after <= 1:
-                break
-            small = [rid for rid, pix in regions.items() if len(pix) < THRESHOLD]
-            if not small:
-                break
-            vals = {rid: a[rid // w][rid % w] for rid in regions}
-            repaint = {}
-            for rid in small:
-                best = None
-                for r, c in regions[rid]:
-                    for rr, cc in ((r - 1, c), (r + 1, c), (r, c - 1), (r, c + 1)):
-                        if 0 <= rr < h and 0 <= cc < w and lab[rr][cc] != rid:
-                            nbr = lab[rr][cc]
-                            key = (len(regions[nbr]), -nbr)
-                            if best is None or key > best[0]:
-                                best = (key, nbr)
-                if best is not None:
-                    repaint[rid] = vals[best[1]]
-            for rid, v in repaint.items():
-                for r, c in regions[rid]:
-                    a[r][c] = v
-        changed = sum(
-            1 for r in range(h) for c in range(w) if a[r][c] != orig[r][c]
-        )
-        out32 = np.array(a, np.float32)
-        rows.append(
-            [name, n_before, n_after, changed, hashlib.md5(out32.tobytes()).hexdigest()]
-        )
+    for conn in (4, 8):
+        nbrs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+        if conn == 8:
+            nbrs += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+        for name, h, w, _gsd in _DEM_SPECS:
+            q32 = np.floor(
+                _dem_surface(name, h, w).astype(np.float64) / _POLY_STEPS[name]
+            ).astype(np.float32)
+            a = [row[:] for row in q32.tolist()]
+            orig = [row[:] for row in a]
+            _, reg0 = label(a, h, w, nbrs)
+            n_before = len(reg0)
+            while True:
+                lab, regions = label(a, h, w, nbrs)
+                n_after = len(regions)
+                if n_after <= 1:
+                    break
+                small = [rid for rid, pix in regions.items() if len(pix) < THRESHOLD]
+                if not small:
+                    break
+                vals = {rid: a[rid // w][rid % w] for rid in regions}
+                repaint = {}
+                for rid in small:
+                    best = None
+                    for r, c in regions[rid]:
+                        for dr, dc in nbrs:
+                            rr, cc = r + dr, c + dc
+                            if 0 <= rr < h and 0 <= cc < w and lab[rr][cc] != rid:
+                                nbr = lab[rr][cc]
+                                key = (len(regions[nbr]), -nbr)
+                                if best is None or key > best[0]:
+                                    best = (key, nbr)
+                    if best is not None:
+                        repaint[rid] = vals[best[1]]
+                for rid, v in repaint.items():
+                    for r, c in regions[rid]:
+                        a[r][c] = v
+            changed = sum(
+                1 for r in range(h) for c in range(w) if a[r][c] != orig[r][c]
+            )
+            out32 = np.array(a, np.float32)
+            rows.append(
+                [name, n_before, n_after, changed,
+                 hashlib.md5(out32.tobytes()).hexdigest(), conn]
+            )
     save(
         "sieve",
-        ["image_id", "n_regions_before", "n_regions_after", "n_changed", "out_md5"],
-        ["str", "int64", "int64", "int64", "str"],
+        ["image_id", "n_regions_before", "n_regions_after", "n_changed", "out_md5", "conn"],
+        ["str", "int64", "int64", "int64", "str", "int32"],
         rows,
     )
 
