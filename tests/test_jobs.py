@@ -184,3 +184,76 @@ def test_tiles_convert_kml_superoverlay(run_job, tile_dir, tmp_path, spark):
             "k:Document/k:GroundOverlay/k:Icon/k:href", ns
         ).text
         assert os.path.exists(os.path.join(out, os.path.dirname(href), img))
+
+
+def test_gdal_utils_job_addo_cogcheck_roundtrip(run_job, tmp_path, spark):
+    """jobs/gdal_utils.py: addo --cog emits blobs that its own cogcheck
+    subcommand validates; info reports the overview count."""
+    from tilers_tools_spark.functions import tiffcodec
+
+    a = ((np.arange(40)[:, None] * 3 + np.arange(36)[None, :]) % 199).astype(np.uint8)
+    blob = tiffcodec.encode_tiff(a, geo={"gsd": 1.0, "mx0": 0.0, "my1": 40.0, "epsg": 3857})
+    src = str(tmp_path / "img.parquet")
+    spark.createDataFrame([("r", blob)], "image_id string, bytes binary").write.parquet(src)
+
+    cogs = str(tmp_path / "cogs.parquet")
+    res = run_job("gdal_utils", [
+        "addo", "--images", src, "--out", cogs,
+        "--levels", "2,4", "--tile", "16", "--cog",
+    ])
+    assert res["rows"] == 1
+
+    chk = str(tmp_path / "chk.parquet")
+    res2 = run_job("gdal_utils", ["cogcheck", "--images", cogs, "--out", chk])
+    assert res2["rows"] == 1
+    row = spark.read.parquet(chk).collect()[0]
+    assert row["cog_ok"] and row["n_overviews"] == 2
+
+    rep = str(tmp_path / "rep.parquet")
+    run_job("gdal_utils", ["info", "--images", cogs, "--out", rep])
+    assert spark.read.parquet(rep).collect()[0]["n_overviews"] == 2
+
+    shade = str(tmp_path / "shade.parquet")
+    res3 = run_job("gdal_utils", [
+        "hillshade", "--images", src, "--out", shade, "--mode", "multidirectional",
+    ])
+    assert res3["rows"] == 1 and spark.read.parquet(shade).collect()[0]["shade_sum"] > 0
+
+
+def test_gdal_utils_job_tindex_vrt_warp(run_job, tmp_path, spark):
+    """jobs/gdal_utils.py routing for the remaining subcommands: tindex
+    footprints, buildvrt grouped mosaic geometry, warp --src 4326."""
+    from tilers_tools_spark.functions import tiffcodec
+
+    rows = []
+    for i in range(2):
+        a = ((np.arange(24)[:, None] + 7 * i + np.arange(20)[None, :]) % 151).astype(np.uint8)
+        blob = tiffcodec.encode_tiff(
+            a, geo={"gsd": 2.0, "mx0": 100.0 * i, "my1": 48.0, "epsg": 3857})
+        rows.append((f"m{i}", "g0", blob))
+    src = str(tmp_path / "img.parquet")
+    spark.createDataFrame(rows, "image_id string, vrt_group string, bytes binary").write.parquet(src)
+
+    idx = str(tmp_path / "idx.parquet")
+    assert run_job("gdal_utils", ["tindex", "--images", src, "--out", idx])["rows"] == 2
+    assert spark.read.parquet(idx).collect()[0]["wkt"].startswith("POLYGON")
+
+    vrt = str(tmp_path / "vrt.parquet")
+    res = run_job("gdal_utils", [
+        "buildvrt", "--images", src, "--out", vrt, "--resolution", "highest",
+    ])
+    assert res["rows"] == 2  # one placement row per source raster
+
+    g = ((np.arange(16)[:, None] * 5 + np.arange(16)[None, :]) % 101).astype(np.uint8)
+    gblob = tiffcodec.encode_tiff(
+        g, geo={"gsd": 0.01, "mx0": 10.0, "my1": 48.0, "epsg": 4326})
+    gsrc = str(tmp_path / "geo.parquet")
+    spark.createDataFrame([("g", gblob)], "image_id string, bytes binary").write.parquet(gsrc)
+    warped = str(tmp_path / "warped.parquet")
+    res2 = run_job("gdal_utils", [
+        "warp", "--images", gsrc, "--out", warped, "--src", "4326",
+    ])
+    assert res2["rows"] == 1
+    wrow = spark.read.parquet(warped).collect()[0]
+    # lon=10 deg -> 3857 x = R * radians(10)
+    assert wrow["out_w"] > 0 and abs(wrow["mx0"] - 1113194.9079327357) < 1.0
