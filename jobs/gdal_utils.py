@@ -48,6 +48,8 @@ def main():
     p.add_argument("--threshold", type=int, default=512)
     p = sub.add_parser("buildvrt"); common(p)
     p.add_argument("--group-col", default="vrt_group")
+    p.add_argument("--xml-dir", default=None,
+                   help="also write one GDAL .vrt XML document per clean group")
     p.add_argument("--resolution", default="average",
                    choices=("average", "highest", "lowest"))
     p = sub.add_parser("warp"); common(p)
@@ -90,10 +92,22 @@ def main():
 
         out = cog_check(images, overview_threshold=args.threshold)
     elif args.cmd == "buildvrt":
-        from tilers_tools_spark.operators.info import vrt_build
+        from tilers_tools_spark.operators.info import vrt_build, vrt_xml
 
         out = vrt_build(images, group_col=args.group_col,
                         resolution=args.resolution)
+        if args.xml_dir:
+            # gdalbuildvrt's actual artifact: one .vrt document per clean
+            # group. One tiny row per group — a driver collect is the
+            # right scale (the placement table itself ships via --out).
+            import os as _os
+
+            _os.makedirs(args.xml_dir, exist_ok=True)
+            for r in vrt_xml(out, group_col=args.group_col).collect():
+                with open(
+                    _os.path.join(args.xml_dir, f"{r[args.group_col]}.vrt"), "w"
+                ) as f:
+                    f.write(r["vrt_xml"])
     elif args.cmd == "warp":
         from tilers_tools_spark.operators.translate import (
             reproject_4326,

@@ -31,7 +31,16 @@ N_GROUPS, GROUP_SZ = 50, 100
 N_UNIQUE = 35_000
 N_DOCS = N_HOT + N_GROUPS * GROUP_SZ + N_UNIQUE  # 50_000
 CAP = 500
-BUDGET_SEC = 120.0
+# Regression alarm, not a benchmark: the star-collapse engagement is
+# PROVEN by the exact pair-count asserts below; the wall bound only has
+# to catch the orders-of-magnitude quadratic path (uncapped hot bucket =
+# ~50M pairs, >> 1h at local[8]). Re-measured round 5: the quiet wall on
+# this round's (slower) VM at the conftest local[8] is ~185 s — the
+# round-4 figure of ~60 s no longer holds, and co-tenant bursts add up
+# to 2.5x on top (identical runs measured 51 s vs 226 s at local[32]).
+# 480 s keeps ~2.5x burst headroom while staying an order of magnitude
+# under the quadratic blowup it exists to catch.
+BUDGET_SEC = 480.0
 
 
 @pytest.fixture(scope="module")

@@ -148,3 +148,83 @@ def test_poly2_fit_roundtrip():
     import pytest as _pt
     with _pt.raises(ValueError):
         gp.fit_poly2_3857(gcps[:5])
+
+
+def test_world_file_parse():
+    """World-file 6-line affine (the 'png+world' driver): published
+    center-of-UL-pixel convention shifts back half a pixel to the
+    engine's corner convention; every documented rejection raises."""
+    import pytest as _pt
+
+    A = gp.parse_world_file("2.0\n0.0\n0.0\n-2.0\n101.0\n499.0\n")
+    # corner = center - A/2 -> (100, 500); diag = (2, -2)
+    assert A[0, 0] == 2.0 and A[1, 1] == -2.0
+    assert A[0, 2] == 100.0 and A[1, 2] == 500.0
+    g = gp.affine_to_georef(A, 40, 30)
+    assert g["gsd"] == 2.0 and g["mx0"] == 100.0 and g["my1"] == 500.0
+    assert g["mx1"] == 180.0 and g["my0"] == 440.0
+    # scientific notation + whitespace variants parse (GDAL writes %.10f,
+    # ESRI tools write exponents)
+    A2 = gp.parse_world_file("  1.0e0 0 0 -1e0 0.5 -0.5 ")
+    assert A2[0, 2] == 0.0 and A2[1, 2] == 0.0
+    with _pt.raises(ValueError):  # rotation
+        gp.parse_world_file("2.0\n0.1\n0.0\n-2.0\n0\n0\n")
+    with _pt.raises(ValueError):  # anisotropic
+        gp.parse_world_file("2.0\n0\n0\n-2.5\n0\n0\n")
+    with _pt.raises(ValueError):  # south-up
+        gp.parse_world_file("2.0\n0\n0\n2.0\n0\n0\n")
+    with _pt.raises(ValueError):  # wrong line count
+        gp.parse_world_file("1 2 3 4 5")
+    with _pt.raises(ValueError):  # garbage
+        gp.parse_world_file("not a world file at all x y")
+
+
+def test_prj_web_mercator_gate():
+    """CRS gate for world-file sidecars: only EPSG:3857 spellings pass."""
+    ok = [
+        'PROJCS["WGS 84 / Pseudo-Mercator",AUTHORITY["EPSG","3857"]]',
+        "EPSG:3857",
+        "epsg : 3857",
+        'PROJCS["Web_Mercator_Auxiliary_Sphere"]',
+        'PROJCS["WGS 84 / Pseudo Mercator"]',
+    ]
+    bad = [
+        None,
+        "",
+        'PROJCS["WGS 84 / UTM zone 32N",AUTHORITY["EPSG","32632"]]',
+        'GEOGCS["WGS 84",AUTHORITY["EPSG","4326"]]',
+        "EPSG:38570",  # word boundary: no substring false-positive
+        "Mercator_1SP",  # plain mercator is NOT web mercator
+    ]
+    for s in ok:
+        assert gp.prj_is_web_mercator(s), s
+    for s in bad:
+        assert not gp.prj_is_web_mercator(s), s
+
+
+def test_world_udf(spark):
+    """parse_world_udf end-to-end: valid row yields the corner georef,
+    rejected rows (rotation / missing prj) yield the auditable NaN row."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("a", "2.0\n0\n0\n-2.0\n101.0\n499.0", "EPSG:3857", 40, 30),
+            ("b", "2.0\n0.3\n0\n-2.0\n0\n0", "EPSG:3857", 8, 8),
+            ("c", "2.0\n0\n0\n-2.0\n0\n0", None, 8, 8),
+        ],
+        "image_id string, world string, prj string, w int, h int",
+    )
+    u = gp.parse_world_udf()
+    out = {
+        r["image_id"]: r
+        for r in df.withColumn("g", u("world", "prj", "w", "h")).select("image_id", "g.*").collect()
+    }
+    assert out["a"]["mx0"] == 100.0 and out["a"]["my1"] == 500.0 and out["a"]["gsd"] == 2.0
+    # the NaN row crosses Arrow as null (pandas float64 NaN == missing)
+    for bad in ("b", "c"):
+        assert all(
+            out[bad][c] is None or out[bad][c] != out[bad][c]
+            for c in ("gsd", "mx0", "my0", "mx1", "my1")
+        )

@@ -272,3 +272,75 @@ def test_cog_check_and_addo_cog_pipeline(spark):
     assert g1 is not None or k > 0
     g0 = tiffcodec.decode_tiff(b_cog)[1]
     assert g0["epsg"] == 3857 and g0["gsd"] == 1.0
+
+
+def test_vrt_xml_roundtrip_and_structure(spark):
+    """vrt_xml emits the published VRTDataset shape (hand-pinned header,
+    deterministic source order) and vrt_parse inverts it bit-for-bit;
+    mixed-SRS groups have no legal VRT and drop out; rotated / non-VRT
+    documents are refused by the parser."""
+    from tilers_tools_spark.functions import tiffcodec
+    from tilers_tools_spark.operators import info
+
+    px = np.zeros((8, 10), np.uint8)
+    rows = [
+        ("m", "s0", tiffcodec.encode_tiff(px, geo={"gsd": 2.0, "mx0": 0.0, "my1": 20.0, "epsg": 3857})),
+        ("m", "s1", tiffcodec.encode_tiff(px, geo={"gsd": 4.0, "mx0": 4.0, "my1": 16.0, "epsg": 3857})),
+        ("x", "u0", tiffcodec.encode_tiff(px, geo={"gsd": 2.0, "mx0": 0.0, "my1": 16.0, "epsg": 3857})),
+        ("x", "u1", tiffcodec.encode_tiff(px, geo={"gsd": 2.0, "mx0": 0.0, "my1": 16.0, "epsg": 32601})),
+    ]
+    df = spark.createDataFrame(rows, "vrt_group string, image_id string, bytes binary")
+    placement = info.vrt_build(df).cache()
+    xml = {r["vrt_group"]: r["vrt_xml"] for r in info.vrt_xml(placement).collect()}
+    # mixed-SRS group x: gdalbuildvrt refuses -> no VRT document
+    assert set(xml) == {"m"}
+    doc = xml["m"]
+    # hand-pinned structure: header, SRS, geotransform start, source order
+    assert doc.startswith('<VRTDataset rasterXSize="15" rasterYSize="12">')
+    assert "<SRS>EPSG:3857</SRS>" in doc
+    gt_text = doc.split("<GeoTransform>")[1].split("</GeoTransform>")[0]
+    assert [float(v) for v in gt_text.split(",")] == [0.0, 3.0, 0.0, 20.0, 0.0, -3.0]
+    assert doc.index(">s0<") < doc.index(">s1<")  # sorted by image_id
+    assert doc.count("<SimpleSource>") == 2
+    assert '<DstRect xOff="1" yOff="1" xSize="13" ySize="11"/>' in doc
+
+    back = info.vrt_parse(spark.createDataFrame([("m", doc)], "vrt_group string, vrt_xml string"))
+    want = {
+        r["image_id"]: r for r in placement.filter("vrt_group = 'm'").collect()
+    }
+    got = {r["image_id"]: r for r in back.collect()}
+    assert set(got) == set(want)
+    for iid, w in want.items():
+        g = got[iid]
+        for c in ("n_sources", "n_srs", "res", "vrt_w", "vrt_h", "vmx0", "vmy1",
+                  "dst_xoff", "dst_yoff", "dst_xsize", "dst_ysize",
+                  "src_w", "src_h", "epsg"):
+            assert g[c] == w[c], (iid, c, g[c], w[c])
+    placement.unpersist()
+
+    # refusals: rotated geotransform, junk, wrong root tag -> zero rows
+    rot = doc.replace(gt_text, "0, 3, 1, 20, 0, -3")
+    bad = spark.createDataFrame(
+        [("r", rot), ("j", "not xml <"), ("t", "<NotVRT></NotVRT>")],
+        "vrt_group string, vrt_xml string",
+    )
+    assert info.vrt_parse(bad).count() == 0
+
+
+def test_vrt_xml_float_roundtrip_17g(spark):
+    """%.17g double rendering round-trips an awkward geotransform origin
+    bit-for-bit through XML text."""
+    from tilers_tools_spark.functions import tiffcodec
+    from tilers_tools_spark.operators import info
+
+    gsd = 19.109257071294063
+    mx0 = 11990.445371464353
+    my1 = -33990.44537146435
+    px = np.zeros((4, 4), np.uint8)
+    df = spark.createDataFrame(
+        [("g", "a", tiffcodec.encode_tiff(px, geo={"gsd": gsd, "mx0": mx0, "my1": my1, "epsg": 3857}))],
+        "vrt_group string, image_id string, bytes binary",
+    )
+    placement = info.vrt_build(df)
+    back = info.vrt_parse(info.vrt_xml(placement)).collect()[0]
+    assert back["res"] == gsd and back["vmx0"] == mx0 and back["vmy1"] == my1

@@ -239,10 +239,25 @@ def test_gdal_utils_job_tindex_vrt_warp(run_job, tmp_path, spark):
     assert spark.read.parquet(idx).collect()[0]["wkt"].startswith("POLYGON")
 
     vrt = str(tmp_path / "vrt.parquet")
+    xml_dir = str(tmp_path / "vrts")
     res = run_job("gdal_utils", [
         "buildvrt", "--images", src, "--out", vrt, "--resolution", "highest",
+        "--xml-dir", xml_dir,
     ])
     assert res["rows"] == 2  # one placement row per source raster
+    # --xml-dir writes one GDAL .vrt document per clean group, and the
+    # engine's own VRT reader inverts it back to the placement rows
+    import os
+
+    from tilers_tools_spark.operators import info
+
+    with open(os.path.join(xml_dir, "g0.vrt")) as f:
+        doc = f.read()
+    assert doc.startswith("<VRTDataset ") and doc.count("<SimpleSource>") == 2
+    back = info.vrt_parse(
+        spark.createDataFrame([("g0", doc)], "vrt_group string, vrt_xml string")
+    )
+    assert back.count() == 2
 
     g = ((np.arange(16)[:, None] * 5 + np.arange(16)[None, :]) % 101).astype(np.uint8)
     gblob = tiffcodec.encode_tiff(

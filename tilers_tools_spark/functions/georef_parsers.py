@@ -244,6 +244,93 @@ def affine_to_georef(A: np.ndarray, w: int, h: int) -> dict:
     }
 
 
+def parse_world_file(text: str) -> np.ndarray:
+    """ESRI/GDAL world file (.wld/.tfw/.pgw/.jgw — the 'png+world' input
+    driver of SURVEY.md §2.1 row 1) -> 2x3 north-up affine in the engine's
+    CORNER convention.
+
+    Published 6-line format [SPEC]: A (x pixel size), D (y rotation),
+    B (x rotation), E (y pixel size, negative for north-up), C, F
+    (map coordinates of the CENTER of the upper-left pixel). The engine's
+    georef uses the UL corner, so the translation is shifted back half a
+    pixel step: corner = (C - (A+B)/2, F - (D+E)/2).
+
+    Fail-loud contract (same policy as the GeoTIFF CRS gate): rotation
+    terms (B, D) must be zero and pixels square (|E| == A within 1e-9
+    relative) — a rotated or anisotropic world file cannot enter the
+    north-up render path and raises instead of mis-tiling silently.
+    """
+    vals = [float(v) for v in text.split()]
+    if len(vals) != 6:
+        raise ValueError(f"world file needs exactly 6 numbers, got {len(vals)}")
+    a, d, b, e, c, f = vals
+    if b != 0.0 or d != 0.0:
+        raise ValueError("rotated world file not supported by the north-up render path")
+    if not (a > 0.0 and e < 0.0):
+        raise ValueError("world file not north-up (need A > 0, E < 0)")
+    if abs(abs(e) - a) > 1e-9 * a:
+        raise ValueError("anisotropic pixels not supported (|E| must equal A)")
+    return np.array([[a, b, c - (a + b) / 2.0], [d, e, f - (d + e) / 2.0]], np.float64)
+
+
+# Web-Mercator recognition for sidecar .prj / srs text: a world file carries
+# no CRS, so the companion .prj (or an explicit 'EPSG:3857' tag) must
+# declare EPSG:3857 before the georef may enter the north-up contract —
+# the same auditable-NaN policy as the GeoTIFF GeoKey gate (ADVICE r4).
+_PRJ_3857 = re.compile(
+    r"""(?:\bEPSG[:"',\s]*3857\b|Web[_ ]?Mercator|Pseudo[_ -]?Mercator)""",
+    re.IGNORECASE,
+)
+
+
+def prj_is_web_mercator(prj: str | None) -> bool:
+    """True iff the sidecar .prj WKT / srs string declares EPSG:3857
+    (authority code, or the published names 'Web Mercator' /
+    'Pseudo-Mercator'). Missing/empty -> False: an un-declared CRS never
+    enters the mercator render contract."""
+    return bool(prj) and bool(_PRJ_3857.search(prj))
+
+
+def parse_world_udf():
+    """pandas UDF factory: (world_text, prj_text, w, h) -> georef struct.
+    Arrow-batched; any parse failure, rotation, anisotropy, or
+    non-EPSG:3857 .prj yields the auditable NaN row (policy identical to
+    parse_georef_udf)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("gsd", DoubleType()),
+            StructField("mx0", DoubleType()),
+            StructField("my0", DoubleType()),
+            StructField("mx1", DoubleType()),
+            StructField("my1", DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def udf(
+        world: pd.Series, prj: pd.Series, w: pd.Series, h: pd.Series
+    ) -> pd.DataFrame:
+        rows = []
+        for wt, pt, ww, hh in zip(world, prj, w, h):
+            try:
+                if not prj_is_web_mercator(pt):
+                    raise ValueError(
+                        "world file without an EPSG:3857 .prj; reproject "
+                        "upstream (out of engine scope)"
+                    )
+                A = parse_world_file(wt)
+                g = affine_to_georef(A, int(ww), int(hh))
+                rows.append((g["gsd"], g["mx0"], g["my0"], g["mx1"], g["my1"]))
+            except Exception:
+                rows.append((float("nan"),) * 5)
+        return pd.DataFrame(rows, columns=["gsd", "mx0", "my0", "mx1", "my1"])
+
+    return udf
+
+
 def parse_georef_udf(kind: str = "ozi"):
     """pandas UDF factory: text/bytes column -> georef struct columns.
     Arrow-batched (BASELINE.json:15), one parse per row inside the batch.

@@ -410,6 +410,137 @@ def vrt_build(
         .otherwise(F.lit(-1)).alias("dst_xsize"),
         F.when(clean, rhu(F.col("h") * F.col("gsd") / F.col("res")))
         .otherwise(F.lit(-1)).alias("dst_ysize"),
+        # carried for the VRT XML serializer (<SrcRect>/<SRS>): source pixel
+        # dims and the group's single EPSG code (-1 flags the mixed case)
+        F.col("w").alias("src_w"),
+        F.col("h").alias("src_h"),
+        F.when(clean, F.col("epsg")).otherwise(F.lit(-1)).alias("epsg"),
+    )
+
+
+def vrt_xml(placement: DataFrame, group_col: str = "vrt_group") -> DataFrame:
+    """Serialize `vrt_build` placement rows to GDAL VRT XML (the published
+    VRTDataset format [SPEC] — gdalbuildvrt's actual output file): one row
+    per CLEAN group (n_srs == 1; gdalbuildvrt refuses mixed projections,
+    so a mixed group has no legal VRT) with a `vrt_xml` string column.
+
+    Pure Column exprs end-to-end — per-source <SimpleSource> fragments via
+    `format_string`, assembled per group with a sort_array over
+    (image_id, fragment) structs so the document is DETERMINISTIC
+    regardless of shuffle order. Doubles are rendered %.17g (17 significant
+    digits round-trips IEEE 754 exactly — `vrt_parse` recovers the bitwise
+    geotransform). One key-only group aggregation; no UDF, no driver loop.
+    """
+    src = placement.filter(F.col("n_srs") == 1).withColumn(
+        "_frag",
+        F.format_string(
+            '  <SimpleSource>\n'
+            '   <SourceFilename relativeToVRT="1">%s</SourceFilename>\n'
+            "   <SourceBand>1</SourceBand>\n"
+            '   <SrcRect xOff="0" yOff="0" xSize="%d" ySize="%d"/>\n'
+            '   <DstRect xOff="%d" yOff="%d" xSize="%d" ySize="%d"/>\n'
+            "  </SimpleSource>",
+            F.col("image_id"), F.col("src_w"), F.col("src_h"),
+            F.col("dst_xoff"), F.col("dst_yoff"),
+            F.col("dst_xsize"), F.col("dst_ysize"),
+        ),
+    )
+    agg = src.groupBy(group_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("image_id", "_frag"))),
+                lambda s: s["_frag"],
+            ),
+            "\n",
+        ).alias("_sources"),
+        F.first("vrt_w").alias("vrt_w"),
+        F.first("vrt_h").alias("vrt_h"),
+        F.first("vmx0").alias("vmx0"),
+        F.first("vmy1").alias("vmy1"),
+        F.first("res").alias("res"),
+        F.first("epsg").alias("epsg"),
+    )
+    return agg.select(
+        group_col,
+        F.format_string(
+            '<VRTDataset rasterXSize="%d" rasterYSize="%d">\n'
+            " <SRS>EPSG:%d</SRS>\n"
+            " <GeoTransform>%.17g, %.17g, 0, %.17g, 0, %.17g</GeoTransform>\n"
+            ' <VRTRasterBand dataType="Byte" band="1">\n%s\n'
+            " </VRTRasterBand>\n"
+            "</VRTDataset>",
+            F.col("vrt_w"), F.col("vrt_h"), F.col("epsg"),
+            F.col("vmx0"), F.col("res"), F.col("vmy1"), -F.col("res"),
+            F.col("_sources"),
+        ).alias("vrt_xml"),
+    )
+
+
+def vrt_parse(
+    vrts: DataFrame, group_col: str = "vrt_group", xml_col: str = "vrt_xml"
+) -> DataFrame:
+    """Parse GDAL VRT XML back to the `vrt_build` placement schema (the
+    VRT *input driver* — SURVEY.md §2.1 row 1 lists VRT among the
+    reference's accepted raster sources). Inverse of `vrt_xml` and of any
+    north-up single-band VRT gdalbuildvrt writes: <GeoTransform> must
+    carry zero rotation terms (fail-loud NaN-free: bad documents yield no
+    rows and are counted nowhere — mirror gdalbuildvrt's refusal).
+
+    Arrow-batched stdlib `xml.etree` parse per row; emits one row per
+    <SimpleSource>. Since a legal VRT is single-SRS by construction,
+    n_srs is 1 and epsg comes from <SRS>.
+    """
+    import xml.etree.ElementTree as ET
+
+    def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for grp, doc in zip(pdf[group_col], pdf[xml_col]):
+                try:
+                    root = ET.fromstring(doc)
+                except ET.ParseError:
+                    continue
+                if root.tag != "VRTDataset":
+                    continue
+                gt = [float(v) for v in root.findtext("GeoTransform", "").split(",")]
+                if len(gt) != 6 or gt[2] != 0.0 or gt[4] != 0.0 or gt[5] >= 0.0:
+                    continue  # rotated / south-up VRTs: out of the north-up contract
+                srs = root.findtext("SRS", "").strip()
+                epsg = int(srs.split(":")[1]) if srs.upper().startswith("EPSG:") else -1
+                vrt_w = int(root.get("rasterXSize", "0"))
+                vrt_h = int(root.get("rasterYSize", "0"))
+                srcs = root.findall(".//SimpleSource")
+                for s in srcs:
+                    sr = s.find("SrcRect")
+                    dr = s.find("DstRect")
+                    if sr is None or dr is None:
+                        continue
+                    rows.append(
+                        (
+                            grp,
+                            (s.findtext("SourceFilename") or "").strip(),
+                            len(srcs), 1, gt[1], vrt_w, vrt_h, gt[0], gt[3],
+                            int(dr.get("xOff")), int(dr.get("yOff")),
+                            int(dr.get("xSize")), int(dr.get("ySize")),
+                            int(sr.get("xSize")), int(sr.get("ySize")),
+                            epsg,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    group_col, "image_id", "n_sources", "n_srs", "res",
+                    "vrt_w", "vrt_h", "vmx0", "vmy1", "dst_xoff", "dst_yoff",
+                    "dst_xsize", "dst_ysize", "src_w", "src_h", "epsg",
+                ],
+            )
+
+    return vrts.mapInPandas(
+        parse,
+        schema=f"{group_col} string, image_id string, n_sources long, "
+        "n_srs long, res double, vrt_w int, vrt_h int, vmx0 double, "
+        "vmy1 double, dst_xoff int, dst_yoff int, dst_xsize int, "
+        "dst_ysize int, src_w int, src_h int, epsg int",
     )
 
 

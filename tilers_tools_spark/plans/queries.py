@@ -1990,9 +1990,47 @@ SQL_VRT_BUILD = (
     "CASE WHEN g.n_srs = 1 THEN CAST(FLOOR((s.mx0 - g.vmx0) / g.res + 0.5) AS INTEGER) ELSE -1 END AS dst_xoff, "
     "CASE WHEN g.n_srs = 1 THEN CAST(FLOOR((g.vmy1 - s.my1) / g.res + 0.5) AS INTEGER) ELSE -1 END AS dst_yoff, "
     "CASE WHEN g.n_srs = 1 THEN CAST(FLOOR(s.w * s.gsd / g.res + 0.5) AS INTEGER) ELSE -1 END AS dst_xsize, "
-    "CASE WHEN g.n_srs = 1 THEN CAST(FLOOR(s.h * s.gsd / g.res + 0.5) AS INTEGER) ELSE -1 END AS dst_ysize "
+    "CASE WHEN g.n_srs = 1 THEN CAST(FLOOR(s.h * s.gsd / g.res + 0.5) AS INTEGER) ELSE -1 END AS dst_ysize, "
+    "CAST(s.w AS INTEGER) AS src_w, CAST(s.h AS INTEGER) AS src_h, "
+    "CAST(CASE WHEN g.n_srs = 1 THEN s.epsg ELSE -1 END AS INTEGER) AS epsg "
     "FROM s JOIN g USING (vrt_group)"
 )
+
+
+def q_vrt_roundtrip(spark, sf_dir):
+    """VRT as an INPUT format (SURVEY.md §2.1 row 1 lists VRT among the
+    reference's accepted raster sources): vrt_build placement ->
+    `vrt_xml` (GDAL VRTDataset document, pure Column exprs, %.17g
+    doubles) -> `vrt_parse` (stdlib ElementTree, Arrow-batched) must
+    reproduce the placement table bit-for-bit for every legal (clean)
+    group — gdalbuildvrt refuses mixed-SRS groups, so those have no VRT
+    and drop out. Oracle = the fully-relational vrt_build SQL restricted
+    to clean groups; the XML layer cancels only if serialization
+    round-trips doubles exactly and the parser reads the real format."""
+    from ..functions import tiffcodec
+    from ..operators import info
+
+    rows = [
+        (
+            grp,
+            iid,
+            tiffcodec.encode_tiff(
+                ((np.arange(h)[:, None] * 3 + np.arange(w)[None, :]) % 251).astype(
+                    np.uint8
+                ),
+                geo={"gsd": gsd, "mx0": mx0, "my1": my1, "epsg": epsg},
+            ),
+        )
+        for grp, iid, w, h, gsd, mx0, my1, epsg in _VRT_SPECS
+    ]
+    images = spark.createDataFrame(
+        rows, "vrt_group string, image_id string, bytes binary"
+    )
+    placement = info.vrt_build(images)
+    return info.vrt_parse(info.vrt_xml(placement))
+
+
+SQL_VRT_ROUNDTRIP = "SELECT * FROM (" + SQL_VRT_BUILD + ") WHERE n_srs = 1"
 
 
 def q_raster_tindex(spark, sf_dir):
@@ -2836,6 +2874,110 @@ SQL_GEOTIFF_GEOREF = "SELECT * FROM (VALUES " + ", ".join(
 ) + ") AS t(image_id, gsd, mx0, my0, mx1, my1)"
 
 
+# world-file fixture: (image_id, variant, A, C, F, w, h) — A = pixel size
+# (world-file line 1), C/F = map coords of the CENTER of the UL pixel
+# (lines 5/6). Three accepted .prj spellings of EPSG:3857 plus every
+# rejection class the parser documents (rotation, anisotropy, wrong CRS,
+# missing CRS, garbage).
+_WORLD_SPECS = [
+    ("w0", "ok_wkt", 2.0, 101.0, 499.0, 40, 30),
+    ("w1", "ok_epsg", 0.5, -200.25, 1000.5, 16, 16),
+    ("w2", "ok_name", 19.109257071294063, 12_000.0, -34_000.0, 64, 48),
+    ("w3", "rotated", 2.0, 0.0, 0.0, 8, 8),
+    ("w4", "utm_prj", 2.0, 0.0, 0.0, 8, 8),
+    ("w5", "no_prj", 2.0, 0.0, 0.0, 8, 8),
+    ("w6", "garbage", 2.0, 0.0, 0.0, 8, 8),
+    ("w7", "aniso", 2.0, 0.0, 0.0, 8, 8),
+]
+
+_WORLD_PRJ = {
+    "ok_wkt": (
+        'PROJCS["WGS 84 / Pseudo-Mercator",GEOGCS["WGS 84",DATUM["WGS_1984",'
+        'SPHEROID["WGS 84",6378137,298.257223563]]],'
+        'AUTHORITY["EPSG","3857"]]'
+    ),
+    "ok_epsg": "EPSG:3857",
+    "ok_name": 'PROJCS["Web_Mercator_Auxiliary_Sphere",GEOGCS["GCS_WGS_1984"]]',
+    "utm_prj": 'PROJCS["WGS 84 / UTM zone 32N",AUTHORITY["EPSG","32632"]]',
+    "rotated": "EPSG:3857",
+    "aniso": "EPSG:3857",
+    "garbage": "EPSG:3857",
+    "no_prj": None,
+}
+
+
+def _world_text(variant: str, a: float, c: float, f0: float) -> str:
+    # published line order: A (x size), D (y rot), B (x rot), E (y size), C, F
+    d = "0.1" if variant == "rotated" else "0.0"
+    e = repr(-2.5) if variant == "aniso" else repr(-a)
+    if variant == "garbage":
+        return "not a world file"
+    return f"{a!r}\n{d}\n0.0\n{e}\n{c!r}\n{f0!r}\n"
+
+
+def q_worldfile_georef(spark, sf_dir):
+    """World-file sidecar georef (the 'png+world' GDAL input driver,
+    SURVEY.md §2.1 row 1; functions/georef_parsers.py::parse_world_file):
+    6-line affine with the published center-of-UL-pixel convention
+    shifted to the engine's corner convention, gated on an EPSG:3857
+    .prj (same auditable-NaN CRS policy as the GeoTIFF GeoKey gate).
+    Rejected rows (rotation, anisotropic pixels, UTM/missing .prj,
+    garbage) are coalesced to a -1.0 sentinel so the DuckDB compare is
+    exact. Oracle is ANALYTIC — plain arithmetic on the literal
+    world-file numbers (corner = center - A/2, mx1 = mx0 + w*A)."""
+    from ..functions.georef_parsers import parse_world_udf
+
+    rows = [
+        (iid, _world_text(var, a, c, f0), _WORLD_PRJ[var], w, h)
+        for iid, var, a, c, f0, w, h in _WORLD_SPECS
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, world string, prj string, w int, h int"
+    )
+    u = parse_world_udf()
+    g = df.withColumn("g", u(F.col("world"), F.col("prj"), F.col("w"), F.col("h")))
+
+    def sent(cname):
+        # the UDF's NaN row crosses Arrow as null (pandas float64 NaN is
+        # the missing marker) — coalesce both spellings to the sentinel
+        col = F.col(f"g.{cname}")
+        return (
+            F.when(F.isnull(col) | F.isnan(col), F.lit(-1.0)).otherwise(col).alias(cname)
+        )
+
+    return g.select(
+        "image_id", sent("gsd"), sent("mx0"), sent("my0"), sent("mx1"), sent("my1")
+    )
+
+
+def _worldfile_sql() -> str:
+    vals = []
+    for iid, var, a, c, f0, w, h in _WORLD_SPECS:
+        if var.startswith("ok_"):
+            mx0 = c - a / 2.0
+            my1 = f0 - (-a) / 2.0
+            exp = (a, mx0, my1 - h * a, mx0 + w * a, my1)
+        else:
+            exp = (-1.0, -1.0, -1.0, -1.0, -1.0)
+        gsd, mx0, my0, mx1, my1 = exp
+        # string-quoted literals: DuckDB parses a bare 17-digit numeric
+        # literal as DECIMAL first and the DECIMAL->DOUBLE cast can land
+        # 1 ulp off; CAST('...' AS DOUBLE) goes through strtod (exact)
+        vals.append(
+            f"('{iid}', CAST('{gsd!r}' AS DOUBLE), CAST('{mx0!r}' AS DOUBLE), "
+            f"CAST('{my0!r}' AS DOUBLE), CAST('{mx1!r}' AS DOUBLE), "
+            f"CAST('{my1!r}' AS DOUBLE))"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(image_id, gsd, mx0, my0, mx1, my1)"
+    )
+
+
+SQL_WORLDFILE_GEOREF = _worldfile_sql()
+
+
 # (image_id, w, h, bands, bits, tile, compression) — sizes deliberately NOT
 # multiples of the tile size so edge-tile padding/cropping is exercised
 _GEOTIFF_TILED_SPECS = [
@@ -3304,6 +3446,7 @@ QUERIES: dict = {
     "incremental_lsh": (q_incremental_lsh, SQL_INCREMENTAL_LSH),
     # GeoTIFF ingestion (analytic oracle; decode pinned vs handcrafted bytes)
     "geotiff_georef": (q_geotiff_georef, SQL_GEOTIFF_GEOREF),
+    "worldfile_georef": (q_worldfile_georef, SQL_WORLDFILE_GEOREF),
     "geotiff_tiled_decode": (q_geotiff_tiled_decode, SQL_GEOTIFF_TILED),
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
@@ -3354,6 +3497,7 @@ QUERIES: dict = {
     "raster_info": (q_raster_info, _golden("raster_info")),
     "raster_tindex": (q_raster_tindex, _golden("raster_tindex")),
     "vrt_build": (q_vrt_build, SQL_VRT_BUILD),
+    "vrt_roundtrip": (q_vrt_roundtrip, SQL_VRT_ROUNDTRIP),
     "overviews_addo": (q_overviews_addo, _golden("overviews_addo")),
     "cog_validate": (q_cog_validate, _golden("cog_validate")),
     "contour_bands": (q_contour_bands, _golden("contour_bands")),
