@@ -72,6 +72,45 @@ def main():
             parse_georef_udf(kind)(header, wcol, hcol).alias("georef"),
         ).select("path", "kind", "w", "h", "georef.*")
         out = g if out is None else out.unionByName(g)
+    # world-file sidecars (png+world driver, SURVEY.md §2.1 row 1): the
+    # 6-line affine lives in *.wld/*.pgw/*.jgw/*.tfw next to the raster and
+    # the CRS in a same-stem .prj — join the two sidecar sets on the stem
+    # (a tiny file-listing join; broadcast by AQE)
+    from tilers_tools_spark.functions.georef_parsers import parse_world_udf
+
+    wexts = ("wld", "pgw", "jgw", "tfw")
+    worlds = None
+    for ext in wexts:
+        df = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", f"*.{ext}")
+            .option("recursiveFileLookup", "true")
+            .load(args.charts)
+        )
+        if df.isEmpty():
+            continue
+        worlds = df if worlds is None else worlds.unionByName(df)
+    if worlds is not None:
+        stem = lambda c: F.regexp_replace(c, r"\.[^.]+$", "")  # noqa: E731
+        prjs = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.prj")
+            .option("recursiveFileLookup", "true")
+            .load(args.charts)
+            .select(stem(F.col("path")).alias("_stem"), F.col("content").cast("string").alias("_prj"))
+        )
+        w = worlds.select(
+            "path", stem(F.col("path")).alias("_stem"), F.col("content").cast("string").alias("_world")
+        ).join(prjs, "_stem", "left")
+        wcol, hcol = F.lit(args.width), F.lit(args.height)
+        g = w.select(
+            "path",
+            F.lit("world").alias("kind"),
+            wcol.alias("w"),
+            hcol.alias("h"),
+            parse_world_udf()(F.col("_world"), F.col("_prj"), wcol, hcol).alias("georef"),
+        ).select("path", "kind", "w", "h", "georef.*")
+        out = g if out is None else out.unionByName(g)
     if out is None:
         print(json.dumps({"charts": 0, "out": args.out}))
         spark.stop()

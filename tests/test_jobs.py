@@ -100,14 +100,23 @@ def test_map2gdal_job(run_job, tmp_path, spark):
         lines.append(f"Point{i:02d}={px},{py},{float(lat[0]):.8f},{float(lon[0]):.8f}")
     (charts / "a.geo").write_text("\n".join(lines))
     (charts / "bad.geo").write_text("Name=NO GCPS HERE")
+    # world-file sidecar pair (png+world driver): stem-joined .prj carries
+    # the CRS; a second world file without a .prj must yield the NaN row
+    (charts / "w.pgw").write_text("2.0\n0.0\n0.0\n-2.0\n101.0\n499.0\n")
+    (charts / "w.prj").write_text('PROJCS["WGS 84 / Pseudo-Mercator",AUTHORITY["EPSG","3857"]]')
+    (charts / "noprj.wld").write_text("2.0\n0.0\n0.0\n-2.0\n0.0\n0.0\n")
     out = str(tmp_path / "georef.parquet")
     res = run_job("map2gdal", ["--charts", str(charts), "--out", out])
-    assert res["charts"] == 2
+    assert res["charts"] == 4
     pdf = spark.read.parquet(out).toPandas().set_index("path")
     good = pdf[pdf.index.str.endswith("a.geo")].iloc[0]
     assert abs(good["gsd"] - gsd) < 1e-3 and abs(good["mx0"] - mx0) < 1.0
     bad = pdf[pdf.index.str.endswith("bad.geo")].iloc[0]
     assert np.isnan(bad["gsd"])  # parse failure kept, auditable
+    wld = pdf[pdf.index.str.endswith("w.pgw")].iloc[0]
+    assert wld["kind"] == "world" and wld["mx0"] == 100.0 and wld["my1"] == 500.0
+    noprj = pdf[pdf.index.str.endswith("noprj.wld")].iloc[0]
+    assert np.isnan(noprj["gsd"])  # undeclared CRS never enters the contract
 
 
 def test_tiles_convert_mixed_containers_fail_loudly(run_job, tmp_path, spark):
