@@ -1141,3 +1141,119 @@ def test_sieve_8connected_hand_pin():
     assert ch4 == 2 and (out4 == 0.0).all() and nb4 == 3 and na4 == 1
     out8, nb8, na8, ch8 = zonal.sieve_np(a, threshold=2, connect8=True)
     assert nb8 == 2 and ch8 == 0 and (out8 == a).all()
+
+
+def test_contour_lines_hand_pins():
+    """Polyline chaining hand derivations:
+    east ramp, level 2.5 -> ONE open vertical polyline of H points,
+      oriented top-down (smaller endpoint first), length H-1;
+    isolated peak -> ONE closed diamond: 4 distinct vertices + WKT
+      closure point, rotated to start at the lexicographically smallest
+      vertex (0.5, 1.0);
+    flat -> no lines."""
+    flat = np.full((4, 4), 9.0)
+    assert terrain.contour_lines_np(flat, 1.0) == []
+    n, ncl, npts, tot, _ = terrain.contour_lines_stats(flat, 1.0)
+    assert (n, ncl, npts, tot) == (0, 0, 0, 0.0)
+
+    c = np.arange(9)[None, :] + np.zeros((5, 1))
+    chains = terrain.contour_lines_np(1.0 * c, 2.5)
+    assert len(chains) == 1
+    ch = chains[0]
+    assert ch == [(2.5, float(y)) for y in range(5)]  # open, top-down
+    n, ncl, npts, tot, _ = terrain.contour_lines_stats(1.0 * c, 2.5, gsd=2.0)
+    assert (n, ncl, npts, tot) == (1, 0, 5, 8.0)
+
+    peak = np.zeros((3, 3))
+    peak[1, 1] = 5.0
+    chains = terrain.contour_lines_np(peak, 2.5)
+    assert len(chains) == 1
+    ring = chains[0]
+    assert ring[0] == ring[-1] == (0.5, 1.0)  # min vertex, closed
+    assert len(ring) == 5
+    assert set(ring) == {(1.0, 0.5), (0.5, 1.0), (1.5, 1.0), (1.0, 1.5)}
+    # direction rule: second vertex lexicographically smaller than last
+    assert ring[1] < ring[-2]
+    n, ncl, npts, tot, _ = terrain.contour_lines_stats(peak, 2.5)
+    assert (n, ncl, npts) == (1, 1, 5) and np.isclose(tot, 2.0 * np.sqrt(2.0))
+
+
+def test_contour_lines_match_independent_tracer():
+    """Engine adjacency-walk chains == the golden's worklist-merging
+    tracer on randomized DEMs (junctions included: integer DEMs with
+    levels hitting grid values force node-degree breakpoints), and the
+    chains reassemble the exact original segment soup."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from make_golden_sql import _trace_chains_scalar
+
+    rng = np.random.default_rng(11)
+    for trial in range(12):
+        h, w = rng.integers(3, 9, 2)
+        if trial % 3 == 2:
+            dem = rng.integers(0, 4, (h, w)).astype(np.float64)
+            level = 1.0  # equals grid values -> node crossings -> junctions
+        else:
+            dem = rng.normal(0, 1, (h, w))
+            level = float(rng.normal(0, 0.5))
+        segs = terrain.contour_segments_np(dem, level)
+        got = terrain.contour_lines_np(dem, level)
+        want = _trace_chains_scalar(segs)
+        assert got == want, f"trial {trial}: chain mismatch"
+        # chains decompose back into the original segment multiset
+        def canon_seg(a, b):
+            return (a, b) if a <= b else (b, a)
+
+        soup = sorted(
+            canon_seg((float(s[0]), float(s[1])), (float(s[2]), float(s[3])))
+            for s in segs
+            if (float(s[0]), float(s[1])) != (float(s[2]), float(s[3]))
+        )
+        rebuilt = sorted(
+            canon_seg(p, q) for ch in got for p, q in zip(ch, ch[1:])
+        )
+        assert rebuilt == soup, f"trial {trial}: segment soup not preserved"
+
+
+def test_contour_lines_operator_wkt(spark):
+    """include_wkt=True emits one WKT LINESTRING row per polyline that
+    matches the local kernel; the summary mode matches
+    contour_lines_stats per (raster, level)."""
+    from tilers_tools_spark.functions import tiffcodec
+
+    r = np.arange(12)[:, None] + np.zeros((1, 16))
+    c = np.arange(16)[None, :] + np.zeros((12, 1))
+    dem = (2.0 * r - c).astype(np.float32)
+    blob = tiffcodec.encode_tiff(
+        dem, geo={"gsd": 3.0, "mx0": 0.0, "my1": 100.0, "epsg": 3857},
+        compression="deflate",
+    )
+    df = spark.createDataFrame(
+        [("d", blob), ("junk", b"xx")], "image_id string, bytes binary"
+    )
+    levels = [4.5, 11.25]
+    summ = {
+        (row["image_id"], row["level"]): row
+        for row in terrain.contour_lines(df, levels).collect()
+    }
+    for lv in levels:
+        n, ncl, npts, tot, md5 = terrain.contour_lines_stats(
+            dem.astype(np.float64), lv, gsd=3.0
+        )
+        got = summ[("d", lv)]
+        assert (got["n_lines"], got["n_closed"], got["n_points"]) == (n, ncl, npts)
+        assert got["total_len"] == tot and got["wkt_md5"] == md5
+        assert summ[("junk", lv)]["n_lines"] == -1  # auditable failure row
+
+    wkt_rows = terrain.contour_lines(df, levels, include_wkt=True).collect()
+    for lv in levels:
+        want = [
+            "LINESTRING (" + ", ".join("%.9f %.9f" % p for p in ch) + ")"
+            for ch in terrain.contour_lines_np(dem.astype(np.float64), lv)
+        ]
+        got = [
+            r["wkt"] for r in wkt_rows if r["image_id"] == "d" and r["level"] == lv
+        ]
+        assert sorted(got) == sorted(want) and len(got) == len(want)
+    assert [r for r in wkt_rows if r["image_id"] == "junk"][0]["wkt"] == ""

@@ -563,6 +563,215 @@ def dem_contour(
     )
 
 
+def contour_lines_np(dem: np.ndarray, level: float) -> list[list[tuple[float, float]]]:
+    """Chain the marching-squares segment soup into maximal POLYLINES —
+    the LineString geometry gdal_contour actually emits (this closes the
+    documented ring-tracing deviation of the region-table ops).
+
+    Canonical-form SPEC (shared with the independent golden tracer in
+    tools/make_golden_sql.py — both must emit bit-identical chains):
+
+    * vertices match on EXACT float64 equality (a shared cell edge yields
+      the identical crossing arithmetic in both adjacent cells, so no
+      rounding is needed); zero-length segments are dropped first;
+    * a chain is a maximal path through vertices of degree exactly 2;
+      any vertex of degree != 2 (contour through a grid node -> up to 4
+      incident segments) is a BREAKPOINT ending chains on all sides —
+      maximal paths under this rule are unique regardless of algorithm;
+    * components whose every vertex has degree 2 are CLOSED rings: the
+      point list starts at the lexicographically smallest (x, y) vertex,
+      runs in the direction whose second vertex is lexicographically
+      smaller than the last vertex, and repeats the start point at the
+      end (WKT closure);
+    * open chains are oriented so the lexicographically smaller endpoint
+      comes first.
+
+    Returns the list of chains (each a list of (x, y) pixel coords),
+    sorted lexicographically by their full point sequence.
+    """
+    segs = contour_segments_np(dem, level)
+    pt = lambda x, y: (float(x), float(y))  # noqa: E731
+    edges = []
+    for x0, y0, x1, y1 in segs:
+        a, b = pt(x0, y0), pt(x1, y1)
+        if a != b:
+            edges.append((a, b))
+    inc: dict = {}
+    for i, (a, b) in enumerate(edges):
+        inc.setdefault(a, []).append(i)
+        inc.setdefault(b, []).append(i)
+    used = [False] * len(edges)
+
+    def other(i: int, v):
+        a, b = edges[i]
+        return b if v == a else a
+
+    def walk(start_edge: int, start_v):
+        """Consume the maximal chain leaving start_v over start_edge."""
+        chain = [start_v]
+        i, v = start_edge, start_v
+        while True:
+            used[i] = True
+            v = other(i, v)
+            chain.append(v)
+            if len(inc[v]) != 2:
+                break
+            j = [e for e in inc[v] if not used[e]]
+            if not j:
+                break
+            i = j[0]
+        return chain
+
+    chains = []
+    # open chains: grow from every breakpoint (degree != 2) vertex
+    for v, eids in inc.items():
+        if len(eids) == 2:
+            continue
+        for i in eids:
+            if not used[i]:
+                chains.append(walk(i, v))
+    # what remains is cycles (all-degree-2 components)
+    for i in range(len(edges)):
+        if not used[i]:
+            chains.append(walk(i, edges[i][0]))
+
+    canon = []
+    for c in chains:
+        if c[0] == c[-1] and len(c) > 2:  # closed ring
+            ring = c[:-1]
+            k = ring.index(min(ring))
+            ring = ring[k:] + ring[:k]
+            if len(ring) > 2 and ring[-1] < ring[1]:
+                ring = [ring[0]] + ring[:0:-1]
+            canon.append(ring + [ring[0]])
+        else:
+            canon.append(c if c[0] <= c[-1] else c[::-1])
+    canon.sort()
+    return canon
+
+
+def contour_lines_stats(
+    dem: np.ndarray, level: float, gsd: float = 1.0
+) -> tuple[int, int, int, float, str]:
+    """(n_lines, n_closed, n_points, total_len, wkt_md5) for one
+    raster/level. total_len is in georef units rounded to 6 decimals;
+    wkt_md5 hashes '\\n'.join of the canonical LINESTRING texts (%.9f
+    coords) — partitioning- and algorithm-independent by the spec above."""
+    import hashlib
+
+    chains = contour_lines_np(dem, level)
+    wkts = [
+        "LINESTRING (" + ", ".join("%.9f %.9f" % p for p in c) + ")" for c in chains
+    ]
+    n_closed = sum(1 for c in chains if c[0] == c[-1] and len(c) > 2)
+    n_points = sum(len(c) for c in chains)
+    total = 0.0
+    for c in chains:
+        arr = np.asarray(c, dtype=np.float64)
+        total += float(np.hypot(np.diff(arr[:, 0]), np.diff(arr[:, 1])).sum())
+    md5 = hashlib.md5("\n".join(wkts).encode()).hexdigest()
+    return len(chains), n_closed, n_points, round(total * gsd, 6), md5
+
+
+def contour_lines(
+    dems: DataFrame,
+    levels: list[float],
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    include_wkt: bool = False,
+) -> DataFrame:
+    """Distributed gdal_contour LineString output: one row per
+    (raster, level) with the canonical polyline summary — or, with
+    `include_wkt=True`, one row per POLYLINE carrying the WKT text
+    (the interop surface; the summary md5 stays the gate contract).
+    Same shuffle-free per-raster Arrow shape as dem_contour; unreadable
+    rows surface as (-1, ...) / empty-wkt rows, auditable."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    lv = [float(x) for x in levels]
+    if include_wkt:
+        wschema = ArrayType(
+            StructType(
+                [
+                    StructField("level", DoubleType()),
+                    StructField("line_idx", IntegerType()),
+                    StructField("closed", IntegerType()),
+                    StructField("wkt", StringType()),
+                ]
+            )
+        )
+
+        @F.pandas_udf(wschema)
+        def wudf(blobs: pd.Series) -> pd.Series:
+            from ..functions import tiffcodec
+
+            out = []
+            for b in blobs:
+                rows = []
+                try:
+                    dem, _geo = tiffcodec.decode_tiff(bytes(b), scale_16bit=False)
+                    if dem.ndim != 2:
+                        raise ValueError("DEM must be single-band")
+                    for x in lv:
+                        for k, c in enumerate(contour_lines_np(dem, x)):
+                            closed = int(c[0] == c[-1] and len(c) > 2)
+                            wkt = (
+                                "LINESTRING ("
+                                + ", ".join("%.9f %.9f" % p for p in c)
+                                + ")"
+                            )
+                            rows.append((x, k, closed, wkt))
+                except Exception:
+                    rows = [(x, -1, -1, "") for x in lv]
+                out.append(rows)
+            return pd.Series(out)
+
+        return dems.withColumn("c", F.explode(wudf(F.col(bytes_col)))).select(
+            id_col, "c.level", "c.line_idx", "c.closed", "c.wkt"
+        )
+
+    schema = ArrayType(
+        StructType(
+            [
+                StructField("level", DoubleType()),
+                StructField("n_lines", IntegerType()),
+                StructField("n_closed", IntegerType()),
+                StructField("n_points", IntegerType()),
+                StructField("total_len", DoubleType()),
+                StructField("wkt_md5", StringType()),
+            ]
+        )
+    )
+
+    @F.pandas_udf(schema)
+    def udf(blobs: pd.Series) -> pd.Series:
+        from ..functions import tiffcodec
+
+        out = []
+        for b in blobs:
+            try:
+                dem, geo = tiffcodec.decode_tiff(bytes(b), scale_16bit=False)
+                if dem.ndim != 2:
+                    raise ValueError("DEM must be single-band")
+                gsd = float(geo["gsd"]) if geo else 1.0
+                out.append([(x, *contour_lines_stats(dem, x, gsd)) for x in lv])
+            except Exception:
+                out.append([(x, -1, -1, -1, float("nan"), "") for x in lv])
+        return pd.Series(out)
+
+    return dems.withColumn("c", F.explode(udf(F.col(bytes_col)))).select(
+        id_col, "c.level", "c.n_lines", "c.n_closed", "c.n_points",
+        "c.total_len", "c.wkt_md5",
+    )
+
+
 def color_relief_np(dem: np.ndarray, ramp: list[tuple[float, int, int, int]]) -> np.ndarray:
     """gdaldem color-relief: elevation -> RGB through a piecewise-LINEAR
     color ramp (the default gdaldem interpolation). `ramp` is a list of

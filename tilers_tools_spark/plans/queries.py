@@ -2474,6 +2474,34 @@ def q_dem_contour(spark, sf_dir):
     return terrain.dem_contour(df, _CONTOUR_LEVELS)
 
 
+def q_contour_lines(spark, sf_dir):
+    """gdal_contour LineString output (operators/terrain.py::
+    contour_lines): marching-squares segments chained into canonical
+    maximal polylines — open chains oriented, closed rings rotated to
+    their minimum vertex — summarized per (raster, level) as
+    (n_lines, n_closed, n_points, total_len, wkt_md5). The golden
+    re-traces the chains with an INDEPENDENT worklist-merging algorithm
+    (tools/make_golden_sql.py::_trace_chains_scalar); only the canonical
+    -form spec is shared, so a chaining bug on either side moves the
+    md5."""
+    from ..functions import tiffcodec
+    from ..operators import terrain
+
+    rows = [
+        (
+            name,
+            tiffcodec.encode_tiff(
+                _dem_surface(name, h, w),
+                geo={"gsd": gsd, "mx0": 0.0, "my1": 1.0e5, "epsg": 3857},
+                compression="deflate",
+            ),
+        )
+        for name, h, w, gsd in _DEM_SPECS
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    return terrain.contour_lines(df, _CONTOUR_LEVELS)
+
+
 def q_contour_bands(spark, sf_dir):
     """`gdal_contour -p` (polygon bands) parity (operators/terrain.py::
     contour_bands): the analytic DEMs classified into elevation bands at
@@ -3501,6 +3529,7 @@ QUERIES: dict = {
     "overviews_addo": (q_overviews_addo, _golden("overviews_addo")),
     "cog_validate": (q_cog_validate, _golden("cog_validate")),
     "contour_bands": (q_contour_bands, _golden("contour_bands")),
+    "contour_lines": (q_contour_lines, _golden("contour_lines")),
     "raster_compare": (q_raster_compare, _golden("raster_compare")),
     "georef_edit": (q_georef_edit, _golden("georef_edit")),
     "pct2rgb": (q_pct2rgb, _golden("pct2rgb")),

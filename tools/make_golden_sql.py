@@ -2157,6 +2157,120 @@ def g_dem_contour():
     )
 
 
+def _trace_chains_scalar(segs):
+    """INDEPENDENT polyline tracer for the contour_lines golden —
+    iterative pairwise merging over a worklist (the engine walks an
+    adjacency dict; only the canonical-form SPEC in
+    operators/terrain.py::contour_lines_np is shared). Merging is only
+    legal at vertices of segment-degree exactly 2, so maximal chains and
+    junction breakpoints come out identical to the engine's by
+    uniqueness of the decomposition."""
+    from collections import Counter
+
+    deg = Counter()
+    polys = []
+    for x0, y0, x1, y1 in segs:
+        a, b = (float(x0), float(y0)), (float(x1), float(y1))
+        if a == b:
+            continue
+        deg[a] += 1
+        deg[b] += 1
+        polys.append([a, b])
+    changed = True
+    while changed:
+        changed = False
+        done = []
+        while polys:
+            p = polys.pop()
+            if p[0] == p[-1]:
+                done.append(p)
+                continue
+            hit = None
+            for k, q in enumerate(polys):
+                if q[0] == q[-1]:
+                    continue
+                if p[-1] == q[0] and deg[p[-1]] == 2:
+                    hit = (k, "pe_qs")
+                elif p[-1] == q[-1] and deg[p[-1]] == 2:
+                    hit = (k, "pe_qe")
+                elif p[0] == q[-1] and deg[p[0]] == 2:
+                    hit = (k, "ps_qe")
+                elif p[0] == q[0] and deg[p[0]] == 2:
+                    hit = (k, "ps_qs")
+                if hit:
+                    break
+            if hit is None:
+                done.append(p)
+                continue
+            k, mode = hit
+            q = polys.pop(k)
+            changed = True
+            if mode == "pe_qs":
+                polys.append(p + q[1:])
+            elif mode == "pe_qe":
+                polys.append(p + q[-2::-1])
+            elif mode == "ps_qe":
+                polys.append(q + p[1:])
+            else:
+                polys.append(q[::-1] + p[1:])
+        polys = done
+    # canonical form per the shared SPEC (terrain.contour_lines_np doc)
+    canon = []
+    for c in polys:
+        if c[0] == c[-1] and len(c) > 2:
+            ring = c[:-1]
+            k = ring.index(min(ring))
+            ring = ring[k:] + ring[:k]
+            if len(ring) > 2 and ring[-1] < ring[1]:
+                ring = [ring[0]] + ring[:0:-1]
+            canon.append(ring + [ring[0]])
+        else:
+            canon.append(c if c[0] <= c[-1] else c[::-1])
+    return sorted(canon)
+
+
+def g_contour_lines():
+    # SCOPE NOTE: reuses terrain.contour_segments_np (pure NumPy marching
+    # squares, anchored by the hand-derived pins in tests/test_terrain.py)
+    # but traces polylines with the INDEPENDENT worklist-merging tracer
+    # above; the engine's adjacency-walk chaining never runs here. DEM
+    # surfaces recomputed directly from the analytic formulas.
+    from tilers_tools_spark.operators.terrain import contour_segments_np
+    from tilers_tools_spark.plans.queries import (
+        _CONTOUR_LEVELS,
+        _DEM_SPECS,
+        _dem_surface,
+    )
+
+    rows = []
+    for name, h, w, gsd in _DEM_SPECS:
+        dem = _dem_surface(name, h, w).astype(np.float64)
+        for lv in _CONTOUR_LEVELS:
+            chains = _trace_chains_scalar(contour_segments_np(dem, lv))
+            wkts = [
+                "LINESTRING (" + ", ".join("%.9f %.9f" % p for p in c) + ")"
+                for c in chains
+            ]
+            n_closed = sum(1 for c in chains if c[0] == c[-1] and len(c) > 2)
+            n_points = sum(len(c) for c in chains)
+            total = 0.0
+            for c in chains:
+                for (xa, ya), (xb, yb) in zip(c, c[1:]):
+                    total += math.hypot(xb - xa, yb - ya)
+            md5 = hashlib.md5("\n".join(wkts).encode()).hexdigest()
+            rows.append(
+                [name, float(lv), len(chains), n_closed, n_points,
+                 round(total * gsd, 6), md5]
+            )
+    save(
+        "contour_lines",
+        ["image_id", "level", "n_lines", "n_closed", "n_points",
+         "total_len", "wkt_md5"],
+        ["str", "float64", "int32", "int32", "int32", "float64", "str"],
+        rows,
+    )
+
+
 def g_streaming_tiles():
     # minitiler render of the 16-image streaming fixture (the streaming
     # path must equal the batch render bit-for-tile; same kernel scope as
@@ -2535,6 +2649,7 @@ GENERATORS = {
     "raster_retile": g_raster_retile,
     "dem_terrain": g_dem_terrain,
     "dem_contour": g_dem_contour,
+    "contour_lines": g_contour_lines,
     "dem_derivatives": g_dem_derivatives,
     "fingerprint": g_fingerprint,
     "video_frames": g_video_frames,
