@@ -232,3 +232,63 @@ def test_wkt_polygons_pip_equivalence(spark):
     a = sp.pip_join(pts, polys_wkt).select("event_id").toPandas()
     b = sp.pip_join(pts, polys_direct).select("event_id").toPandas()
     assert sorted(a.event_id) == sorted(b.event_id) == [0, 2]
+
+
+def test_geojson_polygons_pip_equivalence(spark):
+    """The GeoJSON vector driver (RFC 7946) produces identical rings and
+    PIP results to the WKT driver for the same donut polygon; Feature ids
+    resolve from id/properties; non-polygon features are skipped; error
+    cases raise."""
+    import json as _json
+
+    import pandas as _pd
+    import pytest as _pt
+
+    from tilers_tools_spark.functions import georef_parsers as gp
+    from tilers_tools_spark.operators import spatial as sp
+
+    shell = [[0, 0], [30, 0], [30, 30], [0, 30], [0, 0]]
+    hole = [[10, 10], [20, 10], [20, 20], [10, 20], [10, 10]]
+    doc = _json.dumps(
+        {
+            "type": "FeatureCollection",
+            "features": [
+                {
+                    "type": "Feature",
+                    "id": "p",
+                    "properties": {},
+                    "geometry": {"type": "Polygon", "coordinates": [shell, hole]},
+                },
+                {  # skipped: not a polygon
+                    "type": "Feature",
+                    "properties": {"name": "pt"},
+                    "geometry": {"type": "Point", "coordinates": [1, 2]},
+                },
+            ],
+        }
+    )
+    wkt = "POLYGON ((0 0, 30 0, 30 30, 0 30, 0 0), (10 10, 20 10, 20 20, 10 20, 10 10))"
+    gj = sp.geojson_polygons_df(spark, doc)
+    wk = sp.wkt_polygons_df(spark, [("p", wkt)])
+    assert sorted(gj.collect()) == sorted(wk.collect())
+    pts = spark.createDataFrame(
+        _pd.DataFrame({"event_id": [0, 1, 2, 3], "lon": [5.0, 15.0, 25.0, 40.0], "lat": [5.0, 15.0, 25.0, 40.0]})
+    )
+    a = sp.pip_join(pts, gj).select("event_id").toPandas()
+    assert sorted(a.event_id) == [0, 2]
+
+    # MultiPolygon flattens; bare geometry gets id "0"; properties.name id
+    multi = gp.parse_geojson_features(
+        _json.dumps({"type": "MultiPolygon", "coordinates": [[shell], [
+            [[100, 0], [110, 0], [110, 10], [100, 10], [100, 0]]]]})
+    )
+    assert multi[0][0] == "0" and len(multi[0][1]) == 2
+    named = gp.parse_geojson_features(
+        _json.dumps({"type": "Feature", "properties": {"name": "zone9"},
+                     "geometry": {"type": "Polygon", "coordinates": [shell]}})
+    )
+    assert named[0][0] == "zone9"
+    with _pt.raises(ValueError, match="Polygon"):
+        gp.parse_geojson_polygon({"type": "LineString", "coordinates": []})
+    with _pt.raises(ValueError, match="fewer than 3"):
+        gp.parse_geojson_polygon({"type": "Polygon", "coordinates": [[[0, 0], [1, 1], [0, 0]]]})

@@ -455,6 +455,59 @@ def parse_wkt_polygon(wkt: str) -> list[list[tuple[float, float]]]:
     return rings
 
 
+def parse_geojson_polygon(geom: dict) -> list[list[tuple[float, float]]]:
+    """GeoJSON Polygon/MultiPolygon geometry (RFC 7946 [SPEC]) -> the same
+    open-ring list shape as `parse_wkt_polygon` (closing vertex dropped;
+    MULTI parts flattened — even-odd containment over the flattened set
+    equals per-part containment for disjoint parts; holes = extra rings)."""
+    t = geom.get("type")
+    if t == "Polygon":
+        polys = [geom["coordinates"]]
+    elif t == "MultiPolygon":
+        polys = geom["coordinates"]
+    else:
+        raise ValueError(f"not a Polygon/MultiPolygon geometry: {t!r}")
+    rings = []
+    for poly in polys:
+        for ring in poly:
+            verts = [(float(p[0]), float(p[1])) for p in ring]
+            if len(verts) >= 2 and verts[0] == verts[-1]:
+                verts = verts[:-1]
+            if len(verts) < 3:
+                raise ValueError("GeoJSON ring with fewer than 3 distinct vertices")
+            rings.append(verts)
+    if not rings:
+        raise ValueError("GeoJSON polygon with no rings")
+    return rings
+
+
+def parse_geojson_features(text: str) -> list[tuple[str, list]]:
+    """GeoJSON document text -> [(feature_id, rings)]. Accepts a
+    FeatureCollection, a single Feature, or a bare geometry; feature ids
+    come from `id`, then `properties.id` / `properties.name`, else the
+    0-based index. Non-polygon geometries are skipped (gdaltindex-style
+    warn-and-skip is the caller's log line)."""
+    import json as _json
+
+    doc = _json.loads(text)
+    t = doc.get("type")
+    if t == "FeatureCollection":
+        feats = doc.get("features", [])
+    elif t == "Feature":
+        feats = [doc]
+    else:
+        return [("0", parse_geojson_polygon(doc))]
+    out = []
+    for i, f in enumerate(feats):
+        geom = f.get("geometry") or {}
+        if geom.get("type") not in ("Polygon", "MultiPolygon"):
+            continue
+        props = f.get("properties") or {}
+        fid = f.get("id", props.get("id", props.get("name", i)))
+        out.append((str(fid), parse_geojson_polygon(geom)))
+    return out
+
+
 def tiff_decode_stats_udf():
     """pandas UDF factory: TIFF bytes -> full-decode stats (w, h, bands,
     pix_sum = sum of every uint8 sample AFTER decode — tiled or strip

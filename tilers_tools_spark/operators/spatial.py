@@ -346,3 +346,19 @@ def wkt_polygons_df(spark, rows):
     return spark.createDataFrame(
         out, "poly_id string, ring array<struct<lon:double,lat:double>>"
     )
+
+
+def geojson_polygons_df(spark, text: str):
+    """GeoJSON document (FeatureCollection / Feature / bare geometry,
+    RFC 7946) -> the same (poly_id, ring) DataFrame shape as
+    `wkt_polygons_df` — the second vector input driver beside WKT.
+    Driver-side parse under the same small-broadcast-side contract."""
+    from ..functions.georef_parsers import parse_geojson_features
+
+    out = []
+    for pid, rings in parse_geojson_features(text):
+        for ring in rings:
+            out.append((pid, [{"lon": x, "lat": y} for x, y in ring]))
+    return spark.createDataFrame(
+        out, "poly_id string, ring array<struct<lon:double,lat:double>>"
+    )
