@@ -100,13 +100,16 @@ def main():
             # gdalbuildvrt's actual artifact: one .vrt document per clean
             # group. One tiny row per group — a driver collect is the
             # right scale (the placement table itself ships via --out).
+            # cache: the placement feeds BOTH the collect here and the
+            # parquet write below — without it the whole binaryFile scan
+            # + tags parse + group shuffle would run twice.
             import os as _os
 
+            out = out.cache()
             _os.makedirs(args.xml_dir, exist_ok=True)
             for r in vrt_xml(out, group_col=args.group_col).collect():
-                with open(
-                    _os.path.join(args.xml_dir, f"{r[args.group_col]}.vrt"), "w"
-                ) as f:
+                safe = str(r[args.group_col]).replace(_os.sep, "_")
+                with open(_os.path.join(args.xml_dir, f"{safe}.vrt"), "w") as f:
                     f.write(r["vrt_xml"])
     elif args.cmd == "warp":
         from tilers_tools_spark.operators.translate import (

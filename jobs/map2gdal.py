@@ -78,19 +78,15 @@ def main():
     # (a tiny file-listing join; broadcast by AQE)
     from tilers_tools_spark.functions.georef_parsers import parse_world_udf
 
-    wexts = ("wld", "pgw", "jgw", "tfw")
-    worlds = None
-    for ext in wexts:
-        df = (
-            spark.read.format("binaryFile")
-            .option("pathGlobFilter", f"*.{ext}")
-            .option("recursiveFileLookup", "true")
-            .load(args.charts)
-        )
-        if df.isEmpty():
-            continue
-        worlds = df if worlds is None else worlds.unionByName(df)
-    if worlds is not None:
+    worlds = (
+        spark.read.format("binaryFile")
+        # Hadoop glob alternation: one listing + one action for all four
+        # world-file spellings (they all feed the same parser)
+        .option("pathGlobFilter", "*.{wld,pgw,jgw,tfw}")
+        .option("recursiveFileLookup", "true")
+        .load(args.charts)
+    )
+    if not worlds.isEmpty():
         stem = lambda c: F.regexp_replace(c, r"\.[^.]+$", "")  # noqa: E731
         prjs = (
             spark.read.format("binaryFile")

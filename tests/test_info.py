@@ -344,3 +344,58 @@ def test_vrt_xml_float_roundtrip_17g(spark):
     placement = info.vrt_build(df)
     back = info.vrt_parse(info.vrt_xml(placement)).collect()[0]
     assert back["res"] == gsd and back["vmx0"] == mx0 and back["vmy1"] == my1
+
+
+def test_vrt_parse_refuses_nonconforming_and_escapes_ids(spark):
+    """Review hardening: (1) well-formed but non-conforming documents
+    (no GeoTransform, empty SRS code, partial Rect, zero x-res) yield
+    zero rows instead of killing the task; (2) ids with XML metachars
+    are escaped on write and round-trip unharmed."""
+    from tilers_tools_spark.functions import tiffcodec
+    from tilers_tools_spark.operators import info
+
+    px = np.zeros((4, 5), np.uint8)
+    df = spark.createDataFrame(
+        [("g", "a&b<c>", tiffcodec.encode_tiff(px, geo={"gsd": 2.0, "mx0": 0.0, "my1": 8.0, "epsg": 3857}))],
+        "vrt_group string, image_id string, bytes binary",
+    )
+    placement = info.vrt_build(df)
+    doc = info.vrt_xml(placement).collect()[0]["vrt_xml"]
+    assert "a&amp;b&lt;c&gt;" in doc and "a&b<c>" not in doc
+    back = info.vrt_parse(
+        spark.createDataFrame([("g", doc)], "vrt_group string, vrt_xml string")
+    ).collect()
+    assert len(back) == 1 and back[0]["image_id"] == "a&b<c>"
+
+    bad_docs = [
+        ("nogt", '<VRTDataset rasterXSize="1" rasterYSize="1"></VRTDataset>'),
+        ("emptysrs", doc.replace("EPSG:3857", "EPSG:")),
+        ("zerores", doc.replace(
+            doc.split("<GeoTransform>")[1].split("</GeoTransform>")[0],
+            "0, 0, 0, 8, 0, -2")),
+        ("norect", '<VRTDataset rasterXSize="1" rasterYSize="1">'
+                   "<GeoTransform>0, 1, 0, 1, 0, -1</GeoTransform>"
+                   "<VRTRasterBand><SimpleSource>"
+                   "<SourceFilename>x</SourceFilename>"
+                   "</SimpleSource></VRTRasterBand></VRTDataset>"),
+    ]
+    bad = spark.createDataFrame(bad_docs, "vrt_group string, vrt_xml string")
+    assert info.vrt_parse(bad).count() == 0
+
+
+def test_vrt_xml_skips_no_crs_groups(spark):
+    """A georeferenced group WITHOUT a CRS code (epsg -1 placement rows —
+    e.g. a foreign GeoTIFF missing its GeoKey directory) has no legal VRT
+    (GDAL could not assign an SRS) — vrt_xml skips it like mixed-SRS
+    groups. Placement row built directly: the engine's own encoder always
+    writes a GeoKey, so this state only arrives from foreign files."""
+    from tilers_tools_spark.operators import info
+
+    placement = spark.createDataFrame(
+        [("g", "a", 1, 1, 2.0, 5, 4, 0.0, 8.0, 0, 0, 5, 4, 5, 4, -1)],
+        "vrt_group string, image_id string, n_sources long, n_srs long, "
+        "res double, vrt_w int, vrt_h int, vmx0 double, vmy1 double, "
+        "dst_xoff int, dst_yoff int, dst_xsize int, dst_ysize int, "
+        "src_w int, src_h int, epsg int",
+    )
+    assert info.vrt_xml(placement).count() == 0

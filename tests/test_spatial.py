@@ -292,3 +292,27 @@ def test_geojson_polygons_pip_equivalence(spark):
         gp.parse_geojson_polygon({"type": "LineString", "coordinates": []})
     with _pt.raises(ValueError, match="fewer than 3"):
         gp.parse_geojson_polygon({"type": "Polygon", "coordinates": [[[0, 0], [1, 1], [0, 0]]]})
+
+
+def test_geojson_duplicate_feature_ids_stay_distinct(spark):
+    """Two features sharing properties.name must NOT collapse into one
+    poly_id (even-odd would read one polygon as the other's hole) — the
+    reader suffixes duplicates with the feature index."""
+    import json as _json
+
+    from tilers_tools_spark.functions import georef_parsers as gp
+
+    sq = lambda x0: [[x0, 0], [x0 + 10, 0], [x0 + 10, 10], [x0, 10], [x0, 0]]  # noqa: E731
+    doc = _json.dumps(
+        {
+            "type": "FeatureCollection",
+            "features": [
+                {"type": "Feature", "properties": {"name": "zone"},
+                 "geometry": {"type": "Polygon", "coordinates": [sq(0)]}},
+                {"type": "Feature", "properties": {"name": "zone"},
+                 "geometry": {"type": "Polygon", "coordinates": [sq(5)]}},
+            ],
+        }
+    )
+    feats = gp.parse_geojson_features(doc)
+    assert [f[0] for f in feats] == ["zone", "zone#1"]

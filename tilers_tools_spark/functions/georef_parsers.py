@@ -498,13 +498,20 @@ def parse_geojson_features(text: str) -> list[tuple[str, list]]:
     else:
         return [("0", parse_geojson_polygon(doc))]
     out = []
+    seen: set = set()
     for i, f in enumerate(feats):
         geom = f.get("geometry") or {}
         if geom.get("type") not in ("Polygon", "MultiPolygon"):
             continue
         props = f.get("properties") or {}
-        fid = f.get("id", props.get("id", props.get("name", i)))
-        out.append((str(fid), parse_geojson_polygon(geom)))
+        fid = str(f.get("id", props.get("id", props.get("name", i))))
+        # ids must stay unique: two features collapsing into one poly_id
+        # would make pip_join's even-odd rule read one polygon as a hole
+        # in the other — suffix duplicates with the feature index
+        if fid in seen:
+            fid = f"{fid}#{i}"
+        seen.add(fid)
+        out.append((fid, parse_geojson_polygon(geom)))
     return out
 
 

@@ -431,7 +431,14 @@ def vrt_xml(placement: DataFrame, group_col: str = "vrt_group") -> DataFrame:
     digits round-trips IEEE 754 exactly — `vrt_parse` recovers the bitwise
     geotransform). One key-only group aggregation; no UDF, no driver loop.
     """
-    src = placement.filter(F.col("n_srs") == 1).withColumn(
+    # groups with georef but NO CRS code (epsg -1) have no legal VRT either
+    # — GDAL could not assign an SRS — so they are skipped like mixed-SRS
+    # groups. SourceFilename is XML-escaped (& first) or ids containing
+    # &/<(>) would emit non-well-formed documents.
+    esc = F.col("image_id")
+    for a, b in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        esc = F.replace(esc, F.lit(a), F.lit(b))
+    src = placement.filter((F.col("n_srs") == 1) & (F.col("epsg") > 0)).withColumn(
         "_frag",
         F.format_string(
             '  <SimpleSource>\n'
@@ -440,7 +447,7 @@ def vrt_xml(placement: DataFrame, group_col: str = "vrt_group") -> DataFrame:
             '   <SrcRect xOff="0" yOff="0" xSize="%d" ySize="%d"/>\n'
             '   <DstRect xOff="%d" yOff="%d" xSize="%d" ySize="%d"/>\n'
             "  </SimpleSource>",
-            F.col("image_id"), F.col("src_w"), F.col("src_h"),
+            esc, F.col("src_w"), F.col("src_h"),
             F.col("dst_xoff"), F.col("dst_yoff"),
             F.col("dst_xsize"), F.col("dst_ysize"),
         ),
@@ -492,40 +499,51 @@ def vrt_parse(
     """
     import xml.etree.ElementTree as ET
 
+    def parse_one(grp, doc):
+        """One document -> its placement rows, or raise (caller skips the
+        whole document — the 'bad documents yield no rows' contract
+        covers malformed XML AND well-formed-but-non-conforming docs:
+        missing GeoTransform, GCP-georeferenced VRTs, partial Rects)."""
+        root = ET.fromstring(doc)
+        if root.tag != "VRTDataset":
+            raise ValueError("not a VRTDataset")
+        gt = [float(v) for v in root.findtext("GeoTransform", "").split(",")]
+        if len(gt) != 6 or gt[2] != 0.0 or gt[4] != 0.0 or gt[1] <= 0.0 or gt[5] >= 0.0:
+            # rotated / south-up / degenerate-resolution: out of the
+            # north-up contract
+            raise ValueError("geotransform outside the north-up contract")
+        srs = root.findtext("SRS", "").strip()
+        epsg = int(srs.split(":")[1]) if srs.upper().startswith("EPSG:") else -1
+        vrt_w = int(root.get("rasterXSize", "0"))
+        vrt_h = int(root.get("rasterYSize", "0"))
+        srcs = root.findall(".//SimpleSource")
+        out = []
+        for s in srcs:
+            sr = s.find("SrcRect")
+            dr = s.find("DstRect")
+            if sr is None or dr is None:
+                raise ValueError("SimpleSource without SrcRect/DstRect")
+            out.append(
+                (
+                    grp,
+                    (s.findtext("SourceFilename") or "").strip(),
+                    len(srcs), 1, gt[1], vrt_w, vrt_h, gt[0], gt[3],
+                    int(dr.get("xOff")), int(dr.get("yOff")),
+                    int(dr.get("xSize")), int(dr.get("ySize")),
+                    int(sr.get("xSize")), int(sr.get("ySize")),
+                    epsg,
+                )
+            )
+        return out
+
     def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for grp, doc in zip(pdf[group_col], pdf[xml_col]):
                 try:
-                    root = ET.fromstring(doc)
-                except ET.ParseError:
-                    continue
-                if root.tag != "VRTDataset":
-                    continue
-                gt = [float(v) for v in root.findtext("GeoTransform", "").split(",")]
-                if len(gt) != 6 or gt[2] != 0.0 or gt[4] != 0.0 or gt[5] >= 0.0:
-                    continue  # rotated / south-up VRTs: out of the north-up contract
-                srs = root.findtext("SRS", "").strip()
-                epsg = int(srs.split(":")[1]) if srs.upper().startswith("EPSG:") else -1
-                vrt_w = int(root.get("rasterXSize", "0"))
-                vrt_h = int(root.get("rasterYSize", "0"))
-                srcs = root.findall(".//SimpleSource")
-                for s in srcs:
-                    sr = s.find("SrcRect")
-                    dr = s.find("DstRect")
-                    if sr is None or dr is None:
-                        continue
-                    rows.append(
-                        (
-                            grp,
-                            (s.findtext("SourceFilename") or "").strip(),
-                            len(srcs), 1, gt[1], vrt_w, vrt_h, gt[0], gt[3],
-                            int(dr.get("xOff")), int(dr.get("yOff")),
-                            int(dr.get("xSize")), int(dr.get("ySize")),
-                            int(sr.get("xSize")), int(sr.get("ySize")),
-                            epsg,
-                        )
-                    )
+                    rows.extend(parse_one(grp, doc))
+                except Exception:
+                    continue  # bad document -> zero rows, auditable by count
             yield pd.DataFrame(
                 rows,
                 columns=[

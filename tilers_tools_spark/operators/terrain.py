@@ -665,10 +665,16 @@ def contour_lines_stats(
     ]
     n_closed = sum(1 for c in chains if c[0] == c[-1] and len(c) > 2)
     n_points = sum(len(c) for c in chains)
+    # LEFT-TO-RIGHT scalar math.hypot accumulation in canonical chain
+    # order — the golden tracer sums in exactly this order, so the
+    # round(·, 6) comparison is bit-identical by construction (a NumPy
+    # pairwise sum could land an ulp away on a rounding boundary)
+    import math
+
     total = 0.0
     for c in chains:
-        arr = np.asarray(c, dtype=np.float64)
-        total += float(np.hypot(np.diff(arr[:, 0]), np.diff(arr[:, 1])).sum())
+        for (xa, ya), (xb, yb) in zip(c, c[1:]):
+            total += math.hypot(xb - xa, yb - ya)
     md5 = hashlib.md5("\n".join(wkts).encode()).hexdigest()
     return len(chains), n_closed, n_points, round(total * gsd, 6), md5
 
