@@ -346,6 +346,17 @@ def scaling_probe(
         out["n_to_4n"]["passes_0.8_bar"] = bool(out[pair] >= 0.8)
         out["n_to_4n"]["eta_per_round"] = out[f"{pair}_per_round"]
         out["n_to_4n"]["eta_minmin"] = out[f"{pair}_minmin"]
+        # third estimator, reported for transparency: the round with the
+        # least measured interference (min summed steal) — the closest
+        # thing to a quiet-box sample this shared host offers
+        lo, hi = cores[0], cores[1]
+        rl, rh = d["runs"][str(lo)], d["runs"][str(hi)]
+        sl, sh = d["steals"][str(lo)], d["steals"][str(hi)]
+        k = min(range(len(rl)), key=lambda i: sl[i] + sh[i])
+        out["n_to_4n"]["eta_cleanest_round"] = round(
+            min(rl[k] / (4.0 * rh[k]), 1.0), 3
+        )
+        out["n_to_4n"]["cleanest_round_steal"] = round(sl[k] + sh[k], 4)
     if "eta_8to32" in out:
         out["note_8to32"] = (
             "bounded by the single box's ~4 GB/s DRAM ceiling (saturates at "
@@ -452,7 +463,13 @@ def main():
         # measure the host's co-tenant load, not the engine
         result["steal_contaminated"] = contaminated
     if os.environ.get("BENCH_SCALING", "1") != "0":
-        probe_fixture = _fixture_path(int(os.environ.get("BENCH_PROBE_IMAGES", "600")))
+        # 450-image probe fixture (was 600): a {2,8} round costs ~65s
+        # instead of ~110s, so 6-7 interleaved rounds fit the 480s budget
+        # — the paired-ratio median needs the extra rounds on this box,
+        # where ambient co-tenant DRAM contention moves same-steal walls
+        # by 1.5x (round-5 finding: two steal-clean local[8] runs read
+        # 12.5s and 19.5s in one probe)
+        probe_fixture = _fixture_path(int(os.environ.get("BENCH_PROBE_IMAGES", "450")))
         try:
             # headline probe: {2,8} only — dropping local[32] from the
             # interleave (~40% of each round-4 round wall) is what fits
