@@ -31,7 +31,11 @@ def make_pixels(i: int, phash: int, w: int, h: int) -> np.ndarray:
     """Procedural RGB uint8 per FIXTURES.md §4 (3 lines of NumPy)."""
     col = np.arange(w, dtype=np.int64)[None, :]
     row = np.arange(h, dtype=np.int64)[:, None]
-    b_seed = int(georef.splitmix64(np.array([phash], dtype=np.uint64) ^ _U64(georef.TAG_PIX))[0])
+    # phash arrives as a signed int64 (parquet schema); mask to the unsigned
+    # bit pattern before the uint64 array conversion (NumPy deprecation)
+    b_seed = int(
+        georef.splitmix64(np.array([phash & 0xFFFFFFFFFFFFFFFF], dtype=np.uint64) ^ _U64(georef.TAG_PIX))[0]
+    )
     r = (col * 3 + i) % 256
     g = (row * 5 + 2 * i) % 256
     b = ((col ^ row) + b_seed) % 256

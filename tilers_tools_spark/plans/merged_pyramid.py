@@ -38,7 +38,10 @@ def composite_zoom(tiles_z: DataFrame) -> DataFrame:
     """All per-image tiles of one zoom -> one tile per (x, y), src-over
     composited in ascending image_id order (later ids on top)."""
 
-    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    # no type hints: a partially-hinted (key, pdf) signature trips pyspark's
+    # pandas_udf eval-type inference into a UserWarning before it falls back
+    # to the (correct) legacy applyInPandas path
+    def fn(key, pdf):
         pdf = pdf.sort_values("image_id")
         acc = None
         for blob in pdf["tile"]:
