@@ -8,6 +8,8 @@ bug cannot satisfy the handcrafted case.
 
 from __future__ import annotations
 
+import hashlib
+import os
 import struct
 
 import numpy as np
@@ -1200,3 +1202,30 @@ def test_float_predictor2_raises():
     tags[8] = (279, 4, [len(strip)])
     with pytest.raises(NotImplementedError, match="float"):
         tiffcodec.decode_tiff(_handcraft_chunked(tags, [strip], 273))
+
+
+def test_external_writer_tiff_decodes_against_byte_slice_oracle():
+    """A TIFF produced by an EXTERNAL writer (CPython's stdlib test data:
+    Lib/test/test_email/data/python.tiff, PSF-licensed, checked in as
+    tests/golden/external_writer_rgba.tiff) — every other fixture in this
+    file is handcrafted by the repo, so tag-layout assumptions shared by
+    our writer and reader (tag ordering, inline-vs-offset value packing,
+    type-3/type-4 counts, ExtraSamples presence) could hide a structural
+    misparse. This file exercises none of our byte-layout code on the
+    expected side: it is uncompressed with pixel data at a known offset,
+    so the expected pixels are a plain byte slice — an oracle fully
+    independent of the decoder. (The LZW analogue still needs an external
+    encoder; see ADVICE r5 — no LZW-capable producer exists offline.)"""
+    p = os.path.join(os.path.dirname(__file__), "golden", "external_writer_rgba.tiff")
+    b = open(p, "rb").read()
+    assert hashlib.sha256(b).hexdigest() == (
+        "f19a80d1c7d5d758dcea82276e73150454212a5136b19c5fc2727786132ddafd"
+    )
+    t = tiffcodec.read_tiff_tags(b)
+    assert (t["w"], t["h"], t["bands"], t["bits"]) == (16, 16, 4, 8)
+    assert t["compression"] == "none" and t["organization"] == "strip"
+    px, geo = tiffcodec.decode_tiff(b)
+    assert geo is None and px.shape == (16, 16, 4) and px.dtype == np.uint8
+    # IFD sits at the end: strip data starts right after the 8-byte header
+    raw = np.frombuffer(b[8 : 8 + 16 * 16 * 4], dtype=np.uint8).reshape(16, 16, 4)
+    assert np.array_equal(px, raw)
