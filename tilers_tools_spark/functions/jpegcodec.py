@@ -307,9 +307,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             comps = []
             for ci in range(nc):
                 cid, samp, tq = payload[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
-                    raise ValueError("only 1x1 sampling supported")
-                comps.append({"id": cid, "tq": tq})
+                hi, vi = samp >> 4, samp & 0xF
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                    # baseline factors 1-2 cover 4:4:4 / 4:2:2 / 4:4:0 /
+                    # 4:2:0 — every layout mainstream encoders emit; 4:1:1
+                    # (hi=4) is a DV-tape relic, fail loudly
+                    raise ValueError(f"sampling {hi}x{vi} unsupported")
+                comps.append({"id": cid, "tq": tq, "h": hi, "v": vi})
         elif marker in (0xC2, 0xC3) or (0xC5 <= marker <= 0xCF and marker != 0xC8):
             raise ValueError("non-baseline JPEG unsupported")
         elif marker == 0xDD:
@@ -366,57 +370,89 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     def extend(v, n):
         return v - (1 << n) + 1 if n and v < (1 << (n - 1)) else v
 
-    mbx = (w + 7) // 8
-    mby = (h + 7) // 8
-    nblocks = mbx * mby
     nc = len(comps)
-    coeffs = [np.zeros((nblocks, 64), dtype=np.int32) for _ in range(nc)]
+    # single-component scans ignore sampling factors (T.81 A.2.2: the MCU
+    # is one block); interleaved scans tile MCUs of Hmax x Vmax luma-space
+    # 8x8 blocks, each component contributing h x v blocks per MCU
+    if nc == 1:
+        comps[0]["h"] = comps[0]["v"] = 1
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        c["bw"] = mcux * c["h"]
+        c["bh"] = mcuy * c["v"]
+    coeffs = [np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32) for c in comps]
     preds = [0] * nc
     rst_set = set(rst_positions)
-    for bi in range(nblocks):
-        if restart_interval and bi and bi % restart_interval == 0:
-            # byte-align and reset DC predictors at restart boundary
-            state["pos"] = (state["pos"] + 7) // 8 * 8
-            preds = [0] * nc
-        for ci, c in enumerate(comps):
-            dlut = huff[(0, c["dc"])]
-            alut = huff[(1, c["ac"])]
-            e = int(dlut[peek16()])
+
+    def decode_block(ci, c, blk):
+        dlut = huff[(0, c["dc"])]
+        alut = huff[(1, c["ac"])]
+        e = int(dlut[peek16()])
+        sym, ln = e >> 5, e & 31
+        if ln == 0:
+            raise ValueError("bad Huffman code")
+        state["pos"] += ln
+        diff = extend(get_bits(sym), sym)
+        preds[ci] += diff
+        blk[0] = preds[ci]
+        k = 1
+        while k < 64:
+            e = int(alut[peek16()])
             sym, ln = e >> 5, e & 31
             if ln == 0:
                 raise ValueError("bad Huffman code")
             state["pos"] += ln
-            diff = extend(get_bits(sym), sym)
-            preds[ci] += diff
-            blk = coeffs[ci][bi]
-            blk[0] = preds[ci]
-            k = 1
-            while k < 64:
-                e = int(alut[peek16()])
-                sym, ln = e >> 5, e & 31
-                if ln == 0:
-                    raise ValueError("bad Huffman code")
-                state["pos"] += ln
-                if sym == 0x00:
-                    break
-                if sym == 0xF0:
-                    k += 16
-                    continue
-                run, size = sym >> 4, sym & 0xF
-                k += run
-                if k > 63:
-                    break
-                blk[k] = extend(get_bits(size), size)
-                k += 1
-    # dequant + IDCT vectorized
+            if sym == 0x00:
+                break
+            if sym == 0xF0:
+                k += 16
+                continue
+            run, size = sym >> 4, sym & 0xF
+            k += run
+            if k > 63:
+                break
+            blk[k] = extend(get_bits(size), size)
+            k += 1
+
+    for mi in range(mcux * mcuy):
+        if restart_interval and mi and mi % restart_interval == 0:
+            # byte-align and reset DC predictors at restart boundary
+            # (the interval counts MCUs — T.81 B.2.4.4)
+            state["pos"] = (state["pos"] + 7) // 8 * 8
+            preds = [0] * nc
+        my, mx = divmod(mi, mcux)
+        for ci, c in enumerate(comps):
+            for v in range(c["v"]):
+                for u in range(c["h"]):
+                    bi = (my * c["v"] + v) * c["bw"] + (mx * c["h"] + u)
+                    decode_block(ci, c, coeffs[ci][bi])
+    # dequant + IDCT vectorized; subsampled chroma is upsampled by sample
+    # replication (libjpeg's do_fancy_upsampling=FALSE contract — simple,
+    # deterministic, and exact for the DC-uniform case the KAT pins)
     planes = []
     for ci, c in enumerate(comps):
         q = qt[c["tq"]]
-        zz = np.zeros((nblocks, 64), dtype=np.float64)
+        zz = np.zeros((c["bh"] * c["bw"], 64), dtype=np.float64)
         zz[:, _ZIGZAG] = coeffs[ci]
         blocks = zz.reshape(-1, 8, 8) * q
         pix = np.einsum("nk,bkl,ml->bnm", _C.T, blocks, _C.T) + 128.0
-        plane = pix.reshape(mby, mbx, 8, 8).transpose(0, 2, 1, 3).reshape(mby * 8, mbx * 8)
+        plane = (
+            pix.reshape(c["bh"], c["bw"], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(c["bh"] * 8, c["bw"] * 8)
+        )
+        # crop to the component's own extent (ceil(dim * factor / max) —
+        # T.81 A.1.1), then replicate up to full resolution
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        plane = plane[:ch, :cw]
+        if c["v"] != vmax:
+            plane = plane.repeat(vmax // c["v"], axis=0)
+        if c["h"] != hmax:
+            plane = plane.repeat(hmax // c["h"], axis=1)
         planes.append(plane[:h, :w])
     if nc == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[:, :, None]
