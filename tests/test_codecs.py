@@ -1,5 +1,7 @@
 """T0 — codec roundtrips, byte determinism, foreign-filter decode, PSNR."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -125,3 +127,29 @@ def test_paletted_encode_roundtrip():
     big = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
     assert b"PLTE" not in codecs.encode_png_paletted(big)
     assert np.array_equal(codecs.decode_png(codecs.encode_png_paletted(big)), big)
+
+
+def test_external_writer_paletted_png_vs_ppm_oracle():
+    """A paletted+tRNS PNG from an EXTERNAL encoder (CPython stdlib test
+    data, PSF-licensed: IHDR ct=3 with PLTE/tRNS/cHRM/bKGD/tEXt ancillary
+    chunks our own writer never emits) must decode to exactly the pixels
+    of the same image's raw-PPM byte-slice oracle — PNG is lossless, and
+    the PPM expected values touch no codec code in this repo. This is the
+    suite's only PNG decode not produced by the repo's own encoder, so
+    chunk-walk / palette-expansion assumptions shared by our writer and
+    reader are actually exercised against a real producer."""
+    import hashlib
+
+    gold = os.path.join(os.path.dirname(__file__), "golden")
+    png = open(os.path.join(gold, "external_writer_rgba.png"), "rb").read()
+    ppm = open(os.path.join(gold, "external_writer_rgb.ppm"), "rb").read()
+    assert hashlib.sha256(png).hexdigest().startswith("480ac039362a15a7")
+    assert ppm[:12] == b"P6\n16 16\n255"
+    rgb = np.frombuffer(ppm[13:], dtype=np.uint8).reshape(16, 16, 3)
+    out = codecs.decode_image(png, "png")
+    assert out.shape == (16, 16, 4) and out.dtype == np.uint8
+    assert np.array_equal(out[:, :, :3], rgb)
+    # the uncompressed-TIFF sibling fixture carries the alpha expectation
+    tif = open(os.path.join(gold, "external_writer_rgba.tiff"), "rb").read()
+    alpha = np.frombuffer(tif[8 : 8 + 1024], dtype=np.uint8).reshape(16, 16, 4)[:, :, 3]
+    assert np.array_equal(out[:, :, 3], alpha)
