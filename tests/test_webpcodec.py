@@ -334,3 +334,17 @@ def test_palette_first_appearance_order_is_deterministic():
     assert W.encode_webp(img) == W.encode_webp(img.copy())
     out = W.decode_webp(W.encode_webp(img))
     assert (out[:, :, :3] == img).all()
+
+
+def test_external_lossy_vp8x_container_fails_loudly():
+    """A real encoder's VP8X-wrapped LOSSY WebP (CPython stdlib test data,
+    PSF-licensed) must walk the extended container and raise the documented
+    capability-gate error at the VP8 chunk — not misparse. The synthetic
+    raise tests never exercise a real VP8X/ALPH chunk sequence."""
+    import os
+
+    p = os.path.join(os.path.dirname(__file__), "golden", "external_writer_lossy.webp")
+    b = open(p, "rb").read()
+    assert b[12:16] == b"VP8X"
+    with pytest.raises(NotImplementedError, match="lossy VP8"):
+        W.decode_webp(b)
