@@ -225,3 +225,46 @@ def test_external_encoder_420_jpeg_vs_ppm_oracle():
     ldiff = luma(out.astype(np.float64)) - luma(rgb.astype(np.float64))
     lpsnr = 10 * np.log10(255.0**2 / max((ldiff**2).mean(), 1e-12))
     assert lpsnr >= 30.0
+
+
+# --- 4:2:0 ENCODE (the bandwidth-bound tile-set scale path) -----------------
+# The decoder's subsampled MCU walk is pinned above by analytic KATs and an
+# external-encoder fixture, so a roundtrip through it cross-validates the
+# encoder's MCU emission order independently.
+
+
+def test_420_encode_uniform_exact_and_sof_marker():
+    u = np.full((16, 16, 3), 200, np.uint8)
+    e = J.encode_jpeg(u, subsampling="420")
+    # SOF0 luma sampling byte = 0x22
+    i = e.find(b"\xff\xc0")
+    assert e[i + 11] == 0x22 and e[i + 14] == 0x11
+    out = J.decode_jpeg(e)
+    assert out.shape == (16, 16, 3) and (out == 200).all()
+
+
+def test_420_encode_smaller_and_psnr():
+    x = np.linspace(0, 6 * np.pi, 200)
+    sm = ((np.sin(x)[:, None] * np.cos(x)[None, :]) * 100 + 128).astype(np.uint8)
+    img = np.dstack([sm, sm.T, sm // 2 + 30])
+    e444 = J.encode_jpeg(img, 90)
+    e420 = J.encode_jpeg(img, 90, subsampling="420")
+    assert len(e420) < 0.8 * len(e444)
+    assert codecs.psnr(img, J.decode_jpeg(e420)) >= 37.0
+
+
+def test_420_encode_odd_dims_roundtrip():
+    pix = gen.make_pixels(3, 555, 33, 17)
+    out = J.decode_jpeg(J.encode_jpeg(pix, 95, subsampling="420"))
+    assert out.shape == (17, 33, 3)
+    assert codecs.psnr(pix, out) >= 35.0
+
+
+def test_444_default_bytes_stable():
+    """The refactored emission path must keep default-subsampling output
+    byte-identical (fixture/golden stability): pin the exact digest."""
+    import hashlib
+
+    pix = gen.make_pixels(7, 987654321, 320, 192)
+    d = hashlib.md5(J.encode_jpeg(pix, quality=90)).hexdigest()
+    assert d == "6c53b867a76a1a66fab2cf073723f720"

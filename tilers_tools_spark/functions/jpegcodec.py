@@ -145,16 +145,51 @@ def _encode_value(v: int):
     return n, (v if v >= 0 else v + (1 << n) - 1)
 
 
-def encode_jpeg(rgb: np.ndarray, quality: int = 90) -> bytes:
-    """uint8 (H,W,3) RGB (or (H,W)/(H,W,1) gray) -> baseline JFIF bytes."""
+def _box2(plane: np.ndarray) -> np.ndarray:
+    """2x2 box-average downsample with edge replication on odd dims."""
+    h, w = plane.shape
+    if h & 1 or w & 1:
+        p = np.empty((h + (h & 1), w + (w & 1)), dtype=np.float64)
+        p[:h, :w] = plane
+        if h & 1:
+            p[h, :w] = plane[-1]
+        if w & 1:
+            p[:h, w] = plane[:, -1]
+        if h & 1 and w & 1:
+            p[h, w] = plane[-1, -1]
+        plane = p
+    return (plane[0::2, 0::2] + plane[1::2, 0::2] + plane[0::2, 1::2] + plane[1::2, 1::2]) / 4.0
+
+
+def encode_jpeg(rgb: np.ndarray, quality: int = 90, subsampling: str = "444") -> bytes:
+    """uint8 (H,W,3) RGB (or (H,W)/(H,W,1) gray) -> baseline JFIF bytes.
+
+    subsampling: "444" (default — byte-stable with all pinned goldens) or
+    "420" (2x2 box-averaged chroma in T.81 A.2.3 interleaved-MCU order —
+    ~25-40% smaller for photographic tiles; the scale path for
+    bandwidth-bound JPEG tile sets)."""
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling {subsampling!r} not in ('444', '420')")
     gray = rgb.ndim == 2 or rgb.shape[2] == 1
     if rgb.ndim == 3 and rgb.shape[2] == 1:
         rgb = rgb[:, :, 0]
     h, w = rgb.shape[:2]
+    sub420 = subsampling == "420" and not gray
     ql = _scale_q(_QL, quality)
     qc = _scale_q(_QC, quality)
     if gray:
         planes = [(rgb.astype(np.float64), ql, 0)]
+    elif sub420:
+        y, cb, cr = _rgb_to_ycc(rgb)
+        # luma edge-padded to the 16px MCU grid so its block grid is
+        # exactly (2*mcuy, 2*mcux); chroma halved then padded to 8
+        mcux = (w + 15) // 16
+        mcuy = (h + 15) // 16
+        ypad = np.empty((mcuy * 16, mcux * 16), dtype=np.float64)
+        ypad[:h, :w] = y
+        ypad[h:, :w] = y[-1:, :]
+        ypad[:, w:] = ypad[:, w - 1 : w]
+        planes = [(ypad, ql, 0), (_box2(cb), qc, 1), (_box2(cr), qc, 1)]
     else:
         y, cb, cr = _rgb_to_ycc(rgb)
         planes = [(y, ql, 0), (cb, qc, 1), (cr, qc, 1)]
@@ -171,38 +206,56 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 90) -> bytes:
     ac_c = _canonical_codes(*_AC_C)
     bw = _BitWriter()
     preds = [0] * len(planes)
-    nblocks = quantized[0].shape[0]
-    for bi in range(nblocks):
-        for ci, zz in enumerate(quantized):
-            dct, act = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
-            blk = zz[bi]
-            diff = int(blk[0]) - preds[ci]
-            preds[ci] = int(blk[0])
-            n, bitsv = _encode_value(diff)
-            c, ln = dct[n]
+
+    def emit(ci, blk):
+        dct, act = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
+        diff = int(blk[0]) - preds[ci]
+        preds[ci] = int(blk[0])
+        n, bitsv = _encode_value(diff)
+        c, ln = dct[n]
+        bw.write(c, ln)
+        if n:
+            bw.write(bitsv, n)
+        run = 0
+        nz = np.nonzero(blk[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = act[0xF0]
+                bw.write(c, ln)
+                run -= 16
+            n, bitsv = _encode_value(v)
+            c, ln = act[(run << 4) | n]
             bw.write(c, ln)
-            if n:
-                bw.write(bitsv, n)
+            bw.write(bitsv, n)
             run = 0
-            nz = np.nonzero(blk[1:])[0]
-            last = nz[-1] + 1 if len(nz) else 0
-            for k in range(1, last + 1):
-                v = int(blk[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    c, ln = act[0xF0]
-                    bw.write(c, ln)
-                    run -= 16
-                n, bitsv = _encode_value(v)
-                c, ln = act[(run << 4) | n]
-                bw.write(c, ln)
-                bw.write(bitsv, n)
-                run = 0
-            if last < 63:
-                c, ln = act[0x00]
-                bw.write(c, ln)
+        if last < 63:
+            c, ln = act[0x00]
+            bw.write(c, ln)
+
+    if sub420:
+        # interleaved-MCU order (T.81 A.2.3): per MCU, the 2x2 luma
+        # blocks raster-ordered, then one Cb, one Cr. _blocks() laid the
+        # luma grid out row-major over (2*mcuy, 2*mcux) blocks.
+        mcux = (w + 15) // 16
+        mcuy = (h + 15) // 16
+        ybw = 2 * mcux
+        for mi in range(mcux * mcuy):
+            my, mx = divmod(mi, mcux)
+            for v in range(2):
+                for u in range(2):
+                    emit(0, quantized[0][(2 * my + v) * ybw + (2 * mx + u)])
+            emit(1, quantized[1][mi])
+            emit(2, quantized[2][mi])
+    else:
+        nblocks = quantized[0].shape[0]
+        for bi in range(nblocks):
+            for ci, zz in enumerate(quantized):
+                emit(ci, zz[bi])
     bw.flush()
 
     def seg(marker, payload):
@@ -216,7 +269,8 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 90) -> bytes:
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        samp = 0x22 if (sub420 and ci == 0) else 0x11
+        sof += bytes([ci + 1, samp, 0 if ci == 0 else 1])
     out += seg(0xC0, sof)
 
     def dht(tclass, tid, spec):
