@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--dst-scheme", default="xyz", choices=("xyz", "tms", "zyx"))
     ap.add_argument("--transcode", default=None, choices=(None, "png", "jpeg", "raw", "tiff", "webp"))
     ap.add_argument("--src-fmt-blob", default="png", help="blob codec of the source tiles (for --transcode)")
+    ap.add_argument(
+        "--jpeg-subsampling", default="444", choices=("444", "420"),
+        help="chroma layout for --transcode jpeg (420 = ~25-40%% smaller photographic tiles)",
+    )
     ap.add_argument("--single-file", action="store_true", help="merge MBTiles shards into one file")
     ap.add_argument("--name", default="tiles")
     ap.add_argument("--master", default=None)
@@ -45,7 +49,10 @@ def main():
     else:
         tiles = Catalog(spark, args.src).read("tiles").select("z", "x", "y", "tile")
     if args.transcode:
-        tiles = convert.transcode(tiles, src_fmt=args.src_fmt_blob, dst_fmt=args.transcode)
+        tiles = convert.transcode(
+            tiles, src_fmt=args.src_fmt_blob, dst_fmt=args.transcode,
+            subsampling=args.jpeg_subsampling,
+        )
         out_fmt = args.transcode
     else:
         # pass-through: label what is ACTUALLY inside the blobs (magic-byte

@@ -100,6 +100,13 @@ def test_transcode_roundtrip(tiles_df):
     raw = convert.transcode(tiles_df.limit(5), "png", "raw").collect()
     for r in raw:
         assert codecs.decode_raw(bytes(r["tile"])).shape == (8, 8, 4)
+    # 4:2:0 tiles decode to the same shape through the subsampled MCU path
+    j420 = convert.transcode(tiles_df.limit(5), "png", "jpeg", quality=95, subsampling="420").collect()
+    for r in j420:
+        blob = bytes(r["tile"])
+        i = blob.find(b"\xff\xc0")
+        assert blob[i + 11] == 0x22  # SOF luma sampling byte
+        assert jpegcodec.decode_jpeg(blob).shape == (8, 8, 3)
 
 
 def test_merge_overlay(spark, tiles_df):

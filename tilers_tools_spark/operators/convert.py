@@ -264,11 +264,18 @@ def mbtiles_metadata_kv(tiles: DataFrame, name: str = "tiles", fmt: str = "png")
 # ---------------------------------------------------------------------------
 
 
-def transcode(tiles: DataFrame, src_fmt: str = "png", dst_fmt: str = "jpeg", quality: int = 90) -> DataFrame:
+def transcode(
+    tiles: DataFrame,
+    src_fmt: str = "png",
+    dst_fmt: str = "jpeg",
+    quality: int = 90,
+    subsampling: str = "444",
+) -> DataFrame:
     """Decode + re-encode every tile blob (Arrow batches, pure NumPy codecs).
     jpeg drops alpha (opaque tile sets, as the reference does for jpeg
     output); raw keeps RGBA; tiff writes deflate-compressed RGBA (full
-    container symmetry with the sniffing reader).
+    container symmetry with the sniffing reader). subsampling ("444" or
+    "420") is jpeg-only: 4:2:0 writes ~25-40% smaller photographic tiles.
     """
     from ..functions import codecs
 
@@ -284,7 +291,9 @@ def transcode(tiles: DataFrame, src_fmt: str = "png", dst_fmt: str = "jpeg", qua
                 elif dst_fmt == "raw":
                     out.append(codecs.encode_raw(arr))
                 elif dst_fmt == "jpeg":
-                    out.append(jpegcodec.encode_jpeg(arr[:, :, :3], quality=quality))
+                    out.append(
+                        jpegcodec.encode_jpeg(arr[:, :, :3], quality=quality, subsampling=subsampling)
+                    )
                 elif dst_fmt == "tiff":
                     from ..functions import tiffcodec
 
