@@ -109,11 +109,21 @@ class _KatBits:
             self.put((1 << pad) - 1, pad)
         return bytes(self.out)
 
+    def marker(self, m):
+        # byte-align with 1-padding, then emit the marker RAW (a marker is
+        # not entropy data — it must NOT get a stuffed 0x00)
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, m])
 
-def _kat_jpeg(w, h, samplings, luma_dcs, dc_spec=None):
+
+def _kat_jpeg(w, h, samplings, luma_dcs, dc_spec=None, restart_interval=0):
     """Minimal baseline JPEG: 3 components, all-ones quant table, DC-only
     blocks. samplings = [(h,v)] * 3; luma_dcs = flat list of luma DC VALUES
-    (not diffs) in T.81 interleaved-MCU block order; chroma DC = 0."""
+    (not diffs) in T.81 interleaved-MCU block order; chroma DC = 0.
+    restart_interval > 0 emits a DRI segment and RSTn markers every that
+    many MCUs (B.2.4.4: predictors reset, entropy stream byte-aligns)."""
     import struct as st
 
     dc_spec = dc_spec or ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
@@ -132,6 +142,8 @@ def _kat_jpeg(w, h, samplings, luma_dcs, dc_spec=None):
     out += seg(0xC0, sof)
     out += seg(0xC4, bytes([0x00]) + bytes(dc_spec[0]) + bytes(dc_spec[1]))
     out += seg(0xC4, bytes([0x10]) + bytes(ac_spec[0]) + bytes(ac_spec[1]))
+    if restart_interval:
+        out += seg(0xDD, st.pack(">H", restart_interval))
     out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
 
     hmax = max(s[0] for s in samplings)
@@ -141,7 +153,10 @@ def _kat_jpeg(w, h, samplings, luma_dcs, dc_spec=None):
     bw = _KatBits()
     preds = [0, 0, 0]
     it = iter(luma_dcs)
-    for _ in range(mcux * mcuy):
+    for mi in range(mcux * mcuy):
+        if restart_interval and mi and mi % restart_interval == 0:
+            bw.marker(0xD0 + (mi // restart_interval - 1) % 8)
+            preds = [0, 0, 0]
         for ci, (sh, sv) in enumerate(samplings):
             for _ in range(sh * sv):
                 val = next(it) if ci == 0 else 0
@@ -268,3 +283,28 @@ def test_444_default_bytes_stable():
     pix = gen.make_pixels(7, 987654321, 320, 192)
     d = hashlib.md5(J.encode_jpeg(pix, quality=90)).hexdigest()
     assert d == "6c53b867a76a1a66fab2cf073723f720"
+
+
+def test_restart_markers_420():
+    """DRI=1 over three 4:2:0 MCUs (48x16): RST markers byte-align the
+    stream and reset DC predictors PER MCU (B.2.4.4 — the interval counts
+    MCUs, not blocks). Values chosen so a decoder that failed to reset
+    predictors, or counted blocks instead of MCUs, lands on the wrong
+    constants."""
+    ps = [30, 30, 30, 30, 130, 130, 130, 130, 230, 230, 230, 230]
+    jpg = _kat_jpeg(
+        48, 16, [(2, 2), (1, 1), (1, 1)], [_dc_for(p) for p in ps], restart_interval=1
+    )
+    assert jpg.count(b"\xff\xd0") >= 1 and b"\xff\xdd" in jpg
+    y = J.decode_jpeg(jpg)[:, :, 0].astype(int)
+    assert (y[:, :16] == 30).all() and (y[:, 16:32] == 130).all() and (y[:, 32:] == 230).all()
+
+
+def test_restart_markers_111():
+    """Same contract on the 1x1 path (MCU == one block per component)."""
+    ps = [50, 150, 250]
+    jpg = _kat_jpeg(
+        24, 8, [(1, 1), (1, 1), (1, 1)], [_dc_for(p) for p in ps], restart_interval=1
+    )
+    y = J.decode_jpeg(jpg)[:, :, 0].astype(int)
+    assert (y[:, :8] == 50).all() and (y[:, 8:16] == 150).all() and (y[:, 16:] == 250).all()
