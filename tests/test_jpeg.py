@@ -308,3 +308,13 @@ def test_restart_markers_111():
     )
     y = J.decode_jpeg(jpg)[:, :, 0].astype(int)
     assert (y[:, :8] == 50).all() and (y[:, 8:16] == 150).all() and (y[:, 16:] == 250).all()
+
+
+def test_440_vertical_subsampling():
+    """4:4:0 (chroma halved VERTICALLY only, (1,2) luma factors): an 8x16
+    image is one MCU of two luma blocks stacked — the transpose of the
+    4:2:2 case, so together they pin both upsample axes independently."""
+    jpg = _kat_jpeg(8, 16, [(1, 2), (1, 1), (1, 1)], [_dc_for(70), _dc_for(180)])
+    y = J.decode_jpeg(jpg)[:, :, 0].astype(int)
+    assert y.shape == (16, 8)
+    assert (y[:8, :] == 70).all() and (y[8:, :] == 180).all()
