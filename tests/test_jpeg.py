@@ -318,3 +318,25 @@ def test_440_vertical_subsampling():
     y = J.decode_jpeg(jpg)[:, :, 0].astype(int)
     assert y.shape == (16, 8)
     assert (y[:8, :] == 70).all() and (y[8:, :] == 180).all()
+
+
+def test_external_photo_with_restart_markers():
+    """A real 477x720 photo from an external encoder (Rust embedded-book
+    doc asset, MIT/Apache-2.0: verify.jpeg) — 4:4:4 with DRI=90, dozens of
+    RST markers through 100 KB of real entropy data. The synthetic restart
+    KATs above pin the semantics; this pins the machinery against a real
+    encoder's stream (marker placement, predictor resets, byte alignment
+    mid-photo). The decode md5 is OUR decoder's output pinned for
+    regression — there is no independent pixel oracle for a lossy file,
+    but plausibility is asserted via image statistics."""
+    import hashlib
+    import os
+
+    p = os.path.join(os.path.dirname(__file__), "golden", "external_photo_444_rst.jpg")
+    d = open(p, "rb").read()
+    assert hashlib.sha256(d).hexdigest().startswith("6fd1d73b2133141b")
+    assert b"\xff\xdd" in d  # DRI present
+    arr = J.decode_jpeg(d)
+    assert arr.shape == (477, 720, 3) and arr.dtype == np.uint8
+    assert 40 < arr.mean() < 90 and arr.std() > 15  # a photo, not noise/garbage
+    assert hashlib.md5(arr.tobytes()).hexdigest() == "eac0468cfe648ec5c7590b915ea967a1"
