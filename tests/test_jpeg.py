@@ -340,3 +340,203 @@ def test_external_photo_with_restart_markers():
     assert arr.shape == (477, 720, 3) and arr.dtype == np.uint8
     assert 40 < arr.mean() < 90 and arr.std() > 15  # a photo, not noise/garbage
     assert hashlib.md5(arr.tobytes()).hexdigest() == "eac0468cfe648ec5c7590b915ea967a1"
+
+
+# --- progressive (SOF2) decode ----------------------------------------------
+# Hand-assembled scan streams (bit sequences derived from T.81 G.2 and
+# commented step by step) pin the successive-approximation semantics; the
+# external 10-scan libjpeg file then validates the machinery at scale with
+# a structural oracle: 8x8 block means of the full decode must equal the
+# DC-scans-only reconstruction (every AC basis function is zero-mean), so
+# any corruption in the AC-first/AC-refine logic shifts block means.
+
+
+def _prog_headers(w, h, samplings, ncomp=3):
+    import struct as st
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + st.pack(">H", len(payload) + 2) + payload
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = st.pack(">BHHB", 8, h, w, ncomp)
+    for cid, (sh, sv) in zip(range(1, ncomp + 1), samplings):
+        sof += bytes([cid, (sh << 4) | sv, 0])
+    out += seg(0xC2, sof)  # SOF2: progressive
+    dc_spec = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+    ac_spec = ([0, 2, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0], [0x00, 0x01, 0x21])
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_spec[0]) + bytes(dc_spec[1]))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_spec[0]) + bytes(ac_spec[1]))
+    dc = _kat_canonical(*dc_spec)
+    ac = _kat_canonical(*ac_spec)
+    return out, dc, ac
+
+
+def _sos(comps, ss, se, ah, al):
+    import struct as st
+
+    pl = bytes([len(comps)])
+    for cid in comps:
+        pl += bytes([cid, 0x00])
+    pl += bytes([ss, se, (ah << 4) | al])
+    return bytes([0xFF, 0xDA]) + st.pack(">H", len(pl) + 2) + pl
+
+
+def _put_dc_diff(bw, dc, diff):
+    mag = abs(diff).bit_length()
+    bw.put(*dc[mag])
+    if mag:
+        bw.put(diff if diff >= 0 else diff + (1 << mag) - 1, mag)
+
+
+def test_progressive_dc_only_420_constants():
+    """16x16 4:2:0, DC successively approximated over two scans: first at
+    al=1 (diffs of dc>>1), then the al=0 bit per block. AC scans are pure
+    EOB runs. Expected pixels are exact constants (pixel = dc/8 + 128)."""
+    # luma DCs per MCU block (TL,TR,BL,BR), chosen with mixed LSBs so the
+    # refinement scan actually changes values: 8*(p-128)
+    dcs = [_dc_for(p) for p in (41, 90, 161, 210)]  # -696, -304, 264, 656
+    hdr, dc, ac = _prog_headers(16, 16, [(2, 2), (1, 1), (1, 1)])
+    out = bytearray(hdr)
+    # scan 1: interleaved DC first, al=1 — diffs of (dc >> 1) per T.81 G.1.2.1
+    out += _sos([1, 2, 3], 0, 0, 0, 1)
+    bw = _KatBits()
+    pred = 0
+    for v in dcs:
+        _put_dc_diff(bw, dc, (v >> 1) - pred)
+        pred = v >> 1
+    _put_dc_diff(bw, dc, 0)  # cb (pred chain per component: 0 -> 0)
+    _put_dc_diff(bw, dc, 0)  # cr
+    out += bw.done()
+    # scan 2: AC first for comp 1 (4 blocks): per-block EOB0
+    out += _sos([1], 1, 63, 0, 0)
+    bw = _KatBits()
+    for _ in range(4):
+        bw.put(*ac[0x00])
+    out += bw.done()
+    # scans 3,4: AC first for comps 2,3 (1 block each): EOB0
+    for cid in (2, 3):
+        out += _sos([cid], 1, 63, 0, 0)
+        bw = _KatBits()
+        bw.put(*ac[0x00])
+        out += bw.done()
+    # scan 5: interleaved DC refine (ah=1, al=0): raw LSB per block in MCU
+    # order (luma TL,TR,BL,BR then cb, cr)
+    out += _sos([1, 2, 3], 0, 0, 1, 0)
+    bw = _KatBits()
+    for v in dcs:
+        bw.put(v & 1, 1)
+    bw.put(0, 1)
+    bw.put(0, 1)
+    out += bw.done()
+    out += b"\xff\xd9"
+    img = J.decode_jpeg(bytes(out))
+    assert img.shape == (16, 16, 3)
+    y = img[:, :, 0].astype(int)
+    assert (y[:8, :8] == 41).all() and (y[:8, 8:] == 90).all()
+    assert (y[8:, :8] == 161).all() and (y[8:, 8:] == 210).all()
+
+
+def test_progressive_ac_refinement_single_block():
+    """Grayscale 8x8, three scans: DC first (al=0), AC first at al=1
+    placing coeff k=1, AC refine at al=0 adding the LSB correction bit AND
+    a newly-nonzero coeff at k=2. Final coefficients are known exactly;
+    expected pixels come from an IDCT written independently in this test."""
+    import math
+    import struct as st
+
+    hdr, dc, ac = _prog_headers(8, 8, [(1, 1)], ncomp=1)
+    out = bytearray(hdr)
+    # scan 1: DC first al=0, diff = 40
+    out += _sos([1], 0, 0, 0, 0)
+    bw = _KatBits()
+    _put_dc_diff(bw, dc, 40)
+    out += bw.done()
+    # scan 2: AC first al=1, ss=1..63: (r=0, s=1) codes value +1 at al=1
+    # -> blk[1] = 1 << 1 = 2 before refinement; then EOB0
+    out += _sos([1], 1, 63, 0, 1)
+    bw = _KatBits()
+    bw.put(*ac[0x01])
+    bw.put(1, 1)  # extend bits for s=1, value +1
+    bw.put(*ac[0x00])  # EOB
+    out += bw.done()
+    # scan 3: AC refine al=0: bit stream per G.1.2.3 —
+    #   huff(r=0, s=1): new coefficient, sign bit 1 -> +1
+    #   advance from k=1: blk[1] nonzero -> correction bit (1: 2 -> 3)
+    #                     k=2 zero-history and r==0 -> place new +1 at k=2
+    #   then EOB0: eobrun=1, trailing correction bits: none nonzero after k=3
+    out += _sos([1], 1, 63, 1, 0)
+    bw = _KatBits()
+    bw.put(*ac[0x01])  # (r=0, s=1): one newly-nonzero coeff
+    bw.put(1, 1)  # its sign: positive -> +1
+    bw.put(1, 1)  # correction bit for history-nonzero blk[1]: add 1
+    bw.put(*ac[0x00])  # EOB covering the rest
+    out += bw.done()
+    out += b"\xff\xd9"
+    img = J.decode_jpeg(bytes(out))
+    assert img.shape == (8, 8, 1)
+    # expected: blk[0]=40, blk[1]=3 (zigzag 1 = natural (0,1)), blk[2]=+1
+    # (zigzag 2 = natural (1,0)); independent orthonormal IDCT:
+    def s(k):
+        return math.sqrt(1.0 / 8.0) if k == 0 else math.sqrt(2.0 / 8.0)
+
+    exp = np.empty((8, 8))
+    for n in range(8):
+        for m in range(8):
+            acc = s(0) * s(0) * 40.0
+            acc += s(0) * s(1) * 3.0 * math.cos((2 * m + 1) * math.pi / 16.0)
+            acc += s(1) * s(0) * 1.0 * math.cos((2 * n + 1) * math.pi / 16.0)
+            exp[n, m] = acc + 128.0
+    exp = np.clip(np.round(exp), 0, 255)
+    assert np.abs(img[:, :, 0].astype(float) - exp).max() <= 1.0
+
+
+def test_external_progressive_10scan_photo():
+    """Real libjpeg progressive file (Rust embedded-book doc asset,
+    MIT/Apache-2.0: f3.jpg — 477x720, 2x1 luma, the standard 10-scan
+    script incl. AC successive approximation to al=2 and refinements).
+    Structural oracle: truncating after the DC-first scan must reproduce
+    the full decode's 8x8 block means (AC bases are zero-mean), proving
+    the AC-first/refine scans added detail without corrupting the image.
+    The md5 pins OUR decode for regression."""
+    import hashlib
+    import os
+    import struct as st
+
+    p = os.path.join(os.path.dirname(__file__), "golden", "external_progressive_10scan.jpg")
+    d = open(p, "rb").read()
+    assert hashlib.sha256(d).hexdigest().startswith("c9963f3ec9ba0890")
+    assert b"\xff\xc2" in d[:2000]
+    full = J.decode_jpeg(d)
+    assert full.shape == (477, 720, 3)
+    assert hashlib.md5(full.tobytes()).hexdigest() == "71fcd7835791ae29c8122c94b103de35"
+    # locate the second SOS (end of the DC-first scan)
+    pos, sos, in_e = 2, [], False
+    while pos < len(d) - 1 and len(sos) < 2:
+        if in_e:
+            if d[pos] == 0xFF and d[pos + 1] != 0x00 and not (0xD0 <= d[pos + 1] <= 0xD7):
+                in_e = False
+            else:
+                pos += 2 if d[pos] == 0xFF else 1
+                continue
+        if d[pos] != 0xFF:
+            pos += 1
+            continue
+        m = d[pos + 1]
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            pos += 2
+            continue
+        if m == 0xDA:
+            sos.append(pos)
+            in_e = True
+        pos += 2 + st.unpack(">H", d[pos + 2 : pos + 4])[0]
+    dc_only = J.decode_jpeg(d[: sos[1]] + b"\xff\xd9").astype(np.float64)
+    fy = 0.299 * full[..., 0] + 0.587 * full[..., 1] + 0.114 * full[..., 2]
+    dy = 0.299 * dc_only[..., 0] + 0.587 * dc_only[..., 1] + 0.114 * dc_only[..., 2]
+    H, W = 472, 712  # whole blocks, away from the replicated edge
+    fb = fy[:H, :W].astype(np.float64).reshape(H // 8, 8, W // 8, 8).mean(axis=(1, 3))
+    db = dy[:H, :W].reshape(H // 8, 8, W // 8, 8).mean(axis=(1, 3))
+    diff = np.abs(fb - db)
+    # DC-first is at al=1 (one refinement unit) + clipping at block edges:
+    # means agree to ~quantization error, nowhere near AC magnitudes
+    assert diff.mean() < 1.0 and np.percentile(diff, 95) < 2.0

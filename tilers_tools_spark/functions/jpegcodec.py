@@ -311,6 +311,297 @@ def _build_lut(bits, vals):
     return lut
 
 
+def _entropy_segment(data: bytes, i: int) -> tuple[bytes, int]:
+    """Unstuff entropy bytes from offset i up to the next true marker
+    (0xFF00 unstuffed, RSTn markers dropped — restart boundaries are
+    recovered by interval counting, which byte-aligns identically).
+    Returns (bitdata + 4 pad bytes, offset of the terminating marker)."""
+    raw = bytearray()
+    while i < len(data) - 1:
+        b = data[i]
+        if b == 0xFF:
+            nb = data[i + 1]
+            if nb == 0x00:
+                raw.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nb <= 0xD7:
+                i += 2
+                continue
+            break
+        raw.append(b)
+        i += 1
+    return bytes(raw) + b"\x00\x00\x00\x00", i
+
+
+def _reconstruct(coeffs, comps, qt, h, w, hmax, vmax) -> np.ndarray:
+    """Zigzag int32 coefficient arrays -> uint8 image (shared by the
+    baseline and progressive paths): dequant + vectorized IDCT, crop each
+    component to its own extent (ceil(dim*factor/max) — T.81 A.1.1),
+    replication chroma upsample, YCbCr -> RGB."""
+    planes = []
+    for ci, c in enumerate(comps):
+        q = qt[c["tq"]]
+        zz = np.zeros((c["bh"] * c["bw"], 64), dtype=np.float64)
+        zz[:, _ZIGZAG] = coeffs[ci]
+        blocks = zz.reshape(-1, 8, 8) * q
+        pix = np.einsum("nk,bkl,ml->bnm", _C.T, blocks, _C.T) + 128.0
+        plane = (
+            pix.reshape(c["bh"], c["bw"], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(c["bh"] * 8, c["bw"] * 8)
+        )
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        plane = plane[:ch, :cw]
+        if c["v"] != vmax:
+            plane = plane.repeat(vmax // c["v"], axis=0)
+        if c["h"] != hmax:
+            plane = plane.repeat(hmax // c["h"], axis=1)
+        planes.append(plane[:h, :w])
+    if len(comps) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[:, :, None]
+    y, cb, cr = planes
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.dstack([r, g, b])), 0, 255).astype(np.uint8)
+
+
+def _decode_progressive(data, entropy_pos, payload, comps, h, w, qt, huff, dri):
+    """Progressive (SOF2) scan loop — T.81 G.2, semantics mirrored from the
+    published libjpeg jdphuff contract. Coefficients accumulate across
+    scans in zigzag order (matching the shared _reconstruct layout):
+    DC-first codes diffs at 2^al precision, DC-refine ORs in one bit per
+    block, AC-first codes (run, value<<al) bands with EOB-run lengths,
+    AC-refine interleaves newly-nonzero +-2^al values with one correction
+    bit per already-nonzero coefficient. `entropy_pos` points at the first
+    scan's entropy bytes; `payload` is that scan's SOS segment. Huffman /
+    quant / DRI segments between scans update in document order."""
+    nc = len(comps)
+    if nc == 1:
+        comps[0]["h"] = comps[0]["v"] = 1
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        c["bw"] = mcux * c["h"]
+        c["bh"] = mcuy * c["v"]
+        # non-interleaved scans walk the component's OWN ceil grid, which
+        # can be narrower than the MCU-padded grid (T.81 B.2.3)
+        c["cw"] = (-(-w * c["h"] // hmax) + 7) // 8
+        c["ch"] = (-(-h * c["v"] // vmax) + 7) // 8
+    coeffs = [np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32) for c in comps]
+    by_id = {c["id"]: ci for ci, c in enumerate(comps)}
+
+    pos = entropy_pos
+    while True:
+        ns = payload[0]
+        scomps = []  # (component index, dc table id, ac table id)
+        for si in range(ns):
+            cid, tt = payload[1 + 2 * si : 3 + 2 * si]
+            scomps.append((by_id[cid], tt >> 4, tt & 0xF))
+        ss, se, a = payload[1 + 2 * ns], payload[2 + 2 * ns], payload[3 + 2 * ns]
+        ah, al = a >> 4, a & 0xF
+        bitdata, pos = _entropy_segment(data, pos)
+        state = {"pos": 0, "eobrun": 0}
+
+        def peek16():
+            p = state["pos"]
+            chunk = int.from_bytes(bitdata[p >> 3 : (p >> 3) + 4], "big")
+            return (chunk >> (16 - (p & 7))) & 0xFFFF
+
+        def get_bits(n):
+            if n == 0:
+                return 0
+            p = state["pos"]
+            state["pos"] = p + n
+            chunk = int.from_bytes(bitdata[p >> 3 : (p >> 3) + 4], "big")
+            return (chunk >> (32 - (p & 7) - n)) & ((1 << n) - 1)
+
+        def hdecode(lut):
+            e = int(lut[peek16()])
+            sym, ln = e >> 5, e & 31
+            if ln == 0:
+                raise ValueError("bad Huffman code")
+            state["pos"] += ln
+            return sym
+
+        def extend(v, n):
+            return v - (1 << n) + 1 if n and v < (1 << (n - 1)) else v
+
+        p1 = 1 << al
+        m1 = -1 << al
+
+        def ac_first(blk, alut):
+            if state["eobrun"] > 0:
+                state["eobrun"] -= 1
+                return
+            k = ss
+            while k <= se:
+                sym = hdecode(alut)
+                r, s = sym >> 4, sym & 0xF
+                if s:
+                    k += r
+                    if k > se:
+                        break
+                    blk[k] = extend(get_bits(s), s) << al
+                    k += 1
+                else:
+                    if r != 15:
+                        state["eobrun"] = (1 << r) - 1
+                        if r:
+                            state["eobrun"] += get_bits(r)
+                        break
+                    k += 16
+
+        def ac_refine(blk, alut):
+            k = ss
+            if state["eobrun"] == 0:
+                while k <= se:
+                    sym = hdecode(alut)
+                    r, s = sym >> 4, sym & 0xF
+                    if s:
+                        # s must be 1: a newly-nonzero coefficient +-2^al
+                        val = p1 if get_bits(1) else m1
+                    else:
+                        if r != 15:
+                            state["eobrun"] = 1 << r
+                            if r:
+                                state["eobrun"] += get_bits(r)
+                            break
+                        val = 0  # ZRL: skip 16 zero-history coefficients
+                    # advance over r zero-history coefficients, appending a
+                    # correction bit to every nonzero one passed on the way
+                    while k <= se:
+                        cur = int(blk[k])
+                        if cur != 0:
+                            if get_bits(1) and (cur & p1) == 0:
+                                blk[k] = cur + (p1 if cur >= 0 else m1)
+                        else:
+                            r -= 1
+                            if r < 0:
+                                break
+                        k += 1
+                    if val and k <= se:
+                        blk[k] = val
+                    k += 1
+            if state["eobrun"] > 0:
+                # EOB region: correction bits for remaining nonzeros
+                while k <= se:
+                    cur = int(blk[k])
+                    if cur != 0:
+                        if get_bits(1) and (cur & p1) == 0:
+                            blk[k] = cur + (p1 if cur >= 0 else m1)
+                    k += 1
+                state["eobrun"] -= 1
+
+        preds = [0] * nc
+
+        def align_reset():
+            state["pos"] = (state["pos"] + 7) // 8 * 8
+            state["eobrun"] = 0
+            for i in range(nc):
+                preds[i] = 0
+
+        if ss == 0:
+            if se != 0:
+                raise ValueError("progressive DC scan with se != 0")
+            if ns > 1:
+                # interleaved DC scan: MCU walk over the global grid
+                for mi in range(mcux * mcuy):
+                    if dri and mi and mi % dri == 0:
+                        align_reset()
+                    my, mx = divmod(mi, mcux)
+                    for ci, dct, _act in scomps:
+                        c = comps[ci]
+                        dlut = huff[(0, dct)]
+                        for v in range(c["v"]):
+                            for u in range(c["h"]):
+                                bi = (my * c["v"] + v) * c["bw"] + (mx * c["h"] + u)
+                                blk = coeffs[ci][bi]
+                                if ah == 0:
+                                    sym = hdecode(dlut)
+                                    preds[ci] += extend(get_bits(sym), sym)
+                                    blk[0] = preds[ci] << al
+                                else:
+                                    if get_bits(1):
+                                        blk[0] = int(blk[0]) | p1
+            else:
+                ci, dct, _act = scomps[0]
+                c = comps[ci]
+                dlut = huff[(0, dct)]
+                n_blk = c["ch"] * c["cw"]
+                for b in range(n_blk):
+                    if dri and b and b % dri == 0:
+                        align_reset()
+                    row, col = divmod(b, c["cw"])
+                    blk = coeffs[ci][row * c["bw"] + col]
+                    if ah == 0:
+                        sym = hdecode(dlut)
+                        preds[ci] += extend(get_bits(sym), sym)
+                        blk[0] = preds[ci] << al
+                    else:
+                        if get_bits(1):
+                            blk[0] = int(blk[0]) | p1
+        else:
+            if ns != 1:
+                raise ValueError("progressive AC scan must be non-interleaved")
+            ci, _dct, act = scomps[0]
+            c = comps[ci]
+            alut = huff[(1, act)]
+            n_blk = c["ch"] * c["cw"]
+            fn = ac_first if ah == 0 else ac_refine
+            for b in range(n_blk):
+                if dri and b and b % dri == 0:
+                    align_reset()
+                row, col = divmod(b, c["cw"])
+                fn(coeffs[ci][row * c["bw"] + col], alut)
+
+        # walk markers to the next SOS (tables may be redefined between
+        # scans) or EOI
+        payload = None
+        while pos < len(data) - 1:
+            if data[pos] != 0xFF:
+                pos += 1
+                continue
+            m = data[pos + 1]
+            if m == 0xD9:
+                break
+            if m == 0x01 or 0xD0 <= m <= 0xD7:
+                pos += 2
+                continue
+            ln = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+            pl = data[pos + 4 : pos + 2 + ln]
+            pos += 2 + ln
+            if m == 0xC4:
+                i = 0
+                while i < len(pl):
+                    tc, th = pl[i] >> 4, pl[i] & 0xF
+                    bits = list(pl[i + 1 : i + 17])
+                    nv = sum(bits)
+                    huff[(tc, th)] = _build_lut(bits, list(pl[i + 17 : i + 17 + nv]))
+                    i += 17 + nv
+            elif m == 0xDB:
+                i = 0
+                while i < len(pl):
+                    tab = np.zeros(64, dtype=np.int32)
+                    tab[_ZIGZAG] = np.frombuffer(pl[i + 1 : i + 65], dtype=np.uint8)
+                    qt[pl[i] & 0xF] = tab.reshape(8, 8)
+                    i += 65
+            elif m == 0xDD:
+                dri = struct.unpack(">H", pl[:2])[0]
+            elif m == 0xDA:
+                payload = pl
+                break
+        if payload is None:
+            break
+    return _reconstruct(coeffs, comps, qt, h, w, hmax, vmax)
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
@@ -321,6 +612,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     h = w = None
     restart_interval = 0
     scan = None
+    progressive = False
     while pos < len(data):
         if data[pos] != 0xFF:
             pos += 1
@@ -354,10 +646,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 huff[(tc, th)] = _build_lut(bits, vals)
                 i += 17 + nv
             # noqa
-        elif marker in (0xC0, 0xC1):
+        elif marker in (0xC0, 0xC1, 0xC2):
             prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
             if prec != 8:
                 raise ValueError("only 8-bit baseline")
+            progressive = marker == 0xC2
             comps = []
             for ci in range(nc):
                 cid, samp, tq = payload[6 + 3 * ci : 9 + 3 * ci]
@@ -368,11 +661,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     # (hi=4) is a DV-tape relic, fail loudly
                     raise ValueError(f"sampling {hi}x{vi} unsupported")
                 comps.append({"id": cid, "tq": tq, "h": hi, "v": vi})
-        elif marker in (0xC2, 0xC3) or (0xC5 <= marker <= 0xCF and marker != 0xC8):
+        elif marker == 0xC3 or (0xC5 <= marker <= 0xCF and marker != 0xC8):
             raise ValueError("non-baseline JPEG unsupported")
         elif marker == 0xDD:
             restart_interval = struct.unpack(">H", payload[:2])[0]
         elif marker == 0xDA:
+            if progressive:
+                return _decode_progressive(
+                    data, pos, payload, comps, h, w, qt, huff, restart_interval
+                )
             ns = payload[0]
             for si in range(ns):
                 cid, tt = payload[1 + 2 * si : 3 + 2 * si]
@@ -384,26 +681,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             break
     if scan is None or h is None:
         raise ValueError("truncated JPEG")
-    # unstuff entropy bytes up to EOI / next marker (keeping RST handling)
-    raw = bytearray()
-    rst_positions = []
-    i = scan
-    while i < len(data) - 1:
-        b = data[i]
-        if b == 0xFF:
-            nb = data[i + 1]
-            if nb == 0x00:
-                raw.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nb <= 0xD7:
-                rst_positions.append(len(raw))
-                i += 2
-                continue
-            break
-        raw.append(b)
-        i += 1
-    bitdata = bytes(raw) + b"\x00\x00\x00\x00"
+    bitdata, _ = _entropy_segment(data, scan)
     # windowed bit reader: O(1) per op (a single big-int stream would cost
     # O(stream) per shift -> O(n^2) decode)
     state = {"pos": 0}
@@ -439,7 +717,6 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         c["bh"] = mcuy * c["v"]
     coeffs = [np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32) for c in comps]
     preds = [0] * nc
-    rst_set = set(rst_positions)
 
     def decode_block(ci, c, blk):
         dlut = huff[(0, c["dc"])]
@@ -483,37 +760,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 for u in range(c["h"]):
                     bi = (my * c["v"] + v) * c["bw"] + (mx * c["h"] + u)
                     decode_block(ci, c, coeffs[ci][bi])
-    # dequant + IDCT vectorized; subsampled chroma is upsampled by sample
-    # replication (libjpeg's do_fancy_upsampling=FALSE contract — simple,
-    # deterministic, and exact for the DC-uniform case the KAT pins)
-    planes = []
-    for ci, c in enumerate(comps):
-        q = qt[c["tq"]]
-        zz = np.zeros((c["bh"] * c["bw"], 64), dtype=np.float64)
-        zz[:, _ZIGZAG] = coeffs[ci]
-        blocks = zz.reshape(-1, 8, 8) * q
-        pix = np.einsum("nk,bkl,ml->bnm", _C.T, blocks, _C.T) + 128.0
-        plane = (
-            pix.reshape(c["bh"], c["bw"], 8, 8)
-            .transpose(0, 2, 1, 3)
-            .reshape(c["bh"] * 8, c["bw"] * 8)
-        )
-        # crop to the component's own extent (ceil(dim * factor / max) —
-        # T.81 A.1.1), then replicate up to full resolution
-        cw = -(-w * c["h"] // hmax)
-        ch = -(-h * c["v"] // vmax)
-        plane = plane[:ch, :cw]
-        if c["v"] != vmax:
-            plane = plane.repeat(vmax // c["v"], axis=0)
-        if c["h"] != hmax:
-            plane = plane.repeat(hmax // c["h"], axis=1)
-        planes.append(plane[:h, :w])
-    if nc == 1:
-        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[:, :, None]
-    y, cb, cr = planes
-    cb = cb - 128.0
-    cr = cr - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136286 * cb - 0.714136286 * cr
-    b = y + 1.772 * cb
-    return np.clip(np.round(np.dstack([r, g, b])), 0, 255).astype(np.uint8)
+    # replication chroma upsample in _reconstruct is libjpeg's
+    # do_fancy_upsampling=FALSE contract — simple, deterministic, and
+    # exact for the DC-uniform case the KAT pins
+    return _reconstruct(coeffs, comps, qt, h, w, hmax, vmax)
