@@ -540,3 +540,53 @@ def test_external_progressive_10scan_photo():
     # DC-first is at al=1 (one refinement unit) + clipping at block edges:
     # means agree to ~quantization error, nowhere near AC magnitudes
     assert diff.mean() < 1.0 and np.percentile(diff, 95) < 2.0
+
+
+def test_adobe_app14_transform0_rgb():
+    """APP14 'Adobe' transform=0 means the three components are literal
+    R,G,B — no YCbCr inverse (Adobe TN #5116; libjpeg honors it). The same
+    stream without APP14 decodes as YCbCr (gray, since chroma=128), so the
+    two interpretations are distinguishable: with APP14, plane 1 (=G) and
+    plane 2 (=B) stay at 128 while plane 0 carries the DC value."""
+    import struct as st
+
+    jpg = _kat_jpeg(8, 8, [(1, 1), (1, 1), (1, 1)], [_dc_for(200)])
+    noadobe = J.decode_jpeg(jpg)
+    assert (noadobe == 200).all()  # YCbCr with neutral chroma -> gray
+    app14 = bytes([0xFF, 0xEE]) + st.pack(">H", 14) + b"Adobe" + bytes([0, 100, 0, 0, 0, 0, 0])
+    adobe = J.decode_jpeg(jpg[:2] + app14 + jpg[2:])
+    assert (adobe[:, :, 0] == 200).all()
+    assert (adobe[:, :, 1] == 128).all() and (adobe[:, :, 2] == 128).all()
+
+
+def test_rgb_component_ids_heuristic():
+    """SOF component ids 'R','G','B' (0x52,0x47,0x42) mark literal RGB even
+    without APP14 — the other convention real encoders use."""
+    jpg = bytearray(_kat_jpeg(8, 8, [(1, 1), (1, 1), (1, 1)], [_dc_for(60)]))
+    i = bytes(jpg).find(b"\xff\xc0")
+    # SOF0 payload: len(2) prec(1) h(2) w(2) nc(1), then [cid samp tq] * 3
+    for k, cid in enumerate((0x52, 0x47, 0x42)):
+        jpg[i + 10 + 3 * k] = cid
+    j = bytes(jpg).find(b"\xff\xda")
+    # SOS payload: len(2) ns(1), then [cid tt] * 3
+    for k, cid in enumerate((0x52, 0x47, 0x42)):
+        jpg[j + 5 + 2 * k] = cid
+    out = J.decode_jpeg(bytes(jpg))
+    assert (out[:, :, 0] == 60).all()
+    assert (out[:, :, 1] == 128).all() and (out[:, :, 2] == 128).all()
+
+
+def test_cmyk_fails_loudly():
+    import struct as st
+
+    sof = st.pack(">BHHB", 8, 8, 8, 4)
+    for cid in (1, 2, 3, 4):
+        sof += bytes([cid, 0x11, 0])
+    jpg = (
+        b"\xff\xd8"
+        + bytes([0xFF, 0xDB]) + st.pack(">H", 67) + bytes([0]) + bytes([1] * 64)
+        + bytes([0xFF, 0xC0]) + st.pack(">H", len(sof) + 2) + sof
+        + bytes([0xFF, 0xDA]) + st.pack(">H", 14) + bytes([4, 1, 0, 2, 0, 3, 0, 4, 0, 0, 63, 0])
+    )
+    with pytest.raises(ValueError, match="CMYK"):
+        J.decode_jpeg(jpg)

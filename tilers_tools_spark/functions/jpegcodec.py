@@ -334,7 +334,28 @@ def _entropy_segment(data: bytes, i: int) -> tuple[bytes, int]:
     return bytes(raw) + b"\x00\x00\x00\x00", i
 
 
-def _reconstruct(coeffs, comps, qt, h, w, hmax, vmax) -> np.ndarray:
+def _color_mode(comps, adobe_transform) -> str:
+    """JPEG color interpretation (Adobe tech note #5116 + libjpeg default
+    heuristics): 3 components are YCbCr unless APP14 says transform=0 or
+    the SOF component ids literally spell 'R','G','B' (both conventions
+    real encoders emit — treating such files as YCbCr silently produces
+    garbage). 4-component CMYK/YCCK fails loudly per the capability-gate
+    policy."""
+    nc = len(comps)
+    if nc == 1:
+        return "gray"
+    if nc != 3:
+        raise ValueError(f"{nc}-component JPEG (CMYK/YCCK) unsupported")
+    if adobe_transform == 0:
+        return "rgb"
+    if adobe_transform in (None, 1):
+        if tuple(c["id"] for c in comps) == (0x52, 0x47, 0x42):  # 'R','G','B'
+            return "rgb"
+        return "ycc"
+    raise ValueError(f"Adobe color transform {adobe_transform} unsupported")
+
+
+def _reconstruct(coeffs, comps, qt, h, w, hmax, vmax, color="ycc") -> np.ndarray:
     """Zigzag int32 coefficient arrays -> uint8 image (shared by the
     baseline and progressive paths): dequant + vectorized IDCT, crop each
     component to its own extent (ceil(dim*factor/max) — T.81 A.1.1),
@@ -361,6 +382,8 @@ def _reconstruct(coeffs, comps, qt, h, w, hmax, vmax) -> np.ndarray:
         planes.append(plane[:h, :w])
     if len(comps) == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[:, :, None]
+    if color == "rgb":
+        return np.clip(np.round(np.dstack(planes)), 0, 255).astype(np.uint8)
     y, cb, cr = planes
     cb = cb - 128.0
     cr = cr - 128.0
@@ -370,7 +393,7 @@ def _reconstruct(coeffs, comps, qt, h, w, hmax, vmax) -> np.ndarray:
     return np.clip(np.round(np.dstack([r, g, b])), 0, 255).astype(np.uint8)
 
 
-def _decode_progressive(data, entropy_pos, payload, comps, h, w, qt, huff, dri):
+def _decode_progressive(data, entropy_pos, payload, comps, h, w, qt, huff, dri, color="ycc"):
     """Progressive (SOF2) scan loop — T.81 G.2, semantics mirrored from the
     published libjpeg jdphuff contract. Coefficients accumulate across
     scans in zigzag order (matching the shared _reconstruct layout):
@@ -599,7 +622,7 @@ def _decode_progressive(data, entropy_pos, payload, comps, h, w, qt, huff, dri):
                 break
         if payload is None:
             break
-    return _reconstruct(coeffs, comps, qt, h, w, hmax, vmax)
+    return _reconstruct(coeffs, comps, qt, h, w, hmax, vmax, color)
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
@@ -613,6 +636,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     restart_interval = 0
     scan = None
     progressive = False
+    adobe_transform = None
     while pos < len(data):
         if data[pos] != 0xFF:
             pos += 1
@@ -665,10 +689,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             raise ValueError("non-baseline JPEG unsupported")
         elif marker == 0xDD:
             restart_interval = struct.unpack(">H", payload[:2])[0]
+        elif marker == 0xEE and payload[:5] == b"Adobe":
+            adobe_transform = payload[11]
         elif marker == 0xDA:
+            color = _color_mode(comps, adobe_transform)
             if progressive:
                 return _decode_progressive(
-                    data, pos, payload, comps, h, w, qt, huff, restart_interval
+                    data, pos, payload, comps, h, w, qt, huff, restart_interval, color
                 )
             ns = payload[0]
             for si in range(ns):
@@ -763,4 +790,4 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     # replication chroma upsample in _reconstruct is libjpeg's
     # do_fancy_upsampling=FALSE contract — simple, deterministic, and
     # exact for the DC-uniform case the KAT pins
-    return _reconstruct(coeffs, comps, qt, h, w, hmax, vmax)
+    return _reconstruct(coeffs, comps, qt, h, w, hmax, vmax, color)
