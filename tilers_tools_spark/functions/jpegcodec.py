@@ -611,6 +611,8 @@ def _decode_progressive(data, entropy_pos, payload, comps, h, w, qt, huff, dri, 
             elif m == 0xDB:
                 i = 0
                 while i < len(pl):
+                    if pl[i] >> 4 != 0:
+                        raise ValueError("16-bit quant tables unsupported")
                     tab = np.zeros(64, dtype=np.int32)
                     tab[_ZIGZAG] = np.frombuffer(pl[i + 1 : i + 65], dtype=np.uint8)
                     qt[pl[i] & 0xF] = tab.reshape(8, 8)
