@@ -153,3 +153,26 @@ def test_external_writer_paletted_png_vs_ppm_oracle():
     tif = open(os.path.join(gold, "external_writer_rgba.tiff"), "rb").read()
     alpha = np.frombuffer(tif[8 : 8 + 1024], dtype=np.uint8).reshape(16, 16, 4)[:, :, 3]
     assert np.array_equal(out[:, :, 3], alpha)
+
+
+def test_pnm_decode_external_and_handcrafted():
+    """GDAL's PNM driver (gdal_translate -of PNM) writes binary P5/P6: the
+    external PPM fixture decodes to its own byte-slice (header is 13 bytes,
+    so the oracle is trivial), and handcrafted headers pin the tokenizer
+    (comments, multi-whitespace) and the fail-loud gates."""
+    gold = os.path.join(os.path.dirname(__file__), "golden")
+    ppm = open(os.path.join(gold, "external_writer_rgb.ppm"), "rb").read()
+    assert codecs.sniff_fmt(ppm) == "pnm"
+    arr = codecs.decode_image(ppm, "pnm")
+    assert np.array_equal(arr, np.frombuffer(ppm[13:], dtype=np.uint8).reshape(16, 16, 3))
+    # P5 gray with a comment line and mixed whitespace in the header
+    g = bytes(range(6))
+    p5 = b"P5 # comment here\n 3\t2 # another\n255\n" + g
+    out = codecs.decode_pnm(p5)
+    assert out.shape == (2, 3) and np.array_equal(out.ravel(), np.frombuffer(g, np.uint8))
+    with pytest.raises(ValueError, match="maxval"):
+        codecs.decode_pnm(b"P5 2 2 65535\n" + bytes(8))
+    with pytest.raises(ValueError, match="truncated"):
+        codecs.decode_pnm(b"P6 4 4 255\n" + bytes(10))
+    with pytest.raises(ValueError, match="P5/P6"):
+        codecs.decode_pnm(b"P3\n1 1\n255\n0 0 0")  # ASCII PNM: not binary

@@ -227,6 +227,38 @@ def decode_png(data: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def decode_pnm(data: bytes) -> np.ndarray:
+    """Binary netpbm (GDAL's PNM driver; gdal_translate -of PNM): P5 gray /
+    P6 RGB, 8-bit maxval only (the GDAL writer's default). Header = magic,
+    width, height, maxval as whitespace/comment-separated ASCII tokens;
+    the single whitespace byte after maxval starts the raster."""
+    if data[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PNM (P5/P6 magic missing)")
+    ch = 1 if data[:2] == b"P5" else 3
+    toks, i = [], 2
+    while len(toks) < 3:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if data[i : i + 1] == b"#":  # comment to end of line
+            while i < len(data) and data[i] not in (0x0A, 0x0D):
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j : j + 1].isspace():
+            j += 1
+        toks.append(int(data[i:j]))
+        i = j
+    w, h, maxval = toks
+    if maxval != 255:
+        raise ValueError(f"PNM maxval {maxval} unsupported (8-bit only)")
+    i += 1  # the single whitespace after maxval
+    n = w * h * ch
+    if len(data) < i + n:
+        raise ValueError("truncated PNM raster")
+    arr = np.frombuffer(data[i : i + n], dtype=np.uint8).reshape(h, w, ch)
+    return arr[:, :, 0] if ch == 1 else arr
+
+
 def sniff_fmt(data: bytes) -> str:
     """Container sniff by magic bytes: 'png' | 'raw' | 'jpeg'. Lets tile
     operators (cutline, re-encode) accept tile sets from any render path
@@ -244,7 +276,9 @@ def sniff_fmt(data: bytes) -> str:
         return "tiff"
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         return "webp"
-    raise ValueError("unknown tile container (no PNG/RAW1/JPEG/TIFF/WEBP magic)")
+    if data[:2] in (b"P5", b"P6") and len(data) > 2 and data[2:3].isspace():
+        return "pnm"
+    raise ValueError("unknown tile container (no PNG/RAW1/JPEG/TIFF/WEBP/PNM magic)")
 
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
@@ -265,6 +299,8 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         from . import webpcodec
 
         return webpcodec.decode_webp(data)
+    if fmt == "pnm":
+        return decode_pnm(data)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
