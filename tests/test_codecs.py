@@ -176,3 +176,42 @@ def test_pnm_decode_external_and_handcrafted():
         codecs.decode_pnm(b"P6 4 4 255\n" + bytes(10))
     with pytest.raises(ValueError, match="P5/P6"):
         codecs.decode_pnm(b"P3\n1 1\n255\n0 0 0")  # ASCII PNM: not binary
+
+
+def test_bmp_decode_external_cross_checked():
+    """32-bpp BI_BITFIELDS BMP (V5 header) from an external writer (CPython
+    stdlib test data, PSF-licensed): RGB must equal the PPM byte-slice
+    oracle and alpha the TIFF fixture's — three independent containers of
+    one image, through three unrelated decode paths. Plus handcrafted
+    24-bpp BI_RGB rows (bottom-up, padded stride) and the loud gates."""
+    import hashlib
+    import struct as st
+
+    gold = os.path.join(os.path.dirname(__file__), "golden")
+    b = open(os.path.join(gold, "external_writer_rgba.bmp"), "rb").read()
+    assert hashlib.sha256(b).hexdigest().startswith("410c26b109ce9d32")
+    assert codecs.sniff_fmt(b) == "bmp"
+    arr = codecs.decode_image(b, "bmp")
+    assert arr.shape == (16, 16, 4)
+    ppm = open(os.path.join(gold, "external_writer_rgb.ppm"), "rb").read()
+    assert np.array_equal(arr[:, :, :3], np.frombuffer(ppm[13:], np.uint8).reshape(16, 16, 3))
+    tif = open(os.path.join(gold, "external_writer_rgba.tiff"), "rb").read()
+    alpha = np.frombuffer(tif[8 : 8 + 1024], np.uint8).reshape(16, 16, 4)[:, :, 3]
+    assert np.array_equal(arr[:, :, 3], alpha)
+    # handcrafted 24-bpp BI_RGB, 3x2, bottom-up, stride padded 9 -> 12
+    px = np.arange(18, dtype=np.uint8).reshape(2, 3, 3)  # RGB rows
+    rows = b""
+    for r in (1, 0):  # bottom-up storage
+        rows += px[r][:, ::-1].tobytes() + b"\x00\x00\x00"  # RGB -> BGR + pad
+    hdr = b"BM" + st.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+    hdr += st.pack("<IiiHHIIiiII", 40, 3, 2, 1, 24, 0, len(rows), 0, 0, 0, 0)
+    out = codecs.decode_bmp(hdr + rows)
+    assert np.array_equal(out, px)
+    with pytest.raises(ValueError, match="bpp"):
+        bad = bytearray(hdr + rows)
+        bad[28] = 4  # bpp field
+        codecs.decode_bmp(bytes(bad))
+    with pytest.raises(ValueError, match="compression"):
+        bad = bytearray(hdr + rows)
+        bad[30] = 1  # BI_RLE8
+        codecs.decode_bmp(bytes(bad))

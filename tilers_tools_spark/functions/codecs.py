@@ -259,6 +259,59 @@ def decode_pnm(data: bytes) -> np.ndarray:
     return arr[:, :, 0] if ch == 1 else arr
 
 
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Windows BMP (GDAL's BMP driver subset modern writers emit): BITMAP
+    INFO/V4/V5 headers, 8-bit palette / 24-bit BGR / 32-bit BGR(A) pixels,
+    BI_RGB or BI_BITFIELDS (byte-aligned masks), bottom-up or top-down
+    rows, 4-byte row padding. RLE / 1-4 bpp / non-byte masks fail loudly."""
+    import struct as st
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP (BM magic missing)")
+    data_ofs = st.unpack("<I", data[10:14])[0]
+    hsz = st.unpack("<I", data[14:18])[0]
+    if hsz < 40:
+        raise ValueError(f"BMP core header {hsz} unsupported (need BITMAPINFOHEADER+)")
+    w, hh, _planes, bpp, comp = st.unpack("<iiHHI", data[18:34])
+    top_down = hh < 0
+    h = -hh if top_down else hh
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"BMP {bpp}-bpp unsupported (8/24/32 only)")
+    if comp == 3 and bpp == 32:
+        # byte-aligned BI_BITFIELDS only: map each mask to its byte lane
+        masks = st.unpack("<III", data[54:66]) if hsz >= 52 else (0xFF0000, 0xFF00, 0xFF)
+        amask = st.unpack("<I", data[66:70])[0] if hsz >= 56 else 0
+        lanes = []
+        for m in (*masks, amask):
+            if m == 0:
+                lanes.append(None)
+                continue
+            if m not in (0xFF, 0xFF00, 0xFF0000, 0xFF000000):
+                raise ValueError(f"BMP bitfield mask {m:#x} not byte-aligned")
+            lanes.append({0xFF: 0, 0xFF00: 1, 0xFF0000: 2, 0xFF000000: 3}[m])
+    elif comp == 0:
+        lanes = [2, 1, 0, 3 if bpp == 32 else None]  # BGR(A) order
+    else:
+        raise ValueError(f"BMP compression {comp} unsupported (BI_RGB/byte BI_BITFIELDS)")
+    stride = (w * (bpp // 8) + 3) // 4 * 4
+    if len(data) < data_ofs + stride * h:
+        raise ValueError("truncated BMP raster")
+    rows = np.frombuffer(data[data_ofs : data_ofs + stride * h], dtype=np.uint8)
+    px = rows.reshape(h, stride)[:, : w * (bpp // 8)].reshape(h, w, bpp // 8)
+    if not top_down:
+        px = px[::-1]
+    if bpp == 8:
+        # palette: BGRX quads between the header and the pixel data
+        pal_ofs = 14 + hsz
+        npal = (data_ofs - pal_ofs) // 4
+        pal = np.frombuffer(data[pal_ofs : pal_ofs + 4 * npal], dtype=np.uint8).reshape(-1, 4)
+        return pal[px[:, :, 0]][:, :, [2, 1, 0]]  # BGRX -> RGB
+    r, g, b = px[:, :, lanes[0]], px[:, :, lanes[1]], px[:, :, lanes[2]]
+    if bpp == 32 and lanes[3] is not None:
+        return np.ascontiguousarray(np.dstack([r, g, b, px[:, :, lanes[3]]]))
+    return np.ascontiguousarray(np.dstack([r, g, b]))
+
+
 def sniff_fmt(data: bytes) -> str:
     """Container sniff by magic bytes: 'png' | 'raw' | 'jpeg'. Lets tile
     operators (cutline, re-encode) accept tile sets from any render path
@@ -278,7 +331,9 @@ def sniff_fmt(data: bytes) -> str:
         return "webp"
     if data[:2] in (b"P5", b"P6") and len(data) > 2 and data[2:3].isspace():
         return "pnm"
-    raise ValueError("unknown tile container (no PNG/RAW1/JPEG/TIFF/WEBP/PNM magic)")
+    if data[:2] == b"BM":
+        return "bmp"
+    raise ValueError("unknown tile container (no PNG/RAW1/JPEG/TIFF/WEBP/PNM/BMP magic)")
 
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
@@ -301,6 +356,8 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         return webpcodec.decode_webp(data)
     if fmt == "pnm":
         return decode_pnm(data)
+    if fmt == "bmp":
+        return decode_bmp(data)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
