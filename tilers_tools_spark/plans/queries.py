@@ -3006,6 +3006,96 @@ def _worldfile_sql() -> str:
 SQL_WORLDFILE_GEOREF = _worldfile_sql()
 
 
+# ESRI ASCII grid fixtures over the shared analytic DEM surfaces:
+# (image_id, surface, holes [(r,c) -> NODATA], spelling, prj). Spellings:
+# corner | center (xll/yllcenter) | dxdy (GDAL's dx/dy pair, NODATA line
+# dropped to pin the optional-key path) | aniso (dx != dy -> reject) |
+# truncated (value-count mismatch -> reject). All grids anchor at
+# mx0=0 / my1=1e5 like the GeoTIFF DEM fixtures.
+_AAIGRID_SPECS = [
+    ("plane_corner", "plane", [(0, 0), (3, 5), (7, 2)], "corner", _WORLD_PRJ["ok_wkt"]),
+    ("wave_center", "wave", [(1, 1)], "center", _WORLD_PRJ["ok_epsg"]),
+    ("flat_dxdy", "flat", [], "dxdy", _WORLD_PRJ["ok_name"]),
+    ("plane_utm_prj", "plane", [], "corner", _WORLD_PRJ["utm_prj"]),
+    ("bad_aniso", "flat", [], "aniso", _WORLD_PRJ["ok_epsg"]),
+    ("bad_truncated", "plane", [], "truncated", _WORLD_PRJ["ok_epsg"]),
+]
+
+
+def _aaigrid_holed(surface: str, holes) -> "np.ndarray":
+    """Shared engine/golden fixture surface: analytic DEM as float64 with
+    NaN punched at the hole cells (encode renders NaN as NODATA_value)."""
+    (h, w, _gsd) = next((hh, ww, g) for n, hh, ww, g in _DEM_SPECS if n == surface)
+    a = _dem_surface(surface, h, w).astype(np.float64)
+    for r, c in holes:
+        a[r, c] = np.nan
+    return a
+
+
+def _aaigrid_text(image_id: str) -> str:
+    from ..functions import aaigrid
+
+    _iid, surface, holes, spelling, _prj = next(
+        s for s in _AAIGRID_SPECS if s[0] == image_id
+    )
+    gsd = next(g for n, _h, _w, g in _DEM_SPECS if n == surface)
+    a = _aaigrid_holed(surface, holes)
+    yll = 1.0e5 - a.shape[0] * gsd
+    text = aaigrid.encode_aaigrid(
+        a, xll=0.0, yll=yll, cellsize=gsd, centered=(spelling == "center")
+    ).decode("ascii")
+    if spelling in ("dxdy", "aniso"):
+        dy = gsd * (2.0 if spelling == "aniso" else 1.0)
+        text = text.replace(f"cellsize {gsd!r}", f"dx {gsd!r}\ndy {dy!r}")
+        if spelling == "dxdy":
+            text = "\n".join(
+                ln for ln in text.split("\n") if not ln.startswith("NODATA_value")
+            )
+    elif spelling == "truncated":
+        text = text.rstrip("\n ").rsplit(" ", 1)[0] + "\n"
+    return text
+
+
+def q_aaigrid_ingest(spark, sf_dir):
+    """ESRI ASCII grid input driver (the GDAL AAIGrid format;
+    functions/aaigrid.py): text DEMs -> per-grid scan stats (dims,
+    NODATA count, min/max/sum, float64-bytes md5) + the north-up georef
+    gated on an EPSG:3857 .prj (same auditable-NaN CRS policy as the
+    world-file and GeoKey drivers). Covers corner/center anchors, the
+    dx/dy spelling, the optional-NODATA path, and the two loud rejects
+    (anisotropic dx!=dy, value-count mismatch) as -1/'' sentinel rows.
+    The golden recomputes stats DIRECTLY from the analytic surfaces +
+    hole masks — it never parses grid text — so a tokenizer, anchor-
+    shift, or NODATA defect moves the md5/stats and fails the gate."""
+    from ..functions.aaigrid import aaigrid_scan_udf
+
+    rows = [(iid, _aaigrid_text(iid), prj) for iid, _s, _h, _sp, prj in _AAIGRID_SPECS]
+    df = spark.createDataFrame(rows, "image_id string, asc string, prj string")
+    g = df.withColumn("g", aaigrid_scan_udf()(F.col("asc"), F.col("prj")))
+
+    def dsent(cname):
+        col = F.col(f"g.{cname}")
+        return F.when(F.isnull(col) | F.isnan(col), F.lit(-1.0)).otherwise(col).alias(cname)
+
+    def lsent(cname):
+        col = F.col(f"g.{cname}")
+        return F.coalesce(col, F.lit(-1).cast("long")).alias(cname)
+
+    return g.select(
+        "image_id",
+        lsent("ncols"),
+        lsent("nrows"),
+        lsent("n_nodata"),
+        dsent("gsd"),
+        dsent("mx0"),
+        dsent("my1"),
+        dsent("zmin"),
+        dsent("zmax"),
+        dsent("zsum"),
+        F.coalesce(F.col("g.grid_md5"), F.lit("")).alias("grid_md5"),
+    )
+
+
 # (image_id, w, h, bands, bits, tile, compression) — sizes deliberately NOT
 # multiples of the tile size so edge-tile padding/cropping is exercised
 _GEOTIFF_TILED_SPECS = [
@@ -3475,6 +3565,7 @@ QUERIES: dict = {
     # GeoTIFF ingestion (analytic oracle; decode pinned vs handcrafted bytes)
     "geotiff_georef": (q_geotiff_georef, SQL_GEOTIFF_GEOREF),
     "worldfile_georef": (q_worldfile_georef, SQL_WORLDFILE_GEOREF),
+    "aaigrid_ingest": (q_aaigrid_ingest, _golden("aaigrid_ingest")),
     "geotiff_tiled_decode": (q_geotiff_tiled_decode, SQL_GEOTIFF_TILED),
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),

@@ -2602,7 +2602,54 @@ def g_audio_frames(frames: int = 8):
     )
 
 
+def g_aaigrid_ingest():
+    # FULLY text-independent: recomputes every stat from the analytic DEM
+    # surfaces + literal hole masks (shared fixture helper _aaigrid_holed —
+    # plain numpy, no parsing) and the extent arithmetic (mx0=0, my1=1e5 by
+    # construction). The engine path round-trips float64 -> repr() text ->
+    # tokenizer -> float64, so any tokenizer / anchor-shift / NODATA /
+    # dx-dy defect moves the md5 or a stat and fails the gate. Reject
+    # variants (aniso, truncated) and the non-3857-prj georef are pinned
+    # to the documented sentinels here, not recomputed.
+    import hashlib
+
+    from tilers_tools_spark.plans.queries import _AAIGRID_SPECS, _DEM_SPECS, _aaigrid_holed
+
+    rows = []
+    for iid, surface, holes, spelling, _prj in _AAIGRID_SPECS:
+        if spelling in ("aniso", "truncated"):
+            rows.append([iid, -1, -1, -1, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, ""])
+            continue
+        gsd = next(g for n, _h, _w, g in _DEM_SPECS if n == surface)
+        a = _aaigrid_holed(surface, holes)
+        ok_prj = iid != "plane_utm_prj"
+        rows.append(
+            [
+                iid,
+                int(a.shape[1]),
+                int(a.shape[0]),
+                len(holes),
+                float(gsd) if ok_prj else -1.0,
+                0.0 if ok_prj else -1.0,
+                1.0e5 if ok_prj else -1.0,
+                float(np.nanmin(a)),
+                float(np.nanmax(a)),
+                float(np.nansum(a)),
+                hashlib.md5(a.tobytes()).hexdigest(),
+            ]
+        )
+    save(
+        "aaigrid_ingest",
+        ["image_id", "ncols", "nrows", "n_nodata", "gsd", "mx0", "my1",
+         "zmin", "zmax", "zsum", "grid_md5"],
+        ["str", "int64", "int64", "int64", "float64", "float64", "float64",
+         "float64", "float64", "float64", "str"],
+        rows,
+    )
+
+
 GENERATORS = {
+    "aaigrid_ingest": g_aaigrid_ingest,
     "h3_s2_assign": g_h3_s2_assign,
     "h3_rollup": g_h3_rollup,
     "simhash": g_simhash,
