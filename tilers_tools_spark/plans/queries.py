@@ -3096,6 +3096,88 @@ def q_aaigrid_ingest(spark, sf_dir):
     )
 
 
+# SRTM .hgt fixtures: (image_id/file name, surface, voids [(r,c)]).
+# Published SRTM3 size 1201x1201; the third name pins case-insensitive
+# bare-stem parsing, the last three are the loud rejects (bad name,
+# out-of-range corner, truncated bytes).
+_HGT_N = 1201
+_HGT_SPECS = [
+    ("N34W119.hgt", "ramp", []),
+    ("S02E010.hgt", "wave", [(0, 0), (600, 600), (1200, 1)]),
+    ("n00e000", "flat", []),
+    ("badname.hgt", "flat", []),
+    ("N91W000.hgt", "flat", []),
+    ("N10E020.hgt", "truncated", []),
+]
+
+
+def _hgt_surface(name: str, n: int = _HGT_N) -> "np.ndarray":
+    """Analytic int16-quantized elevation surfaces (float64 values that
+    are exactly representable as int16, so encode->decode is identity and
+    the golden can recompute them without touching .hgt bytes)."""
+    r = np.arange(n, dtype=np.float64)[:, None]
+    c = np.arange(n, dtype=np.float64)[None, :]
+    if name == "ramp":
+        s = (r + 2.0 * c) % 4000.0 - 1000.0
+    elif name in ("wave", "truncated"):
+        s = np.round(1500.0 * np.sin(r / 97.0) + 900.0 * np.cos(c / 53.0))
+    else:
+        s = np.full((n, n), 123.0)
+    # int16 round-trip quantization (also canonicalizes -0.0 -> 0.0)
+    return s.astype(np.int16).astype(np.float64)
+
+
+def _hgt_holed(surface: str, voids) -> "np.ndarray":
+    a = _hgt_surface(surface)
+    for r, c in voids:
+        a[r, c] = np.nan
+    return a
+
+
+def q_hgt_ingest(spark, sf_dir):
+    """SRTM .hgt input driver (the GDAL SRTMHGT format;
+    functions/hgt.py): headerless big-endian int16 1201x1201 tiles with
+    filename-encoded EPSG:4326 georef -> per-tile scan stats (void
+    count, min/max/sum, float64-bytes md5) + SW corner and the
+    edge-inclusive 1/(n-1) degree step. Voids (-32768) become NaN.
+    Rejects (non-SRTM name, out-of-range corner, truncated raster) are
+    -1/'' sentinel rows. The golden recomputes everything DIRECTLY from
+    the analytic int16-quantized surfaces + literal void masks — it
+    never reads .hgt bytes — so a byte-order, void, or name-parse defect
+    moves the md5/stats and fails the gate."""
+    from ..functions import hgt
+
+    rows = []
+    for iid, surface, voids in _HGT_SPECS:
+        blob = hgt.encode_hgt(_hgt_holed(surface, voids))
+        if surface == "truncated":
+            blob = blob[: len(blob) // 2 + 1]
+        rows.append((iid, bytearray(blob)))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary")
+    g = df.withColumn("g", hgt.hgt_scan_udf()(F.col("image_id"), F.col("bytes")))
+
+    def dsent(cname):
+        col = F.col(f"g.{cname}")
+        return F.when(F.isnull(col) | F.isnan(col), F.lit(-1.0)).otherwise(col).alias(cname)
+
+    def lsent(cname):
+        col = F.col(f"g.{cname}")
+        return F.coalesce(col, F.lit(-1).cast("long")).alias(cname)
+
+    return g.select(
+        "image_id",
+        lsent("n"),
+        lsent("n_void"),
+        dsent("lat0"),
+        dsent("lon0"),
+        dsent("step_deg"),
+        dsent("zmin"),
+        dsent("zmax"),
+        dsent("zsum"),
+        F.coalesce(F.col("g.grid_md5"), F.lit("")).alias("grid_md5"),
+    )
+
+
 # (image_id, w, h, bands, bits, tile, compression) — sizes deliberately NOT
 # multiples of the tile size so edge-tile padding/cropping is exercised
 _GEOTIFF_TILED_SPECS = [
@@ -3566,6 +3648,7 @@ QUERIES: dict = {
     "geotiff_georef": (q_geotiff_georef, SQL_GEOTIFF_GEOREF),
     "worldfile_georef": (q_worldfile_georef, SQL_WORLDFILE_GEOREF),
     "aaigrid_ingest": (q_aaigrid_ingest, _golden("aaigrid_ingest")),
+    "hgt_ingest": (q_hgt_ingest, _golden("hgt_ingest")),
     "geotiff_tiled_decode": (q_geotiff_tiled_decode, SQL_GEOTIFF_TILED),
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),

@@ -2648,8 +2648,51 @@ def g_aaigrid_ingest():
     )
 
 
+def g_hgt_ingest():
+    # Text/bytes-independent like g_aaigrid_ingest: stats, md5 and the
+    # filename georef are recomputed from the analytic int16-quantized
+    # surfaces + literal void masks and the literal tile corners; the
+    # engine path round-trips float64 -> big-endian int16 -> float64, so
+    # any byte-order / void-marker / name-parse defect fails the gate.
+    import hashlib
+
+    from tilers_tools_spark.plans.queries import _HGT_N, _HGT_SPECS, _hgt_holed
+
+    corners = {"N34W119.hgt": (34.0, -119.0), "S02E010.hgt": (-2.0, 10.0), "n00e000": (0.0, 0.0)}
+    rows = []
+    for iid, surface, voids in _HGT_SPECS:
+        if iid not in corners or surface == "truncated":
+            rows.append([iid, -1, -1, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, ""])
+            continue
+        a = _hgt_holed(surface, voids)
+        lat0, lon0 = corners[iid]
+        rows.append(
+            [
+                iid,
+                _HGT_N,
+                len(voids),
+                lat0,
+                lon0,
+                1.0 / (_HGT_N - 1),
+                float(np.nanmin(a)),
+                float(np.nanmax(a)),
+                float(np.nansum(a)),
+                hashlib.md5(a.tobytes()).hexdigest(),
+            ]
+        )
+    save(
+        "hgt_ingest",
+        ["image_id", "n", "n_void", "lat0", "lon0", "step_deg",
+         "zmin", "zmax", "zsum", "grid_md5"],
+        ["str", "int64", "int64", "float64", "float64", "float64",
+         "float64", "float64", "float64", "str"],
+        rows,
+    )
+
+
 GENERATORS = {
     "aaigrid_ingest": g_aaigrid_ingest,
+    "hgt_ingest": g_hgt_ingest,
     "h3_s2_assign": g_h3_s2_assign,
     "h3_rollup": g_h3_rollup,
     "simhash": g_simhash,
