@@ -77,7 +77,7 @@ def main():
             out_fmt = args.src_fmt_blob
     # sniff_fmt can return png/jpeg/raw/tiff/webp — name files for what the
     # blobs actually are (a TIFF blob in a *.png file breaks consumers)
-    ext = {"jpeg": "jpg", "raw": "raw", "tiff": "tif", "webp": "webp", "pnm": "pnm", "bmp": "bmp"}.get(out_fmt, "png")
+    ext = {"jpeg": "jpg", "raw": "raw", "tiff": "tif", "webp": "webp", "pnm": "pnm", "bmp": "bmp", "gif": "gif"}.get(out_fmt, "png")
     if args.dst_format == "dir":
         tileset.write_tileset_dir(tiles, args.dst, scheme=args.dst_scheme, ext=ext)
         tileset.write_tilemap_xml(tiles, args.dst, title=args.name, ext=ext)

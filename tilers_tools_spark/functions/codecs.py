@@ -333,7 +333,9 @@ def sniff_fmt(data: bytes) -> str:
         return "pnm"
     if data[:2] == b"BM":
         return "bmp"
-    raise ValueError("unknown tile container (no PNG/RAW1/JPEG/TIFF/WEBP/PNM/BMP magic)")
+    if data[:4] == b"GIF8":
+        return "gif"
+    raise ValueError("unknown tile container (no PNG/RAW1/JPEG/TIFF/WEBP/PNM/BMP/GIF magic)")
 
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
@@ -358,6 +360,10 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
         return decode_pnm(data)
     if fmt == "bmp":
         return decode_bmp(data)
+    if fmt == "gif":
+        from . import gifcodec
+
+        return gifcodec.decode_gif(data)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

@@ -682,6 +682,71 @@ def q_webp_roundtrip(spark, sf_dir):
     return multimodal.codec_roundtrip(images, codec="webp")
 
 
+# GIF ingest fixtures: deterministic paletted arrays (pure numpy — the
+# golden rebuilds expected RGBA from THESE, never from GIF bytes) plus a
+# hand-packed spec-bytes row (LSB-first LZW codes [clear,1,6,eoi] -> the
+# KwKwK case -> pixels [1,1,1]; same bytes pinned in tests/test_gifcodec.py).
+_GIF_SPECS = ["gif_plain", "gif_interlaced", "gif_transparent", "gif_handcrafted"]
+_GIF_HANDCRAFTED = (
+    b"GIF89a\x03\x00\x01\x00\x81\x00\x00"
+    + bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 200, 210, 220])
+    + b"\x2c\x00\x00\x00\x00\x03\x00\x01\x00\x00\x02\x02\x8c\x0b\x00\x3b"
+)
+
+
+def _gif_fixture_arrays(iid: str):
+    """(idx, palette, transparent_index|None, interlaced) — deterministic."""
+    rng = np.random.default_rng(sum(iid.encode()))
+    if iid == "gif_plain":
+        pal = rng.integers(0, 256, (6, 3), dtype=np.uint8)
+        return rng.integers(0, 6, (17, 33), dtype=np.uint8), pal, None, False
+    if iid == "gif_interlaced":
+        pal = rng.integers(0, 256, (200, 3), dtype=np.uint8)
+        return rng.integers(0, 200, (21, 21), dtype=np.uint8), pal, None, True
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    return rng.integers(0, 8, (9, 14), dtype=np.uint8), pal, 3, False
+
+
+def _gif_fixture_rgba(iid: str) -> "np.ndarray":
+    """Expected RGBA straight from the palette/index arrays (no GIF code)."""
+    if iid == "gif_handcrafted":
+        return np.tile(np.array([40, 50, 60, 255], np.uint8), (1, 3, 1))
+    idx, pal, transparent, _il = _gif_fixture_arrays(iid)
+    alpha = (
+        np.where(idx == transparent, 0, 255)
+        if transparent is not None
+        else np.full(idx.shape, 255)
+    ).astype(np.uint8)
+    return np.dstack([pal[idx], alpha])
+
+
+def q_gif_ingest(spark, sf_dir):
+    """GIF input driver gate (functions/gifcodec.py through
+    operators/multimodal.codec_roundtrip): paletted GIF fixtures —
+    plain, interlaced (the 8/8/4/2 four-pass order), transparent-index
+    (binary alpha), and a HAND-PACKED spec-bytes frame — decode in
+    executors, re-encode lossless PNG, decode back. The golden rebuilds
+    px_md5/w/h from the palette/index arrays directly (no GIF code in
+    the expected box) and pins rt_md5 == px_md5, container == 'png',
+    roundtrip_ok — so an LZW width-schedule, interlace-permutation, or
+    transparency defect moves px_md5 and fails the gate."""
+    from ..functions import gifcodec
+    from ..operators import multimodal
+
+    rows = []
+    for iid in _GIF_SPECS:
+        if iid == "gif_handcrafted":
+            blob = _GIF_HANDCRAFTED
+        else:
+            idx, pal, transparent, interlaced = _gif_fixture_arrays(iid)
+            blob = gifcodec.encode_gif(
+                idx, palette=pal, transparent=transparent, interlaced=interlaced
+            )
+        rows.append((iid, bytearray(blob), "gif"))
+    images = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    return multimodal.codec_roundtrip(images, codec="png")
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Random embeddings contain no true near-dups, so plant perturbed
     copies of the first 4 vectors (vec_id + 1000000, every component
@@ -3649,6 +3714,7 @@ QUERIES: dict = {
     "worldfile_georef": (q_worldfile_georef, SQL_WORLDFILE_GEOREF),
     "aaigrid_ingest": (q_aaigrid_ingest, _golden("aaigrid_ingest")),
     "hgt_ingest": (q_hgt_ingest, _golden("hgt_ingest")),
+    "gif_ingest": (q_gif_ingest, _golden("gif_ingest")),
     "geotiff_tiled_decode": (q_geotiff_tiled_decode, SQL_GEOTIFF_TILED),
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),

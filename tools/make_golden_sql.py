@@ -2690,9 +2690,34 @@ def g_hgt_ingest():
     )
 
 
+def g_gif_ingest():
+    # INDEPENDENCE: expected px_md5/w/h come straight from the fixture
+    # palette/index arrays (and the hand-derived literal for the
+    # hand-packed spec-bytes frame) — no GIF code in the expected box;
+    # rt_md5 is pinned EQUAL to px_md5 (lossless PNG re-encode) and
+    # container to the literal 'png'. The GIF-LZW bit layout is anchored
+    # by the handcrafted KATs in tests/test_gifcodec.py.
+    import hashlib
+
+    from tilers_tools_spark.plans.queries import _GIF_SPECS, _gif_fixture_rgba
+
+    rows = []
+    for iid in _GIF_SPECS:
+        rgba = _gif_fixture_rgba(iid)
+        md5 = hashlib.md5(rgba.tobytes()).hexdigest()
+        rows.append([iid, rgba.shape[1], rgba.shape[0], md5, md5, "png", True])
+    save(
+        "gif_ingest",
+        ["image_id", "w", "h", "px_md5", "rt_md5", "container", "roundtrip_ok"],
+        ["str", "int32", "int32", "str", "str", "str", "bool"],
+        rows,
+    )
+
+
 GENERATORS = {
     "aaigrid_ingest": g_aaigrid_ingest,
     "hgt_ingest": g_hgt_ingest,
+    "gif_ingest": g_gif_ingest,
     "h3_s2_assign": g_h3_s2_assign,
     "h3_rollup": g_h3_rollup,
     "simhash": g_simhash,
