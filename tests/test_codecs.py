@@ -215,3 +215,22 @@ def test_bmp_decode_external_cross_checked():
         bad = bytearray(hdr + rows)
         bad[30] = 1  # BI_RLE8
         codecs.decode_bmp(bytes(bad))
+
+
+def test_bmp_encode_roundtrip_and_external_cross():
+    rng = np.random.default_rng(5)
+    rgba = rng.integers(0, 256, (7, 5, 4), dtype=np.uint8)
+    blob = codecs.encode_bmp(rgba)
+    assert codecs.sniff_fmt(blob) == "bmp"
+    assert np.array_equal(codecs.decode_bmp(blob), rgba)
+    rgb = rng.integers(0, 256, (6, 9, 3), dtype=np.uint8)  # odd stride pad
+    assert np.array_equal(codecs.decode_bmp(codecs.encode_bmp(rgb)), rgb)
+    gray = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    out = codecs.decode_bmp(codecs.encode_bmp(gray))  # palette expansion
+    assert np.array_equal(out, np.repeat(gray[:, :, None], 3, axis=2))
+    # re-encoding the external-writer image must round-trip bit-exact
+    gold = os.path.join(os.path.dirname(__file__), "golden")
+    ext = codecs.decode_bmp(open(os.path.join(gold, "external_writer_rgba.bmp"), "rb").read())
+    assert np.array_equal(codecs.decode_bmp(codecs.encode_bmp(ext)), ext)
+    with pytest.raises(ValueError, match="gray/RGB/RGBA"):
+        codecs.encode_bmp(np.zeros((2, 2, 2), np.uint8))

@@ -107,6 +107,12 @@ def test_transcode_roundtrip(tiles_df):
         i = blob.find(b"\xff\xc0")
         assert blob[i + 11] == 0x22  # SOF luma sampling byte
         assert jpegcodec.decode_jpeg(blob).shape == (8, 8, 3)
+    # bmp target: 32-bpp BI_BITFIELDS, lossless vs the png source
+    src = {r["x"]: codecs.decode_png(bytes(r["tile"])) for r in tiles_df.limit(5).collect()}
+    for r in convert.transcode(tiles_df.limit(5), "png", "bmp").collect():
+        blob = bytes(r["tile"])
+        assert codecs.sniff_fmt(blob) == "bmp"
+        assert np.array_equal(codecs.decode_bmp(blob), codecs.to_rgba(src[r["x"]]))
 
 
 def test_merge_overlay(spark, tiles_df):

@@ -312,6 +312,50 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return np.ascontiguousarray(np.dstack([r, g, b]))
 
 
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """Windows BMP writer, the inverse subset of decode_bmp: gray [h,w]
+    -> 8-bpp with a 256-entry gray palette, RGB [h,w,3] -> 24-bpp BI_RGB,
+    RGBA [h,w,4] -> 32-bpp BI_BITFIELDS (BITMAPV4HEADER, the standard
+    byte-lane masks B=0xFF G=0xFF00 R=0xFF0000 A=0xFF000000). Bottom-up
+    rows, 4-byte-padded stride. decode_bmp(encode_bmp(a)) is identity
+    for RGB/RGBA; gray decodes back through the palette as its RGB
+    expansion (BMP has no native gray pixel format)."""
+    import struct as st
+
+    a = np.asarray(arr, dtype=np.uint8)
+    ch = 1 if a.ndim == 2 else a.shape[2]
+    if a.ndim not in (2, 3) or ch not in (1, 3, 4):
+        raise ValueError(f"BMP encoder needs gray/RGB/RGBA, got shape {a.shape}")
+    h, w = a.shape[:2]
+    if ch == 1:
+        px = a.reshape(h, w, 1)
+        pal = bytes(bytearray(v for g in range(256) for v in (g, g, g, 0)))
+    elif ch == 3:
+        px = a[:, :, ::-1]  # RGB -> BGR
+        pal = b""
+    else:
+        px = a[:, :, [2, 1, 0, 3]]  # RGBA -> BGRA
+        pal = b""
+    stride = (w * ch + 3) // 4 * 4
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * ch] = px.reshape(h, w * ch)
+    raster = rows[::-1].tobytes()  # bottom-up storage
+    if ch == 4:
+        # BITMAPV4HEADER: size 108, BI_BITFIELDS masks + sRGB colorspace
+        info = st.pack(
+            "<IiiHHIIiiII4I", 108, w, h, 1, 32, 3, len(raster), 2835, 2835, 0, 0,
+            0x00FF0000, 0x0000FF00, 0x000000FF, 0xFF000000,
+        ) + st.pack("<I", 0x73524742) + bytes(48)  # LCS_sRGB
+    else:
+        info = st.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 8 * ch, 0, len(raster), 2835, 2835,
+            256 if ch == 1 else 0, 0,
+        )
+    data_ofs = 14 + len(info) + len(pal)
+    hdr = b"BM" + st.pack("<IHHI", data_ofs + len(raster), 0, 0, data_ofs)
+    return hdr + info + pal + raster
+
+
 def sniff_fmt(data: bytes) -> str:
     """Container sniff by magic bytes: 'png' | 'raw' | 'jpeg'. Lets tile
     operators (cutline, re-encode) accept tile sets from any render path

@@ -302,6 +302,8 @@ def transcode(
                     from ..functions import webpcodec
 
                     out.append(webpcodec.encode_webp(arr))
+                elif dst_fmt == "bmp":
+                    out.append(codecs.encode_bmp(arr))
                 else:
                     raise ValueError(dst_fmt)
             res = pdf.copy()
