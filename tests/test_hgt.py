@@ -51,6 +51,30 @@ def test_name_parse_and_georef():
             hgt.parse_hgt_name(bad)
 
 
+def test_hgt_feeds_reproject_4326():
+    # orientation contract: hgt row 0 is the NORTH edge, which is exactly
+    # reproject_4326_np's lat1 top-left convention — a row-index surface
+    # must land with small values at the top of the mercator grid
+    import math
+
+    from tilers_tools_spark.operators.translate import _R, reproject_4326_np
+
+    n = 41
+    surf = np.tile(np.arange(n, dtype=np.float64)[:, None], (1, n))
+    arr = hgt.decode_hgt(hgt.encode_hgt(surf), any_square=True)
+    g = hgt.hgt_georef("N34W119.hgt", n)
+    out, geo = reproject_4326_np(
+        arr, g["lon0"], g["lat1"], g["step_deg"], resample="nearest"
+    )
+    assert geo["epsg"] == 3857
+    assert geo["mx0"] == _R * math.radians(-119.0)
+    assert out[0].max() <= 1.0 and out[-1].min() >= n - 2.0
+    # monotone north->south (non-strict: nearest duplicates source rows
+    # where the mercator grid oversamples)
+    means = out.mean(axis=1)
+    assert (np.diff(means) >= 0).all() and means[-1] > means[0]
+
+
 def test_loud_rejects():
     with pytest.raises(ValueError, match="odd"):
         hgt.decode_hgt(b"\x00\x01\x02")
