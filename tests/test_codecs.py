@@ -217,6 +217,50 @@ def test_bmp_decode_external_cross_checked():
         codecs.decode_bmp(bytes(bad))
 
 
+def test_png_sub8bit_and_16bit_decode():
+    """Hand-packed scanlines (filter 0, MSB-first bit packing written out
+    by hand) through hand-built chunks — independent of the repo encoder,
+    which never emits these depths."""
+    import struct
+    import zlib as _z
+
+    def png(w, h, depth, ct, scanlines, extra=b""):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ct, 0, 0, 0)
+        return (
+            codecs.PNG_SIG
+            + codecs._chunk(b"IHDR", ihdr)
+            + extra
+            + codecs._chunk(b"IDAT", _z.compress(scanlines))
+            + codecs._chunk(b"IEND", b"")
+        )
+
+    # 4-bit palette, 3x2: indices (1,2,3 / 0,2,1) pack MSB-first to
+    # 0x12 0x30 / 0x02 0x10 (low nibble of the last byte is row padding)
+    pal = np.array([[9, 9, 9], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    plte = codecs._chunk(b"PLTE", pal.tobytes())
+    arr = codecs.decode_png(png(3, 2, 4, 3, b"\x00\x12\x30\x00\x02\x10", plte))
+    assert np.array_equal(arr, pal[np.array([[1, 2, 3], [0, 2, 1]])])
+    # 1-bit gray, 10x1: bits 1010101010 -> bytes 0xAA 0x80; scale 0/255
+    g1 = codecs.decode_png(png(10, 1, 1, 0, b"\x00\xaa\x80"))
+    assert np.array_equal(g1[:, :, 0], np.tile([255, 0], 5)[None, :])
+    # 2-bit gray, 5x1: values 0,1,2,3,2 -> 00 01 10 11 | 10 000000 ->
+    # 0x1b 0x80; scale factor 85
+    g2 = codecs.decode_png(png(5, 1, 2, 0, b"\x00\x1b\x80"))
+    assert np.array_equal(g2[:, :, 0], [[0, 85, 170, 255, 170]])
+    # 16-bit gray, 2x1: samples 0x1234, 0xff01 -> high bytes 0x12, 0xff
+    g16 = codecs.decode_png(png(2, 1, 16, 0, b"\x00\x12\x34\xff\x01"))
+    assert np.array_equal(g16[:, :, 0], [[0x12, 0xFF]])
+    # 16-bit RGB, 1x1 with a Sub filter (bpp=6): payload after filter is
+    # the raw first pixel (no left neighbor), value (0x0102, 0x0304, 0x0506)
+    rgb16 = codecs.decode_png(png(1, 1, 16, 2, b"\x01\x01\x02\x03\x04\x05\x06"))
+    assert np.array_equal(rgb16, [[[0x01, 0x03, 0x05]]])
+    # invalid combos stay loud
+    with pytest.raises(ValueError, match="invalid"):
+        codecs.decode_png(png(1, 1, 4, 2, b"\x00\x00"))
+    with pytest.raises(ValueError, match="invalid"):
+        codecs.decode_png(png(1, 1, 16, 3, b"\x00\x00\x00", plte))
+
+
 def test_bmp_encode_roundtrip_and_external_cross():
     rng = np.random.default_rng(5)
     rgba = rng.integers(0, 256, (7, 5, 4), dtype=np.uint8)

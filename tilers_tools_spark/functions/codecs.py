@@ -8,9 +8,12 @@ for lossless, PSNR>=40dB for lossy).
 
 Formats (FIXTURES.md §4):
 * ``raw``  — header ``b"RAW1" + pack("<HHB", w, h, nband)`` + C-order bytes.
-* ``png``  — 8-bit RGB/RGBA/gray; encoder emits filter 0 on every scanline,
-  one zlib stream, level 6 → byte-deterministic. Decoder handles all five
-  scanline filters + palette, so foreign PNGs also decode.
+* ``png``  — encoder: 8-bit RGB/RGBA/gray, filter 0 (or the Up fast path)
+  on every scanline, one zlib stream, level 6 → byte-deterministic.
+  Decoder additionally handles all five scanline filters, palette + tRNS,
+  sub-8-bit (1/2/4) packed palette/gray rows, and 16-bit samples (high
+  byte), so foreign PNGs — palette-optimized tiles, 16-bit DEM PNGs —
+  also decode.
 * ``jpeg`` — baseline ITU T.81 (see ``jpegcodec.py``, M7).
 """
 
@@ -182,7 +185,13 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes -> uint8 (H,W,C). Supports 8-bit gray/RGB/RGBA/palette."""
+    """PNG bytes -> uint8 (H,W,C). Supports the non-interlaced spec bit
+    depths: 8-bit gray/RGB/RGBA/gray+alpha/palette, sub-8-bit (1/2/4)
+    palette and gray (MSB-first packed, row-padded; gray scales by the
+    exact 255/(2^d-1) factor the PNG spec defines), and 16-bit samples
+    reduced to their high byte (the same documented 16->8 convention as
+    tiffcodec.scale_16bit_to_8bit's floor variant — PNG stores MSB
+    first, so the high byte IS sample >> 8). Adam7 interlace raises."""
     if data[:8] != PNG_SIG:
         raise ValueError("not a PNG")
     pos = 8
@@ -197,8 +206,14 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + ln
         if tag == b"IHDR":
             w, h, bitdepth, color_type, _comp, _filt, interlace = struct.unpack(">IIBBBBB", payload)
-            if bitdepth != 8 or interlace != 0:
-                raise ValueError("only 8-bit non-interlaced PNG supported")
+            if interlace != 0:
+                raise ValueError("Adam7-interlaced PNG unsupported")
+            legal = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                     4: (8, 16), 6: (8, 16)}
+            if color_type not in legal or bitdepth not in legal[color_type]:
+                raise ValueError(
+                    f"PNG color type {color_type} / bit depth {bitdepth} invalid"
+                )
         elif tag == b"PLTE":
             palette = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"tRNS":
@@ -208,10 +223,23 @@ def decode_png(data: bytes) -> np.ndarray:
         elif tag == b"IEND":
             break
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-    stride = w * nch
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    raw = raw.reshape(h, 1 + stride)
-    out = _unfilter(raw, h, stride, nch).reshape(h, w, nch)
+    if bitdepth == 8:
+        stride = w * nch
+        out = _unfilter(raw.reshape(h, 1 + stride), h, stride, nch).reshape(h, w, nch)
+    elif bitdepth == 16:
+        stride = w * nch * 2
+        unf = _unfilter(raw.reshape(h, 1 + stride), h, stride, nch * 2)
+        out = unf.reshape(h, w, nch, 2)[:, :, :, 0]  # big-endian: MSB first
+    else:  # 1/2/4-bit gray or palette: filter unit is one byte (bpp=1)
+        stride = (w * bitdepth + 7) // 8
+        unf = _unfilter(raw.reshape(h, 1 + stride), h, stride, 1)
+        bits = np.unpackbits(unf, axis=1)[:, : w * bitdepth]
+        weights = (1 << np.arange(bitdepth - 1, -1, -1)).astype(np.uint8)
+        idx = (bits.reshape(h, w, bitdepth) * weights).sum(axis=2).astype(np.uint8)
+        if color_type == 0:
+            idx = (idx.astype(np.uint16) * (255 // ((1 << bitdepth) - 1))).astype(np.uint8)
+        out = idx.reshape(h, w, 1)
     if color_type == 3:  # palette -> RGB(A) expand (LUT, SURVEY.md §1.3)
         rgb = palette[out[:, :, 0]]
         if trns is not None:
