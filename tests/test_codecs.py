@@ -209,12 +209,73 @@ def test_bmp_decode_external_cross_checked():
     assert np.array_equal(out, px)
     with pytest.raises(ValueError, match="bpp"):
         bad = bytearray(hdr + rows)
-        bad[28] = 4  # bpp field
+        bad[28] = 16  # bpp field: 16-bpp unsupported
         codecs.decode_bmp(bytes(bad))
     with pytest.raises(ValueError, match="compression"):
         bad = bytearray(hdr + rows)
-        bad[30] = 1  # BI_RLE8
+        bad[30] = 4  # BI_JPEG
         codecs.decode_bmp(bytes(bad))
+
+
+def _bmp_pal(indices_raster, w, h, bpp, comp, pal_rgb, size=None):
+    """Hand-assembled paletted BMP container around a raw raster blob."""
+    import struct as st
+
+    pal = b"".join(bytes([b_, g_, r_, 0]) for r_, g_, b_ in pal_rgb)
+    data_ofs = 54 + len(pal)
+    hdr = b"BM" + st.pack("<IHHI", data_ofs + len(indices_raster), 0, 0, data_ofs)
+    hdr += st.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, comp,
+                   size if size is not None else len(indices_raster), 0, 0, len(pal_rgb), 0)
+    return hdr + pal + indices_raster
+
+
+_PAL4 = [(10, 10, 10), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+
+
+def test_bmp_packed_1_and_4_bpp():
+    # 4-bpp 3x2 bottom-up: display rows (1,2,3 / 0,2,1) store bottom row
+    # first; nibbles pack MSB-first, rows pad to 4 bytes:
+    # stored row0 = 0,2,1 -> 0x02 0x10 + 2 pad; row1 = 1,2,3 -> 0x12 0x30
+    blob = _bmp_pal(b"\x02\x10\x00\x00\x12\x30\x00\x00", 3, 2, 4, 0, _PAL4)
+    exp = np.array(_PAL4, np.uint8)[np.array([[1, 2, 3], [0, 2, 1]])]
+    assert np.array_equal(codecs.decode_bmp(blob), exp)
+    # 1-bpp 10x1: bits 1010101010 -> 0xAA 0x80 + 2 pad
+    blob1 = _bmp_pal(b"\xaa\x80\x00\x00", 10, 1, 1, 0, [(0, 0, 0), (255, 255, 255)])
+    exp1 = np.tile(np.array([[255, 255, 255], [0, 0, 0]], np.uint8), (5, 1)).reshape(1, 10, 3)
+    assert np.array_equal(codecs.decode_bmp(blob1), exp1)
+    with pytest.raises(ValueError, match="outside"):
+        codecs.decode_bmp(_bmp_pal(b"\xf0\x00\x00\x00", 1, 1, 4, 0, _PAL4))
+
+
+def test_bmp_rle8_and_rle4():
+    # RLE8 4x2 bottom-up. Stored row0: absolute-mode 3 pixels [1,1,1]
+    # (odd count -> word pad) + encoded run 1x idx2 + EOL; stored row1:
+    # delta (+1,+0) — the skipped pixel stays index 0 — + run 3x idx3 +
+    # EOB. Display top row = stored row1.
+    rle = bytes([0, 3, 1, 1, 1, 0, 1, 2, 0, 0, 0, 2, 1, 0, 3, 3, 0, 1])
+    blob = _bmp_pal(rle, 4, 2, 8, 1, _PAL4, size=len(rle))
+    pal = np.array(_PAL4, np.uint8)
+    assert np.array_equal(
+        codecs.decode_bmp(blob), pal[np.array([[0, 3, 3, 3], [1, 1, 1, 2]])]
+    )
+    # RLE4 9x1: encoded run 4 of value 0x12 alternates nibbles 1,2,1,2;
+    # absolute 5 pixels packs nibbles 3,1,2,3,1 into 3 bytes (odd -> word
+    # pad); EOB
+    rle4 = bytes([4, 0x12, 0, 5, 0x31, 0x23, 0x10, 0, 0, 1])
+    blob4 = _bmp_pal(rle4, 9, 1, 4, 2, _PAL4, size=len(rle4))
+    assert np.array_equal(
+        codecs.decode_bmp(blob4), pal[np.array([[1, 2, 1, 2, 3, 1, 2, 3, 1]])]
+    )
+    # loud: missing EOB, run overflow, top-down RLE
+    with pytest.raises(ValueError, match="truncated"):
+        codecs.decode_bmp(_bmp_pal(bytes([3, 1]), 4, 2, 8, 1, _PAL4, size=2))
+    with pytest.raises(ValueError, match="overflows"):
+        codecs.decode_bmp(_bmp_pal(bytes([9, 1, 0, 1]), 4, 2, 8, 1, _PAL4, size=4))
+    td = bytearray(_bmp_pal(rle, 4, 2, 8, 1, _PAL4, size=len(rle)))
+    import struct as st
+    td[22:26] = st.pack("<i", -2)  # negative height = top-down
+    with pytest.raises(ValueError, match="top-down"):
+        codecs.decode_bmp(bytes(td))
 
 
 def test_png_sub8bit_and_16bit_decode():

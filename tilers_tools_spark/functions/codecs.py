@@ -287,11 +287,65 @@ def decode_pnm(data: bytes) -> np.ndarray:
     return arr[:, :, 0] if ch == 1 else arr
 
 
+def _bmp_rle_decode(d: bytes, w: int, h: int, four_bit: bool) -> np.ndarray:
+    """BI_RLE8/BI_RLE4 to a bottom-up [h, w] index array (undefined
+    pixels skipped by EOL/delta stay index 0, the Windows convention).
+    Escapes: 00 00 = end of line, 00 01 = end of bitmap, 00 02 dx dy =
+    delta, 00 n>=3 = absolute run (word-aligned). RLE4 runs alternate
+    the two nibbles of the value byte; absolute mode packs nibbles."""
+    out = np.zeros((h, w), np.uint8)
+    row = col = 0
+    i = 0
+    while True:
+        if i + 2 > len(d):
+            raise ValueError("BMP RLE stream truncated (no end-of-bitmap)")
+        n, v = d[i], d[i + 1]
+        i += 2
+        if n > 0:  # encoded run
+            if row >= h or col + n > w:
+                raise ValueError("BMP RLE run overflows the bitmap")
+            if four_bit:
+                pair = np.tile(np.array([v >> 4, v & 0x0F], np.uint8), (n + 1) // 2 + 1)
+                out[row, col : col + n] = pair[:n]
+            else:
+                out[row, col : col + n] = v
+            col += n
+        elif v == 0:  # end of line
+            row += 1
+            col = 0
+        elif v == 1:  # end of bitmap
+            break
+        elif v == 2:  # delta
+            if i + 2 > len(d):
+                raise ValueError("BMP RLE delta truncated")
+            col += d[i]
+            row += d[i + 1]
+            i += 2
+        else:  # absolute mode: v pixels follow, word-aligned
+            nbytes = (v + 1) // 2 if four_bit else v
+            if i + nbytes > len(d):
+                raise ValueError("BMP RLE absolute run truncated")
+            if row >= h or col + v > w:
+                raise ValueError("BMP RLE absolute run overflows the bitmap")
+            chunk = np.frombuffer(d[i : i + nbytes], np.uint8)
+            if four_bit:
+                nib = np.empty(nbytes * 2, np.uint8)
+                nib[0::2] = chunk >> 4
+                nib[1::2] = chunk & 0x0F
+                out[row, col : col + v] = nib[:v]
+            else:
+                out[row, col : col + v] = chunk
+            col += v
+            i += nbytes + (nbytes & 1)  # pad to word boundary
+    return out
+
+
 def decode_bmp(data: bytes) -> np.ndarray:
-    """Windows BMP (GDAL's BMP driver subset modern writers emit): BITMAP
-    INFO/V4/V5 headers, 8-bit palette / 24-bit BGR / 32-bit BGR(A) pixels,
-    BI_RGB or BI_BITFIELDS (byte-aligned masks), bottom-up or top-down
-    rows, 4-byte row padding. RLE / 1-4 bpp / non-byte masks fail loudly."""
+    """Windows BMP (the GDAL BMP driver's read surface): BITMAP
+    INFO/V4/V5 headers; 1/4/8-bpp palette (packed rows), BI_RLE8/BI_RLE4
+    compression, 24-bit BGR and 32-bit BGR(A) pixels with BI_RGB or
+    byte-aligned BI_BITFIELDS masks; bottom-up or top-down rows, 4-byte
+    row padding. Non-byte masks / truncated rasters fail loudly."""
     import struct as st
 
     if data[:2] != b"BM":
@@ -303,8 +357,38 @@ def decode_bmp(data: bytes) -> np.ndarray:
     w, hh, _planes, bpp, comp = st.unpack("<iiHHI", data[18:34])
     top_down = hh < 0
     h = -hh if top_down else hh
-    if bpp not in (8, 24, 32):
-        raise ValueError(f"BMP {bpp}-bpp unsupported (8/24/32 only)")
+    if bpp not in (1, 4, 8, 24, 32):
+        raise ValueError(f"BMP {bpp}-bpp unsupported (1/4/8/24/32 only)")
+    if bpp <= 8:
+        pal_ofs = 14 + hsz
+        npal = (data_ofs - pal_ofs) // 4
+        pal = np.frombuffer(data[pal_ofs : pal_ofs + 4 * npal], dtype=np.uint8).reshape(-1, 4)
+        if comp in (1, 2):  # BI_RLE8 / BI_RLE4
+            if (comp == 1) != (bpp == 8) or (comp == 2) != (bpp == 4):
+                raise ValueError(f"BMP RLE{8 if comp == 1 else 4} needs {8 if comp == 1 else 4}-bpp, got {bpp}")
+            if top_down:
+                raise ValueError("BMP RLE with top-down rows is invalid")
+            idx = _bmp_rle_decode(data[data_ofs:], w, h, four_bit=(comp == 2))[::-1]
+        elif comp == 0:
+            stride = (w * bpp + 31) // 32 * 4
+            if len(data) < data_ofs + stride * h:
+                raise ValueError("truncated BMP raster")
+            rows = np.frombuffer(data[data_ofs : data_ofs + stride * h], np.uint8).reshape(h, stride)
+            if bpp == 8:
+                idx = rows[:, :w].copy()
+            else:  # MSB-first packed 1/4-bit indices
+                bits = np.unpackbits(rows, axis=1)[:, : w * bpp]
+                weights = (1 << np.arange(bpp - 1, -1, -1)).astype(np.uint8)
+                idx = (bits.reshape(h, w, bpp) * weights).sum(axis=2).astype(np.uint8)
+            if not top_down:
+                idx = idx[::-1]
+        else:
+            raise ValueError(f"BMP compression {comp} invalid for {bpp}-bpp")
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError(
+                f"BMP palette index {int(idx.max())} outside the {pal.shape[0]}-entry palette"
+            )
+        return pal[idx][:, :, [2, 1, 0]]  # BGRX quads -> RGB
     if comp == 3 and bpp == 32:
         # byte-aligned BI_BITFIELDS only: map each mask to its byte lane
         masks = st.unpack("<III", data[54:66]) if hsz >= 52 else (0xFF0000, 0xFF00, 0xFF)
@@ -328,12 +412,6 @@ def decode_bmp(data: bytes) -> np.ndarray:
     px = rows.reshape(h, stride)[:, : w * (bpp // 8)].reshape(h, w, bpp // 8)
     if not top_down:
         px = px[::-1]
-    if bpp == 8:
-        # palette: BGRX quads between the header and the pixel data
-        pal_ofs = 14 + hsz
-        npal = (data_ofs - pal_ofs) // 4
-        pal = np.frombuffer(data[pal_ofs : pal_ofs + 4 * npal], dtype=np.uint8).reshape(-1, 4)
-        return pal[px[:, :, 0]][:, :, [2, 1, 0]]  # BGRX -> RGB
     r, g, b = px[:, :, lanes[0]], px[:, :, lanes[1]], px[:, :, lanes[2]]
     if bpp == 32 and lanes[3] is not None:
         return np.ascontiguousarray(np.dstack([r, g, b, px[:, :, lanes[3]]]))
