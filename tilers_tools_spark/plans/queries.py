@@ -747,6 +747,107 @@ def q_gif_ingest(spark, sf_dir):
     return multimodal.codec_roundtrip(images, codec="png")
 
 
+# foreign-PNG depth fixtures: deterministic value/index arrays (pure
+# numpy — the golden rebuilds expected RGBA from THESE, never from PNG
+# bytes); blobs are packed per the PNG spec (filter 0, MSB-first bit
+# packing, big-endian 16-bit) by _png_depth_blob. The bit-layout itself
+# is anchored by hand-packed KATs in tests/test_codecs.py.
+_PNG_DEPTH_SPECS = ["png1_gray", "png2_gray", "png4_palette", "png16_gray", "png16_rgb"]
+_PNG_DEPTH_PAL = np.array(
+    [[9, 9, 9], [255, 0, 0], [0, 255, 0], [30, 60, 90]], np.uint8
+)
+
+
+def _png_depth_arrays(iid: str):
+    """(kind, values) — gray levels already scaled to the 8-bit output
+    contract for sub-8-bit gray; 16-bit arrays carry the raw samples."""
+    rng = np.random.default_rng(sum(iid.encode()))
+    if iid == "png1_gray":
+        return "gray1", rng.integers(0, 2, (3, 10), dtype=np.uint8)
+    if iid == "png2_gray":
+        return "gray2", rng.integers(0, 4, (2, 7), dtype=np.uint8)
+    if iid == "png4_palette":
+        return "pal4", rng.integers(0, 4, (5, 6), dtype=np.uint8)
+    if iid == "png16_gray":
+        return "gray16", rng.integers(0, 65536, (4, 5), dtype=np.uint16)
+    return "rgb16", rng.integers(0, 65536, (3, 3, 3), dtype=np.uint16)
+
+
+def _png_depth_rgba(iid: str) -> "np.ndarray":
+    """Expected RGBA from the arrays alone (the documented decode
+    contract: sub-8-bit gray scales by 255/(2^d-1), 16-bit keeps the
+    high byte) — no PNG code."""
+    kind, v = _png_depth_arrays(iid)
+    if kind == "gray1":
+        g = v * np.uint8(255)
+    elif kind == "gray2":
+        g = v * np.uint8(85)
+    elif kind == "pal4":
+        rgb = _PNG_DEPTH_PAL[v]
+        return np.dstack([rgb, np.full(v.shape, 255, np.uint8)])
+    elif kind == "gray16":
+        g = (v >> 8).astype(np.uint8)
+    else:
+        rgb = (v >> 8).astype(np.uint8)
+        return np.dstack([rgb, np.full(v.shape[:2], 255, np.uint8)])
+    return np.dstack([g, g, g, np.full(v.shape, 255, np.uint8)])
+
+
+def _png_depth_blob(iid: str) -> bytes:
+    import struct
+    import zlib
+
+    from ..functions import codecs
+
+    kind, v = _png_depth_arrays(iid)
+    h, w = v.shape[:2]
+    extra = b""
+    if kind == "pal4":
+        depth, ct = 4, 3
+        bits = ((v[:, :, None] >> np.array([3, 2, 1, 0])) & 1).reshape(h, -1)
+        rows = np.packbits(bits.astype(np.uint8), axis=1)
+        extra = codecs._chunk(b"PLTE", _PNG_DEPTH_PAL.tobytes())
+    elif kind == "gray1":
+        depth, ct = 1, 0
+        rows = np.packbits(v, axis=1)
+    elif kind == "gray2":
+        depth, ct = 2, 0
+        bits = ((v[:, :, None] >> np.array([1, 0])) & 1).reshape(h, -1)
+        rows = np.packbits(bits.astype(np.uint8), axis=1)
+    elif kind == "gray16":
+        depth, ct = 16, 0
+        rows = np.frombuffer(v.astype(">u2").tobytes(), np.uint8).reshape(h, -1)
+    else:
+        depth, ct = 16, 2
+        rows = np.frombuffer(v.astype(">u2").tobytes(), np.uint8).reshape(h, -1)
+    scan = b"".join(b"\x00" + rows[r].tobytes() for r in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ct, 0, 0, 0)
+    return (
+        codecs.PNG_SIG
+        + codecs._chunk(b"IHDR", ihdr)
+        + extra
+        + codecs._chunk(b"IDAT", zlib.compress(scan))
+        + codecs._chunk(b"IEND", b"")
+    )
+
+
+def q_png_depths(spark, sf_dir):
+    """Foreign-PNG depth gate (functions/codecs.py::decode_png through
+    operators/multimodal.codec_roundtrip): 1/2-bit gray, 4-bit palette,
+    and 16-bit gray/RGB fixtures — the depths palette optimizers and DEM
+    PNGs ship that the repo's own encoder never writes — decode in
+    executors, re-encode lossless 8-bit PNG, decode back. The golden
+    rebuilds px_md5/w/h from the value/index arrays directly (no PNG
+    code in the expected box) and pins rt_md5 == px_md5, container ==
+    'png' — a bit-unpack, scale-factor, or byte-order defect moves
+    px_md5 and fails the gate."""
+    from ..operators import multimodal
+
+    rows = [(iid, bytearray(_png_depth_blob(iid)), "png") for iid in _PNG_DEPTH_SPECS]
+    images = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    return multimodal.codec_roundtrip(images, codec="png")
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Random embeddings contain no true near-dups, so plant perturbed
     copies of the first 4 vectors (vec_id + 1000000, every component
@@ -3715,6 +3816,7 @@ QUERIES: dict = {
     "aaigrid_ingest": (q_aaigrid_ingest, _golden("aaigrid_ingest")),
     "hgt_ingest": (q_hgt_ingest, _golden("hgt_ingest")),
     "gif_ingest": (q_gif_ingest, _golden("gif_ingest")),
+    "png_depths": (q_png_depths, _golden("png_depths")),
     "geotiff_tiled_decode": (q_geotiff_tiled_decode, SQL_GEOTIFF_TILED),
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),

@@ -2714,10 +2714,34 @@ def g_gif_ingest():
     )
 
 
+def g_png_depths():
+    # INDEPENDENCE: expected px_md5/w/h come straight from the fixture
+    # value/index arrays + the documented scale rules (255/(2^d-1),
+    # 16-bit high byte) — no PNG code in the expected box; rt_md5 pinned
+    # EQUAL to px_md5, container to the literal 'png'. The bit packing
+    # itself is anchored by hand-packed scanline KATs in tests/test_codecs.py.
+    import hashlib
+
+    from tilers_tools_spark.plans.queries import _PNG_DEPTH_SPECS, _png_depth_rgba
+
+    rows = []
+    for iid in _PNG_DEPTH_SPECS:
+        rgba = _png_depth_rgba(iid)
+        md5 = hashlib.md5(rgba.tobytes()).hexdigest()
+        rows.append([iid, rgba.shape[1], rgba.shape[0], md5, md5, "png", True])
+    save(
+        "png_depths",
+        ["image_id", "w", "h", "px_md5", "rt_md5", "container", "roundtrip_ok"],
+        ["str", "int32", "int32", "str", "str", "str", "bool"],
+        rows,
+    )
+
+
 GENERATORS = {
     "aaigrid_ingest": g_aaigrid_ingest,
     "hgt_ingest": g_hgt_ingest,
     "gif_ingest": g_gif_ingest,
+    "png_depths": g_png_depths,
     "h3_s2_assign": g_h3_s2_assign,
     "h3_rollup": g_h3_rollup,
     "simhash": g_simhash,
