@@ -322,6 +322,89 @@ def test_png_sub8bit_and_16bit_decode():
         codecs.decode_png(png(1, 1, 16, 3, b"\x00\x00\x00", plte))
 
 
+_ADAM7 = (
+    (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+    (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+)
+
+
+def _adam7_png(img, depth=8, ct=None, pal=None):
+    """Test-local Adam7 interlacer: emit each pass's sub-image as
+    filter-0 scanlines (per the published pass grid)."""
+    import struct
+    import zlib as _z
+
+    h, w = img.shape[:2]
+    nch = 1 if img.ndim == 2 else img.shape[2]
+    if ct is None:
+        ct = {1: 0, 3: 2, 4: 6}[nch]
+    scan = b""
+    for xs, xst, ys, yst in _ADAM7:
+        sub = img[ys::yst, xs::xst]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        for r in range(sub.shape[0]):
+            row = sub[r]
+            if depth == 16:
+                payload = row.astype(">u2").tobytes()
+            elif depth == 8:
+                payload = row.astype(np.uint8).tobytes()
+            else:  # sub-8: MSB-first packing
+                vals = row.reshape(-1).astype(np.uint8)
+                bits = ((vals[:, None] >> np.arange(depth - 1, -1, -1)) & 1).reshape(-1)
+                payload = np.packbits(bits).tobytes()
+            scan += b"\x00" + payload
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ct, 0, 0, 1)
+    extra = codecs._chunk(b"PLTE", pal.tobytes()) if pal is not None else b""
+    return (
+        codecs.PNG_SIG
+        + codecs._chunk(b"IHDR", ihdr)
+        + extra
+        + codecs._chunk(b"IDAT", _z.compress(scan))
+        + codecs._chunk(b"IEND", b"")
+    )
+
+
+def test_png_adam7_handworked_2x2():
+    # for 2x2 only passes 1, 6, 7 are non-empty; storage order is pixels
+    # (0,0), (0,1), then row 1 — worked out by hand from the pass grid
+    px = np.array([[[1, 2, 3], [4, 5, 6]], [[7, 8, 9], [10, 11, 12]]], np.uint8)
+    import struct
+    import zlib as _z
+
+    scan = (
+        b"\x00" + bytes([1, 2, 3])        # pass 1: (0,0)
+        + b"\x00" + bytes([4, 5, 6])      # pass 6: (0,1)
+        + b"\x00" + bytes([7, 8, 9, 10, 11, 12])  # pass 7: row 1
+    )
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    blob = (
+        codecs.PNG_SIG
+        + codecs._chunk(b"IHDR", ihdr)
+        + codecs._chunk(b"IDAT", _z.compress(scan))
+        + codecs._chunk(b"IEND", b"")
+    )
+    assert np.array_equal(codecs.decode_png(blob), px)
+
+
+def test_png_adam7_roundtrips_across_depths():
+    rng = np.random.default_rng(11)
+    # 8-bit RGBA and gray at a non-multiple-of-8 size (edge passes)
+    rgba = rng.integers(0, 256, (13, 11, 4), dtype=np.uint8)
+    assert np.array_equal(codecs.decode_png(_adam7_png(rgba)), rgba)
+    gray = rng.integers(0, 256, (9, 17), dtype=np.uint8)
+    assert np.array_equal(codecs.decode_png(_adam7_png(gray))[:, :, 0], gray)
+    # 4-bit palette
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [9, 9, 9]], np.uint8)
+    idx = rng.integers(0, 4, (10, 12), dtype=np.uint8)
+    out = codecs.decode_png(_adam7_png(idx, depth=4, ct=3, pal=pal))
+    assert np.array_equal(out, pal[idx])
+    # 16-bit gray reduces to the high byte
+    g16 = rng.integers(0, 65536, (8, 9), dtype=np.uint16)
+    out16 = codecs.decode_png(_adam7_png(g16, depth=16, ct=0))
+    assert np.array_equal(out16[:, :, 0], (g16 >> 8).astype(np.uint8))
+
+
 def test_bmp_encode_roundtrip_and_external_cross():
     rng = np.random.default_rng(5)
     rgba = rng.integers(0, 256, (7, 5, 4), dtype=np.uint8)

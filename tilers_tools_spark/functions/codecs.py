@@ -11,9 +11,9 @@ Formats (FIXTURES.md §4):
 * ``png``  — encoder: 8-bit RGB/RGBA/gray, filter 0 (or the Up fast path)
   on every scanline, one zlib stream, level 6 → byte-deterministic.
   Decoder additionally handles all five scanline filters, palette + tRNS,
-  sub-8-bit (1/2/4) packed palette/gray rows, and 16-bit samples (high
-  byte), so foreign PNGs — palette-optimized tiles, 16-bit DEM PNGs —
-  also decode.
+  sub-8-bit (1/2/4) packed palette/gray rows, 16-bit samples (high
+  byte), and Adam7 interlace, so foreign PNGs — palette-optimized tiles,
+  16-bit DEM PNGs, legacy interlaced tiles — also decode.
 * ``jpeg`` — baseline ITU T.81 (see ``jpegcodec.py``, M7).
 """
 
@@ -206,8 +206,8 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + ln
         if tag == b"IHDR":
             w, h, bitdepth, color_type, _comp, _filt, interlace = struct.unpack(">IIBBBBB", payload)
-            if interlace != 0:
-                raise ValueError("Adam7-interlaced PNG unsupported")
+            if interlace not in (0, 1):
+                raise ValueError(f"PNG interlace method {interlace} invalid")
             legal = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
                      4: (8, 16), 6: (8, 16)}
             if color_type not in legal or bitdepth not in legal[color_type]:
@@ -224,22 +224,48 @@ def decode_png(data: bytes) -> np.ndarray:
             break
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    if bitdepth == 8:
-        stride = w * nch
-        out = _unfilter(raw.reshape(h, 1 + stride), h, stride, nch).reshape(h, w, nch)
-    elif bitdepth == 16:
-        stride = w * nch * 2
-        unf = _unfilter(raw.reshape(h, 1 + stride), h, stride, nch * 2)
-        out = unf.reshape(h, w, nch, 2)[:, :, :, 0]  # big-endian: MSB first
-    else:  # 1/2/4-bit gray or palette: filter unit is one byte (bpp=1)
-        stride = (w * bitdepth + 7) // 8
-        unf = _unfilter(raw.reshape(h, 1 + stride), h, stride, 1)
-        bits = np.unpackbits(unf, axis=1)[:, : w * bitdepth]
-        weights = (1 << np.arange(bitdepth - 1, -1, -1)).astype(np.uint8)
-        idx = (bits.reshape(h, w, bitdepth) * weights).sum(axis=2).astype(np.uint8)
-        if color_type == 0:
-            idx = (idx.astype(np.uint16) * (255 // ((1 << bitdepth) - 1))).astype(np.uint8)
-        out = idx.reshape(h, w, 1)
+
+    def consume(buf: np.ndarray, w_: int, h_: int) -> tuple[int, np.ndarray]:
+        """Decode h_ filtered scanlines of a w_-pixel (sub-)image from
+        buf; returns (bytes consumed, uint8 [h_, w_, nch] samples —
+        16-bit already reduced to the high byte, sub-8-bit gray scaled)."""
+        if bitdepth == 8:
+            s = w_ * nch
+            take = h_ * (1 + s)
+            o = _unfilter(buf[:take].reshape(h_, 1 + s), h_, s, nch).reshape(h_, w_, nch)
+        elif bitdepth == 16:
+            s = w_ * nch * 2
+            take = h_ * (1 + s)
+            unf = _unfilter(buf[:take].reshape(h_, 1 + s), h_, s, nch * 2)
+            o = unf.reshape(h_, w_, nch, 2)[:, :, :, 0]  # big-endian: MSB first
+        else:  # 1/2/4-bit gray or palette: filter unit is one byte (bpp=1)
+            s = (w_ * bitdepth + 7) // 8
+            take = h_ * (1 + s)
+            unf = _unfilter(buf[:take].reshape(h_, 1 + s), h_, s, 1)
+            bits = np.unpackbits(unf, axis=1)[:, : w_ * bitdepth]
+            weights = (1 << np.arange(bitdepth - 1, -1, -1)).astype(np.uint8)
+            idx = (bits.reshape(h_, w_, bitdepth) * weights).sum(axis=2).astype(np.uint8)
+            if color_type == 0:
+                idx = (idx.astype(np.uint16) * (255 // ((1 << bitdepth) - 1))).astype(np.uint8)
+            o = idx.reshape(h_, w_, 1)
+        return take, o
+
+    if interlace == 0:
+        _, out = consume(raw, w, h)
+    else:  # Adam7: seven independent filtered sub-images, scattered back
+        out = np.zeros((h, w, nch), np.uint8)
+        pos = 0
+        for xs, xst, ys, yst in (
+            (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+            (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+        ):
+            wp = (w - xs + xst - 1) // xst
+            hp = (h - ys + yst - 1) // yst
+            if wp <= 0 or hp <= 0:
+                continue
+            take, o = consume(raw[pos:], wp, hp)
+            pos += take
+            out[ys::yst, xs::xst] = o
     if color_type == 3:  # palette -> RGB(A) expand (LUT, SURVEY.md §1.3)
         rgb = palette[out[:, :, 0]]
         if trns is not None:
