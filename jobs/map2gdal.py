@@ -107,6 +107,40 @@ def main():
             parse_world_udf()(F.col("_world"), F.col("_prj"), wcol, hcol).alias("georef"),
         ).select("path", "kind", "w", "h", "georef.*")
         out = g if out is None else out.unionByName(g)
+    # ESRI ASCII grids (.asc): real dimensions from the header; the CRS
+    # comes from a same-stem .prj (same EPSG:3857 gate as world files)
+    from tilers_tools_spark.functions.aaigrid import aaigrid_georef_udf
+
+    ascs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.asc")
+        .option("recursiveFileLookup", "true")
+        .load(args.charts)
+    )
+    if not ascs.isEmpty():
+        stem = lambda c: F.regexp_replace(c, r"\.[^.]+$", "")  # noqa: E731
+        prjs = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.prj")
+            .option("recursiveFileLookup", "true")
+            .load(args.charts)
+            .select(stem(F.col("path")).alias("_stem"), F.col("content").cast("string").alias("_prj"))
+        )
+        a = ascs.select(
+            "path", stem(F.col("path")).alias("_stem"), F.col("content").cast("string").alias("_asc")
+        ).join(prjs, "_stem", "left")
+        g = a.withColumn("g", aaigrid_georef_udf()(F.col("_asc"), F.col("_prj"))).select(
+            "path",
+            F.lit("aaigrid").alias("kind"),
+            F.coalesce(F.col("g.w"), F.lit(0)).alias("w"),
+            F.coalesce(F.col("g.h"), F.lit(0)).alias("h"),
+            F.col("g.gsd").alias("gsd"),
+            F.col("g.mx0").alias("mx0"),
+            F.col("g.my0").alias("my0"),
+            F.col("g.mx1").alias("mx1"),
+            F.col("g.my1").alias("my1"),
+        )
+        out = g if out is None else out.unionByName(g)
     if out is None:
         print(json.dumps({"charts": 0, "out": args.out}))
         spark.stop()

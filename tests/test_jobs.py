@@ -105,9 +105,18 @@ def test_map2gdal_job(run_job, tmp_path, spark):
     (charts / "w.pgw").write_text("2.0\n0.0\n0.0\n-2.0\n101.0\n499.0\n")
     (charts / "w.prj").write_text('PROJCS["WGS 84 / Pseudo-Mercator",AUTHORITY["EPSG","3857"]]')
     (charts / "noprj.wld").write_text("2.0\n0.0\n0.0\n-2.0\n0.0\n0.0\n")
+    # ESRI ASCII grid + same-stem .prj: header-only georef, real dims
+    (charts / "dem.asc").write_text(
+        "ncols 4\nnrows 3\nxllcorner 10.0\nyllcorner 20.0\ncellsize 2.0\n"
+        + ("1.5 " * 12).strip() + "\n"
+    )
+    (charts / "dem.prj").write_text("EPSG:3857")
+    (charts / "noprj_dem.asc").write_text(
+        "ncols 2\nnrows 2\nxllcorner 0\nyllcorner 0\ncellsize 1\n1 2 3 4\n"
+    )
     out = str(tmp_path / "georef.parquet")
     res = run_job("map2gdal", ["--charts", str(charts), "--out", out])
-    assert res["charts"] == 4
+    assert res["charts"] == 6
     pdf = spark.read.parquet(out).toPandas().set_index("path")
     good = pdf[pdf.index.str.endswith("a.geo")].iloc[0]
     assert abs(good["gsd"] - gsd) < 1e-3 and abs(good["mx0"] - mx0) < 1.0
@@ -117,6 +126,12 @@ def test_map2gdal_job(run_job, tmp_path, spark):
     assert wld["kind"] == "world" and wld["mx0"] == 100.0 and wld["my1"] == 500.0
     noprj = pdf[pdf.index.str.endswith("noprj.wld")].iloc[0]
     assert np.isnan(noprj["gsd"])  # undeclared CRS never enters the contract
+    asc = pdf[pdf.index.str.endswith("dem.asc")].iloc[0]
+    assert asc["kind"] == "aaigrid" and (asc["w"], asc["h"]) == (4, 3)
+    assert asc["gsd"] == 2.0 and asc["mx0"] == 10.0 and asc["my1"] == 26.0
+    noprj_asc = pdf[pdf.index.str.endswith("noprj_dem.asc")].iloc[0]
+    assert (noprj_asc["w"], noprj_asc["h"]) == (2, 2)  # header still real
+    assert np.isnan(noprj_asc["gsd"])  # undeclared CRS -> NaN georef
 
 
 def test_tiles_convert_mixed_containers_fail_loudly(run_job, tmp_path, spark):

@@ -44,12 +44,10 @@ _HEADER_KEYS = {
 }
 
 
-def parse_aaigrid(data: bytes | str) -> tuple[np.ndarray, dict]:
-    """Decode an ESRI ASCII grid to (float64 array [nrows, ncols] with
-    NaN at NODATA cells, meta dict). Meta keys: ncols, nrows, xll, yll
-    (corner convention, floats), cellsize, nodata (float or None).
-    Raises ValueError on missing keys, anisotropic dx/dy, a bad token,
-    or a value-count mismatch — never mis-decodes silently."""
+def parse_aaigrid_header(data: bytes | str) -> tuple[dict, list]:
+    """Parse just the header of an ESRI ASCII grid (cheap — no cell
+    conversion): returns (meta dict as in parse_aaigrid, remaining value
+    tokens). Raises on any structural header defect."""
     text = data.decode("ascii", errors="strict") if isinstance(data, bytes) else data
     tokens = text.split()
     hdr: dict[str, float] = {}
@@ -98,7 +96,25 @@ def parse_aaigrid(data: bytes | str) -> tuple[np.ndarray, dict]:
     else:
         raise ValueError("AAIGrid header missing yllcorner/yllcenter")
 
-    vals = tokens[i:]
+    meta = {
+        "ncols": ncols,
+        "nrows": nrows,
+        "xll": xll,
+        "yll": yll,
+        "cellsize": cs,
+        "nodata": hdr.get("nodata_value"),
+    }
+    return meta, tokens[i:]
+
+
+def parse_aaigrid(data: bytes | str) -> tuple[np.ndarray, dict]:
+    """Decode an ESRI ASCII grid to (float64 array [nrows, ncols] with
+    NaN at NODATA cells, meta dict). Meta keys: ncols, nrows, xll, yll
+    (corner convention, floats), cellsize, nodata (float or None).
+    Raises ValueError on missing keys, anisotropic dx/dy, a bad token,
+    or a value-count mismatch — never mis-decodes silently."""
+    meta, vals = parse_aaigrid_header(data)
+    nrows, ncols = meta["nrows"], meta["ncols"]
     if len(vals) != nrows * ncols:
         raise ValueError(
             f"AAIGrid value count {len(vals)} != nrows*ncols {nrows * ncols}"
@@ -107,17 +123,10 @@ def parse_aaigrid(data: bytes | str) -> tuple[np.ndarray, dict]:
         arr = np.array([float(v) for v in vals], dtype=np.float64).reshape(nrows, ncols)
     except ValueError as e:
         raise ValueError(f"AAIGrid bad cell value: {e}")
-    nodata = hdr.get("nodata_value")
+    nodata = meta["nodata"]
     if nodata is not None:
         arr[arr == nodata] = np.nan
-    return arr, {
-        "ncols": ncols,
-        "nrows": nrows,
-        "xll": xll,
-        "yll": yll,
-        "cellsize": cs,
-        "nodata": nodata,
-    }
+    return arr, meta
 
 
 def encode_aaigrid(
@@ -214,6 +223,47 @@ def aaigrid_scan_udf():
                 )
             )
         return pd.DataFrame(rows, columns=cols)
+
+    return udf
+
+
+def aaigrid_georef_udf():
+    """pandas UDF factory for the map2gdal role: (asc_text, prj_text) ->
+    {w, h, gsd, mx0, my0, mx1, my1} from the HEADER alone (no cell
+    conversion). Parse failure or a missing/non-3857 .prj yields the
+    auditable NaN georef (w/h stay real when the header parsed)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("w", IntegerType()),
+            StructField("h", IntegerType()),
+            StructField("gsd", DoubleType()),
+            StructField("mx0", DoubleType()),
+            StructField("my0", DoubleType()),
+            StructField("mx1", DoubleType()),
+            StructField("my1", DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def udf(asc: pd.Series, prj: pd.Series) -> pd.DataFrame:
+        nan = float("nan")
+        rows = []
+        for text, p in zip(asc, prj):
+            try:
+                meta, _vals = parse_aaigrid_header(text)
+            except Exception:
+                rows.append((None, None, nan, nan, nan, nan, nan))
+                continue
+            try:
+                g = aaigrid_georef(meta, p)
+                geo = (g["gsd"], g["mx0"], g["my0"], g["mx1"], g["my1"])
+            except Exception:
+                geo = (nan,) * 5
+            rows.append((meta["ncols"], meta["nrows"], *geo))
+        return pd.DataFrame(rows, columns=["w", "h", "gsd", "mx0", "my0", "mx1", "my1"])
 
     return udf
 
