@@ -1257,3 +1257,47 @@ def test_contour_lines_operator_wkt(spark):
         ]
         assert sorted(got) == sorted(want) and len(got) == len(want)
     assert [r for r in wkt_rows if r["image_id"] == "junk"][0]["wkt"] == ""
+
+
+def test_terrain_rgb_hand_pinned_kats():
+    """Published-encoding anchors computed by hand: terrarium packs
+    v+32768 as R=whole/256, G=whole%256, B=frac*256 (floor); mapbox
+    packs round((v+10000)*10) big-endian into 24 bits."""
+    t = terrain.terrain_rgb_encode_np
+    # terrarium: 0 m -> 32768 -> (128, 0, 0); 1.5 m -> (128, 1, 128);
+    # -1 m -> 32767 -> (127, 255, 0); 0.25 m -> (128, 0, 64)
+    dem = np.array([[0.0, 1.5], [-1.0, 0.25]])
+    exp = np.array(
+        [[[128, 0, 0, 255], [128, 1, 128, 255]],
+         [[127, 255, 0, 255], [128, 0, 64, 255]]], np.uint8
+    )
+    assert np.array_equal(t(dem, "terrarium"), exp)
+    # mapbox: 0 m -> 100000 = 1*65536 + 134*256 + 160 -> (1, 134, 160);
+    # -10000 m -> (0, 0, 0); 8848.6 m -> 188486 -> (2, 224, 70)
+    dem2 = np.array([[0.0, -10000.0, 8848.6]])
+    exp2 = np.array([[[1, 134, 160, 255], [0, 0, 0, 255], [2, 224, 70, 255]]], np.uint8)
+    assert np.array_equal(t(dem2, "mapbox"), exp2)
+    # NaN -> alpha 0, decodes back to NaN
+    dem3 = np.array([[np.nan, 7.0]])
+    enc = t(dem3, "terrarium")
+    assert enc[0, 0, 3] == 0 and enc[0, 1, 3] == 255
+    back = terrain.terrain_rgb_decode_np(enc, "terrarium")
+    assert np.isnan(back[0, 0]) and back[0, 1] == 7.0
+
+
+def test_terrain_rgb_quantization_bounds_roundtrip():
+    rng = np.random.default_rng(9)
+    dem = rng.uniform(-500.0, 4000.0, (37, 23))
+    dem[3, 4] = np.nan
+    for encoding, step in (("terrarium", 1.0 / 256.0), ("mapbox", 0.1)):
+        enc = terrain.terrain_rgb_encode_np(dem, encoding)
+        back = terrain.terrain_rgb_decode_np(enc, encoding)
+        finite = ~np.isnan(dem)
+        err = np.abs(back[finite] - dem[finite])
+        # floor quantization (terrarium) errs < step; round (mapbox) <= step/2
+        assert err.max() < step + 1e-12
+        assert np.isnan(back[3, 4])
+    with pytest.raises(ValueError, match="unknown terrain encoding"):
+        terrain.terrain_rgb_encode_np(dem, "bogus")
+    with pytest.raises(ValueError, match="RGB"):
+        terrain.terrain_rgb_decode_np(np.zeros((2, 2)), "terrarium")

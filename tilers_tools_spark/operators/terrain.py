@@ -803,6 +803,140 @@ def color_relief_np(dem: np.ndarray, ramp: list[tuple[float, int, int, int]]) ->
 
 
 # ---------------------------------------------------------------------------
+# web-DEM tile encodings: Terrarium (Mapzen) and Mapbox Terrain-RGB
+# ---------------------------------------------------------------------------
+
+
+def terrain_rgb_encode_np(dem: np.ndarray, encoding: str = "terrarium") -> np.ndarray:
+    """Elevation grid -> RGBA per the two PUBLISHED web-DEM tile
+    encodings (hand-pinned KATs in tests/test_terrain.py):
+
+    * ``terrarium`` (Mapzen): v' = v + 32768; R = floor(v'/256),
+      G = floor(v') mod 256, B = floor(frac(v') * 256) — 1/256 m
+      quantization, domain clipped to [-32768, 32768 - 1/256].
+    * ``mapbox`` Terrain-RGB: q = round((v + 10000) * 10) packed
+      big-endian into R<<16 | G<<8 | B — 0.1 m quantization, domain
+      clipped to [-10000, (2^24 - 1)/10 - 10000].
+
+    Neither published format has a nodata code: NaN cells emit alpha 0
+    (rgb 0), finite cells alpha 255 — the engine's auditable convention,
+    inverted exactly by terrain_rgb_decode_np."""
+    z = np.asarray(dem, dtype=np.float64)
+    nan = np.isnan(z)
+    out = np.zeros((*z.shape, 4), np.uint8)
+    out[:, :, 3] = np.where(nan, 0, 255)
+    zf = np.where(nan, 0.0, z)
+    if encoding == "terrarium":
+        v = np.clip(zf + 32768.0, 0.0, 65536.0 - 1.0 / 256.0)
+        whole = np.floor(v)
+        out[:, :, 0] = (whole // 256).astype(np.uint8)
+        out[:, :, 1] = (whole % 256).astype(np.uint8)
+        out[:, :, 2] = np.floor((v - whole) * 256.0).astype(np.uint8)
+    elif encoding == "mapbox":
+        q = np.clip(np.floor((zf + 10000.0) * 10.0 + 0.5), 0.0, 2.0**24 - 1.0)
+        q = q.astype(np.int64)
+        out[:, :, 0] = (q >> 16).astype(np.uint8)
+        out[:, :, 1] = ((q >> 8) & 0xFF).astype(np.uint8)
+        out[:, :, 2] = (q & 0xFF).astype(np.uint8)
+    else:
+        raise ValueError(f"unknown terrain encoding {encoding!r} (terrarium|mapbox)")
+    out[nan, :3] = 0
+    return out
+
+
+def terrain_rgb_decode_np(rgba: np.ndarray, encoding: str = "terrarium") -> np.ndarray:
+    """Inverse of terrain_rgb_encode_np: RGBA (or RGB, treated opaque)
+    -> float64 elevations, alpha-0 cells -> NaN."""
+    a = np.asarray(rgba)
+    if a.ndim != 3 or a.shape[2] not in (3, 4):
+        raise ValueError(f"terrain tile needs RGB(A), got shape {a.shape}")
+    r = a[:, :, 0].astype(np.float64)
+    g = a[:, :, 1].astype(np.float64)
+    b = a[:, :, 2].astype(np.float64)
+    if encoding == "terrarium":
+        z = r * 256.0 + g + b / 256.0 - 32768.0
+    elif encoding == "mapbox":
+        z = -10000.0 + (r * 65536.0 + g * 256.0 + b) * 0.1
+    else:
+        raise ValueError(f"unknown terrain encoding {encoding!r} (terrarium|mapbox)")
+    if a.shape[2] == 4:
+        z = np.where(a[:, :, 3] == 0, np.nan, z)
+    return z
+
+
+def dem_terrain_rgb(
+    dems: DataFrame,
+    encoding: str = "terrarium",
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Distributed web-DEM tile encoding: GeoTIFF DEM blobs -> Terrarium
+    or Mapbox Terrain-RGB rasters, emitting per-raster (w, h, encoding,
+    rgb_md5, n_nodata, err_max) where err_max is the measured
+    max |decode(encode(v)) - v| over finite cells — bounded by the
+    format's published quantization step (1/256 m or 0.1 m). Same
+    shuffle-free Arrow shape as the other per-raster operators;
+    unreadable rows carry the -1/NaN sentinels."""
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("w", IntegerType()),
+            StructField("h", IntegerType()),
+            StructField("rgb_md5", StringType()),
+            StructField("n_nodata", LongType()),
+            StructField("err_max", DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def udf(blobs: pd.Series) -> pd.DataFrame:
+        import hashlib
+
+        from ..functions import tiffcodec
+
+        rows = []
+        for b in blobs:
+            try:
+                dem, _geo = tiffcodec.decode_tiff(bytes(b), scale_16bit=False)
+                if dem.ndim != 2:
+                    raise ValueError("DEM must be single-band")
+                rgba = terrain_rgb_encode_np(dem, encoding)
+                back = terrain_rgb_decode_np(rgba, encoding)
+                finite = ~np.isnan(dem)
+                err = (
+                    float(np.max(np.abs(back[finite] - np.asarray(dem, np.float64)[finite])))
+                    if finite.any()
+                    else 0.0
+                )
+                rows.append(
+                    (
+                        int(dem.shape[1]),
+                        int(dem.shape[0]),
+                        hashlib.md5(rgba.tobytes()).hexdigest(),
+                        int((~finite).sum()),
+                        err,
+                    )
+                )
+            except Exception:
+                rows.append((-1, -1, "", -1, float("nan")))
+        return pd.DataFrame(rows, columns=["w", "h", "rgb_md5", "n_nodata", "err_max"])
+
+    return dems.withColumn("t", udf(F.col(bytes_col))).select(
+        id_col,
+        F.lit(encoding).alias("encoding"),
+        "t.w", "t.h", "t.rgb_md5", "t.n_nodata", "t.err_max",
+    )
+
+
+# ---------------------------------------------------------------------------
 # gdal_viewshed parity: ring-stepped line-of-sight visibility
 # ---------------------------------------------------------------------------
 

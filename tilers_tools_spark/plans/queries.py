@@ -848,6 +848,42 @@ def q_png_depths(spark, sf_dir):
     return multimodal.codec_roundtrip(images, codec="png")
 
 
+def q_terrain_rgb(spark, sf_dir):
+    """Web-DEM tile encodings under the gate (operators/terrain.py::
+    dem_terrain_rgb): the NaN-holed analytic DEM GeoTIFFs -> Terrarium
+    AND Mapbox Terrain-RGB rasters, emitting per-raster rgb_md5, nodata
+    count and the measured decode(encode(v)) max error (bounded by each
+    format's published quantization step). The golden recomputes the
+    RGBA grids from the analytic surfaces + hole masks via the same
+    published pack rules — those rules are anchored to HAND-computed
+    byte pins in tests/test_terrain.py — and never reads TIFF bytes, so
+    a tiff-decode or packing defect moves rgb_md5 and fails the gate."""
+    from ..functions import tiffcodec
+    from ..operators import terrain
+
+    rows = []
+    for name, h, w, gsd in _DEM_SPECS:
+        a = _dem_surface(name, h, w).copy()
+        a[_fillnodata_mask(name, h, w)] = np.nan
+        rows.append(
+            (
+                name,
+                tiffcodec.encode_tiff(
+                    a,
+                    geo={"gsd": gsd, "mx0": 0.0, "my1": 1.0e5, "epsg": 3857},
+                    compression="deflate" if name == "wave" else "none",
+                    tile=16 if name == "plane" else None,
+                ),
+            )
+        )
+    images = spark.createDataFrame(rows, "image_id string, bytes binary")
+    out = None
+    for enc in ("terrarium", "mapbox"):
+        o = terrain.dem_terrain_rgb(images, encoding=enc)
+        out = o if out is None else out.unionByName(o)
+    return out  # err_max compares exactly: both sides fold identical float64
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Random embeddings contain no true near-dups, so plant perturbed
     copies of the first 4 vectors (vec_id + 1000000, every component
@@ -3817,6 +3853,7 @@ QUERIES: dict = {
     "hgt_ingest": (q_hgt_ingest, _golden("hgt_ingest")),
     "gif_ingest": (q_gif_ingest, _golden("gif_ingest")),
     "png_depths": (q_png_depths, _golden("png_depths")),
+    "terrain_rgb": (q_terrain_rgb, _golden("terrain_rgb")),
     "geotiff_tiled_decode": (q_geotiff_tiled_decode, SQL_GEOTIFF_TILED),
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),

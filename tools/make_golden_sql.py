@@ -2737,11 +2737,53 @@ def g_png_depths():
     )
 
 
+def g_terrain_rgb():
+    # SCOPE NOTE: reuses terrain.terrain_rgb_encode/decode_np (pure
+    # NumPy), whose pack rules are anchored by HAND-computed byte pins in
+    # tests/test_terrain.py (terrarium (128,0,0)/(127,255,0)...; mapbox
+    # (1,134,160)/(2,224,70)). The DEM surfaces + hole masks are
+    # recomputed directly — this golden never reads TIFF bytes, so the
+    # gate cross-checks the engine's GeoTIFF decode + UDF path.
+    import hashlib
+
+    from tilers_tools_spark.operators.terrain import (
+        terrain_rgb_decode_np,
+        terrain_rgb_encode_np,
+    )
+    from tilers_tools_spark.plans.queries import (
+        _DEM_SPECS,
+        _dem_surface,
+        _fillnodata_mask,
+    )
+
+    rows = []
+    for enc in ("terrarium", "mapbox"):
+        for name, h, w, _gsd in _DEM_SPECS:
+            a = _dem_surface(name, h, w).astype(np.float64)
+            a[_fillnodata_mask(name, h, w)] = np.nan
+            rgba = terrain_rgb_encode_np(a, enc)
+            back = terrain_rgb_decode_np(rgba, enc)
+            finite = ~np.isnan(a)
+            err = float(np.max(np.abs(back[finite] - a[finite]))) if finite.any() else 0.0
+            rows.append(
+                [name, enc, int(w), int(h),
+                 hashlib.md5(rgba.tobytes()).hexdigest(),
+                 int((~finite).sum()), err]
+            )
+    save(
+        "terrain_rgb",
+        ["image_id", "encoding", "w", "h", "rgb_md5", "n_nodata", "err_max"],
+        ["str", "str", "int32", "int32", "str", "int64", "float64"],
+        rows,
+    )
+
+
 GENERATORS = {
     "aaigrid_ingest": g_aaigrid_ingest,
     "hgt_ingest": g_hgt_ingest,
     "gif_ingest": g_gif_ingest,
     "png_depths": g_png_depths,
+    "terrain_rgb": g_terrain_rgb,
     "h3_s2_assign": g_h3_s2_assign,
     "h3_rollup": g_h3_rollup,
     "simhash": g_simhash,
