@@ -62,6 +62,8 @@ def main():
     p.add_argument("--azimuth", type=float, default=315.0)
     p.add_argument("--altitude", type=float, default=45.0)
     p.add_argument("--z-factor", type=float, default=1.0)
+    p = sub.add_parser("terrainrgb"); common(p)
+    p.add_argument("--encoding", default="terrarium", choices=("terrarium", "mapbox"))
     args = ap.parse_args()
 
     from tilers_tools_spark.session import get_spark
@@ -119,6 +121,10 @@ def main():
 
         fn = reproject_4326 if args.src == "4326" else reproject_utm
         out = fn(images, out_gsd=args.out_gsd, resample=args.resample)
+    elif args.cmd == "terrainrgb":
+        from tilers_tools_spark.operators.terrain import dem_terrain_rgb
+
+        out = dem_terrain_rgb(images, encoding=args.encoding)
     else:  # hillshade
         from tilers_tools_spark.operators.terrain import dem_hillshade
 

@@ -296,3 +296,13 @@ def test_gdal_utils_job_tindex_vrt_warp(run_job, tmp_path, spark):
     wrow = spark.read.parquet(warped).collect()[0]
     # lon=10 deg -> 3857 x = R * radians(10)
     assert wrow["out_w"] > 0 and abs(wrow["mx0"] - 1113194.9079327357) < 1.0
+
+    # terrainrgb routing: mapbox encoding, error bounded by the 0.1 m step
+    trgb = str(tmp_path / "trgb.parquet")
+    res3 = run_job("gdal_utils", [
+        "terrainrgb", "--images", src, "--out", trgb, "--encoding", "mapbox",
+    ])
+    assert res3["rows"] == 2
+    for r in spark.read.parquet(trgb).collect():
+        assert r["encoding"] == "mapbox" and r["err_max"] <= 0.05 + 1e-12
+        assert len(r["rgb_md5"]) == 32 and r["n_nodata"] == 0
