@@ -306,3 +306,49 @@ def test_gdal_utils_job_tindex_vrt_warp(run_job, tmp_path, spark):
     for r in spark.read.parquet(trgb).collect():
         assert r["encoding"] == "mapbox" and r["err_max"] <= 0.05 + 1e-12
         assert len(r["rgb_md5"]) == 32 and r["n_nodata"] == 0
+
+
+def test_dem_ingest_job_chains_into_warp(run_job, tmp_path, spark):
+    """jobs/dem_ingest.py: .hgt + .asc(+.prj) directory -> Float32
+    GeoTIFF raster table; the hgt row (EPSG:4326) then chains through
+    reproject_4326 — the documented hgt -> mercator composition — and
+    failures surface as NULL-bytes rows."""
+    from tilers_tools_spark.functions import hgt, tiffcodec
+    from tilers_tools_spark.operators.translate import reproject_4326
+
+    src = tmp_path / "dem"
+    src.mkdir()
+    n = 33
+    surf = np.round(np.tile(np.arange(n, dtype=np.float64)[:, None], (1, n)))
+    (src / "N34W119.hgt").write_bytes(hgt.encode_hgt(surf))
+    (src / "grid.asc").write_bytes(
+        b"ncols 3\nnrows 2\nxllcorner 10.0\nyllcorner 20.0\ncellsize 2.0\n"
+        b"1 2 3 4 5 6\n"
+    )
+    (src / "grid.prj").write_text("EPSG:3857")
+    (src / "noprj.asc").write_bytes(
+        b"ncols 2\nnrows 1\nxllcorner 0\nyllcorner 0\ncellsize 1\n7 8\n"
+    )
+    (src / "corrupt.hgt").write_bytes(b"\x00\x01\x02")  # odd byte count
+
+    out = str(tmp_path / "dem_table.parquet")
+    res = run_job("dem_ingest", ["--src", str(src), "--out", out, "--any-square"])
+    assert res["rows"] == 4 and res["failed"] == 1
+    pdf = spark.read.parquet(out).toPandas().set_index("image_id")
+    assert pdf.loc["corrupt.hgt"]["bytes"] is None
+
+    # the .asc with a 3857 .prj carries the mercator georef
+    a, geo = tiffcodec.decode_tiff(bytes(pdf.loc["grid.asc"]["bytes"]), scale_16bit=False)
+    assert {k: geo[k] for k in ("gsd", "mx0", "my1", "epsg")} == {
+        "gsd": 2.0, "mx0": 10.0, "my1": 24.0, "epsg": 3857,
+    }
+    assert np.array_equal(a, np.array([[1, 2, 3], [4, 5, 6]], np.float32))
+    # the undeclared-CRS .asc is a grid-space TIFF (no georef)
+    _, geo2 = tiffcodec.decode_tiff(bytes(pdf.loc["noprj.asc"]["bytes"]), scale_16bit=False)
+    assert geo2 is None
+
+    # chain: hgt GeoTIFF (4326) -> reproject_4326 -> 3857 summary row
+    tbl = spark.read.parquet(out).filter("kind = 'hgt' and bytes is not null")
+    row = reproject_4326(tbl).collect()[0]
+    import math
+    assert row["out_w"] > 0 and abs(row["mx0"] - 6378137.0 * math.radians(-119.0)) < 1e-3
