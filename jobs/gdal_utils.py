@@ -16,6 +16,8 @@ subcommand per utility family this engine implements as table operators:
         hillshade --images img.parquet --out shade.parquet \
                   [--mode standard|combined|multidirectional] \
                   [--azimuth 315] [--altitude 45] [--z-factor 1]
+        terrainrgb --images img.parquet --out trgb.parquet \
+                  [--encoding terrarium|mapbox]
 
 Each prints ONE JSON metrics line ({"rows": N, "out": path}). All the
 underlying operators are per-raster Arrow passes — the CLI is a thin
