@@ -1301,3 +1301,85 @@ def test_terrain_rgb_quantization_bounds_roundtrip():
         terrain.terrain_rgb_encode_np(dem, "bogus")
     with pytest.raises(ValueError, match="RGB"):
         terrain.terrain_rgb_decode_np(np.zeros((2, 2)), "terrarium")
+
+
+def test_dem_tile_np_vs_scalar_replay():
+    """Engine tile sampling vs a per-pixel SCALAR transcription of the
+    documented affine mapping (independent of the vectorized path)."""
+    import math
+
+    from tilers_tools_spark.functions import tilemath as tm
+
+    rng = np.random.default_rng(21)
+    dem = rng.uniform(-50, 400, (24, 20))
+    dem[5, 7] = np.nan
+    z = 17
+    span = float(tm.resolution_np(z)) * 256
+    geo = {"gsd": span / 16.0, "mx0": 3 * span - tm.ORIGIN + 0.25 * span,
+           "my1": 9 * span - tm.ORIGIN - 0.125 * span, "epsg": 3857}
+    for txx, ty in [(3, 8), (4, 8), (3, 7)]:
+        for resample in ("nearest", "bilinear"):
+            got = terrain.dem_tile_np(dem, geo, z, txx, ty, resample=resample)
+            res = span / 256.0
+            tmx0 = txx * span - tm.ORIGIN
+            tmy1 = (ty + 1) * span - tm.ORIGIN
+            h, w = dem.shape
+            for r in range(0, 256, 37):
+                for c in range(0, 256, 41):
+                    sx = (tmx0 + (c + 0.5) * res - geo["mx0"]) / geo["gsd"]
+                    sy = (geo["my1"] - (tmy1 - (r + 0.5) * res)) / geo["gsd"]
+                    if resample == "nearest":
+                        ci, ri = math.floor(sx), math.floor(sy)
+                        want = dem[ri, ci] if (0 <= ci < w and 0 <= ri < h) else float("nan")
+                    else:
+                        if not (0 <= sx < w and 0 <= sy < h):
+                            want = float("nan")
+                        else:
+                            u, v = sx - 0.5, sy - 0.5
+                            c0, r0 = math.floor(u), math.floor(v)
+                            fc, fr = u - c0, v - r0
+                            cc = lambda x: min(max(x, 0), w - 1)  # noqa: E731
+                            rr = lambda x: min(max(x, 0), h - 1)  # noqa: E731
+                            top = dem[rr(r0), cc(c0)] * (1 - fc) + dem[rr(r0), cc(c0 + 1)] * fc
+                            bot = dem[rr(r0 + 1), cc(c0)] * (1 - fc) + dem[rr(r0 + 1), cc(c0 + 1)] * fc
+                            want = top * (1 - fr) + bot * fr
+                    g = got[r, c]
+                    assert (np.isnan(g) and np.isnan(want)) or g == want
+
+
+def test_dem_tiles_end_to_end(spark):
+    """DEM -> terrain-RGB PNG tiles: keys match cover_range, every tile's
+    PNG decodes back to the quantized elevations of dem_tile_np, all-NaN
+    tiles are elided, bad rows carry sentinels."""
+    from tilers_tools_spark.functions import codecs, tiffcodec, tilemath as tm
+
+    rng = np.random.default_rng(22)
+    dem = np.round(rng.uniform(0, 300, (32, 40))).astype(np.float64)
+    z = 17
+    span = float(tm.resolution_np(z)) * 256
+    geo = {"gsd": span / 16.0, "mx0": 5 * span - tm.ORIGIN + 0.5 * span,
+           "my1": 4 * span - tm.ORIGIN - 0.25 * span, "epsg": 3857}
+    blob = tiffcodec.encode_tiff(dem.astype(np.float32), geo=geo, compression="deflate")
+    df = spark.createDataFrame(
+        [("d", bytearray(blob)), ("junk", bytearray(b"nope"))],
+        "image_id string, bytes binary",
+    )
+    rows = terrain.dem_tiles(df, zooms=(z,), encoding="terrarium").collect()
+    bad = [r for r in rows if r["image_id"] == "junk"]
+    assert len(bad) == 1 and bad[0]["z"] == -1 and bytes(bad[0]["tile"]) == b""
+    good = [r for r in rows if r["image_id"] == "d"]
+    gmy0 = geo["my1"] - 32 * geo["gsd"]
+    gmx1 = geo["mx0"] + 40 * geo["gsd"]
+    x0, x1, y0, y1 = tm.cover_range_np(geo["mx0"], gmy0, gmx1, geo["my1"], z)
+    keys = {(r["x"], r["y"]) for r in good}
+    assert keys == {(xx, yy) for xx in range(int(x0), int(x1) + 1)
+                    for yy in range(int(y0), int(y1) + 1)}
+    dem32 = dem.astype(np.float32).astype(np.float64)
+    for r in good:
+        rgba = codecs.decode_png(bytes(r["tile"]))
+        back = terrain.terrain_rgb_decode_np(rgba, "terrarium")
+        elev = terrain.dem_tile_np(dem32, geo, z, r["x"], r["y"])
+        finite = ~np.isnan(elev)
+        assert (np.isnan(back) == ~finite).all()
+        assert int(finite.sum()) == r["n_valid"] and r["n_valid"] > 0
+        assert np.abs(back[finite] - elev[finite]).max() < 1.0 / 256.0 + 1e-12

@@ -45,6 +45,8 @@ documented golden scope (tools/make_golden_sql.py).
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -933,6 +935,135 @@ def dem_terrain_rgb(
         id_col,
         F.lit(encoding).alias("encoding"),
         "t.w", "t.h", "t.rgb_md5", "t.n_nodata", "t.err_max",
+    )
+
+
+def dem_tile_np(
+    dem: np.ndarray,
+    geo: dict,
+    z: int,
+    tx: int,
+    ty_tms: int,
+    tile: int = 256,
+    resample: str = "nearest",
+) -> np.ndarray:
+    """Sample one TMS tile's elevation grid (float64 [tile, tile], row 0
+    = tile top) from a north-up EPSG:3857 DEM. Fully AFFINE mapping (no
+    transcendentals): dest pixel center mx = tile_mx0 + (c+0.5)*res,
+    my = tile_my1 - (r+0.5)*res; continuous source coords sx =
+    (mx - geo.mx0)/gsd, sy = (geo.my1 - my)/gsd — the raster_translate
+    conventions. nearest = floor, valid iff the floor cell is inside;
+    bilinear samples at (s - 0.5) with edge-replicate clamp and NaN
+    OUTSIDE the source footprint (no extrapolation past the edge row).
+    Cells off the DEM come back NaN (-> alpha 0 after terrain-RGB)."""
+    from ..functions import tilemath as tm
+
+    h, w = dem.shape
+    res = float(tm.resolution_np(z)) * (256.0 / tile)
+    span = float(tm.resolution_np(z)) * tm.TILE
+    tmx0 = tx * span - tm.ORIGIN
+    tmy1 = (ty_tms + 1) * span - tm.ORIGIN
+    mx = tmx0 + (np.arange(tile, dtype=np.float64) + 0.5) * res
+    my = tmy1 - (np.arange(tile, dtype=np.float64) + 0.5) * res
+    sx = (mx - float(geo["mx0"])) / float(geo["gsd"])
+    sy = (float(geo["my1"]) - my) / float(geo["gsd"])
+    zf = np.asarray(dem, dtype=np.float64)
+    if resample == "nearest":
+        ci = np.floor(sx).astype(np.int64)
+        ri = np.floor(sy).astype(np.int64)
+        valid = ((ci >= 0) & (ci < w))[None, :] & ((ri >= 0) & (ri < h))[:, None]
+        out = zf[np.clip(ri, 0, h - 1)[:, None], np.clip(ci, 0, w - 1)[None, :]]
+    elif resample == "bilinear":
+        uu = sx - 0.5
+        vv = sy - 0.5
+        c0 = np.floor(uu).astype(np.int64)
+        r0 = np.floor(vv).astype(np.int64)
+        fc = (uu - c0)[None, :]
+        fr = (vv - r0)[:, None]
+        c0c = np.clip(c0, 0, w - 1)[None, :]
+        c1c = np.clip(c0 + 1, 0, w - 1)[None, :]
+        r0c = np.clip(r0, 0, h - 1)[:, None]
+        r1c = np.clip(r0 + 1, 0, h - 1)[:, None]
+        top = zf[r0c, c0c] * (1.0 - fc) + zf[r0c, c1c] * fc
+        bot = zf[r1c, c0c] * (1.0 - fc) + zf[r1c, c1c] * fc
+        out = top * (1.0 - fr) + bot * fr
+        valid = ((sx >= 0.0) & (sx < w))[None, :] & ((sy >= 0.0) & (sy < h))[:, None]
+    else:
+        raise ValueError(f"unknown resample {resample!r} (nearest|bilinear)")
+    return np.where(valid, out, np.nan)
+
+
+def dem_tiles(
+    dems: DataFrame,
+    zooms: tuple[int, ...],
+    encoding: str = "terrarium",
+    tile: int = 256,
+    resample: str = "nearest",
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Web-DEM tile pyramid (the rio-rgbify / Mapzen-joerd role): each
+    EPSG:3857 GeoTIFF DEM -> Terrarium/Mapbox Terrain-RGB PNG tiles at
+    the requested zooms, emitting (image_id, z, x, y TMS, n_valid,
+    tile_md5, tile). Every zoom resamples the SOURCE raster (gdal2tiles
+    'raster profile' behavior, documented deviation from child-averaging
+    overviews); all-NaN tiles are elided like the image pyramid's empty
+    tiles. One Arrow pass per DEM; tiles of one raster never shuffle —
+    the same scale shape as plans/tile_pyramid. Output feeds the
+    existing sinks (write_tileset_dir / MBTiles) unchanged."""
+    import hashlib
+
+    from ..functions import codecs, tilemath as tm
+
+    zooms = tuple(int(z) for z in zooms)
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import tiffcodec
+
+        for pdf in it:
+            rows = []
+            for iid, blob in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    dem, geo = tiffcodec.decode_tiff(bytes(blob), scale_16bit=False)
+                    if geo is None or geo.get("epsg") != 3857:
+                        raise ValueError("dem_tiles needs EPSG:3857 GeoTIFF DEMs")
+                    if dem.ndim != 2:
+                        raise ValueError("DEM must be single-band")
+                except Exception:
+                    rows.append((iid, -1, -1, -1, -1, "", b""))
+                    continue
+                h, w = dem.shape
+                gmx1 = geo["mx0"] + w * geo["gsd"]
+                gmy0 = geo["my1"] - h * geo["gsd"]
+                for zz in zooms:
+                    x0, x1, y0, y1 = tm.cover_range_np(
+                        geo["mx0"], gmy0, gmx1, geo["my1"], zz
+                    )
+                    for ty in range(int(y0), int(y1) + 1):
+                        for txx in range(int(x0), int(x1) + 1):
+                            elev = dem_tile_np(
+                                dem, geo, zz, txx, ty, tile=tile, resample=resample
+                            )
+                            n_valid = int((~np.isnan(elev)).sum())
+                            if n_valid == 0:
+                                continue  # empty-tile elision
+                            rgba = terrain_rgb_encode_np(elev, encoding)
+                            png = codecs.encode_tile_png(rgba)
+                            rows.append(
+                                (
+                                    iid, zz, txx, ty, n_valid,
+                                    hashlib.md5(png).hexdigest(), png,
+                                )
+                            )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "z", "x", "y", "n_valid", "tile_md5", "tile"],
+            )
+
+    return dems.select(id_col, bytes_col).mapInPandas(
+        fn,
+        schema="image_id string, z int, x long, y long, n_valid long, "
+        "tile_md5 string, tile binary",
     )
 
 

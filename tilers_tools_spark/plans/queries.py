@@ -884,6 +884,47 @@ def q_terrain_rgb(spark, sf_dir):
     return out  # err_max compares exactly: both sides fold identical float64
 
 
+def q_dem_tiles(spark, sf_dir):
+    """Web-DEM tile pyramid under the gate (operators/terrain.py::
+    dem_tiles — the rio-rgbify role): NaN-holed analytic 3857 GeoTIFF
+    DEMs -> Terrarium Terrain-RGB PNG tiles at two zooms, keyed
+    (z, x, y TMS) with per-tile n_valid + PNG md5 (bytes stay out of
+    the compare). The golden replays the affine tile sampling with
+    SCALAR per-pixel loops (independent of the vectorized engine path;
+    the terrain-RGB pack rules are hand-pinned, the PNG encoder shared
+    as in pyramid_smoke) — so a cover-range, mapping, NaN/elision, or
+    tiff-decode defect moves a key or md5 and fails the gate."""
+    from ..functions import tiffcodec, tilemath as tm
+    from ..operators import terrain
+
+    rows = []
+    for name, h, w, _gsd in _DEM_SPECS:
+        a = _dem_surface(name, h, w).copy()
+        a[_fillnodata_mask(name, h, w)] = np.nan
+        # anchor each DEM just off a z17 tile corner so tiles straddle
+        # boundaries; gsd = span/16 keeps coverage to a handful of tiles
+        span = float(tm.resolution_np(17)) * 256.0
+        geo = {
+            "gsd": span / 16.0,
+            "mx0": 7 * span - tm.ORIGIN + 0.3 * span,
+            "my1": 11 * span - tm.ORIGIN - 0.2 * span,
+            "epsg": 3857,
+        }
+        rows.append(
+            (
+                name,
+                tiffcodec.encode_tiff(
+                    a, geo=geo,
+                    compression="deflate" if name == "flat" else "none",
+                    tile=16 if name == "wave" else None,
+                ),
+            )
+        )
+    images = spark.createDataFrame(rows, "image_id string, bytes binary")
+    out = terrain.dem_tiles(images, zooms=(17, 16), encoding="terrarium")
+    return out.select("image_id", "z", "x", "y", "n_valid", "tile_md5")
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Random embeddings contain no true near-dups, so plant perturbed
     copies of the first 4 vectors (vec_id + 1000000, every component
@@ -3854,6 +3895,7 @@ QUERIES: dict = {
     "gif_ingest": (q_gif_ingest, _golden("gif_ingest")),
     "png_depths": (q_png_depths, _golden("png_depths")),
     "terrain_rgb": (q_terrain_rgb, _golden("terrain_rgb")),
+    "dem_tiles": (q_dem_tiles, _golden("dem_tiles")),
     "geotiff_tiled_decode": (q_geotiff_tiled_decode, SQL_GEOTIFF_TILED),
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),

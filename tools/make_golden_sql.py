@@ -2778,7 +2778,73 @@ def g_terrain_rgb():
     )
 
 
+def g_dem_tiles():
+    # The tile SAMPLING is replayed with scalar per-pixel loops — an
+    # independent transcription of the documented affine mapping (dest
+    # center -> continuous source coord -> floor pick, NaN outside) —
+    # over the recomputed analytic surfaces; cover ranges come from the
+    # same published floor/ceil rule as the image pyramid (shared
+    # tilemath, pinned by its own KATs). terrain_rgb pack rules are
+    # hand-pinned in tests/test_terrain.py; encode_tile_png is shared
+    # exactly as in g_pyramid_smoke. No TIFF bytes, no engine dem_tile_np.
+    import hashlib
+    import math
+
+    from tilers_tools_spark.functions import codecs, tilemath as tm
+    from tilers_tools_spark.operators.terrain import terrain_rgb_encode_np
+    from tilers_tools_spark.plans.queries import (
+        _DEM_SPECS,
+        _dem_surface,
+        _fillnodata_mask,
+    )
+
+    rows = []
+    for name, h, w, _gsd in _DEM_SPECS:
+        a = _dem_surface(name, h, w).astype(np.float64)
+        a[_fillnodata_mask(name, h, w)] = np.nan
+        span17 = float(tm.resolution_np(17)) * 256.0
+        gsd = span17 / 16.0
+        mx0 = 7 * span17 - tm.ORIGIN + 0.3 * span17
+        my1 = 11 * span17 - tm.ORIGIN - 0.2 * span17
+        for zz in (17, 16):
+            span = float(tm.resolution_np(zz)) * 256.0
+            res = span / 256.0
+            x0, x1, y0, y1 = tm.cover_range_np(
+                mx0, my1 - h * gsd, mx0 + w * gsd, my1, zz
+            )
+            for ty in range(int(y0), int(y1) + 1):
+                for txx in range(int(x0), int(x1) + 1):
+                    tmx0 = txx * span - tm.ORIGIN
+                    tmy1 = (ty + 1) * span - tm.ORIGIN
+                    elev = np.full((256, 256), np.nan)
+                    for r in range(256):
+                        sy = (my1 - (tmy1 - (r + 0.5) * res)) / gsd
+                        ri = math.floor(sy)
+                        if not (0 <= ri < h):
+                            continue
+                        for c in range(256):
+                            sx = (tmx0 + (c + 0.5) * res - mx0) / gsd
+                            ci = math.floor(sx)
+                            if 0 <= ci < w:
+                                elev[r, c] = a[ri, ci]
+                    n_valid = int(np.sum(~np.isnan(elev)))
+                    if n_valid == 0:
+                        continue
+                    png = codecs.encode_tile_png(terrain_rgb_encode_np(elev, "terrarium"))
+                    rows.append(
+                        [name, zz, int(txx), int(ty), n_valid,
+                         hashlib.md5(png).hexdigest()]
+                    )
+    save(
+        "dem_tiles",
+        ["image_id", "z", "x", "y", "n_valid", "tile_md5"],
+        ["str", "int32", "int64", "int64", "int64", "str"],
+        rows,
+    )
+
+
 GENERATORS = {
+    "dem_tiles": g_dem_tiles,
     "aaigrid_ingest": g_aaigrid_ingest,
     "hgt_ingest": g_hgt_ingest,
     "gif_ingest": g_gif_ingest,
