@@ -70,6 +70,9 @@ BENCH_QUERIES = [
     "viewshed",
     "raster_retile",
     "warp_utm",
+    # round-5 input drivers + web-DEM tiling
+    "hgt_ingest",
+    "dem_tiles",
 ]
 
 

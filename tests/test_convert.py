@@ -113,6 +113,24 @@ def test_transcode_roundtrip(tiles_df):
         blob = bytes(r["tile"])
         assert codecs.sniff_fmt(blob) == "bmp"
         assert np.array_equal(codecs.decode_bmp(blob), codecs.to_rgba(src[r["x"]]))
+    # gif target: paletted lossless for OPAQUE <=256-color tiles; random-
+    # alpha tiles fail loudly (quantize/flatten upstream)
+    from tilers_tools_spark.functions import gifcodec
+
+    rng = np.random.default_rng(3)
+    op = rng.integers(0, 256, (3, 8, 8, 4), dtype=np.uint8)
+    op[:, :, :, 3] = 255
+    spark = tiles_df.sparkSession
+    odf = spark.createDataFrame(
+        [(4, i, i, codecs.encode_png(op[i])) for i in range(3)],
+        "z int, x long, y long, tile binary",
+    )
+    for r in convert.transcode(odf, "png", "gif").collect():
+        blob = bytes(r["tile"])
+        assert codecs.sniff_fmt(blob) == "gif"
+        assert np.array_equal(gifcodec.decode_gif(blob), op[r["x"]][:, :, :3])
+    with pytest.raises(Exception, match="opaque"):
+        convert.transcode(tiles_df.limit(2), "png", "gif").collect()
 
 
 def test_merge_overlay(spark, tiles_df):

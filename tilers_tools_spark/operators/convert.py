@@ -304,6 +304,18 @@ def transcode(
                     out.append(webpcodec.encode_webp(arr))
                 elif dst_fmt == "bmp":
                     out.append(codecs.encode_bmp(arr))
+                elif dst_fmt == "gif":
+                    # GIF is paletted: opaque tiles with <= 256 distinct
+                    # colors only — quantize upstream (rgb2pct) otherwise;
+                    # both violations fail loudly, never silently degrade
+                    from ..functions import gifcodec
+
+                    if not (arr[:, :, 3] == 255).all():
+                        raise ValueError(
+                            "gif transcode needs fully opaque tiles "
+                            "(binary transparency only via indexed input)"
+                        )
+                    out.append(gifcodec.encode_gif(arr[:, :, :3]))
                 else:
                     raise ValueError(dst_fmt)
             res = pdf.copy()
