@@ -23,7 +23,7 @@ def main():
     ap.add_argument("--src-scheme", default="xyz", choices=("xyz", "tms", "zyx"))
     ap.add_argument("--dst", required=True)
     ap.add_argument("--dst-format", default="mbtiles", choices=("dir", "mbtiles", "kml"))
-    ap.add_argument("--dst-scheme", default="xyz", choices=("xyz", "tms", "zyx"))
+    ap.add_argument("--dst-scheme", default="xyz", choices=("xyz", "tms", "zyx", "zoomify"))
     ap.add_argument("--transcode", default=None, choices=(None, "png", "jpeg", "raw", "tiff", "webp", "bmp", "gif"))
     ap.add_argument("--src-fmt-blob", default="png", help="blob codec of the source tiles (for --transcode)")
     ap.add_argument(

@@ -264,3 +264,35 @@ def test_transcode_to_tiff_roundtrip(spark):
     out = {r["x"]: codecs.decode_raw(bytes(r["tile"])) for r in back.collect()}
     for i, a in enumerate(arrs):
         assert np.array_equal(out[i], a)
+
+
+def test_zoomify_path_hand_pinned(spark):
+    """Published Zoomify numbering pinned by hand: z0 single tile is
+    index 0; z1 tiles follow row-major (1..4); z2 starts at 5 — offset
+    (4^z-1)/3 — and TileGroup folders break every 256 tiles."""
+    rows = [(0, 0, 0), (1, 0, 1), (1, 1, 0), (2, 3, 0), (5, 10, (2**5 - 1) - 7)]
+    df = spark.createDataFrame(
+        [(z, x, y, b"") for z, x, y in rows], "z int, x long, y long, tile binary"
+    )
+    got = {(r["z"], r["x"]): (r["tile_index"], r["path"])
+           for r in convert.zoomify_path(df).collect()}
+    # (z, x, y TMS): y_xyz = 2^z-1-y
+    assert got[(0, 0)] == (0, "TileGroup0/0-0-0.jpg")        # the root tile
+    assert got[(1, 0)] == (1, "TileGroup0/1-0-0.jpg")        # y_xyz=0 row first
+    assert got[(1, 1)] == (4, "TileGroup0/1-1-1.jpg")        # last z1 tile
+    assert got[(2, 3)] == (5 + 3 * 4 + 3, "TileGroup0/2-3-3.jpg")
+    # z=5 offset (4^5-1)/3 = 341; y_xyz=7 -> idx = 341 + 7*32 + 10 = 575
+    assert got[(5, 10)] == (575, "TileGroup2/5-10-7.jpg")
+
+
+def test_zoomify_dir_write(tiles_df, tmp_path):
+    import glob
+
+    from tilers_tools_spark.sources import tileset
+
+    d = str(tmp_path / "zfy")
+    tileset.write_tileset_dir(tiles_df.limit(6), d, scheme="zoomify")
+    files = glob.glob(d + "/TileGroup*/*.png")
+    assert len(files) == 6
+    for f in files:
+        assert f.split("/")[-2].startswith("TileGroup")

@@ -181,6 +181,37 @@ def ozi_path(tiles: DataFrame, ext: str = "png") -> DataFrame:
     ).drop("sx", "sy")
 
 
+def zoomify_path(tiles: DataFrame, ext: str = "jpg") -> DataFrame:
+    """Zoomify tile-group layout (the PUBLISHED Zoomify/OpenLayers-Zoomify
+    convention): tiles number row-major across all zoom levels from z=0,
+    grouped 256 per folder —
+
+        TileGroup{tileIndex // 256}/{z}-{x}-{y}.{ext}
+
+    with XYZ y (row 0 = top). For a full power-of-two pyramid the level
+    offset has the closed form sum_{z'<z} 4^z' = (4^z - 1)/3, so
+    tileIndex = (4^z - 1)/3 + y*2^z + x — pure LongType bit math
+    (shiftleft + integral `div`, exact through z=30), no UDF and no
+    double-precision rounding."""
+    t = with_scheme(tiles, "xyz")
+    idx = F.expr(
+        "(shiftleft(CAST(1 AS BIGINT), 2*z) - 1) div 3"
+        " + sy * shiftleft(CAST(1 AS BIGINT), z) + sx"
+    )
+    return (
+        t.withColumn("tile_index", idx)
+        .withColumn(
+            "path",
+            F.format_string(
+                f"TileGroup%d/%d-%d-%d.{ext}",
+                F.expr("tile_index div 256"),
+                F.col("z"), F.col("sx"), F.col("sy"),
+            ),
+        )
+        .drop("sx", "sy")
+    )
+
+
 def mapnav_path(tiles: DataFrame, ext: str = "png") -> DataFrame:
     """MapNav tile-cache layout (BASELINE.json:6): row-major tree
     `{z}/{y}/{x}.{ext}` with TMS y (distinct from zyx, which uses XYZ y).

@@ -167,6 +167,28 @@ FROM d
 """
 
 
+def q_zoomify_paths(spark, sf_dir):
+    """Zoomify tile-group layout (operators/convert.py::zoomify_path):
+    the published row-major-across-levels tile numbering with the
+    closed-form (4^z - 1)/3 level offset, 256 tiles per TileGroup —
+    pure LongType bit math, no UDF. Oracle replays the same closed form
+    relationally (DuckDB << and integer //)."""
+    t = _tiles_at(_merc_pts(spark, sf_dir), 7).select("z", "x", "y").distinct()
+    t = t.withColumn("tile", F.lit(b""))
+    return convert.zoomify_path(t).select("z", "x", "y", "tile_index", "path")
+
+
+SQL_ZOOMIFY_PATHS = f"""
+WITH {_PTS_SQL}, {_tiles_sql(7)}, d AS (SELECT DISTINCT z, x, y FROM tiles)
+SELECT z, x, y,
+  ((1::BIGINT << (2*z)) - 1) // 3 + (127 - y) * (1::BIGINT << z) + x AS tile_index,
+  printf('TileGroup%d/%d-%d-%d.jpg',
+         (((1::BIGINT << (2*z)) - 1) // 3 + (127 - y) * (1::BIGINT << z) + x) // 256,
+         z, x, 127 - y) AS path
+FROM d
+"""
+
+
 def q_mbtiles_keys(spark, sf_dir):
     t = _tiles_at(_merc_pts(spark, sf_dir), 8).withColumn("tile", F.lit(b""))
     kv = convert.to_mbtiles_keys(t.select(F.col("z").cast("int").alias("z"), "x", "y", "tile"))
@@ -3855,6 +3877,7 @@ QUERIES: dict = {
     "tile_assign_z8": (q_tile_assign_z8, SQL_TILE_ASSIGN_Z8),
     "tilemap_metadata": (q_tilemap_metadata, SQL_TILEMAP_METADATA),
     "scheme_paths": (q_scheme_paths, SQL_SCHEME_PATHS),
+    "zoomify_paths": (q_zoomify_paths, SQL_ZOOMIFY_PATHS),
     "mbtiles_keys": (q_mbtiles_keys, SQL_MBTILES_KEYS),
     "base_zoom_hist": (q_base_zoom_hist, SQL_BASE_ZOOM_HIST),
     "tilemap_rollup": (q_tilemap_rollup, SQL_TILEMAP_ROLLUP),

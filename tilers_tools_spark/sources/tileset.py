@@ -15,7 +15,12 @@ from ..operators.convert import tile_path
 
 
 def write_tileset_dir(tiles: DataFrame, dest: str, scheme: str = "xyz", ext: str = "png", noclobber: bool = True) -> str:
-    df = tile_path(tiles, scheme=scheme, ext=ext).select("path", "tile")
+    if scheme == "zoomify":
+        from ..operators.convert import zoomify_path
+
+        df = zoomify_path(tiles, ext=ext).select("path", "tile")
+    else:
+        df = tile_path(tiles, scheme=scheme, ext=ext).select("path", "tile")
 
     def write_part(rows):
         for r in rows:
