@@ -947,6 +947,75 @@ def q_dem_tiles(spark, sf_dir):
     return out.select("image_id", "z", "x", "y", "n_valid", "tile_md5")
 
 
+# gridded-XYZ fixtures over the analytic surfaces: sparse (NaN holes
+# skipped on encode -> absent cells), header line, shuffled separators
+# are covered by pytest; here the gate pins the Spark scan path end to
+# end with two ok grids + two rejects (irregular spacing, duplicate).
+_XYZ_SPECS = [
+    ("xyz_plane", "plane", [(0, 0), (3, 5)]),
+    ("xyz_flat", "flat", []),
+    ("xyz_bad_irregular", "plane", []),
+    ("xyz_bad_duplicate", "flat", []),
+]
+
+
+def _xyz_text(iid: str) -> str:
+    from ..functions import xyzgrid
+
+    _i, surface, holes = next(s for s in _XYZ_SPECS if s[0] == iid)
+    (h, w, gsd) = next((hh, ww, g) for n, hh, ww, g in _DEM_SPECS if n == surface)
+    a = _dem_surface(surface, h, w).astype(np.float64)
+    for r, c in holes:
+        a[r, c] = np.nan
+    text = xyzgrid.encode_xyz_grid(
+        a, xll=0.0, yll=1.0e5 - h * gsd, cellsize=gsd, header=True
+    ).decode("ascii")
+    if iid == "xyz_bad_irregular":
+        text += f"{(w + 7.3) * gsd!r} {1.0e5 - gsd / 2.0!r} 1.0\n"
+    elif iid == "xyz_bad_duplicate":
+        text += f"{gsd / 2.0!r} {1.0e5 - gsd / 2.0!r} 9.0\n"
+    return text
+
+
+def q_xyz_grid_ingest(spark, sf_dir):
+    """Gridded-XYZ text input driver (the GDAL XYZ format — the INPUT
+    direction of the gdal2xyz bridge; functions/xyzgrid.py): cell-center
+    x/y/z lines -> per-grid dims, absent-cell count, grid-space anchor,
+    min/max/sum and float64-bytes md5. Irregular spacing and duplicate
+    cells reject to -1/'' sentinel rows. The golden recomputes stats
+    DIRECTLY from the analytic surfaces + hole masks (absent == NaN
+    under the engine contract) — it never parses xyz text — so a
+    tokenizer, axis-inference, or row-orientation defect moves the
+    md5/stats and fails the gate."""
+    from ..functions.xyzgrid import xyz_scan_udf
+
+    rows = [(iid, _xyz_text(iid)) for iid, _s, _h in _XYZ_SPECS]
+    df = spark.createDataFrame(rows, "image_id string, xyz string")
+    g = df.withColumn("g", xyz_scan_udf()(F.col("xyz")))
+
+    def dsent(cname):
+        col = F.col(f"g.{cname}")
+        return F.when(F.isnull(col) | F.isnan(col), F.lit(-1.0)).otherwise(col).alias(cname)
+
+    def lsent(cname):
+        col = F.col(f"g.{cname}")
+        return F.coalesce(col, F.lit(-1).cast("long")).alias(cname)
+
+    return g.select(
+        "image_id",
+        lsent("ncols"),
+        lsent("nrows"),
+        lsent("n_absent"),
+        dsent("xll"),
+        dsent("yll"),
+        dsent("cellsize"),
+        dsent("zmin"),
+        dsent("zmax"),
+        dsent("zsum"),
+        F.coalesce(F.col("g.grid_md5"), F.lit("")).alias("grid_md5"),
+    )
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Random embeddings contain no true near-dups, so plant perturbed
     copies of the first 4 vectors (vec_id + 1000000, every component
@@ -3919,6 +3988,7 @@ QUERIES: dict = {
     "png_depths": (q_png_depths, _golden("png_depths")),
     "terrain_rgb": (q_terrain_rgb, _golden("terrain_rgb")),
     "dem_tiles": (q_dem_tiles, _golden("dem_tiles")),
+    "xyz_grid_ingest": (q_xyz_grid_ingest, _golden("xyz_grid_ingest")),
     "geotiff_tiled_decode": (q_geotiff_tiled_decode, SQL_GEOTIFF_TILED),
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),

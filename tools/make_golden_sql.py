@@ -2843,7 +2843,43 @@ def g_dem_tiles():
     )
 
 
+def g_xyz_grid_ingest():
+    # Text-independent like g_aaigrid_ingest: stats + md5 recomputed from
+    # the analytic surfaces + literal hole masks (absent cell == NaN) and
+    # the literal anchor arithmetic; rejects pinned to the sentinels.
+    import hashlib
+
+    from tilers_tools_spark.plans.queries import _DEM_SPECS, _XYZ_SPECS, _dem_surface
+
+    rows = []
+    for iid, surface, holes in _XYZ_SPECS:
+        if iid.startswith("xyz_bad"):
+            rows.append([iid, -1, -1, -1, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, ""])
+            continue
+        (h, w, gsd) = next((hh, ww, g) for n, hh, ww, g in _DEM_SPECS if n == surface)
+        a = _dem_surface(surface, h, w).astype(np.float64)
+        for r, c in holes:
+            a[r, c] = np.nan
+        rows.append(
+            [
+                iid, w, h, len(holes),
+                0.0, 1.0e5 - h * gsd, float(gsd),
+                float(np.nanmin(a)), float(np.nanmax(a)), float(np.nansum(a)),
+                hashlib.md5(a.tobytes()).hexdigest(),
+            ]
+        )
+    save(
+        "xyz_grid_ingest",
+        ["image_id", "ncols", "nrows", "n_absent", "xll", "yll", "cellsize",
+         "zmin", "zmax", "zsum", "grid_md5"],
+        ["str", "int64", "int64", "int64", "float64", "float64", "float64",
+         "float64", "float64", "float64", "str"],
+        rows,
+    )
+
+
 GENERATORS = {
+    "xyz_grid_ingest": g_xyz_grid_ingest,
     "dem_tiles": g_dem_tiles,
     "aaigrid_ingest": g_aaigrid_ingest,
     "hgt_ingest": g_hgt_ingest,
