@@ -133,6 +133,39 @@ def main():
         )
         out = g if out is None else out.unionByName(g)
 
+    xyzs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.xyz")
+        .option("recursiveFileLookup", "true")
+        .load(args.src)
+    )
+    if not xyzs.isEmpty():
+
+        def xyz_fn(it):
+            import pandas as pd
+
+            from tilers_tools_spark.functions import tiffcodec, xyzgrid
+
+            for pdf in it:
+                rows = []
+                for path, blob in zip(pdf["path"], pdf["content"]):
+                    name = str(path).rsplit("/", 1)[-1]
+                    try:
+                        arr, _meta = xyzgrid.parse_xyz_grid(bytes(blob))
+                        # the format declares no CRS: grid-space TIFF only
+                        tif = tiffcodec.encode_tiff(
+                            arr.astype("float32"), compression="deflate"
+                        )
+                    except Exception:
+                        tif = None
+                    rows.append((name, "xyz", tif))
+                yield pd.DataFrame(rows, columns=["image_id", "kind", "bytes"])
+
+        g = xyzs.select("path", "content").mapInPandas(
+            xyz_fn, schema="image_id string, kind string, bytes binary"
+        )
+        out = g if out is None else out.unionByName(g)
+
     if out is None:
         print(json.dumps({"rows": 0, "failed": 0, "out": args.out}))
         spark.stop()
