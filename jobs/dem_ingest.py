@@ -166,6 +166,54 @@ def main():
         )
         out = g if out is None else out.unionByName(g)
 
+    hdrs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.hdr")
+        .option("recursiveFileLookup", "true")
+        .load(args.src)
+    )
+    if not hdrs.isEmpty():
+        stem2 = lambda c: F.regexp_replace(c, r"\.[^.]+$", "")  # noqa: E731
+        raws = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.{img,bin,dat,raw}")
+            .option("recursiveFileLookup", "true")
+            .load(args.src)
+            .select(stem2(F.col("path")).alias("_stem"), F.col("content").alias("_raw"))
+        )
+        joined = hdrs.select(
+            "path", stem2(F.col("path")).alias("_stem"), "content"
+        ).join(raws, "_stem", "inner")
+
+        def envi_fn(it):
+            import numpy as _np
+            import pandas as pd
+
+            from tilers_tools_spark.functions import envi, tiffcodec
+
+            for pdf in it:
+                rows = []
+                for path, hdr, raw in zip(pdf["path"], pdf["content"], pdf["_raw"]):
+                    name = str(path).rsplit("/", 1)[-1]
+                    try:
+                        arr, meta = envi.decode_envi(bytes(hdr), bytes(raw))
+                        band0 = arr if arr.ndim == 2 else arr[:, :, 0]
+                        # map-info anchor carries no declared EPSG:
+                        # grid-space TIFF (band 0; multiband kept out of
+                        # the single-band DEM table by contract)
+                        tif = tiffcodec.encode_tiff(
+                            _np.asarray(band0, dtype="float32"), compression="deflate"
+                        )
+                    except Exception:
+                        tif = None
+                    rows.append((name, "envi", tif))
+                yield pd.DataFrame(rows, columns=["image_id", "kind", "bytes"])
+
+        g = joined.select("path", "content", "_raw").mapInPandas(
+            envi_fn, schema="image_id string, kind string, bytes binary"
+        )
+        out = g if out is None else out.unionByName(g)
+
     if out is None:
         print(json.dumps({"rows": 0, "failed": 0, "out": args.out}))
         spark.stop()

@@ -331,10 +331,14 @@ def test_dem_ingest_job_chains_into_warp(run_job, tmp_path, spark):
     )
     (src / "corrupt.hgt").write_bytes(b"\x00\x01\x02")  # odd byte count
     (src / "pts.xyz").write_bytes(b"0.5 0.5 7\n1.5 0.5 8\n0.5 1.5 9\n1.5 1.5 1\n")
+    from tilers_tools_spark.functions import envi as _envi
+    ehdr, eraw = _envi.encode_envi(np.array([[5.0, 6.0], [7.0, 8.0]]), interleave="bil", dtype="<i2")
+    (src / "cube.hdr").write_bytes(ehdr)
+    (src / "cube.img").write_bytes(eraw)
 
     out = str(tmp_path / "dem_table.parquet")
     res = run_job("dem_ingest", ["--src", str(src), "--out", out, "--any-square"])
-    assert res["rows"] == 5 and res["failed"] == 1
+    assert res["rows"] == 6 and res["failed"] == 1
     pdf = spark.read.parquet(out).toPandas().set_index("image_id")
     assert pdf.loc["corrupt.hgt"]["bytes"] is None
 
@@ -350,6 +354,8 @@ def test_dem_ingest_job_chains_into_warp(run_job, tmp_path, spark):
     # gridded-xyz text: grid-space TIFF, north row first
     ax, geo3 = tiffcodec.decode_tiff(bytes(pdf.loc["pts.xyz"]["bytes"]), scale_16bit=False)
     assert geo3 is None and np.array_equal(ax, np.array([[9, 1], [7, 8]], np.float32))
+    ae, geo4 = tiffcodec.decode_tiff(bytes(pdf.loc["cube.hdr"]["bytes"]), scale_16bit=False)
+    assert geo4 is None and np.array_equal(ae, np.array([[5, 6], [7, 8]], np.float32))
 
     # chain: hgt GeoTIFF (4326) -> reproject_4326 -> 3857 summary row
     tbl = spark.read.parquet(out).filter("kind = 'hgt' and bytes is not null")

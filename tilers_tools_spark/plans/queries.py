@@ -1016,6 +1016,95 @@ def q_xyz_grid_ingest(spark, sf_dir):
     )
 
 
+# ENVI raw-cube fixtures over the analytic surfaces: one per interleave,
+# mixed dtypes/byte orders/band counts, ignore-value holes, one map-info
+# anchor, two rejects (truncated raw, unsupported complex data type).
+_ENVI_SPECS = [
+    ("envi_bil_i2", "plane", "bil", ">i2", 1, [(0, 0), (3, 5)]),
+    ("envi_bsq_f4", "wave", "bsq", "<f4", 2, [(1, 1)]),
+    ("envi_bip_u1", "flat", "bip", "|u1", 1, []),
+    ("envi_bad_short", "flat", "bsq", "|u1", 1, []),
+    ("envi_bad_dtype", "flat", "bsq", "|u1", 1, []),
+]
+
+
+def _envi_cube(iid: str) -> "np.ndarray":
+    """float64 cube exactly representable in the spec's dtype (float32
+    surfaces quantized through f4), with NaN holes punched in band 0."""
+    _i, surface, _il, dtype, bands, holes = next(s for s in _ENVI_SPECS if s[0] == iid)
+    (h, w, _gsd) = next((hh, ww, g) for n, hh, ww, g in _DEM_SPECS if n == surface)
+    a = _dem_surface(surface, h, w).astype(np.float64)
+    if surface == "flat":
+        a = np.abs(a)  # u1 domain
+    a = a.astype(np.dtype(dtype)).astype(np.float64)
+    cube = np.stack([a * (k + 1.0) for k in range(bands)], axis=2)
+    cube = cube.astype(np.dtype(dtype)).astype(np.float64)
+    for r, c in holes:
+        cube[r, c, 0] = np.nan
+    return cube[:, :, 0] if bands == 1 else cube
+
+
+def _envi_blob(iid: str) -> tuple[bytes, bytes]:
+    from ..functions import envi
+
+    _i, _s, il, dtype, _b, _holes = next(s for s in _ENVI_SPECS if s[0] == iid)
+    hdr, raw = envi.encode_envi(
+        _envi_cube(iid), interleave=il, dtype=dtype,
+        ignore=255.0 if dtype == "|u1" else -32000.0,
+        map_info={"projection": "Arbitrary", "gsd": 2.0, "mx0": 0.0, "my1": 1.0e5}
+        if iid == "envi_bil_i2" else None,
+    )
+    if iid == "envi_bad_short":
+        raw = raw[: len(raw) // 2]
+    elif iid == "envi_bad_dtype":
+        hdr = hdr.replace(b"data type = 1", b"data type = 6")  # complex: unsupported
+    return hdr, raw
+
+
+def q_envi_ingest(spark, sf_dir):
+    """ENVI raw-binary input driver (the GDAL ENVI format;
+    functions/envi.py): .hdr text + headerless cube -> per-cube dims,
+    ignore-value NaN count, map-info anchor, min/max/sum over ALL bands
+    and the float64-cube md5 — covering all three interleaves (bsq/bil/
+    bip), int16 big-endian, float32, uint8, a 2-band cube, and the two
+    loud rejects (truncated raw, complex data type) as -1/'' sentinel
+    rows. The golden recomputes everything from the analytic surfaces +
+    the literal spec list — never from header or cube bytes — so an
+    interleave-transpose, byte-order, offset, or ignore-value defect
+    moves the md5/stats and fails the gate."""
+    from ..functions.envi import envi_scan_udf
+
+    rows = []
+    for iid, *_rest in _ENVI_SPECS:
+        hdr, raw = _envi_blob(iid)
+        rows.append((iid, hdr.decode("ascii"), bytearray(raw)))
+    df = spark.createDataFrame(rows, "image_id string, hdr string, raw binary")
+    g = df.withColumn("g", envi_scan_udf()(F.col("hdr"), F.col("raw")))
+
+    def dsent(cname):
+        col = F.col(f"g.{cname}")
+        return F.when(F.isnull(col) | F.isnan(col), F.lit(-1.0)).otherwise(col).alias(cname)
+
+    def lsent(cname):
+        col = F.col(f"g.{cname}")
+        return F.coalesce(col, F.lit(-1).cast("long")).alias(cname)
+
+    return g.select(
+        "image_id",
+        lsent("samples"),
+        lsent("lines"),
+        lsent("bands"),
+        lsent("n_nodata"),
+        dsent("gsd"),
+        dsent("mx0"),
+        dsent("my1"),
+        dsent("zmin"),
+        dsent("zmax"),
+        dsent("zsum"),
+        F.coalesce(F.col("g.cube_md5"), F.lit("")).alias("cube_md5"),
+    )
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Random embeddings contain no true near-dups, so plant perturbed
     copies of the first 4 vectors (vec_id + 1000000, every component
@@ -3989,6 +4078,7 @@ QUERIES: dict = {
     "terrain_rgb": (q_terrain_rgb, _golden("terrain_rgb")),
     "dem_tiles": (q_dem_tiles, _golden("dem_tiles")),
     "xyz_grid_ingest": (q_xyz_grid_ingest, _golden("xyz_grid_ingest")),
+    "envi_ingest": (q_envi_ingest, _golden("envi_ingest")),
     "geotiff_tiled_decode": (q_geotiff_tiled_decode, SQL_GEOTIFF_TILED),
     "contamination": (q_contamination, SQL_CONTAMINATION),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),

@@ -2878,7 +2878,45 @@ def g_xyz_grid_ingest():
     )
 
 
+def g_envi_ingest():
+    # Bytes-independent like the other ingest goldens: dims, nodata
+    # count, anchor, stats and md5 all recomputed from the shared
+    # analytic-cube fixture helper (_envi_cube — pure numpy, no header
+    # or raw bytes); the engine path round-trips through interleave
+    # packing + byte order + ignore substitution, so any of those
+    # defects moves the md5/stats. Rejects pinned to sentinels.
+    import hashlib
+
+    from tilers_tools_spark.plans.queries import _ENVI_SPECS, _envi_cube
+
+    rows = []
+    for iid, _surface, _il, _dtype, bands, holes in _ENVI_SPECS:
+        if iid.startswith("envi_bad"):
+            rows.append([iid, -1, -1, -1, -1, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, ""])
+            continue
+        cube = _envi_cube(iid)
+        a = cube if cube.ndim == 3 else cube[:, :, None]
+        anchor = (2.0, 0.0, 1.0e5) if iid == "envi_bil_i2" else (-1.0, -1.0, -1.0)
+        rows.append(
+            [
+                iid, a.shape[1], a.shape[0], bands, len(holes),
+                *anchor,
+                float(np.nanmin(a)), float(np.nanmax(a)), float(np.nansum(a)),
+                hashlib.md5(cube.tobytes()).hexdigest(),
+            ]
+        )
+    save(
+        "envi_ingest",
+        ["image_id", "samples", "lines", "bands", "n_nodata", "gsd", "mx0", "my1",
+         "zmin", "zmax", "zsum", "cube_md5"],
+        ["str", "int64", "int64", "int64", "int64", "float64", "float64", "float64",
+         "float64", "float64", "float64", "str"],
+        rows,
+    )
+
+
 GENERATORS = {
+    "envi_ingest": g_envi_ingest,
     "xyz_grid_ingest": g_xyz_grid_ingest,
     "dem_tiles": g_dem_tiles,
     "aaigrid_ingest": g_aaigrid_ingest,
