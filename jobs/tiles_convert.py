@@ -81,6 +81,10 @@ def main():
     if args.dst_format == "dir":
         tileset.write_tileset_dir(tiles, args.dst, scheme=args.dst_scheme, ext=ext)
         tileset.write_tilemap_xml(tiles, args.dst, title=args.name, ext=ext)
+        if args.dst_scheme in ("xyz", "tms"):  # gdal2tiles -w leaflet role
+            tileset.write_leaflet_html(
+                tiles, args.dst, title=args.name, ext=ext, scheme=args.dst_scheme
+            )
         out = args.dst
     elif args.dst_format == "kml":
         # Google-Earth SuperOverlay: xyz image tree + per-tile KML docs +

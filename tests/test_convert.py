@@ -296,3 +296,35 @@ def test_zoomify_dir_write(tiles_df, tmp_path):
     assert len(files) == 6
     for f in files:
         assert f.split("/")[-2].startswith("TileGroup")
+
+
+def test_leaflet_html_writer(tiles_df, tmp_path):
+    """gdal2tiles -w leaflet parity: zoom range, tms flag, url template
+    and fitBounds lat/lon recomputed from the deepest zoom's tile range
+    via a scalar replay of the same published inverse-mercator formula."""
+    import math
+    import re as _re
+
+    from tilers_tools_spark.functions import tilemath as tm
+    from tilers_tools_spark.sources import tileset
+
+    out = tileset.write_leaflet_html(tiles_df, str(tmp_path), title="t", scheme="tms")
+    html = open(out).read()
+    zs = [int(r["z"]) for r in tiles_df.select("z").distinct().collect()]
+    assert f"minZoom: {min(zs)}, maxZoom: {max(zs)}, tms: true" in html
+    assert "L.tileLayer('./{z}/{x}/{y}.png'" in html
+    m = _re.search(r"fitBounds\(\[\[([-\d.]+), ([-\d.]+)\], \[([-\d.]+), ([-\d.]+)\]\]\)", html)
+    assert m
+    la0, lo0, la1, lo1 = (float(v) for v in m.groups())
+    # scalar replay of the bounds: deepest zoom's tile extent corners
+    from tilers_tools_spark.operators.convert import tilemap_metadata
+    deepest = max(tilemap_metadata(tiles_df).collect(), key=lambda r: r["z"])
+    span = tm.RES0 / (2.0 ** deepest["z"]) * 256.0
+    R = 6378137.0
+    def inv(mx, my):
+        return (math.degrees(mx / R),
+                math.degrees(2.0 * math.atan(math.exp(my / R)) - math.pi / 2.0))
+    lo0e, la0e = inv(deepest["xmin"] * span - tm.ORIGIN, deepest["ymin"] * span - tm.ORIGIN)
+    lo1e, la1e = inv((deepest["xmax"] + 1) * span - tm.ORIGIN, (deepest["ymax"] + 1) * span - tm.ORIGIN)
+    assert abs(la0 - la0e) < 1e-6 and abs(lo0 - lo0e) < 1e-6
+    assert abs(la1 - la1e) < 1e-6 and abs(lo1 - lo1e) < 1e-6

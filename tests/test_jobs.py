@@ -72,6 +72,7 @@ def test_tiles_convert_job(run_job, tile_dir, tmp_path, spark):
     ])
     assert res2["tiles"] == df.count()
     assert os.path.exists(os.path.join(out2, "tilemapresource.xml"))
+    assert "tms: true" in open(os.path.join(out2, "leaflet.html")).read()
 
 
 def test_tiles_merge_job(run_job, tile_dir, tmp_path, spark):

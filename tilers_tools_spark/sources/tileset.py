@@ -85,6 +85,68 @@ def write_tilemap_xml(tiles: DataFrame, dest: str, title: str = "tiles", ext: st
     return out
 
 
+def write_leaflet_html(
+    tiles: DataFrame,
+    dest: str,
+    title: str = "tiles",
+    ext: str = "png",
+    scheme: str = "xyz",
+    url_base: str = "./",
+) -> str:
+    """Write a self-contained `leaflet.html` viewer next to the tile tree
+    — gdal2tiles' `-w leaflet` output role. One tiny driver-side
+    aggregate (tilemap_metadata) supplies the zoom range and the lat/lon
+    fit bounds (pixel-edge mercator -> degrees via the engine's own
+    inverse); the Leaflet library itself loads from the standard CDN
+    URLs gdal2tiles emits. `scheme='tms'` sets the Leaflet tms flag
+    instead of renaming tiles. Deterministic output text."""
+    import numpy as np
+
+    from ..functions import tilemath as tm
+    from ..operators.convert import tilemap_metadata
+    from xml.sax.saxutils import escape
+
+    rows = tilemap_metadata(tiles).collect()
+    if not rows:
+        raise ValueError("empty tile set")
+    zmin = min(int(r["z"]) for r in rows)
+    zmax = max(int(r["z"]) for r in rows)
+    deepest = max(rows, key=lambda r: r["z"])
+    span = tm.RES0 / (2.0 ** int(deepest["z"])) * 256.0
+    mx = np.array([deepest["xmin"] * span - tm.ORIGIN, (deepest["xmax"] + 1) * span - tm.ORIGIN])
+    my = np.array([deepest["ymin"] * span - tm.ORIGIN, (deepest["ymax"] + 1) * span - tm.ORIGIN])
+    lon, lat = tm.inv_merc_np(mx, my)
+    title = escape(title)
+    tms_flag = "true" if scheme == "tms" else "false"
+    html = f"""<!DOCTYPE html>
+<html>
+<head>
+  <title>{title}</title>
+  <meta charset="utf-8"/>
+  <meta name="viewport" content="width=device-width, initial-scale=1.0"/>
+  <link rel="stylesheet" href="https://unpkg.com/leaflet@1.9.4/dist/leaflet.css"/>
+  <script src="https://unpkg.com/leaflet@1.9.4/dist/leaflet.js"></script>
+  <style>html, body, #map {{ width: 100%; height: 100%; margin: 0; }}</style>
+</head>
+<body>
+<div id="map"></div>
+<script>
+var map = L.map('map');
+L.tileLayer('{url_base}{{z}}/{{x}}/{{y}}.{ext}', {{
+  minZoom: {zmin}, maxZoom: {zmax}, tms: {tms_flag}, attribution: '{title}'
+}}).addTo(map);
+map.fitBounds([[{lat[0]:.8f}, {lon[0]:.8f}], [{lat[1]:.8f}, {lon[1]:.8f}]]);
+</script>
+</body>
+</html>
+"""
+    os.makedirs(dest, exist_ok=True)
+    out = os.path.join(dest, "leaflet.html")
+    with open(out, "w") as f:
+        f.write(html)
+    return out
+
+
 def read_tileset_dir(spark, src: str, scheme: str = "xyz"):
     """Walk a tile tree back into a canonical tiles DF (row 10: the tile-set
     walk IS a scan). Uses Spark's binaryFile source for a parallel read.
