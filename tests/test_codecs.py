@@ -422,3 +422,21 @@ def test_bmp_encode_roundtrip_and_external_cross():
     assert np.array_equal(codecs.decode_bmp(codecs.encode_bmp(ext)), ext)
     with pytest.raises(ValueError, match="gray/RGB/RGBA"):
         codecs.encode_bmp(np.zeros((2, 2, 2), np.uint8))
+
+
+def test_paletted_png_min_depth():
+    """bit_depth='min' packs 2/4/16-color images at 1/2/4 bits and
+    roundtrips through the sub-8-bit decode path; default stays 8-bit
+    byte-stable."""
+    rng = np.random.default_rng(12)
+    for n, depth in ((2, 1), (4, 2), (16, 4), (40, 8)):
+        pal = np.unique(rng.integers(0, 256, (n * 3, 3), dtype=np.uint8), axis=0)[:n]
+        idx = rng.integers(0, pal.shape[0], (9, 13))
+        rgb = pal[idx]
+        blob = codecs.encode_png_paletted(rgb, bit_depth="min")
+        assert blob[24] == depth  # IHDR bit-depth byte
+        assert np.array_equal(codecs.decode_png(blob), rgb)
+        if depth < 8:
+            assert len(blob) <= len(codecs.encode_png_paletted(rgb))
+    with pytest.raises(ValueError, match="bit_depth"):
+        codecs.encode_png_paletted(rgb, bit_depth=4)

@@ -91,12 +91,19 @@ def encode_png(arr: np.ndarray, level: int = 6, filter_type: int = 0) -> bytes:
     return PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
-def encode_png_paletted(arr: np.ndarray, level: int = 6, max_colors: int = 256) -> bytes:
+def encode_png_paletted(
+    arr: np.ndarray, level: int = 6, max_colors: int = 256, bit_depth: str | int = 8
+) -> bytes:
     """uint8 (H,W,3)/(H,W,4) -> paletted PNG (color type 3, PLTE [+ tRNS])
     when the image has <= max_colors distinct colors; falls back to
     encode_png otherwise. Palette order = sorted packed RGBA -> byte-
     deterministic. Decoder side: decode_png already expands palettes
     (SURVEY.md §2.3 row 20 paletted output; roundtrips via to_rgba).
+
+    ``bit_depth``: 8 (default, the historical byte-stable output) or
+    'min' — pick the smallest spec depth that fits the palette (1/2/4/8),
+    packing indices MSB-first per scanline; 2-16-color tiles shrink
+    ~2-8x before deflate even sees them.
     """
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
     if arr.ndim != 3 or arr.shape[2] not in (3, 4):
@@ -114,10 +121,22 @@ def encode_png_paletted(arr: np.ndarray, level: int = 6, max_colors: int = 256) 
         [(colors >> 24) & 255, (colors >> 16) & 255, (colors >> 8) & 255, colors & 255], axis=1
     ).astype(np.uint8)
     idx = inverse.astype(np.uint8).reshape(h, w)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    depth = 8
+    if bit_depth == "min":
+        n = len(colors)
+        depth = 1 if n <= 2 else 2 if n <= 4 else 4 if n <= 16 else 8
+    elif bit_depth != 8:
+        raise ValueError(f"bit_depth must be 8 or 'min', got {bit_depth!r}")
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
     plte = pal_rgba[:, :3].tobytes()
-    lines = np.zeros((h, 1 + w), dtype=np.uint8)
-    lines[:, 1:] = idx
+    if depth == 8:
+        lines = np.zeros((h, 1 + w), dtype=np.uint8)
+        lines[:, 1:] = idx
+    else:  # MSB-first bit packing, row-padded to whole bytes
+        bits = ((idx[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1).reshape(h, -1)
+        packed_rows = np.packbits(bits.astype(np.uint8), axis=1)
+        lines = np.zeros((h, 1 + packed_rows.shape[1]), dtype=np.uint8)
+        lines[:, 1:] = packed_rows
     idat = zlib.compress(lines.tobytes(), level)
     out = PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", plte)
     alpha = pal_rgba[:, 3]
