@@ -363,3 +363,44 @@ def test_dem_ingest_job_chains_into_warp(run_job, tmp_path, spark):
     row = reproject_4326(tbl).collect()[0]
     import math
     assert row["out_w"] > 0 and abs(row["mx0"] - 6378137.0 * math.radians(-119.0)) < 1e-3
+
+
+def test_dem_tiles_job(run_job, tmp_path, spark):
+    """jobs/dem_tiles.py: 3857 DEM table -> terrain-RGB tile tree with
+    tilemap xml + leaflet viewer; every written PNG decodes back to
+    elevations within the encoding's quantization step."""
+    import glob
+
+    from tilers_tools_spark.functions import codecs, tiffcodec, tilemath as tm
+    from tilers_tools_spark.operators import terrain
+
+    rng = np.random.default_rng(31)
+    dem = np.round(rng.uniform(0, 500, (24, 30))).astype(np.float64)
+    z = 16
+    span = float(tm.resolution_np(z)) * 256
+    geo = {"gsd": span / 12.0, "mx0": 9 * span - tm.ORIGIN + 0.4 * span,
+           "my1": 6 * span - tm.ORIGIN - 0.1 * span, "epsg": 3857}
+    blob = tiffcodec.encode_tiff(dem.astype(np.float32), geo=geo)
+    src = str(tmp_path / "dem.parquet")
+    spark.createDataFrame(
+        [("d", bytearray(blob))], "image_id string, bytes binary"
+    ).write.parquet(src)
+
+    out = str(tmp_path / "terrain")
+    res = run_job("dem_tiles", [
+        "--images", src, "--out", out, "--zooms", "16,15", "--encoding", "mapbox",
+    ])
+    files = glob.glob(out + "/*/*/*.png")
+    assert res["tiles"] == len(files) and res["tiles"] > 0
+    assert os.path.exists(os.path.join(out, "tilemapresource.xml"))
+    assert "maxZoom: 16" in open(os.path.join(out, "leaflet.html")).read()
+    dem32 = dem.astype(np.float32).astype(np.float64)
+    for f in files[:4]:
+        zz, xx, yy_xyz = int(f.split("/")[-3]), int(f.split("/")[-2]), int(f.split("/")[-1][:-4])
+        ty = (1 << zz) - 1 - yy_xyz  # dir tree is XYZ; keys are TMS
+        rgba = codecs.decode_png(open(f, "rb").read())
+        back = terrain.terrain_rgb_decode_np(rgba, "mapbox")
+        elev = terrain.dem_tile_np(dem32, geo, zz, xx, ty)
+        finite = ~np.isnan(elev)
+        assert (np.isnan(back) == ~finite).all()
+        assert np.abs(back[finite] - elev[finite]).max() <= 0.05 + 1e-9
