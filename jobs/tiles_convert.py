@@ -81,8 +81,11 @@ def main():
     if args.dst_format == "dir":
         tileset.write_tileset_dir(tiles, args.dst, scheme=args.dst_scheme, ext=ext)
         tileset.write_tilemap_xml(tiles, args.dst, title=args.name, ext=ext)
-        if args.dst_scheme in ("xyz", "tms"):  # gdal2tiles -w leaflet role
+        if args.dst_scheme in ("xyz", "tms"):  # gdal2tiles -w leaflet/openlayers role
             tileset.write_leaflet_html(
+                tiles, args.dst, title=args.name, ext=ext, scheme=args.dst_scheme
+            )
+            tileset.write_openlayers_html(
                 tiles, args.dst, title=args.name, ext=ext, scheme=args.dst_scheme
             )
         out = args.dst

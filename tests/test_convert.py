@@ -328,3 +328,30 @@ def test_leaflet_html_writer(tiles_df, tmp_path):
     lo1e, la1e = inv((deepest["xmax"] + 1) * span - tm.ORIGIN, (deepest["ymax"] + 1) * span - tm.ORIGIN)
     assert abs(la0 - la0e) < 1e-6 and abs(lo0 - lo0e) < 1e-6
     assert abs(la1 - la1e) < 1e-6 and abs(lo1 - lo1e) < 1e-6
+
+
+def test_openlayers_html_writer(tiles_df, tmp_path):
+    """gdal2tiles -w openlayers parity: mercator extent from the deepest
+    zoom's tile range, zoom bounds, and the {-y} TMS url token."""
+    import re as _re
+
+    from tilers_tools_spark.functions import tilemath as tm
+    from tilers_tools_spark.operators.convert import tilemap_metadata
+    from tilers_tools_spark.sources import tileset
+
+    out = tileset.write_openlayers_html(tiles_df, str(tmp_path), title="t", scheme="tms")
+    html = open(out).read()
+    zs = [int(r["z"]) for r in tiles_df.select("z").distinct().collect()]
+    assert f"minZoom: {min(zs)}, maxZoom: {max(zs)}" in html
+    assert "/{z}/{x}/{-y}.png" in html
+    m = _re.search(r"var extent = \[([-\d.e+]+), ([-\d.e+]+), ([-\d.e+]+), ([-\d.e+]+)\];", html)
+    assert m
+    deepest = max(tilemap_metadata(tiles_df).collect(), key=lambda r: r["z"])
+    span = tm.RES0 / (2.0 ** deepest["z"]) * 256.0
+    exp = (deepest["xmin"] * span - tm.ORIGIN, deepest["ymin"] * span - tm.ORIGIN,
+           (deepest["xmax"] + 1) * span - tm.ORIGIN, (deepest["ymax"] + 1) * span - tm.ORIGIN)
+    got = tuple(float(v) for v in m.groups())
+    assert all(abs(a - b) < 1e-6 for a, b in zip(got, exp))
+    # xyz scheme keeps the plain {y} token
+    html2 = open(tileset.write_openlayers_html(tiles_df, str(tmp_path / "x"), scheme="xyz")).read()
+    assert "/{z}/{x}/{y}.png" in html2

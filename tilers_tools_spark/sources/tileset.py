@@ -147,6 +147,72 @@ map.fitBounds([[{lat[0]:.8f}, {lon[0]:.8f}], [{lat[1]:.8f}, {lon[1]:.8f}]]);
     return out
 
 
+def write_openlayers_html(
+    tiles: DataFrame,
+    dest: str,
+    title: str = "tiles",
+    ext: str = "png",
+    scheme: str = "xyz",
+    url_base: str = "./",
+) -> str:
+    """Write an `openlayers.html` viewer next to the tile tree —
+    gdal2tiles' default `-w openlayers` output role (OpenLayers 7 API).
+    Same tiny driver-side aggregate as write_leaflet_html; `scheme='tms'`
+    flips the y in the URL template the way OL expresses TMS
+    (`{-y}`). Deterministic output text."""
+    from ..functions import tilemath as tm
+    from ..operators.convert import tilemap_metadata
+    from xml.sax.saxutils import escape
+
+    rows = tilemap_metadata(tiles).collect()
+    if not rows:
+        raise ValueError("empty tile set")
+    zmin = min(int(r["z"]) for r in rows)
+    zmax = max(int(r["z"]) for r in rows)
+    deepest = max(rows, key=lambda r: r["z"])
+    span = tm.RES0 / (2.0 ** int(deepest["z"])) * 256.0
+    minx = deepest["xmin"] * span - tm.ORIGIN
+    maxx = (deepest["xmax"] + 1) * span - tm.ORIGIN
+    miny = deepest["ymin"] * span - tm.ORIGIN
+    maxy = (deepest["ymax"] + 1) * span - tm.ORIGIN
+    title = escape(title)
+    ytok = "{-y}" if scheme == "tms" else "{y}"
+    html = f"""<!DOCTYPE html>
+<html>
+<head>
+  <title>{title}</title>
+  <meta charset="utf-8"/>
+  <meta name="viewport" content="width=device-width, initial-scale=1.0"/>
+  <link rel="stylesheet" href="https://cdn.jsdelivr.net/npm/ol@v7.5.2/ol.css"/>
+  <script src="https://cdn.jsdelivr.net/npm/ol@v7.5.2/dist/ol.js"></script>
+  <style>html, body, #map {{ width: 100%; height: 100%; margin: 0; }}</style>
+</head>
+<body>
+<div id="map"></div>
+<script>
+var extent = [{minx:.17g}, {miny:.17g}, {maxx:.17g}, {maxy:.17g}];
+var map = new ol.Map({{
+  target: 'map',
+  layers: [new ol.layer.Tile({{
+    source: new ol.source.XYZ({{
+      url: '{url_base}{{z}}/{{x}}/{ytok}.{ext}',
+      minZoom: {zmin}, maxZoom: {zmax}, attributions: '{title}'
+    }})
+  }})],
+  view: new ol.View({{ minZoom: {zmin}, maxZoom: {zmax} }})
+}});
+map.getView().fit(extent, {{size: map.getSize()}});
+</script>
+</body>
+</html>
+"""
+    os.makedirs(dest, exist_ok=True)
+    out = os.path.join(dest, "openlayers.html")
+    with open(out, "w") as f:
+        f.write(html)
+    return out
+
+
 def read_tileset_dir(spark, src: str, scheme: str = "xyz"):
     """Walk a tile tree back into a canonical tiles DF (row 10: the tile-set
     walk IS a scan). Uses Spark's binaryFile source for a parallel read.
