@@ -205,3 +205,28 @@ def test_vrt_build_group_join_is_broadcast_and_bytes_free(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "bytes#" not in line, f"raster bytes in a shuffle: {line.strip()[:120]}"
+
+
+def test_dem_tiles_is_shuffle_free(spark):
+    """The web-DEM tiler must stay one narrow Arrow pass per raster —
+    tile bytes never enter an Exchange (the 100 TB shape)."""
+    from tilers_tools_spark.functions import tiffcodec, tilemath as tm
+    from tilers_tools_spark.operators.terrain import dem_tiles
+
+    span = float(tm.resolution_np(16)) * 256
+    geo = {"gsd": span / 8.0, "mx0": -tm.ORIGIN, "my1": tm.ORIGIN, "epsg": 3857}
+    blob = tiffcodec.encode_tiff(np.zeros((16, 16), np.float32), geo=geo)
+    df = spark.createDataFrame([("d", bytearray(blob))], "image_id string, bytes binary")
+    plan = _plan(dem_tiles(df, zooms=(16,)))
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan, plan
+
+
+def test_ingest_scans_are_shuffle_free(spark):
+    """The round-5 input-driver scan queries (aaigrid/hgt/xyz/envi) are
+    pure projections over an Arrow UDF — no Exchange in any plan."""
+    from tilers_tools_spark.plans import queries as q
+
+    for fn in (q.q_aaigrid_ingest, q.q_hgt_ingest, q.q_xyz_grid_ingest, q.q_envi_ingest):
+        plan = _plan(fn(spark, "/root/testdata/sf0.01"))
+        assert "Exchange" not in plan, (fn.__name__, plan)
