@@ -105,3 +105,62 @@ def test_loud_rejects():
         gifcodec.encode_gif(rgb.astype(np.uint8).reshape(300, 1, 3).repeat(2, axis=1))
     with pytest.raises(ValueError, match="needs an explicit palette"):
         gifcodec.encode_gif(np.zeros((2, 2), np.uint8))
+
+
+def _gif_lzw_compress(indices, mcs):
+    """Test-local REAL GIF-LZW compressor (classic greedy longest-match
+    table algorithm, width growth mirrored to the decoder, CLEAR at the
+    12-bit cap) — an independent producer for the decoder, exercising
+    multi-character table codes the repo's roots-only encoder never
+    emits."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    bw = gifcodec._BitWriterLSB()
+    width = mcs + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    bw.write(clear, width)
+    w = b""
+    for v in indices:
+        wk = w + bytes([int(v)])
+        if wk in table:
+            w = wk
+            continue
+        bw.write(table[w], width)
+        table[wk] = next_code
+        next_code += 1
+        # decoder widens when ITS table length reaches 1<<width; its
+        # table length after this emission equals next_code
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        elif next_code == 4097:
+            bw.write(clear, width)
+            width = mcs + 1
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+        w = bytes([int(v)])
+    if w:
+        bw.write(table[w], width)
+    bw.write(eoi, width)
+    return bw.flush()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_decoder_vs_independent_real_compressor(seed):
+    rng = np.random.default_rng(seed)
+    # runs + structure so real multi-char codes dominate
+    base = rng.integers(0, 16, 400)
+    runs = np.repeat(base, rng.integers(1, 9, 400).astype(np.int64))
+    idx = np.resize(runs, 64 * 57).astype(np.uint8).reshape(57, 64)
+    payload = _gif_lzw_compress(idx.reshape(-1), mcs=4)
+    pal = np.arange(48, dtype=np.uint8).reshape(16, 3)
+    head = b"GIF89a" + (64).to_bytes(2, "little") + (57).to_bytes(2, "little")
+    head += bytes([0x83, 0, 0]) + pal.tobytes()  # GCT: 16 entries
+    body = bytes([0x2C]) + b"\x00\x00\x00\x00"
+    body += (64).to_bytes(2, "little") + (57).to_bytes(2, "little") + b"\x00"
+    body += bytes([4])
+    for i in range(0, len(payload), 255):
+        chunk = payload[i : i + 255]
+        body += bytes([len(chunk)]) + chunk
+    body += bytes([0, 0x3B])
+    out = gifcodec.decode_gif(head + body)
+    assert np.array_equal(out, pal[idx])
