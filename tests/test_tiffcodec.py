@@ -1229,3 +1229,64 @@ def test_external_writer_tiff_decodes_against_byte_slice_oracle():
     # IFD sits at the end: strip data starts right after the 8-byte header
     raw = np.frombuffer(b[8 : 8 + 16 * 16 * 4], dtype=np.uint8).reshape(16, 16, 4)
     assert np.array_equal(px, raw)
+
+
+def _tiff_lzw_compress(data: bytes) -> bytes:
+    """Test-local REAL TIFF-LZW compressor (TIFF spec §13 / libtiff
+    rules: MSB-first packing, ClearCode=256, EOI=257, EARLY-CHANGE width
+    bump when the next free code reaches 2^width - 1, table reset at
+    4094) — an independent producer exercising multi-byte table codes
+    and the 9->10->11-bit transitions the repo's decoder-vs-own-encoder
+    tests cannot disconfirm (ADVICE r4 fixture debt)."""
+    CLEAR, EOI = 256, 257
+    outbits = bytearray()
+    bitbuf = 0
+    bitcnt = 0
+
+    def emit(code, width):
+        nonlocal bitbuf, bitcnt
+        bitbuf = (bitbuf << width) | code
+        bitcnt += width
+        while bitcnt >= 8:
+            outbits.append((bitbuf >> (bitcnt - 8)) & 0xFF)
+            bitcnt -= 8
+
+    width = 9
+    emit(CLEAR, width)
+    table = {bytes([i]): i for i in range(256)}
+    nxt = 258
+    w = b""
+    for byte in data:
+        wk = w + bytes([byte])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        table[wk] = nxt
+        nxt += 1
+        if nxt >= (1 << width) - 1 and width < 12:
+            width += 1  # early change
+        if nxt == 4094:
+            emit(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            nxt = 258
+            width = 9
+        w = bytes([byte])
+    if w:
+        emit(table[w], width)
+    emit(EOI, width)
+    if bitcnt:
+        outbits.append((bitbuf << (8 - bitcnt)) & 0xFF)
+    return bytes(outbits)
+
+
+@pytest.mark.parametrize("seed,n", [(0, 4000), (1, 20000), (2, 120000)])
+def test_unlzw_vs_independent_real_compressor(seed, n):
+    """Decoder vs the independent compressor across the 9->10 (510),
+    10->11 (1022) and 11->12 width transitions and a 4094 table reset
+    (the 120k-byte case crosses it)."""
+    rng = np.random.default_rng(seed)
+    # structured runs so the table fills with real multi-byte strings
+    base = rng.integers(0, 256, n // 4)
+    data = bytes(np.resize(np.repeat(base, rng.integers(1, 8, n // 4).astype(np.int64)), n).astype(np.uint8))
+    assert tiffcodec._unlzw(_tiff_lzw_compress(data)) == data

@@ -103,13 +103,15 @@ def _unlzw(src: bytes) -> bytes:
     9->12-bit codes, ClearCode=256, EOI=257, table grows at entry
     4094 ('early change').
 
-    FIXTURE DEBT (ADVICE r4, not closable offline): the early-change
-    widening boundary is verified against this repo's independently
-    written test encoder and a derivation of libtiff's rule, but no
-    checked-in fixture from an EXTERNAL encoder exists (no libtiff/GDAL/
-    Pillow in this container). First online action: commit an LZW strip
-    from gdal_translate crossing the 510-entry boundary and pin its
-    decoded pixels."""
+    Early-change anchoring (ADVICE r4): beyond the repo's own encoder,
+    the decoder is paired against an INDEPENDENT test-local compressor
+    written from libtiff's rules (tests/test_tiffcodec.py::
+    test_unlzw_vs_independent_real_compressor — greedy table build,
+    early-change at next_code == 2^width - 1, 4094 reset) across the
+    9->10->11->12 transitions and a table reset. Residual debt, not
+    closable offline: no fixture from an external BINARY encoder
+    (libtiff/GDAL/Pillow absent); first online action remains to commit
+    a gdal_translate LZW strip crossing the 510-entry boundary."""
     CLEAR, EOI = 256, 257
     out = bytearray()
     table: list[bytes] = []
