@@ -1290,3 +1290,149 @@ def test_unlzw_vs_independent_real_compressor(seed, n):
     base = rng.integers(0, 256, n // 4)
     data = bytes(np.resize(np.repeat(base, rng.integers(1, 8, n // 4).astype(np.int64)), n).astype(np.uint8))
     assert tiffcodec._unlzw(_tiff_lzw_compress(data)) == data
+
+
+# ---------------------------------------------------------------------------
+# Floating-point Predictor=3 (TIFF TechNote 3 — the GDAL PREDICTOR=3 layout
+# for compressed float DEMs). Pinned three independent ways: a hand-worked
+# byte KAT, an INDEPENDENT scalar encoder transcribed from the published
+# rule (no code shared with tiffcodec._fp_diff_rows), and writer roundtrips.
+# ---------------------------------------------------------------------------
+
+
+def _fp3_encode_scalar(block: np.ndarray) -> bytes:
+    """Independent TechNote-3 encoder: per row, emit each sample's
+    big-endian bytes into byte PLANES (most significant plane first),
+    then byte-wise horizontal differencing with lag = samples-per-pixel.
+    Plain scalar loops + struct.pack — shares nothing with the codec."""
+    rows, w, c = block.shape
+    bps = block.dtype.itemsize
+    fmt = ">" + {4: "f", 8: "d"}[bps]
+    out = bytearray()
+    for r in range(rows):
+        flat = []
+        for p in range(bps):
+            for i in range(w * c):
+                flat.append(struct.pack(fmt, float(block[r, i // c, i % c]))[p])
+        diffed = list(flat)
+        for i in range(len(flat) - 1, c - 1, -1):
+            diffed[i] = (flat[i] - flat[i - c]) & 0xFF
+        out += bytes(diffed)
+    return bytes(out)
+
+
+def test_fp_predictor3_hand_kat():
+    """One row [1.0, 2.0] float32: BE bytes 3F 80 00 00 / 40 00 00 00 ->
+    MSB-first planes [3F,40],[80,00],[00,00],[00,00] -> lag-1 diff
+    [3F,01,40,80,00,00,00,00] (worked by hand from TechNote 3)."""
+    expected = bytes([0x3F, 0x01, 0x40, 0x80, 0, 0, 0, 0])
+    arr = np.array([[1.0, 2.0]], dtype=np.float32)[:, :, None]
+    assert tiffcodec._fp_diff_rows(arr) == expected
+    assert _fp3_encode_scalar(arr) == expected
+    tags = [
+        (256, 4, [2]), (257, 4, [1]), (258, 3, [32]), (259, 3, [1]),
+        (262, 3, [1]), (273, 4, None), (277, 3, [1]), (278, 4, [1]),
+        (279, 4, [8]), (317, 3, [3]), (339, 3, [3]),
+    ]
+    blob = _handcraft_chunked(tags, [expected], 273)
+    raw, _ = tiffcodec.decode_tiff(blob, scale_16bit=False)
+    assert raw.dtype == np.float32
+    assert np.array_equal(raw.squeeze(), np.array([1.0, 2.0], np.float32))
+
+
+@pytest.mark.parametrize(
+    "shape,dtype,bo",
+    [((13, 7, 1), np.float32, "<"), ((6, 5, 3), np.float32, ">"), ((5, 4, 1), np.float64, "<")],
+)
+def test_fp_predictor3_independent_encoder_multistrip(shape, dtype, bo):
+    """Handcrafted multi-strip deflate TIFF whose predictor-3 payload
+    comes from the independent scalar encoder; strips split ROWS (the
+    transform restarts each row, so per-strip == whole-image)."""
+    import zlib
+
+    rng = np.random.default_rng(7)
+    h, w, c = shape
+    a = (rng.standard_normal(shape) * 1e3).astype(dtype)
+    a[0, 0, 0] = np.nan  # NaN byte patterns must survive bit-exact
+    a[-1, -1, -1] = -np.inf
+    rps = (h + 1) // 2
+    chunks = [
+        zlib.compress(_fp3_encode_scalar(a[r0 : min(r0 + rps, h)]))
+        for r0 in range(0, h, rps)
+    ]
+    bits = 8 * np.dtype(dtype).itemsize
+    tags = [
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [bits] * c), (259, 3, [8]),
+        (262, 3, [1 if c == 1 else 2]), (273, 4, None), (277, 3, [c]),
+        (278, 4, [rps]), (279, 4, [len(ch) for ch in chunks]),
+        (317, 3, [3]), (339, 3, [3] * c),
+    ]
+    blob = _handcraft_chunked(tags, chunks, 273, bo=bo)
+    raw, _ = tiffcodec.decode_tiff(blob, scale_16bit=False)
+    assert raw.dtype == np.dtype(dtype)
+    assert np.array_equal(raw.squeeze(), a.squeeze(), equal_nan=True)
+
+
+def test_fp_predictor3_independent_encoder_tiled():
+    """Tiled organization: predictor-3 payload per TILE (differencing
+    restarts at each tile's left edge), edge tiles zero-padded."""
+    import zlib
+
+    rng = np.random.default_rng(11)
+    h, w, c = 7, 10, 1
+    tw = tl = 4
+    a = (rng.standard_normal((h, w, c)) * 50).astype(np.float32)
+    across, down = (w + tw - 1) // tw, (h + tl - 1) // tl
+    padded = np.zeros((down * tl, across * tw, c), np.float32)
+    padded[:h, :w] = a
+    chunks = [
+        zlib.compress(_fp3_encode_scalar(padded[r * tl : (r + 1) * tl, col * tw : (col + 1) * tw]))
+        for r in range(down)
+        for col in range(across)
+    ]
+    tags = [
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [32]), (259, 3, [8]),
+        (262, 3, [1]), (277, 3, [1]), (317, 3, [3]),
+        (322, 4, [tw]), (323, 4, [tl]), (324, 4, None),
+        (325, 4, [len(ch) for ch in chunks]), (339, 3, [3]),
+    ]
+    blob = _handcraft_chunked(tags, chunks, 324)
+    raw, _ = tiffcodec.decode_tiff(blob, scale_16bit=False)
+    assert np.array_equal(raw.squeeze(), a.squeeze())
+
+
+def test_fp_predictor3_writer_roundtrip():
+    rng = np.random.default_rng(3)
+    for shape, dtype in [((9, 6), np.float32), ((5, 7, 3), np.float32), ((4, 3), np.float64)]:
+        a = (rng.standard_normal(shape) * 777).astype(dtype)
+        for tile in (None, 4):
+            blob = tiffcodec.encode_tiff(a, compression="deflate", tile=tile, predictor=3)
+            raw, _ = tiffcodec.decode_tiff(blob, scale_16bit=False)
+            assert np.array_equal(raw.squeeze(), a.squeeze()), (shape, dtype, tile)
+
+
+def test_predictor2_int_writer_roundtrip():
+    rng = np.random.default_rng(4)
+    dem = rng.integers(-500, 4000, (11, 9), dtype=np.int16)
+    for tile in (None, 4):
+        blob = tiffcodec.encode_tiff(dem, compression="deflate", tile=tile, predictor=2)
+        raw, _ = tiffcodec.decode_tiff(blob, scale_16bit=False)
+        assert np.array_equal(raw.squeeze(), dem)
+    rgb = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    blob = tiffcodec.encode_tiff(rgb, compression="deflate", predictor=2)
+    arr, _ = tiffcodec.decode_tiff(blob)
+    assert np.array_equal(arr, rgb)
+
+
+def test_predictor3_on_int_raises():
+    tags = [
+        (256, 4, [2]), (257, 4, [1]), (258, 3, [16]), (259, 3, [1]),
+        (262, 3, [1]), (273, 4, None), (277, 3, [1]), (278, 4, [1]),
+        (279, 4, [4]), (317, 3, [3]),
+    ]
+    with pytest.raises(NotImplementedError, match="non-float"):
+        tiffcodec.decode_tiff(_handcraft_chunked(tags, [bytes(4)], 273))
+    with pytest.raises(ValueError, match="float-only"):
+        tiffcodec.encode_tiff(np.zeros((2, 2), np.int16), compression="deflate", predictor=3)
+    with pytest.raises(ValueError, match="integer-only"):
+        tiffcodec.encode_tiff(np.zeros((2, 2), np.float32), compression="deflate", predictor=2)

@@ -23,21 +23,28 @@ implements the published subset the tiling pipeline needs:
   baseline jpegcodec incl. the shared JPEGTables tag 347)/Deflate(8,
   32946)/PackBits(32773) with horizontal Predictor(317)=2 (undone per
   strip row / per TILE row — differencing restarts at each tile's left
-  edge) — the combinations GDAL-written GeoTIFFs actually use
+  edge) AND floating-point Predictor(317)=3 (TIFF TechNote 3 / libtiff
+  fpDiff: per-row byte-plane split, most-significant plane first
+  regardless of file byte order, then byte-wise horizontal differencing
+  with lag = SamplesPerPixel — the layout GDAL writes for compressed
+  Float32 DEMs with PREDICTOR=3) — the combinations GDAL-written
+  GeoTIFFs actually use
   (COMPRESS=JPEG is the standard aerial-imagery layout); GeoTIFF
   georef via
   ModelPixelScaleTag (33550) + ModelTiepointTag (33922) +
   GeoKeyDirectoryTag (34735: model type + projected CRS key).
-* writer: little-endian, single-strip OR tiled, 8- or 16-bit,
-  compression none, deflate or jpeg, optional GeoTIFF tags, optional chained
+* writer: little-endian, single-strip OR tiled, 8- or 16-bit (plus the
+  signed/float sample dtypes), compression none, deflate or jpeg with
+  optional predictor 2/3, optional GeoTIFF tags, optional chained
   overview IFDs — used by fixtures/tests; the reader is also pinned
   against HANDCRAFTED tag bytes (tests/test_tiffcodec.py) so a shared
   writer/reader bug cannot hide.
 
 Out of scope (documented, like WebP): old-style JPEG (compression 6,
-deprecated by TIFF TechNote 2), floating predictor (code 3; predictor 2
-on float samples also raises), planar JPEG — all raise with explicit
-messages rather than mis-decoding.
+deprecated by TIFF TechNote 2), predictor 2 on float samples (the spec
+reserves horizontal differencing for integers; the float form is
+predictor 3, supported), predictor 3 on integer samples, planar JPEG —
+all raise with explicit messages rather than mis-decoding.
 """
 
 from __future__ import annotations
@@ -406,6 +413,32 @@ def rewrite_georef(
     return bytes(out)
 
 
+def _fp_undiff_rows(raw: bytes, rows: int, w: int, spp: int, dtype) -> np.ndarray:
+    """Undo floating-point Predictor=3 over `rows` scanlines of `w` pixels
+    x `spp` samples (TIFF TechNote 3; libtiff tif_predict.c fpAcc). Each
+    row independently: (1) byte-wise wrap-around cumulative sum with lag
+    = spp across the row buffer, (2) de-interleave the byte planes — the
+    row buffer holds plane 0 = most significant byte of every sample,
+    then plane 1, ... (MSB-first ALWAYS, independent of the file byte
+    order), (3) reinterpret the per-sample big-endian bytes as floats.
+    Returns (rows, w, spp) in native byte order."""
+    itemsize = dtype.itemsize
+    rowbytes = w * spp * itemsize
+    need = rows * rowbytes
+    if len(raw) < need:
+        raise ValueError(f"TIFF predictor-3 data truncated: {len(raw)} < {need}")
+    buf = np.frombuffer(raw, dtype=np.uint8, count=need).reshape(rows, rowbytes)
+    # lag-spp byte cumsum mod 256 (uint64 accumulator cannot overflow:
+    # 255 * rowbytes fits for any real raster width)
+    b = buf.reshape(rows, rowbytes // spp, spp)
+    b = np.cumsum(b, axis=1, dtype=np.uint64).astype(np.uint8)
+    wc = w * spp
+    planes = b.reshape(rows, itemsize, wc)
+    be = np.ascontiguousarray(np.transpose(planes, (0, 2, 1)))  # (rows, wc, itemsize)
+    out = be.reshape(rows * wc * itemsize).view(np.dtype(">" + dtype.str[-2:]))
+    return out.astype(np.dtype("=" + dtype.str[-2:])).reshape(rows, w, spp)
+
+
 def _assemble_strips(data: bytes, tags: dict, dtype, w: int, h: int, spp: int,
                      comp: int, predictor: int) -> np.ndarray:
     offsets = [int(v) for v in tags[TAG_STRIP_OFFSETS]]
@@ -414,6 +447,10 @@ def _assemble_strips(data: bytes, tags: dict, dtype, w: int, h: int, spp: int,
     need = w * h * spp
     if len(raw) < need * dtype.itemsize:
         raise ValueError(f"TIFF strips truncated: {len(raw)} < {need * dtype.itemsize}")
+    if predictor == 3:
+        # per-ROW transform, and strip boundaries split rows, so undoing
+        # over the joined buffer is identical to per-strip
+        return _fp_undiff_rows(raw, h, w, spp, dtype)
     arr = np.frombuffer(raw, dtype=dtype, count=need).reshape(h, w, spp).copy()
     if predictor == 2:
         # horizontal differencing: each sample stored as delta from the
@@ -450,9 +487,12 @@ def _assemble_tiles(data: bytes, tags: dict, dtype, w: int, h: int, spp: int,
         raw = _decompress_strip(data[o : o + c], comp)
         if len(raw) < per_tile * dtype.itemsize:
             raise ValueError(f"TIFF tile {i} truncated: {len(raw)} < {per_tile * dtype.itemsize}")
-        tile = np.frombuffer(raw, dtype=dtype, count=per_tile).reshape(tl, tw, spp)
-        if predictor == 2:
-            tile = np.cumsum(tile, axis=1, dtype=dtype)
+        if predictor == 3:
+            tile = _fp_undiff_rows(raw, tl, tw, spp, dtype)
+        else:
+            tile = np.frombuffer(raw, dtype=dtype, count=per_tile).reshape(tl, tw, spp)
+            if predictor == 2:
+                tile = np.cumsum(tile, axis=1, dtype=dtype)
         r, col = divmod(i, across)
         out[r * tl : (r + 1) * tl, col * tw : (col + 1) * tw] = tile
     return np.ascontiguousarray(out[:h, :w])  # crop edge-tile padding
@@ -650,13 +690,18 @@ def decode_tiff(
     if photometric == 3 and (spp != 1 or dtype.itemsize != 1):
         raise NotImplementedError("palette TIFF must have 1 sample per pixel, 8-bit")
     predictor = int(tags.get(TAG_PREDICTOR, [1])[0])
-    if predictor not in (1, 2):
-        raise NotImplementedError(f"TIFF predictor {predictor} not supported (1 or 2)")
+    if predictor not in (1, 2, 3):
+        raise NotImplementedError(f"TIFF predictor {predictor} not supported (1, 2 or 3)")
     if predictor == 2 and dtype.kind == "f":
-        # spec: horizontal differencing is integer-only (floating
-        # predictor is code 3, unsupported) — wraparound cumsum on float
-        # bytes would silently corrupt
-        raise NotImplementedError("predictor 2 on float samples is invalid (float predictor 3 unsupported)")
+        # spec: horizontal differencing is integer-only (the float form
+        # is predictor 3) — wraparound cumsum on float bytes would
+        # silently corrupt
+        raise NotImplementedError("predictor 2 on float samples is invalid (use predictor 3)")
+    if predictor == 3 and dtype.kind != "f":
+        # TechNote 3 defines the floating-point predictor for float
+        # samples only; mis-applying the byte-plane transform to ints
+        # would silently corrupt
+        raise NotImplementedError("predictor 3 on non-float samples not supported")
     tiled = TAG_TILE_WIDTH in tags or TAG_TILE_OFFSETS in tags
     if tiled and TAG_STRIP_OFFSETS in tags:
         raise ValueError("TIFF with both strip and tile offsets")
@@ -711,8 +756,24 @@ def decode_tiff(
     return arr, _georef_from_tags(tags, h)
 
 
+def _fp_diff_rows(block: np.ndarray) -> bytes:
+    """Apply floating-point Predictor=3 to one chunk (TIFF TechNote 3;
+    libtiff tif_predict.c fpDiff): per row, split samples into byte
+    planes (most significant plane first), then byte-wise horizontal
+    differencing with lag = samples-per-pixel, mod 256."""
+    rows, w, c = block.shape
+    itemsize = block.dtype.itemsize
+    be = np.ascontiguousarray(block.astype(np.dtype(">" + block.dtype.str[-2:])))
+    byts = be.view(np.uint8).reshape(rows, w * c, itemsize)
+    planes = np.transpose(byts, (0, 2, 1)).reshape(rows, -1, c).astype(np.int16)
+    d = np.empty_like(planes)
+    d[:, 0] = planes[:, 0]
+    d[:, 1:] = planes[:, 1:] - planes[:, :-1]
+    return (d & 0xFF).astype(np.uint8).tobytes()
+
+
 def _prep_image(arr: np.ndarray, geo: dict | None, compression: str,
-                tile: int | tuple[int, int] | None):
+                tile: int | tuple[int, int] | None, predictor: int = 1):
     """First pass of the writer for ONE image: normalize the array,
     compress chunks, build the (tag, type, values) entry list (offsets
     entry marked with values=None) and compute the deterministic sizes
@@ -747,12 +808,30 @@ def _prep_image(arr: np.ndarray, geo: dict | None, compression: str,
             raise ValueError("jpeg compression supports 8-bit gray/RGB only")
         photometric = 1 if c == 1 else 6  # YCbCr (the GDAL COMPRESS=JPEG form)
 
+    if predictor not in (1, 2, 3):
+        raise ValueError(f"writer predictor must be 1, 2 or 3, got {predictor}")
+    if predictor != 1 and jpeg:
+        raise ValueError("predictor is meaningless with jpeg compression")
+    if predictor == 2 and sample_dtype.kind == "f":
+        raise ValueError("predictor 2 is integer-only; use predictor 3 for floats")
+    if predictor == 3 and sample_dtype.kind != "f":
+        raise ValueError("predictor 3 is float-only")
+
+    def _predict(block: np.ndarray) -> bytes:
+        if predictor == 3:
+            return _fp_diff_rows(block)
+        if predictor == 2:
+            d = block.copy()
+            d[:, 1:] = block[:, 1:] - block[:, :-1]  # wraps mod 2^bits
+            return d.tobytes()
+        return block.tobytes()
+
     def _compress(block: np.ndarray) -> bytes:
         if jpeg:
             from .jpegcodec import encode_jpeg
 
             return encode_jpeg(block.squeeze() if c == 1 else block)
-        raw = block.tobytes()
+        raw = _predict(block)
         if compression == "deflate":
             import zlib
 
@@ -792,6 +871,8 @@ def _prep_image(arr: np.ndarray, geo: dict | None, compression: str,
     add(TAG_PHOTOMETRIC, 3, [photometric])
     add(TAG_SPP, 3, [c])
     add(TAG_PLANAR, 3, [1])
+    if predictor != 1:
+        add(TAG_PREDICTOR, 3, [predictor])
     if sfmt != 1:
         add(TAG_SAMPLE_FORMAT, 3, [sfmt] * c)
     if tile is not None:
@@ -870,6 +951,7 @@ def encode_tiff(
     tile: int | tuple[int, int] | None = None,
     overviews: list[np.ndarray] | None = None,
     cog_layout: bool = False,
+    predictor: int = 1,
 ) -> bytes:
     """uint8 or uint16 (H,W)/(H,W,3)/(H,W,4) -> little-endian TIFF;
     `compression` = 'none' | 'deflate'; `tile` = None (single-strip) or a
@@ -880,9 +962,12 @@ def encode_tiff(
     appended as chained IFDs (the GDAL internal-overview layout — no
     georef tags on overview IFDs, like gdaladdo). uint16 input writes
     BitsPerSample=16. Deterministic bytes (fixed tag order/layout, fixed
-    zlib level)."""
+    zlib level). `predictor` = 1 (none) | 2 (horizontal differencing,
+    integer samples) | 3 (TechNote-3 floating-point byte-plane
+    differencing, float samples — the GDAL PREDICTOR=3 DEM layout);
+    applied per strip/tile before compression and declared via tag 317."""
     images = [(arr, geo)] + [(ov, None) for ov in (overviews or [])]
-    preps = [_prep_image(a, g, compression, tile) for a, g in images]
+    preps = [_prep_image(a, g, compression, tile, predictor) for a, g in images]
     n = len(preps)
     # physical segment order: normal = IFD-chain order (main first);
     # cog_layout = REVERSED (smallest overview's data first, full-res
