@@ -19,10 +19,10 @@ import json
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", required=True)
-    ap.add_argument("--src-format", default="dir", choices=("dir", "mbtiles", "table"))
+    ap.add_argument("--src-format", default="dir", choices=("dir", "mbtiles", "rmaps", "table"))
     ap.add_argument("--src-scheme", default="xyz", choices=("xyz", "tms", "zyx"))
     ap.add_argument("--dst", required=True)
-    ap.add_argument("--dst-format", default="mbtiles", choices=("dir", "mbtiles", "kml"))
+    ap.add_argument("--dst-format", default="mbtiles", choices=("dir", "mbtiles", "rmaps", "kml"))
     ap.add_argument("--dst-scheme", default="xyz", choices=("xyz", "tms", "zyx", "zoomify"))
     ap.add_argument("--transcode", default=None, choices=(None, "png", "jpeg", "raw", "tiff", "webp", "bmp", "gif"))
     ap.add_argument("--src-fmt-blob", default="png", help="blob codec of the source tiles (for --transcode)")
@@ -46,6 +46,10 @@ def main():
         tiles = tileset.read_tileset_dir(spark, args.src, scheme=args.src_scheme)
     elif args.src_format == "mbtiles":
         tiles = mbt.read_mbtiles(spark, args.src)
+    elif args.src_format == "rmaps":
+        from tilers_tools_spark.sources import rmaps
+
+        tiles = rmaps.read_rmaps(spark, args.src)
     else:
         tiles = Catalog(spark, args.src).read("tiles").select("z", "x", "y", "tile")
     if args.transcode:
@@ -95,6 +99,10 @@ def main():
         tileset.write_tileset_dir(tiles, args.dst, scheme="xyz", ext=ext)
         tileset.write_superoverlay_kml(tiles, args.dst, ext=ext, name=args.name)
         out = args.dst
+    elif args.dst_format == "rmaps":
+        from tilers_tools_spark.sources import rmaps
+
+        out = rmaps.write_rmaps(tiles, args.dst, single_file=args.single_file)
     else:
         out = mbt.write_mbtiles(
             tiles, args.dst, metadata={"name": args.name, "format": ext}, single_file=args.single_file

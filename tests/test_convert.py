@@ -355,3 +355,59 @@ def test_openlayers_html_writer(tiles_df, tmp_path):
     # xyz scheme keeps the plain {y} token
     html2 = open(tileset.write_openlayers_html(tiles_df, str(tmp_path / "x"), scheme="xyz")).read()
     assert "/{z}/{x}/{y}.png" in html2
+
+
+def test_rmaps_key_convention(tiles_df):
+    """Published RMaps/BigPlanet rules worked by hand: stored z = 17 -
+    zoom, y flipped TMS -> OSM top-down, s = 0 (e.g. zoom 10, y_tms 3 ->
+    stored (z=7, y=1020))."""
+    src = tiles_df.first()
+    kv = convert.to_rmaps_keys(tiles_df).first()
+    assert kv["z"] == 17 - src["z"]
+    assert kv["y"] == 2 ** src["z"] - 1 - src["y"]
+    assert kv["x"] == src["x"] and kv["s"] == 0
+    # inverse is the identity
+    back = convert.from_rmaps_keys(convert.to_rmaps_keys(tiles_df))
+    a = tiles_df.select("z", "x", "y", "tile")
+    assert back.exceptAll(a).isEmpty() and a.exceptAll(back).isEmpty()
+
+
+def test_rmaps_roundtrip_and_schema(tiles_df, spark, tmp_path):
+    import sqlite3
+
+    from tilers_tools_spark.sources import rmaps
+
+    out = str(tmp_path / "rm")
+    path = rmaps.write_rmaps(tiles_df, out, single_file=True)
+    assert path.endswith(".sqlitedb")
+    # structural: the published schema, byte-for-byte column names + pk
+    con = sqlite3.connect(path)
+    cols = con.execute("PRAGMA table_info(tiles)").fetchall()
+    assert [c[1] for c in cols] == ["x", "y", "z", "s", "image"]
+    assert [c[1] for c in cols if c[5] > 0] == ["x", "y", "z", "s"]  # pk members
+    stored_z = [r[0] for r in con.execute("SELECT DISTINCT z FROM tiles")]
+    con.close()
+    src_z = {r["z"] for r in tiles_df.select("z").distinct().collect()}
+    assert set(stored_z) == {17 - z for z in src_z}
+    info = rmaps.read_rmaps_info(path)
+    assert info["minzoom"] == min(stored_z) and info["maxzoom"] == max(stored_z)
+    back = rmaps.read_rmaps(spark, path)
+    a = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in tiles_df.select("z", "x", "y", "tile").collect()}
+    b = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in back.collect()}
+    assert a == b
+
+
+def test_rmaps_parallel_shard_read(tiles_df, spark, tmp_path):
+    import glob as _g
+
+    from tilers_tools_spark.sources import rmaps
+
+    out = str(tmp_path / "rmshards")
+    rmaps.write_rmaps(tiles_df.repartition(6), out)
+    assert len(_g.glob(out + "/part-*.sqlitedb")) > 1
+    back = rmaps.read_rmaps(spark, out)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan
+    a = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in tiles_df.select("z", "x", "y", "tile").collect()}
+    b = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in back.collect()}
+    assert a == b

@@ -404,3 +404,28 @@ def test_dem_tiles_job(run_job, tmp_path, spark):
         finite = ~np.isnan(elev)
         assert (np.isnan(back) == ~finite).all()
         assert np.abs(back[finite] - elev[finite]).max() <= 0.05 + 1e-9
+
+
+def test_tiles_convert_rmaps_roundtrip(run_job, tile_dir, tmp_path, spark):
+    """dir -> RMaps sqlitedb -> dir through the CLI (the MOBAC 'RMaps
+    SQLite' / OsmAnd container; stored z = 17 - zoom, OSM y)."""
+    src, df = tile_dir
+    out = str(tmp_path / "rm")
+    res = run_job("tiles_convert", [
+        "--src", src, "--src-format", "dir", "--src-scheme", "xyz",
+        "--dst", out, "--dst-format", "rmaps", "--single-file",
+    ])
+    assert res["tiles"] == df.count()
+    assert res["out"].endswith(".sqlitedb")
+    out2 = str(tmp_path / "xyz_back")
+    res2 = run_job("tiles_convert", [
+        "--src", res["out"], "--src-format", "rmaps",
+        "--dst", out2, "--dst-format", "dir", "--dst-scheme", "xyz",
+    ])
+    assert res2["tiles"] == df.count()
+    from tilers_tools_spark.sources import tileset
+
+    back = tileset.read_tileset_dir(spark, out2, scheme="xyz")
+    a = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in df.collect()}
+    b = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in back.collect()}
+    assert a == b

@@ -248,6 +248,34 @@ def from_mbtiles_keys(df: DataFrame) -> DataFrame:
     )
 
 
+def to_rmaps_keys(tiles: DataFrame) -> DataFrame:
+    """tiles -> RMaps/BigPlanet sqlitedb rows (x, y, z, s, image) — the
+    published MOBAC "RMaps SQLite" atlas schema, read by RMaps / OsmAnd
+    (.sqlitedb) / Locus: tiles(x int, y int, z int, s int, image blob,
+    PRIMARY KEY (x,y,z,s)) + info(minzoom, maxzoom). Conventions [SPEC]:
+    y is OSM/Google top-down (flipped from the canonical TMS y), z is
+    STORED as 17 - zoom (the BigPlanet legacy rule — zoom 10 is stored
+    as z=7), s = 0. Pure column projection like the MBTiles twin."""
+    return tiles.select(
+        F.col("x").cast("long").alias("x"),
+        tm.tms_to_xyz(F.col("y"), F.col("z")).cast("long").alias("y"),
+        (F.lit(17) - F.col("z")).cast("int").alias("z"),
+        F.lit(0).cast("int").alias("s"),
+        F.col("tile").alias("image"),
+    )
+
+
+def from_rmaps_keys(df: DataFrame) -> DataFrame:
+    """Inverse: stored z -> zoom = 17 - z, OSM y -> canonical TMS y."""
+    zoom = (F.lit(17) - F.col("z")).cast("int")
+    return df.select(
+        zoom.alias("z"),
+        F.col("x").cast("long").alias("x"),
+        tm.tms_to_xyz(F.col("y"), zoom).cast("long").alias("y"),
+        F.col("image").alias("tile"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # tilemap metadata aggregate (row 4)
 # ---------------------------------------------------------------------------

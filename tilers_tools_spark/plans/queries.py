@@ -202,6 +202,25 @@ FROM tiles GROUP BY 1, 2, 3
 """
 
 
+def q_rmaps_keys(spark, sf_dir):
+    """RMaps/BigPlanet sqlitedb key projection (operators/convert.py::
+    to_rmaps_keys — the MOBAC 'RMaps SQLite' / OsmAnd .sqlitedb schema):
+    y flipped to OSM top-down, z stored as 17 - zoom, s = 0. Fully
+    relational oracle (the same closed forms in SQL)."""
+    t = _tiles_at(_merc_pts(spark, sf_dir), 8).withColumn("tile", F.lit(b""))
+    kv = convert.to_rmaps_keys(t.select(F.col("z").cast("int").alias("z"), "x", "y", "tile"))
+    return kv.groupBy("z", "x", "y", "s").agg(F.count("*").alias("n"))
+
+
+SQL_RMAPS_KEYS = f"""
+WITH {_PTS_SQL}, {_tiles_sql(8)}
+SELECT 17 - CAST(z AS INTEGER) AS z, x,
+       (1::BIGINT << CAST(z AS INTEGER)) - 1 - y AS y,
+       0 AS s, count(*) AS n
+FROM tiles GROUP BY 1, 2, 3, 4
+"""
+
+
 def q_base_zoom_hist(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     gsd = F.lit(16.0) * F.pow(F.lit(2.0), F.col("event_id") % 600 / 100.0)
@@ -4037,6 +4056,7 @@ QUERIES: dict = {
     "scheme_paths": (q_scheme_paths, SQL_SCHEME_PATHS),
     "zoomify_paths": (q_zoomify_paths, SQL_ZOOMIFY_PATHS),
     "mbtiles_keys": (q_mbtiles_keys, SQL_MBTILES_KEYS),
+    "rmaps_keys": (q_rmaps_keys, SQL_RMAPS_KEYS),
     "base_zoom_hist": (q_base_zoom_hist, SQL_BASE_ZOOM_HIST),
     "tilemap_rollup": (q_tilemap_rollup, SQL_TILEMAP_ROLLUP),
     # spatial
