@@ -411,3 +411,81 @@ def test_rmaps_parallel_shard_read(tiles_df, spark, tmp_path):
     a = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in tiles_df.select("z", "x", "y", "tile").collect()}
     b = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in back.collect()}
     assert a == b
+
+
+def test_gpkg_key_convention(tiles_df):
+    """Published GeoPackage rules worked by hand (OGC 12-128r18 §2.2.8):
+    tile_row is TOP-DOWN (row 0 north), so tile_row = 2^z - 1 - y_tms;
+    zoom_level and tile_column pass through (e.g. zoom 10, y_tms 3 ->
+    tile_row 1020)."""
+    src = tiles_df.first()
+    kv = convert.to_gpkg_keys(tiles_df).first()
+    assert kv["zoom_level"] == src["z"]
+    assert kv["tile_column"] == src["x"]
+    assert kv["tile_row"] == 2 ** src["z"] - 1 - src["y"]
+    back = convert.from_gpkg_keys(convert.to_gpkg_keys(tiles_df))
+    a = tiles_df.select("z", "x", "y", "tile")
+    assert back.exceptAll(a).isEmpty() and a.exceptAll(back).isEmpty()
+
+
+def test_gpkg_roundtrip_and_metadata(tiles_df, spark, tmp_path):
+    import sqlite3
+
+    from tilers_tools_spark.functions import tilemath as tm
+    from tilers_tools_spark.sources import gpkg
+
+    out = str(tmp_path / "gp")
+    path = gpkg.write_gpkg(tiles_df, out, single_file=True)
+    assert path.endswith(".gpkg")
+    # structural: required OGC tables + the GPKG magic application_id
+    con = sqlite3.connect(path)
+    assert con.execute("PRAGMA application_id").fetchone()[0] == 0x47504B47
+    tables = {r[0] for r in con.execute(
+        "SELECT name FROM sqlite_master WHERE type='table'")}
+    assert {"gpkg_spatial_ref_sys", "gpkg_contents", "gpkg_tile_matrix_set",
+            "gpkg_tile_matrix", "tiles"} <= tables
+    srs = {r[0] for r in con.execute("SELECT srs_id FROM gpkg_spatial_ref_sys")}
+    assert {-1, 0, 4326, 3857} <= srs  # spec-required rows + the tile SRS
+    # per-zoom matrix rows: 2^z x 2^z, 256px, pixel size RES0/2^z by hand
+    mats = {z: (w, h, tw, th, px, py) for z, w, h, tw, th, px, py in con.execute(
+        "SELECT zoom_level, matrix_width, matrix_height, tile_width,"
+        " tile_height, pixel_x_size, pixel_y_size FROM gpkg_tile_matrix")}
+    src_z = {r["z"] for r in tiles_df.select("z").distinct().collect()}
+    assert set(mats) == src_z
+    for z, (w, h, tw, th, px, py) in mats.items():
+        assert (w, h, tw, th) == (2**z, 2**z, 256, 256)
+        assert px == py == tm.RES0 / 2**z
+    # contents bbox: actual tile extent at max zoom, worked independently
+    zmax = max(src_z)
+    keys = [(r["x"], 2 ** r["z"] - 1 - r["y"]) for r in tiles_df.collect() if r["z"] == zmax]
+    tsz = tm.RES0 * 256.0 / 2**zmax
+    exp = (-tm.ORIGIN + min(c for c, _ in keys) * tsz,
+           tm.ORIGIN - (max(r for _, r in keys) + 1) * tsz,
+           -tm.ORIGIN + (max(c for c, _ in keys) + 1) * tsz,
+           tm.ORIGIN - min(r for _, r in keys) * tsz)
+    got = con.execute(
+        "SELECT min_x, min_y, max_x, max_y FROM gpkg_contents").fetchone()
+    assert all(abs(a - b) < 1e-6 for a, b in zip(got, exp))
+    con.close()
+    info = gpkg.read_gpkg_info(path)
+    assert info["table"] == "tiles" and info["srs_id"] == 3857
+    back = gpkg.read_gpkg(spark, path)
+    a = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in tiles_df.select("z", "x", "y", "tile").collect()}
+    b = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in back.collect()}
+    assert a == b
+
+
+def test_gpkg_parallel_shard_read(tiles_df, spark, tmp_path):
+    import glob as _g
+
+    from tilers_tools_spark.sources import gpkg
+
+    out = str(tmp_path / "gpshards")
+    gpkg.write_gpkg(tiles_df.repartition(6), out)
+    assert len(_g.glob(out + "/part-*.gpkg")) > 1
+    back = gpkg.read_gpkg(spark, out)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan
+    a = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in tiles_df.select("z", "x", "y", "tile").collect()}
+    b = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in back.collect()}
+    assert a == b

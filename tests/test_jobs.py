@@ -429,3 +429,28 @@ def test_tiles_convert_rmaps_roundtrip(run_job, tile_dir, tmp_path, spark):
     a = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in df.collect()}
     b = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in back.collect()}
     assert a == b
+
+
+def test_tiles_convert_gpkg_roundtrip(run_job, tile_dir, tmp_path, spark):
+    """dir -> GeoPackage -> dir through the CLI (OGC 12-128r18 tile
+    pyramid; top-down tile_row, per-zoom gpkg_tile_matrix rows)."""
+    src, df = tile_dir
+    out = str(tmp_path / "gp")
+    res = run_job("tiles_convert", [
+        "--src", src, "--src-format", "dir", "--src-scheme", "xyz",
+        "--dst", out, "--dst-format", "gpkg", "--single-file",
+    ])
+    assert res["tiles"] == df.count()
+    assert res["out"].endswith(".gpkg")
+    out2 = str(tmp_path / "xyz_back_gp")
+    res2 = run_job("tiles_convert", [
+        "--src", res["out"], "--src-format", "gpkg",
+        "--dst", out2, "--dst-format", "dir", "--dst-scheme", "xyz",
+    ])
+    assert res2["tiles"] == df.count()
+    from tilers_tools_spark.sources import tileset
+
+    back = tileset.read_tileset_dir(spark, out2, scheme="xyz")
+    a = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in df.collect()}
+    b = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in back.collect()}
+    assert a == b

@@ -276,6 +276,31 @@ def from_rmaps_keys(df: DataFrame) -> DataFrame:
     )
 
 
+def to_gpkg_keys(tiles: DataFrame) -> DataFrame:
+    """tiles -> OGC GeoPackage tile-pyramid rows (zoom_level, tile_column,
+    tile_row, tile_data) per OGC 12-128r18 §2.2.8 [SPEC]: tile_row 0 is
+    the TOP row (XYZ/slippy convention — flipped from the canonical TMS
+    y), zoom_level stored as-is. Pure column projection like the MBTiles
+    and RMaps twins — a whole container conversion stays one narrow
+    Exchange-free stage."""
+    return tiles.select(
+        F.col("z").cast("int").alias("zoom_level"),
+        F.col("x").cast("long").alias("tile_column"),
+        tm.tms_to_xyz(F.col("y"), F.col("z")).cast("long").alias("tile_row"),
+        F.col("tile").alias("tile_data"),
+    )
+
+
+def from_gpkg_keys(df: DataFrame) -> DataFrame:
+    """Inverse: top-down tile_row -> canonical TMS y."""
+    return df.select(
+        F.col("zoom_level").cast("int").alias("z"),
+        F.col("tile_column").cast("long").alias("x"),
+        tm.tms_to_xyz(F.col("tile_row"), F.col("zoom_level")).cast("long").alias("y"),
+        F.col("tile_data").alias("tile"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # tilemap metadata aggregate (row 4)
 # ---------------------------------------------------------------------------

@@ -221,6 +221,25 @@ FROM tiles GROUP BY 1, 2, 3, 4
 """
 
 
+def q_gpkg_keys(spark, sf_dir):
+    """OGC GeoPackage tile-pyramid key projection (operators/convert.py::
+    to_gpkg_keys — OGC 12-128r18 §2.2.8): tile_row flipped to top-down
+    (row 0 north, the XYZ convention — opposite of MBTiles' TMS rows),
+    zoom_level/tile_column pass-through. Fully relational oracle (the
+    same closed forms in SQL)."""
+    t = _tiles_at(_merc_pts(spark, sf_dir), 8).withColumn("tile", F.lit(b""))
+    kv = convert.to_gpkg_keys(t.select(F.col("z").cast("int").alias("z"), "x", "y", "tile"))
+    return kv.groupBy("zoom_level", "tile_column", "tile_row").agg(F.count("*").alias("n"))
+
+
+SQL_GPKG_KEYS = f"""
+WITH {_PTS_SQL}, {_tiles_sql(8)}
+SELECT CAST(z AS INTEGER) AS zoom_level, x AS tile_column,
+       (1::BIGINT << CAST(z AS INTEGER)) - 1 - y AS tile_row, count(*) AS n
+FROM tiles GROUP BY 1, 2, 3
+"""
+
+
 def q_base_zoom_hist(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     gsd = F.lit(16.0) * F.pow(F.lit(2.0), F.col("event_id") % 600 / 100.0)
@@ -4057,6 +4076,7 @@ QUERIES: dict = {
     "zoomify_paths": (q_zoomify_paths, SQL_ZOOMIFY_PATHS),
     "mbtiles_keys": (q_mbtiles_keys, SQL_MBTILES_KEYS),
     "rmaps_keys": (q_rmaps_keys, SQL_RMAPS_KEYS),
+    "gpkg_keys": (q_gpkg_keys, SQL_GPKG_KEYS),
     "base_zoom_hist": (q_base_zoom_hist, SQL_BASE_ZOOM_HIST),
     "tilemap_rollup": (q_tilemap_rollup, SQL_TILEMAP_ROLLUP),
     # spatial
