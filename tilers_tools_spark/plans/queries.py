@@ -4063,6 +4063,75 @@ SQL_BBOX_TILES = _bbox_tiles_sql()
 
 
 # ---------------------------------------------------------------------------
+# tile-set delta: tileset_diff / tileset_patch (operators/diff.py)
+# ---------------------------------------------------------------------------
+
+
+def _diff_fixture_sets(spark, sf_dir):
+    """Two deterministic synthetic pyramids over the z=6 event tiles:
+    membership and per-tile content are closed-form in (x, y) so DuckDB
+    recomputes both sides relationally. 'tile' is a short STRING blob —
+    md5(string) hashes its UTF-8 bytes identically in both engines."""
+    d = _tiles_at(_merc_pts(spark, sf_dir), 6).select("z", "x", "y").distinct()
+    hot = (F.col("x") * 31 + F.col("y")) % 7 == 0
+    old = d.where((F.col("x") + F.col("y")) % 5 != 0).withColumn(
+        "tile", F.when(hot, F.lit("old")).otherwise(F.lit("same"))
+    )
+    new = d.where((F.col("x") + 3 * F.col("y")) % 5 != 0).withColumn(
+        "tile", F.when(hot, F.lit("new")).otherwise(F.lit("same"))
+    )
+    return old, new
+
+
+def q_tileset_diff(spark, sf_dir):
+    """Incremental-republish delta (operators/diff.py::tileset_diff): keys
+    classified added/removed/changed via a digest-only full-outer join —
+    blobs never enter the shuffle. Fully relational DuckDB oracle (the
+    same closed-form membership/content rules + FULL OUTER JOIN)."""
+    from ..operators import diff as tdiff
+
+    old, new = _diff_fixture_sets(spark, sf_dir)
+    return tdiff.tileset_diff(old, new)
+
+
+SQL_TILESET_DIFF = f"""
+WITH {_PTS_SQL}, {_tiles_sql(6)},
+d AS (SELECT DISTINCT z, x, y FROM tiles),
+o AS (SELECT z, x, y, CASE WHEN (x*31 + y) % 7 = 0 THEN 'old' ELSE 'same' END AS c
+      FROM d WHERE (x + y) % 5 <> 0),
+n AS (SELECT z, x, y, CASE WHEN (x*31 + y) % 7 = 0 THEN 'new' ELSE 'same' END AS c
+      FROM d WHERE (x + 3*y) % 5 <> 0)
+SELECT * FROM (
+  SELECT COALESCE(o.z, n.z) AS z, COALESCE(o.x, n.x) AS x, COALESCE(o.y, n.y) AS y,
+         CASE WHEN o.z IS NULL THEN 'added'
+              WHEN n.z IS NULL THEN 'removed'
+              WHEN o.c <> n.c THEN 'changed' END AS status
+  FROM o FULL OUTER JOIN n ON o.z = n.z AND o.x = n.x AND o.y = n.y
+) WHERE status IS NOT NULL
+"""
+
+
+def q_tileset_patch(spark, sf_dir):
+    """patch ∘ diff == new, cross-engine (operators/diff.py::tileset_patch):
+    the Spark side applies the with_blobs delta to OLD; the oracle simply
+    materializes NEW directly — exact equality of the full (z,x,y,tile)
+    relation proves the round trip."""
+    from ..operators import diff as tdiff
+
+    old, new = _diff_fixture_sets(spark, sf_dir)
+    delta = tdiff.tileset_diff(old, new, with_blobs=True)
+    return tdiff.tileset_patch(old, delta)
+
+
+SQL_TILESET_PATCH = f"""
+WITH {_PTS_SQL}, {_tiles_sql(6)},
+d AS (SELECT DISTINCT z, x, y FROM tiles)
+SELECT z, x, y, CASE WHEN (x*31 + y) % 7 = 0 THEN 'new' ELSE 'same' END AS tile
+FROM d WHERE (x + 3*y) % 5 <> 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -4075,6 +4144,8 @@ QUERIES: dict = {
     "scheme_paths": (q_scheme_paths, SQL_SCHEME_PATHS),
     "zoomify_paths": (q_zoomify_paths, SQL_ZOOMIFY_PATHS),
     "mbtiles_keys": (q_mbtiles_keys, SQL_MBTILES_KEYS),
+    "tileset_diff": (q_tileset_diff, SQL_TILESET_DIFF),
+    "tileset_patch": (q_tileset_patch, SQL_TILESET_PATCH),
     "rmaps_keys": (q_rmaps_keys, SQL_RMAPS_KEYS),
     "gpkg_keys": (q_gpkg_keys, SQL_GPKG_KEYS),
     "base_zoom_hist": (q_base_zoom_hist, SQL_BASE_ZOOM_HIST),
