@@ -31,6 +31,11 @@ def main():
         help="chroma layout for --transcode jpeg (420 = ~25-40%% smaller photographic tiles)",
     )
     ap.add_argument("--single-file", action="store_true", help="merge MBTiles shards into one file")
+    ap.add_argument(
+        "--dedup",
+        action="store_true",
+        help="MBTiles dst only: deduplicated map+images layout (tiles as a view)",
+    )
     ap.add_argument("--name", default="tiles")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
@@ -113,7 +118,11 @@ def main():
         out = gpkg.write_gpkg(tiles, args.dst, single_file=args.single_file)
     else:
         out = mbt.write_mbtiles(
-            tiles, args.dst, metadata={"name": args.name, "format": ext}, single_file=args.single_file
+            tiles,
+            args.dst,
+            metadata={"name": args.name, "format": ext},
+            single_file=args.single_file,
+            dedup=args.dedup,
         )
     n = tiles.count()
     print(json.dumps({"tiles": n, "out": out}))

@@ -75,6 +75,71 @@ def test_mbtiles_parallel_shard_read(tiles_df, spark, tmp_path):
     assert a == b
 
 
+@pytest.fixture(scope="module")
+def dup_tiles_df(spark):
+    """64 tiles over 3 distinct blobs — the uniform-ocean shape dedup is for."""
+    blobs = [b"SEA" * 40, b"LAND" * 30, b"COAST" * 24]
+    rows = []
+    for i in range(64):
+        z = 5 + (i % 3)  # unique (z, x, y): x = i//3 is distinct within each z
+        rows.append((f"img{i:03d}", z, i // 3, (i * 7) % (2**z), blobs[i % 3]))
+    return spark.createDataFrame(rows, "image_id string, z int, x long, y long, tile binary").cache()
+
+
+def test_mbtiles_dedup_roundtrip_and_layout(dup_tiles_df, spark, tmp_path):
+    """dedup=True single-file: `tiles` is a VIEW over map+images, images
+    stores each distinct blob exactly once, and the standard read path
+    (which selects from `tiles`) round-trips unchanged."""
+    import sqlite3
+
+    out = str(tmp_path / "mbdedup")
+    path = mbt.write_mbtiles(dup_tiles_df, out, metadata={"name": "d"}, single_file=True, dedup=True)
+    con = sqlite3.connect(path)
+    kinds = dict(con.execute("SELECT name, type FROM sqlite_master WHERE name IN ('tiles','map','images')"))
+    assert kinds == {"tiles": "view", "map": "table", "images": "table"}
+    n_imgs = con.execute("SELECT count(*) FROM images").fetchone()[0]
+    n_map = con.execute("SELECT count(*) FROM map").fetchone()[0]
+    con.close()
+    src = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in dup_tiles_df.select("z", "x", "y", "tile").collect()}
+    assert n_imgs == len(set(src.values())) == 3
+    assert n_map == len(src)
+    back = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in mbt.read_mbtiles(spark, path).collect()}
+    assert back == src
+    assert mbt.read_mbtiles_metadata(path)["name"] == "d"
+
+
+def test_mbtiles_dedup_sharded_parallel_read(dup_tiles_df, spark, tmp_path):
+    """dedup shards read back via the distributed MapInPandas scan (the
+    `tiles` view serves the same spec SELECT), per-shard blob dedup holds."""
+    import glob as _g
+    import sqlite3
+
+    out = str(tmp_path / "mbdedupsh")
+    mbt.write_mbtiles(dup_tiles_df.repartition(6), out, dedup=True)
+    shards = _g.glob(out + "/part-*.mbtiles")
+    assert len(shards) > 1
+    for s in shards:
+        con = sqlite3.connect(s)
+        n_imgs = con.execute("SELECT count(*) FROM images").fetchone()[0]
+        n_distinct = con.execute("SELECT count(DISTINCT tile_data) FROM images").fetchone()[0]
+        con.close()
+        assert n_imgs == n_distinct <= 3
+    back = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in mbt.read_mbtiles(spark, out).collect()}
+    src = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in dup_tiles_df.select("z", "x", "y", "tile").collect()}
+    assert back == src
+
+
+def test_mbtiles_dedup_map_projection(dup_tiles_df):
+    import hashlib
+
+    rows = convert.to_mbtiles_dedup_map(dup_tiles_df).collect()
+    src = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in dup_tiles_df.select("z", "x", "y", "tile").collect()}
+    assert len(rows) == len(src)
+    for r in rows:
+        k = (r["zoom_level"], r["tile_column"], r["tile_row"])
+        assert r["tile_id"] == hashlib.md5(src[k]).hexdigest()
+
+
 def test_mbtiles_tms_row_convention(tiles_df):
     kv = convert.to_mbtiles_keys(tiles_df).first()
     # canonical y IS TMS; spec stores TMS row directly

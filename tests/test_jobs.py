@@ -406,6 +406,32 @@ def test_dem_tiles_job(run_job, tmp_path, spark):
         assert np.abs(back[finite] - elev[finite]).max() <= 0.05 + 1e-9
 
 
+def test_tiles_convert_mbtiles_dedup(run_job, tile_dir, tmp_path, spark):
+    """--dedup writes the two-table map+images MBTiles layout; the spec
+    `tiles` relation survives as a view, and a follow-up convert reading
+    the dedup file back out is byte-identical."""
+    import sqlite3
+
+    src, df = tile_dir
+    out = str(tmp_path / "mbd")
+    res = run_job("tiles_convert", [
+        "--src", src, "--src-format", "dir", "--src-scheme", "xyz",
+        "--dst", out, "--dst-format", "mbtiles", "--single-file", "--dedup",
+    ])
+    assert res["tiles"] == df.count()
+    con = sqlite3.connect(res["out"])
+    kinds = dict(con.execute("SELECT name, type FROM sqlite_master WHERE name IN ('tiles','map','images')"))
+    n_imgs = con.execute("SELECT count(*) FROM images").fetchone()[0]
+    con.close()
+    assert kinds == {"tiles": "view", "map": "table", "images": "table"}
+    a = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in df.collect()}
+    assert n_imgs == len(set(a.values()))
+    from tilers_tools_spark.sources import mbtiles as mbt
+
+    b = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in mbt.read_mbtiles(spark, res["out"]).collect()}
+    assert a == b
+
+
 def test_tiles_convert_rmaps_roundtrip(run_job, tile_dir, tmp_path, spark):
     """dir -> RMaps sqlitedb -> dir through the CLI (the MOBAC 'RMaps
     SQLite' / OsmAnd container; stored z = 17 - zoom, OSM y)."""

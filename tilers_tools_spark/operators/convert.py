@@ -238,6 +238,21 @@ def to_mbtiles_keys(tiles: DataFrame) -> DataFrame:
     )
 
 
+def to_mbtiles_dedup_map(tiles: DataFrame) -> DataFrame:
+    """`map`-table projection of the deduplicated MBTiles layout (the
+    TileMill/mbutil two-table variant written by sources/mbtiles.py with
+    dedup=True): key triple + tile_id = md5 hex of the blob. Pure column
+    exprs — the digest is computed map-side, so planning a dedup export
+    (or auditing its dedup ratio via count distinct tile_id) never
+    shuffles blobs."""
+    return tiles.select(
+        F.col("z").cast("int").alias("zoom_level"),
+        F.col("x").cast("long").alias("tile_column"),
+        F.col("y").cast("long").alias("tile_row"),
+        F.md5(F.col("tile")).alias("tile_id"),
+    )
+
+
 def from_mbtiles_keys(df: DataFrame) -> DataFrame:
     """Inverse projection back to canonical tile keys."""
     return df.select(

@@ -4083,6 +4083,35 @@ def _diff_fixture_sets(spark, sf_dir):
     return old, new
 
 
+def q_mbtiles_dedup_map(spark, sf_dir):
+    """Deduplicated-MBTiles map projection (operators/convert.py::
+    to_mbtiles_dedup_map — the TileMill/mbutil two-table layout written by
+    sources/mbtiles.py dedup=True): key triple + md5-hex tile_id. The
+    fixture content is a closed-form 3-value CASE so most blobs collide —
+    the oracle recomputes every digest with DuckDB's md5 over the same
+    UTF-8 strings, pinning the cross-engine digest and the dedup ratio
+    (count distinct tile_id) relationally."""
+    d = _tiles_at(_merc_pts(spark, sf_dir), 7).select("z", "x", "y").distinct()
+    t = d.withColumn(
+        "tile",
+        F.when((F.col("x") * F.col("x") + F.col("y")) % 3 == 0, F.lit("sea"))
+        .when((F.col("x") * F.col("x") + F.col("y")) % 3 == 1, F.lit("land"))
+        .otherwise(F.lit("coast")),
+    )
+    return convert.to_mbtiles_dedup_map(t)
+
+
+SQL_MBTILES_DEDUP_MAP = f"""
+WITH {_PTS_SQL}, {_tiles_sql(7)},
+d AS (SELECT DISTINCT z, x, y FROM tiles)
+SELECT CAST(z AS INTEGER) AS zoom_level, x AS tile_column, y AS tile_row,
+       md5(CASE WHEN (x*x + y) % 3 = 0 THEN 'sea'
+                WHEN (x*x + y) % 3 = 1 THEN 'land'
+                ELSE 'coast' END) AS tile_id
+FROM d
+"""
+
+
 def q_tileset_diff(spark, sf_dir):
     """Incremental-republish delta (operators/diff.py::tileset_diff): keys
     classified added/removed/changed via a digest-only full-outer join —
@@ -4144,6 +4173,7 @@ QUERIES: dict = {
     "scheme_paths": (q_scheme_paths, SQL_SCHEME_PATHS),
     "zoomify_paths": (q_zoomify_paths, SQL_ZOOMIFY_PATHS),
     "mbtiles_keys": (q_mbtiles_keys, SQL_MBTILES_KEYS),
+    "mbtiles_dedup_map": (q_mbtiles_dedup_map, SQL_MBTILES_DEDUP_MAP),
     "tileset_diff": (q_tileset_diff, SQL_TILESET_DIFF),
     "tileset_patch": (q_tileset_patch, SQL_TILESET_PATCH),
     "rmaps_keys": (q_rmaps_keys, SQL_RMAPS_KEYS),

@@ -30,11 +30,40 @@ _DDL = [
     "CREATE UNIQUE INDEX IF NOT EXISTS tile_index ON tiles (zoom_level, tile_column, tile_row)",
 ]
 
+# Deduplicated layout (the TileMill/mbutil two-table variant: `map` holds
+# the key triple -> tile_id (md5 hex of the blob), `images` stores each
+# distinct blob ONCE, and `tiles` is a VIEW over the join — so every
+# spec-level reader, including this module's own read paths, sees the
+# standard tiles relation). The big win at scale is uniform tiles (ocean,
+# empty land, nodata collars): 10^9 identical sea tiles cost one blob.
+_DDL_DEDUP = [
+    "CREATE TABLE IF NOT EXISTS map (zoom_level INTEGER, tile_column INTEGER, tile_row INTEGER, tile_id TEXT)",
+    "CREATE TABLE IF NOT EXISTS images (tile_id TEXT, tile_data BLOB)",
+    "CREATE TABLE IF NOT EXISTS metadata (name TEXT, value TEXT)",
+    "CREATE UNIQUE INDEX IF NOT EXISTS map_index ON map (zoom_level, tile_column, tile_row)",
+    "CREATE UNIQUE INDEX IF NOT EXISTS images_id ON images (tile_id)",
+    "CREATE VIEW IF NOT EXISTS tiles AS SELECT map.zoom_level AS zoom_level,"
+    " map.tile_column AS tile_column, map.tile_row AS tile_row,"
+    " images.tile_data AS tile_data FROM map JOIN images ON images.tile_id = map.tile_id",
+]
 
-def write_mbtiles(tiles: DataFrame, out_dir: str, metadata: dict | None = None, single_file: bool = False) -> str:
+
+def write_mbtiles(
+    tiles: DataFrame,
+    out_dir: str,
+    metadata: dict | None = None,
+    single_file: bool = False,
+    dedup: bool = False,
+) -> str:
     """Write tiles DF to MBTiles shard(s) under out_dir; returns the path.
 
     `single_file=True` merges shards into out_dir/tiles.mbtiles (driver).
+
+    `dedup=True` writes the deduplicated two-table layout (map + images +
+    tiles view): blobs are stored once per distinct md5 WITHIN each shard
+    (sqlite `INSERT OR IGNORE`, no extra Spark shuffle — the blob column
+    never leaves its partition), and once GLOBALLY after the single-file
+    merge. Readers are unaffected: `tiles` is a view with the spec schema.
 
     NOTE: MBTiles keys tiles on (zoom_level, tile_column, tile_row) ONLY
     [SPEC] — a multi-image tiles DF with colliding (z,x,y) keys gets
@@ -44,19 +73,37 @@ def write_mbtiles(tiles: DataFrame, out_dir: str, metadata: dict | None = None, 
     """
     os.makedirs(out_dir, exist_ok=True)
     kv = to_mbtiles_keys(tiles)
+    ddl = _DDL_DEDUP if dedup else _DDL
 
     def write_part(rows):
+        import hashlib
+
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
         path = os.path.join(out_dir, f"part-{pid:05d}.mbtiles")
         con = sqlite3.connect(path)
-        for ddl in _DDL:
-            con.execute(ddl)
-        con.executemany(
-            "INSERT OR REPLACE INTO tiles (zoom_level, tile_column, tile_row, tile_data) VALUES (?,?,?,?)",
-            ((int(r["zoom_level"]), int(r["tile_column"]), int(r["tile_row"]), bytes(r["tile_data"])) for r in rows),
-        )
+        for d in ddl:
+            con.execute(d)
+        if dedup:
+            for r in rows:
+                blob = bytes(r["tile_data"])
+                tid = hashlib.md5(blob).hexdigest()
+                con.execute(
+                    "INSERT OR IGNORE INTO images (tile_id, tile_data) VALUES (?,?)", (tid, blob)
+                )
+                con.execute(
+                    "INSERT OR REPLACE INTO map (zoom_level, tile_column, tile_row, tile_id) VALUES (?,?,?,?)",
+                    (int(r["zoom_level"]), int(r["tile_column"]), int(r["tile_row"]), tid),
+                )
+        else:
+            con.executemany(
+                "INSERT OR REPLACE INTO tiles (zoom_level, tile_column, tile_row, tile_data) VALUES (?,?,?,?)",
+                (
+                    (int(r["zoom_level"]), int(r["tile_column"]), int(r["tile_row"]), bytes(r["tile_data"]))
+                    for r in rows
+                ),
+            )
         con.commit()
         con.close()
 
@@ -67,13 +114,19 @@ def write_mbtiles(tiles: DataFrame, out_dir: str, metadata: dict | None = None, 
         return out_dir
     final = os.path.join(out_dir, "tiles.mbtiles")
     con = sqlite3.connect(final)
-    for ddl in _DDL:
-        con.execute(ddl)
+    for d in ddl:
+        con.execute(d)
     for s in shards:
         con.execute("ATTACH DATABASE ? AS shard", (s,))
-        con.execute(
-            "INSERT OR REPLACE INTO tiles SELECT zoom_level, tile_column, tile_row, tile_data FROM shard.tiles"
-        )
+        if dedup:
+            con.execute("INSERT OR IGNORE INTO images SELECT tile_id, tile_data FROM shard.images")
+            con.execute(
+                "INSERT OR REPLACE INTO map SELECT zoom_level, tile_column, tile_row, tile_id FROM shard.map"
+            )
+        else:
+            con.execute(
+                "INSERT OR REPLACE INTO tiles SELECT zoom_level, tile_column, tile_row, tile_data FROM shard.tiles"
+            )
         con.commit()
         con.execute("DETACH DATABASE shard")
         os.remove(s)
@@ -85,8 +138,7 @@ def write_mbtiles(tiles: DataFrame, out_dir: str, metadata: dict | None = None, 
 def _write_metadata(paths, metadata: dict | None):
     for p in paths:
         con = sqlite3.connect(p)
-        for ddl in _DDL:
-            con.execute(ddl)
+        con.execute("CREATE TABLE IF NOT EXISTS metadata (name TEXT, value TEXT)")
         for k, v in (metadata or {}).items():
             con.execute("INSERT OR REPLACE INTO metadata (name, value) VALUES (?,?)", (k, str(v)))
         con.commit()
