@@ -406,6 +406,87 @@ def test_dem_tiles_job(run_job, tmp_path, spark):
         assert np.abs(back[finite] - elev[finite]).max() <= 0.05 + 1e-9
 
 
+@pytest.fixture()
+def update_pair(spark, tmp_path):
+    """old/new XYZ dir trees with known added/removed/changed keys."""
+    from pyspark.sql import functions as F
+
+    from tilers_tools_spark.sources import tileset
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(30):
+        z = 4
+        rows.append((z, i % 16, (i * 3) % 16, codecs.encode_png(rng.integers(0, 256, (8, 8, 4), dtype=np.uint8))))
+    old_df = spark.createDataFrame(rows, "z int, x long, y long, tile binary").dropDuplicates(["z", "x", "y"]).cache()
+    keys = sorted((r["z"], r["x"], r["y"]) for r in old_df.select("z", "x", "y").collect())
+    removed, changed = keys[0], keys[1]
+    new_df = (
+        old_df.where(~((F.col("x") == removed[1]) & (F.col("y") == removed[2])))
+        .withColumn(
+            "tile",
+            F.when(
+                (F.col("x") == changed[1]) & (F.col("y") == changed[2]),
+                F.lit(codecs.encode_png(np.full((8, 8, 4), 7, dtype=np.uint8))),
+            ).otherwise(F.col("tile")),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(4, 0, 1, codecs.encode_png(np.full((8, 8, 4), 9, dtype=np.uint8)))],
+                "z int, x long, y long, tile binary",
+            )
+        )
+        .cache()
+    )
+    do, dn = str(tmp_path / "old_xyz"), str(tmp_path / "new_xyz")
+    tileset.write_tileset_dir(old_df, do, scheme="xyz")
+    tileset.write_tileset_dir(new_df, dn, scheme="xyz")
+    return do, dn, old_df, new_df
+
+
+def test_tiles_update_emit(run_job, update_pair, tmp_path, spark):
+    do, dn, old_df, new_df = update_pair
+    dst = str(tmp_path / "delta")
+    res = run_job("tiles_update", [
+        "--old", do, "--new", dn, "--mode", "emit", "--dst", dst,
+    ])
+    assert (res["added"], res["removed"], res["changed"]) == (1, 1, 1)
+    from tilers_tools_spark.sources import tileset
+
+    ups = tileset.read_tileset_dir(spark, dst, scheme="xyz")
+    assert ups.count() == 2  # added + changed blobs only
+    removed = spark.read.parquet(os.path.join(dst, "removed_keys.parquet"))
+    assert removed.count() == 1
+
+
+@pytest.mark.parametrize("dedup", [False, True])
+def test_tiles_update_apply_mbtiles(run_job, update_pair, tmp_path, spark, dedup):
+    """apply patches a published single-file MBTiles (plain AND dedup
+    layouts) in place; reading it back equals the new pyramid, and the
+    dedup layout keeps no orphaned blobs."""
+    import sqlite3
+
+    from tilers_tools_spark.sources import mbtiles as mbt
+
+    do, dn, old_df, new_df = update_pair
+    out = str(tmp_path / "pub")
+    path = mbt.write_mbtiles(old_df, out, single_file=True, dedup=dedup)
+    res = run_job("tiles_update", [
+        "--old", path, "--old-format", "mbtiles", "--new", dn, "--mode", "apply",
+    ])
+    assert (res["added"], res["removed"], res["changed"]) == (1, 1, 1)
+    back = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in mbt.read_mbtiles(spark, path).collect()}
+    want = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in new_df.collect()}
+    assert back == want
+    if dedup:
+        con = sqlite3.connect(path)
+        orphans = con.execute(
+            "SELECT count(*) FROM images WHERE tile_id NOT IN (SELECT tile_id FROM map)"
+        ).fetchone()[0]
+        con.close()
+        assert orphans == 0
+
+
 def test_tiles_convert_mbtiles_dedup(run_job, tile_dir, tmp_path, spark):
     """--dedup writes the two-table map+images MBTiles layout; the spec
     `tiles` relation survives as a view, and a follow-up convert reading
