@@ -101,6 +101,9 @@ def main():
             tileset.write_openlayers_html(
                 tiles, args.dst, title=args.name, ext=ext, scheme=args.dst_scheme
             )
+            tileset.write_tilejson(
+                tiles, args.dst, name=args.name, ext=ext, scheme=args.dst_scheme
+            )
         out = args.dst
     elif args.dst_format == "kml":
         # Google-Earth SuperOverlay: xyz image tree + per-tile KML docs +

@@ -155,6 +155,30 @@ def test_tilemap_metadata(tiles_df):
         assert r["xmin"] <= r["xmax"] and r["ymin"] <= r["ymax"]
 
 
+def test_tilejson_pinned(spark, tmp_path):
+    """TileJSON 3.0 writer pinned by hand: z=2, x in {1,2}, y=1 (TMS) →
+    span = ORIGIN/2, bounds lon [-90, 90], lat [-66.51326..., 0]."""
+    import json
+    import math
+
+    from tilers_tools_spark.sources import tileset
+
+    df = spark.createDataFrame(
+        [(2, 1, 1, b"t"), (2, 2, 1, b"t")], "z int, x long, y long, tile binary"
+    )
+    out = tileset.write_tilejson(df, str(tmp_path), name="pin", ext="png", scheme="xyz")
+    doc = json.load(open(out))
+    assert doc["tilejson"] == "3.0.0" and doc["name"] == "pin" and doc["scheme"] == "xyz"
+    assert doc["tiles"] == ["{z}/{x}/{y}.png"]
+    assert doc["minzoom"] == 2 and doc["maxzoom"] == 2
+    lat_s = math.degrees(2.0 * math.atan(math.exp(-math.pi / 2.0)) - math.pi / 2.0)
+    want = [-90.0, round(lat_s, 8), 90.0, 0.0]
+    assert doc["bounds"] == pytest.approx(want, abs=1e-8)
+    assert doc["center"][:2] == pytest.approx([0.0, round(lat_s / 2.0, 8)], abs=1e-8)
+    with pytest.raises(ValueError):
+        tileset.write_tilejson(df, str(tmp_path), scheme="zyx")
+
+
 def test_transcode_roundtrip(tiles_df):
     from tilers_tools_spark.functions import jpegcodec
 

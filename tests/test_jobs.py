@@ -73,6 +73,8 @@ def test_tiles_convert_job(run_job, tile_dir, tmp_path, spark):
     assert res2["tiles"] == df.count()
     assert os.path.exists(os.path.join(out2, "tilemapresource.xml"))
     assert "tms: true" in open(os.path.join(out2, "leaflet.html")).read()
+    tj = json.load(open(os.path.join(out2, "tiles.json")))
+    assert tj["tilejson"] == "3.0.0" and tj["scheme"] == "tms"
 
 
 def test_tiles_merge_job(run_job, tile_dir, tmp_path, spark):

@@ -85,6 +85,67 @@ def write_tilemap_xml(tiles: DataFrame, dest: str, title: str = "tiles", ext: st
     return out
 
 
+def write_tilejson(
+    tiles: DataFrame,
+    dest: str,
+    name: str = "tiles",
+    ext: str = "png",
+    scheme: str = "xyz",
+    url_base: str = "",
+) -> str:
+    """Write a TileJSON 3.0.0 `tiles.json` next to the tile tree — the
+    modern-toolchain counterpart of `tilemapresource.xml` (Mapbox TileJSON
+    spec [SPEC]; consumed by MapLibre/Mapbox/OpenLayers). Same tiny driver-
+    side aggregate as the TMS writer; bounds are the deepest zoom's tile
+    extent inverse-projected to lon/lat (W, S, E, N per spec), `scheme`
+    "xyz" or "tms" per spec §3.11. Deterministic output text (sorted keys,
+    repr-stable floats via %.8f)."""
+    import json as _json
+
+    from ..functions import tilemath as tm
+    from ..operators.convert import tilemap_metadata
+
+    if scheme not in ("xyz", "tms"):
+        raise ValueError(f"TileJSON scheme must be xyz or tms, got {scheme!r}")
+    rows = tilemap_metadata(tiles).collect()
+    if not rows:
+        raise ValueError("empty tile set")
+    deepest = max(rows, key=lambda r: r["z"])
+    z = int(deepest["z"])
+    span = tm.RES0 / (2.0**z) * 256.0
+    import numpy as np
+
+    mx = np.array([deepest["xmin"] * span - tm.ORIGIN, (deepest["xmax"] + 1) * span - tm.ORIGIN])
+    my = np.array([deepest["ymin"] * span - tm.ORIGIN, (deepest["ymax"] + 1) * span - tm.ORIGIN])
+    lon, lat = tm.inv_merc_np(mx, my)
+    bounds = [
+        round(float(lon[0]), 8),
+        round(float(lat[0]), 8),
+        round(float(lon[1]), 8),
+        round(float(lat[1]), 8),
+    ]
+    zs = sorted(int(r["z"]) for r in rows)
+    doc = {
+        "tilejson": "3.0.0",
+        "name": name,
+        "scheme": scheme,
+        "tiles": [f"{url_base}{{z}}/{{x}}/{{y}}.{ext}"],
+        "minzoom": zs[0],
+        "maxzoom": zs[-1],
+        "bounds": bounds,
+        "center": [
+            round((bounds[0] + bounds[2]) / 2.0, 8),
+            round((bounds[1] + bounds[3]) / 2.0, 8),
+            zs[0],
+        ],
+    }
+    os.makedirs(dest, exist_ok=True)
+    out = os.path.join(dest, "tiles.json")
+    with open(out, "w") as f:
+        _json.dump(doc, f, indent=1, sort_keys=True)
+    return out
+
+
 def write_leaflet_html(
     tiles: DataFrame,
     dest: str,
