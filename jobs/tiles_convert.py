@@ -36,6 +36,11 @@ def main():
         action="store_true",
         help="MBTiles dst only: deduplicated map+images layout (tiles as a view)",
     )
+    ap.add_argument(
+        "--lint",
+        action="store_true",
+        help="validate source keys (dup/range/orphan pyramid lint) and abort on violations",
+    )
     ap.add_argument("--name", default="tiles")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
@@ -61,6 +66,20 @@ def main():
         tiles = gpkg.read_gpkg(spark, args.src)
     else:
         tiles = Catalog(spark, args.src).read("tiles").select("z", "x", "y", "tile")
+    if args.lint:
+        from pyspark.sql import functions as F
+
+        from tilers_tools_spark.operators import check as tcheck
+
+        bad = (
+            tcheck.tileset_check(tiles)
+            .groupBy("issue")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        if bad:
+            print(json.dumps({"lint": {r["issue"]: int(r["n"]) for r in bad}}))
+            raise SystemExit("tiles_convert: tile-set lint failed (see counts above)")
     if args.transcode:
         tiles = convert.transcode(
             tiles, src_fmt=args.src_fmt_blob, dst_fmt=args.transcode,

@@ -515,6 +515,30 @@ def test_tiles_convert_mbtiles_dedup(run_job, tile_dir, tmp_path, spark):
     assert a == b
 
 
+def test_tiles_convert_lint_gate(run_job, tmp_path, spark):
+    """--lint aborts on a broken pyramid (z=5 child with no z=3→4 chain)
+    and passes a clean one."""
+    from tilers_tools_spark.sources import tileset
+
+    blob = codecs.encode_png(np.zeros((8, 8, 4), dtype=np.uint8))
+    bad = spark.createDataFrame([(3, 1, 1, blob), (5, 4, 4, blob)], "z int, x long, y long, tile binary")
+    d_bad = str(tmp_path / "bad")
+    tileset.write_tileset_dir(bad, d_bad, scheme="xyz")
+    with pytest.raises(SystemExit, match="lint failed"):
+        run_job("tiles_convert", [
+            "--src", d_bad, "--src-format", "dir", "--dst", str(tmp_path / "o1"),
+            "--dst-format", "mbtiles", "--single-file", "--lint",
+        ])
+    good = spark.createDataFrame([(3, 1, 1, blob), (4, 2, 2, blob)], "z int, x long, y long, tile binary")
+    d_good = str(tmp_path / "good")
+    tileset.write_tileset_dir(good, d_good, scheme="xyz")
+    res = run_job("tiles_convert", [
+        "--src", d_good, "--src-format", "dir", "--dst", str(tmp_path / "o2"),
+        "--dst-format", "mbtiles", "--single-file", "--lint",
+    ])
+    assert res["tiles"] == 2
+
+
 def test_tiles_convert_rmaps_roundtrip(run_job, tile_dir, tmp_path, spark):
     """dir -> RMaps sqlitedb -> dir through the CLI (the MOBAC 'RMaps
     SQLite' / OsmAnd container; stored z = 17 - zoom, OSM y)."""

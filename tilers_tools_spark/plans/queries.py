@@ -4083,6 +4083,69 @@ def _diff_fixture_sets(spark, sf_dir):
     return old, new
 
 
+def q_tileset_check(spark, sf_dir):
+    """Pyramid integrity lint (operators/check.py::tileset_check): the
+    fixture injects all three violation classes with closed-form rules —
+    duplicated keys ((x+y)%11), out-of-grid keys (x+32 at z=5), and
+    orphaned z=6 children (their z=5 parents filtered out by (x*7+y)%9).
+    Fully relational DuckDB oracle: GROUP BY/HAVING for dups, grid-bound
+    predicate for range, NOT EXISTS parent lookup with the same //2
+    halving for orphans."""
+    from ..operators import check as tcheck
+
+    m = _merc_pts(spark, sf_dir)
+    b5 = (
+        _tiles_at(m, 5)
+        .select("z", "x", "y")
+        .distinct()
+        .where((F.col("x") * 7 + F.col("y")) % 9 != 0)
+    )
+    b6 = _tiles_at(m, 6).select("z", "x", "y").distinct()
+    dup = b5.where((F.col("x") + F.col("y")) % 11 == 0)
+    rng = b5.where((F.col("x") + F.col("y")) % 13 == 0).select(
+        "z", (F.col("x") + 32).alias("x"), "y"
+    )
+    keys = b5.unionByName(dup).unionByName(rng).unionByName(b6)
+    return tcheck.tileset_check(keys)
+
+
+def _tiles_check_sql() -> str:
+    s5, s6 = repr(_span(5)), repr(_span(6))
+    return f"""
+WITH {_PTS_SQL},
+t5 AS (SELECT DISTINCT CAST(5 AS BIGINT) AS z,
+       GREATEST(0, LEAST(31, CAST(FLOOR((mx + {O}) / {s5}) AS BIGINT))) AS x,
+       GREATEST(0, LEAST(31, CAST(FLOOR((my + {O}) / {s5}) AS BIGINT))) AS y FROM m),
+t6 AS (SELECT DISTINCT CAST(6 AS BIGINT) AS z,
+       GREATEST(0, LEAST(63, CAST(FLOOR((mx + {O}) / {s6}) AS BIGINT))) AS x,
+       GREATEST(0, LEAST(63, CAST(FLOOR((my + {O}) / {s6}) AS BIGINT))) AS y FROM m),
+b5 AS (SELECT * FROM t5 WHERE (x*7 + y) % 9 <> 0),
+keys AS (
+  SELECT * FROM b5
+  UNION ALL SELECT * FROM b5 WHERE (x + y) % 11 = 0
+  UNION ALL SELECT z, x + 32 AS x, y FROM b5 WHERE (x + y) % 13 = 0
+  UNION ALL SELECT * FROM t6
+),
+dk AS (SELECT DISTINCT z, x, y FROM keys),
+ok AS (SELECT * FROM dk
+       WHERE x >= 0 AND y >= 0 AND x < (1::BIGINT << CAST(z AS INTEGER))
+         AND y < (1::BIGINT << CAST(z AS INTEGER)))
+SELECT 'dup_key' AS issue, z, x, y FROM keys GROUP BY z, x, y HAVING count(*) > 1
+UNION ALL
+SELECT 'key_range' AS issue, z, x, y FROM dk
+WHERE NOT (x >= 0 AND y >= 0 AND x < (1::BIGINT << CAST(z AS INTEGER))
+           AND y < (1::BIGINT << CAST(z AS INTEGER)))
+UNION ALL
+SELECT 'orphan_child' AS issue, c.z, c.x, c.y FROM ok c
+WHERE c.z > (SELECT min(z) FROM ok)
+  AND NOT EXISTS (SELECT 1 FROM ok p
+                  WHERE p.z = c.z - 1 AND p.x = c.x // 2 AND p.y = c.y // 2)
+"""
+
+
+SQL_TILESET_CHECK = _tiles_check_sql()
+
+
 def q_mbtiles_dedup_map(spark, sf_dir):
     """Deduplicated-MBTiles map projection (operators/convert.py::
     to_mbtiles_dedup_map — the TileMill/mbutil two-table layout written by
@@ -4174,6 +4237,7 @@ QUERIES: dict = {
     "zoomify_paths": (q_zoomify_paths, SQL_ZOOMIFY_PATHS),
     "mbtiles_keys": (q_mbtiles_keys, SQL_MBTILES_KEYS),
     "mbtiles_dedup_map": (q_mbtiles_dedup_map, SQL_MBTILES_DEDUP_MAP),
+    "tileset_check": (q_tileset_check, SQL_TILESET_CHECK),
     "tileset_diff": (q_tileset_diff, SQL_TILESET_DIFF),
     "tileset_patch": (q_tileset_patch, SQL_TILESET_PATCH),
     "rmaps_keys": (q_rmaps_keys, SQL_RMAPS_KEYS),
