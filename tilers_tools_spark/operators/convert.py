@@ -102,6 +102,76 @@ def tiles_in_bbox(
     )
 
 
+def _ring_pip_center_col(ring, z: int):
+    """Column: true iff the zoom-`z` tile center of (x, y TMS) lies inside
+    the lon/lat `ring` (list of (lon, lat) driver-side vertices).
+
+    Crossing-number test UNROLLED over the vertices into a pure Catalyst
+    expression — edge deltas are computed once on the driver and inlined
+    as literals, so the whole predicate stays in whole-stage codegen and a
+    DuckDB oracle can mirror it term-for-term (identical IEEE op order).
+    Choose vertices off the tile-center lattice (e.g. *.0005 offsets) so
+    no edge tie is ULP-sensitive."""
+    import math
+
+    span = tm.RES0 / (2.0**z) * 256.0
+    cx = (F.col("x").cast("double") + F.lit(0.5)) * F.lit(span) - F.lit(tm.ORIGIN)
+    cy = (F.col("y").cast("double") + F.lit(0.5)) * F.lit(span) - F.lit(tm.ORIGIN)
+    lon = cx * F.lit(180.0 / tm.ORIGIN)
+    lat = F.degrees(F.lit(2.0) * F.atan(F.exp(cy / F.lit(6378137.0))) - F.lit(math.pi / 2.0))
+    total = F.lit(0)
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = float(ring[i][0]), float(ring[i][1])
+        x2, y2 = float(ring[(i + 1) % n][0]), float(ring[(i + 1) % n][1])
+        if y1 == y2:
+            continue  # horizontal edge never crosses a non-tie latitude
+        crosses = (F.lit(y1) > lat) != (F.lit(y2) > lat)
+        xint = F.lit(x2 - x1) * (lat - F.lit(y1)) / F.lit(y2 - y1) + F.lit(x1)
+        total = total + F.when(crosses & (lon < xint), F.lit(1)).otherwise(F.lit(0))
+    return total % 2 == 1
+
+
+def tiles_covering_polygon(spark, ring, z: int) -> DataFrame:
+    """Seeding planner: enumerate every (z, x, y TMS) tile whose center
+    falls inside the lon/lat ring — the work list for a targeted region
+    re-render (feed it to the pyramid renderer or ``tiles_update``).
+
+    The covering bbox ranges are driver-side literals (same as
+    ``tiles_in_bbox``); the grid is one ``spark.range`` projection (no
+    join, no shuffle) filtered by the unrolled crossing-number predicate."""
+    import numpy as np
+
+    from ..functions import tilemath as tmn
+
+    lons = [p[0] for p in ring]
+    lats = [p[1] for p in ring]
+    mx0, my0 = tmn.merc_np(np.array([min(lons)]), np.array([min(lats)]))
+    mx1, my1 = tmn.merc_np(np.array([max(lons)]), np.array([max(lats)]))
+    txmin, txmax, tymin, tymax = (
+        int(v[0]) for v in tmn.cover_range_np(mx0, my0, mx1, my1, np.array([z]))
+    )
+    nx = txmax - txmin + 1
+    ny = tymax - tymin + 1
+    grid = spark.range(nx * ny).select(
+        F.lit(z).cast("long").alias("z"),
+        (F.lit(txmin) + F.col("id") % nx).alias("x"),
+        (F.lit(tymin) + (F.col("id") / nx).cast("long")).alias("y"),
+    )
+    return grid.where(_ring_pip_center_col(ring, z))
+
+
+def tiles_in_polygon(tiles: DataFrame, z: int, ring) -> DataFrame:
+    """Filter an existing tile table to zoom `z` tiles whose centers lie
+    inside the lon/lat ring: bbox literal ranges first (partition pruning
+    + row-group pushdown, exactly as ``tiles_in_bbox``), then the exact
+    crossing-number refine as a codegen'd Column — no UDF, no shuffle."""
+    lons = [p[0] for p in ring]
+    lats = [p[1] for p in ring]
+    pre = tiles_in_bbox(tiles, z, min(lons), min(lats), max(lons), max(lats))
+    return pre.where(_ring_pip_center_col(ring, z))
+
+
 def from_quadkey(df: DataFrame, qk_col: str = "quadkey") -> DataFrame:
     """Inverse: quadkey string -> (z, x, y TMS). Pure column expressions
     (aggregate over the digit positions)."""

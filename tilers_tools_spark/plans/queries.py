@@ -4083,6 +4083,74 @@ def _diff_fixture_sets(spark, sf_dir):
     return old, new
 
 
+# non-convex L-shape; *.0005 offsets keep every edge far (>>ULP) from any
+# z=6 tile-center lon/lat, so the crossing test is tie-free cross-engine
+_SEED_RING = [
+    (-60.0005, -40.0005),
+    (20.0005, -40.0005),
+    (20.0005, 30.0005),
+    (-20.0005, 30.0005),
+    (-20.0005, -10.0005),
+    (-60.0005, -10.0005),
+]
+_SEED_Z = 6
+
+
+def q_tiles_seed(spark, sf_dir):
+    """Polygon seeding planner (operators/convert.py::tiles_covering_polygon):
+    every z=6 tile whose center falls inside a non-convex L-ring — one
+    spark.range projection + the unrolled crossing-number Column (no UDF,
+    no shuffle). The oracle rebuilds the grid with generate_series and
+    mirrors the crossing terms literal-for-literal."""
+    return convert.tiles_covering_polygon(spark, _SEED_RING, _SEED_Z)
+
+
+def _tiles_seed_sql() -> str:
+    import numpy as np
+
+    from ..functions import tilemath as tmn
+
+    ring, z = _SEED_RING, _SEED_Z
+    lons = [p[0] for p in ring]
+    lats = [p[1] for p in ring]
+    mx0, my0 = tmn.merc_np(np.array([min(lons)]), np.array([min(lats)]))
+    mx1, my1 = tmn.merc_np(np.array([max(lons)]), np.array([max(lats)]))
+    txmin, txmax, tymin, tymax = (
+        int(v[0]) for v in tmn.cover_range_np(mx0, my0, mx1, my1, np.array([z]))
+    )
+    span = repr(_span(z))
+    klon = repr(180.0 / tm.ORIGIN)
+    half_pi = repr(math.pi / 2.0)
+    terms = []
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = float(ring[i][0]), float(ring[i][1])
+        x2, y2 = float(ring[(i + 1) % n][0]), float(ring[(i + 1) % n][1])
+        if y1 == y2:
+            continue
+        terms.append(
+            f"(CASE WHEN (({y1!r} > lat) <> ({y2!r} > lat))"
+            f" AND (lon < {x2 - x1!r} * (lat - {y1!r}) / {y2 - y1!r} + {x1!r})"
+            f" THEN 1 ELSE 0 END)"
+        )
+    return f"""
+WITH grid AS (
+  SELECT CAST({z} AS BIGINT) AS z, gx.x AS x, gy.y AS y
+  FROM generate_series({txmin}, {txmax}) AS gx(x),
+       generate_series({tymin}, {tymax}) AS gy(y)
+),
+c AS (SELECT z, x, y,
+  ((x + 0.5e0) * {span} - {O}) * {klon} AS lon,
+  degrees(2e0 * atan(exp(((y + 0.5e0) * {span} - {O}) / 6378137e0)) - {half_pi}) AS lat
+FROM grid)
+SELECT z, x, y FROM c
+WHERE ({' + '.join(terms)}) % 2 = 1
+"""
+
+
+SQL_TILES_SEED = _tiles_seed_sql()
+
+
 def q_tileset_check(spark, sf_dir):
     """Pyramid integrity lint (operators/check.py::tileset_check): the
     fixture injects all three violation classes with closed-form rules —
@@ -4238,6 +4306,7 @@ QUERIES: dict = {
     "mbtiles_keys": (q_mbtiles_keys, SQL_MBTILES_KEYS),
     "mbtiles_dedup_map": (q_mbtiles_dedup_map, SQL_MBTILES_DEDUP_MAP),
     "tileset_check": (q_tileset_check, SQL_TILESET_CHECK),
+    "tiles_seed": (q_tiles_seed, SQL_TILES_SEED),
     "tileset_diff": (q_tileset_diff, SQL_TILESET_DIFF),
     "tileset_patch": (q_tileset_patch, SQL_TILESET_PATCH),
     "rmaps_keys": (q_rmaps_keys, SQL_RMAPS_KEYS),
