@@ -872,6 +872,38 @@ def test_repetition_features_known_values(spark):
     assert out[4]["n_words"] == 0 and out[4]["dup_word_frac"] == 0.0
 
 
+def test_line_repetition_features_known_values(spark):
+    """Gopher line-level dup signals vs an independent scalar reference
+    (first-occurrence rule: occurrence i is a duplicate iff the same
+    line text appeared at an earlier index; empty lines dropped)."""
+    from tilers_tools_spark.operators import text as tx
+
+    rows = [
+        (0, "a\nb\na\n\nc\na"),       # dups: a x2 of 5 lines
+        (1, "hello"),                  # single line
+        (2, ""),                       # no lines
+        (3, "xx\nxx\nyyy\nzz\nyyy"),  # dup chars (2+3)/12
+        (4, "solo\nsolo\nsolo"),       # all-but-first duplicate
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in tx.line_repetition_features(docs).collect()}
+
+    def ref(t):
+        ls = [x for x in t.split("\n") if x != ""]
+        seen, dup = set(), []
+        for x in ls:
+            (dup.append(x) if x in seen else seen.add(x))
+        n, tc, dc = len(ls), sum(map(len, ls)), sum(map(len, dup))
+        return (n, len(dup) / n if n else 0.0, dc / tc if tc else 0.0)
+
+    for d, t in rows:
+        n, lf, cf = ref(t)
+        assert out[d]["n_lines"] == n, d
+        assert abs(out[d]["dup_line_frac"] - lf) < 1e-15, d
+        assert abs(out[d]["dup_line_char_frac"] - cf) < 1e-15, d
+    assert out[4]["dup_line_frac"] == 2 / 3 and out[4]["dup_line_char_frac"] == 2 / 3
+
+
 def test_pq_topk_recall_and_invariants(spark):
     """PQ ANN: kernel invariants (codes in range, deterministic) + recall
     vs brute force on the sf0.01 embeddings — uniform-random vectors are

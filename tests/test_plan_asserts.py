@@ -230,3 +230,14 @@ def test_ingest_scans_are_shuffle_free(spark):
     for fn in (q.q_aaigrid_ingest, q.q_hgt_ingest, q.q_xyz_grid_ingest, q.q_envi_ingest):
         plan = _plan(fn(spark, "/root/testdata/sf0.01"))
         assert "Exchange" not in plan, (fn.__name__, plan)
+
+
+def test_line_repetition_is_shuffle_free(spark):
+    """line_repetition_features is a per-row HOF pass over the documents
+    scan — no Exchange anywhere in the plan (the word-level op needs a
+    bigram explode+groupBy; the line-level one must not)."""
+    from tilers_tools_spark.operators import text as tx
+
+    docs = spark.createDataFrame([(1, "a\nb\na")], "doc_id long, text string")
+    plan = _plan(tx.line_repetition_features(docs))
+    assert "Exchange" not in plan, plan

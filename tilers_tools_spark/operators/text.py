@@ -349,3 +349,66 @@ def repetition_features(
             ).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
         )
     )
+
+
+def line_repetition_features(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher LINE-level repetition signals (Rae et al. 2021 appendix
+    A1.1 duplicate-line family, as reimplemented by RefinedWeb /
+    FineWeb-style corpus pipelines): per document,
+
+      n_lines             count of non-empty '\\n'-separated lines
+      dup_line_frac       fraction of line OCCURRENCES whose identical
+                          line text already appeared earlier in the doc
+      dup_line_char_frac  characters inside those duplicate occurrences
+                          / total characters across all lines
+
+    Exact rule (documented so the oracle can mirror it): lines =
+    split(text, '\\n') with empty strings dropped; occurrence i
+    (1-based) is a duplicate iff the index of the FIRST occurrence of
+    its value != i. High values flag template / boilerplate / looping
+    documents; complements the word/bigram signals of
+    repetition_features.
+
+    Scale: pure higher-order Column expressions over the documents scan
+    — per-row compute, ZERO shuffle (unlike the word-level op's bigram
+    explode+groupBy). The first-occurrence test is array_position
+    inside a filter lambda: O(n_lines^2) per doc, all JVM-side, lines
+    bounded by document size; the lines array is materialized behind a
+    collapse barrier so the lambda reads an attribute, not a
+    re-evaluated split().
+    """
+    from .dedup import _barrier
+
+    d1 = _barrier(
+        docs.select(
+            F.col(id_col),
+            F.filter(F.split(F.col(text_col), "\n"), lambda x: x != "").alias("_l"),
+        )
+    )
+    d2 = _barrier(
+        d1.select(
+            id_col,
+            "_l",
+            F.filter(
+                "_l", lambda x, i: F.array_position(F.col("_l"), x) != (i + F.lit(1))
+            ).alias("_d"),
+        )
+    )
+
+    def _chars(c):
+        return F.aggregate(c, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+
+    return d2.select(
+        F.col(id_col),
+        F.size("_l").cast("long").alias("n_lines"),
+        F.when(
+            F.size("_l") > 0,
+            F.size("_d").cast("double") / F.size("_l").cast("double"),
+        ).otherwise(F.lit(0.0)).alias("dup_line_frac"),
+        F.when(
+            _chars(F.col("_l")) > 0,
+            _chars(F.col("_d")).cast("double") / _chars(F.col("_l")).cast("double"),
+        ).otherwise(F.lit(0.0)).alias("dup_line_char_frac"),
+    )

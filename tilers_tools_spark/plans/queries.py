@@ -3748,6 +3748,64 @@ FROM base LEFT JOIN bgc USING (doc_id)
 """
 
 
+def q_line_repetition(spark, sf_dir):
+    """Gopher LINE-level repetition signals (operators/text.py
+    line_repetition_features — dup-line occurrence + char fractions,
+    the duplicate-line family of Rae et al. 2021 A1.1). The fixture
+    corpus is single-line, so both engines plant an identical
+    deterministic multi-line text per doc (the real text collapsed to
+    one line, a header line repeated 1+doc_id%3 times, one unique body
+    line, a footer repeated 1+doc_id%2 times); the oracle recomputes
+    the first-occurrence rule fully relationally in DuckDB (aligned
+    unnest + MIN(ord) OVER the (doc, line) partition)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace(F.col("text"), "\n", " "),
+            F.lit("\n"),
+            F.repeat(
+                F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"), F.lit("\n")),
+                (F.lit(1) + F.col("doc_id") % 3).cast("int"),
+            ),
+            F.lit("body "),
+            F.col("doc_id").cast("string"),
+            F.lit("\n"),
+            F.repeat(F.lit("footer common\n"), (F.col("doc_id") % 2 + 1).cast("int")),
+        ).alias("text"),
+    )
+    return text.line_repetition_features(planted)
+
+
+SQL_LINE_REPETITION = r"""
+WITH planted AS (
+  SELECT doc_id,
+         regexp_replace(text, chr(10), ' ', 'g') || chr(10)
+         || repeat('h' || CAST(doc_id % 7 AS VARCHAR) || chr(10), CAST(1 + doc_id % 3 AS INTEGER))
+         || 'body ' || CAST(doc_id AS VARCHAR) || chr(10)
+         || repeat('footer common' || chr(10), CAST(doc_id % 2 + 1 AS INTEGER)) AS text
+  FROM documents),
+lf AS (
+  SELECT doc_id, list_filter(string_split(text, chr(10)), x -> x <> '') AS lines FROM planted),
+l AS (
+  SELECT doc_id, unnest(lines) AS line, unnest(range(1, len(lines) + 1)) AS ord FROM lf),
+m AS (
+  SELECT doc_id, line, ord, MIN(ord) OVER (PARTITION BY doc_id, line) AS first_ord FROM l),
+a AS (
+  SELECT doc_id,
+         COUNT(*) AS n_lines,
+         SUM(CASE WHEN ord <> first_ord THEN 1 ELSE 0 END) AS n_dup,
+         SUM(length(line)) AS tot_chars,
+         SUM(CASE WHEN ord <> first_ord THEN length(line) ELSE 0 END) AS dup_chars
+  FROM m GROUP BY doc_id)
+SELECT doc_id,
+  CAST(n_lines AS BIGINT) AS n_lines,
+  CASE WHEN n_lines > 0 THEN n_dup::DOUBLE / n_lines::DOUBLE ELSE 0.0 END AS dup_line_frac,
+  CASE WHEN tot_chars > 0 THEN dup_chars::DOUBLE / tot_chars::DOUBLE ELSE 0.0 END AS dup_line_char_frac
+FROM a
+"""
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII detect + redact (operators/text.py pii_scrub). The fixture
     corpus carries no PII, so both engines plant identical synthetic PII
@@ -4359,6 +4417,7 @@ QUERIES: dict = {
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "boilerplate_lines": (q_boilerplate_lines, SQL_BOILERPLATE_LINES),
     "repetition": (q_repetition, SQL_REPETITION),
+    "line_repetition": (q_line_repetition, SQL_LINE_REPETITION),
     # tile addressing/serving: Bing quadkey scheme + viewport range lookup
     "quadkey": (q_quadkey, SQL_QUADKEY),
     "bbox_tiles": (q_bbox_tiles, SQL_BBOX_TILES),
