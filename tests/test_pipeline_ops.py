@@ -988,3 +988,35 @@ def test_ivfpq_topk_recall_and_build_search_split(spark):
     assert a == b
     assert all(0 <= c < 16 for _id, codes, _l in a for c in codes)
     assert all(0 <= l < 16 for _id, _c, l in a)
+
+
+def test_image_patchify_bytes_roundtrip(spark):
+    """The raw patch tensors reassemble bit-for-bit into the zero-padded
+    source image (pins byte order/layout, grid geometry, and the pad
+    rule — complements the gate's analytic per-patch stats)."""
+    import numpy as np
+
+    from tilers_tools_spark.functions import codecs
+    from tilers_tools_spark.operators.multimodal import image_patchify
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, (13, 20, 3), np.uint8)  # both axes ragged at P=8
+    df = spark.createDataFrame(
+        [("img", bytearray(codecs.encode_raw(arr)), "raw")],
+        "image_id string, bytes binary, fmt string",
+    )
+    rows = image_patchify(df, patch=8).collect()
+    assert len(rows) == 2 * 3  # ceil(13/8) x ceil(20/8)
+    recon = np.zeros((16, 24, 3), np.uint8)
+    for r in rows:
+        blk = np.frombuffer(bytes(r["patch"]), np.uint8).reshape(8, 8, 3)
+        recon[r["py"] * 8:(r["py"] + 1) * 8, r["px"] * 8:(r["px"] + 1) * 8] = blk
+        assert r["patch_id"] == r["py"] * r["n_px"] + r["px"]
+        assert r["pix_sum"] == int(blk.sum(dtype=np.int64))
+    padded = np.zeros((16, 24, 3), np.uint8)
+    padded[:13, :20] = arr
+    assert (recon == padded).all()
+    # pad fractions: bottom-right patch has (16-13)*(24-20+4... ) -> compute directly
+    by_id = {r["patch_id"]: r for r in rows}
+    assert by_id[0]["pad_frac"] == 0.0
+    assert abs(by_id[5]["pad_frac"] - (1.0 - (13 - 8) * (20 - 16) / 64.0)) < 1e-15

@@ -241,3 +241,17 @@ def test_line_repetition_is_shuffle_free(spark):
     docs = spark.createDataFrame([(1, "a\nb\na")], "doc_id long, text string")
     plan = _plan(tx.line_repetition_features(docs))
     assert "Exchange" not in plan, plan
+
+
+def test_image_patchify_is_shuffle_free(spark):
+    """Patchify is one narrow Arrow pass over the images scan — patch
+    tensors are produced and stay in-partition (no Exchange)."""
+    from tilers_tools_spark.functions import codecs
+    from tilers_tools_spark.operators.multimodal import image_patchify
+
+    blob = codecs.encode_raw(np.zeros((8, 8, 3), np.uint8))
+    df = spark.createDataFrame(
+        [("i", bytearray(blob), "raw")], "image_id string, bytes binary, fmt string"
+    )
+    plan = _plan(image_patchify(df, patch=8))
+    assert "MapInPandas" in plan and "Exchange" not in plan, plan

@@ -326,3 +326,64 @@ def video_frame_sample(
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "rel_ts", "thumb"])
 
     return media.mapInPandas(fn, schema="media_id string, frame_idx int, rel_ts double, thumb binary")
+
+
+PATCHIFY_SCHEMA = (
+    "image_id string, patch_id int, py int, px int, n_py int, n_px int, "
+    "patch binary, pix_sum long, first_byte int, pad_frac double"
+)
+
+
+def image_patchify(images: DataFrame, patch: int = 16, pad_value: int = 0) -> DataFrame:
+    """ViT-style fixed-grid patch extraction (the patchify step of a
+    vision-transformer training pipeline: Dosovitskiy et al. 2021 split
+    an image into non-overlapping P x P patches, row-major order).
+
+    Per image: decode to RGB, pad bottom/right to the next multiple of
+    ``patch`` with ``pad_value``, emit ONE ROW PER PATCH:
+
+      patch_id    row-major index py * n_px + px
+      patch       raw HWC uint8 RGB bytes (patch*patch*3) — the training
+                  tensor, ready for sequence packing
+      pix_sum     exact integer sum over the (padded) patch RGB values
+      first_byte  channel-0 value at the patch's top-left pixel (always a
+                  real pixel: the grid starts inside the image)
+      pad_frac    fraction of padded (synthetic) pixels in the patch
+
+    Scale: one narrow mapInPandas pass over the images scan — no
+    shuffle; patch rows stay co-partitioned with their source image for
+    downstream packing/sampling. Blobs enter exactly one Arrow hop.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "image_id", "patch_id", "py", "px", "n_py", "n_px",
+                "patch", "pix_sum", "first_byte", "pad_frac",
+            )}
+            for rec in pdf[["image_id", "bytes", "fmt"]].to_dict("records"):
+                rgb = codecs.to_rgba(codecs.decode_image(bytes(rec["bytes"]), rec["fmt"]))[:, :, :3]
+                h, w = rgb.shape[:2]
+                n_py, n_px = -(-h // patch), -(-w // patch)
+                padded = np.full((n_py * patch, n_px * patch, 3), pad_value, np.uint8)
+                padded[:h, :w] = rgb
+                real = np.zeros((n_py * patch, n_px * patch), bool)
+                real[:h, :w] = True
+                for py in range(n_py):
+                    for px in range(n_px):
+                        sl = (slice(py * patch, (py + 1) * patch),
+                              slice(px * patch, (px + 1) * patch))
+                        blk = padded[sl]
+                        out["image_id"].append(rec["image_id"])
+                        out["patch_id"].append(py * n_px + px)
+                        out["py"].append(py)
+                        out["px"].append(px)
+                        out["n_py"].append(n_py)
+                        out["n_px"].append(n_px)
+                        out["patch"].append(blk.tobytes())
+                        out["pix_sum"].append(int(blk.sum(dtype=np.int64)))
+                        out["first_byte"].append(int(blk[0, 0, 0]))
+                        out["pad_frac"].append(1.0 - real[sl].mean())
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(fn, schema=PATCHIFY_SCHEMA)

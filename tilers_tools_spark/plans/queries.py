@@ -3711,6 +3711,56 @@ def _geotiff_tiled_sql():
 SQL_GEOTIFF_TILED = _geotiff_tiled_sql()
 
 
+# (image_id, w, h) for the patchify gate — exact-multiple, both-axes
+# padding, smaller-than-patch, and ragged-wide cases at patch=8
+_PATCHIFY_SPECS = [("p_a", 24, 16), ("p_b", 20, 13), ("p_c", 7, 7), ("p_d", 33, 9)]
+
+
+def q_image_patchify(spark, sf_dir):
+    """ViT patch-grid extraction (operators/multimodal.py
+    image_patchify — Dosovitskiy et al. 2021 non-overlapping P x P
+    patches, row-major, bottom/right zero-padding). Fixture images are
+    3-band RAW1 blobs of the analytic pattern (r*7+c*13+b*29)%256 built
+    driver-side; the gate projects the per-patch statistics (patch_id
+    grid, exact pix_sum, top-left byte, pad fraction) and the oracle
+    recomputes every one analytically in DuckDB from the same literal
+    pattern — a wrong patch seam, pad rule, or row-major order all move
+    it. The raw patch tensor bytes are pinned by pytest instead (binary
+    column dropped here)."""
+    from ..functions import codecs as cod
+    from ..operators import multimodal
+
+    rows = []
+    for image_id, w, h in _PATCHIFY_SPECS:
+        r, c, b = np.ogrid[0:h, 0:w, 0:3]
+        arr = ((r * 7 + c * 13 + b * 29) % 256).astype(np.uint8)
+        rows.append((image_id, cod.encode_raw(arr), "raw"))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    return multimodal.image_patchify(df, patch=8).drop("patch")
+
+
+def _patchify_sql():
+    parts = []
+    for image_id, w, h in _PATCHIFY_SPECS:
+        n_py, n_px = -(-h // 8), -(-w // 8)
+        parts.append(
+            f"SELECT '{image_id}' AS image_id, "
+            f"CAST(py * {n_px} + px AS INTEGER) AS patch_id, "
+            f"CAST(py AS INTEGER) AS py, CAST(px AS INTEGER) AS px, "
+            f"CAST({n_py} AS INTEGER) AS n_py, CAST({n_px} AS INTEGER) AS n_px, "
+            f"CAST((SELECT COALESCE(SUM(CASE WHEN py*8 + r0 < {h} AND px*8 + c0 < {w} "
+            f"THEN ((py*8 + r0)*7 + (px*8 + c0)*13 + b*29) % 256 ELSE 0 END), 0) "
+            f"FROM range(0, 8) t1(r0), range(0, 8) t2(c0), range(0,3) t3(b)) AS BIGINT) AS pix_sum, "
+            f"CAST((py*8*7 + px*8*13) % 256 AS INTEGER) AS first_byte, "
+            f"1.0 - (LEAST(py*8+8, {h}) - py*8) * (LEAST(px*8+8, {w}) - px*8) / 64.0 AS pad_frac "
+            f"FROM range(0, {n_py}) g1(py), range(0, {n_px}) g2(px)"
+        )
+    return " UNION ALL ".join(parts)
+
+
+SQL_IMAGE_PATCHIFY = _patchify_sql()
+
+
 def q_repetition(spark, sf_dir):
     """Gopher-style repetition filters (operators/text.py
     repetition_features): dup-word fraction + top-bigram dominance per
@@ -4418,6 +4468,7 @@ QUERIES: dict = {
     "boilerplate_lines": (q_boilerplate_lines, SQL_BOILERPLATE_LINES),
     "repetition": (q_repetition, SQL_REPETITION),
     "line_repetition": (q_line_repetition, SQL_LINE_REPETITION),
+    "image_patchify": (q_image_patchify, SQL_IMAGE_PATCHIFY),
     # tile addressing/serving: Bing quadkey scheme + viewport range lookup
     "quadkey": (q_quadkey, SQL_QUADKEY),
     "bbox_tiles": (q_bbox_tiles, SQL_BBOX_TILES),
