@@ -19,10 +19,10 @@ import json
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", required=True)
-    ap.add_argument("--src-format", default="dir", choices=("dir", "mbtiles", "rmaps", "gpkg", "table"))
+    ap.add_argument("--src-format", default="dir", choices=("dir", "mbtiles", "rmaps", "gpkg", "osmdroid", "table"))
     ap.add_argument("--src-scheme", default="xyz", choices=("xyz", "tms", "zyx"))
     ap.add_argument("--dst", required=True)
-    ap.add_argument("--dst-format", default="mbtiles", choices=("dir", "mbtiles", "rmaps", "gpkg", "kml"))
+    ap.add_argument("--dst-format", default="mbtiles", choices=("dir", "mbtiles", "rmaps", "gpkg", "osmdroid", "kml"))
     ap.add_argument("--dst-scheme", default="xyz", choices=("xyz", "tms", "zyx", "zoomify"))
     ap.add_argument("--transcode", default=None, choices=(None, "png", "jpeg", "raw", "tiff", "webp", "bmp", "gif"))
     ap.add_argument("--src-fmt-blob", default="png", help="blob codec of the source tiles (for --transcode)")
@@ -64,6 +64,10 @@ def main():
         from tilers_tools_spark.sources import gpkg
 
         tiles = gpkg.read_gpkg(spark, args.src)
+    elif args.src_format == "osmdroid":
+        from tilers_tools_spark.sources import osmdroid
+
+        tiles = osmdroid.read_osmdroid(spark, args.src)
     else:
         tiles = Catalog(spark, args.src).read("tiles").select("z", "x", "y", "tile")
     if args.lint:
@@ -138,6 +142,10 @@ def main():
         from tilers_tools_spark.sources import gpkg
 
         out = gpkg.write_gpkg(tiles, args.dst, single_file=args.single_file)
+    elif args.dst_format == "osmdroid":
+        from tilers_tools_spark.sources import osmdroid
+
+        out = osmdroid.write_osmdroid(tiles, args.dst, provider=args.name, single_file=args.single_file)
     else:
         out = mbt.write_mbtiles(
             tiles,

@@ -578,3 +578,55 @@ def test_gpkg_parallel_shard_read(tiles_df, spark, tmp_path):
     a = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in tiles_df.select("z", "x", "y", "tile").collect()}
     b = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in back.collect()}
     assert a == b
+
+
+def test_osmdroid_key_convention(tiles_df):
+    """Published osmdroid getIndex rule worked by hand: key =
+    (((z << z) + x) << z) + y_osm with y_osm = 2^z - 1 - y_tms (e.g.
+    z=10, x=5, y_tms=3 -> y_osm=1020, key = (10*1024 + 5)*1024 + 1020 =
+    10491900); inverse is the identity."""
+    src = tiles_df.first()
+    kv = convert.to_osmdroid_keys(tiles_df, provider="p").first()
+    z, x, y = src["z"], src["x"], src["y"]
+    assert kv["key"] == (((z << z) + x) << z) + (2**z - 1 - y)
+    assert kv["provider"] == "p"
+    back = convert.from_osmdroid_keys(convert.to_osmdroid_keys(tiles_df))
+    a = tiles_df.select("z", "x", "y", "tile")
+    assert back.exceptAll(a).isEmpty() and a.exceptAll(back).isEmpty()
+
+
+def test_osmdroid_roundtrip_and_schema(tiles_df, spark, tmp_path):
+    import sqlite3
+
+    from tilers_tools_spark.sources import osmdroid
+
+    out = str(tmp_path / "osm")
+    path = osmdroid.write_osmdroid(tiles_df, out, provider="p", single_file=True)
+    assert path.endswith(".sqlite")
+    con = sqlite3.connect(path)
+    cols = con.execute("PRAGMA table_info(tiles)").fetchall()
+    assert [c[1] for c in cols] == ["key", "provider", "tile"]
+    assert [c[1] for c in cols if c[5] > 0] == ["key", "provider"]  # pk members
+    provs = [r[0] for r in con.execute("SELECT DISTINCT provider FROM tiles")]
+    con.close()
+    assert provs == ["p"]
+    back = osmdroid.read_osmdroid(spark, path)
+    a = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in tiles_df.select("z", "x", "y", "tile").collect()}
+    b = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in back.collect()}
+    assert a == b
+
+
+def test_osmdroid_parallel_shard_read(tiles_df, spark, tmp_path):
+    import glob as _g
+
+    from tilers_tools_spark.sources import osmdroid
+
+    out = str(tmp_path / "osmshards")
+    osmdroid.write_osmdroid(tiles_df.repartition(6), out)
+    assert len(_g.glob(out + "/part-*.sqlite")) > 1
+    back = osmdroid.read_osmdroid(spark, out)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan
+    a = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in tiles_df.select("z", "x", "y", "tile").collect()}
+    b = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in back.collect()}
+    assert a == b

@@ -658,3 +658,51 @@ def kml_superoverlay(tiles: DataFrame, ext: str = "png", min_lod: int = 128) -> 
         img_href.alias("img_href"),
         kml.alias("kml"),
     )
+
+
+def to_osmdroid_keys(tiles: DataFrame, provider: str = "tiles") -> DataFrame:
+    """tiles -> osmdroid sqlite tile-archive rows (key, provider, tile)
+    per the published osmdroid DatabaseFileArchive /
+    SqliteArchiveTileWriter schema [SPEC]:
+
+        CREATE TABLE tiles (key INTEGER, provider TEXT, tile BLOB,
+                            PRIMARY KEY (key, provider))
+
+    with key = getIndex(x, y_osm, z) = (((z << z) + x) << z) + y_osm
+    (Java precedence: shifts bind looser than +) and y_osm in OSM/Google
+    top-down convention. Evaluated as all-LONG integer arithmetic
+    (z <= 29 keeps max key (z+1)*4^z - 1 < 2^63) — exact, no double
+    rounding. Pure column projection like the MBTiles/RMaps/GPKG twins;
+    a whole container conversion stays one narrow Exchange-free stage."""
+    n = tm.n_tiles("z")
+    y_osm = tm.tms_to_xyz(F.col("y"), F.col("z")).cast("long")
+    key = (F.col("z").cast("long") * n + F.col("x").cast("long")) * n + y_osm
+    return tiles.select(
+        key.cast("long").alias("key"),
+        F.lit(provider).alias("provider"),
+        F.col("tile"),
+    )
+
+
+def from_osmdroid_keys(df: DataFrame) -> DataFrame:
+    """Inverse of to_osmdroid_keys. z is recoverable without metadata:
+    the per-zoom key ranges [z*4^z, (z+1)*4^z) are disjoint and
+    increasing, so z is the unique v in 0..29 with (key >> 2v) == v;
+    then x = (key >> z) & (2^z - 1) and y_osm = key & (2^z - 1),
+    flipped back to canonical TMS y. Pure column bit math (the variable
+    shifts go through the SQL shiftright, which accepts column bit
+    counts)."""
+    k = F.col("key").cast("long")
+    z = F.coalesce(
+        *[F.when(F.shiftright(k, 2 * v) == v, F.lit(v)) for v in range(30)]
+    ).cast("int")
+    d = df.withColumn("_z", z)
+    mask = (tm.n_tiles("_z") - F.lit(1)).cast("long")
+    x = F.expr("shiftright(CAST(key AS BIGINT), _z)").bitwiseAND(mask)
+    y_osm = F.col("key").cast("long").bitwiseAND(mask)
+    return d.select(
+        F.col("_z").alias("z"),
+        x.cast("long").alias("x"),
+        tm.tms_to_xyz(y_osm, F.col("_z")).cast("long").alias("y"),
+        F.col("tile"),
+    )

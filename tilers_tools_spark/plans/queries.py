@@ -221,6 +221,27 @@ FROM tiles GROUP BY 1, 2, 3, 4
 """
 
 
+def q_osmdroid_keys(spark, sf_dir):
+    """osmdroid sqlite archive key projection (operators/convert.py::
+    to_osmdroid_keys — the SqliteArchiveTileWriter/DatabaseFileArchive
+    schema): key = (((z << z) + x) << z) + y_osm with OSM top-down y,
+    all-long arithmetic. Fully relational oracle (the same closed form
+    with BIGINT shifts in SQL)."""
+    t = _tiles_at(_merc_pts(spark, sf_dir), 8).withColumn("tile", F.lit(b""))
+    kv = convert.to_osmdroid_keys(t.select(F.col("z").cast("int").alias("z"), "x", "y", "tile"))
+    return kv.groupBy("key", "provider").agg(F.count("*").alias("n"))
+
+
+SQL_OSMDROID_KEYS = f"""
+WITH {_PTS_SQL}, {_tiles_sql(8)}
+SELECT (CAST(z AS BIGINT) * (1::BIGINT << CAST(z AS INTEGER)) + x)
+         * (1::BIGINT << CAST(z AS INTEGER))
+         + ((1::BIGINT << CAST(z AS INTEGER)) - 1 - y) AS key,
+       'tiles' AS provider, count(*) AS n
+FROM tiles GROUP BY 1, 2
+"""
+
+
 def q_gpkg_keys(spark, sf_dir):
     """OGC GeoPackage tile-pyramid key projection (operators/convert.py::
     to_gpkg_keys — OGC 12-128r18 §2.2.8): tile_row flipped to top-down
@@ -4418,6 +4439,7 @@ QUERIES: dict = {
     "tileset_diff": (q_tileset_diff, SQL_TILESET_DIFF),
     "tileset_patch": (q_tileset_patch, SQL_TILESET_PATCH),
     "rmaps_keys": (q_rmaps_keys, SQL_RMAPS_KEYS),
+    "osmdroid_keys": (q_osmdroid_keys, SQL_OSMDROID_KEYS),
     "gpkg_keys": (q_gpkg_keys, SQL_GPKG_KEYS),
     "base_zoom_hist": (q_base_zoom_hist, SQL_BASE_ZOOM_HIST),
     "tilemap_rollup": (q_tilemap_rollup, SQL_TILEMAP_ROLLUP),
