@@ -1020,3 +1020,35 @@ def test_image_patchify_bytes_roundtrip(spark):
     by_id = {r["patch_id"]: r for r in rows}
     assert by_id[0]["pad_frac"] == 0.0
     assert abs(by_id[5]["pad_frac"] - (1.0 - (13 - 8) * (20 - 16) / 64.0)) < 1e-15
+
+
+def test_tfidf_keywords_hand_computed(spark):
+    """Smoothed TF-IDF on a 3-doc corpus worked by hand: N=3, so a term
+    in all docs has idf ln(4/4)+1 = 1.0; a term in one doc has
+    ln(4/2)+1 = 1.6931...; ranks follow score DESC then term ASC."""
+    import math
+
+    from tilers_tools_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple apple banana common"),
+            (1, "banana cherry common"),
+            (2, "cherry common common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r["doc_id"], r["term"]): r for r in tx.tfidf_keywords(docs, k=3).collect()}
+    idf1 = math.log(4 / 2) + 1   # df=1 terms: apple
+    idf2 = math.log(4 / 3) + 1   # df=2 terms: banana, cherry
+    idf3 = math.log(4 / 4) + 1   # df=3 terms: common
+    r = out[(0, "apple")]
+    assert r["tf"] == 2 and r["df"] == 1 and abs(r["score"] - 2 * idf1) < 1e-12
+    assert r["rank"] == 1
+    assert out[(0, "banana")]["rank"] == 2  # 1*idf2 > 1*idf3
+    assert out[(0, "common")]["rank"] == 3
+    # doc 2: common tf=2*idf3=2.0 vs cherry 1*idf2~1.287 -> common first
+    assert out[(2, "common")]["rank"] == 1 and out[(2, "cherry")]["rank"] == 2
+    # doc 1: banana vs cherry tie on (tf=1, df=2) -> term ASC breaks it
+    assert out[(1, "banana")]["rank"] == 1 and out[(1, "cherry")]["rank"] == 2
+    assert out[(1, "common")]["rank"] == 3

@@ -412,3 +412,74 @@ def line_repetition_features(
             _chars(F.col("_d")).cast("double") / _chars(F.col("_l")).cast("double"),
         ).otherwise(F.lit(0.0)).alias("dup_line_char_frac"),
     )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_df: int = 1,
+) -> DataFrame:
+    """Per-document top-k keyword extraction by smoothed TF-IDF (the
+    sklearn TfidfVectorizer smooth_idf formula, documented so the oracle
+    can mirror it exactly):
+
+        idf(t)  = ln((N + 1) / (df(t) + 1)) + 1
+        score   = tf(doc, t) * idf(t)
+
+    Tokens share the corpus-wide normalization of repetition_features /
+    contamination_pairs (lowercase, non-alphanumeric -> space). Output:
+    one row per (doc, term) with rank <= k, deterministic tie-break
+    (score DESC, term ASC).
+
+    Scale: the canonical distributed shape — (doc, term) hash-agg for
+    tf (map-side partials), term-keyed agg for df (one narrow count per
+    vocab term), then tf JOIN df on term. Stopword-grade terms make
+    that join key skewed (df side is 1 row/term, tf side is
+    corpus-sized for hot terms) — AQE skew-join splits it; N is a
+    1-row broadcast, not a driver-side count, so the whole plan stays
+    lazy. Top-k is a doc-keyed window (uniform partitioning).
+    """
+    from pyspark.sql.window import Window
+
+    from .dedup import _barrier
+
+    d1 = _barrier(
+        docs.select(
+            F.col(id_col),
+            F.filter(
+                F.split(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " "), " "),
+                lambda w: w != "",
+            ).alias("_w"),
+        )
+    )
+    tf = (
+        d1.select(id_col, F.explode("_w").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df")).filter(F.col("df") >= min_df)
+    ndf = docs.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(ndf))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (F.log((F.col("_n") + F.lit(1)).cast("double") / (F.col("df") + F.lit(1)).cast("double")) + F.lit(1.0)),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(id_col),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.col("score").cast("double").alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -3877,6 +3877,40 @@ FROM a
 """
 
 
+def q_tfidf_keywords(spark, sf_dir):
+    """Per-doc top-5 keywords by smoothed TF-IDF (operators/text.py
+    tfidf_keywords — the sklearn smooth_idf formula ln((N+1)/(df+1))+1,
+    deterministic score-DESC/term-ASC tie-break). Fully relational
+    oracle: same tokenization, tf/df counts, ln and row_number window in
+    DuckDB; the 9-dp float normalization of the gate absorbs any
+    last-ULP libm divergence in ln."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.tfidf_keywords(docs, k=5)
+
+
+SQL_TFIDF_KEYWORDS = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                     x -> x <> '') AS words
+  FROM documents),
+t AS (SELECT doc_id, unnest(words) AS term FROM w),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0) AS score
+  FROM tf JOIN df USING (term), n),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+  FROM s)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       score, CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII detect + redact (operators/text.py pii_scrub). The fixture
     corpus carries no PII, so both engines plant identical synthetic PII
@@ -4490,6 +4524,7 @@ QUERIES: dict = {
     "boilerplate_lines": (q_boilerplate_lines, SQL_BOILERPLATE_LINES),
     "repetition": (q_repetition, SQL_REPETITION),
     "line_repetition": (q_line_repetition, SQL_LINE_REPETITION),
+    "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "image_patchify": (q_image_patchify, SQL_IMAGE_PATCHIFY),
     # tile addressing/serving: Bing quadkey scheme + viewport range lookup
     "quadkey": (q_quadkey, SQL_QUADKEY),
