@@ -73,6 +73,10 @@ BENCH_QUERIES = [
     # round-5 input drivers + web-DEM tiling
     "hgt_ingest",
     "dem_tiles",
+    # late round-5: corpus keywords + line-level repetition + ViT patchify
+    "tfidf_keywords",
+    "line_repetition",
+    "image_patchify",
 ]
 
 
