@@ -85,3 +85,23 @@ def test_base_zoom_bracket(gsd):
     assert tm.RES0 / 2.0**z <= gsd + 1e-9
     if z > 0:
         assert tm.RES0 / 2.0 ** (z - 1) > gsd - 1e-9
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=29),
+    st.integers(min_value=0, max_value=2**29 - 1),
+    st.integers(min_value=0, max_value=2**29 - 1),
+)
+def test_osmdroid_key_z_recovery_unique(z, xa, ya):
+    """The osmdroid key's per-zoom ranges [z*4^z, (z+1)*4^z) are disjoint,
+    so from_osmdroid_keys' metadata-free z recovery (the unique v with
+    key >> 2v == v) is exact for every (z, x, y) — the property the
+    Column-side inverse relies on."""
+    n = 1 << z
+    x, y = xa % n, ya % n
+    key = (((z << z) + x) << z) + y
+    matches = [v for v in range(30) if (key >> (2 * v)) == v]
+    assert matches == [z]
+    # and the bit-mask extraction inverts exactly
+    assert (key >> z) & (n - 1) == x and key & (n - 1) == y
