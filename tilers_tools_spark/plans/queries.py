@@ -3302,6 +3302,26 @@ FROM (SELECT doc_id,
 """
 
 
+def q_webdataset_shards(spark, sf_dir):
+    """WebDataset export shard manifest (sources/webdataset.py
+    shard_manifest — portable-md5 shard assignment + per-shard member
+    count + md5 digest of the sorted member-key list, the exact order
+    the tar writer uses). Fully relational oracle: the same '0x'-hex
+    bucket modulo and string_agg(ORDER BY) digest in DuckDB."""
+    from ..sources import webdataset as wds
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return wds.shard_manifest(docs, n_shards=8, id_col="doc_id", seed=5)
+
+
+SQL_WEBDATASET_SHARDS = """
+SELECT CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':5'), 1, 8) AS BIGINT) % 8 AS INTEGER) AS shard_id,
+       COUNT(*) AS n_members,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR))) AS keys_md5
+FROM documents GROUP BY 1
+"""
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic per-stratum (language) 25% sample — the stratum seeds
     the hash so a dominant stratum can't starve small ones."""
@@ -4504,6 +4524,7 @@ QUERIES: dict = {
     # dataset splitting/sampling + delta dedup (training-data pipeline ops)
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "webdataset_shards": (q_webdataset_shards, SQL_WEBDATASET_SHARDS),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "incremental_lsh": (q_incremental_lsh, SQL_INCREMENTAL_LSH),
     # GeoTIFF ingestion (analytic oracle; decode pinned vs handcrafted bytes)
