@@ -127,6 +127,8 @@ def main():
             tileset.write_tilejson(
                 tiles, args.dst, name=args.name, ext=ext, scheme=args.dst_scheme
             )
+        if args.dst_scheme == "xyz":  # WMTS TileRow is top-down = xyz layout
+            tileset.write_wmts_capabilities(tiles, args.dst, name=args.name, ext=ext)
         out = args.dst
     elif args.dst_format == "kml":
         # Google-Earth SuperOverlay: xyz image tree + per-tile KML docs +

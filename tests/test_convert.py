@@ -681,3 +681,37 @@ def test_webdataset_roundtrip_and_determinism(spark, tmp_path):
         with _tar.open(f) as tf:
             per_shard[sid] = len({n.rpartition(".")[0] for n in tf.getnames()})
     assert per_shard == {k: v for k, v in man.items() if v}
+
+
+def test_wmts_capabilities_pinned(spark, tmp_path):
+    """WMTS GetCapabilities pinned by hand on the TileJSON fixture (z=2,
+    x in {1,2}, y_tms=1): ScaleDenominator(2) = RES0/4/0.00028 =
+    139770566.00717944..., MatrixWidth 4, limits flip TMS y=1 to
+    TileRow 2, WGS84 bbox lon [-90, 90] / lat [lat_s, 0]."""
+    import math
+    import xml.etree.ElementTree as ET
+
+    from tilers_tools_spark.sources import tileset
+
+    df = spark.createDataFrame(
+        [(2, 1, 1, b"t"), (2, 2, 1, b"t")], "z int, x long, y long, tile binary"
+    )
+    out = tileset.write_wmts_capabilities(df, str(tmp_path), name="pin", ext="png")
+    ns = {"w": "http://www.opengis.net/wmts/1.0", "ows": "http://www.opengis.net/ows/1.1"}
+    root = ET.parse(out).getroot()
+    tmx = root.findall(".//w:TileMatrixSet/w:TileMatrix", ns)
+    assert len(tmx) == 1
+    assert tmx[0].find("ows:Identifier", ns).text == "2"
+    sd = float(tmx[0].find("w:ScaleDenominator", ns).text)
+    assert sd == pytest.approx(156543.03392804097 / 4 / 0.00028, rel=1e-15)
+    assert tmx[0].find("w:MatrixWidth", ns).text == "4"
+    lim = root.find(".//w:TileMatrixLimits", ns)
+    assert lim.find("w:MinTileRow", ns).text == "2" and lim.find("w:MaxTileRow", ns).text == "2"
+    assert lim.find("w:MinTileCol", ns).text == "1" and lim.find("w:MaxTileCol", ns).text == "2"
+    lo = root.find(".//ows:WGS84BoundingBox/ows:LowerCorner", ns).text.split()
+    hi = root.find(".//ows:WGS84BoundingBox/ows:UpperCorner", ns).text.split()
+    lat_s = math.degrees(2.0 * math.atan(math.exp(-math.pi / 2.0)) - math.pi / 2.0)
+    assert [float(lo[0]), float(lo[1])] == pytest.approx([-90.0, lat_s], abs=1e-7)
+    assert [float(hi[0]), float(hi[1])] == pytest.approx([90.0, 0.0], abs=1e-7)
+    url = root.find(".//w:ResourceURL", ns)
+    assert url.get("template") == "{TileMatrix}/{TileCol}/{TileRow}.png"

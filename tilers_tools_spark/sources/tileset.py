@@ -355,3 +355,111 @@ def write_superoverlay_kml(
     finally:
         df.unpersist()
     return dest
+
+
+def write_wmts_capabilities(
+    tiles: DataFrame, dest: str, name: str = "tiles", ext: str = "png", url_base: str = ""
+) -> str:
+    """Write an OGC WMTS 1.0.0 GetCapabilities document (OGC 07-057r7
+    [SPEC], RESTful encoding) describing the tile tree — the serving
+    descriptor MapProxy/QGIS/OpenLayers consume, completing the metadata
+    family next to tilemapresource.xml / tiles.json / leaflet /
+    openlayers / KML.
+
+    EPSG:3857 TileMatrixSet with the well-known GoogleMapsCompatible
+    scale ladder: ScaleDenominator(z) = RES0 / 2^z / 0.00028 (the WMTS
+    standardized 0.28 mm pixel), TopLeftCorner (-ORIGIN, ORIGIN), 256px
+    tiles, MatrixWidth = MatrixHeight = 2^z. WMTS TileRow is TOP-DOWN
+    (XYZ convention), so per-zoom TileMatrixLimits flip the engine's TMS
+    rows and the ResourceURL template matches an xyz directory layout.
+    One tiny per-zoom aggregate collected driver-side; deterministic
+    output text."""
+    import math
+
+    from xml.sax.saxutils import escape
+
+    from ..functions import tilemath as tm
+    from ..operators.convert import tilemap_metadata
+
+    rows = sorted(tilemap_metadata(tiles).collect(), key=lambda r: r["z"])
+    if not rows:
+        raise ValueError("empty tile set")
+    deepest = rows[-1]
+    z = int(deepest["z"])
+    span = tm.RES0 / (2.0**z) * 256.0
+    minx = deepest["xmin"] * span - tm.ORIGIN
+    maxx = (deepest["xmax"] + 1) * span - tm.ORIGIN
+    miny = deepest["ymin"] * span - tm.ORIGIN
+    maxy = (deepest["ymax"] + 1) * span - tm.ORIGIN
+
+    def _lon(mx):
+        return mx / tm.ORIGIN * 180.0
+
+    def _lat(my):
+        return math.degrees(2.0 * math.atan(math.exp(my / tm.ORIGIN * math.pi)) - math.pi / 2.0)
+
+    name_x = escape(name)
+    mime = escape({"png": "image/png", "jpeg": "image/jpeg", "jpg": "image/jpeg"}.get(ext, f"image/{ext}"))
+    limits = "\n".join(
+        "          <TileMatrixLimits>\n"
+        f"            <TileMatrix>{int(r['z'])}</TileMatrix>\n"
+        f"            <MinTileRow>{(1 << int(r['z'])) - 1 - int(r['ymax'])}</MinTileRow>\n"
+        f"            <MaxTileRow>{(1 << int(r['z'])) - 1 - int(r['ymin'])}</MaxTileRow>\n"
+        f"            <MinTileCol>{int(r['xmin'])}</MinTileCol>\n"
+        f"            <MaxTileCol>{int(r['xmax'])}</MaxTileCol>\n"
+        "          </TileMatrixLimits>"
+        for r in rows
+    )
+    matrices = "\n".join(
+        "      <TileMatrix>\n"
+        f"        <ows:Identifier>{int(r['z'])}</ows:Identifier>\n"
+        f"        <ScaleDenominator>{tm.RES0 / (2.0 ** int(r['z'])) / 0.00028:.17g}</ScaleDenominator>\n"
+        f"        <TopLeftCorner>{-tm.ORIGIN:.17g} {tm.ORIGIN:.17g}</TopLeftCorner>\n"
+        "        <TileWidth>256</TileWidth>\n"
+        "        <TileHeight>256</TileHeight>\n"
+        f"        <MatrixWidth>{1 << int(r['z'])}</MatrixWidth>\n"
+        f"        <MatrixHeight>{1 << int(r['z'])}</MatrixHeight>\n"
+        "      </TileMatrix>"
+        for r in rows
+    )
+    xml = f"""<?xml version="1.0" encoding="UTF-8"?>
+<Capabilities xmlns="http://www.opengis.net/wmts/1.0"
+    xmlns:ows="http://www.opengis.net/ows/1.1"
+    xmlns:xlink="http://www.w3.org/1999/xlink" version="1.0.0">
+  <ows:ServiceIdentification>
+    <ows:Title>{name_x}</ows:Title>
+    <ows:ServiceType>OGC WMTS</ows:ServiceType>
+    <ows:ServiceTypeVersion>1.0.0</ows:ServiceTypeVersion>
+  </ows:ServiceIdentification>
+  <Contents>
+    <Layer>
+      <ows:Title>{name_x}</ows:Title>
+      <ows:Identifier>{name_x}</ows:Identifier>
+      <ows:WGS84BoundingBox>
+        <ows:LowerCorner>{_lon(minx):.8f} {_lat(miny):.8f}</ows:LowerCorner>
+        <ows:UpperCorner>{_lon(maxx):.8f} {_lat(maxy):.8f}</ows:UpperCorner>
+      </ows:WGS84BoundingBox>
+      <Style isDefault="true"><ows:Identifier>default</ows:Identifier></Style>
+      <Format>{mime}</Format>
+      <TileMatrixSetLink>
+        <TileMatrixSet>{name_x}_matrix</TileMatrixSet>
+        <TileMatrixSetLimits>
+{limits}
+        </TileMatrixSetLimits>
+      </TileMatrixSetLink>
+      <ResourceURL format="{mime}" resourceType="tile"
+          template="{escape(url_base)}{{TileMatrix}}/{{TileCol}}/{{TileRow}}.{escape(ext)}"/>
+    </Layer>
+    <TileMatrixSet>
+      <ows:Identifier>{name_x}_matrix</ows:Identifier>
+      <ows:SupportedCRS>urn:ogc:def:crs:EPSG::3857</ows:SupportedCRS>
+{matrices}
+    </TileMatrixSet>
+  </Contents>
+</Capabilities>
+"""
+    os.makedirs(dest, exist_ok=True)
+    out = os.path.join(dest, "WMTSCapabilities.xml")
+    with open(out, "w") as f:
+        f.write(xml)
+    return out
