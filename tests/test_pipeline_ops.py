@@ -1052,3 +1052,30 @@ def test_tfidf_keywords_hand_computed(spark):
     # doc 1: banana vs cherry tie on (tf=1, df=2) -> term ASC breaks it
     assert out[(1, "banana")]["rank"] == 1 and out[(1, "cherry")]["rank"] == 2
     assert out[(1, "common")]["rank"] == 3
+
+
+def test_charlm_score_hand_computed(spark):
+    """Char-trigram LM worked by hand on a 3-doc corpus: trigram census
+    c3(aaa)=3, c3(aab)=1, context c2(aa)=4, so P = (c3+1)/(c2+37); a
+    sub-3-char doc drops out; the model join is a broadcast."""
+    import math
+
+    from tilers_tools_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [(0, "aaaa"), (1, "Aaab!"), (2, "x")], "doc_id long, text string"
+    )
+    res = tx.charlm_score(docs)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    out = {r["doc_id"]: r for r in res.collect()}
+    assert 2 not in out  # no trigram -> dropped
+    p_aaa = 4.0 / 41.0   # (3+1)/(4+37)
+    p_aab = 2.0 / 41.0
+    b0 = -math.log2(p_aaa)
+    b1 = (-math.log2(p_aaa) - math.log2(p_aab)) / 2.0
+    assert out[0]["n_trigrams"] == 2 and abs(out[0]["bits_per_char"] - b0) < 1e-12
+    assert out[1]["n_trigrams"] == 2 and abs(out[1]["bits_per_char"] - b1) < 1e-12
+    assert abs(out[1]["ppl"] - 2.0 ** b1) < 1e-9
+    # repetitive text scores lower bits than mixed text under its own model
+    assert out[0]["bits_per_char"] < out[1]["bits_per_char"]

@@ -483,3 +483,65 @@ def tfidf_keywords(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def charlm_score(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", alpha: float = 1.0
+) -> DataFrame:
+    """Corpus-trained character-trigram LM quality score — the CCNet
+    role (Wenzek et al. 2020 filter corpora by LM perplexity; a char
+    n-gram model is the tokenizer-free stand-in used by many pipeline
+    reimplementations). Per document:
+
+      n_trigrams     trigram occurrences in the normalized text
+      bits_per_char  mean -log2 P(c3 | c1 c2) under the corpus model
+      ppl            2^bits_per_char (lower = more typical of corpus)
+
+    Exact rule (mirrored by the oracle): text normalized to the 37-char
+    alphabet [a-z0-9 ] (lowercase, non-alphanumeric runs -> one space,
+    trimmed); model P(c3|c12) = (count3 + alpha) / (count2 + alpha*37)
+    with add-alpha smoothing, count2 = sum of trigram counts sharing the
+    prefix (so the model is self-consistent); docs with no trigram drop
+    out.
+
+    Scale: the model lives in the BOUNDED trigram space (<= 37^3 ~ 50k
+    rows regardless of corpus size) — one explode+count over the corpus
+    builds it, then scoring is a BROADCAST join of per-doc distinct
+    trigram counts against the model plus one doc-keyed aggregate. No
+    all-corpus shuffle ever carries text; the trigram census key space
+    is fixed, so AQE has nothing to skew-split bigger than 37^3 keys.
+    """
+    from .dedup import _barrier
+
+    V = 37.0
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " "))
+    d1 = _barrier(docs.select(F.col(id_col), norm.alias("_t")))
+    n = F.length("_t") - F.lit(2)
+    # guard: Spark sequence(1, 0) is DESCENDING [1, 0], so short docs need
+    # an explicit empty array, not a clamped bound
+    tri = F.when(
+        n >= 1,
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substr(F.col("_t"), i, F.lit(3))),
+    ).otherwise(F.array().cast("array<string>"))
+    d2 = d1.select(id_col, tri.alias("_g")).filter(F.size("_g") > 0)
+    doc_tri = d2.select(id_col, F.explode("_g").alias("tri")).groupBy(id_col, "tri").agg(
+        F.count("*").alias("n")
+    )
+    tri_counts = doc_tri.groupBy("tri").agg(F.sum("n").alias("c3"))
+    ctx = tri_counts.groupBy(F.substring("tri", 1, 2).alias("_p")).agg(F.sum("c3").alias("c2"))
+    model = tri_counts.join(ctx, tri_counts["tri"].substr(1, 2) == ctx["_p"]).select(
+        "tri", "c3", "c2"
+    )
+    logp = F.log2(
+        (F.col("c3").cast("double") + F.lit(alpha)) / (F.col("c2").cast("double") + F.lit(alpha * V))
+    )
+    scored = doc_tri.join(F.broadcast(model), "tri").groupBy(id_col).agg(
+        F.sum("n").cast("long").alias("n_trigrams"),
+        (F.sum(F.col("n") * -logp) / F.sum("n")).alias("bits_per_char"),
+    )
+    return scored.select(
+        F.col(id_col),
+        "n_trigrams",
+        F.col("bits_per_char").cast("double").alias("bits_per_char"),
+        F.pow(F.lit(2.0), F.col("bits_per_char")).cast("double").alias("ppl"),
+    )

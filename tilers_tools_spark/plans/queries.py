@@ -3931,6 +3931,40 @@ FROM r WHERE rank <= 5
 """
 
 
+def q_charlm(spark, sf_dir):
+    """Corpus-trained char-trigram LM scoring (operators/text.py
+    charlm_score — the CCNet perplexity-filter role, add-1 smoothing
+    over the 37-char alphabet). Fully relational oracle: same
+    normalization, trigram census, self-consistent context counts,
+    -log2 weighted mean and 2^bits in DuckDB; 9-dp float normalization
+    absorbs double-sum association order."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text.charlm_score(docs)
+
+
+SQL_CHARLM = r"""
+WITH nm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(length(t) - 2, 0) + 1),
+                               i -> substring(t, i, 3))) AS tri
+  FROM nm),
+dt AS (SELECT doc_id, tri, COUNT(*) AS n FROM g GROUP BY 1, 2),
+tc AS (SELECT tri, SUM(n) AS c3 FROM dt GROUP BY 1),
+cx AS (SELECT substring(tri, 1, 2) AS p, SUM(c3) AS c2 FROM tc GROUP BY 1),
+m AS (SELECT tri, c3, c2 FROM tc JOIN cx ON substring(tc.tri, 1, 2) = cx.p),
+s AS (
+  SELECT dt.doc_id, SUM(dt.n) AS n_trigrams,
+         SUM(dt.n * -log2((m.c3 + 1.0) / (m.c2 + 37.0))) / SUM(dt.n) AS bits_per_char
+  FROM dt JOIN m USING (tri) GROUP BY 1)
+SELECT doc_id, CAST(n_trigrams AS BIGINT) AS n_trigrams, bits_per_char,
+       pow(2.0, bits_per_char) AS ppl
+FROM s
+"""
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII detect + redact (operators/text.py pii_scrub). The fixture
     corpus carries no PII, so both engines plant identical synthetic PII
@@ -4546,6 +4580,7 @@ QUERIES: dict = {
     "repetition": (q_repetition, SQL_REPETITION),
     "line_repetition": (q_line_repetition, SQL_LINE_REPETITION),
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
+    "charlm_ppl": (q_charlm, SQL_CHARLM),
     "image_patchify": (q_image_patchify, SQL_IMAGE_PATCHIFY),
     # tile addressing/serving: Bing quadkey scheme + viewport range lookup
     "quadkey": (q_quadkey, SQL_QUADKEY),
