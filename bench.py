@@ -74,9 +74,12 @@ BENCH_QUERIES = [
     "hgt_ingest",
     "dem_tiles",
     # late round-5: corpus keywords + line-level repetition + ViT patchify
+    # + char-LM quality + webdataset shard manifest
     "tfidf_keywords",
     "line_repetition",
     "image_patchify",
+    "charlm_ppl",
+    "webdataset_shards",
 ]
 
 
