@@ -1,0 +1,94 @@
+"""polygon_vector_tiles: interior-quantization identity, hand-pinned
+boundary clipping, hole winding, and the work-list plan shape."""
+
+import math
+
+import pytest
+
+from tilers_tools_spark.functions import mvtcodec as mvt
+from tilers_tools_spark.functions import tilemath as tm
+from tilers_tools_spark.operators import vectortiles as vt
+
+
+def _q(lon, lat, z, x, y, extent=4096):
+    """Independent scalar quantization (spec mercator formulas)."""
+    span = tm.RES0 / (2.0**z) * 256.0
+    mx = lon * tm.ORIGIN / 180.0
+    my = math.log(math.tan((90.0 + lat) * math.pi / 360.0)) * 6378137.0
+    qx = math.floor((mx - (x * span - tm.ORIGIN)) / span * extent + 0.5)
+    qy = math.floor((((y + 1) * span - tm.ORIGIN) - my) / span * extent + 0.5)
+    return qx, qy
+
+
+def test_interior_polygon_quantization_identity(spark):
+    """A polygon wholly inside one tile decodes to exactly the direct
+    per-vertex quantization (no clipping artifacts)."""
+    wkt = "POLYGON ((10 10, 12 10, 12 12, 10 12, 10 10))"
+    out = vt.polygon_vector_tiles(spark, [("sq", wkt)], z=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["x"], r["y"]) == (8, 8) and r["n_features"] == 1
+    dec = mvt.decode_mvt(bytes(r["tile"]))["polys"]
+    (path,) = dec["features"][0]["paths"]
+    want = [_q(lon, lat, 4, 8, 8) for lon, lat in
+            [(10, 10), (12, 10), (12, 12), (10, 12)]]
+    assert set(path) == set(want) and len(path) == 4
+    assert mvt.signed_area2(path) > 0
+
+
+def test_boundary_clip_pinned(spark):
+    """A square crossing the z=4 tile boundary at lon 22.5 deg splits
+    into two tiles; the cut edges land exactly on the buffered extent
+    (+/- 8 px -> qx 4104 and -8), the far edges at the direct
+    quantization of the source vertices."""
+    wkt = "POLYGON ((21 10, 24 10, 24 12, 21 12, 21 10))"
+    rows = {(r["x"], r["y"]): r for r in
+            vt.polygon_vector_tiles(spark, [("p", wkt)], z=4, buffer_px=8).collect()}
+    assert set(rows) == {(8, 8), (9, 8)}
+    left = mvt.decode_mvt(bytes(rows[(8, 8)]["tile"]))["polys"]["features"][0]["paths"][0]
+    right = mvt.decode_mvt(bytes(rows[(9, 8)]["tile"]))["polys"]["features"][0]["paths"][0]
+    assert max(x for x, _ in left) == 4104   # clipped at tile-right + 8px
+    assert min(x for x, _ in left) == _q(21, 10, 4, 8, 8)[0]
+    assert min(x for x, _ in right) == -8    # clipped at tile-left - 8px
+    assert max(x for x, _ in right) == _q(24, 10, 4, 9, 8)[0]
+    for path in (left, right):
+        assert mvt.signed_area2(path) > 0
+        ys = [y for _, y in path]
+        assert min(ys) == _q(21, 12, 4, 8, 8)[1] and max(ys) == _q(21, 10, 4, 8, 8)[1]
+
+
+def test_hole_winding_and_far_tile_elision(spark):
+    """Donut keeps its hole (negative ring area); tiles whose square the
+    polygon misses entirely are not emitted."""
+    wkt = ("POLYGON ((30 30, 40 30, 40 40, 30 40, 30 30), "
+           "(33 33, 36 33, 36 36, 33 36, 33 33))")
+    out = vt.polygon_vector_tiles(spark, [("d", wkt)], z=4).collect()
+    assert len(out) == 1 and out[0]["n_features"] == 1
+    paths = mvt.decode_mvt(bytes(out[0]["tile"]))["polys"]["features"][0]["paths"]
+    assert len(paths) == 2
+    assert mvt.signed_area2(paths[0]) > 0 and mvt.signed_area2(paths[1]) < 0
+
+
+def test_cover_cap_raises(spark):
+    with pytest.raises(ValueError):
+        vt.polygon_vector_tiles(
+            spark, [("w", "POLYGON ((-170 -80, 170 -80, 170 80, -170 80, -170 -80))")],
+            z=12, max_tiles=1000,
+        )
+
+
+def test_clip_ring_brute_force():
+    """Sutherland-Hodgman vs point-membership brute force: every vertex
+    of the clipped ring is inside the (slightly padded) box, and every
+    subject vertex inside the box survives."""
+    subject = [(0, 0), (10, 2), (12, 8), (6, 12), (-2, 6)]  # non-convex-ish
+    box = (2.0, 9.0, 1.0, 7.0)
+    out = vt._clip_ring(subject, *box)
+    assert len(out) >= 3
+    eps = 1e-9
+    for x, y in out:
+        assert box[0] - eps <= x <= box[1] + eps
+        assert box[2] - eps <= y <= box[3] + eps
+    for p in subject:
+        if box[0] < p[0] < box[1] and box[2] < p[1] < box[3]:
+            assert any(abs(p[0] - x) < eps and abs(p[1] - y) < eps for x, y in out)

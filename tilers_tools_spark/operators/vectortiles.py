@@ -1,0 +1,228 @@
+"""Vector-tile pyramid operators — the tippecanoe/ogr2ogr-MVT role
+(serving-side raster<->vector closure: the engine's raster pyramid gets
+a polygon-layer twin; SURVEY.md training/serving op families).
+
+``polygon_vector_tiles`` turns a small WKT polygon set (the engine's
+broadcast-polygon contract, same shape as cutline/PIP) into a z-level
+of Mapbox Vector Tiles: per covering tile, rings are clipped to the
+buffered tile square (Sutherland-Hodgman against the axis-aligned
+bbox), quantized to the integer extent grid (round-half-up, y top-down)
+and encoded with functions/mvtcodec.py (spec-KAT-pinned wire format).
+
+Scale shape: polygons are DRIVER-SIDE literals (broadcast contract —
+the polygon set is small; the TILE side is what scales). The work list
+(poly x covering tile) is one narrow DataFrame; encoding is a
+per-(x, y) group ``applyInPandas`` — each output tile is built exactly
+once, geometry never shuffles twice, and blobs are produced in their
+final grouping. The quantization math itself is also exposed as pure
+Column expressions (``polygon_tile_coords``) so the driver's DuckDB
+gate can check it cross-engine (`mvt_quantize`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import tilemath as tm
+
+
+def _rings_merc(wkt: str) -> list[np.ndarray]:
+    from ..functions.georef_parsers import parse_wkt_polygon
+
+    out = []
+    for ring in parse_wkt_polygon(wkt):
+        lon = np.array([p[0] for p in ring])
+        lat = np.array([p[1] for p in ring])
+        mx, my = tm.merc_np(lon, lat)
+        out.append(np.stack([mx, my], axis=1))
+    return out
+
+
+def _clip_ring(pts: list, x0: float, x1: float, y0: float, y1: float) -> list:
+    """Sutherland-Hodgman clip of a ring against the axis-aligned box
+    (clip polygon convex, subject may be non-convex). Returns [] when
+    fully outside."""
+    edges = (
+        (lambda p: p[0] >= x0, lambda a, b: _isect_x(a, b, x0)),
+        (lambda p: p[0] <= x1, lambda a, b: _isect_x(a, b, x1)),
+        (lambda p: p[1] >= y0, lambda a, b: _isect_y(a, b, y0)),
+        (lambda p: p[1] <= y1, lambda a, b: _isect_y(a, b, y1)),
+    )
+    cur = list(pts)
+    for inside, isect in edges:
+        if not cur:
+            return []
+        nxt = []
+        n = len(cur)
+        for i in range(n):
+            a, b = cur[i], cur[(i + 1) % n]
+            ia, ib = inside(a), inside(b)
+            if ia:
+                nxt.append(a)
+                if not ib:
+                    nxt.append(isect(a, b))
+            elif ib:
+                nxt.append(isect(a, b))
+        cur = nxt
+    return cur
+
+
+def _isect_x(a, b, x):
+    t = (x - a[0]) / (b[0] - a[0])
+    return (x, a[1] + t * (b[1] - a[1]))
+
+
+def _isect_y(a, b, y):
+    t = (y - a[1]) / (b[1] - a[1])
+    return (a[0] + t * (b[0] - a[0]), y)
+
+
+def _cover_tiles(rings: list[np.ndarray], z: int) -> list[tuple[int, int]]:
+    allpts = np.concatenate(rings, axis=0)
+    txmin, txmax, tymin, tymax = (
+        int(v[0])
+        for v in tm.cover_range_np(
+            np.array([allpts[:, 0].min()]),
+            np.array([allpts[:, 1].min()]),
+            np.array([allpts[:, 0].max()]),
+            np.array([allpts[:, 1].max()]),
+            np.array([z]),
+        )
+    )
+    return [(x, y) for x in range(txmin, txmax + 1) for y in range(tymin, tymax + 1)]
+
+
+def polygon_vector_tiles(
+    spark: SparkSession,
+    polys: list[tuple[str, str]],
+    z: int,
+    extent: int = 4096,
+    buffer_px: int = 8,
+    layer_name: str = "polys",
+    max_tiles: int = 200_000,
+) -> DataFrame:
+    """[(poly_id, wkt lon/lat)] -> (z, x TMS, y TMS, tile MVT bytes,
+    n_features) at zoom z. Rings entirely clipped away contribute no
+    feature; tiles with no surviving feature are not emitted. Feature id
+    = index in the input list; props = {'poly_id': id}."""
+    from ..functions import mvtcodec as mvt
+
+    parsed = {pid: _rings_merc(wkt) for pid, wkt in polys}
+    fid = {pid: i for i, (pid, _w) in enumerate(polys)}
+    work = []
+    for pid, rings in parsed.items():
+        tiles = _cover_tiles(rings, z)
+        if len(work) + len(tiles) > max_tiles:
+            raise ValueError(
+                f"polygon_vector_tiles: cover exceeds max_tiles={max_tiles} at z={z}; "
+                "lower z or raise the cap"
+            )
+        work += [(pid, x, y) for x, y in tiles]
+    if not work:
+        return spark.createDataFrame(
+            [], "z int, x long, y long, tile binary, n_features int"
+        )
+    wdf = spark.createDataFrame(work, "poly_id string, x long, y long")
+    span = tm.RES0 / (2.0**z) * 256.0
+    buf_m = buffer_px / float(extent) * span
+
+    def encode_tile(pdf):
+        import pandas as pd
+
+        x = int(pdf["x"].iloc[0])
+        y = int(pdf["y"].iloc[0])
+        mx0 = x * span - tm.ORIGIN
+        my0 = y * span - tm.ORIGIN
+        top = my0 + span
+        feats = []
+        for pid in sorted(set(pdf["poly_id"])):
+            rings_q = []
+            for ring in parsed[pid]:
+                clipped = _clip_ring(
+                    [tuple(p) for p in ring], mx0 - buf_m, mx0 + span + buf_m,
+                    my0 - buf_m, top + buf_m,
+                )
+                if len(clipped) < 3:
+                    continue
+                q = []
+                for mx, my in clipped:
+                    qx = int(np.floor((mx - mx0) / span * extent + 0.5))
+                    qy = int(np.floor((top - my) / span * extent + 0.5))
+                    if not q or q[-1] != (qx, qy):
+                        q.append((qx, qy))
+                if len(q) > 1 and q[0] == q[-1]:
+                    q.pop()
+                if len(q) < 3 or mvt.signed_area2(q) == 0:
+                    continue
+                rings_q.append(q)
+            if rings_q:
+                feats.append(
+                    {
+                        "id": fid[pid],
+                        "type": mvt.GEOM_POLYGON,
+                        "geometry": mvt.polygon_geometry(rings_q),
+                        "props": {"poly_id": pid},
+                    }
+                )
+        if not feats:
+            return pd.DataFrame(
+                {"z": [], "x": [], "y": [], "tile": [], "n_features": []}
+            ).astype({"z": "int32", "x": "int64", "y": "int64", "n_features": "int32"})
+        blob = mvt.encode_mvt({layer_name: (feats, extent)})
+        return pd.DataFrame(
+            {"z": [z], "x": [x], "y": [y], "tile": [blob], "n_features": [len(feats)]}
+        )
+
+    return wdf.groupBy("x", "y").applyInPandas(
+        encode_tile, schema="z int, x long, y long, tile binary, n_features int"
+    )
+
+
+def polygon_tile_coords(
+    spark: SparkSession, polys: list[tuple[str, str]], z: int, extent: int = 4096
+) -> DataFrame:
+    """The encoder's quantization math as PURE Column expressions over
+    the (vertex x covering-tile) join — the cross-engine-checkable core
+    (gate `mvt_quantize`): for every ring vertex and covering tile,
+    the tile-local integer coords qx = floor((mx - tx0)/span*extent +
+    0.5), qy top-down. No clipping here (the gate fixture keeps
+    polygons off tile edges); mercator forward + quantize all happen
+    JVM-side from literal lon/lat rows."""
+    from ..functions.georef_parsers import parse_wkt_polygon
+
+    verts = []
+    tiles = []
+    for pid, wkt in polys:
+        for ri, ring in enumerate(parse_wkt_polygon(wkt)):
+            for vi, (lon, lat) in enumerate(ring):
+                verts.append((pid, ri, vi, float(lon), float(lat)))
+        for x, y in _cover_tiles(_rings_merc(wkt), z):  # planner output rows
+            tiles.append((pid, x, y))
+    vdf = spark.createDataFrame(
+        verts, "poly_id string, ring_i int, vtx_i int, lon double, lat double"
+    )
+    tdf = spark.createDataFrame(tiles, "poly_id string, x long, y long")
+    span = tm.RES0 / (2.0**z) * 256.0
+    mx = F.col("lon") * F.lit(tm.ORIGIN / 180.0)
+    my = (
+        F.log(F.tan((F.lit(90.0) + F.col("lat")) * F.lit(np.pi / 360.0)))
+        * F.lit(6378137.0)
+    )
+    j = vdf.join(tdf, "poly_id")
+    tx0 = F.col("x").cast("double") * F.lit(span) - F.lit(tm.ORIGIN)
+    top = (F.col("y").cast("double") + F.lit(1.0)) * F.lit(span) - F.lit(tm.ORIGIN)
+    return j.select(
+        "poly_id",
+        "ring_i",
+        "vtx_i",
+        "x",
+        "y",
+        F.floor((mx - tx0) / F.lit(span) * F.lit(float(extent)) + F.lit(0.5))
+        .cast("long")
+        .alias("qx"),
+        F.floor((top - my) / F.lit(span) * F.lit(float(extent)) + F.lit(0.5))
+        .cast("long")
+        .alias("qy"),
+    )

@@ -3931,6 +3931,60 @@ FROM r WHERE rank <= 5
 """
 
 
+_MVT_POLYS = [
+    ("sq", "POLYGON ((10 10, 12 10, 12 12, 10 12, 10 10))"),
+    (
+        "donut",
+        "POLYGON ((30 30, 40 30, 40 40, 30 40, 30 30), (33 33, 36 33, 36 36, 33 36, 33 33))",
+    ),
+]
+
+
+def q_mvt_quantize(spark, sf_dir):
+    """Vector-tile quantization core (operators/vectortiles.py
+    polygon_tile_coords — the MVT encoder's tile-local integer grid:
+    qx = floor((mx - tx0)/span*extent + 0.5), qy top-down from the tile
+    top edge). Literal WKT fixture polygons each inside one z=4 tile
+    (hand-verified cover: sq -> (8,8), donut -> (9,9), hardcoded in the
+    oracle so the planner is NOT in the expected box); the oracle
+    recomputes mercator + quantize analytically in DuckDB from the same
+    vertex literals."""
+    from ..operators import vectortiles as vt
+
+    return vt.polygon_tile_coords(spark, _MVT_POLYS, z=4)
+
+
+def _mvt_quantize_sql():
+    from ..functions.georef_parsers import parse_wkt_polygon
+    from ..functions import tilemath as _tm
+
+    verts = []
+    for pid, wkt in _MVT_POLYS:
+        for ri, ring in enumerate(parse_wkt_polygon(wkt)):
+            for vi, (lon, lat) in enumerate(ring):
+                verts.append(f"('{pid}', {ri}, {vi}, {lon!r}, {lat!r})")
+    # covering tiles HAND-VERIFIED (22.5 deg tiles at z=4: lon 10-12 ->
+    # x=8, lat 10-12 -> TMS y=8; lon/lat 30-40 -> (9,9)) — independent of
+    # the engine planner
+    tiles = ["('sq', 8, 8)", "('donut', 9, 9)"]
+    span = _tm.RES0 / 16.0 * 256.0
+    return f"""
+WITH v(poly_id, ring_i, vtx_i, lon, lat) AS (VALUES {', '.join(verts)}),
+t(poly_id, x, y) AS (VALUES {', '.join(tiles)}),
+j AS (SELECT * FROM v JOIN t USING (poly_id))
+SELECT poly_id, ring_i, vtx_i, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+  CAST(floor((lon * {_tm.ORIGIN / 180.0:.17e}
+              - (x * {span:.17e} - {_tm.ORIGIN:.17e})) / {span:.17e} * 4096e0 + 0.5) AS BIGINT) AS qx,
+  CAST(floor((((y + 1) * {span:.17e} - {_tm.ORIGIN:.17e})
+              - ln(tan((90e0 + lat) * {3.141592653589793 / 360.0:.17e})) * 6378137e0)
+             / {span:.17e} * 4096e0 + 0.5) AS BIGINT) AS qy
+FROM j
+"""
+
+
+SQL_MVT_QUANTIZE = _mvt_quantize_sql()
+
+
 def q_charlm(spark, sf_dir):
     """Corpus-trained char-trigram LM scoring (operators/text.py
     charlm_score — the CCNet perplexity-filter role, add-1 smoothing
@@ -4581,6 +4635,7 @@ QUERIES: dict = {
     "line_repetition": (q_line_repetition, SQL_LINE_REPETITION),
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "charlm_ppl": (q_charlm, SQL_CHARLM),
+    "mvt_quantize": (q_mvt_quantize, SQL_MVT_QUANTIZE),
     "image_patchify": (q_image_patchify, SQL_IMAGE_PATCHIFY),
     # tile addressing/serving: Bing quadkey scheme + viewport range lookup
     "quadkey": (q_quadkey, SQL_QUADKEY),
