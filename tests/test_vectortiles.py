@@ -92,3 +92,31 @@ def test_clip_ring_brute_force():
     for p in subject:
         if box[0] < p[0] < box[1] and box[2] < p[1] < box[3]:
             assert any(abs(p[0] - x) < eps and abs(p[1] - y) < eps for x, y in out)
+
+
+def test_point_vector_tiles_roundtrip_and_plan(spark):
+    """Distributed point MVTs: decoded features recover every point at
+    its independently computed quantized position (id-sorted); the plan
+    has exactly one Exchange and only the four narrow longs cross it."""
+    rows = [(i, -180.0 + (i * 77) % 360 + 0.25, -80.0 + (i * 31) % 160 + 0.25)
+            for i in range(50)]
+    pts = spark.createDataFrame(rows, "event_id long, lon double, lat double")
+    df = vt.point_vector_tiles(pts, z=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    exch = [ln for ln in plan.splitlines() if "Exchange" in ln][0]
+    assert "lon" not in exch and "lat" not in exch
+    got = {}
+    for r in df.collect():
+        dec = mvt.decode_mvt(bytes(r["tile"]))["points"]
+        ids = [f["id"] for f in dec["features"]]
+        assert ids == sorted(ids)
+        for f in dec["features"]:
+            got[f["id"]] = (r["x"], r["y"], f["paths"][0][0])
+    assert len(got) == 50
+    span = tm.RES0 / 8.0 * 256.0
+    for i, lon, lat in rows:
+        x, y, (qx, qy) = got[i]
+        mx = lon * tm.ORIGIN / 180.0
+        assert x == max(0, min(7, math.floor((mx + tm.ORIGIN) / span)))
+        assert (qx, qy) == _q(lon, lat, 3, x, y)

@@ -226,3 +226,90 @@ def polygon_tile_coords(
         .cast("long")
         .alias("qy"),
     )
+
+
+def point_tile_coords(
+    points: DataFrame,
+    z: int,
+    extent: int = 4096,
+    id_col: str = "event_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """The DISTRIBUTED vector-tile core for point layers: tile assign +
+    extent quantization as pure Column expressions (codegen, no UDF).
+    Returns narrow rows (x, y TMS, id, qx, qy) — the only thing that
+    ever shuffles when building point MVTs from billions of rows; gate
+    `mvt_point_tiles` checks per-tile counts and coordinate sums
+    cross-engine."""
+    zz = F.lit(z)
+    span = tm.RES0 / (2.0**z) * 256.0
+    d = points.select(
+        F.col(id_col).cast("long").alias("id"),
+        tm.merc_x(F.col(lon_col)).alias("_mx"),
+        tm.merc_y(F.col(lat_col)).alias("_my"),
+    ).select(
+        "id",
+        tm.tile_x(F.col("_mx"), zz).alias("x"),
+        tm.tile_y_tms(F.col("_my"), zz).alias("y"),
+        "_mx",
+        "_my",
+    )
+    tx0 = F.col("x").cast("double") * F.lit(span) - F.lit(tm.ORIGIN)
+    top = (F.col("y").cast("double") + F.lit(1.0)) * F.lit(span) - F.lit(tm.ORIGIN)
+    return d.select(
+        "x",
+        "y",
+        "id",
+        F.floor((F.col("_mx") - tx0) / F.lit(span) * F.lit(float(extent)) + F.lit(0.5))
+        .cast("long")
+        .alias("qx"),
+        F.floor((top - F.col("_my")) / F.lit(span) * F.lit(float(extent)) + F.lit(0.5))
+        .cast("long")
+        .alias("qy"),
+    )
+
+
+def point_vector_tiles(
+    points: DataFrame,
+    z: int,
+    extent: int = 4096,
+    layer_name: str = "points",
+    id_col: str = "event_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Point-layer MVT pyramid level from an arbitrarily large point
+    table -> (z, x TMS, y TMS, tile bytes, n_features). One feature per
+    point (feature id = the point id, deterministic id-sorted member
+    order). Scale shape: the Column stage above reduces every row to
+    four longs; ONE shuffle on the (x, y) tile key feeds a per-tile
+    applyInPandas encode — raw lon/lat and any payload columns are
+    dropped before the exchange."""
+    from ..functions import mvtcodec as mvt
+
+    narrow = point_tile_coords(points, z, extent, id_col, lon_col, lat_col)
+
+    def encode_tile(pdf):
+        import pandas as pd
+
+        x = int(pdf["x"].iloc[0])
+        y = int(pdf["y"].iloc[0])
+        pdf = pdf.sort_values("id")
+        feats = [
+            {
+                "id": int(r.id),
+                "type": mvt.GEOM_POINT,
+                "geometry": mvt.point_geometry([(int(r.qx), int(r.qy))]),
+                "props": None,
+            }
+            for r in pdf.itertuples()
+        ]
+        blob = mvt.encode_mvt({layer_name: (feats, extent)})
+        return pd.DataFrame(
+            {"z": [z], "x": [x], "y": [y], "tile": [blob], "n_features": [len(feats)]}
+        )
+
+    return narrow.groupBy("x", "y").applyInPandas(
+        encode_tile, schema="z int, x long, y long, tile binary, n_features int"
+    )

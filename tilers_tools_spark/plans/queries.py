@@ -3985,6 +3985,49 @@ FROM j
 SQL_MVT_QUANTIZE = _mvt_quantize_sql()
 
 
+def q_mvt_point_tiles(spark, sf_dir):
+    """Distributed point-layer vector tiles, the scale path
+    (operators/vectortiles.py point_tile_coords): every event point is
+    reduced to four longs (tile key + extent-quantized coords) by pure
+    Column exprs before the one tile-key shuffle. Gate aggregates
+    per-tile counts and quantized-coordinate sums; fully relational
+    oracle mirrors clamped tile assign + round-half-up quantization."""
+    from ..operators import vectortiles as vt
+
+    return (
+        vt.point_tile_coords(_points(spark, sf_dir), z=6)
+        .groupBy("x", "y")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.sum("qx").alias("qx_sum"),
+            F.sum("qy").alias("qy_sum"),
+        )
+    )
+
+
+def _mvt_point_tiles_sql():
+    from ..functions import tilemath as _tm
+
+    span = _tm.RES0 / 64.0 * 256.0
+    o = f"{_tm.ORIGIN:.17e}"
+    s = f"{span:.17e}"
+    return f"""
+WITH {_PTS_SQL},
+t AS (
+  SELECT mx, my,
+         GREATEST(0, LEAST(63, CAST(FLOOR((mx + {o}) / {s}) AS BIGINT))) AS x,
+         GREATEST(0, LEAST(63, CAST(FLOOR((my + {o}) / {s}) AS BIGINT))) AS y
+  FROM m)
+SELECT x, y, COUNT(*) AS n_points,
+  CAST(SUM(CAST(FLOOR((mx - (x * {s} - {o})) / {s} * 4096e0 + 0.5) AS BIGINT)) AS BIGINT) AS qx_sum,
+  CAST(SUM(CAST(FLOOR((((y + 1) * {s} - {o}) - my) / {s} * 4096e0 + 0.5) AS BIGINT)) AS BIGINT) AS qy_sum
+FROM t GROUP BY 1, 2
+"""
+
+
+SQL_MVT_POINT_TILES = _mvt_point_tiles_sql()
+
+
 def q_charlm(spark, sf_dir):
     """Corpus-trained char-trigram LM scoring (operators/text.py
     charlm_score — the CCNet perplexity-filter role, add-1 smoothing
@@ -4636,6 +4679,7 @@ QUERIES: dict = {
     "tfidf_keywords": (q_tfidf_keywords, SQL_TFIDF_KEYWORDS),
     "charlm_ppl": (q_charlm, SQL_CHARLM),
     "mvt_quantize": (q_mvt_quantize, SQL_MVT_QUANTIZE),
+    "mvt_point_tiles": (q_mvt_point_tiles, SQL_MVT_POINT_TILES),
     "image_patchify": (q_image_patchify, SQL_IMAGE_PATCHIFY),
     # tile addressing/serving: Bing quadkey scheme + viewport range lookup
     "quadkey": (q_quadkey, SQL_QUADKEY),
