@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "image_patchify",
     "charlm_ppl",
     "webdataset_shards",
+    "mvt_point_tiles",
 ]
 
 
