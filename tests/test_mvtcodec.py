@@ -102,3 +102,12 @@ def test_value_wire_layouts():
     assert mvt._encode_value(1.5) == b"\x19" + struct.pack("<d", 1.5)
     for v in ("x", -3, 2.25, False):
         assert mvt._decode_value(mvt._encode_value(v)) == v
+
+
+def test_spec_linestring_kat():
+    """Spec 4.3.5.3: linestring (2,2) (2,10) (10,10) ->
+    [9, 4, 4, 18, 0, 16, 16, 0]."""
+    assert mvt.line_geometry([[(2, 2), (2, 10), (10, 10)]]) == [9, 4, 4, 18, 0, 16, 16, 0]
+    # multi-linestring roundtrip, cursor carried across paths
+    paths = [[(0, 0), (5, 0)], [(9, 9), (9, 12), (12, 12)]]
+    assert mvt.decode_geometry(mvt.line_geometry(paths)) == paths

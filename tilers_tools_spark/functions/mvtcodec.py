@@ -104,6 +104,23 @@ def polygon_geometry(rings) -> list[int]:
     return cmds
 
 
+def line_geometry(paths) -> list[int]:
+    """LineString paths [[(x,y)...], ...] -> command stream (MoveTo +
+    LineTo per path, NO ClosePath; cursor deltas carry across paths)."""
+    cmds: list[int] = []
+    cx = cy = 0
+    for path in paths:
+        cmds.append((MOVE_TO & 0x7) | (1 << 3))
+        x, y = path[0]
+        cmds += [_zigzag(x - cx), _zigzag(y - cy)]
+        cx, cy = x, y
+        cmds.append((LINE_TO & 0x7) | ((len(path) - 1) << 3))
+        for x, y in path[1:]:
+            cmds += [_zigzag(x - cx), _zigzag(y - cy)]
+            cx, cy = x, y
+    return cmds
+
+
 def point_geometry(points) -> list[int]:
     """Points [(x,y) int] -> one MoveTo with count=len (multipoint)."""
     cmds = [(MOVE_TO & 0x7) | (len(points) << 3)]
