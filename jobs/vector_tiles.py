@@ -1,0 +1,93 @@
+"""spark-submit entry point — vector-tile publishing (the tippecanoe /
+ogr2ogr-MVT role over the engine's point and polygon inputs):
+
+    spark-submit --py-files dist/engine.zip jobs/vector_tiles.py \
+        --points events.parquet --id-col event_id --lon-col lon --lat-col lat \
+        --z 6 --dst out_dir --dst-format dir
+    spark-submit ... jobs/vector_tiles.py \
+        --polys regions.tsv --z 8 --dst out --dst-format mbtiles --single-file
+
+--polys is a TSV of `poly_id<TAB>WKT` lon/lat polygons (the engine's
+broadcast-polygon contract). dir output writes a `dest/z/x/y.pbf` tree
+plus a vector TileJSON (tiles.json with `vector_layers`); mbtiles output
+writes `metadata` rows `format=pbf` and the `json` vector_layers
+document — the published MBTiles 1.3 vector-tileset convention.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--points", default=None, help="parquet of point rows")
+    src.add_argument("--polys", default=None, help="TSV poly_id<TAB>WKT")
+    ap.add_argument("--id-col", default="event_id")
+    ap.add_argument("--lon-col", default="lon")
+    ap.add_argument("--lat-col", default="lat")
+    ap.add_argument("--z", type=int, required=True)
+    ap.add_argument("--extent", type=int, default=4096)
+    ap.add_argument("--layer", default=None, help="layer name (default points/polys)")
+    ap.add_argument("--dst", required=True)
+    ap.add_argument("--dst-format", default="dir", choices=("dir", "mbtiles"))
+    ap.add_argument("--single-file", action="store_true")
+    ap.add_argument("--name", default="vtiles")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from tilers_tools_spark.operators import vectortiles as vt
+    from tilers_tools_spark.session import get_spark
+    from tilers_tools_spark.sources import mbtiles as mbt
+    from tilers_tools_spark.sources import tileset
+
+    spark = get_spark(app="vector_tiles", master=args.master)
+    if args.points:
+        layer = args.layer or "points"
+        pts = spark.read.parquet(args.points)
+        tiles = vt.point_vector_tiles(
+            pts, args.z, extent=args.extent, layer_name=layer,
+            id_col=args.id_col, lon_col=args.lon_col, lat_col=args.lat_col,
+        )
+    else:
+        layer = args.layer or "polys"
+        polys = []
+        with open(args.polys) as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if line:
+                    pid, wkt = line.split("\t", 1)
+                    polys.append((pid, wkt))
+        tiles = vt.polygon_vector_tiles(
+            spark, polys, args.z, extent=args.extent, layer_name=layer
+        )
+    vector_layers = [{"id": layer, "fields": {} if args.points else {"poly_id": "String"}}]
+    tdf = tiles.select("z", "x", "y", "tile")
+    if args.dst_format == "dir":
+        tileset.write_tileset_dir(tdf, args.dst, scheme="xyz", ext="pbf")
+        tj = tileset.write_tilejson(tdf, args.dst, name=args.name, ext="pbf", scheme="xyz")
+        doc = json.load(open(tj))
+        doc["vector_layers"] = vector_layers
+        with open(tj, "w") as f:
+            json.dump(doc, f, sort_keys=True)
+        out = args.dst
+    else:
+        out = mbt.write_mbtiles(
+            tdf,
+            args.dst,
+            metadata={
+                "name": args.name,
+                "format": "pbf",
+                "json": json.dumps({"vector_layers": vector_layers}),
+            },
+            single_file=args.single_file,
+        )
+    n = tdf.count()
+    print(json.dumps({"tiles": n, "out": out, "layer": layer}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -587,3 +587,52 @@ def test_tiles_convert_gpkg_roundtrip(run_job, tile_dir, tmp_path, spark):
     a = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in df.collect()}
     b = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in back.collect()}
     assert a == b
+
+
+def test_vector_tiles_job_points_mbtiles(run_job, tmp_path, spark):
+    """Point MVTs through the CLI into a vector MBTiles: metadata rows
+    format=pbf + json vector_layers (MBTiles 1.3 vector convention),
+    blobs decode to the expected per-tile feature counts."""
+    import sqlite3
+
+    from tilers_tools_spark.functions import mvtcodec as mvt
+
+    pts = str(tmp_path / "pts.parquet")
+    rows = [(i, -30.0 + i, 10.0 + (i % 7)) for i in range(40)]
+    spark.createDataFrame(rows, "event_id long, lon double, lat double").write.parquet(pts)
+    out = run_job("vector_tiles", [
+        "--points", pts, "--z", "4", "--dst", str(tmp_path / "vmb"),
+        "--dst-format", "mbtiles", "--single-file", "--name", "vt",
+    ])
+    assert out["tiles"] >= 2 and out["layer"] == "points"
+    con = sqlite3.connect(out["out"])
+    meta = dict(con.execute("SELECT name, value FROM metadata").fetchall())
+    assert meta["format"] == "pbf"
+    vl = json.loads(meta["json"])["vector_layers"]
+    assert vl[0]["id"] == "points"
+    n = 0
+    for (blob,) in con.execute("SELECT tile_data FROM tiles"):
+        dec = mvt.decode_mvt(bytes(blob))["points"]
+        assert dec["version"] == 2
+        n += len(dec["features"])
+    con.close()
+    assert n == 40  # every point landed in exactly one tile
+
+
+def test_vector_tiles_job_polys_dir(run_job, tmp_path, spark):
+    """Polygon MVTs through the CLI into a .pbf dir tree with vector
+    TileJSON."""
+    import glob as _g
+
+    tsv = str(tmp_path / "p.tsv")
+    with open(tsv, "w") as f:
+        f.write("sq\tPOLYGON ((10 10, 12 10, 12 12, 10 12, 10 10))\n")
+    dst = str(tmp_path / "vdir")
+    out = run_job("vector_tiles", [
+        "--polys", tsv, "--z", "4", "--dst", dst, "--dst-format", "dir",
+    ])
+    assert out["tiles"] == 1
+    assert _g.glob(dst + "/4/*/*.pbf")
+    doc = json.load(open(dst + "/tiles.json"))
+    assert doc["vector_layers"][0]["id"] == "polys"
+    assert doc["tiles"] == ["{z}/{x}/{y}.pbf"]
