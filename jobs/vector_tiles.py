@@ -24,7 +24,8 @@ def main():
     ap = argparse.ArgumentParser()
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--points", default=None, help="parquet of point rows")
-    src.add_argument("--polys", default=None, help="TSV poly_id<TAB>WKT")
+    src.add_argument("--polys", default=None, help="TSV poly_id<TAB>WKT POLYGON")
+    src.add_argument("--lines", default=None, help="TSV line_id<TAB>WKT LINESTRING")
     ap.add_argument("--id-col", default="event_id")
     ap.add_argument("--lon-col", default="lon")
     ap.add_argument("--lat-col", default="lat")
@@ -52,18 +53,26 @@ def main():
             id_col=args.id_col, lon_col=args.lon_col, lat_col=args.lat_col,
         )
     else:
-        layer = args.layer or "polys"
-        polys = []
-        with open(args.polys) as f:
+        path = args.polys or args.lines
+        rows = []
+        with open(path) as f:
             for line in f:
                 line = line.rstrip("\n")
                 if line:
                     pid, wkt = line.split("\t", 1)
-                    polys.append((pid, wkt))
-        tiles = vt.polygon_vector_tiles(
-            spark, polys, args.z, extent=args.extent, layer_name=layer
-        )
-    vector_layers = [{"id": layer, "fields": {} if args.points else {"poly_id": "String"}}]
+                    rows.append((pid, wkt))
+        if args.polys:
+            layer = args.layer or "polys"
+            tiles = vt.polygon_vector_tiles(
+                spark, rows, args.z, extent=args.extent, layer_name=layer
+            )
+        else:
+            layer = args.layer or "lines"
+            tiles = vt.line_vector_tiles(
+                spark, rows, args.z, extent=args.extent, layer_name=layer
+            )
+    fields = {} if args.points else ({"poly_id": "String"} if args.polys else {"line_id": "String"})
+    vector_layers = [{"id": layer, "fields": fields}]
     tdf = tiles.select("z", "x", "y", "tile")
     if args.dst_format == "dir":
         tileset.write_tileset_dir(tdf, args.dst, scheme="xyz", ext="pbf")

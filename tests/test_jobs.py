@@ -636,3 +636,23 @@ def test_vector_tiles_job_polys_dir(run_job, tmp_path, spark):
     doc = json.load(open(dst + "/tiles.json"))
     assert doc["vector_layers"][0]["id"] == "polys"
     assert doc["tiles"] == ["{z}/{x}/{y}.pbf"]
+
+
+def test_vector_tiles_job_lines_dir(run_job, tmp_path, spark):
+    """Linestring MVTs through the CLI (--lines TSV) into .pbf tree."""
+    from tilers_tools_spark.functions import mvtcodec as mvt
+
+    tsv = str(tmp_path / "l.tsv")
+    with open(tsv, "w") as f:
+        f.write("r1\tLINESTRING (10 10, 11 11, 12 10)\n")
+    dst = str(tmp_path / "ldir")
+    out = run_job("vector_tiles", [
+        "--lines", tsv, "--z", "4", "--dst", dst, "--dst-format", "dir",
+    ])
+    assert out["tiles"] == 1 and out["layer"] == "lines"
+    import glob as _g
+
+    (pbf,) = _g.glob(dst + "/4/*/*.pbf")
+    dec = mvt.decode_mvt(open(pbf, "rb").read())["lines"]
+    assert dec["features"][0]["type"] == mvt.GEOM_LINE
+    assert json.load(open(dst + "/tiles.json"))["vector_layers"][0]["fields"] == {"line_id": "String"}

@@ -120,3 +120,35 @@ def test_point_vector_tiles_roundtrip_and_plan(spark):
         mx = lon * tm.ORIGIN / 180.0
         assert x == max(0, min(7, math.floor((mx + tm.ORIGIN) / span)))
         assert (qx, qy) == _q(lon, lat, 3, x, y)
+
+
+def test_line_vector_tiles_interior_and_split(spark):
+    """A line inside one tile quantizes to the direct per-vertex coords;
+    a line crossing the z=4 boundary at lon 22.5 splits into two tiles
+    whose cut endpoints land on the buffered edge (4104 / -8)."""
+    inner = [("a", "LINESTRING (10 10, 11 11, 12 10)")]
+    out = vt.line_vector_tiles(spark, inner, z=4).collect()
+    assert len(out) == 1 and out[0]["n_features"] == 1
+    dec = mvt.decode_mvt(bytes(out[0]["tile"]))["lines"]["features"][0]
+    assert dec["type"] == mvt.GEOM_LINE and dec["props"] == {"line_id": "a"}
+    want = [_q(lon, lat, 4, 8, 8) for lon, lat in [(10, 10), (11, 11), (12, 10)]]
+    assert dec["paths"] == [want]
+
+    crossing = [("c", "LINESTRING (21 10, 24 10)")]
+    rows = {(r["x"], r["y"]): r for r in
+            vt.line_vector_tiles(spark, crossing, z=4, buffer_px=8).collect()}
+    assert set(rows) == {(8, 8), (9, 8)}
+    left = mvt.decode_mvt(bytes(rows[(8, 8)]["tile"]))["lines"]["features"][0]["paths"][0]
+    right = mvt.decode_mvt(bytes(rows[(9, 8)]["tile"]))["lines"]["features"][0]["paths"][0]
+    assert left[0] == _q(21, 10, 4, 8, 8) and left[-1][0] == 4104
+    assert right[0][0] == -8 and right[-1] == _q(24, 10, 4, 9, 8)
+
+
+def test_clip_polyline_split_paths():
+    """A polyline that exits and re-enters the box produces two
+    disconnected sub-paths (one multi-linestring feature)."""
+    pts = [(0.0, 5.0), (4.0, 5.0), (4.0, 20.0), (8.0, 20.0), (8.0, 5.0), (10.0, 5.0)]
+    paths = vt._clip_polyline(pts, -1.0, 11.0, 0.0, 10.0)
+    assert len(paths) == 2
+    assert paths[0][0] == (0.0, 5.0) and paths[0][-1] == (4.0, 10.0)
+    assert paths[1][0] == (8.0, 10.0) and paths[1][-1] == (10.0, 5.0)

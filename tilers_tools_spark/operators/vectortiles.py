@@ -313,3 +313,160 @@ def point_vector_tiles(
     return narrow.groupBy("x", "y").applyInPandas(
         encode_tile, schema="z int, x long, y long, tile binary, n_features int"
     )
+
+
+def _parse_wkt_linestring(wkt: str) -> list[tuple[float, float]]:
+    s = wkt.strip()
+    up = s.upper()
+    if not up.startswith("LINESTRING"):
+        raise ValueError(f"not a LINESTRING: {wkt[:40]!r}")
+    body = s[s.index("(") + 1 : s.rindex(")")]
+    pts = []
+    for tok in body.split(","):
+        x, y = tok.split()
+        pts.append((float(x), float(y)))
+    if len(pts) < 2:
+        raise ValueError("LINESTRING needs >= 2 points")
+    return pts
+
+
+def _clip_segment(a, b, x0, x1, y0, y1):
+    """Liang-Barsky: segment a-b clipped to the box, or None."""
+    dx, dy = b[0] - a[0], b[1] - a[1]
+    t0, t1 = 0.0, 1.0
+    for p, q in (
+        (-dx, a[0] - x0),
+        (dx, x1 - a[0]),
+        (-dy, a[1] - y0),
+        (dy, y1 - a[1]),
+    ):
+        if p == 0.0:
+            if q < 0.0:
+                return None
+        else:
+            t = q / p
+            if p < 0.0:
+                if t > t1:
+                    return None
+                if t > t0:
+                    t0 = t
+            else:
+                if t < t0:
+                    return None
+                if t < t1:
+                    t1 = t
+    return (
+        (a[0] + t0 * dx, a[1] + t0 * dy),
+        (a[0] + t1 * dx, a[1] + t1 * dy),
+    )
+
+
+def _clip_polyline(pts, x0, x1, y0, y1):
+    """Clip a polyline to the box -> list of connected sub-paths (a line
+    that exits and re-enters the box splits)."""
+    paths = []
+    cur = []
+    for i in range(len(pts) - 1):
+        seg = _clip_segment(pts[i], pts[i + 1], x0, x1, y0, y1)
+        if seg is None:
+            if len(cur) >= 2:
+                paths.append(cur)
+            cur = []
+            continue
+        a, b = seg
+        if cur and cur[-1] == a:
+            cur.append(b)
+        else:
+            if len(cur) >= 2:
+                paths.append(cur)
+            cur = [a, b]
+    if len(cur) >= 2:
+        paths.append(cur)
+    return paths
+
+
+def line_vector_tiles(
+    spark: SparkSession,
+    lines: list[tuple[str, str]],
+    z: int,
+    extent: int = 4096,
+    buffer_px: int = 8,
+    layer_name: str = "lines",
+    max_tiles: int = 200_000,
+) -> DataFrame:
+    """[(line_id, LINESTRING wkt lon/lat)] -> (z, x, y, tile, n_features)
+    — the line-geometry leg of the MVT family (contours, routes, coast
+    lines). Same broadcast shape as polygon_vector_tiles; per tile the
+    polyline is Liang-Barsky-clipped segment-wise to the buffered tile
+    square (exiting/re-entering splits into multiple paths of ONE
+    multi-linestring feature), quantized round-half-up, consecutive
+    duplicate vertices collapsed."""
+    from ..functions import mvtcodec as mvt
+
+    parsed = {}
+    for lid, wkt in lines:
+        lon = np.array([p[0] for p in _parse_wkt_linestring(wkt)])
+        lat = np.array([p[1] for p in _parse_wkt_linestring(wkt)])
+        mx, my = tm.merc_np(lon, lat)
+        parsed[lid] = np.stack([mx, my], axis=1)
+    fid = {lid: i for i, (lid, _w) in enumerate(lines)}
+    work = []
+    for lid, pts in parsed.items():
+        tiles = _cover_tiles([pts], z)
+        if len(work) + len(tiles) > max_tiles:
+            raise ValueError(
+                f"line_vector_tiles: cover exceeds max_tiles={max_tiles} at z={z}"
+            )
+        work += [(lid, x, y) for x, y in tiles]
+    if not work:
+        return spark.createDataFrame(
+            [], "z int, x long, y long, tile binary, n_features int"
+        )
+    wdf = spark.createDataFrame(work, "line_id string, x long, y long")
+    span = tm.RES0 / (2.0**z) * 256.0
+    buf_m = buffer_px / float(extent) * span
+
+    def encode_tile(pdf):
+        import pandas as pd
+
+        x = int(pdf["x"].iloc[0])
+        y = int(pdf["y"].iloc[0])
+        mx0 = x * span - tm.ORIGIN
+        my0 = y * span - tm.ORIGIN
+        top = my0 + span
+        feats = []
+        for lid in sorted(set(pdf["line_id"])):
+            paths_q = []
+            for path in _clip_polyline(
+                [tuple(p) for p in parsed[lid]],
+                mx0 - buf_m, mx0 + span + buf_m, my0 - buf_m, top + buf_m,
+            ):
+                q = []
+                for mx, my in path:
+                    qx = int(np.floor((mx - mx0) / span * extent + 0.5))
+                    qy = int(np.floor((top - my) / span * extent + 0.5))
+                    if not q or q[-1] != (qx, qy):
+                        q.append((qx, qy))
+                if len(q) >= 2:
+                    paths_q.append(q)
+            if paths_q:
+                feats.append(
+                    {
+                        "id": fid[lid],
+                        "type": mvt.GEOM_LINE,
+                        "geometry": mvt.line_geometry(paths_q),
+                        "props": {"line_id": lid},
+                    }
+                )
+        if not feats:
+            return pd.DataFrame(
+                {"z": [], "x": [], "y": [], "tile": [], "n_features": []}
+            ).astype({"z": "int32", "x": "int64", "y": "int64", "n_features": "int32"})
+        blob = mvt.encode_mvt({layer_name: (feats, extent)})
+        return pd.DataFrame(
+            {"z": [z], "x": [x], "y": [y], "tile": [blob], "n_features": [len(feats)]}
+        )
+
+    return wdf.groupBy("x", "y").applyInPandas(
+        encode_tile, schema="z int, x long, y long, tile binary, n_features int"
+    )
