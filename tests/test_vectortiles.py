@@ -152,3 +152,24 @@ def test_clip_polyline_split_paths():
     assert len(paths) == 2
     assert paths[0][0] == (0.0, 5.0) and paths[0][-1] == (4.0, 10.0)
     assert paths[1][0] == (8.0, 10.0) and paths[1][-1] == (10.0, 5.0)
+
+
+def test_merge_vector_tiles_layer_concat(spark):
+    """Full-outer key merge; on collisions the concatenated blob decodes
+    to BOTH layers (protobuf repeated-field semantics) — geometry never
+    decoded in the plan."""
+    pts = spark.createDataFrame(
+        [(i, 10.0 + i * 0.1, 10.0 + (i % 3) * 0.1) for i in range(10)],
+        "event_id long, lon double, lat double",
+    )
+    a = vt.point_vector_tiles(pts, z=4, layer_name="pa")
+    b = vt.polygon_vector_tiles(
+        spark, [("sq", "POLYGON ((10 10, 12 10, 12 12, 10 12, 10 10))")],
+        z=4, layer_name="pb",
+    )
+    merged = vt.merge_vector_tiles(a, b).collect()
+    by_key = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in merged}
+    assert (4, 8, 8) in by_key
+    dec = mvt.decode_mvt(by_key[(4, 8, 8)])
+    assert set(dec) == {"pa", "pb"}
+    assert dec["pa"]["features"] and dec["pb"]["features"]

@@ -470,3 +470,27 @@ def line_vector_tiles(
     return wdf.groupBy("x", "y").applyInPandas(
         encode_tile, schema="z int, x long, y long, tile binary, n_features int"
     )
+
+
+def merge_vector_tiles(base: DataFrame, overlay: DataFrame) -> DataFrame:
+    """Merge two vector tile sets on (z, x, y) — the tiles_merge role
+    for MVT. Protobuf semantics make this a pure byte concatenation:
+    a Tile message is `repeated Layer layers = 3`, so concatenating two
+    valid Tile blobs yields one valid Tile carrying both layer sets
+    (layer names should be distinct; later layers win in renderers).
+    One full-outer join on the key, blobs coalesce — geometry is never
+    decoded."""
+    b = base.select("z", "x", "y", F.col("tile").alias("_tb"))
+    o = overlay.select("z", "x", "y", F.col("tile").alias("_to"))
+    return (
+        b.join(o, ["z", "x", "y"], "full_outer")
+        .select(
+            "z",
+            "x",
+            "y",
+            F.concat(
+                F.coalesce(F.col("_tb"), F.lit(b"")),
+                F.coalesce(F.col("_to"), F.lit(b"")),
+            ).alias("tile"),
+        )
+    )
