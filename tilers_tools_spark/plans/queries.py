@@ -4337,6 +4337,65 @@ SELECT z, x, y, {_quadkey_sql_expr(8)} AS quadkey, x AS x_rt FROM t8
 """
 
 
+def q_geohash(spark, sf_dir):
+    """Geohash point indexing (functions/geohash.py — the third member of
+    the cell-key family after H3/S2): encode the event points at two
+    precisions with the closed-form Column expr, then DECODE the string
+    back (from_geohash) so the returned lon_int/lat_int verify
+    decode∘encode == quantize cross-engine (the oracle computes the
+    quantized integers directly from lon/lat — never from the string)."""
+    from ..functions import geohash as gh
+
+    pts = _points(spark, sf_dir)
+    parts = []
+    for p in (5, 7):
+        d = gh.from_geohash(gh.geohash(pts, p), p)
+        parts.append(
+            d.select("event_id", F.lit(p).alias("p"), "geohash", "lon_int", "lat_int")
+        )
+    return parts[0].unionByName(parts[1])
+
+
+def _geohash_sql_leg(p: int) -> str:
+    from ..functions import geohash as gh
+
+    lonbits, latbits = gh._splits(p)
+    loni = (
+        f"GREATEST(0, LEAST({(1 << lonbits) - 1}, CAST(FLOOR((lon + 180e0) / 360e0"
+        f" * {float(1 << lonbits)!r}) AS BIGINT)))"
+    )
+    lati = (
+        f"GREATEST(0, LEAST({(1 << latbits) - 1}, CAST(FLOOR((lat + 90e0) / 180e0"
+        f" * {float(1 << latbits)!r}) AS BIGINT)))"
+    )
+    chars = []
+    for j in range(p):
+        terms = []
+        for b in range(5):
+            k = 5 * j + b
+            if k % 2 == 0:
+                terms.append(f"((loni >> {lonbits - 1 - k // 2}) & 1) * {1 << (4 - b)}")
+            else:
+                terms.append(f"((lati >> {latbits - 1 - (k - 1) // 2}) & 1) * {1 << (4 - b)}")
+        chars.append(
+            f"substring('{gh.ALPHABET}', CAST(1 + {' + '.join(terms)} AS INT), 1)"
+        )
+    ghx = " || ".join(chars)
+    return (
+        f"SELECT event_id, {p} AS p, {ghx} AS geohash,"
+        f" loni AS lon_int, lati AS lat_int FROM"
+        f" (SELECT event_id, {loni} AS loni, {lati} AS lati FROM pts) q{p}"
+    )
+
+
+SQL_GEOHASH = f"""
+WITH {_PTS_SQL}
+{_geohash_sql_leg(5)}
+UNION ALL
+{_geohash_sql_leg(7)}
+"""
+
+
 # bbox literals for the serving query: one fixed viewport; the covering
 # tile ranges are computed by the same published tile math on both sides
 # (Spark path internally via tiles_in_bbox; oracle via the NumPy twins at
@@ -4683,6 +4742,7 @@ QUERIES: dict = {
     "image_patchify": (q_image_patchify, SQL_IMAGE_PATCHIFY),
     # tile addressing/serving: Bing quadkey scheme + viewport range lookup
     "quadkey": (q_quadkey, SQL_QUADKEY),
+    "geohash": (q_geohash, SQL_GEOHASH),
     "bbox_tiles": (q_bbox_tiles, SQL_BBOX_TILES),
     # engine-only queries: golden-VALUES oracles precomputed WITHOUT Spark
     # by tools/make_golden_sql.py (minitiler pixels, NumPy indexers,
