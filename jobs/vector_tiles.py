@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--lat-col", default="lat")
     ap.add_argument("--z", type=int, required=True)
     ap.add_argument("--extent", type=int, default=4096)
+    ap.add_argument("--simplify-px", type=float, default=0.0,
+                    help="Douglas-Peucker tolerance in tile pixels at this zoom (polys/lines only; 0 = off)")
     ap.add_argument("--layer", default=None, help="layer name (default points/polys)")
     ap.add_argument("--dst", required=True)
     ap.add_argument("--dst-format", default="dir", choices=("dir", "mbtiles"))
@@ -64,12 +66,14 @@ def main():
         if args.polys:
             layer = args.layer or "polys"
             tiles = vt.polygon_vector_tiles(
-                spark, rows, args.z, extent=args.extent, layer_name=layer
+                spark, rows, args.z, extent=args.extent, layer_name=layer,
+                simplify_px=args.simplify_px,
             )
         else:
             layer = args.layer or "lines"
             tiles = vt.line_vector_tiles(
-                spark, rows, args.z, extent=args.extent, layer_name=layer
+                spark, rows, args.z, extent=args.extent, layer_name=layer,
+                simplify_px=args.simplify_px,
             )
     fields = {} if args.points else ({"poly_id": "String"} if args.polys else {"line_id": "String"})
     vector_layers = [{"id": layer, "fields": fields}]

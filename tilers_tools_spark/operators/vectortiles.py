@@ -102,14 +102,28 @@ def polygon_vector_tiles(
     buffer_px: int = 8,
     layer_name: str = "polys",
     max_tiles: int = 200_000,
+    simplify_px: float = 0.0,
 ) -> DataFrame:
     """[(poly_id, wkt lon/lat)] -> (z, x TMS, y TMS, tile MVT bytes,
     n_features) at zoom z. Rings entirely clipped away contribute no
     feature; tiles with no surviving feature are not emitted. Feature id
-    = index in the input list; props = {'poly_id': id}."""
+    = index in the input list; props = {'poly_id': id}.
+
+    `simplify_px` > 0 enables zoom-scaled Douglas-Peucker simplification
+    (the tippecanoe role): tolerance = simplify_px tile pixels at this
+    zoom, applied ONCE per ring driver-side before cover/clip (so coarse
+    zooms also enumerate fewer covered tiles); rings degenerate at this
+    tolerance are dropped entirely."""
     from ..functions import mvtcodec as mvt
+    from ..functions import simplify as simp
 
     parsed = {pid: _rings_merc(wkt) for pid, wkt in polys}
+    if simplify_px > 0.0:
+        tol = simplify_px * (tm.RES0 / (2.0**z) * 256.0) / float(extent)
+        parsed = {
+            pid: [r for r in (simp.dp_simplify_ring(ring, tol) for ring in rings) if r is not None]
+            for pid, rings in parsed.items()
+        }
     fid = {pid: i for i, (pid, _w) in enumerate(polys)}
     work = []
     for pid, rings in parsed.items():
@@ -393,6 +407,7 @@ def line_vector_tiles(
     buffer_px: int = 8,
     layer_name: str = "lines",
     max_tiles: int = 200_000,
+    simplify_px: float = 0.0,
 ) -> DataFrame:
     """[(line_id, LINESTRING wkt lon/lat)] -> (z, x, y, tile, n_features)
     — the line-geometry leg of the MVT family (contours, routes, coast
@@ -400,15 +415,22 @@ def line_vector_tiles(
     polyline is Liang-Barsky-clipped segment-wise to the buffered tile
     square (exiting/re-entering splits into multiple paths of ONE
     multi-linestring feature), quantized round-half-up, consecutive
-    duplicate vertices collapsed."""
+    duplicate vertices collapsed. `simplify_px` > 0 applies zoom-scaled
+    Douglas-Peucker (tolerance = that many tile pixels) once per line
+    driver-side before cover/clip — see polygon_vector_tiles."""
     from ..functions import mvtcodec as mvt
+    from ..functions import simplify as simp
 
     parsed = {}
     for lid, wkt in lines:
         lon = np.array([p[0] for p in _parse_wkt_linestring(wkt)])
         lat = np.array([p[1] for p in _parse_wkt_linestring(wkt)])
         mx, my = tm.merc_np(lon, lat)
-        parsed[lid] = np.stack([mx, my], axis=1)
+        pts = np.stack([mx, my], axis=1)
+        if simplify_px > 0.0:
+            tol = simplify_px * (tm.RES0 / (2.0**z) * 256.0) / float(extent)
+            pts = simp.dp_simplify(pts, tol)
+        parsed[lid] = pts
     fid = {lid: i for i, (lid, _w) in enumerate(lines)}
     work = []
     for lid, pts in parsed.items():
@@ -494,3 +516,33 @@ def merge_vector_tiles(base: DataFrame, overlay: DataFrame) -> DataFrame:
             ).alias("tile"),
         )
     )
+
+
+def simplify_polylines(df: DataFrame, tol: float, x_col: str = "xs", y_col: str = "ys") -> DataFrame:
+    """Distributed Douglas-Peucker over per-row polyline array columns
+    (`xs`/`ys` array<double>): the big-geometry path — a 100 TB contour /
+    route / trajectory table simplifies as one narrow Arrow ``mapInPandas``
+    pass, embarrassingly parallel, ZERO shuffle (each row's geometry is
+    self-contained). Contract = functions/simplify.py (infinite-line
+    distance, strict >, first-max split). Schema is preserved."""
+    from ..functions import simplify as simp
+
+    schema = df.schema
+
+    def run(it):
+        for pdf in it:
+            out_x, out_y = [], []
+            for xs, ys in zip(pdf[x_col], pdf[y_col]):
+                pts = np.stack(
+                    [np.asarray(xs, dtype=np.float64), np.asarray(ys, dtype=np.float64)],
+                    axis=1,
+                )
+                kept = pts[simp.dp_mask(pts, tol)]
+                out_x.append(kept[:, 0].tolist())
+                out_y.append(kept[:, 1].tolist())
+            pdf = pdf.copy()
+            pdf[x_col] = out_x
+            pdf[y_col] = out_y
+            yield pdf
+
+    return df.mapInPandas(run, schema)

@@ -4396,6 +4396,52 @@ UNION ALL
 """
 
 
+def q_simplify_lines(spark, sf_dir):
+    """Distributed Douglas-Peucker simplification (operators/vectortiles
+    ::simplify_polylines — one narrow Arrow mapInPandas pass, ZERO
+    shuffle after the line assembly agg) over polylines built from the
+    event points (line = event_id % 37, vertices in event_id order, raw
+    lon/lat degrees so every coordinate is pure-division bit-identical
+    cross-engine). Returns per (line, tolerance) the kept-vertex count +
+    floor(v*1e3+0.5)-quantized coordinate sums; the golden recomputes
+    with an INDEPENDENT recursive textbook DP (tools/make_golden_sql.py
+    ::_dp_keep_recursive — engine kernel is an iterative stack +
+    vectorized scan, shared code: none)."""
+    from ..operators import vectortiles as vt
+
+    pts = _points(spark, sf_dir).withColumn("line_id", F.col("event_id") % 37)
+    lines = (
+        pts.groupBy("line_id")
+        .agg(F.sort_array(F.collect_list(F.struct("event_id", "lon", "lat"))).alias("v"))
+        .select(
+            "line_id",
+            F.transform("v", lambda s: s.lon).alias("xs"),
+            F.transform("v", lambda s: s.lat).alias("ys"),
+        )
+    )
+
+    def qsum(c):
+        return F.aggregate(
+            F.col(c),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + F.floor(v * 1000.0 + 0.5).cast("bigint"),
+        )
+
+    outs = []
+    for tol_id, tol in ((0, 2.0), (1, 15.0)):
+        s = vt.simplify_polylines(lines, tol)
+        outs.append(
+            s.select(
+                F.col("line_id").cast("bigint").alias("line_id"),
+                F.lit(tol_id).cast("bigint").alias("tol_id"),
+                F.size("xs").cast("bigint").alias("n_kept"),
+                qsum("xs").alias("sx"),
+                qsum("ys").alias("sy"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
 # bbox literals for the serving query: one fixed viewport; the covering
 # tile ranges are computed by the same published tile math on both sides
 # (Spark path internally via tiles_in_bbox; oracle via the NumPy twins at
@@ -4743,6 +4789,7 @@ QUERIES: dict = {
     # tile addressing/serving: Bing quadkey scheme + viewport range lookup
     "quadkey": (q_quadkey, SQL_QUADKEY),
     "geohash": (q_geohash, SQL_GEOHASH),
+    "simplify_lines": (q_simplify_lines, _golden("simplify_lines")),
     "bbox_tiles": (q_bbox_tiles, SQL_BBOX_TILES),
     # engine-only queries: golden-VALUES oracles precomputed WITHOUT Spark
     # by tools/make_golden_sql.py (minitiler pixels, NumPy indexers,

@@ -2915,7 +2915,66 @@ def g_envi_ingest():
     )
 
 
+def _dp_keep_recursive(xs, ys, tol: float):
+    """INDEPENDENT Douglas-Peucker for the simplify_lines golden: the
+    textbook RECURSION with a scalar distance loop (the engine kernel in
+    functions/simplify.py is an iterative explicit stack + vectorized
+    scan — different code, same documented contract: infinite-line
+    perpendicular distance, STRICT >, first index attaining the max)."""
+    n = len(xs)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+
+    def rec(i, j):
+        if j <= i + 1:
+            return
+        ax, ay, bx, by = xs[i], ys[i], xs[j], ys[j]
+        dx, dy = bx - ax, by - ay
+        norm = math.sqrt(dx * dx + dy * dy)
+        best, bestd = -1, -1.0
+        for k in range(i + 1, j):
+            if norm == 0.0:
+                d = math.hypot(xs[k] - ax, ys[k] - ay)
+            else:
+                d = abs((xs[k] - ax) * dy - (ys[k] - ay) * dx) / norm
+            if d > bestd:
+                bestd, best = d, k
+        if bestd > tol:
+            keep[best] = True
+            rec(i, best)
+            rec(best, j)
+
+    rec(0, n - 1)
+    return keep
+
+
+def g_simplify_lines(mod: int = 37, tols=((0, 2.0), (1, 15.0))):
+    """Per (line, tolerance): kept-vertex count + quantized coordinate
+    sums of the Douglas-Peucker simplification of the event polylines
+    (line = event_id % mod, vertices in event_id order, raw lon/lat
+    degrees — pure-division derivation, bit-identical cross-engine)."""
+    e, lon, lat = _events_lonlat()
+    rows = []
+    for line in sorted(set(int(v) for v in e % mod)):
+        idx = np.where(e % mod == line)[0]
+        idx = idx[np.argsort(e[idx], kind="stable")]
+        xs = lon[idx]
+        ys = lat[idx]
+        for tol_id, tol in tols:
+            keep = _dp_keep_recursive(xs, ys, tol)
+            sx = sum(math.floor(x * 1000.0 + 0.5) for x in xs[keep])
+            sy = sum(math.floor(y * 1000.0 + 0.5) for y in ys[keep])
+            rows.append([line, tol_id, int(keep.sum()), int(sx), int(sy)])
+    save(
+        "simplify_lines",
+        ["line_id", "tol_id", "n_kept", "sx", "sy"],
+        ["int64", "int64", "int64", "int64", "int64"],
+        rows,
+    )
+
+
 GENERATORS = {
+    "simplify_lines": g_simplify_lines,
     "envi_ingest": g_envi_ingest,
     "xyz_grid_ingest": g_xyz_grid_ingest,
     "dem_tiles": g_dem_tiles,
