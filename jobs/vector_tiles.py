@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--lat-col", default="lat")
     ap.add_argument("--z", type=int, required=True)
     ap.add_argument("--extent", type=int, default=4096)
+    ap.add_argument("--cluster-px", type=float, default=0.0,
+                    help="supercluster-style grid cluster radius in web-mercator pixels at this zoom (points only; 0 = off)")
     ap.add_argument("--simplify-px", type=float, default=0.0,
                     help="Douglas-Peucker tolerance in tile pixels at this zoom (polys/lines only; 0 = off)")
     ap.add_argument("--layer", default=None, help="layer name (default points/polys)")
@@ -50,10 +52,17 @@ def main():
     if args.points:
         layer = args.layer or "points"
         pts = spark.read.parquet(args.points)
-        tiles = vt.point_vector_tiles(
-            pts, args.z, extent=args.extent, layer_name=layer,
-            id_col=args.id_col, lon_col=args.lon_col, lat_col=args.lat_col,
-        )
+        if args.cluster_px > 0:
+            tiles = vt.clustered_point_vector_tiles(
+                pts, args.z, args.cluster_px, extent=args.extent,
+                layer_name=layer, id_col=args.id_col,
+                lon_col=args.lon_col, lat_col=args.lat_col,
+            )
+        else:
+            tiles = vt.point_vector_tiles(
+                pts, args.z, extent=args.extent, layer_name=layer,
+                id_col=args.id_col, lon_col=args.lon_col, lat_col=args.lat_col,
+            )
     else:
         path = args.polys or args.lines
         rows = []

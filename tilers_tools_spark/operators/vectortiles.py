@@ -546,3 +546,118 @@ def simplify_polylines(df: DataFrame, tol: float, x_col: str = "xs", y_col: str 
             yield pdf
 
     return df.mapInPandas(run, schema)
+
+
+def cluster_points(
+    points: DataFrame,
+    z: int,
+    radius_px: float = 40.0,
+    id_col: str = "event_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Supercluster-role point clustering for a zoom level — the
+    deterministic GRID variant (documented deviation: supercluster's
+    greedy kd-tree radius merge is insertion-order-dependent, which a
+    distributed engine must not be; snapping to a grid of cell size =
+    `radius_px` web-mercator pixels at zoom `z` is the
+    partitioning-independent server-side equivalent). Each point lands
+    in cell (floor(mx/cell), floor(my/cell)); a cell aggregates to
+    point_count `n`, representative `min_id` (smallest member id —
+    stable under re-runs) and the member centroid (cx, cy in meters).
+
+    Scale shape: rows reduce to (id, mx, my) before ONE narrow shuffle
+    on the cell key with map-side partial aggregation — billions of
+    points cluster in a single pass; no UDF anywhere."""
+    cell = radius_px * (tm.RES0 / (2.0**z))
+    d = points.select(
+        F.col(id_col).cast("long").alias("id"),
+        tm.merc_x(F.col(lon_col)).alias("mx"),
+        tm.merc_y(F.col(lat_col)).alias("my"),
+    ).select(
+        "id",
+        "mx",
+        "my",
+        F.floor(F.col("mx") / F.lit(cell)).cast("long").alias("cell_x"),
+        F.floor(F.col("my") / F.lit(cell)).cast("long").alias("cell_y"),
+    )
+    return d.groupBy("cell_x", "cell_y").agg(
+        F.count("*").alias("n"),
+        F.min("id").alias("min_id"),
+        F.avg("mx").alias("cx"),
+        F.avg("my").alias("cy"),
+    )
+
+
+def clustered_point_vector_tiles(
+    points: DataFrame,
+    z: int,
+    cluster_radius_px: float = 40.0,
+    extent: int = 4096,
+    layer_name: str = "points",
+    id_col: str = "event_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """point_vector_tiles with the supercluster serving convention:
+    pre-cluster (grid variant above), then one feature per cluster at
+    the member centroid — props {"cluster": true, "point_count": n} for
+    n > 1 (the keys mapbox-gl styling expects), plain unclustered point
+    features for singletons; feature id = min member id. Same scale
+    shape: clusters reduce to five longs before the single tile-key
+    exchange."""
+    from ..functions import mvtcodec as mvt
+
+    zz = F.lit(z)
+    span = tm.RES0 / (2.0**z) * 256.0
+    cl = cluster_points(points, z, cluster_radius_px, id_col, lon_col, lat_col)
+    d = cl.select(
+        F.col("min_id").alias("id"),
+        F.col("n"),
+        tm.tile_x(F.col("cx"), zz).alias("x"),
+        tm.tile_y_tms(F.col("cy"), zz).alias("y"),
+        "cx",
+        "cy",
+    )
+    tx0 = F.col("x").cast("double") * F.lit(span) - F.lit(tm.ORIGIN)
+    top = (F.col("y").cast("double") + F.lit(1.0)) * F.lit(span) - F.lit(tm.ORIGIN)
+    narrow = d.select(
+        "x",
+        "y",
+        "id",
+        "n",
+        F.floor((F.col("cx") - tx0) / F.lit(span) * F.lit(float(extent)) + F.lit(0.5))
+        .cast("long")
+        .alias("qx"),
+        F.floor((top - F.col("cy")) / F.lit(span) * F.lit(float(extent)) + F.lit(0.5))
+        .cast("long")
+        .alias("qy"),
+    )
+
+    def encode_tile(pdf):
+        import pandas as pd
+
+        x = int(pdf["x"].iloc[0])
+        y = int(pdf["y"].iloc[0])
+        pdf = pdf.sort_values("id")
+        feats = []
+        for r in pdf.itertuples():
+            props = (
+                {"cluster": True, "point_count": int(r.n)} if int(r.n) > 1 else None
+            )
+            feats.append(
+                {
+                    "id": int(r.id),
+                    "type": mvt.GEOM_POINT,
+                    "geometry": mvt.point_geometry([(int(r.qx), int(r.qy))]),
+                    "props": props,
+                }
+            )
+        blob = mvt.encode_mvt({layer_name: (feats, extent)})
+        return pd.DataFrame(
+            {"z": [z], "x": [x], "y": [y], "tile": [blob], "n_features": [len(feats)]}
+        )
+
+    return narrow.groupBy("x", "y").applyInPandas(
+        encode_tile, schema="z int, x long, y long, tile binary, n_features int"
+    )

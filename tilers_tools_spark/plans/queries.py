@@ -4396,6 +4396,36 @@ UNION ALL
 """
 
 
+_CLUSTER_Z, _CLUSTER_PX = 4, 48.0
+
+
+def q_cluster_points(spark, sf_dir):
+    """Supercluster-role grid clustering (operators/vectortiles.py::
+    cluster_points — one narrow shuffle on the cell key, map-side
+    partials): event points at z=4 / 48px cells; the gate checks the
+    integer aggregates (cell key, point_count, min representative id) —
+    the float centroid is pinned separately in pytest (double SUM order
+    is partition-dependent, so it stays out of the hash gate)."""
+    from ..operators import vectortiles as vt
+
+    cl = vt.cluster_points(_points(spark, sf_dir), _CLUSTER_Z, _CLUSTER_PX)
+    return cl.select("cell_x", "cell_y", "n", "min_id")
+
+
+def _cluster_sql() -> str:
+    cell = repr(_CLUSTER_PX * (tm.RES0 / (2.0**_CLUSTER_Z)))
+    return f"""
+WITH {_PTS_SQL}
+SELECT CAST(FLOOR(mx / {cell}) AS BIGINT) AS cell_x,
+       CAST(FLOOR(my / {cell}) AS BIGINT) AS cell_y,
+       COUNT(*) AS n, MIN(event_id) AS min_id
+FROM m GROUP BY 1, 2
+"""
+
+
+SQL_CLUSTER_POINTS = _cluster_sql()
+
+
 def q_simplify_lines(spark, sf_dir):
     """Distributed Douglas-Peucker simplification (operators/vectortiles
     ::simplify_polylines — one narrow Arrow mapInPandas pass, ZERO
@@ -4790,6 +4820,7 @@ QUERIES: dict = {
     "quadkey": (q_quadkey, SQL_QUADKEY),
     "geohash": (q_geohash, SQL_GEOHASH),
     "simplify_lines": (q_simplify_lines, _golden("simplify_lines")),
+    "cluster_points": (q_cluster_points, SQL_CLUSTER_POINTS),
     "bbox_tiles": (q_bbox_tiles, SQL_BBOX_TILES),
     # engine-only queries: golden-VALUES oracles precomputed WITHOUT Spark
     # by tools/make_golden_sql.py (minitiler pixels, NumPy indexers,
