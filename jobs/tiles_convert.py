@@ -41,6 +41,8 @@ def main():
         action="store_true",
         help="validate source keys (dup/range/orphan pyramid lint) and abort on violations",
     )
+    ap.add_argument("--overzoom-to", type=int, default=None,
+                    help="materialize this zoom from shallower source tiles (quarter-crop + nearest upscale, depth <= 4) before writing")
     ap.add_argument("--name", default="tiles")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
@@ -84,6 +86,8 @@ def main():
         if bad:
             print(json.dumps({"lint": {r["issue"]: int(r["n"]) for r in bad}}))
             raise SystemExit("tiles_convert: tile-set lint failed (see counts above)")
+    if args.overzoom_to is not None:
+        tiles = convert.overzoom_tiles(tiles, args.overzoom_to)
     if args.transcode:
         tiles = convert.transcode(
             tiles, src_fmt=args.src_fmt_blob, dst_fmt=args.transcode,

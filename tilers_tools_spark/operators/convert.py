@@ -706,3 +706,76 @@ def from_osmdroid_keys(df: DataFrame) -> DataFrame:
         tm.tms_to_xyz(y_osm, F.col("_z")).cast("long").alias("y"),
         F.col("tile"),
     )
+
+
+def overzoom_keys(tiles: DataFrame, to_z: int) -> DataFrame:
+    """Key-space leg of overzoom (serving zooms DEEPER than the rendered
+    pyramid — the standard tile-server fallback): every stored
+    (z, x, y TMS) row explodes to its 4^(to_z - z) descendant keys
+    (cz, cx, cy). Pure Column sequence+explode over keys only — blobs
+    are not touched, so the planner leg costs four longs per child."""
+    f = F.pow(F.lit(2.0), (F.lit(to_z) - F.col("z")).cast("double")).cast("bigint")
+    return (
+        tiles.withColumn("cz", F.lit(to_z))
+        .withColumn("cx", F.explode(F.sequence(F.col("x") * f, F.col("x") * f + f - 1)))
+        .withColumn("cy", F.explode(F.sequence(F.col("y") * f, F.col("y") * f + f - 1)))
+    )
+
+
+def overzoom_tiles(tiles: DataFrame, to_z: int, tile_size: int = 256) -> DataFrame:
+    """Pixel leg of overzoom: materialize zoom `to_z` tiles from a
+    shallower stored level by quarter-crop + nearest upscale (the
+    convention tile servers and clients apply when a pyramid's max zoom
+    is exceeded — resampling stays nearest so bytes are deterministic
+    and repeated overzoom composes exactly).
+
+    Scale shape: one Arrow ``mapInPandas`` pass — each stored blob is
+    decoded ONCE and emits all its descendants; keys/blobs never
+    shuffle (children are produced in the ancestor's partition). Depth
+    is capped at 4 (16x upscale) — beyond that serve the client the
+    ancestor instead. Input rows where z >= to_z pass through unchanged
+    (idempotent on already-deep sets)."""
+    from ..functions import codecs
+
+    def run(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = {"z": [], "x": [], "y": [], "tile": []}
+            for r in pdf.itertuples():
+                z, x, y = int(r.z), int(r.x), int(r.y)
+                blob = bytes(r.tile)
+                if z >= to_z:
+                    out["z"].append(z)
+                    out["x"].append(x)
+                    out["y"].append(y)
+                    out["tile"].append(blob)
+                    continue
+                d = to_z - z
+                if d > 4:
+                    raise ValueError(
+                        f"overzoom depth {d} > 4 (z={z} -> {to_z}); render deeper "
+                        "levels instead of upscaling 32x+"
+                    )
+                fmt = codecs.sniff_fmt(blob)
+                arr = codecs.to_rgba(codecs.decode_image(blob, fmt))
+                n = 1 << d
+                w = tile_size >> d
+                rep = tile_size // w
+                for sx in range(n):
+                    for sy in range(n):  # sy = TMS sub-row (from bottom)
+                        r0 = (n - 1 - sy) * w  # pixel rows count from top
+                        crop = arr[r0 : r0 + w, sx * w : (sx + 1) * w]
+                        up = np.repeat(np.repeat(crop, rep, axis=0), rep, axis=1)
+                        out["z"].append(to_z)
+                        out["x"].append(x * n + sx)
+                        out["y"].append(y * n + sy)
+                        out["tile"].append(
+                            codecs.encode_raw(up) if fmt == "raw" else codecs.encode_tile_png(up)
+                        )
+            yield pd.DataFrame(out)
+
+    return tiles.select("z", "x", "y", "tile").mapInPandas(
+        run, schema="z int, x long, y long, tile binary"
+    )

@@ -4396,6 +4396,33 @@ UNION ALL
 """
 
 
+def q_overzoom_keys(spark, sf_dir):
+    """Overzoom planner (operators/convert.py::overzoom_keys — the
+    tile-server fallback when a request is deeper than the rendered
+    pyramid): explode the distinct z=6 event tiles to their z=8
+    descendant keys, aggregate per ancestor so the gate stays compact
+    (count must be 16 = 4^2; child-key sums pin the ranges)."""
+    t = _tiles_at(_merc_pts(spark, sf_dir), 6).select("z", "x", "y").distinct()
+    k = convert.overzoom_keys(t, 8)
+    return k.groupBy("z", "x", "y").agg(
+        F.count("*").alias("n_children"),
+        F.sum("cx").alias("sum_cx"),
+        F.sum("cy").alias("sum_cy"),
+    )
+
+
+SQL_OVERZOOM_KEYS = f"""
+WITH {_PTS_SQL}, {_tiles_sql(6)}, t6 AS (SELECT DISTINCT z, x, y FROM tiles)
+SELECT z, x, y, COUNT(*) AS n_children,
+       CAST(SUM(cx) AS BIGINT) AS sum_cx, CAST(SUM(cy) AS BIGINT) AS sum_cy
+FROM (
+  SELECT t6.z, t6.x, t6.y, t6.x*4 + i.i AS cx, t6.y*4 + j.j AS cy
+  FROM t6, (SELECT unnest(generate_series(0,3)) AS i) i,
+            (SELECT unnest(generate_series(0,3)) AS j) j
+) GROUP BY z, x, y
+"""
+
+
 _CLUSTER_Z, _CLUSTER_PX = 4, 48.0
 
 
@@ -4821,6 +4848,7 @@ QUERIES: dict = {
     "geohash": (q_geohash, SQL_GEOHASH),
     "simplify_lines": (q_simplify_lines, _golden("simplify_lines")),
     "cluster_points": (q_cluster_points, SQL_CLUSTER_POINTS),
+    "overzoom_keys": (q_overzoom_keys, SQL_OVERZOOM_KEYS),
     "bbox_tiles": (q_bbox_tiles, SQL_BBOX_TILES),
     # engine-only queries: golden-VALUES oracles precomputed WITHOUT Spark
     # by tools/make_golden_sql.py (minitiler pixels, NumPy indexers,
