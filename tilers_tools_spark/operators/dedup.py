@@ -800,3 +800,61 @@ def dedup_clusters(
         .withColumn("is_canonical", F.col("id") == F.col("comp"))
         .select(F.col("id").alias(id_col), "comp", "group_size", "is_canonical")
     )
+
+
+def substring_dedup_stats(
+    docs: DataFrame,
+    window: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplication signals — the suffix-array
+    train-data-dedup role (Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better") in its hash-window form: the corpus is
+    cut into NON-OVERLAPPING `window`-char pieces (piece k covers chars
+    [k*window, (k+1)*window)); a piece whose content occurs more than
+    once ANYWHERE in the corpus (other docs or elsewhere in the same doc)
+    is a duplicated span. Per doc: number of full windows, number of
+    duplicated windows, duplicated-char fraction (dup*window / length).
+    Compose with a threshold filter to drop boilerplate-heavy docs, or
+    with `exact_dedup` for whole-doc removal.
+
+    Documented deviation vs the suffix-array original: window-aligned
+    granularity (a duplicate not aligned to the stride is missed; spans
+    are multiples of `window`). That is the price of a shuffle-bounded
+    distributed formulation — the census shuffles ONE 128-bit digest per
+    window, never text, and both aggregations take map-side partials.
+    """
+    nw = F.floor(F.length(F.col(text_col)) / F.lit(float(window))).cast("bigint")
+    base = docs.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("bigint").alias("doc_len"),
+        nw.alias("n_windows"),
+        F.col(text_col).alias("_t"),
+    )
+    wins = base.where(F.col("n_windows") > 0).select(
+        id_col,
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("n_windows") - 1)).alias("k"),
+        "_t",
+    ).select(
+        id_col,
+        F.md5(F.expr(f"substring(_t, k * {window} + 1, {window})")).alias("h"),
+    )
+    census = wins.groupBy("h").agg(F.count("*").alias("_n"))
+    dup = (
+        wins.join(census, "h")
+        .groupBy(id_col)
+        .agg(F.sum(F.when(F.col("_n") > 1, 1).otherwise(0)).alias("n_dup_windows"))
+    )
+    return (
+        base.drop("_t")
+        .join(dup, id_col, "left")
+        .withColumn("n_dup_windows", F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("bigint"))
+        .withColumn(
+            "dup_char_frac",
+            F.when(
+                F.col("doc_len") > 0,
+                F.col("n_dup_windows") * F.lit(float(window)) / F.col("doc_len"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )

@@ -4396,6 +4396,58 @@ UNION ALL
 """
 
 
+_SSD_P = "BOILERPLATE-BLOCK-0123456789-abcdefghij-"  # exactly 40 chars
+assert len(_SSD_P) == 40
+
+
+def q_substring_dedup(spark, sf_dir):
+    """Exact-substring duplication signals (operators/dedup.py::
+    substring_dedup_stats — the Lee et al. suffix-array dedup role in
+    its shuffle-bounded window-hash form; census moves one digest per
+    window, never text). Fixture plants window-ALIGNED duplicates by
+    prefixing doc_id%3 copies of a 40-char block (stride-aligned by
+    construction, so planted dup counts are deterministic); the corpus's
+    own repeated windows are counted identically by both engines."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat(
+            F.repeat(F.lit(_SSD_P), (F.col("doc_id") % 3).cast("int")), F.col("text")
+        ).alias("text"),
+    )
+    return dedup.substring_dedup_stats(docs, window=40)
+
+
+SQL_SUBSTRING_DEDUP = f"""
+WITH d AS (
+  SELECT doc_id, repeat('{_SSD_P}', CAST(doc_id % 3 AS INT)) || text AS text
+  FROM documents
+),
+b AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS doc_len,
+         CAST(FLOOR(length(text) / 40e0) AS BIGINT) AS n_windows, text
+  FROM d
+),
+w AS (
+  SELECT doc_id, md5(substring(text, CAST(k * 40 + 1 AS BIGINT), 40)) AS h
+  FROM (
+    SELECT doc_id, text, unnest(generate_series(0, n_windows - 1)) AS k
+    FROM b WHERE n_windows > 0
+  )
+),
+c AS (SELECT h, COUNT(*) AS n FROM w GROUP BY h),
+dup AS (
+  SELECT doc_id, SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS n_dup
+  FROM w JOIN c USING (h) GROUP BY doc_id
+)
+SELECT b.doc_id, b.doc_len, b.n_windows,
+       CAST(COALESCE(dup.n_dup, 0) AS BIGINT) AS n_dup_windows,
+       CASE WHEN b.doc_len > 0
+            THEN CAST(COALESCE(dup.n_dup, 0) AS BIGINT) * 40e0 / b.doc_len
+            ELSE 0e0 END AS dup_char_frac
+FROM b LEFT JOIN dup USING (doc_id)
+"""
+
+
 def q_overzoom_keys(spark, sf_dir):
     """Overzoom planner (operators/convert.py::overzoom_keys — the
     tile-server fallback when a request is deeper than the rendered
@@ -4849,6 +4901,7 @@ QUERIES: dict = {
     "simplify_lines": (q_simplify_lines, _golden("simplify_lines")),
     "cluster_points": (q_cluster_points, SQL_CLUSTER_POINTS),
     "overzoom_keys": (q_overzoom_keys, SQL_OVERZOOM_KEYS),
+    "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "bbox_tiles": (q_bbox_tiles, SQL_BBOX_TILES),
     # engine-only queries: golden-VALUES oracles precomputed WITHOUT Spark
     # by tools/make_golden_sql.py (minitiler pixels, NumPy indexers,
