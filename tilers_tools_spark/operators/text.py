@@ -545,3 +545,154 @@ def charlm_score(
         F.col("bits_per_char").cast("double").alias("bits_per_char"),
         F.pow(F.lit(2.0), F.col("bits_per_char")).cast("double").alias("ppl"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer: distributed training + encoding (Sennrich et al. 2016)
+# ---------------------------------------------------------------------------
+
+BPE_EOW = "</w>"
+
+
+def _bpe_word_census(docs: DataFrame, text_col: str) -> DataFrame:
+    """(word, count) census — the ONLY pass over the corpus text: one
+    shuffle of words with map-side partial counts; every training
+    iteration afterwards runs on the (much smaller) distinct-word set."""
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _bpe_merge_expr(sym: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right merge of adjacent (a, b) -> a+b as a pure
+    Column fold (no Python in the training loop). Fold invariant: the
+    accumulator's last element merges with the current one iff they
+    equal (a, b) — since the merged string a+b != a, a freshly merged
+    token never cascades within the same pass (matches the textbook
+    scan-and-skip greedy, verified against the scalar golden)."""
+    return F.aggregate(
+        sym,
+        F.array().cast("array<string>"),
+        lambda acc, cur: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (cur == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))),
+        ).otherwise(F.concat(acc, F.array(cur))),
+    )
+
+
+def bpe_train(
+    docs: DataFrame, num_merges: int = 100, text_col: str = "text"
+) -> list[tuple[str, str, int]]:
+    """Byte-pair-encoding training (Sennrich et al. 2016) — the
+    tokenizer-building step of an LLM data pipeline, distributed:
+
+    * words split on whitespace; symbols = characters + a final
+      ``</w>`` end-of-word marker;
+    * each round counts adjacent symbol pairs over the weighted word
+      census (explode + sum — narrow pair strings only), picks the
+      max-frequency pair (ties broken lexicographically on (left,
+      right) — deterministic, partitioning-independent) and merges it
+      everywhere with a pure Column fold;
+    * the census is localCheckpoint'ed each round so the plan does not
+      grow with the merge count.
+
+    Returns [(left, right, freq)] in merge order. Scale: the corpus is
+    read ONCE (word census); rounds touch only distinct words — the
+    same shape fastBPE uses single-node, with the census sharded."""
+    words = _bpe_word_census(docs, text_col).select(
+        "cnt",
+        F.concat(F.split(F.col("word"), ""), F.array(F.lit(BPE_EOW))).alias("sym"),
+    )
+    words = words.localCheckpoint(eager=True)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        pairs = words.select(
+            "cnt",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("sym"), 1, F.size("sym") - 1),
+                    F.slice(F.col("sym"), 2, F.size("sym") - 1),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p")
+            .agg(F.sum("cnt").alias("freq"))
+            .orderBy(F.desc("freq"), F.col("p.a"), F.col("p.b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, freq = top[0]["p"]["a"], top[0]["p"]["b"], int(top[0]["freq"])
+        merges.append((a, b, freq))
+        words = words.select("cnt", _bpe_merge_expr(F.col("sym"), a, b).alias("sym"))
+        words = words.localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize with a trained merge list: merges applied in rank order
+    per word (the Sennrich apply rule — same greedy the trainer used).
+    One Arrow mapInPandas pass; each batch memoizes per distinct word,
+    so hot words tokenize once per batch. Adds ``tokens`` +
+    ``n_tokens``."""
+    ranked = [(m[0], m[1]) for m in merges]
+
+    def run(it):
+        import re
+
+        import pandas as pd
+
+        # Java \s is ASCII-only: match the trainer's F.split exactly
+        ws = re.compile(r"\s+", re.ASCII)
+
+        def enc_word(w: str, memo: dict) -> list[str]:
+            got = memo.get(w)
+            if got is None:
+                sym = list(w) + [BPE_EOW]
+                for a, b in ranked:
+                    out = []
+                    i = 0
+                    while i < len(sym):
+                        if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                            out.append(a + b)
+                            i += 2
+                        else:
+                            out.append(sym[i])
+                            i += 1
+                    sym = out
+                got = memo[w] = sym
+            return got
+
+        for pdf in it:
+            memo: dict = {}
+            toks = []
+            for t in pdf[text_col]:
+                doc_tokens: list[str] = []
+                for w in ws.split(str(t)):
+                    if w:
+                        doc_tokens += enc_word(w, memo)
+                toks.append(doc_tokens)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "tokens": toks,
+                    "n_tokens": [len(x) for x in toks],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} long, tokens array<string>, n_tokens long"
+    )

@@ -4396,6 +4396,49 @@ UNION ALL
 """
 
 
+_BPE_MERGES = 12
+_bpe_cache: dict = {}
+
+
+def _bpe_trained(spark, sf_dir):
+    """Train once per (session, sf_dir) — both BPE gate queries reuse the
+    same merge list (training is a 12-round driver loop over the word
+    census; caching keeps the gate run honest AND fast)."""
+    key = (id(spark), sf_dir)
+    if key not in _bpe_cache:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _bpe_cache[key] = text.bpe_train(docs, num_merges=_BPE_MERGES)
+    return _bpe_cache[key]
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE training (operators/text.py::bpe_train — corpus
+    read once into a word census, then 12 pair-census rounds over
+    distinct words with a pure Column fold merge). Golden: an
+    INDEPENDENT textbook dict/Counter trainer (make_golden_sql.g_bpe)."""
+    merges = _bpe_trained(spark, sf_dir)
+    return spark.createDataFrame(
+        [(r, a, b, f) for r, (a, b, f) in enumerate(merges)],
+        "m_rank long, lhs string, rhs string, freq long",
+    )
+
+
+def q_bpe_encode(spark, sf_dir):
+    """Tokenize the corpus with the engine-trained merges (Arrow
+    mapInPandas, per-batch word memo): per doc the token count + md5 of
+    the space-joined token stream, vs the golden's independent scalar
+    encoder driven by ITS independently trained merges — the comparison
+    is meaningful only because training agreed (bpe_merges)."""
+    merges = _bpe_trained(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    enc = text.bpe_encode(docs, merges)
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.md5(F.concat_ws(" ", F.col("tokens"))).alias("tok_md5"),
+    )
+
+
 _SSD_P = "BOILERPLATE-BLOCK-0123456789-abcdefghij-"  # exactly 40 chars
 assert len(_SSD_P) == 40
 
@@ -4902,6 +4945,8 @@ QUERIES: dict = {
     "cluster_points": (q_cluster_points, SQL_CLUSTER_POINTS),
     "overzoom_keys": (q_overzoom_keys, SQL_OVERZOOM_KEYS),
     "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
+    "bpe_merges": (q_bpe_merges, _golden("bpe_merges")),
+    "bpe_encode": (q_bpe_encode, _golden("bpe_encode")),
     "bbox_tiles": (q_bbox_tiles, SQL_BBOX_TILES),
     # engine-only queries: golden-VALUES oracles precomputed WITHOUT Spark
     # by tools/make_golden_sql.py (minitiler pixels, NumPy indexers,

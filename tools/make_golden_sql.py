@@ -2915,6 +2915,94 @@ def g_envi_ingest():
     )
 
 
+def g_bpe(num_merges: int = 12):
+    """INDEPENDENT textbook BPE (Sennrich et al. 2016) — dict-of-tuples
+    trainer with a Counter pair census and scan-and-skip merges (the
+    engine trains via a distributed word-census DataFrame + Column fold;
+    shared code: none). Same documented contract: whitespace (ASCII \\s+)
+    words, char symbols + '</w>', max-freq pair with lexicographic
+    (left, right) tie-break, merges applied in rank order on encode.
+    Writes BOTH goldens: bpe_merges (the merge table) and bpe_encode
+    (per-doc token count + md5 of the space-joined token stream)."""
+    import re
+    from collections import Counter
+
+    ws = re.compile(r"\s+", re.ASCII)
+    docs = _docs()
+    census: Counter = Counter()
+    for _id, text in docs:
+        for w in ws.split(text):
+            if w:
+                census[w] += 1
+    vocab = {tuple(list(w) + ["</w>"]): c for w, c in census.items()}
+    merges = []
+    for _ in range(num_merges):
+        pc: Counter = Counter()
+        for sym, c in vocab.items():
+            for i in range(len(sym) - 1):
+                pc[(sym[i], sym[i + 1])] += c
+        if not pc:
+            break
+        (a, b), freq = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((a, b, int(freq)))
+        nxt: dict = {}
+        for sym, c in vocab.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            key = tuple(out)
+            nxt[key] = nxt.get(key, 0) + c
+        vocab = nxt
+    save(
+        "bpe_merges",
+        ["m_rank", "lhs", "rhs", "freq"],
+        ["int64", "str", "str", "int64"],
+        [[r, a, b, f] for r, (a, b, f) in enumerate(merges)],
+    )
+
+    ranked = [(a, b) for a, b, _f in merges]
+    memo: dict = {}
+
+    def enc_word(w: str):
+        got = memo.get(w)
+        if got is None:
+            sym = list(w) + ["</w>"]
+            for a, b in ranked:
+                out = []
+                i = 0
+                while i < len(sym):
+                    if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(sym[i])
+                        i += 1
+                sym = out
+            got = memo[w] = sym
+        return got
+
+    rows = []
+    for did, text in docs:
+        toks: list = []
+        for w in ws.split(text):
+            if w:
+                toks += enc_word(w)
+        rows.append(
+            [
+                int(did),
+                len(toks),
+                hashlib.md5(" ".join(toks).encode("utf-8")).hexdigest(),
+            ]
+        )
+    save("bpe_encode", ["doc_id", "n_tokens", "tok_md5"], ["int64", "int64", "str"], rows)
+
+
 def _dp_keep_recursive(xs, ys, tol: float):
     """INDEPENDENT Douglas-Peucker for the simplify_lines golden: the
     textbook RECURSION with a scalar distance loop (the engine kernel in
@@ -2975,6 +3063,7 @@ def g_simplify_lines(mod: int = 37, tols=((0, 2.0), (1, 15.0))):
 
 GENERATORS = {
     "simplify_lines": g_simplify_lines,
+    "bpe": g_bpe,
     "envi_ingest": g_envi_ingest,
     "xyz_grid_ingest": g_xyz_grid_ingest,
     "dem_tiles": g_dem_tiles,
