@@ -4396,6 +4396,34 @@ UNION ALL
 """
 
 
+def q_hilbert_keys(spark, sf_dir):
+    """Space-filling locality keys (functions/spacefill.py): Morton +
+    Hilbert over the distinct z=8 event tiles — the single sort/bucket
+    column a 100 TB layout range-prunes on. Pure Column bit math; the
+    oracle mirrors Morton term-for-term and the Hilbert xy2d unroll
+    CTE-for-select (all-integer, bit-exact)."""
+    from ..functions import spacefill as sfc
+
+    t = _tiles_at(_merc_pts(spark, sf_dir), 8).select("z", "x", "y").distinct()
+    t = t.withColumn("morton", sfc.morton_key(F.col("x"), F.col("y"), 8))
+    return sfc.hilbert_key(t, 8)
+
+
+def _hilbert_sql() -> str:
+    from ..functions import spacefill as sfc
+
+    return f"""
+WITH {_PTS_SQL}, {_tiles_sql(8)},
+t8 AS (SELECT DISTINCT z, x, y FROM tiles),
+m8 AS (SELECT z, x, y, {sfc.morton_sql_expr('x', 'y', 8)} AS morton FROM t8),
+{sfc.hilbert_sql_ctes('m8', 8, 'z, x, y, morton')}
+SELECT z, x, y, morton, hd AS hilbert FROM h8
+"""
+
+
+SQL_HILBERT_KEYS = _hilbert_sql()
+
+
 _BPE_MERGES = 12
 _bpe_cache: dict = {}
 
@@ -4946,6 +4974,7 @@ QUERIES: dict = {
     "overzoom_keys": (q_overzoom_keys, SQL_OVERZOOM_KEYS),
     "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "bpe_merges": (q_bpe_merges, _golden("bpe_merges")),
+    "hilbert_keys": (q_hilbert_keys, SQL_HILBERT_KEYS),
     "bpe_encode": (q_bpe_encode, _golden("bpe_encode")),
     "bbox_tiles": (q_bbox_tiles, SQL_BBOX_TILES),
     # engine-only queries: golden-VALUES oracles precomputed WITHOUT Spark
