@@ -696,3 +696,48 @@ def bpe_encode(
     return docs.select(id_col, text_col).mapInPandas(
         run, schema=f"{id_col} long, tokens array<string>, n_tokens long"
     )
+
+
+# ---------------------------------------------------------------------------
+# text normalization (the ftfy/clean-before-tokenize role)
+# ---------------------------------------------------------------------------
+
+_CTRL_RE = r"[\x00-\x08\x0e-\x1f\x7f]"  # C0 controls + DEL, KEEPING \t..\r
+_WS_RE = r"[ \t\n\x0b\f\r]+"  # explicit class: Java \s and RE2 \s disagree on \x0b
+
+
+def normalize_text(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "norm_text",
+) -> DataFrame:
+    """Canonical text normalization before tokenization/dedup (the
+    cleanup every corpus pipeline runs; fixed documented order so two
+    engines agree byte-for-byte):
+
+    1. strip C0 control chars + DEL (whitespace controls \\t..\\r kept);
+    2. Unicode NFC (combining sequences composed — the one step that
+       needs Python: ``unicodedata.normalize`` in an Arrow-batched
+       pandas UDF; everything else is JVM Column ops);
+    3. collapse ASCII whitespace runs to one space (EXPLICIT char class
+       — Java's \\s includes \\x0b, RE2's does not; spelling the class
+       keeps Spark and the DuckDB oracle identical);
+    4. trim + lowercase.
+
+    The driver gate compares md5 of the result against DuckDB's
+    independent utf8proc ``nfc_normalize`` — a genuinely cross-engine
+    Unicode pin, not a twin of our own kernel."""
+    import pandas as pd  # noqa: F401  (pandas_udf type-hint resolution)
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def _nfc(s):  # type: ignore[misc]
+        import unicodedata
+
+        return s.map(lambda t: unicodedata.normalize("NFC", t) if t is not None else None)
+
+    s1 = F.regexp_replace(F.col(text_col), _CTRL_RE, "")
+    s2 = _nfc(s1)
+    s3 = F.regexp_replace(s2, _WS_RE, " ")
+    return docs.withColumn(out_col, F.lower(F.trim(s3)))

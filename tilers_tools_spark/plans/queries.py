@@ -4396,6 +4396,45 @@ UNION ALL
 """
 
 
+def q_normalize_text(spark, sf_dir):
+    """Text normalization (operators/text.py::normalize_text): the gate
+    plants combining sequences (e+U+0301, A+U+030A), a C0 control and
+    messy whitespace after every doc, then compares md5+length of the
+    normalized result — Spark's pipeline (Java regex + Python
+    unicodedata NFC + JVM lower/trim) vs DuckDB's INDEPENDENT utf8proc
+    nfc_normalize + RE2. A genuinely cross-engine Unicode pin."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" Café\tÅ  x\x01y")).alias("text"),
+    )
+    out = text.normalize_text(docs)
+    return out.select(
+        "doc_id",
+        F.length("norm_text").cast("bigint").alias("n_chars"),
+        F.md5("norm_text").alias("norm_md5"),
+    )
+
+
+SQL_NORMALIZE_TEXT = r"""
+WITH d AS (
+  SELECT doc_id,
+         text || ' Cafe' || chr(769) || chr(9) || 'A' || chr(778)
+              || '  x' || chr(1) || 'y' AS text
+  FROM documents
+),
+n AS (
+  SELECT doc_id,
+         lower(trim(regexp_replace(
+           nfc_normalize(regexp_replace(text, '[\x00-\x08\x0e-\x1f\x7f]', '', 'g')),
+           '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS norm_text
+  FROM d
+)
+SELECT doc_id, CAST(length(norm_text) AS BIGINT) AS n_chars,
+       md5(norm_text) AS norm_md5
+FROM n
+"""
+
+
 def q_hilbert_keys(spark, sf_dir):
     """Space-filling locality keys (functions/spacefill.py): Morton +
     Hilbert over the distinct z=8 event tiles — the single sort/bucket
@@ -4975,6 +5014,7 @@ QUERIES: dict = {
     "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "bpe_merges": (q_bpe_merges, _golden("bpe_merges")),
     "hilbert_keys": (q_hilbert_keys, SQL_HILBERT_KEYS),
+    "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "bpe_encode": (q_bpe_encode, _golden("bpe_encode")),
     "bbox_tiles": (q_bbox_tiles, SQL_BBOX_TILES),
     # engine-only queries: golden-VALUES oracles precomputed WITHOUT Spark
