@@ -81,6 +81,17 @@ BENCH_QUERIES = [
     "charlm_ppl",
     "webdataset_shards",
     "mvt_point_tiles",
+    # final round-5 batch: geohash/Hilbert locality keys, DP simplify,
+    # grid clustering, overzoom planner, substring dedup, NFC normalize,
+    # distributed BPE tokenization
+    "geohash",
+    "hilbert_keys",
+    "simplify_lines",
+    "cluster_points",
+    "overzoom_keys",
+    "substring_dedup",
+    "normalize_text",
+    "bpe_encode",
 ]
 
 
