@@ -4396,6 +4396,62 @@ UNION ALL
 """
 
 
+def q_polyline_encode(spark, sf_dir):
+    """Google encoded-polyline serialization (functions/polyline.py —
+    quantize/delta/zigzag/varint chunk loop all as Column exprs, zero
+    Python, zero shuffle after line assembly): the event polylines
+    (line = event_id % 37, vertices in event_id order) serialized per
+    row; DuckDB mirrors via LAG deltas + the same 7-chunk CASE unroll +
+    ordered string_agg."""
+    from ..functions import polyline as pl
+
+    pts = _points(spark, sf_dir).withColumn("line_id", F.col("event_id") % 37)
+    lines = (
+        pts.groupBy("line_id")
+        .agg(F.sort_array(F.collect_list(F.struct("event_id", "lat", "lon"))).alias("v"))
+        .select(
+            "line_id",
+            F.transform("v", lambda s: s.lat).alias("lats"),
+            F.transform("v", lambda s: s.lon).alias("lons"),
+        )
+    )
+    out = lines.select(
+        "line_id", pl.polyline_encode(F.col("lats"), F.col("lons")).alias("poly")
+    )
+    return out.select("line_id", "poly", F.length("poly").cast("bigint").alias("n_chars"))
+
+
+def _polyline_sql() -> str:
+    from ..functions import polyline as pl
+
+    return f"""
+WITH {_PTS_SQL},
+q AS (
+  SELECT event_id % 37 AS line_id, event_id,
+         CAST(FLOOR(lat * 100000e0 + 0.5) AS BIGINT) AS qla,
+         CAST(FLOOR(lon * 100000e0 + 0.5) AS BIGINT) AS qlo
+  FROM pts
+),
+d AS (
+  SELECT line_id, event_id,
+         qla - COALESCE(LAG(qla) OVER w, 0) AS dla,
+         qlo - COALESCE(LAG(qlo) OVER w, 0) AS dlo
+  FROM q WINDOW w AS (PARTITION BY line_id ORDER BY event_id)
+),
+e AS (
+  SELECT line_id, event_id,
+         ({pl.enc_value_sql('dla')}) || ({pl.enc_value_sql('dlo')}) AS s
+  FROM d
+)
+SELECT line_id, string_agg(s, '' ORDER BY event_id) AS poly,
+       CAST(length(string_agg(s, '' ORDER BY event_id)) AS BIGINT) AS n_chars
+FROM e GROUP BY line_id
+"""
+
+
+SQL_POLYLINE_ENCODE = _polyline_sql()
+
+
 def q_normalize_text(spark, sf_dir):
     """Text normalization (operators/text.py::normalize_text): the gate
     plants combining sequences (e+U+0301, A+U+030A), a C0 control and
@@ -5015,6 +5071,7 @@ QUERIES: dict = {
     "bpe_merges": (q_bpe_merges, _golden("bpe_merges")),
     "hilbert_keys": (q_hilbert_keys, SQL_HILBERT_KEYS),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
+    "polyline_encode": (q_polyline_encode, SQL_POLYLINE_ENCODE),
     "bpe_encode": (q_bpe_encode, _golden("bpe_encode")),
     "bbox_tiles": (q_bbox_tiles, SQL_BBOX_TILES),
     # engine-only queries: golden-VALUES oracles precomputed WITHOUT Spark
