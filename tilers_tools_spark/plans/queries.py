@@ -4396,6 +4396,66 @@ UNION ALL
 """
 
 
+def q_ring_metrics(spark, sf_dir):
+    """Geometry metrics (functions/geom.py — shoelace area / perimeter /
+    bbox as HOF Columns over ring arrays): event rings (line = event_id
+    % 37, vertices in event_id order, wrap edge included). Gate compares
+    ORDER-FREE quantized-integer edge sums (per-edge floor(t*q+0.5) then
+    integer SUM — double SUM order is partition-dependent, ints are not)
+    + exact bbox doubles; the true double metrics are pinned in pytest
+    vs scalar shoelace."""
+    from ..functions import geom
+
+    pts = _points(spark, sf_dir).withColumn("line_id", F.col("event_id") % 37)
+    lines = (
+        pts.groupBy("line_id")
+        .agg(F.sort_array(F.collect_list(F.struct("event_id", "lon", "lat"))).alias("v"))
+        .select(
+            "line_id",
+            F.transform("v", lambda s: s.lon).alias("xs"),
+            F.transform("v", lambda s: s.lat).alias("ys"),
+        )
+    )
+    cr = geom.edge_cross(F.col("xs"), F.col("ys"))
+    el = geom.edge_length(F.col("xs"), F.col("ys"))
+
+    def qsum(arr, q):
+        return F.aggregate(
+            F.transform(arr, lambda t: F.floor(t * F.lit(q) + F.lit(0.5)).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+
+    return lines.select(
+        "line_id",
+        F.size("xs").cast("bigint").alias("n_pts"),
+        qsum(cr, 1e6).alias("area2_q"),
+        qsum(el, 1e3).alias("perim_q"),
+        F.array_min("xs").alias("xmin"),
+        F.array_max("xs").alias("xmax"),
+        F.array_min("ys").alias("ymin"),
+        F.array_max("ys").alias("ymax"),
+    )
+
+
+SQL_RING_METRICS = f"""
+WITH {_PTS_SQL},
+p2 AS (SELECT event_id % 37 AS line_id, event_id, lon AS x, lat AS y FROM pts),
+d AS (
+  SELECT line_id, x, y,
+         COALESCE(LEAD(x) OVER w, FIRST_VALUE(x) OVER w) AS xj,
+         COALESCE(LEAD(y) OVER w, FIRST_VALUE(y) OVER w) AS yj
+  FROM p2 WINDOW w AS (PARTITION BY line_id ORDER BY event_id)
+)
+SELECT line_id, COUNT(*) AS n_pts,
+       CAST(SUM(CAST(FLOOR((x * yj - xj * y) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS area2_q,
+       CAST(SUM(CAST(FLOOR(sqrt((xj - x) * (xj - x) + (yj - y) * (yj - y)) * 1e3 + 0.5)
+                AS BIGINT)) AS BIGINT) AS perim_q,
+       MIN(x) AS xmin, MAX(x) AS xmax, MIN(y) AS ymin, MAX(y) AS ymax
+FROM d GROUP BY line_id
+"""
+
+
 def q_polyline_encode(spark, sf_dir):
     """Google encoded-polyline serialization (functions/polyline.py —
     quantize/delta/zigzag/varint chunk loop all as Column exprs, zero
@@ -5072,6 +5132,7 @@ QUERIES: dict = {
     "hilbert_keys": (q_hilbert_keys, SQL_HILBERT_KEYS),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "polyline_encode": (q_polyline_encode, SQL_POLYLINE_ENCODE),
+    "ring_metrics": (q_ring_metrics, SQL_RING_METRICS),
     "bpe_encode": (q_bpe_encode, _golden("bpe_encode")),
     "bbox_tiles": (q_bbox_tiles, SQL_BBOX_TILES),
     # engine-only queries: golden-VALUES oracles precomputed WITHOUT Spark
