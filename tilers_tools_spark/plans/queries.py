@@ -4396,6 +4396,68 @@ UNION ALL
 """
 
 
+def q_trip_stats(spark, sf_dir):
+    """Trajectory sessionization + path length (operators/trajectory.py):
+    events sessionized per user with a 600 s gap (integer-microsecond
+    boundaries — bit-exact cross-engine), per-session event count,
+    duration, and haversine path length in mm (per-hop floor(m*1e3+0.5)
+    then integer SUM — order-free; libm sin/asin 1-ULP differences are
+    ~1e-9 m, eight orders below the mm quantum)."""
+    from ..operators import trajectory
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "ts", "user_id")
+    pts = _points(spark, sf_dir)
+    df = ev.join(pts, "event_id")
+    out = trajectory.trip_stats(df, gap_s=600.0, quantize_mm=True)
+    return out.select(
+        "user_id",
+        "session_idx",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("dur_us").cast("bigint").alias("dur_us"),
+        F.col("dist_mm").cast("bigint").alias("dist_mm"),
+    )
+
+
+SQL_TRIP_STATS = f"""
+WITH {_PTS_SQL},
+ev AS (
+  SELECT e.event_id, e.user_id, epoch_us(e.ts) AS us, p.lat, p.lon
+  FROM events e JOIN pts p USING (event_id)
+),
+g AS (
+  SELECT *, CASE WHEN LAG(us) OVER w IS NULL OR us - LAG(us) OVER w > 600000000
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_idx
+  FROM g
+),
+h0 AS (
+  SELECT user_id, session_idx, us, event_id,
+         sqrt(
+             sin(radians(lat - LAG(lat) OVER w2) / 2e0) * sin(radians(lat - LAG(lat) OVER w2) / 2e0)
+             + cos(radians(LAG(lat) OVER w2)) * cos(radians(lat))
+               * sin(radians(lon - LAG(lon) OVER w2) / 2e0) * sin(radians(lon - LAG(lon) OVER w2) / 2e0)
+         ) AS hav_r
+  FROM s WINDOW w2 AS (PARTITION BY user_id, session_idx ORDER BY us, event_id)
+),
+h AS (
+  SELECT user_id, session_idx, us,
+         COALESCE(CAST(FLOOR(
+           2e0 * 6371000e0 * asin(CASE WHEN hav_r > 1e0 THEN 1e0 ELSE hav_r END)
+           * 1000e0 + 0.5) AS BIGINT), 0) AS hop_mm
+  FROM h0
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       COUNT(*) AS n_events,
+       CAST(MAX(us) - MIN(us) AS BIGINT) AS dur_us,
+       CAST(SUM(hop_mm) AS BIGINT) AS dist_mm
+FROM h GROUP BY user_id, session_idx
+"""
+
+
 def q_ring_metrics(spark, sf_dir):
     """Geometry metrics (functions/geom.py — shoelace area / perimeter /
     bbox as HOF Columns over ring arrays): event rings (line = event_id
@@ -5133,6 +5195,7 @@ QUERIES: dict = {
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "polyline_encode": (q_polyline_encode, SQL_POLYLINE_ENCODE),
     "ring_metrics": (q_ring_metrics, SQL_RING_METRICS),
+    "trip_stats": (q_trip_stats, SQL_TRIP_STATS),
     "bpe_encode": (q_bpe_encode, _golden("bpe_encode")),
     "bbox_tiles": (q_bbox_tiles, SQL_BBOX_TILES),
     # engine-only queries: golden-VALUES oracles precomputed WITHOUT Spark
