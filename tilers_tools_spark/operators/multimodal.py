@@ -18,6 +18,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..functions import codecs
 
@@ -387,3 +388,71 @@ def image_patchify(images: DataFrame, patch: int = 16, pad_value: int = 0) -> Da
             yield pd.DataFrame(out)
 
     return images.mapInPandas(fn, schema=PATCHIFY_SCHEMA)
+
+
+def image_augment(images: DataFrame, seed: int = 0) -> DataFrame:
+    """Deterministic training-time image augmentation (flip / quarter
+    rotation / brightness) — the data-loading transform of a vision
+    pipeline made REPRODUCIBLE: parameters derive from a portable md5 of
+    (image_id, seed), so a re-run, a resumed job, or another engine
+    regenerates the byte-identical augmented corpus (non-reproducible
+    augmentation poisons dedup, caching and eval comparisons).
+
+    Param contract (shared with the DuckDB gate): v = first 8 hex chars
+    of md5(image_id || '|aug{seed}') as an integer; hflip = v&1, vflip =
+    (v>>1)&1, rot_k = (v>>2)&3 quarter-turns CCW, delta = ((v>>4)&63) -
+    32. Transform order: hflip -> vflip -> rot90(k) -> clip(v + delta,
+    0, 255). One Arrow mapInPandas pass, blobs stay in-partition; stats
+    columns (pix_sum, first_byte, row0_sum) exist so orientation and
+    brightness are auditable without shipping pixels."""
+    from ..functions import codecs
+
+    v = F.conv(
+        F.substring(F.md5(F.concat(F.col("image_id"), F.lit(f"|aug{seed}"))), 1, 8),
+        16, 10,
+    ).cast("bigint")
+    d = (
+        images.withColumn("_v", v)
+        .withColumn("do_hflip", (F.col("_v") % 2).cast("int"))
+        .withColumn("do_vflip", (F.shiftright("_v", 1) % 2).cast("int"))
+        .withColumn("rot_k", (F.shiftright("_v", 2) % 4).cast("int"))
+        .withColumn("delta", (F.shiftright("_v", 4) % 64 - 32).cast("int"))
+        .drop("_v")
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "image_id": [], "do_hflip": [], "do_vflip": [], "rot_k": [],
+                "delta": [], "out_w": [], "out_h": [], "pix_sum": [],
+                "first_byte": [], "row0_sum": [], "aug": [],
+            }
+            for r in pdf.itertuples():
+                arr = codecs.decode_image(bytes(r.bytes), r.fmt)
+                if r.do_hflip:
+                    arr = arr[:, ::-1]
+                if r.do_vflip:
+                    arr = arr[::-1, :]
+                arr = np.rot90(arr, k=int(r.rot_k))
+                aug = np.clip(arr.astype(np.int32) + int(r.delta), 0, 255).astype(np.uint8)
+                out["image_id"].append(r.image_id)
+                out["do_hflip"].append(int(r.do_hflip))
+                out["do_vflip"].append(int(r.do_vflip))
+                out["rot_k"].append(int(r.rot_k))
+                out["delta"].append(int(r.delta))
+                out["out_w"].append(int(aug.shape[1]))
+                out["out_h"].append(int(aug.shape[0]))
+                out["pix_sum"].append(int(aug.sum(dtype=np.int64)))
+                out["first_byte"].append(int(aug[0, 0, 0]))
+                out["row0_sum"].append(int(aug[0].sum(dtype=np.int64)))
+                out["aug"].append(codecs.encode_raw(np.ascontiguousarray(aug)))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        fn,
+        schema=(
+            "image_id string, do_hflip int, do_vflip int, rot_k int, delta int, "
+            "out_w int, out_h int, pix_sum long, first_byte int, row0_sum long, "
+            "aug binary"
+        ),
+    )

@@ -4396,6 +4396,81 @@ UNION ALL
 """
 
 
+_AUG_SPECS = [("aug_a", 24, 16), ("aug_b", 11, 17), ("aug_c", 8, 8)]  # (id, w, h)
+
+
+def q_image_augment(spark, sf_dir):
+    """Deterministic image augmentation (operators/multimodal.py::
+    image_augment — md5-parameterized flip/rot90/brightness so the
+    augmented corpus is reproducible). Fixture: 3-band RAW blobs of the
+    analytic pattern (r*7+c*13+b*29)%256 at three sizes (odd dims stress
+    the rotation index maps). The oracle recomputes EVERYTHING in
+    DuckDB: params from the same '0x'-hex md5, out dims, clipped pixel
+    sum, and — the orientation pins — first_byte and row0_sum via the
+    inverse index mapping of the documented hflip->vflip->rot90 chain."""
+    from ..functions import codecs as cod
+    from ..operators import multimodal
+
+    rows = []
+    for image_id, w, h in _AUG_SPECS:
+        r, c, b = np.ogrid[0:h, 0:w, 0:3]
+        arr = ((r * 7 + c * 13 + b * 29) % 256).astype(np.uint8)
+        rows.append((image_id, cod.encode_raw(arr), "raw"))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    return multimodal.image_augment(df, seed=0).drop("aug")
+
+
+def _augment_sql() -> str:
+    def clipf(r, c, b="b"):
+        return f"LEAST(255, GREATEST(0, ((({r}) * 7 + ({c}) * 13 + ({b}) * 29) % 256) + delta))"
+
+    def src(rr, cc, w, h):
+        r1 = f"(CASE WHEN do_vflip = 1 THEN {h - 1} - ({rr}) ELSE ({rr}) END)"
+        c1 = f"(CASE WHEN do_hflip = 1 THEN {w - 1} - ({cc}) ELSE ({cc}) END)"
+        return r1, c1
+
+    legs = []
+    for image_id, w, h in _AUG_SPECS:
+        # augmented (0,0) pre-flip coords by rotation count
+        rr0 = f"(CASE WHEN rot_k IN (0, 1) THEN 0 ELSE {h - 1} END)"
+        cc0 = f"(CASE WHEN rot_k IN (0, 3) THEN 0 ELSE {w - 1} END)"
+        sr0, sc0 = src(rr0, cc0, w, h)
+        # augmented (0, c3) pre-flip coords (row 0 sweep)
+        rrc = f"(CASE rot_k WHEN 0 THEN 0 WHEN 1 THEN c3 WHEN 2 THEN {h - 1} ELSE {h - 1} - c3 END)"
+        ccc = f"(CASE rot_k WHEN 0 THEN c3 WHEN 1 THEN {w - 1} WHEN 2 THEN {w - 1} - c3 ELSE 0 END)"
+        src_r, src_c = src(rrc, ccc, w, h)
+        out_w = f"(CASE WHEN rot_k % 2 = 1 THEN {h} ELSE {w} END)"
+        out_h = f"(CASE WHEN rot_k % 2 = 1 THEN {w} ELSE {h} END)"
+        legs.append(f"""
+SELECT image_id, do_hflip, do_vflip, rot_k, delta,
+  CAST({out_w} AS INT) AS out_w, CAST({out_h} AS INT) AS out_h,
+  CAST((SELECT SUM({clipf('r', 'c')})
+        FROM range(0, {h}) t1(r), range(0, {w}) t2(c), range(0, 3) t3(b)) AS BIGINT) AS pix_sum,
+  CAST({clipf(sr0, sc0, '0')} AS INT) AS first_byte,
+  CAST((SELECT SUM({clipf(src_r, src_c)})
+        FROM range(0, {max(w, h)}) t4(c3), range(0, 3) t5(b)
+        WHERE c3 < {out_w}) AS BIGINT) AS row0_sum
+FROM q WHERE image_id = '{image_id}'""")
+    union = " UNION ALL ".join(legs)
+    ids = ", ".join(f"('{i}')" for i, _w, _h in _AUG_SPECS)
+    return f"""
+WITH ids(image_id) AS (VALUES {ids}),
+p AS (SELECT image_id,
+        CAST('0x' || substring(md5(image_id || '|aug0'), 1, 8) AS BIGINT) AS v
+      FROM ids),
+q AS (SELECT image_id,
+        CAST(v % 2 AS INT) AS do_hflip,
+        CAST((v // 2) % 2 AS INT) AS do_vflip,
+        CAST((v // 4) % 4 AS INT) AS rot_k,
+        CAST((v // 16) % 64 - 32 AS INT) AS delta
+      FROM p)
+{union}
+"""
+
+
+SQL_IMAGE_AUGMENT = _augment_sql()
+
+
 def q_trip_stats(spark, sf_dir):
     """Trajectory sessionization + path length (operators/trajectory.py):
     events sessionized per user with a 600 s gap (integer-microsecond
@@ -5196,6 +5271,7 @@ QUERIES: dict = {
     "polyline_encode": (q_polyline_encode, SQL_POLYLINE_ENCODE),
     "ring_metrics": (q_ring_metrics, SQL_RING_METRICS),
     "trip_stats": (q_trip_stats, SQL_TRIP_STATS),
+    "image_augment": (q_image_augment, SQL_IMAGE_AUGMENT),
     "bpe_encode": (q_bpe_encode, _golden("bpe_encode")),
     "bbox_tiles": (q_bbox_tiles, SQL_BBOX_TILES),
     # engine-only queries: golden-VALUES oracles precomputed WITHOUT Spark
