@@ -858,3 +858,72 @@ def substring_dedup_stats(
             ).otherwise(F.lit(0.0)),
         )
     )
+
+
+def _bloom_positions(text_col: str, m_bits: int, k: int):
+    """array<bigint> of k bit positions for one document's content —
+    portable md5-hex hashes (15 hex chars < 2^60, exact in any engine;
+    the same mechanism as the engine's hash_split/webdataset shards) so
+    a DuckDB/other-engine reader derives identical positions."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(F.col(text_col), F.lit(f":{i}"))), 1, 15),
+                16, 10,
+            ).cast("bigint") % m_bits
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_build(
+    corpus: DataFrame, m_bits: int = 1 << 20, k: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Distributed Bloom filter over corpus content -> a (word_idx,
+    word) DataFrame of m_bits/32 packed words. NOTHING materializes on
+    the driver: positions shuffle as bigints with map-side partial
+    bit_or, so the filter scales to any m (a 10^12-doc corpus wants
+    m ~ 10^13 bits = 1.25 TB of words — still just a table). Persist it
+    next to the corpus; incremental ingest then answers "seen before?"
+    with ONE join against the filter instead of shuffling corpus text
+    (false-positive rate (1-e^{-kn/m})^k, zero false negatives)."""
+    pos = corpus.select(F.explode(_bloom_positions(text_col, m_bits, k)).alias("p"))
+    # 32-bit words, SQL shiftleft (the PySpark wrapper only takes a literal
+    # shift count; 32 bits keeps 1 << bit inside BIGINT for engines that
+    # CHECK shift overflow — DuckDB raises on 1::BIGINT << 63)
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))")
+    return (
+        pos.select(F.shiftright(F.col("p"), 5).alias("word_idx"), bit.alias("b"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("b").alias("word"))
+    )
+
+
+def bloom_maybe_contains(
+    docs: DataFrame,
+    bloom: DataFrame,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_filter: bool = True,
+) -> DataFrame:
+    """Adds `maybe_in_corpus`: true iff ALL k bloom bits are set (no
+    false negatives; false positives at the designed rate). The probe
+    explodes to k narrow (id, position) rows and joins the filter on
+    word_idx — broadcast when the filter fits (m_bits/8 bytes), shuffled
+    hash join otherwise; text never shuffles either way."""
+    probe = docs.select(
+        F.col(id_col), F.explode(_bloom_positions(text_col, m_bits, k)).alias("p")
+    ).select(
+        id_col,
+        F.shiftright(F.col("p"), 5).alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").alias("b"),
+    )
+    flt = F.broadcast(bloom) if broadcast_filter else bloom
+    j = probe.join(flt, "word_idx", "left")
+    hit = F.when(
+        F.col("word").isNotNull() & (F.col("word").bitwiseAND(F.col("b")) != 0), 1
+    ).otherwise(0)
+    agg = j.groupBy(id_col).agg((F.sum(hit) == k).alias("maybe_in_corpus"))
+    return docs.join(agg, id_col, "left")

@@ -4396,6 +4396,53 @@ UNION ALL
 """
 
 
+_BLOOM_M, _BLOOM_K = 4096, 4
+
+
+def q_bloom_filter(spark, sf_dir):
+    """Distributed Bloom-filter corpus membership (operators/dedup.py::
+    bloom_build/bloom_maybe_contains — the filter is a (word_idx, word)
+    table built with map-side partial bit_or, nothing on the driver;
+    probes join it on word_idx, text never shuffles). Corpus = even
+    doc_ids; probe = all docs; m deliberately small (4096 bits) so the
+    false-positive path is populated and its DETERMINISM is what the
+    gate pins (identical md5-derived positions in both engines)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    bloom = dedup.bloom_build(corpus, m_bits=_BLOOM_M, k=_BLOOM_K)
+    out = dedup.bloom_maybe_contains(docs, bloom, m_bits=_BLOOM_M, k=_BLOOM_K)
+    return out.select("doc_id", "maybe_in_corpus")
+
+
+SQL_BLOOM_FILTER = f"""
+WITH corpus AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+pos AS (
+  SELECT (CAST('0x' || substring(md5(text || ':' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT)
+          % {_BLOOM_M}) AS p
+  FROM corpus, range(0, {_BLOOM_K}) t(i)
+),
+words AS (
+  SELECT p // 32 AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS word
+  FROM pos GROUP BY 1
+),
+probe AS (
+  SELECT doc_id,
+         (CAST('0x' || substring(md5(text || ':' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT)
+          % {_BLOOM_M}) AS p
+  FROM documents, range(0, {_BLOOM_K}) t(i)
+),
+j AS (
+  SELECT doc_id,
+         CASE WHEN w.word IS NOT NULL
+                   AND (w.word & (CAST(1 AS BIGINT) << CAST(pr.p % 32 AS INT))) != 0
+              THEN 1 ELSE 0 END AS hit
+  FROM probe pr LEFT JOIN words w ON pr.p // 32 = w.word_idx
+)
+SELECT doc_id, SUM(hit) = {_BLOOM_K} AS maybe_in_corpus FROM j GROUP BY doc_id
+"""
+
+
 _AUG_SPECS = [("aug_a", 24, 16), ("aug_b", 11, 17), ("aug_c", 8, 8)]  # (id, w, h)
 
 
@@ -5272,6 +5319,7 @@ QUERIES: dict = {
     "ring_metrics": (q_ring_metrics, SQL_RING_METRICS),
     "trip_stats": (q_trip_stats, SQL_TRIP_STATS),
     "image_augment": (q_image_augment, SQL_IMAGE_AUGMENT),
+    "bloom_filter": (q_bloom_filter, SQL_BLOOM_FILTER),
     "bpe_encode": (q_bpe_encode, _golden("bpe_encode")),
     "bbox_tiles": (q_bbox_tiles, SQL_BBOX_TILES),
     # engine-only queries: golden-VALUES oracles precomputed WITHOUT Spark
