@@ -92,6 +92,8 @@ BENCH_QUERIES = [
     "substring_dedup",
     "normalize_text",
     "bpe_encode",
+    # final round-5: Exif GPS extraction -> tile assign (header-only parse)
+    "exif_gps",
 ]
 
 

@@ -456,3 +456,57 @@ def image_augment(images: DataFrame, seed: int = 0) -> DataFrame:
             "aug binary"
         ),
     )
+
+
+EXIF_SCHEMA = (
+    "image_id string, exif_ok boolean, orientation long, make string, model string, "
+    "dt_original string, px_w long, px_h long, lat double, lon double, alt double"
+)
+
+
+def exif_metadata(images: DataFrame) -> DataFrame:
+    """Exif 2.3 camera/GPS metadata extraction (functions/exifcodec.py):
+    one Arrow mapInPandas pass over (image_id, bytes) that walks only the
+    JPEG marker headers before SOS (or a bare TIFF's IFD chain) — pixel
+    bytes are never decompressed, so a 100 TB geotagged archive pays a
+    few-KB header read per image, not a decode. GPS DMS rationals become
+    signed decimal degrees under the documented left-to-right
+    ``deg + min/60 + sec/3600`` float64 rule, which downstream tile/H3/S2
+    assignment consumes directly. Failure policy: a structurally corrupt
+    Exif payload yields an auditable ``exif_ok = false`` all-null row
+    (never a silent wrong answer); a JPEG simply lacking Exif is a valid
+    ``exif_ok = true`` row with null fields."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import exifcodec
+
+        cols = EXIF_SCHEMA.replace(" string", "").replace(" boolean", "").replace(
+            " long", ""
+        ).replace(" double", "").split(", ")
+        for pdf in batches:
+            rows = []
+            for rec in pdf[["image_id", "bytes"]].to_dict("records"):
+                try:
+                    m = exifcodec.parse_exif(bytes(rec["bytes"]))
+                    ok = True
+                except ValueError:
+                    m = dict(exifcodec._EMPTY)
+                    ok = False
+                rows.append(
+                    (
+                        rec["image_id"],
+                        ok,
+                        m["orientation"],
+                        m["make"],
+                        m["model"],
+                        m["dt_original"],
+                        m["px_w"],
+                        m["px_h"],
+                        m["lat"],
+                        m["lon"],
+                        m["alt"],
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return images.select("image_id", "bytes").mapInPandas(fn, schema=EXIF_SCHEMA)

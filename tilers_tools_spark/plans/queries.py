@@ -5229,6 +5229,106 @@ FROM d WHERE (x + 3*y) % 5 <> 0
 """
 
 
+def q_exif_gps(spark, sf_dir):
+    """Geotagged-photo ingest (functions/exifcodec.py +
+    operators/multimodal.py::exif_metadata): a 24-image JPEG fixture with
+    planted Exif APP1 segments — alternating II/MM byte orders, one
+    no-GPS mode (valid Exif, null position) and one corrupt mode
+    (truncated TIFF payload -> auditable exif_ok=false row) — parsed
+    header-only (pixels never decompressed), GPS DMS rationals folded to
+    signed decimal degrees under the documented deg + min/60 + sec/3600
+    float64 rule, then tile-assigned at z=8 through the engine's mercator
+    Columns. The DuckDB oracle is fully ANALYTIC: it regenerates every
+    planted value from the integer rule (no engine code in the expected
+    box) and mirrors the decimal fold + mercator + tile floor term for
+    term; nulls are coalesced to sentinels on both sides so the
+    value-hash compares exactly."""
+    import struct as _struct
+
+    from ..functions import exifcodec, jpegcodec
+    from ..operators import multimodal
+
+    body = jpegcodec.encode_jpeg(
+        (np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3) * 3 + 7) % 251, quality=80
+    )
+    rows = []
+    for i in range(24):
+        mode = i % 8
+        bo = "<" if i % 2 == 0 else ">"
+        gps = None
+        if mode not in (5, 7):
+            gps = {
+                "lat_ref": "S" if i % 2 == 1 else "N",
+                "lat_dms": [((i * 7) % 80, 1), ((i * 11) % 60, 1), ((i * 7919) % 60000, 1000)],
+                "lon_ref": "W" if i % 3 == 0 else "E",
+                "lon_dms": [((i * 13) % 170, 1), ((i * 17) % 60, 1), ((i * 104729) % 60000, 1000)],
+                "alt": (((i * 31) % 500000, 100), 1 if i % 4 == 0 else 0),
+            }
+        app1 = exifcodec.build_exif_app1(
+            byteorder=bo,
+            orientation=1 + i % 8,
+            make="ACME",
+            model=f"Cam {i % 4}",
+            dt_original=f"2024:01:{1 + i % 28:02d} 10:00:00",
+            px=(64 + i, 48 + i),
+            gps=gps,
+        )
+        if mode == 7:  # truncated TIFF payload: ok header, chopped IFD
+            tiff = app1[4 + 6 :]
+            app1 = b"\xff\xe1" + _struct.pack(">H", 2 + 6 + 10) + b"Exif\x00\x00" + tiff[:10]
+        rows.append((f"img{i:02d}", exifcodec.insert_app1(body, app1)))
+    images = spark.createDataFrame(rows, "image_id string, bytes binary")
+    meta = multimodal.exif_metadata(images)
+    z = F.lit(8)
+    pts = meta.withColumn("mx", tm.merc_x(F.col("lon"))).withColumn(
+        "my", tm.merc_y(F.col("lat"))
+    )
+    return pts.select(
+        "image_id",
+        "exif_ok",
+        F.coalesce(F.col("orientation"), F.lit(-1)).alias("orientation"),
+        F.coalesce(F.col("dt_original"), F.lit("")).alias("dt_original"),
+        F.coalesce(F.col("lat"), F.lit(-999.0)).alias("lat"),
+        F.coalesce(F.col("lon"), F.lit(-999.0)).alias("lon"),
+        F.coalesce(F.col("alt"), F.lit(-999.0)).alias("alt"),
+        F.coalesce(tm.tile_x(F.col("mx"), z), F.lit(-1)).alias("x"),
+        F.coalesce(tm.tile_y_tms(F.col("my"), z), F.lit(-1)).alias("y"),
+    )
+
+
+SQL_EXIF_GPS = f"""
+WITH idx AS (SELECT CAST(t.i AS BIGINT) AS i FROM range(0, 24) t(i)),
+vals AS (
+  SELECT printf('img%02d', i) AS image_id,
+         (i % 8) <> 7 AS exif_ok,
+         CASE WHEN i % 8 = 7 THEN CAST(-1 AS BIGINT) ELSE 1 + i % 8 END AS orientation,
+         CASE WHEN i % 8 = 7 THEN '' ELSE printf('2024:01:%02d 10:00:00', 1 + i % 28) END AS dt_original,
+         CASE WHEN i % 8 IN (5, 7) THEN -999e0 ELSE
+           (CASE WHEN i % 2 = 1 THEN -1e0 ELSE 1e0 END) *
+           ((i*7) % 80 + ((i*11) % 60) / 60.0 + (((i*7919) % 60000) / 1000.0) / 3600.0)
+         END AS lat,
+         CASE WHEN i % 8 IN (5, 7) THEN -999e0 ELSE
+           (CASE WHEN i % 3 = 0 THEN -1e0 ELSE 1e0 END) *
+           ((i*13) % 170 + ((i*17) % 60) / 60.0 + (((i*104729) % 60000) / 1000.0) / 3600.0)
+         END AS lon,
+         CASE WHEN i % 8 IN (5, 7) THEN -999e0 ELSE
+           (CASE WHEN i % 4 = 0 THEN -1e0 ELSE 1e0 END) * (((i*31) % 500000) / 100.0)
+         END AS alt
+  FROM idx
+),
+m AS (
+  SELECT *,
+         CASE WHEN lat = -999e0 THEN NULL ELSE lon * {K_MERC_X} END AS mx,
+         CASE WHEN lat = -999e0 THEN NULL ELSE ln(tan((90e0 + lat) * {K_MERC_Y})) * 6378137e0 END AS my
+  FROM vals
+)
+SELECT image_id, exif_ok, orientation, dt_original, lat, lon, alt,
+  COALESCE(GREATEST(0, LEAST(255, CAST(FLOOR((mx + {O}) / {repr(_span(8))}) AS BIGINT))), -1) AS x,
+  COALESCE(GREATEST(0, LEAST(255, CAST(FLOOR((my + {O}) / {repr(_span(8))}) AS BIGINT))), -1) AS y
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5319,6 +5419,7 @@ QUERIES: dict = {
     "ring_metrics": (q_ring_metrics, SQL_RING_METRICS),
     "trip_stats": (q_trip_stats, SQL_TRIP_STATS),
     "image_augment": (q_image_augment, SQL_IMAGE_AUGMENT),
+    "exif_gps": (q_exif_gps, SQL_EXIF_GPS),
     "bloom_filter": (q_bloom_filter, SQL_BLOOM_FILTER),
     "bpe_encode": (q_bpe_encode, _golden("bpe_encode")),
     "bbox_tiles": (q_bbox_tiles, SQL_BBOX_TILES),
