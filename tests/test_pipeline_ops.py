@@ -1079,3 +1079,70 @@ def test_charlm_score_hand_computed(spark):
     assert abs(out[1]["ppl"] - 2.0 ** b1) < 1e-9
     # repetitive text scores lower bits than mixed text under its own model
     assert out[0]["bits_per_char"] < out[1]["bits_per_char"]
+
+
+def test_url_canonicalize_hand_cases(spark):
+    """Hand-worked expectations for every clause of the documented
+    canonicalization contract (operators/text.py::url_canonicalize) —
+    written from the contract text, not from the implementation."""
+    from tilers_tools_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            # case-fold + default port + trailing slash + tracking strip + fragment
+            (1, "HTTP://WWW.Example.COM:80/a/b/?utm_source=x&q=7#frag"),
+            # non-default port kept; '//' inside path preserved verbatim
+            (2, "http://host.io:8080/x//deep/path"),
+            # no path -> '/', single-label host -> empty domain heuristic
+            (3, "https://localhost"),
+            # only-tracking query -> no '?' at all; https default port dropped
+            (4, "https://a.b.co:443/p?utm_campaign=z&fbclid=1&gclid=2"),
+            # param order preserved, uppercase UTM_ is NOT a tracking key
+            (5, "http://e.net/p?zz=1&UTM_SOURCE=keep&aa=2"),
+            # root with trailing slashes collapses to '/'
+            (6, "https://e.net///"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {r["doc_id"]: r for r in tx.url_canonicalize(docs).collect()}
+    assert out[1]["canonical"] == "http://www.example.com/a/b?q=7"
+    assert (out[1]["host"], out[1]["domain"]) == ("www.example.com", "example.com")
+    assert (out[1]["path_depth"], out[1]["n_params"]) == (2, 1)
+    assert out[2]["canonical"] == "http://host.io:8080/x//deep/path"
+    assert out[2]["path_depth"] == 3  # empty segment from '//' not counted
+    assert out[3]["canonical"] == "https://localhost/"
+    assert (out[3]["domain"], out[3]["path_depth"]) == ("", 0)
+    assert out[4]["canonical"] == "https://a.b.co/p"
+    assert out[4]["n_params"] == 0
+    assert out[5]["canonical"] == "http://e.net/p?zz=1&UTM_SOURCE=keep&aa=2"
+    assert out[5]["n_params"] == 3
+    assert out[6]["canonical"] == "https://e.net/"
+
+
+def test_url_canonicalize_is_idempotent(spark):
+    """canonicalize(canonicalize(u)) == canonicalize(u): the canonical
+    form must be a fixed point or dedup keyed on it is unstable."""
+    from pyspark.sql import functions as F
+
+    from tilers_tools_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "HTTP://WWW.Example.COM:80/a/b/?utm_source=x&q=7#frag"),
+            (2, "http://host.io:8080/x//deep/path"),
+            (3, "https://localhost"),
+            (4, "https://a.b.co:443/p?utm_campaign=z"),
+        ],
+        "doc_id long, url string",
+    )
+    once = tx.url_canonicalize(docs).select("doc_id", F.col("canonical").alias("url"))
+    twice = tx.url_canonicalize(once)
+    pairs = {
+        r["doc_id"]: (r["u1"], r["u2"])
+        for r in once.withColumnRenamed("url", "u1")
+        .join(twice.withColumnRenamed("canonical", "u2"), "doc_id")
+        .select("doc_id", "u1", "u2")
+        .collect()
+    }
+    for u1, u2 in pairs.values():
+        assert u1 == u2

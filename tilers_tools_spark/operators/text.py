@@ -741,3 +741,65 @@ def normalize_text(
     s2 = _nfc(s1)
     s3 = F.regexp_replace(s2, _WS_RE, " ")
     return docs.withColumn(out_col, F.lower(F.trim(s3)))
+
+
+URL_TRACKING_RE = "^(utm_[a-z]+|fbclid|gclid)="
+
+
+def url_canonicalize(docs: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
+    """URL canonicalization + domain features (the web-crawl dedup/filter
+    prerequisite: the same page arrives under dozens of spellings, and
+    exact dedup / domain mixing both key on the canonical form).
+
+    Documented canonicalization contract (the oracle implements the SAME
+    contract independently in DuckDB's RE2 dialect — different regex
+    engine + different list functions, so a dialect-specific parsing bug
+    cannot cross-validate):
+      1. fragment dropped (everything from the first '#');
+      2. scheme and host lowercased;
+      3. default port stripped (http:80 / https:443), others kept;
+      4. empty path -> '/', trailing '/' runs stripped (non-root);
+      5. tracking params removed (utm_*, fbclid, gclid), surviving
+         params kept IN ORIGINAL ORDER (no re-sort: order is part of
+         the URL's identity for non-canonical-query servers);
+      6. registered domain = last two dot-labels of the host
+         (documented heuristic: the public-suffix list is external data
+         and unavailable offline; co.uk-style suffixes mis-split).
+
+    Pure Column exprs (JVM regex + array HOFs, no UDF, no shuffle):
+    a 100 TB crawl canonicalizes map-side at scan speed."""
+    u = F.col(url_col)
+    base = F.regexp_extract(u, "^([^#]*)", 1)
+    scheme = F.lower(F.regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    host = F.regexp_extract(hostport, "^([^:]*)", 1)
+    port = F.regexp_extract(hostport, ":([0-9]+)$", 1)
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80")) | ((scheme == "https") & (port == "443"))
+    )
+    path_raw = F.regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?]*)", 1)
+    path_stripped = F.regexp_replace(path_raw, "/+$", "")
+    path = F.when(path_stripped == "", F.lit("/")).otherwise(path_stripped)
+    query = F.regexp_extract(base, "\\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"), lambda x: (x != "") & ~x.rlike(URL_TRACKING_RE)
+    )
+    canon_q = F.array_join(params, "&")
+    canonical = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(canon_q != "", F.concat(F.lit("?"), canon_q)).otherwise(F.lit("")),
+    )
+    domain = F.regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    path_depth = F.size(F.filter(F.split(path, "/"), lambda x: x != ""))
+    return docs.select(
+        F.col(id_col),
+        canonical.alias("canonical"),
+        host.alias("host"),
+        domain.alias("domain"),
+        path_depth.cast("long").alias("path_depth"),
+        F.size(params).cast("long").alias("n_params"),
+    )

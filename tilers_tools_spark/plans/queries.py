@@ -5329,6 +5329,84 @@ FROM m
 """
 
 
+_URL_CASES = [
+    ("HTTP://WWW.Example%d.COM:80/a/b/?utm_source=x&q=%d#frag", True),
+    ("https://blog.example%d.org/post/%d/", True),
+    ("http://example%d.net/?q=%d&utm_campaign=z&page=2", True),
+    ("https://Sub.Shop.Example%d.com:443/items/%d?fbclid=abc", True),
+    ("http://host%d.io:8080/x//deep/path/%d", True),
+    ("https://example%d.com", False),  # no path, no second %d
+]
+
+
+def q_url_canon(spark, sf_dir):
+    """URL canonicalization (operators/text.py::url_canonicalize): a
+    planted messy-URL column (mixed-case scheme/host, default and
+    non-default ports, trailing slashes, tracking params interleaved
+    with real ones, fragments, missing path) derived from doc_id by the
+    SAME printf rule in both engines, then canonicalized. The oracle
+    implements the documented contract independently in DuckDB's RE2
+    dialect (str_split_regex-free: regexp_extract + list_filter), so a
+    Java-regex-specific parsing quirk cannot cross-validate."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    cases = F.col("doc_id") % 6
+    url = None
+    for k, (fmt, two) in enumerate(_URL_CASES):
+        branch = (
+            F.format_string(fmt, F.col("doc_id") % 7, F.col("doc_id"))
+            if two
+            else F.format_string(fmt, F.col("doc_id") % 7)
+        )
+        url = F.when(cases == k, branch) if url is None else url.when(cases == k, branch)
+    docs = docs.withColumn("url", url)
+    return text.url_canonicalize(docs)
+
+
+def _url_case_sql() -> str:
+    parts = []
+    for k, (fmt, two) in enumerate(_URL_CASES):
+        args = "doc_id % 7, doc_id" if two else "doc_id % 7"
+        parts.append(f"WHEN {k} THEN printf('{fmt}', {args})")
+    return "CASE doc_id % 6 " + " ".join(parts) + " END"
+
+
+SQL_URL_CANON = f"""
+WITH u AS (SELECT doc_id, {_url_case_sql()} AS url FROM documents),
+b AS (SELECT doc_id, regexp_extract(url, '^([^#]*)', 1) AS base FROM u),
+p AS (
+  SELECT doc_id,
+    lower(regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+    regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?]*)', 1) AS path_raw,
+    regexp_extract(base, '\\?(.*)$', 1) AS query
+  FROM b),
+q AS (
+  SELECT doc_id, scheme,
+    regexp_extract(hostport, '^([^:]*)', 1) AS host,
+    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+    CASE WHEN regexp_replace(path_raw, '/+$', '') = '' THEN '/'
+         ELSE regexp_replace(path_raw, '/+$', '') END AS path,
+    list_filter(str_split(query, '&'),
+                x -> x <> '' AND NOT regexp_matches(x, '^(utm_[a-z]+|fbclid|gclid)=')) AS params
+  FROM p),
+r AS (
+  SELECT doc_id, scheme, host, port, path, params,
+    CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80') OR
+                                  (scheme = 'https' AND port = '443'))
+         THEN ':' || port ELSE '' END AS port_part,
+    array_to_string(params, '&') AS canon_q
+  FROM q)
+SELECT doc_id,
+  scheme || '://' || host || port_part || path ||
+    CASE WHEN canon_q <> '' THEN '?' || canon_q ELSE '' END AS canonical,
+  host,
+  regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
+  CAST(len(list_filter(str_split(path, '/'), x -> x <> '')) AS BIGINT) AS path_depth,
+  CAST(len(params) AS BIGINT) AS n_params
+FROM r
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5420,6 +5498,7 @@ QUERIES: dict = {
     "trip_stats": (q_trip_stats, SQL_TRIP_STATS),
     "image_augment": (q_image_augment, SQL_IMAGE_AUGMENT),
     "exif_gps": (q_exif_gps, SQL_EXIF_GPS),
+    "url_canon": (q_url_canon, SQL_URL_CANON),
     "bloom_filter": (q_bloom_filter, SQL_BLOOM_FILTER),
     "bpe_encode": (q_bpe_encode, _golden("bpe_encode")),
     "bbox_tiles": (q_bbox_tiles, SQL_BBOX_TILES),
