@@ -78,6 +78,39 @@ def s2_level_for_zoom(z: int) -> int:
 
 
 # --------------------------------------------------------------------------
+# global-geodetic (EPSG:4326 plate-carree) profile — scalar transcription of
+# the gdal2tiles `--profile geodetic` grid: 256px tiles, 2^(z+1) columns x
+# 2^z rows (two root tiles at z0), degree units (SURVEY.md §2.3 row 12 note)
+# --------------------------------------------------------------------------
+
+RES0_GEO = 180.0 / TILE  # 0.703125 deg/px at z=0
+
+
+def res_geo(z: int) -> float:
+    return RES0_GEO / (2.0**z)
+
+
+def base_zoom_geo(gsd: float, zmax: int = 30) -> int:
+    """Geodetic base zoom from an EPSG:3857 gsd (m/px): equivalent angular
+    gsd at the equator gsd_deg = gsd*180/ORIGIN, z = ceil(log2(RES0_GEO /
+    gsd_deg)), clamped — the published two-step definition, transcribed."""
+    gsd_deg = gsd * (180.0 / ORIGIN)
+    return int(min(zmax, max(0, math.ceil(math.log2(RES0_GEO / gsd_deg)))))
+
+
+def cover_geo(lon0, lat0, lon1, lat1, z):
+    """Inclusive (txmin, txmax, tymin_tms, tymax_tms) on the rectangular
+    2^(z+1) x 2^z geodetic grid, same half-open box rule as cover()."""
+    span = res_geo(z) * TILE
+    n = 1 << z
+    txmin = int(max(0, min(2 * n - 1, math.floor((lon0 + 180.0) / span))))
+    tymin = int(max(0, min(n - 1, math.floor((lat0 + 90.0) / span))))
+    txmax = int(max(0, min(2 * n - 1, max(txmin, math.ceil((lon1 + 180.0) / span) - 1))))
+    tymax = int(max(0, min(n - 1, max(tymin, math.ceil((lat1 + 90.0) / span) - 1))))
+    return txmin, txmax, tymin, tymax
+
+
+# --------------------------------------------------------------------------
 # georef derivation — independent scalar transcription of FIXTURES.md §2-3
 # --------------------------------------------------------------------------
 
@@ -355,6 +388,144 @@ def tile_image(
         cmx = (tx + 0.5) * res_at(z) * TILE - ORIGIN
         cmy = (ty + 0.5) * res_at(z) * TILE - ORIGIN
         lon, lat = inv_merc(cmx, cmy)
+        s2 = int(s2lite.latlng_to_cell(np.array([lat]), np.array([lon]), s2_level_for_zoom(z))[0])
+        recs.append(
+            {
+                "image_id": rec["image_id"],
+                "z": z,
+                "x": tx,
+                "y": ty,
+                "y_xyz": (1 << z) - 1 - ty,
+                "rgba": arr,
+                "s2_cell": s2,
+                "lat": lat,
+                "lon": lon,
+                "caption": rec["caption"],
+            }
+        )
+    return recs
+
+
+def render_tile_geo(
+    rgba_src: np.ndarray, geo: dict, z: int, tx: int, ty_tms: int, base_resampling: str = "bilinear"
+) -> np.ndarray:
+    """Render one 256x256 RGBA dest tile on the GLOBAL-GEODETIC grid.
+
+    Same sampling contract as render_tile (float64 geometry, half-open
+    validity in 3857 meter space, 8.8 fixed-point kernels, columns before
+    rows) — only the dest geometry differs: dest pixel centers are linear
+    in DEGREES on the 2^(z+1) x 2^z plate-carree grid, mapped to source
+    meters by the closed-form forward mercator (lon is a pure scale; lat
+    goes through ln∘tan, scalar per dest row)."""
+    h, w = rgba_src.shape[:2]
+    res = res_geo(z)
+    span = res * TILE
+    out = np.zeros((TILE, TILE, 4), dtype=np.uint8)
+    cc = np.arange(TILE, dtype=np.float64)
+    lon = (tx * span - 180.0) + (cc + 0.5) * res
+    mx = lon * (ORIGIN / 180.0)  # per-column meters
+    src16 = rgba_src[:, :, :3].astype(np.uint16)
+    for r in range(TILE):
+        lat = ((ty_tms + 1) * span - 90.0) - (r + 0.5) * res
+        my = math.log(math.tan((90.0 + lat) * (math.pi / 360.0))) * R
+        valid = (mx >= geo["mx0"]) & (mx < geo["mx1"]) & (my > geo["my0"]) & (my <= geo["my1"])
+        if not valid.any():
+            continue
+        sc = (mx - geo["mx0"]) / geo["gsd"] - 0.5
+        sr = (geo["my1"] - my) / geo["gsd"] - 0.5
+        c0 = np.floor(sc).astype(np.int64)
+        r0 = int(math.floor(sr))
+        if base_resampling == "bilinear":
+            wc = np.floor((sc - c0) * 256.0 + 0.5).astype(np.uint16)[:, None]
+            wr = np.uint16(math.floor((sr - r0) * 256.0 + 0.5))
+            c0c = np.clip(c0, 0, w - 1)
+            c1c = np.clip(c0 + 1, 0, w - 1)
+            r0c = min(max(r0, 0), h - 1)
+            r1c = min(max(r0 + 1, 0), h - 1)
+            top = (src16[r0c, c0c] * (256 - wc) + src16[r0c, c1c] * wc + 128) >> 8
+            bot = (src16[r1c, c0c] * (256 - wc) + src16[r1c, c1c] * wc + 128) >> 8
+            row = ((top * (256 - wr) + bot * wr + 128) >> 8).astype(np.uint8)
+        elif base_resampling == "nearest":
+            cn = np.clip(np.floor(sc + 0.5).astype(np.int64), 0, w - 1)
+            rn = min(max(int(math.floor(sr + 0.5)), 0), h - 1)
+            row = rgba_src[rn, cn, :3].astype(np.uint8)
+        elif base_resampling in ("cubic", "lanczos"):
+            taps, off, wq_fn = (4, 1, _cubic_wq) if base_resampling == "cubic" else (6, 2, _lanczos_wq)
+            fc = sc - c0
+            cq = np.stack([np.array(wq_fn(f), dtype=np.int32) for f in fc])
+            rq = wq_fn(sr - r0)
+            cols = []
+            for j in range(taps):
+                rj = min(max(r0 + (j - off), 0), h - 1)
+                acc = np.zeros((TILE, 3), dtype=np.int64)
+                for k in range(taps):
+                    ckc = np.clip(c0 + (k - off), 0, w - 1)
+                    acc += src16[rj, ckc].astype(np.int64) * cq[:, k][:, None]
+                cols.append(np.clip((acc + 128) >> 8, 0, 255))
+            racc = np.zeros((TILE, 3), dtype=np.int64)
+            for j in range(taps):
+                racc += cols[j] * rq[j]
+            row = np.clip((racc + 128) >> 8, 0, 255).astype(np.uint8)
+        else:
+            raise ValueError(base_resampling)
+        out[r, valid, :3] = row[valid]
+        out[r, valid, 3] = 255
+    return out
+
+
+def tile_image_geo(
+    rec: dict,
+    zmin: int | None = None,
+    zmax: int | None = None,
+    resampling: str = "average",
+    base_resampling: str = "bilinear",
+):
+    """Geodetic-profile twin of tile_image: one image row -> tile records
+    on the 2^(z+1) x 2^z grid. Overview quadtree parent = (cx//2, cy//2)
+    holds on the rectangular grid too (both axis counts halve per level;
+    z0 ends with two roots). Tile-center lat/lon are closed-form degrees
+    (no inverse mercator); s2 at s2_level_for_zoom(z)."""
+    rgba = codecs.to_rgba(codecs.decode_image(rec["bytes"], rec["fmt"]))
+    geo = georef_of(rec["phash"], rec["w"], rec["h"])
+    zb = base_zoom_geo(geo["gsd"]) if zmax is None else zmax
+    zlo = max(0, zb - 2) if zmin is None else zmin
+    lon0, lat0 = inv_merc(geo["mx0"], geo["my0"])
+    lon1, lat1 = inv_merc(geo["mx1"], geo["my1"])
+    txmin, txmax, tymin, tymax = cover_geo(lon0, lat0, lon1, lat1, zb)
+    tiles = {}
+    for tx in range(txmin, txmax + 1):
+        for ty in range(tymin, tymax + 1):
+            arr = render_tile_geo(rgba, geo, zb, tx, ty, base_resampling)
+            if arr[:, :, 3].max() == 0:
+                continue
+            tiles[(zb, tx, ty)] = arr
+    level = dict(tiles)
+    out = dict(tiles)
+    down = {"average": downsample_average, "antialias": downsample_lanczos, "nearest": downsample_nearest}[resampling]
+    z = zb
+    while z > zlo:
+        parents = {}
+        for (cz, cx, cy), arr in level.items():
+            parents.setdefault((cz - 1, cx // 2, cy // 2), []).append((cx, cy, arr))
+        nxt = {}
+        for (pz, px, py), kids in parents.items():
+            quad = np.zeros((2 * TILE, 2 * TILE, 4), dtype=np.uint8)
+            for cx, cy, arr in kids:
+                colofs = (cx - 2 * px) * TILE
+                rowofs = (1 - (cy - 2 * py)) * TILE
+                quad[rowofs : rowofs + TILE, colofs : colofs + TILE] = arr
+            parr = down(quad)
+            if parr[:, :, 3].max() == 0:
+                continue
+            nxt[(pz, px, py)] = parr
+        out.update(nxt)
+        level = nxt
+        z -= 1
+    recs = []
+    for (z, tx, ty), arr in sorted(out.items()):
+        span = res_geo(z) * TILE
+        lon = (tx + 0.5) * span - 180.0
+        lat = (ty + 0.5) * span - 90.0
         s2 = int(s2lite.latlng_to_cell(np.array([lat]), np.array([lon]), s2_level_for_zoom(z))[0])
         recs.append(
             {

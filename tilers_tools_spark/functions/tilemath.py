@@ -134,6 +134,70 @@ def base_zoom_np(gsd):
     return np.clip(z, 0, Z_MAX).astype(np.int64)
 
 
+# ---------------------------------------------------------------------------
+# global-geodetic (EPSG:4326 plate-carree) profile — the gdal2tiles
+# `--profile geodetic` / OSGeo TMS "global-geodetic" grid: 256px tiles,
+# 2^(z+1) columns x 2^z rows (two root tiles at z0), degree units.
+# ---------------------------------------------------------------------------
+
+RES0_GEO = 180.0 / TILE  # 0.703125 deg/px at z=0
+
+
+def resolution_geo_np(z):
+    """Degrees per pixel at geodetic zoom z."""
+    return RES0_GEO / (2.0 ** np.asarray(z, dtype=np.float64))
+
+
+def tile_xy_geo_np(lon, lat, z):
+    """lon/lat degrees -> (tx, ty_tms) on the global-geodetic grid at z,
+    clamped (x to 2^(z+1)-1, y to 2^z-1; ty counts up from the south)."""
+    span = resolution_geo_np(z) * TILE  # 180 / 2^z degrees per tile
+    tx = np.floor((np.asarray(lon, np.float64) + 180.0) / span)
+    ty = np.floor((np.asarray(lat, np.float64) + 90.0) / span)
+    n = np.int64(1) << np.asarray(z, dtype=np.int64)
+    tx = np.clip(tx, 0, 2 * n - 1).astype(np.int64)
+    ty = np.clip(ty, 0, n - 1).astype(np.int64)
+    return tx, ty
+
+
+def tile_bounds_geo_np(z, tx, ty_tms):
+    """Geodetic TMS tile -> (lon0, lat0, lon1, lat1) degree bounds (SW..NE)."""
+    span = resolution_geo_np(z) * TILE
+    lon0 = np.asarray(tx, np.float64) * span - 180.0
+    lat0 = np.asarray(ty_tms, np.float64) * span - 90.0
+    return lon0, lat0, lon0 + span, lat0 + span
+
+
+def cover_range_geo_np(lon0, lat0, lon1, lat1, z):
+    """Geodetic tiles intersecting the half-open box [lon0,lon1) x
+    [lat0,lat1) at z — the SAME edge rule as the mercator cover_range_np
+    (an extent edge exactly on a tile boundary does not pull in the empty
+    neighbor), with the rectangular 2^(z+1) x 2^z clamp."""
+    span = resolution_geo_np(z) * TILE
+    n = np.int64(1) << np.asarray(z, np.int64)
+    txmin = np.floor((np.asarray(lon0, np.float64) + 180.0) / span)
+    tymin = np.floor((np.asarray(lat0, np.float64) + 90.0) / span)
+    txmax = np.ceil((np.asarray(lon1, np.float64) + 180.0) / span) - 1.0
+    tymax = np.ceil((np.asarray(lat1, np.float64) + 90.0) / span) - 1.0
+    txmin = np.clip(txmin, 0, 2 * n - 1).astype(np.int64)
+    tymin = np.clip(tymin, 0, n - 1).astype(np.int64)
+    txmax = np.clip(np.maximum(txmax, txmin), 0, 2 * n - 1).astype(np.int64)
+    tymax = np.clip(np.maximum(tymax, tymin), 0, n - 1).astype(np.int64)
+    return txmin, txmax, tymin, tymax
+
+
+def base_zoom_geo_np(gsd):
+    """Geodetic base zoom for an EPSG:3857 source gsd (meters/px): the
+    ladder is chosen by the equivalent angular gsd at the equator,
+    gsd_deg = gsd * 180/ORIGIN, then z = ceil(log2(RES0_GEO / gsd_deg))
+    clamped to [0, Z_MAX]. Algebraically z_geo = ceil(log2(RES0/gsd)) - 1
+    = mercator base zoom - 1 (the geodetic grid has twice the columns per
+    zoom), but it is computed directly from the published definition."""
+    gsd_deg = np.asarray(gsd, dtype=np.float64) * (180.0 / ORIGIN)
+    z = np.ceil(np.log2(RES0_GEO / gsd_deg))
+    return np.clip(z, 0, Z_MAX).astype(np.int64)
+
+
 def pack_zxy_np(z, x, y):
     """Pack (z,x,y) into one int64 sort/join key: z<<58 | x<<29 | y.
     Valid for z<=29 (our Z_MAX cap for packed keys); monotone within a zoom.
@@ -206,6 +270,30 @@ if _HAVE_SPARK:
 
     def clamp_tile(t, z) -> Column:
         return F.greatest(F.lit(0), F.least(n_tiles(z) - F.lit(1), _c(t))).cast("long")
+
+    def resolution_geo(z) -> Column:
+        return F.lit(RES0_GEO) / F.pow(F.lit(2.0), _c(z))
+
+    def tile_x_geo(lon, z) -> Column:
+        """Geodetic column index (2^(z+1) columns), clamped."""
+        span = resolution_geo(z) * F.lit(float(TILE))
+        idx = F.floor((_c(lon) + F.lit(180.0)) / span)
+        return F.greatest(
+            F.lit(0), F.least(F.lit(2) * n_tiles(z) - F.lit(1), idx)
+        ).cast("long")
+
+    def tile_y_geo_tms(lat, z) -> Column:
+        """Geodetic TMS row index (2^z rows, south-up), clamped."""
+        span = resolution_geo(z) * F.lit(float(TILE))
+        idx = F.floor((_c(lat) + F.lit(90.0)) / span)
+        return F.greatest(F.lit(0), F.least(n_tiles(z) - F.lit(1), idx)).cast("long")
+
+    def base_zoom_geo(gsd) -> Column:
+        """Geodetic base zoom from an EPSG:3857 gsd (meters/px) — the
+        Column twin of base_zoom_geo_np (same two-step formula)."""
+        gsd_deg = _c(gsd) * F.lit(180.0 / ORIGIN)
+        z = F.ceil(F.log2(F.lit(RES0_GEO) / gsd_deg))
+        return F.greatest(F.lit(0), F.least(F.lit(Z_MAX), z)).cast("long")
 
     def pack_zxy(z, x, y) -> Column:
         return (

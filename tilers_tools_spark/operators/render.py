@@ -164,39 +164,7 @@ def render_image_pyramid(
         if not vcol.any():
             continue
         sc = (mx - geo["mx0"]) / geo["gsd"] - 0.5
-        c0 = np.floor(sc)
-        fc = sc - c0
-        c0 = c0.astype(np.int64)
-        if base_resampling == "bilinear":
-            c0c = np.clip(c0, 0, w_src - 1)
-            c1c = np.clip(c0 + 1, 0, w_src - 1)
-            # 8.8 fixed-point bilinear (geometry stays float64): weight
-            # wq = floor(frac*256 + 0.5) in [0,256]; per stage
-            # out = (a*(256-wq) + b*wq + 128) >> 8, all uint16 (max 255*256
-            # fits). Quantized bilinear = standard SIMD image-pipeline practice;
-            # ~4x less memory traffic than float64 -> scales across cores.
-            # Oracle mirrors the identical integer ops -> bit-identical tiles.
-            wc = np.floor(fc * 256.0 + 0.5).astype(np.uint16)[None, :, None]
-            # stored u8 (values <= 255) to halve the stage-2 gather traffic
-            cols_full = ((src[:, c0c] * (256 - wc) + src[:, c1c] * wc + 128) >> 8).astype(np.uint8)
-        elif base_resampling == "nearest":
-            # gdalwarp 'near': the source pixel whose center is closest to
-            # the dest sample point — round(s) = floor(s + 0.5), clamped
-            cn = np.clip(np.floor(sc + 0.5).astype(np.int64), 0, w_src - 1)
-            cols_full = src[:, cn].astype(np.uint8)
-        elif base_resampling in _BASE_KERNELS:
-            # multi-tap kernel (Catmull-Rom cubic / Lanczos-3), int32
-            # accumulate (taps can be negative), (acc + 128) >> 8
-            # arithmetic shift, clip to u8 per stage
-            taps, off, wfn = _BASE_KERNELS[base_resampling]
-            cq = wfn(fc)
-            acc = np.zeros((h_src, TILE, 3), dtype=np.int32)
-            for k in range(taps):
-                ck = np.clip(c0 + (k - off), 0, w_src - 1)
-                acc += src[:, ck].astype(np.int32) * cq[:, k][None, :, None]
-            cols_full = np.clip((acc + 128) >> 8, 0, 255).astype(np.uint8)
-        else:
-            raise ValueError(f"unknown base_resampling {base_resampling!r}")
+        cols_full = _column_stage(src, sc, base_resampling, w_src, h_src)
         for ty in range(tymin, tymax + 1):
             tmy1 = (ty + 1) * span - tm.ORIGIN
             my = tmy1 - (cc + 0.5) * res
@@ -204,31 +172,87 @@ def render_image_pyramid(
             if not vrow.any():
                 continue
             sr = (geo["my1"] - my) / geo["gsd"] - 0.5
-            r0 = np.floor(sr)
-            fr = sr - r0
-            r0 = r0.astype(np.int64)
-            if base_resampling == "bilinear":
-                r0c = np.clip(r0, 0, h_src - 1)
-                r1c = np.clip(r0 + 1, 0, h_src - 1)
-                wr = np.floor(fr * 256.0 + 0.5).astype(np.uint16)[:, None, None]
-                val = (cols_full[r0c] * (256 - wr) + cols_full[r1c] * wr + 128) >> 8
-            elif base_resampling == "nearest":
-                rn = np.clip(np.floor(sr + 0.5).astype(np.int64), 0, h_src - 1)
-                val = cols_full[rn]
-            else:
-                taps, off, wfn = _BASE_KERNELS[base_resampling]
-                rq = wfn(fr)
-                racc = np.zeros((TILE, TILE, 3), dtype=np.int32)
-                for k in range(taps):
-                    rk = np.clip(r0 + (k - off), 0, h_src - 1)
-                    racc += cols_full[rk].astype(np.int32) * rq[:, k][:, None, None]
-                val = np.clip((racc + 128) >> 8, 0, 255)
+            val = _row_stage(cols_full, sr, base_resampling, h_src)
             valid = vrow[:, None] & vcol[None, :]
             arr = np.empty((TILE, TILE, 4), dtype=np.uint8)
             np.multiply(val, valid[:, :, None], out=arr[:, :, :3], dtype=np.uint8, casting="unsafe")
             np.multiply(valid, 255, out=arr[:, :, 3], dtype=np.uint8, casting="unsafe")
             if valid.any():
                 level[(zb, tx, ty)] = arr
+    return _build_overviews(level, zb, zlo, resampling)
+
+
+def _column_stage(src: np.ndarray, sc: np.ndarray, base_resampling: str, w_src: int, h_src: int) -> np.ndarray:
+    """Horizontal resample of all source rows at the 256 dest-column
+    positions `sc` (corner-based source px minus 0.5). 8.8 fixed-point
+    contract (bit-identical to oracle/minitiler):
+
+    * bilinear: weight wq = floor(frac*256 + 0.5) in [0,256]; per stage
+      out = (a*(256-wq) + b*wq + 128) >> 8, all uint16 (max 255*256 fits).
+      Quantized bilinear = standard SIMD image-pipeline practice; ~4x less
+      memory traffic than float64 -> scales across cores.
+    * nearest: gdalwarp 'near' — the source pixel whose center is closest
+      to the dest sample point, round(s) = floor(s + 0.5), clamped.
+    * cubic (Catmull-Rom) / lanczos (Lanczos-3): multi-tap kernel, int32
+      accumulate (taps can be negative), (acc + 128) >> 8 arithmetic
+      shift, clip to u8 per stage.
+
+    Hoisted out of the ty loop by both pyramid cuts: column interp depends
+    only on tx, so it is computed once per tile column and shared across
+    the ty range. Output stored u8 (values <= 255) to halve the stage-2
+    gather traffic."""
+    c0 = np.floor(sc)
+    fc = sc - c0
+    c0 = c0.astype(np.int64)
+    if base_resampling == "bilinear":
+        c0c = np.clip(c0, 0, w_src - 1)
+        c1c = np.clip(c0 + 1, 0, w_src - 1)
+        wc = np.floor(fc * 256.0 + 0.5).astype(np.uint16)[None, :, None]
+        return ((src[:, c0c] * (256 - wc) + src[:, c1c] * wc + 128) >> 8).astype(np.uint8)
+    if base_resampling == "nearest":
+        cn = np.clip(np.floor(sc + 0.5).astype(np.int64), 0, w_src - 1)
+        return src[:, cn].astype(np.uint8)
+    if base_resampling in _BASE_KERNELS:
+        taps, off, wfn = _BASE_KERNELS[base_resampling]
+        cq = wfn(fc)
+        acc = np.zeros((h_src, TILE, 3), dtype=np.int32)
+        for k in range(taps):
+            ck = np.clip(c0 + (k - off), 0, w_src - 1)
+            acc += src[:, ck].astype(np.int32) * cq[:, k][None, :, None]
+        return np.clip((acc + 128) >> 8, 0, 255).astype(np.uint8)
+    raise ValueError(f"unknown base_resampling {base_resampling!r}")
+
+
+def _row_stage(cols_full: np.ndarray, sr: np.ndarray, base_resampling: str, h_src: int) -> np.ndarray:
+    """Vertical resample of the column-stage output at the 256 dest-row
+    positions `sr` — same kernel set and fixed-point contract as
+    _column_stage (columns before rows, intermediates clipped to u8)."""
+    r0 = np.floor(sr)
+    fr = sr - r0
+    r0 = r0.astype(np.int64)
+    if base_resampling == "bilinear":
+        r0c = np.clip(r0, 0, h_src - 1)
+        r1c = np.clip(r0 + 1, 0, h_src - 1)
+        wr = np.floor(fr * 256.0 + 0.5).astype(np.uint16)[:, None, None]
+        return (cols_full[r0c] * (256 - wr) + cols_full[r1c] * wr + 128) >> 8
+    if base_resampling == "nearest":
+        rn = np.clip(np.floor(sr + 0.5).astype(np.int64), 0, h_src - 1)
+        return cols_full[rn]
+    taps, off, wfn = _BASE_KERNELS[base_resampling]
+    rq = wfn(fr)
+    racc = np.zeros((TILE, TILE, 3), dtype=np.int32)
+    for k in range(taps):
+        rk = np.clip(r0 + (k - off), 0, h_src - 1)
+        racc += cols_full[rk].astype(np.int32) * rq[:, k][:, None, None]
+    return np.clip((racc + 128) >> 8, 0, 255)
+
+
+def _build_overviews(level: dict, zb: int, zlo: int, resampling: str) -> dict:
+    """Quadtree overview chain zb -> zlo from the base-level dict
+    {(z, tx, ty_tms): rgba}. Grid-agnostic: parent = (cx//2, cy//2) holds
+    on BOTH the square mercator grid and the rectangular 2^(z+1) x 2^z
+    geodetic grid (each halves both axis counts per level; geodetic z0
+    simply ends with two roots). Empty parents elided."""
     out = dict(level)
     z = zb
     while z > zlo:
@@ -249,6 +273,69 @@ def render_image_pyramid(
         level = nxt
         z -= 1
     return out
+
+
+def render_image_pyramid_geodetic(
+    rec: dict,
+    overview_levels: int = 2,
+    resampling: str = "average",
+    zmin=None,
+    zmax=None,
+    base_resampling: str = "bilinear",
+):
+    """One image row -> {(z, tx, ty_tms): rgba} on the GLOBAL-GEODETIC
+    grid (gdal2tiles `--profile geodetic` / OSGeo TMS global-geodetic:
+    2^(z+1) x 2^z 256px tiles in plate-carree degrees, two roots at z0).
+
+    The source georef is the engine's EPSG:3857 convention, so the cut is
+    the exact 3857 -> 4326 inverse mapping: dest columns are linear in
+    lon (mercator x is a pure scale of lon), dest rows go through the
+    closed-form mercator forward my = R*ln(tan((90+lat)*pi/360)) — scalar
+    per dest ROW, which preserves the separable column-stage/row-stage
+    structure and the 8.8 fixed-point contract shared with the mercator
+    pyramid (same _column_stage/_row_stage kernels, all four resamplings).
+    Pixels are NOT square on the ground away from the equator — that is
+    the geodetic profile's defining property, not a bug."""
+    rgba = codecs.to_rgba(codecs.decode_image(rec["bytes"], rec["fmt"]))
+    ph = np.array([rec["phash"]], dtype=np.int64).astype(np.uint64)
+    g = georef.derive_georef_np(ph, np.array([rec["w"]]), np.array([rec["h"]]))
+    geo = {k: float(v[0]) for k, v in g.items()}
+    src = rgba[:, :, :3].astype(np.uint16)
+    h_src, w_src = src.shape[:2]
+    zb = int(tm.base_zoom_geo_np(np.array([geo["gsd"]]))[0]) if zmax is None else int(zmax)
+    zlo = max(0, zb - overview_levels) if zmin is None else int(zmin)
+    lon0, lat0 = tm.inv_merc_np(np.array([geo["mx0"]]), np.array([geo["my0"]]))
+    lon1, lat1 = tm.inv_merc_np(np.array([geo["mx1"]]), np.array([geo["my1"]]))
+    txmin, txmax, tymin, tymax = (
+        int(v[0]) for v in tm.cover_range_geo_np(lon0, lat0, lon1, lat1, zb)
+    )
+    res = tm.RES0_GEO / (2.0**zb)
+    span = res * TILE
+    cc = np.arange(TILE, dtype=np.float64)
+    level = {}
+    for tx in range(txmin, txmax + 1):
+        lon = (tx * span - 180.0) + (cc + 0.5) * res
+        mx = lon * (tm.ORIGIN / 180.0)
+        vcol = (mx >= geo["mx0"]) & (mx < geo["mx1"])
+        if not vcol.any():
+            continue
+        sc = (mx - geo["mx0"]) / geo["gsd"] - 0.5
+        cols_full = _column_stage(src, sc, base_resampling, w_src, h_src)
+        for ty in range(tymin, tymax + 1):
+            lat = ((ty + 1) * span - 90.0) - (cc + 0.5) * res
+            my = np.log(np.tan((90.0 + lat) * (math.pi / 360.0))) * tm.R
+            vrow = (my > geo["my0"]) & (my <= geo["my1"])
+            if not vrow.any():
+                continue
+            sr = (geo["my1"] - my) / geo["gsd"] - 0.5
+            val = _row_stage(cols_full, sr, base_resampling, h_src)
+            valid = vrow[:, None] & vcol[None, :]
+            arr = np.empty((TILE, TILE, 4), dtype=np.uint8)
+            np.multiply(val, valid[:, :, None], out=arr[:, :, :3], dtype=np.uint8, casting="unsafe")
+            np.multiply(valid, 255, out=arr[:, :, 3], dtype=np.uint8, casting="unsafe")
+            if valid.any():
+                level[(zb, tx, ty)] = arr
+    return _build_overviews(level, zb, zlo, resampling)
 
 
 def warp_tile(rgba_src: np.ndarray, A: np.ndarray, z: int, tx: int, ty_tms: int) -> np.ndarray:
@@ -398,6 +485,77 @@ def render_pyramid(
             cmx = (txa.astype(np.float64) + 0.5) * span - tm.ORIGIN
             cmy = (tya.astype(np.float64) + 0.5) * span - tm.ORIGIN
             lon, lat = tm.inv_merc_np(cmx, cmy)
+            h3 = np.zeros(len(out), dtype=np.int64)
+            s2 = np.zeros(len(out), dtype=np.int64)
+            h3res = np.clip(z - 2, 0, 12).astype(np.int64)
+            s2lvl = np.clip(z, 0, 30).astype(np.int64)
+            for rv in np.unique(h3res):
+                m = h3res == rv
+                h3[m] = h3lite.latlng_to_cell(lat[m], lon[m], int(rv))
+            for lv in np.unique(s2lvl):
+                m = s2lvl == lv
+                s2[m] = s2lite.latlng_to_cell(lat[m], lon[m], int(lv))
+            yield pd.DataFrame(
+                {
+                    "image_id": out["image_id"],
+                    "z": out["z"].astype("int32"),
+                    "x": out["x"],
+                    "y": out["y"],
+                    "y_xyz": (np.int64(1) << z) - 1 - tya,
+                    "tile": out["tile"],
+                    "h3_cell": h3,
+                    "h3_res": h3res.astype("int32"),
+                    "s2_cell": s2,
+                    "lat": lat,
+                    "lon": lon,
+                    "caption": out["caption"],
+                    "part_id": np.full(len(out), pid, dtype=np.int32),
+                }
+            )
+
+    return images.mapInPandas(fn, schema=TILES_SCHEMA)
+
+
+def render_pyramid_geodetic(
+    images: DataFrame,
+    overview_levels: int = 2,
+    resampling: str = "average",
+    zmin=None,
+    zmax=None,
+    encode: str = "png",
+    base_resampling: str = "bilinear",
+) -> DataFrame:
+    """Global-geodetic (EPSG:4326 plate-carree) pyramid — the gdal2tiles
+    `--profile geodetic` counterpart of render_pyramid. Same shuffle-free
+    one-mapInPandas-stage shape and TILES_SCHEMA output; tile keys live on
+    the 2^(z+1) x 2^z grid (y_xyz flips over the 2^z ROW count), tile
+    centers are closed-form degrees (no inverse mercator), and H3/S2
+    cells use the true center latitude (geodetic tiles exist beyond the
+    mercator ±85.05° clip; both cell systems are defined at the poles)."""
+    enc = codecs.encode_tile_png if encode == "png" else codecs.encode_raw
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                tiles = render_image_pyramid_geodetic(
+                    rec, overview_levels, resampling, zmin, zmax, base_resampling
+                )
+                for (z, tx, ty), arr in sorted(tiles.items()):
+                    rows.append((rec["image_id"], z, tx, ty, rec["caption"], enc(arr)))
+            if not rows:
+                continue
+            out = pd.DataFrame(rows, columns=["image_id", "z", "x", "y", "caption", "tile"])
+            z = out["z"].to_numpy(np.int64)
+            txa = out["x"].to_numpy(np.int64)
+            tya = out["y"].to_numpy(np.int64)
+            span = tm.RES0_GEO / (2.0 ** z.astype(np.float64)) * TILE
+            lon = (txa.astype(np.float64) + 0.5) * span - 180.0
+            lat = (tya.astype(np.float64) + 0.5) * span - 90.0
             h3 = np.zeros(len(out), dtype=np.int64)
             s2 = np.zeros(len(out), dtype=np.int64)
             h3res = np.clip(z - 2, 0, 12).astype(np.int64)

@@ -697,6 +697,30 @@ def q_pyramid_smoke(spark, sf_dir):
     )
 
 
+def q_pyramid_geodetic(spark, sf_dir):
+    """Global-geodetic (EPSG:4326 plate-carree) pyramid — the gdal2tiles
+    `--profile geodetic` profile on the 2^(z+1) x 2^z grid: decode ->
+    3857->4326 inverse-mapped cut -> overview -> H3/S2 assign over a
+    deterministic 16-image fixture. Golden is oracle/minitiler.py::
+    tile_image_geo (independent scalar per-row loop); bit-level pixel
+    parity additionally pinned by tests/test_render_geodetic.py."""
+    from fixtures import gen
+    from ..operators.render import render_pyramid_geodetic
+
+    rows = [
+        (r["image_id"], r["bytes"], r["w"], r["h"], r["fmt"], r["caption"], r["phash"])
+        for r in gen.gen_images(16, fmts=("raw", "png"))
+    ]
+    images = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+    )
+    tiles = render_pyramid_geodetic(images)
+    return tiles.select(
+        "image_id", "z", "x", "y", "y_xyz", "h3_cell", "s2_cell",
+        F.md5(F.col("tile")).alias("tile_md5"), "caption",
+    )
+
+
 def q_simhash(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dedup.simhash(docs)
@@ -5509,6 +5533,7 @@ QUERIES: dict = {
     # golden file is absent
     "h3_s2_assign": (q_h3_s2_assign, _golden("h3_s2_assign")),
     "pyramid_smoke": (q_pyramid_smoke, _golden("pyramid_smoke")),
+    "pyramid_geodetic": (q_pyramid_geodetic, _golden("pyramid_geodetic")),
     "warped_smoke": (q_warped_smoke, _golden("warped_smoke")),
     "simhash": (q_simhash, _golden("simhash")),
     "minhash_lsh_pairs": (q_lsh_pairs, _golden("minhash_lsh_pairs")),

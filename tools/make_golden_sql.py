@@ -250,6 +250,31 @@ def g_pyramid_smoke():
     )
 
 
+def g_pyramid_geodetic():
+    # geodetic-profile twin of g_pyramid_smoke: minitiler.tile_image_geo is
+    # the independent scalar per-row renderer on the 2^(z+1) x 2^z grid;
+    # tile_md5 over the shared byte-deterministic PNG encoder.
+    rows = []
+    for rec in gen.gen_images(16, fmts=("raw", "png")):
+        for r in mt.tile_image_geo(rec):
+            h3 = int(
+                h3lite.latlng_to_cell(
+                    np.array([r["lat"]]), np.array([r["lon"]]), mt.h3_res_for_zoom(r["z"])
+                )[0]
+            )
+            md5 = hashlib.md5(codecs.encode_tile_png(r["rgba"])).hexdigest()
+            rows.append(
+                [rec["image_id"], int(r["z"]), int(r["x"]), int(r["y"]), int(r["y_xyz"]),
+                 h3, int(r["s2_cell"]), md5, rec["caption"]]
+            )
+    save(
+        "pyramid_geodetic",
+        ["image_id", "z", "x", "y", "y_xyz", "h3_cell", "s2_cell", "tile_md5", "caption"],
+        ["str", "int32", "int64", "int64", "int64", "int64", "int64", "str", "str"],
+        rows,
+    )
+
+
 def g_dem_hillshade():
     # SCOPE NOTE: reuses terrain.hillshade_np (pure NumPy), whose math is
     # anchored independently by the hand-derived integer pins in
@@ -3077,6 +3102,7 @@ GENERATORS = {
     "simhash": g_simhash,
     "minhash_lsh_pairs": g_minhash_lsh_pairs,
     "pyramid_smoke": g_pyramid_smoke,
+    "pyramid_geodetic": g_pyramid_geodetic,
     "warped_smoke": g_warped_smoke,
     "cutline_mask": g_cutline_mask,
     "image_features": g_image_features,
