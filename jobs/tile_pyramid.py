@@ -25,6 +25,9 @@ def main():
     ap.add_argument(
         "--base-resampling", default="bilinear", choices=("bilinear", "cubic", "lanczos", "nearest")
     )
+    ap.add_argument("--profile", default="mercator", choices=("mercator", "geodetic"),
+                    help="tile grid: EPSG:3857 mercator or global-geodetic plate-carree "
+                         "(gdal2tiles --profile geodetic)")
     ap.add_argument("--no-stage-input", action="store_true",
                     help="skip the partitioned staging write (input already partitioned by part)")
     ap.add_argument("--master", default=None)
@@ -47,6 +50,7 @@ def main():
         resampling=args.resampling,
         base_resampling=args.base_resampling,
         stage_input=not args.no_stage_input,
+        profile=args.profile,
     )
     print(json.dumps(metrics))
     spark.stop()

@@ -265,6 +265,38 @@ def test_tilemap_xml(tiles_df, tmp_path):
     assert open(out).read() == a
 
 
+def test_tilemap_xml_geodetic(spark, tmp_path):
+    """Global-geodetic TMS metadata: SRS EPSG:4326, origin (-180,-90),
+    units-per-pixel 0.703125/2^z, profile attr 'global-geodetic', degree
+    bounds derived from the deepest zoom's tile range."""
+    import xml.etree.ElementTree as ET
+    import pandas as _pd
+    from tilers_tools_spark.sources.tileset import write_tilemap_xml
+    from tilers_tools_spark.functions import tilemath as tm
+
+    # z=1 geodetic: 4x2 grid; tiles (1,2,1) and (1,3,1) = lon [0,180) lat [0,90)
+    df = spark.createDataFrame(
+        _pd.DataFrame({"z": [1, 1], "x": [2, 3], "y": [1, 1], "tile": [b"a", b"b"]})
+    )
+    out = write_tilemap_xml(df, str(tmp_path), title="g", profile="geodetic")
+    root = ET.parse(out).getroot()
+    assert root.find("SRS").text == "EPSG:4326"
+    o = root.find("Origin")
+    assert float(o.get("x")) == -180.0 and float(o.get("y")) == -90.0
+    tsets = root.find("TileSets")
+    assert tsets.get("profile") == "global-geodetic"
+    (t1,) = tsets.findall("TileSet")
+    assert float(t1.get("units-per-pixel")) == tm.RES0_GEO / 2.0
+    bb = root.find("BoundingBox")
+    assert (float(bb.get("minx")), float(bb.get("miny")), float(bb.get("maxx")), float(bb.get("maxy"))) == (
+        0.0, 0.0, 180.0, 90.0,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        write_tilemap_xml(df, str(tmp_path), profile="utm")
+
+
 def test_quadkey_published_kat_and_roundtrip(spark):
     """Bing tile-system KAT (published docs): level-3 tile x=3, y_xyz=5 ->
     quadkey '213'; plus full roundtrip via from_quadkey at mixed zooms."""

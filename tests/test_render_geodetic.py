@@ -150,6 +150,37 @@ def test_tile_bounds_geo_roundtrip():
 # ---------------------------------------------------------------------------
 
 
+def test_plan_run_geodetic_profile(spark, tmp_path):
+    """tile_pyramid.run(profile='geodetic') commits geodetic-grid tiles
+    through the same resume machinery, and the plan guard refuses a
+    profile flip on resume (mixed grids in one run are unrecoverable)."""
+    from tilers_tools_spark.plans import tile_pyramid as tp
+    from tilers_tools_spark.sources.catalog import Catalog
+
+    rows = [
+        (r["image_id"], r["bytes"], r["w"], r["h"], r["fmt"], r["caption"], r["phash"])
+        for r in RECS[:2]
+    ]
+    images = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+    )
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    m = tp.run(spark, images, cat, run_id="g1", n_parts=2, profile="geodetic")
+    assert m["parts_run"] == 2
+    got = cat.read("tiles").select("image_id", "z", "x", "y").toPandas()
+    expected = set()
+    for rec in RECS[:2]:
+        for r in mt.tile_image_geo(rec):
+            expected.add((rec["image_id"], r["z"], r["x"], r["y"]))
+    assert set(zip(got.image_id, got.z, got.x, got.y)) == expected
+    # resume with the OTHER profile must refuse loudly
+    with pytest.raises(ValueError, match="profile"):
+        tp.run(spark, images, cat, run_id="g1", n_parts=2, profile="mercator")
+    # bad profile string refused up front
+    with pytest.raises(ValueError, match="profile"):
+        tp.run(spark, images, cat, run_id="g2", n_parts=2, profile="utm")
+
+
 def test_render_pyramid_geodetic_dataframe(spark):
     rows = [
         (r["image_id"], r["bytes"], r["w"], r["h"], r["fmt"], r["caption"], r["phash"])

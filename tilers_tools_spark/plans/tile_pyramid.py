@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.explode import salt_column
-from ..operators.render import render_pyramid
+from ..operators.render import render_pyramid, render_pyramid_geodetic
 from ..sources.catalog import Catalog
 
 TILES_TABLE = "tiles"
@@ -71,6 +71,7 @@ def run(
     sink_partitions: int | None = None,
     max_parts: int | None = None,
     stage_input: bool = True,
+    profile: str = "mercator",
 ) -> dict:
     """Execute the pyramid for every not-yet-done part. Returns metrics.
 
@@ -78,7 +79,13 @@ def run(
     test to simulate a mid-run kill between atomic part batches).
     `stage_input=False` skips the partitioned staging write (single-part
     runs or inputs already partitioned by part).
+    `profile` selects the tile grid: "mercator" (EPSG:3857, default) or
+    "geodetic" (global-geodetic plate-carree, gdal2tiles --profile
+    geodetic) — pinned per run_id by the plan guard, because resuming a
+    run under the other grid would commit tiles with incompatible keys.
     """
+    if profile not in ("mercator", "geodetic"):
+        raise ValueError(f"profile must be 'mercator' or 'geodetic', got {profile!r}")
     # plan guard: 'done' checkpoint markers are keyed (run_id, part_id) and
     # only valid under the pmod modulus they were written with. A one-row
     # plan table pins n_parts per run_id forever (kept after completion:
@@ -90,13 +97,23 @@ def run(
     done_ids = {r["part_id"] for r in done_parts(cat, run_id).collect()}
     plan_tbl = f"_run_plan_{run_id}"
     if cat.exists(plan_tbl):
-        prev = int(cat.read(plan_tbl).first()["n_parts"])
+        plan_row = cat.read(plan_tbl).first().asDict()
+        prev = int(plan_row["n_parts"])
         if prev != n_parts:
             raise ValueError(
                 f"run_id {run_id!r} was started with n_parts={prev}; resuming with "
                 f"n_parts={n_parts} would reuse 'done' markers from a different partition "
                 f"modulus (wrong/duplicate image subsets). Resume with n_parts={prev} or "
                 f"use a new run_id."
+            )
+        # plan rows written before the geodetic profile existed lack the
+        # column; those runs were necessarily mercator
+        prev_profile = plan_row.get("profile") or "mercator"
+        if prev_profile != profile:
+            raise ValueError(
+                f"run_id {run_id!r} was started with profile={prev_profile!r}; resuming "
+                f"with profile={profile!r} would mix tile grids in one run. Resume with "
+                f"profile={prev_profile!r} or use a new run_id."
             )
     elif done_ids:
         # done markers WITHOUT a plan record (run started before the guard
@@ -109,7 +126,9 @@ def run(
             f"{plan_tbl} with the original n_parts manually)."
         )
     else:
-        cat.append(spark.createDataFrame([(n_parts,)], "n_parts int"), plan_tbl)
+        cat.append(
+            spark.createDataFrame([(n_parts, profile)], "n_parts int, profile string"), plan_tbl
+        )
     planned = plan_parts(images, n_parts)
     all_parts = sorted(r["part_id"] for r in planned.select("part_id").distinct().collect())
     # reconcile: roll back orphan tiles batches (committed tiles whose part
@@ -143,7 +162,8 @@ def run(
         obs_out = Observation(f"out_{part}")
         src = part_images.observe(obs_in, F.count(F.lit(1)).alias("rows_in"))
         t0 = time.time()
-        tiles = render_pyramid(
+        render = render_pyramid_geodetic if profile == "geodetic" else render_pyramid
+        tiles = render(
             src, overview_levels=overview_levels, resampling=resampling, zmin=zmin,
             base_resampling=base_resampling,
         )

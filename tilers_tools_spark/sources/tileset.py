@@ -37,43 +37,55 @@ def write_tileset_dir(tiles: DataFrame, dest: str, scheme: str = "xyz", ext: str
     return dest
 
 
-def write_tilemap_xml(tiles: DataFrame, dest: str, title: str = "tiles", ext: str = "png") -> str:
+def write_tilemap_xml(
+    tiles: DataFrame, dest: str, title: str = "tiles", ext: str = "png", profile: str = "mercator"
+) -> str:
     """Write the OSGeo TMS `tilemapresource.xml` next to the tile tree —
     the reference's tilemap metadata writer (SURVEY.md §2.1 row 4; format
     per the public TMS spec [SPEC], as gdal2tiles/gdal_tiler emit it).
     Bounds come from the deepest zoom's tile range (TMS y); one driver-side
-    write of a tiny aggregate. Deterministic output text."""
+    write of a tiny aggregate. Deterministic output text.
+
+    `profile="mercator"` (EPSG:900913 meters, square grid) or
+    `profile="geodetic"` (TMS global-geodetic: EPSG:4326 degrees, origin
+    (-180,-90), units-per-pixel 0.703125/2^z, 2^(z+1) x 2^z tiles)."""
     from ..functions import tilemath as tm
     from ..operators.convert import tilemap_metadata
 
+    if profile not in ("mercator", "geodetic"):
+        raise ValueError(f"profile must be 'mercator' or 'geodetic', got {profile!r}")
     rows = tilemap_metadata(tiles).collect()
     if not rows:
         raise ValueError("empty tile set")
     deepest = max(rows, key=lambda r: r["z"])
     z = int(deepest["z"])
-    span = tm.RES0 / (2.0**z) * 256.0
-    minx = deepest["xmin"] * span - tm.ORIGIN
-    maxx = (deepest["xmax"] + 1) * span - tm.ORIGIN
-    miny = deepest["ymin"] * span - tm.ORIGIN
-    maxy = (deepest["ymax"] + 1) * span - tm.ORIGIN
+    if profile == "geodetic":
+        res0, ox, oy, srs, prof_attr = tm.RES0_GEO, -180.0, -90.0, "EPSG:4326", "global-geodetic"
+    else:
+        res0, ox, oy, srs, prof_attr = tm.RES0, -tm.ORIGIN, -tm.ORIGIN, "EPSG:900913", "mercator"
+    span = res0 / (2.0**z) * 256.0
+    minx = deepest["xmin"] * span + ox
+    maxx = (deepest["xmax"] + 1) * span + ox
+    miny = deepest["ymin"] * span + oy
+    maxy = (deepest["ymax"] + 1) * span + oy
     from xml.sax.saxutils import escape
 
     title = escape(title)
     ext = escape(ext)
     mime = escape({"png": "image/png", "jpeg": "image/jpeg", "jpg": "image/jpeg"}.get(ext, f"image/{ext}"))
     tilesets = "\n".join(
-        f'    <TileSet href="{int(r["z"])}" units-per-pixel="{tm.RES0 / (2.0 ** int(r["z"])):.17g}" order="{int(r["z"])}"/>'
+        f'    <TileSet href="{int(r["z"])}" units-per-pixel="{res0 / (2.0 ** int(r["z"])):.17g}" order="{int(r["z"])}"/>'
         for r in sorted(rows, key=lambda r: r["z"])
     )
     xml = f"""<?xml version="1.0" encoding="utf-8"?>
 <TileMap version="1.0.0" tilemapservice="http://tms.osgeo.org/1.0.0">
   <Title>{title}</Title>
   <Abstract></Abstract>
-  <SRS>EPSG:900913</SRS>
+  <SRS>{srs}</SRS>
   <BoundingBox minx="{minx:.17g}" miny="{miny:.17g}" maxx="{maxx:.17g}" maxy="{maxy:.17g}"/>
-  <Origin x="{-tm.ORIGIN:.17g}" y="{-tm.ORIGIN:.17g}"/>
+  <Origin x="{ox:.17g}" y="{oy:.17g}"/>
   <TileFormat width="256" height="256" mime-type="{mime}" extension="{ext}"/>
-  <TileSets profile="mercator">
+  <TileSets profile="{prof_attr}">
 {tilesets}
   </TileSets>
 </TileMap>
