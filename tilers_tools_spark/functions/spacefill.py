@@ -129,24 +129,27 @@ def morton_sql_expr(x: str, y: str, z: int) -> str:
     return " + ".join(terms)
 
 
-def hilbert_sql_ctes(src: str, z: int, keep: str, x: str = "x", y: str = "y") -> str:
+def hilbert_sql_ctes(src: str, z: int, keep: str, x: str = "x", y: str = "y",
+                     prefix: str = "h") -> str:
     """DuckDB mirror of hilbert_key: chained CTEs `h0..h{z}` rebinding
     (hx, hy, hd) level-for-level; final CTE `h{z}` exposes `keep` columns
-    + hd. Embed via `WITH ..., {this}` then select from h{z}."""
+    + hd. Embed via `WITH ..., {this}` then select from h{z}. `prefix`
+    renames the chain (g0..g{z}, ...) so one query can carry chains at
+    several zooms without CTE-name collisions."""
     n = 1 << z
-    parts = [f"h0 AS (SELECT {keep}, CAST({x} AS BIGINT) AS hx, "
+    parts = [f"{prefix}0 AS (SELECT {keep}, CAST({x} AS BIGINT) AS hx, "
              f"CAST({y} AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd FROM {src})"]
     lvl = 0
     for i in reversed(range(z)):
         s = 1 << i
         rx, ry = f"((hx >> {i}) & 1)", f"((hy >> {i}) & 1)"
         parts.append(
-            f"h{lvl + 1} AS (SELECT {keep}, "
+            f"{prefix}{lvl + 1} AS (SELECT {keep}, "
             f"CASE WHEN {ry} = 0 THEN CASE WHEN {rx} = 1 THEN {n - 1} - hy ELSE hy END "
             f"ELSE hx END AS hx, "
             f"CASE WHEN {ry} = 0 THEN CASE WHEN {rx} = 1 THEN {n - 1} - hx ELSE hx END "
             f"ELSE hy END AS hy, "
-            f"hd + {s * s} * xor(3 * {rx}, {ry}) AS hd FROM h{lvl})"
+            f"hd + {s * s} * xor(3 * {rx}, {ry}) AS hd FROM {prefix}{lvl})"
         )
         lvl += 1
     return ",\n".join(parts)

@@ -261,6 +261,66 @@ FROM tiles GROUP BY 1, 2, 3
 """
 
 
+def q_pmtiles_keys(spark, sf_dir):
+    """PMTiles v3 container roundtrip (sources/pmtiles.py — the public
+    protomaps archive format): deterministic z7+z8 tiles (blob 'SEA' on a
+    (x+y)%5 lattice to exercise content dedup + run-length collapse,
+    printf bytes elsewhere) are written through the full pipeline —
+    distributed Hilbert tileid assign, range-sort, streaming assembler
+    with leaf directories forced on (max_root_entries=512) — then read
+    back executor-side (mapInPandas pread). The oracle recomputes tileid
+    INDEPENDENTLY: two hilbert_sql_ctes chains (prefix g/k, XYZ-flipped
+    y) + the closed-form (4^z-1)/3 pyramid offsets, and md5s the same
+    blob rule relationally — so a writer/reader bug pair cannot cancel
+    unless it also reproduces the spec's Hilbert addressing in DuckDB."""
+    import os
+    import tempfile
+
+    from ..sources import pmtiles as pmt
+
+    mp = _merc_pts(spark, sf_dir)
+    t = _tiles_at(mp, 7).unionByName(_tiles_at(mp, 8)).select("z", "x", "y").distinct()
+    t = t.withColumn(
+        "tile",
+        F.when((F.col("x") + F.col("y")) % 5 == 0, F.lit(b"SEA")).otherwise(
+            F.format_string("%d/%d/%d", "z", "x", "y").cast("binary")
+        ),
+    )
+    work = tempfile.mkdtemp(prefix="pmtiles_gate_")
+    path = pmt.write_pmtiles(
+        t, os.path.join(work, "gate.pmtiles"), metadata={"name": "gate"},
+        max_root_entries=512, leaf_size=256,
+    )
+    back = pmt.read_pmtiles(spark, path)
+    return back.select("z", "x", "y", "tileid", F.md5("tile").alias("tile_md5"))
+
+
+def _pmtiles_sql() -> str:
+    from ..functions import spacefill as sfc
+
+    t7 = _tiles_sql(7).replace("tiles AS", "t7 AS", 1)
+    t8 = _tiles_sql(8).replace("tiles AS", "t8 AS", 1)
+    return f"""
+WITH {_PTS_SQL}, {t7}, {t8},
+s7 AS (SELECT DISTINCT z, x, y, 127 - y AS yx FROM t7),
+s8 AS (SELECT DISTINCT z, x, y, 255 - y AS yx FROM t8),
+{sfc.hilbert_sql_ctes('s7', 7, 'z, x, y', x='x', y='yx', prefix='g')},
+{sfc.hilbert_sql_ctes('s8', 8, 'z, x, y', x='x', y='yx', prefix='k')},
+u AS (
+  SELECT z, x, y, 5461 + hd AS tileid FROM g7
+  UNION ALL
+  SELECT z, x, y, 21845 + hd AS tileid FROM k8
+)
+SELECT z, x, y, tileid,
+       md5(CASE WHEN (x + y) % 5 = 0 THEN 'SEA'
+                ELSE printf('%d/%d/%d', z, x, y) END) AS tile_md5
+FROM u
+"""
+
+
+SQL_PMTILES_KEYS = _pmtiles_sql()
+
+
 def q_base_zoom_hist(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     gsd = F.lit(16.0) * F.pow(F.lit(2.0), F.col("event_id") % 600 / 100.0)
@@ -5452,6 +5512,7 @@ QUERIES: dict = {
     "rmaps_keys": (q_rmaps_keys, SQL_RMAPS_KEYS),
     "osmdroid_keys": (q_osmdroid_keys, SQL_OSMDROID_KEYS),
     "gpkg_keys": (q_gpkg_keys, SQL_GPKG_KEYS),
+    "pmtiles_keys": (q_pmtiles_keys, SQL_PMTILES_KEYS),
     "base_zoom_hist": (q_base_zoom_hist, SQL_BASE_ZOOM_HIST),
     "tilemap_rollup": (q_tilemap_rollup, SQL_TILEMAP_ROLLUP),
     # spatial
