@@ -321,6 +321,83 @@ FROM u
 SQL_PMTILES_KEYS = _pmtiles_sql()
 
 
+def q_shapefile_ingest(spark, sf_dir):
+    """ESRI Shapefile triplet ingest (sources/shapefile.py — the public
+    1998 whitepaper format): 120 deterministic square polygons (every
+    4th with a CCW hole ring, all closed forms of k) + dBase III attrs
+    (C/N/N-decimal/L fields) are written through the spec writer, then
+    read back DISTRIBUTED — .shx record spans on the driver, geometry
+    pread + parsed executor-side (mapInPandas) — and reduced to
+    per-ring bbox/count + typed attributes. The oracle replays the
+    closed forms relationally (DuckDB range()); the symmetric
+    writer/reader pairing is independently pinned by the handcrafted
+    spec-byte KATs in tests/test_shapefile.py."""
+    import os
+    import tempfile
+
+    from ..sources import shapefile as shpf
+
+    records, rows = [], []
+    for k in range(120):
+        cx = float((k * 77) % 300 - 150)
+        cy = float((k * 37) % 140 - 70)
+        r = 0.5 + (k % 3) * 0.25
+        outer = [(cx - r, cy - r), (cx - r, cy + r), (cx + r, cy + r),
+                 (cx + r, cy - r), (cx - r, cy - r)]
+        parts = [outer]
+        if k % 4 == 0:
+            h = r / 2.0
+            parts.append([(cx - h, cy - h), (cx - h, cy + h), (cx + h, cy + h),
+                          (cx + h, cy - h), (cx - h, cy - h)])
+        records.append(shpf.ensure_orientation(parts))
+        rows.append({"NAME": "poly-%d" % k, "CAT": k % 7, "SCORE": k * 0.125,
+                     "OK": k % 2 == 0})
+    work = tempfile.mkdtemp(prefix="shp_gate_")
+    path = shpf.write_shapefile(
+        os.path.join(work, "gate"), "polygon", records,
+        fields=[("NAME", "C", 12, 0), ("CAT", "N", 6, 0),
+                ("SCORE", "N", 10, 3), ("OK", "L", 1, 0)],
+        rows=rows,
+    )
+    geo = shpf.read_shapefile(spark, path)
+    lons = F.transform("ring", lambda p: p["lon"])
+    lats = F.transform("ring", lambda p: p["lat"])
+    return geo.select(
+        "fid", "shape", "part", "is_hole",
+        F.size("ring").alias("n_pts"),
+        F.array_min(lons).alias("minx"),
+        F.array_min(lats).alias("miny"),
+        F.array_max(lons).alias("maxx"),
+        F.array_max(lats).alias("maxy"),
+        "NAME", "CAT", "SCORE", "OK",
+    )
+
+
+SQL_SHAPEFILE_INGEST = """
+WITH ks AS (SELECT CAST(k AS BIGINT) AS k FROM range(120) t(k)),
+geo AS (
+  SELECT k, CAST((k*77) % 300 - 150 AS DOUBLE) AS cx,
+         CAST((k*37) % 140 - 70 AS DOUBLE) AS cy,
+         0.5e0 + (k % 3) * 0.25e0 AS r
+  FROM ks
+),
+rings AS (
+  SELECT k, 0 AS part, FALSE AS is_hole, r AS rr FROM geo
+  UNION ALL
+  SELECT k, 1, TRUE, r / 2e0 FROM geo WHERE k % 4 = 0
+)
+SELECT g.k + 1 AS fid, 'polygon' AS shape, rings.part, rings.is_hole,
+       5 AS n_pts,
+       g.cx - rings.rr AS minx, g.cy - rings.rr AS miny,
+       g.cx + rings.rr AS maxx, g.cy + rings.rr AS maxy,
+       printf('poly-%d', g.k) AS NAME,
+       g.k % 7 AS CAT,
+       g.k * 0.125e0 AS SCORE,
+       g.k % 2 = 0 AS OK
+FROM geo g JOIN rings ON rings.k = g.k
+"""
+
+
 def q_base_zoom_hist(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     gsd = F.lit(16.0) * F.pow(F.lit(2.0), F.col("event_id") % 600 / 100.0)
@@ -5513,6 +5590,7 @@ QUERIES: dict = {
     "osmdroid_keys": (q_osmdroid_keys, SQL_OSMDROID_KEYS),
     "gpkg_keys": (q_gpkg_keys, SQL_GPKG_KEYS),
     "pmtiles_keys": (q_pmtiles_keys, SQL_PMTILES_KEYS),
+    "shapefile_ingest": (q_shapefile_ingest, SQL_SHAPEFILE_INGEST),
     "base_zoom_hist": (q_base_zoom_hist, SQL_BASE_ZOOM_HIST),
     "tilemap_rollup": (q_tilemap_rollup, SQL_TILEMAP_ROLLUP),
     # spatial
