@@ -19,10 +19,10 @@ import json
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", required=True)
-    ap.add_argument("--src-format", default="dir", choices=("dir", "mbtiles", "rmaps", "gpkg", "osmdroid", "table"))
+    ap.add_argument("--src-format", default="dir", choices=("dir", "mbtiles", "rmaps", "gpkg", "osmdroid", "pmtiles", "table"))
     ap.add_argument("--src-scheme", default="xyz", choices=("xyz", "tms", "zyx"))
     ap.add_argument("--dst", required=True)
-    ap.add_argument("--dst-format", default="mbtiles", choices=("dir", "mbtiles", "rmaps", "gpkg", "osmdroid", "kml"))
+    ap.add_argument("--dst-format", default="mbtiles", choices=("dir", "mbtiles", "rmaps", "gpkg", "osmdroid", "pmtiles", "kml"))
     ap.add_argument("--dst-scheme", default="xyz", choices=("xyz", "tms", "zyx", "zoomify"))
     ap.add_argument("--transcode", default=None, choices=(None, "png", "jpeg", "raw", "tiff", "webp", "bmp", "gif"))
     ap.add_argument("--src-fmt-blob", default="png", help="blob codec of the source tiles (for --transcode)")
@@ -70,6 +70,21 @@ def main():
         from tilers_tools_spark.sources import osmdroid
 
         tiles = osmdroid.read_osmdroid(spark, args.src)
+    elif args.src_format == "pmtiles":
+        import glob as _glob
+        import os as _os
+
+        from tilers_tools_spark.sources import pmtiles as pmt
+
+        paths = (
+            sorted(_glob.glob(_os.path.join(args.src, "part-*.pmtiles")))
+            if _os.path.isdir(args.src) else [args.src]
+        )
+        if not paths:
+            raise SystemExit(f"tiles_convert: no .pmtiles archives under {args.src}")
+        tiles = pmt.read_pmtiles(spark, paths[0]).drop("tileid")
+        for p in paths[1:]:
+            tiles = tiles.unionByName(pmt.read_pmtiles(spark, p).drop("tileid"))
     else:
         tiles = Catalog(spark, args.src).read("tiles").select("z", "x", "y", "tile")
     if args.lint:
@@ -152,6 +167,19 @@ def main():
         from tilers_tools_spark.sources import osmdroid
 
         out = osmdroid.write_osmdroid(tiles, args.dst, provider=args.name, single_file=args.single_file)
+    elif args.dst_format == "pmtiles":
+        from tilers_tools_spark.sources import pmtiles as pmt
+
+        if args.single_file:
+            out = pmt.write_pmtiles(
+                tiles, args.dst, metadata={"name": args.name, "format": ext}
+            )
+        else:
+            out = pmt.write_pmtiles_shards(
+                tiles, args.dst,
+                n_shards=max(spark.sparkContext.defaultParallelism, 1),
+                metadata={"name": args.name, "format": ext},
+            )
     else:
         out = mbt.write_mbtiles(
             tiles,

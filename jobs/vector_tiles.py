@@ -26,6 +26,8 @@ def main():
     src.add_argument("--points", default=None, help="parquet of point rows")
     src.add_argument("--polys", default=None, help="TSV poly_id<TAB>WKT POLYGON")
     src.add_argument("--lines", default=None, help="TSV line_id<TAB>WKT LINESTRING")
+    src.add_argument("--shp", default=None,
+                     help="ESRI polygon shapefile (.shp; holes carried as extra rings)")
     ap.add_argument("--id-col", default="event_id")
     ap.add_argument("--lon-col", default="lon")
     ap.add_argument("--lat-col", default="lat")
@@ -64,15 +66,33 @@ def main():
                 id_col=args.id_col, lon_col=args.lon_col, lat_col=args.lat_col,
             )
     else:
-        path = args.polys or args.lines
-        rows = []
-        with open(path) as f:
-            for line in f:
-                line = line.rstrip("\n")
-                if line:
-                    pid, wkt = line.split("\t", 1)
-                    rows.append((pid, wkt))
-        if args.polys:
+        if args.shp:
+            # driver-side parse under the same small-broadcast-side
+            # contract as the TSV path; fid becomes poly_id, multi-ring
+            # records keep their holes (even-odd downstream)
+            from tilers_tools_spark.sources import shapefile as shpf
+
+            with open(args.shp, "rb") as f:
+                _hdr, recs = shpf.parse_shp(f.read())
+            rows = []
+            for fid, kind, _hz, parts in recs:
+                if kind != "polygon" or not parts:
+                    continue
+                rings_txt = ", ".join(
+                    "(" + ", ".join(f"{x!r} {y!r}" for x, y in ring) + ")"
+                    for ring in parts
+                )
+                rows.append((str(fid), f"POLYGON ({rings_txt})"))
+        else:
+            path = args.polys or args.lines
+            rows = []
+            with open(path) as f:
+                for line in f:
+                    line = line.rstrip("\n")
+                    if line:
+                        pid, wkt = line.split("\t", 1)
+                        rows.append((pid, wkt))
+        if args.polys or args.shp:
             layer = args.layer or "polys"
             tiles = vt.polygon_vector_tiles(
                 spark, rows, args.z, extent=args.extent, layer_name=layer,
@@ -84,7 +104,7 @@ def main():
                 spark, rows, args.z, extent=args.extent, layer_name=layer,
                 simplify_px=args.simplify_px,
             )
-    fields = {} if args.points else ({"poly_id": "String"} if args.polys else {"line_id": "String"})
+    fields = {} if args.points else ({"poly_id": "String"} if (args.polys or args.shp) else {"line_id": "String"})
     vector_layers = [{"id": layer, "fields": fields}]
     tdf = tiles.select("z", "x", "y", "tile")
     if args.dst_format == "dir":

@@ -589,6 +589,47 @@ def test_tiles_convert_gpkg_roundtrip(run_job, tile_dir, tmp_path, spark):
     assert a == b
 
 
+def test_tiles_convert_pmtiles_roundtrip(run_job, tile_dir, tmp_path, spark):
+    """dir -> PMTiles v3 -> dir through the CLI, both the single-file
+    archive and the sharded (disjoint clustered tileid ranges) layout."""
+    src, df = tile_dir
+    single = str(tmp_path / "t.pmtiles")
+    res = run_job("tiles_convert", [
+        "--src", src, "--src-format", "dir", "--src-scheme", "xyz",
+        "--dst", single, "--dst-format", "pmtiles", "--single-file",
+    ])
+    assert res["tiles"] == df.count() and res["out"] == single
+    from tilers_tools_spark.sources import pmtiles as pmt
+
+    assert pmt.read_metadata(single)["format"] == "png"
+    hdr, _ = pmt.read_entries(single)
+    assert hdr["tile_type"] == pmt.TILETYPE["png"]
+    out2 = str(tmp_path / "xyz_back_pm")
+    res2 = run_job("tiles_convert", [
+        "--src", single, "--src-format", "pmtiles",
+        "--dst", out2, "--dst-format", "dir", "--dst-scheme", "xyz",
+    ])
+    assert res2["tiles"] == df.count()
+    from tilers_tools_spark.sources import tileset
+
+    back = tileset.read_tileset_dir(spark, out2, scheme="xyz")
+    a = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in df.collect()}
+    b = {(r["z"], r["x"], r["y"]): bytes(r["tile"]) for r in back.collect()}
+    assert a == b
+    # sharded layout roundtrips through the dir-of-archives read
+    shards = str(tmp_path / "pm_shards")
+    res3 = run_job("tiles_convert", [
+        "--src", src, "--src-format", "dir", "--src-scheme", "xyz",
+        "--dst", shards, "--dst-format", "pmtiles",
+    ])
+    assert res3["tiles"] == df.count()
+    res4 = run_job("tiles_convert", [
+        "--src", shards, "--src-format", "pmtiles",
+        "--dst", str(tmp_path / "back2"), "--dst-format", "dir", "--dst-scheme", "xyz",
+    ])
+    assert res4["tiles"] == df.count()
+
+
 def test_vector_tiles_job_points_mbtiles(run_job, tmp_path, spark):
     """Point MVTs through the CLI into a vector MBTiles: metadata rows
     format=pbf + json vector_layers (MBTiles 1.3 vector convention),
@@ -636,6 +677,32 @@ def test_vector_tiles_job_polys_dir(run_job, tmp_path, spark):
     doc = json.load(open(dst + "/tiles.json"))
     assert doc["vector_layers"][0]["id"] == "polys"
     assert doc["tiles"] == ["{z}/{x}/{y}.pbf"]
+
+
+def test_vector_tiles_job_shp_dir(run_job, tmp_path, spark):
+    """Shapefile polygons through the vector_tiles CLI (--shp): the
+    ogr2ogr-role ingest — rings (incl. a hole) become MVT polygon
+    features with poly_id = fid."""
+    import glob as _g
+
+    from tilers_tools_spark.sources import shapefile as shpf
+
+    sq = [(10.0, 10.0), (10.0, 12.0), (12.0, 12.0), (12.0, 10.0), (10.0, 10.0)]
+    hole = [(10.5, 10.5), (11.5, 10.5), (11.5, 11.5), (10.5, 11.5), (10.5, 10.5)]
+    shp_path = shpf.write_shapefile(
+        str(tmp_path / "poly"), "polygon", [shpf.ensure_orientation([sq, hole])]
+    )
+    dst = str(tmp_path / "sdir")
+    out = run_job("vector_tiles", [
+        "--shp", shp_path, "--z", "4", "--dst", dst, "--dst-format", "dir",
+    ])
+    assert out["tiles"] == 1
+    (pbf,) = _g.glob(dst + "/4/*/*.pbf")
+    from tilers_tools_spark.functions import mvtcodec as mvt
+
+    dec = mvt.decode_mvt(open(pbf, "rb").read())["polys"]
+    assert dec["features"][0]["type"] == mvt.GEOM_POLYGON
+    assert json.load(open(dst + "/tiles.json"))["vector_layers"][0]["fields"] == {"poly_id": "String"}
 
 
 def test_vector_tiles_job_lines_dir(run_job, tmp_path, spark):
