@@ -94,6 +94,11 @@ BENCH_QUERIES = [
     "bpe_encode",
     # final round-5: Exif GPS extraction -> tile assign (header-only parse)
     "exif_gps",
+    # closing round-5: geodetic pyramid profile + the two new container
+    # families (PMTiles v3 write->read, Shapefile triplet write->read)
+    "pyramid_geodetic",
+    "pmtiles_keys",
+    "shapefile_ingest",
 ]
 
 
