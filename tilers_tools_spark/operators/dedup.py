@@ -10,6 +10,8 @@ Scale notes per operator in docstrings.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -927,3 +929,177 @@ def bloom_maybe_contains(
     ).otherwise(0)
     agg = j.groupBy(id_col).agg((F.sum(hit) == k).alias("maybe_in_corpus"))
     return docs.join(agg, id_col, "left")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — cluster-then-prune semantic deduplication
+# ---------------------------------------------------------------------------
+
+
+def semdedup(
+    embeddings: DataFrame,
+    eps: float = 0.95,
+    assign: str = "kmeans",
+    n_clusters: int = 64,
+    bits: int = 8,
+    planes=None,
+    keep: str = "low_centroid_sim",
+    max_cluster: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    iters: int = 10,
+    sample_size: int = 100_000,
+    max_sample_bytes: int = 256 << 20,
+) -> DataFrame:
+    """SemDeDup (published method: Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic deduplication"):
+    partition the embedding space into clusters, compute pairwise cosine
+    ONLY within each cluster, group mutual near-duplicates (cosine >= eps,
+    transitively), and keep ONE representative per group. Returns
+    (id, cluster, group, keep, centroid_sim) — one row per input vector;
+    filter `keep` for the deduplicated corpus.
+
+    Backends (`assign`):
+    * "kmeans" — the paper's clustering: centroids trained driver-side on
+      a byte-bounded deterministic sample (same contract as
+      ann.ivf_topk), vectors assigned by one vectorized Arrow UDF. The
+      paper's keep rule is the default here: within a duplicate group
+      keep the member with the LOWEST cosine to its cluster centroid
+      (retains the boundary/diverse example), ties broken by id.
+    * "hyperplane" — sign-bit buckets from fixed hyperplanes (pass
+      `planes` for a deterministic, cross-engine-reproducible partition;
+      the oracle gate uses small integer planes it can replay in SQL).
+      centroid_sim is NULL; keep="min_id" is the natural rule here.
+
+    Scale shape: one narrow (id, cluster) shuffle; the O(m^2) pairwise
+    stage runs INSIDE each cluster via applyInPandas — exactly the
+    paper's cost model (clusters are sized so m^2 is affordable; the
+    paper uses ~100k clusters at web scale, so raise n_clusters/bits
+    with corpus size). Clusters larger than `max_cluster` are NOT
+    silently truncated: every member is kept (keep=true, group=own id)
+    and `semdedup_skipped_clusters` enumerates them for re-sharding.
+    Duplicate groups never span clusters — by construction of the
+    method (the paper accepts this recall loss; measure it with
+    embedding_near_dup on a sample if it matters).
+    """
+    from .ann import _kmeans_np, hyperplane_bucket
+
+    if keep not in ("low_centroid_sim", "min_id"):
+        raise ValueError(f"keep must be 'low_centroid_sim' or 'min_id', got {keep!r}")
+    e = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    cent = None
+    if assign == "hyperplane":
+        if planes is None:
+            rng = np.random.default_rng(seed)
+            head = e.select(F.size("_v").alias("_d")).filter(F.col("_d") > 0).head(1)
+            if not head:
+                raise ValueError("semdedup: empty corpus")
+            planes = rng.standard_normal((bits, int(head[0]["_d"])))
+        clustered = e.withColumn("_cluster", hyperplane_bucket(F.col("_v"), np.asarray(planes)))
+        if keep == "low_centroid_sim":
+            raise ValueError("keep='low_centroid_sim' requires the kmeans backend")
+    elif assign == "kmeans":
+        head = e.select(F.size("_v").alias("_d")).filter(F.col("_d") > 0).head(1)
+        if not head:
+            raise ValueError("semdedup: empty corpus")
+        dim = int(head[0]["_d"])
+        eff = max(n_clusters, min(sample_size, max_sample_bytes // max(dim * 8, 1)))
+        sample_rows = (
+            e.orderBy(F.xxhash64(F.col("_id").cast("string"), F.lit(seed)))
+            .limit(eff)
+            .collect()
+        )
+        sample = np.array([r["_v"] for r in sample_rows], dtype=np.float64)
+        cent = _kmeans_np(sample, n_clusters, iters, seed)
+
+        from pyspark.sql.types import IntegerType
+
+        @F.pandas_udf(IntegerType())
+        def assign_cluster(v: pd.Series) -> pd.Series:
+            x = np.stack(v.to_numpy())
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            return pd.Series((x @ cent.T).argmax(axis=1).astype(np.int32))
+
+        clustered = e.withColumn("_cluster", assign_cluster(F.col("_v")).cast("long"))
+    else:
+        raise ValueError(f"assign must be 'kmeans' or 'hyperplane', got {assign!r}")
+
+    keep_rule = keep
+    out_schema = (
+        "_id long, _cluster long, _group long, _keep boolean, _centroid_sim double"
+    )
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        pdf = pdf.sort_values("_id").reset_index(drop=True)
+        ids = pdf["_id"].to_numpy()
+        cl = int(pdf["_cluster"].iloc[0])
+        if cent is not None:
+            x = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            csim = xn @ cent[cl]
+        else:
+            csim = np.full(m, np.nan)
+        if m > max_cluster:  # no silent truncation: keep all, report
+            return pd.DataFrame({
+                "_id": ids, "_cluster": cl, "_group": ids,
+                "_keep": True, "_centroid_sim": csim,
+            })
+        if cent is None:
+            x = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        sim = xn @ xn.T
+        adj = sim >= eps
+        # union-find over the eps-graph (transitive duplicate groups)
+        parent = np.arange(m)
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for i in range(m):
+            for j in np.nonzero(adj[i, i + 1:])[0] + i + 1:
+                ri, rj = find(i), find(int(j))
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+        root = np.array([find(i) for i in range(m)])
+        group = ids[root]
+        keep_mask = np.zeros(m, dtype=bool)
+        for r in np.unique(root):
+            members = np.nonzero(root == r)[0]
+            if keep_rule == "low_centroid_sim":
+                # paper rule: keep the member FURTHEST from the centroid
+                # (lowest cosine); ids ascending breaks exact ties
+                best = members[np.argmin(csim[members])]
+            else:
+                best = members[0]  # ids sorted ascending -> min id
+            keep_mask[best] = True
+        return pd.DataFrame({
+            "_id": ids, "_cluster": cl, "_group": group,
+            "_keep": keep_mask, "_centroid_sim": csim,
+        })
+
+    out = clustered.groupBy("_cluster").applyInPandas(prune, out_schema)
+    return out.select(
+        F.col("_id").alias(id_col),
+        F.col("_cluster").alias("cluster"),
+        F.col("_group").alias("group"),
+        F.col("_keep").alias("keep"),
+        F.col("_centroid_sim").alias("centroid_sim"),
+    )
+
+
+def semdedup_skipped_clusters(result: DataFrame, max_cluster: int = 10_000) -> DataFrame:
+    """Enumerate clusters that exceeded `max_cluster` in a semdedup run
+    (every member was kept unpruned there) — the no-silent-truncation
+    report; re-run those ids with more clusters/bits."""
+    return (
+        result.groupBy("cluster")
+        .agg(F.count("*").alias("n_members"))
+        .filter(F.col("n_members") > max_cluster)
+    )

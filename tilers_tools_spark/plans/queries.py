@@ -1450,6 +1450,66 @@ FROM comp
 """
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (operators/dedup.py::semdedup — Abbas et al. 2023
+    cluster-then-prune semantic dedup): embeddings + 4 planted +0.001
+    near-copies, partitioned by the DETERMINISTIC hyperplane backend with
+    small integer planes (plane i comp j = ((i*131 + j*17) % 7) - 3, so
+    the oracle can rebuild them with range()/list_transform), pairwise
+    cosine within cluster, eps-graph connected components, keep = min id
+    per group. The oracle replays every stage relationally: the same
+    integer-plane sign buckets via list_dot_product (identical fold
+    order), within-bucket pairwise cosine, recursive-CTE closure. The
+    kmeans backend + the paper's low-centroid-sim keep rule are
+    pytest-pinned (cross-engine floats of an iterative quantizer don't
+    gate)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    planted = (
+        base.orderBy("vec_id").limit(4)
+        .select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.transform("embedding", lambda x: x + 0.001).alias("embedding"),
+        )
+    )
+    allv = base.unionByName(planted)
+    planes = [[((i * 131 + j * 17) % 7) - 3 for j in range(64)] for i in range(4)]
+    out = dedup.semdedup(
+        allv, eps=0.98, assign="hyperplane", planes=planes, keep="min_id", bits=4
+    )
+    return out.select("vec_id", "cluster", "group", "keep")
+
+
+SQL_SEMDEDUP = """
+WITH RECURSIVE base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT vec_id + 1000000 AS vec_id, list_transform(v, x -> x + 0.001) AS v
+      FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT 4)),
+allv AS (SELECT * FROM base UNION ALL SELECT * FROM p),
+pl AS (SELECT i, list_transform(range(0, 64),
+                                j -> CAST(((i*131 + j*17) % 7) - 3 AS DOUBLE)) AS pv
+       FROM range(0, 4) t(i)),
+b AS (SELECT a.vec_id, a.v,
+             CAST(SUM(CASE WHEN list_dot_product(a.v, pl.pv) >= 0
+                           THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS cluster
+      FROM allv a CROSS JOIN pl GROUP BY a.vec_id, a.v),
+pr AS (SELECT l.vec_id AS a, r.vec_id AS bb,
+              list_dot_product(l.v, r.v)
+                / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))) AS cos
+       FROM b l JOIN b r ON l.cluster = r.cluster AND l.vec_id < r.vec_id),
+edges AS (SELECT a AS src, bb AS dst FROM pr WHERE cos >= 0.98
+          UNION ALL
+          SELECT bb, a FROM pr WHERE cos >= 0.98),
+reach(id, r) AS (
+  SELECT vec_id, vec_id FROM b
+  UNION
+  SELECT edges.dst, reach.r FROM reach JOIN edges ON reach.id = edges.src
+),
+comp AS (SELECT id AS vec_id, min(r) AS grp FROM reach GROUP BY id)
+SELECT b.vec_id, b.cluster, comp.grp AS "group", (b.vec_id = comp.grp) AS keep
+FROM b JOIN comp ON comp.vec_id = b.vec_id
+"""
+
+
 def q_simhash_md5(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return dedup.simhash_md5_32(docs)
@@ -5613,6 +5673,7 @@ QUERIES: dict = {
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "minhash_lsh_md5": (q_lsh_pairs_md5, SQL_LSH_PAIRS_MD5),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "semdedup": (q_semdedup, SQL_SEMDEDUP),
     "phash_near_dup": (q_phash_near_dup, SQL_PHASH_NEAR_DUP),
     # streaming surface: availableNow ingest + cross-restart stateful dedup
     "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
