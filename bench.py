@@ -99,6 +99,10 @@ BENCH_QUERIES = [
     "pyramid_geodetic",
     "pmtiles_keys",
     "shapefile_ingest",
+    # closing round-5: SemDeDup cluster-then-prune semantic dedup +
+    # WKB/GeoParquet vector ingest
+    "semdedup",
+    "wkb_ingest",
 ]
 
 

@@ -28,6 +28,10 @@ def main():
     src.add_argument("--lines", default=None, help="TSV line_id<TAB>WKT LINESTRING")
     src.add_argument("--shp", default=None,
                      help="ESRI polygon shapefile (.shp; holes carried as extra rings)")
+    src.add_argument("--geoparquet", default=None,
+                     help="GeoParquet polygon file/dir (WKB geometry column per "
+                          "the v1.0 'geo' footer; holes + multipolygon members "
+                          "carried as extra rings)")
     ap.add_argument("--id-col", default="event_id")
     ap.add_argument("--lon-col", default="lon")
     ap.add_argument("--lat-col", default="lat")
@@ -83,6 +87,40 @@ def main():
                     for ring in parts
                 )
                 rows.append((str(fid), f"POLYGON ({rings_txt})"))
+        elif args.geoparquet:
+            # driver-side parse under the same small-broadcast-side
+            # contract; the 'geo' footer picks the geometry column, holes
+            # and multipolygon members become extra rings (even-odd)
+            import glob as _glob
+            import os as _os
+
+            import pyarrow.parquet as pq
+
+            from tilers_tools_spark.sources import geoparquet as gpq
+
+            files = (sorted(_glob.glob(_os.path.join(args.geoparquet, "*.parquet")))
+                     if _os.path.isdir(args.geoparquet) else [args.geoparquet])
+            meta = pq.read_schema(files[0]).metadata or {}
+            gcol = "geometry"
+            if b"geo" in meta:
+                gcol = json.loads(meta[b"geo"]).get("primary_column", "geometry")
+            rows = []
+            for fpath in files:
+                tab = pq.read_table(fpath)
+                names = tab.column_names
+                ids = (tab[args.id_col].to_pylist() if args.id_col in names
+                       else range(len(rows), len(rows) + tab.num_rows))
+                for pid, blob in zip(ids, tab[gcol].to_pylist()):
+                    comps, _srid = gpq.parse_wkb(bytes(blob))
+                    rings = [r for kind, _hz, _hole, r in comps
+                             if kind in ("polygon", "multipolygon")]
+                    if not rings:
+                        continue
+                    rings_txt = ", ".join(
+                        "(" + ", ".join(f"{x!r} {y!r}" for x, y in ring) + ")"
+                        for ring in rings
+                    )
+                    rows.append((str(pid), f"POLYGON ({rings_txt})"))
         else:
             path = args.polys or args.lines
             rows = []
@@ -92,7 +130,7 @@ def main():
                     if line:
                         pid, wkt = line.split("\t", 1)
                         rows.append((pid, wkt))
-        if args.polys or args.shp:
+        if args.polys or args.shp or args.geoparquet:
             layer = args.layer or "polys"
             tiles = vt.polygon_vector_tiles(
                 spark, rows, args.z, extent=args.extent, layer_name=layer,
@@ -104,7 +142,7 @@ def main():
                 spark, rows, args.z, extent=args.extent, layer_name=layer,
                 simplify_px=args.simplify_px,
             )
-    fields = {} if args.points else ({"poly_id": "String"} if (args.polys or args.shp) else {"line_id": "String"})
+    fields = {} if args.points else ({"poly_id": "String"} if (args.polys or args.shp or args.geoparquet) else {"line_id": "String"})
     vector_layers = [{"id": layer, "fields": fields}]
     tdf = tiles.select("z", "x", "y", "tile")
     if args.dst_format == "dir":

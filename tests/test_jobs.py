@@ -705,6 +705,45 @@ def test_vector_tiles_job_shp_dir(run_job, tmp_path, spark):
     assert json.load(open(dst + "/tiles.json"))["vector_layers"][0]["fields"] == {"poly_id": "String"}
 
 
+def test_vector_tiles_job_geoparquet_dir(run_job, tmp_path, spark):
+    """GeoParquet polygons through the vector_tiles CLI (--geoparquet):
+    the modern columnar vector ingest — WKB polygon (with hole) +
+    multipolygon rows become MVT polygon features, geometry column
+    located via the v1.0 'geo' footer, poly_id from --id-col."""
+    import glob as _g
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tilers_tools_spark.sources import geoparquet as gpq
+
+    sq = [(10.0, 10.0), (10.0, 12.0), (12.0, 12.0), (12.0, 10.0), (10.0, 10.0)]
+    hole = [(10.5, 10.5), (11.5, 10.5), (11.5, 11.5), (10.5, 11.5), (10.5, 10.5)]
+    sq2 = [[(x + 3.0, y) for x, y in sq]]
+    table = pa.table({
+        "fid": [7, 8],
+        "geom": [gpq.write_wkb("polygon", [sq, hole]),
+                 gpq.write_wkb("multipolygon", [[sq], sq2])],
+    }).replace_schema_metadata({b"geo": json.dumps({
+        "version": "1.0.0", "primary_column": "geom",
+        "columns": {"geom": {"encoding": "WKB"}},
+    }).encode()})
+    gpq_path = str(tmp_path / "polys.parquet")
+    pq.write_table(table, gpq_path)
+    dst = str(tmp_path / "gdir")
+    out = run_job("vector_tiles", [
+        "--geoparquet", gpq_path, "--id-col", "fid",
+        "--z", "4", "--dst", dst, "--dst-format", "dir",
+    ])
+    assert out["tiles"] == 1
+    (pbf,) = _g.glob(dst + "/4/*/*.pbf")
+    from tilers_tools_spark.functions import mvtcodec as mvt
+
+    dec = mvt.decode_mvt(open(pbf, "rb").read())["polys"]
+    assert dec["features"][0]["type"] == mvt.GEOM_POLYGON
+    assert sorted(f["props"].get("poly_id") for f in dec["features"]) == ["7", "8"]
+
+
 def test_vector_tiles_job_lines_dir(run_job, tmp_path, spark):
     """Linestring MVTs through the CLI (--lines TSV) into .pbf tree."""
     from tilers_tools_spark.functions import mvtcodec as mvt

@@ -398,6 +398,97 @@ FROM geo g JOIN rings ON rings.k = g.k
 """
 
 
+def q_wkb_ingest(spark, sf_dir):
+    """WKB/EWKB geometry ingest (sources/geoparquet.py — OGC 06-103r4
+    Well-Known Binary + the PostGIS EWKB extension, the encoding behind
+    GeoParquet's geometry column): 180 closed-form geometries — points,
+    linestrings, polygons (every k%6==2 with a hole ring), multipolygons
+    (two offset members on k%9==8) — alternating NDR/XDR byte order per
+    row, EWKB SRID=4326 on k%5==0, Z ordinates (ISO +1000 or EWKB flag)
+    on k%7==0. Blobs are built driver-side (fixture-small), decoded
+    EXECUTOR-side per Arrow batch (mapInPandas), reduced to per-component
+    kind/part/is_hole/has_z/bbox/srid. The oracle replays the closed
+    forms relationally (DuckDB range()); the parser is independently
+    pinned by handcrafted OGC/PostGIS spec bytes in tests/test_wkb.py, so
+    the symmetric writer/reader pairing cannot cancel."""
+    from ..sources import geoparquet as gpq
+
+    rows = []
+    for k in range(180):
+        cx = float((k * 53) % 360 - 180)
+        cy = float((k * 29) % 160 - 80)
+        r = 0.5 + (k % 4) * 0.25
+        has_z = k % 7 == 0
+        srid = 4326 if k % 5 == 0 else None
+        bo = "<" if k % 2 == 0 else ">"
+
+        def sq(x0, y0, rr):
+            return [(x0 - rr, y0 - rr), (x0 - rr, y0 + rr), (x0 + rr, y0 + rr),
+                    (x0 + rr, y0 - rr), (x0 - rr, y0 - rr)]
+
+        if k % 3 == 0:
+            kind, parts = "point", [[(cx, cy)]]
+        elif k % 3 == 1:
+            kind = "linestring"
+            parts = [[(cx, cy), (cx + 1, cy), (cx + 1, cy + 1), (cx + 2, cy + 1)]]
+        elif k % 9 == 8:
+            kind, parts = "multipolygon", [[sq(cx, cy, r)], [sq(cx + 10, cy, r)]]
+        else:
+            kind, parts = "polygon", [sq(cx, cy, r)]
+            if k % 6 == 2:
+                parts.append(sq(cx, cy, r / 2.0))
+        rows.append((k, gpq.write_wkb(kind, parts, has_z=has_z, z=k * 0.5,
+                                      srid=srid, byteorder=bo)))
+    df = spark.createDataFrame(rows, "geom_id long, geometry binary")
+    geo = gpq.wkb_geometries(df)
+    lons = F.transform("ring", lambda p: p["lon"])
+    lats = F.transform("ring", lambda p: p["lat"])
+    return geo.select(
+        "geom_id", "kind", "part", "is_hole", "has_z",
+        F.size("ring").alias("n_pts"),
+        F.array_min(lons).alias("minx"),
+        F.array_min(lats).alias("miny"),
+        F.array_max(lons).alias("maxx"),
+        F.array_max(lats).alias("maxy"),
+        F.coalesce(F.col("srid"), F.lit(-1)).cast("long").alias("srid"),
+    )
+
+
+SQL_WKB_INGEST = """
+WITH ks AS (SELECT CAST(k AS BIGINT) AS k FROM range(180) t(k)),
+g AS (SELECT k,
+        CAST((k*53) % 360 - 180 AS DOUBLE) AS cx,
+        CAST((k*29) % 160 - 80 AS DOUBLE) AS cy,
+        0.5e0 + (k % 4) * 0.25e0 AS r,
+        (k % 7 = 0) AS hz,
+        CAST(CASE WHEN k % 5 = 0 THEN 4326 ELSE -1 END AS BIGINT) AS srid
+      FROM ks),
+comp AS (
+  SELECT k, 'point' AS kind, 0 AS part, FALSE AS is_hole, 1 AS n_pts,
+         cx AS minx, cy AS miny, cx AS maxx, cy AS maxy, hz, srid
+  FROM g WHERE k % 3 = 0
+  UNION ALL
+  SELECT k, 'linestring', 0, FALSE, 4, cx, cy, cx + 2e0, cy + 1e0, hz, srid
+  FROM g WHERE k % 3 = 1
+  UNION ALL
+  SELECT k, 'polygon', 0, FALSE, 5, cx - r, cy - r, cx + r, cy + r, hz, srid
+  FROM g WHERE k % 3 = 2 AND k % 9 <> 8
+  UNION ALL
+  SELECT k, 'polygon', 1, TRUE, 5, cx - r/2e0, cy - r/2e0, cx + r/2e0, cy + r/2e0, hz, srid
+  FROM g WHERE k % 6 = 2 AND k % 9 <> 8
+  UNION ALL
+  SELECT k, 'multipolygon', 0, FALSE, 5, cx - r, cy - r, cx + r, cy + r, hz, srid
+  FROM g WHERE k % 9 = 8
+  UNION ALL
+  SELECT k, 'multipolygon', 1, FALSE, 5, cx + 10e0 - r, cy - r, cx + 10e0 + r, cy + r, hz, srid
+  FROM g WHERE k % 9 = 8
+)
+SELECT k AS geom_id, kind, part, is_hole, hz AS has_z, n_pts,
+       minx, miny, maxx, maxy, srid
+FROM comp
+"""
+
+
 def q_base_zoom_hist(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     gsd = F.lit(16.0) * F.pow(F.lit(2.0), F.col("event_id") % 600 / 100.0)
@@ -5651,6 +5742,7 @@ QUERIES: dict = {
     "gpkg_keys": (q_gpkg_keys, SQL_GPKG_KEYS),
     "pmtiles_keys": (q_pmtiles_keys, SQL_PMTILES_KEYS),
     "shapefile_ingest": (q_shapefile_ingest, SQL_SHAPEFILE_INGEST),
+    "wkb_ingest": (q_wkb_ingest, SQL_WKB_INGEST),
     "base_zoom_hist": (q_base_zoom_hist, SQL_BASE_ZOOM_HIST),
     "tilemap_rollup": (q_tilemap_rollup, SQL_TILEMAP_ROLLUP),
     # spatial
