@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     # WKB/GeoParquet vector ingest
     "semdedup",
     "wkb_ingest",
+    "asof_join",
 ]
 
 

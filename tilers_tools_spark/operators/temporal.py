@@ -1,0 +1,104 @@
+"""Temporal joins (SURVEY.md §2 — beyond-scope training-pipeline family).
+
+``asof_join`` is the classic "most recent right row at-or-before each
+left row" join (sensor alignment, event attribution, slowly-changing
+lookups). Spark has no built-in; the idiomatic distributed expression is
+the union-then-window form implemented here — NOT a per-key loop and NOT
+a range cross-join:
+
+1. union the two sides into one stream tagged ``_side`` (right rows
+   carry their payload as one struct, left rows carry null),
+2. one window partitioned by the ``by`` keys ordered by
+   (ts, _side, payload): ``last_value(payload, ignoreNulls=True)`` over
+   UNBOUNDED PRECEDING..CURRENT ROW gives every left row the latest
+   right payload at-or-before it (right sorts before left at equal ts,
+   so ties match, same as SQL ASOF's ``>=``). ``direction="forward"``
+   mirrors it with first_value over CURRENT ROW..UNBOUNDED FOLLOWING.
+
+Scale shape: exactly ONE shuffle (hash by the join keys for the window
+sort) over left+right — the same cost as the groupBy any aggregation
+would pay; no range explosion, no broadcast needed, works at any right
+size. Skew caveat: a single hot ``by`` key serializes its window — for
+low-cardinality keys pre-bucket time (add a coarse time bucket to
+``by`` and run twice: in-bucket + bucket-boundary patch) or broadcast a
+pre-aggregated right side; for the common high-cardinality id keys this
+plan survives 100×.
+
+Determinism: if several right rows share the max (ts) for a left row,
+the winner is the greatest payload struct (Spark's struct ordering) —
+documented, deterministic tie-break.
+
+Oracle independence: the driver gate replays the query with DuckDB's
+NATIVE ``ASOF LEFT JOIN`` — a completely separate implementation of the
+same published semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str = "ts",
+    by=("user_id",),
+    direction: str = "backward",
+    tolerance_s: float | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Left-outer as-of join: every left row, plus the nearest right row
+    at-or-before (backward) / at-or-after (forward) it within the same
+    ``by`` keys. Right columns (all non-key, non-ts) come back suffixed;
+    ``<ts_col><suffix>`` is the matched right timestamp. ``tolerance_s``
+    nulls the match when |Δts| exceeds it (left row is kept)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    by = list(by)
+    r_payload_cols = [c for c in right.columns if c not in by]
+    if ts_col not in r_payload_cols:
+        raise ValueError(f"right side must carry {ts_col!r}")
+    left_cols = left.columns
+
+    # right sorts BEFORE left at equal ts for backward (so ties match,
+    # SQL ASOF '>='), AFTER left for forward ('<=')
+    r_side, l_side = (0, 1) if direction == "backward" else (1, 0)
+    r = right.select(
+        *by,
+        F.col(ts_col).alias("_ts"),
+        F.lit(r_side).alias("_side"),
+        F.struct(*[F.col(c) for c in r_payload_cols]).alias("_payload"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
+          for c in left_cols if c not in by],
+    )
+    l = left.select(
+        *by,
+        F.col(ts_col).alias("_ts"),
+        F.lit(l_side).alias("_side"),
+        F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
+        *[F.col(c).alias(f"_l_{c}") for c in left_cols if c not in by],
+    )
+    u = r.unionByName(l)
+    w = Window.partitionBy(*by).orderBy("_ts", "_side", "_payload")
+    if direction == "backward":
+        matched = F.last("_payload", ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    else:
+        matched = F.first("_payload", ignorenulls=True).over(
+            w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    u = u.withColumn("_m", matched).filter(F.col("_side") == l_side)
+    if tolerance_s is not None:
+        # NTZ timestamps can't cast straight to double; the NTZ->LTZ hop
+        # uses the session tz on BOTH sides, so the difference is exact
+        def ep(c):
+            return c.cast("timestamp").cast("double")
+
+        delta = F.abs(ep(F.col("_ts")) - ep(F.col(f"_m.{ts_col}")))
+        u = u.withColumn("_m", F.when(delta <= float(tolerance_s), F.col("_m")))
+    out_cols = (
+        [F.col(c) for c in by]
+        + [F.col(f"_l_{c}").alias(c) for c in left_cols if c not in by]
+        + [F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in r_payload_cols]
+    )
+    return u.select(*out_cols)

@@ -489,6 +489,55 @@ FROM comp
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (operators/temporal.py::asof_join — union-then-window,
+    ONE shuffle on the by-key): for every click/view event, the most
+    recent 'error' event by the SAME user at-or-before it, within a
+    2-hour tolerance. The oracle is DuckDB's NATIVE ASOF LEFT JOIN — an
+    entirely independent implementation of the published semantics
+    (tolerance applied as a post-CASE on the matched timestamp). Nullable
+    match columns are coalesced to sentinels on both sides so the
+    value-hash compares dtype-stably."""
+    from ..operators import temporal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "event_id", "user_id", "ts", "value")
+    right = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("err_id"),
+        F.col("value").alias("err_value"))
+    out = temporal.asof_join(left, right, ts_col="ts", by=["user_id"],
+                             direction="backward", tolerance_s=7200.0)
+    return out.select(
+        "event_id", "user_id", "value",
+        F.coalesce(F.col("err_id_r"), F.lit(-1)).alias("err_id"),
+        F.coalesce(F.col("err_value_r"), F.lit(-1.0)).alias("err_value"),
+        F.coalesce(
+            F.col("ts").cast("timestamp").cast("double")
+            - F.col("ts_r").cast("timestamp").cast("double"),
+            F.lit(-1.0),
+        ).alias("lag_s"),
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH l AS (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type IN ('click', 'view')),
+r AS (SELECT user_id, ts, event_id AS err_id, value AS err_value FROM events
+      WHERE event_type = 'error'),
+j AS (
+  SELECT l.event_id, l.user_id, l.value, r.err_id, r.err_value,
+         epoch(l.ts) - epoch(r.ts) AS lag_s
+  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+)
+SELECT event_id, user_id, value,
+       CASE WHEN lag_s <= 7200e0 THEN err_id ELSE -1 END AS err_id,
+       CASE WHEN lag_s <= 7200e0 THEN err_value ELSE -1e0 END AS err_value,
+       COALESCE(CASE WHEN lag_s <= 7200e0 THEN lag_s END, -1e0) AS lag_s
+FROM j
+"""
+
+
 def q_base_zoom_hist(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     gsd = F.lit(16.0) * F.pow(F.lit(2.0), F.col("event_id") % 600 / 100.0)
@@ -5743,6 +5792,7 @@ QUERIES: dict = {
     "pmtiles_keys": (q_pmtiles_keys, SQL_PMTILES_KEYS),
     "shapefile_ingest": (q_shapefile_ingest, SQL_SHAPEFILE_INGEST),
     "wkb_ingest": (q_wkb_ingest, SQL_WKB_INGEST),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "base_zoom_hist": (q_base_zoom_hist, SQL_BASE_ZOOM_HIST),
     "tilemap_rollup": (q_tilemap_rollup, SQL_TILEMAP_ROLLUP),
     # spatial
