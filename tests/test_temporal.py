@@ -107,3 +107,70 @@ def test_brute_force_random(spark):
         cand = [(rts, rid) for (ru, rts, rid) in rr if ru == u and rts <= ts]
         want = max(cand)[1] if cand else None
         assert got[eid][0] == want, (eid, u, ts)
+
+
+# ---------------------------------------------------------------- interval
+
+
+from tilers_tools_spark.operators.temporal import interval_join  # noqa: E402
+
+
+def test_interval_hand(spark):
+    """Inclusive boundaries, multi-bucket spans (no duplicate pairs),
+    by-key isolation, inner semantics (non-contained rows dropped)."""
+    left = spark.createDataFrame(
+        [(1, 10, t(0)), (2, 10, t(30)), (3, 10, t(61)),   # span checks
+         (4, 20, t(30)),                                   # other key
+         (5, 10, t(200))],                                 # no interval
+        "event_id long, user_id long, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [(10, t(0), t(61), 100),      # crosses many 15-min buckets
+         (10, t(25), t(35), 101),     # overlaps the first -> t(30) double-hit
+         (20, t(30), t(30), 102)],    # zero-length, boundary == boundary
+        "user_id long, iv_start timestamp, iv_end timestamp, iv_id long",
+    )
+    out = interval_join(left, ivs, ts_col="ts", start_col="iv_start",
+                        end_col="iv_end", by=["user_id"], bucket_s=900.0)
+    got = sorted((r["event_id"], r["iv_id"]) for r in out.collect())
+    assert got == [(1, 100), (2, 100), (2, 101), (3, 100), (4, 102)]
+
+
+def test_interval_no_dup_across_buckets(spark):
+    """A pair that coexists in several buckets must appear exactly once:
+    the bucketing is left-row-sided, so tiny bucket_s vs long interval
+    cannot duplicate."""
+    left = spark.createDataFrame([(1, t(50))], "event_id long, ts timestamp")
+    ivs = spark.createDataFrame([(t(0), t(100), 7)],
+                                "iv_start timestamp, iv_end timestamp, iv_id long")
+    out = interval_join(left, ivs, ts_col="ts", start_col="iv_start",
+                        end_col="iv_end", bucket_s=60.0)  # interval spans 100 buckets
+    assert [(r["event_id"], r["iv_id"]) for r in out.collect()] == [(1, 7)]
+
+
+def test_interval_brute_force(spark):
+    """300 points x 40 intervals over 5 keys vs an exhaustive scan,
+    with a bucket_s that does NOT divide the interval lengths."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    pts = [(int(i), int(rng.integers(5)), t(int(rng.integers(0, 600))))
+           for i in range(300)]
+    ivs = []
+    for j in range(40):
+        s = int(rng.integers(0, 580))
+        ivs.append((int(rng.integers(5)), t(s), t(s + int(rng.integers(1, 90))),
+                    int(1000 + j)))
+    left = spark.createDataFrame(pts, "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        ivs, "user_id long, iv_start timestamp, iv_end timestamp, iv_id long")
+    out = interval_join(left, right, ts_col="ts", start_col="iv_start",
+                        end_col="iv_end", by=["user_id"], bucket_s=777.7)
+    got = sorted((r["event_id"], r["iv_id"]) for r in out.collect())
+    want = sorted(
+        (eid, ivid)
+        for (eid, u, ts) in pts
+        for (iu, s, e, ivid) in ivs
+        if iu == u and s <= ts <= e
+    )
+    assert got == want

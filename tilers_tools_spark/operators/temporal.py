@@ -1,5 +1,9 @@
 """Temporal joins (SURVEY.md §2 — beyond-scope training-pipeline family).
 
+Two operators: ``asof_join`` (nearest right row at-or-before/after) and
+``interval_join`` (point-in-interval containment, re-expressed as a
+bucketed equi-join so it never degenerates to a broadcast-nested-loop).
+
 ``asof_join`` is the classic "most recent right row at-or-before each
 left row" join (sensor alignment, event attribution, slowly-changing
 lookups). Spark has no built-in; the idiomatic distributed expression is
@@ -102,3 +106,53 @@ def asof_join(
         + [F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in r_payload_cols]
     )
     return u.select(*out_cols)
+
+
+def _micros_of(col_name: str):
+    """Epoch MICROSECONDS of a TIMESTAMP_NTZ column, timezone-free
+    (same contract as trajectory._micros): integer field arithmetic
+    against an NTZ epoch literal — no session-timezone / DST hop, so
+    bucket floors are bit-exact across engines."""
+    return F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', `{col_name}`)"
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    by=(),
+    bucket_s: float = 3600.0,
+) -> DataFrame:
+    """Point-in-interval join: every left row paired with every interval
+    whose [start, end] (inclusive) contains its timestamp (+ equal
+    ``by`` keys if given).
+
+    Scale shape: the naive plan is an inequality theta-join — a
+    broadcast-nested-loop / cartesian that dies at scale. This operator
+    makes it an EQUI-join: each interval explodes into the time buckets
+    it overlaps (``F.sequence`` on floor(epoch/bucket_s)), each left row
+    computes its single bucket, and the join runs on (bucket, *by) with
+    an exact range refine after. Each (row, interval) pair meets in
+    exactly ONE bucket (the row's), so no dedup pass is needed. Choose
+    ``bucket_s`` near the typical interval length: expansion factor is
+    ~len/bucket_s + 1 per interval (logged nowhere silently — it's pure
+    row count, visible in the Spark UI); very long intervals with a tiny
+    bucket explode, very short buckets with huge left volume skew."""
+    by = list(by)
+    bucket_us = int(round(float(bucket_s) * 1_000_000))
+    b = intervals.withColumn(
+        "_bucket",
+        F.explode(F.sequence(
+            F.floor(_micros_of(start_col) / bucket_us),
+            F.floor(_micros_of(end_col) / bucket_us),
+        )),
+    )
+    l = left.withColumn("_bucket", F.floor(_micros_of(ts_col) / bucket_us))
+    j = l.join(b, ["_bucket"] + by)
+    return j.filter(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
+    ).drop("_bucket")

@@ -538,6 +538,47 @@ FROM j
 """
 
 
+def q_interval_join(spark, sf_dir):
+    """Point-in-interval join (operators/temporal.py::interval_join —
+    bucketed EQUI-join, never a broadcast-nested-loop): every click/view
+    event paired with every error 'incident window' [err_ts, err_ts+30min]
+    of the SAME user containing it. bucket_s=900 s, so each window spans
+    2-3 buckets and the interval-explode path is genuinely exercised.
+    The oracle is DuckDB's native inequality range join — an independent
+    physical strategy (IEJoin) for the same containment predicate."""
+    from ..operators import temporal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "event_id", "user_id", "ts", "value")
+    ivs = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("iv_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("iv_end"),
+        F.col("event_id").alias("iv_id"))
+    out = temporal.interval_join(left, ivs, ts_col="ts",
+                                 start_col="iv_start", end_col="iv_end",
+                                 by=["user_id"], bucket_s=900.0)
+    return out.select(
+        "event_id", "user_id", "value", "iv_id",
+        (F.col("ts").cast("timestamp").cast("double")
+         - F.col("iv_start").cast("timestamp").cast("double")).alias("off_s"),
+    )
+
+
+SQL_INTERVAL_JOIN = """
+WITH l AS (SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type IN ('click', 'view')),
+iv AS (SELECT user_id, ts AS iv_start, ts + INTERVAL 30 MINUTE AS iv_end,
+              event_id AS iv_id
+       FROM events WHERE event_type = 'error')
+SELECT l.event_id, l.user_id, l.value, iv.iv_id,
+       epoch(l.ts) - epoch(iv.iv_start) AS off_s
+FROM l JOIN iv
+  ON l.user_id = iv.user_id AND l.ts >= iv.iv_start AND l.ts <= iv.iv_end
+"""
+
+
 def q_base_zoom_hist(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     gsd = F.lit(16.0) * F.pow(F.lit(2.0), F.col("event_id") % 600 / 100.0)
@@ -5793,6 +5834,7 @@ QUERIES: dict = {
     "shapefile_ingest": (q_shapefile_ingest, SQL_SHAPEFILE_INGEST),
     "wkb_ingest": (q_wkb_ingest, SQL_WKB_INGEST),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
     "base_zoom_hist": (q_base_zoom_hist, SQL_BASE_ZOOM_HIST),
     "tilemap_rollup": (q_tilemap_rollup, SQL_TILEMAP_ROLLUP),
     # spatial
