@@ -104,6 +104,8 @@ BENCH_QUERIES = [
     "semdedup",
     "wkb_ingest",
     "asof_join",
+    "interval_join",
+    "hilbert_buckets",
 ]
 
 

@@ -762,3 +762,23 @@ def test_vector_tiles_job_lines_dir(run_job, tmp_path, spark):
     dec = mvt.decode_mvt(open(pbf, "rb").read())["lines"]
     assert dec["features"][0]["type"] == mvt.GEOM_LINE
     assert json.load(open(dst + "/tiles.json"))["vector_layers"][0]["fields"] == {"line_id": "String"}
+
+
+def test_tiles_optimize_job(run_job, tmp_path, spark):
+    """Rewrite an ingest-order (hash-shuffled) 64x64 grid and verify the
+    reported pruning improvement on an 8x8 probe viewport."""
+    import pyspark.sql.functions as F
+
+    xs = [(int(i % 64), int(i // 64), float(i)) for i in range(4096)]
+    src = str(tmp_path / "src")
+    (spark.createDataFrame(xs, "x long, y long, v double")
+        .withColumn("_k", F.xxhash64("x", "y"))
+        .repartitionByRange(16, "_k").sortWithinPartitions("_k").drop("_k")
+        .write.mode("overwrite").parquet(src))
+    out = str(tmp_path / "opt")
+    res = run_job("tiles_optimize",
+                  ["--in", src, "--out", out, "--zoom", "6",
+                   "--files", "16", "--viewport", "8,16,15,23"])
+    assert res["rows_in"] == res["rows_out"] == 4096
+    assert res["read_fraction_before"] >= 0.9
+    assert res["read_fraction_after"] <= 0.25

@@ -5165,6 +5165,40 @@ SELECT z, x, y, morton, hd AS hilbert FROM h8
 SQL_HILBERT_KEYS = _hilbert_sql()
 
 
+def q_hilbert_buckets(spark, sf_dir):
+    """Layout-optimize audit (operators/optimize.py::bucket_extents):
+    split the z=8 distinct event tiles into 16 equal-count Hilbert
+    keyspace buckets — the row-group blocks a cluster_write rewrite
+    produces — and report each bucket's count + x/y extents +
+    covered-cell count (compact extents = footer stats that prune).
+    Oracle replays the Hilbert unroll CTE-for-select plus standard-SQL
+    ntile (the key is a bijection over distinct tiles, so the order is
+    total and the split deterministic in both engines)."""
+    from ..operators import optimize
+
+    t = _tiles_at(_merc_pts(spark, sf_dir), 8).select("x", "y").distinct()
+    return optimize.bucket_extents(t, z=8, buckets=16)
+
+
+def _hilbert_buckets_sql() -> str:
+    from ..functions import spacefill as sfc
+
+    return f"""
+WITH {_PTS_SQL}, {_tiles_sql(8)},
+t8 AS (SELECT DISTINCT x, y FROM tiles),
+{sfc.hilbert_sql_ctes('t8', 8, 'x, y')},
+b AS (SELECT x, y, CAST(ntile(16) OVER (ORDER BY hd) AS BIGINT) AS bucket FROM h8)
+SELECT bucket, count(*) AS n,
+       min(x) AS min_x, max(x) AS max_x,
+       min(y) AS min_y, max(y) AS max_y,
+       (max(x) - min(x) + 1) * (max(y) - min(y) + 1) AS extent_cells
+FROM b GROUP BY bucket
+"""
+
+
+SQL_HILBERT_BUCKETS = _hilbert_buckets_sql()
+
+
 _BPE_MERGES = 12
 _bpe_cache: dict = {}
 
@@ -5900,6 +5934,7 @@ QUERIES: dict = {
     "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "bpe_merges": (q_bpe_merges, _golden("bpe_merges")),
     "hilbert_keys": (q_hilbert_keys, SQL_HILBERT_KEYS),
+    "hilbert_buckets": (q_hilbert_buckets, SQL_HILBERT_BUCKETS),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "polyline_encode": (q_polyline_encode, SQL_POLYLINE_ENCODE),
     "ring_metrics": (q_ring_metrics, SQL_RING_METRICS),
