@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "asof_join",
     "interval_join",
     "hilbert_buckets",
+    "convex_hull",
 ]
 
 

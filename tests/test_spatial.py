@@ -316,3 +316,83 @@ def test_geojson_duplicate_feature_ids_stay_distinct(spark):
     )
     feats = gp.parse_geojson_features(doc)
     assert [f[0] for f in feats] == ["zone", "zone#1"]
+
+
+# ---------------------------------------------------------------- convex hull
+
+
+def _hull_edges_bruteforce(pts):
+    """Independent check: the O(n^3) extreme-edge characterization (the
+    same definition the DuckDB gate uses, here in plain Python)."""
+    pts = sorted(set(pts))
+    out = []
+    for a in pts:
+        for b in pts:
+            if a == b:
+                continue
+            ok = True
+            for c in pts:
+                if c in (a, b):
+                    continue
+                cr = (b[0]-a[0])*(c[1]-a[1]) - (b[1]-a[1])*(c[0]-a[0])
+                dt = (b[0]-a[0])*(c[0]-a[0]) + (b[1]-a[1])*(c[1]-a[1])
+                ln = (b[0]-a[0])**2 + (b[1]-a[1])**2
+                if not (cr > 0 or (cr == 0 and 0 < dt < ln)):
+                    ok = False
+                    break
+            if ok:
+                out.append((a, b))
+    return sorted(out)
+
+
+def test_convex_hull_random_groups(spark):
+    """40 random integer point clouds (with planted duplicates and
+    collinear runs) vs the brute-force extreme-edge definition."""
+    from tilers_tools_spark.operators.spatial import convex_hull
+
+    rng = np.random.default_rng(17)
+    rows, want = [], {}
+    for gid in range(40):
+        n = int(rng.integers(1, 25))
+        pts = [(int(x), int(y)) for x, y in rng.integers(0, 12, size=(n, 2))]
+        if gid % 3 == 0:  # plant a collinear run + duplicates
+            pts += [(0, 0), (3, 3), (6, 6), (3, 3)]
+        rows += [(gid, x, y) for x, y in pts]
+        want[gid] = _hull_edges_bruteforce(pts)
+    df = spark.createDataFrame(rows, "group_id long, x long, y long")
+    got = {}
+    for r in convex_hull(df, by=["group_id"]).collect():
+        got.setdefault(r["group_id"], []).append(
+            ((r["x1"], r["y1"]), (r["x2"], r["y2"])))
+    for gid, edges in want.items():
+        assert sorted(got.get(gid, [])) == edges, gid
+
+
+def test_convex_hull_degenerate(spark):
+    from tilers_tools_spark.operators.spatial import convex_hull
+
+    df = spark.createDataFrame(
+        [(1, 5, 5), (1, 5, 5),              # single distinct point: no edges
+         (2, 0, 0), (2, 4, 2),              # segment: two directed edges
+         (3, 0, 0), (3, 2, 2), (3, 4, 4)],  # collinear: extremes only
+        "group_id long, x long, y long")
+    got = {}
+    for r in convex_hull(df, by=["group_id"]).collect():
+        got.setdefault(r["group_id"], set()).add(
+            ((r["x1"], r["y1"]), (r["x2"], r["y2"])))
+    assert 1 not in got
+    assert got[2] == {((0, 0), (4, 2)), ((4, 2), (0, 0))}
+    assert got[3] == {((0, 0), (4, 4)), ((4, 4), (0, 0))}
+
+
+def test_convex_hull_float_coords(spark):
+    """Float payload coordinates work (schema follows the input types)."""
+    from tilers_tools_spark.operators.spatial import convex_hull
+
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0), (1, 1.5, 0.25), (1, 0.75, 2.0), (1, 0.8, 0.7)],
+        "group_id long, x double, y double")
+    edges = {((r["x1"], r["y1"]), (r["x2"], r["y2"]))
+             for r in convex_hull(df, by=["group_id"]).collect()}
+    assert len(edges) == 3  # interior point (0.8, 0.7) excluded
+    assert all(isinstance(a[0], float) for a, _ in edges)

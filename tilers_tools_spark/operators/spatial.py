@@ -362,3 +362,84 @@ def geojson_polygons_df(spark, text: str):
     return spark.createDataFrame(
         out, "poly_id string, ring array<struct<lon:double,lat:double>>"
     )
+
+
+# ---------------------------------------------------------------------------
+# per-group convex hull (coverage-hull role: the outline of each map
+# sheet's / region's tile footprint, the shape cutline + tindex consume)
+# ---------------------------------------------------------------------------
+
+
+def _hull_edges_np(pts: list[tuple]) -> list[tuple]:
+    """Directed hull edges of distinct points via Andrew's monotone chain
+    (published algorithm; strict turns, so collinear non-extreme points
+    are NOT vertices). CCW orientation: every other point lies strictly
+    left of each edge (or on the closed segment). Degenerate forms:
+    1 point -> no edges; 2 points / all collinear -> the two directed
+    extreme-to-extreme edges (a,b),(b,a) — the same closed-walk contract
+    the relational oracle derives independently."""
+    pts = sorted(set(pts))
+    if len(pts) < 2:
+        return []
+    if len(pts) == 2:
+        return [(pts[0], pts[1]), (pts[1], pts[0])]
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower: list = []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper: list = []
+    for p in reversed(pts):
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    verts = lower[:-1] + upper[:-1]  # CCW closed walk, no repeats
+    if len(verts) == 2:  # all collinear collapses to the segment walk
+        return [(verts[0], verts[1]), (verts[1], verts[0])]
+    return list(zip(verts, verts[1:] + verts[:1]))
+
+
+def convex_hull(
+    points: DataFrame,
+    by=("group_id",),
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Per-group convex hull as DIRECTED EDGES (x1,y1)->(x2,y2), CCW:
+    chain them to walk the hull polygon. Edge set — not a vertex list —
+    so the result is order-free for cross-engine comparison, and the
+    closed-walk contract covers degenerate segments uniformly.
+
+    Scale shape: ONE shuffle on the group key into applyInPandas; the
+    monotone chain is O(n log n) per group and hulls are tiny relative
+    to inputs, so output never amplifies. Hot groups serialize (same
+    caveat as any per-key aggregate); for continent-sized groups,
+    pre-hull per partition then hull-of-hulls (associative) — documented
+    escape hatch, not needed below ~10^7 points per group.
+
+    Oracle independence: the driver gate replays this with the O(n^3)
+    EXTREME-EDGE characterization — (a,b) is a hull edge iff every other
+    point is strictly left of a->b or strictly inside the closed segment
+    — a different published definition evaluated relationally, not a
+    re-run of the chain."""
+    by = list(by)
+    schema = ", ".join(
+        [f"`{c}` {points.schema[c].dataType.simpleString()}" for c in by]
+        + [f"x1 {points.schema[x_col].dataType.simpleString()}",
+           f"y1 {points.schema[y_col].dataType.simpleString()}",
+           f"x2 {points.schema[x_col].dataType.simpleString()}",
+           f"y2 {points.schema[y_col].dataType.simpleString()}"]
+    )
+
+    def hull(key, pdf):  # no hints: (key, pdf) dispatch is positional
+        edges = _hull_edges_np(list(zip(pdf[x_col], pdf[y_col])))
+        return pd.DataFrame(
+            [list(key) + [a[0], a[1], b[0], b[1]] for a, b in edges],
+            columns=by + ["x1", "y1", "x2", "y2"],
+        )
+
+    return points.groupBy(*by).applyInPandas(hull, schema=schema)

@@ -5199,6 +5199,50 @@ FROM b GROUP BY bucket
 SQL_HILBERT_BUCKETS = _hilbert_buckets_sql()
 
 
+def q_convex_hull(spark, sf_dir):
+    """Per-group convex hull (operators/spatial.py::convex_hull —
+    monotone chain in applyInPandas, ONE shuffle on the group key):
+    the coverage outline of each 8x8 tile block's footprint at z=8,
+    emitted as directed CCW edges (order-free edge SET, so the driver
+    hash is stable). Oracle = the O(n^3) extreme-edge characterization
+    — (a,b) is a hull edge iff every other point is strictly left of
+    a->b or strictly inside the closed segment — a DIFFERENT published
+    definition of the same object, evaluated relationally on exact
+    integer cross/dot products."""
+    from ..operators import spatial
+
+    t = _tiles_at(_merc_pts(spark, sf_dir), 8).select("x", "y").distinct()
+    g = t.select(F.shiftright("x", 3).alias("gx"),
+                 F.shiftright("y", 3).alias("gy"), "x", "y")
+    return spatial.convex_hull(g, by=["gx", "gy"], x_col="x", y_col="y")
+
+
+SQL_CONVEX_HULL = f"""
+WITH {_PTS_SQL}, {_tiles_sql(8)},
+t8 AS (SELECT DISTINCT x, y FROM tiles),
+g AS (SELECT (x >> 3) AS gx, (y >> 3) AS gy, x, y FROM t8),
+pairs AS (
+  SELECT a.gx, a.gy, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+  FROM g a JOIN g b ON a.gx = b.gx AND a.gy = b.gy
+  WHERE NOT (a.x = b.x AND a.y = b.y)
+),
+scored AS (
+  SELECT pr.gx, pr.gy, pr.x1, pr.y1, pr.x2, pr.y2,
+         (pr.x2 - pr.x1) * (c.y - pr.y1) - (pr.y2 - pr.y1) * (c.x - pr.x1) AS cr,
+         (pr.x2 - pr.x1) * (c.x - pr.x1) + (pr.y2 - pr.y1) * (c.y - pr.y1) AS dt,
+         (pr.x2 - pr.x1) * (pr.x2 - pr.x1) + (pr.y2 - pr.y1) * (pr.y2 - pr.y1) AS ln
+  FROM pairs pr LEFT JOIN g c
+    ON c.gx = pr.gx AND c.gy = pr.gy
+   AND NOT (c.x = pr.x1 AND c.y = pr.y1)
+   AND NOT (c.x = pr.x2 AND c.y = pr.y2)
+)
+SELECT gx, gy, x1, y1, x2, y2
+FROM scored
+GROUP BY gx, gy, x1, y1, x2, y2
+HAVING bool_and(COALESCE(cr > 0 OR (cr = 0 AND dt > 0 AND dt < ln), TRUE))
+"""
+
+
 _BPE_MERGES = 12
 _bpe_cache: dict = {}
 
@@ -5935,6 +5979,7 @@ QUERIES: dict = {
     "bpe_merges": (q_bpe_merges, _golden("bpe_merges")),
     "hilbert_keys": (q_hilbert_keys, SQL_HILBERT_KEYS),
     "hilbert_buckets": (q_hilbert_buckets, SQL_HILBERT_BUCKETS),
+    "convex_hull": (q_convex_hull, SQL_CONVEX_HULL),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "polyline_encode": (q_polyline_encode, SQL_POLYLINE_ENCODE),
     "ring_metrics": (q_ring_metrics, SQL_RING_METRICS),
