@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "interval_join",
     "hilbert_buckets",
     "convex_hull",
+    "corridor_join",
 ]
 
 

@@ -396,3 +396,56 @@ def test_convex_hull_float_coords(spark):
              for r in convex_hull(df, by=["group_id"]).collect()}
     assert len(edges) == 3  # interior point (0.8, 0.7) excluded
     assert all(isinstance(a[0], float) for a, _ in edges)
+
+
+# ---------------------------------------------------------------- corridor
+
+
+def test_corridor_join_brute_force(spark):
+    """400 points x 30 segments vs an exhaustive numpy scan; boundary
+    inclusive; a zero-length segment degrades to point distance."""
+    from tilers_tools_spark.operators.spatial import corridor_join
+
+    rng = np.random.default_rng(23)
+    pts = [(int(i), float(x), float(y)) for i, (x, y) in
+           enumerate(rng.uniform(0, 1000, size=(400, 2)))]
+    segs = [(int(j), float(a), float(b), float(c), float(d)) for j, (a, b, c, d)
+            in enumerate(rng.uniform(0, 1000, size=(29, 4)))]
+    segs.append((29, 500.0, 500.0, 500.0, 500.0))  # zero-length
+    pdf = spark.createDataFrame(pts, "pt_id long, mx double, my double")
+    sdf = spark.createDataFrame(segs, "seg_id long, ax double, ay double, bx double, by double")
+    D = 60.0
+    got = {(r["pt_id"], r["seg_id"]) for r in
+           corridor_join(pdf, sdf, d=D, cell_m=150.0).collect()}
+
+    def seg_dist2(px, py, ax, ay, bx, by):
+        dx, dy = bx - ax, by - ay
+        l2 = dx * dx + dy * dy
+        t = 0.0 if l2 == 0 else max(0.0, min(1.0, ((px - ax) * dx + (py - ay) * dy) / l2))
+        cx, cy = ax + t * dx, ay + t * dy
+        return (px - cx) ** 2 + (py - cy) ** 2
+
+    want = {(i, j) for (i, px, py) in pts for (j, ax, ay, bx, by) in segs
+            if seg_dist2(px, py, ax, ay, bx, by) <= D * D}
+    assert got == want
+    assert any(j == 29 for _, j in want)  # zero-length segment exercised
+
+
+def test_corridor_join_no_dup_pairs(spark):
+    """A long segment crossing many cells pairs with a point exactly once."""
+    from tilers_tools_spark.operators.spatial import corridor_join
+
+    pdf = spark.createDataFrame([(1, 500.0, 10.0)], "pt_id long, mx double, my double")
+    sdf = spark.createDataFrame([(7, 0.0, 0.0, 1000.0, 0.0)],
+                                "seg_id long, ax double, ay double, bx double, by double")
+    rows = corridor_join(pdf, sdf, d=20.0, cell_m=25.0).collect()
+    assert [(r["pt_id"], r["seg_id"]) for r in rows] == [(1, 7)]
+    assert abs(rows[0]["dist2"] - 100.0) < 1e-9
+
+
+def test_corridor_join_cell_guard(spark):
+    from tilers_tools_spark.operators.spatial import corridor_join
+
+    pdf = spark.createDataFrame([(1, 0.0, 0.0)], "pt_id long, mx double, my double")
+    with pytest.raises(ValueError):
+        corridor_join(pdf, pdf, d=100.0, cell_m=50.0)

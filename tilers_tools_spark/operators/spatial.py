@@ -443,3 +443,70 @@ def convex_hull(
         )
 
     return points.groupBy(*by).applyInPandas(hull, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# corridor join (points within distance d of polyline segments — the
+# route-buffer / track-matching role)
+# ---------------------------------------------------------------------------
+
+
+def corridor_join(
+    points: DataFrame,
+    segments: DataFrame,
+    d: float,
+    cell_m: float | None = None,
+    x_col: str = "mx",
+    y_col: str = "my",
+) -> DataFrame:
+    """Every point within Euclidean distance ``d`` (meters, inclusive) of
+    a segment (ax, ay)->(bx, by), paired with that segment; emits all
+    point columns + all segment columns + ``dist2`` (squared meters).
+
+    Scale shape: the naive plan is a distance theta-join (cartesian).
+    This is the bucketed EQUI-join form (same trick as
+    temporal.interval_join): each segment explodes into every grid cell
+    its d-expanded bbox touches (two F.sequence explodes, conservative
+    cover), each point computes its SINGLE cell, join on (cellx, celly),
+    exact point-to-segment refine after. Point-sided single cell => each
+    (point, segment) pair meets at most once — no dedup pass. Cell size
+    defaults to 4d: expansion is ~(len/cell + 2)^2-ish per segment;
+    shrink toward d for dense short segments, grow for long sparse ones.
+
+    Exact refine (the classic closest-point-on-segment form): t =
+    clamp(dot/len2, 0, 1); zero-length segments degrade to point
+    distance. All Column arithmetic — no UDF, one shuffle."""
+    cell = float(cell_m if cell_m is not None else 4.0 * d)
+    if cell < d:
+        raise ValueError("cell_m must be >= d for a conservative cover")
+    px, py = F.col(x_col), F.col(y_col)
+
+    s = segments.withColumn(
+        "_cellx",
+        F.explode(F.sequence(
+            F.floor((F.least("ax", "bx") - F.lit(float(d))) / cell),
+            F.floor((F.greatest("ax", "bx") + F.lit(float(d))) / cell),
+        )),
+    ).withColumn(
+        "_celly",
+        F.explode(F.sequence(
+            F.floor((F.least("ay", "by") - F.lit(float(d))) / cell),
+            F.floor((F.greatest("ay", "by") + F.lit(float(d))) / cell),
+        )),
+    )
+    p = points.withColumn("_cellx", F.floor(px / cell)) \
+              .withColumn("_celly", F.floor(py / cell))
+    j = p.join(s, ["_cellx", "_celly"])
+
+    dx, dy = F.col("bx") - F.col("ax"), F.col("by") - F.col("ay")
+    len2 = dx * dx + dy * dy
+    dot = (px - F.col("ax")) * dx + (py - F.col("ay")) * dy
+    t = F.when(len2 == 0.0, F.lit(0.0)).otherwise(
+        F.greatest(F.lit(0.0), F.least(F.lit(1.0), dot / len2)))
+    cx, cy = F.col("ax") + t * dx, F.col("ay") + t * dy
+    dist2 = (px - cx) * (px - cx) + (py - cy) * (py - cy)
+    return (
+        j.withColumn("dist2", dist2)
+        .filter(F.col("dist2") <= float(d) * float(d))
+        .drop("_cellx", "_celly")
+    )

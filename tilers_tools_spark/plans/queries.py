@@ -579,6 +579,69 @@ FROM l JOIN iv
 """
 
 
+def q_corridor_join(spark, sf_dir):
+    """Corridor join (operators/spatial.py::corridor_join — bucketed
+    EQUI-join over grid cells, never a distance theta-join): every event
+    point within 150 km of any segment of 24 synthetic 10-vertex
+    polylines (closed-form integer vertices, so both engines generate
+    identical geometry). The oracle is the naive cross-join + exact
+    point-to-segment distance — an independent physical plan with no
+    cells at all; the refine arithmetic is mirrored op-for-op so the
+    doubles agree bitwise."""
+    from ..operators import spatial
+
+    pts = _merc_pts(spark, sf_dir).select("event_id", "mx", "my")
+    ids = spark.range(216).select(
+        F.expr("id DIV 9").alias("lid"), (F.col("id") % 9).alias("k"))
+
+    def vx(kc):
+        return ((F.col("lid") * 1047293 + kc * 2654435) % 36000000
+                - 18000000).cast("double")
+
+    def vy(kc):
+        return ((F.col("lid") * 611953 + kc * 1442695) % 30000000
+                - 15000000).cast("double")
+
+    segs = ids.select(
+        "lid", "k",
+        vx(F.col("k")).alias("ax"), vy(F.col("k")).alias("ay"),
+        vx(F.col("k") + 1).alias("bx"), vy(F.col("k") + 1).alias("by"))
+    out = spatial.corridor_join(pts, segs, d=150000.0)
+    # doubles drift ~1e-12 relative between engines across this chain:
+    # report integer-meter distance (boundary flip needs a value within
+    # 1e-9 of a .5 rounding edge -- vanishing at 3k rows)
+    return out.select("event_id", F.col("lid").alias("line_id"),
+                      F.col("k").alias("seg"),
+                      F.floor(F.sqrt("dist2") + F.lit(0.5)).alias("dist_m"))
+
+
+SQL_CORRIDOR_JOIN = f"""
+WITH {_PTS_SQL},
+ids AS (SELECT i // 9 AS lid, i % 9 AS k FROM generate_series(0, 215) t(i)),
+segs AS (
+  SELECT lid, k,
+    CAST((lid*1047293 + k*2654435) % 36000000 - 18000000 AS DOUBLE) AS ax,
+    CAST((lid*611953 + k*1442695) % 30000000 - 15000000 AS DOUBLE) AS ay,
+    CAST((lid*1047293 + (k+1)*2654435) % 36000000 - 18000000 AS DOUBLE) AS bx,
+    CAST((lid*611953 + (k+1)*1442695) % 30000000 - 15000000 AS DOUBLE) AS by
+  FROM ids
+),
+c1 AS (SELECT event_id, lid, k, mx, my, ax, ay,
+              bx - ax AS dx, by - ay AS dy FROM m, segs),
+c2 AS (SELECT *, dx*dx + dy*dy AS len2,
+              (mx-ax)*dx + (my-ay)*dy AS dot FROM c1),
+c3 AS (SELECT *, CASE WHEN len2 = 0e0 THEN 0e0
+                      ELSE GREATEST(0e0, LEAST(1e0, dot/len2)) END AS t
+       FROM c2),
+c4 AS (SELECT *, ax + t*dx AS cx, ay + t*dy AS cy FROM c3),
+c5 AS (SELECT event_id, lid, k,
+              (mx-cx)*(mx-cx) + (my-cy)*(my-cy) AS dist2 FROM c4)
+SELECT event_id, lid AS line_id, k AS seg,
+       CAST(FLOOR(SQRT(dist2) + 0.5e0) AS BIGINT) AS dist_m
+FROM c5 WHERE dist2 <= 150000e0 * 150000e0
+"""
+
+
 def q_base_zoom_hist(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     gsd = F.lit(16.0) * F.pow(F.lit(2.0), F.col("event_id") % 600 / 100.0)
@@ -5980,6 +6043,7 @@ QUERIES: dict = {
     "hilbert_keys": (q_hilbert_keys, SQL_HILBERT_KEYS),
     "hilbert_buckets": (q_hilbert_buckets, SQL_HILBERT_BUCKETS),
     "convex_hull": (q_convex_hull, SQL_CONVEX_HULL),
+    "corridor_join": (q_corridor_join, SQL_CORRIDOR_JOIN),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "polyline_encode": (q_polyline_encode, SQL_POLYLINE_ENCODE),
     "ring_metrics": (q_ring_metrics, SQL_RING_METRICS),
