@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "hilbert_buckets",
     "convex_hull",
     "corridor_join",
+    "hull_diameter",
 ]
 
 

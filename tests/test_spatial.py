@@ -449,3 +449,37 @@ def test_corridor_join_cell_guard(spark):
     pdf = spark.createDataFrame([(1, 0.0, 0.0)], "pt_id long, mx double, my double")
     with pytest.raises(ValueError):
         corridor_join(pdf, pdf, d=100.0, cell_m=50.0)
+
+
+# ---------------------------------------------------------------- diameter
+
+
+def test_hull_diameter_brute_force(spark):
+    """60 random integer clouds (sizes 1..28, planted collinear +
+    duplicate points, equal-diameter ties) vs the O(n^2) max-over-pairs
+    definition with the same lexicographic tie-break."""
+    from itertools import combinations
+
+    from tilers_tools_spark.operators.spatial import hull_diameter
+
+    rng = np.random.default_rng(31)
+    rows, want = [], {}
+    for gid in range(60):
+        n = int(rng.integers(1, 28))
+        pts = [(int(x), int(y)) for x, y in rng.integers(0, 10, size=(n, 2))]
+        if gid % 4 == 0:
+            pts += [(0, 0), (9, 9), (0, 9), (9, 0)]  # plant 2 tied diameters
+        rows += [(gid, x, y) for x, y in pts]
+        u = sorted(set(pts))
+        if len(u) == 1:
+            want[gid] = (len(pts), 0, u[0], u[0])
+        else:
+            m = max((a[0]-b[0])**2 + (a[1]-b[1])**2 for a, b in combinations(u, 2))
+            pair = min(tuple(sorted((a, b))) for a, b in combinations(u, 2)
+                       if (a[0]-b[0])**2 + (a[1]-b[1])**2 == m)
+            want[gid] = (len(pts), m, pair[0], pair[1])
+    df = spark.createDataFrame(rows, "group_id long, x long, y long")
+    got = {r["group_id"]: (r["n_pts"], r["diam2"],
+                           (r["x1"], r["y1"]), (r["x2"], r["y2"]))
+           for r in hull_diameter(df, by=["group_id"]).collect()}
+    assert got == want

@@ -510,3 +510,94 @@ def corridor_join(
         .filter(F.col("dist2") <= float(d) * float(d))
         .drop("_cellx", "_celly")
     )
+
+
+def _hull_vertices_np(pts: list[tuple]) -> list[tuple]:
+    """CCW hull vertex walk (monotone chain, strict turns); 1 or 2 points
+    return as-is."""
+    pts = sorted(set(pts))
+    if len(pts) <= 2:
+        return pts
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower: list = []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper: list = []
+    for p in reversed(pts):
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    return lower[:-1] + upper[:-1]
+
+
+def hull_diameter(
+    points: DataFrame,
+    by=("group_id",),
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Per-group diameter (max pairwise squared distance) via convex hull
+    + rotating calipers (Shamos 1978): the farthest pair is always a pair
+    of hull vertices, and antipodal pairs are enumerable in O(h) — so the
+    whole group costs O(n log n), not O(n^2). Emits (by..., n_pts, diam2,
+    x1, y1, x2, y2) with the achieving pair canonicalized (lexicographic
+    min first; among equal-diameter pairs the lexicographically smallest
+    pair) so output is deterministic and cross-engine comparable.
+    Single-point groups: diam2 = 0, pair = the point twice.
+
+    Oracle independence: the gate replays with the O(n^2) max-over-pairs
+    definition in SQL — no hull, no calipers."""
+    by = list(by)
+    schema = ", ".join(
+        [f"`{c}` {points.schema[c].dataType.simpleString()}" for c in by]
+        + ["n_pts bigint", "diam2 " + points.schema[x_col].dataType.simpleString(),
+           f"x1 {points.schema[x_col].dataType.simpleString()}",
+           f"y1 {points.schema[y_col].dataType.simpleString()}",
+           f"x2 {points.schema[x_col].dataType.simpleString()}",
+           f"y2 {points.schema[y_col].dataType.simpleString()}"]
+    )
+
+    def d2(a, b):
+        return (a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2
+
+    def calipers(v: list[tuple]) -> tuple:
+        h = len(v)
+        if h == 1:
+            return 0, v[0], v[0]
+        best = None
+        j = 1
+        for i in range(h):
+            ni = (i + 1) % h
+            ex, ey = v[ni][0] - v[i][0], v[ni][1] - v[i][1]
+            # advance j while the NEXT vertex is farther from edge i
+            while True:
+                nj = (j + 1) % h
+                cur = ex * (v[j][1] - v[i][1]) - ey * (v[j][0] - v[i][0])
+                nxt = ex * (v[nj][1] - v[i][1]) - ey * (v[nj][0] - v[i][0])
+                if nxt > cur:
+                    j = nj
+                else:
+                    break
+            for q in (v[j], v[(j + 1) % h]):  # antipodal candidates
+                for p in (v[i], v[ni]):
+                    dd = d2(p, q)
+                    pair = tuple(sorted((p, q)))
+                    if best is None or dd > best[0] or (
+                            dd == best[0] and pair < (best[1], best[2])):
+                        best = (dd, pair[0], pair[1])
+        return best
+
+    def fn(key, pdf):
+        pts = list(zip(pdf[x_col], pdf[y_col]))
+        diam2, a, b = calipers(_hull_vertices_np(pts))
+        return pd.DataFrame(
+            [list(key) + [len(pts), diam2, a[0], a[1], b[0], b[1]]],
+            columns=by + ["n_pts", "diam2", "x1", "y1", "x2", "y2"],
+        )
+
+    return points.groupBy(*by).applyInPandas(fn, schema=schema)

@@ -579,6 +579,48 @@ FROM l JOIN iv
 """
 
 
+def q_hull_diameter(spark, sf_dir):
+    """Per-group diameter (operators/spatial.py::hull_diameter — convex
+    hull + rotating calipers, O(n log n) per group): the max-extent pair
+    of every 8x8 tile block's z=8 footprint, with the published Shamos
+    antipodal enumeration. Oracle = the O(n^2) max-over-pairs definition
+    in SQL (no hull, no calipers) with the same lexicographic
+    canonicalization; integer coords make every distance exact."""
+    from ..operators import spatial
+
+    t = _tiles_at(_merc_pts(spark, sf_dir), 8).select("x", "y").distinct()
+    g = t.select(F.shiftright("x", 3).alias("gx"),
+                 F.shiftright("y", 3).alias("gy"), "x", "y")
+    return spatial.hull_diameter(g, by=["gx", "gy"], x_col="x", y_col="y")
+
+
+SQL_HULL_DIAMETER = f"""
+WITH {_PTS_SQL}, {_tiles_sql(8)},
+t8 AS (SELECT DISTINCT x, y FROM tiles),
+g AS (SELECT (x >> 3) AS gx, (y >> 3) AS gy, x, y FROM t8),
+p AS (
+  SELECT a.gx, a.gy, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2,
+         (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS dd
+  FROM g a JOIN g b
+    ON a.gx = b.gx AND a.gy = b.gy
+   AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+),
+best AS (
+  SELECT gx, gy, dd, x1, y1, x2, y2,
+         row_number() OVER (PARTITION BY gx, gy
+                            ORDER BY dd DESC, x1, y1, x2, y2) AS rn
+  FROM p
+),
+nn AS (SELECT gx, gy, count(*) AS n_pts, min(x) AS sx, min(y) AS sy
+       FROM g GROUP BY gx, gy)
+SELECT nn.gx, nn.gy, nn.n_pts,
+       COALESCE(b.dd, 0) AS diam2,
+       COALESCE(b.x1, nn.sx) AS x1, COALESCE(b.y1, nn.sy) AS y1,
+       COALESCE(b.x2, nn.sx) AS x2, COALESCE(b.y2, nn.sy) AS y2
+FROM nn LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (gx, gy)
+"""
+
+
 def q_corridor_join(spark, sf_dir):
     """Corridor join (operators/spatial.py::corridor_join — bucketed
     EQUI-join over grid cells, never a distance theta-join): every event
@@ -6044,6 +6086,7 @@ QUERIES: dict = {
     "hilbert_buckets": (q_hilbert_buckets, SQL_HILBERT_BUCKETS),
     "convex_hull": (q_convex_hull, SQL_CONVEX_HULL),
     "corridor_join": (q_corridor_join, SQL_CORRIDOR_JOIN),
+    "hull_diameter": (q_hull_diameter, SQL_HULL_DIAMETER),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "polyline_encode": (q_polyline_encode, SQL_POLYLINE_ENCODE),
     "ring_metrics": (q_ring_metrics, SQL_RING_METRICS),
