@@ -127,3 +127,57 @@ def test_running_source_stats_stateful(spark, tmp_path):
     s2 = run_once("stats2").set_index("source")
     # state carried across the restart: web totals ACCUMULATE
     assert s2.loc["web", "n_docs"] == 2 and s2.loc["web", "n_tokens"] == 7
+
+
+def test_session_windows_strict_merge_boundary(spark, tmp_path):
+    """Spark session_window merge is INCLUSIVE (a new session starts only
+    when the delta EXCEEDS the gap): events at t, t+gap+1 form TWO
+    sessions; t, t+gap form ONE (touching extents join). Emitted window
+    is [first, last + gap); an advancer flushes via the watermark."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tilers_tools_spark.streaming import stateful
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+    BASE = 1_767_225_600
+    GAP = 300
+
+    def write(rows, name):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source", "event_secs"])
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                       os.path.join(src, name))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, source string, event_secs long")
+            .format("parquet").load(src)
+            .withColumn("event_time",
+                        __import__("pyspark.sql.functions", fromlist=["x"])
+                        .timestamp_seconds(__import__("pyspark.sql.functions", fromlist=["x"]).col("event_secs")))
+        )
+        q = (stateful.session_doc_counts(stream, gap=f"{GAP} seconds")
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ck).outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    write([(0, "a", "split", BASE), (1, "b", "split", BASE + GAP + 1),   # > gap: 2 sessions
+           (2, "c", "merge", BASE), (3, "d", "merge", BASE + GAP)],       # == gap: 1 session
+          "b0.parquet")
+    run_once()
+    write([(9, "advancer", "adv", BASE + 10_000)], "b1.parquet")
+    run_once()
+    got = spark.read.parquet(out).toPandas()
+    split = got[got.source == "split"].sort_values("window_start")
+    merge = got[got.source == "merge"]
+    assert len(split) == 2 and list(split.n_docs) == [1, 1]
+    assert len(merge) == 1 and int(merge.n_docs.iloc[0]) == 2
+    ws, we = int(merge.window_start.iloc[0].timestamp()), int(merge.window_end.iloc[0].timestamp())
+    assert (ws, we) == (BASE, BASE + GAP + GAP)
+    assert "adv" not in set(got.source)  # advancer's session still open

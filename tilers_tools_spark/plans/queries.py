@@ -3782,6 +3782,120 @@ GROUP BY doc_id // 10, source
 """
 
 
+def q_streaming_sessions(spark, sf_dir):
+    """Gap-based session windows under the driver gate
+    (streaming/stateful.session_doc_counts): per source, docs 0..19 at
+    event_secs = BASE + (doc_id + (doc_id//5)*10)*60 — 60 s steps inside
+    5-doc blocks, 11+ min jumps between blocks — sessionized with a
+    270 s gap (no delta ever EQUALS the gap, so the inclusive-merge
+    boundary — equal deltas merge — cannot mask a rule mismatch; the
+    boundary itself is pinned by tests/test_streaming.py). Three availableNow runs:
+      run 1 — the 20 docs; nothing emits (watermark behind all ends);
+      run 2 — an advancer at minute 900 pushes the watermark past every
+              session end: all sessions of runs 1 finalize and emit;
+              the advancer's own session stays open, never emitted;
+      run 3 — a LATE doc at minute 5 (behind the watermark): DROPPED.
+              If the drop failed the finalized-instantly session would
+              add a 21st-doc row — the row set discriminates.
+    Oracle = the independent relational replay of the published merge
+    rule: lag -> break at delta > gap -> running-sum session ids ->
+    [min, max + gap) per (source, session)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..streaming import stateful
+
+    base = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 20)
+        .select("doc_id", "text", "source")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    base["event_secs"] = _STREAM_BASE + (base.doc_id + (base.doc_id // 5) * 10) * 60
+    work = tempfile.mkdtemp(prefix="tilers_streaming_sessions_")
+    src = os.path.join(work, "in")
+    out = os.path.join(work, "out")
+    ck = os.path.join(work, "ck")
+    os.makedirs(src)
+    cols = ["doc_id", "text", "source", "event_secs"]
+
+    def write_batch(name, pdf):
+        pq.write_table(pa.Table.from_pandas(pdf[cols], preserve_index=False),
+                       os.path.join(src, name))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, source string, event_secs long")
+            .format("parquet")
+            .load(src)
+            .withColumn("event_time", F.timestamp_seconds(F.col("event_secs")))
+        )
+        q = (
+            stateful.session_doc_counts(stream, gap="270 seconds")
+            .select(
+                F.col("window_start").cast("long").alias("w_start"),
+                F.col("window_end").cast("long").alias("w_end"),
+                "source", "n_docs", "n_tokens",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def extra(doc_id, minute, text_, source):
+        return pd.DataFrame(
+            {"doc_id": [doc_id], "text": [text_], "source": [source],
+             "event_secs": [_STREAM_BASE + minute * 60]})
+
+    try:
+        write_batch("b0.parquet", base)
+        run_once()
+        write_batch("b1.parquet", extra(901, 900, "watermark advancer", "web"))
+        run_once()
+        write_batch("b2.parquet", extra(900, 5, "late arrival must be dropped", "web"))
+        run_once()
+        got = spark.read.parquet(out).toPandas()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(got[["w_start", "w_end", "source", "n_docs", "n_tokens"]])
+
+
+SQL_STREAMING_SESSIONS = rf"""
+WITH e AS (
+  SELECT doc_id, source, text,
+         {_STREAM_BASE} + (doc_id + (doc_id // 5) * 10) * 60 AS secs
+  FROM documents WHERE doc_id < 20
+),
+s AS (
+  SELECT *, CASE WHEN lag(secs) OVER w IS NULL
+                   OR secs - lag(secs) OVER w > 270 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY source ORDER BY secs, doc_id)
+),
+c AS (
+  SELECT *, sum(brk) OVER (PARTITION BY source ORDER BY secs, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM s
+)
+SELECT min(secs) AS w_start, max(secs) + 270 AS w_end, source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT)
+         AS n_tokens
+FROM c GROUP BY source, sess
+"""
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic cross-engine train/val/test split (portable md5-hex
     mechanism, operators/sampling.py) — 80/10/10 over documents."""
@@ -6045,6 +6159,7 @@ QUERIES: dict = {
     # streaming surface: availableNow ingest + cross-restart stateful dedup
     "streaming_dedup": (q_streaming_dedup, SQL_STREAMING_DEDUP),
     "streaming_window": (q_streaming_window, SQL_STREAMING_WINDOW),
+    "streaming_sessions": (q_streaming_sessions, SQL_STREAMING_SESSIONS),
     # dataset splitting/sampling + delta dedup (training-data pipeline ops)
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),

@@ -118,3 +118,45 @@ def running_source_stats(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def session_doc_counts(
+    stream: DataFrame,
+    event_time_col: str = "event_time",
+    watermark: str = "10 minutes",
+    gap: str = "270 seconds",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gap-based SESSION windows with late-data handling (the third
+    window flavor beside tumbling `windowed_doc_counts` and the running
+    GroupState rollup): per source, events merge into one session while
+    each arrives within `gap` of the previous (Spark's session_window:
+    a new session starts only when the delta EXCEEDS the gap — equal
+    deltas merge, i.e. touching [t, t+gap) extents join); the window is
+    [first_event, last_event + gap). Append mode: a session emits once,
+    when the watermark passes its end; events older than the watermark
+    are dropped (a closed session never re-opens). State is one row per
+    OPEN (source, session) — bounded by the watermark horizon.
+
+    Relational replay (the driver gate): lag -> break when the delta
+    > gap -> running-sum session ids -> min/max+gap per session — an
+    independent reconstruction of the published merge rule."""
+    w = stream.withWatermark(event_time_col, watermark)
+    return (
+        w.groupBy(
+            F.session_window(F.col(event_time_col), gap).alias("win"),
+            F.col(source_col),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(_text.token_count(text_col)).alias("n_tokens"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            source_col,
+            "n_docs",
+            "n_tokens",
+        )
+    )
