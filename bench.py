@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "convex_hull",
     "corridor_join",
     "hull_diameter",
+    "dbscan",
 ]
 
 

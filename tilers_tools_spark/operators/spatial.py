@@ -601,3 +601,127 @@ def hull_diameter(
         )
 
     return points.groupBy(*by).applyInPandas(fn, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN density clustering
+# ---------------------------------------------------------------------------
+
+
+def dbscan(
+    points: DataFrame,
+    eps: float,
+    min_pts: int,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """DBSCAN (Ester et al., KDD 1996) over a point table -> one row per
+    input id with ``is_core`` and ``cluster`` (bigint; NULL = noise).
+
+    Semantics pinned to the paper: N_eps(p) = {q : dist(p,q) <= eps}
+    INCLUDING p itself, so a point is core iff |N_eps| >= min_pts counting
+    itself; distances are Euclidean in the coordinate units; border points
+    (non-core within eps of >= 1 core) join a cluster, everything else is
+    noise. One documented deviation: the paper's border-point assignment
+    is scan-order-dependent when a border point touches two clusters —
+    here it deterministically takes the MINIMUM cluster label among its
+    core neighbors, so the result is partitioning- and order-independent
+    (required for the cross-engine gate and for reproducible re-runs).
+    Cluster labels are canonical: the minimum core-point id of the
+    cluster.
+
+    Scale shape: the naive plan is an all-pairs distance theta-join. This
+    is the grid-cell form — every point gets its eps-sized cell; the LEFT
+    side explodes into its 3x3 neighbor cells (a conservative cover of the
+    eps-ball), the RIGHT side keeps its single cell, equi-join on
+    (cellx, celly) then exact dist2 <= eps^2 refine. Right-sided single
+    cell => each ORDERED pair (a, b), a != b, meets exactly once — the
+    neighbor census is one groupBy count with map-side partials, no dedup
+    pass. Core-core edges feed dedup.connected_components (narrow
+    (id, comp) label propagation with localCheckpoint lineage cuts), so
+    text/payload columns never shuffle. Hot-cell caveat: a cell holding k
+    points costs O(k^2) candidate pairs — that is inherent to exact DBSCAN
+    (every such pair IS an eps-neighbor pair); if a dataset has
+    million-point eps-balls, eps is wrong for it (or use grid-summarized
+    approximate variants out of scope here).
+    """
+    if eps <= 0:
+        raise ValueError("eps must be > 0")
+    if min_pts < 1:
+        raise ValueError("min_pts must be >= 1")
+    eps = float(eps)
+    pts = points.select(
+        F.col(id_col).alias("_pid"),
+        F.col(x_col).cast("double").alias("_px"),
+        F.col(y_col).cast("double").alias("_py"),
+    )
+    off = F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)]))
+    a = (
+        pts.withColumn("_dx", off)
+        .withColumn("_dy", off)
+        .select(
+            F.col("_pid").alias("_aid"),
+            F.col("_px").alias("_ax"),
+            F.col("_py").alias("_ay"),
+            (F.floor(F.col("_px") / eps) + F.col("_dx")).alias("_cx"),
+            (F.floor(F.col("_py") / eps) + F.col("_dy")).alias("_cy"),
+        )
+    )
+    b = pts.select(
+        F.col("_pid").alias("_bid"),
+        F.col("_px").alias("_bx"),
+        F.col("_py").alias("_by"),
+        F.floor(F.col("_px") / eps).alias("_cx"),
+        F.floor(F.col("_py") / eps).alias("_cy"),
+    )
+    dx, dy = F.col("_ax") - F.col("_bx"), F.col("_ay") - F.col("_by")
+    pairs = (
+        a.join(b, ["_cx", "_cy"])
+        .filter(F.col("_aid") != F.col("_bid"))
+        .filter(dx * dx + dy * dy <= F.lit(eps * eps))
+        .select("_aid", "_bid")
+    )
+    # the pair census is reused three times (counts, edges, border hop):
+    # materialize once so the explode-join doesn't replay per consumer
+    pairs = pairs.localCheckpoint()
+
+    nbrs = pairs.groupBy("_aid").agg(F.count("*").alias("_n"))
+    flags = pts.join(nbrs, pts["_pid"] == nbrs["_aid"], "left").select(
+        "_pid",
+        ((F.coalesce(F.col("_n"), F.lit(0)) + F.lit(1)) >= F.lit(int(min_pts))).alias(
+            "is_core"
+        ),
+    )
+    core_ids = flags.filter("is_core").select(F.col("_pid").alias("_cid"))
+    edges = (
+        pairs.join(core_ids, pairs["_aid"] == core_ids["_cid"]).drop("_cid")
+        .join(core_ids, pairs["_bid"] == core_ids["_cid"]).drop("_cid")
+        .filter(F.col("_aid") < F.col("_bid"))
+    )
+    from .dedup import connected_components
+
+    comp = connected_components(
+        edges, core_ids, id_col="_cid", a_col="_aid", b_col="_bid"
+    )  # -> (id, comp), comp = min core id of the component
+
+    # border points: non-core a with core neighbor b -> min comp over b
+    border = (
+        pairs.join(comp.select(F.col("id").alias("_bid"), "comp"), "_bid")
+        .groupBy("_aid")
+        .agg(F.min("comp").alias("_bcomp"))
+    )
+    out = (
+        flags.join(comp.select(F.col("id").alias("_pid"),
+                               F.col("comp").alias("_ccomp")), "_pid", "left")
+        .join(border.select(F.col("_aid").alias("_pid"), "_bcomp"), "_pid", "left")
+        .select(
+            F.col("_pid").alias(id_col),
+            "is_core",
+            F.when(F.col("is_core"), F.col("_ccomp"))
+            .otherwise(F.col("_bcomp"))
+            .cast("long")
+            .alias("cluster"),
+        )
+    )
+    return out

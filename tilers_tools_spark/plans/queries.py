@@ -684,6 +684,77 @@ FROM c5 WHERE dist2 <= 150000e0 * 150000e0
 """
 
 
+def q_dbscan(spark, sf_dir):
+    """DBSCAN density clustering (operators/spatial.py::dbscan — grid-cell
+    equi-join pair census, never an all-pairs theta-join; core/border/
+    noise per Ester et al. 1996 with the documented deterministic
+    min-label border rule): event points in mercator meters, eps = 400 km,
+    min_pts = 6 (counting self) -> ~80 clusters + border + noise at
+    sf0.01, boundary margin 3.4e-5 relative (checked). Oracle = the naive
+    all-pairs definition in SQL: cross-join neighbor census + recursive-
+    CTE transitive closure over core-core edges with min-id labels — no
+    grid cells anywhere. Noise reported as cluster = -1 in both.
+
+    eps is DENSITY-NORMALIZED to the table size (400 km * sqrt(10000/n),
+    exactly 400 km at the sf0.01 gate where n = 10000): a fixed eps at
+    10x density collapses the plane into one giant component whose CC
+    diameter, not the data size, would dominate the wall — the normalized
+    probe keeps the cluster structure (and the benchmark) comparable
+    across scale factors. The SQL mirrors it as a scalar subquery."""
+    from ..operators import spatial
+
+    n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    eps = 400e3 * math.sqrt(10000.0 / n)
+    pts = _merc_pts(spark, sf_dir).select(
+        F.col("event_id").alias("id"),
+        F.col("mx").alias("x"), F.col("my").alias("y"))
+    out = spatial.dbscan(pts, eps=eps, min_pts=6)
+    return out.select(
+        F.col("id").alias("event_id"), "is_core",
+        F.coalesce(F.col("cluster"), F.lit(-1)).cast("long").alias("cluster"))
+
+
+SQL_DBSCAN = f"""
+WITH RECURSIVE {_PTS_SQL},
+eps AS (SELECT 400000e0 * sqrt(10000e0 / count(*)) AS e FROM events),
+p AS (SELECT event_id AS id, mx AS x, my AS y FROM m),
+pr AS (
+  SELECT a.id AS aid, b.id AS bid
+  FROM p a JOIN p b
+    ON a.id <> b.id
+   AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+       <= (SELECT e FROM eps) * (SELECT e FROM eps)
+),
+nb AS (SELECT aid AS id, count(*) AS n FROM pr GROUP BY aid),
+core AS (SELECT p.id FROM p LEFT JOIN nb ON nb.id = p.id
+         WHERE COALESCE(nb.n, 0) + 1 >= 6),
+e AS (SELECT pr.aid, pr.bid FROM pr
+      JOIN core ca ON ca.id = pr.aid
+      JOIN core cb ON cb.id = pr.bid),
+reach(a, b) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT r.a, e.bid FROM reach r JOIN e ON e.aid = r.b
+),
+comp AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY a),
+border AS (
+  SELECT pr.aid AS id, min(c.comp) AS bcomp
+  FROM pr JOIN comp c ON c.id = pr.bid
+  LEFT JOIN core k ON k.id = pr.aid
+  WHERE k.id IS NULL
+  GROUP BY pr.aid
+)
+SELECT p.id AS event_id,
+       (k.id IS NOT NULL) AS is_core,
+       COALESCE(CASE WHEN k.id IS NOT NULL THEN comp.comp
+                     ELSE border.bcomp END, -1) AS cluster
+FROM p
+LEFT JOIN core k ON k.id = p.id
+LEFT JOIN comp ON comp.id = p.id
+LEFT JOIN border ON border.id = p.id
+"""
+
+
 def q_base_zoom_hist(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     gsd = F.lit(16.0) * F.pow(F.lit(2.0), F.col("event_id") % 600 / 100.0)
@@ -6202,6 +6273,7 @@ QUERIES: dict = {
     "convex_hull": (q_convex_hull, SQL_CONVEX_HULL),
     "corridor_join": (q_corridor_join, SQL_CORRIDOR_JOIN),
     "hull_diameter": (q_hull_diameter, SQL_HULL_DIAMETER),
+    "dbscan": (q_dbscan, SQL_DBSCAN),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "polyline_encode": (q_polyline_encode, SQL_POLYLINE_ENCODE),
     "ring_metrics": (q_ring_metrics, SQL_RING_METRICS),
