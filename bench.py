@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "corridor_join",
     "hull_diameter",
     "dbscan",
+    "heatmap_density",
 ]
 
 

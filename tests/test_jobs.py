@@ -782,3 +782,33 @@ def test_tiles_optimize_job(run_job, tmp_path, spark):
     assert res["rows_in"] == res["rows_out"] == 4096
     assert res["read_fraction_before"] >= 0.9
     assert res["read_fraction_after"] <= 0.25
+
+
+def test_heatmap_tiles_job_dir(run_job, tmp_path, spark):
+    """Point heatmap through the CLI into a z/x/y.png tree: every level
+    z_min..z_base present, blobs decode to 256x256 RGBA with the hottest
+    pixel hitting the top-of-ramp color, TileJSON written."""
+    from tilers_tools_spark.functions import codecs
+
+    pts = str(tmp_path / "hpts.parquet")
+    rows = [(i, -30.0 + (i % 5) * 0.01, 10.0 + (i // 5) * 0.01)
+            for i in range(60)]
+    spark.createDataFrame(rows, "event_id long, lon double, lat double").write.parquet(pts)
+    out = run_job("heatmap_tiles", [
+        "--points", pts, "--z-base", "6", "--z-min", "4",
+        "--dst", str(tmp_path / "hm"),
+    ])
+    assert out["tiles"] >= 3 and out["z_base"] == 6 and out["z_min"] == 4
+    root = tmp_path / "hm"
+    assert (root / "tiles.json").exists()
+    pngs = sorted(root.rglob("*.png"))
+    zs = {int(p.relative_to(root).parts[0]) for p in pngs}
+    assert zs == {4, 5, 6}
+    hot = 0
+    for p in pngs:
+        arr = codecs.decode_png(p.read_bytes())
+        assert arr.shape == (256, 256, 4)
+        if (arr == np.array([255, 0, 0, 255], np.uint8)).all(-1).any():
+            hot += 1
+    # the pyramid-wide v_max pixel renders opaque red somewhere
+    assert hot >= 1

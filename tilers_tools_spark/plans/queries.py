@@ -755,6 +755,54 @@ LEFT JOIN border ON border.id = p.id
 """
 
 
+def q_heatmap_density(spark, sf_dir):
+    """Heatmap density pyramid (operators/heatmap.py — the datashader /
+    heatmap-layer role): event points -> per-pixel counts on the global
+    mercator pixel grid at z=6 -> sum-preserving 2x2 overview halving to
+    z=4 -> per-tile (TMS) pixel projection. The render leg (ramp +
+    PNG) is pinned by tests/test_heatmap.py against a scalar
+    reconstruction; this gate verifies the distributed census + pyramid
+    + tile projection relationally (counts, integer shifts and the TMS
+    row flip mirrored in SQL; the halving identity floor(v/2r) ==
+    floor(floor(v/r))//2 is exact in binary doubles)."""
+    from ..operators import heatmap as hm
+
+    pts = _merc_pts(spark, sf_dir)
+    base = hm.point_density(pts, z=6)
+    pyr = hm.density_pyramid(base, 6, 4)
+    t = hm.density_tiles(pyr)
+    return t.select(
+        "z", "x", "y",
+        F.col("px").cast("long").alias("px"),
+        F.col("py").cast("long").alias("py"),
+        F.col("w").cast("long").alias("n"))
+
+
+_RES6 = repr(tm.RES0 / 64.0)
+SQL_HEATMAP_DENSITY = f"""
+WITH {_PTS_SQL},
+g AS (
+  SELECT GREATEST(0, LEAST(16383, CAST(FLOOR((mx + {O}) / {_RES6}) AS BIGINT))) AS gpx,
+         GREATEST(0, LEAST(16383, CAST(FLOOR((my + {O}) / {_RES6}) AS BIGINT))) AS gpy
+  FROM m
+),
+base AS (SELECT gpx, gpy, count(*) AS w FROM g GROUP BY gpx, gpy),
+lv AS (
+  SELECT CAST(6 AS BIGINT) AS z, gpx, gpy, w FROM base
+  UNION ALL
+  SELECT CAST(5 AS BIGINT), gpx // 2, gpy // 2, SUM(w)
+  FROM base GROUP BY gpx // 2, gpy // 2
+  UNION ALL
+  SELECT CAST(4 AS BIGINT), gpx // 4, gpy // 4, SUM(w)
+  FROM base GROUP BY gpx // 4, gpy // 4
+)
+SELECT z, gpx // 256 AS x, gpy // 256 AS y,
+       gpx % 256 AS px, 255 - (gpy % 256) AS py,
+       CAST(w AS BIGINT) AS n
+FROM lv
+"""
+
+
 def q_base_zoom_hist(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     gsd = F.lit(16.0) * F.pow(F.lit(2.0), F.col("event_id") % 600 / 100.0)
@@ -6274,6 +6322,7 @@ QUERIES: dict = {
     "corridor_join": (q_corridor_join, SQL_CORRIDOR_JOIN),
     "hull_diameter": (q_hull_diameter, SQL_HULL_DIAMETER),
     "dbscan": (q_dbscan, SQL_DBSCAN),
+    "heatmap_density": (q_heatmap_density, SQL_HEATMAP_DENSITY),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "polyline_encode": (q_polyline_encode, SQL_POLYLINE_ENCODE),
     "ring_metrics": (q_ring_metrics, SQL_RING_METRICS),
