@@ -111,6 +111,8 @@ BENCH_QUERIES = [
     "hull_diameter",
     "dbscan",
     "heatmap_density",
+    "hotspot_gi",
+    "morans_i",
 ]
 
 

@@ -1,0 +1,154 @@
+"""geostats: Gi* hot-spot + Moran's I vs textbook scalar references and
+hand-worked KATs.
+
+Independence: the scalar references below evaluate the PUBLISHED
+definitions directly — Gi* from Ord & Getis 1995 eq. 6 with an explicit
+dict-lookup neighborhood, Moran's I from the raw cross-product
+Σ w_ij (v_i - xbar)(v_j - xbar) (NOT the engine's exact-integer
+expansion Spp - 2*xbar*Sp + xbar²*W) — so an algebra slip in the
+engine's expansion cannot self-confirm. Hand KATs pin a few values
+computed on paper (see inline derivations)."""
+
+import math
+import random
+
+import pandas as pd
+import pytest
+
+from tilers_tools_spark.operators import geostats
+
+
+def _gi_ref(cells: dict):
+    """Ord & Getis 1995 eq. 6, scalar; cells = {(cx,cy): v}."""
+    n = len(cells)
+    sv = sum(cells.values())
+    svv = sum(v * v for v in cells.values())
+    xbar = sv / n
+    s = math.sqrt(max(svv / n - xbar * xbar, 0.0))
+    out = {}
+    for (x, y), v in cells.items():
+        nb = [(x + dx, y + dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+        wx = sum(cells[c] for c in nb if c in cells)
+        wn = sum(1 for c in nb if c in cells)
+        var = (n * wn - wn * wn) / (n - 1) if n > 1 else 0.0
+        if n > 1 and s > 0 and var > 0:
+            z = (wx - xbar * wn) / (s * math.sqrt(var))
+        else:
+            z = None
+        out[(x, y)] = (wx, wn, z)
+    return out
+
+
+def _moran_ref(cells: dict):
+    """Moran 1950 raw cross-product form, scalar."""
+    n = len(cells)
+    xbar = sum(cells.values()) / n
+    w = cross = 0
+    for (x, y), v in cells.items():
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if (dx, dy) == (0, 0):
+                    continue
+                o = cells.get((x + dx, y + dy))
+                if o is not None:
+                    w += 1
+                    cross += (v - xbar) * (o - xbar)
+    ssd = sum((v - xbar) ** 2 for v in cells.values())
+    if w == 0 or ssd == 0:
+        return w, None
+    return w, (n / w) * (cross / ssd)
+
+
+def _df(spark, cells):
+    return spark.createDataFrame(
+        pd.DataFrame([(x, y, v) for (x, y), v in cells.items()], columns=["cx", "cy", "v"])
+    )
+
+
+def _gi_map(spark, cells):
+    rows = geostats.getis_ord_gi(_df(spark, cells)).collect()
+    assert len(rows) == len(cells)
+    return {(r["cx"], r["cy"]): (r["wx"], r["wn"], r["z"]) for r in rows}
+
+
+def test_gi_hand_kat_row3(spark):
+    # row (0,0)=0 (1,0)=0 (2,0)=9: n=3 sv=9 svv=81 xbar=3 s=sqrt(18).
+    # (2,0): wn=2 wx=9 -> (9-6)/(sqrt(18)*sqrt((6-4)/2)) = 3/sqrt(18) = 1/sqrt(2)
+    # (0,0): wn=2 wx=0 -> -6/sqrt(18) = -sqrt(2)
+    # (1,0): wn=3 -> n*wn - wn^2 = 0 -> NULL (whole-universe window degenerates)
+    got = _gi_map(spark, {(0, 0): 0, (1, 0): 0, (2, 0): 9})
+    assert got[(2, 0)][:2] == (9, 2)
+    assert got[(2, 0)][2] == pytest.approx(1.0 / math.sqrt(2.0), abs=1e-12)
+    assert got[(0, 0)][2] == pytest.approx(-math.sqrt(2.0), abs=1e-12)
+    assert got[(1, 0)] == (9, 3, None)
+
+
+def test_gi_full_block_degenerate(spark):
+    # 2x2 block: every 3x3 window covers the whole universe (wn = n = 4)
+    # -> n*wn - wn^2 = 0 for every cell -> all z NULL, wx = sv = 10.
+    got = _gi_map(spark, {(0, 0): 1, (1, 0): 2, (0, 1): 3, (1, 1): 4})
+    assert all(v == (10, 4, None) for v in got.values())
+
+
+def test_gi_constant_values_null(spark):
+    cells = {(x, y): 7 for x in range(4) for y in range(3)}
+    got = _gi_map(spark, cells)
+    assert all(z is None for (_, _, z) in got.values())
+
+
+def test_gi_single_cell(spark):
+    assert _gi_map(spark, {(5, -3): 42}) == {(5, -3): (42, 1, None)}
+
+
+def test_moran_hand_kat_row3(spark):
+    # row 0,0,9: W=4 directed pairs, Sp=9, Spp=0, xbar=3,
+    # cross = 0 - 2*3*9 + 9*4 = -18, ssd = 81 - 27 = 54,
+    # I = (3/4)*(-18/54) = -0.25; E[I] = -0.5.
+    r = geostats.morans_i(_df(spark, {(0, 0): 0, (1, 0): 0, (2, 0): 9})).collect()[0]
+    assert (r["n"], r["w"], r["sp"], r["spp"], r["sv"], r["svv"]) == (3, 4, 9, 0, 9, 81)
+    assert r["i"] == pytest.approx(-0.25, abs=1e-12)
+    assert r["e_i"] == pytest.approx(-0.5, abs=1e-12)
+
+
+def test_moran_complete_graph_equals_expectation(spark):
+    # fully-connected weights (2x2 block) force I = -1/(n-1) exactly.
+    r = geostats.morans_i(_df(spark, {(0, 0): 1, (1, 0): 2, (0, 1): 3, (1, 1): 4})).collect()[0]
+    assert r["i"] == pytest.approx(-1.0 / 3.0, abs=1e-12)
+    assert r["e_i"] == pytest.approx(-1.0 / 3.0, abs=1e-12)
+
+
+def test_moran_isolated_cells_null(spark):
+    # no Chebyshev-1 pairs at all -> w = 0 -> I NULL.
+    r = geostats.morans_i(_df(spark, {(0, 0): 1, (10, 10): 5, (-8, 3): 2})).collect()[0]
+    assert r["w"] == 0 and r["i"] is None
+
+
+def test_vs_scalar_reference_random_grids(spark):
+    rng = random.Random(1234)
+    for trial in range(4):
+        cells = {}
+        # clustered occupancy with gaps + a planted hotspot + an isolate
+        for _ in range(90):
+            cells[(rng.randrange(0, 12), rng.randrange(0, 12))] = rng.randrange(0, 6)
+        for dx in range(2):
+            for dy in range(2):
+                cells[(20 + dx, 20 + dy)] = 40 + rng.randrange(0, 5)  # hotspot
+        cells[(40, 40)] = rng.randrange(0, 6)  # isolate
+        ref = _gi_ref(cells)
+        got = _gi_map(spark, cells)
+        assert set(got) == set(ref)
+        for k in ref:
+            assert got[k][0] == ref[k][0] and got[k][1] == ref[k][1], k
+            if ref[k][2] is None:
+                assert got[k][2] is None, k
+            else:
+                assert got[k][2] == pytest.approx(ref[k][2], rel=1e-9), k
+        w_ref, i_ref = _moran_ref(cells)
+        r = geostats.morans_i(_df(spark, cells)).collect()[0]
+        assert r["w"] == w_ref
+        assert r["i"] == pytest.approx(i_ref, rel=1e-9)
+        # the planted 2x2 hotspot must be hot: every member z > 2
+        hot = [got[(20 + dx, 20 + dy)][2] for dx in range(2) for dy in range(2)]
+        assert all(z is not None and z > 2.0 for z in hot)
+        # and clustered high values must push I above its expectation
+        assert r["i"] > r["e_i"]

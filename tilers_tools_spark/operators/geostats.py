@@ -1,0 +1,161 @@
+"""Spatial statistics over cell-binned counts: Getis-Ord Gi* hot-spot
+z-scores and global Moran's I autocorrelation.
+
+The ArcGIS "Hot Spot Analysis" / "Spatial Autocorrelation" role (and
+PySAL's ``esda.G_Local`` / ``esda.Moran``) re-expressed Spark-first over
+a **cell lattice**: the input is a table of (cx, cy, v) integer cells
+with an integer value per cell (typically a point-count census produced
+by one upstream groupBy — the same bounded-grid collapse heatmap.py
+uses, so 100 TB of points becomes a few million cells before any
+statistics run).
+
+Weights are binary queen contiguity on the lattice: cell (cx, cy) is a
+neighbor of the 8 cells at Chebyshev distance 1 (Gi* additionally
+includes self, per Ord & Getis 1995 — that is what the star means; the
+Moran neighborhood excludes self, as W requires w_ii = 0). The universe
+is exactly the given cells — absent lattice cells are NOT zero-filled
+(documented deviation from raster-style implementations that analyze a
+full rectangle; zero-fill of an unbounded global grid is undefined).
+The lattice is planar: no antimeridian wrap.
+
+Scale shape: never an all-pairs or theta join. Each cell EXPLODES into
+its 3x3 (or 8-offset) window as the *contributor* side and equi-joins
+back to the universe on the exact (cx, cy) key, so the neighborhood sum
+is ONE explode + ONE groupBy with map-side partials + ONE join; weights
+are never materialized as a matrix. Global moments (n, Σv, Σv²) are a
+single scalar aggregate broadcast back via crossJoin. Every aggregate
+is an exact BIGINT sum of integer inputs — doubles appear only in the
+final closed-form z / I expression, evaluated in one documented
+operand order so an independent engine reproduces it bit-for-bit
+(IEEE-754 binary64 +,-,*,/ and sqrt are correctly rounded: identical
+operands + identical order = identical doubles).
+
+Formulas (Ord & Getis 1995, eq. 6-7; Moran 1950 / Cliff & Ord 1981):
+
+  Gi*(i) = (wx_i - xbar * wn_i)
+           / (s * sqrt((n * wn_i - wn_i^2) / (n - 1)))
+    with wx_i = Σ_{j in N*(i)} v_j  (N* includes self),
+         wn_i = |N*(i)|, xbar = Σv / n, s = sqrt(Σv²/n - xbar²);
+    binary weights make Σ w_ij² = Σ w_ij = wn_i.
+
+  I = (n / W) * (Spp - 2*xbar*Sp + xbar^2*W) / (Σv² - n*xbar²)
+    over DIRECTED neighbor pairs (w_ij = 1 iff Chebyshev dist = 1):
+    W = #pairs, Sp = Σ v_i over pairs, Spp = Σ v_i*v_j over pairs —
+    the cross-product Σ w_ij (v_i-xbar)(v_j-xbar) expanded so every
+    aggregate is an exact integer (symmetry gives Σw_ij v_i = Σw_ij
+    v_j = Sp). E[I] = -1/(n-1).
+
+Cells whose s = 0 (all values equal) or n < 2 yield NULL z / I rather
+than a division blow-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_OFFS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+
+
+def _contributions(cells: DataFrame, include_self: bool) -> DataFrame:
+    """Each cell re-addressed to every lattice cell it contributes to:
+    one row per (receiver cx, cy) carrying the contributor's value."""
+    offs = [o for o in _OFFS if include_self or o != (0, 0)]
+    off = F.explode(
+        F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in offs])
+    )
+    return cells.withColumn("_o", off).select(
+        (F.col("cx") + F.col("_o.dx")).alias("cx"),
+        (F.col("cy") + F.col("_o.dy")).alias("cy"),
+        F.col("v").alias("_nv"),
+    )
+
+
+def _prep(cells: DataFrame, cx_col: str, cy_col: str, v_col: str) -> DataFrame:
+    return cells.select(
+        F.col(cx_col).cast("long").alias("cx"),
+        F.col(cy_col).cast("long").alias("cy"),
+        F.col(v_col).cast("long").alias("v"),
+    )
+
+
+def getis_ord_gi(
+    cells: DataFrame,
+    cx_col: str = "cx",
+    cy_col: str = "cy",
+    v_col: str = "v",
+) -> DataFrame:
+    """Gi* per cell -> (cx, cy, v, wx, wn, z).
+
+    wx = Σ value over the 3x3 window restricted to EXISTING cells
+    (self included), wn = that window's cell count (>= 1), both exact
+    BIGINT; z = the Ord-Getis statistic (NULL when the variance or the
+    n*wn - wn² term degenerates). One explode + groupBy + join + scalar
+    crossJoin — no weight matrix, no theta join, survives any n.
+    """
+    c = _prep(cells, cx_col, cy_col, v_col)
+    recv = _contributions(c, include_self=True).groupBy("cx", "cy").agg(
+        F.sum("_nv").alias("wx"), F.count("*").alias("wn")
+    )
+    # inner join: only universe cells receive a statistic (a contribution
+    # addressed to an absent lattice cell is dropped here)
+    local = c.join(recv, ["cx", "cy"])
+    glob = c.agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+    )
+    j = local.crossJoin(F.broadcast(glob))
+    n = F.col("n").cast("double")
+    xbar = F.col("sv").cast("double") / n
+    s2 = F.col("svv").cast("double") / n - xbar * xbar
+    wn = F.col("wn").cast("double")
+    denom_in = (n * wn - wn * wn) / (n - F.lit(1.0))
+    z = (F.col("wx").cast("double") - xbar * wn) / (F.sqrt(s2) * F.sqrt(denom_in))
+    z = F.when((F.col("n") > 1) & (s2 > 0) & (denom_in > 0), z)
+    return j.select("cx", "cy", "v", "wx", "wn", z.alias("z"))
+
+
+def morans_i(
+    cells: DataFrame,
+    cx_col: str = "cx",
+    cy_col: str = "cy",
+    v_col: str = "v",
+) -> DataFrame:
+    """Global Moran's I -> ONE row (n, w, sp, spp, sv, svv, i, e_i).
+
+    n/w/sp/spp/sv/svv are exact BIGINTs (cell count, directed-pair
+    count, pair Σv_i, pair Σv_i*v_j, Σv, Σv²); i is the statistic and
+    e_i its null expectation -1/(n-1). NULL i when no pairs or zero
+    variance. Two scalar aggregates + one equi-join — nothing about
+    the lattice ever sits on the driver.
+    """
+    c = _prep(cells, cx_col, cy_col, v_col)
+    pairs = _contributions(c, include_self=False).join(
+        c.select("cx", "cy", F.col("v").alias("_v")), ["cx", "cy"]
+    )
+    # directed pair (contributor j -> receiver i): _nv = v_j, _v = v_i
+    pstats = pairs.agg(
+        F.count("*").alias("w"),
+        F.sum("_v").alias("sp"),
+        F.sum(F.col("_v") * F.col("_nv")).alias("spp"),
+    )
+    glob = c.agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+    )
+    j = glob.crossJoin(pstats)
+    n = F.col("n").cast("double")
+    w = F.col("w").cast("double")
+    xbar = F.col("sv").cast("double") / n
+    cross = (
+        F.col("spp").cast("double")
+        - F.lit(2.0) * xbar * F.col("sp").cast("double")
+        + xbar * xbar * w
+    )
+    ssd = F.col("svv").cast("double") - n * xbar * xbar
+    i = (n / w) * (cross / ssd)
+    i = F.when((F.col("w") > 0) & (ssd > 0), i)
+    e_i = F.when(F.col("n") > 1, F.lit(-1.0) / (n - F.lit(1.0)))
+    return j.select("n", "w", "sp", "spp", "sv", "svv", i.alias("i"), e_i.alias("e_i"))

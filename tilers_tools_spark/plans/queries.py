@@ -803,6 +803,134 @@ FROM lv
 """
 
 
+_CELLS6_SQL = """
+cells AS (
+  SELECT x AS cx, y AS cy, count(*) AS v FROM tiles GROUP BY x, y
+)
+"""
+
+
+def _cells6(spark, sf_dir):
+    """Shared geostats fixture: z=6 tile-cell point census of the event
+    points — the bounded-lattice collapse geostats.py expects upstream."""
+    t = _tiles_at(_merc_pts(spark, sf_dir), 6)
+    return t.groupBy(F.col("x").alias("cx"), F.col("y").alias("cy")).agg(
+        F.count("*").alias("v")
+    )
+
+
+def q_hotspot_gi(spark, sf_dir):
+    """Getis-Ord Gi* hot-spot z-scores (operators/geostats.py — the
+    ArcGIS Hot Spot Analysis / PySAL esda.G_Local role) over the z=6
+    tile-cell census of the event points, queen contiguity incl. self.
+    The engine never builds a weight matrix: each cell explodes into its
+    3x3 window and equi-joins back to the universe (one explode + one
+    groupBy + one join); the oracle is the NAIVE definition — an
+    all-pairs Chebyshev<=1 theta self-join, no explode anywhere. Every
+    aggregate is an exact BIGINT; the z statistic is one documented
+    operand-order closed form over correctly-rounded binary64 +,-,*,/
+    and sqrt, so the doubles match bit-for-bit across engines (the
+    transcendental mercator chain is quantized away by the upstream
+    FLOOR into cells)."""
+    from ..operators import geostats
+
+    out = geostats.getis_ord_gi(_cells6(spark, sf_dir))
+    return out.select("cx", "cy", "v", "wx", "wn", F.col("z").alias("gi_z"))
+
+
+SQL_HOTSPOT_GI = f"""
+WITH {_PTS_SQL}, {_tiles_sql(6)}, {_CELLS6_SQL},
+g AS (
+  SELECT count(*) AS ncnt,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(v) AS DOUBLE) AS sv,
+         CAST(sum(v*v) AS DOUBLE) AS svv
+  FROM cells
+),
+nb AS (
+  SELECT a.cx, a.cy, CAST(sum(b.v) AS BIGINT) AS wx, count(*) AS wn
+  FROM cells a JOIN cells b
+    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+  GROUP BY a.cx, a.cy
+)
+SELECT c.cx, c.cy, c.v, nb.wx, nb.wn,
+       CASE WHEN g.ncnt > 1
+             AND (g.svv / g.n - (g.sv / g.n) * (g.sv / g.n)) > 0
+             AND ((g.n * CAST(nb.wn AS DOUBLE)
+                   - CAST(nb.wn AS DOUBLE) * CAST(nb.wn AS DOUBLE))
+                  / (g.n - 1e0)) > 0
+       THEN (CAST(nb.wx AS DOUBLE) - (g.sv / g.n) * CAST(nb.wn AS DOUBLE))
+            / (sqrt(g.svv / g.n - (g.sv / g.n) * (g.sv / g.n))
+               * sqrt((g.n * CAST(nb.wn AS DOUBLE)
+                       - CAST(nb.wn AS DOUBLE) * CAST(nb.wn AS DOUBLE))
+                      / (g.n - 1e0)))
+       END AS gi_z
+FROM cells c
+JOIN nb ON nb.cx = c.cx AND nb.cy = c.cy
+CROSS JOIN g
+"""
+
+
+def q_morans_i(spark, sf_dir):
+    """Global Moran's I spatial autocorrelation (operators/geostats.py —
+    the PySAL esda.Moran / ArcGIS Spatial Autocorrelation role) over the
+    same z=6 tile-cell census, directed queen pairs (w_ii = 0). Engine
+    side: one explode + equi-join pair census + two scalar aggregates —
+    nothing lattice-sized on the driver; oracle side: the naive
+    Chebyshev<=1 all-pairs theta self-join. Moments are exact BIGINTs;
+    I is the documented operand-order closed form (cross-product
+    expanded via symmetry: sum w_ij (vi-xbar)(vj-xbar) = Spp - 2*xbar*Sp
+    + xbar^2*W), bit-for-bit across engines."""
+    from ..operators import geostats
+
+    out = geostats.morans_i(_cells6(spark, sf_dir))
+    return out.select(
+        "n", "w", "sp", "spp", "sv", "svv",
+        F.col("i").alias("moran_i"), "e_i",
+    )
+
+
+SQL_MORANS_I = f"""
+WITH {_PTS_SQL}, {_tiles_sql(6)}, {_CELLS6_SQL},
+pr AS (
+  SELECT a.v AS vi, b.v AS vj
+  FROM cells a JOIN cells b
+    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+   AND NOT (a.cx = b.cx AND a.cy = b.cy)
+),
+ps AS (
+  SELECT count(*) AS w,
+         CAST(sum(vi) AS BIGINT) AS sp,
+         CAST(sum(vi * vj) AS BIGINT) AS spp
+  FROM pr
+),
+g AS (
+  SELECT count(*) AS n,
+         CAST(sum(v) AS BIGINT) AS sv,
+         CAST(sum(v*v) AS BIGINT) AS svv
+  FROM cells
+)
+SELECT g.n, ps.w, ps.sp, ps.spp, g.sv, g.svv,
+       CASE WHEN ps.w > 0
+             AND (CAST(g.svv AS DOUBLE)
+                  - (CAST(g.n AS DOUBLE) * (CAST(g.sv AS DOUBLE) / CAST(g.n AS DOUBLE)))
+                    * (CAST(g.sv AS DOUBLE) / CAST(g.n AS DOUBLE))) > 0
+       THEN (CAST(g.n AS DOUBLE) / CAST(ps.w AS DOUBLE))
+            * ((CAST(ps.spp AS DOUBLE)
+                - (2e0 * (CAST(g.sv AS DOUBLE) / CAST(g.n AS DOUBLE)))
+                  * CAST(ps.sp AS DOUBLE)
+                + ((CAST(g.sv AS DOUBLE) / CAST(g.n AS DOUBLE))
+                   * (CAST(g.sv AS DOUBLE) / CAST(g.n AS DOUBLE)))
+                  * CAST(ps.w AS DOUBLE))
+               / (CAST(g.svv AS DOUBLE)
+                  - (CAST(g.n AS DOUBLE) * (CAST(g.sv AS DOUBLE) / CAST(g.n AS DOUBLE)))
+                    * (CAST(g.sv AS DOUBLE) / CAST(g.n AS DOUBLE))))
+       END AS moran_i,
+       CASE WHEN g.n > 1 THEN -1e0 / (CAST(g.n AS DOUBLE) - 1e0) END AS e_i
+FROM g CROSS JOIN ps
+"""
+
+
 def q_base_zoom_hist(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     gsd = F.lit(16.0) * F.pow(F.lit(2.0), F.col("event_id") % 600 / 100.0)
@@ -6323,6 +6451,8 @@ QUERIES: dict = {
     "hull_diameter": (q_hull_diameter, SQL_HULL_DIAMETER),
     "dbscan": (q_dbscan, SQL_DBSCAN),
     "heatmap_density": (q_heatmap_density, SQL_HEATMAP_DENSITY),
+    "hotspot_gi": (q_hotspot_gi, SQL_HOTSPOT_GI),
+    "morans_i": (q_morans_i, SQL_MORANS_I),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "polyline_encode": (q_polyline_encode, SQL_POLYLINE_ENCODE),
     "ring_metrics": (q_ring_metrics, SQL_RING_METRICS),
