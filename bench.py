@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "heatmap_density",
     "hotspot_gi",
     "morans_i",
+    "local_moran",
 ]
 
 

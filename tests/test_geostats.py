@@ -59,6 +59,27 @@ def _moran_ref(cells: dict):
     return w, (n / w) * (cross / ssd)
 
 
+def _lisa_ref(cells: dict):
+    """Anselin 1995 eq. 12, scalar, raw form (z_i/m2 * Σ w_ij z_j with
+    z's subtracted per term — NOT the engine's wx - xbar*wn expansion)."""
+    n = len(cells)
+    xbar = sum(cells.values()) / n
+    m2 = sum((v - xbar) ** 2 for v in cells.values()) / n
+    out = {}
+    for (x, y), v in cells.items():
+        nb = [
+            cells.get((x + dx, y + dy))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0)
+        ]
+        nb = [o for o in nb if o is not None]
+        lag = sum(o - xbar for o in nb)
+        ii = (v - xbar) / m2 * lag if (n > 1 and m2 > 0) else None
+        out[(x, y)] = (sum(nb) if nb else 0, len(nb), ii)
+    return out
+
+
 def _df(spark, cells):
     return spark.createDataFrame(
         pd.DataFrame([(x, y, v) for (x, y), v in cells.items()], columns=["cx", "cy", "v"])
@@ -123,6 +144,47 @@ def test_moran_isolated_cells_null(spark):
     assert r["w"] == 0 and r["i"] is None
 
 
+def _lisa_map(spark, cells):
+    rows = geostats.local_moran(_df(spark, cells)).collect()
+    assert len(rows) == len(cells)
+    return {(r["cx"], r["cy"]): (r["wx"], r["wn"], r["ii"], r["quad"]) for r in rows}
+
+
+def test_lisa_hand_kat_row3(spark):
+    # row (0,0)=0 (1,0)=0 (2,0)=9: xbar=3, m2=18.
+    # (0,0): wx=0 wn=1 dev=-3 lag=-3 -> ii=0.5  LL
+    # (1,0): wx=9 wn=2 dev=-3 lag=+3 -> ii=-0.5 LH
+    # (2,0): wx=0 wn=1 dev=+6 lag=-3 -> ii=-1.0 HL
+    got = _lisa_map(spark, {(0, 0): 0, (1, 0): 0, (2, 0): 9})
+    assert got[(0, 0)][:2] == (0, 1) and got[(0, 0)][3] == "LL"
+    assert got[(0, 0)][2] == pytest.approx(0.5, abs=1e-12)
+    assert got[(1, 0)][:2] == (9, 2) and got[(1, 0)][3] == "LH"
+    assert got[(1, 0)][2] == pytest.approx(-0.5, abs=1e-12)
+    assert got[(2, 0)][:2] == (0, 1) and got[(2, 0)][3] == "HL"
+    assert got[(2, 0)][2] == pytest.approx(-1.0, abs=1e-12)
+
+
+def test_lisa_isolate_zero_lag(spark):
+    # an isolated cell has no neighbors: wx=wn=0, lag = 0 -> ii = 0, NA quad
+    got = _lisa_map(spark, {(0, 0): 1, (0, 1): 5, (10, 10): 3})
+    assert got[(10, 10)][:2] == (0, 0)
+    assert got[(10, 10)][2] == pytest.approx(0.0, abs=0.0)
+    assert got[(10, 10)][3] == "NA"
+
+
+def test_lisa_constant_values_null(spark):
+    got = _lisa_map(spark, {(x, 0): 7 for x in range(5)})
+    assert all(ii is None for (_, _, ii, _) in got.values())
+
+
+def test_lisa_sum_equals_w_times_global_i(spark):
+    # Σ_i I_i = W * I_global (both sides from the engine, exact algebra)
+    cells = {(x, y): (x * 7 + y * 3) % 11 for x in range(6) for y in range(5) if (x + y) % 7 != 3}
+    rows = geostats.local_moran(_df(spark, cells)).collect()
+    g = geostats.morans_i(_df(spark, cells)).collect()[0]
+    assert sum(r["ii"] for r in rows) == pytest.approx(g["w"] * g["i"], rel=1e-9)
+
+
 def test_vs_scalar_reference_random_grids(spark):
     rng = random.Random(1234)
     for trial in range(4):
@@ -143,6 +205,15 @@ def test_vs_scalar_reference_random_grids(spark):
                 assert got[k][2] is None, k
             else:
                 assert got[k][2] == pytest.approx(ref[k][2], rel=1e-9), k
+        lref = _lisa_ref(cells)
+        lgot = _lisa_map(spark, cells)
+        assert set(lgot) == set(lref)
+        for k in lref:
+            assert lgot[k][:2] == lref[k][:2], k
+            if lref[k][2] is None:
+                assert lgot[k][2] is None, k
+            else:
+                assert lgot[k][2] == pytest.approx(lref[k][2], rel=1e-9, abs=1e-12), k
         w_ref, i_ref = _moran_ref(cells)
         r = geostats.morans_i(_df(spark, cells)).collect()[0]
         assert r["w"] == w_ref

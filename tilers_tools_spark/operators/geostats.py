@@ -45,6 +45,16 @@ Formulas (Ord & Getis 1995, eq. 6-7; Moran 1950 / Cliff & Ord 1981):
     aggregate is an exact integer (symmetry gives Σw_ij v_i = Σw_ij
     v_j = Sp). E[I] = -1/(n-1).
 
+  I_i = ((v_i - xbar) / m2) * Σ_j w_ij (v_j - xbar)   (Anselin 1995, eq. 12)
+    with m2 = Σv²/n - xbar² (the biased variance, per the paper's
+    m2 = Σ z²/n), Σ_j w_ij (v_j - xbar) expanded to wx_i - xbar*wn_i so
+    the neighborhood sum stays an exact BIGINT; E[I_i] = -wn_i/(n-1).
+    Identity Σ_i I_i = W * I_global ties the local and global operators
+    together (pinned by test). Quadrant label for the LISA cluster map:
+    HH/LL/HL/LH by the strict signs of (v_i - xbar) and the spatial lag,
+    'NA' when either is exactly 0 — double comparisons are deterministic
+    because both operands are the same documented-order expressions.
+
 Cells whose s = 0 (all values equal) or n < 2 yield NULL z / I rather
 than a division blow-up.
 """
@@ -114,6 +124,59 @@ def getis_ord_gi(
     z = (F.col("wx").cast("double") - xbar * wn) / (F.sqrt(s2) * F.sqrt(denom_in))
     z = F.when((F.col("n") > 1) & (s2 > 0) & (denom_in > 0), z)
     return j.select("cx", "cy", "v", "wx", "wn", z.alias("z"))
+
+
+def local_moran(
+    cells: DataFrame,
+    cx_col: str = "cx",
+    cy_col: str = "cy",
+    v_col: str = "v",
+) -> DataFrame:
+    """Local Moran's I (LISA, Anselin 1995) per cell ->
+    (cx, cy, v, wx, wn, ii, e_ii, quad).
+
+    wx/wn = neighbor (self-EXCLUDED queen) value sum / count, exact
+    BIGINT; ii = ((v - xbar)/m2) * (wx - xbar*wn) with m2 = Σv²/n -
+    xbar² (NULL when variance degenerates; isolates get wn = 0 and
+    ii = 0 — an empty neighborhood has zero spatial lag by definition);
+    e_ii = -wn/(n-1); quad = the LISA cluster-map quadrant HH/LL/HL/LH
+    by strict signs of the deviation and the lag, 'NA' on an exact zero.
+    LEFT join keeps isolates (they receive no contributions). Same
+    explode + groupBy + join + scalar crossJoin shape as Gi* — no
+    weight matrix, survives any n.
+    """
+    c = _prep(cells, cx_col, cy_col, v_col)
+    recv = _contributions(c, include_self=False).groupBy("cx", "cy").agg(
+        F.sum("_nv").alias("wx"), F.count("*").alias("wn")
+    )
+    local = c.join(recv, ["cx", "cy"], "left").select(
+        "cx", "cy", "v",
+        F.coalesce(F.col("wx"), F.lit(0)).alias("wx"),
+        F.coalesce(F.col("wn"), F.lit(0)).alias("wn"),
+    )
+    glob = c.agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+    )
+    j = local.crossJoin(F.broadcast(glob))
+    n = F.col("n").cast("double")
+    xbar = F.col("sv").cast("double") / n
+    m2 = F.col("svv").cast("double") / n - xbar * xbar
+    dev = F.col("v").cast("double") - xbar
+    lag = F.col("wx").cast("double") - xbar * F.col("wn").cast("double")
+    ii = F.when((F.col("n") > 1) & (m2 > 0), dev / m2 * lag)
+    e_ii = F.when(F.col("n") > 1, -F.col("wn").cast("double") / (n - F.lit(1.0)))
+    quad = (
+        F.when((dev > 0) & (lag > 0), F.lit("HH"))
+        .when((dev < 0) & (lag < 0), F.lit("LL"))
+        .when((dev > 0) & (lag < 0), F.lit("HL"))
+        .when((dev < 0) & (lag > 0), F.lit("LH"))
+        .otherwise(F.lit("NA"))
+    )
+    return j.select(
+        "cx", "cy", "v", "wx", "wn", ii.alias("ii"), e_ii.alias("e_ii"), quad.alias("quad")
+    )
 
 
 def morans_i(

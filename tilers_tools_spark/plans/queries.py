@@ -871,6 +871,69 @@ CROSS JOIN g
 """
 
 
+def q_local_moran(spark, sf_dir):
+    """Local Moran's I (LISA, Anselin 1995 — the cluster-map companion
+    to the global statistic) per z=6 census cell, self-excluded queen
+    lag. Engine: explode + equi-join (LEFT, so isolates keep wn=0 and a
+    zero lag); oracle: the naive all-pairs Chebyshev<=1 theta self-join
+    with a LEFT join for isolates. ii = ((v-xbar)/m2)*(wx-xbar*wn) with
+    m2 = svv/n - xbar² in one documented operand order; quad = strict
+    signs of deviation and lag — both are bit-identical doubles across
+    engines, so the label is deterministic."""
+    from ..operators import geostats
+
+    out = geostats.local_moran(_cells6(spark, sf_dir))
+    return out.select("cx", "cy", "v", "wx", "wn", F.col("ii").alias("lisa_i"), "e_ii", "quad")
+
+
+SQL_LOCAL_MORAN = f"""
+WITH {_PTS_SQL}, {_tiles_sql(6)}, {_CELLS6_SQL},
+g AS (
+  SELECT count(*) AS ncnt,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(v) AS DOUBLE) AS sv,
+         CAST(sum(v*v) AS DOUBLE) AS svv
+  FROM cells
+),
+nb AS (
+  SELECT a.cx, a.cy,
+         COALESCE(CAST(sum(b.v) AS BIGINT), 0) AS wx,
+         CAST(count(b.v) AS BIGINT) AS wn
+  FROM cells a LEFT JOIN cells b
+    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+   AND NOT (a.cx = b.cx AND a.cy = b.cy)
+  GROUP BY a.cx, a.cy
+)
+SELECT c.cx, c.cy, c.v, nb.wx, nb.wn,
+       CASE WHEN g.ncnt > 1
+             AND (g.svv / g.n - (g.sv / g.n) * (g.sv / g.n)) > 0
+       THEN (CAST(c.v AS DOUBLE) - g.sv / g.n)
+            / (g.svv / g.n - (g.sv / g.n) * (g.sv / g.n))
+            * (CAST(nb.wx AS DOUBLE) - (g.sv / g.n) * CAST(nb.wn AS DOUBLE))
+       END AS lisa_i,
+       CASE WHEN g.ncnt > 1
+       THEN -CAST(nb.wn AS DOUBLE) / (g.n - 1e0) END AS e_ii,
+       CASE
+         WHEN (CAST(c.v AS DOUBLE) - g.sv / g.n) > 0e0
+          AND (CAST(nb.wx AS DOUBLE) - (g.sv / g.n) * CAST(nb.wn AS DOUBLE)) > 0e0
+         THEN 'HH'
+         WHEN (CAST(c.v AS DOUBLE) - g.sv / g.n) < 0e0
+          AND (CAST(nb.wx AS DOUBLE) - (g.sv / g.n) * CAST(nb.wn AS DOUBLE)) < 0e0
+         THEN 'LL'
+         WHEN (CAST(c.v AS DOUBLE) - g.sv / g.n) > 0e0
+          AND (CAST(nb.wx AS DOUBLE) - (g.sv / g.n) * CAST(nb.wn AS DOUBLE)) < 0e0
+         THEN 'HL'
+         WHEN (CAST(c.v AS DOUBLE) - g.sv / g.n) < 0e0
+          AND (CAST(nb.wx AS DOUBLE) - (g.sv / g.n) * CAST(nb.wn AS DOUBLE)) > 0e0
+         THEN 'LH'
+         ELSE 'NA'
+       END AS quad
+FROM cells c
+JOIN nb ON nb.cx = c.cx AND nb.cy = c.cy
+CROSS JOIN g
+"""
+
+
 def q_morans_i(spark, sf_dir):
     """Global Moran's I spatial autocorrelation (operators/geostats.py —
     the PySAL esda.Moran / ArcGIS Spatial Autocorrelation role) over the
@@ -6453,6 +6516,7 @@ QUERIES: dict = {
     "heatmap_density": (q_heatmap_density, SQL_HEATMAP_DENSITY),
     "hotspot_gi": (q_hotspot_gi, SQL_HOTSPOT_GI),
     "morans_i": (q_morans_i, SQL_MORANS_I),
+    "local_moran": (q_local_moran, SQL_LOCAL_MORAN),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "polyline_encode": (q_polyline_encode, SQL_POLYLINE_ENCODE),
     "ring_metrics": (q_ring_metrics, SQL_RING_METRICS),
