@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "hotspot_gi",
     "morans_i",
     "local_moran",
+    "ripley_k",
 ]
 
 

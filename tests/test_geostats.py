@@ -223,3 +223,95 @@ def test_vs_scalar_reference_random_grids(spark):
         assert all(z is not None and z > 2.0 for z in hot)
         # and clustered high values must push I above its expectation
         assert r["i"] > r["e_i"]
+
+
+def _ripley_ref(pts: dict, radii, area=None):
+    """Ripley 1977 naive estimator, scalar all-pairs."""
+    ids = list(pts)
+    n = len(ids)
+    xs = [p[0] for p in pts.values()]
+    ys = [p[1] for p in pts.values()]
+    a = area if area is not None else (max(xs) - min(xs)) * (max(ys) - min(ys))
+    out = {}
+    for d in radii:
+        c = sum(
+            1
+            for i in ids
+            for j in ids
+            if i != j
+            and (pts[i][0] - pts[j][0]) ** 2 + (pts[i][1] - pts[j][1]) ** 2 <= d * d
+        )
+        k = a * c / (n * n) if (n > 1 and a > 0) else None
+        out[d] = (c, k, math.sqrt(k / math.pi) if k is not None else None)
+    return out
+
+
+def _ripley_df(spark, pts):
+    return spark.createDataFrame(
+        pd.DataFrame([(i, x, y) for i, (x, y) in pts.items()], columns=["id", "x", "y"])
+    )
+
+
+def test_ripley_hand_kat_345(spark):
+    # 3-4-5 triangle: (0,0),(3,0),(3,4); dists 3,4,5; A = 3*4 = 12, n = 3.
+    # ordered pairs within d: d=3 -> 2, d=4 -> 4, d=5 -> 6 (boundary inclusive)
+    rows = geostats.ripley_k(
+        _ripley_df(spark, {1: (0, 0), 2: (3, 0), 3: (3, 4)}), [3, 4, 5]
+    ).collect()
+    got = {r["d"]: (r["npairs"], r["k"], r["l"], r["csr_k"]) for r in rows}
+    assert got[3.0][0] == 2 and got[4.0][0] == 4 and got[5.0][0] == 6
+    assert got[3.0][1] == pytest.approx(12 * 2 / 9, abs=1e-12)
+    assert got[5.0][1] == pytest.approx(8.0, abs=1e-12)
+    assert got[5.0][2] == pytest.approx(math.sqrt(8.0 / math.pi), abs=1e-12)
+    assert got[3.0][3] == pytest.approx(math.pi * 9, abs=1e-12)
+
+
+def test_ripley_duplicates_and_degenerate(spark):
+    # coincident points: dist 0 pairs count at every radius
+    rows = geostats.ripley_k(
+        _ripley_df(spark, {1: (0, 0), 2: (0, 0), 3: (0, 5)}), [1, 10]
+    ).collect()
+    got = {r["d"]: r["npairs"] for r in rows}
+    assert got[1.0] == 2 and got[10.0] == 6
+    # collinear envelope -> area 0 -> NULL k/l, counts still exact
+    r0 = geostats.ripley_k(_ripley_df(spark, {1: (0, 0), 2: (0, 5)}), [10]).collect()[0]
+    assert r0["npairs"] == 2 and r0["k"] is None and r0["l"] is None
+    # n = 1 -> no pairs, NULL k
+    r1 = geostats.ripley_k(_ripley_df(spark, {1: (2, 3)}), [10]).collect()[0]
+    assert r1["npairs"] == 0 and r1["k"] is None
+
+
+def test_ripley_explicit_area_and_validation(spark):
+    r = geostats.ripley_k(
+        _ripley_df(spark, {1: (0, 0), 2: (3, 0)}), [3], area=100.0
+    ).collect()[0]
+    assert r["k"] == pytest.approx(100.0 * 2 / 4, abs=1e-12)
+    with pytest.raises(ValueError):
+        geostats.ripley_k(_ripley_df(spark, {1: (0, 0)}), [])
+    with pytest.raises(ValueError):
+        geostats.ripley_k(_ripley_df(spark, {1: (0, 0)}), [5, -1])
+
+
+def test_ripley_vs_scalar_reference_random(spark):
+    rng = random.Random(99)
+    for trial in range(3):
+        pts = {i: (rng.randrange(0, 200), rng.randrange(0, 150)) for i in range(220)}
+        # plant a tight cluster so small radii are non-trivial, and an
+        # exact-boundary pair (distance exactly 25: 7-24-25 triple)
+        for k in range(8):
+            pts[300 + k] = (50 + k % 3, 60 + k // 3)
+        pts[400], pts[401] = (0, 0), (7, 24)
+        radii = [5, 25, 60]
+        ref = _ripley_ref(pts, radii)
+        rows = geostats.ripley_k(_ripley_df(spark, pts), radii).collect()
+        assert len(rows) == len(radii)
+        for r in rows:
+            c, k_, l_ = ref[r["d"]]
+            assert r["npairs"] == c, r["d"]
+            assert r["k"] == pytest.approx(k_, rel=1e-12)
+            assert r["l"] == pytest.approx(l_, rel=1e-12)
+        # multi-cell no-dup: widen the cell by re-running with a larger
+        # max radius — counts for shared radii must be identical
+        rows2 = geostats.ripley_k(_ripley_df(spark, pts), [5, 25, 60, 300]).collect()
+        got2 = {r["d"]: r["npairs"] for r in rows2}
+        assert all(got2[d] == ref[d][0] for d in map(float, radii))

@@ -55,11 +55,26 @@ Formulas (Ord & Getis 1995, eq. 6-7; Moran 1950 / Cliff & Ord 1981):
     'NA' when either is exactly 0 — double comparisons are deterministic
     because both operands are the same documented-order expressions.
 
+  K(d) = A/n² * Σ_{i≠j} 1[dist(i,j) <= d]   (Ripley 1977, naive
+    estimator — NO edge correction, a documented deviation: the
+    isotropic correction needs per-pair boundary arcs and is a
+    border-bias refinement, not a different statistic; PySAL's
+    ``ripley`` offers the uncorrected form too). L(d) = sqrt(K/π);
+    under CSR K(d) = πd². Ordered pairs are counted via the same
+    grid-cell EQUI-join census as DBSCAN (left side explodes into its
+    3x3 d_max-cell neighborhood, right side keeps one cell — each
+    ordered pair meets exactly once), ALL radii in one pass via
+    conditional aggregation. Integer coordinates make every pair
+    distance² an exact BIGINT, so the radius comparisons cannot flip
+    between engines.
+
 Cells whose s = 0 (all values equal) or n < 2 yield NULL z / I rather
 than a division blow-up.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -222,3 +237,91 @@ def morans_i(
     i = F.when((F.col("w") > 0) & (ssd > 0), i)
     e_i = F.when(F.col("n") > 1, F.lit(-1.0) / (n - F.lit(1.0)))
     return j.select("n", "w", "sp", "spp", "sv", "svv", i.alias("i"), e_i.alias("e_i"))
+
+
+def ripley_k(
+    points: DataFrame,
+    radii: list,
+    x_col: str = "x",
+    y_col: str = "y",
+    id_col: str = "id",
+    area: float | None = None,
+) -> DataFrame:
+    """Ripley's K / L at each radius -> (d, npairs, k, l, csr_k).
+
+    npairs = ordered pairs i != j with dist² <= d² (exact BIGINT when
+    coordinates are integers — pass quantized coordinates or accept
+    float boundary risk); k = A * npairs / n² and l = sqrt(k/π) in one
+    documented operand order; csr_k = πd² (the complete-spatial-
+    randomness expectation). A defaults to the points' bounding-box
+    envelope (max-min exact under integer coords); k/l are NULL when
+    n < 2 or A <= 0. One explode(9) + equi-join + conditional agg —
+    every radius in a single pass, cell size = max(radii), no theta
+    join, no per-radius rescan.
+    """
+    if not radii or any(d <= 0 for d in radii):
+        raise ValueError("radii must be non-empty positive distances")
+    radii = sorted(float(d) for d in radii)
+    cell = radii[-1]
+    pts = points.select(
+        F.col(id_col).alias("id"),
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    )
+    cx = F.floor(F.col("x") / F.lit(cell))
+    cy = F.floor(F.col("y") / F.lit(cell))
+    off = F.explode(
+        F.array(*[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        ])
+    )
+    left = pts.withColumn("_o", off).select(
+        (cx + F.col("_o.dx")).alias("gx"),
+        (cy + F.col("_o.dy")).alias("gy"),
+        F.col("id").alias("lid"), F.col("x").alias("lx"), F.col("y").alias("ly"),
+    )
+    right = pts.select(
+        cx.alias("gx"), cy.alias("gy"),
+        F.col("id").alias("rid"), F.col("x").alias("rx"), F.col("y").alias("ry"),
+    )
+    dist2 = (
+        (F.col("lx") - F.col("rx")) * (F.col("lx") - F.col("rx"))
+        + (F.col("ly") - F.col("ry")) * (F.col("ly") - F.col("ry"))
+    )
+    counts = (
+        left.join(right, ["gx", "gy"])
+        .where(F.col("lid") != F.col("rid"))
+        .agg(*[
+            F.sum(F.when(dist2 <= F.lit(d * d), F.lit(1)).otherwise(F.lit(0)))
+            .alias(f"_c{i}")
+            for i, d in enumerate(radii)
+        ])
+    )
+    glob = pts.agg(
+        F.count("*").alias("n"),
+        (F.max("x") - F.min("x")).alias("_ax"),
+        (F.max("y") - F.min("y")).alias("_ay"),
+    )
+    j = glob.crossJoin(counts)
+    n = F.col("n").cast("double")
+    a = F.lit(float(area)) if area is not None else F.col("_ax") * F.col("_ay")
+    rows = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.coalesce(F.col(f"_c{i}"), F.lit(0)).cast("long").alias("npairs"),
+            )
+            for i, d in enumerate(radii)
+        ])
+    )
+    out = j.select(rows.alias("_r"), n.alias("_n"), a.alias("_a"), F.col("n").alias("_ni"))
+    k = F.col("_a") * F.col("_r.npairs").cast("double") / (F.col("_n") * F.col("_n"))
+    ok = (F.col("_ni") > 1) & (F.col("_a") > 0)
+    return out.select(
+        F.col("_r.d").alias("d"),
+        F.col("_r.npairs").alias("npairs"),
+        F.when(ok, k).alias("k"),
+        F.when(ok, F.sqrt(k / F.lit(math.pi))).alias("l"),
+        (F.lit(math.pi) * F.col("_r.d") * F.col("_r.d")).alias("csr_k"),
+    )

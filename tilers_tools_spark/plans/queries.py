@@ -994,6 +994,74 @@ FROM g CROSS JOIN ps
 """
 
 
+def q_ripley_k(spark, sf_dir):
+    """Ripley's K / L point-pattern statistic (operators/geostats.py —
+    the PySAL pointpats role, naive uncorrected estimator) over the
+    event points quantized to INTEGER mercator meters (floor — so every
+    pair distance² is an exact BIGINT and the radius comparisons cannot
+    flip between engines). Radii are density-normalized like dbscan's
+    eps (base 400 km * sqrt(10000/n) at multipliers 0.5/1/2 — exact
+    power-of-two scalings of one shared double) so pair counts stay
+    bounded across scale factors; the SQL mirrors the base as a scalar
+    subquery. Engine = grid-cell equi-join census, one pass for all
+    radii; oracle = the naive all-pairs theta self-join."""
+    from ..operators import geostats
+
+    m = _merc_pts(spark, sf_dir).select(
+        "event_id",
+        F.floor("mx").cast("long").alias("ix"),
+        F.floor("my").cast("long").alias("iy"),
+    )
+    n = m.count()
+    eps = 400e3 * math.sqrt(10000.0 / n)
+    out = geostats.ripley_k(
+        m, [eps * 0.5, eps * 1.0, eps * 2.0], x_col="ix", y_col="iy", id_col="event_id"
+    )
+    return out.select("d", "npairs", "k", "l", "csr_k")
+
+
+SQL_RIPLEY_K = f"""
+WITH {_PTS_SQL},
+q AS (
+  SELECT event_id, CAST(FLOOR(mx) AS BIGINT) AS ix, CAST(FLOOR(my) AS BIGINT) AS iy
+  FROM m
+),
+g AS (
+  SELECT count(*) AS ncnt,
+         CAST(count(*) AS DOUBLE) AS n,
+         (CAST(max(ix) AS DOUBLE) - CAST(min(ix) AS DOUBLE))
+           * (CAST(max(iy) AS DOUBLE) - CAST(min(iy) AS DOUBLE)) AS a,
+         400000e0 * sqrt(10000e0 / count(*)) AS eps
+  FROM q
+),
+rad AS (
+  SELECT g.eps * mm.mult AS d FROM g, (VALUES (0.5e0), (1e0), (2e0)) AS mm(mult)
+),
+pr AS (
+  SELECT (a.ix - b.ix)*(a.ix - b.ix) + (a.iy - b.iy)*(a.iy - b.iy) AS d2
+  FROM q a, q b, g
+  WHERE a.event_id <> b.event_id
+    AND a.ix - b.ix <= CAST(ceil(g.eps * 2e0) AS BIGINT)
+    AND b.ix - a.ix <= CAST(ceil(g.eps * 2e0) AS BIGINT)
+    AND a.iy - b.iy <= CAST(ceil(g.eps * 2e0) AS BIGINT)
+    AND b.iy - a.iy <= CAST(ceil(g.eps * 2e0) AS BIGINT)
+),
+cnt AS (
+  SELECT r.d AS d,
+         COALESCE(sum(CASE WHEN CAST(pr.d2 AS DOUBLE) <= r.d * r.d THEN 1 ELSE 0 END), 0) AS npairs
+  FROM rad r LEFT JOIN pr ON TRUE
+  GROUP BY r.d
+)
+SELECT c.d, CAST(c.npairs AS BIGINT) AS npairs,
+       CASE WHEN g.ncnt > 1 AND g.a > 0e0
+            THEN (g.a * CAST(c.npairs AS DOUBLE)) / (g.n * g.n) END AS k,
+       CASE WHEN g.ncnt > 1 AND g.a > 0e0
+            THEN sqrt(((g.a * CAST(c.npairs AS DOUBLE)) / (g.n * g.n)) / pi()) END AS l,
+       (pi() * c.d) * c.d AS csr_k
+FROM cnt c CROSS JOIN g
+"""
+
+
 def q_base_zoom_hist(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     gsd = F.lit(16.0) * F.pow(F.lit(2.0), F.col("event_id") % 600 / 100.0)
@@ -6517,6 +6585,7 @@ QUERIES: dict = {
     "hotspot_gi": (q_hotspot_gi, SQL_HOTSPOT_GI),
     "morans_i": (q_morans_i, SQL_MORANS_I),
     "local_moran": (q_local_moran, SQL_LOCAL_MORAN),
+    "ripley_k": (q_ripley_k, SQL_RIPLEY_K),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "polyline_encode": (q_polyline_encode, SQL_POLYLINE_ENCODE),
     "ring_metrics": (q_ring_metrics, SQL_RING_METRICS),
