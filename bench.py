@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "morans_i",
     "local_moran",
     "ripley_k",
+    "std_ellipse",
 ]
 
 

@@ -315,3 +315,79 @@ def test_ripley_vs_scalar_reference_random(spark):
         rows2 = geostats.ripley_k(_ripley_df(spark, pts), [5, 25, 60, 300]).collect()
         got2 = {r["d"]: r["npairs"] for r in rows2}
         assert all(got2[d] == ref[d][0] for d in map(float, radii))
+
+
+def _sde(spark, pts):
+    df = spark.createDataFrame(pd.DataFrame(pts, columns=["x", "y"]))
+    return geostats.std_ellipse(df).collect()[0]
+
+
+def test_sde_hand_kat_axis_aligned(spark):
+    # (±1,0),(0,±2): means 0, vx=0.5 vy=2 vxy=0 -> λ1=2 λ2=0.5,
+    # sigma_major=2, sigma_minor=1, slope NULL (aligned), ecc=sqrt(0.75),
+    # theta = π/2 (major axis is the y axis)
+    r = _sde(spark, [(1, 0), (-1, 0), (0, 2), (0, -2)])
+    assert (r["n"], r["xbar"], r["ybar"]) == (4, 0.0, 0.0)
+    assert (r["var_x"], r["var_y"], r["cov_xy"]) == (0.5, 2.0, 0.0)
+    assert r["sigma_major"] == pytest.approx(2.0, abs=1e-15)
+    assert r["sigma_minor"] == pytest.approx(1.0, abs=1e-15)
+    assert r["slope_major"] is None
+    assert r["theta_rad"] == pytest.approx(math.pi / 2, abs=1e-15)
+    assert r["ecc"] == pytest.approx(math.sqrt(0.75), abs=1e-15)
+
+
+def test_sde_hand_kat_collinear_45deg(spark):
+    # perfectly collinear on y=x: λ2=0, slope 1, ecc 1, minor axis 0
+    r = _sde(spark, [(1, 1), (-1, -1), (2, 2), (-2, -2)])
+    assert (r["var_x"], r["var_y"], r["cov_xy"]) == (2.5, 2.5, 2.5)
+    assert r["sigma_major"] == pytest.approx(math.sqrt(10.0), abs=1e-15)
+    assert r["sigma_minor"] == 0.0
+    assert r["slope_major"] == pytest.approx(1.0, abs=1e-15)
+    assert r["theta_rad"] == pytest.approx(math.pi / 4, abs=1e-12)
+    assert r["ecc"] == 1.0
+
+
+def test_sde_point_mass_and_empty(spark):
+    r = _sde(spark, [(7, -3), (7, -3), (7, -3)])
+    assert (r["xbar"], r["ybar"]) == (7.0, -3.0)
+    assert r["sigma_major"] == 0.0 and r["sigma_minor"] == 0.0
+    assert r["ecc"] is None and r["slope_major"] is None
+    import pyspark.sql.types as T
+
+    empty = spark.createDataFrame(
+        [], T.StructType([T.StructField("x", T.LongType()), T.StructField("y", T.LongType())])
+    )
+    r0 = geostats.std_ellipse(empty).collect()[0]
+    assert r0["n"] == 0 and r0["xbar"] is None and r0["sigma_major"] is None
+
+
+def test_sde_vs_numpy_eig_random(spark):
+    import numpy as np
+
+    rng = random.Random(7)
+    for trial in range(4):
+        # anisotropic cloud with a planted rotation
+        th = [0.3, 1.1, -0.7, 2.4][trial]
+        pts = []
+        for _ in range(300):
+            u = rng.gauss(0, 40)
+            v = rng.gauss(0, 9)
+            pts.append(
+                (round(u * math.cos(th) - v * math.sin(th)),
+                 round(u * math.sin(th) + v * math.cos(th)))
+            )
+        r = _sde(spark, pts)
+        a = np.array(pts, dtype=np.float64)
+        cov = np.cov(a.T, bias=True)
+        w, vec = np.linalg.eigh(cov)  # ascending
+        assert r["var_x"] == pytest.approx(cov[0, 0], rel=1e-12)
+        assert r["cov_xy"] == pytest.approx(cov[0, 1], rel=1e-12)
+        assert r["sigma_major"] == pytest.approx(math.sqrt(2 * w[1]), rel=1e-9)
+        assert r["sigma_minor"] == pytest.approx(math.sqrt(2 * w[0]), rel=1e-9)
+        ev = vec[:, 1]  # major-axis eigenvector
+        assert r["slope_major"] == pytest.approx(ev[1] / ev[0], rel=1e-6)
+        assert r["ecc"] == pytest.approx(math.sqrt(1 - w[0] / w[1]), rel=1e-9)
+        # theta agrees with the eigenvector direction mod π
+        got = r["theta_rad"] % math.pi
+        want = math.atan2(ev[1], ev[0]) % math.pi
+        assert got == pytest.approx(want, abs=1e-6)

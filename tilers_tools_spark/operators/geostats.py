@@ -325,3 +325,78 @@ def ripley_k(
         F.when(ok, F.sqrt(k / F.lit(math.pi))).alias("l"),
         (F.lit(math.pi) * F.col("_r.d") * F.col("_r.d")).alias("csr_k"),
     )
+
+
+def std_ellipse(
+    points: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Standard deviational ellipse (Yuill 1971; the ArcGIS Directional
+    Distribution role) -> ONE row (n, xbar, ybar, var_x, var_y, cov_xy,
+    sigma_major, sigma_minor, slope_major, theta_rad, ecc).
+
+    Entirely from the 6 scalar moments (n, Σx, Σy, Σx², Σy², Σxy) in a
+    single map-side aggregate — nothing else shuffles, any n survives.
+    The ellipse axes come from the covariance eigendecomposition closed
+    form, which needs only +,-,*,/ and sqrt (all correctly rounded, so
+    an independent engine reproduces every column bit-for-bit):
+
+      vx = Σx²/n - xbar², vy = Σy²/n - ybar², vxy = Σxy/n - xbar*ybar
+      m = (vx+vy)/2, h = (vx-vy)/2, r = sqrt(h² + vxy²)
+      λ1 = m + r, λ2 = max(m - r, 0)      (clamp kills -1e-17 float dust)
+      sigma_major/minor = sqrt(2λ)        (the Yuill/ArcGIS √2 factor)
+      slope_major = (λ1 - vx)/vxy         (eigenvector slope; NULL when
+                                           vxy = 0 — axes already aligned)
+      ecc = sqrt(1 - λ2/λ1)               (NULL when λ1 = 0: a point mass)
+
+    theta_rad = atan2-based major-axis angle CCW from +x in (-π/2, π/2]
+    — for humans; atan2 is NOT guaranteed correctly rounded across
+    libms, so cross-engine gates should compare slope_major instead
+    (ArcGIS's clockwise-from-north rotation = 90° - degrees(theta)).
+    Integer coordinates keep the moments exact BIGINTs; |x| up to ~3e4
+    (e.g. km-quantized mercator) stays overflow-safe past 10^9 points.
+    """
+    pts = points.select(
+        F.col(x_col).cast("long").alias("x"), F.col(y_col).cast("long").alias("y")
+    )
+    agg = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    xbar = F.col("sx").cast("double") / n
+    ybar = F.col("sy").cast("double") / n
+    vx = F.col("sxx").cast("double") / n - xbar * xbar
+    vy = F.col("syy").cast("double") / n - ybar * ybar
+    vxy = F.col("sxy").cast("double") / n - xbar * ybar
+    m = (vx + vy) / F.lit(2.0)
+    h = (vx - vy) / F.lit(2.0)
+    r = F.sqrt(h * h + vxy * vxy)
+    l1 = m + r
+    l2 = F.greatest(m - r, F.lit(0.0))
+    ok = F.col("n") > 0
+    slope = F.when(ok & (vxy != 0), (l1 - vx) / vxy)
+    theta = F.when(
+        ok,
+        F.when(vxy != 0, F.atan((l1 - vx) / vxy)).otherwise(
+            F.when(vx >= vy, F.lit(0.0)).otherwise(F.lit(math.pi / 2.0))
+        ),
+    )
+    return agg.select(
+        "n",
+        F.when(ok, xbar).alias("xbar"),
+        F.when(ok, ybar).alias("ybar"),
+        F.when(ok, vx).alias("var_x"),
+        F.when(ok, vy).alias("var_y"),
+        F.when(ok, vxy).alias("cov_xy"),
+        F.when(ok, F.sqrt(F.lit(2.0) * l1)).alias("sigma_major"),
+        F.when(ok, F.sqrt(F.lit(2.0) * l2)).alias("sigma_minor"),
+        slope.alias("slope_major"),
+        theta.alias("theta_rad"),
+        F.when(ok & (l1 > 0), F.sqrt(F.lit(1.0) - l2 / l1)).alias("ecc"),
+    )

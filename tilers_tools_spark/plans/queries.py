@@ -1062,6 +1062,71 @@ FROM cnt c CROSS JOIN g
 """
 
 
+def q_std_ellipse(spark, sf_dir):
+    """Standard deviational ellipse (operators/geostats.py — the ArcGIS
+    Directional Distribution role) of the event points quantized to
+    integer mercator KILOMETERS (keeps the 6 scalar moments exact
+    BIGINTs overflow-safe past 10^9 points). Gate compares every column
+    derivable with +,-,*,/,sqrt only — bit-identical across engines;
+    theta_rad (atan2, not correctly-rounded across libms) is excluded
+    here and pinned by pytest instead."""
+    from ..operators import geostats
+
+    m = _merc_pts(spark, sf_dir).select(
+        F.floor(F.col("mx") / F.lit(1000.0)).cast("long").alias("kx"),
+        F.floor(F.col("my") / F.lit(1000.0)).cast("long").alias("ky"),
+    )
+    out = geostats.std_ellipse(m, x_col="kx", y_col="ky")
+    return out.select(
+        "n", "xbar", "ybar", "var_x", "var_y", "cov_xy",
+        "sigma_major", "sigma_minor", "slope_major", "ecc",
+    )
+
+
+SQL_STD_ELLIPSE = f"""
+WITH {_PTS_SQL},
+q AS (
+  SELECT CAST(FLOOR(mx / 1000e0) AS BIGINT) AS kx,
+         CAST(FLOOR(my / 1000e0) AS BIGINT) AS ky
+  FROM m
+),
+mo AS (
+  SELECT count(*) AS n,
+         CAST(count(*) AS DOUBLE) AS nd,
+         CAST(sum(kx) AS DOUBLE) AS sx,
+         CAST(sum(ky) AS DOUBLE) AS sy,
+         CAST(sum(kx*kx) AS DOUBLE) AS sxx,
+         CAST(sum(ky*ky) AS DOUBLE) AS syy,
+         CAST(sum(kx*ky) AS DOUBLE) AS sxy
+  FROM q
+),
+v AS (
+  SELECT n, nd, sx / nd AS xbar, sy / nd AS ybar,
+         sxx / nd - (sx / nd) * (sx / nd) AS vx,
+         syy / nd - (sy / nd) * (sy / nd) AS vy,
+         sxy / nd - (sx / nd) * (sy / nd) AS vxy
+  FROM mo
+),
+e AS (
+  SELECT *,
+         (vx + vy) / 2e0 + sqrt(((vx - vy) / 2e0) * ((vx - vy) / 2e0) + vxy * vxy) AS l1,
+         GREATEST((vx + vy) / 2e0 - sqrt(((vx - vy) / 2e0) * ((vx - vy) / 2e0) + vxy * vxy), 0e0) AS l2
+  FROM v
+)
+SELECT n,
+       CASE WHEN n > 0 THEN xbar END AS xbar,
+       CASE WHEN n > 0 THEN ybar END AS ybar,
+       CASE WHEN n > 0 THEN vx END AS var_x,
+       CASE WHEN n > 0 THEN vy END AS var_y,
+       CASE WHEN n > 0 THEN vxy END AS cov_xy,
+       CASE WHEN n > 0 THEN sqrt(2e0 * l1) END AS sigma_major,
+       CASE WHEN n > 0 THEN sqrt(2e0 * l2) END AS sigma_minor,
+       CASE WHEN n > 0 AND vxy <> 0e0 THEN (l1 - vx) / vxy END AS slope_major,
+       CASE WHEN n > 0 AND l1 > 0e0 THEN sqrt(1e0 - l2 / l1) END AS ecc
+FROM e
+"""
+
+
 def q_base_zoom_hist(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     gsd = F.lit(16.0) * F.pow(F.lit(2.0), F.col("event_id") % 600 / 100.0)
@@ -6586,6 +6651,7 @@ QUERIES: dict = {
     "morans_i": (q_morans_i, SQL_MORANS_I),
     "local_moran": (q_local_moran, SQL_LOCAL_MORAN),
     "ripley_k": (q_ripley_k, SQL_RIPLEY_K),
+    "std_ellipse": (q_std_ellipse, SQL_STD_ELLIPSE),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "polyline_encode": (q_polyline_encode, SQL_POLYLINE_ENCODE),
     "ring_metrics": (q_ring_metrics, SQL_RING_METRICS),
