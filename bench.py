@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "local_moran",
     "ripley_k",
     "std_ellipse",
+    "hll_distinct",
 ]
 
 

@@ -1,0 +1,124 @@
+"""HyperLogLog distinct-count sketch — portable, mergeable, relational.
+
+The approx-distinct primitive a 100 TB ingest needs (cardinality of
+URLs/shingles/users per partition/day without a distinct shuffle),
+built so that the ENTIRE sketch is an ordinary DataFrame and every step
+is reproducible by an independent engine:
+
+- Hash = the repo's portable md5 idiom (`conv(substring(md5(key),1,15),
+  16,10)` — 60 exact bits in any engine; same mechanism as hash_split /
+  bloom_filter). NOT xxhash64: portability beats speed for a sketch
+  that other engines must be able to rebuild and merge.
+- Register index = low ``p`` bits (bitwise AND), rank window = the
+  remaining 60-p bits (bitwise shift), rank ρ = leading zeros + 1
+  computed as ``(60-p+1) - length(bin(w))`` — `bin` renders the minimal
+  binary string identically in Spark and DuckDB, so no log2() float
+  boundary bugs.
+- The sketch IS a (register, max-rank) table of ≤ 2^p rows: one narrow
+  groupBy/max with map-side partials — text/keys never shuffle, and two
+  sketches merge with union + the same groupBy (`hll_merge`), which is
+  what makes per-partition / per-day sketches roll up for free.
+- Estimation (Flajolet-Fo-Gandouet-Meunier 2007): the harmonic-mean
+  denominator Σ 2^-M_j is accumulated as the EXACT integer
+  Σ 2^(62-M_j) in DECIMAL(38,0) (every term a power of two ≤ 2^62;
+  absent registers contribute 2^62 each), so the sum is order-free and
+  the final double is one deterministic rounding — bit-identical across
+  engines. raw = α_m·m²·2^62 / Σ_scaled with α_m = 0.7213/(1+1.079/m)
+  (the published large-m constant; p >= 7 enforced). Small-range
+  correction: raw <= 2.5m and V>0 → linear counting m·ln(m/V); ln is
+  transcendental (not correctly rounded across libms), so the corrected
+  estimate is returned ROUNDED to a BIGINT while `raw_est` stays an
+  exact double. No 32-bit large-range correction — the hash is 60-bit,
+  collisions are negligible below ~2^30 distinct (documented bound).
+
+Columns out of `hll_estimate`: (m, nonzero, v_zero, sum_scaled,
+raw_est, est) — `est` is the headline corrected-and-rounded count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_HASH_BITS = 60
+
+
+def _alpha(m: int) -> float:
+    # FFGM 2007 eq. for m >= 128
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_sketch(df: DataFrame, key_col: str, p: int = 12) -> DataFrame:
+    """Build the (register, rank) sketch table: <= 2^p rows, one narrow
+    shuffle. Keys are stringified before hashing (document the cast —
+    1 and '1' collide by design, matching the md5-idiom family)."""
+    if not 7 <= p <= 20:
+        raise ValueError("p must be in [7, 20] (m = 2^p registers, alpha valid from 128)")
+    m = 1 << p
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    w = F.shiftright(h, p)
+    maxrho = _HASH_BITS - p + 1
+    rho = F.when(w == 0, F.lit(maxrho)).otherwise(
+        F.lit(maxrho) - F.length(F.bin(w))
+    )
+    return (
+        df.select(h.bitwiseAND(F.lit(m - 1)).alias("register"), rho.alias("rho"))
+        .groupBy("register")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Union sketches built with the SAME p -> one merged sketch.
+    max is associative/commutative, so merge order never matters."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("register").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(sketch: DataFrame, p: int = 12) -> DataFrame:
+    """Sketch table -> ONE row (m, nonzero, v_zero, sum_scaled, raw_est,
+    est). All but `est` are bit-identical across engines; `est` applies
+    the linear-counting small-range correction (ln) and is rounded to a
+    BIGINT so libm ULP differences cannot surface."""
+    m = 1 << p
+    # the PySpark shiftleft wrapper only takes a literal shift count
+    # (same workaround as bloom_build); 62-rho stays in [13, 61] so the
+    # term always fits BIGINT before the exact DECIMAL(38,0) sum
+    term = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(62 - rho AS INT))").cast(
+        "decimal(38,0)"
+    )
+    agg = sketch.agg(
+        F.count("*").alias("nonzero"),
+        F.coalesce(F.sum(term), F.lit(0).cast("decimal(38,0)")).alias("_s"),
+    )
+    two62 = float(1 << 62)
+    md = float(m)
+    v = F.lit(m) - F.col("nonzero")
+    scaled = (
+        F.col("_s") + v.cast("decimal(38,0)") * F.lit(1 << 62).cast("decimal(38,0)")
+    ).cast("double")
+    raw = F.lit(_alpha(m)) * F.lit(md) * F.lit(md) * F.lit(two62) / scaled
+    vd = v.cast("double")
+    corrected = F.when(
+        (raw <= F.lit(2.5 * md)) & (v > 0), F.lit(md) * F.log(F.lit(md) / vd)
+    ).otherwise(raw)
+    return agg.select(
+        F.lit(m).cast("long").alias("m"),
+        F.col("nonzero").cast("long").alias("nonzero"),
+        v.cast("long").alias("v_zero"),
+        scaled.alias("sum_scaled"),
+        raw.alias("raw_est"),
+        F.round(corrected, 0).cast("long").alias("est"),
+    )
+
+
+def hll_distinct(df: DataFrame, key_col: str, p: int = 12) -> DataFrame:
+    """Approximate COUNT(DISTINCT key) in one narrow pass: sketch +
+    estimate composed. Standard error ~ 1.04/sqrt(2^p) (1.6% at p=12)."""
+    return hll_estimate(hll_sketch(df, key_col, p), p)

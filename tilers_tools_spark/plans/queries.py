@@ -1127,6 +1127,68 @@ FROM e
 """
 
 
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog approximate distinct count (operators/sketch.py —
+    the approx_count_distinct role rebuilt on the portable md5 idiom so
+    ANY engine can rebuild, merge and estimate the same sketch). Key =
+    event_id % 7919 stringified (guaranteed duplicates at every sf);
+    gate emits the full evidence chain (register stats, exact-integer
+    harmonic sum as a double, bit-exact raw estimate, rounded corrected
+    estimate) next to the exact distinct count so the sketch's accuracy
+    is itself recorded. Sketch = one narrow groupBy/max over <= 2^12
+    rows; keys never shuffle."""
+    from ..operators import sketch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        (F.col("event_id") % 7919).cast("string").alias("key")
+    )
+    est = sketch.hll_distinct(ev, "key", p=12)
+    exact = ev.agg(F.countDistinct("key").alias("exact_distinct"))
+    return est.crossJoin(exact)
+
+
+SQL_HLL_DISTINCT = """
+WITH k AS (SELECT CAST(event_id % 7919 AS VARCHAR) AS key FROM events),
+h AS (SELECT CAST('0x' || substring(md5(key), 1, 15) AS BIGINT) AS h FROM k),
+r AS (
+  SELECT h & 4095 AS register,
+         CASE WHEN (h >> 12) = 0 THEN 49
+              ELSE 49 - length(bin(h >> 12)) END AS rho
+  FROM h
+),
+regs AS (SELECT register, max(rho) AS rho FROM r GROUP BY register),
+agg AS (
+  SELECT count(*) AS nonzero,
+         COALESCE(sum(CAST(1 AS BIGINT) << CAST(62 - rho AS INT)),
+                  CAST(0 AS HUGEINT)) AS s
+  FROM regs
+),
+e AS (
+  SELECT nonzero,
+         4096 - nonzero AS v_zero,
+         CAST(s + CAST(4096 - nonzero AS HUGEINT)
+                  * CAST(4611686018427387904 AS HUGEINT) AS DOUBLE) AS scaled
+  FROM agg
+),
+raw AS (
+  SELECT *,
+         (0.7213e0 / (1e0 + 1.079e0 / 4096e0)) * 4096e0 * 4096e0
+           * 4611686018427387904e0 / scaled AS raw_est
+  FROM e
+)
+SELECT CAST(4096 AS BIGINT) AS m,
+       CAST(nonzero AS BIGINT) AS nonzero,
+       CAST(v_zero AS BIGINT) AS v_zero,
+       scaled AS sum_scaled,
+       raw_est,
+       CAST(round(CASE WHEN raw_est <= 2.5e0 * 4096e0 AND v_zero > 0
+                       THEN 4096e0 * ln(4096e0 / CAST(v_zero AS DOUBLE))
+                       ELSE raw_est END) AS BIGINT) AS est,
+       (SELECT count(DISTINCT key) FROM k) AS exact_distinct
+FROM raw
+"""
+
+
 def q_base_zoom_hist(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     gsd = F.lit(16.0) * F.pow(F.lit(2.0), F.col("event_id") % 600 / 100.0)
@@ -6652,6 +6714,7 @@ QUERIES: dict = {
     "local_moran": (q_local_moran, SQL_LOCAL_MORAN),
     "ripley_k": (q_ripley_k, SQL_RIPLEY_K),
     "std_ellipse": (q_std_ellipse, SQL_STD_ELLIPSE),
+    "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "polyline_encode": (q_polyline_encode, SQL_POLYLINE_ENCODE),
     "ring_metrics": (q_ring_metrics, SQL_RING_METRICS),
