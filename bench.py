@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "ripley_k",
     "std_ellipse",
     "hll_distinct",
+    "morphology",
 ]
 
 

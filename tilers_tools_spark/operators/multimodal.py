@@ -510,3 +510,100 @@ def exif_metadata(images: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return images.select("image_id", "bytes").mapInPandas(fn, schema=EXIF_SCHEMA)
+
+
+MORPHOLOGY_SCHEMA = (
+    "image_id string, op string, out_w int, out_h int, pix_sum long, "
+    "changed long, out binary"
+)
+
+_MORPH_OPS = ("erode", "dilate", "open", "close", "gradient")
+
+
+def _dilate_once(a: np.ndarray) -> np.ndarray:
+    """3x3 max with out-of-bounds neighbors IGNORED (pad with 0, the
+    max-neutral for uint8 — equivalent to restricting the window to
+    in-bounds pixels)."""
+    h, w = a.shape[:2]
+    p = np.zeros((h + 2, w + 2) + a.shape[2:], a.dtype)
+    p[1:-1, 1:-1] = a
+    out = p[0:h, 0:w].copy()
+    for dr in range(3):
+        for dc in range(3):
+            np.maximum(out, p[dr:dr + h, dc:dc + w], out=out)
+    return out
+
+
+def _erode_once(a: np.ndarray) -> np.ndarray:
+    """3x3 min, out-of-bounds ignored (pad 255, the min-neutral)."""
+    h, w = a.shape[:2]
+    p = np.full((h + 2, w + 2) + a.shape[2:], 255, a.dtype)
+    p[1:-1, 1:-1] = a
+    out = p[0:h, 0:w].copy()
+    for dr in range(3):
+        for dc in range(3):
+            np.minimum(out, p[dr:dr + h, dc:dc + w], out=out)
+    return out
+
+
+def _morph(a: np.ndarray, op: str, iterations: int) -> np.ndarray:
+    if op == "gradient":
+        return _dilate_once(a) - _erode_once(a)  # dilate >= erode pointwise
+    out = a
+    if op == "erode":
+        for _ in range(iterations):
+            out = _erode_once(out)
+    elif op == "dilate":
+        for _ in range(iterations):
+            out = _dilate_once(out)
+    elif op == "open":
+        for _ in range(iterations):
+            out = _erode_once(out)
+        for _ in range(iterations):
+            out = _dilate_once(out)
+    elif op == "close":
+        for _ in range(iterations):
+            out = _dilate_once(out)
+        for _ in range(iterations):
+            out = _erode_once(out)
+    return out
+
+
+def morphology(images: DataFrame, op: str, iterations: int = 1) -> DataFrame:
+    """Grayscale mathematical morphology (Serra; the OpenCV cv2.erode /
+    dilate / morphologyEx role) per channel with the 3x3 box structuring
+    element: erode / dilate / open (erode^k then dilate^k) / close /
+    gradient (dilate - erode, the edge extractor). Border rule: the
+    window is restricted to IN-BOUNDS pixels (pad with the op-neutral
+    value), documented and mirrored by the relational oracle — NOT
+    OpenCV's BORDER_REFLECT default (a documented deviation; replicate
+    borders change nothing for flat regions and this rule is exactly
+    expressible in SQL). `gradient` ignores `iterations` (single-step
+    morphological gradient).
+
+    One Arrow mapInPandas pass — blobs decode, transform and re-encode
+    inside the partition, pixels never shuffle; stats columns (pix_sum,
+    changed) make the result auditable without shipping pixels.
+    """
+    if op not in _MORPH_OPS:
+        raise ValueError(f"op must be one of {_MORPH_OPS}")
+    if iterations < 1:
+        raise ValueError("iterations >= 1")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "image_id", "op", "out_w", "out_h", "pix_sum", "changed", "out")}
+            for r in pdf.itertuples():
+                arr = codecs.decode_image(bytes(r.bytes), r.fmt)
+                res = _morph(arr, op, iterations)
+                out["image_id"].append(r.image_id)
+                out["op"].append(op)
+                out["out_w"].append(res.shape[1])
+                out["out_h"].append(res.shape[0])
+                out["pix_sum"].append(int(res.astype(np.int64).sum()))
+                out["changed"].append(int((res != arr).sum()))
+                out["out"].append(codecs.encode_raw(np.ascontiguousarray(res)))
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(fn, schema=MORPHOLOGY_SCHEMA)

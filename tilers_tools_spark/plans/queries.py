@@ -1189,6 +1189,76 @@ FROM raw
 """
 
 
+_MORPH_SPECS = [("morph_a", 24, 16), ("morph_b", 9, 11)]  # (id, w, h)
+_MORPH_OPS_GATE = ("erode", "dilate", "open", "close", "gradient")
+
+
+def q_morphology(spark, sf_dir):
+    """Grayscale morphology (operators/multimodal.py::morphology — the
+    OpenCV erode/dilate/morphologyEx role, 3x3 box element, documented
+    ignore-outside border rule) over analytic-pattern RAW fixtures.
+    All five ops in one gate; the oracle recomputes every per-pixel
+    max/min RELATIONALLY — a neighbor self-join census over the inlined
+    pattern, with open/close as two-level joins and gradient as the
+    d - e pixel difference — then mirrors pix_sum and the changed-pixel
+    count. Integer pixel values: every compared number is exact."""
+    from ..functions import codecs as cod
+    from ..operators import multimodal
+
+    rows = []
+    for image_id, w, h in _MORPH_SPECS:
+        r, c, b = np.ogrid[0:h, 0:w, 0:3]
+        arr = ((r * 7 + c * 13 + b * 29) % 256).astype(np.uint8)
+        rows.append((image_id, cod.encode_raw(arr), "raw"))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    out = None
+    for op in _MORPH_OPS_GATE:
+        part = multimodal.morphology(df, op).drop("out")
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _morph_nb(src: str, agg: str) -> str:
+    return (
+        f"SELECT p1.r AS r, p1.c AS c, p1.b AS b, {agg}(p2.v) AS v FROM {src} p1 "
+        f"JOIN {src} p2 ON p2.r BETWEEN p1.r - 1 AND p1.r + 1 "
+        f"AND p2.c BETWEEN p1.c - 1 AND p1.c + 1 AND p2.b = p1.b "
+        f"GROUP BY p1.r, p1.c, p1.b"
+    )
+
+
+def _morph_sql() -> str:
+    ctes, legs = [], []
+    for i, (image_id, w, h) in enumerate(_MORPH_SPECS):
+        ctes.append(
+            f"px_{i} AS (SELECT t1.r AS r, t2.c AS c, t3.b AS b, "
+            f"((t1.r*7 + t2.c*13 + t3.b*29) % 256) AS v "
+            f"FROM range(0,{h}) t1(r), range(0,{w}) t2(c), range(0,3) t3(b))"
+        )
+        ctes.append(f"d_{i} AS ({_morph_nb(f'px_{i}', 'max')})")
+        ctes.append(f"e_{i} AS ({_morph_nb(f'px_{i}', 'min')})")
+        ctes.append(f"o_{i} AS ({_morph_nb(f'e_{i}', 'max')})")
+        ctes.append(f"cl_{i} AS ({_morph_nb(f'd_{i}', 'min')})")
+        ctes.append(
+            f"g_{i} AS (SELECT dd.r, dd.c, dd.b, dd.v - ee.v AS v FROM d_{i} dd "
+            f"JOIN e_{i} ee ON dd.r = ee.r AND dd.c = ee.c AND dd.b = ee.b)"
+        )
+        for op, cte in (
+            ("erode", f"e_{i}"), ("dilate", f"d_{i}"), ("open", f"o_{i}"),
+            ("close", f"cl_{i}"), ("gradient", f"g_{i}"),
+        ):
+            legs.append(f"""
+SELECT '{image_id}' AS image_id, '{op}' AS op,
+       CAST({w} AS INT) AS out_w, CAST({h} AS INT) AS out_h,
+       (SELECT CAST(SUM(v) AS BIGINT) FROM {cte}) AS pix_sum,
+       (SELECT CAST(count(*) AS BIGINT) FROM {cte} a JOIN px_{i} p
+         ON a.r = p.r AND a.c = p.c AND a.b = p.b WHERE a.v <> p.v) AS changed""")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(legs)
+
+
+SQL_MORPHOLOGY = _morph_sql()
+
+
 def q_base_zoom_hist(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     gsd = F.lit(16.0) * F.pow(F.lit(2.0), F.col("event_id") % 600 / 100.0)
@@ -6715,6 +6785,7 @@ QUERIES: dict = {
     "ripley_k": (q_ripley_k, SQL_RIPLEY_K),
     "std_ellipse": (q_std_ellipse, SQL_STD_ELLIPSE),
     "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
+    "morphology": (q_morphology, SQL_MORPHOLOGY),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "polyline_encode": (q_polyline_encode, SQL_POLYLINE_ENCODE),
     "ring_metrics": (q_ring_metrics, SQL_RING_METRICS),
