@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "std_ellipse",
     "hll_distinct",
     "morphology",
+    "streaming_join",
 ]
 
 

@@ -181,3 +181,74 @@ def test_session_windows_strict_merge_boundary(spark, tmp_path):
     ws, we = int(merge.window_start.iloc[0].timestamp()), int(merge.window_end.iloc[0].timestamp())
     assert (ws, we) == (BASE, BASE + GAP + GAP)
     assert "adv" not in set(got.source)  # advancer's session still open
+
+
+def test_stream_stream_join_boundaries_and_eviction(spark, tmp_path):
+    """stream_stream_attribution: both range bounds INCLUSIVE (click at
+    imp_time and at imp_time + 600 join; +601 does not), matches emit
+    against state from a PREVIOUS run, and after watermark advance a
+    late click finds its impression evicted -> no row."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from tilers_tools_spark.streaming import stateful
+
+    src_i = str(tmp_path / "imp")
+    src_c = str(tmp_path / "clk")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src_i)
+    os.makedirs(src_c)
+    BASE = 1_767_225_600
+
+    def write(path, name, rows, cols):
+        pdf = pd.DataFrame(rows, columns=cols)
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                       os.path.join(path, name))
+
+    def run_once():
+        imps = (
+            spark.readStream.schema("imp_id long, usr string, imp_secs long")
+            .format("parquet").load(src_i)
+            .withColumn("imp_time", F.timestamp_seconds(F.col("imp_secs")))
+            .drop("imp_secs")
+        )
+        clks = (
+            spark.readStream.schema("click_id long, usr_c string, click_secs long")
+            .format("parquet").load(src_c)
+            .withColumn("click_time", F.timestamp_seconds(F.col("click_secs")))
+            .drop("click_secs")
+        )
+        q = (stateful.stream_stream_attribution(imps, clks)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ck).outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    # run 1: impressions only -> nothing emits, state retained
+    write(src_i, "b0.parquet", [(1, "u", BASE)], ["imp_id", "usr", "imp_secs"])
+    run_once()
+    assert spark.read.schema(
+        "usr string, imp_id long, click_id long, imp_secs long, "
+        "click_secs long, delay_s long"
+    ).parquet(out).count() == 0
+
+    # run 2: boundary clicks against run-1 state + advancers on both sides
+    write(src_c, "b1.parquet",
+          [(10, "u", BASE), (11, "u", BASE + 600), (12, "u", BASE + 601),
+           (13, "u", BASE - 1), (9002, "__adv_c__", BASE + 120000)],
+          ["click_id", "usr_c", "click_secs"])
+    write(src_i, "b1.parquet", [(9001, "__adv_i__", BASE + 120000)],
+          ["imp_id", "usr", "imp_secs"])
+    run_once()
+    got = {(r["click_id"], r["delay_s"])
+           for r in spark.read.parquet(out).collect()}
+    assert got == {(10, 0), (11, 600)}  # inclusive bounds; 601 and -1 excluded
+
+    # run 3: late click — impression evicted by the advanced watermark
+    write(src_c, "b2.parquet", [(99, "u", BASE + 60)],
+          ["click_id", "usr_c", "click_secs"])
+    run_once()
+    assert spark.read.parquet(out).count() == 2

@@ -4471,6 +4471,140 @@ FROM c GROUP BY source, sess
 """
 
 
+def q_streaming_join(spark, sf_dir):
+    """Stream-stream inner join under the driver gate
+    (streaming/stateful.stream_stream_attribution): impressions =
+    docs 0..14 at BASE + doc_id*60 keyed by source; clicks = one per
+    doc at imp_secs + (doc_id*37 % 900) — ~2/3 inside the 600 s
+    attribution window, the rest outside, and the join key is the
+    SOURCE so clicks match MULTIPLE impressions (the many-to-many leg
+    is genuinely exercised). Three availableNow runs:
+      run 1 — impressions only: inner join emits nothing, state holds
+              all 15 impressions;
+      run 2 — the clicks: every in-window (imp, click) pair emits —
+              matches against RUN-1 state prove checkpointed join state
+              survives restarts. Two advancer rows (one per side, keys
+              matching nothing) push BOTH watermarks to ~minute 1990,
+              so the global min-watermark evicts every impression;
+      run 3 — a late click at minute 3 for a real source: its
+              impressions were evicted (and the row is behind the
+              watermark) -> NO output. If eviction failed, extra rows
+              would appear — the row set discriminates.
+    Oracle = the plain relational range join over the non-late universe
+    (the drop and the advancers contribute nothing by construction)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..streaming import stateful
+
+    base = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 15)
+        .select("doc_id", "source")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    imp = pd.DataFrame(
+        {
+            "imp_id": base.doc_id,
+            "usr": base.source,
+            "imp_secs": _STREAM_BASE + base.doc_id * 60,
+        }
+    )
+    clk = pd.DataFrame(
+        {
+            "click_id": 1000 + base.doc_id,
+            "usr_c": base.source,
+            "click_secs": _STREAM_BASE + base.doc_id * 60 + (base.doc_id * 37) % 900,
+        }
+    )
+    work = tempfile.mkdtemp(prefix="tilers_streaming_join_")
+    src_i = os.path.join(work, "imp")
+    src_c = os.path.join(work, "clk")
+    out = os.path.join(work, "out")
+    ck = os.path.join(work, "ck")
+    os.makedirs(src_i)
+    os.makedirs(src_c)
+
+    def write(path, name, pdf):
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                       os.path.join(path, name))
+
+    def run_once():
+        imps = (
+            spark.readStream.schema("imp_id long, usr string, imp_secs long")
+            .format("parquet").load(src_i)
+            .withColumn("imp_time", F.timestamp_seconds(F.col("imp_secs")))
+            .drop("imp_secs")
+        )
+        clks = (
+            spark.readStream.schema("click_id long, usr_c string, click_secs long")
+            .format("parquet").load(src_c)
+            .withColumn("click_time", F.timestamp_seconds(F.col("click_secs")))
+            .drop("click_secs")
+        )
+        q = (
+            stateful.stream_stream_attribution(imps, clks)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        write(src_i, "b0.parquet", imp)
+        run_once()
+        adv_i = pd.DataFrame(
+            {"imp_id": [9001], "usr": ["__adv_imp__"],
+             "imp_secs": [_STREAM_BASE + 2000 * 60]})
+        adv_c = pd.DataFrame(
+            {"click_id": [9002], "usr_c": ["__adv_clk__"],
+             "click_secs": [_STREAM_BASE + 2000 * 60]})
+        write(src_c, "b1.parquet", clk)
+        write(src_i, "b1.parquet", adv_i)
+        write(src_c, "b1b.parquet", adv_c)
+        run_once()
+        late = pd.DataFrame(
+            {"click_id": [9900], "usr_c": [str(base.source.iloc[0])],
+             "click_secs": [_STREAM_BASE + 3 * 60]})
+        write(src_c, "b2.parquet", late)
+        run_once()
+        got = spark.read.parquet(out).toPandas()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        got[["usr", "imp_id", "click_id", "imp_secs", "click_secs", "delay_s"]]
+    )
+
+
+SQL_STREAMING_JOIN = f"""
+WITH imp AS (
+  SELECT doc_id AS imp_id, source AS usr,
+         {_STREAM_BASE} + doc_id * 60 AS imp_secs
+  FROM documents WHERE doc_id < 15
+),
+clk AS (
+  SELECT 1000 + doc_id AS click_id, source AS usr_c,
+         {_STREAM_BASE} + doc_id * 60 + (doc_id * 37) % 900 AS click_secs
+  FROM documents WHERE doc_id < 15
+)
+SELECT i.usr, i.imp_id, c.click_id, i.imp_secs, c.click_secs,
+       c.click_secs - i.imp_secs AS delay_s
+FROM imp i JOIN clk c
+  ON i.usr = c.usr_c
+ AND c.click_secs >= i.imp_secs
+ AND c.click_secs <= i.imp_secs + 600
+"""
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic cross-engine train/val/test split (portable md5-hex
     mechanism, operators/sampling.py) — 80/10/10 over documents."""
@@ -6786,6 +6920,7 @@ QUERIES: dict = {
     "std_ellipse": (q_std_ellipse, SQL_STD_ELLIPSE),
     "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
     "morphology": (q_morphology, SQL_MORPHOLOGY),
+    "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "polyline_encode": (q_polyline_encode, SQL_POLYLINE_ENCODE),
     "ring_metrics": (q_ring_metrics, SQL_RING_METRICS),

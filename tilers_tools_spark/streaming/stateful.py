@@ -160,3 +160,52 @@ def session_doc_counts(
             "n_tokens",
         )
     )
+
+
+def stream_stream_attribution(
+    impressions: DataFrame,
+    clicks: DataFrame,
+    key_col: str = "usr",
+    imp_time_col: str = "imp_time",
+    click_time_col: str = "click_time",
+    max_delay_s: int = 600,
+    watermark_s: int = 600,
+) -> DataFrame:
+    """Stream-stream INNER join with a time-range condition — the
+    published ad-attribution shape (Spark Structured Streaming guide):
+    a click joins every same-key impression whose time satisfies
+    imp_time <= click_time <= imp_time + max_delay (both bounds
+    INCLUSIVE). Both sides are watermarked; the range condition bounds
+    state, so impressions are EVICTED once the global watermark (min
+    across both streams) passes imp_time + max_delay, and clicks older
+    than the watermark are dropped — a late click whose impression was
+    evicted yields NO row (inner join), which is the correctness
+    property restart protocols must pin.
+
+    Emission is immediate: an inner join needs no watermark to emit,
+    only to clean state — matches appear in the micro-batch where the
+    second side arrives, including matches against state from earlier
+    runs (checkpointed across restarts). Scale shape: state per key is
+    bounded by watermark_s + max_delay_s of traffic; the join itself is
+    Spark's symmetric hash join on the equality key with the range as a
+    residual — no custom code, the engine only declares the condition.
+
+    Output: one row per (impression, click) match with both payloads
+    and delay_s = click_secs - imp_secs.
+    """
+    li = impressions.withWatermark(imp_time_col, f"{watermark_s} seconds")
+    rc = clicks.withWatermark(click_time_col, f"{watermark_s} seconds")
+    cond = (
+        (li[key_col] == rc[f"{key_col}_c"])
+        & (rc[click_time_col] >= li[imp_time_col])
+        & (rc[click_time_col] <= li[imp_time_col] + F.expr(f"INTERVAL {max_delay_s} SECONDS"))
+    )
+    out = li.join(rc, cond, "inner")
+    return out.select(
+        li[key_col],
+        F.col("imp_id"),
+        F.col("click_id"),
+        li[imp_time_col].cast("long").alias("imp_secs"),
+        rc[click_time_col].cast("long").alias("click_secs"),
+        (rc[click_time_col].cast("long") - li[imp_time_col].cast("long")).alias("delay_s"),
+    )
