@@ -119,6 +119,7 @@ BENCH_QUERIES = [
     "hll_distinct",
     "morphology",
     "streaming_join",
+    "variogram",
 ]
 
 

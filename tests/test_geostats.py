@@ -391,3 +391,80 @@ def test_sde_vs_numpy_eig_random(spark):
         got = r["theta_rad"] % math.pi
         want = math.atan2(ev[1], ev[0]) % math.pi
         assert got == pytest.approx(want, abs=1e-6)
+
+
+def _vario_ref(pts: dict, n_bins, w):
+    """Matheron 1963 over unordered pairs, scalar; pts = {id: (x,y,v)}.
+    Returns {bin: (ordered_npairs, sum_sq, gamma)}."""
+    from collections import defaultdict
+
+    acc = defaultdict(lambda: [0, 0])
+    ids = list(pts)
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            (x1, y1, v1), (x2, y2, v2) = pts[ids[a]], pts[ids[b]]
+            d = math.sqrt((x1 - x2) ** 2 + (y1 - y2) ** 2)
+            k = int(d // w)
+            if k < n_bins:
+                acc[k][0] += 1
+                acc[k][1] += (v1 - v2) ** 2
+    return {
+        k: (2 * n, 2 * s, s / (2.0 * n) * 2.0 if n else None)  # ordered double
+        for k, (n, s) in acc.items()
+    }
+
+
+def _vario_df(spark, pts):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            [(i, x, y, v) for i, (x, y, v) in pts.items()],
+            columns=["id", "x", "y", "v"],
+        )
+    )
+
+
+def test_variogram_hand_kat(spark):
+    # ids 1..3 at (0,0,v=0) (3,0,v=2) (3,4,v=7): dists 3,4,5.
+    # bins w=4, n_bins=2: bin0 = {d=3 pair, dv=2}, bin1 = {d=4 dv=5, d=5 dv=7}
+    # ordered: bin0 npairs=2 sum=8 gamma=8/4=2; bin1 npairs=4 sum=2*(25+49)=148 gamma=148/8=18.5
+    rows = geostats.variogram(
+        _vario_df(spark, {1: (0, 0, 0), 2: (3, 0, 2), 3: (3, 4, 7)}), 2, 4.0
+    ).collect()
+    got = {r["bin"]: (r["npairs"], r["sum_sq"], r["gamma"], r["d_lo"], r["d_hi"]) for r in rows}
+    assert got[0] == (2, 8, 2.0, 0.0, 4.0)
+    assert got[1] == (4, 148, 18.5, 4.0, 8.0)
+
+
+def test_variogram_excludes_beyond_and_coincident_bin0(spark):
+    # pair at distance 10 with n_bins*w = 8 -> excluded entirely;
+    # coincident pair (d=0) with different values lands in bin 0
+    rows = geostats.variogram(
+        _vario_df(spark, {1: (0, 0, 1), 2: (10, 0, 9), 3: (0, 0, 4)}), 2, 4.0
+    ).collect()
+    got = {r["bin"]: (r["npairs"], r["sum_sq"]) for r in rows}
+    assert got[0] == (2, 18)  # the coincident pair only: 2*(1-4)^2
+    assert 1 not in got  # d=10 pairs beyond max_dist are gone
+
+
+def test_variogram_vs_scalar_reference_random(spark):
+    rng = random.Random(5)
+    for trial in range(3):
+        pts = {
+            i: (rng.randrange(0, 300), rng.randrange(0, 200), rng.randrange(0, 50))
+            for i in range(250)
+        }
+        n_bins, w = 5, 30.0
+        ref = _vario_ref(pts, n_bins, w)
+        rows = geostats.variogram(_vario_df(spark, pts), n_bins, w).collect()
+        got = {r["bin"]: (r["npairs"], r["sum_sq"], r["gamma"]) for r in rows}
+        assert set(got) == set(ref)
+        for k, (n, s, _g) in ref.items():
+            assert got[k][0] == n and got[k][1] == s, k
+            assert got[k][2] == pytest.approx(s / (2.0 * n), rel=1e-15)
+
+
+def test_variogram_validation(spark):
+    with pytest.raises(ValueError):
+        geostats.variogram(_vario_df(spark, {1: (0, 0, 0)}), 0, 4.0)
+    with pytest.raises(ValueError):
+        geostats.variogram(_vario_df(spark, {1: (0, 0, 0)}), 3, 0.0)

@@ -400,3 +400,82 @@ def std_ellipse(
         theta.alias("theta_rad"),
         F.when(ok & (l1 > 0), F.sqrt(F.lit(1.0) - l2 / l1)).alias("ecc"),
     )
+
+
+def variogram(
+    points: DataFrame,
+    n_bins: int,
+    bin_width: float,
+    x_col: str = "x",
+    y_col: str = "y",
+    v_col: str = "v",
+    id_col: str = "id",
+) -> DataFrame:
+    """Empirical semivariogram (Matheron 1963 — the kriging
+    prerequisite; gstat/scikit-gstat role) -> one row per OCCUPIED lag
+    bin: (bin, d_lo, d_hi, npairs, sum_sq, gamma).
+
+    γ(h) = Σ (v_i - v_j)² / (2 N(h)) over ORDERED pairs i != j whose
+    distance falls in [bin*w, (bin+1)*w) — ordered pairs double both the
+    numerator and N, so γ matches the unordered definition exactly
+    while the grid-cell equi-join census (cell = n_bins*w, each ordered
+    pair meets once) never needs a dedup pass. npairs/sum_sq are exact
+    (BIGINT with integer coordinates and values); gamma is one division.
+    Lag bin = floor(sqrt(d2)/w) — sqrt and / are correctly rounded, so
+    the bin label is deterministic cross-engine; pairs at or beyond
+    n_bins*w are excluded, coincident points (d2 = 0) land in bin 0.
+    Bins with no pairs are absent (not zero-filled).
+    """
+    if n_bins < 1 or bin_width <= 0:
+        raise ValueError("need n_bins >= 1 and bin_width > 0")
+    cell = n_bins * float(bin_width)
+    pts = points.select(
+        F.col(id_col).alias("id"),
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+        F.col(v_col).cast("long").alias("v"),
+    )
+    cx = F.floor(F.col("x") / F.lit(cell))
+    cy = F.floor(F.col("y") / F.lit(cell))
+    off = F.explode(
+        F.array(*[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        ])
+    )
+    left = pts.withColumn("_o", off).select(
+        (cx + F.col("_o.dx")).alias("gx"),
+        (cy + F.col("_o.dy")).alias("gy"),
+        F.col("id").alias("lid"), F.col("x").alias("lx"),
+        F.col("y").alias("ly"), F.col("v").alias("lv"),
+    )
+    right = pts.select(
+        cx.alias("gx"), cy.alias("gy"),
+        F.col("id").alias("rid"), F.col("x").alias("rx"),
+        F.col("y").alias("ry"), F.col("v").alias("rv"),
+    )
+    d2 = (
+        (F.col("lx") - F.col("rx")) * (F.col("lx") - F.col("rx"))
+        + (F.col("ly") - F.col("ry")) * (F.col("ly") - F.col("ry"))
+    )
+    dv = F.col("lv") - F.col("rv")
+    binc = F.floor(F.sqrt(d2) / F.lit(float(bin_width)))
+    agg = (
+        left.join(right, ["gx", "gy"])
+        .where(F.col("lid") != F.col("rid"))
+        .select(binc.alias("bin"), (dv * dv).alias("_sq"))
+        .where(F.col("bin") < n_bins)
+        .groupBy("bin")
+        .agg(F.count("*").alias("npairs"), F.sum("_sq").alias("sum_sq"))
+    )
+    return agg.select(
+        "bin",
+        (F.col("bin").cast("double") * F.lit(float(bin_width))).alias("d_lo"),
+        ((F.col("bin") + 1).cast("double") * F.lit(float(bin_width))).alias("d_hi"),
+        "npairs",
+        "sum_sq",
+        (
+            F.col("sum_sq").cast("double")
+            / (F.lit(2.0) * F.col("npairs").cast("double"))
+        ).alias("gamma"),
+    )

@@ -1062,6 +1062,66 @@ FROM cnt c CROSS JOIN g
 """
 
 
+def q_variogram(spark, sf_dir):
+    """Empirical semivariogram (operators/geostats.py::variogram — the
+    gstat/kriging-prerequisite role) of an analytic value (event_id %
+    97) at integer-mercator-meter event points: 4 lag bins of width
+    eps/2 (eps = the dbscan/ripley density-normalized 400 km base, so
+    pair counts stay bounded across sf). Engine = one grid-cell
+    equi-join census; oracle = the naive all-pairs theta self-join with
+    the raw Matheron definition. npairs/sum_sq exact BIGINTs; gamma and
+    the bin label are single deterministic roundings."""
+    from ..operators import geostats
+
+    m = _merc_pts(spark, sf_dir).select(
+        "event_id",
+        F.floor("mx").cast("long").alias("ix"),
+        F.floor("my").cast("long").alias("iy"),
+        (F.col("event_id") % 97).alias("val"),
+    )
+    n = m.count()
+    eps = 400e3 * math.sqrt(10000.0 / n)
+    out = geostats.variogram(
+        m, n_bins=4, bin_width=eps / 2.0,
+        x_col="ix", y_col="iy", v_col="val", id_col="event_id",
+    )
+    return out.select("bin", "d_lo", "d_hi", "npairs", "sum_sq", "gamma")
+
+
+SQL_VARIOGRAM = f"""
+WITH {_PTS_SQL},
+q AS (
+  SELECT event_id, CAST(FLOOR(mx) AS BIGINT) AS ix, CAST(FLOOR(my) AS BIGINT) AS iy,
+         event_id % 97 AS val
+  FROM m
+),
+g AS (
+  SELECT (400000e0 * sqrt(10000e0 / count(*))) / 2e0 AS w FROM q
+),
+pr AS (
+  SELECT CAST(FLOOR(sqrt(CAST((a.ix - b.ix)*(a.ix - b.ix)
+                              + (a.iy - b.iy)*(a.iy - b.iy) AS DOUBLE)) / g.w)
+              AS BIGINT) AS bin,
+         (a.val - b.val) * (a.val - b.val) AS sq
+  FROM q a, q b, g
+  WHERE a.event_id <> b.event_id
+    AND a.ix - b.ix <= CAST(ceil(g.w * 4e0) AS BIGINT)
+    AND b.ix - a.ix <= CAST(ceil(g.w * 4e0) AS BIGINT)
+    AND a.iy - b.iy <= CAST(ceil(g.w * 4e0) AS BIGINT)
+    AND b.iy - a.iy <= CAST(ceil(g.w * 4e0) AS BIGINT)
+)
+SELECT pr.bin,
+       CAST(pr.bin AS DOUBLE) * g.w AS d_lo,
+       CAST(pr.bin + 1 AS DOUBLE) * g.w AS d_hi,
+       count(*) AS npairs,
+       CAST(sum(pr.sq) AS BIGINT) AS sum_sq,
+       CAST(sum(pr.sq) AS DOUBLE) / (2e0 * CAST(count(*) AS DOUBLE)) AS gamma
+FROM pr CROSS JOIN g
+WHERE pr.bin < 4
+GROUP BY pr.bin, g.w
+"""
+
+
 def q_std_ellipse(spark, sf_dir):
     """Standard deviational ellipse (operators/geostats.py — the ArcGIS
     Directional Distribution role) of the event points quantized to
@@ -6921,6 +6981,7 @@ QUERIES: dict = {
     "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
     "morphology": (q_morphology, SQL_MORPHOLOGY),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
+    "variogram": (q_variogram, SQL_VARIOGRAM),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "polyline_encode": (q_polyline_encode, SQL_POLYLINE_ENCODE),
     "ring_metrics": (q_ring_metrics, SQL_RING_METRICS),
