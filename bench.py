@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "morphology",
     "streaming_join",
     "variogram",
+    "cms_topk",
 ]
 
 

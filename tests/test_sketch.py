@@ -104,3 +104,81 @@ def test_p_validation_and_other_p(spark):
     row = sketch.hll_distinct(_kdf(spark, keys), "key", p=8).collect()[0]
     assert row["m"] == 256 and row["sum_scaled"] == scaled and row["raw_est"] == raw
     assert row["est"] == est
+
+
+def _cms_ref(keys, probes, width=64, depth=3):
+    """Scalar CM replica: same salted-md5 positions, same min rule."""
+    grid = {}
+    for key in keys:
+        for r in range(depth):
+            pos = int(hashlib.md5(f"{key}#cm{r}".encode()).hexdigest()[:15], 16) % width
+            grid[(r, pos)] = grid.get((r, pos), 0) + 1
+    return {
+        q: min(
+            grid.get(
+                (r, int(hashlib.md5(f"{q}#cm{r}".encode()).hexdigest()[:15], 16) % width),
+                0,
+            )
+            for r in range(depth)
+        )
+        for q in probes
+    }
+
+
+def test_cms_estimate_matches_scalar_and_never_underestimates(spark):
+    from collections import Counter
+
+    keys = [f"w{i % 37}" for i in range(1500)] + ["hot"] * 400
+    truth = Counter(keys)
+    probes = sorted(truth) + ["absent-key"]
+    ref = _cms_ref(keys, probes, width=64, depth=3)
+    cms = sketch.cms_build(_kdf(spark, keys), "key", width=64, depth=3)
+    est = sketch.cms_estimate(
+        _kdf(spark, probes), cms, "key", width=64, depth=3
+    ).collect()
+    got = {r["key"]: r["est"] for r in est}
+    assert got == ref
+    for k, t in truth.items():
+        assert got[k] >= t  # one-sided error: CM never underestimates
+    # a generous width makes the hot key exact
+    cms2 = sketch.cms_build(_kdf(spark, keys), "key", width=1 << 14, depth=4)
+    est2 = sketch.cms_estimate(_kdf(spark, ["hot"]), cms2, "key").collect()
+    assert est2[0]["est"] == 400
+
+
+def test_cms_merge_additivity(spark):
+    a = [f"a{i % 9}" for i in range(300)]
+    b = [f"a{i % 5}" for i in range(200)]
+    ca = sketch.cms_build(_kdf(spark, a), "key", width=64, depth=3)
+    cb = sketch.cms_build(_kdf(spark, b), "key", width=64, depth=3)
+    merged = (
+        ca.unionByName(cb).groupBy("row", "pos").agg(__import__("pyspark.sql.functions", fromlist=["x"]).sum("cnt").alias("cnt"))
+    )
+    direct = sketch.cms_build(_kdf(spark, a + b), "key", width=64, depth=3)
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in direct.collect()}
+
+
+def test_cms_topk_heavy_hitters(spark):
+    from collections import Counter
+
+    keys = []
+    for i in range(40):
+        keys += [f"k{i:02d}"] * (200 - 5 * i)  # strictly decreasing counts
+    rows = sketch.cms_topk(_kdf(spark, keys), "key", k=5, width=1 << 14, depth=4).collect()
+    truth = Counter(keys)
+    assert [r["key"] for r in sorted(rows, key=lambda r: r["rank"])] == [
+        "k00", "k01", "k02", "k03", "k04"
+    ]
+    for r in rows:
+        assert r["est"] == truth[r["key"]]  # exact at this width
+
+
+def test_cms_weighted_and_validation(spark):
+    pdf = pd.DataFrame({"key": ["x", "y", "x"], "wgt": [10, 7, 5]})
+    df = spark.createDataFrame(pdf)
+    cms = sketch.cms_build(df, "key", width=64, depth=3, weight_col="wgt")
+    est = sketch.cms_estimate(_kdf(spark, ["x", "y"]), cms, "key", width=64, depth=3)
+    got = {r["key"]: r["est"] for r in est.collect()}
+    assert got["x"] >= 15 and got["y"] >= 7
+    with pytest.raises(ValueError):
+        sketch.cms_build(df, "key", width=1)

@@ -1,4 +1,5 @@
-"""HyperLogLog distinct-count sketch — portable, mergeable, relational.
+"""Distributed sketches — portable, mergeable, relational: HyperLogLog
+distinct counts and Count-Min frequency estimation / heavy hitters.
 
 The approx-distinct primitive a 100 TB ingest needs (cardinality of
 URLs/shingles/users per partition/day without a distinct shuffle),
@@ -122,3 +123,98 @@ def hll_distinct(df: DataFrame, key_col: str, p: int = 12) -> DataFrame:
     """Approximate COUNT(DISTINCT key) in one narrow pass: sketch +
     estimate composed. Standard error ~ 1.04/sqrt(2^p) (1.6% at p=12)."""
     return hll_estimate(hll_sketch(df, key_col, p), p)
+
+
+def cms_build(
+    df: DataFrame, key_col: str, width: int = 1 << 14, depth: int = 4,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-Min sketch (Cormode-Muthukrishnan 2005) over a key column
+    -> a (row, pos, cnt) table of depth*width counters, built with ONE
+    narrow groupBy (keys explode to `depth` integer positions; text
+    never shuffles). Positions use the portable md5 idiom salted per
+    row (`md5(key || '#cm<r>')`), so any engine rebuilds the identical
+    sketch; counters are exact BIGINT sums (optionally of weight_col).
+    Sketches over disjoint batches MERGE by union + groupBy sum (exact
+    additivity — the streaming/rollup property). Absent counters are
+    zero (not materialized)."""
+    if width < 2 or depth < 1:
+        raise ValueError("need width >= 2 and depth >= 1")
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    key = F.col(key_col).cast("string")
+    rows = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(r).alias("row"),
+                (
+                    F.conv(
+                        F.substring(F.md5(F.concat(key, F.lit(f"#cm{r}"))), 1, 15),
+                        16, 10,
+                    ).cast("bigint") % width
+                ).alias("pos"),
+            )
+            for r in range(depth)
+        ])
+    )
+    return (
+        df.select(rows.alias("_rp"), w.alias("_w"))
+        .groupBy(F.col("_rp.row").alias("row"), F.col("_rp.pos").alias("pos"))
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    probes: DataFrame, cms: DataFrame, key_col: str, width: int = 1 << 14,
+    depth: int = 4, broadcast_sketch: bool = True,
+) -> DataFrame:
+    """Point-query the sketch: est = MIN over rows of the counter at
+    that row's position (the CM guarantee: est >= true count, and
+    est <= true + eps*N with prob 1-delta, eps = e/width, delta =
+    e^-depth). Probes explode to (row, pos) and join the sketch —
+    broadcast when it fits (depth*width counters), shuffled hash join
+    otherwise; a missing counter is 0, which forces est = 0 for keys
+    hashing to any untouched cell. Adds `est` to the probe rows."""
+    key = F.col(key_col).cast("string")
+    rows = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(r).alias("row"),
+                (
+                    F.conv(
+                        F.substring(F.md5(F.concat(key, F.lit(f"#cm{r}"))), 1, 15),
+                        16, 10,
+                    ).cast("bigint") % width
+                ).alias("pos"),
+            )
+            for r in range(depth)
+        ])
+    )
+    sk = F.broadcast(cms) if broadcast_sketch else cms
+    probe = probes.select(key.alias("key")).distinct().select(
+        "key", rows.alias("_rp")
+    ).select("key", F.col("_rp.row").alias("row"), F.col("_rp.pos").alias("pos"))
+    j = probe.join(sk, ["row", "pos"], "left").select(
+        "key", F.coalesce(F.col("cnt"), F.lit(0)).alias("_c")
+    )
+    return j.groupBy("key").agg(F.min("_c").alias("est"))
+
+
+def cms_topk(
+    df: DataFrame, key_col: str, k: int, width: int = 1 << 14, depth: int = 4,
+) -> DataFrame:
+    """Heavy hitters: estimate every distinct key against the sketch of
+    the same data and keep the top k by (est DESC, key ASC — the
+    deterministic tie-break). The candidate set is the exact distinct
+    keys (sound: CM never underestimates, so no true heavy hitter can
+    be pushed out by an underestimate — only overestimates can sneak
+    IN, the documented one-sided error). Returns (key, est, rank)."""
+    from pyspark.sql import Window
+
+    cms = cms_build(df, key_col, width, depth)
+    est = cms_estimate(df.select(key_col), cms, key_col, width, depth)
+    win = Window.orderBy(F.col("est").desc(), F.col("key").asc())
+    return (
+        est.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select("key", "est", "rank")
+    )

@@ -4665,6 +4665,61 @@ FROM imp i JOIN clk c
 """
 
 
+def q_cms_topk(spark, sf_dir):
+    """Count-Min heavy hitters (operators/sketch.py — the frequent-
+    items primitive for vocab pruning / hot-domain detection): top-20
+    lowercased whitespace tokens of the documents corpus by CM estimate
+    (width 4096, depth 4, portable salted-md5 positions), deterministic
+    (est DESC, key ASC) tie-break. Build = ONE narrow groupBy of
+    depth*width counters (tokens never shuffle as text beyond the
+    explode); probe = distinct keys LEFT-joined to the counter table
+    with min-of-rows. Oracle rebuilds grid, probe and ranking
+    relationally — exact BIGINT counters, no floats anywhere."""
+    from ..operators import sketch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = (
+        docs.where(F.length(F.trim(F.col("text"))) > 0)
+        .select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
+        .where(F.length("tok") > 0)
+        .select(F.lower(F.col("tok")).alias("key"))
+    )
+    return sketch.cms_topk(toks, "key", k=20, width=4096, depth=4)
+
+
+SQL_CMS_TOPK = r"""
+WITH w AS (
+  SELECT lower(tok) AS key
+  FROM documents, unnest(regexp_split_to_array(trim(text), '\s+')) AS t(tok)
+  WHERE length(trim(text)) > 0 AND length(tok) > 0
+),
+grid AS (
+  SELECT r.r AS row,
+         CAST('0x' || substring(md5(key || '#cm' || CAST(r.r AS VARCHAR)), 1, 15)
+              AS BIGINT) % 4096 AS pos,
+         count(*) AS cnt
+  FROM w, range(0, 4) r(r)
+  GROUP BY 1, 2
+),
+probe AS (SELECT DISTINCT key FROM w),
+pp AS (
+  SELECT p.key, r.r AS row,
+         CAST('0x' || substring(md5(p.key || '#cm' || CAST(r.r AS VARCHAR)), 1, 15)
+              AS BIGINT) % 4096 AS pos
+  FROM probe p, range(0, 4) r(r)
+),
+est AS (
+  SELECT pp.key, min(COALESCE(g.cnt, 0)) AS est
+  FROM pp LEFT JOIN grid g ON g.row = pp.row AND g.pos = pp.pos
+  GROUP BY pp.key
+)
+SELECT key, CAST(est AS BIGINT) AS est,
+       CAST(row_number() OVER (ORDER BY est DESC, key ASC) AS INT) AS rank
+FROM est
+QUALIFY rank <= 20
+"""
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic cross-engine train/val/test split (portable md5-hex
     mechanism, operators/sampling.py) — 80/10/10 over documents."""
@@ -6982,6 +7037,7 @@ QUERIES: dict = {
     "morphology": (q_morphology, SQL_MORPHOLOGY),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
     "variogram": (q_variogram, SQL_VARIOGRAM),
+    "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "polyline_encode": (q_polyline_encode, SQL_POLYLINE_ENCODE),
     "ring_metrics": (q_ring_metrics, SQL_RING_METRICS),
