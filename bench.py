@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "streaming_join",
     "variogram",
     "cms_topk",
+    "mann_kendall",
 ]
 
 

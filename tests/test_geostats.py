@@ -468,3 +468,87 @@ def test_variogram_validation(spark):
         geostats.variogram(_vario_df(spark, {1: (0, 0, 0)}), 0, 4.0)
     with pytest.raises(ValueError):
         geostats.variogram(_vario_df(spark, {1: (0, 0, 0)}), 3, 0.0)
+
+
+def _mk_ref(vals, alpha=1.96):
+    """Scalar Mann-Kendall (Mann 1945 / Kendall; tie-corrected variance
+    per tied-GROUP sums — not the engine's per-element expansion)."""
+    from collections import Counter
+
+    n = len(vals)
+    s = sum(
+        (0 if vals[j] == vals[i] else (1 if vals[j] > vals[i] else -1))
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    ties = Counter(vals)
+    num = n * (n - 1) * (2 * n + 5) - sum(
+        t * (t - 1) * (2 * t + 5) for t in ties.values()
+    )
+    if num == 0:
+        return s, num, None, "flat"
+    var = num / 18.0
+    z = (s - 1.0) / math.sqrt(var) if s > 0 else ((s + 1.0) / math.sqrt(var) if s < 0 else 0.0)
+    trend = "increasing" if z >= alpha else ("decreasing" if z <= -alpha else "none")
+    return s, num, z, trend
+
+
+def _mk_run(spark, cube, n_bins):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(cx, cy, b, v) for (cx, cy), bins in cube.items() for b, v in bins.items()],
+            columns=["cx", "cy", "bin", "v"],
+        )
+    )
+    rows = geostats.mann_kendall(df, n_bins).collect()
+    return {(r["cx"], r["cy"]): (r["s"], r["var18"], r["z"], r["trend"]) for r in rows}
+
+
+def test_mk_hand_kat_monotone(spark):
+    # strictly increasing 8 bins: S = 28, no ties, num = 8*7*21 = 1176,
+    # z = 27/sqrt(1176/18) = 27/sqrt(65.333..) -> increasing
+    got = _mk_run(spark, {(0, 0): {b: b + 1 for b in range(8)}}, 8)
+    s, num, z, trend = got[(0, 0)]
+    assert (s, num) == (28, 1176)
+    assert z == pytest.approx(27.0 / math.sqrt(1176 / 18.0), abs=1e-12)
+    assert trend == "increasing"
+    # strictly decreasing mirrors to S = -28
+    got = _mk_run(spark, {(0, 0): {b: 8 - b for b in range(8)}}, 8)
+    assert got[(0, 0)][0] == -28 and got[(0, 0)][3] == "decreasing"
+
+
+def test_mk_zero_fill_and_flat(spark):
+    # one bin present -> 7 zero bins: ties among zeros, the zero-fill is real
+    ref = _mk_ref([5, 0, 0, 0, 0, 0, 0, 0][:8])
+    got = _mk_run(spark, {(1, 1): {0: 5}}, 8)
+    assert got[(1, 1)][:2] == (ref[0], ref[1])
+    # all-equal cube (value in every bin identical) -> var18 = 0, flat
+    got = _mk_run(spark, {(2, 2): {b: 4 for b in range(8)}}, 8)
+    assert got[(2, 2)] == (0, 0, None, "flat")
+
+
+def test_mk_vs_scalar_reference_random(spark):
+    rng = random.Random(31)
+    cube = {}
+    for cx in range(6):
+        for cy in range(4):
+            # sparse: each cell gets 3..8 occupied bins with small values (ties likely)
+            occ = rng.sample(range(8), rng.randrange(3, 9))
+            cube[(cx, cy)] = {b: rng.randrange(0, 4) for b in occ}
+    got = _mk_run(spark, cube, 8)
+    for key, bins in cube.items():
+        vals = [bins.get(b, 0) for b in range(8)]
+        s, num, z, trend = _mk_ref(vals)
+        assert got[key][0] == s and got[key][1] == num, key
+        if z is None:
+            assert got[key][2] is None and got[key][3] == "flat"
+        else:
+            assert got[key][2] == pytest.approx(z, abs=1e-12), key
+            assert got[key][3] == trend, key
+
+
+def test_mk_validation(spark):
+    with pytest.raises(ValueError):
+        geostats.mann_kendall(None, 1)
+    with pytest.raises(ValueError):
+        geostats.mann_kendall(None, 17)

@@ -479,3 +479,83 @@ def variogram(
             / (F.lit(2.0) * F.col("npairs").cast("double"))
         ).alias("gamma"),
     )
+
+
+def mann_kendall(
+    cells_t: DataFrame,
+    n_bins: int,
+    cx_col: str = "cx",
+    cy_col: str = "cy",
+    bin_col: str = "bin",
+    v_col: str = "v",
+    alpha_z: float = 1.96,
+) -> DataFrame:
+    """Per-cell Mann-Kendall trend test over a complete time axis — the
+    core of ArcGIS "Emerging Hot Spot Analysis" (space-time cube):
+    given sparse (cell, time-bin, value) rows, each cell's ABSENT bins
+    are zero-filled (the cube's time axis is complete by construction;
+    zero activity is data, not a gap) and tested for monotone trend:
+
+      S = Σ_{i<j} sign(v_j - v_i)                 (exact integer)
+      Var·18 = n(n-1)(2n+5) - Σ_g t_g(t_g-1)(2t_g+5)   (tie-corrected,
+               exact integer; per-element form Σ_i (n_i-1)(2n_i+5))
+      Z = (S∓1)/sqrt(Var)  (continuity-corrected; NULL when Var = 0)
+      trend = increasing / decreasing (|Z| >= alpha_z) / none; 'flat'
+              when every bin is equal (Var = 0).
+
+    n_bins is SMALL by contract (a space-time cube has a bounded time
+    axis): S and the tie terms unroll into pure Column expressions over
+    the per-cell value map — one groupBy on the cell key, no UDF, no
+    second shuffle; every aggregate is an exact integer and Z is one
+    documented-order float expression (sqrt only), bit-identical across
+    engines.
+    """
+    if not 2 <= n_bins <= 16:
+        raise ValueError("n_bins must be in [2, 16] (bounded time axis; terms unroll)")
+    c = cells_t.select(
+        F.col(cx_col).cast("long").alias("cx"),
+        F.col(cy_col).cast("long").alias("cy"),
+        F.col(bin_col).cast("long").alias("bin"),
+        F.col(v_col).cast("long").alias("v"),
+    )
+    g = c.groupBy("cx", "cy").agg(
+        F.map_from_entries(F.collect_list(F.struct("bin", "v"))).alias("_m")
+    )
+    vs = [F.coalesce(F.col("_m").getItem(b), F.lit(0)) for b in range(n_bins)]
+    sgn = lambda d: F.when(d > 0, 1).when(d < 0, -1).otherwise(0)  # noqa: E731
+    s = None
+    for i in range(n_bins):
+        for j in range(i + 1, n_bins):
+            t = sgn(vs[j] - vs[i])
+            s = t if s is None else s + t
+    tie = None
+    for i in range(n_bins):
+        n_i = None
+        for j in range(n_bins):
+            e = F.when(vs[j] == vs[i], 1).otherwise(0)
+            n_i = e if n_i is None else n_i + e
+        t_i = (n_i - F.lit(1)) * (F.lit(2) * n_i + F.lit(5))
+        tie = t_i if tie is None else tie + t_i
+    base = n_bins * (n_bins - 1) * (2 * n_bins + 5)
+    num = F.lit(base) - tie
+    var = num.cast("double") / F.lit(18.0)
+    sd = s.cast("double")
+    z = (
+        F.when(s > 0, (sd - F.lit(1.0)) / F.sqrt(var))
+        .when(s < 0, (sd + F.lit(1.0)) / F.sqrt(var))
+        .otherwise(F.lit(0.0))
+    )
+    z = F.when(num > 0, z)
+    trend = (
+        F.when(num == 0, F.lit("flat"))
+        .when(z >= F.lit(alpha_z), F.lit("increasing"))
+        .when(z <= F.lit(-alpha_z), F.lit("decreasing"))
+        .otherwise(F.lit("none"))
+    )
+    return g.select(
+        "cx", "cy",
+        s.cast("long").alias("s"),
+        num.cast("long").alias("var18"),
+        z.alias("z"),
+        trend.alias("trend"),
+    )

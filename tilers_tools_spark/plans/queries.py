@@ -994,6 +994,83 @@ FROM g CROSS JOIN ps
 """
 
 
+def q_mann_kendall(spark, sf_dir):
+    """Per-cell Mann-Kendall trend over the space-time cube
+    (operators/geostats.py::mann_kendall — the ArcGIS Emerging Hot Spot
+    core): z=5 tile cells x 8 deterministic time bins ((event_id//1250)
+    % 8 — exactly the 8 arrival blocks at the gate sf), count census,
+    zero-filled time axis, tie-corrected S/Var/Z and the trend label.
+    Engine unrolls the 28 pair terms + 8 tie terms as pure Column exprs
+    over the per-cell bin map (ONE groupBy, no UDF); oracle pivots the
+    census with conditional aggregation and evaluates the same exact-
+    integer unroll relationally."""
+    from ..operators import geostats
+
+    t = _tiles_at(_merc_pts(spark, sf_dir), 5)
+    ct = (
+        t.select(
+            F.col("x").alias("cx"), F.col("y").alias("cy"),
+            (F.floor(F.col("event_id") / F.lit(1250.0)).cast("long") % 8).alias("bin"),
+        )
+        .groupBy("cx", "cy", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    out = geostats.mann_kendall(ct, n_bins=8, v_col="cnt")
+    return out.select("cx", "cy", "s", "var18", "z", "trend")
+
+
+def _mk_sql(n_bins: int = 8) -> str:
+    pivot = ", ".join(
+        f"COALESCE(SUM(CASE WHEN bin = {b} THEN cnt END), 0) AS v{b}"
+        for b in range(n_bins)
+    )
+    s_terms = " + ".join(
+        f"(CASE WHEN v{j} > v{i} THEN 1 WHEN v{j} < v{i} THEN -1 ELSE 0 END)"
+        for i in range(n_bins) for j in range(i + 1, n_bins)
+    )
+    tie_terms = " + ".join(
+        "((" + " + ".join(
+            f"(CASE WHEN v{j} = v{i} THEN 1 ELSE 0 END)" for j in range(n_bins)
+        ) + f") - 1) * (2 * (" + " + ".join(
+            f"(CASE WHEN v{j} = v{i} THEN 1 ELSE 0 END)" for j in range(n_bins)
+        ) + ") + 5)"
+        for i in range(n_bins)
+    )
+    base = n_bins * (n_bins - 1) * (2 * n_bins + 5)
+    return f"""
+WITH {_PTS_SQL}, {_tiles_sql(5)},
+ct AS (
+  SELECT x AS cx, y AS cy,
+         (event_id // 1250) % 8 AS bin, count(*) AS cnt
+  FROM tiles GROUP BY 1, 2, 3
+),
+p AS (SELECT cx, cy, {pivot} FROM ct GROUP BY cx, cy),
+t AS (
+  SELECT cx, cy, CAST({s_terms} AS BIGINT) AS s,
+         CAST({base} - ({tie_terms}) AS BIGINT) AS num
+  FROM p
+),
+u AS (
+  SELECT cx, cy, s, num,
+         CASE WHEN num > 0 THEN
+           CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1e0) / sqrt(CAST(num AS DOUBLE) / 18e0)
+                WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1e0) / sqrt(CAST(num AS DOUBLE) / 18e0)
+                ELSE 0e0 END
+         END AS z
+  FROM t
+)
+SELECT cx, cy, s, num AS var18, z,
+       CASE WHEN num = 0 THEN 'flat'
+            WHEN z >= 1.96e0 THEN 'increasing'
+            WHEN z <= -1.96e0 THEN 'decreasing'
+            ELSE 'none' END AS trend
+FROM u
+"""
+
+
+SQL_MANN_KENDALL = _mk_sql()
+
+
 def q_ripley_k(spark, sf_dir):
     """Ripley's K / L point-pattern statistic (operators/geostats.py —
     the PySAL pointpats role, naive uncorrected estimator) over the
@@ -7038,6 +7115,7 @@ QUERIES: dict = {
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
     "variogram": (q_variogram, SQL_VARIOGRAM),
     "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
+    "mann_kendall": (q_mann_kendall, SQL_MANN_KENDALL),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "polyline_encode": (q_polyline_encode, SQL_POLYLINE_ENCODE),
     "ring_metrics": (q_ring_metrics, SQL_RING_METRICS),
