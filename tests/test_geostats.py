@@ -552,3 +552,31 @@ def test_mk_validation(spark):
         geostats.mann_kendall(None, 1)
     with pytest.raises(ValueError):
         geostats.mann_kendall(None, 17)
+
+
+def test_sen_slope_matches_scalar_median(spark):
+    import statistics
+
+    rng = random.Random(77)
+    cube = {}
+    for cx in range(5):
+        occ = rng.sample(range(8), rng.randrange(2, 9))
+        cube[(cx, 0)] = {b: rng.randrange(0, 6) for b in occ}
+    cube[(9, 9)] = {b: 3 * b + 1 for b in range(8)}  # exact slope 3 everywhere
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(cx, cy, b, v) for (cx, cy), bins in cube.items() for b, v in bins.items()],
+            columns=["cx", "cy", "bin", "v"],
+        )
+    )
+    rows = geostats.mann_kendall(df, 8).collect()
+    got = {(r["cx"], r["cy"]): r["sen_slope"] for r in rows}
+    for key, bins in cube.items():
+        vals = [bins.get(b, 0) for b in range(8)]
+        slopes = sorted(
+            (vals[j] - vals[i]) / (j - i)
+            for i in range(8) for j in range(i + 1, 8)
+        )
+        ref = statistics.median(slopes)
+        assert got[key] == pytest.approx(ref, abs=1e-12), key
+    assert got[(9, 9)] == pytest.approx(3.0, abs=0.0)

@@ -552,10 +552,31 @@ def mann_kendall(
         .when(z <= F.lit(-alpha_z), F.lit("decreasing"))
         .otherwise(F.lit("none"))
     )
+    # Theil-Sen slope (Sen 1968): median of the T(T-1)/2 pairwise slopes
+    # (v_j - v_i)/(j - i) — the trend MAGNITUDE beside Mann-Kendall's
+    # significance. Each slope is one exact-int subtraction + one
+    # division; array_sort gives a total order on identical doubles, so
+    # the median (mean of the two middles at even counts) is
+    # deterministic cross-engine.
+    slopes = F.array_sort(
+        F.array(*[
+            (vs[j] - vs[i]).cast("double") / F.lit(float(j - i))
+            for i in range(n_bins)
+            for j in range(i + 1, n_bins)
+        ])
+    )
+    npair = n_bins * (n_bins - 1) // 2
+    if npair % 2 == 1:
+        sen = F.element_at(slopes, (npair + 1) // 2)
+    else:
+        sen = (
+            F.element_at(slopes, npair // 2) + F.element_at(slopes, npair // 2 + 1)
+        ) / F.lit(2.0)
     return g.select(
         "cx", "cy",
         s.cast("long").alias("s"),
         num.cast("long").alias("var18"),
         z.alias("z"),
+        sen.alias("sen_slope"),
         trend.alias("trend"),
     )

@@ -1016,7 +1016,7 @@ def q_mann_kendall(spark, sf_dir):
         .agg(F.count("*").alias("cnt"))
     )
     out = geostats.mann_kendall(ct, n_bins=8, v_col="cnt")
-    return out.select("cx", "cy", "s", "var18", "z", "trend")
+    return out.select("cx", "cy", "s", "var18", "z", "sen_slope", "trend")
 
 
 def _mk_sql(n_bins: int = 8) -> str:
@@ -1037,6 +1037,18 @@ def _mk_sql(n_bins: int = 8) -> str:
         for i in range(n_bins)
     )
     base = n_bins * (n_bins - 1) * (2 * n_bins + 5)
+    slopes = ", ".join(
+        f"(CAST(v{j} - v{i} AS DOUBLE) / {j - i}e0)"
+        for i in range(n_bins) for j in range(i + 1, n_bins)
+    )
+    npair = n_bins * (n_bins - 1) // 2
+    if npair % 2 == 1:
+        sen = f"list_extract(list_sort([{slopes}]), {(npair + 1) // 2})"
+    else:
+        sen = (
+            f"(list_extract(list_sort([{slopes}]), {npair // 2})"
+            f" + list_extract(list_sort([{slopes}]), {npair // 2 + 1})) / 2e0"
+        )
     return f"""
 WITH {_PTS_SQL}, {_tiles_sql(5)},
 ct AS (
@@ -1047,11 +1059,12 @@ ct AS (
 p AS (SELECT cx, cy, {pivot} FROM ct GROUP BY cx, cy),
 t AS (
   SELECT cx, cy, CAST({s_terms} AS BIGINT) AS s,
-         CAST({base} - ({tie_terms}) AS BIGINT) AS num
+         CAST({base} - ({tie_terms}) AS BIGINT) AS num,
+         {sen} AS sen_slope
   FROM p
 ),
 u AS (
-  SELECT cx, cy, s, num,
+  SELECT cx, cy, s, num, sen_slope,
          CASE WHEN num > 0 THEN
            CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1e0) / sqrt(CAST(num AS DOUBLE) / 18e0)
                 WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1e0) / sqrt(CAST(num AS DOUBLE) / 18e0)
@@ -1059,7 +1072,7 @@ u AS (
          END AS z
   FROM t
 )
-SELECT cx, cy, s, num AS var18, z,
+SELECT cx, cy, s, num AS var18, z, sen_slope,
        CASE WHEN num = 0 THEN 'flat'
             WHEN z >= 1.96e0 THEN 'increasing'
             WHEN z <= -1.96e0 THEN 'decreasing'
