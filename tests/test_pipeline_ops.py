@@ -636,6 +636,22 @@ def test_connected_components_vs_union_find(spark):
     assert dict(zip(got.id, got.comp)) == want
 
 
+def test_connected_components_long_chain(spark):
+    """Regression for the sf0.1 dbscan bench failure: a 500-node PATH graph
+    (diameter 499) must converge within the default 50-round cap. Plain
+    min-propagation needs one round per hop (499 rounds); the pointer-jump
+    (path halving) added per round makes convergence logarithmic. Every
+    node must land on comp 0 (the path's minimum id)."""
+    n = 500
+    nodes = spark.createDataFrame(pd.DataFrame({"doc_id": range(n)}))
+    epdf = spark.createDataFrame(
+        pd.DataFrame([(i, i + 1) for i in range(n - 1)], columns=["a", "b"])
+    )
+    got = dedup.connected_components(epdf, nodes).toPandas()
+    assert len(got) == n
+    assert (got.comp == 0).all()
+
+
 def test_dedup_clusters_end_to_end(docs):
     out = dedup.dedup_clusters(docs, num_hashes=8, bands=4, jaccard_threshold=0.5).toPandas()
     by_id = out.set_index("doc_id")

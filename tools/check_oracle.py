@@ -37,8 +37,9 @@ def value_hash(pdf: pd.DataFrame) -> int:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
-    ap.add_argument("--only", default=None)
+    ap.add_argument("--only", default=None, help="comma-separated query names")
     args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else None
 
     from tilers_tools_spark.session import get_spark
     from tilers_tools_spark.plans.queries import QUERIES
@@ -53,7 +54,7 @@ def main():
 
     n_pass = n_fail = 0
     for name, (fn, sql) in QUERIES.items():
-        if args.only and name != args.only:
+        if only and name not in only:
             continue
         t0 = time.time()
         try:
