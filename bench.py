@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "variogram",
     "cms_topk",
     "mann_kendall",
+    "emerging_hotspot",
 ]
 
 

@@ -580,3 +580,188 @@ def test_sen_slope_matches_scalar_median(spark):
         ref = statistics.median(slopes)
         assert got[key] == pytest.approx(ref, abs=1e-12), key
     assert got[(9, 9)] == pytest.approx(3.0, abs=0.0)
+
+
+# ---------------------------------------------------------------- EHSA
+
+
+def _ehsa_ref(obs: dict, n_bins: int, alpha: float = 1.96):
+    """Scalar Emerging Hot Spot reference — the whole published
+    composition evaluated directly with dict lookups (Esri EHSA doc):
+    zero-filled cube, 3x3x3 space-time Gi* (Ord & Getis 1995 closed form,
+    global moments over the cube), Mann-Kendall on each cell's Gi* z
+    series, then the category decision list transcribed from the spec
+    prose (NOT shared with the engine's Column/CASE construction).
+    obs = {(cx, cy, bin): v}. Returns {(cx,cy): (n_hot, n_cold, z_final,
+    s, var18, z_mk, trend, category)}."""
+    cells = sorted({(x, y) for (x, y, _) in obs})
+    cube = {
+        (x, y, b): obs.get((x, y, b), 0) for (x, y) in cells for b in range(n_bins)
+    }
+    n = float(len(cube))
+    sv = sum(cube.values())
+    svv = sum(v * v for v in cube.values())
+    xbar = sv / n
+    s2 = svv / n - xbar * xbar
+    z = {}
+    for (x, y, b) in cube:
+        wx = 0
+        wn = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for db in (-1, 0, 1):
+                    k = (x + dx, y + dy, b + db)
+                    if k in cube:
+                        wx += cube[k]
+                        wn += 1
+        denom_in = (n * wn - wn * wn) / (n - 1.0)
+        if n > 1 and s2 > 0 and denom_in > 0:
+            z[(x, y, b)] = (wx - xbar * wn) / (math.sqrt(s2) * math.sqrt(denom_in))
+        else:
+            z[(x, y, b)] = None
+    out = {}
+    for (x, y) in cells:
+        zs = [z[(x, y, b)] for b in range(n_bins)]
+        s, num, z_mk, trend = _mk_ref(tuple(zs))
+        if num == 0:
+            z_mk, trend = None, "flat"
+        hot = [zz is not None and zz >= alpha for zz in zs]
+        cold = [zz is not None and zz <= -alpha for zz in zs]
+        nh, nc = sum(hot), sum(cold)
+        fh, fc = hot[-1], cold[-1]
+        hot90 = nh * 10 >= 9 * n_bins
+        cold90 = nc * 10 >= 9 * n_bins
+        hsuffix = hot == [b >= n_bins - nh for b in range(n_bins)]
+        csuffix = cold == [b >= n_bins - nc for b in range(n_bins)]
+        if fh and nh == 1 and nc == 0:
+            cat = "new hot"
+        elif fh and nh >= 2 and hsuffix and not hot90 and nc == 0:
+            cat = "consecutive hot"
+        elif fh and hot90 and trend == "increasing":
+            cat = "intensifying hot"
+        elif fh and hot90 and trend == "decreasing":
+            cat = "diminishing hot"
+        elif fh and hot90:
+            cat = "persistent hot"
+        elif not fh and hot90:
+            cat = "historical hot"
+        elif fh and not hot90 and nh >= 2 and nc == 0:
+            cat = "sporadic hot"
+        elif fh and not hot90 and nc >= 1:
+            cat = "oscillating hot"
+        elif fc and nc == 1 and nh == 0:
+            cat = "new cold"
+        elif fc and nc >= 2 and csuffix and not cold90 and nh == 0:
+            cat = "consecutive cold"
+        elif fc and cold90 and trend == "decreasing":
+            cat = "intensifying cold"
+        elif fc and cold90 and trend == "increasing":
+            cat = "diminishing cold"
+        elif fc and cold90:
+            cat = "persistent cold"
+        elif not fc and cold90:
+            cat = "historical cold"
+        elif fc and not cold90 and nc >= 2 and nh == 0:
+            cat = "sporadic cold"
+        elif fc and not cold90 and nh >= 1:
+            cat = "oscillating cold"
+        else:
+            cat = "no pattern"
+        out[(x, y)] = (nh, nc, zs[-1], s, num, z_mk, trend, cat)
+    return out
+
+
+def _ehsa_run(spark, obs, n_bins):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(cx, cy, b, v) for (cx, cy, b), v in obs.items()],
+            columns=["cx", "cy", "bin", "v"],
+        )
+    )
+    rows = geostats.emerging_hotspot(df, n_bins).collect()
+    return {
+        (r["cx"], r["cy"]): (
+            r["n_hot"], r["n_cold"], r["z_final"], r["s"], r["var18"],
+            r["z_mk"], r["trend"], r["category"],
+        )
+        for r in rows
+    }
+
+
+def test_ehsa_vs_scalar_reference_random(spark):
+    rng = random.Random(41)
+    obs = {}
+    for cx in range(8):
+        for cy in range(5):
+            for b in rng.sample(range(5), rng.randrange(1, 6)):
+                obs[(cx, cy, b)] = rng.randrange(0, 12)
+    # plant structure so the category space is exercised, not just the
+    # math: an always-elevated 3x3 block (persistent hot), a late-onset
+    # block (consecutive/oscillating hot — early bins go COLD relative
+    # to the elevated global mean, which is the published oscillating
+    # semantics), a final-bin-only block, and a forced-quiet column
+    for x in (1, 2, 3):
+        for y in (1, 2, 3):
+            for b in range(5):
+                obs[(x, y, b)] = 40
+    for x in (6, 7):
+        for y in (0, 1):
+            for b in (3, 4):
+                obs[(x, y, b)] = 50
+    for x in (5, 6, 7):
+        for y in (3, 4):
+            obs[(x, y, 4)] = 80
+    for x in (0,):
+        for y in range(5):
+            for b in range(5):
+                obs.pop((x, y, b), None)
+            obs[(x, y, 0)] = 0
+    got = _ehsa_run(spark, obs, 5)
+    ref = _ehsa_ref(obs, 5)
+    assert set(got) == set(ref)
+    for key, r in ref.items():
+        g = got[key]
+        assert (g[0], g[1]) == (r[0], r[1]), key  # n_hot, n_cold exact
+        assert g[2] == pytest.approx(r[2], abs=1e-12), key  # z_final
+        assert (g[3], g[4]) == (r[3], r[4]), key  # MK s, var18 exact ints
+        if r[5] is None:
+            assert g[5] is None, key
+        else:
+            assert g[5] == pytest.approx(r[5], abs=1e-12), key
+        assert g[6] == r[6], key  # trend
+        assert g[7] == r[7], key  # category
+    cats = {r[7] for r in ref.values()}
+    # the fixture exercises >= 4 categories (measured: no pattern,
+    # oscillating hot, persistent hot, consecutive hot)
+    assert len(cats) >= 4, cats
+
+
+def test_ehsa_planted_persistent_hot(spark):
+    # isolated 9x9 zero field with one cell spiking in EVERY bin: that
+    # cell is hot in all bins (hot90), and a flat series has no trend ->
+    # 'persistent hot'. Verified against the scalar reference too.
+    obs = {(x, y, 0): 0 for x in range(9) for y in range(9)}
+    for b in range(4):
+        obs[(4, 4, b)] = 1000
+    got = _ehsa_run(spark, obs, 4)
+    ref = _ehsa_ref(obs, 4)
+    assert got[(4, 4)][7] == ref[(4, 4)][7] == "persistent hot"
+    assert got[(4, 4)][0] == 4  # hot in every bin
+
+
+def test_ehsa_all_zero_cube_no_pattern(spark):
+    # constant field (all-zero is the only constant reachable through
+    # zero-fill) -> global variance 0 -> every Gi* z NULL -> no hot/cold
+    # bins anywhere -> 'no pattern', z_final NULL, MK s degenerates to 0
+    # over the all-NULL series (signs of NULL differences are 0)
+    obs = {(x, y, 0): 0 for x in range(3) for y in range(3)}
+    got = _ehsa_run(spark, obs, 3)
+    for key, g in got.items():
+        assert g[2] is None and g[7] == "no pattern", key
+
+
+def test_ehsa_validation(spark):
+    with pytest.raises(ValueError):
+        geostats.emerging_hotspot(None, 1)
+    with pytest.raises(ValueError):
+        geostats.emerging_hotspot(None, 17)

@@ -580,3 +580,192 @@ def mann_kendall(
         sen.alias("sen_slope"),
         trend.alias("trend"),
     )
+
+
+def emerging_hotspot(
+    cells_t: DataFrame,
+    n_bins: int,
+    cx_col: str = "cx",
+    cy_col: str = "cy",
+    bin_col: str = "bin",
+    v_col: str = "v",
+    alpha_z: float = 1.96,
+) -> DataFrame:
+    """Emerging Hot Spot Analysis — the full ArcGIS space-time-cube
+    composition (Esri "How Emerging Hot Spot Analysis works"): sparse
+    (cell, time-bin, value) rows -> ZERO-FILLED cube over (every observed
+    cell) x (every bin 0..n_bins-1) -> space-time Getis-Ord Gi* per
+    (cell, bin) with the 3x3x3 space-time neighborhood (spatial queen x
+    time step 1, self included; Ord & Getis 1995 closed form, global
+    moments over the WHOLE cube) -> per-cell Mann-Kendall trend test on
+    the cell's Gi* z time series -> the published pattern categories.
+
+    Category decision list (evaluated in this fixed order; `hot_b` means
+    z_b >= alpha_z, `cold_b` means z_b <= -alpha_z, `hot90` means
+    10*n_hot >= 9*n_bins, suffix = the hot bins form one contiguous run
+    ending in the final bin):
+
+      hot block (requires final-bin hot unless noted):
+        new:           n_hot = 1, n_cold = 0, final hot
+        consecutive:   n_hot >= 2, suffix run, NOT hot90, n_cold = 0
+        intensifying:  hot90, final hot, MK trend 'increasing'
+        diminishing:   hot90, final hot, MK trend 'decreasing'
+        persistent:    hot90, final hot, no significant MK trend
+        historical:    NOT final hot, hot90
+        sporadic:      final hot, NOT hot90, n_hot >= 2, no prior cold,
+                       run interrupted (not a suffix)
+        oscillating:   final hot, NOT hot90, >= 1 prior cold bin
+      cold block: the exact mirror (swap hot/cold flags; intensifying
+        cold = MK trend 'decreasing' on z — low values clustering harder;
+        diminishing cold = 'increasing')
+      else: 'no pattern'
+
+    Every intermediate is either an exact integer (census counts, wx, wn,
+    Σv, Σv², MK S and tie terms) or ONE documented-order double (the Gi*
+    z and the MK Z), so the whole pipeline is bit-identical cross-engine;
+    the MK sign/equality comparisons run on identical doubles. Scale
+    shape: census groupBy -> cube (cells x small bin axis) -> ONE explode
+    (27 offsets) + groupBy + join for every Gi* -> ONE groupBy for the
+    per-cell series; no weight matrix, no theta join, no UDF. 100 TB of
+    events collapses to a few million cube rows before any statistics.
+    """
+    if not 2 <= n_bins <= 16:
+        raise ValueError("n_bins must be in [2, 16] (bounded time axis; terms unroll)")
+    c = cells_t.select(
+        F.col(cx_col).cast("long").alias("cx"),
+        F.col(cy_col).cast("long").alias("cy"),
+        F.col(bin_col).cast("long").alias("bin"),
+        F.col(v_col).cast("long").alias("v"),
+    )
+    # zero-filled cube: the time axis is complete by construction (zero
+    # activity is data); the spatial extent = cells observed in ANY bin
+    bins = F.explode(F.array(*[F.lit(b).cast("long") for b in range(n_bins)]))
+    cube = (
+        c.select("cx", "cy").distinct().withColumn("bin", bins)
+        .join(c, ["cx", "cy", "bin"], "left")
+        .select("cx", "cy", "bin", F.coalesce(F.col("v"), F.lit(0)).alias("v"))
+    )
+    # space-time Gi*: 3x3x3 contributions; addresses outside the cube
+    # (bin < 0, bin >= n_bins, absent cells) drop on the inner join back
+    offs = F.explode(
+        F.array(*[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"), F.lit(db).alias("db"))
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1) for db in (-1, 0, 1)
+        ])
+    )
+    recv = (
+        cube.withColumn("_o", offs)
+        .select(
+            (F.col("cx") + F.col("_o.dx")).alias("cx"),
+            (F.col("cy") + F.col("_o.dy")).alias("cy"),
+            (F.col("bin") + F.col("_o.db")).alias("bin"),
+            F.col("v").alias("_nv"),
+        )
+        .groupBy("cx", "cy", "bin")
+        .agg(F.sum("_nv").alias("wx"), F.count("*").alias("wn"))
+    )
+    local = cube.join(recv, ["cx", "cy", "bin"])
+    glob = cube.agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+    )
+    j = local.crossJoin(F.broadcast(glob))
+    n = F.col("n").cast("double")
+    xbar = F.col("sv").cast("double") / n
+    s2 = F.col("svv").cast("double") / n - xbar * xbar
+    wn = F.col("wn").cast("double")
+    denom_in = (n * wn - wn * wn) / (n - F.lit(1.0))
+    z = (F.col("wx").cast("double") - xbar * wn) / (F.sqrt(s2) * F.sqrt(denom_in))
+    z = F.when((F.col("n") > 1) & (s2 > 0) & (denom_in > 0), z)
+    zt = j.select("cx", "cy", "bin", z.alias("z"))
+
+    g = zt.groupBy("cx", "cy").agg(
+        F.map_from_entries(F.collect_list(F.struct("bin", "z"))).alias("_m")
+    )
+    zs = [F.col("_m").getItem(b) for b in range(n_bins)]
+    # Mann-Kendall over the z series (doubles; signs/ties are comparisons
+    # of identical-by-construction doubles, so still cross-engine exact)
+    sgn = lambda d: F.when(d > 0, 1).when(d < 0, -1).otherwise(0)  # noqa: E731
+    s = None
+    for i in range(n_bins):
+        for jj in range(i + 1, n_bins):
+            t = sgn(zs[jj] - zs[i])
+            s = t if s is None else s + t
+    tie = None
+    for i in range(n_bins):
+        n_i = None
+        for jj in range(n_bins):
+            e = F.when(zs[jj] == zs[i], 1).otherwise(0)
+            n_i = e if n_i is None else n_i + e
+        t_i = (n_i - F.lit(1)) * (F.lit(2) * n_i + F.lit(5))
+        tie = t_i if tie is None else tie + t_i
+    base = n_bins * (n_bins - 1) * (2 * n_bins + 5)
+    num = F.lit(base) - tie
+    var = num.cast("double") / F.lit(18.0)
+    sd = s.cast("double")
+    zmk = (
+        F.when(s > 0, (sd - F.lit(1.0)) / F.sqrt(var))
+        .when(s < 0, (sd + F.lit(1.0)) / F.sqrt(var))
+        .otherwise(F.lit(0.0))
+    )
+    zmk = F.when(num > 0, zmk)
+    trend = (
+        F.when(num == 0, F.lit("flat"))
+        .when(zmk >= F.lit(alpha_z), F.lit("increasing"))
+        .when(zmk <= F.lit(-alpha_z), F.lit("decreasing"))
+        .otherwise(F.lit("none"))
+    )
+    hot = [F.when(zs[b] >= F.lit(alpha_z), 1).otherwise(0) for b in range(n_bins)]
+    cold = [F.when(zs[b] <= F.lit(-alpha_z), 1).otherwise(0) for b in range(n_bins)]
+    nh = hot[0]
+    for h in hot[1:]:
+        nh = nh + h
+    nc = cold[0]
+    for cc in cold[1:]:
+        nc = nc + cc
+    fh = hot[-1] == 1
+    fc = cold[-1] == 1
+    hot90 = nh * 10 >= F.lit(9 * n_bins)
+    cold90 = nc * 10 >= F.lit(9 * n_bins)
+    # contiguous suffix: hot[b] == (b >= n_bins - n_hot) for every b,
+    # i.e. hot[b] == (n_hot >= n_bins - b) — pure integer comparisons
+    hsuffix = None
+    csuffix = None
+    for b in range(n_bins):
+        eh = hot[b] == F.when(nh >= F.lit(n_bins - b), 1).otherwise(0)
+        ec = cold[b] == F.when(nc >= F.lit(n_bins - b), 1).otherwise(0)
+        hsuffix = eh if hsuffix is None else hsuffix & eh
+        csuffix = ec if csuffix is None else csuffix & ec
+    inc = trend == F.lit("increasing")
+    dec = trend == F.lit("decreasing")
+    category = (
+        F.when(fh & (nh == 1) & (nc == 0), F.lit("new hot"))
+        .when(fh & (nh >= 2) & hsuffix & ~hot90 & (nc == 0), F.lit("consecutive hot"))
+        .when(fh & hot90 & inc, F.lit("intensifying hot"))
+        .when(fh & hot90 & dec, F.lit("diminishing hot"))
+        .when(fh & hot90, F.lit("persistent hot"))
+        .when(~fh & hot90, F.lit("historical hot"))
+        .when(fh & ~hot90 & (nh >= 2) & (nc == 0), F.lit("sporadic hot"))
+        .when(fh & ~hot90 & (nc >= 1), F.lit("oscillating hot"))
+        .when(fc & (nc == 1) & (nh == 0), F.lit("new cold"))
+        .when(fc & (nc >= 2) & csuffix & ~cold90 & (nh == 0), F.lit("consecutive cold"))
+        .when(fc & cold90 & dec, F.lit("intensifying cold"))
+        .when(fc & cold90 & inc, F.lit("diminishing cold"))
+        .when(fc & cold90, F.lit("persistent cold"))
+        .when(~fc & cold90, F.lit("historical cold"))
+        .when(fc & ~cold90 & (nc >= 2) & (nh == 0), F.lit("sporadic cold"))
+        .when(fc & ~cold90 & (nh >= 1), F.lit("oscillating cold"))
+        .otherwise(F.lit("no pattern"))
+    )
+    return g.select(
+        "cx", "cy",
+        nh.cast("long").alias("n_hot"),
+        nc.cast("long").alias("n_cold"),
+        zs[-1].alias("z_final"),
+        s.cast("long").alias("s"),
+        num.cast("long").alias("var18"),
+        zmk.alias("z_mk"),
+        trend.alias("trend"),
+        category.alias("category"),
+    )

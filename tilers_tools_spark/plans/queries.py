@@ -1084,6 +1084,154 @@ FROM u
 SQL_MANN_KENDALL = _mk_sql()
 
 
+def q_emerging_hotspot(spark, sf_dir):
+    """Emerging Hot Spot Analysis (operators/geostats.py::emerging_hotspot
+    — the full ArcGIS space-time-cube composition): the mann_kendall gate
+    census (z=5 tile cells x 8 arrival-block bins) -> zero-filled cube ->
+    3x3x3 space-time Gi* per (cell, bin) -> per-cell Mann-Kendall over
+    the Gi* z series -> the published 17-category pattern labels. Every
+    aggregate is an exact integer and the two closed-form doubles (Gi* z,
+    MK Z) are single documented-order expressions, so the category CASE
+    (comparisons of identical doubles against identical literals) is
+    bit-identical cross-engine. Oracle replays the whole composition
+    relationally: cross-join zero-fill, banded self-join neighborhood
+    census, scalar-subquery global moments, conditional-aggregation pivot
+    and the same unrolled MK + category CASE."""
+    from ..operators import geostats
+
+    t = _tiles_at(_merc_pts(spark, sf_dir), 5)
+    ct = (
+        t.select(
+            F.col("x").alias("cx"), F.col("y").alias("cy"),
+            (F.floor(F.col("event_id") / F.lit(1250.0)).cast("long") % 8).alias("bin"),
+        )
+        .groupBy("cx", "cy", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    out = geostats.emerging_hotspot(ct, n_bins=8, v_col="cnt")
+    return out.select(
+        "cx", "cy", "n_hot", "n_cold", "z_final", "s", "var18", "z_mk",
+        "trend", "category",
+    )
+
+
+def _ehsa_sql(n_bins: int = 8, alpha: str = "1.96e0") -> str:
+    zpivot = ", ".join(
+        f"MAX(CASE WHEN bin = {b} THEN z END) AS z{b}" for b in range(n_bins)
+    )
+    s_terms = " + ".join(
+        f"(CASE WHEN z{j} > z{i} THEN 1 WHEN z{j} < z{i} THEN -1 ELSE 0 END)"
+        for i in range(n_bins) for j in range(i + 1, n_bins)
+    )
+    tie_terms = " + ".join(
+        "((" + " + ".join(
+            f"(CASE WHEN z{j} = z{i} THEN 1 ELSE 0 END)" for j in range(n_bins)
+        ) + f") - 1) * (2 * (" + " + ".join(
+            f"(CASE WHEN z{j} = z{i} THEN 1 ELSE 0 END)" for j in range(n_bins)
+        ) + ") + 5)"
+        for i in range(n_bins)
+    )
+    base = n_bins * (n_bins - 1) * (2 * n_bins + 5)
+    hb = ", ".join(
+        f"CASE WHEN z{b} >= {alpha} THEN 1 ELSE 0 END AS h{b}" for b in range(n_bins)
+    )
+    cb = ", ".join(
+        f"CASE WHEN z{b} <= -{alpha} THEN 1 ELSE 0 END AS c{b}" for b in range(n_bins)
+    )
+    nh = " + ".join(f"h{b}" for b in range(n_bins))
+    nc = " + ".join(f"c{b}" for b in range(n_bins))
+    hsuffix = " AND ".join(
+        f"(h{b} = CASE WHEN nh >= {n_bins - b} THEN 1 ELSE 0 END)" for b in range(n_bins)
+    )
+    csuffix = " AND ".join(
+        f"(c{b} = CASE WHEN nc >= {n_bins - b} THEN 1 ELSE 0 END)" for b in range(n_bins)
+    )
+    return f"""
+WITH {_PTS_SQL}, {_tiles_sql(5)},
+ct AS (
+  SELECT x AS cx, y AS cy,
+         (event_id // 1250) % 8 AS bin, count(*) AS cnt
+  FROM tiles GROUP BY 1, 2, 3
+),
+cells AS (SELECT DISTINCT cx, cy FROM ct),
+bins AS (SELECT unnest(generate_series(0, {n_bins - 1})) AS bin),
+cube AS (
+  SELECT cells.cx, cells.cy, bins.bin, COALESCE(ct.cnt, 0) AS v
+  FROM cells CROSS JOIN bins
+  LEFT JOIN ct ON ct.cx = cells.cx AND ct.cy = cells.cy AND ct.bin = bins.bin
+),
+recv AS (
+  SELECT c.cx, c.cy, c.bin, SUM(nb.v) AS wx, COUNT(*) AS wn
+  FROM cube c JOIN cube nb
+    ON nb.cx BETWEEN c.cx - 1 AND c.cx + 1
+   AND nb.cy BETWEEN c.cy - 1 AND c.cy + 1
+   AND nb.bin BETWEEN c.bin - 1 AND c.bin + 1
+  GROUP BY 1, 2, 3
+),
+g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(v) AS sv, SUM(v * v) AS svv FROM cube),
+zt AS (
+  SELECT r.cx, r.cy, r.bin,
+         (CAST(r.wx AS DOUBLE) - (CAST(g.sv AS DOUBLE) / g.n) * CAST(r.wn AS DOUBLE))
+         / (sqrt(CAST(g.svv AS DOUBLE) / g.n
+                 - (CAST(g.sv AS DOUBLE) / g.n) * (CAST(g.sv AS DOUBLE) / g.n))
+            * sqrt((g.n * CAST(r.wn AS DOUBLE) - CAST(r.wn AS DOUBLE) * CAST(r.wn AS DOUBLE))
+                   / (g.n - 1e0))) AS z
+  FROM recv r, g
+),
+p AS (SELECT cx, cy, {zpivot} FROM zt GROUP BY cx, cy),
+mk AS (
+  SELECT cx, cy, z{n_bins - 1} AS z_final,
+         CAST({s_terms} AS BIGINT) AS s,
+         CAST({base} - ({tie_terms}) AS BIGINT) AS num,
+         {hb}, {cb}
+  FROM p
+),
+f AS (
+  SELECT *, {nh} AS nh, {nc} AS nc,
+         CASE WHEN num > 0 THEN
+           CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1e0) / sqrt(CAST(num AS DOUBLE) / 18e0)
+                WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1e0) / sqrt(CAST(num AS DOUBLE) / 18e0)
+                ELSE 0e0 END
+         END AS z_mk
+  FROM mk
+),
+u AS (
+  SELECT *,
+         CASE WHEN num = 0 THEN 'flat'
+              WHEN z_mk >= {alpha} THEN 'increasing'
+              WHEN z_mk <= -{alpha} THEN 'decreasing'
+              ELSE 'none' END AS trend,
+         (h{n_bins - 1} = 1) AS fh, (c{n_bins - 1} = 1) AS fc,
+         (nh * 10 >= {9 * n_bins}) AS hot90, (nc * 10 >= {9 * n_bins}) AS cold90,
+         ({hsuffix}) AS hsuffix, ({csuffix}) AS csuffix
+  FROM f
+)
+SELECT cx, cy, CAST(nh AS BIGINT) AS n_hot, CAST(nc AS BIGINT) AS n_cold,
+       z_final, s, num AS var18, z_mk, trend,
+       CASE WHEN fh AND nh = 1 AND nc = 0 THEN 'new hot'
+            WHEN fh AND nh >= 2 AND hsuffix AND NOT hot90 AND nc = 0 THEN 'consecutive hot'
+            WHEN fh AND hot90 AND trend = 'increasing' THEN 'intensifying hot'
+            WHEN fh AND hot90 AND trend = 'decreasing' THEN 'diminishing hot'
+            WHEN fh AND hot90 THEN 'persistent hot'
+            WHEN NOT fh AND hot90 THEN 'historical hot'
+            WHEN fh AND NOT hot90 AND nh >= 2 AND nc = 0 THEN 'sporadic hot'
+            WHEN fh AND NOT hot90 AND nc >= 1 THEN 'oscillating hot'
+            WHEN fc AND nc = 1 AND nh = 0 THEN 'new cold'
+            WHEN fc AND nc >= 2 AND csuffix AND NOT cold90 AND nh = 0 THEN 'consecutive cold'
+            WHEN fc AND cold90 AND trend = 'decreasing' THEN 'intensifying cold'
+            WHEN fc AND cold90 AND trend = 'increasing' THEN 'diminishing cold'
+            WHEN fc AND cold90 THEN 'persistent cold'
+            WHEN NOT fc AND cold90 THEN 'historical cold'
+            WHEN fc AND NOT cold90 AND nc >= 2 AND nh = 0 THEN 'sporadic cold'
+            WHEN fc AND NOT cold90 AND nh >= 1 THEN 'oscillating cold'
+            ELSE 'no pattern' END AS category
+FROM u
+"""
+
+
+SQL_EMERGING_HOTSPOT = _ehsa_sql()
+
+
 def q_ripley_k(spark, sf_dir):
     """Ripley's K / L point-pattern statistic (operators/geostats.py —
     the PySAL pointpats role, naive uncorrected estimator) over the
@@ -7129,6 +7277,7 @@ QUERIES: dict = {
     "variogram": (q_variogram, SQL_VARIOGRAM),
     "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
     "mann_kendall": (q_mann_kendall, SQL_MANN_KENDALL),
+    "emerging_hotspot": (q_emerging_hotspot, SQL_EMERGING_HOTSPOT),
     "normalize_text": (q_normalize_text, SQL_NORMALIZE_TEXT),
     "polyline_encode": (q_polyline_encode, SQL_POLYLINE_ENCODE),
     "ring_metrics": (q_ring_metrics, SQL_RING_METRICS),
