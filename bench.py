@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "cms_topk",
     "mann_kendall",
     "emerging_hotspot",
+    "equalize_hist",
 ]
 
 

@@ -1557,6 +1557,63 @@ SELECT '{image_id}' AS image_id, '{op}' AS op,
 SQL_MORPHOLOGY = _morph_sql()
 
 
+_EQ_SPECS = [("eq_a", 24, 16), ("eq_const", 5, 4)]  # (id, w, h)
+
+
+def q_equalize_hist(spark, sf_dir):
+    """Per-channel histogram equalization (operators/multimodal.py::
+    equalize_hist — the cv2.equalizeHist role) over analytic-pattern RAW
+    fixtures: a squashed-range pattern ((r*c + b*37) % 97 + 40, values
+    confined to [40,136] with a non-uniform histogram so the transfer
+    curve actually stretches) plus a CONSTANT image exercising the
+    degenerate-denominator identity branch. The LUT is pure integer
+    round-half-up, so the oracle rebuilds it RELATIONALLY — per-(band,
+    value) counts, window cumulative sum, MIN-over-band cdf_min, the
+    same integer expression — and mirrors pix_sum + changed."""
+    from ..functions import codecs as cod
+    from ..operators import multimodal
+
+    rows = []
+    for image_id, w, h in _EQ_SPECS:
+        if image_id == "eq_const":
+            arr = np.full((h, w, 3), 200, np.uint8)
+        else:
+            r, c, b = np.ogrid[0:h, 0:w, 0:3]
+            arr = (((r * c + b * 37) % 97) + 40).astype(np.uint8)
+        rows.append((image_id, cod.encode_raw(arr), "raw"))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    return multimodal.equalize_hist(df).drop("out")
+
+
+def _eq_sql() -> str:
+    ctes, legs = [], []
+    for i, (image_id, w, h) in enumerate(_EQ_SPECS):
+        total = w * h
+        pat = "200" if image_id == "eq_const" else "(((t1.r*t2.c + t3.b*37) % 97) + 40)"
+        ctes.append(
+            f"px_{i} AS (SELECT t1.r AS r, t2.c AS c, t3.b AS b, {pat} AS v "
+            f"FROM range(0,{h}) t1(r), range(0,{w}) t2(c), range(0,3) t3(b))"
+        )
+        ctes.append(
+            f"lut_{i} AS (SELECT b, v, CASE WHEN {total} - cdf_min = 0 THEN v "
+            f"ELSE ((cdf - cdf_min) * 255 + ({total} - cdf_min) // 2) "
+            f"// ({total} - cdf_min) END AS nv FROM ("
+            f"SELECT b, v, cdf, MIN(cdf) OVER (PARTITION BY b) AS cdf_min FROM ("
+            f"SELECT b, v, SUM(cnt) OVER (PARTITION BY b ORDER BY v) AS cdf FROM ("
+            f"SELECT b, v, count(*) AS cnt FROM px_{i} GROUP BY b, v))))"
+        )
+        legs.append(f"""
+SELECT '{image_id}' AS image_id,
+       CAST({w} AS INT) AS out_w, CAST({h} AS INT) AS out_h,
+       CAST(SUM(l.nv) AS BIGINT) AS pix_sum,
+       CAST(SUM(CASE WHEN l.nv <> p.v THEN 1 ELSE 0 END) AS BIGINT) AS changed
+FROM px_{i} p JOIN lut_{i} l ON l.b = p.b AND l.v = p.v""")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(legs)
+
+
+SQL_EQUALIZE_HIST = _eq_sql()
+
+
 def q_base_zoom_hist(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     gsd = F.lit(16.0) * F.pow(F.lit(2.0), F.col("event_id") % 600 / 100.0)
@@ -7273,6 +7330,7 @@ QUERIES: dict = {
     "std_ellipse": (q_std_ellipse, SQL_STD_ELLIPSE),
     "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
     "morphology": (q_morphology, SQL_MORPHOLOGY),
+    "equalize_hist": (q_equalize_hist, SQL_EQUALIZE_HIST),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
     "variogram": (q_variogram, SQL_VARIOGRAM),
     "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
