@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "mann_kendall",
     "emerging_hotspot",
     "equalize_hist",
+    "label_regions",
 ]
 
 

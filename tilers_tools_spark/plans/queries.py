@@ -1614,6 +1614,79 @@ FROM px_{i} p JOIN lut_{i} l ON l.b = p.b AND l.v = p.v""")
 SQL_EQUALIZE_HIST = _eq_sql()
 
 
+# (id, w, h, SQL value expr over t1.r/t2.c) — the ring fixture plants a
+# ring + an isolated center dot (2 components with a guaranteed >=1-px
+# gap); the stripe fixture scatters diagonal bands
+_LBL_SPECS = [
+    ("lbl_a", 24, 16, "((t1.r*7 + t2.c*13) % 256)"),
+    ("lbl_ring", 25, 17,
+     "(CASE WHEN ((t1.r-8)*(t1.r-8) + (t2.c-12)*(t2.c-12)) BETWEEN 9 AND 36 "
+     "THEN 255 WHEN ((t1.r-8)*(t1.r-8) + (t2.c-12)*(t2.c-12)) <= 1 "
+     "THEN 255 ELSE 0 END)"),
+]
+_LBL_THR = 240
+
+
+def q_label_regions(spark, sf_dir):
+    """Connected-component blob labeling + region props (operators/
+    multimodal.py::label_regions — the skimage.measure.label/regionprops
+    role): threshold at v >= 240 on band 0 (measured: 5 stripe
+    components + ring + dot = 7 regions), 4-connectivity, label = the
+    component's min r*W+c pixel id, exact-integer area/bbox/centroid
+    numerators. Oracle relabels RELATIONALLY: the same analytic patterns
+    inlined, a recursive-CTE reachability closure over the 4-adjacency
+    edge set, comp = min id over the closure, then the same GROUP BY
+    props — the engine's union-find must agree with the declarative
+    transitive-closure definition on every region row."""
+    from ..functions import codecs as cod
+    from ..operators import multimodal
+
+    rows = []
+    for image_id, w, h, _ in _LBL_SPECS:
+        r, c = np.ogrid[0:h, 0:w]
+        if image_id == "lbl_ring":
+            d2 = (r - 8) ** 2 + (c - 12) ** 2
+            plane = np.where((d2 >= 9) & (d2 <= 36) | (d2 <= 1), 255, 0)
+        else:
+            plane = (r * 7 + c * 13) % 256
+        arr = np.repeat(plane.astype(np.uint8)[:, :, None], 3, axis=2)
+        rows.append((image_id, cod.encode_raw(arr), "raw"))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    return multimodal.label_regions(df, threshold=_LBL_THR)
+
+
+def _lbl_sql() -> str:
+    px = " UNION ALL ".join(
+        f"SELECT '{image_id}' AS img, t1.r AS r, t2.c AS c, {w} AS w, {expr} AS v "
+        f"FROM range(0,{h}) t1(r), range(0,{w}) t2(c)"
+        for image_id, w, h, expr in _LBL_SPECS
+    )
+    return f"""
+WITH RECURSIVE px AS ({px}),
+fg AS (SELECT img, r, c, r * w + c AS id FROM px WHERE v >= {_LBL_THR}),
+e AS (
+  SELECT a.img, a.id AS aid, b.id AS bid
+  FROM fg a JOIN fg b ON b.img = a.img
+   AND ((b.r = a.r AND abs(b.c - a.c) = 1) OR (b.c = a.c AND abs(b.r - a.r) = 1))
+),
+reach(img, a, b) AS (
+  SELECT img, id, id FROM fg
+  UNION
+  SELECT r.img, r.a, e.bid FROM reach r JOIN e ON e.img = r.img AND e.aid = r.b
+),
+comp AS (SELECT img, a AS id, min(b) AS comp FROM reach GROUP BY img, a)
+SELECT f.img AS image_id, c.comp AS label, count(*) AS area,
+       CAST(min(f.r) AS INT) AS r_min, CAST(max(f.r) AS INT) AS r_max,
+       CAST(min(f.c) AS INT) AS c_min, CAST(max(f.c) AS INT) AS c_max,
+       CAST(SUM(f.r) AS BIGINT) AS sum_r, CAST(SUM(f.c) AS BIGINT) AS sum_c
+FROM fg f JOIN comp c ON c.img = f.img AND c.id = f.id
+GROUP BY f.img, c.comp
+"""
+
+
+SQL_LABEL_REGIONS = _lbl_sql()
+
+
 def q_base_zoom_hist(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     gsd = F.lit(16.0) * F.pow(F.lit(2.0), F.col("event_id") % 600 / 100.0)
@@ -7331,6 +7404,7 @@ QUERIES: dict = {
     "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
     "morphology": (q_morphology, SQL_MORPHOLOGY),
     "equalize_hist": (q_equalize_hist, SQL_EQUALIZE_HIST),
+    "label_regions": (q_label_regions, SQL_LABEL_REGIONS),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
     "variogram": (q_variogram, SQL_VARIOGRAM),
     "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
