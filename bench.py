@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "emerging_hotspot",
     "equalize_hist",
     "label_regions",
+    "shortest_paths",
 ]
 
 

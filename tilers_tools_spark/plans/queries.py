@@ -1687,6 +1687,75 @@ GROUP BY f.img, c.comp
 SQL_LABEL_REGIONS = _lbl_sql()
 
 
+_SSSP_ROUNDS = 24
+
+
+def q_shortest_paths(spark, sf_dir):
+    """K-round Bellman-Ford shortest paths (operators/graph.py::
+    shortest_paths — the pgRouting/GraphFrames SSSP role) over the
+    z=6 occupied-cell rook-adjacency graph: nodes = occupied tile
+    cells (id = x*64 + y), edges between 4-adjacent occupied cells
+    with weight 1 + (cnt_a + cnt_b) % 17 (exact BIGINTs), source = the
+    HOTTEST cell (cnt DESC, id ASC tie-break — the min id sits in the
+    sparse polar fringe and can be isolated). The round count is part of the contract
+    (dist = exact min cost over paths of <= 24 edges), so the oracle
+    mirrors it EXACTLY as 24 chained min-aggregation CTE stages —
+    no convergence heuristics on either side."""
+    from ..operators import graph
+
+    t = _tiles_at(_merc_pts(spark, sf_dir), 6)
+    cells = (
+        t.groupBy("x", "y").agg(F.count("*").alias("cnt"))
+        .select((F.col("x") * 64 + F.col("y")).alias("id"), "x", "y", "cnt")
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    edges = a.join(
+        b,
+        (F.abs(F.col("a.x") - F.col("b.x")) + F.abs(F.col("a.y") - F.col("b.y"))) == 1,
+    ).select(
+        F.col("a.id").alias("a"),
+        F.col("b.id").alias("b"),
+        (F.lit(1) + (F.col("a.cnt") + F.col("b.cnt")) % 17).alias("w"),
+    )
+    # hottest cell (deterministic tie-break) — the min id sits in the
+    # sparse mercator-stretched polar fringe and can be degree-0
+    src = (
+        cells.orderBy(F.col("cnt").desc(), F.col("id"))
+        .limit(1).select(F.col("id").alias("node"))
+    )
+    # the rook self-join already emits both directions -> directed=True
+    return graph.shortest_paths(edges, src, rounds=_SSSP_ROUNDS, directed=True)
+
+
+def _sssp_sql(rounds: int = _SSSP_ROUNDS) -> str:
+    ctes = [
+        # MATERIALIZED: the 24 chained stages each reference e — without
+        # it DuckDB inlines the whole events scan 24x and exhausts fds
+        "cells AS MATERIALIZED (SELECT x*64 + y AS id, x, y, count(*) AS cnt "
+        "FROM tiles GROUP BY x, y)",
+        "e AS MATERIALIZED (SELECT a.id AS a, b.id AS b, 1 + (a.cnt + b.cnt) % 17 AS w "
+        "FROM cells a JOIN cells b ON abs(a.x-b.x) + abs(a.y-b.y) = 1)",
+        "d0 AS (SELECT (SELECT id FROM cells ORDER BY cnt DESC, id LIMIT 1) "
+        "AS node, CAST(0 AS BIGINT) AS dist)",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(
+            # MATERIALIZED: each stage is referenced twice (union + join);
+            # inlining would double the expression tree per stage -> 2^K
+            f"d{k} AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM ("
+            f"SELECT node, dist FROM d{k-1} UNION ALL "
+            f"SELECT e.b AS node, d.dist + e.w AS dist "
+            f"FROM d{k-1} d JOIN e ON e.a = d.node) GROUP BY node)"
+        )
+    return (
+        f"WITH {_PTS_SQL}, {_tiles_sql(6)}, " + ",\n".join(ctes)
+        + f"\nSELECT node, dist FROM d{rounds}"
+    )
+
+
+SQL_SHORTEST_PATHS = _sssp_sql()
+
+
 def q_base_zoom_hist(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     gsd = F.lit(16.0) * F.pow(F.lit(2.0), F.col("event_id") % 600 / 100.0)
@@ -7405,6 +7474,7 @@ QUERIES: dict = {
     "morphology": (q_morphology, SQL_MORPHOLOGY),
     "equalize_hist": (q_equalize_hist, SQL_EQUALIZE_HIST),
     "label_regions": (q_label_regions, SQL_LABEL_REGIONS),
+    "shortest_paths": (q_shortest_paths, SQL_SHORTEST_PATHS),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
     "variogram": (q_variogram, SQL_VARIOGRAM),
     "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
