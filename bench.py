@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "equalize_hist",
     "label_regions",
     "shortest_paths",
+    "kernel_density",
 ]
 
 

@@ -765,3 +765,86 @@ def test_ehsa_validation(spark):
         geostats.emerging_hotspot(None, 1)
     with pytest.raises(ValueError):
         geostats.emerging_hotspot(None, 17)
+
+
+# ---------------------------------------------------------- kernel density
+
+
+def _kde_ref(pts, radius):
+    """Naive scalar reference: corners of occupied cells (cell=radius),
+    min over nothing — every corner x every point, strict d^2 < R^2."""
+    r2 = radius * radius
+    corners = {
+        (math.floor(x / radius) * radius, math.floor(y / radius) * radius)
+        for x, y in pts
+    }
+    out = {}
+    for ex, ey in corners:
+        npts = 0
+        num = 0
+        for x, y in pts:
+            d2 = (x - ex) ** 2 + (y - ey) ** 2
+            if d2 < r2:
+                npts += 1
+                num += (r2 - d2) ** 2
+        if npts:
+            out[(ex, ey)] = (npts, num, 3.0 * num / (math.pi * radius ** 6))
+    return out
+
+
+def _kde_run(spark, pts, radius, cell=None):
+    df = spark.createDataFrame(pd.DataFrame(pts, columns=["x", "y"]))
+    out = geostats.kernel_density(df, radius=radius, cell=cell or radius)
+    return {
+        (r["ex"], r["ey"]): (r["npts"], r["num"], r["density"])
+        for r in out.collect()
+    }
+
+
+def test_kde_hand_kat(spark):
+    # single point on its own corner: d2 = 0 -> num = R^4
+    got = _kde_run(spark, [(0, 0)], 10)
+    assert got == {(0, 0): (1, 10000, pytest.approx(30000.0 / (math.pi * 1e6)))}
+    # exactly-at-radius is EXCLUDED (strict ball; kernel is 0 there anyway)
+    got = _kde_run(spark, [(0, 0), (10, 0)], 10)
+    assert got[(0, 0)][0] == 1  # the (10,0) point is at d = R from (0,0)
+    # interior point seen by a NEIGHBOR cell's corner too
+    got = _kde_run(spark, [(5, 5), (12, 0)], 10)
+    ref = _kde_ref([(5, 5), (12, 0)], 10)
+    assert set(got) == set(ref)
+    for k in ref:
+        assert got[k][:2] == ref[k][:2], k
+
+
+def test_kde_vs_scalar_reference_random(spark):
+    rng = random.Random(97)
+    for trial, (n, r) in enumerate([(120, 7), (300, 15), (80, 30)]):
+        pts = [(rng.randrange(-100, 100), rng.randrange(-100, 100)) for _ in range(n)]
+        got = _kde_run(spark, pts, r)
+        ref = _kde_ref(pts, r)
+        assert set(got) == set(ref), trial
+        for k, (npts, num, dens) in ref.items():
+            assert got[k][0] == npts and got[k][1] == num, (trial, k)
+            assert got[k][2] == pytest.approx(dens, abs=0.0), (trial, k)
+
+
+def test_kde_cell_wider_than_radius(spark):
+    # cell > radius is allowed (sparser eval lattice, window still covers)
+    rng = random.Random(5)
+    pts = [(rng.randrange(0, 60), rng.randrange(0, 60)) for _ in range(150)]
+    got = _kde_run(spark, pts, 8, cell=20)
+    r2 = 64
+    corners = {(math.floor(x / 20) * 20, math.floor(y / 20) * 20) for x, y in pts}
+    for (ex, ey), (npts, num, _) in got.items():
+        assert (ex, ey) in corners
+        ref_n = sum(1 for x, y in pts if (x - ex) ** 2 + (y - ey) ** 2 < r2)
+        ref_s = sum((r2 - (x - ex) ** 2 - (y - ey) ** 2) ** 2
+                    for x, y in pts if (x - ex) ** 2 + (y - ey) ** 2 < r2)
+        assert (npts, num) == (ref_n, ref_s)
+
+
+def test_kde_validation(spark):
+    with pytest.raises(ValueError):
+        geostats.kernel_density(None, 0, 10)
+    with pytest.raises(ValueError):
+        geostats.kernel_density(None, 10, 5)

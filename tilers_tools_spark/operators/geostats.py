@@ -769,3 +769,83 @@ def emerging_hotspot(
         trend.alias("trend"),
         category.alias("category"),
     )
+
+
+def kernel_density(
+    points: DataFrame,
+    radius: int,
+    cell: int,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Quartic-kernel density estimation (Silverman 1986 §4.5; the
+    ArcGIS Kernel Density / QGIS heatmap role) evaluated at the CORNERS
+    of occupied grid cells: for each corner e, over points p with
+    d² = |p - e|² < R² (strict — the kernel is 0 at d = R, so the open
+    ball loses nothing from the density while keeping npts unambiguous),
+
+        num(e)     = Σ (R² - d²)²                   (exact BIGINT)
+        density(e) = 3·num / (π·R⁶)                 (one double expr)
+
+    which is Σ 3/(πR²)·(1 - d²/R²)² — the published per-unit-area
+    quartic KDE. Coordinates and R must be INTEGERS in the same unit
+    (quantize mercator meters to km first: R ≤ ~1000 km keeps every
+    (R²-d²)² term ≤ 1e12 and sums for millions of in-radius points
+    inside BIGINT). Eval corners are the occupied-cell corner lattice
+    (cx·cell, cy·cell); `cell >= radius` is required so a corner's
+    candidate points all lie in its 2x2 cell window.
+
+    Scale shape: ONE narrow groupBy builds the cell census, corners
+    explode into 4 cell addresses and equi-join points on the cell key
+    (the ripley/variogram/dbscan pair-census family — never all-pairs),
+    then one aggregation. Corners with no point inside R are absent.
+    """
+    if radius < 1:
+        raise ValueError("radius must be a positive integer")
+    if cell < radius:
+        raise ValueError("cell must be >= radius (2x2 window coverage)")
+    import math as _math
+
+    p = points.select(
+        F.col(x_col).cast("long").alias("px"),
+        F.col(y_col).cast("long").alias("py"),
+    )
+    # floor of an exact double division: deterministic cross-engine
+    pc = p.select(
+        "px", "py",
+        F.floor(F.col("px").cast("double") / F.lit(float(cell))).cast("long").alias("cx"),
+        F.floor(F.col("py").cast("double") / F.lit(float(cell))).cast("long").alias("cy"),
+    )
+    corners = pc.select("cx", "cy").distinct().select(
+        "cx", "cy",
+        (F.col("cx") * cell).alias("ex"),
+        (F.col("cy") * cell).alias("ey"),
+    )
+    offs = F.explode(
+        F.array(*[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0) for dy in (-1, 0)
+        ])
+    )
+    probe = corners.withColumn("_o", offs).select(
+        "ex", "ey",
+        (F.col("cx") + F.col("_o.dx")).alias("cx"),
+        (F.col("cy") + F.col("_o.dy")).alias("cy"),
+    )
+    j = probe.join(pc, ["cx", "cy"])
+    d2 = (
+        (F.col("px") - F.col("ex")) * (F.col("px") - F.col("ex"))
+        + (F.col("py") - F.col("ey")) * (F.col("py") - F.col("ey"))
+    )
+    r2 = radius * radius
+    term = (F.lit(r2) - d2) * (F.lit(r2) - d2)
+    g = (
+        j.where(d2 < r2)
+        .groupBy("ex", "ey")
+        .agg(F.count("*").alias("npts"), F.sum(term).alias("num"))
+    )
+    r6 = radius ** 6
+    dens = (F.lit(3.0) * F.col("num").cast("double")) / (
+        F.lit(_math.pi) * F.lit(r6).cast("double")
+    )
+    return g.select("ex", "ey", "npts", "num", dens.alias("density"))

@@ -1756,6 +1756,57 @@ def _sssp_sql(rounds: int = _SSSP_ROUNDS) -> str:
 SQL_SHORTEST_PATHS = _sssp_sql()
 
 
+def q_kernel_density(spark, sf_dir):
+    """Quartic-kernel density estimation (operators/geostats.py::
+    kernel_density — the ArcGIS Kernel Density role) at integer-KM
+    event points with the density-normalized radius R = floor(400 *
+    sqrt(10000/n)) km and cell = R: num = Σ(R²-d²)² is an exact BIGINT
+    (km quantization keeps every term <= ~2.6e10), density = 3·num/
+    (π·R⁶) is one documented-order double. Engine = the 2x2
+    corner-window cell census; oracle = the NAIVE theta join of every
+    corner against every point with the raw d² < R² predicate — the
+    window-coverage claim is what the gate checks."""
+    from ..operators import geostats
+
+    m = _merc_pts(spark, sf_dir).select(
+        F.floor(F.col("mx") / F.lit(1000.0)).cast("long").alias("kx"),
+        F.floor(F.col("my") / F.lit(1000.0)).cast("long").alias("ky"),
+    )
+    n = m.count()
+    r = math.floor(400.0 * math.sqrt(10000.0 / n))
+    return geostats.kernel_density(m, radius=r, cell=r, x_col="kx", y_col="ky")
+
+
+SQL_KERNEL_DENSITY = f"""
+WITH {_PTS_SQL},
+k AS (SELECT CAST(FLOOR(mx / 1000e0) AS BIGINT) AS px,
+             CAST(FLOOR(my / 1000e0) AS BIGINT) AS py FROM m),
+rr AS (SELECT CAST(FLOOR(400e0 * sqrt(10000e0 / count(*))) AS BIGINT) AS r FROM k),
+pc AS (
+  SELECT px, py,
+         CAST(FLOOR(CAST(px AS DOUBLE) / CAST((SELECT r FROM rr) AS DOUBLE)) AS BIGINT) AS cx,
+         CAST(FLOOR(CAST(py AS DOUBLE) / CAST((SELECT r FROM rr) AS DOUBLE)) AS BIGINT) AS cy
+  FROM k
+),
+corners AS (
+  SELECT DISTINCT cx * (SELECT r FROM rr) AS ex, cy * (SELECT r FROM rr) AS ey FROM pc
+),
+g AS (
+  SELECT c.ex, c.ey, count(*) AS npts,
+         CAST(SUM(((SELECT r*r FROM rr) - ((p.px-c.ex)*(p.px-c.ex) + (p.py-c.ey)*(p.py-c.ey)))
+                  * ((SELECT r*r FROM rr) - ((p.px-c.ex)*(p.px-c.ex) + (p.py-c.ey)*(p.py-c.ey))))
+              AS BIGINT) AS num
+  FROM corners c JOIN k p
+    ON (p.px-c.ex)*(p.px-c.ex) + (p.py-c.ey)*(p.py-c.ey) < (SELECT r*r FROM rr)
+  GROUP BY c.ex, c.ey
+)
+SELECT ex, ey, npts, num,
+       (3e0 * CAST(num AS DOUBLE))
+       / (pi() * CAST((SELECT r*r*r*r*r*r FROM rr) AS DOUBLE)) AS density
+FROM g
+"""
+
+
 def q_base_zoom_hist(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     gsd = F.lit(16.0) * F.pow(F.lit(2.0), F.col("event_id") % 600 / 100.0)
@@ -7475,6 +7526,7 @@ QUERIES: dict = {
     "equalize_hist": (q_equalize_hist, SQL_EQUALIZE_HIST),
     "label_regions": (q_label_regions, SQL_LABEL_REGIONS),
     "shortest_paths": (q_shortest_paths, SQL_SHORTEST_PATHS),
+    "kernel_density": (q_kernel_density, SQL_KERNEL_DENSITY),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
     "variogram": (q_variogram, SQL_VARIOGRAM),
     "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
