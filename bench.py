@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "label_regions",
     "shortest_paths",
     "kernel_density",
+    "knox_test",
 ]
 
 

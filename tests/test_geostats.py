@@ -848,3 +848,74 @@ def test_kde_validation(spark):
         geostats.kernel_density(None, 0, 10)
     with pytest.raises(ValueError):
         geostats.kernel_density(None, 10, 5)
+
+
+# ------------------------------------------------------------------ Knox
+
+
+def _knox_ref(pts, eps, tau):
+    """Naive scalar reference over unordered pairs; pts = [(id,x,y,t)]."""
+    n = len(pts)
+    ns = nt = x = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            d2 = (pts[i][1] - pts[j][1]) ** 2 + (pts[i][2] - pts[j][2]) ** 2
+            s = float(d2) <= eps * eps
+            t = abs(pts[i][3] - pts[j][3]) <= tau
+            ns += s
+            nt += t
+            x += s and t
+    npairs = n * (n - 1) // 2
+    e_x = (float(ns) * float(nt)) / float(npairs) if npairs else 0.0
+    ratio = float(x) / e_x if e_x > 0 else None
+    return n, npairs, ns, nt, x, e_x, ratio
+
+
+def _knox_run(spark, pts, eps, tau):
+    df = spark.createDataFrame(pd.DataFrame(pts, columns=["id", "x", "y", "t"]))
+    r = geostats.knox_test(df, eps=eps, tau=tau).collect()[0]
+    return (r["n"], r["npairs"], r["ns"], r["nt"], r["x"], r["e_x"], r["ratio"])
+
+
+def test_knox_hand_kat(spark):
+    # A(0,0,t0) B(3,4,t100) C(100,100,t5), eps=6, tau=10:
+    # AB spatial only (d2=25<=36), AC temporal only (|5|<=10), BC neither
+    got = _knox_run(spark, [(1, 0, 0, 0), (2, 3, 4, 100), (3, 100, 100, 5)], 6.0, 10)
+    assert got[:5] == (3, 3, 1, 1, 0)
+    assert got[5] == pytest.approx(1.0 / 3.0, abs=0.0)
+    assert got[6] == pytest.approx(0.0, abs=0.0)
+
+
+def test_knox_inclusive_boundaries(spark):
+    # d2 exactly eps^2 and dt exactly tau both COUNT (documented)
+    got = _knox_run(spark, [(1, 0, 0, 0), (2, 3, 4, 10)], 5.0, 10)
+    assert got[2:5] == (1, 1, 1)
+    assert got[6] == pytest.approx(1.0, abs=0.0)
+
+
+def test_knox_vs_scalar_reference_random(spark):
+    rng = random.Random(271)
+    for trial, (n, eps, tau) in enumerate([(80, 9.0, 5), (150, 4.5, 12), (60, 25.0, 0)]):
+        pts = [
+            (i, rng.randrange(-40, 40), rng.randrange(-40, 40), rng.randrange(0, 50))
+            for i in range(n)
+        ]
+        got = _knox_run(spark, pts, eps, tau)
+        ref = _knox_ref(pts, eps, tau)
+        assert got[:5] == ref[:5], trial
+        assert got[5] == pytest.approx(ref[5], abs=0.0), trial
+        if ref[6] is None:
+            assert got[6] is None, trial
+        else:
+            assert got[6] == pytest.approx(ref[6], abs=0.0), trial
+
+
+def test_knox_coincident_and_validation(spark):
+    # coincident points in space AND time: everything pairs
+    got = _knox_run(spark, [(1, 5, 5, 9), (2, 5, 5, 9), (3, 5, 5, 9)], 2.0, 0)
+    assert got[:5] == (3, 3, 3, 3, 3)
+    assert got[6] == pytest.approx(1.0, abs=0.0)
+    with pytest.raises(ValueError):
+        geostats.knox_test(None, 0.0, 5)
+    with pytest.raises(ValueError):
+        geostats.knox_test(None, 1.0, -1)

@@ -849,3 +849,105 @@ def kernel_density(
         F.lit(_math.pi) * F.lit(r6).cast("double")
     )
     return g.select("ex", "ey", "npts", "num", dens.alias("density"))
+
+
+def knox_test(
+    points: DataFrame,
+    eps: float,
+    tau: int,
+    x_col: str = "x",
+    y_col: str = "y",
+    t_col: str = "t",
+    id_col: str = "id",
+) -> DataFrame:
+    """Knox space-time interaction test (Knox 1964; the CrimeStat /
+    epidemiology standard): over the n(n-1)/2 unordered event pairs,
+    count ns = pairs with spatial d² <= eps² , nt = pairs with |Δt| <=
+    tau (integer times, inclusive), x = pairs close in BOTH, and report
+    the independence expectation e_x = ns·nt/npairs and ratio = x/e_x
+    (clustering signal > 1). One row: (n, npairs, ns, nt, x, e_x,
+    ratio). n/npairs/ns/nt/x are exact BIGINTs (integer coordinates
+    and times; ordered-pair censuses count each unordered pair twice
+    and halve exactly); e_x and ratio are single documented-order
+    double expressions — bit-identical cross-engine.
+
+    Scale shape: THREE narrow censuses, never all-pairs — the spatial
+    count is the ripley/variogram grid-cell equi-join (left explodes
+    3x3 at cell = eps), the temporal count is its 1D analog (time
+    buckets of width tau, 3-bucket window), and the joint count is the
+    spatial census with the time predicate added. Pair counts stay
+    bounded when eps/tau are density-normalized.
+    """
+    if eps <= 0:
+        raise ValueError("eps must be > 0")
+    if tau < 0:
+        raise ValueError("tau must be >= 0")
+    p = points.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+        F.col(t_col).cast("long").alias("t"),
+    )
+    cw = float(eps)
+    pc = p.select(
+        "id", "x", "y", "t",
+        F.floor(F.col("x").cast("double") / F.lit(cw)).cast("long").alias("cx"),
+        F.floor(F.col("y").cast("double") / F.lit(cw)).cast("long").alias("cy"),
+    )
+    offs = F.explode(
+        F.array(*[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        ])
+    )
+    left = pc.withColumn("_o", offs).select(
+        F.col("id").alias("ida"), F.col("x").alias("xa"), F.col("y").alias("ya"),
+        F.col("t").alias("ta"),
+        (F.col("cx") + F.col("_o.dx")).alias("cx"),
+        (F.col("cy") + F.col("_o.dy")).alias("cy"),
+    )
+    d2 = (
+        (F.col("xa") - F.col("x")) * (F.col("xa") - F.col("x"))
+        + (F.col("ya") - F.col("y")) * (F.col("ya") - F.col("y"))
+    )
+    eps2 = F.lit(float(eps) * float(eps))
+    close_t = F.abs(F.col("ta") - F.col("t")) <= F.lit(int(tau))
+    sp = (
+        left.join(pc, ["cx", "cy"])
+        .where((F.col("ida") != F.col("id")) & (d2.cast("double") <= eps2))
+        .agg(
+            F.count("*").alias("ns2"),
+            F.sum(F.when(close_t, 1).otherwise(0)).alias("x2"),
+        )
+    )
+    tw = float(tau) if tau > 0 else 1.0
+    tb = p.select(
+        "id", "t",
+        F.floor(F.col("t").cast("double") / F.lit(tw)).cast("long").alias("b"),
+    )
+    toffs = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    tleft = tb.withColumn("_d", toffs).select(
+        F.col("id").alias("ida"), F.col("t").alias("ta"),
+        (F.col("b") + F.col("_d")).alias("b"),
+    )
+    tm = (
+        tleft.join(tb, ["b"])
+        .where(
+            (F.col("ida") != F.col("id"))
+            & (F.abs(F.col("ta") - F.col("t")) <= F.lit(int(tau)))
+        )
+        .agg(F.count("*").alias("nt2"))
+    )
+    nn = p.agg(F.count("*").alias("n"))
+    j = nn.crossJoin(F.broadcast(sp)).crossJoin(F.broadcast(tm))
+    # exact integer halving (the ordered censuses are even by symmetry)
+    npairs = F.expr("(n * (n - 1)) div 2")
+    ns = F.expr("ns2 div 2")
+    nt = F.expr("nt2 div 2")
+    x = F.expr("x2 div 2")
+    e_x = (ns.cast("double") * nt.cast("double")) / npairs.cast("double")
+    ratio = F.when(e_x > 0, x.cast("double") / e_x)
+    return j.select(
+        F.col("n"), npairs.alias("npairs"), ns.alias("ns"), nt.alias("nt"),
+        x.alias("x"), e_x.alias("e_x"), ratio.alias("ratio"),
+    )

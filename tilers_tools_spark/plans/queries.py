@@ -1756,6 +1756,64 @@ def _sssp_sql(rounds: int = _SSSP_ROUNDS) -> str:
 SQL_SHORTEST_PATHS = _sssp_sql()
 
 
+def q_knox(spark, sf_dir):
+    """Knox space-time interaction test (operators/geostats.py::
+    knox_test — the CrimeStat role) at integer-mercator-meter event
+    points with an analytic integer time (event_id*6151 % 100000):
+    eps = the shared density-normalized 400 km base, tau = 200.
+    Engine = three bucketed censuses (grid-cell spatial, 1D temporal,
+    joint); oracle = ONE naive all-pairs a.id < b.id scan with FILTER
+    counts — ns/nt/x exact BIGINTs, e_x/ratio single documented-order
+    doubles."""
+    from ..operators import geostats
+
+    m = _merc_pts(spark, sf_dir).select(
+        "event_id",
+        F.floor("mx").cast("long").alias("ix"),
+        F.floor("my").cast("long").alias("iy"),
+        ((F.col("event_id") * 6151) % 100000).alias("t"),
+    )
+    n = m.count()
+    eps = 400e3 * math.sqrt(10000.0 / n)
+    return geostats.knox_test(
+        m, eps=eps, tau=200, x_col="ix", y_col="iy", t_col="t", id_col="event_id"
+    )
+
+
+SQL_KNOX = f"""
+WITH {_PTS_SQL},
+q AS (
+  SELECT event_id AS id, CAST(FLOOR(mx) AS BIGINT) AS x,
+         CAST(FLOOR(my) AS BIGINT) AS y,
+         (event_id * 6151) % 100000 AS t
+  FROM m
+),
+eps AS (SELECT 400000e0 * sqrt(10000e0 / count(*)) AS e FROM q),
+agg AS (
+  SELECT
+    count(*) FILTER (WHERE CAST((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS DOUBLE)
+                           <= (SELECT e*e FROM eps)) AS ns,
+    count(*) FILTER (WHERE abs(a.t - b.t) <= 200) AS nt,
+    count(*) FILTER (WHERE CAST((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS DOUBLE)
+                           <= (SELECT e*e FROM eps)
+                       AND abs(a.t - b.t) <= 200) AS x
+  FROM q a JOIN q b ON a.id < b.id
+),
+nn AS (SELECT count(*) AS n FROM q)
+SELECT nn.n AS n, (nn.n * (nn.n - 1)) // 2 AS npairs,
+       CAST(agg.ns AS BIGINT) AS ns, CAST(agg.nt AS BIGINT) AS nt,
+       CAST(agg.x AS BIGINT) AS x,
+       (CAST(agg.ns AS DOUBLE) * CAST(agg.nt AS DOUBLE))
+         / CAST((nn.n * (nn.n - 1)) // 2 AS DOUBLE) AS e_x,
+       CASE WHEN (CAST(agg.ns AS DOUBLE) * CAST(agg.nt AS DOUBLE))
+                 / CAST((nn.n * (nn.n - 1)) // 2 AS DOUBLE) > 0
+            THEN CAST(agg.x AS DOUBLE)
+                 / ((CAST(agg.ns AS DOUBLE) * CAST(agg.nt AS DOUBLE))
+                    / CAST((nn.n * (nn.n - 1)) // 2 AS DOUBLE)) END AS ratio
+FROM nn, agg
+"""
+
+
 def q_kernel_density(spark, sf_dir):
     """Quartic-kernel density estimation (operators/geostats.py::
     kernel_density — the ArcGIS Kernel Density role) at integer-KM
@@ -7527,6 +7585,7 @@ QUERIES: dict = {
     "label_regions": (q_label_regions, SQL_LABEL_REGIONS),
     "shortest_paths": (q_shortest_paths, SQL_SHORTEST_PATHS),
     "kernel_density": (q_kernel_density, SQL_KERNEL_DENSITY),
+    "knox_test": (q_knox, SQL_KNOX),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
     "variogram": (q_variogram, SQL_VARIOGRAM),
     "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
