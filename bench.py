@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "shortest_paths",
     "kernel_density",
     "knox_test",
+    "sobel_edges",
 ]
 
 

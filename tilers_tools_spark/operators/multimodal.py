@@ -788,3 +788,77 @@ def label_regions(images: DataFrame, threshold: int, band: int = 0) -> DataFrame
             yield pd.DataFrame(out)
 
     return images.mapInPandas(fn, schema=LABEL_SCHEMA)
+
+
+SOBEL_SCHEMA = (
+    "image_id string, out_w int, out_h int, sum_mag2 long, edge_px long, "
+    "pix_sum long, out binary"
+)
+
+
+def sobel(images: DataFrame, threshold: int = 128) -> DataFrame:
+    """Sobel gradient-magnitude edge extraction (Sobel-Feldman 1968;
+    the cv2.Sobel / skimage.filters.sobel role) per channel with the
+    canonical 3x3 kernels Gx = [[-1,0,1],[-2,0,2],[-1,0,1]], Gy = Gxᵀ.
+    Out-of-bounds neighbors contribute 0 (zero-pad border — documented,
+    exactly expressible relationally; NOT OpenCV's BORDER_REFLECT
+    default). Per pixel: mag² = Gx² + Gy² (exact integer, <= 32·255²
+    per axis so far inside int64), the output image is
+    min(255, floor(sqrt(mag²))) — one correctly-rounded sqrt + floor,
+    deterministic — and the audit columns are sum_mag2 (exact BIGINT),
+    edge_px = #pixels with mag² >= threshold² and pix_sum over the
+    clipped magnitude image.
+
+    One Arrow mapInPandas pass; pixels never shuffle; per-image NumPy
+    shifts (no per-pixel Python). 100 TB of tiles is map-side
+    throughput.
+    """
+    if not 0 <= threshold <= 1448:  # max magnitude = sqrt(2)*1020 < 1449
+        raise ValueError("threshold must be in [0, 1448]")
+
+    def _grad(a: np.ndarray) -> tuple:
+        p = a.astype(np.int64)
+        z = np.zeros_like(p)
+
+        def sh(dr: int, dc: int) -> np.ndarray:
+            out = z.copy()
+            h, w = p.shape[:2]
+            rs = slice(max(0, dr), min(h, h + dr))
+            rd = slice(max(0, -dr), min(h, h - dr))
+            cs = slice(max(0, dc), min(w, w + dc))
+            cd = slice(max(0, -dc), min(w, w - dc))
+            out[rd, cd] = p[rs, cs]
+            return out
+
+        gx = (
+            sh(-1, 1) + 2 * sh(0, 1) + sh(1, 1)
+            - sh(-1, -1) - 2 * sh(0, -1) - sh(1, -1)
+        )
+        gy = (
+            sh(1, -1) + 2 * sh(1, 0) + sh(1, 1)
+            - sh(-1, -1) - 2 * sh(-1, 0) - sh(-1, 1)
+        )
+        return gx, gy
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        thr2 = threshold * threshold
+        for pdf in batches:
+            out = {k: [] for k in (
+                "image_id", "out_w", "out_h", "sum_mag2", "edge_px",
+                "pix_sum", "out")}
+            for r in pdf.itertuples():
+                arr = codecs.decode_image(bytes(r.bytes), r.fmt)
+                gx, gy = _grad(arr)
+                mag2 = gx * gx + gy * gy
+                mag = np.minimum(np.floor(np.sqrt(mag2.astype(np.float64))), 255.0)
+                res = mag.astype(np.uint8)
+                out["image_id"].append(r.image_id)
+                out["out_w"].append(arr.shape[1])
+                out["out_h"].append(arr.shape[0])
+                out["sum_mag2"].append(int(mag2.sum()))
+                out["edge_px"].append(int((mag2 >= thr2).sum()))
+                out["pix_sum"].append(int(res.astype(np.int64).sum()))
+                out["out"].append(codecs.encode_raw(np.ascontiguousarray(res)))
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(fn, schema=SOBEL_SCHEMA)

@@ -1756,6 +1756,61 @@ def _sssp_sql(rounds: int = _SSSP_ROUNDS) -> str:
 SQL_SHORTEST_PATHS = _sssp_sql()
 
 
+_SOBEL_SPECS = [("sob_a", 24, 16), ("sob_b", 9, 11)]
+
+
+def q_sobel(spark, sf_dir):
+    """Sobel gradient-magnitude edges (operators/multimodal.py::sobel —
+    the cv2.Sobel role, zero-pad border) over analytic-pattern RAW
+    fixtures. The oracle recomputes Gx/Gy RELATIONALLY as ONE neighbor
+    self-join with the closed-form kernel weights gx_w = dc·(2-|dr|),
+    gy_w = dr·(2-|dc|) (out-of-bounds neighbors simply absent = the
+    zero-pad rule), then mirrors sum_mag2 / edge_px / pix_sum — mag² is
+    an exact integer; the clipped magnitude floor(sqrt(mag²)) is one
+    correctly-rounded sqrt + floor."""
+    from ..functions import codecs as cod
+    from ..operators import multimodal
+
+    rows = []
+    for image_id, w, h in _SOBEL_SPECS:
+        r, c, b = np.ogrid[0:h, 0:w, 0:3]
+        arr = ((r * 7 + c * 13 + b * 29) % 256).astype(np.uint8)
+        rows.append((image_id, cod.encode_raw(arr), "raw"))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    return multimodal.sobel(df, threshold=128).drop("out")
+
+
+def _sobel_sql() -> str:
+    ctes, legs = [], []
+    for i, (image_id, w, h) in enumerate(_SOBEL_SPECS):
+        ctes.append(
+            f"px_{i} AS (SELECT t1.r AS r, t2.c AS c, t3.b AS b, "
+            f"((t1.r*7 + t2.c*13 + t3.b*29) % 256) AS v "
+            f"FROM range(0,{h}) t1(r), range(0,{w}) t2(c), range(0,3) t3(b))"
+        )
+        ctes.append(
+            f"g_{i} AS (SELECT p1.r, p1.c, p1.b, "
+            f"SUM((p2.c - p1.c) * (2 - abs(p2.r - p1.r)) * p2.v) AS gx, "
+            f"SUM((p2.r - p1.r) * (2 - abs(p2.c - p1.c)) * p2.v) AS gy "
+            f"FROM px_{i} p1 JOIN px_{i} p2 ON p2.b = p1.b "
+            f"AND p2.r BETWEEN p1.r - 1 AND p1.r + 1 "
+            f"AND p2.c BETWEEN p1.c - 1 AND p1.c + 1 "
+            f"GROUP BY p1.r, p1.c, p1.b)"
+        )
+        legs.append(f"""
+SELECT '{image_id}' AS image_id,
+       CAST({w} AS INT) AS out_w, CAST({h} AS INT) AS out_h,
+       CAST(SUM(gx*gx + gy*gy) AS BIGINT) AS sum_mag2,
+       CAST(count(*) FILTER (WHERE gx*gx + gy*gy >= 16384) AS BIGINT) AS edge_px,
+       CAST(SUM(LEAST(255, CAST(FLOOR(sqrt(CAST(gx*gx + gy*gy AS DOUBLE))) AS BIGINT)))
+            AS BIGINT) AS pix_sum
+FROM g_{i}""")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(legs)
+
+
+SQL_SOBEL = _sobel_sql()
+
+
 def q_knox(spark, sf_dir):
     """Knox space-time interaction test (operators/geostats.py::
     knox_test — the CrimeStat role) at integer-mercator-meter event
@@ -7586,6 +7641,7 @@ QUERIES: dict = {
     "shortest_paths": (q_shortest_paths, SQL_SHORTEST_PATHS),
     "kernel_density": (q_kernel_density, SQL_KERNEL_DENSITY),
     "knox_test": (q_knox, SQL_KNOX),
+    "sobel_edges": (q_sobel, SQL_SOBEL),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
     "variogram": (q_variogram, SQL_VARIOGRAM),
     "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
