@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "kernel_density",
     "knox_test",
     "sobel_edges",
+    "stay_points",
 ]
 
 

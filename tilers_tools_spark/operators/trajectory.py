@@ -87,3 +87,79 @@ def trip_stats(
         (F.max("_us") - F.min("_us")).alias("dur_us"),
         F.sum("_hop").alias(dist_alias),
     )
+
+
+def stay_points(
+    df: DataFrame,
+    cell: int,
+    min_dwell_s: float,
+    min_pings: int = 1,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Grid-based stay-point detection (the GeoLife / telco-mobility
+    role, the SQL-able variant of Li et al. 2008): per entity, pings in
+    (ts, order_col) order are assigned a grid cell (floor(x/cell),
+    floor(y/cell) over INTEGER coordinates); a maximal run of
+    consecutive pings in the SAME cell is a candidate stay, kept when
+    dwell = t_last - t_first >= min_dwell AND the run has >= min_pings
+    pings. Output: (user, stay_idx — 0-based per entity in enter-time
+    order —, cx, cy, enter_us, exit_us, dwell_us, n_pings), every
+    column an exact integer (microsecond time math, deterministic
+    (ts, order) tie-break), bit-identical cross-engine.
+
+    Gaps-and-islands: one lag flag marks cell changes, a running sum
+    numbers the islands, one groupBy aggregates them — a single shuffle
+    on the entity key (window + groupBy share it), no UDF. Island state
+    is per-entity and bounded; 100 TB of pings shards by entity.
+    """
+    if cell < 1:
+        raise ValueError("cell must be a positive integer")
+    if min_pings < 1:
+        raise ValueError("min_pings must be >= 1")
+    dwell_us = int(round(min_dwell_s * 1_000_000))
+    if dwell_us < 0:
+        raise ValueError("min_dwell_s must be >= 0")
+    us = _micros(ts_col)
+    cw = float(cell)
+    p = df.select(
+        F.col(user_col).alias("user_id"),
+        F.col(order_col).alias("_ord"),
+        us.alias("_us"),
+        F.floor(F.col(x_col).cast("double") / F.lit(cw)).cast("long").alias("cx"),
+        F.floor(F.col(y_col).cast("double") / F.lit(cw)).cast("long").alias("cy"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("_us").asc(), F.col("_ord").asc())
+    chg = F.when(
+        F.lag("cx").over(w).isNull()
+        | (F.lag("cx").over(w) != F.col("cx"))
+        | (F.lag("cy").over(w) != F.col("cy")),
+        1,
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    isl = p.withColumn("_isl", F.sum(chg).over(run))
+    g = (
+        isl.groupBy("user_id", "_isl")
+        .agg(
+            F.min("cx").alias("cx"),
+            F.min("cy").alias("cy"),
+            F.min("_us").alias("enter_us"),
+            F.max("_us").alias("exit_us"),
+            F.count("*").alias("n_pings"),
+        )
+        .where(
+            ((F.col("exit_us") - F.col("enter_us")) >= F.lit(dwell_us))
+            & (F.col("n_pings") >= F.lit(min_pings))
+        )
+    )
+    wi = Window.partitionBy("user_id").orderBy(F.col("_isl").asc())
+    return g.select(
+        "user_id",
+        (F.row_number().over(wi) - 1).cast("long").alias("stay_idx"),
+        "cx", "cy", "enter_us", "exit_us",
+        (F.col("exit_us") - F.col("enter_us")).alias("dwell_us"),
+        F.col("n_pings").cast("long").alias("n_pings"),
+    )

@@ -1756,6 +1756,65 @@ def _sssp_sql(rounds: int = _SSSP_ROUNDS) -> str:
 SQL_SHORTEST_PATHS = _sssp_sql()
 
 
+def q_stay_points(spark, sf_dir):
+    """Grid-based stay-point detection (operators/trajectory.py::
+    stay_points — the GeoLife/telco-mobility role): per user, maximal
+    runs of consecutive pings (ts, event_id order) in the same 2^23 m
+    mercator cell, kept when dwell >= 20000 s and >= 2 pings (measured
+    at sf0.01: 490 multi-ping islands, dwell quartiles ~8.9e3/5.6e4 s —
+    the filter genuinely splits). Every column is an exact integer
+    (microsecond time math, deterministic tie-break); oracle = the
+    same lag-flag gaps-and-islands in DuckDB window functions."""
+    from ..operators import trajectory
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id")
+    m = _merc_pts(spark, sf_dir).select(
+        "event_id",
+        F.floor("mx").cast("long").alias("ix"),
+        F.floor("my").cast("long").alias("iy"),
+    )
+    return trajectory.stay_points(
+        ev.join(m, "event_id"), cell=8388608, min_dwell_s=20000.0,
+        min_pings=2, x_col="ix", y_col="iy",
+    )
+
+
+SQL_STAY_POINTS = f"""
+WITH {_PTS_SQL},
+ev AS (
+  SELECT e.event_id, e.user_id, epoch_us(e.ts) AS us,
+         CAST(FLOOR(CAST(CAST(FLOOR(m.mx) AS BIGINT) AS DOUBLE) / 8388608e0) AS BIGINT) AS cx,
+         CAST(FLOOR(CAST(CAST(FLOOR(m.my) AS BIGINT) AS DOUBLE) / 8388608e0) AS BIGINT) AS cy
+  FROM events e JOIN m USING (event_id)
+),
+g AS (
+  SELECT *, CASE WHEN LAG(cx) OVER w IS NULL OR LAG(cx) OVER w <> cx
+                   OR LAG(cy) OVER w <> cy THEN 1 ELSE 0 END AS chg
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM g
+),
+i AS (
+  SELECT user_id, isl, MIN(cx) AS cx, MIN(cy) AS cy,
+         MIN(us) AS enter_us, MAX(us) AS exit_us, count(*) AS n_pings
+  FROM s GROUP BY user_id, isl
+),
+f AS (
+  SELECT * FROM i
+  WHERE exit_us - enter_us >= 20000000000 AND n_pings >= 2
+)
+SELECT user_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY isl) - 1 AS BIGINT) AS stay_idx,
+       cx, cy, enter_us, exit_us, exit_us - enter_us AS dwell_us,
+       CAST(n_pings AS BIGINT) AS n_pings
+FROM f
+"""
+
+
 _SOBEL_SPECS = [("sob_a", 24, 16), ("sob_b", 9, 11)]
 
 
@@ -7642,6 +7701,7 @@ QUERIES: dict = {
     "kernel_density": (q_kernel_density, SQL_KERNEL_DENSITY),
     "knox_test": (q_knox, SQL_KNOX),
     "sobel_edges": (q_sobel, SQL_SOBEL),
+    "stay_points": (q_stay_points, SQL_STAY_POINTS),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
     "variogram": (q_variogram, SQL_VARIOGRAM),
     "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
