@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "knox_test",
     "sobel_edges",
     "stay_points",
+    "image_moments",
 ]
 
 

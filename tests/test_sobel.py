@@ -84,3 +84,75 @@ def test_validation(spark):
         multimodal.sobel(None, threshold=-1)
     with pytest.raises(ValueError):
         multimodal.sobel(None, threshold=1449)
+
+
+# ------------------------------------------------------------- moments
+
+
+def _mom_ref(a: np.ndarray):
+    """Per-pixel Python-int scalar reference of every output column."""
+    h, w, nb = a.shape
+    out = {}
+    for b in range(nb):
+        m = {}
+        for p, q in ((0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (0, 2), (3, 0), (0, 3)):
+            m[(p, q)] = sum(
+                (r ** p) * (c ** q) * int(a[r, c, b])
+                for r in range(h) for c in range(w)
+            )
+        m00, m10, m01 = m[(0, 0)], m[(1, 0)], m[(0, 1)]
+        out[b] = (
+            m00, m10, m01, m[(1, 1)], m[(2, 0)], m[(0, 2)], m[(3, 0)], m[(0, 3)],
+            m00 * m[(2, 0)] - m10 * m10,
+            m00 * m[(0, 2)] - m01 * m01,
+            m00 * m[(1, 1)] - m10 * m01,
+            m10 / m00 if m00 else None,
+            m01 / m00 if m00 else None,
+        )
+    return out
+
+
+def _mom_run(spark, arrs):
+    rows = [(f"i{k}", codecs.encode_raw(a), "raw") for k, a in enumerate(arrs)]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    out = {}
+    for r in multimodal.image_moments(df).collect():
+        out[(r["image_id"], r["b"])] = (
+            r["m00"], r["m10"], r["m01"], r["m11"], r["m20"], r["m02"],
+            r["m30"], r["m03"], r["mu20_num"], r["mu02_num"], r["mu11_num"],
+            r["cbar_r"], r["cbar_c"])
+    return out
+
+
+def test_moments_vs_scalar_reference(spark):
+    rng = np.random.default_rng(29)
+    arrs = [rng.integers(0, 256, size=(6, 9, 3)).astype(np.uint8),
+            rng.integers(0, 256, size=(11, 4, 3)).astype(np.uint8)]
+    got = _mom_run(spark, arrs)
+    for k, a in enumerate(arrs):
+        ref = _mom_ref(a)
+        for b in range(3):
+            g = got[(f"i{k}", b)]
+            assert g[:11] == ref[b][:11], (k, b)
+            assert g[11] == pytest.approx(ref[b][11], abs=0.0)
+            assert g[12] == pytest.approx(ref[b][12], abs=0.0)
+
+
+def test_moments_hand_kat_single_pixel(spark):
+    # one lit pixel at (r=2, c=3), v=10: m_pq = 2^p 3^q * 10; centroid (2,3);
+    # central numerators all zero (a point mass has no spread)
+    a = np.zeros((4, 5, 3), np.uint8)
+    a[2, 3, 0] = 10
+    g = _mom_run(spark, [a])[("i0", 0)]
+    assert g[:8] == (10, 20, 30, 60, 40, 90, 80, 270)
+    assert g[8:11] == (0, 0, 0)
+    assert (g[11], g[12]) == (2.0, 3.0)
+    # all-zero channel: NULL centroid
+    gz = _mom_run(spark, [a])[("i0", 1)]
+    assert gz[0] == 0 and gz[11] is None and gz[12] is None
+
+
+def test_moments_dim_cap(spark):
+    a = np.zeros((1, 2049, 3), np.uint8)
+    with pytest.raises(Exception, match="2048"):
+        _mom_run(spark, [a])

@@ -862,3 +862,92 @@ def sobel(images: DataFrame, threshold: int = 128) -> DataFrame:
             yield pd.DataFrame(out)
 
     return images.mapInPandas(fn, schema=SOBEL_SCHEMA)
+
+
+MOMENTS_SCHEMA = (
+    "image_id string, b int, m00 long, m10 long, m01 long, m11 long, "
+    "m20 long, m02 long, m30 long, m03 long, "
+    "mu20_num long, mu02_num long, mu11_num long, cbar_r double, cbar_c double"
+)
+
+
+def image_moments(images: DataFrame) -> DataFrame:
+    """Raw image moments per channel (the cv2.moments role; Gonzalez &
+    Woods §11.3): m_pq = Σ_r Σ_c r^p · c^q · v(r,c) for pq in {00, 10,
+    01, 11, 20, 02, 30, 03} — EXACT BIGINTs. Dimensions are capped at
+    2048 (validated): the worst raw term m30 <= 255·2048·Σr³ ≈ 2.3e18
+    stays inside int64. Central second moments ship as exact INTEGER
+    numerators over the common denominator m00:
+
+        mu20_num = m00·m20 - m10²   (μ20 = mu20_num / m00)
+        mu02_num = m00·m02 - m01²
+        mu11_num = m00·m11 - m10·m01
+
+    computed in arbitrary-precision Python ints — the DIFFERENCE is
+    ~v²w²h⁴/12 (fits int64 for tiles up to ~340², i.e. every 256² tile
+    this engine cuts), and a result outside int64 raises loudly rather
+    than wrapping.
+
+    Convention: r is the ROW index, c the COLUMN index; m10 weights r,
+    m01 weights c (matrix convention, mirrored by the relational
+    oracle; cv2 uses x=column — callers translating to cv2 swap).
+    The centroid is the two single documented-order doubles
+    cbar_r = m10/m00, cbar_c = m01/m00. All-zero channels emit the
+    moment row with NULL centroids (m00 = 0).
+
+    One Arrow mapInPandas pass; NumPy outer-product sums; pixels never
+    shuffle.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("image_id", "b", "m00", "m10", "m01", "m11", "m20", "m02",
+                "m30", "m03", "mu20_num", "mu02_num", "mu11_num",
+                "cbar_r", "cbar_c")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for rec in pdf.itertuples():
+                arr = codecs.decode_image(bytes(rec.bytes), rec.fmt)
+                h, w = arr.shape[:2]
+                if h > 2048 or w > 2048:
+                    raise ValueError(
+                        f"image {rec.image_id} is {w}x{h}; moments are exact "
+                        "only for dimensions <= 2048 (int64 bound)")
+                r = np.arange(h, dtype=np.int64)
+                c = np.arange(w, dtype=np.int64)
+                for b in range(arr.shape[2]):
+                    v = arr[:, :, b].astype(np.int64)
+                    rs = v.sum(axis=1)   # Σ_c v per row
+                    cs = v.sum(axis=0)   # Σ_r v per col
+                    m00 = int(v.sum())
+                    m10 = int((r * rs).sum())
+                    m01 = int((c * cs).sum())
+                    m20 = int((r * r * rs).sum())
+                    m02 = int((c * c * cs).sum())
+                    m30 = int((r * r * r * rs).sum())
+                    m03 = int((c * c * c * cs).sum())
+                    m11 = int((r[:, None] * c[None, :] * v).sum())
+                    out["image_id"].append(rec.image_id)
+                    out["b"].append(b)
+                    out["m00"].append(m00)
+                    out["m10"].append(m10)
+                    out["m01"].append(m01)
+                    out["m11"].append(m11)
+                    out["m20"].append(m20)
+                    out["m02"].append(m02)
+                    out["m30"].append(m30)
+                    out["m03"].append(m03)
+                    for key, val in (
+                        ("mu20_num", m00 * m20 - m10 * m10),
+                        ("mu02_num", m00 * m02 - m01 * m01),
+                        ("mu11_num", m00 * m11 - m10 * m01),
+                    ):
+                        if not -(2**63) <= val < 2**63:
+                            raise ValueError(
+                                f"{key} overflows int64 for image "
+                                f"{rec.image_id} ({w}x{h}); cut smaller tiles")
+                        out[key].append(val)
+                    out["cbar_r"].append(m10 / m00 if m00 else None)
+                    out["cbar_c"].append(m01 / m00 if m00 else None)
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(fn, schema=MOMENTS_SCHEMA)

@@ -1756,6 +1756,58 @@ def _sssp_sql(rounds: int = _SSSP_ROUNDS) -> str:
 SQL_SHORTEST_PATHS = _sssp_sql()
 
 
+_MOM_SPECS = [("mom_a", 24, 16), ("mom_b", 9, 11)]
+
+
+def q_image_moments(spark, sf_dir):
+    """Raw + central image moments (operators/multimodal.py::
+    image_moments — the cv2.moments role): m_pq for pq in {00,10,01,11,
+    20,02,30,03} as exact BIGINTs per channel, central second-moment
+    NUMERATORS m00·m_pq - products (exact), centroid doubles. Oracle =
+    direct relational SUMs of r^p·c^q·v over the inlined pattern with
+    HUGEINT-safe numerator algebra."""
+    from ..functions import codecs as cod
+    from ..operators import multimodal
+
+    rows = []
+    for image_id, w, h in _MOM_SPECS:
+        r, c, b = np.ogrid[0:h, 0:w, 0:3]
+        arr = ((r * 7 + c * 13 + b * 29) % 256).astype(np.uint8)
+        rows.append((image_id, cod.encode_raw(arr), "raw"))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    return multimodal.image_moments(df)
+
+
+def _mom_sql() -> str:
+    ctes, legs = [], []
+    for i, (image_id, w, h) in enumerate(_MOM_SPECS):
+        ctes.append(
+            f"px_{i} AS (SELECT t1.r AS r, t2.c AS c, t3.b AS b, "
+            f"((t1.r*7 + t2.c*13 + t3.b*29) % 256) AS v "
+            f"FROM range(0,{h}) t1(r), range(0,{w}) t2(c), range(0,3) t3(b))"
+        )
+        ctes.append(
+            f"m_{i} AS (SELECT b, CAST(SUM(v) AS BIGINT) AS m00, "
+            f"CAST(SUM(r*v) AS BIGINT) AS m10, CAST(SUM(c*v) AS BIGINT) AS m01, "
+            f"CAST(SUM(r*c*v) AS BIGINT) AS m11, CAST(SUM(r*r*v) AS BIGINT) AS m20, "
+            f"CAST(SUM(c*c*v) AS BIGINT) AS m02, CAST(SUM(r*r*r*v) AS BIGINT) AS m30, "
+            f"CAST(SUM(c*c*c*v) AS BIGINT) AS m03 FROM px_{i} GROUP BY b)"
+        )
+        legs.append(f"""
+SELECT '{image_id}' AS image_id, CAST(b AS INT) AS b,
+       m00, m10, m01, m11, m20, m02, m30, m03,
+       CAST(CAST(m00 AS HUGEINT)*m20 - CAST(m10 AS HUGEINT)*m10 AS BIGINT) AS mu20_num,
+       CAST(CAST(m00 AS HUGEINT)*m02 - CAST(m01 AS HUGEINT)*m01 AS BIGINT) AS mu02_num,
+       CAST(CAST(m00 AS HUGEINT)*m11 - CAST(m10 AS HUGEINT)*m01 AS BIGINT) AS mu11_num,
+       CASE WHEN m00 > 0 THEN CAST(m10 AS DOUBLE) / CAST(m00 AS DOUBLE) END AS cbar_r,
+       CASE WHEN m00 > 0 THEN CAST(m01 AS DOUBLE) / CAST(m00 AS DOUBLE) END AS cbar_c
+FROM m_{i}""")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(legs)
+
+
+SQL_IMAGE_MOMENTS = _mom_sql()
+
+
 def q_stay_points(spark, sf_dir):
     """Grid-based stay-point detection (operators/trajectory.py::
     stay_points — the GeoLife/telco-mobility role): per user, maximal
@@ -7702,6 +7754,7 @@ QUERIES: dict = {
     "knox_test": (q_knox, SQL_KNOX),
     "sobel_edges": (q_sobel, SQL_SOBEL),
     "stay_points": (q_stay_points, SQL_STAY_POINTS),
+    "image_moments": (q_image_moments, SQL_IMAGE_MOMENTS),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
     "variogram": (q_variogram, SQL_VARIOGRAM),
     "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
