@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "sobel_edges",
     "stay_points",
     "image_moments",
+    "glcm_stats",
 ]
 
 

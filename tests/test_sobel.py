@@ -156,3 +156,77 @@ def test_moments_dim_cap(spark):
     a = np.zeros((1, 2049, 3), np.uint8)
     with pytest.raises(Exception, match="2048"):
         _mom_run(spark, [a])
+
+
+# ---------------------------------------------------------------- GLCM
+
+
+def _glcm_ref(a: np.ndarray, dr, dc, levels):
+    step = 256 // levels
+    h, w, nb = a.shape
+    out = {}
+    for b in range(nb):
+        cnt = {}
+        for r in range(h):
+            for c in range(w):
+                r2, c2 = r + dr, c + dc
+                if 0 <= r2 < h and 0 <= c2 < w:
+                    key = (int(a[r, c, b]) // step, int(a[r2, c2, b]) // step)
+                    cnt[key] = cnt.get(key, 0) + 1
+        npairs = sum(cnt.values())
+        contrast = sum(v * (i - j) ** 2 for (i, j), v in cnt.items())
+        dissim = sum(v * abs(i - j) for (i, j), v in cnt.items())
+        energy = sum(v * v for v in cnt.values())
+        out[b] = (npairs, contrast, dissim, energy,
+                  max(cnt.values()) if cnt else 0)
+    return out
+
+
+def _glcm_run(spark, arrs, dr, dc, levels=8):
+    rows = [(f"i{k}", codecs.encode_raw(a), "raw") for k, a in enumerate(arrs)]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    out = {}
+    for r in multimodal.glcm_stats(df, dr, dc, levels=levels).collect():
+        out[(r["image_id"], r["b"])] = (
+            r["npairs"], r["contrast"], r["dissim"], r["energy"], r["max_count"])
+    return out
+
+
+def test_glcm_vs_scalar_reference(spark):
+    rng = np.random.default_rng(7)
+    arrs = [rng.integers(0, 256, size=(8, 11, 3)).astype(np.uint8)]
+    for dr, dc, lv in ((0, 1, 8), (1, 0, 4), (1, -1, 16), (-2, 3, 8)):
+        got = _glcm_run(spark, arrs, dr, dc, lv)
+        ref = _glcm_ref(arrs[0], dr, dc, lv)
+        for b in range(3):
+            assert got[("i0", b)] == ref[b], (dr, dc, lv, b)
+
+
+def test_glcm_hand_kat_flat_and_ramp(spark):
+    # flat image: all pairs land on one diagonal cell -> contrast 0,
+    # energy = npairs², max = npairs
+    a = np.full((4, 6, 3), 200, np.uint8)
+    got = _glcm_run(spark, [a], 0, 1)["i0", 0]
+    npairs = 4 * 5
+    assert got == (npairs, 0, 0, npairs * npairs, npairs)
+    # a hard step 0|255 at c=3, offset (0,1): one crossing pair per row
+    # at levels 8: (0,7) x4; within-region pairs (0,0) x8 and (7,7) x8
+    a = np.zeros((4, 6, 3), np.uint8)
+    a[:, 3:, :] = 255
+    got = _glcm_run(spark, [a], 0, 1)["i0", 0]
+    assert got == (20, 4 * 49, 4 * 7, 8 * 8 + 8 * 8 + 4 * 4, 8)
+
+
+def test_glcm_offset_exceeds_image(spark):
+    a = np.zeros((3, 3, 3), np.uint8)
+    got = _glcm_run(spark, [a], 0, 5)["i0", 0]
+    assert got == (0, 0, 0, 0, 0)
+
+
+def test_glcm_validation(spark):
+    with pytest.raises(ValueError):
+        multimodal.glcm_stats(None, 0, 0)
+    with pytest.raises(ValueError):
+        multimodal.glcm_stats(None, 0, 1, levels=3)
+    with pytest.raises(ValueError):
+        multimodal.glcm_stats(None, 0, 65)

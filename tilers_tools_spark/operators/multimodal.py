@@ -951,3 +951,75 @@ def image_moments(images: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return images.mapInPandas(fn, schema=MOMENTS_SCHEMA)
+
+
+GLCM_SCHEMA = (
+    "image_id string, b int, npairs long, contrast long, dissim long, "
+    "energy long, max_count long"
+)
+
+
+def glcm_stats(
+    images: DataFrame, dr: int = 0, dc: int = 1, levels: int = 8
+) -> DataFrame:
+    """Gray-level co-occurrence texture statistics (Haralick 1973; the
+    skimage.feature.graycomatrix/graycoprops role) per channel for ONE
+    pixel offset (dr, dc): pixel values quantize to `levels` bins
+    (i = v // (256/levels); levels must divide 256), the co-occurrence
+    census c(i,j) counts in-bounds pixel pairs (p, p+offset)
+    (ASYMMETRIC, the graycomatrix symmetric=False default), and the
+    emitted statistics are the EXACT-INTEGER Haralick forms:
+
+        npairs    = Σ c(i,j)
+        contrast  = Σ c(i,j)·(i-j)²
+        dissim    = Σ c(i,j)·|i-j|
+        energy    = Σ c(i,j)²        (the ASM numerator; ASM =
+                                      energy/npairs² is one division away)
+        max_count = max c(i,j)       (the mode pair)
+
+    Rational/transcendental props (homogeneity, entropy) are omitted:
+    their float accumulation order is engine-dependent, which breaks
+    the bit-identical contract — the exact numerators above carry the
+    same texture signal. One Arrow mapInPandas pass (NumPy bincount on
+    i·L+j); pixels never shuffle.
+    """
+    if levels not in (2, 4, 8, 16, 32, 64, 128, 256):
+        raise ValueError("levels must be a power of two dividing 256")
+    if (dr, dc) == (0, 0):
+        raise ValueError("offset must be non-zero")
+    if abs(dr) > 64 or abs(dc) > 64:
+        raise ValueError("offset components must be in [-64, 64]")
+    step = 256 // levels
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "image_id", "b", "npairs", "contrast", "dissim", "energy",
+                "max_count")}
+            for rec in pdf.itertuples():
+                arr = codecs.decode_image(bytes(rec.bytes), rec.fmt)
+                h, w = arr.shape[:2]
+                r0, r1 = max(0, -dr), min(h, h - dr)
+                c0, c1 = max(0, -dc), min(w, w - dc)
+                for b in range(arr.shape[2]):
+                    q = (arr[:, :, b] // step).astype(np.int64)
+                    if r0 >= r1 or c0 >= c1:
+                        cnt = np.zeros(0, np.int64)
+                    else:
+                        i = q[r0:r1, c0:c1]
+                        j = q[r0 + dr:r1 + dr, c0 + dc:c1 + dc]
+                        cnt = np.bincount(
+                            (i * levels + j).ravel(), minlength=levels * levels)
+                    ii, jj = np.divmod(np.arange(cnt.size, dtype=np.int64), levels)
+                    d = ii - jj
+                    out["image_id"].append(rec.image_id)
+                    out["b"].append(b)
+                    out["npairs"].append(int(cnt.sum()))
+                    out["contrast"].append(int((cnt * d * d).sum()))
+                    out["dissim"].append(int((cnt * np.abs(d)).sum()))
+                    # Σc² <= (Σc)² = npairs² <= ~1.8e13 at the 2048 dim cap
+                    out["energy"].append(int((cnt * cnt).sum()))
+                    out["max_count"].append(int(cnt.max()) if cnt.size else 0)
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(fn, schema=GLCM_SCHEMA)

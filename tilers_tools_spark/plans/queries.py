@@ -1756,6 +1756,64 @@ def _sssp_sql(rounds: int = _SSSP_ROUNDS) -> str:
 SQL_SHORTEST_PATHS = _sssp_sql()
 
 
+_GLCM_SPECS = [("glcm_a", 24, 16), ("glcm_b", 9, 11)]
+_GLCM_OFFS = [(0, 1), (1, -1)]
+
+
+def q_glcm(spark, sf_dir):
+    """GLCM texture statistics (operators/multimodal.py::glcm_stats —
+    the skimage graycomatrix/graycoprops role) at two offsets ((0,1)
+    horizontal and (1,-1) anti-diagonal) over analytic-pattern RAW
+    fixtures, 8 levels: npairs/contrast/dissim/energy/max_count are the
+    exact-integer Haralick forms. Oracle = the offset self-join census
+    (p2 at p1+offset, values quantized v//32) aggregated twice."""
+    from ..functions import codecs as cod
+    from ..operators import multimodal
+
+    rows = []
+    for image_id, w, h in _GLCM_SPECS:
+        r, c, b = np.ogrid[0:h, 0:w, 0:3]
+        arr = ((r * 7 + c * 13 + b * 29) % 256).astype(np.uint8)
+        rows.append((image_id, cod.encode_raw(arr), "raw"))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    out = None
+    for dr, dc in _GLCM_OFFS:
+        part = multimodal.glcm_stats(df, dr, dc, levels=8).withColumn(
+            "off", F.lit(f"{dr},{dc}"))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _glcm_sql() -> str:
+    ctes, legs = [], []
+    for i, (image_id, w, h) in enumerate(_GLCM_SPECS):
+        ctes.append(
+            f"px_{i} AS (SELECT t1.r AS r, t2.c AS c, t3.b AS b, "
+            f"((t1.r*7 + t2.c*13 + t3.b*29) % 256) AS v "
+            f"FROM range(0,{h}) t1(r), range(0,{w}) t2(c), range(0,3) t3(b))"
+        )
+        for k, (dr, dc) in enumerate(_GLCM_OFFS):
+            ctes.append(
+                f"cc_{i}_{k} AS (SELECT p1.b AS b, p1.v // 32 AS i, p2.v // 32 AS j, "
+                f"count(*) AS c FROM px_{i} p1 JOIN px_{i} p2 "
+                f"ON p2.b = p1.b AND p2.r = p1.r + {dr} AND p2.c = p1.c + {dc} "
+                f"GROUP BY 1, 2, 3)"
+            )
+            legs.append(f"""
+SELECT '{image_id}' AS image_id, CAST(b AS INT) AS b,
+       CAST(SUM(c) AS BIGINT) AS npairs,
+       CAST(SUM(c * (i-j) * (i-j)) AS BIGINT) AS contrast,
+       CAST(SUM(c * abs(i-j)) AS BIGINT) AS dissim,
+       CAST(SUM(c * c) AS BIGINT) AS energy,
+       CAST(MAX(c) AS BIGINT) AS max_count,
+       '{dr},{dc}' AS off
+FROM cc_{i}_{k} GROUP BY b""")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(legs)
+
+
+SQL_GLCM = _glcm_sql()
+
+
 _MOM_SPECS = [("mom_a", 24, 16), ("mom_b", 9, 11)]
 
 
@@ -7755,6 +7813,7 @@ QUERIES: dict = {
     "sobel_edges": (q_sobel, SQL_SOBEL),
     "stay_points": (q_stay_points, SQL_STAY_POINTS),
     "image_moments": (q_image_moments, SQL_IMAGE_MOMENTS),
+    "glcm_stats": (q_glcm, SQL_GLCM),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
     "variogram": (q_variogram, SQL_VARIOGRAM),
     "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
