@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "stay_points",
     "image_moments",
     "glcm_stats",
+    "harris_corners",
 ]
 
 

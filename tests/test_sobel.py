@@ -230,3 +230,91 @@ def test_glcm_validation(spark):
         multimodal.glcm_stats(None, 0, 1, levels=3)
     with pytest.raises(ValueError):
         multimodal.glcm_stats(None, 0, 65)
+
+
+# -------------------------------------------------------------- Harris
+
+
+def _harris_ref(a: np.ndarray, threshold=0):
+    """Scalar reference with explicit per-pixel loops over the published
+    chain (Sobel taps -> box sums -> 25·det - trace² -> local max)."""
+    h, w, nb = a.shape
+    out = {}
+    for b in range(nb):
+        p = a[:, :, b].astype(int)
+
+        def px(r, c):
+            return int(p[r, c]) if 0 <= r < h and 0 <= c < w else 0
+
+        gx = [[sum(wt * px(r + dr, c + dc) for dr, dc, wt in KX)
+               for c in range(w)] for r in range(h)]
+        gy = [[sum(wt * px(r + dr, c + dc) for dr, dc, wt in KY)
+               for c in range(w)] for r in range(h)]
+
+        def box(m, r, c):
+            return sum(
+                m[r + dr][c + dc]
+                for dr in (-1, 0, 1) for dc in (-1, 0, 1)
+                if 0 <= r + dr < h and 0 <= c + dc < w)
+
+        r25 = [[0] * w for _ in range(h)]
+        for r in range(h):
+            for c in range(w):
+                sxx = box([[x * x for x in row] for row in gx], r, c)
+                syy = box([[y * y for y in row] for row in gy], r, c)
+                sxy = box([[gx[i][j] * gy[i][j] for j in range(w)]
+                           for i in range(h)], r, c)
+                r25[r][c] = 25 * (sxx * syy - sxy * sxy) - (sxx + syy) ** 2
+        n_corners = 0
+        for r in range(h):
+            for c in range(w):
+                nbmax = max(
+                    r25[r + dr][c + dc]
+                    for dr in (-1, 0, 1) for dc in (-1, 0, 1)
+                    if 0 <= r + dr < h and 0 <= c + dc < w)
+                if r25[r][c] >= threshold and r25[r][c] >= nbmax:
+                    n_corners += 1
+        flat = [v for row in r25 for v in row]
+        out[b] = (n_corners, max(flat), sum(v for v in flat if v > 0))
+    return out
+
+
+def _harris_run(spark, arrs, threshold=0):
+    rows = [(f"i{k}", codecs.encode_raw(a), "raw") for k, a in enumerate(arrs)]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    return {
+        (r["image_id"], r["b"]): (r["n_corners"], r["max_r25"], r["sum_pos"])
+        for r in multimodal.harris_corners(df, threshold=threshold).collect()
+    }
+
+
+def test_harris_vs_scalar_reference(spark):
+    rng = np.random.default_rng(37)
+    a = rng.integers(0, 256, size=(7, 8, 3)).astype(np.uint8)
+    got = _harris_run(spark, [a])
+    ref = _harris_ref(a)
+    for b in range(3):
+        assert got[("i0", b)] == ref[b], b
+
+
+def test_harris_flat_matches_reference(spark):
+    # flat image: the interior is gradient-free (r25 = 0) but the
+    # zero-pad BORDER is a step — the image frame itself responds, so
+    # assert against the scalar reference, not naive all-zeros
+    a = np.full((5, 6, 3), 130, np.uint8)
+    for thr in (0, 1):
+        got = _harris_run(spark, [a], threshold=thr)[("i0", 0)]
+        assert got == _harris_ref(a, threshold=thr)[0], thr
+
+
+def test_harris_corner_beats_edge(spark):
+    # an L-shaped white block: the inner corner pixel responds positively;
+    # a long straight edge yields non-positive r25 (det ~ 0) — the classic
+    # Harris discrimination. Verify against the scalar reference and that
+    # at least one strictly positive corner exists.
+    a = np.zeros((9, 9, 3), np.uint8)
+    a[3:, 3:, :] = 255
+    got = _harris_run(spark, [a], threshold=1)
+    ref = _harris_ref(a, threshold=1)
+    assert got[("i0", 0)] == ref[0]
+    assert got[("i0", 0)][0] >= 1 and got[("i0", 0)][1] > 0

@@ -796,6 +796,33 @@ SOBEL_SCHEMA = (
 )
 
 
+def _sobel_grad(a: np.ndarray) -> tuple:
+    """Canonical Sobel Gx/Gy over (H,W,C) int64, zero-pad border —
+    shared by ::sobel and ::harris_corners (one kernel definition)."""
+    p = a.astype(np.int64)
+    z = np.zeros_like(p)
+
+    def sh(dr: int, dc: int) -> np.ndarray:
+        out = z.copy()
+        h, w = p.shape[:2]
+        rs = slice(max(0, dr), min(h, h + dr))
+        rd = slice(max(0, -dr), min(h, h - dr))
+        cs = slice(max(0, dc), min(w, w + dc))
+        cd = slice(max(0, -dc), min(w, w - dc))
+        out[rd, cd] = p[rs, cs]
+        return out
+
+    gx = (
+        sh(-1, 1) + 2 * sh(0, 1) + sh(1, 1)
+        - sh(-1, -1) - 2 * sh(0, -1) - sh(1, -1)
+    )
+    gy = (
+        sh(1, -1) + 2 * sh(1, 0) + sh(1, 1)
+        - sh(-1, -1) - 2 * sh(-1, 0) - sh(-1, 1)
+    )
+    return gx, gy
+
+
 def sobel(images: DataFrame, threshold: int = 128) -> DataFrame:
     """Sobel gradient-magnitude edge extraction (Sobel-Feldman 1968;
     the cv2.Sobel / skimage.filters.sobel role) per channel with the
@@ -816,30 +843,6 @@ def sobel(images: DataFrame, threshold: int = 128) -> DataFrame:
     if not 0 <= threshold <= 1448:  # max magnitude = sqrt(2)*1020 < 1449
         raise ValueError("threshold must be in [0, 1448]")
 
-    def _grad(a: np.ndarray) -> tuple:
-        p = a.astype(np.int64)
-        z = np.zeros_like(p)
-
-        def sh(dr: int, dc: int) -> np.ndarray:
-            out = z.copy()
-            h, w = p.shape[:2]
-            rs = slice(max(0, dr), min(h, h + dr))
-            rd = slice(max(0, -dr), min(h, h - dr))
-            cs = slice(max(0, dc), min(w, w + dc))
-            cd = slice(max(0, -dc), min(w, w - dc))
-            out[rd, cd] = p[rs, cs]
-            return out
-
-        gx = (
-            sh(-1, 1) + 2 * sh(0, 1) + sh(1, 1)
-            - sh(-1, -1) - 2 * sh(0, -1) - sh(1, -1)
-        )
-        gy = (
-            sh(1, -1) + 2 * sh(1, 0) + sh(1, 1)
-            - sh(-1, -1) - 2 * sh(-1, 0) - sh(-1, 1)
-        )
-        return gx, gy
-
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         thr2 = threshold * threshold
         for pdf in batches:
@@ -848,7 +851,7 @@ def sobel(images: DataFrame, threshold: int = 128) -> DataFrame:
                 "pix_sum", "out")}
             for r in pdf.itertuples():
                 arr = codecs.decode_image(bytes(r.bytes), r.fmt)
-                gx, gy = _grad(arr)
+                gx, gy = _sobel_grad(arr)
                 mag2 = gx * gx + gy * gy
                 mag = np.minimum(np.floor(np.sqrt(mag2.astype(np.float64))), 255.0)
                 res = mag.astype(np.uint8)
@@ -1023,3 +1026,78 @@ def glcm_stats(
             yield pd.DataFrame(out)
 
     return images.mapInPandas(fn, schema=GLCM_SCHEMA)
+
+
+HARRIS_SCHEMA = (
+    "image_id string, b int, n_corners long, max_r25 long, sum_pos long"
+)
+
+
+def harris_corners(images: DataFrame, threshold: int = 0) -> DataFrame:
+    """Harris-Stephens corner response (Harris & Stephens 1988; the
+    cv2.cornerHarris role) per channel, made EXACT-INTEGER by fixing
+    k = 0.04 = 1/25 (the standard default) and scaling by 25:
+
+        gx, gy   = Sobel derivatives (zero-pad border, as ::sobel)
+        Sxx/Syy/Sxy = 3x3 box sums of gx², gy², gx·gy (zero-pad)
+        r25      = 25·(Sxx·Syy - Sxy²) - (Sxx + Syy)²   ( = 25·R )
+
+    Worst case |r25| <= 25·(9·1020²)² ≈ 2.2e15 — inside int64 with no
+    rounding anywhere. A CORNER is a pixel with r25 >= threshold that
+    is a 3x3 local maximum of r25 (>= all in-bounds neighbors — plateau
+    pixels all count, documented; ties are exact-integer so the rule is
+    engine-independent). Emits per (image, channel): n_corners,
+    max_r25, sum_pos = Σ max(r25, 0) — audit numbers a relational
+    engine can replay with three nested neighbor joins.
+
+    One Arrow mapInPandas pass; vectorized NumPy shifts; pixels never
+    shuffle.
+    """
+
+    def _box(a: np.ndarray) -> np.ndarray:
+        h, w = a.shape
+        out = np.zeros_like(a)
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                rs = slice(max(0, dr), min(h, h + dr))
+                rd = slice(max(0, -dr), min(h, h - dr))
+                cs = slice(max(0, dc), min(w, w + dc))
+                cd = slice(max(0, -dc), min(w, w - dc))
+                out[rd, cd] += a[rs, cs]
+        return out
+
+    def _nbmax(a: np.ndarray) -> np.ndarray:
+        h, w = a.shape
+        out = np.full_like(a, np.iinfo(np.int64).min)
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                rs = slice(max(0, dr), min(h, h + dr))
+                rd = slice(max(0, -dr), min(h, h - dr))
+                cs = slice(max(0, dc), min(w, w + dc))
+                cd = slice(max(0, -dc), min(w, w - dc))
+                out[rd, cd] = np.maximum(out[rd, cd], a[rs, cs])
+        return out
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "image_id", "b", "n_corners", "max_r25", "sum_pos")}
+            for rec in pdf.itertuples():
+                arr = codecs.decode_image(bytes(rec.bytes), rec.fmt)
+                for b in range(arr.shape[2]):
+                    ch = arr[:, :, b:b + 1]
+                    gx3, gy3 = _sobel_grad(ch)
+                    gx, gy = gx3[:, :, 0], gy3[:, :, 0]
+                    sxx = _box(gx * gx)
+                    syy = _box(gy * gy)
+                    sxy = _box(gx * gy)
+                    r25 = 25 * (sxx * syy - sxy * sxy) - (sxx + syy) ** 2
+                    is_corner = (r25 >= threshold) & (r25 >= _nbmax(r25))
+                    out["image_id"].append(rec.image_id)
+                    out["b"].append(b)
+                    out["n_corners"].append(int(is_corner.sum()))
+                    out["max_r25"].append(int(r25.max()))
+                    out["sum_pos"].append(int(np.maximum(r25, 0).sum()))
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(fn, schema=HARRIS_SCHEMA)

@@ -1756,6 +1756,70 @@ def _sssp_sql(rounds: int = _SSSP_ROUNDS) -> str:
 SQL_SHORTEST_PATHS = _sssp_sql()
 
 
+_HARRIS_SPECS = [("har_a", 24, 16), ("har_b", 9, 11)]
+
+
+def q_harris(spark, sf_dir):
+    """Harris-Stephens corner response (operators/multimodal.py::
+    harris_corners — the cv2.cornerHarris role at the standard k=0.04,
+    exact-integer as r25 = 25·det - trace²): oracle replays the whole
+    chain relationally — Sobel grads via closed-form weights, 3x3 box
+    sums, the r25 polynomial, local-max via one more neighbor join —
+    and mirrors n_corners / max_r25 / sum_pos."""
+    from ..functions import codecs as cod
+    from ..operators import multimodal
+
+    rows = []
+    for image_id, w, h in _HARRIS_SPECS:
+        r, c, b = np.ogrid[0:h, 0:w, 0:3]
+        arr = ((r * 7 + c * 13 + b * 29) % 256).astype(np.uint8)
+        rows.append((image_id, cod.encode_raw(arr), "raw"))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    return multimodal.harris_corners(df, threshold=0)
+
+
+def _harris_sql() -> str:
+    ctes, legs = [], []
+    nb = ("ON p2.b = p1.b AND p2.r BETWEEN p1.r - 1 AND p1.r + 1 "
+          "AND p2.c BETWEEN p1.c - 1 AND p1.c + 1")
+    for i, (image_id, w, h) in enumerate(_HARRIS_SPECS):
+        ctes.append(
+            f"px_{i} AS (SELECT t1.r AS r, t2.c AS c, t3.b AS b, "
+            f"((t1.r*7 + t2.c*13 + t3.b*29) % 256) AS v "
+            f"FROM range(0,{h}) t1(r), range(0,{w}) t2(c), range(0,3) t3(b))"
+        )
+        ctes.append(
+            f"g_{i} AS (SELECT p1.r, p1.c, p1.b, "
+            f"SUM((p2.c - p1.c) * (2 - abs(p2.r - p1.r)) * p2.v) AS gx, "
+            f"SUM((p2.r - p1.r) * (2 - abs(p2.c - p1.c)) * p2.v) AS gy "
+            f"FROM px_{i} p1 JOIN px_{i} p2 {nb} GROUP BY 1, 2, 3)"
+        )
+        ctes.append(
+            f"s_{i} AS (SELECT p1.r, p1.c, p1.b, SUM(p2.gx*p2.gx) AS sxx, "
+            f"SUM(p2.gy*p2.gy) AS syy, SUM(p2.gx*p2.gy) AS sxy "
+            f"FROM g_{i} p1 JOIN g_{i} p2 {nb} GROUP BY 1, 2, 3)"
+        )
+        ctes.append(
+            f"r_{i} AS (SELECT r, c, b, "
+            f"25*(sxx*syy - sxy*sxy) - (sxx+syy)*(sxx+syy) AS r25 FROM s_{i})"
+        )
+        ctes.append(
+            f"nm_{i} AS (SELECT p1.r, p1.c, p1.b, MAX(p2.r25) AS nbmax "
+            f"FROM r_{i} p1 JOIN r_{i} p2 {nb} GROUP BY 1, 2, 3)"
+        )
+        legs.append(f"""
+SELECT '{image_id}' AS image_id, CAST(a.b AS INT) AS b,
+       CAST(count(*) FILTER (WHERE a.r25 >= 0 AND a.r25 >= m.nbmax) AS BIGINT) AS n_corners,
+       CAST(MAX(a.r25) AS BIGINT) AS max_r25,
+       CAST(SUM(GREATEST(a.r25, 0)) AS BIGINT) AS sum_pos
+FROM r_{i} a JOIN nm_{i} m ON m.r = a.r AND m.c = a.c AND m.b = a.b
+GROUP BY a.b""")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(legs)
+
+
+SQL_HARRIS = _harris_sql()
+
+
 _GLCM_SPECS = [("glcm_a", 24, 16), ("glcm_b", 9, 11)]
 _GLCM_OFFS = [(0, 1), (1, -1)]
 
@@ -7814,6 +7878,7 @@ QUERIES: dict = {
     "stay_points": (q_stay_points, SQL_STAY_POINTS),
     "image_moments": (q_image_moments, SQL_IMAGE_MOMENTS),
     "glcm_stats": (q_glcm, SQL_GLCM),
+    "harris_corners": (q_harris, SQL_HARRIS),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
     "variogram": (q_variogram, SQL_VARIOGRAM),
     "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
