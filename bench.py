@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "image_moments",
     "glcm_stats",
     "harris_corners",
+    "clark_evans",
 ]
 
 

@@ -919,3 +919,73 @@ def test_knox_coincident_and_validation(spark):
         geostats.knox_test(None, 0.0, 5)
     with pytest.raises(ValueError):
         geostats.knox_test(None, 1.0, -1)
+
+
+# ----------------------------------------------------------- Clark-Evans
+
+
+def _ce_ref(pts, max_dist):
+    """Naive scalar reference; pts = [(id, x, y)]."""
+    md2 = max_dist * max_dist
+    n = len(pts)
+    nnd = {}
+    for i, (pid, x, y) in enumerate(pts):
+        best = None
+        for j, (qid, u, v) in enumerate(pts):
+            if qid == pid:
+                continue
+            d2 = (x - u) ** 2 + (y - v) ** 2
+            if d2 <= md2 and (best is None or d2 < best):
+                best = d2
+        if best is not None:
+            nnd[pid] = math.floor(math.sqrt(float(best)))
+    xs = [p[1] for p in pts]
+    ys = [p[2] for p in pts]
+    area = (max(xs) - min(xs)) * (max(ys) - min(ys))
+    n_nn = len(nnd)
+    sum_q = sum(nnd.values())
+    mean_nnd = sum_q / n_nn if n_nn else None
+    expected = 0.5 / math.sqrt(n / area) if area > 0 else None
+    ce = mean_nnd / expected if (mean_nnd is not None and expected) else None
+    return n, n_nn, n - n_nn, sum_q, area, mean_nnd, expected, ce
+
+
+def _ce_run(spark, pts, max_dist):
+    df = spark.createDataFrame(pd.DataFrame(pts, columns=["id", "x", "y"]))
+    r = geostats.clark_evans(df, max_dist=max_dist).collect()[0]
+    return (r["n"], r["n_nn"], r["n_far"], r["sum_nnd_q"], r["area"],
+            r["mean_nnd"], r["expected"], r["ce_index"])
+
+
+def test_ce_vs_scalar_reference_random(spark):
+    rng = random.Random(311)
+    for trial, (n, md) in enumerate([(120, 15), (60, 8), (200, 40)]):
+        pts = [(i, rng.randrange(0, 120), rng.randrange(0, 120)) for i in range(n)]
+        got = _ce_run(spark, pts, md)
+        ref = _ce_ref(pts, md)
+        assert got[:5] == ref[:5], trial
+        for gi, ri in zip(got[5:], ref[5:]):
+            assert gi == pytest.approx(ri, abs=0.0), trial
+
+
+def test_ce_hand_kat_grid(spark):
+    # a perfect 3x3 lattice with spacing 10 inside a 20x20 box:
+    # every NN distance is exactly 10, area = 400, n = 9,
+    # expected = 0.5/sqrt(9/400) = 10/3, ce = 10/(10/3) = 3
+    pts = [(3 * r + c, 10 * c, 10 * r) for r in range(3) for c in range(3)]
+    got = _ce_run(spark, pts, 15)
+    assert got[:5] == (9, 9, 0, 90, 400)
+    assert got[5] == pytest.approx(10.0, abs=0.0)
+    assert got[7] == pytest.approx(3.0, rel=1e-12)
+
+
+def test_ce_far_points_excluded(spark):
+    # an isolated outlier beyond the cap -> n_far = 1, excluded
+    pts = [(1, 0, 0), (2, 3, 4), (3, 1000, 1000)]
+    got = _ce_run(spark, pts, 10)
+    assert got[1:4] == (2, 1, 10)  # two NN at exactly 5 -> sum 10
+
+
+def test_ce_validation(spark):
+    with pytest.raises(ValueError):
+        geostats.clark_evans(None, 0)

@@ -1756,6 +1756,62 @@ def _sssp_sql(rounds: int = _SSSP_ROUNDS) -> str:
 SQL_SHORTEST_PATHS = _sssp_sql()
 
 
+def q_clark_evans(spark, sf_dir):
+    """Clark-Evans NN index (operators/geostats.py::clark_evans — the
+    spatstat nearest-neighbor-analysis role) at integer-mercator-meter
+    event points, NN search capped at the density-normalized
+    floor(400km·sqrt(10000/n)) (far points reported in n_far, excluded
+    from the mean, oracle-mirrored); NN distances quantized
+    floor(sqrt(min d²)) so the sum is an exact BIGINT. Engine = one
+    3x3 grid census + min-agg; oracle = the naive all-pairs min."""
+    from ..operators import geostats
+
+    m = _merc_pts(spark, sf_dir).select(
+        "event_id",
+        F.floor("mx").cast("long").alias("ix"),
+        F.floor("my").cast("long").alias("iy"),
+    )
+    n = m.count()
+    md = math.floor(400e3 * math.sqrt(10000.0 / n))
+    return geostats.clark_evans(
+        m, max_dist=md, x_col="ix", y_col="iy", id_col="event_id")
+
+
+SQL_CLARK_EVANS = f"""
+WITH {_PTS_SQL},
+q AS (
+  SELECT event_id AS id, CAST(FLOOR(mx) AS BIGINT) AS x,
+         CAST(FLOOR(my) AS BIGINT) AS y
+  FROM m
+),
+mm AS (SELECT CAST(FLOOR(400000e0 * sqrt(10000e0 / count(*))) AS BIGINT) AS md FROM q),
+nn AS (
+  SELECT a.id, MIN((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) AS d2min
+  FROM q a JOIN q b
+    ON b.id <> a.id
+   AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+       <= (SELECT md*md FROM mm)
+  GROUP BY a.id
+),
+s AS (
+  SELECT count(*) AS n_nn,
+         CAST(SUM(CAST(FLOOR(sqrt(CAST(d2min AS DOUBLE))) AS BIGINT)) AS BIGINT) AS sum_nnd_q
+  FROM nn
+),
+box AS (
+  SELECT count(*) AS n, (MAX(x) - MIN(x)) * (MAX(y) - MIN(y)) AS area FROM q
+)
+SELECT box.n AS n, CAST(s.n_nn AS BIGINT) AS n_nn,
+       CAST(box.n - s.n_nn AS BIGINT) AS n_far,
+       s.sum_nnd_q AS sum_nnd_q, box.area AS area,
+       CAST(s.sum_nnd_q AS DOUBLE) / CAST(s.n_nn AS DOUBLE) AS mean_nnd,
+       5e-1 / sqrt(CAST(box.n AS DOUBLE) / CAST(box.area AS DOUBLE)) AS expected,
+       (CAST(s.sum_nnd_q AS DOUBLE) / CAST(s.n_nn AS DOUBLE))
+         / (5e-1 / sqrt(CAST(box.n AS DOUBLE) / CAST(box.area AS DOUBLE))) AS ce_index
+FROM box, s
+"""
+
+
 _HARRIS_SPECS = [("har_a", 24, 16), ("har_b", 9, 11)]
 
 
@@ -7879,6 +7935,7 @@ QUERIES: dict = {
     "image_moments": (q_image_moments, SQL_IMAGE_MOMENTS),
     "glcm_stats": (q_glcm, SQL_GLCM),
     "harris_corners": (q_harris, SQL_HARRIS),
+    "clark_evans": (q_clark_evans, SQL_CLARK_EVANS),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
     "variogram": (q_variogram, SQL_VARIOGRAM),
     "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
