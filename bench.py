@@ -134,6 +134,8 @@ BENCH_QUERIES = [
     "glcm_stats",
     "harris_corners",
     "clark_evans",
+    "geary_c",
+    "general_g",
 ]
 
 

@@ -989,3 +989,95 @@ def test_ce_far_points_excluded(spark):
 def test_ce_validation(spark):
     with pytest.raises(ValueError):
         geostats.clark_evans(None, 0)
+
+
+# ------------------------------------------------- Geary's C / General G
+
+
+def _geary_ref(cells: dict):
+    """Geary 1954 raw form, scalar."""
+    n = len(cells)
+    xbar = sum(cells.values()) / n
+    w = num = 0
+    for (x, y), v in cells.items():
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if (dx, dy) == (0, 0):
+                    continue
+                o = cells.get((x + dx, y + dy))
+                if o is not None:
+                    w += 1
+                    num += (v - o) ** 2
+    ssd = sum((v - xbar) ** 2 for v in cells.values())
+    if w == 0 or ssd == 0:
+        return w, num, None
+    return w, num, ((n - 1) * num) / (2 * w * ssd)
+
+
+def _gg_ref(cells: dict):
+    """Getis & Ord 1992 raw form, scalar."""
+    vals = list(cells.values())
+    w = spp = 0
+    for (x, y), v in cells.items():
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if (dx, dy) == (0, 0):
+                    continue
+                o = cells.get((x + dx, y + dy))
+                if o is not None:
+                    w += 1
+                    spp += v * o
+    denom = sum(a * b for a in vals for b in vals) - sum(v * v for v in vals)
+    return w, spp, denom, (spp / denom if denom else None)
+
+
+def test_geary_hand_kat_row3(spark):
+    # row 0,0,9: pairs (0,0),(0,9) each twice: num = 2*81 = 162, W = 4,
+    # ssd = 54, C = 2*162/(8*54) = 0.75
+    r = geostats.geary_c(_df(spark, {(0, 0): 0, (1, 0): 0, (2, 0): 9})).collect()[0]
+    assert (r["n"], r["w"], r["num"], r["sv"], r["svv"]) == (3, 4, 162, 9, 81)
+    assert r["c"] == pytest.approx(0.75, abs=1e-12)
+    assert r["e_c"] == pytest.approx(1.0, abs=0.0)
+
+
+def test_geary_constant_null_and_isolates(spark):
+    r = geostats.geary_c(_df(spark, {(x, 0): 5 for x in range(4)})).collect()[0]
+    assert r["c"] is None  # zero variance
+    r = geostats.geary_c(_df(spark, {(0, 0): 1, (9, 9): 2})).collect()[0]
+    assert r["w"] == 0 and r["c"] is None
+
+
+def test_general_g_hand_kat_row3(spark):
+    # row 1,2,4: neighbor cross-sum spp = 2*(1*2) + 2*(2*4) = 20,
+    # denom = (1+2+4)² - (1+4+16) = 49 - 21 = 28, G = 20/28
+    r = geostats.general_g(_df(spark, {(0, 0): 1, (1, 0): 2, (2, 0): 4})).collect()[0]
+    assert (r["n"], r["w"], r["spp"], r["denom"]) == (3, 4, 20, 28)
+    assert r["g"] == pytest.approx(20.0 / 28.0, abs=1e-12)
+    assert r["e_g"] == pytest.approx(4.0 / 6.0, abs=1e-12)
+
+
+def test_geary_gg_vs_scalar_reference_random(spark):
+    rng = random.Random(401)
+    for trial in range(3):
+        cells = {}
+        for _ in range(70):
+            cells[(rng.randrange(0, 10), rng.randrange(0, 10))] = rng.randrange(0, 9)
+        rg = geostats.geary_c(_df(spark, cells)).collect()[0]
+        w, num, c = _geary_ref(cells)
+        assert (rg["w"], rg["num"]) == (w, num), trial
+        if c is None:
+            assert rg["c"] is None
+        else:
+            assert rg["c"] == pytest.approx(c, rel=1e-12), trial
+        gg = geostats.general_g(_df(spark, cells)).collect()[0]
+        w2, spp, denom, g = _gg_ref(cells)
+        assert (gg["w"], gg["spp"], gg["denom"]) == (w2, spp, denom), trial
+        if g is None:
+            assert gg["g"] is None
+        else:
+            assert gg["g"] == pytest.approx(g, rel=1e-12), trial
+
+
+def test_general_g_negative_value_fails(spark):
+    with pytest.raises(Exception, match="requires v >= 0"):
+        geostats.general_g(_df(spark, {(0, 0): 1, (1, 0): -2})).collect()

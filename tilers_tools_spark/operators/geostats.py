@@ -1046,3 +1046,94 @@ def clark_evans(
         expected.alias("expected"),
         ce.alias("ce_index"),
     )
+
+
+def geary_c(
+    cells: DataFrame,
+    cx_col: str = "cx",
+    cy_col: str = "cy",
+    v_col: str = "v",
+) -> DataFrame:
+    """Global Geary's C (Geary 1954; the PySAL esda.Geary role — the
+    rank-sensitive companion to Moran's I; E[C] = 1, C < 1 positive
+    autocorrelation) over directed queen pairs (w_ii = 0):
+
+        C = (n-1) · Σ w_ij (v_i - v_j)² / (2W · Σ(v_i - vbar)²)
+
+    One row (n, w, num, sv, svv, c, e_c): num = Σ(v_i - v_j)² over the
+    directed census is an exact BIGINT DIRECTLY (no mean subtraction —
+    Geary's numerator is the beauty here), and C is the documented
+    operand-order double ((n-1)·num) / (2·w·(svv - n·xbar²)). NULL C
+    when no pairs or zero variance. Same single explode + equi-join
+    census as morans_i — never a weight matrix."""
+    c = _prep(cells, cx_col, cy_col, v_col)
+    pairs = _contributions(c, include_self=False).join(
+        c.select("cx", "cy", F.col("v").alias("_v")), ["cx", "cy"]
+    )
+    d = F.col("_v") - F.col("_nv")
+    pstats = pairs.agg(F.count("*").alias("w"), F.sum(d * d).alias("num"))
+    glob = c.agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+    )
+    j = glob.crossJoin(pstats)
+    n = F.col("n").cast("double")
+    w = F.col("w").cast("double")
+    xbar = F.col("sv").cast("double") / n
+    ssd = F.col("svv").cast("double") - n * xbar * xbar
+    cst = ((n - F.lit(1.0)) * F.col("num").cast("double")) / (F.lit(2.0) * w * ssd)
+    cst = F.when((F.col("w") > 0) & (ssd > 0), cst)
+    e_c = F.when(F.col("n") > 1, F.lit(1.0))
+    return j.select("n", "w", "num", "sv", "svv", cst.alias("c"), e_c.alias("e_c"))
+
+
+def general_g(
+    cells: DataFrame,
+    cx_col: str = "cx",
+    cy_col: str = "cy",
+    v_col: str = "v",
+) -> DataFrame:
+    """Getis-Ord General G (Getis & Ord 1992; the ArcGIS High/Low
+    Clustering role — are HIGH values clustered (G > E[G]) or LOW
+    values?) over directed queen pairs (w_ii = 0), for NON-NEGATIVE
+    values (validated fail-loud — the statistic is undefined otherwise):
+
+        G = Σ w_ij v_i v_j / Σ_{i≠j} v_i v_j,     E[G] = W / (n(n-1))
+
+    One row (n, w, spp, denom, g, e_g): spp = the neighbor cross-sum
+    (exact BIGINT from the same census as morans_i), denom = sv² - svv
+    (the all-pairs cross-sum by algebra — NO second join), both exact;
+    g and e_g are single documented-order double divisions. NULL g
+    when denom = 0."""
+    c = _prep(cells, cx_col, cy_col, v_col)
+    c = c.withColumn(
+        "v",
+        F.when(F.col("v") >= 0, F.col("v")).otherwise(
+            F.raise_error(F.format_string("general_g requires v >= 0, got %s", F.col("v")))
+        ),
+    )
+    pairs = _contributions(c, include_self=False).join(
+        c.select("cx", "cy", F.col("v").alias("_v")), ["cx", "cy"]
+    )
+    pstats = pairs.agg(
+        F.count("*").alias("w"),
+        F.sum(F.col("_v") * F.col("_nv")).alias("spp"),
+    )
+    glob = c.agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+    )
+    j = glob.crossJoin(pstats)
+    denom = F.col("sv") * F.col("sv") - F.col("svv")
+    g = F.when(denom > 0, F.col("spp").cast("double") / denom.cast("double"))
+    n = F.col("n").cast("double")
+    e_g = F.when(
+        F.col("n") > 1,
+        F.col("w").cast("double") / (n * (n - F.lit(1.0))),
+    )
+    return j.select(
+        "n", "w", "spp", denom.cast("long").alias("denom"),
+        g.alias("g"), e_g.alias("e_g"),
+    )

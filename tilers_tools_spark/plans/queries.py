@@ -1756,6 +1756,87 @@ def _sssp_sql(rounds: int = _SSSP_ROUNDS) -> str:
 SQL_SHORTEST_PATHS = _sssp_sql()
 
 
+def q_geary_c(spark, sf_dir):
+    """Global Geary's C (operators/geostats.py::geary_c — the PySAL
+    esda.Geary role) over the z=6 cell census: num = Σ(v_i - v_j)² over
+    directed queen pairs is an exact BIGINT with no mean subtraction;
+    C = ((n-1)·num)/(2·w·ssd) one documented-order double. Oracle =
+    the naive Chebyshev<=1 all-pairs theta self-join with the raw
+    published formula."""
+    from ..operators import geostats
+
+    return geostats.geary_c(_cells6(spark, sf_dir))
+
+
+SQL_GEARY_C = f"""
+WITH {_PTS_SQL}, {_tiles_sql(6)}, {_CELLS6_SQL},
+pr AS (
+  SELECT a.v AS vi, b.v AS vj
+  FROM cells a JOIN cells b
+    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+   AND NOT (a.cx = b.cx AND a.cy = b.cy)
+),
+ps AS (
+  SELECT count(*) AS w, CAST(sum((vi - vj) * (vi - vj)) AS BIGINT) AS num FROM pr
+),
+g AS (
+  SELECT count(*) AS n, CAST(sum(v) AS BIGINT) AS sv,
+         CAST(sum(v*v) AS BIGINT) AS svv
+  FROM cells
+)
+SELECT g.n, ps.w, ps.num, g.sv, g.svv,
+       CASE WHEN ps.w > 0
+             AND (CAST(g.svv AS DOUBLE)
+                  - CAST(g.n AS DOUBLE) * (CAST(g.sv AS DOUBLE) / CAST(g.n AS DOUBLE))
+                    * (CAST(g.sv AS DOUBLE) / CAST(g.n AS DOUBLE))) > 0
+       THEN ((CAST(g.n AS DOUBLE) - 1e0) * CAST(ps.num AS DOUBLE))
+            / (2e0 * CAST(ps.w AS DOUBLE)
+               * (CAST(g.svv AS DOUBLE)
+                  - CAST(g.n AS DOUBLE) * (CAST(g.sv AS DOUBLE) / CAST(g.n AS DOUBLE))
+                    * (CAST(g.sv AS DOUBLE) / CAST(g.n AS DOUBLE))))
+       END AS c,
+       CASE WHEN g.n > 1 THEN 1e0 END AS e_c
+FROM g, ps
+"""
+
+
+def q_general_g(spark, sf_dir):
+    """Getis-Ord General G (operators/geostats.py::general_g — the
+    ArcGIS High/Low Clustering role) over the z=6 cell census
+    (non-negative counts): spp exact from the pair census, denom =
+    sv² - svv by algebra (no second join); g and e_g single
+    documented-order doubles. Oracle = the naive all-pairs join."""
+    from ..operators import geostats
+
+    return geostats.general_g(_cells6(spark, sf_dir))
+
+
+SQL_GENERAL_G = f"""
+WITH {_PTS_SQL}, {_tiles_sql(6)}, {_CELLS6_SQL},
+pr AS (
+  SELECT a.v AS vi, b.v AS vj
+  FROM cells a JOIN cells b
+    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+   AND NOT (a.cx = b.cx AND a.cy = b.cy)
+),
+ps AS (
+  SELECT count(*) AS w, CAST(sum(vi * vj) AS BIGINT) AS spp FROM pr
+),
+g AS (
+  SELECT count(*) AS n, CAST(sum(v) AS BIGINT) AS sv,
+         CAST(sum(v*v) AS BIGINT) AS svv
+  FROM cells
+)
+SELECT g.n, ps.w, ps.spp, CAST(g.sv * g.sv - g.svv AS BIGINT) AS denom,
+       CASE WHEN g.sv * g.sv - g.svv > 0
+            THEN CAST(ps.spp AS DOUBLE) / CAST(g.sv * g.sv - g.svv AS DOUBLE) END AS g,
+       CASE WHEN g.n > 1
+            THEN CAST(ps.w AS DOUBLE)
+                 / (CAST(g.n AS DOUBLE) * (CAST(g.n AS DOUBLE) - 1e0)) END AS e_g
+FROM g, ps
+"""
+
+
 def q_clark_evans(spark, sf_dir):
     """Clark-Evans NN index (operators/geostats.py::clark_evans — the
     spatstat nearest-neighbor-analysis role) at integer-mercator-meter
@@ -7936,6 +8017,8 @@ QUERIES: dict = {
     "glcm_stats": (q_glcm, SQL_GLCM),
     "harris_corners": (q_harris, SQL_HARRIS),
     "clark_evans": (q_clark_evans, SQL_CLARK_EVANS),
+    "geary_c": (q_geary_c, SQL_GEARY_C),
+    "general_g": (q_general_g, SQL_GENERAL_G),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
     "variogram": (q_variogram, SQL_VARIOGRAM),
     "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
