@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "clark_evans",
     "geary_c",
     "general_g",
+    "quadrat_test",
 ]
 
 

@@ -1081,3 +1081,65 @@ def test_geary_gg_vs_scalar_reference_random(spark):
 def test_general_g_negative_value_fails(spark):
     with pytest.raises(Exception, match="requires v >= 0"):
         geostats.general_g(_df(spark, {(0, 0): 1, (1, 0): -2})).collect()
+
+
+# --------------------------------------------------------------- quadrat
+
+
+def _quad_ref(pts, cell):
+    import math as m
+
+    cells = {}
+    for x, y in pts:
+        k = (m.floor(x / cell), m.floor(y / cell))
+        cells[k] = cells.get(k, 0) + 1
+    xs = [k[0] for k in cells]
+    ys = [k[1] for k in cells]
+    q = (max(xs) - min(xs) + 1) * (max(ys) - min(ys) + 1)
+    n = len(pts)
+    counts = list(cells.values()) + [0] * (q - len(cells))
+    nbar = n / q
+    chi2 = sum((c - nbar) ** 2 for c in counts) / nbar
+    s2 = sum((c - nbar) ** 2 for c in counts) / (q - 1) if q > 1 else None
+    vmr = s2 / nbar if s2 is not None else None
+    return q, n, sum(c * c for c in counts), chi2, vmr
+
+
+def _quad_run(spark, pts, cell):
+    df = spark.createDataFrame(pd.DataFrame(pts, columns=["x", "y"]))
+    r = geostats.quadrat_test(df, cell=cell).collect()[0]
+    return r["q"], r["npts"], r["sum_sq"], r["df"], r["chi2"], r["vmr"]
+
+
+def test_quadrat_vs_scalar_reference_random(spark):
+    rng = random.Random(511)
+    for trial, (n, cell) in enumerate([(200, 10), (60, 25), (500, 7)]):
+        pts = [(rng.randrange(-80, 80), rng.randrange(-80, 80)) for _ in range(n)]
+        q, npts, ssq, chi2, vmr = _quad_ref(pts, cell)
+        got = _quad_run(spark, pts, cell)
+        assert got[:3] == (q, npts, ssq), trial
+        assert got[3] == q - 1
+        # the engine's algebraic identity vs the direct per-quadrat sum
+        assert got[4] == pytest.approx(chi2, rel=1e-12), trial
+        assert got[5] == pytest.approx(vmr, rel=1e-12), trial
+
+
+def test_quadrat_hand_kat_uniform_and_point_mass(spark):
+    # a perfectly uniform 1-per-quadrat layout: chi2 = 0, vmr = 0
+    pts = [(10 * cx + 5, 10 * cy + 5) for cx in range(3) for cy in range(3)]
+    got = _quad_run(spark, pts, 10)
+    assert got[:4] == (9, 9, 9, 8)
+    assert got[4] == pytest.approx(0.0, abs=0.0)
+    assert got[5] == pytest.approx(0.0, abs=0.0)
+    # all points in ONE quadrat of a 2x1 box -> maximal clustering:
+    # counts [6, 0], nbar = 3: chi2 = (9+9)/3 = 6, vmr = 18/3 = 6
+    pts = [(1, 1)] * 5 + [(2, 2)] + [(15, 1)]
+    # 7 points: 6 in cell (0,0), 1 in (1,0): chi2 = ((6-3.5)² + (1-3.5)²)/3.5
+    got = _quad_run(spark, pts, 10)
+    assert got[:3] == (2, 7, 37)
+    assert got[4] == pytest.approx((2.5 ** 2 + 2.5 ** 2) / 3.5, rel=1e-12)
+
+
+def test_quadrat_validation(spark):
+    with pytest.raises(ValueError):
+        geostats.quadrat_test(None, 0)

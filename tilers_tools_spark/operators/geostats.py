@@ -1137,3 +1137,53 @@ def general_g(
         "n", "w", "spp", denom.cast("long").alias("denom"),
         g.alias("g"), e_g.alias("e_g"),
     )
+
+
+def quadrat_test(
+    points: DataFrame,
+    cell: int,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Quadrat-count CSR analysis (the spatstat quadrat.test role):
+    partition the point BOUNDING BOX into cell x cell quadrats (EMPTY
+    quadrats inside the box count — zero counts are data), then
+
+        X²  = Σ_i (n_i - nbar)² / nbar  =  (Q·Σn_i² - N²) / N
+        VMR = s²/nbar                   =  (Q·Σn_i² - N²) / (N·(Q-1))
+
+    via the algebraic identities on the right — Q (quadrat count from
+    the bbox cell range), N and Σn_i² are exact BIGINTs (absent
+    quadrats contribute 0 to Σn² and nothing else), so X² and VMR are
+    single documented-order double divisions of exact integers. VMR > 1
+    clustered, < 1 dispersed; df = Q - 1. One row: (q, npts, sum_sq,
+    df, chi2, vmr).
+
+    Scale shape: ONE narrow groupBy census + two scalar aggregates;
+    the quadrat lattice never materializes (the identities only need
+    Σ over OCCUPIED cells)."""
+    if cell < 1:
+        raise ValueError("cell must be a positive integer")
+    cw = float(cell)
+    pc = points.select(
+        F.floor(F.col(x_col).cast("long").cast("double") / F.lit(cw)).cast("long").alias("cx"),
+        F.floor(F.col(y_col).cast("long").cast("double") / F.lit(cw)).cast("long").alias("cy"),
+    )
+    occ = pc.groupBy("cx", "cy").agg(F.count("*").alias("n"))
+    agg = occ.agg(
+        F.sum("n").alias("npts"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_sq"),
+        ((F.max("cx") - F.min("cx") + 1) * (F.max("cy") - F.min("cy") + 1)).alias("q"),
+    )
+    qd = F.col("q").cast("double")
+    nd = F.col("npts").cast("double")
+    num = qd * F.col("sum_sq").cast("double") - nd * nd
+    chi2 = F.when(F.col("npts") > 0, num / nd)
+    vmr = F.when(
+        (F.col("npts") > 0) & (F.col("q") > 1), num / (nd * (qd - F.lit(1.0)))
+    )
+    return agg.select(
+        "q", "npts", "sum_sq",
+        (F.col("q") - 1).alias("df"),
+        chi2.alias("chi2"), vmr.alias("vmr"),
+    )

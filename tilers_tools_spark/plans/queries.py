@@ -1756,6 +1756,47 @@ def _sssp_sql(rounds: int = _SSSP_ROUNDS) -> str:
 SQL_SHORTEST_PATHS = _sssp_sql()
 
 
+def q_quadrat(spark, sf_dir):
+    """Quadrat-count CSR analysis (operators/geostats.py::quadrat_test
+    — the spatstat quadrat.test role) at integer-mercator-meter points,
+    2^22 m quadrats over the bbox (empty quadrats count): X² and VMR
+    via the exact-integer identities (Q·Σn² - N²)/N and /(N·(Q-1)).
+    Oracle = the same census + identities relationally."""
+    from ..operators import geostats
+
+    m = _merc_pts(spark, sf_dir).select(
+        F.floor("mx").cast("long").alias("ix"),
+        F.floor("my").cast("long").alias("iy"),
+    )
+    return geostats.quadrat_test(m, cell=4194304, x_col="ix", y_col="iy")
+
+
+SQL_QUADRAT = f"""
+WITH {_PTS_SQL},
+k AS (
+  SELECT CAST(FLOOR(CAST(CAST(FLOOR(mx) AS BIGINT) AS DOUBLE) / 4194304e0) AS BIGINT) AS cx,
+         CAST(FLOOR(CAST(CAST(FLOOR(my) AS BIGINT) AS DOUBLE) / 4194304e0) AS BIGINT) AS cy
+  FROM m
+),
+occ AS (SELECT cx, cy, count(*) AS n FROM k GROUP BY cx, cy),
+agg AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS npts,
+         CAST(SUM(n * n) AS BIGINT) AS sum_sq,
+         (MAX(cx) - MIN(cx) + 1) * (MAX(cy) - MIN(cy) + 1) AS q
+  FROM occ
+)
+SELECT q, npts, sum_sq, q - 1 AS df,
+       CASE WHEN npts > 0 THEN
+         (CAST(q AS DOUBLE) * CAST(sum_sq AS DOUBLE)
+          - CAST(npts AS DOUBLE) * CAST(npts AS DOUBLE)) / CAST(npts AS DOUBLE) END AS chi2,
+       CASE WHEN npts > 0 AND q > 1 THEN
+         (CAST(q AS DOUBLE) * CAST(sum_sq AS DOUBLE)
+          - CAST(npts AS DOUBLE) * CAST(npts AS DOUBLE))
+         / (CAST(npts AS DOUBLE) * (CAST(q AS DOUBLE) - 1e0)) END AS vmr
+FROM agg
+"""
+
+
 def q_geary_c(spark, sf_dir):
     """Global Geary's C (operators/geostats.py::geary_c — the PySAL
     esda.Geary role) over the z=6 cell census: num = Σ(v_i - v_j)² over
@@ -8019,6 +8060,7 @@ QUERIES: dict = {
     "clark_evans": (q_clark_evans, SQL_CLARK_EVANS),
     "geary_c": (q_geary_c, SQL_GEARY_C),
     "general_g": (q_general_g, SQL_GENERAL_G),
+    "quadrat_test": (q_quadrat, SQL_QUADRAT),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
     "variogram": (q_variogram, SQL_VARIOGRAM),
     "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
