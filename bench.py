@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "geary_c",
     "general_g",
     "quadrat_test",
+    "lbp_hist",
 ]
 
 

@@ -318,3 +318,64 @@ def test_harris_corner_beats_edge(spark):
     ref = _harris_ref(a, threshold=1)
     assert got[("i0", 0)] == ref[0]
     assert got[("i0", 0)][0] >= 1 and got[("i0", 0)][1] > 0
+
+
+# ----------------------------------------------------------------- LBP
+
+LBP_OFFS = [(-1, -1), (-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1)]
+
+
+def _lbp_ref(a: np.ndarray):
+    h, w, nb = a.shape
+    out = {}
+    for b in range(nb):
+        hist = {}
+        for r in range(1, h - 1):
+            for c in range(1, w - 1):
+                code = sum(
+                    (1 << k)
+                    for k, (dr, dc) in enumerate(LBP_OFFS)
+                    if int(a[r + dr, c + dc, b]) >= int(a[r, c, b])
+                )
+                hist[code] = hist.get(code, 0) + 1
+        out[b] = hist
+    return out
+
+
+def _lbp_run(spark, arrs):
+    rows = [(f"i{k}", codecs.encode_raw(a), "raw") for k, a in enumerate(arrs)]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    out = {}
+    for r in multimodal.lbp_hist(df).collect():
+        out.setdefault((r["image_id"], r["b"]), {})[r["code"]] = r["cnt"]
+    return out
+
+
+def test_lbp_vs_scalar_reference(spark):
+    rng = np.random.default_rng(53)
+    arrs = [rng.integers(0, 256, size=(8, 10, 3)).astype(np.uint8),
+            rng.integers(0, 4, size=(6, 6, 3)).astype(np.uint8)]  # heavy ties
+    got = _lbp_run(spark, arrs)
+    for k, a in enumerate(arrs):
+        ref = _lbp_ref(a)
+        for b in range(3):
+            assert got.get((f"i{k}", b), {}) == ref[b], (k, b)
+
+
+def test_lbp_hand_kat_flat_and_peak(spark):
+    # flat image: every neighbor == center -> all >= -> code 255 everywhere
+    a = np.full((5, 7, 3), 99, np.uint8)
+    got = _lbp_run(spark, [a])[("i0", 0)]
+    assert got == {255: 3 * 5}
+    # a strict single peak at the center of 3x3: its code is 0 (all
+    # neighbors strictly below); every other interior pixel sees the
+    # peak >= itself, bits per position
+    a = np.zeros((3, 3, 3), np.uint8)
+    a[1, 1, :] = 200
+    got = _lbp_run(spark, [a])[("i0", 0)]
+    assert got == {0: 1}  # only one interior pixel in a 3x3
+
+
+def test_lbp_too_small_image_empty(spark):
+    a = np.zeros((2, 9, 3), np.uint8)
+    assert _lbp_run(spark, [a]) == {}

@@ -1101,3 +1101,52 @@ def harris_corners(images: DataFrame, threshold: int = 0) -> DataFrame:
             yield pd.DataFrame(out)
 
     return images.mapInPandas(fn, schema=HARRIS_SCHEMA)
+
+
+LBP_SCHEMA = "image_id string, b int, code int, cnt long"
+
+
+_LBP_OFFS = [(-1, -1), (-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1)]
+
+
+def lbp_hist(images: DataFrame) -> DataFrame:
+    """Local Binary Pattern histogram (Ojala et al. 2002; the
+    skimage.feature.local_binary_pattern texture-descriptor role,
+    P=8, R=1, 'default' non-uniform codes): for every INTERIOR pixel
+    (border pixels lack a full neighborhood and are skipped — the
+    standard convention, documented), code = Σ_k 2^k · [v(p + off_k)
+    >= v(p)] with the fixed clockwise-from-top-left neighbor order
+    off = (-1,-1),(-1,0),(-1,1),(0,1),(1,1),(1,0),(1,-1),(0,-1).
+    Output: one row per (image, channel, occupied code) with its
+    exact count — the texture histogram a relational engine replays
+    with one 8-neighbor self-join. Ties (neighbor == center) set the
+    bit (the published >= rule).
+
+    One Arrow mapInPandas pass; vectorized slice comparisons; pixels
+    never shuffle.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("image_id", "b", "code", "cnt")}
+            for rec in pdf.itertuples():
+                arr = codecs.decode_image(bytes(rec.bytes), rec.fmt)
+                h, w = arr.shape[:2]
+                if h < 3 or w < 3:
+                    continue  # no interior pixels
+                for b in range(arr.shape[2]):
+                    v = arr[:, :, b].astype(np.int64)
+                    ctr = v[1:h - 1, 1:w - 1]
+                    code = np.zeros_like(ctr)
+                    for k, (dr, dc) in enumerate(_LBP_OFFS):
+                        nb = v[1 + dr:h - 1 + dr, 1 + dc:w - 1 + dc]
+                        code += (nb >= ctr).astype(np.int64) << k
+                    cnt = np.bincount(code.ravel(), minlength=256)
+                    for c in np.nonzero(cnt)[0]:
+                        out["image_id"].append(rec.image_id)
+                        out["b"].append(b)
+                        out["code"].append(int(c))
+                        out["cnt"].append(int(cnt[c]))
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(fn, schema=LBP_SCHEMA)

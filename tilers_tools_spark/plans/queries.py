@@ -1756,6 +1756,65 @@ def _sssp_sql(rounds: int = _SSSP_ROUNDS) -> str:
 SQL_SHORTEST_PATHS = _sssp_sql()
 
 
+_LBP_SPECS = [("lbp_a", 24, 16), ("lbp_b", 9, 11)]
+
+
+def q_lbp(spark, sf_dir):
+    """LBP texture histogram (operators/multimodal.py::lbp_hist — the
+    skimage local_binary_pattern role, P=8 R=1 default codes, interior
+    pixels only, >= tie rule): one row per (image, channel, code) with
+    its exact count. Oracle = one 8-neighbor self-join with a weight
+    CASE over the fixed clockwise offset order, then the histogram
+    GROUP BY."""
+    from ..functions import codecs as cod
+    from ..operators import multimodal
+
+    rows = []
+    for image_id, w, h in _LBP_SPECS:
+        r, c, b = np.ogrid[0:h, 0:w, 0:3]
+        arr = ((r * 7 + c * 13 + b * 29) % 256).astype(np.uint8)
+        rows.append((image_id, cod.encode_raw(arr), "raw"))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    return multimodal.lbp_hist(df)
+
+
+def _lbp_sql() -> str:
+    wcase = (
+        "CASE WHEN p2.r = p1.r-1 AND p2.c = p1.c-1 THEN 1 "
+        "WHEN p2.r = p1.r-1 AND p2.c = p1.c THEN 2 "
+        "WHEN p2.r = p1.r-1 AND p2.c = p1.c+1 THEN 4 "
+        "WHEN p2.r = p1.r AND p2.c = p1.c+1 THEN 8 "
+        "WHEN p2.r = p1.r+1 AND p2.c = p1.c+1 THEN 16 "
+        "WHEN p2.r = p1.r+1 AND p2.c = p1.c THEN 32 "
+        "WHEN p2.r = p1.r+1 AND p2.c = p1.c-1 THEN 64 "
+        "ELSE 128 END"
+    )
+    ctes, legs = [], []
+    for i, (image_id, w, h) in enumerate(_LBP_SPECS):
+        ctes.append(
+            f"px_{i} AS (SELECT t1.r AS r, t2.c AS c, t3.b AS b, "
+            f"((t1.r*7 + t2.c*13 + t3.b*29) % 256) AS v "
+            f"FROM range(0,{h}) t1(r), range(0,{w}) t2(c), range(0,3) t3(b))"
+        )
+        ctes.append(
+            f"cd_{i} AS (SELECT p1.b AS b, "
+            f"SUM(CASE WHEN p2.v >= p1.v THEN {wcase} ELSE 0 END) AS code "
+            f"FROM px_{i} p1 JOIN px_{i} p2 ON p2.b = p1.b "
+            f"AND p2.r BETWEEN p1.r-1 AND p1.r+1 AND p2.c BETWEEN p1.c-1 AND p1.c+1 "
+            f"AND NOT (p2.r = p1.r AND p2.c = p1.c) "
+            f"WHERE p1.r BETWEEN 1 AND {h - 2} AND p1.c BETWEEN 1 AND {w - 2} "
+            f"GROUP BY p1.b, p1.r, p1.c)"
+        )
+        legs.append(
+            f"SELECT '{image_id}' AS image_id, CAST(b AS INT) AS b, "
+            f"CAST(code AS INT) AS code, count(*) AS cnt FROM cd_{i} GROUP BY b, code"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(legs)
+
+
+SQL_LBP = _lbp_sql()
+
+
 def q_quadrat(spark, sf_dir):
     """Quadrat-count CSR analysis (operators/geostats.py::quadrat_test
     — the spatstat quadrat.test role) at integer-mercator-meter points,
@@ -8061,6 +8120,7 @@ QUERIES: dict = {
     "geary_c": (q_geary_c, SQL_GEARY_C),
     "general_g": (q_general_g, SQL_GENERAL_G),
     "quadrat_test": (q_quadrat, SQL_QUADRAT),
+    "lbp_hist": (q_lbp, SQL_LBP),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
     "variogram": (q_variogram, SQL_VARIOGRAM),
     "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
