@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "general_g",
     "quadrat_test",
     "lbp_hist",
+    "box_blur",
 ]
 
 

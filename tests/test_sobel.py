@@ -379,3 +379,62 @@ def test_lbp_hand_kat_flat_and_peak(spark):
 def test_lbp_too_small_image_empty(spark):
     a = np.zeros((2, 9, 3), np.uint8)
     assert _lbp_run(spark, [a]) == {}
+
+
+# ------------------------------------------------------------ box blur
+
+
+def _blur_ref(a: np.ndarray, radius):
+    h, w, nb = a.shape
+    out = np.empty_like(a)
+    for r in range(h):
+        for c in range(w):
+            win = a[max(0, r - radius):min(h, r + radius + 1),
+                    max(0, c - radius):min(w, c + radius + 1)]
+            s = win.reshape(-1, nb).astype(np.int64).sum(axis=0)
+            area = win.shape[0] * win.shape[1]
+            out[r, c] = (s + area // 2) // area
+    return out
+
+
+def _blur_run(spark, arrs, radius):
+    rows = [(f"i{k}", codecs.encode_raw(a), "raw") for k, a in enumerate(arrs)]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    dec = {}
+    for r in multimodal.box_blur(df, radius=radius).collect():
+        dec[r["image_id"]] = (codecs.decode_image(bytes(r["out"]), "raw"),
+                              r["pix_sum"], r["changed"])
+    return dec
+
+
+def test_blur_vs_brute_force(spark):
+    rng = np.random.default_rng(41)
+    arrs = [rng.integers(0, 256, size=(9, 7, 3)).astype(np.uint8),
+            rng.integers(0, 256, size=(5, 12, 3)).astype(np.uint8)]
+    for radius in (1, 2, 4):
+        got = _blur_run(spark, arrs, radius)
+        for k, a in enumerate(arrs):
+            ref = _blur_ref(a, radius)
+            img, pix_sum, changed = got[f"i{k}"]
+            assert np.array_equal(img, ref), (radius, k)
+            assert pix_sum == int(ref.astype(np.int64).sum())
+            assert changed == int((ref != a).sum())
+
+
+def test_blur_hand_kat_half_up(spark):
+    # 1x2 image [0, 1], radius 1: both windows are {0,1}, area 2,
+    # mean 0.5 -> HALF-UP -> (1 + 1)//2 = 1 for both pixels
+    a = np.zeros((1, 2, 3), np.uint8)
+    a[0, 1, :] = 1
+    img = _blur_run(spark, [a], 1)["i0"][0]
+    assert img[0, :, 0].tolist() == [1, 1]
+
+
+def test_blur_flat_identity_and_validation(spark):
+    a = np.full((6, 6, 3), 123, np.uint8)
+    img, pix_sum, changed = _blur_run(spark, [a], 1)["i0"]
+    assert changed == 0 and np.array_equal(img, a)
+    with pytest.raises(ValueError):
+        multimodal.box_blur(None, radius=0)
+    with pytest.raises(ValueError):
+        multimodal.box_blur(None, radius=8)

@@ -1150,3 +1150,63 @@ def lbp_hist(images: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return images.mapInPandas(fn, schema=LBP_SCHEMA)
+
+
+BOXBLUR_SCHEMA = (
+    "image_id string, out_w int, out_h int, pix_sum long, changed long, "
+    "out binary"
+)
+
+
+def box_blur(images: DataFrame, radius: int = 1) -> DataFrame:
+    """Box-mean blur (the cv2.blur / PIL BoxBlur role) per channel with
+    a (2r+1)² window restricted to IN-BOUNDS pixels (the border window
+    simply shrinks — documented, exactly expressible relationally) and
+    a PURE-INTEGER round-half-up mean:
+
+        out(p) = (S(p) + A(p) // 2) // A(p)
+
+    with S = the in-bounds window sum and A the in-bounds window area —
+    every output pixel exact, no float anywhere. One Arrow mapInPandas
+    pass (cumulative-sum integral image per channel: O(1) per pixel
+    regardless of radius); pix_sum / changed audit columns; pixels
+    never shuffle.
+    """
+    if not 1 <= radius <= 7:
+        raise ValueError("radius must be in [1, 7]")
+
+    def _blur(a: np.ndarray) -> np.ndarray:
+        h, w = a.shape[:2]
+        p = a.astype(np.int64)
+        # integral image with zero row/col: I[r, c] = sum p[:r, :c]
+        ii = np.zeros((h + 1, w + 1) + p.shape[2:], np.int64)
+        np.cumsum(p, axis=0, out=ii[1:, 1:])
+        np.cumsum(ii[1:, 1:], axis=1, out=ii[1:, 1:])
+        r0 = np.clip(np.arange(h) - radius, 0, h)
+        r1 = np.clip(np.arange(h) + radius + 1, 0, h)
+        c0 = np.clip(np.arange(w) - radius, 0, w)
+        c1 = np.clip(np.arange(w) + radius + 1, 0, w)
+        s = (
+            ii[r1][:, c1] - ii[r0][:, c1] - ii[r1][:, c0] + ii[r0][:, c0]
+        )
+        area = ((r1 - r0)[:, None] * (c1 - c0)[None, :])
+        if p.ndim == 3:
+            area = area[:, :, None]
+        return ((s + area // 2) // area).astype(np.uint8)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "image_id", "out_w", "out_h", "pix_sum", "changed", "out")}
+            for r in pdf.itertuples():
+                arr = codecs.decode_image(bytes(r.bytes), r.fmt)
+                res = _blur(arr)
+                out["image_id"].append(r.image_id)
+                out["out_w"].append(arr.shape[1])
+                out["out_h"].append(arr.shape[0])
+                out["pix_sum"].append(int(res.astype(np.int64).sum()))
+                out["changed"].append(int((res != arr).sum()))
+                out["out"].append(codecs.encode_raw(np.ascontiguousarray(res)))
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(fn, schema=BOXBLUR_SCHEMA)

@@ -1756,6 +1756,63 @@ def _sssp_sql(rounds: int = _SSSP_ROUNDS) -> str:
 SQL_SHORTEST_PATHS = _sssp_sql()
 
 
+_BLUR_SPECS = [("blur_a", 24, 16), ("blur_b", 9, 11)]
+_BLUR_RADII = (1, 3)
+
+
+def q_box_blur(spark, sf_dir):
+    """Integer box-mean blur (operators/multimodal.py::box_blur — the
+    cv2.blur role, shrinking in-bounds border window, round-half-up
+    integer mean (S + A//2)//A, integral-image engine) at radii 1 and
+    3. Oracle recomputes every pixel with a BETWEEN ±r neighbor join
+    and the same integer expression, then mirrors pix_sum/changed."""
+    from ..functions import codecs as cod
+    from ..operators import multimodal
+
+    rows = []
+    for image_id, w, h in _BLUR_SPECS:
+        r, c, b = np.ogrid[0:h, 0:w, 0:3]
+        arr = ((r * 7 + c * 13 + b * 29) % 256).astype(np.uint8)
+        rows.append((image_id, cod.encode_raw(arr), "raw"))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    out = None
+    for rad in _BLUR_RADII:
+        part = multimodal.box_blur(df, radius=rad).drop("out").withColumn(
+            "radius", F.lit(rad))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _blur_sql() -> str:
+    ctes, legs = [], []
+    for i, (image_id, w, h) in enumerate(_BLUR_SPECS):
+        ctes.append(
+            f"px_{i} AS (SELECT t1.r AS r, t2.c AS c, t3.b AS b, "
+            f"((t1.r*7 + t2.c*13 + t3.b*29) % 256) AS v "
+            f"FROM range(0,{h}) t1(r), range(0,{w}) t2(c), range(0,3) t3(b))"
+        )
+        for rad in _BLUR_RADII:
+            ctes.append(
+                f"bl_{i}_{rad} AS (SELECT p1.r, p1.c, p1.b, p1.v, "
+                f"(SUM(p2.v) + COUNT(*) // 2) // COUNT(*) AS nv "
+                f"FROM px_{i} p1 JOIN px_{i} p2 ON p2.b = p1.b "
+                f"AND p2.r BETWEEN p1.r - {rad} AND p1.r + {rad} "
+                f"AND p2.c BETWEEN p1.c - {rad} AND p1.c + {rad} "
+                f"GROUP BY p1.r, p1.c, p1.b, p1.v)"
+            )
+            legs.append(f"""
+SELECT '{image_id}' AS image_id,
+       CAST({w} AS INT) AS out_w, CAST({h} AS INT) AS out_h,
+       CAST(SUM(nv) AS BIGINT) AS pix_sum,
+       CAST(count(*) FILTER (WHERE nv <> v) AS BIGINT) AS changed,
+       CAST({rad} AS INT) AS radius
+FROM bl_{i}_{rad}""")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(legs)
+
+
+SQL_BOX_BLUR = _blur_sql()
+
+
 _LBP_SPECS = [("lbp_a", 24, 16), ("lbp_b", 9, 11)]
 
 
@@ -8121,6 +8178,7 @@ QUERIES: dict = {
     "general_g": (q_general_g, SQL_GENERAL_G),
     "quadrat_test": (q_quadrat, SQL_QUADRAT),
     "lbp_hist": (q_lbp, SQL_LBP),
+    "box_blur": (q_box_blur, SQL_BOX_BLUR),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
     "variogram": (q_variogram, SQL_VARIOGRAM),
     "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
