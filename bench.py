@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "quadrat_test",
     "lbp_hist",
     "box_blur",
+    "median_filter",
 ]
 
 

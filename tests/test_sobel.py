@@ -438,3 +438,63 @@ def test_blur_flat_identity_and_validation(spark):
         multimodal.box_blur(None, radius=0)
     with pytest.raises(ValueError):
         multimodal.box_blur(None, radius=8)
+
+
+# ------------------------------------------------------- median filter
+
+
+def _med_ref(a: np.ndarray):
+    h, w, nb = a.shape
+    out = np.empty_like(a)
+    for r in range(h):
+        for c in range(w):
+            for b in range(nb):
+                win = sorted(
+                    int(a[rr, cc, b])
+                    for rr in range(max(0, r - 1), min(h, r + 2))
+                    for cc in range(max(0, c - 1), min(w, c + 2)))
+                out[r, c, b] = win[(len(win) + 1) // 2 - 1]
+    return out
+
+
+def _med_run(spark, arrs):
+    rows = [(f"i{k}", codecs.encode_raw(a), "raw") for k, a in enumerate(arrs)]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    dec = {}
+    for r in multimodal.median_filter(df).collect():
+        dec[r["image_id"]] = (codecs.decode_image(bytes(r["out"]), "raw"),
+                              r["pix_sum"], r["changed"])
+    return dec
+
+
+def test_median_vs_brute_force(spark):
+    rng = np.random.default_rng(61)
+    arrs = [rng.integers(0, 256, size=(8, 6, 3)).astype(np.uint8),
+            rng.integers(0, 256, size=(4, 9, 3)).astype(np.uint8)]
+    got = _med_run(spark, arrs)
+    for k, a in enumerate(arrs):
+        ref = _med_ref(a)
+        img, pix_sum, changed = got[f"i{k}"]
+        assert np.array_equal(img, ref), k
+        assert pix_sum == int(ref.astype(np.int64).sum())
+        assert changed == int((ref != a).sum())
+
+
+def test_median_salt_pepper_removal(spark):
+    # a single hot pixel in a flat field disappears (the classic use)
+    a = np.full((5, 5, 3), 100, np.uint8)
+    a[2, 2, :] = 255
+    img, _, changed = _med_run(spark, [a])["i0"]
+    assert np.all(img == 100)
+    assert changed == 3  # only the spike moved (one pixel x 3 bands)
+
+
+def test_median_lower_median_at_corner(spark):
+    # the 2x2 corner window [0, 10, 20, 30]: lower median = 10 (NOT 15 —
+    # interpolation would be wrong here; pins the quantile_disc rule)
+    a = np.zeros((2, 2, 3), np.uint8)
+    a[0, 1, :] = 10
+    a[1, 0, :] = 20
+    a[1, 1, :] = 30
+    img = _med_run(spark, [a])["i0"][0]
+    assert img[0, 0, 0] == 10

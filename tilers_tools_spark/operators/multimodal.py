@@ -1210,3 +1210,52 @@ def box_blur(images: DataFrame, radius: int = 1) -> DataFrame:
             yield pd.DataFrame(out)
 
     return images.mapInPandas(fn, schema=BOXBLUR_SCHEMA)
+
+
+MEDIAN_SCHEMA = (
+    "image_id string, out_w int, out_h int, pix_sum long, changed long, "
+    "out binary"
+)
+
+
+def median_filter(images: DataFrame) -> DataFrame:
+    """3x3 median filter (the cv2.medianBlur / scipy median_filter
+    role — the salt-and-pepper denoiser) per channel with the window
+    restricted to IN-BOUNDS pixels and the LOWER-median convention for
+    even window sizes: out = the k-th smallest with k = (n+1)//2 —
+    exactly DuckDB's quantile_disc(v, 0.5) element (index
+    floor((n-1)/2) of the sorted window), so the relational oracle
+    needs no interpolation convention. Interior windows have n = 9
+    (odd; the true median); only border windows (n in {4, 6}) see the
+    lower-median rule. Pure integer selection — no arithmetic at all.
+
+    One Arrow mapInPandas pass; per-image NumPy windowed sort; pixels
+    never shuffle.
+    """
+
+    def _med(a: np.ndarray) -> np.ndarray:
+        h, w = a.shape[:2]
+        out = np.empty_like(a)
+        for r in range(h):
+            for c in range(w):
+                win = a[max(0, r - 1):min(h, r + 2), max(0, c - 1):min(w, c + 2)]
+                flat = np.sort(win.reshape(-1, *a.shape[2:]), axis=0)
+                out[r, c] = flat[(flat.shape[0] - 1) // 2]
+        return out
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "image_id", "out_w", "out_h", "pix_sum", "changed", "out")}
+            for r in pdf.itertuples():
+                arr = codecs.decode_image(bytes(r.bytes), r.fmt)
+                res = _med(arr)
+                out["image_id"].append(r.image_id)
+                out["out_w"].append(arr.shape[1])
+                out["out_h"].append(arr.shape[0])
+                out["pix_sum"].append(int(res.astype(np.int64).sum()))
+                out["changed"].append(int((res != arr).sum()))
+                out["out"].append(codecs.encode_raw(np.ascontiguousarray(res)))
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(fn, schema=MEDIAN_SCHEMA)

@@ -1756,6 +1756,55 @@ def _sssp_sql(rounds: int = _SSSP_ROUNDS) -> str:
 SQL_SHORTEST_PATHS = _sssp_sql()
 
 
+_MED_SPECS = [("med_a", 24, 16), ("med_b", 9, 11)]
+
+
+def q_median_filter(spark, sf_dir):
+    """3x3 median filter (operators/multimodal.py::median_filter — the
+    cv2.medianBlur role, in-bounds windows, lower-median on even border
+    windows — exactly DuckDB's quantile_disc(0.5) element, verified).
+    Oracle = the neighbor join aggregated with quantile_disc; mirrors
+    pix_sum/changed. Pure integer selection, no rounding convention."""
+    from ..functions import codecs as cod
+    from ..operators import multimodal
+
+    rows = []
+    for image_id, w, h in _MED_SPECS:
+        r, c, b = np.ogrid[0:h, 0:w, 0:3]
+        arr = ((r * 7 + c * 13 + b * 29) % 256).astype(np.uint8)
+        rows.append((image_id, cod.encode_raw(arr), "raw"))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    return multimodal.median_filter(df).drop("out")
+
+
+def _med_sql() -> str:
+    ctes, legs = [], []
+    for i, (image_id, w, h) in enumerate(_MED_SPECS):
+        ctes.append(
+            f"px_{i} AS (SELECT t1.r AS r, t2.c AS c, t3.b AS b, "
+            f"((t1.r*7 + t2.c*13 + t3.b*29) % 256) AS v "
+            f"FROM range(0,{h}) t1(r), range(0,{w}) t2(c), range(0,3) t3(b))"
+        )
+        ctes.append(
+            f"md_{i} AS (SELECT p1.r, p1.c, p1.b, p1.v, "
+            f"quantile_disc(p2.v, 0.5) AS nv "
+            f"FROM px_{i} p1 JOIN px_{i} p2 ON p2.b = p1.b "
+            f"AND p2.r BETWEEN p1.r - 1 AND p1.r + 1 "
+            f"AND p2.c BETWEEN p1.c - 1 AND p1.c + 1 "
+            f"GROUP BY p1.r, p1.c, p1.b, p1.v)"
+        )
+        legs.append(f"""
+SELECT '{image_id}' AS image_id,
+       CAST({w} AS INT) AS out_w, CAST({h} AS INT) AS out_h,
+       CAST(SUM(nv) AS BIGINT) AS pix_sum,
+       CAST(count(*) FILTER (WHERE nv <> v) AS BIGINT) AS changed
+FROM md_{i}""")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(legs)
+
+
+SQL_MEDIAN_FILTER = _med_sql()
+
+
 _BLUR_SPECS = [("blur_a", 24, 16), ("blur_b", 9, 11)]
 _BLUR_RADII = (1, 3)
 
@@ -8179,6 +8228,7 @@ QUERIES: dict = {
     "quadrat_test": (q_quadrat, SQL_QUADRAT),
     "lbp_hist": (q_lbp, SQL_LBP),
     "box_blur": (q_box_blur, SQL_BOX_BLUR),
+    "median_filter": (q_median_filter, SQL_MEDIAN_FILTER),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
     "variogram": (q_variogram, SQL_VARIOGRAM),
     "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
