@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "lbp_hist",
     "box_blur",
     "median_filter",
+    "otsu_threshold",
 ]
 
 

@@ -498,3 +498,65 @@ def test_median_lower_median_at_corner(spark):
     a[1, 1, :] = 30
     img = _med_run(spark, [a])["i0"][0]
     assert img[0, 0, 0] == 10
+
+
+# ---------------------------------------------------------------- Otsu
+
+
+def _otsu_ref(a: np.ndarray):
+    """Direct textbook form: maximize wB·wF·(muB - muF)² with float
+    means (an INDEPENDENT formulation of the same criterion — the
+    engine maximizes the cross-multiplied integer square)."""
+    h, w, nb = a.shape
+    n = h * w
+    out = {}
+    for b in range(nb):
+        vals = a[:, :, b].ravel()
+        best = None
+        for t in range(256):
+            mb = vals[vals <= t]
+            mf = vals[vals > t]
+            if len(mb) == 0 or len(mf) == 0:
+                continue
+            crit = (len(mb) * len(mf)) * (float(mb.mean()) - float(mf.mean())) ** 2
+            if best is None or crit > best[0] + 1e-6 * abs(best[0]):
+                best = (crit, t, len(mb), int(mb.astype(np.int64).sum()))
+        out[b] = None if best is None else best[1:]
+    return out
+
+
+def _otsu_run(spark, arrs):
+    rows = [(f"i{k}", codecs.encode_raw(a), "raw") for k, a in enumerate(arrs)]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    return {
+        (r["image_id"], r["b"]): (r["threshold"], r["wb"], r["sumb"])
+        for r in multimodal.otsu_threshold(df).collect()
+    }
+
+
+def test_otsu_vs_textbook_reference(spark):
+    rng = np.random.default_rng(67)
+    # bimodal: two Gaussian-ish clumps -> unambiguous optimum
+    lo = rng.integers(20, 60, size=(6, 9))
+    hi = rng.integers(180, 230, size=(6, 9))
+    mask = rng.random((6, 9)) < 0.5
+    plane = np.where(mask, lo, hi).astype(np.uint8)
+    a = np.repeat(plane[:, :, None], 3, axis=2)
+    got = _otsu_run(spark, [a])
+    ref = _otsu_ref(a)
+    for b in range(3):
+        assert got[("i0", b)] == ref[b], b
+
+
+def test_otsu_hand_kat_two_values(spark):
+    # half 10s, half 200s: any t in [10,199] separates perfectly; the
+    # criterion is maximal on the whole plateau, tie-break picks t=10
+    a = np.full((4, 6, 3), 10, np.uint8)
+    a[:, 3:, :] = 200
+    got = _otsu_run(spark, [a])[("i0", 0)]
+    assert got == (10, 12, 120)
+
+
+def test_otsu_constant_channel_absent(spark):
+    a = np.full((3, 3, 3), 77, np.uint8)
+    assert _otsu_run(spark, [a]) == {}

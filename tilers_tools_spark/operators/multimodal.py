@@ -1259,3 +1259,65 @@ def median_filter(images: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return images.mapInPandas(fn, schema=MEDIAN_SCHEMA)
+
+
+OTSU_SCHEMA = (
+    "image_id string, b int, threshold int, wb long, sumb long, score double"
+)
+
+
+def otsu_threshold(images: DataFrame) -> DataFrame:
+    """Otsu's threshold (Otsu 1979; the skimage threshold_otsu /
+    cv2.THRESH_OTSU role) per channel: choose t maximizing the
+    between-class variance. With class B = pixels <= t (documented
+    convention) and wB/sumB the class count/value-sum, the criterion
+
+        σ²_B(t) ∝ (sumB·wF - sumF·wB)² / (wB·wF)
+
+    is evaluated on EXACT integers (arbitrary-precision in the engine;
+    HUGEINT in the oracle — the squared numerator can pass int64 for
+    large images) and converted to ONE double per t (both engines
+    correctly round the same integer ratio operands), with the argmax
+    tie-broken (score DESC, t ASC) — fully deterministic cross-engine.
+    Only t with both classes non-empty are candidates; a CONSTANT
+    channel has none and emits NO row (documented). Output: (image, b,
+    threshold, wb, sumb, score).
+
+    One Arrow mapInPandas pass; the 256-entry criterion loop runs per
+    channel in Python ints (overflow-free); pixels never shuffle.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "image_id", "b", "threshold", "wb", "sumb", "score")}
+            for rec in pdf.itertuples():
+                arr = codecs.decode_image(bytes(rec.bytes), rec.fmt)
+                n = arr.shape[0] * arr.shape[1]
+                for b in range(arr.shape[2]):
+                    cnt = np.bincount(arr[:, :, b].ravel(), minlength=256)
+                    total = int((cnt * np.arange(256)).sum())
+                    best = None  # (score, t, wb, sumb)
+                    wb = sumb = 0
+                    for t in range(256):
+                        wb += int(cnt[t])
+                        sumb += int(cnt[t]) * t
+                        wf = n - wb
+                        if wb == 0 or wf == 0:
+                            continue
+                        sumf = total - sumb
+                        num = (sumb * wf - sumf * wb) ** 2
+                        score = float(num) / float(wb * wf)
+                        if best is None or score > best[0]:
+                            best = (score, t, wb, sumb)
+                    if best is None:
+                        continue  # constant channel
+                    out["image_id"].append(rec.image_id)
+                    out["b"].append(b)
+                    out["threshold"].append(best[1])
+                    out["wb"].append(best[2])
+                    out["sumb"].append(best[3])
+                    out["score"].append(best[0])
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(fn, schema=OTSU_SCHEMA)

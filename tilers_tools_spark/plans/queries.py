@@ -1756,6 +1756,69 @@ def _sssp_sql(rounds: int = _SSSP_ROUNDS) -> str:
 SQL_SHORTEST_PATHS = _sssp_sql()
 
 
+_OTSU_SPECS = [("ots_a", 24, 16), ("ots_b", 9, 11)]
+
+
+def q_otsu(spark, sf_dir):
+    """Otsu's threshold (operators/multimodal.py::otsu_threshold — the
+    skimage threshold_otsu role): exact-integer between-class
+    criterion (sumB·wF - sumF·wB)²/(wB·wF) per candidate t, one double
+    per t from identical integer operands, argmax tie-broken
+    (score DESC, t ASC). Oracle = histogram + cumulative join +
+    HUGEINT criterion + ROW_NUMBER pick."""
+    from ..functions import codecs as cod
+    from ..operators import multimodal
+
+    rows = []
+    for image_id, w, h in _OTSU_SPECS:
+        r, c, b = np.ogrid[0:h, 0:w, 0:3]
+        arr = ((r * 7 + c * 13 + b * 29) % 256).astype(np.uint8)
+        rows.append((image_id, cod.encode_raw(arr), "raw"))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    return multimodal.otsu_threshold(df)
+
+
+def _otsu_sql() -> str:
+    ctes, legs = [], []
+    for i, (image_id, w, h) in enumerate(_OTSU_SPECS):
+        ctes.append(
+            f"px_{i} AS (SELECT t1.r AS r, t2.c AS c, t3.b AS b, "
+            f"((t1.r*7 + t2.c*13 + t3.b*29) % 256) AS v "
+            f"FROM range(0,{h}) t1(r), range(0,{w}) t2(c), range(0,3) t3(b))"
+        )
+        ctes.append(
+            f"hs_{i} AS (SELECT b, v, count(*) AS c FROM px_{i} GROUP BY b, v)"
+        )
+        ctes.append(
+            f"tt_{i} AS (SELECT b, CAST(SUM(c) AS BIGINT) AS n, "
+            f"CAST(SUM(c*v) AS BIGINT) AS total FROM hs_{i} GROUP BY b)"
+        )
+        ctes.append(
+            f"cm_{i} AS (SELECT h.b, t.t, CAST(SUM(h.c) AS BIGINT) AS wb, "
+            f"CAST(SUM(h.c*h.v) AS BIGINT) AS sumb "
+            f"FROM range(0,256) t(t) JOIN hs_{i} h ON h.v <= t.t GROUP BY h.b, t.t)"
+        )
+        ctes.append(
+            f"sc_{i} AS (SELECT c.b, c.t, c.wb, c.sumb, "
+            f"CAST((CAST(c.sumb AS HUGEINT) * (g.n - c.wb) "
+            f"  - CAST(g.total - c.sumb AS HUGEINT) * c.wb) "
+            f" * (CAST(c.sumb AS HUGEINT) * (g.n - c.wb) "
+            f"  - CAST(g.total - c.sumb AS HUGEINT) * c.wb) AS DOUBLE) "
+            f"/ CAST(CAST(c.wb AS HUGEINT) * (g.n - c.wb) AS DOUBLE) AS score "
+            f"FROM cm_{i} c JOIN tt_{i} g ON g.b = c.b "
+            f"WHERE c.wb > 0 AND c.wb < g.n)"
+        )
+        legs.append(f"""
+SELECT '{image_id}' AS image_id, CAST(b AS INT) AS b,
+       CAST(t AS INT) AS threshold, wb, sumb, score
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY b ORDER BY score DESC, t ASC) AS rn
+      FROM sc_{i}) WHERE rn = 1""")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(legs)
+
+
+SQL_OTSU = _otsu_sql()
+
+
 _MED_SPECS = [("med_a", 24, 16), ("med_b", 9, 11)]
 
 
@@ -8229,6 +8292,7 @@ QUERIES: dict = {
     "lbp_hist": (q_lbp, SQL_LBP),
     "box_blur": (q_box_blur, SQL_BOX_BLUR),
     "median_filter": (q_median_filter, SQL_MEDIAN_FILTER),
+    "otsu_threshold": (q_otsu, SQL_OTSU),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
     "variogram": (q_variogram, SQL_VARIOGRAM),
     "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
