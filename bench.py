@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "box_blur",
     "median_filter",
     "otsu_threshold",
+    "od_matrix",
 ]
 
 

@@ -159,3 +159,37 @@ def test_stay_points_validation(spark):
         trajectory.stay_points(None, cell=10, min_dwell_s=1.0, min_pings=0)
     with pt.raises(ValueError):
         trajectory.stay_points(None, cell=10, min_dwell_s=-1.0)
+
+
+def test_od_matrix_hand(spark):
+    # user 1 stays: cell A(0,0) -> B(1,0) -> A(0,0); user 2: C -> C
+    # (self-loop kept). Travel = enter(next) - exit(prev).
+    rows = [
+        (1, 0, 0, 0, 100, 200), (1, 1, 1, 0, 500, 900), (1, 2, 0, 0, 1000, 1100),
+        (2, 0, 5, 5, 0, 10), (2, 1, 5, 5, 50, 60),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, stay_idx long, cx long, cy long, enter_us long, exit_us long")
+    got = {
+        (r["from_cx"], r["from_cy"], r["to_cx"], r["to_cy"]):
+            (r["n_trips"], r["sum_travel_us"])
+        for r in trajectory.od_matrix(df).collect()
+    }
+    assert got == {
+        (0, 0, 1, 0): (1, 300),
+        (1, 0, 0, 0): (1, 100),
+        (5, 5, 5, 5): (1, 40),
+    }
+
+
+def test_od_matrix_aggregates_across_users(spark):
+    # the same cell pair travelled by two users aggregates into one row
+    rows = [
+        (1, 0, 0, 0, 0, 10), (1, 1, 9, 9, 20, 30),
+        (2, 0, 0, 0, 0, 5), (2, 1, 9, 9, 105, 110),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, stay_idx long, cx long, cy long, enter_us long, exit_us long")
+    got = trajectory.od_matrix(df).collect()
+    assert len(got) == 1
+    assert (got[0]["n_trips"], got[0]["sum_travel_us"]) == (2, 10 + 100)

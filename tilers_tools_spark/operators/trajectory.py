@@ -163,3 +163,37 @@ def stay_points(
         (F.col("exit_us") - F.col("enter_us")).alias("dwell_us"),
         F.col("n_pings").cast("long").alias("n_pings"),
     )
+
+
+def od_matrix(stays: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """Origin-destination flow matrix (the classic mobility/transport
+    product) over ::stay_points output: per entity, consecutive stays
+    (stay_idx order) form a trip from the earlier stay's cell to the
+    later one's; flows aggregate to one row per (from-cell, to-cell)
+    with the exact trip count and total travel time Σ(enter_us of the
+    destination - exit_us of the origin). Self-loops (consecutive
+    stays in the same cell — possible when a too-short visit elsewhere
+    was filtered out between them) are kept and flagged by from = to.
+    Every column is an exact integer.
+
+    One window (lag over the entity key) + one groupBy on the cell
+    pair — flows shard by cell pair; the per-entity state is one row.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col("stay_idx").asc())
+    t = stays.select(
+        F.col(user_col).alias("user_id"), "stay_idx", "cx", "cy",
+        "enter_us", "exit_us",
+        F.lag("cx").over(w).alias("fcx"),
+        F.lag("cy").over(w).alias("fcy"),
+        F.lag("exit_us").over(w).alias("fexit"),
+    ).where(F.col("fcx").isNotNull())
+    return (
+        t.groupBy(
+            F.col("fcx").alias("from_cx"), F.col("fcy").alias("from_cy"),
+            F.col("cx").alias("to_cx"), F.col("cy").alias("to_cy"),
+        )
+        .agg(
+            F.count("*").alias("n_trips"),
+            F.sum(F.col("enter_us") - F.col("fexit")).alias("sum_travel_us"),
+        )
+    )

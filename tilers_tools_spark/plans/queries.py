@@ -2360,8 +2360,7 @@ def q_stay_points(spark, sf_dir):
     )
 
 
-SQL_STAY_POINTS = f"""
-WITH {_PTS_SQL},
+_STAY_CORE_SQL = f"""
 ev AS (
   SELECT e.event_id, e.user_id, epoch_us(e.ts) AS us,
          CAST(FLOOR(CAST(CAST(FLOOR(m.mx) AS BIGINT) AS DOUBLE) / 8388608e0) AS BIGINT) AS cx,
@@ -2386,13 +2385,61 @@ i AS (
 f AS (
   SELECT * FROM i
   WHERE exit_us - enter_us >= 20000000000 AND n_pings >= 2
-)
+)"""
+
+SQL_STAY_POINTS = f"""
+WITH {_PTS_SQL}, {_STAY_CORE_SQL}
 SELECT user_id,
        CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY isl) - 1 AS BIGINT) AS stay_idx,
        cx, cy, enter_us, exit_us, exit_us - enter_us AS dwell_us,
        CAST(n_pings AS BIGINT) AS n_pings
 FROM f
 """
+
+
+def q_od_matrix(spark, sf_dir):
+    """Origin-destination flows (operators/trajectory.py::od_matrix)
+    over the stay_points gate output: consecutive stays per user form
+    trips; one row per cell pair with exact n_trips and Σ travel time.
+    Oracle composes the SAME shared stay CTE core + a lag window +
+    GROUP BY — the full stay->OD pipeline replayed relationally."""
+    from ..operators import trajectory
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id")
+    m = _merc_pts(spark, sf_dir).select(
+        "event_id",
+        F.floor("mx").cast("long").alias("ix"),
+        F.floor("my").cast("long").alias("iy"),
+    )
+    stays = trajectory.stay_points(
+        ev.join(m, "event_id"), cell=8388608, min_dwell_s=20000.0,
+        min_pings=2, x_col="ix", y_col="iy",
+    )
+    return trajectory.od_matrix(stays)
+
+
+SQL_OD_MATRIX = f"""
+WITH {_PTS_SQL}, {_STAY_CORE_SQL},
+st AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY isl) - 1 AS stay_idx,
+         cx, cy, enter_us, exit_us
+  FROM f
+),
+tr AS (
+  SELECT user_id, cx, cy, enter_us,
+         LAG(cx) OVER w AS fcx, LAG(cy) OVER w AS fcy,
+         LAG(exit_us) OVER w AS fexit
+  FROM st WINDOW w AS (PARTITION BY user_id ORDER BY stay_idx)
+)
+SELECT fcx AS from_cx, fcy AS from_cy, cx AS to_cx, cy AS to_cy,
+       count(*) AS n_trips,
+       CAST(SUM(enter_us - fexit) AS BIGINT) AS sum_travel_us
+FROM tr WHERE fcx IS NOT NULL
+GROUP BY fcx, fcy, cx, cy
+"""
+
 
 
 _SOBEL_SPECS = [("sob_a", 24, 16), ("sob_b", 9, 11)]
@@ -8293,6 +8340,7 @@ QUERIES: dict = {
     "box_blur": (q_box_blur, SQL_BOX_BLUR),
     "median_filter": (q_median_filter, SQL_MEDIAN_FILTER),
     "otsu_threshold": (q_otsu, SQL_OTSU),
+    "od_matrix": (q_od_matrix, SQL_OD_MATRIX),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
     "variogram": (q_variogram, SQL_VARIOGRAM),
     "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
