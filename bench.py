@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "median_filter",
     "otsu_threshold",
     "od_matrix",
+    "locf_fill",
 ]
 
 

@@ -156,3 +156,63 @@ def interval_join(
     return j.filter(
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
     ).drop("_bucket")
+
+
+def locf_fill(
+    df,
+    n_bins: int,
+    entity_col: str = "entity",
+    bin_col: str = "bin",
+    v_col: str = "v",
+):
+    """Regular-grid gap fill with last-observation-carried-forward (the
+    pandas ffill / QuestDB FILL(PREV) role): the bin axis 0..n_bins-1
+    is COMPLETED per entity (a missing bin is a gap, not absent data),
+    then each gap takes the value of the latest observed bin at or
+    before it; `src_bin` records where the value came from and `filled`
+    flags carried rows. LEADING gaps (before the entity's first
+    observation) stay NULL with filled = true, src_bin NULL — LOCF
+    never invents a value (no backfill; documented). Duplicate
+    (entity, bin) observations are rejected fail-loud — fill semantics
+    would be ambiguous. All columns exact integers.
+
+    One cross-join against a literal bin array + one window on the
+    entity key (the shuffle the groupBy already needed); bounded bin
+    axis by contract.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if not 2 <= n_bins <= 4096:
+        raise ValueError("n_bins must be in [2, 4096]")
+    c = df.select(
+        F.col(entity_col).alias("entity"),
+        F.col(bin_col).cast("long").alias("bin"),
+        F.col(v_col).cast("long").alias("v"),
+    )
+    dup = F.count("*").over(Window.partitionBy("entity", "bin"))
+    c = c.withColumn(
+        "v",
+        F.when(dup == 1, F.col("v")).otherwise(
+            F.raise_error(F.format_string(
+                "duplicate observation for entity %s bin %s",
+                F.col("entity").cast("string"), F.col("bin")))
+        ),
+    )
+    bins = F.explode(F.array(*[F.lit(b).cast("long") for b in range(n_bins)]))
+    grid = (
+        c.select("entity").distinct().withColumn("bin", bins)
+        .join(c, ["entity", "bin"], "left")
+    )
+    w = (
+        Window.partitionBy("entity").orderBy(F.col("bin").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled_v = F.last("v", ignorenulls=True).over(w)
+    src = F.last(F.when(F.col("v").isNotNull(), F.col("bin")), ignorenulls=True).over(w)
+    return grid.select(
+        "entity", "bin",
+        filled_v.alias("v_filled"),
+        F.col("v").isNull().alias("filled"),
+        src.alias("src_bin"),
+    )

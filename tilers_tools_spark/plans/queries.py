@@ -489,6 +489,45 @@ FROM comp
 """
 
 
+def q_locf_fill(spark, sf_dir):
+    """LOCF gap fill (operators/temporal.py::locf_fill — the pandas
+    ffill / QuestDB FILL(PREV) role) over a sparse per-user 64-bin
+    census ((event_id*7) % 64 — ~35% of bins empty at sf0.01): the
+    grid completes, gaps carry the latest earlier value, src_bin
+    records provenance, leading gaps stay NULL. Oracle = the same
+    cross-join grid + LAST_VALUE IGNORE NULLS windows."""
+    from ..operators import temporal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    c = (
+        ev.select("user_id", ((F.col("event_id") * 7) % 64).alias("bin"))
+        .groupBy("user_id", "bin").agg(F.count("*").alias("cnt"))
+    )
+    return temporal.locf_fill(
+        c, n_bins=64, entity_col="user_id", bin_col="bin", v_col="cnt")
+
+
+SQL_LOCF_FILL = """
+WITH c AS (
+  SELECT user_id AS entity, (event_id * 7) % 64 AS bin, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+g AS (
+  SELECT e.entity, b.bin, c.cnt
+  FROM (SELECT DISTINCT entity FROM c) e
+  CROSS JOIN range(0, 64) b(bin)
+  LEFT JOIN c ON c.entity = e.entity AND c.bin = b.bin
+)
+SELECT entity, bin,
+       LAST_VALUE(cnt IGNORE NULLS) OVER w AS v_filled,
+       cnt IS NULL AS filled,
+       LAST_VALUE(CASE WHEN cnt IS NOT NULL THEN bin END IGNORE NULLS) OVER w AS src_bin
+FROM g WINDOW w AS (PARTITION BY entity ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (operators/temporal.py::asof_join — union-then-window,
     ONE shuffle on the by-key): for every click/view event, the most
@@ -8341,6 +8380,7 @@ QUERIES: dict = {
     "median_filter": (q_median_filter, SQL_MEDIAN_FILTER),
     "otsu_threshold": (q_otsu, SQL_OTSU),
     "od_matrix": (q_od_matrix, SQL_OD_MATRIX),
+    "locf_fill": (q_locf_fill, SQL_LOCF_FILL),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
     "variogram": (q_variogram, SQL_VARIOGRAM),
     "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
