@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "otsu_threshold",
     "od_matrix",
     "locf_fill",
+    "exact_stratified_k",
 ]
 
 

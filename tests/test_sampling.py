@@ -1,0 +1,30 @@
+
+
+def test_exact_stratified_k(spark):
+    import hashlib
+
+    from tilers_tools_spark.operators import sampling
+
+    rows = [(i, f"s{i % 3}") for i in range(50)] + [(100, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+    out = sampling.exact_stratified_k(
+        df, k=5, strata_cols=["stratum"], key_col="doc_id", seed=9).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["stratum"], []).append((r["sample_rank"], r["doc_id"]))
+    # exact quotas: min(k, size)
+    assert sorted(len(v) for v in got.values()) == [1, 5, 5, 5]
+    # selection = k smallest md5 digests, rank order matches
+    for s, members in got.items():
+        ids = [i for i, st in rows if st == s]
+        ref = sorted(ids, key=lambda i: (hashlib.md5(f"{i}:9".encode()).hexdigest(), i))[:5]
+        assert [d for _, d in sorted(members)] == ref, s
+
+
+def test_exact_stratified_k_validation(spark):
+    import pytest as pt
+
+    from tilers_tools_spark.operators import sampling
+
+    with pt.raises(ValueError):
+        sampling.exact_stratified_k(None, 0, ["x"], "y")

@@ -24,7 +24,7 @@ fractions are quantized to ~2.3e-10 — negligible against sampling noise.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _SCALE = 1 << 32
@@ -335,3 +335,34 @@ def mixture_resample(
         F.col(domain_col).cast("string"), F.lit("|"), F.col(id_col).cast("string")
     )
     return df.filter(thr.isNotNull() & (_bucket_hex(key, seed) < thr))
+
+
+def exact_stratified_k(
+    df: DataFrame,
+    k: int,
+    strata_cols: list,
+    key_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """EXACT-quota stratified sampling: precisely min(k, stratum size)
+    rows per stratum (the guarantee ``stratified_sample``'s hash
+    threshold deliberately trades away for join-freeness), selected as
+    the k smallest ``md5(key || ':' || seed)`` hex digests within the
+    stratum — the same portable-md5 mechanism as the rest of this
+    module, so the SELECTION SET is deterministic and identical in any
+    engine that can sort hex strings (tie-break on key_col for the
+    astronomically-unlikely digest collision). Adds ``sample_rank``
+    (1-based within stratum).
+
+    Use for per-class training quotas (exactly k per language/domain/
+    label). Cost: one window over the strata key — the shuffle a
+    per-stratum quota fundamentally requires; rows never move twice.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}")))
+    w = Window.partitionBy(*strata_cols).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+    )

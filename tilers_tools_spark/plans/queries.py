@@ -528,6 +528,34 @@ FROM g WINDOW w AS (PARTITION BY entity ORDER BY bin
 
 
 
+def q_exact_stratified_k(spark, sf_dir):
+    """Exact-quota stratified sampling (operators/sampling.py::
+    exact_stratified_k): exactly min(k, |stratum|) docs per language
+    stratum, chosen by the k smallest portable md5(key||':'||seed)
+    digests — the selection SET is engine-independent. Oracle = the
+    same md5 ROW_NUMBER window in DuckDB."""
+    from ..operators import sampling
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = sampling.exact_stratified_k(
+        d.select("doc_id", "lang"), k=7, strata_cols=["lang"],
+        key_col="doc_id", seed=3)
+    return out.select("lang", "doc_id", "sample_rank")
+
+
+SQL_EXACT_STRATIFIED_K = """
+SELECT lang, doc_id, sample_rank
+FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':3') ASC, doc_id ASC)
+           AS sample_rank
+  FROM documents
+) WHERE sample_rank <= 7
+"""
+
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (operators/temporal.py::asof_join — union-then-window,
     ONE shuffle on the by-key): for every click/view event, the most
@@ -8381,6 +8409,7 @@ QUERIES: dict = {
     "otsu_threshold": (q_otsu, SQL_OTSU),
     "od_matrix": (q_od_matrix, SQL_OD_MATRIX),
     "locf_fill": (q_locf_fill, SQL_LOCF_FILL),
+    "exact_stratified_k": (q_exact_stratified_k, SQL_EXACT_STRATIFIED_K),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
     "variogram": (q_variogram, SQL_VARIOGRAM),
     "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
