@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "od_matrix",
     "locf_fill",
     "exact_stratified_k",
+    "order_statistic",
 ]
 
 

@@ -28,3 +28,31 @@ def test_exact_stratified_k_validation(spark):
 
     with pt.raises(ValueError):
         sampling.exact_stratified_k(None, 0, ["x"], "y")
+
+
+def test_order_statistic_vs_sorted(spark):
+    import random as rnd
+
+    from tilers_tools_spark.operators import sketch
+
+    rng = rnd.Random(101)
+    vals = [rng.randrange(-1000, 1000) for _ in range(500)] + [7] * 50  # ties
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    srt = sorted(vals)
+    ks = [1, 2, 137, 275, 549, 550]
+    got = {r["k"]: r["value"] for r in sketch.order_statistic(df, ks=ks).collect()}
+    assert got == {k: srt[k - 1] for k in ks}
+
+
+def test_order_statistic_validation(spark):
+    import pytest as pt
+
+    from tilers_tools_spark.operators import sketch
+
+    df = spark.createDataFrame([(1,), (2,)], "v long")
+    with pt.raises(ValueError):
+        sketch.order_statistic(df, ks=[])
+    with pt.raises(ValueError):
+        sketch.order_statistic(df, ks=[0])
+    with pt.raises(ValueError):
+        sketch.order_statistic(df, ks=[3]).collect()

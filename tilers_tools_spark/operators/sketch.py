@@ -218,3 +218,54 @@ def cms_topk(
         .where(F.col("rank") <= k)
         .select("key", "est", "rank")
     )
+
+
+def order_statistic(
+    df: DataFrame,
+    ks: list,
+    v_col: str = "v",
+) -> DataFrame:
+    """EXACT k-th order statistics of an INTEGER column at scale —
+    the primitive behind exact medians/percentiles on data too big to
+    sort: for each 1-based k, the k-th smallest value, found by
+    BISECTION ON THE VALUE DOMAIN — each probe is one narrow
+    aggregation count(v <= mid) with map-side partials (no global
+    sort, no shuffle of data rows, O(log range) ~ <=64 passes total
+    per k over a cached projection). Returns (k, value) rows; the
+    answer is the smallest v with count(<= v) >= k — the standard
+    selection definition, ties handled inherently. Fails loud on
+    k out of [1, n].
+
+    Contrast approx_percentile (approximate, seed-dependent) and
+    ORDER BY + OFFSET (a full sort): this is exact AND scale-safe.
+    """
+    if not ks:
+        raise ValueError("ks must be non-empty")
+    ks = [int(k) for k in ks]
+    if any(k < 1 for k in ks):
+        raise ValueError("every k must be >= 1")
+    v = df.select(F.col(v_col).cast("long").alias("v")).persist()
+    try:
+        row = v.agg(
+            F.count("*").alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi")
+        ).collect()[0]
+        n, lo0, hi0 = row["n"], row["lo"], row["hi"]
+        if any(k > n for k in ks):
+            raise ValueError(f"k exceeds row count {n}")
+        out = []
+        for k in ks:
+            lo, hi = lo0, hi0
+            while lo < hi:
+                mid = (lo + hi) // 2  # floor also for negative lo+hi
+                cnt = v.agg(
+                    F.sum(F.when(F.col("v") <= mid, 1).otherwise(0))
+                ).collect()[0][0]
+                if cnt >= k:
+                    hi = mid
+                else:
+                    lo = mid + 1
+            out.append((k, lo))
+    finally:
+        v.unpersist()
+    spark = df.sparkSession
+    return spark.createDataFrame(out, "k long, value long")

@@ -556,6 +556,38 @@ FROM (
 
 
 
+def q_order_statistic(spark, sf_dir):
+    """Exact distributed order statistics (operators/sketch.py::
+    order_statistic — exact percentiles WITHOUT a global sort:
+    value-domain bisection, each probe one narrow count(v <= mid)
+    aggregation): the 1st, quartile, median, upper-quartile and max
+    order statistics of the integer mercator x of events. Oracle =
+    ROW_NUMBER over the sorted column picked at the same ks."""
+    from ..operators import sketch
+
+    m = _merc_pts(spark, sf_dir).select(F.floor("mx").cast("long").alias("v"))
+    n = m.count()
+    ks = [1, n // 4, n // 2, (3 * n) // 4, n]
+    return sketch.order_statistic(m, ks=ks, v_col="v")
+
+
+SQL_ORDER_STATISTIC = f"""
+WITH {_PTS_SQL},
+q AS (SELECT CAST(FLOOR(mx) AS BIGINT) AS v FROM m),
+nn AS (SELECT count(*) AS n FROM q),
+ks AS (
+  SELECT CAST(1 AS BIGINT) AS k
+  UNION ALL SELECT n // 4 FROM nn
+  UNION ALL SELECT n // 2 FROM nn
+  UNION ALL SELECT (3 * n) // 4 FROM nn
+  UNION ALL SELECT n FROM nn
+),
+srt AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM q)
+SELECT ks.k AS k, srt.v AS value FROM ks JOIN srt ON srt.rn = ks.k
+"""
+
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (operators/temporal.py::asof_join — union-then-window,
     ONE shuffle on the by-key): for every click/view event, the most
@@ -8410,6 +8442,7 @@ QUERIES: dict = {
     "od_matrix": (q_od_matrix, SQL_OD_MATRIX),
     "locf_fill": (q_locf_fill, SQL_LOCF_FILL),
     "exact_stratified_k": (q_exact_stratified_k, SQL_EXACT_STRATIFIED_K),
+    "order_statistic": (q_order_statistic, SQL_ORDER_STATISTIC),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
     "variogram": (q_variogram, SQL_VARIOGRAM),
     "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
