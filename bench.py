@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "locf_fill",
     "exact_stratified_k",
     "order_statistic",
+    "percentile_stretch",
 ]
 
 

@@ -103,3 +103,62 @@ def test_mixed_constant_and_varying_channels(spark):
     assert np.array_equal(got[:, :, 0], a[:, :, 0])
     assert np.array_equal(got[:, :, 2], a[:, :, 2])
     assert got[:, :, 1].min() == 0 and got[:, :, 1].max() == 255
+
+
+# --------------------------------------------------- percentile stretch
+
+
+def _stretch_ref(a, lo_pct, hi_pct):
+    h, w, nb = a.shape
+    n = h * w
+    k_lo = n * lo_pct // 100 + 1
+    k_hi = max(n * hi_pct // 100, k_lo)
+    out = {}
+    for b in range(nb):
+        vals = sorted(int(x) for x in a[:, :, b].ravel())
+        lo_v, hi_v = vals[k_lo - 1], vals[k_hi - 1]
+        tot = chg = 0
+        for v in vals:
+            if hi_v <= lo_v:
+                nv = v
+            elif v <= lo_v:
+                nv = 0
+            elif v >= hi_v:
+                nv = 255
+            else:
+                nv = ((v - lo_v) * 255 + (hi_v - lo_v) // 2) // (hi_v - lo_v)
+            tot += nv
+            chg += nv != v
+        out[b] = (lo_v, hi_v, tot, chg)
+    return out
+
+
+def _stretch_run(spark, arrs, lo=2, hi=98):
+    rows = [(f"i{k}", codecs.encode_raw(a), "raw") for k, a in enumerate(arrs)]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    return {
+        (r["image_id"], r["b"]): (r["lo_v"], r["hi_v"], r["pix_sum"], r["changed"])
+        for r in multimodal.percentile_stretch(df, lo_pct=lo, hi_pct=hi).collect()
+    }
+
+
+def test_stretch_vs_scalar_reference(spark):
+    rng = np.random.default_rng(73)
+    arrs = [rng.integers(50, 130, size=(7, 9, 3)).astype(np.uint8),
+            rng.integers(0, 256, size=(12, 4, 3)).astype(np.uint8)]
+    for lo, hi in ((2, 98), (10, 90), (0, 100)):
+        got = _stretch_run(spark, arrs, lo, hi)
+        for k, a in enumerate(arrs):
+            ref = _stretch_ref(a, lo, hi)
+            for b in range(3):
+                assert got[(f"i{k}", b)] == ref[b], (lo, hi, k, b)
+
+
+def test_stretch_constant_identity_and_validation(spark):
+    a = np.full((5, 5, 3), 80, np.uint8)
+    got = _stretch_run(spark, [a])[("i0", 0)]
+    assert got == (80, 80, 80 * 25, 0)  # lo == hi -> pass-through
+    with pytest.raises(ValueError):
+        multimodal.percentile_stretch(None, 50, 50)
+    with pytest.raises(ValueError):
+        multimodal.percentile_stretch(None, -1, 98)

@@ -588,6 +588,77 @@ SELECT ks.k AS k, srt.v AS value FROM ks JOIN srt ON srt.rn = ks.k
 
 
 
+_STR_SPECS = [("str_a", 24, 16), ("str_b", 9, 11)]
+
+
+def q_percentile_stretch(spark, sf_dir):
+    """Percentile contrast stretch (operators/multimodal.py::
+    percentile_stretch — the QGIS cumulative-count-cut role, 2-98%):
+    exact order-statistic cut values off the histogram + the integer
+    round-half-up ramp. Oracle = histogram cumsum cuts + the same
+    integer LUT relationally; the squashed-range fixture makes the
+    stretch real, the second pattern exercises full range."""
+    from ..functions import codecs as cod
+    from ..operators import multimodal
+
+    rows = []
+    for image_id, w, h in _STR_SPECS:
+        r, c, b = np.ogrid[0:h, 0:w, 0:3]
+        if image_id == "str_a":
+            arr = ((((r * c + b * 37) % 97)) + 60).astype(np.uint8)
+        else:
+            arr = ((r * 7 + c * 13 + b * 29) % 256).astype(np.uint8)
+        rows.append((image_id, cod.encode_raw(arr), "raw"))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    return multimodal.percentile_stretch(df, lo_pct=2, hi_pct=98)
+
+
+def _stretch_sql() -> str:
+    ctes, legs = [], []
+    for i, (image_id, w, h) in enumerate(_STR_SPECS):
+        n = w * h
+        k_lo = n * 2 // 100 + 1
+        k_hi = max(n * 98 // 100, k_lo)
+        pat = (
+            "(((t1.r*t2.c + t3.b*37) % 97) + 60)" if image_id == "str_a"
+            else "((t1.r*7 + t2.c*13 + t3.b*29) % 256)"
+        )
+        ctes.append(
+            f"px_{i} AS (SELECT t1.r AS r, t2.c AS c, t3.b AS b, {pat} AS v "
+            f"FROM range(0,{h}) t1(r), range(0,{w}) t2(c), range(0,3) t3(b))"
+        )
+        ctes.append(
+            f"cm_{i} AS (SELECT b, v, SUM(cnt) OVER (PARTITION BY b ORDER BY v) AS cum "
+            f"FROM (SELECT b, v, count(*) AS cnt FROM px_{i} GROUP BY b, v))"
+        )
+        ctes.append(
+            f"ct_{i} AS (SELECT b, "
+            f"MIN(CASE WHEN cum >= {k_lo} THEN v END) AS lo_v, "
+            f"MIN(CASE WHEN cum >= {k_hi} THEN v END) AS hi_v FROM cm_{i} GROUP BY b)"
+        )
+        legs.append(f"""
+SELECT '{image_id}' AS image_id, CAST(p.b AS INT) AS b,
+       CAST(t.lo_v AS INT) AS lo_v, CAST(t.hi_v AS INT) AS hi_v,
+       CAST(SUM(CASE WHEN t.hi_v <= t.lo_v THEN p.v
+                     WHEN p.v <= t.lo_v THEN 0
+                     WHEN p.v >= t.hi_v THEN 255
+                     ELSE ((p.v - t.lo_v) * 255 + (t.hi_v - t.lo_v) // 2)
+                          // (t.hi_v - t.lo_v) END) AS BIGINT) AS pix_sum,
+       CAST(count(*) FILTER (WHERE
+            (CASE WHEN t.hi_v <= t.lo_v THEN p.v
+                  WHEN p.v <= t.lo_v THEN 0
+                  WHEN p.v >= t.hi_v THEN 255
+                  ELSE ((p.v - t.lo_v) * 255 + (t.hi_v - t.lo_v) // 2)
+                       // (t.hi_v - t.lo_v) END) <> p.v) AS BIGINT) AS changed
+FROM px_{i} p JOIN ct_{i} t ON t.b = p.b
+GROUP BY p.b, t.lo_v, t.hi_v""")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(legs)
+
+
+SQL_PERCENTILE_STRETCH = _stretch_sql()
+
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (operators/temporal.py::asof_join — union-then-window,
     ONE shuffle on the by-key): for every click/view event, the most
@@ -8443,6 +8514,7 @@ QUERIES: dict = {
     "locf_fill": (q_locf_fill, SQL_LOCF_FILL),
     "exact_stratified_k": (q_exact_stratified_k, SQL_EXACT_STRATIFIED_K),
     "order_statistic": (q_order_statistic, SQL_ORDER_STATISTIC),
+    "percentile_stretch": (q_percentile_stretch, SQL_PERCENTILE_STRETCH),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
     "variogram": (q_variogram, SQL_VARIOGRAM),
     "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
