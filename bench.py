@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "exact_stratified_k",
     "order_statistic",
     "percentile_stretch",
+    "winsorize",
 ]
 
 

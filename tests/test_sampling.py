@@ -56,3 +56,32 @@ def test_order_statistic_validation(spark):
         sketch.order_statistic(df, ks=[0])
     with pt.raises(ValueError):
         sketch.order_statistic(df, ks=[3]).collect()
+
+
+def test_winsorize_vs_sorted(spark):
+    import random as rnd
+
+    from tilers_tools_spark.operators import sketch
+
+    rng = rnd.Random(7)
+    vals = [rng.randrange(-500, 500) for _ in range(400)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    srt = sorted(vals)
+    lo_k, hi_k = 20, 380
+    r = sketch.winsorize(df, lo_k, hi_k).collect()[0]
+    lo_v, hi_v = srt[lo_k - 1], srt[hi_k - 1]
+    assert (r["n"], r["lo_v"], r["hi_v"]) == (400, lo_v, hi_v)
+    assert r["n_lo"] == sum(1 for v in vals if v < lo_v)
+    assert r["n_hi"] == sum(1 for v in vals if v > hi_v)
+    assert r["sum_clipped"] == sum(min(max(v, lo_v), hi_v) for v in vals)
+
+
+def test_winsorize_validation(spark):
+    import pytest as pt
+
+    from tilers_tools_spark.operators import sketch
+
+    with pt.raises(ValueError):
+        sketch.winsorize(None, 0, 5)
+    with pt.raises(ValueError):
+        sketch.winsorize(None, 5, 4)

@@ -269,3 +269,36 @@ def order_statistic(
         v.unpersist()
     spark = df.sparkSession
     return spark.createDataFrame(out, "k long, value long")
+
+
+def winsorize(
+    df: DataFrame,
+    lo_k: int,
+    hi_k: int,
+    v_col: str = "v",
+) -> DataFrame:
+    """Winsorization audit (the scipy.stats.mstats.winsorize /
+    robust-feature-scaling role) with EXACT integer cut values: clip
+    the column to [k_lo-th, k_hi-th order statistic] (1-based ks —
+    callers derive them from fractions with their own documented floor
+    rule) and report ONE exact row: (n, lo_v, hi_v, n_lo — values
+    raised to lo_v —, n_hi, sum_clipped). Cut values come from
+    ::order_statistic (value-domain bisection — no sort at any scale);
+    the clip audit is one more narrow aggregation. lo_k <= hi_k
+    validated; clipping to identical cuts (lo_k == hi_k) collapses the
+    column to a constant, which the audit shows honestly."""
+    if lo_k < 1 or hi_k < lo_k:
+        raise ValueError("need 1 <= lo_k <= hi_k")
+    cuts = {r["k"]: r["value"] for r in
+            order_statistic(df, ks=sorted({lo_k, hi_k}), v_col=v_col).collect()}
+    lo_v, hi_v = cuts[lo_k], cuts[hi_k]
+    v = F.col(v_col).cast("long")
+    clipped = F.greatest(F.least(v, F.lit(hi_v)), F.lit(lo_v))
+    return df.agg(
+        F.count("*").alias("n"),
+        F.lit(lo_v).cast("long").alias("lo_v"),
+        F.lit(hi_v).cast("long").alias("hi_v"),
+        F.sum(F.when(v < F.lit(lo_v), 1).otherwise(0)).alias("n_lo"),
+        F.sum(F.when(v > F.lit(hi_v), 1).otherwise(0)).alias("n_hi"),
+        F.sum(clipped).alias("sum_clipped"),
+    )

@@ -659,6 +659,38 @@ SQL_PERCENTILE_STRETCH = _stretch_sql()
 
 
 
+def q_winsorize(spark, sf_dir):
+    """Winsorization audit (operators/sketch.py::winsorize — robust
+    clipping at the exact 5th/95th-percentile order statistics, cuts
+    via value-domain bisection): the integer mercator x of events
+    clipped at k = n//20 and n - n//20. Oracle = sorted-ROW_NUMBER
+    cuts + the same clip aggregation."""
+    from ..operators import sketch
+
+    m = _merc_pts(spark, sf_dir).select(F.floor("mx").cast("long").alias("v"))
+    n = m.count()
+    return sketch.winsorize(m, lo_k=max(1, n // 20), hi_k=n - n // 20, v_col="v")
+
+
+SQL_WINSORIZE = f"""
+WITH {_PTS_SQL},
+q AS (SELECT CAST(FLOOR(mx) AS BIGINT) AS v FROM m),
+nn AS (SELECT count(*) AS n FROM q),
+srt AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM q),
+ct AS (
+  SELECT (SELECT v FROM srt WHERE rn = (SELECT GREATEST(1, n // 20) FROM nn)) AS lo_v,
+         (SELECT v FROM srt WHERE rn = (SELECT n - n // 20 FROM nn)) AS hi_v
+)
+SELECT nn.n AS n, ct.lo_v AS lo_v, ct.hi_v AS hi_v,
+       CAST(SUM(CASE WHEN q.v < ct.lo_v THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+       CAST(SUM(CASE WHEN q.v > ct.hi_v THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+       CAST(SUM(GREATEST(LEAST(q.v, ct.hi_v), ct.lo_v)) AS BIGINT) AS sum_clipped
+FROM q, ct, nn
+GROUP BY nn.n, ct.lo_v, ct.hi_v
+"""
+
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (operators/temporal.py::asof_join — union-then-window,
     ONE shuffle on the by-key): for every click/view event, the most
@@ -8515,6 +8547,7 @@ QUERIES: dict = {
     "exact_stratified_k": (q_exact_stratified_k, SQL_EXACT_STRATIFIED_K),
     "order_statistic": (q_order_statistic, SQL_ORDER_STATISTIC),
     "percentile_stretch": (q_percentile_stretch, SQL_PERCENTILE_STRETCH),
+    "winsorize": (q_winsorize, SQL_WINSORIZE),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
     "variogram": (q_variogram, SQL_VARIOGRAM),
     "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
