@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "order_statistic",
     "percentile_stretch",
     "winsorize",
+    "canny_edges",
 ]
 
 

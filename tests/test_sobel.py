@@ -560,3 +560,113 @@ def test_otsu_hand_kat_two_values(spark):
 def test_otsu_constant_channel_absent(spark):
     a = np.full((3, 3, 3), 77, np.uint8)
     assert _otsu_run(spark, [a]) == {}
+
+
+# ---------------------------------------------------------------- Canny
+
+
+def _canny_ref(a: np.ndarray, lo, hi):
+    from collections import deque
+
+    h, w, nb = a.shape
+    out = {}
+    for b in range(nb):
+        mag2 = _brute(a[:, :, b:b + 1])[:, :, 0]
+        gx = np.zeros((h, w), int)
+        gy = np.zeros((h, w), int)
+        p = a[:, :, b].astype(int)
+
+        def px(r, c):
+            return p[r, c] if 0 <= r < h and 0 <= c < w else 0
+
+        for r in range(h):
+            for c in range(w):
+                gx[r, c] = sum(wt * px(r + dr, c + dc) for dr, dc, wt in KX)
+                gy[r, c] = sum(wt * px(r + dr, c + dc) for dr, dc, wt in KY)
+
+        def m2(r, c):
+            return int(mag2[r, c]) if 0 <= r < h and 0 <= c < w else 0
+
+        keep = np.zeros((h, w), bool)
+        for r in range(h):
+            for c in range(w):
+                if mag2[r, c] == 0:
+                    continue
+                axv, ayv = abs(gx[r, c]), abs(gy[r, c])
+                if 2 * ayv <= axv:
+                    d = (0, 1)
+                elif 2 * axv <= ayv:
+                    d = (1, 0)
+                elif gx[r, c] * gy[r, c] > 0:
+                    d = (1, 1)
+                else:
+                    d = (1, -1)
+                if mag2[r, c] >= m2(r + d[0], c + d[1]) and \
+                        mag2[r, c] >= m2(r - d[0], c - d[1]):
+                    keep[r, c] = True
+        strong = keep & (mag2 >= hi * hi)
+        weak = keep & (mag2 >= lo * lo)
+        edge = strong.copy()
+        q = deque(zip(*np.nonzero(strong)))
+        while q:
+            r, c = q.popleft()
+            for dr in (-1, 0, 1):
+                for dc in (-1, 0, 1):
+                    rr, cc = r + dr, c + dc
+                    if 0 <= rr < h and 0 <= cc < w and weak[rr, cc] and not edge[rr, cc]:
+                        edge[rr, cc] = True
+                        q.append((rr, cc))
+        out[b] = (int(keep.sum()), int(strong.sum()),
+                  int((weak & ~strong).sum()), int(edge.sum()),
+                  int(mag2[edge].sum()))
+    return out
+
+
+def _canny_run(spark, arrs, lo=60, hi=120):
+    rows = [(f"i{k}", codecs.encode_raw(a), "raw") for k, a in enumerate(arrs)]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    return {
+        (r["image_id"], r["b"]): (r["n_nms"], r["n_strong"], r["n_weak"],
+                                  r["n_edge"], r["sum_mag2_edge"])
+        for r in multimodal.canny_edges(df, lo=lo, hi=hi).collect()
+    }
+
+
+def test_canny_vs_scalar_reference(spark):
+    rng = np.random.default_rng(83)
+    arrs = [rng.integers(0, 256, size=(9, 8, 3)).astype(np.uint8)]
+    got = _canny_run(spark, arrs)
+    ref = _canny_ref(arrs[0], 60, 120)
+    for b in range(3):
+        assert got[("i0", b)] == ref[b], b
+
+
+def test_canny_hysteresis_semantics(spark):
+    # a strong vertical step and a DISCONNECTED weak step: the weak
+    # step's pixels must NOT survive hysteresis...
+    a = np.zeros((9, 16, 3), np.uint8)
+    a[:, 2:4, :] = 200        # strong edge pair around c=1..4
+    a[:, 12:14, :] = 20       # weak edge (mag ~80, < hi=120)
+    got = _canny_run(spark, [a])[("i0", 0)]
+    ref = _canny_ref(a, 60, 120)[0]
+    assert got == ref
+    assert got[2] > 0                      # kept-weak pixels exist
+    disconnected_edges = got[3]
+    # ...but when a strong bridge CONNECTS them, they join the edge set
+    a2 = a.copy()
+    a2[4, 4:12, :] = 200      # bridge row
+    got2 = _canny_run(spark, [a2])[("i0", 0)]
+    ref2 = _canny_ref(a2, 60, 120)[0]
+    assert got2 == ref2
+    assert got2[3] > disconnected_edges
+
+
+def test_canny_flat_and_validation(spark):
+    a = np.full((6, 6, 3), 50, np.uint8)
+    got = _canny_run(spark, [a])
+    ref = _canny_ref(a, 60, 120)
+    assert got[("i0", 0)] == ref[0]  # only the zero-pad frame responds
+    with pytest.raises(ValueError):
+        multimodal.canny_edges(None, lo=0)
+    with pytest.raises(ValueError):
+        multimodal.canny_edges(None, lo=100, hi=50)

@@ -691,6 +691,102 @@ GROUP BY nn.n, ct.lo_v, ct.hi_v
 
 
 
+_CANNY_SPECS = [("can_a", 24, 16), ("can_b", 9, 11)]
+_CANNY_LO, _CANNY_HI = 60, 120
+
+
+def q_canny(spark, sf_dir):
+    """Canny edges (operators/multimodal.py::canny_edges — the
+    cv2.Canny role made fully integer: Sobel mag², the trig-free
+    2|gy|-vs-|gx| sector rule for NMS, double threshold on mag²,
+    hysteresis as an 8-adjacency reachability closure from strong
+    seeds). Oracle replays all four stages relationally — gradient
+    join, sector-CASE neighbor joins, threshold sets, a recursive-CTE
+    closure — and mirrors the five stage censuses."""
+    from ..functions import codecs as cod
+    from ..operators import multimodal
+
+    rows = []
+    for image_id, w, h in _CANNY_SPECS:
+        r, c, b = np.ogrid[0:h, 0:w, 0:3]
+        arr = ((r * 7 + c * 13 + b * 29) % 256).astype(np.uint8)
+        rows.append((image_id, cod.encode_raw(arr), "raw"))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    return multimodal.canny_edges(df, lo=_CANNY_LO, hi=_CANNY_HI)
+
+
+def _canny_sql() -> str:
+    px = " UNION ALL ".join(
+        f"SELECT '{image_id}' AS img, t1.r AS r, t2.c AS c, t3.b AS b, "
+        f"((t1.r*7 + t2.c*13 + t3.b*29) % 256) AS v "
+        f"FROM range(0,{h}) t1(r), range(0,{w}) t2(c), range(0,3) t3(b)"
+        for image_id, w, h in _CANNY_SPECS
+    )
+    dr1 = "CASE a.sec WHEN 0 THEN 0 ELSE 1 END"
+    dc1 = "CASE a.sec WHEN 0 THEN 1 WHEN 1 THEN 0 WHEN 2 THEN 1 ELSE -1 END"
+    lo2 = _CANNY_LO * _CANNY_LO
+    hi2 = _CANNY_HI * _CANNY_HI
+    return f"""
+WITH RECURSIVE px AS ({px}),
+g AS (
+  SELECT p1.img, p1.r, p1.c, p1.b,
+         SUM((p2.c - p1.c) * (2 - abs(p2.r - p1.r)) * p2.v) AS gx,
+         SUM((p2.r - p1.r) * (2 - abs(p2.c - p1.c)) * p2.v) AS gy
+  FROM px p1 JOIN px p2 ON p2.img = p1.img AND p2.b = p1.b
+   AND p2.r BETWEEN p1.r - 1 AND p1.r + 1 AND p2.c BETWEEN p1.c - 1 AND p1.c + 1
+  GROUP BY 1, 2, 3, 4
+),
+m AS (
+  SELECT img, r, c, b, gx*gx + gy*gy AS mag2,
+         CASE WHEN 2*abs(gy) <= abs(gx) THEN 0
+              WHEN 2*abs(gx) <= abs(gy) THEN 1
+              WHEN gx*gy > 0 THEN 2 ELSE 3 END AS sec
+  FROM g
+),
+nms AS (
+  SELECT a.img, a.r, a.c, a.b, a.mag2
+  FROM m a
+  LEFT JOIN m n1 ON n1.img = a.img AND n1.b = a.b
+    AND n1.r = a.r + ({dr1}) AND n1.c = a.c + ({dc1})
+  LEFT JOIN m n2 ON n2.img = a.img AND n2.b = a.b
+    AND n2.r = a.r - ({dr1}) AND n2.c = a.c - ({dc1})
+  WHERE a.mag2 > 0 AND a.mag2 >= COALESCE(n1.mag2, 0)
+    AND a.mag2 >= COALESCE(n2.mag2, 0)
+),
+wk AS (SELECT *, mag2 >= {hi2} AS strong FROM nms WHERE mag2 >= {lo2}),
+reach(img, b, r, c) AS (
+  SELECT img, b, r, c FROM wk WHERE strong
+  UNION
+  SELECT w.img, w.b, w.r, w.c
+  FROM reach x JOIN wk w ON w.img = x.img AND w.b = x.b
+   AND w.r BETWEEN x.r - 1 AND x.r + 1 AND w.c BETWEEN x.c - 1 AND x.c + 1
+),
+ed AS (
+  SELECT r.img, r.b, count(*) AS n_edge, CAST(SUM(w.mag2) AS BIGINT) AS sum_mag2_edge
+  FROM reach r JOIN wk w ON w.img = r.img AND w.b = r.b AND w.r = r.r AND w.c = r.c
+  GROUP BY 1, 2
+),
+st AS (
+  SELECT n.img, n.b,
+         count(*) AS n_nms,
+         count(*) FILTER (WHERE n.mag2 >= {hi2}) AS n_strong,
+         count(*) FILTER (WHERE n.mag2 >= {lo2} AND n.mag2 < {hi2}) AS n_weak
+  FROM nms n GROUP BY 1, 2
+)
+SELECT st.img AS image_id, CAST(st.b AS INT) AS b,
+       CAST(st.n_nms AS BIGINT) AS n_nms,
+       CAST(st.n_strong AS BIGINT) AS n_strong,
+       CAST(st.n_weak AS BIGINT) AS n_weak,
+       CAST(COALESCE(ed.n_edge, 0) AS BIGINT) AS n_edge,
+       CAST(COALESCE(ed.sum_mag2_edge, 0) AS BIGINT) AS sum_mag2_edge
+FROM st LEFT JOIN ed ON ed.img = st.img AND ed.b = st.b
+"""
+
+
+SQL_CANNY = _canny_sql()
+
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (operators/temporal.py::asof_join — union-then-window,
     ONE shuffle on the by-key): for every click/view event, the most
@@ -8548,6 +8644,7 @@ QUERIES: dict = {
     "order_statistic": (q_order_statistic, SQL_ORDER_STATISTIC),
     "percentile_stretch": (q_percentile_stretch, SQL_PERCENTILE_STRETCH),
     "winsorize": (q_winsorize, SQL_WINSORIZE),
+    "canny_edges": (q_canny, SQL_CANNY),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
     "variogram": (q_variogram, SQL_VARIOGRAM),
     "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
