@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "percentile_stretch",
     "winsorize",
     "canny_edges",
+    "distance_transform",
 ]
 
 

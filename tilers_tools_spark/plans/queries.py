@@ -787,6 +787,60 @@ SQL_CANNY = _canny_sql()
 
 
 
+_EDT_SPECS = [("edt_a", 24, 16), ("edt_b", 9, 11)]
+_EDT_THR = 200
+
+
+def q_distance_transform(spark, sf_dir):
+    """Exact squared EDT (operators/multimodal.py::distance_transform —
+    the scipy distance_transform_edt / GDAL proximity role, Felzenszwalb
+    two-pass, exact integers): per-channel d² census against v >= 200
+    foreground. Oracle = the NAIVE min-over-all-foreground join — the
+    definition itself — aggregated per channel."""
+    from ..functions import codecs as cod
+    from ..operators import multimodal
+
+    rows = []
+    for image_id, w, h in _EDT_SPECS:
+        r, c, b = np.ogrid[0:h, 0:w, 0:3]
+        arr = ((r * 7 + c * 13 + b * 29) % 256).astype(np.uint8)
+        rows.append((image_id, cod.encode_raw(arr), "raw"))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    return multimodal.distance_transform(df, threshold=_EDT_THR)
+
+
+def _edt_sql() -> str:
+    ctes, legs = [], []
+    for i, (image_id, w, h) in enumerate(_EDT_SPECS):
+        ctes.append(
+            f"px_{i} AS (SELECT t1.r AS r, t2.c AS c, t3.b AS b, "
+            f"((t1.r*7 + t2.c*13 + t3.b*29) % 256) AS v "
+            f"FROM range(0,{h}) t1(r), range(0,{w}) t2(c), range(0,3) t3(b))"
+        )
+        ctes.append(
+            f"dd_{i} AS (SELECT p.b, p.r, p.c, "
+            f"MIN((p.r-f.r)*(p.r-f.r) + (p.c-f.c)*(p.c-f.c)) AS d2 "
+            f"FROM px_{i} p JOIN px_{i} f ON f.b = p.b AND f.v >= {_EDT_THR} "
+            f"GROUP BY p.b, p.r, p.c)"
+        )
+        # LEFT JOIN: a channel with NO foreground still emits its row
+        # (n_inf = the full pixel count), mirroring the engine
+        legs.append(f"""
+SELECT '{image_id}' AS image_id, CAST(f.b AS INT) AS b, f.n_fg,
+       CAST(COALESCE(SUM(d.d2), 0) AS BIGINT) AS sum_d2,
+       CAST(COALESCE(MAX(d.d2), 0) AS BIGINT) AS max_d2,
+       CAST(CASE WHEN f.n_fg = 0 THEN {w * h} ELSE 0 END AS BIGINT) AS n_inf
+FROM (SELECT b, CAST(count(*) FILTER (WHERE v >= {_EDT_THR}) AS BIGINT) AS n_fg
+      FROM px_{i} GROUP BY b) f
+LEFT JOIN dd_{i} d ON d.b = f.b AND f.n_fg > 0
+GROUP BY f.b, f.n_fg""")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(legs)
+
+
+SQL_DISTANCE_TRANSFORM = _edt_sql()
+
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (operators/temporal.py::asof_join — union-then-window,
     ONE shuffle on the by-key): for every click/view event, the most
@@ -8645,6 +8699,7 @@ QUERIES: dict = {
     "percentile_stretch": (q_percentile_stretch, SQL_PERCENTILE_STRETCH),
     "winsorize": (q_winsorize, SQL_WINSORIZE),
     "canny_edges": (q_canny, SQL_CANNY),
+    "distance_transform": (q_distance_transform, SQL_DISTANCE_TRANSFORM),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
     "variogram": (q_variogram, SQL_VARIOGRAM),
     "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
