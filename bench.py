@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "winsorize",
     "canny_edges",
     "distance_transform",
+    "flow_accumulation",
 ]
 
 

@@ -66,3 +66,94 @@ def test_edt_no_foreground_channel(spark):
     assert got[("i0", 1)][0] == 1 and got[("i0", 1)][3] == 0
     with pytest.raises(ValueError):
         multimodal.distance_transform(None, threshold=256)
+
+
+# ------------------------------------------------------------------ D8
+
+
+def _d8_ref(dem):
+    """Independent formulation: float slope = drop / euclidean dist
+    (the engine ranks by the integer key drop²·(3-dist²)); same fixed
+    priority order. Integer ties occur only between same-distance
+    neighbors with equal drops, where the float compare ties exactly
+    too — equivalent by construction, independently derived."""
+    import math
+    from collections import deque
+
+    OFFS = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+    h, w = dem.shape
+    tgt = {}
+    for r in range(h):
+        for c in range(w):
+            best = None
+            for pri, (dr, dc) in enumerate(OFFS):
+                rr, cc = r + dr, c + dc
+                if not (0 <= rr < h and 0 <= cc < w):
+                    continue
+                drop = int(dem[r, c]) - int(dem[rr, cc])
+                if drop <= 0:
+                    continue
+                slope = drop / math.sqrt(dr * dr + dc * dc)
+                if best is None or slope > best[0] + 1e-12:
+                    best = (slope, pri, (rr, cc))
+            if best:
+                tgt[(r, c)] = best[2]
+    indeg = {}
+    for s, d in tgt.items():
+        indeg[d] = indeg.get(d, 0) + 1
+    acc = {}
+    q = deque((r, c) for r in range(h) for c in range(w) if (r, c) not in indeg)
+    while q:
+        cell = q.popleft()
+        d = tgt.get(cell)
+        if d is not None:
+            acc[d] = acc.get(d, 0) + acc.get(cell, 0) + 1
+            indeg[d] -= 1
+            if indeg[d] == 0:
+                q.append(d)
+    return tgt, acc
+
+
+def _d8_run(spark, dems):
+    from tilers_tools_spark.operators import terrain
+
+    rows = []
+    for k, dem in enumerate(dems):
+        arr = np.repeat(dem.astype(np.uint8)[:, :, None], 3, axis=2)
+        rows.append((f"i{k}", codecs.encode_raw(arr), "raw"))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    out = {}
+    for r in terrain.flow_accumulation(df).collect():
+        out[(r["image_id"], r["r"], r["c"])] = (r["acc"], r["is_pit"])
+    return out
+
+
+def test_d8_vs_independent_reference(spark):
+    rng = np.random.default_rng(43)
+    dems = [rng.integers(0, 200, size=(8, 10)), rng.integers(0, 12, size=(7, 7))]
+    got = _d8_run(spark, dems)
+    for k, dem in enumerate(dems):
+        tgt, acc = _d8_ref(dem)
+        h, w = dem.shape
+        for r in range(h):
+            for c in range(w):
+                assert got[(f"i{k}", r, c)] == (
+                    acc.get((r, c), 0), (r, c) not in tgt), (k, r, c)
+
+
+def test_d8_inclined_plane_and_bowl(spark):
+    # v = r: every cell flows straight N (N's key 2·1 beats NW/NE's 1);
+    # acc at row r counts the h-1-r cells below it; row h-1 are sources
+    dem = np.tile(np.arange(6)[:, None], (1, 4))
+    got = _d8_run(spark, [dem])
+    for r in range(6):
+        for c in range(4):
+            acc, pit = got[("i0", r, c)]
+            assert acc == 5 - r and pit == (r == 0), (r, c)
+    # a square bowl: center is the unique pit and accumulates all 24
+    r, c = np.ogrid[0:5, 0:5]
+    bowl = np.maximum(np.abs(r - 2), np.abs(c - 2)) * 10
+    got = _d8_run(spark, [bowl])
+    assert got[("i0", 2, 2)] == (24, True)
+    n_pits = sum(1 for v in got.values() if v[1])
+    assert n_pits == 1

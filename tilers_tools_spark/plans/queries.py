@@ -841,6 +841,84 @@ SQL_DISTANCE_TRANSFORM = _edt_sql()
 
 
 
+_D8_SPECS = [("d8_a", 24, 16), ("d8_b", 9, 11)]
+
+
+def q_flow_accumulation(spark, sf_dir):
+    """D8 flow accumulation (operators/terrain.py::flow_accumulation —
+    the ESRI FlowDirection/FlowAccumulation role): steepest-drop
+    direction via the exact integer key drop²·(3-dist²) with a fixed
+    tie order, upstream-count accumulation over the acyclic flow
+    forest. Oracle derives the SAME edges with ROW_NUMBER over the
+    integer key and counts ancestors with a recursive CTE."""
+    from ..functions import codecs as cod
+    from ..operators import terrain
+
+    rows = []
+    for image_id, w, h in _D8_SPECS:
+        r, c = np.ogrid[0:h, 0:w]
+        plane = (r * 5 + c * 3 + (r * c) % 7).astype(np.uint8)
+        arr = np.repeat(plane[:, :, None], 3, axis=2)
+        rows.append((image_id, cod.encode_raw(arr), "raw"))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    return terrain.flow_accumulation(df)
+
+
+def _d8_sql() -> str:
+    px = " UNION ALL ".join(
+        f"SELECT '{image_id}' AS img, t1.r AS r, t2.c AS c, "
+        f"((t1.r*5 + t2.c*3 + (t1.r*t2.c) % 7) % 256) AS v "
+        f"FROM range(0,{h}) t1(r), range(0,{w}) t2(c)"
+        for image_id, w, h in _D8_SPECS
+    )
+    pri = (
+        "CASE WHEN b.r = a.r-1 AND b.c = a.c-1 THEN 0 "
+        "WHEN b.r = a.r-1 AND b.c = a.c THEN 1 "
+        "WHEN b.r = a.r-1 AND b.c = a.c+1 THEN 2 "
+        "WHEN b.r = a.r AND b.c = a.c-1 THEN 3 "
+        "WHEN b.r = a.r AND b.c = a.c+1 THEN 4 "
+        "WHEN b.r = a.r+1 AND b.c = a.c-1 THEN 5 "
+        "WHEN b.r = a.r+1 AND b.c = a.c THEN 6 ELSE 7 END"
+    )
+    return f"""
+WITH RECURSIVE px AS ({px}),
+cand AS (
+  SELECT a.img, a.r, a.c, b.r AS tr, b.c AS tc,
+         (a.v - b.v) AS drop,
+         ((b.r-a.r)*(b.r-a.r) + (b.c-a.c)*(b.c-a.c)) AS dist2,
+         {pri} AS pri
+  FROM px a JOIN px b
+    ON b.img = a.img AND b.r BETWEEN a.r - 1 AND a.r + 1
+   AND b.c BETWEEN a.c - 1 AND a.c + 1
+   AND NOT (b.r = a.r AND b.c = a.c) AND a.v > b.v
+),
+e AS (
+  SELECT img, r, c, tr, tc FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY img, r, c
+      ORDER BY drop * drop * (3 - dist2) DESC, pri ASC) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+reach(img, ar, ac, r, c) AS (
+  SELECT img, r, c, tr, tc FROM e
+  UNION
+  SELECT x.img, x.ar, x.ac, e.tr, e.tc
+  FROM reach x JOIN e ON e.img = x.img AND e.r = x.r AND e.c = x.c
+),
+acc AS (SELECT img, r, c, count(*) AS acc FROM reach GROUP BY img, r, c)
+SELECT p.img AS image_id, CAST(p.r AS INT) AS r, CAST(p.c AS INT) AS c,
+       CAST(COALESCE(a.acc, 0) AS BIGINT) AS acc,
+       (e.r IS NULL) AS is_pit
+FROM px p
+LEFT JOIN acc a ON a.img = p.img AND a.r = p.r AND a.c = p.c
+LEFT JOIN e ON e.img = p.img AND e.r = p.r AND e.c = p.c
+"""
+
+
+SQL_FLOW_ACCUMULATION = _d8_sql()
+
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (operators/temporal.py::asof_join — union-then-window,
     ONE shuffle on the by-key): for every click/view event, the most
@@ -8700,6 +8778,7 @@ QUERIES: dict = {
     "winsorize": (q_winsorize, SQL_WINSORIZE),
     "canny_edges": (q_canny, SQL_CANNY),
     "distance_transform": (q_distance_transform, SQL_DISTANCE_TRANSFORM),
+    "flow_accumulation": (q_flow_accumulation, SQL_FLOW_ACCUMULATION),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
     "variogram": (q_variogram, SQL_VARIOGRAM),
     "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
