@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "canny_edges",
     "distance_transform",
     "flow_accumulation",
+    "template_match",
 ]
 
 

@@ -157,3 +157,53 @@ def test_d8_inclined_plane_and_bowl(spark):
     assert got[("i0", 2, 2)] == (24, True)
     n_pits = sum(1 for v in got.values() if v[1])
     assert n_pits == 1
+
+
+# ------------------------------------------------------ template match
+
+
+def _tm_ref(a, tpl, top_k):
+    th, tw = tpl.shape
+    h, w, nb = a.shape
+    out = {}
+    for b in range(nb):
+        cands = []
+        for r in range(h - th + 1):
+            for c in range(w - tw + 1):
+                sad = int(np.abs(
+                    a[r:r + th, c:c + tw, b].astype(np.int64) - tpl).sum())
+                cands.append((sad, r, c))
+        cands.sort()
+        out[b] = [(k + 1, r, c, s) for k, (s, r, c) in enumerate(cands[:top_k])]
+    return out
+
+
+def test_template_match_vs_reference_and_planted(spark):
+    from tilers_tools_spark.operators import multimodal
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 256, size=(12, 10, 3)).astype(np.uint8)
+    tpl = a[4:7, 2:5, 0].astype(np.int64)  # planted: exact 0 at (4,2) band 0
+    rows = [("i0", codecs.encode_raw(a), "raw")]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    got = {}
+    for r in multimodal.template_match(df, tpl, top_k=4).collect():
+        got.setdefault(r["b"], []).append((r["rank"], r["r"], r["c"], r["sad"]))
+    ref = _tm_ref(a, tpl, 4)
+    for b in range(3):
+        assert sorted(got[b]) == ref[b], b
+    assert got[0][0] == (1, 4, 2, 0)  # the planted exact match wins band 0
+
+
+def test_template_match_too_small_and_validation(spark):
+    from tilers_tools_spark.operators import multimodal
+
+    a = np.zeros((2, 2, 3), np.uint8)
+    df = spark.createDataFrame(
+        [("i0", codecs.encode_raw(a), "raw")],
+        "image_id string, bytes binary, fmt string")
+    assert multimodal.template_match(df, np.zeros((3, 3))).count() == 0
+    with pytest.raises(ValueError):
+        multimodal.template_match(None, np.zeros((17, 3)))
+    with pytest.raises(ValueError):
+        multimodal.template_match(None, np.zeros((3, 3)), top_k=0)

@@ -1577,3 +1577,61 @@ def distance_transform(images: DataFrame, threshold: int = 128) -> DataFrame:
             yield pd.DataFrame(out)
 
     return images.mapInPandas(fn, schema=EDT_SCHEMA)
+
+
+TEMPLATE_SCHEMA = (
+    "image_id string, b int, rank int, r int, c int, sad long"
+)
+
+
+def template_match(
+    images: DataFrame, template: "np.ndarray", top_k: int = 3
+) -> DataFrame:
+    """Template matching by sum of absolute differences (the
+    cv2.matchTemplate TM_SQDIFF-family role with the L1 metric —
+    EXACT integers, no normalization floats): the (th, tw) single-band
+    integer template slides over every valid position of each channel;
+    sad(r, c) = Σ |img[r+i, c+j] - tpl[i, j]| is an exact BIGINT, and
+    the top_k best positions per (image, channel) are ranked
+    (sad ASC, r ASC, c ASC) — a total order, deterministic
+    cross-engine. Images smaller than the template emit no rows.
+
+    One Arrow mapInPandas pass; the slide is NumPy sliding windows;
+    template size is capped at 16x16 (the oracle inlines it as
+    VALUES; bigger templates belong in a broadcast join pipeline).
+    """
+    tpl = np.asarray(template, dtype=np.int64)
+    if tpl.ndim != 2 or not (1 <= tpl.shape[0] <= 16 and 1 <= tpl.shape[1] <= 16):
+        raise ValueError("template must be 2-D with dims in [1, 16]")
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    th, tw = tpl.shape
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            out = {k: [] for k in ("image_id", "b", "rank", "r", "c", "sad")}
+            for rec in pdf.itertuples():
+                arr = codecs.decode_image(bytes(rec.bytes), rec.fmt)
+                h, w = arr.shape[:2]
+                if h < th or w < tw:
+                    continue
+                for b in range(arr.shape[2]):
+                    win = sliding_window_view(
+                        arr[:, :, b].astype(np.int64), (th, tw))
+                    sad = np.abs(win - tpl).sum(axis=(2, 3))
+                    flat = sad.ravel()
+                    order = np.lexsort(
+                        (np.arange(flat.size), flat))[:top_k]
+                    for rank, idx in enumerate(order):
+                        r, c = divmod(int(idx), sad.shape[1])
+                        out["image_id"].append(rec.image_id)
+                        out["b"].append(b)
+                        out["rank"].append(rank + 1)
+                        out["r"].append(r)
+                        out["c"].append(c)
+                        out["sad"].append(int(flat[idx]))
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(fn, schema=TEMPLATE_SCHEMA)

@@ -919,6 +919,63 @@ SQL_FLOW_ACCUMULATION = _d8_sql()
 
 
 
+_TM_SPECS = [("tm_a", 24, 16), ("tm_b", 9, 11)]
+# 3x3 template = the analytic pattern of band 0 at rows 5..7, cols 9..11
+# of tm_a — an exact-zero match exists there on band 0; other bands and
+# the second image rank genuinely by SAD
+_TM_TPL = [[(( (5 + i) * 7 + (9 + j) * 13) % 256) for j in range(3)] for i in range(3)]
+
+
+def q_template_match(spark, sf_dir):
+    """Integer-SAD template matching (operators/multimodal.py::
+    template_match — the cv2.matchTemplate TM_SQDIFF-family role with
+    the L1 metric, exact BIGINTs, (sad, r, c) total-order ranking):
+    top-3 positions per (image, channel) for a 3x3 template cut from
+    the pattern itself. Oracle inlines the template as VALUES, builds
+    every valid alignment with one join + GROUP BY, and ranks with
+    ROW_NUMBER."""
+    from ..functions import codecs as cod
+    from ..operators import multimodal
+
+    rows = []
+    for image_id, w, h in _TM_SPECS:
+        r, c, b = np.ogrid[0:h, 0:w, 0:3]
+        arr = ((r * 7 + c * 13 + b * 29) % 256).astype(np.uint8)
+        rows.append((image_id, cod.encode_raw(arr), "raw"))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    return multimodal.template_match(df, np.array(_TM_TPL), top_k=3)
+
+
+def _tm_sql() -> str:
+    vals = ", ".join(
+        f"({i}, {j}, {_TM_TPL[i][j]})" for i in range(3) for j in range(3)
+    )
+    ctes, legs = [f"tpl(i, j, tv) AS (VALUES {vals})"], []
+    for k, (image_id, w, h) in enumerate(_TM_SPECS):
+        ctes.append(
+            f"px_{k} AS (SELECT t1.r AS r, t2.c AS c, t3.b AS b, "
+            f"((t1.r*7 + t2.c*13 + t3.b*29) % 256) AS v "
+            f"FROM range(0,{h}) t1(r), range(0,{w}) t2(c), range(0,3) t3(b))"
+        )
+        ctes.append(
+            f"sd_{k} AS (SELECT p.b, p.r - t.i AS r, p.c - t.j AS c, "
+            f"CAST(SUM(abs(p.v - t.tv)) AS BIGINT) AS sad "
+            f"FROM px_{k} p JOIN tpl t "
+            f"ON p.r - t.i BETWEEN 0 AND {h - 3} AND p.c - t.j BETWEEN 0 AND {w - 3} "
+            f"GROUP BY p.b, p.r - t.i, p.c - t.j)"
+        )
+        legs.append(f"""
+SELECT '{image_id}' AS image_id, CAST(b AS INT) AS b, CAST(rn AS INT) AS rank,
+       CAST(r AS INT) AS r, CAST(c AS INT) AS c, sad
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY b ORDER BY sad, r, c) AS rn
+      FROM sd_{k}) WHERE rn <= 3""")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(legs)
+
+
+SQL_TEMPLATE_MATCH = _tm_sql()
+
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (operators/temporal.py::asof_join — union-then-window,
     ONE shuffle on the by-key): for every click/view event, the most
@@ -8779,6 +8836,7 @@ QUERIES: dict = {
     "canny_edges": (q_canny, SQL_CANNY),
     "distance_transform": (q_distance_transform, SQL_DISTANCE_TRANSFORM),
     "flow_accumulation": (q_flow_accumulation, SQL_FLOW_ACCUMULATION),
+    "template_match": (q_template_match, SQL_TEMPLATE_MATCH),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
     "variogram": (q_variogram, SQL_VARIOGRAM),
     "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
