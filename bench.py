@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "distance_transform",
     "flow_accumulation",
     "template_match",
+    "skyline",
 ]
 
 

@@ -85,3 +85,43 @@ def test_winsorize_validation(spark):
         sketch.winsorize(None, 0, 5)
     with pt.raises(ValueError):
         sketch.winsorize(None, 5, 4)
+
+
+def _sky_ref(pts):
+    from collections import Counter
+
+    d = Counter(pts)
+    out = {}
+    for (x, y), n in d.items():
+        dom = any(
+            (a <= x and b <= y and (a < x or b < y)) for (a, b) in d
+        )
+        if not dom:
+            out[(x, y)] = n
+    return out
+
+
+def test_skyline_vs_brute_and_parallelism_invariance(spark):
+    import random as rnd
+
+    from tilers_tools_spark.operators import sketch
+
+    rng = rnd.Random(47)
+    pts = [(rng.randrange(0, 60), rng.randrange(0, 60)) for _ in range(400)]
+    pts += pts[:10]  # planted duplicates
+    ref = _sky_ref(pts)
+    for parts in (1, 7):
+        df = spark.createDataFrame(pts, "x long, y long").repartition(parts)
+        got = {(r["x"], r["y"]): r["n"] for r in sketch.skyline2d(df).collect()}
+        assert got == ref, parts
+
+
+def test_skyline_hand_kat(spark):
+    from tilers_tools_spark.operators import sketch
+
+    # staircase (1,5),(2,3),(4,2),(6,1) survives; (2,4) dominated by
+    # (2,3); (5,5) dominated by everything; duplicate (2,3) merges n=2
+    pts = [(1, 5), (2, 3), (2, 3), (4, 2), (6, 1), (2, 4), (5, 5)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {(r["x"], r["y"]): r["n"] for r in sketch.skyline2d(df).collect()}
+    assert got == {(1, 5): 1, (2, 3): 2, (4, 2): 1, (6, 1): 1}

@@ -302,3 +302,68 @@ def winsorize(
         F.sum(F.when(v > F.lit(hi_v), 1).otherwise(0)).alias("n_hi"),
         F.sum(clipped).alias("sum_clipped"),
     )
+
+
+def skyline2d(
+    df: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """2-D skyline / Pareto front (Börzsönyi, Kossmann & Stocker 2001
+    — "The Skyline Operator"), minimizing BOTH integer columns: keep
+    points not DOMINATED (a dominates b iff a.x <= b.x and a.y <= b.y
+    and they differ in at least one coordinate; exact duplicates do
+    not dominate each other and all survive together). Returns one
+    row per surviving DISTINCT point with n = how many input rows sit
+    there — exact integers, deterministic.
+
+    Scale shape — the skyline is DISTRIBUTIVE (skyline(A ∪ B) =
+    skyline(skyline(A) ∪ skyline(B))), so stage 1 computes each
+    partition's skyline locally (sort + single sweep inside Arrow
+    batches; no shuffle), and stage 2 merges the candidate set — at
+    most |partitions| · |true skyline| rows, i.e. bounded by the
+    OUTPUT, not the input — on one task. 100 TB reduces map-side;
+    the single-task finale touches only near-output-sized data.
+    """
+
+    import pandas as pd
+    from typing import Iterator
+
+    def _sky(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) == 0:
+            return pdf
+        g = pdf.groupby(["x", "y"], as_index=False)["n"].sum()
+        g = g.sort_values(["x", "y"], kind="mergesort").reset_index(drop=True)
+        keep = []
+        best_y_strictly_smaller_x = None  # min y among kept points with x < cur
+        cur_x = None
+        cur_x_min_y = None
+        for row in g.itertuples():
+            if row.x != cur_x:
+                if cur_x is not None:
+                    best_y_strictly_smaller_x = (
+                        cur_x_min_y if best_y_strictly_smaller_x is None
+                        else min(best_y_strictly_smaller_x, cur_x_min_y))
+                cur_x = row.x
+                cur_x_min_y = row.y  # sorted: first y of the x-group is min
+                # only the min-y row of each x-group can survive; it does
+                # iff no smaller-x point has y <= it
+                if (best_y_strictly_smaller_x is None
+                        or row.y < best_y_strictly_smaller_x):
+                    keep.append(row.Index)
+            # non-first rows of an x-group are dominated by the first
+        return g.loc[keep]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = [p for p in batches if len(p)]
+        if parts:
+            yield _sky(pd.concat(parts, ignore_index=True))
+
+    base = df.select(
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+        F.lit(1).cast("long").alias("n"),
+    )
+    schema = "x long, y long, n long"
+    stage1 = base.mapInPandas(fn, schema=schema)
+    return stage1.coalesce(1).mapInPandas(fn, schema=schema)

@@ -976,6 +976,36 @@ SQL_TEMPLATE_MATCH = _tm_sql()
 
 
 
+def q_skyline(spark, sf_dir):
+    """2-D skyline / Pareto front (operators/sketch.py::skyline2d —
+    the Börzsönyi 2001 skyline operator, minimize both): the
+    south-west frontier of the integer-mercator event scatter, with
+    per-point multiplicities. Engine = distributive two-stage
+    (partition-local sweep, output-bounded merge); oracle = the raw
+    NOT EXISTS dominance definition."""
+    from ..operators import sketch
+
+    m = _merc_pts(spark, sf_dir).select(
+        F.floor("mx").cast("long").alias("ix"),
+        F.floor("my").cast("long").alias("iy"),
+    )
+    return sketch.skyline2d(m, x_col="ix", y_col="iy")
+
+
+SQL_SKYLINE = f"""
+WITH {_PTS_SQL},
+q AS (SELECT CAST(FLOOR(mx) AS BIGINT) AS x, CAST(FLOOR(my) AS BIGINT) AS y FROM m),
+d AS (SELECT x, y, count(*) AS n FROM q GROUP BY x, y)
+SELECT b.x AS x, b.y AS y, CAST(b.n AS BIGINT) AS n
+FROM d b
+WHERE NOT EXISTS (
+  SELECT 1 FROM d a
+  WHERE a.x <= b.x AND a.y <= b.y AND (a.x < b.x OR a.y < b.y)
+)
+"""
+
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (operators/temporal.py::asof_join — union-then-window,
     ONE shuffle on the by-key): for every click/view event, the most
@@ -8837,6 +8867,7 @@ QUERIES: dict = {
     "distance_transform": (q_distance_transform, SQL_DISTANCE_TRANSFORM),
     "flow_accumulation": (q_flow_accumulation, SQL_FLOW_ACCUMULATION),
     "template_match": (q_template_match, SQL_TEMPLATE_MATCH),
+    "skyline": (q_skyline, SQL_SKYLINE),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
     "variogram": (q_variogram, SQL_VARIOGRAM),
     "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
