@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "flow_accumulation",
     "template_match",
     "skyline",
+    "mode_filter",
 ]
 
 

@@ -670,3 +670,67 @@ def test_canny_flat_and_validation(spark):
         multimodal.canny_edges(None, lo=0)
     with pytest.raises(ValueError):
         multimodal.canny_edges(None, lo=100, hi=50)
+
+
+# ----------------------------------------------------------- mode filter
+
+
+def _mode_ref(a: np.ndarray):
+    from collections import Counter
+
+    h, w, nb = a.shape
+    out = np.empty_like(a)
+    for r in range(h):
+        for c in range(w):
+            for b in range(nb):
+                cnt = Counter(
+                    int(a[rr, cc, b])
+                    for rr in range(max(0, r - 1), min(h, r + 2))
+                    for cc in range(max(0, c - 1), min(w, c + 2)))
+                best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+                out[r, c, b] = best[0]
+    return out
+
+
+def test_mode_vs_brute_force(spark):
+    from tilers_tools_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(19)
+    arrs = [(rng.integers(0, 4, size=(8, 7, 3)) * 50).astype(np.uint8),
+            rng.integers(0, 256, size=(5, 6, 3)).astype(np.uint8)]
+    rows = [(f"i{k}", codecs.encode_raw(a), "raw") for k, a in enumerate(arrs)]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    got = {}
+    for r in mm.mode_filter(df).collect():
+        got[r["image_id"]] = (codecs.decode_image(bytes(r["out"]), "raw"),
+                              r["pix_sum"], r["changed"])
+    for k, a in enumerate(arrs):
+        ref = _mode_ref(a)
+        img, pix_sum, changed = got[f"i{k}"]
+        assert np.array_equal(img, ref), k
+        assert pix_sum == int(ref.astype(np.int64).sum())
+        assert changed == int((ref != a).sum())
+
+
+def test_mode_salt_noise_removal_and_tie(spark):
+    from tilers_tools_spark.operators import multimodal as mm
+
+    # speckle in a constant field vanishes
+    a = np.full((6, 6, 3), 100, np.uint8)
+    a[2, 2, :] = 7
+    df = spark.createDataFrame(
+        [("i0", codecs.encode_raw(a), "raw")],
+        "image_id string, bytes binary, fmt string")
+    r = mm.mode_filter(df).collect()[0]
+    img = codecs.decode_image(bytes(r["out"]), "raw")
+    assert np.all(img == 100) and r["changed"] == 3
+    # 2x2 checkerboard corner: counts tie 2-2 -> smallest value wins
+    a = np.zeros((2, 2, 3), np.uint8)
+    a[0, 1, :] = 9
+    a[1, 0, :] = 9
+    df = spark.createDataFrame(
+        [("i0", codecs.encode_raw(a), "raw")],
+        "image_id string, bytes binary, fmt string")
+    img = codecs.decode_image(
+        bytes(mm.mode_filter(df).collect()[0]["out"]), "raw")
+    assert np.all(img == 0)  # tie 2-2 everywhere, 0 < 9

@@ -1635,3 +1635,58 @@ def template_match(
             yield pd.DataFrame(out)
 
     return images.mapInPandas(fn, schema=TEMPLATE_SCHEMA)
+
+
+MODE_SCHEMA = (
+    "image_id string, out_w int, out_h int, pix_sum long, changed long, "
+    "out binary"
+)
+
+
+def mode_filter(images: DataFrame) -> DataFrame:
+    """3x3 mode (majority) filter (the ArcGIS Majority Filter / GRASS
+    r.neighbors mode role — the categorical-raster cleaner) per
+    channel: each pixel takes the most frequent value of its in-bounds
+    3x3 window, ties broken to the SMALLEST value ((count DESC, value
+    ASC) — a total order, deterministic and exactly the ROW_NUMBER
+    pick a relational engine makes). Pure integer counting/selection —
+    no arithmetic, no rounding convention. The center pixel is part of
+    its own window (so a pixel whose window has no repeated value
+    keeps... the smallest value of the window, NOT necessarily itself
+    — the documented plain-mode semantics, unlike ArcGIS's
+    replace-only-on-majority variant).
+
+    One Arrow mapInPandas pass; pix_sum/changed audit columns; pixels
+    never shuffle.
+    """
+
+    def _mode(a: np.ndarray) -> np.ndarray:
+        h, w = a.shape[:2]
+        out = np.empty_like(a)
+        for r in range(h):
+            for c in range(w):
+                win = a[max(0, r - 1):min(h, r + 2), max(0, c - 1):min(w, c + 2)]
+                flat = win.reshape(-1, *a.shape[2:])
+                for b in range(a.shape[2]):
+                    vals, cnts = np.unique(flat[:, b], return_counts=True)
+                    # np.unique sorts values ASC; argmax takes the FIRST
+                    # maximal count -> (count DESC, value ASC) pick
+                    out[r, c, b] = vals[np.argmax(cnts)]
+        return out
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "image_id", "out_w", "out_h", "pix_sum", "changed", "out")}
+            for r in pdf.itertuples():
+                arr = codecs.decode_image(bytes(r.bytes), r.fmt)
+                res = _mode(arr)
+                out["image_id"].append(r.image_id)
+                out["out_w"].append(arr.shape[1])
+                out["out_h"].append(arr.shape[0])
+                out["pix_sum"].append(int(res.astype(np.int64).sum()))
+                out["changed"].append(int((res != arr).sum()))
+                out["out"].append(codecs.encode_raw(np.ascontiguousarray(res)))
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(fn, schema=MODE_SCHEMA)

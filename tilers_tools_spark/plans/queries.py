@@ -1006,6 +1006,61 @@ WHERE NOT EXISTS (
 
 
 
+_MODE_SPECS = [("mode_a", 24, 16), ("mode_b", 9, 11)]
+
+
+def q_mode_filter(spark, sf_dir):
+    """3x3 mode filter (operators/multimodal.py::mode_filter — the
+    ArcGIS Majority Filter role, plain-mode semantics, (count DESC,
+    value ASC) tie order) over a COARSELY QUANTIZED analytic pattern
+    (v = ((r*7 + c*13 + b*29) % 256) // 32 * 32 — repeats in windows,
+    so the mode is non-trivial). Oracle = neighbor-join value census +
+    ROW_NUMBER pick + the same audit sums."""
+    from ..functions import codecs as cod
+    from ..operators import multimodal
+
+    rows = []
+    for image_id, w, h in _MODE_SPECS:
+        r, c, b = np.ogrid[0:h, 0:w, 0:3]
+        arr = (((r * 7 + c * 13 + b * 29) % 256) // 32 * 32).astype(np.uint8)
+        rows.append((image_id, cod.encode_raw(arr), "raw"))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    return multimodal.mode_filter(df).drop("out")
+
+
+def _mode_sql() -> str:
+    ctes, legs = [], []
+    for i, (image_id, w, h) in enumerate(_MODE_SPECS):
+        ctes.append(
+            f"px_{i} AS (SELECT t1.r AS r, t2.c AS c, t3.b AS b, "
+            f"(((t1.r*7 + t2.c*13 + t3.b*29) % 256) // 32 * 32) AS v "
+            f"FROM range(0,{h}) t1(r), range(0,{w}) t2(c), range(0,3) t3(b))"
+        )
+        ctes.append(
+            f"mc_{i} AS (SELECT p1.r, p1.c, p1.b, p1.v, p2.v AS nv, count(*) AS cnt "
+            f"FROM px_{i} p1 JOIN px_{i} p2 ON p2.b = p1.b "
+            f"AND p2.r BETWEEN p1.r - 1 AND p1.r + 1 "
+            f"AND p2.c BETWEEN p1.c - 1 AND p1.c + 1 "
+            f"GROUP BY p1.r, p1.c, p1.b, p1.v, p2.v)"
+        )
+        ctes.append(
+            f"md_{i} AS (SELECT r, c, b, v, nv FROM ("
+            f"SELECT *, ROW_NUMBER() OVER (PARTITION BY r, c, b "
+            f"ORDER BY cnt DESC, nv ASC) AS rn FROM mc_{i}) WHERE rn = 1)"
+        )
+        legs.append(f"""
+SELECT '{image_id}' AS image_id,
+       CAST({w} AS INT) AS out_w, CAST({h} AS INT) AS out_h,
+       CAST(SUM(nv) AS BIGINT) AS pix_sum,
+       CAST(count(*) FILTER (WHERE nv <> v) AS BIGINT) AS changed
+FROM md_{i}""")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(legs)
+
+
+SQL_MODE_FILTER = _mode_sql()
+
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (operators/temporal.py::asof_join — union-then-window,
     ONE shuffle on the by-key): for every click/view event, the most
@@ -8868,6 +8923,7 @@ QUERIES: dict = {
     "flow_accumulation": (q_flow_accumulation, SQL_FLOW_ACCUMULATION),
     "template_match": (q_template_match, SQL_TEMPLATE_MATCH),
     "skyline": (q_skyline, SQL_SKYLINE),
+    "mode_filter": (q_mode_filter, SQL_MODE_FILTER),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
     "variogram": (q_variogram, SQL_VARIOGRAM),
     "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
