@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "template_match",
     "skyline",
     "mode_filter",
+    "iou_pairs",
 ]
 
 

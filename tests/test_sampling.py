@@ -125,3 +125,59 @@ def test_skyline_hand_kat(spark):
     df = spark.createDataFrame(pts, "x long, y long")
     got = {(r["x"], r["y"]): r["n"] for r in sketch.skyline2d(df).collect()}
     assert got == {(1, 5): 1, (2, 3): 2, (4, 2): 1, (6, 1): 1}
+
+
+def _iou_ref(boxes, p, q):
+    out = {}
+    for i, (ida, ax0, ay0, ax1, ay1) in enumerate(boxes):
+        for (idb, bx0, by0, bx1, by1) in boxes[i + 1:]:
+            a, b = ((ida, ax0, ay0, ax1, ay1), (idb, bx0, by0, bx1, by1))
+            if a[0] > b[0]:
+                a, b = b, a
+            iw = min(a[3], b[3]) - max(a[1], b[1])
+            ih = min(a[4], b[4]) - max(a[2], b[2])
+            if iw <= 0 or ih <= 0:
+                continue
+            inter = iw * ih
+            uni = ((a[3] - a[1]) * (a[4] - a[2])
+                   + (b[3] - b[1]) * (b[4] - b[2]) - inter)
+            if q * inter >= p * uni:
+                out[(a[0], b[0])] = (inter, uni)
+    return out
+
+
+def test_iou_pairs_vs_brute(spark):
+    import random as rnd
+
+    from tilers_tools_spark.operators import spatial
+
+    rng = rnd.Random(53)
+    boxes = []
+    for i in range(200):
+        x0, y0 = rng.randrange(0, 300), rng.randrange(0, 300)
+        boxes.append((i, x0, y0, x0 + rng.randrange(1, 60), y0 + rng.randrange(1, 60)))
+    df = spark.createDataFrame(boxes, "id long, x0 long, y0 long, x1 long, y1 long")
+    for p, q, cell in ((3, 10, 64), (1, 2, 16), (1, 1, 100)):
+        got = {(r["ida"], r["idb"]): (r["inter"], r["uni"])
+               for r in spatial.iou_pairs(df, p, q, cell).collect()}
+        assert got == _iou_ref(boxes, p, q), (p, q, cell)
+
+
+def test_iou_pairs_exact_threshold_and_validation(spark):
+    import pytest as pt
+
+    from tilers_tools_spark.operators import spatial
+
+    # two 2x2 boxes overlapping in a 1x2 strip: inter 2, union 6,
+    # iou exactly 1/3 — included at threshold 1/3, excluded at 34/100
+    boxes = [(1, 0, 0, 2, 2), (2, 1, 0, 3, 2)]
+    df = spark.createDataFrame(boxes, "id long, x0 long, y0 long, x1 long, y1 long")
+    assert spatial.iou_pairs(df, 1, 3, 8).count() == 1
+    assert spatial.iou_pairs(df, 34, 100, 8).count() == 0
+    with pt.raises(ValueError):
+        spatial.iou_pairs(None, 0, 1, 8)
+    with pt.raises(ValueError):
+        spatial.iou_pairs(None, 2, 1, 8)
+    bad = spark.createDataFrame([(1, 5, 5, 5, 9)], "id long, x0 long, y0 long, x1 long, y1 long")
+    with pt.raises(Exception, match="degenerate box"):
+        spatial.iou_pairs(bad, 1, 2, 8).count()

@@ -725,3 +725,86 @@ def dbscan(
         )
     )
     return out
+
+
+def iou_pairs(
+    boxes: DataFrame,
+    min_iou_num: int,
+    min_iou_den: int,
+    cell: int,
+    id_col: str = "id",
+) -> DataFrame:
+    """Bounding-box IoU pair join (the object-detection duplicate-box /
+    NMS-prefilter role): unordered pairs (a < b by id) of integer
+    half-open boxes (x0, y0, x1, y1) whose intersection-over-union
+    reaches the RATIONAL threshold p/q — the predicate evaluates as
+    q·inter >= p·(areaA + areaB - inter) on exact BIGINTs, so no float
+    ever decides membership; iou ships as one documented double
+    inter/union beside the exact operands.
+
+    Scale shape: each box explodes into the grid cells it touches
+    (x0//cell .. (x1-1)//cell ranges — boxes larger than a few cells
+    explode wider; pick cell near the typical box size), pairs meet on
+    a shared-cell equi-join, and each intersecting pair is counted
+    EXACTLY ONCE by the standard report-at-top-left-intersection-cell
+    rule (keep the pair only in the cell containing
+    (max(x0a,x0b), max(y0a,y0b))) — no distinct pass, no all-pairs.
+    """
+    if min_iou_den < 1 or not 0 < min_iou_num <= min_iou_den:
+        raise ValueError("need 0 < p <= q")
+    if cell < 1:
+        raise ValueError("cell must be a positive integer")
+    b = boxes.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col("x0").cast("long"), F.col("y0").cast("long"),
+        F.col("x1").cast("long"), F.col("y1").cast("long"),
+    )
+    # fail-loud on degenerate boxes, woven into a KEPT column — a
+    # computed-then-dropped check column would be pruned by Catalyst
+    # and the raise would never evaluate
+    b = b.withColumn(
+        "x1",
+        F.when((F.col("x1") > F.col("x0")) & (F.col("y1") > F.col("y0")),
+               F.col("x1"))
+        .otherwise(F.raise_error(F.format_string(
+            "degenerate box id %s", F.col("id")))),
+    )
+    cw = float(cell)
+    cxs = F.sequence(
+        F.floor(F.col("x0").cast("double") / F.lit(cw)).cast("long"),
+        F.floor((F.col("x1") - 1).cast("double") / F.lit(cw)).cast("long"),
+    )
+    cys = F.sequence(
+        F.floor(F.col("y0").cast("double") / F.lit(cw)).cast("long"),
+        F.floor((F.col("y1") - 1).cast("double") / F.lit(cw)).cast("long"),
+    )
+    e = (
+        b.withColumn("cx", F.explode(cxs))
+        .withColumn("cy", F.explode(cys))
+    )
+    L = e.select(*[F.col(c).alias(f"a_{c}") for c in ("id", "x0", "y0", "x1", "y1")],
+                 "cx", "cy")
+    R = e.select(*[F.col(c).alias(f"b_{c}") for c in ("id", "x0", "y0", "x1", "y1")],
+                 "cx", "cy")
+    j = L.join(R, ["cx", "cy"]).where(F.col("a_id") < F.col("b_id"))
+    ix0 = F.greatest("a_x0", "b_x0")
+    iy0 = F.greatest("a_y0", "b_y0")
+    iw = F.least("a_x1", "b_x1") - ix0
+    ih = F.least("a_y1", "b_y1") - iy0
+    meet = (
+        (F.col("cx") == F.floor(ix0.cast("double") / F.lit(cw)).cast("long"))
+        & (F.col("cy") == F.floor(iy0.cast("double") / F.lit(cw)).cast("long"))
+    )
+    inter = iw * ih
+    area_a = (F.col("a_x1") - F.col("a_x0")) * (F.col("a_y1") - F.col("a_y0"))
+    area_b = (F.col("b_x1") - F.col("b_x0")) * (F.col("b_y1") - F.col("b_y0"))
+    uni = area_a + area_b - inter
+    keep = (
+        (iw > 0) & (ih > 0) & meet
+        & (F.lit(min_iou_den) * inter >= F.lit(min_iou_num) * uni)
+    )
+    return j.where(keep).select(
+        F.col("a_id").alias("ida"), F.col("b_id").alias("idb"),
+        inter.alias("inter"), uni.alias("uni"),
+        (inter.cast("double") / uni.cast("double")).alias("iou"),
+    )

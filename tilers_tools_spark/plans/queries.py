@@ -1061,6 +1061,55 @@ SQL_MODE_FILTER = _mode_sql()
 
 
 
+def q_iou_pairs(spark, sf_dir):
+    """Bounding-box IoU pair join (operators/spatial.py::iou_pairs —
+    the detection-dedup role): analytic integer boxes from events
+    (x0 = id·37 % 1000, y0 = id·53 % 1000, w = 1 + id % 50,
+    h = 1 + (id//7) % 50), threshold 3/10 as an EXACT rational
+    predicate 10·inter >= 3·union, cell 64. Oracle = the naive
+    all-pairs a.id < b.id theta join with the raw integer
+    intersection/union algebra."""
+    from ..operators import spatial
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
+    bx = ev.select(
+        F.col("event_id").alias("id"),
+        ((F.col("event_id") * 37) % 1000).alias("x0"),
+        ((F.col("event_id") * 53) % 1000).alias("y0"),
+        ((F.col("event_id") * 37) % 1000 + 1 + F.col("event_id") % 50).alias("x1"),
+        ((F.col("event_id") * 53) % 1000 + 1
+         + F.floor(F.col("event_id") / 7).cast("long") % 50).alias("y1"),
+    )
+    return spatial.iou_pairs(bx, min_iou_num=3, min_iou_den=10, cell=64)
+
+
+SQL_IOU_PAIRS = """
+WITH bx AS (
+  SELECT event_id AS id,
+         (event_id * 37) % 1000 AS x0,
+         (event_id * 53) % 1000 AS y0,
+         (event_id * 37) % 1000 + 1 + event_id % 50 AS x1,
+         (event_id * 53) % 1000 + 1 + (event_id // 7) % 50 AS y1
+  FROM events
+),
+pr AS (
+  SELECT a.id AS ida, b.id AS idb,
+         (LEAST(a.x1, b.x1) - GREATEST(a.x0, b.x0)) AS iw,
+         (LEAST(a.y1, b.y1) - GREATEST(a.y0, b.y0)) AS ih,
+         (a.x1 - a.x0) * (a.y1 - a.y0) AS aa,
+         (b.x1 - b.x0) * (b.y1 - b.y0) AS ab
+  FROM bx a JOIN bx b ON a.id < b.id
+)
+SELECT ida, idb,
+       CAST(iw * ih AS BIGINT) AS inter,
+       CAST(aa + ab - iw * ih AS BIGINT) AS uni,
+       CAST(iw * ih AS DOUBLE) / CAST(aa + ab - iw * ih AS DOUBLE) AS iou
+FROM pr
+WHERE iw > 0 AND ih > 0 AND 10 * (iw * ih) >= 3 * (aa + ab - iw * ih)
+"""
+
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (operators/temporal.py::asof_join — union-then-window,
     ONE shuffle on the by-key): for every click/view event, the most
@@ -8924,6 +8973,7 @@ QUERIES: dict = {
     "template_match": (q_template_match, SQL_TEMPLATE_MATCH),
     "skyline": (q_skyline, SQL_SKYLINE),
     "mode_filter": (q_mode_filter, SQL_MODE_FILTER),
+    "iou_pairs": (q_iou_pairs, SQL_IOU_PAIRS),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
     "variogram": (q_variogram, SQL_VARIOGRAM),
     "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
