@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "skyline",
     "mode_filter",
     "iou_pairs",
+    "histogram_match",
 ]
 
 

@@ -162,3 +162,56 @@ def test_stretch_constant_identity_and_validation(spark):
         multimodal.percentile_stretch(None, 50, 50)
     with pytest.raises(ValueError):
         multimodal.percentile_stretch(None, -1, 98)
+
+
+# ----------------------------------------------------- histogram match
+
+
+def _hm_ref(a, ref):
+    h, w, nb = a.shape
+    n_s = h * w
+    n_r = ref.shape[0] * ref.shape[1]
+    out = np.empty_like(a)
+    for b in range(nb):
+        rvals = sorted(int(x) for x in ref[:, :, b].ravel())
+        svals = [int(x) for x in a[:, :, b].ravel()]
+        for ridx in range(h * w):
+            v = svals[ridx]
+            cdf_s = sum(1 for x in svals if x <= v)
+            u = next(
+                u for u in range(256)
+                if sum(1 for x in rvals if x <= u) * n_s >= cdf_s * n_r
+            )
+            out.reshape(-1, nb)[ridx, b] = u
+    return out
+
+
+def test_histmatch_vs_scalar_reference(spark):
+    rng = np.random.default_rng(79)
+    a = rng.integers(0, 256, size=(6, 7, 3)).astype(np.uint8)
+    ref = rng.integers(40, 90, size=(5, 8, 3)).astype(np.uint8)
+    rows = [("i0", codecs.encode_raw(a), "raw")]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    r = multimodal.histogram_match(df, ref).collect()[0]
+    got = codecs.decode_image(bytes(r["out"]), "raw")
+    want = _hm_ref(a, ref)
+    assert np.array_equal(got, want)
+    assert r["pix_sum"] == int(want.astype(np.int64).sum())
+    assert r["changed"] == int((want != a).sum())
+
+
+def test_histmatch_identity_and_validation(spark):
+    # matching an image against ITSELF is the identity (the rank rule
+    # returns each value's own quantile position)
+    rng = np.random.default_rng(31)
+    a = rng.integers(0, 256, size=(8, 8, 3)).astype(np.uint8)
+    df = spark.createDataFrame(
+        [("i0", codecs.encode_raw(a), "raw")],
+        "image_id string, bytes binary, fmt string")
+    r = multimodal.histogram_match(df, a).collect()[0]
+    assert r["changed"] == 0
+    with pytest.raises(ValueError):
+        multimodal.histogram_match(None, np.zeros((4, 4)))
+    bad_ref = np.zeros((4, 4, 2), np.uint8)
+    with pytest.raises(Exception, match="channel mismatch"):
+        multimodal.histogram_match(df, bad_ref).collect()

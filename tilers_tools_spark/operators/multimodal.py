@@ -1690,3 +1690,65 @@ def mode_filter(images: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return images.mapInPandas(fn, schema=MODE_SCHEMA)
+
+
+HISTMATCH_SCHEMA = (
+    "image_id string, out_w int, out_h int, pix_sum long, changed long, "
+    "out binary"
+)
+
+
+def histogram_match(images: DataFrame, reference: "np.ndarray") -> DataFrame:
+    """Histogram matching / specification (Gonzalez & Woods §3.3.2; the
+    skimage.exposure.match_histograms role) per channel against a fixed
+    reference image, with the mapping decided by EXACT INTEGER rank
+    algebra: with cdf_s(v) = #source pixels <= v over n_s and cdf_r(u)
+    over n_r,
+
+        lut(v) = min{ u : cdf_r(u) · n_s  >=  cdf_s(v) · n_r }
+
+    — the classic inverse-CDF composition with the quantile comparison
+    CROSS-MULTIPLIED so no fraction is ever formed; u = 255 always
+    qualifies, so the LUT is total. Deterministic, engine-independent,
+    and exactly the MIN-over-join a relational engine computes. The
+    reference must have the same channel count (validated).
+
+    One Arrow mapInPandas pass (two bincounts + one searchsorted per
+    channel); pix_sum/changed audit columns; pixels never shuffle.
+    """
+    ref = np.asarray(reference)
+    if ref.ndim != 3:
+        raise ValueError("reference must be (H, W, C)")
+    ref_cdfs = []
+    n_r = ref.shape[0] * ref.shape[1]
+    for b in range(ref.shape[2]):
+        ref_cdfs.append(np.bincount(
+            ref[:, :, b].ravel(), minlength=256).cumsum().astype(np.int64))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "image_id", "out_w", "out_h", "pix_sum", "changed", "out")}
+            for r in pdf.itertuples():
+                arr = codecs.decode_image(bytes(r.bytes), r.fmt)
+                if arr.shape[2] != len(ref_cdfs):
+                    raise ValueError(
+                        f"channel mismatch: image {r.image_id} has "
+                        f"{arr.shape[2]}, reference {len(ref_cdfs)}")
+                n_s = arr.shape[0] * arr.shape[1]
+                res = np.empty_like(arr)
+                for b in range(arr.shape[2]):
+                    cdf_s = np.bincount(
+                        arr[:, :, b].ravel(), minlength=256).cumsum().astype(np.int64)
+                    lut = np.searchsorted(
+                        ref_cdfs[b] * n_s, cdf_s * n_r, side="left")
+                    res[:, :, b] = lut.astype(np.uint8)[arr[:, :, b]]
+                out["image_id"].append(r.image_id)
+                out["out_w"].append(arr.shape[1])
+                out["out_h"].append(arr.shape[0])
+                out["pix_sum"].append(int(res.astype(np.int64).sum()))
+                out["changed"].append(int((res != arr).sum()))
+                out["out"].append(codecs.encode_raw(np.ascontiguousarray(res)))
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(fn, schema=HISTMATCH_SCHEMA)

@@ -1110,6 +1110,73 @@ WHERE iw > 0 AND ih > 0 AND 10 * (iw * ih) >= 3 * (aa + ab - iw * ih)
 
 
 
+_HM_SPECS = [("hm_a", 24, 16), ("hm_b", 9, 11)]
+_HM_REF_W, _HM_REF_H = 20, 12  # reference: ((r*c + b*37) % 97) + 60
+
+
+def q_histogram_match(spark, sf_dir):
+    """Histogram matching (operators/multimodal.py::histogram_match —
+    the skimage match_histograms role): source patterns mapped onto a
+    squashed-range reference via the exact cross-multiplied rank rule
+    lut(v) = min{u : cdf_r(u)·n_s >= cdf_s(v)·n_r}. Oracle rebuilds
+    both CDFs (the reference zero-filled over all 256 values) and
+    takes the same MIN-over-join."""
+    from ..functions import codecs as cod
+    from ..operators import multimodal
+
+    rows = []
+    for image_id, w, h in _HM_SPECS:
+        r, c, b = np.ogrid[0:h, 0:w, 0:3]
+        arr = ((r * 7 + c * 13 + b * 29) % 256).astype(np.uint8)
+        rows.append((image_id, cod.encode_raw(arr), "raw"))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    r, c, b = np.ogrid[0:_HM_REF_H, 0:_HM_REF_W, 0:3]
+    ref = (((r * c + b * 37) % 97) + 60).astype(np.uint8)
+    return multimodal.histogram_match(df, ref).drop("out")
+
+
+def _hm_sql() -> str:
+    n_r = _HM_REF_W * _HM_REF_H
+    ctes = [
+        f"rpx AS (SELECT t1.r AS r, t2.c AS c, t3.b AS b, "
+        f"(((t1.r*t2.c + t3.b*37) % 97) + 60) AS v "
+        f"FROM range(0,{_HM_REF_H}) t1(r), range(0,{_HM_REF_W}) t2(c), range(0,3) t3(b))",
+        "rh AS (SELECT b, v, count(*) AS c FROM rpx GROUP BY b, v)",
+        "ru AS (SELECT t.b, u.u, COALESCE(rh.c, 0) AS c "
+        "FROM range(0,256) u(u) CROSS JOIN (SELECT DISTINCT b FROM rpx) t "
+        "LEFT JOIN rh ON rh.b = t.b AND rh.v = u.u)",
+        "rc AS (SELECT b, u, SUM(c) OVER (PARTITION BY b ORDER BY u) AS cum FROM ru)",
+    ]
+    legs = []
+    for i, (image_id, w, h) in enumerate(_HM_SPECS):
+        n_s = w * h
+        ctes.append(
+            f"px_{i} AS (SELECT t1.r AS r, t2.c AS c, t3.b AS b, "
+            f"((t1.r*7 + t2.c*13 + t3.b*29) % 256) AS v "
+            f"FROM range(0,{h}) t1(r), range(0,{w}) t2(c), range(0,3) t3(b))"
+        )
+        ctes.append(
+            f"sc_{i} AS (SELECT b, v, SUM(cnt) OVER (PARTITION BY b ORDER BY v) AS cum "
+            f"FROM (SELECT b, v, count(*) AS cnt FROM px_{i} GROUP BY b, v))"
+        )
+        ctes.append(
+            f"lut_{i} AS (SELECT s.b, s.v, MIN(r.u) AS nv FROM sc_{i} s "
+            f"JOIN rc r ON r.b = s.b AND r.cum * {n_s} >= s.cum * {n_r} "
+            f"GROUP BY s.b, s.v)"
+        )
+        legs.append(f"""
+SELECT '{image_id}' AS image_id,
+       CAST({w} AS INT) AS out_w, CAST({h} AS INT) AS out_h,
+       CAST(SUM(l.nv) AS BIGINT) AS pix_sum,
+       CAST(count(*) FILTER (WHERE l.nv <> p.v) AS BIGINT) AS changed
+FROM px_{i} p JOIN lut_{i} l ON l.b = p.b AND l.v = p.v""")
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(legs)
+
+
+SQL_HISTOGRAM_MATCH = _hm_sql()
+
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (operators/temporal.py::asof_join — union-then-window,
     ONE shuffle on the by-key): for every click/view event, the most
@@ -8974,6 +9041,7 @@ QUERIES: dict = {
     "skyline": (q_skyline, SQL_SKYLINE),
     "mode_filter": (q_mode_filter, SQL_MODE_FILTER),
     "iou_pairs": (q_iou_pairs, SQL_IOU_PAIRS),
+    "histogram_match": (q_histogram_match, SQL_HISTOGRAM_MATCH),
     "streaming_join": (q_streaming_join, SQL_STREAMING_JOIN),
     "variogram": (q_variogram, SQL_VARIOGRAM),
     "cms_topk": (q_cms_topk, SQL_CMS_TOPK),
