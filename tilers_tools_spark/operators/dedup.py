@@ -65,6 +65,30 @@ def incremental_exact_dedup(
     return first.join(ch, "content_hash", "left_anti").select(id_col, "content_hash")
 
 
+def _mat(df: DataFrame) -> DataFrame:
+    """Materialize an ITERATIVE-LOOP intermediate: lazy localCheckpoint
+    (lineage cut — the logical tree of round k would otherwise contain
+    ~9 copies of round k-1's tree) + persist + one count job.
+
+    Why not eager localCheckpoint alone (the pre-r06 shape): a
+    checkpoint's LogicalRDD INHERITS its origin plan's ESTIMATED
+    statistics, and the size-only estimator multiplies join children —
+    so in a loop whose per-round plan joins the previous checkpoint
+    several times, the inherited sizeInBytes estimate compounds
+    EXPONENTIALLY (measured on this box: digits 5 -> 16 -> 62 -> 246 ->
+    981 -> 3924 -> 15692 over six rounds; at the sf0.1 dbscan gate the
+    optimizer then sat 48 minutes inside BigInteger.multiplyToomCook3
+    under SizeInBytesOnlyStatsPlanVisitor). The persist layer fixes
+    that: after materialization an InMemoryRelation reports its REAL
+    cached byte size, so every downstream round plans against truthful
+    leaf stats (which also lets AQE pick broadcast sides honestly).
+    One count() both fills the cache and writes the (lazy) checkpoint
+    blocks — a single job per materialization."""
+    df = df.localCheckpoint(eager=False).persist()
+    df.count()
+    return df
+
+
 def _barrier(df: DataFrame) -> DataFrame:
     """Prevent CollapseProject from inlining the previous projection into
     downstream higher-order-function lambdas. Expressions inside
@@ -739,16 +763,15 @@ def connected_components(
     # job) — the edge list itself is narrow (two longs per pair).
     # Canonicalize to a < b and dedup so the contraction invariant
     # (edge count strictly decreases) is measured on the canonical set.
-    live = (
+    live = _mat(
         edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .select(
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
         )
         .distinct()
-        .localCheckpoint()
     )
-    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("comp")).localCheckpoint()
+    labels = _mat(nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("comp")))
     # precondition check (cheap: distinct endpoint ids anti-joined against
     # nodes): an edge endpoint missing from `nodes` has no label row, so
     # its merges would be invisible in the result — e.g. pairs built from
@@ -766,53 +789,76 @@ def connected_components(
             f"`nodes` — edges and nodes must come from the same snapshot"
         )
     n_live = live.count()
+    # r06 physical restructure (same algorithm, same labels): the wall of
+    # this loop at gate scale is the NUMBER of sequential driver-
+    # synchronous jobs, not bytes. Three changes, each preserving the
+    # exact per-round fixed-point/contraction semantics:
+    #   (a) pointer compression runs TWO composed m:=m(m) passes per
+    #       materialization (pointer depth halves per pass, so pass count
+    #       halves) with the moved? flag computed IN the same job — the
+    #       round-start shape paid a separate join-and-count job per pass;
+    #   (b) label relabeling is DEFERRED: each round's pointer map is
+    #       collected and the accumulated labels are composed through
+    #       them ONCE after convergence (relabeling is a pure function of
+    #       (labels, m_r) applied in round order, so late composition is
+    #       the identical computation — it just stops costing one
+    #       full-label-table job per round);
+    #   (c) no broadcast hints anywhere: m is node-sized on round 1 and
+    #       may not fit an executor at corpus scale — AQE's runtime-size
+    #       join planning picks broadcast locally on its own.
+    maps: list[DataFrame] = []
     for _ in range(max_iters):
         if n_live == 0:
             break
         # (1) pointer = min over self + live neighbors (both directions)
-        m = (
+        m = _mat(
             live.select(F.col("a").alias("id"), F.col("b").alias("nb"))
             .unionByName(live.select(F.col("b").alias("id"), F.col("a").alias("nb")))
             .groupBy("id")
             .agg(F.least(F.col("id"), F.min("nb")).alias("m"))
-            .localCheckpoint()
         )
-        # (2) compress pointers to a fixed point: m := m(m). Pointer values
-        # are node ids with monotone-decreasing pointers, so each pass at
-        # least halves the depth of every pointer chain; measured ≤ 4
-        # passes per round on adversarial graphs.
+        # (2) compress pointers to a fixed point: m := m(m), two composed
+        # passes per materialized step. Pointer values are node ids with
+        # monotone-decreasing pointers, so each pass at least halves the
+        # depth of every pointer chain; zero net change over the double
+        # pass implies zero change in each (monotonicity), i.e. the same
+        # fixed point the one-pass-per-job loop detected.
         while True:
+            # two composed lookups, both through the CHECKPOINTED m (a
+            # lazy p1-self-join would hit Spark's ambiguous-attribute
+            # resolution); the composed step resolves pointer chains to
+            # depth 3 per materialization and stays monotone, so "no net
+            # change" is still exactly the one-pass fixed point
             parent = m.select(F.col("id").alias("_pid"), F.col("m").alias("_pm"))
-            m2 = (
+            p1 = (
                 m.join(parent, m["m"] == parent["_pid"], "left")
                 .select(
                     "id",
                     F.least(F.col("m"), F.coalesce(F.col("_pm"), F.col("m"))).alias("m"),
                 )
-                .localCheckpoint()
             )
-            moved = (
-                m2.alias("n")
-                .join(m.alias("o"), "id")
-                .filter(F.col("n.m") != F.col("o.m"))
-                .count()
+            parent2 = m.select(F.col("id").alias("_pid2"), F.col("m").alias("_pm2"))
+            p2 = (
+                p1.join(parent2, p1["m"] == parent2["_pid2"], "left")
+                .select(
+                    "id",
+                    F.least(F.col("m"), F.coalesce(F.col("_pm2"), F.col("m"))).alias("m"),
+                )
             )
-            m = m2
+            m2 = _mat(
+                p2.join(m.select(F.col("id").alias("_oid"), F.col("m").alias("_om")),
+                        p2["id"] == F.col("_oid"))
+                .select("id", "m", (F.col("m") != F.col("_om")).alias("_chg"))
+            )
+            moved = m2.filter("_chg").count()
+            m = m2.select("id", "m")
             if moved == 0:
                 break
-        # (3) relabel the accumulated labels through this round's pointers
-        # (comp values are live supernode ids; ids absent from m are
-        # already-retired supernodes whose pointer is identity)
-        labels = (
-            labels.join(m.select(F.col("id").alias("_mid"), "m"),
-                        labels["comp"] == F.col("_mid"), "left")
-            .select("id", F.coalesce(F.col("m"), F.col("comp")).alias("comp"))
-            .localCheckpoint()
-        )
-        # (4) contract: rewrite endpoints through pointers, drop self-loops,
+        maps.append(m)
+        # (3) contract: rewrite endpoints through pointers, drop self-loops,
         # merge parallel edges — the graph SHRINKS, which is what bounds
         # the outer round count logarithmically.
-        live = (
+        live = _mat(
             live.join(m.select(F.col("id").alias("a"), F.col("m").alias("_ma")), "a")
             .join(m.select(F.col("id").alias("b"), F.col("m").alias("_mb")), "b")
             .filter(F.col("_ma") != F.col("_mb"))
@@ -820,9 +866,20 @@ def connected_components(
                 F.least("_ma", "_mb").alias("a"), F.greatest("_ma", "_mb").alias("b")
             )
             .distinct()
-            .localCheckpoint()
         )
         n_live = live.count()
+    # (4) relabel the accumulated labels through every round's pointers in
+    # round order (comp values are live supernode ids of that round; ids
+    # absent from a round's map are already-retired supernodes whose
+    # pointer is identity) — one composed job instead of one per round
+    for m_r in maps:
+        labels = (
+            labels.join(m_r.select(F.col("id").alias("_mid"), "m"),
+                        labels["comp"] == F.col("_mid"), "left")
+            .select("id", F.coalesce(F.col("m"), F.col("comp")).alias("comp"))
+        )
+    if maps:
+        labels = _mat(labels)
     if n_live != 0:
         # unconverged labels are WRONG labels (a component silently split):
         # refuse rather than return them. With contraction this needs a

@@ -481,6 +481,49 @@ def variogram(
     )
 
 
+def _mk_s_sql(cols: list) -> str:
+    """Unrolled Mann-Kendall S = Σ_{i<j} sign(c_j - c_i) as ONE SQL text
+    over named columns. r06: the MK family builds its big unrolled
+    expressions as F.expr strings over staged attribute columns instead
+    of nested Column-DSL trees — the DSL form cost one py4j round-trip
+    per operator (seconds of pure driver time per run at n_bins = 8) and
+    re-inlined each operand subtree into every term (a ~460 KB physical
+    plan for emerging_hotspot that Catalyst re-optimized on every run).
+    Same expressions, same evaluation order, bit-identical results."""
+    n = len(cols)
+    return " + ".join(
+        f"(CASE WHEN {cols[j]} > {cols[i]} THEN 1 WHEN {cols[j]} < {cols[i]} "
+        f"THEN -1 ELSE 0 END)"
+        for i in range(n) for j in range(i + 1, n)
+    )
+
+
+def _mk_tie_sql(cols: list) -> str:
+    """Unrolled per-element tie term Σ_i (n_i - 1)(2 n_i + 5) with
+    n_i = Σ_j [c_j = c_i] — the exact-integer form mann_kendall and
+    emerging_hotspot unrolled as Column trees before r06."""
+    n = len(cols)
+    parts = []
+    for i in range(n):
+        n_i = " + ".join(
+            f"(CASE WHEN {cols[j]} = {cols[i]} THEN 1 ELSE 0 END)" for j in range(n)
+        )
+        parts.append(f"((({n_i}) - 1) * (2 * ({n_i}) + 5))")
+    return " + ".join(parts)
+
+
+def _mk_z_sql(s_col: str, num_col: str) -> str:
+    """Continuity-corrected MK Z over staged S / Var·18 attributes —
+    NULL when Var·18 = 0, same branch order as the Column original."""
+    sq = f"SQRT(CAST({num_col} AS DOUBLE) / 18.0D)"
+    return (
+        f"CASE WHEN {num_col} > 0 THEN (CASE "
+        f"WHEN {s_col} > 0 THEN (CAST({s_col} AS DOUBLE) - 1.0D) / {sq} "
+        f"WHEN {s_col} < 0 THEN (CAST({s_col} AS DOUBLE) + 1.0D) / {sq} "
+        f"ELSE 0.0D END) END"
+    )
+
+
 def mann_kendall(
     cells_t: DataFrame,
     n_bins: int,
@@ -518,67 +561,62 @@ def mann_kendall(
         F.col(bin_col).cast("long").alias("bin"),
         F.col(v_col).cast("long").alias("v"),
     )
-    g = c.groupBy("cx", "cy").agg(
-        F.map_from_entries(F.collect_list(F.struct("bin", "v"))).alias("_m")
-    )
-    vs = [F.coalesce(F.col("_m").getItem(b), F.lit(0)) for b in range(n_bins)]
-    sgn = lambda d: F.when(d > 0, 1).when(d < 0, -1).otherwise(0)  # noqa: E731
-    s = None
-    for i in range(n_bins):
-        for j in range(i + 1, n_bins):
-            t = sgn(vs[j] - vs[i])
-            s = t if s is None else s + t
-    tie = None
-    for i in range(n_bins):
-        n_i = None
-        for j in range(n_bins):
-            e = F.when(vs[j] == vs[i], 1).otherwise(0)
-            n_i = e if n_i is None else n_i + e
-        t_i = (n_i - F.lit(1)) * (F.lit(2) * n_i + F.lit(5))
-        tie = t_i if tie is None else tie + t_i
+    # r06 physical restructure (same algebra, bit-identical output): the
+    # per-cell series pivots into plain v0..v{n-1} columns via max-when
+    # conditional aggregation (a codegen HashAggregate; the previous
+    # map_from_entries(collect_list) forced ObjectHashAggregate, and the
+    # repeated getItem subtrees re-inlined into every one of the ~n²
+    # unrolled terms), and the unrolled terms land in STAGED projections
+    # built from F.expr SQL text — aggregation output is an attribute
+    # barrier, so each stage references the previous one's columns as
+    # leaves and the expression tree stays linear instead of exploding.
+    cols = [f"v{b}" for b in range(n_bins)]
+    g = c.groupBy("cx", "cy").agg(*[
+        F.coalesce(F.max(F.when(F.col("bin") == b, F.col("v"))), F.lit(0)).alias(f"v{b}")
+        for b in range(n_bins)
+    ])
     base = n_bins * (n_bins - 1) * (2 * n_bins + 5)
-    num = F.lit(base) - tie
-    var = num.cast("double") / F.lit(18.0)
-    sd = s.cast("double")
-    z = (
-        F.when(s > 0, (sd - F.lit(1.0)) / F.sqrt(var))
-        .when(s < 0, (sd + F.lit(1.0)) / F.sqrt(var))
-        .otherwise(F.lit(0.0))
-    )
-    z = F.when(num > 0, z)
-    trend = (
-        F.when(num == 0, F.lit("flat"))
-        .when(z >= F.lit(alpha_z), F.lit("increasing"))
-        .when(z <= F.lit(-alpha_z), F.lit("decreasing"))
-        .otherwise(F.lit("none"))
-    )
     # Theil-Sen slope (Sen 1968): median of the T(T-1)/2 pairwise slopes
     # (v_j - v_i)/(j - i) — the trend MAGNITUDE beside Mann-Kendall's
     # significance. Each slope is one exact-int subtraction + one
     # division; array_sort gives a total order on identical doubles, so
     # the median (mean of the two middles at even counts) is
     # deterministic cross-engine.
-    slopes = F.array_sort(
-        F.array(*[
-            (vs[j] - vs[i]).cast("double") / F.lit(float(j - i))
-            for i in range(n_bins)
-            for j in range(i + 1, n_bins)
-        ])
+    slope_sql = "array_sort(array(" + ", ".join(
+        f"CAST({cols[j]} - {cols[i]} AS DOUBLE) / {float(j - i)!r}D"
+        for i in range(n_bins) for j in range(i + 1, n_bins)
+    ) + "))"
+    st1 = g.select(
+        "cx", "cy",
+        F.expr(_mk_s_sql(cols)).alias("_s"),
+        F.expr(f"{base} - ({_mk_tie_sql(cols)})").alias("_num"),
+        F.expr(slope_sql).alias("_slopes"),
     )
     npair = n_bins * (n_bins - 1) // 2
     if npair % 2 == 1:
-        sen = F.element_at(slopes, (npair + 1) // 2)
+        sen_sql = f"element_at(_slopes, {(npair + 1) // 2})"
     else:
-        sen = (
-            F.element_at(slopes, npair // 2) + F.element_at(slopes, npair // 2 + 1)
-        ) / F.lit(2.0)
-    return g.select(
+        sen_sql = (
+            f"(element_at(_slopes, {npair // 2}) + "
+            f"element_at(_slopes, {npair // 2 + 1})) / 2.0D"
+        )
+    a = f"{float(alpha_z)!r}D"
+    st2 = st1.select(
+        "cx", "cy", "_s", "_num",
+        F.expr(_mk_z_sql("_s", "_num")).alias("_z"),
+        F.expr(sen_sql).alias("_sen"),
+    )
+    trend_sql = (
+        f"CASE WHEN _num = 0 THEN 'flat' WHEN _z >= {a} THEN 'increasing' "
+        f"WHEN _z <= -{a} THEN 'decreasing' ELSE 'none' END"
+    )
+    return st2.select(
         "cx", "cy",
-        s.cast("long").alias("s"),
-        num.cast("long").alias("var18"),
-        z.alias("z"),
-        sen.alias("sen_slope"),
-        trend.alias("trend"),
+        F.col("_s").cast("long").alias("s"),
+        F.col("_num").cast("long").alias("var18"),
+        F.col("_z").alias("z"),
+        F.col("_sen").alias("sen_slope"),
+        F.expr(trend_sql).alias("trend"),
     )
 
 
@@ -680,94 +718,85 @@ def emerging_hotspot(
     z = F.when((F.col("n") > 1) & (s2 > 0) & (denom_in > 0), z)
     zt = j.select("cx", "cy", "bin", z.alias("z"))
 
-    g = zt.groupBy("cx", "cy").agg(
-        F.map_from_entries(F.collect_list(F.struct("bin", "z"))).alias("_m")
-    )
-    zs = [F.col("_m").getItem(b) for b in range(n_bins)]
-    # Mann-Kendall over the z series (doubles; signs/ties are comparisons
-    # of identical-by-construction doubles, so still cross-engine exact)
-    sgn = lambda d: F.when(d > 0, 1).when(d < 0, -1).otherwise(0)  # noqa: E731
-    s = None
-    for i in range(n_bins):
-        for jj in range(i + 1, n_bins):
-            t = sgn(zs[jj] - zs[i])
-            s = t if s is None else s + t
-    tie = None
-    for i in range(n_bins):
-        n_i = None
-        for jj in range(n_bins):
-            e = F.when(zs[jj] == zs[i], 1).otherwise(0)
-            n_i = e if n_i is None else n_i + e
-        t_i = (n_i - F.lit(1)) * (F.lit(2) * n_i + F.lit(5))
-        tie = t_i if tie is None else tie + t_i
+    # r06 physical restructure (same algebra, bit-identical output; see
+    # _mk_s_sql): pivot the Gi* z series into plain z0..z{n-1} columns
+    # (codegen HashAggregate instead of the ObjectHashAggregate
+    # map_from_entries pivot), then build the unrolled MK + category
+    # expressions as staged F.expr SQL over the pivoted attributes —
+    # the Column-DSL unroll cost ~20s of py4j driver time per bench run
+    # and produced a ~460 KB plan Catalyst re-optimized every run.
+    cols = [f"z{b}" for b in range(n_bins)]
+    g = zt.groupBy("cx", "cy").agg(*[
+        F.max(F.when(F.col("bin") == b, F.col("z"))).alias(f"z{b}")
+        for b in range(n_bins)
+    ])
     base = n_bins * (n_bins - 1) * (2 * n_bins + 5)
-    num = F.lit(base) - tie
-    var = num.cast("double") / F.lit(18.0)
-    sd = s.cast("double")
-    zmk = (
-        F.when(s > 0, (sd - F.lit(1.0)) / F.sqrt(var))
-        .when(s < 0, (sd + F.lit(1.0)) / F.sqrt(var))
-        .otherwise(F.lit(0.0))
+    a = f"{float(alpha_z)!r}D"
+    hot = [f"(CASE WHEN z{b} >= {a} THEN 1 ELSE 0 END)" for b in range(n_bins)]
+    cold = [f"(CASE WHEN z{b} <= -{a} THEN 1 ELSE 0 END)" for b in range(n_bins)]
+    st1 = g.select(
+        "cx", "cy", *cols,
+        F.expr(_mk_s_sql(cols)).alias("_s"),
+        F.expr(f"{base} - ({_mk_tie_sql(cols)})").alias("_num"),
+        F.expr(" + ".join(hot)).alias("_nh"),
+        F.expr(" + ".join(cold)).alias("_nc"),
     )
-    zmk = F.when(num > 0, zmk)
-    trend = (
-        F.when(num == 0, F.lit("flat"))
-        .when(zmk >= F.lit(alpha_z), F.lit("increasing"))
-        .when(zmk <= F.lit(-alpha_z), F.lit("decreasing"))
-        .otherwise(F.lit("none"))
-    )
-    hot = [F.when(zs[b] >= F.lit(alpha_z), 1).otherwise(0) for b in range(n_bins)]
-    cold = [F.when(zs[b] <= F.lit(-alpha_z), 1).otherwise(0) for b in range(n_bins)]
-    nh = hot[0]
-    for h in hot[1:]:
-        nh = nh + h
-    nc = cold[0]
-    for cc in cold[1:]:
-        nc = nc + cc
-    fh = hot[-1] == 1
-    fc = cold[-1] == 1
-    hot90 = nh * 10 >= F.lit(9 * n_bins)
-    cold90 = nc * 10 >= F.lit(9 * n_bins)
     # contiguous suffix: hot[b] == (b >= n_bins - n_hot) for every b,
     # i.e. hot[b] == (n_hot >= n_bins - b) — pure integer comparisons
-    hsuffix = None
-    csuffix = None
-    for b in range(n_bins):
-        eh = hot[b] == F.when(nh >= F.lit(n_bins - b), 1).otherwise(0)
-        ec = cold[b] == F.when(nc >= F.lit(n_bins - b), 1).otherwise(0)
-        hsuffix = eh if hsuffix is None else hsuffix & eh
-        csuffix = ec if csuffix is None else csuffix & ec
-    inc = trend == F.lit("increasing")
-    dec = trend == F.lit("decreasing")
-    category = (
-        F.when(fh & (nh == 1) & (nc == 0), F.lit("new hot"))
-        .when(fh & (nh >= 2) & hsuffix & ~hot90 & (nc == 0), F.lit("consecutive hot"))
-        .when(fh & hot90 & inc, F.lit("intensifying hot"))
-        .when(fh & hot90 & dec, F.lit("diminishing hot"))
-        .when(fh & hot90, F.lit("persistent hot"))
-        .when(~fh & hot90, F.lit("historical hot"))
-        .when(fh & ~hot90 & (nh >= 2) & (nc == 0), F.lit("sporadic hot"))
-        .when(fh & ~hot90 & (nc >= 1), F.lit("oscillating hot"))
-        .when(fc & (nc == 1) & (nh == 0), F.lit("new cold"))
-        .when(fc & (nc >= 2) & csuffix & ~cold90 & (nh == 0), F.lit("consecutive cold"))
-        .when(fc & cold90 & dec, F.lit("intensifying cold"))
-        .when(fc & cold90 & inc, F.lit("diminishing cold"))
-        .when(fc & cold90, F.lit("persistent cold"))
-        .when(~fc & cold90, F.lit("historical cold"))
-        .when(fc & ~cold90 & (nc >= 2) & (nh == 0), F.lit("sporadic cold"))
-        .when(fc & ~cold90 & (nh >= 1), F.lit("oscillating cold"))
-        .otherwise(F.lit("no pattern"))
+    hsuffix = " AND ".join(
+        f"({hot[b]} = (CASE WHEN _nh >= {n_bins - b} THEN 1 ELSE 0 END))"
+        for b in range(n_bins)
     )
-    return g.select(
+    csuffix = " AND ".join(
+        f"({cold[b]} = (CASE WHEN _nc >= {n_bins - b} THEN 1 ELSE 0 END))"
+        for b in range(n_bins)
+    )
+    st2 = st1.select(
+        "cx", "cy", f"z{n_bins - 1}", "_s", "_num", "_nh", "_nc",
+        F.expr(_mk_z_sql("_s", "_num")).alias("_z"),
+        F.expr(f"({hsuffix})").alias("_hsuf"),
+        F.expr(f"({csuffix})").alias("_csuf"),
+    )
+    trend_sql = (
+        f"CASE WHEN _num = 0 THEN 'flat' WHEN _z >= {a} THEN 'increasing' "
+        f"WHEN _z <= -{a} THEN 'decreasing' ELSE 'none' END"
+    )
+    st3 = st2.select("*", F.expr(trend_sql).alias("_trend"))
+    fh = f"((CASE WHEN z{n_bins - 1} >= {a} THEN 1 ELSE 0 END) = 1)"
+    fc = f"((CASE WHEN z{n_bins - 1} <= -{a} THEN 1 ELSE 0 END) = 1)"
+    hot90 = f"(_nh * 10 >= {9 * n_bins})"
+    cold90 = f"(_nc * 10 >= {9 * n_bins})"
+    inc = "(_trend = 'increasing')"
+    dec = "(_trend = 'decreasing')"
+    category_sql = (
+        f"CASE WHEN {fh} AND (_nh = 1) AND (_nc = 0) THEN 'new hot' "
+        f"WHEN {fh} AND (_nh >= 2) AND _hsuf AND (NOT {hot90}) AND (_nc = 0) THEN 'consecutive hot' "
+        f"WHEN {fh} AND {hot90} AND {inc} THEN 'intensifying hot' "
+        f"WHEN {fh} AND {hot90} AND {dec} THEN 'diminishing hot' "
+        f"WHEN {fh} AND {hot90} THEN 'persistent hot' "
+        f"WHEN (NOT {fh}) AND {hot90} THEN 'historical hot' "
+        f"WHEN {fh} AND (NOT {hot90}) AND (_nh >= 2) AND (_nc = 0) THEN 'sporadic hot' "
+        f"WHEN {fh} AND (NOT {hot90}) AND (_nc >= 1) THEN 'oscillating hot' "
+        f"WHEN {fc} AND (_nc = 1) AND (_nh = 0) THEN 'new cold' "
+        f"WHEN {fc} AND (_nc >= 2) AND _csuf AND (NOT {cold90}) AND (_nh = 0) THEN 'consecutive cold' "
+        f"WHEN {fc} AND {cold90} AND {dec} THEN 'intensifying cold' "
+        f"WHEN {fc} AND {cold90} AND {inc} THEN 'diminishing cold' "
+        f"WHEN {fc} AND {cold90} THEN 'persistent cold' "
+        f"WHEN (NOT {fc}) AND {cold90} THEN 'historical cold' "
+        f"WHEN {fc} AND (NOT {cold90}) AND (_nc >= 2) AND (_nh = 0) THEN 'sporadic cold' "
+        f"WHEN {fc} AND (NOT {cold90}) AND (_nh >= 1) THEN 'oscillating cold' "
+        f"ELSE 'no pattern' END"
+    )
+    return st3.select(
         "cx", "cy",
-        nh.cast("long").alias("n_hot"),
-        nc.cast("long").alias("n_cold"),
-        zs[-1].alias("z_final"),
-        s.cast("long").alias("s"),
-        num.cast("long").alias("var18"),
-        zmk.alias("z_mk"),
-        trend.alias("trend"),
-        category.alias("category"),
+        F.col("_nh").cast("long").alias("n_hot"),
+        F.col("_nc").cast("long").alias("n_cold"),
+        F.col(f"z{n_bins - 1}").alias("z_final"),
+        F.col("_s").cast("long").alias("s"),
+        F.col("_num").cast("long").alias("var18"),
+        F.col("_z").alias("z_mk"),
+        F.expr("_trend").alias("trend"),
+        F.expr(category_sql).alias("category"),
     )
 
 

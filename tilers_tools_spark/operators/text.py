@@ -510,22 +510,34 @@ def charlm_score(
     trigram counts against the model plus one doc-keyed aggregate. No
     all-corpus shuffle ever carries text; the trigram census key space
     is fixed, so AQE has nothing to skew-split bigger than 37^3 keys.
-    """
-    from .dedup import _barrier
 
+    Physical shape (r06): trigrams are generated as ROWS —
+    explode(sequence(1, len-2)) + substring — not as a per-doc string
+    array from a transform() lambda. Higher-order-function lambdas are
+    interpreted per element (no whole-stage codegen), and materializing
+    ~len 3-char strings per doc cost more than everything else in this
+    operator combined (measured ~10s of a 35s sf0.1 wall per pass);
+    the row form runs entirely inside one WholeStageCodegen span. The
+    (doc, trigram) census is also materialized ONCE (localCheckpoint)
+    because both the model build and the scoring join consume it —
+    unmaterialized, the corpus explode replays per consumer.
+    """
     V = 37.0
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " "))
-    d1 = _barrier(docs.select(F.col(id_col), norm.alias("_t")))
-    n = F.length("_t") - F.lit(2)
-    # guard: Spark sequence(1, 0) is DESCENDING [1, 0], so short docs need
-    # an explicit empty array, not a clamped bound
-    tri = F.when(
-        n >= 1,
-        F.transform(F.sequence(F.lit(1), n), lambda i: F.substr(F.col("_t"), i, F.lit(3))),
-    ).otherwise(F.array().cast("array<string>"))
-    d2 = d1.select(id_col, tri.alias("_g")).filter(F.size("_g") > 0)
-    doc_tri = d2.select(id_col, F.explode("_g").alias("tri")).groupBy(id_col, "tri").agg(
-        F.count("*").alias("n")
+    d1 = docs.select(F.col(id_col), norm.alias("_t"))
+    # docs with no trigram (normalized length < 3) drop out here — same
+    # contract as the previous size(_g) > 0 filter on the array form
+    d2 = d1.filter(F.length("_t") >= 3)
+    doc_tri = (
+        d2.select(
+            id_col,
+            "_t",
+            F.explode(F.sequence(F.lit(1), F.length("_t") - F.lit(2))).alias("_i"),
+        )
+        .select(id_col, F.col("_t").substr(F.col("_i"), F.lit(3)).alias("tri"))
+        .groupBy(id_col, "tri")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()
     )
     tri_counts = doc_tri.groupBy("tri").agg(F.sum("n").alias("c3"))
     ctx = tri_counts.groupBy(F.substring("tri", 1, 2).alias("_p")).agg(F.sum("c3").alias("c2"))
