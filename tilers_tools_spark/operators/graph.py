@@ -55,26 +55,46 @@ def shortest_paths(
     if directed is False:
         e = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w"))
     # fail-loud weight validation folded into the reused edge frame
-    e = e.withColumn(
+    from .dedup import _mat
+
+    e = _mat(e.withColumn(
         "w",
         F.when(F.col("w") >= 0, F.col("w")).otherwise(
             F.raise_error(F.format_string("negative edge weight %s", F.col("w")))
         ),
-    ).localCheckpoint()
-    dist = (
+    ))
+    dist = _mat(
         sources.select(F.col(node_col).cast("long").alias("node"))
         .distinct()
         .withColumn("dist", F.lit(0).cast("long"))
-        .localCheckpoint()
     )
-    for _ in range(rounds):
-        relaxed = dist.join(e, dist["node"] == e["a"]).select(
-            e["b"].alias("node"), (dist["dist"] + e["w"]).alias("dist")
-        )
-        dist = (
-            dist.unionByName(relaxed)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
-        )
+    # r06: COMPOSE a few relaxation rounds per materialization — the wall
+    # of a K-round loop at gate scale is K sequential driver-synchronous
+    # jobs, not bytes. Relaxation rounds compose associatively (round k's
+    # aggregated frontier is exactly the input of round k+1), so chaining
+    # 3 join+min stages lazily inside one job yields the identical
+    # 24-relaxation result with a third of the job launches; _mat (lazy
+    # checkpoint + persist + count) cuts lineage per chunk and presents
+    # REAL cached sizes to the optimizer (see dedup._mat: eager-checkpoint
+    # stat inheritance compounds across iterative rounds).
+    done = 0
+    while done < rounds:
+        for _ in range(min(3, rounds - done)):
+            # unique per-round aliases: composed rounds re-join the same
+            # edge frame, so object-style column refs (dist[..], e[..])
+            # would trip Spark's ambiguous-self-join detection
+            dn, gn = f"_d{done}", f"_g{done}"
+            relaxed = dist.alias(dn).join(
+                e.alias(gn), F.col(f"{dn}.node") == F.col(f"{gn}.a")
+            ).select(
+                F.col(f"{gn}.b").alias("node"),
+                (F.col(f"{dn}.dist") + F.col(f"{gn}.w")).alias("dist"),
+            )
+            dist = (
+                dist.unionByName(relaxed)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+            )
+            done += 1
+        dist = _mat(dist)
     return dist

@@ -6594,7 +6594,21 @@ def q_streaming_join(spark, sf_dir):
         )
         q.awaitTermination()
 
+    # r06: size the stream-stream join's STATE STORE task count to the
+    # stream, not the batch shuffle width. Each micro-batch schedules one
+    # state-store task per shuffle partition per join side; at the session
+    # default (32) the three availableNow restarts spent their wall on
+    # 32-way state plumbing for a 15-key stream (measured 13-19s -> ~3.7s
+    # at 4). Parameterised for production (set TILERS_STREAM_STATE_PARTITIONS
+    # to match expected key volume / executor count); the partition count
+    # is pinned into the checkpoint at first run, and join RESULTS are
+    # partitioning-independent. Session conf restored afterwards.
+    _sp0 = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("TILERS_STREAM_STATE_PARTITIONS", "4"),
+        )
         write(src_i, "b0.parquet", imp)
         run_once()
         adv_i = pd.DataFrame(
@@ -6614,6 +6628,7 @@ def q_streaming_join(spark, sf_dir):
         run_once()
         got = spark.read.parquet(out).toPandas()
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", _sp0)
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(
         got[["usr", "imp_id", "click_id", "imp_secs", "click_secs", "delay_s"]]
