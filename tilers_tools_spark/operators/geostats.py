@@ -79,6 +79,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .spatial import _spread
+
 _OFFS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
 
 
@@ -263,11 +265,11 @@ def ripley_k(
         raise ValueError("radii must be non-empty positive distances")
     radii = sorted(float(d) for d in radii)
     cell = radii[-1]
-    pts = points.select(
+    pts = _spread(points.select(
         F.col(id_col).alias("id"),
         F.col(x_col).cast("double").alias("x"),
         F.col(y_col).cast("double").alias("y"),
-    )
+    ))
     cx = F.floor(F.col("x") / F.lit(cell))
     cy = F.floor(F.col("y") / F.lit(cell))
     off = F.explode(
@@ -429,12 +431,12 @@ def variogram(
     if n_bins < 1 or bin_width <= 0:
         raise ValueError("need n_bins >= 1 and bin_width > 0")
     cell = n_bins * float(bin_width)
-    pts = points.select(
+    pts = _spread(points.select(
         F.col(id_col).alias("id"),
         F.col(x_col).cast("double").alias("x"),
         F.col(y_col).cast("double").alias("y"),
         F.col(v_col).cast("long").alias("v"),
-    )
+    ))
     cx = F.floor(F.col("x") / F.lit(cell))
     cy = F.floor(F.col("y") / F.lit(cell))
     off = F.explode(
@@ -911,12 +913,12 @@ def knox_test(
         raise ValueError("eps must be > 0")
     if tau < 0:
         raise ValueError("tau must be >= 0")
-    p = points.select(
+    p = _spread(points.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(x_col).cast("long").alias("x"),
         F.col(y_col).cast("long").alias("y"),
         F.col(t_col).cast("long").alias("t"),
-    )
+    ))
     cw = float(eps)
     pc = p.select(
         "id", "x", "y", "t",

@@ -27,6 +27,28 @@ from pyspark.sql.types import LongType
 from ..functions import h3lite
 from ..functions import tilemath as tm
 
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Guarantee at least default-parallelism partitions on the PROBE side
+    of an explode + pair-census stage (guide §2.5: an unsplittable input
+    runs as one task until the first exchange).
+
+    A small parquet table is one file with one row group, so its scan is
+    ONE task — and because the grid-cell candidate joins here broadcast
+    the build side, everything up to the aggregation (the k² per-cell
+    candidate loop, i.e. ~all of the operator's CPU) would run on a
+    single core (measured: the sf0.1 dbscan pair census 2.8s and the
+    iou_pairs probe ~8s, both single-task). At production scale the scan
+    is already wide and this is a no-op; otherwise one key-free
+    round-robin exchange of id/coordinate-width rows (deterministic:
+    Spark sorts before round-robin repartition) buys full parallelism.
+    Results are partitioning-independent throughout."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # point-in-polygon
 # ---------------------------------------------------------------------------
@@ -651,11 +673,11 @@ def dbscan(
     if min_pts < 1:
         raise ValueError("min_pts must be >= 1")
     eps = float(eps)
-    pts = points.select(
+    pts = _spread(points.select(
         F.col(id_col).alias("_pid"),
         F.col(x_col).cast("double").alias("_px"),
         F.col(y_col).cast("double").alias("_py"),
-    )
+    ))
     off = F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)]))
     a = (
         pts.withColumn("_dx", off)
@@ -769,6 +791,7 @@ def iou_pairs(
         .otherwise(F.raise_error(F.format_string(
             "degenerate box id %s", F.col("id")))),
     )
+    b = _spread(b)
     cw = float(cell)
     cxs = F.sequence(
         F.floor(F.col("x0").cast("double") / F.lit(cw)).cast("long"),
