@@ -810,50 +810,59 @@ def connected_components(
     for _ in range(max_iters):
         if n_live == 0:
             break
-        # (1) pointer = min over self + live neighbors (both directions)
-        m = _mat(
+        # (1)+(2) pointer = min over self + live neighbors, compressed to
+        # a fixed point: m := m(m), two composed lookups per materialized
+        # step. Pointer values are node ids with monotone-decreasing
+        # pointers, so each lookup at least halves the depth of every
+        # pointer chain; zero net change over the composed step implies
+        # zero change in each lookup (monotonicity), i.e. the same fixed
+        # point the one-pass-per-job loop detected. The FIRST step
+        # composes the census itself (alias-qualified self-joins; the
+        # identical census exchange is computed once and ReusedExchange
+        # feeds the other lookups), so a round that converges immediately
+        # — the common case — costs ONE materialization for its pointer
+        # map instead of two.
+        cur = (
             live.select(F.col("a").alias("id"), F.col("b").alias("nb"))
             .unionByName(live.select(F.col("b").alias("id"), F.col("a").alias("nb")))
             .groupBy("id")
             .agg(F.least(F.col("id"), F.min("nb")).alias("m"))
         )
-        # (2) compress pointers to a fixed point: m := m(m), two composed
-        # passes per materialized step. Pointer values are node ids with
-        # monotone-decreasing pointers, so each pass at least halves the
-        # depth of every pointer chain; zero net change over the double
-        # pass implies zero change in each (monotonicity), i.e. the same
-        # fixed point the one-pass-per-job loop detected.
+        step = 0
         while True:
-            # two composed lookups, both through the CHECKPOINTED m (a
-            # lazy p1-self-join would hit Spark's ambiguous-attribute
-            # resolution); the composed step resolves pointer chains to
-            # depth 3 per materialization and stays monotone, so "no net
-            # change" is still exactly the one-pass fixed point
-            parent = m.select(F.col("id").alias("_pid"), F.col("m").alias("_pm"))
-            p1 = (
-                m.join(parent, m["m"] == parent["_pid"], "left")
-                .select(
-                    "id",
-                    F.least(F.col("m"), F.coalesce(F.col("_pm"), F.col("m"))).alias("m"),
-                )
+            c0, c1, c2, c3 = (f"_cc{step}_{i}" for i in range(4))
+            p1 = cur.alias(c0).join(
+                cur.alias(c1), F.col(f"{c0}.m") == F.col(f"{c1}.id"), "left"
+            ).select(
+                F.col(f"{c0}.id").alias("id"),
+                F.least(
+                    F.col(f"{c0}.m"),
+                    F.coalesce(F.col(f"{c1}.m"), F.col(f"{c0}.m")),
+                ).alias("m"),
             )
-            parent2 = m.select(F.col("id").alias("_pid2"), F.col("m").alias("_pm2"))
-            p2 = (
-                p1.join(parent2, p1["m"] == parent2["_pid2"], "left")
-                .select(
-                    "id",
-                    F.least(F.col("m"), F.coalesce(F.col("_pm2"), F.col("m"))).alias("m"),
-                )
+            p2 = p1.alias("_p").join(
+                cur.alias(c2), F.col("_p.m") == F.col(f"{c2}.id"), "left"
+            ).select(
+                F.col("_p.id").alias("id"),
+                F.least(
+                    F.col("_p.m"),
+                    F.coalesce(F.col(f"{c2}.m"), F.col("_p.m")),
+                ).alias("m"),
             )
             m2 = _mat(
-                p2.join(m.select(F.col("id").alias("_oid"), F.col("m").alias("_om")),
-                        p2["id"] == F.col("_oid"))
-                .select("id", "m", (F.col("m") != F.col("_om")).alias("_chg"))
+                p2.alias("_q").join(cur.alias(c3), F.col("_q.id") == F.col(f"{c3}.id"))
+                .select(
+                    F.col("_q.id").alias("id"),
+                    F.col("_q.m").alias("m"),
+                    (F.col("_q.m") != F.col(f"{c3}.m")).alias("_chg"),
+                )
             )
             moved = m2.filter("_chg").count()
             m = m2.select("id", "m")
             if moved == 0:
                 break
+            cur = m
+            step += 1
         maps.append(m)
         # (3) contract: rewrite endpoints through pointers, drop self-loops,
         # merge parallel edges — the graph SHRINKS, which is what bounds

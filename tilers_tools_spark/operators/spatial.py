@@ -464,7 +464,15 @@ def convex_hull(
             columns=by + ["x1", "y1", "x2", "y2"],
         )
 
-    return points.groupBy(*by).applyInPandas(hull, schema=schema)
+    # r06: explicit key repartition at default parallelism — the groupBy
+    # exchange otherwise gets AQE-coalesced by BYTES (a few hundred KB of
+    # coordinates -> ONE post-shuffle partition), which serializes every
+    # per-group Python call onto one core; the per-group cost here is
+    # Python/Arrow CPU, which the bytes heuristic cannot see. The explicit
+    # repartition satisfies the apply's clustering requirement, so no
+    # second exchange is added, and the count scales with the cluster.
+    par = points.sparkSession.sparkContext.defaultParallelism
+    return points.repartition(par, *by).groupBy(*by).applyInPandas(hull, schema=schema)
 
 
 # ---------------------------------------------------------------------------
@@ -622,7 +630,10 @@ def hull_diameter(
             columns=by + ["n_pts", "diam2", "x1", "y1", "x2", "y2"],
         )
 
-    return points.groupBy(*by).applyInPandas(fn, schema=schema)
+    # r06: same explicit key repartition as convex_hull — AQE's bytes-based
+    # coalescing serialized all per-group Python calipers onto one core
+    par = points.sparkSession.sparkContext.defaultParallelism
+    return points.repartition(par, *by).groupBy(*by).applyInPandas(fn, schema=schema)
 
 
 # ---------------------------------------------------------------------------

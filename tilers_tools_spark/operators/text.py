@@ -324,7 +324,9 @@ def repetition_features(
         F.size("_w").alias("n_words"),
         F.size(F.array_distinct("_w")).alias("_n_distinct"),
         _word_ngrams("_w", 2).alias("_bg"),
-    )
+    ).localCheckpoint()  # r06: both the bigram census and the final select
+    # consume base — unmaterialized, the tokenize + HOF pipeline (the
+    # operator's dominant cost) replays once per consumer
     bg_counts = (
         base.select(id_col, F.explode("_bg").alias("bg"))
         .groupBy(id_col, "bg")
