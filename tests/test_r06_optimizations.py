@@ -86,6 +86,19 @@ def test_connected_components_descending_path(spark):
     assert got == {i: 0 for i in range(n)}
 
 
+def test_hll_estimate_p_mismatch_fails_loud(spark):
+    # ADVICE r05: estimating a p=14 sketch under the default p=12 must
+    # raise, not silently return garbage (registers >= 2^12 prove the
+    # sketch was built with a larger p)
+    df = spark.createDataFrame([(i,) for i in range(20000)], "k long")
+    sk14 = sketch.hll_sketch(df, "k", p=14)
+    with pytest.raises(Exception, match="hll_estimate"):
+        sketch.hll_estimate(sk14, p=12).collect()
+    # matching p still estimates within the published error bound
+    est = sketch.hll_estimate(sketch.hll_sketch(df, "k", p=12), p=12).collect()[0]
+    assert abs(est["est"] - 20000) / 20000 < 0.05
+
+
 def test_charlm_trigram_census_scalar_reference(spark):
     import collections
     import math

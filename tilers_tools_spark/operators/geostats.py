@@ -948,7 +948,10 @@ def knox_test(
         .where((F.col("ida") != F.col("id")) & (d2.cast("double") <= eps2))
         .agg(
             F.count("*").alias("ns2"),
-            F.sum(F.when(close_t, 1).otherwise(0)).alias("x2"),
+            # coalesce: SUM over ZERO census rows is NULL, not 0 — an
+            # empty spatial census (no close pairs) must report x = 0,
+            # matching ripley_k's convention (ns2/nt2 are counts, already 0)
+            F.coalesce(F.sum(F.when(close_t, 1).otherwise(0)), F.lit(0)).alias("x2"),
         )
     )
     tw = float(tau) if tau > 0 else 1.0

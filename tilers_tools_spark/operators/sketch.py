@@ -97,6 +97,7 @@ def hll_estimate(sketch: DataFrame, p: int = 12) -> DataFrame:
     agg = sketch.agg(
         F.count("*").alias("nonzero"),
         F.coalesce(F.sum(term), F.lit(0).cast("decimal(38,0)")).alias("_s"),
+        F.coalesce(F.max("register"), F.lit(0)).alias("_maxreg"),
     )
     two62 = float(1 << 62)
     md = float(m)
@@ -109,8 +110,22 @@ def hll_estimate(sketch: DataFrame, p: int = 12) -> DataFrame:
     corrected = F.when(
         (raw <= F.lit(2.5 * md)) & (v > 0), F.lit(md) * F.log(F.lit(md) / vd)
     ).otherwise(raw)
+    # fail-loud p-mismatch guard (woven into a KEPT column, repo
+    # convention): estimating a sketch built with a LARGER p under this p
+    # has registers >= 2^p (or more than 2^p rows), and would otherwise
+    # silently yield garbage (nonzero > m makes v_zero negative and the
+    # harmonic sum wrong); a SMALLER-p sketch is indistinguishable from a
+    # sparse one, which is why p is an explicit parameter, not sniffed
+    ok = (F.col("_maxreg") < F.lit(m)) & (F.col("nonzero") <= F.lit(m))
+    m_guarded = F.when(ok, F.lit(m).cast("long")).otherwise(
+        F.raise_error(F.format_string(
+            "hll_estimate: sketch is not a p=%s sketch (max register %s, "
+            "nonzero %s) — estimate/merge must use the p the sketch was "
+            "built with", F.lit(str(p)), F.col("_maxreg"), F.col("nonzero")))
+        .cast("long")
+    )
     return agg.select(
-        F.lit(m).cast("long").alias("m"),
+        m_guarded.alias("m"),
         F.col("nonzero").cast("long").alias("nonzero"),
         v.cast("long").alias("v_zero"),
         scaled.alias("sum_scaled"),

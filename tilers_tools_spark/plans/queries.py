@@ -9136,3 +9136,34 @@ QUERIES: dict = {
     "video_frames": (q_video_frames, _golden("video_frames")),
     "audio_frames": (q_audio_frames, _golden("audio_frames")),
 }
+
+# Registry ORDER (r06, VERDICT round-5 ask #1): the driver's CORRECTNESS
+# artifact records the FIRST 50 registry entries, and the round-5 dict
+# order left the SURVEY-§2 bit-for-tile core (pyramid_smoke, warped_smoke,
+# cutline_mask, h3_s2_assign, ...) at positions ~140-196, outside the
+# window. Reorder — content and per-query semantics untouched — so the
+# artifact of record gates the contract core: the §2 tiling/georef/
+# container/spatial core first, then ONE representative per major operator
+# family, then the long tail in its original order.
+_CORE_FIRST = [
+    # bit-for-tile rendering core
+    "pyramid_smoke", "pyramid_geodetic", "warped_smoke", "warp_4326",
+    "warp_utm", "cutline_mask", "h3_s2_assign", "h3_rollup",
+    "image_features", "tile_assign_z8", "base_zoom_hist", "tilemap_metadata",
+    # schemes, containers, tile-set transforms
+    "scheme_paths", "zoomify_paths", "quadkey", "mbtiles_keys",
+    "mbtiles_dedup_map", "gpkg_keys", "rmaps_keys", "osmdroid_keys",
+    "pmtiles_keys", "tileset_check", "tiles_seed", "tileset_diff",
+    "tileset_patch", "resume_anti_join",
+    # georef readers + decode + viewport
+    "geotiff_georef", "worldfile_georef", "geotiff_tiled_decode", "bbox_tiles",
+    # spatial joins
+    "pip_polygons", "knn", "bbox_join", "cell_pairs",
+    # one representative per major family
+    "dem_hillshade", "zonal_stats", "mosaic", "dem_tiles", "mvt_point_tiles",
+    "dedup_exact", "minhash_lsh_md5", "dedup_clusters", "semdedup",
+    "embedding_topk", "charlm_ppl", "hash_split", "streaming_dedup",
+    "streaming_join", "dbscan", "order_statistic",
+]
+assert len(_CORE_FIRST) == 50 and set(_CORE_FIRST) <= set(QUERIES)
+QUERIES = {**{k: QUERIES[k] for k in _CORE_FIRST}, **QUERIES}

@@ -192,6 +192,15 @@ def stream_stream_attribution(
 
     Output: one row per (impression, click) match with both payloads
     and delay_s = click_secs - imp_secs.
+
+    REQUIRED SCHEMA CONTRACT (fail-loud at analysis otherwise): the
+    impressions side must carry `imp_id` and the clicks side `click_id`
+    (the selected payload columns), and the clicks-side join key column
+    must be named ``f"{key_col}_c"`` (e.g. ``usr_c`` for the default) —
+    the two sides of a stream-stream self-ish join need distinct column
+    names, and this operator fixes the click-side convention rather
+    than adding a rename parameter; pre-rename your click stream to
+    match (``clicks.withColumnRenamed(key, f"{key}_c")``).
     """
     li = impressions.withWatermark(imp_time_col, f"{watermark_s} seconds")
     rc = clicks.withWatermark(click_time_col, f"{watermark_s} seconds")
