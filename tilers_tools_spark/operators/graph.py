@@ -55,28 +55,31 @@ def shortest_paths(
     if directed is False:
         e = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w"))
     # fail-loud weight validation folded into the reused edge frame
-    from .dedup import _mat
-
-    e = _mat(e.withColumn(
+    e = e.withColumn(
         "w",
         F.when(F.col("w") >= 0, F.col("w")).otherwise(
             F.raise_error(F.format_string("negative edge weight %s", F.col("w")))
         ),
-    ))
-    dist = _mat(
+    ).localCheckpoint()
+    dist = (
         sources.select(F.col(node_col).cast("long").alias("node"))
         .distinct()
         .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint()
     )
     # r06: COMPOSE a few relaxation rounds per materialization — the wall
     # of a K-round loop at gate scale is K sequential driver-synchronous
     # jobs, not bytes. Relaxation rounds compose associatively (round k's
     # aggregated frontier is exactly the input of round k+1), so chaining
     # 3 join+min stages lazily inside one job yields the identical
-    # 24-relaxation result with a third of the job launches; _mat (lazy
-    # checkpoint + persist + count) cuts lineage per chunk and presents
-    # REAL cached sizes to the optimizer (see dedup._mat: eager-checkpoint
-    # stat inheritance compounds across iterative rounds).
+    # 24-relaxation result with a third of the job launches. Plain EAGER
+    # localCheckpoint per chunk (not dedup._mat's checkpoint+persist+count):
+    # here each chunk's plan references the previous checkpoint once per
+    # composed round, so the inherited size estimate grows LINEARLY in
+    # digits per chunk (digits(d) += 3*digits(e)) — unlike connected
+    # components, whose per-round SELF-joins SQUARE the estimate (the
+    # BigInteger blowup _mat exists to break). The persist layer would
+    # only add a second storage write per chunk here.
     done = 0
     while done < rounds:
         for _ in range(min(3, rounds - done)):
@@ -96,5 +99,5 @@ def shortest_paths(
                 .agg(F.min("dist").alias("dist"))
             )
             done += 1
-        dist = _mat(dist)
+        dist = dist.localCheckpoint()
     return dist
