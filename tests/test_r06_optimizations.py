@@ -126,3 +126,29 @@ def test_charlm_trigram_census_scalar_reference(spark):
         bits = sum(-math.log2((c3[t] + 1.0) / (c2[t[:2]] + 37.0)) for t in ts) / len(ts)
         assert got[i]["n_trigrams"] == len(ts)
         assert got[i]["bits_per_char"] == pytest.approx(bits, rel=1e-12)
+
+
+def test_pmtiles_write_arrow_and_streaming_paths_byte_identical(spark, tmp_path, monkeypatch):
+    """write_pmtiles r06 fast path: when the archive fits the driver
+    budget the sorted frame is fetched as one Arrow table instead of the
+    row-at-a-time toLocalIterator. Both paths must emit the IDENTICAL
+    archive bytes — same dedup runs, same directories, same header."""
+    from tilers_tools_spark.sources import pmtiles as pmt
+
+    rows = []
+    for z, n in ((3, 8), (4, 16)):
+        for x in range(n):
+            for y in range(0, n, 2):
+                blob = b"SEA" if (x + y) % 5 == 0 else f"{z}/{x}/{y}".encode()
+                rows.append((z, x, y, bytearray(blob)))
+    df = spark.createDataFrame(rows, "z int, x int, y int, tile binary")
+
+    monkeypatch.setenv("TILERS_PMTILES_ARROW_MAX_MB", "512")
+    p_fast = pmt.write_pmtiles(df, str(tmp_path / "fast.pmtiles"),
+                               metadata={"name": "t"}, max_root_entries=8, leaf_size=4)
+    monkeypatch.setenv("TILERS_PMTILES_ARROW_MAX_MB", "0")
+    p_slow = pmt.write_pmtiles(df, str(tmp_path / "slow.pmtiles"),
+                               metadata={"name": "t"}, max_root_entries=8, leaf_size=4)
+    fast = open(p_fast, "rb").read()
+    slow = open(p_slow, "rb").read()
+    assert fast == slow and len(fast) > 0
